@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TimeSeries.epochS
+
+/** Anomaly-range operators: range⇄point conversion, train/test split,
+  * off-condition filtering.
+  *
+  * Reference semantics:
+  *   - expanding [start,end] ranges into per-point flags:
+  *     evaluation.py:189-226 (`_get_time_ranges`) and plot.py:301-333
+  *     (`_convert_ranges`)
+  *   - merging point predictions into contiguous ranges (the
+  *     predicted_ranges data model of scheduler.py:598-662) — classic
+  *     gaps-and-islands sessionization
+  *   - train/eval time split: model.py:166-192
+  *   - on/off condition predicate: model.py:109-123
+  *
+  * The range join carries the series key (user_id) so at scale it shuffles
+  * both sides once on that key instead of a time cross-product; the ranges
+  * side is tiny relative to points and is broadcast.
+  */
+object Ranges {
+
+  /** Derived "known anomaly" ranges: for each (user, day) that contains
+    * error events, the [min ts, max ts] envelope of those errors. Stands in
+    * for the reference's labels.csv ranges on the synthetic data.
+    */
+  private def errorRanges(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .groupBy(
+        col("user_id"),
+        (floor(epochS(col("ts")) / 86400L) * 86400L).cast("long").as("day_start")
+      )
+      .agg(
+        min(epochS(col("ts"))).as("range_start"),
+        max(epochS(col("ts"))).as("range_end")
+      )
+  }
+
+  /** q04: expand ranges → per-point 0/1 flags, then summarize flagged vs
+    * normal points per event_type (the distributed analog of the dense
+    * Prediction column built in evaluation.py:207-216).
+    */
+  def rangeFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("e", epochS(col("ts")))
+    val ranges = errorRanges(spark, sfDir)
+      .select(col("user_id").as("r_user"), col("range_start"), col("range_end"))
+    val flagged = ev
+      .join(
+        broadcast(ranges),
+        col("user_id") === col("r_user") &&
+          col("e") >= col("range_start") && col("e") <= col("range_end"),
+        "left_outer"
+      )
+      .groupBy(col("event_id"), col("event_type"), col("value"))
+      .agg(max(when(col("r_user").isNotNull, 1).otherwise(0)).as("in_anomaly"))
+    flagged
+      .groupBy(col("event_type"), col("in_anomaly"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+  }
+
+  /** q06: points → contiguous ranges. Consecutive error events of a user
+    * closer than `gapSec` merge into one range (gaps-and-islands via
+    * lag + running sum of session breaks).
+    */
+  def anomalyRanges(spark: SparkSession, sfDir: String, gapSec: Long = 1800L): DataFrame = {
+    val errs = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), epochS(col("ts")).as("e"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("e"))
+    errs
+      .withColumn("prev_e", lag(col("e"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_e").isNull || col("e") - col("prev_e") > gapSec, 1).otherwise(0)
+      )
+      .withColumn(
+        "session",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .groupBy(col("user_id"), col("session"))
+      .agg(
+        min(col("e")).as("range_start"),
+        max(col("e")).as("range_end"),
+        count(lit(1)).as("n_events")
+      )
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("range_start"), col("range_end"), col("n_events"))
+  }
+
+  /** q07: off-condition (`value < threshold` means the asset is off) —
+    * on/off census + on-time statistics per event_type.
+    */
+  def offCondition(spark: SparkSession, sfDir: String, threshold: Double = 10.0): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .withColumn("is_on", when(col("value") >= threshold, 1).otherwise(0))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("is_on")).as("n_on"),
+        sum(lit(1) - col("is_on")).as("n_off"),
+        round(avg(when(col("is_on") === 1, col("value"))), 4).as("avg_on_value")
+      )
+  }
+
+  /** q08: train/eval split at 70% of the time span — per (event_type, phase)
+    * statistics.
+    */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+      .withColumn("e", epochS(col("ts")))
+    val bounds = ev
+      .agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+      .select(floor(col("mn") + (col("mx") - col("mn")) * 0.7).cast("long").as("split_e"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("phase", when(col("e") < col("split_e"), "train").otherwise("eval"))
+      .groupBy(col("event_type"), col("phase"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+  }
+
+  /** q09: diagnostics expansion — pull the numeric payload out of the props
+    * key/value blob and aggregate per key bucket (the distributed analog of
+    * scheduler.py:636-656's diagnostics widening; extraction is a codegen'd
+    * regexp, no driver loop).
+    */
+  def diagExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("props"), col("value"))
+      .withColumn("diag_k", regexp_extract(col("props"), "([0-9]+)", 1).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("diag_k")), 4).as("avg_diag"),
+        max(col("diag_k")).as("max_diag"),
+        countDistinct(col("diag_k")).as("n_distinct_diag"),
+        round(avg(col("value")), 4).as("avg_value")
+      )
+  }
+
+  /** q10: dataset schema / component inventory — per-series row counts,
+    * cardinalities and value envelopes (schema.py:23-98 infers the schema by
+    * scanning files; here it is one aggregate over the data).
+    */
+  def schemaInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(epochS(col("ts"))).as("min_ts"),
+        max(epochS(col("ts"))).as("max_ts"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"),
+        round(avg(col("value")), 4).as("avg_value")
+      )
+  }
+}

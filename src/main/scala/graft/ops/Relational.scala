@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core — the engine must be a real query engine underneath the
+  * time-series surface. Shapes chosen to exercise the plans that matter at
+  * 100 TB: partial-aggregate groupBy, broadcast star joins, shuffle joins on
+  * fact keys, window top-N, semi/anti joins.
+  */
+object Relational {
+
+  /** q13: pricing summary (TPC-H Q1 shape) — one shuffle, map-side combine. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** q14: revenue per customer, top 10 — fact-fact shuffle join on orderkey,
+    * broadcast of the customer dimension, then a global top-N.
+    */
+  def topRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("rev")), 4).as("revenue"), count(lit(1)).as("n_items"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** q15: revenue rollup by region/nation — star join with every dimension
+    * broadcast; the lineitem fact is scanned once with only 3 columns read.
+    */
+  def regionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, sfDir).select(col("r_regionkey"), col("r_name"))
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("rev")), 4).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** q16: top-3 orders per customer by total price (window top-N). */
+  def windowTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"), col("rk"))
+  }
+
+  /** q17: customers with at least one order but no high-value (>p) order —
+    * left-semi + left-anti join composition.
+    */
+  def semiAnti(spark: SparkSession, sfDir: String, highValue: Double = 200000.0): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_totalprice"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+    val high = o.filter(col("o_totalprice") > highValue)
+    withOrders
+      .join(high, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** q18: orders above their own customer's average order value —
+    * decorrelated as an aggregate + re-join on the grouping key (what
+    * Catalyst does to a correlated scalar subquery).
+    */
+  def decorrelatedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // exact decimal sum → double, so the average is identical regardless of
+    // partial-aggregation order (a plain double avg can flip a round() tie)
+    val avgs = o.groupBy(col("o_custkey")).agg(
+      (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("cust_avg"))
+    o.join(avgs, Seq("o_custkey"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_above"),
+        round(max(col("o_totalprice")), 4).as("max_price"),
+        (round(max(col("cust_avg")) * 10000) / 10000).as("cust_avg_price")
+      )
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TimeSeries.epochS
+
+/** Signal ranking by distribution shift — the engine's flagship analytic.
+  *
+  * Reference evaluation.py:228-313 (`compute_histograms`): for every signal,
+  * build two histograms over shared equal-width bins — one from the normal
+  * period, one from the anomalous period — normalize them to densities, and
+  * rank signals by the Wasserstein distance between the two density vectors
+  * (scipy `wasserstein_distance(u, v)` on two equal-length vectors reduces to
+  * the mean absolute difference of their sorted values).
+  *
+  * Distributed formulation (no per-signal driver loop, contrast with the
+  * reference's `for tag in df_list` at evaluation.py:267):
+  *   1. one pass computes per-signal value envelopes (tiny, broadcast),
+  *   2. one shuffle aggregates (signal, phase, bin) counts — map-side
+  *      partial combine makes this ~|signals|×2×20 rows regardless of input
+  *      size, so the same plan runs at 100 TB,
+  *   3. the distance is a ~rows-of-bins-sized join + aggregate.
+  *
+  * The anomalous period here is the last 25% of the time span (the synthetic
+  * stand-in for the reference's predicted_ranges index).
+  */
+object SensorRank {
+  val NumBins = 20
+
+  def sensorRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+
+    // Global train/anomaly time split at 75% of the span.
+    val split = ev
+      .agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+      .select(floor(col("mn") + (col("mx") - col("mn")) * 0.75).cast("long").as("split_e"))
+
+    // Per-signal value envelope → shared bin edges (broadcast dimension).
+    val stats = ev
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .withColumn("width", (col("vmax") - col("vmin")) / NumBins)
+
+    // Assign each point a phase and a bin, then count per (signal, phase, bin).
+    val binned = ev
+      .crossJoin(broadcast(split))
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("phase", when(col("e") < col("split_e"), "u").otherwise("v"))
+      .withColumn(
+        "bin",
+        least(
+          floor((col("value") - col("vmin")) / col("width")).cast("long"),
+          lit(NumBins - 1L)
+        )
+      )
+    val counts = binned
+      .groupBy(col("event_type"), col("phase"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts
+      .groupBy(col("event_type"), col("phase"))
+      .agg(sum(col("c")).as("total"))
+
+    // Dense (signal × phase × bin) grid so empty bins contribute density 0.
+    val grid = stats
+      .select(col("event_type"), explode(sequence(lit(0L), lit(NumBins - 1L))).as("bin"))
+      .crossJoin(spark.range(1).select(explode(array(lit("u"), lit("v"))).as("phase")))
+    val densities = grid
+      .join(counts, Seq("event_type", "phase", "bin"), "left_outer")
+      .join(totals, Seq("event_type", "phase"), "left_outer")
+      .select(
+        col("event_type"),
+        col("phase"),
+        col("bin"),
+        coalesce(col("c").cast("double") / col("total"), lit(0.0)).as("d")
+      )
+
+    // Wasserstein between two equal-length vectors = mean |sorted u - sorted v|.
+    val sortW = Window.partitionBy(col("event_type"), col("phase")).orderBy(col("d"), col("bin"))
+    val ranked = densities.withColumn("pos", row_number().over(sortW))
+    val u = ranked.filter(col("phase") === "u").select(col("event_type"), col("pos"), col("d").as("du"))
+    val v = ranked.filter(col("phase") === "v").select(col("event_type"), col("pos"), col("d").as("dv"))
+    val scores = u
+      .join(v, Seq("event_type", "pos"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(abs(col("du") - col("dv"))), 6).as("score"))
+
+    scores.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("score").desc, col("event_type")))
+    )
+  }
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series resampling / gridding / rolling operators.
+  *
+  * Re-expresses the reference's pandas resampling surface as declarative
+  * Spark plans:
+  *   - resample to a target rate: reference model.py:151-164
+  *     (DataPreProcessingConfiguration.TargetSamplingRate) and
+  *     plot.py:249-251 (`df.resample(rule).mean().ffill()`)
+  *   - forward-fill on a dense grid: reference dataset.py:524
+  *   - rolling average: reference plot.py:362-371
+  *   - inference sequence extraction: reference dataset.py:242-336
+  *
+  * All timestamps are handled as bigint epoch seconds internally, which keeps
+  * bucket arithmetic inside whole-stage codegen and makes results portable to
+  * the DuckDB oracle. At 100 TB the per-series grouping shuffles once on the
+  * series key; bucket assignment is a map-side expression.
+  */
+object TimeSeries {
+
+  /** Epoch seconds (floor) of a timestamp column. */
+  def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** Portable 4-decimal rounding: `round(x*1e4)/1e4` evaluates identically in
+    * Spark and DuckDB on the same double (DuckDB's round(x,4) is implemented
+    * this way; Spark's round(x,4) rounds the exact binary value, which can
+    * land on the other side of a tie).
+    */
+  def r4(c: Column): Column = round(c * 10000) / 10000
+
+  /** Bucket start (epoch seconds) for a fixed-width resample. */
+  def bucketStart(ts: Column, widthSec: Long): Column =
+    (floor(epochS(ts) / widthSec) * widthSec).cast("long")
+
+  /** q01: resample events to 5-minute buckets per event_type with
+    * mean/min/max/count — the engine's TargetSamplingRate analog.
+    */
+  def resampleAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    ev.groupBy(
+        col("event_type"),
+        bucketStart(col("ts"), 300L).as("bucket_start")
+      )
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  /** Dense epoch grid (one row per (event_type, grid point)) spanning the
+    * global [min, max] of the data at `widthSec` resolution. The grid is built
+    * from a 1-row bounds aggregate crossed with the distinct series keys —
+    * both tiny, broadcast, no shuffle on the fact side.
+    */
+  private def denseGrid(ev: DataFrame, widthSec: Long): DataFrame = {
+    val bounds = ev.agg(
+      (floor(min(epochS(col("ts"))) / widthSec) * widthSec).cast("long").as("mn"),
+      (floor(max(epochS(col("ts"))) / widthSec) * widthSec).cast("long").as("mx")
+    )
+    val types = ev.select(col("event_type")).distinct()
+    types
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(widthSec))).as("grid_start")
+      )
+  }
+
+  /** q02: hourly resample + forward-fill of empty buckets per event_type. */
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val hourly = ev
+      .groupBy(col("event_type"), bucketStart(col("ts"), 3600L).as("grid_start"))
+      .agg(avg(col("value")).as("v"))
+    val grid = denseGrid(ev, 3600L)
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("grid_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hourly, Seq("event_type", "grid_start"), "left_outer")
+      .withColumn("value_ffill", round(last(col("v"), ignoreNulls = true).over(w), 4))
+      .select(col("event_type"), col("grid_start"), col("value_ffill"))
+  }
+
+  /** q03: rolling average of `value` over the trailing 10 events per user. */
+  def rollingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = order.rowsBetween(-9, 0)
+    // exact decimal sum in the frame → identical doubles regardless of the
+    // engine's sliding-aggregate evaluation order
+    ev.select(
+      col("user_id"),
+      col("event_id"),
+      row_number().over(order).as("rn"),
+      r4(sum(col("value").cast("decimal(18,6)")).over(frame).cast("double") /
+        count(col("value")).over(frame)).as("roll_avg")
+    )
+  }
+
+  /** q11: inference sequence extraction — take the evaluation period start,
+    * cut `numSeq` windows of `freqSec` seconds, re-index each window onto a
+    * relative time base (reference dataset.py:242-336 re-indexes extracted
+    * windows onto the scheduler's clock; the relative offset is the portable
+    * equivalent).
+    */
+  def seqExtract(spark: SparkSession, sfDir: String,
+                 freqSec: Long = 300L, numSeq: Int = 3): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val bounds = ev.agg(
+      min(epochS(col("ts"))).as("mn"),
+      max(epochS(col("ts"))).as("mx")
+    ).select(
+      // evaluation period starts at 75% of the span, floored to the frequency
+      (floor((col("mn") + (col("mx") - col("mn")) * 0.75) / freqSec) * freqSec)
+        .cast("long").as("eval_start")
+    )
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("e", epochS(col("ts")))
+      .filter(col("e") >= col("eval_start"))
+      .withColumn("seq", floor((col("e") - col("eval_start")) / freqSec).cast("long"))
+      .filter(col("seq") < numSeq)
+      .withColumn("rel_ts", col("e") - col("eval_start"))
+      .groupBy(col("seq"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("rel_ts")).as("min_rel"),
+        max(col("rel_ts")).as("max_rel"),
+        round(avg(col("value")), 4).as("avg_value")
+      )
+  }
+
+  /** q12: hourly resample + linear interpolation of missing buckets.
+    * prev/next known values come from ignore-null window frames; the
+    * interpolation itself is a codegen'd arithmetic expression.
+    */
+  def interpLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val hourly = ev
+      .groupBy(col("event_type"), bucketStart(col("ts"), 3600L).as("grid_start"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(col("value"))).as("v"))
+    val grid = denseGrid(ev, 3600L)
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("grid_start"))
+    val back = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byType.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = grid.join(hourly, Seq("event_type", "grid_start"), "left_outer")
+    val withNeighbors = joined
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(when(col("v").isNotNull, col("grid_start")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(when(col("v").isNotNull, col("grid_start")), ignoreNulls = true).over(fwd))
+    withNeighbors
+      .withColumn(
+        "value_interp",
+        r4(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(
+              col("pv") + (col("nv") - col("pv")) *
+                (col("grid_start") - col("pt")) / (col("nt") - col("pt"))
+            )
+        )
+      )
+      .select(col("event_type"), col("grid_start"), col("value_interp"))
+  }
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<query>/ parquet written by graft.Verify, runs the
+corresponding oracle SQL from <out>/oracle_sql.json in DuckDB against views
+over <sf_dir>/*.parquet, and compares the two row-sets exactly (after
+canonicalizing column order by name and sorting rows). Strict equality —
+the real driver hash-compares, so "close" is not good enough.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(round(v, 9))
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got_rel.description]
+            got = canon(got_rel.fetchall(), got_cols)
+            exp_rel = con.execute(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = canon(exp_rel.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+        elif got != exp:
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            diff = [(a, b) for a, b in zip(got, exp) if a != b][:3]
+            only_got = [r for r in got if r not in set(exp)][:3]
+            only_exp = [r for r in exp if r not in set(got)][:3]
+            for a, b in diff:
+                print(f"  first diffs: spark={a}\n               oracle={b}")
+                break
+            if only_got:
+                print(f"  only-in-spark: {only_got}")
+            if only_exp:
+                print(f"  only-in-oracle: {only_exp}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
