@@ -52,7 +52,33 @@ object SparkEntry {
     "q17_semi_anti" -> ((s, d) =>
       Relational.semiAnti(s, d).orderBy(col("c_mktsegment"))),
     "q18_decorrelated_agg" -> ((s, d) =>
-      Relational.decorrelatedAgg(s, d).orderBy(col("o_custkey")))
+      Relational.decorrelatedAgg(s, d).orderBy(col("o_custkey"))),
+    "q20_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(s, d).orderBy(col("source"))),
+    "q21_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q22_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q23_simhash" -> ((s, d) =>
+      Dedup.simhash(s, d).orderBy(col("doc_id"))),
+    "q24_embed_neardup" -> ((s, d) =>
+      Dedup.embedNearDup(s, d).orderBy(col("label"), col("vec_a"), col("vec_b"))),
+    "q25_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(s, d).orderBy(col("probe_id"), col("rnk"))),
+    "q26_ivf_ann" -> ((s, d) =>
+      Similarity.ivfAnn(s, d).orderBy(col("probe_id"), col("rnk"))),
+    "q27_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(s, d).orderBy(col("lang"), col("pred_lang"))),
+    "q28_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(s, d).orderBy(col("doc_id"))),
+    "q29_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(s, d).orderBy(col("lang"))),
+    "q30_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(s, d).orderBy(col("fp"))),
+    "q31_multimodal_meta" -> ((s, d) =>
+      Multimodal.multimodalMeta(s, d).orderBy(col("kind"))),
+    "q32_stream_windowed" -> ((s, d) =>
+      graft.streaming.EventStream.windowedAgg(s, d).orderBy(col("win_start"), col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -237,6 +263,196 @@ object SparkEntry {
         |SELECT o.o_custkey, count(*) n_above, round(max(o.o_totalprice),4) max_price,
         | round(max(a.cust_avg)*10000)/10000 cust_avg_price
         |FROM orders o JOIN a USING (o_custkey) WHERE o.o_totalprice > a.cust_avg*1.5
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_dedup_exact" ->
+      """WITH hs AS (SELECT doc_id, source,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) hv FROM documents),
+        |k AS (SELECT hv, min(doc_id) keeper FROM hs GROUP BY 1)
+        |SELECT source, count(*) n_docs,
+        | CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+        | CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) n_dups
+        |FROM hs JOIN k USING (hv) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, n_shared,
+        | round(CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared), 6) jaccard
+        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared) >= 0.5
+        |ORDER BY 1,2""".stripMargin,
+    "q22_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2)
+        |SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared_bands
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q23_simhash" ->
+      """WITH d AS (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) w FROM d),
+        |tok AS (SELECT doc_id, md5(w) hv FROM tok0),
+        |bx AS (SELECT doc_id, hv, unnest(generate_series(0, 59)) j FROM tok),
+        |v AS (SELECT doc_id, j,
+        |        CAST(floor((instr('0123456789abcdef', substr(hv, CAST(j//4 AS INT) + 1, 1)) - 1)
+        |          / power(2, j % 4)) AS BIGINT) % 2 AS bit
+        |      FROM bx),
+        |s AS (SELECT doc_id, j, sum(bit*2 - 1) sv FROM v GROUP BY 1,2)
+        |SELECT doc_id, CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(30,20))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |p AS (SELECT a.label, a.vec_id vec_a, b.vec_id vec_b,
+        |        CAST(sum(CAST(a.v*b.v AS DECIMAL(30,20))) AS DOUBLE) dot
+        |      FROM xx a JOIN xx b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |      GROUP BY 1,2,3)
+        |SELECT p.label, vec_a, vec_b, round(dot/(na.nrm*nb.nrm), 6) cosine
+        |FROM p JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.4
+        |ORDER BY 1,2,3""".stripMargin,
+    "q25_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(30,20))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |d AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(30,20))) AS DOUBLE) dot
+        |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |      GROUP BY 1,2),
+        |sc AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS INT) rnk
+        |      FROM sc)
+        |SELECT probe_id, rnk, neighbor_id, round(cos, 6) cosine
+        |FROM r WHERE rnk <= 5 ORDER BY 1,2""".stripMargin,
+    "q26_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(30,20))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |cent AS (SELECT label, i, CAST(sum(CAST(v AS DECIMAL(30,20))) AS DOUBLE)/count(*) c
+        |         FROM xx GROUP BY 1,2),
+        |cn AS (SELECT label, sqrt(CAST(sum(CAST(c*c AS DECIMAL(30,20))) AS DOUBLE)) cnrm
+        |       FROM cent GROUP BY 1),
+        |pd AS (SELECT p.vec_id probe_id, cent.label,
+        |         CAST(sum(CAST(p.v*cent.c AS DECIMAL(30,20))) AS DOUBLE) dot
+        |       FROM xx p JOIN cent ON p.i = cent.i WHERE p.vec_id < 10 GROUP BY 1,2),
+        |ps AS (SELECT probe_id, pd.label, dot/(np.nrm*cn.cnrm) ccos
+        |       FROM pd JOIN n np ON probe_id = np.vec_id JOIN cn ON pd.label = cn.label),
+        |short AS (SELECT probe_id, label FROM (
+        |    SELECT probe_id, label,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, label) crk
+        |    FROM ps) WHERE crk <= 2),
+        |d AS (SELECT s.probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(30,20))) AS DOUBLE) dot
+        |      FROM short s JOIN xx c ON c.label = s.label
+        |        JOIN xx p ON p.vec_id = s.probe_id AND p.i = c.i
+        |      WHERE c.vec_id <> s.probe_id GROUP BY 1,2),
+        |sc AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS INT) rnk
+        |      FROM sc)
+        |SELECT probe_id, rnk, neighbor_id, round(cos, 6) cosine
+        |FROM r WHERE rnk <= 5 ORDER BY 1,2""".stripMargin,
+    "q27_lang_id" ->
+      """WITH d AS (SELECT lang, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |s AS (SELECT lang, len(w) n_tok,
+        |        len(list_filter(w, t -> list_contains(
+        |          ['the','a','of','and','to','in','is','it'], t))) n_stop
+        |      FROM d)
+        |SELECT lang, CASE WHEN n_stop*1000 >= n_tok*80 THEN 'en' ELSE 'other' END pred_lang,
+        | count(*) n_docs, CAST(sum(n_tok) AS BIGINT) total_tokens,
+        | round(CAST(sum(n_stop) AS DOUBLE)/sum(n_tok), 6) stop_ratio
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q28_quality_score" ->
+      """WITH d AS (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |f AS (SELECT doc_id, length(t) n_chars, len(string_split(t, ' ')) n_words,
+        |        length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) n_punct,
+        |        len(list_filter(string_split(t, ' '), x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it'], x))) n_stop
+        |      FROM d)
+        |SELECT doc_id, n_chars, n_words,
+        | round(CAST(n_chars - (n_words - 1) AS DOUBLE)/n_words*10000)/10000 avg_word_len,
+        | round(CAST(n_punct AS DOUBLE)/n_chars*10000)/10000 punct_ratio,
+        | round(CAST(n_stop AS DOUBLE)/n_words*10000)/10000 stop_ratio,
+        | round((least(CAST(n_words AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (1.0 - CAST(n_punct AS DOUBLE)/n_chars)*0.3
+        |   + least(CAST(n_stop AS DOUBLE)/n_words*5.0, 1.0)*0.2)*10000)/10000 quality
+        |FROM f ORDER BY 1""".stripMargin,
+    "q29_token_count" ->
+      """WITH t AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+', 0) w FROM documents),
+        |p AS (SELECT lang, len(w) n_tok,
+        |        list_sum(list_transform(w, x -> length(x))) n_tok_chars FROM t),
+        |agg AS (SELECT lang, count(*) n_docs, CAST(sum(n_tok) AS BIGINT) total_tokens,
+        |          round(CAST(sum(n_tok) AS DOUBLE)/count(*), 4) avg_tokens,
+        |          round(CAST(sum(n_tok_chars) AS DOUBLE)/sum(n_tok), 4) avg_token_len
+        |        FROM p GROUP BY 1),
+        |dt AS (SELECT lang, count(DISTINCT tok) n_distinct_tokens
+        |       FROM (SELECT lang, unnest(w) tok FROM t) GROUP BY 1)
+        |SELECT agg.lang, n_docs, total_tokens, avg_tokens, avg_token_len, n_distinct_tokens
+        |FROM agg JOIN dt ON agg.lang = dt.lang ORDER BY 1""".stripMargin,
+    "q30_fingerprint" ->
+      """WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))), ' ')) fp
+        | FROM documents)
+        |SELECT fp, count(*) n_docs, min(doc_id) first_doc, max(doc_id) last_doc
+        |FROM f GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
+    "q31_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id asset_id, strlen(text) n_bytes, md5(text) digest FROM documents),
+        |k AS (SELECT asset_id, n_bytes, digest,
+        |        CASE WHEN asset_id % 3 = 0 THEN 'image'
+        |             WHEN asset_id % 3 = 1 THEN 'audio' ELSE 'video' END kind
+        |      FROM m),
+        |x AS (SELECT kind, asset_id, n_bytes, digest,
+        |  CASE WHEN kind = 'image' THEN
+        |    ((instr('0123456789abcdef', substr(digest,1,1))-1)*4096
+        |     + (instr('0123456789abcdef', substr(digest,2,1))-1)*256
+        |     + (instr('0123456789abcdef', substr(digest,3,1))-1)*16
+        |     + (instr('0123456789abcdef', substr(digest,4,1))-1)) % 1024 + 16 END width,
+        |  CASE WHEN kind = 'image' THEN
+        |    ((instr('0123456789abcdef', substr(digest,5,1))-1)*4096
+        |     + (instr('0123456789abcdef', substr(digest,6,1))-1)*256
+        |     + (instr('0123456789abcdef', substr(digest,7,1))-1)*16
+        |     + (instr('0123456789abcdef', substr(digest,8,1))-1)) % 1024 + 16 END height,
+        |  CASE WHEN kind <> 'image' THEN
+        |    ((instr('0123456789abcdef', substr(digest,9,1))-1)*4096
+        |     + (instr('0123456789abcdef', substr(digest,10,1))-1)*256
+        |     + (instr('0123456789abcdef', substr(digest,11,1))-1)*16
+        |     + (instr('0123456789abcdef', substr(digest,12,1))-1)) % 60000 + 1000 END duration_ms
+        |  FROM k)
+        |SELECT kind, count(*) n_assets, CAST(sum(n_bytes) AS BIGINT) total_bytes,
+        | count(DISTINCT digest) n_distinct,
+        | round(avg(width), 4) avg_width, round(avg(height), 4) avg_height,
+        | round(avg(duration_ms), 4) avg_duration_ms
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_stream_windowed" ->
+      """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) win_start, event_type,
+        | count(*) n,
+        | round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*))*10000)/10000 avg_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All four flavors share the same scale posture: project to (doc_id, text)
+  * before any explode (the parquet scan then reads just two columns), dedup
+  * the exploded shingle set per document before it reaches a join, and turn
+  * every O(n²) "compare all pairs" into an inverted-index / band-bucket
+  * shuffle join keyed on the shared token, so the only pairs materialized are
+  * the ones that actually collide. At 100 TB the remaining skew risk is a
+  * high-document-frequency shingle; AQE skew-join splits those buckets, and a
+  * DF-cap filter (drop shingles occurring in > N docs — they carry no dedup
+  * signal) is the standard mitigation, kept out of the small-SF oracle here.
+  *
+  * Portable-hash rule (SURVEY.md §3): every hash is an md5 hex string, which
+  * DuckDB computes identically; MinHash is the lexicographic min of salted
+  * md5 strings, so signatures compare identically across engines.
+  */
+object Dedup {
+
+  /** lower + trim + collapse runs of whitespace; byte-identical to DuckDB's
+    * regexp_replace(lower(trim(text)), '\s+', ' ', 'g').
+    */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Distinct word n-gram shingles as (doc_id, sh). The distinct() is per
+    * (doc_id, shingle) and happens before any join so repeated phrases inside
+    * one document don't multiply join fan-out.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= n)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"
+        )).as("sh"))
+      .distinct()
+
+  /** q20: exact dedup — md5 of normalized text, keep-first (min doc_id) per
+    * hash, then a per-source census of kept vs removed rows. The keeper is a
+    * distributed argmin (groupBy + min), not a window over a global sort.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(
+      col("doc_id"), col("source"), md5(normText(col("text"))).as("h"))
+    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    hashed
+      .join(keepers, "h")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_dups")
+      )
+  }
+
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    exactDedup(Tables.documents(spark, sfDir))
+
+  /** q21: word-3-gram Jaccard near-dup pairs via an inverted-index self-join:
+    * the join key is the shingle, so only documents sharing at least one
+    * shingle ever meet; intersection sizes fall out of a groupBy on the pair.
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("doc_a", "sh")
+    val b = sh.toDF("doc_b", "sh")
+    val inter = a
+      .join(b, Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, sfDir))
+
+  /** q22: MinHash + LSH banding. k=12 salted-md5 hash functions; the MinHash
+    * for salt i is the lexicographically smallest md5("i:" + shingle) over
+    * the document's shingles (a distributed groupBy-min — the signature never
+    * leaves the executors). Signatures are cut into 3 bands of 4 rows; a band
+    * signature is the md5 of its 4 minhashes in salt order, and candidate
+    * pairs are documents whose band signatures collide — an equi-join on
+    * (band, sig) instead of an all-pairs comparison.
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    val sh = shingles(docs)
+    val minhashes = sh
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${k - 1}), i -> md5(concat(cast(i AS string), ':', sh)))"
+        )).as(Seq("salt", "h")))
+      .groupBy(col("doc_id"), col("salt"))
+      .agg(min(col("h")).as("m"))
+    val bandSigs = minhashes
+      .withColumn("band", floor(col("salt") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(expr(
+        "array_join(transform(array_sort(collect_list(struct(salt, m))), x -> x.m), '|')"
+      )).as("sig"))
+    val a = bandSigs.toDF("doc_a", "band", "sig")
+    val b = bandSigs.toDF("doc_b", "band", "sig")
+    a.join(b, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLsh(Tables.documents(spark, sfDir))
+
+  /** q23: 60-bit SimHash per document. Every token votes its md5's bits
+    * (+1/-1, frequency-weighted); a bit of the final signature is 1 iff its
+    * vote sum is positive. Two cheap shuffles — (doc, bit) vote sums, then a
+    * per-doc fold into one bigint — both with map-side partial aggregation.
+    */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    // bit j lives in hex digit j/4 of the md5, at weight 2^(j%4)
+    val votes = tokens
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bits - 1}), j -> struct(j AS j,
+             | CAST(floor((instr('0123456789abcdef', substr(h, CAST(j div 4 AS int) + 1, 1)) - 1)
+             |   / power(2, j % 4)) AS bigint) % 2 AS bit))""".stripMargin
+        )).as("v"))
+      .select(col("doc_id"), col("v.j").as("j"),
+        (col("v.bit") * 2 - 1).as("vote"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("s"))
+    votes
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS bigint), j)")).otherwise(0L)).as("simhash"))
+  }
+
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhash(Tables.documents(spark, sfDir))
+
+  /** q24: embedding-cosine near-dup pairs, blocked by the cluster label so
+    * the pair join is an equi-join on label (IVF-style blocking), never a
+    * cross join. Dot products and norms accumulate in DECIMAL(30,20) so the
+    * sums are exact and order-independent — a plain double sum varies with
+    * partial-aggregation order and can flip a rounded digit.
+    */
+  def embedNearDup(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    val e = emb.select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+    val withNorm = e.withColumn(
+      "nrm",
+      sqrt(expr(
+        """CAST(aggregate(v, CAST(0 AS DECIMAL(30,20)),
+          | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(30,20)) AS DECIMAL(30,20))) AS double)""".stripMargin)))
+    val a = withNorm.toDF("vec_a", "label", "va", "na")
+    val b = withNorm.toDF("vec_b", "label", "vb", "nb")
+    a.join(b, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn(
+        "dot",
+        expr(
+          """CAST(aggregate(zip_with(va, vb, (x, y) -> CAST(x * y AS DECIMAL(30,20))),
+            | CAST(0 AS DECIMAL(30,20)),
+            | (acc, x) -> CAST(acc + x AS DECIMAL(30,20))) AS double)""".stripMargin))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .where(col("cosine") >= minCosine)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    embedNearDup(Tables.embeddings(spark, sfDir))
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal asset plumbing: opaque binary payloads + typed metadata.
+  *
+  * The engine treats media as `binary` columns with a typed metadata struct
+  * alongside — the schema, partitioning and batch shape a real pipeline
+  * needs. The decode step (image/audio codecs aren't in this environment) is
+  * STUBBED with [[decodeStub]]: a deterministic metadata extractor keyed off
+  * the payload digest. A production deployment replaces that one column
+  * expression with a vectorized decoder (mapPartitions over the binary
+  * column, batched per partition); everything upstream and downstream —
+  * column pruning, the per-kind aggregation, the digest-based dedup — is
+  * unchanged, because the stub has the same signature: binary → struct.
+  *
+  * The synthetic payload is the document text encoded as UTF-8 bytes, so the
+  * DuckDB oracle can reconstruct byte-identical payloads and digests.
+  */
+object Multimodal {
+
+  /** Parse `n` hex digits of an md5 string starting at 1-based `pos` into a
+    * bigint — portable to DuckDB as the identical instr-arithmetic.
+    */
+  private def hexField(digestCol: String, pos: Int, n: Int): Column =
+    (0 until n).map { i =>
+      (expr(s"instr('0123456789abcdef', substr($digestCol, ${pos + i}, 1))") - 1)
+        .cast("long") * (1L << (4 * (n - 1 - i)))
+    }.reduce(_ + _)
+
+  /** The decode seam: payload digest + byte length → typed media metadata.
+    * Deterministic fake in lieu of real codecs; same struct a real decoder
+    * would emit.
+    */
+  def decodeStub(df: DataFrame): DataFrame =
+    df.withColumn("kind",
+        when(col("asset_id") % 3 === 0, "image")
+          .when(col("asset_id") % 3 === 1, "audio")
+          .otherwise("video"))
+      .withColumn("width",
+        when(col("kind") === "image", hexField("digest", 1, 4) % 1024 + 16))
+      .withColumn("height",
+        when(col("kind") === "image", hexField("digest", 5, 4) % 1024 + 16))
+      .withColumn("duration_ms",
+        when(col("kind") =!= "image", hexField("digest", 9, 4) % 60000 + 1000))
+
+  /** q31: binary payload ingestion + metadata census per media kind. The
+    * payload bytes never reach the shuffle — only the 16-byte digest and the
+    * small metadata columns do, which is what makes this shape survive
+    * petabyte media tables (the binary column stays columnar in parquet and
+    * is pruned out of every exchange).
+    */
+  def multimodalMeta(docs: DataFrame): DataFrame = {
+    val assets = docs.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val withMeta = decodeStub(
+      assets.select(
+        col("asset_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest")))
+    withMeta
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        count_distinct(col("digest")).as("n_distinct"),
+        round(avg(col("width")), 4).as("avg_width"),
+        round(avg(col("height")), 4).as("avg_height"),
+        round(avg(col("duration_ms")), 4).as("avg_duration_ms"))
+  }
+
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    multimodalMeta(Tables.documents(spark, sfDir))
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two plans over the same (vec_id, embedding: Array[Float], label) table:
+  *   - brute-force cosine top-k: the correctness baseline — probes broadcast
+  *     against the full vector table, one pass, window top-k per probe;
+  *   - IVF: centroids (one per cluster label) are a tiny broadcast table;
+  *     each probe picks its nprobe nearest centroids and only scans those
+  *     clusters — the scan-side join is an equi-join on label, so at scale
+  *     the vector table can be partitioned/bucketed by label and the search
+  *     touches nprobe/nlist of the data instead of all of it.
+  *
+  * All dot products / norms accumulate in DECIMAL(30,20) (exact, order-free)
+  * and only become doubles for the final divide, so scores are deterministic
+  * and identical to the DuckDB oracle's decimal sums.
+  */
+object Similarity {
+
+  /** embedding floats → doubles once, up front. */
+  private def asDoubles(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+
+  private def normExpr(arr: String = "v"): String =
+    s"""sqrt(CAST(aggregate($arr, CAST(0 AS DECIMAL(30,20)),
+       | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(30,20)) AS DECIMAL(30,20))) AS double))""".stripMargin
+
+  /** exact decimal dot of two double arrays named `a` and `b`. */
+  private def dotExpr(a: String, b: String): Column =
+    expr(
+      s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(30,20))),
+         | CAST(0 AS DECIMAL(30,20)),
+         | (acc, x) -> CAST(acc + x AS DECIMAL(30,20))) AS double)""".stripMargin)
+
+  /** q25: brute-force cosine top-k per probe. The probe set is tiny and
+    * broadcast; the big side streams through once. Row order inside each
+    * probe group is fixed by (cosine desc, vec_id) so top-k is deterministic.
+    */
+  def cosineTopK(emb: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", expr(normExpr()))
+    val probes = all.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val cand = all
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .crossJoin(broadcast(probes))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
+    cosineTopK(Tables.embeddings(spark, sfDir))
+
+  /** Per-label mean vectors — the IVF "codebook", trained in-engine. Each
+    * dimension's mean is an exact decimal sum / count, so centroids are
+    * bit-identical regardless of partitioning.
+    */
+  def centroids(emb: DataFrame): DataFrame =
+    asDoubles(emb)
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(expr("CAST(x AS DECIMAL(30,20))")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").as("cv"))
+
+  /** q26: IVF ANN — assign each probe to its nprobe nearest centroids
+    * (broadcast nested loop over nlist rows, trivially cheap), then search
+    * only vectors whose label is in that shortlist via an equi-join on
+    * label. Returns the same schema as the brute-force baseline so recall
+    * can be measured by diffing the two.
+    */
+  def ivfAnn(emb: DataFrame, nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", expr(normExpr()))
+    val probes = all.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val cents = centroids(emb).withColumn("cn", expr(normExpr("cv")))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val shortlist = probes
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("label"))
+    val cand = all.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(shortlist), Seq("label"))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame =
+    ivfAnn(Tables.embeddings(spark, sfDir))
+}

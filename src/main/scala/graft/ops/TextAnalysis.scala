@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the documents table: language ID, quality
+  * scoring, token statistics, fingerprint census.
+  *
+  * Everything is a single declarative plan per query — token explodes happen
+  * after projecting to the two columns the query needs, ratios are ratios of
+  * exact integer sums (one float divide at the very end, never a float sum),
+  * and predictions compare integers (stop*1000 >= thr*n_tok) so no boundary
+  * can flip under reordering.
+  */
+object TextAnalysis {
+
+  /** English function words — the documents corpus is synthetic English word
+    * soup, so the heuristic is en-vs-other; the per-language stopword tables
+    * a production lang-id would use slot into the same plan shape.
+    */
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** q27: stopword-ratio language heuristic vs the table's ground-truth
+    * label — outputs the confusion matrix with corpus-level ratios.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("lang"),
+        split(Dedup.normText(col("text")), " ").as("w"))
+      .select(col("lang"), size(col("w")).as("n_tok"),
+        size(expr(s"filter(w, t -> array_contains(array(${enStop.map("'" + _ + "'").mkString(",")}), t))"))
+          .as("n_stop"))
+      .withColumn("pred_lang",
+        when(col("n_stop") * 1000 >= col("n_tok") * 80, "en").otherwise("other"))
+    scored
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_tok")), 6).as("stop_ratio"))
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langId(Tables.documents(spark, sfDir))
+
+  /** q28: per-document quality features — length, word count, mean word
+    * length, non-alphanumeric ratio, stopword ratio, and a composite score.
+    * All features derive from integer counts of one tokenization pass.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopList = enStop.map("'" + _ + "'").mkString(",")
+    docs
+      .select(col("doc_id"), Dedup.normText(col("text")).as("t"))
+      .withColumn("w", split(col("t"), " "))
+      .select(
+        col("doc_id"),
+        length(col("t")).as("n_chars"),
+        size(col("w")).as("n_words"),
+        (length(col("t")) - length(regexp_replace(col("t"), "[^a-z0-9 ]", ""))).as("n_punct"),
+        expr(s"size(filter(w, t -> array_contains(array($stopList), t)))").as("n_stop"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_words"),
+        // mean word length: chars minus separators, over words. All four
+        // ratios use scale-0 rounding (round(x*1e4)/1e4) — ratios with
+        // power-of-two denominators (a 32-word doc) land exactly on ties,
+        // where round(x, 4) disagrees between engines but scale-0 agrees.
+        (round((col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words") * 10000) / 10000)
+          .as("avg_word_len"),
+        (round(col("n_punct").cast("double") / col("n_chars") * 10000) / 10000).as("punct_ratio"),
+        (round(col("n_stop").cast("double") / col("n_words") * 10000) / 10000).as("stop_ratio"),
+        (round((
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5
+            + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3
+            + least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0)) * 0.2
+          ) * 10000) / 10000).as("quality"))
+  }
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScore(Tables.documents(spark, sfDir))
+
+  /** q29: regex tokenization statistics per language — doc counts, total /
+    * average tokens, corpus-distinct token count, mean token length. The
+    * distinct-token count is the only explode, and it runs over (lang, tok)
+    * pairs already deduped by the aggregation's partial combine.
+    */
+  def tokenCount(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("w"))
+    val perDoc = toks.select(col("lang"), size(col("w")).as("n_tok"),
+      expr("aggregate(w, 0, (acc, t) -> acc + length(t))").as("n_tok_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        round(sum(col("n_tok_chars")).cast("double") / sum(col("n_tok")), 4).as("avg_token_len"))
+    val distinctToks = toks
+      .select(col("lang"), explode(col("w")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("tok")).as("n_distinct_tokens"))
+    perDoc.join(distinctToks, "lang")
+  }
+
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    tokenCount(Tables.documents(spark, sfDir))
+
+  /** q30: document fingerprint census — md5 over the sorted distinct word
+    * set (an order/multiplicity-insensitive content signature), reporting
+    * every fingerprint shared by more than one document. The groupBy is on
+    * the 32-char hex string, not the document text, so the shuffle carries
+    * fixed-width keys no matter how large documents get.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          split(Dedup.normText(col("text")), " "))), " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .where(col("n_docs") >= 2)
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprint(Tables.documents(spark, sfDir))
+}
