@@ -318,10 +318,10 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |ix AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
         |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
-        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(30,20))) AS DOUBLE)) nrm
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
         |      FROM xx GROUP BY 1),
         |p AS (SELECT a.label, a.vec_id vec_a, b.vec_id vec_b,
-        |        CAST(sum(CAST(a.v*b.v AS DECIMAL(30,20))) AS DOUBLE) dot
+        |        CAST(sum(CAST(a.v*b.v AS DECIMAL(18,16))) AS DOUBLE) dot
         |      FROM xx a JOIN xx b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
         |      GROUP BY 1,2,3)
         |SELECT p.label, vec_a, vec_b, round(dot/(na.nrm*nb.nrm), 6) cosine
@@ -332,10 +332,10 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
         |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
-        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(30,20))) AS DOUBLE)) nrm
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
         |      FROM xx GROUP BY 1),
         |d AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
-        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(30,20))) AS DOUBLE) dot
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
         |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
         |      GROUP BY 1,2),
         |sc AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
@@ -349,14 +349,14 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |ix AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
         |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
-        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(30,20))) AS DOUBLE)) nrm
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
         |      FROM xx GROUP BY 1),
         |cent AS (SELECT label, i, CAST(sum(CAST(v AS DECIMAL(30,20))) AS DOUBLE)/count(*) c
         |         FROM xx GROUP BY 1,2),
-        |cn AS (SELECT label, sqrt(CAST(sum(CAST(c*c AS DECIMAL(30,20))) AS DOUBLE)) cnrm
+        |cn AS (SELECT label, sqrt(CAST(sum(CAST(c*c AS DECIMAL(18,16))) AS DOUBLE)) cnrm
         |       FROM cent GROUP BY 1),
         |pd AS (SELECT p.vec_id probe_id, cent.label,
-        |         CAST(sum(CAST(p.v*cent.c AS DECIMAL(30,20))) AS DOUBLE) dot
+        |         CAST(sum(CAST(p.v*cent.c AS DECIMAL(18,16))) AS DOUBLE) dot
         |       FROM xx p JOIN cent ON p.i = cent.i WHERE p.vec_id < 10 GROUP BY 1,2),
         |ps AS (SELECT probe_id, pd.label, dot/(np.nrm*cn.cnrm) ccos
         |       FROM pd JOIN n np ON probe_id = np.vec_id JOIN cn ON pd.label = cn.label),
@@ -365,7 +365,7 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, label) crk
         |    FROM ps) WHERE crk <= 2),
         |d AS (SELECT s.probe_id, c.vec_id neighbor_id,
-        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(30,20))) AS DOUBLE) dot
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
         |      FROM short s JOIN xx c ON c.label = s.label
         |        JOIN xx p ON p.vec_id = s.probe_id AND p.i = c.i
         |      WHERE c.vec_id <> s.probe_id GROUP BY 1,2),

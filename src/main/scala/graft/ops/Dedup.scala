@@ -130,30 +130,42 @@ object Dedup {
 
   /** q23: 60-bit SimHash per document. Every token votes its md5's bits
     * (+1/-1, frequency-weighted); a bit of the final signature is 1 iff its
-    * vote sum is positive. Two cheap shuffles — (doc, bit) vote sums, then a
-    * per-doc fold into one bigint — both with map-side partial aggregation.
+    * vote sum is positive.
+    *
+    * Shaped for throughput: token instances collapse to (doc, token, count)
+    * first (natural-language vocabularies are Zipfian, so this shrinks the
+    * explode input a lot and hashes each distinct token once per doc), then
+    * the explode is 15 hex digits — not 60 bits — with the digit's 4 bit
+    * votes as four parallel count-weighted sums. Both groupBys get map-side
+    * partial combine; the second shuffle carries 15 rows per document.
     */
-  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
-    val tokens = docs
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokCounts = docs
       .select(col("doc_id"),
         explode(split(normText(col("text")), " ")).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"))
-    // bit j lives in hex digit j/4 of the md5, at weight 2^(j%4)
-    val votes = tokens
-      .select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${bits - 1}), j -> struct(j AS j,
-             | CAST(floor((instr('0123456789abcdef', substr(h, CAST(j div 4 AS int) + 1, 1)) - 1)
-             |   / power(2, j % 4)) AS bigint) % 2 AS bit))""".stripMargin
-        )).as("v"))
-      .select(col("doc_id"), col("v.j").as("j"),
-        (col("v.bit") * 2 - 1).as("vote"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("s"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), md5(col("tok")).as("h"), col("c"))
+    val digits = tokCounts.select(
+      col("doc_id"), col("c"),
+      posexplode(expr(
+        "transform(sequence(0, 14), p -> instr('0123456789abcdef', substr(h, p + 1, 1)) - 1)"
+      )).as(Seq("dpos", "dv")))
+    val votes = digits
+      .groupBy(col("doc_id"), col("dpos"))
+      .agg(
+        sum(col("c") * (expr("dv % 2") * 2 - 1)).as("v0"),
+        sum(col("c") * (expr("(dv div 2) % 2") * 2 - 1)).as("v1"),
+        sum(col("c") * (expr("(dv div 4) % 2") * 2 - 1)).as("v2"),
+        sum(col("c") * (expr("(dv div 8) % 2") * 2 - 1)).as("v3"))
     votes
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS bigint), j)")).otherwise(0L)).as("simhash"))
+      .agg(sum(
+        when(col("v0") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4)")).otherwise(0L)
+          + when(col("v1") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4 + 1)")).otherwise(0L)
+          + when(col("v2") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4 + 2)")).otherwise(0L)
+          + when(col("v3") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4 + 3)")).otherwise(0L)
+      ).as("simhash"))
   }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -161,7 +173,7 @@ object Dedup {
 
   /** q24: embedding-cosine near-dup pairs, blocked by the cluster label so
     * the pair join is an equi-join on label (IVF-style blocking), never a
-    * cross join. Dot products and norms accumulate in DECIMAL(30,20) so the
+    * cross join. Dot products and norms accumulate in DECIMAL(18,16) so the
     * sums are exact and order-independent — a plain double sum varies with
     * partial-aggregation order and can flip a rounded digit.
     */
@@ -172,8 +184,8 @@ object Dedup {
     val withNorm = e.withColumn(
       "nrm",
       sqrt(expr(
-        """CAST(aggregate(v, CAST(0 AS DECIMAL(30,20)),
-          | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(30,20)) AS DECIMAL(30,20))) AS double)""".stripMargin)))
+        """CAST(aggregate(v, CAST(0 AS DECIMAL(18,16)),
+          | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(18,16)) AS DECIMAL(18,16))) AS double)""".stripMargin)))
     val a = withNorm.toDF("vec_a", "label", "va", "na")
     val b = withNorm.toDF("vec_b", "label", "vb", "nb")
     a.join(b, Seq("label"))
@@ -181,9 +193,9 @@ object Dedup {
       .withColumn(
         "dot",
         expr(
-          """CAST(aggregate(zip_with(va, vb, (x, y) -> CAST(x * y AS DECIMAL(30,20))),
-            | CAST(0 AS DECIMAL(30,20)),
-            | (acc, x) -> CAST(acc + x AS DECIMAL(30,20))) AS double)""".stripMargin))
+          """CAST(aggregate(zip_with(va, vb, (x, y) -> CAST(x * y AS DECIMAL(18,16))),
+            | CAST(0 AS DECIMAL(18,16)),
+            | (acc, x) -> CAST(acc + x AS DECIMAL(18,16))) AS double)""".stripMargin))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .where(col("cosine") >= minCosine)
       .select(col("label"), col("vec_a"), col("vec_b"),

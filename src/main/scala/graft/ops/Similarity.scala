@@ -16,7 +16,7 @@ import graft.Tables
   *     the vector table can be partitioned/bucketed by label and the search
   *     touches nprobe/nlist of the data instead of all of it.
   *
-  * All dot products / norms accumulate in DECIMAL(30,20) (exact, order-free)
+  * All dot products / norms accumulate in DECIMAL(18,16) (exact, order-free)
   * and only become doubles for the final divide, so scores are deterministic
   * and identical to the DuckDB oracle's decimal sums.
   */
@@ -28,15 +28,15 @@ object Similarity {
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
 
   private def normExpr(arr: String = "v"): String =
-    s"""sqrt(CAST(aggregate($arr, CAST(0 AS DECIMAL(30,20)),
-       | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(30,20)) AS DECIMAL(30,20))) AS double))""".stripMargin
+    s"""sqrt(CAST(aggregate($arr, CAST(0 AS DECIMAL(18,16)),
+       | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(18,16)) AS DECIMAL(18,16))) AS double))""".stripMargin
 
   /** exact decimal dot of two double arrays named `a` and `b`. */
   private def dotExpr(a: String, b: String): Column =
     expr(
-      s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(30,20))),
-         | CAST(0 AS DECIMAL(30,20)),
-         | (acc, x) -> CAST(acc + x AS DECIMAL(30,20))) AS double)""".stripMargin)
+      s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(18,16))),
+         | CAST(0 AS DECIMAL(18,16)),
+         | (acc, x) -> CAST(acc + x AS DECIMAL(18,16))) AS double)""".stripMargin)
 
   /** q25: brute-force cosine top-k per probe. The probe set is tiny and
     * broadcast; the big side streams through once. Row order inside each

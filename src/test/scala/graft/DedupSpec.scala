@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "s0"), // exact dup of 0
+    (2L, "The  quick brown fox jumps over the lazy dog", "s1"), // dup after normalization
+    (3L, "completely different text about spark engines here", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDedup keeps first doc_id per normalized hash") {
+    val rows = Dedup.exactDedup(docs).orderBy("source")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows === Seq(("s0", 2L, 1L, 1L), ("s1", 2L, 1L, 1L)))
+  }
+
+  test("ngramJaccard flags identical shingle sets with jaccard 1.0") {
+    val rows = Dedup.ngramJaccard(docs).orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)) === Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(rows.forall(_._3 === 1.0))
+  }
+
+  test("minhashLsh collides all bands for identical documents") {
+    val rows = Dedup.minhashLsh(docs).orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect()
+    assert(rows === Seq((0L, 1L, 3L), (0L, 2L, 3L), (1L, 2L, 3L)))
+  }
+
+  test("simhash is equal for identical texts and differs across texts") {
+    val m = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(m(0L) === m(1L))
+    assert(m(0L) === m(2L)) // same normalized token multiset
+    assert(m(0L) !== m(3L))
+    assert(m.values.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
+  test("embedNearDup keeps only same-label pairs above the cosine floor") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0.01f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(1f, 0f), 1) // same direction as 0 but different label: blocked
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Dedup.embedNearDup(emb)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(rows.toSeq === Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes; probe ids are < 10 by convention
+  private def emb = Seq(
+    (0L, Array(1f, 0f), 0),
+    (1L, Array(0.99f, 0.01f), 0),
+    (2L, Array(0.98f, 0.02f), 0),
+    (10L, Array(0f, 1f), 1),
+    (11L, Array(0.01f, 0.99f), 1),
+    (12L, Array(0.02f, 0.98f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks same-cluster vectors first") {
+    val rows = Similarity.cosineTopK(emb, nProbes = 1, k = 2)
+      .select("probe_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect()
+    assert(rows.toSeq === Seq((0L, 1, 1L), (0L, 2, 2L)))
+  }
+
+  test("ivfAnn with nprobe=1 searches only the nearest cluster") {
+    val rows = Similarity.ivfAnn(emb, nProbes = 1, k = 5, nprobe = 1)
+      .select("neighbor_id").as[Long].collect()
+    // probe 0 is in cluster 0 → only vectors 1, 2 are candidates
+    assert(rows.sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("ivfAnn agrees with brute force when every cluster is probed") {
+    val bf = Similarity.cosineTopK(emb, nProbes = 1, k = 3).collect().toSeq
+    val ivf = Similarity.ivfAnn(emb, nProbes = 1, k = 3, nprobe = 2).collect().toSeq
+    assert(ivf === bf)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Batch–streaming parity: the SAME windowedAgg plan, driven incrementally
+  * through a MemoryStream across multiple micro-batches, must produce the
+  * batch answer (Structured Streaming's contract for windowed aggregations).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+    (Timestamp.valueOf("2024-01-01 00:04:00"), "click", 2.0),
+    (Timestamp.valueOf("2024-01-01 00:07:00"), "view", 10.0),
+    (Timestamp.valueOf("2024-01-01 00:11:00"), "click", 3.0),
+    (Timestamp.valueOf("2024-01-01 00:14:00"), "view", 20.0)
+  )
+
+  test("windowedAgg over a MemoryStream equals the batch plan") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamed = EventStream.windowedAggStream(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = streamed.writeStream
+      .format("memory").queryName("win_parity").outputMode("complete").start()
+    try {
+      mem.addData(events.take(3))
+      q.processAllAvailable()
+      mem.addData(events.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("win_parity")
+        .orderBy("win_start", "event_type")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      val want = EventStream.windowedAgg(
+        events.toDF("ts", "event_type", "value"))
+        .orderBy("win_start", "event_type")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(got === want)
+      assert(want.map(_._3).sum === events.size)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId predicts en for stopword-dense docs") {
+    val docs = Seq(
+      (0L, "the cat is in the hat and it is the best of hats", "en", "s0"),
+      (1L, "zebra xylophone quartz jigsaw plasma", "de", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val m = TextAnalysis.langId(docs)
+      .select("lang", "pred_lang").as[(String, String)].collect().toMap
+    assert(m("en") === "en")
+    assert(m("de") === "other")
+  }
+
+  test("qualityScore computes exact token-derived features") {
+    val docs = Seq((0L, "the cat sat", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.qualityScore(docs)
+      .select("n_chars", "n_words", "avg_word_len", "punct_ratio", "stop_ratio")
+      .as[(Int, Int, Double, Double, Double)].head()
+    assert(r === ((11, 3, 3.0, 0.0, 0.3333)))
+  }
+
+  test("tokenCount aggregates per language") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s0"),
+      (1L, "alpha beta", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.tokenCount(docs)
+      .select("n_docs", "total_tokens", "n_distinct_tokens")
+      .as[(Long, Long, Long)].head()
+    assert(r === ((2L, 5L, 3L)))
+  }
+
+  test("fingerprint groups word-set permutations together") {
+    val docs = Seq(
+      (0L, "a b c", "en", "s0"),
+      (1L, "c b a", "en", "s0"),
+      (2L, "b a c b", "en", "s0"), // same distinct word set
+      (3L, "x y z", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.fingerprint(docs)
+      .select("n_docs", "first_doc", "last_doc").as[(Long, Long, Long)].collect()
+    assert(r.toSeq === Seq((3L, 0L, 2L)))
+  }
+}
