@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: exact-decimal dot product of two double
+  * arrays.
+  *
+  * Semantics are identical to
+  * {{{ CAST(aggregate(zip_with(a, b, (x,y) -> CAST(x*y AS DECIMAL(18,16))),
+  *      CAST(0 AS DECIMAL(18,16)), (acc,x) -> CAST(acc+x AS DECIMAL(18,16))) AS double) }}}
+  * — each product rounds HALF_UP at scale 16, the sum is exact integer
+  * arithmetic (so order-independent and bit-identical to the DuckDB oracle's
+  * `sum(CAST(x*y AS DECIMAL(18,16)))`), and only the final value becomes a
+  * double. But where the higher-order-function pipeline is interpreted
+  * per-lambda-call with boxed Decimals, this compiles to a single static
+  * call inside whole-stage codegen with one long accumulator.
+  *
+  * Registered as SQL function `decimal_dot` by [[graft.GraftExtensions]]
+  * (SparkSessionExtensions.injectFunction).
+  *
+  * Bounds: each |product| must be < 1 (scaled to < 1e16) and the dimension
+  * small enough that the scaled sum stays under Long.MaxValue (~9.2e18) —
+  * holds for unit-scale embeddings up to ~900 dims.
+  */
+case class DecimalDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "decimal_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"decimal_dot requires (array<double>, array<double>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DecimalDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecimalDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecimalDot {
+  /** Called from generated code — keep it a static-reachable object method. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val p = a.getDouble(i) * b.getDouble(i)
+      if (p != 0.0) {
+        acc += new java.math.BigDecimal(p)
+          .setScale(16, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValue()
+      }
+      i += 1
+    }
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(acc), 16).doubleValue()
+  }
+
+  /** Column-API entry point — resolves through the session's function
+    * registry, so the session must carry [[graft.GraftExtensions]].
+    */
+  def apply(a: Column, b: Column): Column = call_function("decimal_dot", a, b)
+}

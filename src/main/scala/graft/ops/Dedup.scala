@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.DecimalDot
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -181,21 +182,12 @@ object Dedup {
     val e = emb.select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-    val withNorm = e.withColumn(
-      "nrm",
-      sqrt(expr(
-        """CAST(aggregate(v, CAST(0 AS DECIMAL(18,16)),
-          | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(18,16)) AS DECIMAL(18,16))) AS double)""".stripMargin)))
+    val withNorm = e.withColumn("nrm", sqrt(DecimalDot(col("v"), col("v"))))
     val a = withNorm.toDF("vec_a", "label", "va", "na")
     val b = withNorm.toDF("vec_b", "label", "vb", "nb")
     a.join(b, Seq("label"))
       .where(col("vec_a") < col("vec_b"))
-      .withColumn(
-        "dot",
-        expr(
-          """CAST(aggregate(zip_with(va, vb, (x, y) -> CAST(x * y AS DECIMAL(18,16))),
-            | CAST(0 AS DECIMAL(18,16)),
-            | (acc, x) -> CAST(acc + x AS DECIMAL(18,16))) AS double)""".stripMargin))
+      .withColumn("dot", DecimalDot(col("va"), col("vb")))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .where(col("cosine") >= minCosine)
       .select(col("label"), col("vec_a"), col("vec_b"),

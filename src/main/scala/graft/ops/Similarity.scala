@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.DecimalDot
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -27,23 +28,21 @@ object Similarity {
     emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
 
-  private def normExpr(arr: String = "v"): String =
-    s"""sqrt(CAST(aggregate($arr, CAST(0 AS DECIMAL(18,16)),
-       | (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(18,16)) AS DECIMAL(18,16))) AS double))""".stripMargin
+  /** Exact-decimal ‖x‖ via the native decimal_dot expression. */
+  private def normCol(arr: String): Column = sqrt(DecimalDot(col(arr), col(arr)))
 
-  /** exact decimal dot of two double arrays named `a` and `b`. */
-  private def dotExpr(a: String, b: String): Column =
-    expr(
-      s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(18,16))),
-         | CAST(0 AS DECIMAL(18,16)),
-         | (acc, x) -> CAST(acc + x AS DECIMAL(18,16))) AS double)""".stripMargin)
+  /** Exact-decimal dot via the native codegen'd expression (see
+    * [[graft.functions.DecimalDot]]) — same value as the decimal-aggregate
+    * lambda, ~5× the throughput.
+    */
+  private def dotExpr(a: String, b: String): Column = DecimalDot(col(a), col(b))
 
   /** q25: brute-force cosine top-k per probe. The probe set is tiny and
     * broadcast; the big side streams through once. Row order inside each
     * probe group is fixed by (cosine desc, vec_id) so top-k is deterministic.
     */
   def cosineTopK(emb: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val all = asDoubles(emb).withColumn("nrm", expr(normExpr()))
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
     val probes = all.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val cand = all
@@ -82,10 +81,10 @@ object Similarity {
     * can be measured by diffing the two.
     */
   def ivfAnn(emb: DataFrame, nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val all = asDoubles(emb).withColumn("nrm", expr(normExpr()))
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
     val probes = all.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-    val cents = centroids(emb).withColumn("cn", expr(normExpr("cv")))
+    val cents = centroids(emb).withColumn("cn", normCol("cv"))
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("ccos").desc, col("label"))
     val shortlist = probes
