@@ -32,6 +32,22 @@ object Tables {
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  /** Spread an under-partitioned scan across the cluster. A small parquet
+    * file arrives as one split, which would serialize every downstream
+    * explode / broadcast-join probe onto one core; at real scale the scan
+    * already yields thousands of splits and this is a no-op (no shuffle is
+    * added). The check costs only plan construction — no job runs.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2)) df.repartition(target) else df
+  }
+
+  /** documents/embeddings feed explode- and probe-heavy operators, so they
+    * get the spread treatment up front.
+    */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spread(spark, load(spark, sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spread(spark, load(spark, sfDir, "embeddings"))
 }
