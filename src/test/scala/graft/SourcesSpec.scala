@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{ComponentSource, Predictions}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("component tree ingest: schema inference + long-format read") {
+    val root = Files.createTempDirectory("graft-compsrc")
+    for (comp <- Seq("pump", "motor")) {
+      val dir = root.resolve(comp)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("part-0.csv"),
+        """Timestamp,s1,s2
+          |2024-01-01 00:00:00,1.5,2.5
+          |2024-01-01 00:01:00,3.0,4.0
+          |""".stripMargin)
+    }
+    val specs = ComponentSource.inferSchema(spark, root.toString)
+    assert(specs.map(_.name) === Seq("motor", "pump"))
+    assert(specs.head.columns.map(c => (c.name, c.dtype)) ===
+      Seq(("Timestamp", "DATETIME"), ("s1", "DOUBLE"), ("s2", "DOUBLE")))
+
+    val long = ComponentSource.readLong(spark, root.toString)
+    assert(long.columns.toSeq === Seq("component", "sensor", "ts", "value"))
+    assert(long.count() === 8) // 2 components x 2 rows x 2 sensors
+    val pumpS1 = long.where($"component" === "pump" && $"sensor" === "s1")
+      .select("value").as[Double].collect().sorted
+    assert(pumpS1.toSeq === Seq(1.5, 3.0))
+  }
+
+  test("JSONL predictions: schema'd read + diagnostics expansion") {
+    val f = Files.createTempFile("graft-preds", ".jsonl")
+    Files.writeString(f,
+      """{"timestamp":"2024-01-01T00:05:00.000Z","prediction":1,"diagnostics":[{"name":"pump\\s1","value":0.7},{"name":"pump\\s2","value":0.3}]}
+        |{"timestamp":"2024-01-01T00:00:00.000Z","prediction":0,"diagnostics":[{"name":"pump\\s1","value":0.1},{"name":"pump\\s2","value":0.9}]}
+        |""".stripMargin)
+    val preds = Predictions.readJsonl(spark, f.toString)
+    val long = Predictions.diagnosticsLong(preds)
+    assert(long.count() === 4)
+    val wide = Predictions.diagnosticsWide(preds)
+    assert(wide.columns.toSeq === Seq("ts", "prediction", "pump\\s1", "pump\\s2"))
+    val rows = wide.collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1)) // sorted by ts
+    assert(rows(1).getDouble(2) === 0.7)
+  }
+}
