@@ -1,0 +1,222 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-shaped user API over the canonical long format
+  * (component, sensor, ts, value) that [[graft.sources.ComponentSource]]
+  * produces. Parameter vocabulary follows the reference SDK so a user can
+  * switch call-for-call:
+  *
+  *   - sampling rates are ISO-8601 durations ("PT5M", "PT1H", ...) —
+  *     reference model.py:151-164 (set_target_sampling_rate)
+  *   - off-conditions are predicate strings like "sensor_17 < 1000.0" —
+  *     reference model.py:194-208 (set_off_condition)
+  *   - train/eval splits are four timestamps — model.py:166-192
+  *     (set_time_periods)
+  *   - inference extraction takes (num_sequences, frequency minutes,
+  *     start) — dataset.py:242-336 (prepare_inference_data)
+  *   - evaluation flags are 0 normal / 1 predicted / 2 known —
+  *     evaluation.py:189-226 (_get_time_ranges)
+  *   - ranking is shared-bin histogram Wasserstein —
+  *     evaluation.py:228-313 (compute_histograms) + 557-572
+  *     (get_ranked_list)
+  *
+  * Every method returns a lazy DataFrame plan; nothing collects. The series
+  * key (component, sensor) is the partitioning key throughout, so each
+  * operator shuffles at most once on it regardless of data volume.
+  */
+object Equipment {
+
+  private val seriesKey: Seq[Column] = Seq(col("component"), col("sensor"))
+
+  /** "PT5M" → 300. Accepts any ISO-8601 duration. */
+  def samplingRateSeconds(rate: String): Long =
+    java.time.Duration.parse(rate).getSeconds
+
+  /** Resample each series to the target rate: mean/min/max/count per bucket
+    * (the TargetSamplingRate pre-processing step).
+    */
+  def resample(long: DataFrame, samplingRate: String): DataFrame = {
+    val w = samplingRateSeconds(samplingRate)
+    long.groupBy(seriesKey :+
+        (floor(unix_timestamp(col("ts")) / w) * w).cast("long").as("bucket_start"): _*)
+      .agg(
+        avg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Parse an off-condition string ("tag < 1000", "tag > 0.5") into
+    * (sensor name, predicate-on-value). The reference passes these verbatim
+    * to the service; here they compile to a Column predicate.
+    */
+  private[api] def parseCondition(cond: String): (String, Column) = {
+    val m = """^\s*(\S+)\s*([<>])\s*([-0-9.eE]+)\s*$""".r
+    cond match {
+      case m(tag, "<", v) => (tag, col("value") < v.toDouble)
+      case m(tag, ">", v) => (tag, col("value") > v.toDouble)
+      case _ => throw new IllegalArgumentException(
+        s"off-condition must look like 'tag < 123' or 'tag > 123', got: $cond")
+    }
+  }
+
+  /** Drop all rows at timestamps where the machine is off. The off-tag's
+    * readings define machine state at each timestamp; every series joins to
+    * that state on (component, ts). The state side is one sensor's stream —
+    * orders of magnitude smaller than the data side at real sensor counts.
+    */
+  def applyOffCondition(long: DataFrame, offCondition: String): DataFrame = {
+    val (tag, offPred) = parseCondition(offCondition)
+    val state = long
+      .filter(col("sensor") === tag)
+      .select(col("component").as("c2"), col("ts").as("t2"),
+        offPred.as("is_off"))
+    long
+      .join(state,
+        col("component") === col("c2") && col("ts") === col("t2"), "left_outer")
+      .filter(!coalesce(col("is_off"), lit(false)))
+      .select(col("component"), col("sensor"), col("ts"), col("value"))
+  }
+
+  /** Train/evaluation time periods (both ends inclusive, like the service). */
+  case class TimePeriods(
+      trainingStart: Timestamp, trainingEnd: Timestamp,
+      evaluationStart: Timestamp, evaluationEnd: Timestamp)
+
+  /** Tag each row train / evaluation / excluded per the configured periods. */
+  def timeSplit(long: DataFrame, periods: TimePeriods): DataFrame =
+    long.withColumn("phase",
+      when(col("ts").between(periods.trainingStart, periods.trainingEnd), "train")
+        .when(col("ts").between(periods.evaluationStart, periods.evaluationEnd), "eval")
+        .otherwise("excluded"))
+
+  /** Extract `numSequences` back-to-back windows of `frequencyMin` minutes
+    * starting at `start`, re-indexed onto a relative per-window time base —
+    * the scheduler-input extraction of prepare_inference_data, minus the
+    * CSV/S3 plumbing (write the result with any Spark sink).
+    */
+  def prepareInferenceData(long: DataFrame, start: Timestamp,
+                           numSequences: Int = 3, frequencyMin: Int = 5): DataFrame = {
+    val freqSec = frequencyMin * 60L
+    val startE = start.getTime / 1000
+    long
+      .withColumn("e", unix_timestamp(col("ts")))
+      .filter(col("e") >= startE && col("e") < startE + numSequences * freqSec)
+      .withColumn("seq", floor((col("e") - startE) / freqSec).cast("int"))
+      .withColumn("rel_ts", col("e") - startE - col("seq") * freqSec)
+      .select(col("seq"), col("component"), col("sensor"), col("rel_ts"), col("value"))
+  }
+
+  /** Per-point anomaly flags: 0 normal, 1 inside a predicted range, 2 inside
+    * a known (labelled) range — known wins, matching the reference's
+    * evaluation overlay. Ranges are (range_start, range_end) epoch seconds
+    * and are broadcast (they are human-scale small).
+    */
+  def rangesToFlags(points: DataFrame, predicted: DataFrame, known: DataFrame): DataFrame = {
+    val pts = points.withColumn("e", unix_timestamp(col("ts")))
+    val pr = predicted.select(col("range_start").as("ps"), col("range_end").as("pe"))
+    val kn = known.select(col("range_start").as("ks"), col("range_end").as("ke"))
+    pts
+      .join(broadcast(pr), col("e").between(col("ps"), col("pe")), "left_outer")
+      .groupBy(col("component"), col("sensor"), col("e"), col("value"))
+      .agg(max(when(col("ps").isNotNull, 1).otherwise(0)).as("f_pred"))
+      .join(broadcast(kn), col("e").between(col("ks"), col("ke")), "left_outer")
+      .groupBy(col("component"), col("sensor"), col("e"), col("value"), col("f_pred"))
+      .agg(max(when(col("ks").isNotNull, 2).otherwise(0)).as("f_known"))
+      .select(col("component"), col("sensor"), col("e").as("ts_epoch"), col("value"),
+        greatest(col("f_pred"), col("f_known")).as("flag"))
+  }
+
+  /** Contiguous anomaly ranges from flagged points (gaps-and-islands):
+    * consecutive flagged points closer than `gapSec` merge; ranges with
+    * fewer than `minEvents` points drop. Inverse of [[rangesToFlags]].
+    */
+  def pointsToRanges(flagged: DataFrame, gapSec: Long, minEvents: Long = 1L): DataFrame = {
+    val pts = flagged.filter(col("flag") > 0)
+      .select(col("component"), col("ts_epoch").as("e")).distinct()
+    val byComp = Window.partitionBy(col("component")).orderBy(col("e"))
+    pts
+      .withColumn("prev_e", lag(col("e"), 1).over(byComp))
+      .withColumn("brk",
+        when(col("prev_e").isNull || col("e") - col("prev_e") > gapSec, 1).otherwise(0))
+      .withColumn("session", sum(col("brk")).over(byComp.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("component"), col("session"))
+      .agg(min(col("e")).as("range_start"), max(col("e")).as("range_end"),
+        count(lit(1)).as("n_points"))
+      .filter(col("n_points") >= minEvents)
+      .drop("session")
+  }
+
+  /** Rank sensors by normal-vs-anomalous distribution shift: shared-bin
+    * density histograms per sensor (bins from the sensor's global envelope),
+    * Wasserstein distance between the two 1-D densities (= mean |sorted u −
+    * sorted v| for equal-length vectors), descending rank. `anomalies` is a
+    * (range_start, range_end) epoch-second frame, broadcast to phase-tag the
+    * points. Two aggregate passes + bin-sized joins — no per-sensor loop.
+    */
+  def rankSensors(long: DataFrame, anomalies: DataFrame, numBins: Int = 20): DataFrame = {
+    val pts = long
+      .select(col("component"), col("sensor"), unix_timestamp(col("ts")).as("e"), col("value"))
+    val phased = pts
+      .join(broadcast(anomalies),
+        col("e") >= col("range_start") && col("e") <= col("range_end"), "left_outer")
+      .groupBy(col("component"), col("sensor"), col("e"), col("value"))
+      .agg(max(when(col("range_start").isNotNull, 1).otherwise(0)).as("an"))
+      .withColumn("phase", when(col("an") === 1, "v").otherwise("u"))
+    val stats = pts.groupBy(col("component"), col("sensor"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .withColumn("width", (col("vmax") - col("vmin")) / numBins)
+    val counts = phased
+      .join(broadcast(stats), Seq("component", "sensor"))
+      // constant sensors have a zero-width envelope: every point lands in
+      // bin 0 (identical u/v densities → score 0) instead of NaN bins
+      .withColumn("bin",
+        when(col("width") === 0, lit(0L)).otherwise(
+          least(floor((col("value") - col("vmin")) / col("width")).cast("long"), lit(numBins - 1L))))
+      .groupBy(col("component"), col("sensor"), col("phase"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("component"), col("sensor"), col("phase"))
+      .agg(sum(col("c")).as("total"))
+    val grid = stats
+      .select(col("component"), col("sensor"),
+        explode(sequence(lit(0L), lit(numBins - 1L))).as("bin"))
+      .crossJoin(broadcast(
+        long.sparkSession.range(1).select(explode(array(lit("u"), lit("v"))).as("phase"))))
+    val dens = grid
+      .join(counts, Seq("component", "sensor", "phase", "bin"), "left_outer")
+      .join(totals, Seq("component", "sensor", "phase"), "left_outer")
+      .select(col("component"), col("sensor"), col("phase"), col("bin"),
+        coalesce(col("c").cast("double") / col("total"), lit(0.0)).as("d"))
+    val sortW = Window.partitionBy(col("component"), col("sensor"), col("phase"))
+      .orderBy(col("d"), col("bin"))
+    val ranked = dens.withColumn("pos", row_number().over(sortW))
+    val u = ranked.filter(col("phase") === "u")
+      .select(col("component"), col("sensor"), col("pos"), col("d").as("du"))
+    val v = ranked.filter(col("phase") === "v")
+      .select(col("component"), col("sensor"), col("pos"), col("d").as("dv"))
+    u.join(v, Seq("component", "sensor", "pos"))
+      .groupBy(col("component"), col("sensor"))
+      .agg(avg(abs(col("du") - col("dv"))).as("score"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("component"), col("sensor"))))
+  }
+
+  /** Top-N of [[rankSensors]] — reference get_ranked_list. */
+  def getRankedList(ranked: DataFrame, topN: Int): DataFrame =
+    ranked.filter(col("rank") <= topN).orderBy(col("rank"))
+
+  /** Scheduler time-bucket arithmetic (scheduler.py:139-170): for a wakeup
+    * at `now` with `frequencyMin`-minute scheduling, the inference input
+    * window is the latest fully-elapsed bucket.
+    */
+  def nextTimeRange(now: Timestamp, frequencyMin: Int): (Timestamp, Timestamp) = {
+    val freqMs = frequencyMin * 60000L
+    val bucketStart = now.getTime / freqMs * freqMs
+    (new Timestamp(bucketStart - freqMs), new Timestamp(bucketStart))
+  }
+}
