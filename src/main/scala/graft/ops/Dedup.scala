@@ -104,20 +104,25 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
     val sh = shingles(docs)
+    // one min-aggregate per salt — the whole signature materializes in a
+    // single shuffle on doc_id with map-side partial combine, instead of a
+    // k×-exploded (doc, salt) row stream
     val minhashes = sh
-      .select(
-        col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${k - 1}), i -> md5(concat(cast(i AS string), ':', sh)))"
-        )).as(Seq("salt", "h")))
-      .groupBy(col("doc_id"), col("salt"))
-      .agg(min(col("h")).as("m"))
-    val bandSigs = minhashes
-      .withColumn("band", floor(col("salt") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(expr(
-        "array_join(transform(array_sort(collect_list(struct(salt, m))), x -> x.m), '|')"
-      )).as("sig"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0"), lit(":"), col("sh")))).as("m0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"m$i")): _*)
+    // band signature = md5 of its rowsPerBand minhashes in salt order
+    val bandSigs = minhashes.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat_ws("|",
+            (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bandSigs.toDF("doc_a", "band", "sig")
     val b = bandSigs.toDF("doc_b", "band", "sig")
     a.join(b, Seq("band", "sig"))
@@ -135,10 +140,11 @@ object Dedup {
     *
     * Shaped for throughput: token instances collapse to (doc, token, count)
     * first (natural-language vocabularies are Zipfian, so this shrinks the
-    * explode input a lot and hashes each distinct token once per doc), then
-    * the explode is 15 hex digits — not 60 bits — with the digit's 4 bit
-    * votes as four parallel count-weighted sums. Both groupBys get map-side
-    * partial combine; the second shuffle carries 15 rows per document.
+    * hash input a lot and hashes each distinct token once per doc), then all
+    * 60 count-weighted bit-vote sums are aggregate COLUMNS of one shuffle on
+    * doc_id — no bit/digit row explosion at all, and map-side partial
+    * combine reduces each partition to one 60-vote row per document before
+    * anything moves.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tokCounts = docs
@@ -147,26 +153,26 @@ object Dedup {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), md5(col("tok")).as("h"), col("c"))
-    val digits = tokCounts.select(
-      col("doc_id"), col("c"),
-      posexplode(expr(
-        "transform(sequence(0, 14), p -> instr('0123456789abcdef', substr(h, p + 1, 1)) - 1)"
-      )).as(Seq("dpos", "dv")))
-    val votes = digits
-      .groupBy(col("doc_id"), col("dpos"))
-      .agg(
-        sum(col("c") * (expr("dv % 2") * 2 - 1)).as("v0"),
-        sum(col("c") * (expr("(dv div 2) % 2") * 2 - 1)).as("v1"),
-        sum(col("c") * (expr("(dv div 4) % 2") * 2 - 1)).as("v2"),
-        sum(col("c") * (expr("(dv div 8) % 2") * 2 - 1)).as("v3"))
-    votes
+      // hoist the 15 hex-digit parses into one projection so each of the 60
+      // vote sums below is pure integer arithmetic on an already-parsed digit
+      .select(col("doc_id") +: col("c") +: (0 until 15).map(p =>
+        expr(s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1").as(s"d$p")): _*)
+    // vote sum for bit j: hex digit j/4 of the token md5, weight 2^(j%4);
+    // integral div of a non-negative int == the oracle's floor(x / power(2,s))
+    def voteSum(j: Int): Column =
+      sum(col("c") * (expr(s"(d${j / 4} div ${1 << (j % 4)}) % 2") * 2 - 1))
+    // all 60 bit-vote sums as aggregate columns of ONE shuffle on doc_id
+    // (map-side combined); the signature then folds with no further exchange
+    val votes = tokCounts
       .groupBy(col("doc_id"))
-      .agg(sum(
-        when(col("v0") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4)")).otherwise(0L)
-          + when(col("v1") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4 + 1)")).otherwise(0L)
-          + when(col("v2") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4 + 2)")).otherwise(0L)
-          + when(col("v3") > 0, expr("shiftleft(CAST(1 AS bigint), dpos*4 + 3)")).otherwise(0L)
-      ).as("simhash"))
+      .agg(
+        voteSum(0).as("v0"),
+        (1 until 60).map(j => voteSum(j).as(s"v$j")): _*)
+    votes.select(
+      col("doc_id"),
+      (0 until 60).map(j =>
+        when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+      ).reduce(_ + _).as("simhash"))
   }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
