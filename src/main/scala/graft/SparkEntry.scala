@@ -78,7 +78,17 @@ object SparkEntry {
     "q31_multimodal_meta" -> ((s, d) =>
       Multimodal.multimodalMeta(s, d).orderBy(col("kind"))),
     "q32_stream_windowed" -> ((s, d) =>
-      graft.streaming.EventStream.windowedAgg(s, d).orderBy(col("win_start"), col("event_type")))
+      graft.streaming.EventStream.windowedAgg(s, d).orderBy(col("win_start"), col("event_type"))),
+    "q33_asof_join" -> ((s, d) =>
+      TimeSeries.asofJoin(s, d).orderBy(col("event_id"))),
+    "q34_percentiles" -> ((s, d) =>
+      Relational.percentileSummary(s, d).orderBy(col("event_type"))),
+    "q35_revenue_rollup" -> ((s, d) =>
+      Relational.revenueRollup(s, d).orderBy(col("r_name"), col("n_name"))),
+    "q36_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(s, d).orderBy(col("lang"), col("rn"))),
+    "q37_event_pivot" -> ((s, d) =>
+      Relational.eventPivot(s, d).orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -453,6 +463,43 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) win_start, event_type,
         | count(*) n,
         | round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*))*10000)/10000 avg_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q33_asof_join" ->
+      """WITH j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+        |   CAST(floor(epoch(o.o_orderdate)) AS BIGINT) oe,
+        |   row_number() OVER (PARTITION BY e.event_id
+        |     ORDER BY epoch(o.o_orderdate) DESC, o.o_orderkey DESC) rn
+        | FROM events e JOIN orders o
+        |   ON o.o_custkey = e.user_id
+        |  AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= CAST(floor(epoch(e.ts)) AS BIGINT))
+        |SELECT event_id, user_id, o_orderkey AS last_orderkey, oe AS last_order_e
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) p50,
+        | round(quantile_cont(value, 0.9), 4) p90, count(*) n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_revenue_rollup" ->
+      """SELECT r.r_name, n.n_name,
+        | round(sum(l.l_extendedprice*(1-l.l_discount)),4) revenue, count(*) n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey=s.s_suppkey
+        |JOIN nation n ON s.s_nationkey=n.n_nationkey
+        |JOIN region r ON n.n_regionkey=r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY 1,2""".stripMargin,
+    "q36_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) tok FROM documents),
+        |c AS (SELECT lang, tok, count(*) n FROM t GROUP BY 1,2)
+        |SELECT lang, tok, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS INT) rn
+        |FROM c QUALIFY rn <= 5 ORDER BY 1,4""".stripMargin,
+    "q37_event_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) n_click,
+        | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) n_error,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) n_purchase,
+        | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
+        | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) n_view,
+        | count(*) n_total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

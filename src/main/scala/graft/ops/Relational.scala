@@ -86,6 +86,53 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** q34: exact percentiles per group — Catalyst's `percentile` aggregate
+    * (single shuffle, sort-based per group). Linear interpolation at
+    * p·(n−1), the same R-7 definition DuckDB's quantile_cont uses.
+    */
+  def percentileSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q35: multi-level rollup (region → nation → grand total) in one pass —
+    * GROUPING SETS expand map-side, so the fact table is still scanned and
+    * shuffled once.
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, sfDir).select(col("r_regionkey"), col("r_name"))
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("rev")), 4).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** q37: wide activity pivot — one row per user, one count column per event
+    * type. The type list is fixed up front (no discovery pass), so this is a
+    * single conditional aggregation: one shuffle, map-side combined.
+    */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === types.head, 1L).otherwise(0L)).as(s"n_${types.head}"),
+        types.tail.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+          count(lit(1)).as("n_total"): _*)
+  }
+
   /** q18: orders above their own customer's average order value —
     * decorrelated as an aggregate + re-join on the grouping key (what
     * Catalyst does to a correlated scalar subquery).

@@ -105,6 +105,24 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     tokenCount(Tables.documents(spark, sfDir))
 
+  /** q36: heavy hitters — top-5 tokens per language by frequency. Two-level
+    * aggregation (token counts, then a per-language top-N window over the
+    * already-tiny count table); the window never sees raw tokens.
+    */
+  def heavyHitters(docs: DataFrame, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") <= topN)
+  }
+
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, sfDir))
+
   /** q30: document fingerprint census — md5 over the sorted distinct word
     * set (an order/multiplicity-insensitive content signature), reporting
     * every fingerprint shared by more than one document. The groupBy is on

@@ -142,6 +142,34 @@ object TimeSeries {
       )
   }
 
+  /** q33: as-of join — for every event, the latest order of the same
+    * customer at or before the event time (ties: max orderkey). Spark has no
+    * ASOF JOIN operator; the scalable formulation is the union-merge trick:
+    * tag both streams, union them, sort per key by (time, stream-tag, key)
+    * inside ONE window, and carry the last order attributes forward with an
+    * ignore-nulls last(). One shuffle on the join key, no range
+    * cross-product, no per-event probe — the plan a native as-of operator
+    * would produce.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"))
+      .select(col("user_id"), col("t"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"), lit(null).cast("long").as("oe"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), epochS(col("o_orderdate")).as("t"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), epochS(col("o_orderdate")).as("oe"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("o_orderkey"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_order_e", last(col("oe"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("last_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("last_orderkey"), col("last_order_e"))
+  }
+
   /** q12: hourly resample + linear interpolation of missing buckets.
     * prev/next known values come from ignore-null window frames; the
     * interpolation itself is a codegen'd arithmetic expression.
