@@ -94,7 +94,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_resample_avg" ->
       """SELECT event_type, CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
-        | round(avg(value),4) AS avg_value, round(min(value),4) AS min_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 AS avg_value, round(min(value),4) AS min_value,
         | round(max(value),4) AS max_value, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q02_resample_ffill" ->
@@ -103,11 +103,12 @@ object SparkEntry {
         |g AS (SELECT t.event_type, b.mn + 3600*gs.g AS grid_start
         |      FROM b, (SELECT DISTINCT event_type FROM events) t, generate_series(0,2000) gs(g)
         |      WHERE b.mn + 3600*gs.g <= b.mx),
-        |h AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) grid_start, avg(value) v
+        |h AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) grid_start,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value) v
         |      FROM events GROUP BY 1,2)
         |SELECT g.event_type, g.grid_start,
         | round(last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.grid_start
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS value_ffill
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*10000)/10000 AS value_ffill
         |FROM g LEFT JOIN h ON g.event_type=h.event_type AND g.grid_start=h.grid_start
         |ORDER BY 1,2""".stripMargin,
     "q03_rolling_avg" ->
@@ -130,7 +131,7 @@ object SparkEntry {
         |   ON e.user_id = r.user_id
         |  AND CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN r.range_start AND r.range_end
         | GROUP BY e.event_id, e.event_type, e.value)
-        |SELECT event_type, in_anomaly, count(*) AS n, round(avg(value),4) AS avg_value
+        |SELECT event_type, in_anomaly, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 AS avg_value
         |FROM flagged GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q05_sensor_rank" ->
       """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
@@ -154,7 +155,7 @@ object SparkEntry {
         |ranked AS (SELECT event_type, phase, d,
         |             row_number() OVER (PARTITION BY event_type, phase ORDER BY d, bin) pos
         |           FROM dens),
-        |scores AS (SELECT u.event_type, round(avg(abs(u.d - v.d)),6) score
+        |scores AS (SELECT u.event_type, round(CAST(sum(CAST(abs(u.d - v.d) AS DECIMAL(28,20))) AS DOUBLE)/count(*)*1000000)/1000000 score
         |           FROM ranked u JOIN ranked v
         |             ON u.event_type=v.event_type AND u.pos=v.pos AND u.phase='u' AND v.phase='v'
         |           GROUP BY 1)
@@ -180,31 +181,33 @@ object SparkEntry {
       """SELECT event_type,
         | CAST(sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) n_on,
         | CAST(sum(CASE WHEN value >= 10.0 THEN 0 ELSE 1 END) AS BIGINT) n_off,
-        | round(avg(CASE WHEN value >= 10.0 THEN value END),4) avg_on_value
+        | round(CAST(sum(CAST(CASE WHEN value >= 10.0 THEN value END AS DECIMAL(18,6))) AS DOUBLE)
+        |   /count(CASE WHEN value >= 10.0 THEN value END)*10000)/10000 avg_on_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_train_test_split" ->
       """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
         |sp AS (SELECT CAST(floor(min(e)+(max(e)-min(e))*0.7) AS BIGINT) split_e FROM ev)
         |SELECT event_type, CASE WHEN e < split_e THEN 'train' ELSE 'eval' END phase,
-        | count(*) n, round(avg(value),4) avg_value
+        | count(*) n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 avg_value
         |FROM ev, sp GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q09_diag_expand" ->
       """SELECT event_type,
-        | round(avg(CAST(regexp_extract(props,'([0-9]+)',1) AS INT)),4) avg_diag,
+        | round(CAST(sum(CAST(CAST(regexp_extract(props,'([0-9]+)',1) AS INT) AS DECIMAL(18,6))) AS DOUBLE)
+        |   /count(props)*10000)/10000 avg_diag,
         | max(CAST(regexp_extract(props,'([0-9]+)',1) AS INT)) max_diag,
         | count(DISTINCT CAST(regexp_extract(props,'([0-9]+)',1) AS INT)) n_distinct_diag,
-        | round(avg(value),4) avg_value
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_schema_infer" ->
       """SELECT event_type, count(*) n_rows, count(DISTINCT user_id) n_users,
         | min(CAST(floor(epoch(ts)) AS BIGINT)) min_ts, max(CAST(floor(epoch(ts)) AS BIGINT)) max_ts,
-        | round(min(value),4) min_value, round(max(value),4) max_value, round(avg(value),4) avg_value
+        | round(min(value),4) min_value, round(max(value),4) max_value, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_seq_extract" ->
       """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
         |b AS (SELECT CAST(floor((min(e)+(max(e)-min(e))*0.75)/300)*300 AS BIGINT) eval_start FROM ev)
         |SELECT CAST(floor((e - eval_start)/300.0) AS BIGINT) seq, event_type, count(*) n,
-        | min(e - eval_start) min_rel, max(e - eval_start) max_rel, round(avg(value),4) avg_value
+        | min(e - eval_start) min_rel, max(e - eval_start) max_rel, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 avg_value
         |FROM ev, b WHERE e >= eval_start AND floor((e - eval_start)/300.0) < 3
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q12_interp_linear" ->
@@ -235,8 +238,9 @@ object SparkEntry {
         | round(sum(l_quantity),4) sum_qty, round(sum(l_extendedprice),4) sum_base_price,
         | round(sum(l_extendedprice*(1-l_discount)),4) sum_disc_price,
         | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) sum_charge,
-        | round(avg(l_quantity),4) avg_qty, round(avg(l_extendedprice),4) avg_price,
-        | round(avg(l_discount),4) avg_disc, count(*) count_order
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/count(l_quantity)*10000)/10000 avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/count(l_extendedprice)*10000)/10000 avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(l_discount)*10000)/10000 avg_disc, count(*) count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q14_top_revenue" ->

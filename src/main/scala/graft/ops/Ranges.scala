@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TimeSeries.epochS
+import graft.ops.TimeSeries.{epochS, exactAvg, r4}
 
 /** Anomaly-range operators: range⇄point conversion, train/test split,
   * off-condition filtering.
@@ -63,7 +63,7 @@ object Ranges {
       .agg(max(when(col("r_user").isNotNull, 1).otherwise(0)).as("in_anomaly"))
     flagged
       .groupBy(col("event_type"), col("in_anomaly"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), r4(exactAvg(col("value"))).as("avg_value"))
   }
 
   /** q06: points → contiguous ranges. Consecutive error events of a user
@@ -106,7 +106,7 @@ object Ranges {
       .agg(
         sum(col("is_on")).as("n_on"),
         sum(lit(1) - col("is_on")).as("n_off"),
-        round(avg(when(col("is_on") === 1, col("value"))), 4).as("avg_on_value")
+        r4(exactAvg(when(col("is_on") === 1, col("value")))).as("avg_on_value")
       )
   }
 
@@ -123,7 +123,7 @@ object Ranges {
     ev.crossJoin(broadcast(bounds))
       .withColumn("phase", when(col("e") < col("split_e"), "train").otherwise("eval"))
       .groupBy(col("event_type"), col("phase"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), r4(exactAvg(col("value"))).as("avg_value"))
   }
 
   /** q09: diagnostics expansion — pull the numeric payload out of the props
@@ -137,10 +137,10 @@ object Ranges {
       .withColumn("diag_k", regexp_extract(col("props"), "([0-9]+)", 1).cast("int"))
       .groupBy(col("event_type"))
       .agg(
-        round(avg(col("diag_k")), 4).as("avg_diag"),
+        r4(exactAvg(col("diag_k"))).as("avg_diag"),
         max(col("diag_k")).as("max_diag"),
         countDistinct(col("diag_k")).as("n_distinct_diag"),
-        round(avg(col("value")), 4).as("avg_value")
+        r4(exactAvg(col("value"))).as("avg_value")
       )
   }
 
@@ -158,7 +158,7 @@ object Ranges {
         max(epochS(col("ts"))).as("max_ts"),
         round(min(col("value")), 4).as("min_value"),
         round(max(col("value")), 4).as("max_value"),
-        round(avg(col("value")), 4).as("avg_value")
+        r4(exactAvg(col("value"))).as("avg_value")
       )
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.TimeSeries.{exactAvg, r4}
 
 /** Relational core — the engine must be a real query engine underneath the
   * time-series surface. Shapes chosen to exercise the plans that matter at
@@ -22,9 +23,9 @@ object Relational {
         round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        r4(exactAvg(col("l_quantity"))).as("avg_qty"),
+        r4(exactAvg(col("l_extendedprice"))).as("avg_price"),
+        r4(exactAvg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
   }

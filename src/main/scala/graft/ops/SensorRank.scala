@@ -85,7 +85,8 @@ object SensorRank {
     val scores = u
       .join(v, Seq("event_type", "pos"))
       .groupBy(col("event_type"))
-      .agg(round(avg(abs(col("du") - col("dv"))), 6).as("score"))
+      .agg((round(sum(abs(col("du") - col("dv")).cast("decimal(28,20)")).cast("double")
+        / count(lit(1)) * 1000000) / 1000000).as("score"))
 
     scores.withColumn(
       "rank",

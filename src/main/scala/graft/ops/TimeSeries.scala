@@ -33,6 +33,12 @@ object TimeSeries {
     */
   def r4(c: Column): Column = round(c * 10000) / 10000
 
+  /** Exact mean: decimal sum / count — identical doubles on any partition
+    * order and in DuckDB, unlike a plain double avg. Pair with [[r4]].
+    */
+  def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double") / count(c)
+
   /** Bucket start (epoch seconds) for a fixed-width resample. */
   def bucketStart(ts: Column, widthSec: Long): Column =
     (floor(epochS(ts) / widthSec) * widthSec).cast("long")
@@ -48,7 +54,7 @@ object TimeSeries {
         bucketStart(col("ts"), 300L).as("bucket_start")
       )
       .agg(
-        round(avg(col("value")), 4).as("avg_value"),
+        r4(exactAvg(col("value"))).as("avg_value"),
         round(min(col("value")), 4).as("min_value"),
         round(max(col("value")), 4).as("max_value"),
         count(lit(1)).as("n")
@@ -80,7 +86,7 @@ object TimeSeries {
       .select(col("event_type"), col("ts"), col("value"))
     val hourly = ev
       .groupBy(col("event_type"), bucketStart(col("ts"), 3600L).as("grid_start"))
-      .agg(avg(col("value")).as("v"))
+      .agg(exactAvg(col("value")).as("v"))
     val grid = denseGrid(ev, 3600L)
     val w = Window
       .partitionBy(col("event_type"))
@@ -88,7 +94,7 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
       .join(hourly, Seq("event_type", "grid_start"), "left_outer")
-      .withColumn("value_ffill", round(last(col("v"), ignoreNulls = true).over(w), 4))
+      .withColumn("value_ffill", r4(last(col("v"), ignoreNulls = true).over(w)))
       .select(col("event_type"), col("grid_start"), col("value_ffill"))
   }
 
@@ -138,7 +144,7 @@ object TimeSeries {
         count(lit(1)).as("n"),
         min(col("rel_ts")).as("min_rel"),
         max(col("rel_ts")).as("max_rel"),
-        round(avg(col("value")), 4).as("avg_value")
+        r4(exactAvg(col("value"))).as("avg_value")
       )
   }
 
