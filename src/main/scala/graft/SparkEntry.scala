@@ -88,7 +88,10 @@ object SparkEntry {
     "q36_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitters(s, d).orderBy(col("lang"), col("rn"))),
     "q37_event_pivot" -> ((s, d) =>
-      Relational.eventPivot(s, d).orderBy(col("user_id")))
+      Relational.eventPivot(s, d).orderBy(col("user_id"))),
+    // rows-only: HLL estimates aren't portable across engines (no oracleSql)
+    "q38_sketch_distinct" -> ((s, d) =>
+      Sketches.sketchDistinct(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(

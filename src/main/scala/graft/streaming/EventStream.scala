@@ -38,6 +38,17 @@ object EventStream {
   def windowedAggStream(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "30 minutes"))
 
+  /** Streaming exact dedup on a key: state retention is bounded by the
+    * watermark (dropDuplicatesWithinWatermark), so duplicate suppression
+    * runs forever on an unbounded stream with O(keys-per-watermark-window)
+    * state — the streaming counterpart of the batch md5 keep-first dedup.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     windowedAgg(Tables.events(spark, sfDir).select(col("ts"), col("event_type"), col("value")))
 }

@@ -43,4 +43,26 @@ class StreamingSpec extends SparkSpec {
       assert(want.map(_._3).sum === events.size)
     } finally q.stop()
   }
+
+  test("dedupStream suppresses duplicate keys across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val deduped = EventStream.dedupStream(
+      mem.toDF().toDF("ts", "event_type", "value"), Seq("event_type"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0), // dup key
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:04:00"), "click", 4.0)) // still within watermark
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select("event_type").as[String].collect().sorted
+      assert(got.toSeq === Seq("click", "view"))
+    } finally q.stop()
+  }
 }
