@@ -26,6 +26,12 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_._3 === 1.0))
   }
 
+  test("prefix-filtered jaccard join is lossless vs the full join") {
+    val direct = Dedup.ngramJaccard(docs).orderBy("doc_a", "doc_b").collect().toSeq
+    val prefix = Dedup.ngramJaccardPrefix(docs).orderBy("doc_a", "doc_b").collect().toSeq
+    assert(prefix === direct)
+  }
+
   test("minhashLsh collides all bands for identical documents") {
     val rows = Dedup.minhashLsh(docs).orderBy("doc_a", "doc_b")
       .as[(Long, Long, Long)].collect()
