@@ -31,6 +31,22 @@ class SourcesSpec extends SparkSpec {
     assert(pumpS1.toSeq === Seq(1.5, 3.0))
   }
 
+  test("partitioned sink: component directories + pruned read-back") {
+    val root = Files.createTempDirectory("graft-sink")
+    val long = Seq(
+      ("pump", "s1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("motor", "s1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0))
+      .toDF("component", "sensor", "ts", "value")
+    graft.sources.Sink.writePartitioned(long, root.toString)
+    assert(Files.exists(root.resolve("component=pump")))
+    val back = graft.sources.Sink.readPartitioned(spark, root.toString)
+    val pruned = back.where($"component" === "pump")
+    // partition filter must resolve at plan time, not as a data filter
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() === 1)
+    assert(scan.contains("PartitionFilters"))
+  }
+
   test("JSONL predictions: schema'd read + diagnostics expansion") {
     val f = Files.createTempFile("graft-preds", ".jsonl")
     Files.writeString(f,
