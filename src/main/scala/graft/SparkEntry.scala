@@ -91,7 +91,9 @@ object SparkEntry {
       Relational.eventPivot(s, d).orderBy(col("user_id"))),
     // rows-only: HLL estimates aren't portable across engines (no oracleSql)
     "q38_sketch_distinct" -> ((s, d) =>
-      Sketches.sketchDistinct(s, d).orderBy(col("event_type")))
+      Sketches.sketchDistinct(s, d).orderBy(col("event_type"))),
+    "q39_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,6 +509,26 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
         | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) n_view,
         | count(*) n_total
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_simhash_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) w FROM d),
+        |tok AS (SELECT doc_id, md5(w) hv FROM tok0),
+        |bx AS (SELECT doc_id, hv, unnest(generate_series(0, 59)) j FROM tok),
+        |v AS (SELECT doc_id, j,
+        |        CAST(floor((instr('0123456789abcdef', substr(hv, CAST(j//4 AS INT) + 1, 1)) - 1)
+        |          / power(2, j % 4)) AS BIGINT) % 2 AS bit
+        |      FROM bx),
+        |s AS (SELECT doc_id, j, sum(bit*2 - 1) sv FROM v GROUP BY 1,2),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash
+        |        FROM s GROUP BY 1),
+        |bands AS (SELECT doc_id, simhash, bs.b, (simhash >> (bs.b*15)) & 32767 bv
+        |          FROM sig, (SELECT unnest(generate_series(0, 3)) b) bs),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.simhash sa, b.simhash sb
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY 1,2""".stripMargin
   )
 }

@@ -221,6 +221,38 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     simhash(Tables.documents(spark, sfDir))
 
+  /** q39: SimHash near-dup PAIRS — the end-to-end detector built on q23's
+    * signatures. The 60-bit signature splits into 4 bands of 15 bits;
+    * signatures agreeing on any band meet in an equi-join on (band, value)
+    * and verify with an exact popcount. Pigeonhole guarantees recall: ≤ 3
+    * differing bits across 4 bands leaves at least one band identical, so
+    * the banding loses nothing at the Hamming≤3 operating point while
+    * reducing all-pairs to bucket joins.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 4, bandBits: Int = 15): DataFrame = {
+    val sig = simhash(docs)
+    val mask = (1 << bandBits) - 1
+    val bandCols = (0 until bands).map(b => struct(
+      lit(b).as("b"),
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask.toLong)).as("bv")))
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val a = banded.toDF("doc_a", "sa", "b", "bv")
+    val c = banded.toDF("doc_b", "sb", "b", "bv")
+    a.join(c, Seq("b", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS int)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, sfDir))
+
   /** q24: embedding-cosine near-dup pairs, blocked by the cluster label so
     * the pair join is an equi-join on label (IVF-style blocking), never a
     * cross join. Dot products and norms accumulate in DECIMAL(18,16) so the
