@@ -93,7 +93,13 @@ object SparkEntry {
     "q38_sketch_distinct" -> ((s, d) =>
       Sketches.sketchDistinct(s, d).orderBy(col("event_type"))),
     "q39_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")))
+      Dedup.simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q40_gap_census" -> ((s, d) =>
+      TimeSeries.gapCensus(s, d).orderBy(col("event_type"))),
+    "q41_zscore_outliers" -> ((s, d) =>
+      TimeSeries.zscoreOutliers(s, d).orderBy(col("event_type"), col("rn"))),
+    "q42_autocorr" -> ((s, d) =>
+      TimeSeries.autocorr(s, d).orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,6 +535,53 @@ object SparkEntry {
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q40_gap_census" ->
+      """WITH b AS (SELECT CAST(floor(min(epoch(ts))/3600)*3600 AS BIGINT) mn,
+        |                  CAST(floor(max(epoch(ts))/3600)*3600 AS BIGINT) mx FROM events),
+        |g AS (SELECT t.event_type, b.mn + 3600*gs.g AS grid_start
+        |      FROM b, (SELECT DISTINCT event_type FROM events) t, generate_series(0,2000) gs(g)
+        |      WHERE b.mn + 3600*gs.g <= b.mx),
+        |h AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) grid_start
+        |      FROM events GROUP BY 1,2),
+        |e AS (SELECT g.event_type, g.grid_start FROM g WHERE NOT EXISTS (
+        |        SELECT 1 FROM h WHERE h.event_type = g.event_type AND h.grid_start = g.grid_start)),
+        |r0 AS (SELECT event_type, grid_start,
+        |        CASE WHEN lag(grid_start) OVER w IS NULL
+        |               OR grid_start - lag(grid_start) OVER w > 3600 THEN 1 ELSE 0 END brk
+        |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY grid_start)),
+        |r1 AS (SELECT event_type, grid_start, sum(brk) OVER (PARTITION BY event_type
+        |        ORDER BY grid_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run FROM r0),
+        |runs AS (SELECT event_type, run, count(*) run_len FROM r1 GROUP BY 1,2),
+        |gc AS (SELECT event_type, count(*) n_buckets FROM g GROUP BY 1),
+        |agg AS (SELECT event_type, CAST(sum(run_len) AS BIGINT) n_empty,
+        |         max(run_len) longest_gap, count(*) n_gaps FROM runs GROUP BY 1)
+        |SELECT gc.event_type, gc.n_buckets, coalesce(agg.n_empty, 0) n_empty,
+        | coalesce(agg.longest_gap, 0) longest_gap, coalesce(agg.n_gaps, 0) n_gaps
+        |FROM gc LEFT JOIN agg ON gc.event_type = agg.event_type ORDER BY 1""".stripMargin,
+    "q41_zscore_outliers" ->
+      """WITH st AS (SELECT event_type, count(*) n,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s,
+        |   CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) sq
+        | FROM events GROUP BY 1),
+        |st2 AS (SELECT event_type, s/n mean, sqrt((sq - s*s/n)/(n-1)) sd FROM st),
+        |z AS (SELECT e.event_type, e.event_id, (e.value - mean)/sd z
+        |      FROM events e JOIN st2 USING (event_type)),
+        |r AS (SELECT event_type, event_id, z,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY abs(z) DESC, event_id) AS INT) rn
+        |      FROM z)
+        |SELECT event_type, rn, event_id, round(z*10000)/10000 z
+        |FROM r WHERE rn <= 5 ORDER BY 1,2""".stripMargin,
+    "q42_autocorr" ->
+      """WITH m AS (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) mu,
+        |            count(*) n FROM events GROUP BY 1),
+        |l AS (SELECT e.user_id, m.mu, m.n, e.value,
+        |        lag(e.value) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) prev
+        |      FROM events e JOIN m USING (user_id)),
+        |a AS (SELECT user_id, max(n) n,
+        |   CAST(sum(CAST((value-mu)*(prev-mu) AS DECIMAL(28,16))) AS DOUBLE) num,
+        |   CAST(sum(CAST((value-mu)*(value-mu) AS DECIMAL(28,16))) AS DOUBLE) den
+        | FROM l GROUP BY 1)
+        |SELECT user_id, n, round(num/den*10000)/10000 r1 FROM a ORDER BY 1""".stripMargin
   )
 }

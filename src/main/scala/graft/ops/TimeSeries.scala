@@ -148,6 +148,94 @@ object TimeSeries {
       )
   }
 
+  /** q40: missing-data census — for each series, how many hourly buckets are
+    * empty and how long the longest outage is. Dense grid + anti-join for
+    * the empties, then gaps-and-islands over the (regularly spaced) empty
+    * buckets: a run breaks where consecutive empty grid points are more than
+    * one step apart. The data-quality gate a training pipeline runs before
+    * trusting a resample+ffill (reference schema.py's scan surfaces the same
+    * "how complete is this signal" question).
+    */
+  def gapCensus(spark: SparkSession, sfDir: String, widthSec: Long = 3600L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val hourly = ev
+      .groupBy(col("event_type"), bucketStart(col("ts"), widthSec).as("grid_start"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = denseGrid(ev, widthSec)
+    val empty = grid
+      .join(hourly, Seq("event_type", "grid_start"), "left_anti")
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("grid_start"))
+    val runs = empty
+      .withColumn("prev", lag(col("grid_start"), 1).over(byType))
+      .withColumn("brk",
+        when(col("prev").isNull || col("grid_start") - col("prev") > widthSec, 1).otherwise(0))
+      .withColumn("run", sum(col("brk")).over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("event_type"), col("run"))
+      .agg(count(lit(1)).as("run_len"))
+    val gridCounts = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n_buckets"))
+    gridCounts
+      .join(
+        runs.groupBy(col("event_type")).agg(
+          sum(col("run_len")).as("n_empty"),
+          max(col("run_len")).as("longest_gap"),
+          count(lit(1)).as("n_gaps")),
+        Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_buckets"),
+        coalesce(col("n_empty"), lit(0L)).as("n_empty"),
+        coalesce(col("longest_gap"), lit(0L)).as("longest_gap"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"))
+  }
+
+  /** q41: top-5 outliers per series by |z-score|. Mean and variance come
+    * from exact decimal sums (sum, sum of squares), so the scores are
+    * bit-stable under any partitioning: var = (Σx² − (Σx)²/n)/(n−1) with
+    * both Σ exact. One aggregate pass + a broadcast join back — no second
+    * scan of the fact table for the mean.
+    */
+  def zscoreOutliers(spark: SparkSession, sfDir: String, topN: Int = 5): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("s"),
+      sum((col("value") * col("value")).cast("decimal(28,6)")).cast("double").as("sq"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("sd", sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+    val w = Window.partitionBy(col("event_type")).orderBy(abs(col("z")).desc, col("event_id"))
+    ev.join(broadcast(stats.select(col("event_type"), col("mean"), col("sd"))), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topN)
+      .select(col("event_type"), col("rn"), col("event_id"),
+        r4(col("z")).as("z"))
+  }
+
+  /** q42: lag-1 autocorrelation per user series — the "is this signal
+    * structured or noise" statistic. Per-series mean from exact decimal
+    * sums; centered cross-products and squares re-summed in decimals, so
+    * r1 = Σ(xₜ−μ)(xₜ₋₁−μ) / Σ(xₜ−μ)² is deterministic. Lag runs inside the
+    * per-user window — one shuffle on the series key.
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val means = ev.groupBy(col("user_id")).agg(
+      (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mu"),
+      count(lit(1)).as("n"))
+    val ordW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.join(broadcast(means), "user_id")
+      .withColumn("prev", lag(col("value"), 1).over(ordW))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n")).as("n"),
+        sum(((col("value") - col("mu")) * (col("prev") - col("mu")))
+          .cast("decimal(28,16)")).cast("double").as("num"),
+        sum(((col("value") - col("mu")) * (col("value") - col("mu")))
+          .cast("decimal(28,16)")).cast("double").as("den"))
+      .select(col("user_id"), col("n"), r4(col("num") / col("den")).as("r1"))
+  }
+
   /** q33: as-of join — for every event, the latest order of the same
     * customer at or before the event time (ties: max orderkey). Spark has no
     * ASOF JOIN operator; the scalable formulation is the union-merge trick:
