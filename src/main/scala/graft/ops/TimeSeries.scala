@@ -224,7 +224,9 @@ object TimeSeries {
       (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mu"),
       count(lit(1)).as("n"))
     val ordW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.join(broadcast(means), "user_id")
+    // no broadcast hint: the means side scales with the number of series, so
+    // Catalyst must stay free to shuffle-join it on big cardinalities
+    ev.join(means, "user_id")
       .withColumn("prev", lag(col("value"), 1).over(ordW))
       .groupBy(col("user_id"))
       .agg(
