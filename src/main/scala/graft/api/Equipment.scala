@@ -112,6 +112,46 @@ object Equipment {
       .select(col("seq"), col("component"), col("sensor"), col("rel_ts"), col("value"))
   }
 
+  /** Replay-data generation (reference dataset.py:420-556,
+    * generate_replay_data): slice `replayDays` of history starting at
+    * `replayStart`, shift every timestamp by (newStart − replayStart) so the
+    * old data plays back as if it were happening now, and tag each row with
+    * its upload bucket. The reference then writes one CSV per
+    * (component, bucket) — here that's one [[graft.sources.Sink]] write
+    * partitioned by (component, split_start). Pure map-side plan: a filter
+    * and two column expressions, no shuffle at all.
+    */
+  def generateReplayData(long: DataFrame, replayStart: Timestamp, newStart: Timestamp,
+                         uploadFrequency: String, replayDays: Int = 1): DataFrame = {
+    val freqSec = samplingRateSeconds(uploadFrequency)
+    val startE = replayStart.getTime / 1000
+    val shift = newStart.getTime / 1000 - startE
+    long
+      .withColumn("e", unix_timestamp(col("ts")))
+      .filter(col("e") >= startE && col("e") < startE + replayDays * 86400L)
+      .withColumn("ts_shifted", col("e") + shift)
+      .withColumn("split_start",
+        (floor(col("ts_shifted") / freqSec) * freqSec).cast("long"))
+      .select(col("component"), col("sensor"), col("split_start"),
+        col("ts_shifted"), col("value"))
+  }
+
+  /** The reference returns the list of replay sequences that came out empty
+    * (they make a scheduler execution fail). Dense expected buckets per
+    * component anti-joined with what [[generateReplayData]] produced.
+    */
+  def emptyReplaySequences(replay: DataFrame, newStart: Timestamp,
+                           uploadFrequency: String, replayDays: Int = 1): DataFrame = {
+    val freqSec = samplingRateSeconds(uploadFrequency)
+    val startE = newStart.getTime / 1000
+    val expected = replay.select(col("component")).distinct()
+      .select(col("component"),
+        explode(sequence(lit(startE), lit(startE + replayDays * 86400L - freqSec),
+          lit(freqSec))).as("split_start"))
+    expected.join(replay.select(col("component"), col("split_start")).distinct(),
+      Seq("component", "split_start"), "left_anti")
+  }
+
   /** Per-point anomaly flags: 0 normal, 1 inside a predicted range, 2 inside
     * a known (labelled) range — known wins, matching the reference's
     * evaluation overlay. Ranges are (range_start, range_end) epoch seconds

@@ -92,6 +92,22 @@ class EquipmentSpec extends SparkSpec {
     assert(top === "s1") // s1's distribution shifts inside the anomaly, s2 is flat
   }
 
+  test("generateReplayData shifts a history slice onto a new clock") {
+    val replay = Equipment.generateReplayData(
+      long, ts("2024-01-01 00:05:00"), ts("2025-06-01 00:00:00"), "PT5M", replayDays = 1)
+    // minutes 5..19 of both sensors survive the slice
+    assert(replay.count() === 30)
+    val t0 = ts("2025-06-01 00:00:00").getTime / 1000
+    val buckets = replay.select("split_start").distinct().as[Long].collect().sorted
+    assert(buckets.toSeq === Seq(t0, t0 + 300, t0 + 600))
+    val firstShift = replay.agg(min($"ts_shifted")).as[Long].head()
+    assert(firstShift === t0)
+
+    val empty = Equipment.emptyReplaySequences(replay, ts("2025-06-01 00:00:00"), "PT5M")
+    // one day of 5-min buckets = 288; only the first 3 have data
+    assert(empty.count() === 285)
+  }
+
   test("nextTimeRange returns the latest fully-elapsed bucket") {
     val (s, e) = Equipment.nextTimeRange(ts("2024-01-01 10:07:30"), 5)
     assert(s === ts("2024-01-01 10:00:00"))
