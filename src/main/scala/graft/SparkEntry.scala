@@ -99,7 +99,11 @@ object SparkEntry {
     "q41_zscore_outliers" -> ((s, d) =>
       TimeSeries.zscoreOutliers(s, d).orderBy(col("event_type"), col("rn"))),
     "q42_autocorr" -> ((s, d) =>
-      TimeSeries.autocorr(s, d).orderBy(col("user_id")))
+      TimeSeries.autocorr(s, d).orderBy(col("user_id"))),
+    "q43_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(s, d).orderBy(col("probe_id"))),
+    "q44_corr_matrix" -> ((s, d) =>
+      TimeSeries.corrMatrix(s, d).orderBy(col("type_a"), col("type_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -582,6 +586,68 @@ object SparkEntry {
         |   CAST(sum(CAST((value-mu)*(prev-mu) AS DECIMAL(28,16))) AS DOUBLE) num,
         |   CAST(sum(CAST((value-mu)*(value-mu) AS DECIMAL(28,16))) AS DOUBLE) den
         | FROM l GROUP BY 1)
-        |SELECT user_id, n, round(num/den*10000)/10000 r1 FROM a ORDER BY 1""".stripMargin
+        |SELECT user_id, n, round(num/den*10000)/10000 r1 FROM a ORDER BY 1""".stripMargin,
+    "q43_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |d1 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |      GROUP BY 1,2),
+        |sc1 AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d1 JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |truth AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+        |    FROM sc1) WHERE rnk <= 5),
+        |cent AS (SELECT label, i, CAST(sum(CAST(v AS DECIMAL(30,20))) AS DOUBLE)/count(*) c
+        |         FROM xx GROUP BY 1,2),
+        |cn AS (SELECT label, sqrt(CAST(sum(CAST(c*c AS DECIMAL(18,16))) AS DOUBLE)) cnrm
+        |       FROM cent GROUP BY 1),
+        |pd AS (SELECT p.vec_id probe_id, cent.label,
+        |         CAST(sum(CAST(p.v*cent.c AS DECIMAL(18,16))) AS DOUBLE) dot
+        |       FROM xx p JOIN cent ON p.i = cent.i WHERE p.vec_id < 10 GROUP BY 1,2),
+        |ps AS (SELECT probe_id, pd.label, dot/(np.nrm*cn.cnrm) ccos
+        |       FROM pd JOIN n np ON probe_id = np.vec_id JOIN cn ON pd.label = cn.label),
+        |short AS (SELECT probe_id, label FROM (
+        |    SELECT probe_id, label,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, label) crk
+        |    FROM ps) WHERE crk <= 2),
+        |d2 AS (SELECT s.probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |      FROM short s JOIN xx c ON c.label = s.label
+        |        JOIN xx p ON p.vec_id = s.probe_id AND p.i = c.i
+        |      WHERE c.vec_id <> s.probe_id GROUP BY 1,2),
+        |sc2 AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d2 JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |approx AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+        |    FROM sc2) WHERE rnk <= 5),
+        |hits AS (SELECT t.probe_id, count(*) n_hits FROM truth t JOIN approx a
+        |          ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id GROUP BY 1),
+        |tot AS (SELECT probe_id, count(*) n_true FROM truth GROUP BY 1)
+        |SELECT tot.probe_id, coalesce(n_hits, 0) n_hits, n_true,
+        | round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 recall
+        |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin,
+    "q44_corr_matrix" ->
+      """WITH b AS (SELECT event_type, CAST(floor(epoch(ts)/300)*300 AS BIGINT) bucket,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value) v
+        | FROM events GROUP BY 1,2),
+        |j AS (SELECT a.event_type type_a, c.event_type type_b, a.v va, c.v vb
+        |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.event_type < c.event_type),
+        |s AS (SELECT type_a, type_b, count(*) n,
+        |   CAST(sum(CAST(va AS DECIMAL(28,16))) AS DOUBLE) sx,
+        |   CAST(sum(CAST(vb AS DECIMAL(28,16))) AS DOUBLE) sy,
+        |   CAST(sum(CAST(va*vb AS DECIMAL(28,12))) AS DOUBLE) sxy,
+        |   CAST(sum(CAST(va*va AS DECIMAL(28,12))) AS DOUBLE) sxx,
+        |   CAST(sum(CAST(vb*vb AS DECIMAL(28,12))) AS DOUBLE) syy
+        | FROM j GROUP BY 1,2)
+        |SELECT type_a, type_b, n,
+        | round((n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))*10000)/10000 corr
+        |FROM s ORDER BY 1,2""".stripMargin
   )
 }

@@ -109,4 +109,27 @@ object Similarity {
 
   def ivfAnn(spark: SparkSession, sfDir: String): DataFrame =
     ivfAnn(Tables.embeddings(spark, sfDir))
+
+  /** q43: recall@k of the IVF index against the brute-force ground truth —
+    * the quality metric that decides whether nprobe/nlist are tuned right.
+    * Pure composition: both search paths are already lazy plans, so this is
+    * a semi-join + per-probe count, and Catalyst shares nothing it
+    * shouldn't (the two pipelines scan independently).
+    */
+  def annRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val truth = cosineTopK(emb, nProbes, k).select(col("probe_id"), col("neighbor_id"))
+    val approx = ivfAnn(emb, nProbes, k, nprobe).select(col("probe_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") * 10000) / 10000)
+          .as("recall"))
+  }
+
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame =
+    annRecall(Tables.embeddings(spark, sfDir))
 }

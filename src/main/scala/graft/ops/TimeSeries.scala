@@ -238,6 +238,38 @@ object TimeSeries {
       .select(col("user_id"), col("n"), r4(col("num") / col("den")).as("r1"))
   }
 
+  /** q44: cross-series Pearson correlation matrix — which sensors move
+    * together. Series align on 5-minute buckets (exact decimal bucket
+    * means), then every series pair joins on the bucket key and correlates
+    * with exact decimal moment sums:
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)).
+    * The pair join is an equi-join on the bucket (never a time
+    * cross-product); with S series it yields S²/2 pairs per bucket — fine
+    * for sensor-scale S, and the bucket key keeps it one shuffle.
+    */
+  def corrMatrix(spark: SparkSession, sfDir: String, widthSec: Long = 300L): DataFrame = {
+    val b = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+      .groupBy(col("event_type"), bucketStart(col("ts"), widthSec).as("bucket"))
+      .agg(exactAvg(col("value")).as("v"))
+    val a = b.toDF("type_a", "bucket", "va")
+    val c = b.toDF("type_b", "bucket", "vb")
+    a.join(c, Seq("bucket"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("va").cast("decimal(28,16)")).cast("double").as("sx"),
+        sum(col("vb").cast("decimal(28,16)")).cast("double").as("sy"),
+        sum((col("va") * col("vb")).cast("decimal(28,12)")).cast("double").as("sxy"),
+        sum((col("va") * col("va")).cast("decimal(28,12)")).cast("double").as("sxx"),
+        sum((col("vb") * col("vb")).cast("decimal(28,12)")).cast("double").as("syy"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+  }
+
   /** q33: as-of join — for every event, the latest order of the same
     * customer at or before the event time (ties: max orderkey). Spark has no
     * ASOF JOIN operator; the scalable formulation is the union-merge trick:
