@@ -103,7 +103,9 @@ object SparkEntry {
     "q43_ann_recall" -> ((s, d) =>
       Similarity.annRecall(s, d).orderBy(col("probe_id"))),
     "q44_corr_matrix" -> ((s, d) =>
-      TimeSeries.corrMatrix(s, d).orderBy(col("type_a"), col("type_b")))
+      TimeSeries.corrMatrix(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q45_window_suite" -> ((s, d) =>
+      Relational.windowSuite(s, d).orderBy(col("user_id"), col("event_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -648,6 +650,14 @@ object SparkEntry {
         | FROM j GROUP BY 1,2)
         |SELECT type_a, type_b, n,
         | round((n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))*10000)/10000 corr
-        |FROM s ORDER BY 1,2""".stripMargin
+        |FROM s ORDER BY 1,2""".stripMargin,
+    "q45_window_suite" ->
+      """SELECT user_id, event_id,
+        | CAST(ntile(4) OVER w AS INT) quartile,
+        | round((value - lag(value, 1) OVER w)*10000)/10000 delta_prev,
+        | round(cume_dist() OVER w*10000)/10000 cd,
+        | lead(event_type, 1) OVER w next_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

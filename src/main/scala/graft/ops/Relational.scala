@@ -134,6 +134,25 @@ object Relational {
           count(lit(1)).as("n_total"): _*)
   }
 
+  /** q45: window-function suite — quartile bucketing (ntile), neighbor
+    * deltas (lag), distribution position (cume_dist), next-event lookahead
+    * (lead), all over ONE per-user window sort: Catalyst collapses same-spec
+    * window functions into a single Window operator, so the per-user sort
+    * happens once no matter how many analytics ride on it.
+    */
+  def windowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TimeSeries.r4
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .select(
+        col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        r4(col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+        r4(cume_dist().over(w)).as("cd"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
   /** q18: orders above their own customer's average order value —
     * decorrelated as an aggregate + re-join on the grouping key (what
     * Catalyst does to a correlated scalar subquery).
