@@ -105,7 +105,10 @@ object SparkEntry {
     "q44_corr_matrix" -> ((s, d) =>
       TimeSeries.corrMatrix(s, d).orderBy(col("type_a"), col("type_b"))),
     "q45_window_suite" -> ((s, d) =>
-      Relational.windowSuite(s, d).orderBy(col("user_id"), col("event_id")))
+      Relational.windowSuite(s, d).orderBy(col("user_id"), col("event_id"))),
+    "q46_ship_priority" -> ((s, d) => Relational.shipPriority(s, d)),
+    "q47_edit_distance" -> ((s, d) =>
+      Dedup.editDistancePairs(s, d).orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -658,6 +661,29 @@ object SparkEntry {
         | round(cume_dist() OVER w*10000)/10000 cd,
         | lead(event_type, 1) OVER w next_type
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q46_ship_priority" ->
+      """SELECT o.o_orderkey, CAST(floor(epoch(o.o_orderdate)) AS BIGINT) order_e,
+        | round(sum(l.l_extendedprice*(1-l.l_discount)),4) revenue, count(*) n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate < TIMESTAMP '1995-03-15' AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q47_edit_distance" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t,
+        |            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |           FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |          WHERE CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared) >= 0.5)
+        |SELECT p.doc_a, p.doc_b, levenshtein(da.t, db.t) edit_dist,
+        | length(da.t) len_a, length(db.t) len_b
+        |FROM pairs p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
+        |ORDER BY 1,2""".stripMargin
   )
 }

@@ -122,6 +122,25 @@ object Dedup {
     finishJaccard(inter, sizes, minJaccard)
   }
 
+  /** q47: character-level verification of the Jaccard near-dup pairs —
+    * exact Levenshtein distance over the candidate pairs only (edit distance
+    * is O(len²) per pair, so it NEVER runs on the cross product; the cheap
+    * set-based join picks the pairs, the expensive string metric confirms).
+    */
+  def editDistancePairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(docs, minJaccard).select(col("doc_a"), col("doc_b"))
+    val texts = docs.select(col("doc_id"), normText(col("text")).as("t"))
+    pairs
+      .join(texts.toDF("doc_a", "ta"), "doc_a")
+      .join(texts.toDF("doc_b", "tb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"),
+        length(col("ta")).as("len_a"), length(col("tb")).as("len_b"))
+  }
+
+  def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame =
+    editDistancePairs(Tables.documents(spark, sfDir))
+
   private def finishJaccard(inter: DataFrame, sizes: DataFrame, minJaccard: Double): DataFrame =
     inter
       .join(sizes.toDF("doc_a", "na"), "doc_a")

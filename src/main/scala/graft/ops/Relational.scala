@@ -134,6 +134,28 @@ object Relational {
           count(lit(1)).as("n_total"): _*)
   }
 
+  /** q46: shipping-priority (TPC-H Q3 shape) — selective filters on BOTH
+    * join sides push into the scans before the fact-fact shuffle join, then
+    * a grouped revenue agg and a global top-N. The classic "filter early,
+    * join narrow" plan.
+    */
+  def shipPriority(spark: SparkSession, sfDir: String, cutoff: String = "1995-03-15"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("rev")), 4).as("revenue"), count(lit(1)).as("n_items"))
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_e"), col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** q45: window-function suite — quartile bucketing (ntile), neighbor
     * deltas (lag), distribution position (cume_dist), next-event lookahead
     * (lead), all over ONE per-user window sort: Catalyst collapses same-spec
