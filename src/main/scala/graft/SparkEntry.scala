@@ -108,7 +108,11 @@ object SparkEntry {
       Relational.windowSuite(s, d).orderBy(col("user_id"), col("event_id"))),
     "q46_ship_priority" -> ((s, d) => Relational.shipPriority(s, d)),
     "q47_edit_distance" -> ((s, d) =>
-      Dedup.editDistancePairs(s, d).orderBy(col("doc_a"), col("doc_b")))
+      Dedup.editDistancePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q48_funnel" -> ((s, d) =>
+      Ranges.funnelConversion(s, d).orderBy(col("user_id"))),
+    "q49_mad" -> ((s, d) =>
+      Ranges.madPerSeries(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -684,6 +688,26 @@ object SparkEntry {
         |SELECT p.doc_a, p.doc_b, levenshtein(da.t, db.t) edit_dist,
         | length(da.t) len_a, length(db.t) len_b
         |FROM pairs p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q48_funnel" ->
+      """WITH s AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) e
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id p_user, CAST(floor(epoch(ts)) AS BIGINT) pe
+        |      FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT s.user_id, s.event_id,
+        |           max(CASE WHEN p.p_user IS NOT NULL THEN 1 ELSE 0 END) converted
+        |         FROM s LEFT JOIN p ON p.p_user = s.user_id
+        |           AND p.pe >= s.e AND p.pe <= s.e + 3600
+        |         GROUP BY 1,2)
+        |SELECT user_id, count(*) n_signups,
+        | CAST(sum(converted) AS BIGINT) n_converted,
+        | round(CAST(sum(converted) AS DOUBLE)/count(*)*10000)/10000 conv_rate
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q49_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) m FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.value - med.m) d
+        |        FROM events e JOIN med ON e.event_type = med.event_type)
+        |SELECT event_type, round(quantile_cont(d, 0.5)*10000)/10000 mad, count(*) n
+        |FROM dev GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

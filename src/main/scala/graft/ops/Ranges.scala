@@ -144,6 +144,49 @@ object Ranges {
       )
   }
 
+  /** q48: funnel conversion — for each signup, was there a purchase by the
+    * same user within the attribution window? The range join carries the
+    * user key, so both sides shuffle once on user_id and the time predicate
+    * only runs within a user's own partition — never a time cross-product.
+    */
+  def funnelConversion(spark: SparkSession, sfDir: String, windowSec: Long = 3600L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), epochS(col("ts")).as("e"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("e"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("e").as("pe"))
+    signups
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pe") >= col("e") && col("pe") <= col("e") + windowSec,
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(max(when(col("p_user").isNotNull, 1).otherwise(0)).as("converted"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_signups"),
+        sum(col("converted")).as("n_converted"),
+        r4(sum(col("converted")).cast("double") / count(lit(1))).as("conv_rate"))
+  }
+
+  /** q49: median absolute deviation per series — the robust dispersion
+    * statistic (outlier-insensitive, unlike stddev). Two exact percentile
+    * passes: the per-series median (tiny, broadcast back), then the median
+    * of absolute deviations.
+    */
+  def madPerSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("m"))
+    ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("m")).as("d"))
+      .groupBy(col("event_type"))
+      .agg(
+        r4(expr("percentile(d, 0.5)")).as("mad"),
+        count(lit(1)).as("n"))
+  }
+
   /** q10: dataset schema / component inventory — per-series row counts,
     * cardinalities and value envelopes (schema.py:23-98 infers the schema by
     * scanning files; here it is one aggregate over the data).
