@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DecimalDotExpr
+import graft.functions.{DecimalDotExpr, RollingHashExpr}
 
 /** Engine extension point, wired via `spark.sql.extensions=graft.GraftExtensions`.
   *
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decimal_dot"),
       new ExpressionInfo(classOf[DecimalDotExpr].getName, "decimal_dot"),
       (children: Seq[Expression]) => DecimalDotExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(children.head, children(1))))
   }
 }

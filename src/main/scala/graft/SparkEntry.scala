@@ -112,7 +112,10 @@ object SparkEntry {
     "q48_funnel" -> ((s, d) =>
       Ranges.funnelConversion(s, d).orderBy(col("user_id"))),
     "q49_mad" -> ((s, d) =>
-      Ranges.madPerSeries(s, d).orderBy(col("event_type")))
+      Ranges.madPerSeries(s, d).orderBy(col("event_type"))),
+    // rows-only: native rolling_hash values have no DuckDB counterpart
+    "q50_chunk_overlap" -> ((s, d) =>
+      Dedup.chunkOverlap(s, d).orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -122,6 +122,30 @@ object Dedup {
     finishJaccard(inter, sizes, minJaccard)
   }
 
+  /** q50 (rows-only): chunk-overlap census via the native rolling_hash
+    * expression — two documents sharing any `window`-char run of text share
+    * that window's Rabin–Karp hash, so shared-content detection is the same
+    * inverted-index equi-join as the shingle dedup but at CHARACTER
+    * granularity (catches copied passages that word-level shingles miss
+    * when tokenization differs). Hashes are computed in one O(len) codegen
+    * pass per document; per-doc distinct before the join.
+    */
+  def chunkOverlap(docs: DataFrame, window: Int = 32, minShared: Long = 10L): DataFrame = {
+    val hs = docs
+      .select(col("doc_id"),
+        explode(call_function("rolling_hash", normText(col("text")), lit(window))).as("h"))
+      .distinct()
+    hs.toDF("doc_a", "h")
+      .join(hs.toDF("doc_b", "h"), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .where(col("n_shared_chunks") >= minShared)
+  }
+
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    chunkOverlap(Tables.documents(spark, sfDir))
+
   /** q47: character-level verification of the Jaccard near-dup pairs —
     * exact Levenshtein distance over the candidate pairs only (edit distance
     * is O(len²) per pair, so it NEVER runs on the cross product; the cheap

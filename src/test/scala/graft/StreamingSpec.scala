@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.streaming.EventStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Batch–streaming parity: the SAME windowedAgg plan, driven incrementally
   * through a MemoryStream across multiple micro-batches, must produce the
@@ -41,6 +42,28 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, String, Long, Double)].collect().toSeq
       assert(got === want)
       assert(want.map(_._3).sum === events.size)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches the stream before the windowed agg") {
+    implicit val ctx = spark.sqlContext
+    val tiers = Seq(("click", "cheap"), ("view", "premium")).toDF("event_type", "tier")
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val enriched = EventStream.windowedAgg(
+      mem.toDF().toDF("ts", "event_type", "value")
+        .join(tiers, "event_type")
+        .withColumn("event_type", col("tier")).drop("tier"))
+    val q = enriched.writeStream
+      .format("memory").queryName("tiered").outputMode("complete").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "view", 2.0),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("tiered")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(got === Map("cheap" -> 2L, "premium" -> 1L))
     } finally q.stop()
   }
 
