@@ -115,7 +115,9 @@ object SparkEntry {
       Ranges.madPerSeries(s, d).orderBy(col("event_type"))),
     // rows-only: native rolling_hash values have no DuckDB counterpart
     "q50_chunk_overlap" -> ((s, d) =>
-      Dedup.chunkOverlap(s, d).orderBy(col("doc_a"), col("doc_b")))
+      Dedup.chunkOverlap(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q51_hourly_heatmap" -> ((s, d) =>
+      TimeSeries.hourlyHeatmap(s, d).orderBy(col("dow"), col("hod")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -711,6 +713,13 @@ object SparkEntry {
         |dev AS (SELECT e.event_type, abs(e.value - med.m) d
         |        FROM events e JOIN med ON e.event_type = med.event_type)
         |SELECT event_type, round(quantile_cont(d, 0.5)*10000)/10000 mad, count(*) n
-        |FROM dev GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM dev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_hourly_heatmap" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events)
+        |SELECT CAST((floor(e/86400) + 4) % 7 AS INT) dow,
+        | CAST(floor((e % 86400)/3600) AS INT) hod,
+        | count(*) n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 avg_value
+        |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

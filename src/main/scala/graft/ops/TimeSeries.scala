@@ -238,6 +238,20 @@ object TimeSeries {
       .select(col("user_id"), col("n"), r4(col("num") / col("den")).as("r1"))
   }
 
+  /** q51: day-of-week × hour activity heatmap. Day-of-week is pure epoch
+    * arithmetic ((days since epoch + 4) mod 7; 1970-01-01 was a Thursday) —
+    * engines disagree on dayofweek() numbering, integer arithmetic they
+    * can't. One shuffle onto at most 168 cells.
+    */
+  def hourlyHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(epochS(col("ts")).as("e"), col("value"))
+    ev.groupBy(
+        (pmod(floor(col("e") / 86400L) + 4, lit(7))).cast("int").as("dow"),
+        (floor(pmod(col("e"), lit(86400L)) / 3600L)).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n"), r4(exactAvg(col("value"))).as("avg_value"))
+  }
+
   /** q44: cross-series Pearson correlation matrix — which sensors move
     * together. Series align on 5-minute buckets (exact decimal bucket
     * means), then every series pair joins on the bucket key and correlates
