@@ -55,8 +55,10 @@ object SparkEntry {
       Relational.decorrelatedAgg(s, d).orderBy(col("o_custkey"))),
     "q20_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(s, d).orderBy(col("source"))),
+    // ships the prefix-filtered (AllPairs) path — the 100 TB-safe variant;
+    // DedupSpec asserts it equals the direct inverted-index join
     "q21_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(s, d).orderBy(col("doc_a"), col("doc_b"))),
+      Dedup.ngramJaccardPrefix(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q22_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q23_simhash" -> ((s, d) =>
@@ -113,7 +115,8 @@ object SparkEntry {
       Ranges.funnelConversion(s, d).orderBy(col("user_id"))),
     "q49_mad" -> ((s, d) =>
       Ranges.madPerSeries(s, d).orderBy(col("event_type"))),
-    // rows-only: native rolling_hash values have no DuckDB counterpart
+    // oracle joins on the raw 32-char substrings; hash-join equivalence holds
+    // because rolling_hash is a 61-bit double hash (collisions ~impossible)
     "q50_chunk_overlap" -> ((s, d) =>
       Dedup.chunkOverlap(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q51_hourly_heatmap" -> ((s, d) =>
@@ -714,6 +717,17 @@ object SparkEntry {
         |        FROM events e JOIN med ON e.event_type = med.event_type)
         |SELECT event_type, round(quantile_cont(d, 0.5)*10000)/10000 mad, count(*) n
         |FROM dev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_chunk_overlap" ->
+      """WITH nt AS (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |ix AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) g
+        |       FROM nt WHERE length(t) >= 32),
+        |hs AS (SELECT DISTINCT doc_id, substr(t, g, 32) s FROM ix),
+        |keep AS (SELECT s FROM hs GROUP BY 1 HAVING count(*) <= 1000),
+        |c AS (SELECT doc_id, s FROM hs JOIN keep USING (s))
+        |SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared_chunks
+        |FROM c a JOIN c b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1,2 HAVING count(*) >= 10 ORDER BY 1,2""".stripMargin,
     "q51_hourly_heatmap" ->
       """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events)
         |SELECT CAST((floor(e/86400) + 4) % 7 AS INT) dow,

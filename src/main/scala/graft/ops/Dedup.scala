@@ -66,13 +66,14 @@ object Dedup {
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     exactDedup(Tables.documents(spark, sfDir))
 
-  /** q21: word-3-gram Jaccard near-dup pairs via an inverted-index self-join:
-    * the join key is the shingle, so only documents sharing at least one
-    * shingle ever meet; intersection sizes fall out of a groupBy on the
-    * pair. Right when the shingle DF distribution is benign (small corpora,
-    * constrained vocabularies — measured 4× faster than the prefix variant
-    * on the synthetic corpus). For Zipfian web-scale corpora use
-    * [[ngramJaccardPrefix]], which bounds the candidate set.
+  /** Direct inverted-index Jaccard: the join key is the raw shingle, so only
+    * documents sharing at least one shingle ever meet; intersection sizes
+    * fall out of a groupBy on the pair. Fastest when the shingle DF
+    * distribution is benign (small corpora, constrained vocabularies), but a
+    * single Zipfian stop-shingle produces O(n²) pairs on one join key at web
+    * scale — which is why [[ngramJaccardPrefix]] is the SHIPPED q21/q47 path
+    * and this variant is kept as the cross-validation baseline (DedupSpec
+    * asserts the two produce identical pairs).
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val sh = shingles(docs)
@@ -85,7 +86,8 @@ object Dedup {
     finishJaccard(inter, sizes, minJaccard)
   }
 
-  /** Prefix-filtered variant (AllPairs/ppjoin family) — the 100 TB path.
+  /** q21: prefix-filtered Jaccard (AllPairs/ppjoin family) — the 100 TB path,
+    * and the default shipped by `SparkEntry.queries`.
     *
     * A pair with Jaccard ≥ t must share ≥ ceil(t·n) shingles with each of
     * its members (a partner small enough to dodge that bound cannot reach
@@ -122,21 +124,35 @@ object Dedup {
     finishJaccard(inter, sizes, minJaccard)
   }
 
-  /** q50 (rows-only): chunk-overlap census via the native rolling_hash
-    * expression — two documents sharing any `window`-char run of text share
-    * that window's Rabin–Karp hash, so shared-content detection is the same
-    * inverted-index equi-join as the shingle dedup but at CHARACTER
-    * granularity (catches copied passages that word-level shingles miss
-    * when tokenization differs). Hashes are computed in one O(len) codegen
-    * pass per document; per-doc distinct before the join.
+  /** q50: chunk-overlap census via the native rolling_hash expression — two
+    * documents sharing any `window`-char run of text share that window's
+    * Rabin–Karp hash (a 61-bit double hash, see
+    * [[graft.functions.RollingHash]]), so shared-content detection is the
+    * same inverted-index equi-join as the shingle dedup but at CHARACTER
+    * granularity (catches copied passages that word-level shingles miss when
+    * tokenization differs). Hashes are computed in one O(len) codegen pass
+    * per document; per-doc distinct before the join.
+    *
+    * `maxDf` caps the document frequency of any join key: a window hash
+    * occurring in more than `maxDf` documents is corpus boilerplate (license
+    * headers, templates) that carries no pairwise dedup signal but would
+    * contribute O(df²) join pairs on a single key — the classic 100 TB
+    * scale-killer for inverted-index self-joins. The cap bounds per-key join
+    * fan-out at maxDf² regardless of corpus size.
     */
-  def chunkOverlap(docs: DataFrame, window: Int = 32, minShared: Long = 10L): DataFrame = {
+  def chunkOverlap(docs: DataFrame, window: Int = 32, minShared: Long = 10L,
+                   maxDf: Int = 1000): DataFrame = {
     val hs = docs
       .select(col("doc_id"),
         explode(call_function("rolling_hash", normText(col("text")), lit(window))).as("h"))
       .distinct()
-    hs.toDF("doc_a", "h")
-      .join(hs.toDF("doc_b", "h"), Seq("h"))
+    // hs is distinct (doc_id, h), so count(*) per h IS the document frequency
+    val keep = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("h"))
+    val capped = hs.join(keep, "h")
+    capped.toDF("h", "doc_a")
+      .join(capped.toDF("h", "doc_b"), Seq("h"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_chunks"))
@@ -152,7 +168,7 @@ object Dedup {
     * set-based join picks the pairs, the expensive string metric confirms).
     */
   def editDistancePairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(docs, minJaccard).select(col("doc_a"), col("doc_b"))
+    val pairs = ngramJaccardPrefix(docs, minJaccard).select(col("doc_a"), col("doc_b"))
     val texts = docs.select(col("doc_id"), normText(col("text")).as("t"))
     pairs
       .join(texts.toDF("doc_a", "ta"), "doc_a")
@@ -178,6 +194,9 @@ object Dedup {
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccard(Tables.documents(spark, sfDir))
+
+  def ngramJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPrefix(Tables.documents(spark, sfDir))
 
   /** q22: MinHash + LSH banding. k=12 salted-md5 hash functions; the MinHash
     * for salt i is the lexicographically smallest md5("i:" + shingle) over
