@@ -171,20 +171,21 @@ object Ranges {
   }
 
   /** q49: median absolute deviation per series — the robust dispersion
-    * statistic (outlier-insensitive, unlike stddev). Two exact percentile
-    * passes: the per-series median (tiny, broadcast back), then the median
-    * of absolute deviations.
+    * statistic (outlier-insensitive, unlike stddev). Two exact median
+    * passes through [[Percentiles.exactQuantiles]] (count-and-locate, so no
+    * task buffers a whole group): the per-series median (tiny, broadcast
+    * back), then the median of absolute deviations.
     */
   def madPerSeries(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("m"))
-    ev.join(broadcast(med), "event_type")
+    val med = Percentiles.exactQuantiles(ev, "event_type", "value", Seq("m" -> 0.5))
+      .select(col("event_type"), col("qv").as("m"))
+    val dev = ev.join(broadcast(med), "event_type")
       .select(col("event_type"), abs(col("value") - col("m")).as("d"))
-      .groupBy(col("event_type"))
-      .agg(
-        r4(expr("percentile(d, 0.5)")).as("mad"),
-        count(lit(1)).as("n"))
+    val mad = Percentiles.exactQuantiles(dev, "event_type", "d", Seq("mad" -> 0.5))
+      .select(col("event_type"), r4(col("qv")).as("mad"))
+    mad.join(
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n")), "event_type")
   }
 
   /** q10: dataset schema / component inventory — per-series row counts,

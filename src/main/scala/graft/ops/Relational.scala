@@ -87,18 +87,23 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
   }
 
-  /** q34: exact percentiles per group — Catalyst's `percentile` aggregate
-    * (single shuffle, sort-based per group). Linear interpolation at
-    * p·(n−1), the same R-7 definition DuckDB's quantile_cont uses.
+  /** q34: exact percentiles per group via [[Percentiles.exactQuantiles]] —
+    * the two-pass count-and-locate plan. Same R-7 interpolation as Catalyst's
+    * `percentile` and DuckDB's quantile_cont, but no task ever buffers a
+    * whole group (Catalyst's exact `percentile` holds every value of a group
+    * in ONE aggregation buffer — with ~5 event types that's the whole table
+    * in 5 tasks at 100×).
     */
   def percentileSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir)
-      .select(col("event_type"), col("value"))
-      .groupBy(col("event_type"))
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val qv = Percentiles.exactQuantiles(
+      ev, "event_type", "value", Seq("p50" -> 0.5, "p90" -> 0.9))
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    qv.groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        count(lit(1)).as("n"))
+        round(min(when(col("qname") === "p50", col("qv"))), 4).as("p50"),
+        round(min(when(col("qname") === "p90", col("qv"))), 4).as("p90"))
+      .join(n, "event_type")
   }
 
   /** q35: multi-level rollup (region → nation → grand total) in one pass —
