@@ -176,11 +176,11 @@ object SparkEntry {
         | FROM ev JOIN st ON ev.event_type = st.event_type CROSS JOIN sp),
         |counts AS (SELECT event_type, phase, bin, count(*) c FROM binned GROUP BY 1,2,3),
         |totals AS (SELECT event_type, phase, CAST(sum(c) AS BIGINT) total FROM counts GROUP BY 1,2),
-        |grid AS (SELECT st.event_type, gs.g AS bin, ph.phase
+        |grid AS (SELECT st.event_type, st.width, gs.g AS bin, ph.phase
         |         FROM st, generate_series(0,19) gs(g),
         |              (SELECT 'u' AS phase UNION ALL SELECT 'v') ph),
         |dens AS (SELECT g.event_type, g.phase, g.bin,
-        |           coalesce(CAST(c.c AS DOUBLE)/t.total, 0.0) d
+        |           coalesce(CAST(c.c AS DOUBLE)/t.total/g.width, 0.0) d
         |         FROM grid g
         |         LEFT JOIN counts c ON g.event_type=c.event_type AND g.phase=c.phase AND g.bin=c.bin
         |         LEFT JOIN totals t ON g.event_type=t.event_type AND g.phase=t.phase),

@@ -152,6 +152,37 @@ object Equipment {
       Seq("component", "split_start"), "left_anti")
   }
 
+  /** Read a labels CSV — the reference's headerless two-column
+    * (start, end) timestamp file (evaluation.py:161-187, get_labels) — into
+    * the (range_start, range_end) epoch-second ranges frame that
+    * [[rangesToFlags]] / [[rankSensors]] consume, in chronological order.
+    */
+  def readLabels(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("start TIMESTAMP, end TIMESTAMP")
+      .csv(path)
+      .select(
+        unix_timestamp(col("start")).as("range_start"),
+        unix_timestamp(col("end")).as("range_end"))
+      .orderBy(col("range_start"))
+
+  /** Keep only the sensors named in `fieldMap` (component → sensor names) —
+    * the reference's set_subset_schema (model.py:210-223), which trains a
+    * model on a subset of the ingested signals. On the long format this is a
+    * single predicate the scan can push down; "Timestamp" entries in the map
+    * (part of the reference's schema vocabulary) are ignored.
+    */
+  def setSubsetSchema(long: DataFrame, fieldMap: Map[String, Seq[String]]): DataFrame = {
+    val keep = fieldMap.toSeq
+      .flatMap { case (comp, fields) =>
+        fields.filterNot(_.equalsIgnoreCase("Timestamp")).map(s => (comp, s))
+      }
+    long.where(
+      keep.map { case (c, s) => col("component") === c && col("sensor") === s }
+        .reduceOption(_ || _)
+        .getOrElse(lit(false)))
+  }
+
   /** Per-point anomaly flags: 0 normal, 1 inside a predicted range, 2 inside
     * a known (labelled) range — known wins, matching the reference's
     * evaluation overlay. Ranges are (range_start, range_end) epoch seconds
@@ -223,15 +254,20 @@ object Equipment {
     val totals = counts.groupBy(col("component"), col("sensor"), col("phase"))
       .agg(sum(col("c")).as("total"))
     val grid = stats
-      .select(col("component"), col("sensor"),
+      .select(col("component"), col("sensor"), col("width"),
         explode(sequence(lit(0L), lit(numBins - 1L))).as("bin"))
       .crossJoin(broadcast(
         long.sparkSession.range(1).select(explode(array(lit("u"), lit("v"))).as("phase"))))
+    // np.histogram(density=True): count / total / bin width, so scores are
+    // comparable across sensors with different value envelopes; a constant
+    // sensor (width 0) keeps the plain ratio — its u/v densities are
+    // identical either way, giving the intended score 0 instead of NaN
     val dens = grid
       .join(counts, Seq("component", "sensor", "phase", "bin"), "left_outer")
       .join(totals, Seq("component", "sensor", "phase"), "left_outer")
       .select(col("component"), col("sensor"), col("phase"), col("bin"),
-        coalesce(col("c").cast("double") / col("total"), lit(0.0)).as("d"))
+        coalesce(col("c").cast("double") / col("total") /
+          when(col("width") === 0, lit(1.0)).otherwise(col("width")), lit(0.0)).as("d"))
     val sortW = Window.partitionBy(col("component"), col("sensor"), col("phase"))
       .orderBy(col("d"), col("bin"))
     val ranked = dens.withColumn("pos", row_number().over(sortW))
@@ -252,11 +288,13 @@ object Equipment {
 
   /** Scheduler time-bucket arithmetic (scheduler.py:139-170): for a wakeup
     * at `now` with `frequencyMin`-minute scheduling, the inference input
-    * window is the latest fully-elapsed bucket.
+    * window is the CURRENT bucket: start_time = now floored to the bucket,
+    * end_time = start_time + frequency − 1 s (scheduler.py start_time /
+    * end_time arithmetic, inclusive end).
     */
   def nextTimeRange(now: Timestamp, frequencyMin: Int): (Timestamp, Timestamp) = {
     val freqMs = frequencyMin * 60000L
     val bucketStart = now.getTime / freqMs * freqMs
-    (new Timestamp(bucketStart - freqMs), new Timestamp(bucketStart))
+    (new Timestamp(bucketStart), new Timestamp(bucketStart + freqMs - 1000L))
   }
 }

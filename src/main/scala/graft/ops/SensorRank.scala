@@ -65,8 +65,13 @@ object SensorRank {
 
     // Dense (signal × phase × bin) grid so empty bins contribute density 0.
     val grid = stats
-      .select(col("event_type"), explode(sequence(lit(0L), lit(NumBins - 1L))).as("bin"))
+      .select(col("event_type"), col("width"),
+        explode(sequence(lit(0L), lit(NumBins - 1L))).as("bin"))
       .crossJoin(spark.range(1).select(explode(array(lit("u"), lit("v"))).as("phase")))
+    // np.histogram(density=True) semantics: count / total / bin width — the
+    // width term makes scores comparable ACROSS sensors with different value
+    // envelopes (without it, small-range sensors are systematically
+    // under-ranked relative to the reference's wasserstein_distance input)
     val densities = grid
       .join(counts, Seq("event_type", "phase", "bin"), "left_outer")
       .join(totals, Seq("event_type", "phase"), "left_outer")
@@ -74,7 +79,7 @@ object SensorRank {
         col("event_type"),
         col("phase"),
         col("bin"),
-        coalesce(col("c").cast("double") / col("total"), lit(0.0)).as("d")
+        coalesce(col("c").cast("double") / col("total") / col("width"), lit(0.0)).as("d")
       )
 
     // Wasserstein between two equal-length vectors = mean |sorted u - sorted v|.

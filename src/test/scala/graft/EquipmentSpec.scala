@@ -92,6 +92,31 @@ class EquipmentSpec extends SparkSpec {
     assert(top === "s1") // s1's distribution shifts inside the anomaly, s2 is flat
   }
 
+  test("rankSensors density divides by bin width (np.histogram density=True parity)") {
+    // Two sensors whose value envelopes differ 100×. The narrow sensor's
+    // count-shape shift is the LARGER one after density normalization
+    // (1/width dominates), while raw count/total ratios would rank the wide
+    // sensor first — the reference feeds np.histogram(density=True) into
+    // wasserstein_distance, so the narrow sensor must win.
+    val t0 = "2024-01-01 00:"
+    def rows(sensor: String, minute: Int, v: Double, n: Int) =
+      (0 until n).map(i => ("pump", sensor, ts(f"$t0$minute%02d:$i%02d"), v))
+    val data = (
+      // narrow [0,1]: normal 5×0 + 5×1, anomalous 7×0 + 3×1
+      rows("narrow", 0, 0.0, 5) ++ rows("narrow", 1, 1.0, 5) ++
+        rows("narrow", 10, 0.0, 7) ++ rows("narrow", 11, 1.0, 3) ++
+        // wide [0,100]: normal 5×0 + 5×100, anomalous 10×0 (stronger count shift)
+        rows("wide", 0, 0.0, 5) ++ rows("wide", 1, 100.0, 5) ++
+        rows("wide", 10, 0.0, 10)
+      ).toDF("component", "sensor", "ts", "value")
+    val t10 = ts("2024-01-01 00:10:00").getTime / 1000
+    val t19 = ts("2024-01-01 00:19:00").getTime / 1000
+    val anomalies = Seq((t10, t19)).toDF("range_start", "range_end")
+    val ranked = Equipment.rankSensors(data, anomalies)
+      .orderBy($"rank").select("sensor").as[String].collect()
+    assert(ranked.toSeq === Seq("narrow", "wide"))
+  }
+
   test("generateReplayData shifts a history slice onto a new clock") {
     val replay = Equipment.generateReplayData(
       long, ts("2024-01-01 00:05:00"), ts("2025-06-01 00:00:00"), "PT5M", replayDays = 1)
@@ -108,9 +133,47 @@ class EquipmentSpec extends SparkSpec {
     assert(empty.count() === 285)
   }
 
-  test("nextTimeRange returns the latest fully-elapsed bucket") {
+  test("nextTimeRange returns the current bucket with inclusive end (scheduler.py parity)") {
     val (s, e) = Equipment.nextTimeRange(ts("2024-01-01 10:07:30"), 5)
-    assert(s === ts("2024-01-01 10:00:00"))
-    assert(e === ts("2024-01-01 10:05:00"))
+    assert(s === ts("2024-01-01 10:05:00"))
+    assert(e === ts("2024-01-01 10:09:59"))
+  }
+
+  test("readLabels: headerless CSV -> flags -> rank round-trip (known=2 wins)") {
+    // the reference's labels file: two headerless timestamp columns
+    val dir = java.nio.file.Files.createTempDirectory("labels").toFile
+    val f = new java.io.File(dir, "labels.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("2024-01-01 00:12:00,2024-01-01 00:15:00")
+    w.println("2024-01-01 00:04:00,2024-01-01 00:06:00")
+    w.close()
+    val known = Equipment.readLabels(spark, f.getAbsolutePath)
+    val got = known.as[(Long, Long)].collect().toSeq
+    val e0 = ts("2024-01-01 00:04:00").getTime / 1000
+    assert(got.head === ((e0, e0 + 120))) // chronological order
+    assert(got.size === 2)
+
+    // flags: predicted overlaps minutes 13..16; known wins inside 12..15
+    val predicted = Seq((ts("2024-01-01 00:13:00").getTime / 1000,
+      ts("2024-01-01 00:16:00").getTime / 1000)).toDF("range_start", "range_end")
+    val flags = Equipment.rangesToFlags(long, predicted, known)
+    val byMin = flags.where($"sensor" === "s1")
+      .select((($"ts_epoch" - ts("2024-01-01 00:00:00").getTime / 1000) / 60).cast("long"), $"flag")
+      .as[(Long, Int)].collect().toMap
+    assert(byMin(4) === 2 && byMin(5) === 2 && byMin(6) === 2) // known range
+    assert(byMin(13) === 2 && byMin(15) === 2)                 // overlap: known wins
+    assert(byMin(16) === 1)                                    // predicted only
+    assert(byMin(0) === 0 && byMin(11) === 0)
+
+    // and the ranges feed rankSensors directly
+    val ranked = Equipment.rankSensors(long, known)
+    assert(ranked.count() === 2)
+  }
+
+  test("setSubsetSchema keeps only the mapped sensors") {
+    val sub = Equipment.setSubsetSchema(long,
+      Map("pump" -> Seq("Timestamp", "s2"), "ghost" -> Seq("sX")))
+    assert(sub.select("sensor").distinct().as[String].collect().toSeq === Seq("s2"))
+    assert(sub.count() === 20)
   }
 }
