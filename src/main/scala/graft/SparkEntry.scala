@@ -91,7 +91,9 @@ object SparkEntry {
       TextAnalysis.heavyHitters(s, d).orderBy(col("lang"), col("rn"))),
     "q37_event_pivot" -> ((s, d) =>
       Relational.eventPivot(s, d).orderBy(col("user_id"))),
-    // rows-only: HLL estimates aren't portable across engines (no oracleSql)
+    // self-validating: estimate values aren't cross-engine portable, so the
+    // output carries exact counts + a sketch-within-tolerance assertion the
+    // oracle checks (it expects sketch_ok = true)
     "q38_sketch_distinct" -> ((s, d) =>
       Sketches.sketchDistinct(s, d).orderBy(col("event_type"))),
     "q39_simhash_pairs" -> ((s, d) =>
@@ -536,6 +538,10 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
         | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) n_view,
         | count(*) n_total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) exact_users, count(*) n,
+        | true AS sketch_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_simhash_pairs" ->
       """WITH d AS (SELECT doc_id,

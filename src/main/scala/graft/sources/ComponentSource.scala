@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, NumericType, StructType, TimestampType}
+import org.apache.spark.sql.types.{NumericType, StructType, TimestampType}
 
 /** Component-tree sensor ingestion.
   *
@@ -64,22 +64,44 @@ object ComponentSource {
     }
 
   /** All components as one long-format DataFrame:
-    * (component, sensor, ts, value). The unpivot is a map-side transform —
-    * no shuffle; each input split yields its own long rows.
+    * (component, sensor, ts, value).
+    *
+    * ONE text scan over `root/&#47;*&#47;` — the plan is O(1) in the component
+    * count (a per-directory union adds a plan node per component: fine at
+    * 10, pathological at 10,000). The per-component column inventory comes
+    * from the driver-side [[inferSchema]] pass (metadata, not data) and
+    * joins in as a broadcast dimension keyed on the component name derived
+    * from each file's path; the unpivot is then one generic
+    * parse-and-explode — map-side, no shuffle, each input split yields its
+    * own long rows. Sensor CSVs are unquoted numeric columns, so the
+    * line-level split is an exact CSV parse here; header lines fall out as
+    * failed timestamp parses.
     */
   def readLong(spark: SparkSession, root: String,
                timestampCol: String = "Timestamp"): DataFrame = {
-    val parts = componentDirs(spark, root).map { dir =>
-      val wide = readComponent(spark, dir.toString)
-      val sensorCols = wide.schema.fields
-        .filter(f => f.name != timestampCol && f.dataType.isInstanceOf[NumericType])
-        .map(_.name)
-      wide
-        .select(col(timestampCol).cast(TimestampType).as("ts") +:
-          sensorCols.map(c => col(c).cast(DoubleType)): _*)
-        .unpivot(Array(col("ts")), sensorCols.map(col), "sensor", "value")
-        .select(lit(dir.getName).as("component"), col("sensor"), col("ts"), col("value"))
-    }
-    parts.reduce(_ unionByName _)
+    import spark.implicits._
+    // (component, ts column position, [(sensor name, column position), ...])
+    val meta = inferSchema(spark, root).map { sp =>
+      val tsIdx = sp.columns.indexWhere(_.name == timestampCol)
+      val sensors = sp.columns.zipWithIndex.collect {
+        case (c, i) if i != tsIdx && c.dtype == "DOUBLE" => (c.name, i)
+      }
+      (sp.name, tsIdx, sensors)
+    }.toDF("component", "ts_idx", "sensors")
+
+    spark.read.text(s"$root/*/")
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("component"),
+        split(col("value"), ",").as("f"))
+      .join(broadcast(meta), "component")
+      .withColumn("ts",
+        try_to_timestamp(element_at(col("f"), col("ts_idx") + 1),
+          lit("yyyy-MM-dd HH:mm:ss")))
+      .where(col("ts").isNotNull) // header lines (and malformed rows) drop here
+      .select(col("component"), col("ts"), explode(col("sensors")).as("sv"), col("f"))
+      .select(col("component"), col("sv._1").as("sensor"), col("ts"),
+        // try_cast: malformed numeric cells become null (the CSV reader's
+        // permissive behavior), not an ANSI runtime error
+        expr("try_cast(element_at(f, sv._2 + 1) AS DOUBLE)").as("value"))
   }
 }
