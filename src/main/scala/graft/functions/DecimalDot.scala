@@ -24,9 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Registered as SQL function `decimal_dot` by [[graft.GraftExtensions]]
   * (SparkSessionExtensions.injectFunction).
   *
-  * Bounds: each |product| must be < 1 (scaled to < 1e16) and the dimension
-  * small enough that the scaled sum stays under Long.MaxValue (~9.2e18) —
-  * holds for unit-scale embeddings up to ~900 dims.
+  * The fast path accumulates in one long, which holds whenever each
+  * |product| < ~922 (scaled to < Long range) and the running sum stays
+  * under ~9.2e18 — true for unit-scale embeddings up to ~900 dims. Both
+  * conditions are CHECKED (Math.addExact / longValueExact), and overflow
+  * falls back to exact BigInteger accumulation instead of silently
+  * truncating, so out-of-range inputs still return the right answer.
   */
 case class DecimalDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -55,20 +58,46 @@ case class DecimalDotExpr(left: Expression, right: Expression)
 
 object DecimalDot {
   /** Called from generated code — keep it a static-reachable object method. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  def dot(a: ArrayData, b: ArrayData): Double =
+    try dotLong(a, b)
+    catch { case _: ArithmeticException => dotBig(a, b) }
+
+  /** Fast path: one long accumulator, overflow-checked. addExact is a JIT
+    * intrinsic (a jo branch), so the check is free on in-range data.
+    */
+  private def dotLong(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
       val p = a.getDouble(i) * b.getDouble(i)
       if (p != 0.0) {
-        acc += new java.math.BigDecimal(p)
-          .setScale(16, java.math.RoundingMode.HALF_UP)
-          .unscaledValue().longValue()
+        acc = Math.addExact(
+          acc,
+          new java.math.BigDecimal(p)
+            .setScale(16, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact())
       }
       i += 1
     }
     new java.math.BigDecimal(java.math.BigInteger.valueOf(acc), 16).doubleValue()
+  }
+
+  /** Exact fallback for inputs past the long fast-path bounds. */
+  private def dotBig(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = java.math.BigInteger.ZERO
+    var i = 0
+    while (i < n) {
+      val p = a.getDouble(i) * b.getDouble(i)
+      if (p != 0.0) {
+        acc = acc.add(new java.math.BigDecimal(p)
+          .setScale(16, java.math.RoundingMode.HALF_UP)
+          .unscaledValue())
+      }
+      i += 1
+    }
+    new java.math.BigDecimal(acc, 16).doubleValue()
   }
 
   /** Column-API entry point — resolves through the session's function

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-audit regression gate: the invariants a human would check by reading
+  * the Explain dump, promoted to assertions so a future change that degrades
+  * a plan (lost pushdown, a dimension join falling back to sort-merge, an
+  * accidental cartesian product) fails `sbt test` instead of needing a
+  * 50-plan re-read.
+  *
+  * Plans are only ANALYZED + physically planned, never executed — the whole
+  * suite costs seconds.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+    }
+
+  test("every query plan builds") {
+    assert(plans.size === SparkEntry.queries.size)
+  }
+
+  test("no unintentional cartesian product anywhere") {
+    // BroadcastNestedLoopJoin against a broadcast probe/centroid set is a
+    // deliberate design in the similarity queries; a CartesianProduct node
+    // (both sides unbroadcast) is never acceptable.
+    for ((name, plan) <- plans)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a CartesianProduct")
+  }
+
+  test("star-schema dimension joins broadcast, never sort-merge") {
+    val plan = plans("q15_region_rollup")
+    assert(!plan.contains("SortMergeJoin"),
+      "region rollup fell back to SortMergeJoin for a dimension join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "expected >=3 broadcast joins in lineitem x supplier x nation x region")
+  }
+
+  test("aggregation queries keep map-side partial aggregation") {
+    val plan = plans("q13_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "pricing summary lost its partial (map-side) aggregate")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val plan = plans("q13_pricing_summary")
+    assert(!plan.contains("l_comment"),
+      "pricing summary scan reads l_comment — projection not pruned")
+  }
+
+  test("filters push into the parquet scan") {
+    val plan = plans("q46_ship_priority")
+    assert(plan.contains("PushedFilters: ["), "no pushed-filter section")
+    assert(!plan.contains("PushedFilters: []"),
+      "ship priority pushed no filters to parquet")
+  }
+
+  test("whole-stage codegen covers the relational core") {
+    // The AQE wrapper hides codegen spans until execution; the static plan
+    // (AQE off) shows them. Scoped conf flip, restored in finally.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q13_pricing_summary", "q14_top_revenue",
+                       "q16_window_topn", "q45_window_suite")) {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(FormattedMode)
+        assert(plan.contains("codegen id"),
+          s"$name has no whole-stage-codegen span (no [codegen id : N] marker)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
