@@ -122,7 +122,15 @@ object SparkEntry {
     "q50_chunk_overlap" -> ((s, d) =>
       Dedup.chunkOverlap(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q51_hourly_heatmap" -> ((s, d) =>
-      TimeSeries.hourlyHeatmap(s, d).orderBy(col("dow"), col("hod")))
+      TimeSeries.hourlyHeatmap(s, d).orderBy(col("dow"), col("hod"))),
+    "q52_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(s, d).orderBy(col("doc_id"))),
+    "q53_repetition_filters" -> ((s, d) =>
+      TextAnalysis.repetitionFilters(s, d).orderBy(col("doc_id"))),
+    "q54_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(s, d).orderBy(col("doc_id"))),
+    "q55_seq_packing" -> ((s, d) =>
+      Curation.seqPacking(s, d).orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -740,6 +748,81 @@ object SparkEntry {
         | CAST(floor((e % 86400)/3600) AS INT) hod,
         | count(*) n,
         | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)*10000)/10000 avg_value
-        |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // q22's pair CTEs + recursive min-label closure. The r.comp < e.v prune
+    // keeps the recursion linear: a label only travels to nodes above it,
+    // and the component min (below every member) is never pruned.
+    "q52_dup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a u, doc_b v FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.comp < e.v),
+        |cc AS (SELECT node, min(comp) comp FROM reach GROUP BY 1)
+        |SELECT node AS doc_id, comp AS cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size,
+        |       node = comp AS is_canonical
+        |FROM cc ORDER BY doc_id""".stripMargin,
+    "q53_repetition_filters" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_words,
+        |                CAST(len(list_distinct(w)) AS BIGINT) uniq_words FROM d),
+        |bgx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) g
+        |        FROM d WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, w[g]||' '||w[g+1] bg, count(*) c FROM bgx GROUP BY 1,2),
+        |top AS (SELECT doc_id, bg top_bigram, c top_bigram_n FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) rn
+        |         FROM bc) WHERE rn = 1)
+        |SELECT b.doc_id, n_words, uniq_words,
+        |  round((1 - CAST(uniq_words AS DOUBLE)/n_words)*10000)/10000 word_rep_frac,
+        |  top_bigram, CAST(top_bigram_n AS BIGINT) top_bigram_n,
+        |  round(top_bigram_n*2.0/n_words*10000)/10000 top2gram_frac,
+        |  ((1 - CAST(uniq_words AS DOUBLE)/n_words) <= 0.7
+        |   AND top_bigram_n*2.0/n_words <= 0.18) keep
+        |FROM base b JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q54_stratified_sample" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |            md5('samp:'||CAST(doc_id AS VARCHAR)) h FROM documents),
+        |u AS (SELECT doc_id, lang,
+        |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT) u24,
+        |  CASE WHEN lang = 'en' THEN 0.4 ELSE 1.0 END rate FROM s)
+        |SELECT doc_id, lang, u24 FROM u
+        |WHERE u24 < rate * 16777216.0 ORDER BY doc_id""".stripMargin,
+    "q55_seq_packing" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) n_tok
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) tok_start
+        |      FROM d)
+        |SELECT doc_id, n_tok, tok_start,
+        |  tok_start // 256 start_window,
+        |  (tok_start + n_tok - 1) // 256 end_window,
+        |  (tok_start + n_tok - 1) // 256 - tok_start // 256 + 1 n_windows,
+        |  ((tok_start + n_tok - 1) // 256 > tok_start // 256) fragmented
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators: deterministic stratified sampling (language
+  * rebalancing) and sequence-packing statistics — the steps between "cleaned
+  * corpus" and "token stream a trainer reads".
+  */
+object Curation {
+
+  /** q54: deterministic stratified sampling — downsample over-represented
+    * strata (here: languages) with a per-stratum keep rate. The keep
+    * decision is a pure function of the row key: u = first 24 bits of
+    * md5("samp:" + doc_id) as a uniform integer in [0, 2^24), kept iff
+    * u < rate * 2^24. No rand(): re-running, retrying a task, or running on
+    * another engine selects the SAME sample (the md5-hex → integer
+    * arithmetic is portable; see SURVEY §3), and sampling composes with
+    * incremental ingestion — a doc's fate never depends on what else is in
+    * the batch. One narrow projection + filter, no shuffle at all.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: Map[String, Double] = Map("en" -> 0.4),
+      defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .where(col("u24") < rate * lit(16777216.0))
+      .select(col("doc_id"), col("lang"), col("u24"))
+  }
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, sfDir))
+
+  /** q55: sequence-packing census under concat-then-chunk packing (the
+    * GPT-style batch layout: concatenate all documents in doc_id order into
+    * one token stream, cut it into fixed windows of `windowTokens`). Reports
+    * each document's window span and whether a window boundary fragments it
+    * — the corpus-level fragmentation rate drives the choice of context
+    * length vs document length distribution.
+    *
+    * The global running token offset is NOT a single-partition global
+    * window: documents get coarse ordered buckets (doc_id div bucketWidth);
+    * per-bucket token totals (one small agg) are prefix-summed and the
+    * offsets broadcast back, so the cumulative sum is per-bucket local work
+    * plus an O(n_buckets) side table — the classic two-pass distributed
+    * prefix sum. Size bucketWidth ~ sqrt(corpus) so both passes stay wide.
+    */
+  def seqPacking(
+      docs: DataFrame,
+      windowTokens: Int = 256,
+      bucketWidth: Int = 64): DataFrame = {
+    val d = docs.select(
+      col("doc_id"),
+      size(split(Dedup.normText(col("text")), " ")).cast("long").as("n_tok"),
+      expr(s"doc_id div $bucketWidth").as("bucket"))
+    val offsets = d
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .withColumn("offset",
+        coalesce(
+          sum(col("tot")).over(
+            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val local = d.withColumn("local",
+      sum(col("n_tok")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("local", coalesce(col("local"), lit(0L)))
+    local
+      .join(broadcast(offsets), "bucket")
+      .withColumn("tok_start", col("offset") + col("local"))
+      .withColumn("start_window", expr(s"tok_start div $windowTokens"))
+      .withColumn("end_window", expr(s"(tok_start + n_tok - 1) div $windowTokens"))
+      .select(
+        col("doc_id"), col("n_tok"), col("tok_start"),
+        col("start_window"), col("end_window"),
+        (col("end_window") - col("start_window") + 1).as("n_windows"),
+        (col("end_window") > col("start_window")).as("fragmented"))
+  }
+
+  def seqPacking(spark: SparkSession, sfDir: String): DataFrame =
+    seqPacking(Tables.documents(spark, sfDir))
+}

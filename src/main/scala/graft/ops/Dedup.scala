@@ -339,4 +339,28 @@ object Dedup {
 
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     embedNearDup(Tables.embeddings(spark, sfDir))
+
+  /** q52: duplicate CLUSTERS from the MinHash-LSH candidate pairs — the
+    * stage that makes pairwise dedup actionable. Pairs only say "a looks
+    * like b"; transitive closure groups them into components, the min doc_id
+    * becomes the cluster's canonical representative, and a keep-one filter
+    * can then drop `cluster_size - 1` rows per cluster. Runs
+    * [[Graph.connectedComponents]] (one shuffle per round, diameter-bounded
+    * rounds) over the band-collision edges; cluster sizes come from one
+    * more groupBy, broadcast back onto members.
+    */
+  def dupClusters(docs: DataFrame): DataFrame = {
+    val pairs = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+    val cc = Graph.connectedComponents(pairs)
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "comp")
+      .select(
+        col("id").as("doc_id"),
+        col("comp").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+  }
+
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClusters(Tables.documents(spark, sfDir))
 }

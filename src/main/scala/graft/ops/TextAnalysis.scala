@@ -142,4 +142,51 @@ object TextAnalysis {
 
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     fingerprint(Tables.documents(spark, sfDir))
+
+  /** q53: Gopher-style repetition filters per document — the quality gates a
+    * training-data pipeline applies before a corpus reaches a tokenizer
+    * (Rae et al. 2021, "Scaling Language Models", table A1 vocabulary):
+    * repeated-word fraction (1 − distinct/total) and the fraction of the
+    * document covered by its single most frequent bigram, plus the keep/drop
+    * decision at Gopher-ish thresholds.
+    *
+    * Shape: the per-doc counts are a projection (no shuffle); the top bigram
+    * is an explode → (doc, bigram) count → per-doc argmax. The argmax window
+    * partitions by doc_id — at 100 TB that's millions of independent
+    * small partitions, the benign kind of window. Ties break
+    * lexicographically so the answer is engine-independent.
+    */
+  def repetitionFilters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("w"))
+    val base = d.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("uniq_words"))
+    val bigrams = d
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"
+        )).as("bg"))
+    val top = bigrams
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("bg"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"), col("c").as("top_bigram_n"))
+    base.join(top, "doc_id")
+      .withColumn("rep_raw", lit(1.0) - col("uniq_words").cast("double") / col("n_words"))
+      .withColumn("top2_raw", col("top_bigram_n") * lit(2.0) / col("n_words"))
+      .select(
+        col("doc_id"), col("n_words"), col("uniq_words"),
+        (round(col("rep_raw") * 10000) / 10000).as("word_rep_frac"),
+        col("top_bigram"), col("top_bigram_n"),
+        (round(col("top2_raw") * 10000) / 10000).as("top2gram_frac"),
+        (col("rep_raw") <= 0.7 && col("top2_raw") <= 0.18).as("keep"))
+  }
+
+  def repetitionFilters(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionFilters(Tables.documents(spark, sfDir))
 }
