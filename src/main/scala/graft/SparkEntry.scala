@@ -130,7 +130,11 @@ object SparkEntry {
     "q54_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(s, d).orderBy(col("doc_id"))),
     "q55_seq_packing" -> ((s, d) =>
-      Curation.seqPacking(s, d).orderBy(col("doc_id")))
+      Curation.seqPacking(s, d).orderBy(col("doc_id"))),
+    "q56_centroid_quality" -> ((s, d) =>
+      Similarity.centroidQuality(s, d).orderBy(col("label"))),
+    "q57_zipf_slope" -> ((s, d) =>
+      TextAnalysis.zipfSlope(s, d).orderBy(col("lang")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -823,6 +827,49 @@ object SparkEntry {
         |  (tok_start + n_tok - 1) // 256 end_window,
         |  (tok_start + n_tok - 1) // 256 - tok_start // 256 + 1 n_windows,
         |  ((tok_start + n_tok - 1) // 256 > tok_start // 256) fragmented
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q56_centroid_quality" ->
+      """WITH e AS (SELECT vec_id, label,
+        |            list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |ix AS (SELECT vec_id, label, v, unnest(generate_series(1, len(v))) i FROM e),
+        |xx AS (SELECT vec_id, label, i, v[i] x FROM ix),
+        |cent AS (SELECT label, i,
+        |           CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/count(*) c
+        |         FROM xx GROUP BY 1,2),
+        |d AS (SELECT xx.vec_id, xx.label,
+        |        CAST(sum(CAST(xx.x*xx.x AS DECIMAL(18,16))) AS DOUBLE) dvv,
+        |        CAST(sum(CAST(xx.x*cent.c AS DECIMAL(18,16))) AS DOUBLE) dvc
+        |      FROM xx JOIN cent ON xx.label = cent.label AND xx.i = cent.i
+        |      GROUP BY 1,2),
+        |cc AS (SELECT label, CAST(sum(CAST(c*c AS DECIMAL(18,16))) AS DOUBLE) dcc
+        |       FROM cent GROUP BY 1),
+        |d2 AS (SELECT d.label, (dvv - 2.0*dvc + dcc) d2 FROM d JOIN cc USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) n_vecs,
+        |  round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE)/count(*)*10000)/10000 avg_sqdist,
+        |  round(max(d2)*10000)/10000 max_sqdist
+        |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_zipf_slope" ->
+      """WITH t AS (SELECT lang, unnest(string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) w FROM documents),
+        |f AS (SELECT lang, w, count(*) freq FROM t GROUP BY 1,2),
+        |r AS (SELECT lang, w, freq,
+        |        row_number() OVER (PARTITION BY lang ORDER BY freq DESC, w) rnk
+        |      FROM f),
+        |k AS (SELECT lang, w, freq, rnk,
+        |        log10(CAST(rnk AS DOUBLE)) x, log10(CAST(freq AS DOUBLE)) y
+        |      FROM r WHERE rnk <= 50),
+        |s AS (SELECT lang, CAST(count(*) AS BIGINT) n_points,
+        |        max(CASE WHEN rnk = 1 THEN w END) top_token,
+        |        CAST(max(CASE WHEN rnk = 1 THEN freq END) AS BIGINT) top_freq,
+        |        sum(CAST(x AS DECIMAL(28,18))) sx,
+        |        sum(CAST(y AS DECIMAL(28,18))) sy,
+        |        sum(CAST(x*y AS DECIMAL(28,18))) sxy,
+        |        sum(CAST(x*x AS DECIMAL(28,18))) sxx
+        |      FROM k GROUP BY 1)
+        |SELECT lang, n_points, top_token, top_freq,
+        |  round((n_points*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |        (n_points*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |        *10000)/10000 zipf_slope
+        |FROM s ORDER BY lang""".stripMargin
   )
 }

@@ -132,4 +132,42 @@ object Similarity {
 
   def annRecall(spark: SparkSession, sfDir: String): DataFrame =
     annRecall(Tables.embeddings(spark, sfDir))
+
+  /** q56: IVF partition-quality metrics — per cluster label: vector count,
+    * mean and max squared L2 distance to the label centroid. This is the
+    * index-health dashboard for the q26 IVF search: a label whose max
+    * distance dwarfs its mean is a candidate for splitting, and the spread
+    * across labels shows partition balance.
+    *
+    * Centroids are computed IN the engine (per-dim exact-decimal mean via
+    * posexplode + groupBy on (label, dim) — the shuffle key spreads every
+    * label across reducers, so a hot label can't concentrate), re-packed to
+    * an array, and broadcast back (one row per label). Distances use the
+    * native decimal_dot, expanded as ‖v−c‖² = v·v − 2·v·c + c·c so the
+    * centroid join stays a broadcast and no per-element difference array is
+    * materialized. The d2 mean is an exact decimal sum (order-free, matches
+    * DuckDB bit-for-bit).
+    */
+  def centroidQuality(emb: DataFrame): DataFrame = {
+    val e = asDoubles(emb)
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = dims.groupBy(col("label"), col("i"))
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, c))), s -> s.c)").as("cv"))
+    val d2 = e.join(broadcast(carr), "label")
+      .withColumn("dvv", dotExpr("v", "v"))
+      .withColumn("dvc", dotExpr("v", "cv"))
+      .withColumn("dcc", dotExpr("cv", "cv"))
+      .withColumn("d2", col("dvv") - lit(2.0) * col("dvc") + col("dcc"))
+    d2.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (round(sum(col("d2").cast("decimal(28,12)")).cast("double") / count(lit(1)) * 10000) / 10000)
+          .as("avg_sqdist"),
+        (round(max(col("d2")) * 10000) / 10000).as("max_sqdist"))
+  }
+
+  def centroidQuality(spark: SparkSession, sfDir: String): DataFrame =
+    centroidQuality(Tables.embeddings(spark, sfDir))
 }

@@ -189,4 +189,48 @@ object TextAnalysis {
 
   def repetitionFilters(spark: SparkSession, sfDir: String): DataFrame =
     repetitionFilters(Tables.documents(spark, sfDir))
+
+  /** q57: Zipf slope per language — least-squares fit of log10(freq) against
+    * log10(rank) over each language's top-`topK` tokens. Natural corpora sit
+    * near slope −1; a corpus whose slope flattens (synthetic/boilerplate
+    * text) or steepens (template spam) fails the sanity check, making this a
+    * cheap corpus-level quality gate beside the per-doc q53 filters.
+    *
+    * Scale shape: token counting is a two-level agg (map-side combine on
+    * (lang, word)); ranking happens AFTER the reduction, over ≤ |vocab| rows
+    * per language, and the regression sums over topK rows per language are
+    * exact decimal sums, so the fit is order-independent and matches the
+    * DuckDB oracle bit-for-bit.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("lang"), explode(split(Dedup.normText(col("text")), " ")).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val ranked = tok
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("w"))))
+      .where(col("rank") <= topK)
+      .withColumn("x", log10(col("rank").cast("double")))
+      .withColumn("y", log10(col("freq").cast("double")))
+    ranked.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        max(when(col("rank") === 1, col("w"))).as("top_token"),
+        max(when(col("rank") === 1, col("freq"))).as("top_freq"),
+        sum(col("x").cast("decimal(28,18)")).as("sx"),
+        sum(col("y").cast("decimal(28,18)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,18)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,18)")).as("sxx"))
+      .select(
+        col("lang"), col("n_points"), col("top_token"), col("top_freq"),
+        (round(
+          (col("n_points") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_points") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+            * 10000) / 10000).as("zipf_slope"))
+  }
+
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
+    zipfSlope(Tables.documents(spark, sfDir))
 }
