@@ -33,15 +33,23 @@ object SensorRank {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
 
-    // Global train/anomaly time split at 75% of the span.
-    val split = ev
-      .agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+    // ONE scan computes both broadcast dimensions: per-signal value
+    // envelopes AND per-signal time bounds; the global 75% split then
+    // derives from the per-signal bounds with a second-level aggregate over
+    // ~|signals| rows (min of mins == global min), never a second pass
+    // over the fact table.
+    val perSignal = ev
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        min(col("e")).as("emn"), max(col("e")).as("emx"))
+
+    val split = perSignal
+      .agg(min(col("emn")).as("mn"), max(col("emx")).as("mx"))
       .select(floor(col("mn") + (col("mx") - col("mn")) * 0.75).cast("long").as("split_e"))
 
-    // Per-signal value envelope → shared bin edges (broadcast dimension).
-    val stats = ev
-      .groupBy(col("event_type"))
-      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val stats = perSignal
+      .select(col("event_type"), col("vmin"), col("vmax"))
       .withColumn("width", (col("vmax") - col("vmin")) / NumBins)
 
     // Assign each point a phase and a bin, then count per (signal, phase, bin).
