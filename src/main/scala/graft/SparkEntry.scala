@@ -134,7 +134,9 @@ object SparkEntry {
     "q56_centroid_quality" -> ((s, d) =>
       Similarity.centroidQuality(s, d).orderBy(col("label"))),
     "q57_zipf_slope" -> ((s, d) =>
-      TextAnalysis.zipfSlope(s, d).orderBy(col("lang")))
+      TextAnalysis.zipfSlope(s, d).orderBy(col("lang"))),
+    "q58_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(s, d).orderBy(col("doc_id"), col("rn")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -870,6 +872,21 @@ object SparkEntry {
         |  round((n_points*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
         |        (n_points*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
         |        *10000)/10000 zipf_slope
-        |FROM s ORDER BY lang""".stripMargin
+        |FROM s ORDER BY lang""".stripMargin,
+    "q58_tfidf" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(w) term FROM d),
+        |tok AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM tok0 GROUP BY 1,2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        tf * (ln((1.0 + n.n)/(1.0 + df)) + 1.0) score
+        |      FROM tok JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, term) AS INT) rn FROM s)
+        |SELECT doc_id, rn, term, tf, df, round(score*10000)/10000 tfidf
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   )
 }

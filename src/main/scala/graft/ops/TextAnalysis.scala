@@ -233,4 +233,40 @@ object TextAnalysis {
 
   def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
     zipfSlope(Tables.documents(spark, sfDir))
+
+  /** q58: TF-IDF top terms per document — the classic signature-term
+    * extraction (sklearn's smooth-idf variant: idf = ln((1+n)/(1+df)) + 1,
+    * so unseen-nowhere terms can't divide by zero and every idf stays
+    * positive).
+    *
+    * Scale shape: term frequencies are one (doc, term) aggregation with
+    * map-side combine; document frequencies reuse those already-distinct
+    * rows (counting rows per term IS df — no second distinct); the corpus
+    * size joins in as a broadcast scalar; top-k per doc is a window over
+    * millions of small doc partitions (the benign kind). Nothing in the
+    * plan holds more than one document's terms in memory.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), explode(split(Dedup.normText(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tok
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        (round(col("score") * 10000) / 10000).as("tfidf"))
+  }
+
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, sfDir))
 }
