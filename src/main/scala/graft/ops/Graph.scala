@@ -34,7 +34,10 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val adj = e.union(e.select(col("v"), col("u"))).distinct()
+    // materialize the adjacency ONCE — without this every propagation round
+    // would re-execute the whole upstream edge-producing pipeline (for LSH
+    // input that's the full shingle->minhash->band DAG per round)
+    val adj = e.union(e.select(col("v"), col("u"))).distinct().localCheckpoint()
 
     var labels = adj.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
