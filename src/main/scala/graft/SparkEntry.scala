@@ -136,7 +136,9 @@ object SparkEntry {
     "q57_zipf_slope" -> ((s, d) =>
       TextAnalysis.zipfSlope(s, d).orderBy(col("lang"))),
     "q58_tfidf" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(s, d).orderBy(col("doc_id"), col("rn")))
+      TextAnalysis.tfidfTopTerms(s, d).orderBy(col("doc_id"), col("rn"))),
+    "q59_minhash_accuracy" -> ((s, d) =>
+      Dedup.minhashEstimate(s, d).orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -887,6 +889,39 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY doc_id
         |          ORDER BY score DESC, term) AS INT) rn FROM s)
         |SELECT doc_id, rn, term, tf, df, round(score*10000)/10000 tfidf
-        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q59_minhash_accuracy" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id),
+        |est AS (SELECT p.doc_a, p.doc_b,
+        |          CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)/12.0 est
+        |        FROM pairs p JOIN mh a ON a.doc_id = p.doc_a
+        |                     JOIN mh b ON b.doc_id = p.doc_b AND b.salt = a.salt
+        |        GROUP BY 1,2),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) n_shared
+        |          FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
+        |                       JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+        |          GROUP BY 1,2)
+        |SELECT e.doc_a, e.doc_b,
+        |  round(est*10000)/10000 est_jaccard,
+        |  round(CAST(n_shared AS DOUBLE)/(na.n + nb.n - n_shared)*10000)/10000 jaccard,
+        |  round(abs(est - CAST(n_shared AS DOUBLE)/(na.n + nb.n - n_shared))*10000)/10000 abs_err
+        |FROM est e JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+        |JOIN sizes na ON e.doc_a = na.doc_id
+        |JOIN sizes nb ON e.doc_b = nb.doc_id
+        |ORDER BY 1,2""".stripMargin
   )
 }

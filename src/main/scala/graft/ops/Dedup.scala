@@ -210,18 +210,23 @@ object Dedup {
     * pairs are documents whose band signatures collide — an equi-join on
     * (band, sig) instead of an all-pairs comparison.
     */
-  def minhashLsh(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame = {
-    val rowsPerBand = k / bands
-    val sh = shingles(docs)
-    // one min-aggregate per salt — the whole signature materializes in a
-    // single shuffle on doc_id with map-side partial combine, instead of a
-    // k×-exploded (doc, salt) row stream
-    val minhashes = sh
+  /** One row per doc with k minhash columns m0..m{k-1}: the MinHash for
+    * salt i is the lexicographically smallest md5("i:" + shingle). One
+    * min-aggregate per salt — the whole signature materializes in a single
+    * shuffle on doc_id with map-side partial combine, instead of a
+    * k×-exploded (doc, salt) row stream.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame =
+    shingles(docs)
       .groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0"), lit(":"), col("sh")))).as("m0"),
         (1 until k).map(i =>
           min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"m$i")): _*)
+
+  def minhashLsh(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    val minhashes = minhashSignatures(docs, k)
     // band signature = md5 of its rowsPerBand minhashes in salt order
     val bandSigs = minhashes.select(
       col("doc_id"),
@@ -239,6 +244,50 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  /** q59: sketch-accuracy metric for the MinHash index — for every LSH
+    * candidate pair, the signature-agreement estimate of Jaccard (fraction
+    * of the k minhashes that agree) beside the EXACT shingle-set Jaccard
+    * and the absolute error. This is to q22 what q43's recall is to the IVF
+    * index: the feedback loop that says whether k is big enough for the
+    * corpus before anyone trusts the sketch at 100 TB. Estimate and truth
+    * are both joins on the candidate pairs only — the exact side never
+    * leaves the inverted index, the estimate side is one k-column compare
+    * per pair.
+    */
+  def minhashEstimate(docs: DataFrame, k: Int = 12): DataFrame = {
+    val pairs = minhashLsh(docs, k).select(col("doc_a"), col("doc_b"))
+    val sig = minhashSignatures(docs, k)
+    val sigA = sig.toDF("doc_a" +: (0 until k).map(i => s"a_m$i"): _*)
+    val sigB = sig.toDF("doc_b" +: (0 until k).map(i => s"b_m$i"): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("est", agree.cast("double") / lit(k.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("est"))
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("exact",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (round(col("est") * 10000) / 10000).as("est_jaccard"),
+        (round(col("exact") * 10000) / 10000).as("jaccard"),
+        (round(abs(col("est") - col("exact")) * 10000) / 10000).as("abs_err"))
+  }
+
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame =
+    minhashEstimate(Tables.documents(spark, sfDir))
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLsh(Tables.documents(spark, sfDir))
