@@ -138,7 +138,9 @@ object SparkEntry {
     "q58_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(s, d).orderBy(col("doc_id"), col("rn"))),
     "q59_minhash_accuracy" -> ((s, d) =>
-      Dedup.minhashEstimate(s, d).orderBy(col("doc_a"), col("doc_b")))
+      Dedup.minhashEstimate(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q60_bigram_pmi" -> ((s, d) =>
+      TextAnalysis.bigramPmi(s, d).orderBy(col("lang"), col("rn")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -922,6 +924,32 @@ object SparkEntry {
         |FROM est e JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
         |JOIN sizes na ON e.doc_a = na.doc_id
         |JOIN sizes nb ON e.doc_b = nb.doc_id
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q60_bigram_pmi" ->
+      """WITH d AS (SELECT lang, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |uni AS (SELECT lang, unnest(w) tok FROM d),
+        |uc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) c FROM uni GROUP BY 1,2),
+        |nu AS (SELECT lang, CAST(sum(c) AS BIGINT) nu FROM uc GROUP BY 1),
+        |bgx AS (SELECT lang, w, unnest(generate_series(1, len(w)-1)) g
+        |        FROM d WHERE len(w) >= 2),
+        |bc AS (SELECT lang, w[g] w1, w[g+1] w2, CAST(count(*) AS BIGINT) c_ab
+        |       FROM bgx GROUP BY 1,2,3),
+        |nb AS (SELECT lang, CAST(sum(c_ab) AS BIGINT) nb FROM bc GROUP BY 1),
+        |s AS (SELECT bc.lang, bc.w1, bc.w2, bc.c_ab, a.c c_a, b.c c_b, nu.nu, nb.nb,
+        |        ln((CAST(bc.c_ab AS DOUBLE)/nb.nb) /
+        |           ((CAST(a.c AS DOUBLE)/nu.nu) * (CAST(b.c AS DOUBLE)/nu.nu))) pmi
+        |      FROM bc
+        |      JOIN uc a ON a.lang = bc.lang AND a.tok = bc.w1
+        |      JOIN uc b ON b.lang = bc.lang AND b.tok = bc.w2
+        |      JOIN nu ON nu.lang = bc.lang
+        |      JOIN nb ON nb.lang = bc.lang
+        |      WHERE bc.c_ab >= 5),
+        |r AS (SELECT lang, w1, w2, c_ab, c_a, c_b, pmi,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY pmi DESC, w1, w2) AS INT) rn FROM s)
+        |SELECT lang, rn, w1 || ' ' || w2 bigram, c_ab, c_a, c_b,
+        |  round(pmi*10000)/10000 pmi
+        |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
   )
 }

@@ -269,4 +269,53 @@ object TextAnalysis {
 
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     tfidfTopTerms(Tables.documents(spark, sfDir))
+
+  /** q60: bigram PMI collocations per language — pointwise mutual
+    * information ln(p(ab) / (p(a)·p(b))) of adjacent word pairs, the
+    * classic collocation-mining statistic (high PMI = words that appear
+    * together far more than chance — multiword expressions, templates,
+    * boilerplate markers worth tracking in a training corpus).
+    *
+    * All probabilities are ratios of exact integer counts from two
+    * map-side-combined aggregations (unigrams, bigrams); corpus totals are
+    * tiny per-language rows broadcast back; the top-k per language is a
+    * window over the post-aggregation bigram table, never the token
+    * stream. `minCount` keeps rare-pair noise (PMI's known failure mode)
+    * out of the ranking.
+    */
+  def bigramPmi(docs: DataFrame, k: Int = 10, minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("lang"), split(Dedup.normText(col("text")), " ").as("w"))
+    val uni = d.select(col("lang"), explode(col("w")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val nu = uni.groupBy(col("lang")).agg(sum(col("c")).as("nu"))
+    val bgc = d
+      .where(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+      )).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val nb = bgc.groupBy(col("lang")).agg(sum(col("c_ab")).as("nb"))
+    val scored = bgc
+      .where(col("c_ab") >= minCount)
+      .join(uni.toDF("lang", "w1", "c_a"), Seq("lang", "w1"))
+      .join(uni.toDF("lang", "w2", "c_b"), Seq("lang", "w2"))
+      .join(broadcast(nu), "lang")
+      .join(broadcast(nb), "lang")
+      .withColumn("pmi",
+        log((col("c_ab").cast("double") / col("nb")) /
+          ((col("c_a").cast("double") / col("nu")) * (col("c_b").cast("double") / col("nu")))))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .where(col("rn") <= k)
+      .select(col("lang"), col("rn"),
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        (round(col("pmi") * 10000) / 10000).as("pmi"))
+  }
+
+  def bigramPmi(spark: SparkSession, sfDir: String): DataFrame =
+    bigramPmi(Tables.documents(spark, sfDir))
 }
