@@ -74,4 +74,48 @@ object Multimodal {
 
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
     multimodalMeta(Tables.documents(spark, sfDir))
+
+  /** Resize planning for image assets: the largest scale ≤ 1 that fits the
+    * (maxW, maxH) box while preserving aspect ratio, and the resulting
+    * target dims. This is the declarative half of a resize pipeline — the
+    * per-pixel work happens in the decoder seam ([[graft.ops.AssetDecoder]]),
+    * but WHICH assets need work and their output geometry is pure column
+    * arithmetic the optimizer can prune, push and batch with everything
+    * else (e.g. `where(needs_resize)` before the expensive decode).
+    *
+    * Target dims use floor(dim · scale) with a 1px floor, the convention
+    * image libraries share; scale is exact double division.
+    */
+  def resizePlan(meta: DataFrame, maxW: Long, maxH: Long): DataFrame =
+    meta
+      .where(col("kind") === "image")
+      .withColumn("scale",
+        least(lit(1.0), lit(maxW.toDouble) / col("width"),
+          lit(maxH.toDouble) / col("height")))
+      .withColumn("target_w",
+        greatest(lit(1L), floor(col("width") * col("scale")).cast("long")))
+      .withColumn("target_h",
+        greatest(lit(1L), floor(col("height") * col("scale")).cast("long")))
+      .withColumn("needs_resize", col("scale") < 1.0)
+      .select(col("asset_id"), col("width"), col("height"),
+        col("target_w"), col("target_h"),
+        (round(col("scale") * 10000) / 10000).as("scale"), col("needs_resize"))
+
+  /** Frame-sampling plan for video assets: one row per frame to extract at
+    * `fps` frames/second across the asset's duration — (asset_id,
+    * frame_idx, offset_ms). The explode is bounded by duration·fps and
+    * happens AFTER metadata-level filtering, so a petabyte video table
+    * yields exactly the frame-extraction work list and nothing else; the
+    * actual pixel grab is the decoder seam's job, keyed by (asset, offset).
+    */
+  def frameSamplePlan(meta: DataFrame, fps: Double = 1.0): DataFrame = {
+    val stepMs = math.max(1L, math.round(1000.0 / fps))
+    meta
+      .where(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("asset_id"), col("duration_ms"),
+        posexplode(expr(s"sequence(0L, duration_ms - 1, ${stepMs}L)"))
+          .as(Seq("frame_idx", "offset_ms")))
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("offset_ms"), col("duration_ms"))
+  }
 }
