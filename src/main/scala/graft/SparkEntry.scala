@@ -140,7 +140,9 @@ object SparkEntry {
     "q59_minhash_accuracy" -> ((s, d) =>
       Dedup.minhashEstimate(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q60_bigram_pmi" -> ((s, d) =>
-      TextAnalysis.bigramPmi(s, d).orderBy(col("lang"), col("rn")))
+      TextAnalysis.bigramPmi(s, d).orderBy(col("lang"), col("rn"))),
+    "q61_contamination" -> ((s, d) =>
+      Dedup.sourceContamination(s, d).orderBy(col("source_a"), col("source_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -950,6 +952,21 @@ object SparkEntry {
         |          ORDER BY pmi DESC, w1, w2) AS INT) rn FROM s)
         |SELECT lang, rn, w1 || ' ' || w2 bigram, c_ab, c_a, c_b,
         |  round(pmi*10000)/10000 pmi
-        |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
+        |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    "q61_contamination" ->
+      """WITH fp0 AS (SELECT source, md5(array_to_string(list_sort(list_distinct(
+        |   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))), ' ')) fp
+        | FROM documents),
+        |fps AS (SELECT DISTINCT source, fp FROM fp0),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) n_fps FROM fps GROUP BY 1),
+        |shared AS (SELECT a.source source_a, b.source source_b,
+        |             CAST(count(*) AS BIGINT) n_shared
+        |           FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |           GROUP BY 1,2)
+        |SELECT source_a, source_b, n_shared, na.n_fps na, nb.n_fps nb,
+        |  round(CAST(n_shared AS DOUBLE)/least(na.n_fps, nb.n_fps)*10000)/10000 overlap
+        |FROM shared JOIN sizes na ON source_a = na.source
+        |JOIN sizes nb ON source_b = nb.source
+        |ORDER BY 1,2""".stripMargin
   )
 }

@@ -289,6 +289,43 @@ object Dedup {
   def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame =
     minhashEstimate(Tables.documents(spark, sfDir))
 
+  /** q61: cross-source contamination census — for every pair of sources,
+    * how many distinct content fingerprints they SHARE. This is the
+    * train/test-leakage check a training-data pipeline runs before
+    * declaring an eval set clean: a benchmark source sharing fingerprints
+    * with a crawl source means the model will see its test answers.
+    *
+    * The join key is the 32-char fingerprint (order/multiplicity-
+    * insensitive content signature), already deduped per source, so the
+    * shuffle carries one fixed-width row per (source, distinct content) —
+    * at 100 TB the join input is the distinct-content count, not the corpus.
+    * `overlap` normalizes by the smaller side (overlap coefficient), the
+    * standard contamination metric.
+    */
+  def sourceContamination(docs: DataFrame): DataFrame = {
+    val fps = docs.select(
+      col("source"),
+      md5(array_join(array_sort(array_distinct(
+        split(normText(col("text")), " "))), " ")).as("fp"))
+      .distinct()
+    val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fps"))
+    val shared = fps.toDF("source_a", "fp")
+      .join(fps.toDF("source_b", "fp"), "fp")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.toDF("source_a", "na"), "source_a")
+      .join(sizes.toDF("source_b", "nb"), "source_b")
+      .select(
+        col("source_a"), col("source_b"), col("n_shared"), col("na"), col("nb"),
+        (round(col("n_shared").cast("double") / least(col("na"), col("nb")) * 10000) / 10000)
+          .as("overlap"))
+  }
+
+  def sourceContamination(spark: SparkSession, sfDir: String): DataFrame =
+    sourceContamination(Tables.documents(spark, sfDir))
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLsh(Tables.documents(spark, sfDir))
 
