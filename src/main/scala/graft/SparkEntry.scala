@@ -142,7 +142,9 @@ object SparkEntry {
     "q60_bigram_pmi" -> ((s, d) =>
       TextAnalysis.bigramPmi(s, d).orderBy(col("lang"), col("rn"))),
     "q61_contamination" -> ((s, d) =>
-      Dedup.sourceContamination(s, d).orderBy(col("source_a"), col("source_b")))
+      Dedup.sourceContamination(s, d).orderBy(col("source_a"), col("source_b"))),
+    "q62_key_skew" -> ((s, d) =>
+      Diagnostics.keySkew(s, d).orderBy(col("bucket")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -967,6 +969,22 @@ object SparkEntry {
         |  round(CAST(n_shared AS DOUBLE)/least(na.n_fps, nb.n_fps)*10000)/10000 overlap
         |FROM shared JOIN sizes na ON source_a = na.source
         |JOIN sizes nb ON source_b = nb.source
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q62_key_skew" ->
+      """WITH b AS (SELECT md5('skew:'||CAST(l_suppkey AS VARCHAR)) h
+        |           FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |u AS (SELECT CAST(
+        |  (instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |  (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |  (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |  (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |  (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |  (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT) u24 FROM b),
+        |c AS (SELECT CAST(u24 % 32 AS INT) bucket, CAST(count(*) AS BIGINT) n_rows
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) total FROM c)
+        |SELECT bucket, n_rows,
+        |  round(CAST(n_rows AS DOUBLE)*32/total*10000)/10000 load_ratio
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
   )
 }
