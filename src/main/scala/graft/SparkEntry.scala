@@ -144,7 +144,9 @@ object SparkEntry {
     "q61_contamination" -> ((s, d) =>
       Dedup.sourceContamination(s, d).orderBy(col("source_a"), col("source_b"))),
     "q62_key_skew" -> ((s, d) =>
-      Diagnostics.keySkew(s, d).orderBy(col("bucket")))
+      Diagnostics.keySkew(s, d).orderBy(col("bucket"))),
+    "q63_cohort_retention" -> ((s, d) =>
+      Ranges.cohortRetention(s, d).orderBy(col("cohort_week"), col("week_offset")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -985,6 +987,21 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) total FROM c)
         |SELECT bucket, n_rows,
         |  round(CAST(n_rows AS DOUBLE)*32/total*10000)/10000 load_ratio
-        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "q63_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT)/604800) AS BIGINT) w
+        |  FROM events),
+        |coh AS (SELECT user_id, min(w) cohort_week FROM wk GROUP BY 1),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) cohort_size
+        |          FROM coh GROUP BY 1),
+        |act AS (SELECT c.cohort_week, wk.w - c.cohort_week week_offset,
+        |          CAST(count(*) AS BIGINT) n_active
+        |        FROM wk JOIN coh c ON wk.user_id = c.user_id
+        |        GROUP BY 1,2)
+        |SELECT a.cohort_week, week_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE)/cohort_size*10000)/10000 retention
+        |FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
+        |ORDER BY 1,2""".stripMargin
   )
 }

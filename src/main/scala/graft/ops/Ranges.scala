@@ -205,4 +205,30 @@ object Ranges {
         r4(exactAvg(col("value"))).as("avg_value")
       )
   }
+
+  /** q63: weekly cohort retention — users grouped by first-activity week
+    * (the cohort), then for each (cohort, week-offset) cell the fraction of
+    * the cohort still active. The standard product-analytics triangle, as
+    * three aggregations: distinct (user, week) activity, per-user first
+    * week (a groupBy-min, not a window over a global sort), cohort sizes.
+    * Activity rows join their user's cohort on user_id — at 100 TB that's
+    * the natural co-partitioned key — and everything downstream is
+    * cohort-cell-sized.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val weeks = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(TimeSeries.epochS(col("ts")) / 604800L).cast("long").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    weeks
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (round(col("n_active").cast("double") / col("cohort_size") * 10000) / 10000)
+          .as("retention"))
+  }
 }
