@@ -146,7 +146,9 @@ object SparkEntry {
     "q62_key_skew" -> ((s, d) =>
       Diagnostics.keySkew(s, d).orderBy(col("bucket"))),
     "q63_cohort_retention" -> ((s, d) =>
-      Ranges.cohortRetention(s, d).orderBy(col("cohort_week"), col("week_offset")))
+      Ranges.cohortRetention(s, d).orderBy(col("cohort_week"), col("week_offset"))),
+    "q64_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(s, d).orderBy(col("rn")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1002,6 +1004,25 @@ object SparkEntry {
         |SELECT a.cohort_week, week_offset, n_active, cohort_size,
         |  round(CAST(n_active AS DOUBLE)/cohort_size*10000)/10000 retention
         |FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q64_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |            md5('wsamp:'||CAST(doc_id AS VARCHAR)) h
+        |           FROM documents WHERE n_chars > 0),
+        |u AS (SELECT doc_id, lang, n_chars, CAST(
+        |  (instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |  (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |  (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |  (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |  (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |  (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT) u24 FROM b),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |        ln(CAST(u24 + 1 AS DOUBLE)/16777216.0)/n_chars priority FROM u),
+        |r AS (SELECT doc_id, lang, n_chars, priority,
+        |        CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) rn
+        |      FROM p)
+        |SELECT rn, doc_id, lang, n_chars,
+        |  round(priority*10000000)/10000000 priority
+        |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin
   )
 }

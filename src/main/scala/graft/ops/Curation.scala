@@ -96,4 +96,47 @@ object Curation {
 
   def seqPacking(spark: SparkSession, sfDir: String): DataFrame =
     seqPacking(Tables.documents(spark, sfDir))
+
+  /** q64: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res): each row draws a deterministic uniform u from md5 and gets
+    * priority u^(1/w); the global top-k by priority IS a weighted sample
+    * without replacement. Here w = n_chars, i.e. longer documents are
+    * proportionally likelier — the "sample by content volume, not by row
+    * count" primitive a corpus budget needs.
+    *
+    * Ranked by ln(u)/w, a monotone transform of u^(1/w) (u ≤ 1 so ln(u) ≤ 0
+    * and dividing by w preserves order) — avoiding pow(), whose last-ulp
+    * behavior differs across libm implementations, keeps the key
+    * bit-identical to the DuckDB oracle. The global top-k goes through
+    * orderBy+limit — Spark plans that as TakeOrderedAndProject (each
+    * partition keeps k rows, the driver merges k·partitions) — NOT a
+    * row_number window over an unpartitioned sort; the rank is assigned
+    * after the limit, over k rows.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .where(col("n_chars") > 0)
+      .withColumn("h", md5(concat(lit("wsamp:"), col("doc_id").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("priority",
+        log((col("u24") + 1).cast("double") / lit(16777216.0)) / col("n_chars"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id"))))
+      .select(col("rn"), col("doc_id"), col("lang"), col("n_chars"),
+        (round(col("priority") * 10000000) / 10000000).as("priority"))
+  }
+
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    weightedSample(Tables.documents(spark, sfDir))
 }
