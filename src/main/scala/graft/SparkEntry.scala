@@ -148,7 +148,9 @@ object SparkEntry {
     "q63_cohort_retention" -> ((s, d) =>
       Ranges.cohortRetention(s, d).orderBy(col("cohort_week"), col("week_offset"))),
     "q64_weighted_sample" -> ((s, d) =>
-      Curation.weightedSample(s, d).orderBy(col("rn")))
+      Curation.weightedSample(s, d).orderBy(col("rn"))),
+    "q65_quantized_recall" -> ((s, d) =>
+      Similarity.quantizedRecall(s, d).orderBy(col("probe_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1023,6 +1025,45 @@ object SparkEntry {
         |      FROM p)
         |SELECT rn, doc_id, lang, n_chars,
         |  round(priority*10000000)/10000000 priority
-        |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin
+        |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin,
+    "q65_quantized_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |env AS (SELECT i, min(v) mn, max(v) mx FROM xx GROUP BY 1),
+        |rx AS (SELECT vec_id, xx.i,
+        |         CASE WHEN mx = mn THEN mn
+        |           ELSE mn + round((v - mn)/(mx - mn)*255)/255*(mx - mn) END rv
+        |       FROM xx JOIN env ON xx.i = env.i),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |nr AS (SELECT vec_id, sqrt(CAST(sum(CAST(rv*rv AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |       FROM rx GROUP BY 1),
+        |d1 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |      GROUP BY 1,2),
+        |sc1 AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d1 JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |truth AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+        |    FROM sc1) WHERE rnk <= 5),
+        |d2 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.rv*c.rv AS DECIMAL(18,16))) AS DOUBLE) dot
+        |      FROM rx p JOIN rx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |      GROUP BY 1,2),
+        |sc2 AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d2 JOIN nr np ON probe_id = np.vec_id JOIN nr nc ON neighbor_id = nc.vec_id),
+        |approx AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+        |    FROM sc2) WHERE rnk <= 5),
+        |hits AS (SELECT t.probe_id, count(*) n_hits FROM truth t JOIN approx a
+        |          ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id GROUP BY 1),
+        |tot AS (SELECT probe_id, count(*) n_true FROM truth GROUP BY 1)
+        |SELECT tot.probe_id, coalesce(n_hits, 0) n_hits, n_true,
+        | round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 recall
+        |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin
   )
 }

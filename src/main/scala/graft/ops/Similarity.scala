@@ -170,4 +170,62 @@ object Similarity {
 
   def centroidQuality(spark: SparkSession, sfDir: String): DataFrame =
     centroidQuality(Tables.embeddings(spark, sfDir))
+
+  /** q65: scalar-quantization recall — quantize every embedding to 8 bits
+    * per dimension against the corpus per-dim envelope (the 4× memory
+    * reduction that decides whether a 100 TB vector index fits in cluster
+    * RAM), then measure recall@k of search-over-reconstructed-vectors
+    * against the exact top-k. The envelope is 1 row per dimension,
+    * collected to two broadcast arrays; quantize+reconstruct is one
+    * zip_with projection (no shuffle); both search paths are the same
+    * broadcast-probe scan as q25.
+    */
+  def quantizedRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val e = asDoubles(emb).select(col("vec_id"), col("v"))
+    val env = asDoubles(emb)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val envArr = env.agg(
+      expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)").as("mns"),
+      expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("mxs"))
+    // int8 code = round((x-mn)/(mx-mn)*255); reconstruction maps the code
+    // back into the envelope. Flat dims (mx = mn) reconstruct exactly.
+    val rec = e.crossJoin(broadcast(envArr))
+      .withColumn("rv", expr(
+        """zip_with(v, zip_with(mns, mxs, (a, b) -> struct(a AS mn, b AS mx)),
+          |  (x, en) -> CASE WHEN en.mx = en.mn THEN en.mn
+          |    ELSE en.mn + round((x - en.mn)/(en.mx - en.mn)*255)/255*(en.mx - en.mn) END)"""
+          .stripMargin))
+      .select(col("vec_id"), col("rv").as("v"))
+
+    def topk(vs: DataFrame): DataFrame = {
+      val all = vs.withColumn("nrm", normCol("v"))
+      val probes = all.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      val cand = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.crossJoin(broadcast(probes))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("probe_id"), col("neighbor_id"))
+    }
+
+    val truth = topk(e)
+    val approx = topk(rec)
+    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") * 10000) / 10000)
+          .as("recall"))
+  }
+
+  def quantizedRecall(spark: SparkSession, sfDir: String): DataFrame =
+    quantizedRecall(Tables.embeddings(spark, sfDir))
 }
