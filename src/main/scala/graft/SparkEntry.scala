@@ -150,7 +150,9 @@ object SparkEntry {
     "q64_weighted_sample" -> ((s, d) =>
       Curation.weightedSample(s, d).orderBy(col("rn"))),
     "q65_quantized_recall" -> ((s, d) =>
-      Similarity.quantizedRecall(s, d).orderBy(col("probe_id")))
+      Similarity.quantizedRecall(s, d).orderBy(col("probe_id"))),
+    "q66_market_share" -> ((s, d) =>
+      Relational.marketShare(s, d).orderBy(col("o_year")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1064,6 +1066,32 @@ object SparkEntry {
         |tot AS (SELECT probe_id, count(*) n_true FROM truth GROUP BY 1)
         |SELECT tot.probe_id, coalesce(n_hits, 0) n_hits, n_true,
         | round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 recall
-        |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin
+        |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin,
+    "q66_market_share" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |             l_extendedprice*(1 - l_discount) rev FROM lineitem),
+        |p AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        |o AS (SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INT) o_year
+        |      FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997),
+        |en AS (SELECT n_nationkey FROM nation n JOIN region r
+        |       ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'),
+        |c AS (SELECT c_custkey FROM customer JOIN en
+        |      ON c_nationkey = en.n_nationkey),
+        |s AS (SELECT s_suppkey, n_name supp_nation FROM supplier JOIN nation
+        |      ON s_nationkey = n_nationkey),
+        |j AS (SELECT o_year, supp_nation, CAST(rev AS DECIMAL(18,6)) dec_rev
+        |      FROM li JOIN p ON l_partkey = p_partkey
+        |      JOIN o ON l_orderkey = o_orderkey
+        |      JOIN c ON o_custkey = c_custkey
+        |      JOIN s ON l_suppkey = s.s_suppkey),
+        |a AS (SELECT o_year, sum(dec_rev) all_rev,
+        |        sum(CASE WHEN supp_nation = 'NATION_7' THEN dec_rev
+        |            ELSE CAST(0 AS DECIMAL(18,6)) END) tgt_rev
+        |      FROM j GROUP BY 1)
+        |SELECT o_year,
+        |  round(CAST(tgt_rev AS DOUBLE)/CAST(all_rev AS DOUBLE)*1000000)/1000000 mkt_share,
+        |  round(CAST(tgt_rev AS DOUBLE), 4) target_rev,
+        |  round(CAST(all_rev AS DOUBLE), 4) total_rev
+        |FROM a ORDER BY o_year""".stripMargin
   )
 }

@@ -201,4 +201,54 @@ object Relational {
         (round(max(col("cust_avg")) * 10000) / 10000).as("cust_avg_price")
       )
   }
+
+  /** q66: market share (TPC-H Q8 shape) — the yearly share of one supplier
+    * nation in PROMO-part revenue sold to European customers. Six tables:
+    * lineitem ⋈ part (selective filter first) ⋈ orders (the one genuine
+    * fact-fact shuffle, on the natural l_orderkey key) ⋈ customer ⋈ its
+    * nation→region (broadcast) ⋈ supplier nation (broadcast). Only
+    * nation/region get explicit broadcast hints; part/customer/supplier are
+    * left to the optimizer so the same plan scales from local stats-based
+    * broadcasts to shuffle joins at 100 TB. Numerator and denominator
+    * accumulate in exact DECIMAL(18,6) so the share is order-independent.
+    */
+  def marketShare(spark: SparkSession, sfDir: String,
+                  targetNation: String = "NATION_7"): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev)
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_type") === "PROMO").select(col("p_partkey"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .where(col("o_year").between(1995, 1997))
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    val euroNations = n.join(broadcast(r.where(col("r_name") === "EUROPE")),
+      col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(euroNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val dec = col("rev").cast("decimal(18,6)")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(dec).as("all_rev"),
+        sum(when(col("supp_nation") === targetNation, dec)
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("tgt_rev"))
+      .select(
+        col("o_year"),
+        (round(col("tgt_rev").cast("double") / col("all_rev").cast("double") * 1000000) / 1000000)
+          .as("mkt_share"),
+        round(col("tgt_rev").cast("double"), 4).as("target_rev"),
+        round(col("all_rev").cast("double"), 4).as("total_rev"))
+  }
 }
