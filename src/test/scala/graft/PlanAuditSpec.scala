@@ -60,6 +60,23 @@ class PlanAuditSpec extends SparkSpec {
       "ship priority pushed no filters to parquet")
   }
 
+  test("market share broadcasts its dimensions") {
+    val plan = plans("q66_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "q66 lost its broadcast dimension joins")
+  }
+
+  test("tfidf and pmi keep map-side partial aggregation") {
+    for (name <- Seq("q58_tfidf", "q60_bigram_pmi"))
+      assert("HashAggregate".r.findAllIn(plans(name)).size >= 2,
+        s"$name lost partial aggregation")
+  }
+
+  test("weighted sample plans a distributed top-k, not a global sort") {
+    assert(plans("q64_weighted_sample").contains("TakeOrderedAndProject"),
+      "q64 should go through TakeOrderedAndProject for its global top-k")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
