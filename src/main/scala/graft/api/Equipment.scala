@@ -166,6 +166,16 @@ object Equipment {
         unix_timestamp(col("end")).as("range_end"))
       .orderBy(col("range_start"))
 
+  /** One-call evaluation: labels CSV → anomaly ranges → distribution-shift
+    * sensor ranking → top-N — the reference's whole evaluation workflow
+    * (get_labels → compute_histograms → get_ranked_list) as a single lazy
+    * plan over the long table.
+    */
+  def evaluateFromLabels(spark: org.apache.spark.sql.SparkSession,
+                         long: DataFrame, labelsCsvPath: String,
+                         topN: Int = 10): DataFrame =
+    getRankedList(rankSensors(long, readLabels(spark, labelsCsvPath)), topN)
+
   /** Keep only the sensors named in `fieldMap` (component → sensor names) —
     * the reference's set_subset_schema (model.py:210-223), which trains a
     * model on a subset of the ingested signals. On the long format this is a

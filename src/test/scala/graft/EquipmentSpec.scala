@@ -168,6 +168,11 @@ class EquipmentSpec extends SparkSpec {
     // and the ranges feed rankSensors directly
     val ranked = Equipment.rankSensors(long, known)
     assert(ranked.count() === 2)
+
+    // the one-call composition: CSV path -> ranked top-N, same result
+    val oneCall = Equipment.evaluateFromLabels(spark, long, f.getAbsolutePath, topN = 2)
+    assert(oneCall.count() === 2)
+    assert(oneCall.columns.contains("rank"))
   }
 
   test("setSubsetSchema keeps only the mapped sensors") {
