@@ -152,7 +152,9 @@ object SparkEntry {
     "q65_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(s, d).orderBy(col("probe_id"))),
     "q66_market_share" -> ((s, d) =>
-      Relational.marketShare(s, d).orderBy(col("o_year")))
+      Relational.marketShare(s, d).orderBy(col("o_year"))),
+    "q67_transitions" -> ((s, d) =>
+      Ranges.transitionMatrix(s, d).orderBy(col("from_type"), col("to_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1092,6 +1094,17 @@ object SparkEntry {
         |  round(CAST(tgt_rev AS DOUBLE)/CAST(all_rev AS DOUBLE)*1000000)/1000000 mkt_share,
         |  round(CAST(tgt_rev AS DOUBLE), 4) target_rev,
         |  round(CAST(all_rev AS DOUBLE), 4) total_rev
-        |FROM a ORDER BY o_year""".stripMargin
+        |FROM a ORDER BY o_year""".stripMargin,
+    "q67_transitions" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) from_type
+        |  FROM events),
+        |t AS (SELECT from_type, event_type to_type, CAST(count(*) AS BIGINT) n
+        |      FROM s WHERE from_type IS NOT NULL GROUP BY 1,2),
+        |r AS (SELECT from_type, CAST(sum(n) AS BIGINT) row_total FROM t GROUP BY 1)
+        |SELECT t.from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)/row_total*10000)/10000 p
+        |FROM t JOIN r ON t.from_type = r.from_type
+        |ORDER BY 1,2""".stripMargin
   )
 }

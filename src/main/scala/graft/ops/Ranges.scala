@@ -206,6 +206,28 @@ object Ranges {
       )
   }
 
+  /** q67: event-type transition matrix — for each ordered pair of event
+    * types, how often one follows the other within a user's stream, plus
+    * the row-normalized transition probability (a first-order Markov model
+    * of user behavior; the sequence-mining counterpart to q48's fixed
+    * funnel). The lag window partitions per user — millions of small
+    * independent partitions — and everything after it is a
+    * |types|²-row aggregate.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (round(col("n").cast("double") / col("row_total") * 10000) / 10000).as("p"))
+  }
+
   /** q63: weekly cohort retention — users grouped by first-activity week
     * (the cohort), then for each (cohort, week-offset) cell the fraction of
     * the cohort still active. The standard product-analytics triangle, as
