@@ -154,7 +154,9 @@ object SparkEntry {
     "q66_market_share" -> ((s, d) =>
       Relational.marketShare(s, d).orderBy(col("o_year"))),
     "q67_transitions" -> ((s, d) =>
-      Ranges.transitionMatrix(s, d).orderBy(col("from_type"), col("to_type")))
+      Ranges.transitionMatrix(s, d).orderBy(col("from_type"), col("to_type"))),
+    "q68_source_scorecard" -> ((s, d) =>
+      TextAnalysis.sourceScorecard(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1105,6 +1107,30 @@ object SparkEntry {
         |SELECT t.from_type, to_type, n,
         |  round(CAST(n AS DOUBLE)/row_total*10000)/10000 p
         |FROM t JOIN r ON t.from_type = r.from_type
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q68_source_scorecard" ->
+      """WITH d AS (SELECT doc_id, source, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |base AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) n_words,
+        |                CAST(len(list_distinct(w)) AS BIGINT) uniq_words FROM d),
+        |bgx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) g
+        |        FROM d WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, w[g]||' '||w[g+1] bg, count(*) c FROM bgx GROUP BY 1,2),
+        |top AS (SELECT doc_id, c top_bigram_n FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) rn
+        |         FROM bc) WHERE rn = 1),
+        |k AS (SELECT b.doc_id, b.source, b.n_words, b.uniq_words,
+        |        ((1 - CAST(uniq_words AS DOUBLE)/n_words) <= 0.7
+        |         AND top_bigram_n*2.0/n_words <= 0.18) keep
+        |      FROM base b JOIN top USING (doc_id)),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) n_keep,
+        |        CAST(sum(n_words) AS BIGINT) total_words,
+        |        CAST(sum(uniq_words) AS BIGINT) total_uniq
+        |      FROM k GROUP BY 1)
+        |SELECT source, n_docs, n_keep, total_words,
+        |  round(CAST(n_keep AS DOUBLE)/n_docs*10000)/10000 keep_rate,
+        |  round((1.0 - CAST(total_uniq AS DOUBLE)/total_words)*10000)/10000 corpus_rep_frac
+        |FROM a ORDER BY source""".stripMargin
   )
 }

@@ -318,4 +318,32 @@ object TextAnalysis {
 
   def bigramPmi(spark: SparkSession, sfDir: String): DataFrame =
     bigramPmi(Tables.documents(spark, sfDir))
+
+  /** q68: per-source quality scorecard — the vendor-level rollup of the
+    * per-doc q53 gates: document counts, keep rate, and the corpus-level
+    * repeated-word fraction per source. This is the table a data-buying
+    * decision reads. All ratios are ratios of exact integer sums (token
+    * counts, keep counts), so the rollup is order-independent; the join
+    * back to `source` rides the doc_id key.
+    */
+  def sourceScorecard(docs: DataFrame): DataFrame = {
+    val rf = repetitionFilters(docs)
+      .select(col("doc_id"), col("n_words"), col("uniq_words"), col("keep"))
+    rf.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("uniq_words")).as("total_uniq"))
+      .select(
+        col("source"), col("n_docs"), col("n_keep"), col("total_words"),
+        (round(col("n_keep").cast("double") / col("n_docs") * 10000) / 10000)
+          .as("keep_rate"),
+        (round((lit(1.0) - col("total_uniq").cast("double") / col("total_words")) * 10000) / 10000)
+          .as("corpus_rep_frac"))
+  }
+
+  def sourceScorecard(spark: SparkSession, sfDir: String): DataFrame =
+    sourceScorecard(Tables.documents(spark, sfDir))
 }
