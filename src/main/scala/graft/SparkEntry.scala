@@ -156,7 +156,11 @@ object SparkEntry {
     "q67_transitions" -> ((s, d) =>
       Ranges.transitionMatrix(s, d).orderBy(col("from_type"), col("to_type"))),
     "q68_source_scorecard" -> ((s, d) =>
-      TextAnalysis.sourceScorecard(s, d).orderBy(col("source")))
+      TextAnalysis.sourceScorecard(s, d).orderBy(col("source"))),
+    "q69_ship_delay_sla" -> ((s, d) =>
+      Relational.shipDelayPercentiles(s, d).orderBy(col("o_orderpriority"))),
+    "q70_degree_census" -> ((s, d) =>
+      Relational.orderDegreeCensus(s, d).orderBy(col("bucket")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1131,6 +1135,23 @@ object SparkEntry {
         |SELECT source, n_docs, n_keep, total_words,
         |  round(CAST(n_keep AS DOUBLE)/n_docs*10000)/10000 keep_rate,
         |  round((1.0 - CAST(total_uniq AS DOUBLE)/total_words)*10000)/10000 corpus_rep_frac
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+    "q69_ship_delay_sla" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE) delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |  round(quantile_cont(delay, 0.5), 4) p50_days,
+        |  round(quantile_cont(delay, 0.9), 4) p90_days,
+        |  count(*) n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q70_degree_census" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(n_orders)) - 1 AS INT) bucket, n_orders FROM c)
+        |SELECT bucket, CAST(power(2, bucket) AS BIGINT) bucket_lo,
+        |  CAST(count(*) AS BIGINT) n_customers,
+        |  CAST(sum(n_orders) AS BIGINT) total_orders
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -202,6 +202,48 @@ object Relational {
       )
   }
 
+  /** q69: shipping-delay SLA percentiles per order priority — exact p50/p90
+    * of days-from-order-to-ship, through the same two-pass count-and-locate
+    * quantile operator as q34 (a second consumer on a different table and
+    * value domain proves the operator is generic). The lineitem⋈orders join
+    * runs on the natural orderkey; delays compress to distinct (priority,
+    * days) counts before any per-group work.
+    */
+  def shipDelayPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val delays = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("double").as("delay"))
+    val qv = Percentiles.exactQuantiles(
+      delays, "o_orderpriority", "delay", Seq("p50" -> 0.5, "p90" -> 0.9))
+    val n = delays.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    qv.groupBy(col("o_orderpriority"))
+      .agg(
+        round(min(when(col("qname") === "p50", col("qv"))), 4).as("p50_days"),
+        round(min(when(col("qname") === "p90", col("qv"))), 4).as("p90_days"))
+      .join(n, "o_orderpriority")
+  }
+
+  /** q70: customer-degree census — how many customers placed 2^k..2^(k+1)−1
+    * orders, the count-of-counts (degree distribution) view that sizes key
+    * skew before a per-customer join or state store. Bucket =
+    * floor(log2 n) via binary string length — integer-exact, no
+    * floating log edge cases. Output is O(log n) rows regardless of scale.
+    */
+  def orderDegreeCensus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .withColumn("bucket", (length(bin(col("n_orders"))) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("total_orders"))
+      .withColumn("bucket_lo", expr("CAST(power(2, bucket) AS BIGINT)"))
+      .select(col("bucket"), col("bucket_lo"), col("n_customers"), col("total_orders"))
+
   /** q66: market share (TPC-H Q8 shape) — the yearly share of one supplier
     * nation in PROMO-part revenue sold to European customers. Six tables:
     * lineitem ⋈ part (selective filter first) ⋈ orders (the one genuine
