@@ -160,7 +160,9 @@ object SparkEntry {
     "q69_ship_delay_sla" -> ((s, d) =>
       Relational.shipDelayPercentiles(s, d).orderBy(col("o_orderpriority"))),
     "q70_degree_census" -> ((s, d) =>
-      Relational.orderDegreeCensus(s, d).orderBy(col("bucket")))
+      Relational.orderDegreeCensus(s, d).orderBy(col("bucket"))),
+    "q71_seasonal_index" -> ((s, d) =>
+      TimeSeries.seasonalIndex(s, d).orderBy(col("event_type"), col("dow")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1152,6 +1154,18 @@ object SparkEntry {
         |SELECT bucket, CAST(power(2, bucket) AS BIGINT) bucket_lo,
         |  CAST(count(*) AS BIGINT) n_customers,
         |  CAST(sum(n_orders) AS BIGINT) total_orders
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q71_seasonal_index" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |d AS (SELECT event_type, CAST((floor(e/86400) + 4) % 7 AS INT) dow,
+        |        CAST(count(*) AS BIGINT) n, sum(CAST(value AS DECIMAL(18,6))) s
+        |      FROM e GROUP BY 1,2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) tn, sum(s) ts_sum
+        |      FROM d GROUP BY 1)
+        |SELECT d.event_type, dow, n,
+        |  round(CAST(s AS DOUBLE)/n*10000)/10000 dow_avg,
+        |  round((CAST(s AS DOUBLE)/n)/(CAST(ts_sum AS DOUBLE)/tn)*10000)/10000 seasonal_idx
+        |FROM d JOIN t ON d.event_type = t.event_type
+        |ORDER BY 1,2""".stripMargin
   )
 }

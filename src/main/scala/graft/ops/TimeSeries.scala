@@ -252,6 +252,30 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"), r4(exactAvg(col("value"))).as("avg_value"))
   }
 
+  /** q71: day-of-week seasonal index per series — each weekday's mean as a
+    * multiple of the series' overall mean (1.0 = no weekly seasonality).
+    * The seasonality profile a scheduler consults before flagging "low
+    * Sunday throughput" as an anomaly. One scan produces the per-(series,
+    * dow) decimal sums; the series totals are a second-level aggregate OVER
+    * those ~series×7 rows (never a rescan), broadcast back for the ratio.
+    */
+  def seasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDow = Tables.events(spark, sfDir)
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .groupBy(col("event_type"),
+        (pmod(floor(col("e") / 86400L) + 4, lit(7))).cast("int").as("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+    val totals = byDow.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tn"), sum(col("s")).as("ts_sum"))
+    byDow.join(broadcast(totals), "event_type")
+      .select(
+        col("event_type"), col("dow"), col("n"),
+        (round(col("s").cast("double") / col("n") * 10000) / 10000).as("dow_avg"),
+        (round((col("s").cast("double") / col("n")) /
+          (col("ts_sum").cast("double") / col("tn")) * 10000) / 10000).as("seasonal_idx"))
+  }
+
   /** q44: cross-series Pearson correlation matrix — which sensors move
     * together. Series align on 5-minute buckets (exact decimal bucket
     * means), then every series pair joins on the bucket key and correlates
