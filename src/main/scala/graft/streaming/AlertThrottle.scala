@@ -48,6 +48,11 @@ object AlertThrottle {
           if (!lastAlert.exists() || e - lastAlert.get() >= cooldownSec) {
             val n = if (suppressed.exists()) suppressed.get() else 0L
             out += ThrottledAlert(sensor, e, ev.score, n)
+            // retire the previous alert's hygiene timer: left pending, it
+            // would fire mid-cooldown of THIS alert and wipe live state
+            if (lastAlert.exists()) {
+              getHandle.deleteTimer((lastAlert.get() + cooldownSec) * 1000)
+            }
             lastAlert.update(e)
             suppressed.update(0L)
             // state-hygiene timer: clear once no event can extend the cooldown
@@ -64,9 +69,17 @@ object AlertThrottle {
         sensor: String,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[ThrottledAlert] = {
-      // the cooldown horizon passed the watermark — drop this key's state
-      lastAlert.clear()
-      suppressed.clear()
+      // the cooldown horizon passed the watermark — drop this key's state.
+      // Guard against a STALE timer (registered by an earlier alert, not yet
+      // deleted, e.g. restored from a pre-fix checkpoint): only clear when
+      // this expiry actually covers the current alert's cooldown horizon —
+      // otherwise an old timer firing mid-cooldown would wipe live state and
+      // let the next crossing raise a duplicate alert.
+      if (lastAlert.exists() &&
+          expiredTimerInfo.getExpiryTimeInMs >= (lastAlert.get() + cooldownSec) * 1000) {
+        lastAlert.clear()
+        suppressed.clear()
+      }
       Iterator.empty
     }
   }

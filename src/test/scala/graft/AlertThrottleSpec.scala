@@ -43,6 +43,45 @@ class AlertThrottleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stale timer from a previous alert cannot wipe a live cooldown") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[ScoreEvent]
+      val out = AlertThrottle.throttle(mem.toDS(), threshold = 0.8,
+        cooldownSec = 600, watermarkDelay = "1 second")
+      val q = out.writeStream
+        .format("memory").queryName("alerts3").outputMode("append").start()
+      try {
+        // alert #1 at t=0 registers a hygiene timer at t=600
+        mem.addData(ScoreEvent("s1", ts("2024-01-01 00:00:00"), 0.9))
+        q.processAllAvailable()
+        // alert #2 at t=720 (cooldown over): must RETIRE the t=600 timer
+        mem.addData(ScoreEvent("s1", ts("2024-01-01 00:12:00"), 0.88))
+        q.processAllAvailable()
+        // watermark is now past t=600 — a stale timer would fire this batch
+        // and wipe alert #2's live cooldown; both crossings below are inside
+        // that cooldown and must be SUPPRESSED, not re-alerted
+        mem.addData(ScoreEvent("s1", ts("2024-01-01 00:15:00"), 0.95))
+        q.processAllAvailable()
+        mem.addData(ScoreEvent("s1", ts("2024-01-01 00:18:00"), 0.90))
+        q.processAllAvailable()
+        // cooldown over: the suppression count must have survived intact
+        mem.addData(ScoreEvent("s1", ts("2024-01-01 00:35:00"), 0.86))
+        q.processAllAvailable()
+
+        val got = spark.table("alerts3").as[ThrottledAlert].collect().toSeq
+          .sortBy(_.ts_epoch)
+        val t0 = ts("2024-01-01 00:00:00").getTime / 1000
+        assert(got === Seq(
+          ThrottledAlert("s1", t0, 0.9, 0),
+          ThrottledAlert("s1", t0 + 720, 0.88, 0),
+          ThrottledAlert("s1", t0 + 2100, 0.86, 2)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("timer clears idle state after the watermark passes the cooldown") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
