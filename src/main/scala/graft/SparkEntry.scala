@@ -162,7 +162,9 @@ object SparkEntry {
     "q70_degree_census" -> ((s, d) =>
       Relational.orderDegreeCensus(s, d).orderBy(col("bucket"))),
     "q71_seasonal_index" -> ((s, d) =>
-      TimeSeries.seasonalIndex(s, d).orderBy(col("event_type"), col("dow")))
+      TimeSeries.seasonalIndex(s, d).orderBy(col("event_type"), col("dow"))),
+    "q73_lsh_census" -> ((s, d) =>
+      Dedup.lshBucketCensus(s, d).orderBy(col("band")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -385,9 +387,12 @@ object SparkEntry {
         |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
         |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
         |                 md5(string_agg(m, '|' ORDER BY salt)) sig
-        |          FROM mh GROUP BY 1,2)
+        |          FROM mh GROUP BY 1,2),
+        |bsz AS (SELECT doc_id, band, sig FROM (
+        |          SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) bc
+        |          FROM bands) WHERE bc <= 64)
         |SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared_bands
-        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |FROM bsz a JOIN bsz b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q23_simhash" ->
       """WITH d AS (SELECT doc_id,
@@ -796,11 +801,18 @@ object SparkEntry {
         |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
         |                 md5(string_agg(m, '|' ORDER BY salt)) sig
         |          FROM mh GROUP BY 1,2),
+        |bsz0 AS (SELECT doc_id, band, sig,
+        |                count(*) OVER (PARTITION BY band, sig) bc FROM bands),
         |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-        |            AND a.doc_id < b.doc_id),
-        |edges AS (SELECT doc_a u, doc_b v FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |          FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id
+        |          WHERE a.bc <= 64 AND b.bc <= 64),
+        |star AS (SELECT DISTINCT mn doc_a, doc_id doc_b FROM (
+        |           SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
+        |           FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
+        |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
+        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |          UNION SELECT doc_b, doc_a FROM allp),
         |reach(node, comp) AS (
         |  SELECT u, u FROM edges
         |  UNION
@@ -926,8 +938,11 @@ object SparkEntry {
         |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
         |                 md5(string_agg(m, '|' ORDER BY salt)) sig
         |          FROM mh GROUP BY 1,2),
+        |bsz AS (SELECT doc_id, band, sig FROM (
+        |          SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) bc
+        |          FROM bands) WHERE bc <= 64),
         |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |          FROM bsz a JOIN bsz b ON a.band = b.band AND a.sig = b.sig
         |            AND a.doc_id < b.doc_id),
         |est AS (SELECT p.doc_a, p.doc_b,
         |          CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)/12.0 est
@@ -1166,6 +1181,27 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE)/n*10000)/10000 dow_avg,
         |  round((CAST(s AS DOUBLE)/n)/(CAST(ts_sum AS DOUBLE)/tn)*10000)/10000 seasonal_idx
         |FROM d JOIN t ON d.event_type = t.event_type
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q73_lsh_census" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bkt AS (SELECT band, sig, CAST(count(*) AS BIGINT) c FROM bands GROUP BY 1,2)
+        |SELECT band,
+        |  CAST(count(*) AS BIGINT) n_buckets,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) n_colliding,
+        |  max(c) max_bucket,
+        |  CAST(sum(CASE WHEN c <= 64 THEN c*(c-1)//2 ELSE 0 END) AS BIGINT) pairs_expanded,
+        |  CAST(sum(CASE WHEN c > 64 THEN c*(c-1)//2 ELSE 0 END) AS BIGINT) pairs_suppressed,
+        |  CAST(sum(CASE WHEN c > 64 THEN 1 ELSE 0 END) AS BIGINT) n_overcap
+        |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -224,11 +224,12 @@ object Dedup {
         (1 until k).map(i =>
           min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"m$i")): _*)
 
-  def minhashLsh(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame = {
+  /** (doc_id, band, sig): one row per document per LSH band; the band
+    * signature is the md5 of its rowsPerBand minhashes in salt order.
+    */
+  def bandSignatures(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    val minhashes = minhashSignatures(docs, k)
-    // band signature = md5 of its rowsPerBand minhashes in salt order
-    val bandSigs = minhashes.select(
+    minhashSignatures(docs, k).select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(
@@ -237,13 +238,88 @@ object Dedup {
             (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)).as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = bandSigs.toDF("doc_a", "band", "sig")
-    val b = bandSigs.toDF("doc_b", "band", "sig")
+  }
+
+  /** Band signatures annotated with their bucket size `bc` — one window
+    * count over the same (band, sig) shuffle the pair join needs, so the
+    * exchange is computed once and reused by both sides of the self-join.
+    */
+  private def sizedBandSignatures(docs: DataFrame, k: Int, bands: Int): DataFrame =
+    bandSignatures(docs, k, bands)
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+
+  /** Candidate pairs from band buckets of size ≤ `maxBucket` ONLY. An
+    * unbounded bucket self-join is the classic 100 TB scale-killer: a
+    * mega-cluster of m identical documents (boilerplate mirrors) shares every
+    * band signature, so one bucket yields m²/2 pairs on a single join key — a
+    * 10⁶-doc cluster is 5·10¹¹ pairs. The cap bounds per-key fan-out at
+    * maxBucket²/2; an over-cap bucket is BY CONSTRUCTION already a duplicate
+    * clique, so it needs no pairwise expansion — [[lshEdges]] carries it into
+    * clustering as O(m) star edges instead, and [[lshBucketCensus]] accounts
+    * for every suppressed bucket. Mirrors the q50 maxDf design
+    * (see [[chunkOverlap]]).
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 12, bands: Int = 3,
+                 maxBucket: Int = 64): DataFrame = {
+    val sized = sizedBandSignatures(docs, k, bands).where(col("bc") <= maxBucket)
+    val a = sized.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = sized.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  /** Undirected duplicate-candidate edges (src, dst) for clustering: the
+    * capped pairwise candidates from [[minhashLsh]], UNION one star per
+    * over-cap bucket (bucket-min → member). A clique and a star over the same
+    * member set have identical connected components, so replacing the m²/2
+    * intra-bucket pairs with m−1 star edges is LOSSLESS for clustering while
+    * keeping the edge count linear in bucket size — mega-duplicate clusters
+    * survive 100 TB instead of detonating the band join.
+    */
+  def lshEdges(docs: DataFrame, k: Int = 12, bands: Int = 3,
+               maxBucket: Int = 64): DataFrame = {
+    val sized = sizedBandSignatures(docs, k, bands)
+    val pairs = minhashLsh(docs, k, bands, maxBucket)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val star = sized
+      .where(col("bc") > maxBucket)
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("band"), col("sig"))))
+      .where(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("src"), col("doc_id").as("dst"))
+    pairs.union(star).distinct()
+  }
+
+  /** q73: LSH index-health census with dropped-bucket accounting — per band:
+    * bucket count, colliding buckets, max bucket size, pairs the capped join
+    * will expand, pairs the cap SUPPRESSED (over-cap buckets carry into
+    * clustering as star edges instead), and the over-cap bucket count. This
+    * is the feedback loop that says whether `maxBucket` (and k, bands) fit
+    * the corpus before anyone runs the pair join at 100 TB — the same role
+    * q62's key-skew census plays for a prospective shuffle key.
+    */
+  def lshBucketCensus(docs: DataFrame, k: Int = 12, bands: Int = 3,
+                      maxBucket: Int = 64): DataFrame = {
+    val buckets = bandSignatures(docs, k, bands)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("c"))
+      // integral DIV: `/` on longs would go through double and lose exactness
+      // for mega-buckets
+      .withColumn("np", expr("c * (c - 1) DIV 2"))
+    buckets
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_colliding"),
+        max(col("c")).as("max_bucket"),
+        sum(when(col("c") <= maxBucket, col("np")).otherwise(0L)).as("pairs_expanded"),
+        sum(when(col("c") > maxBucket, col("np")).otherwise(0L)).as("pairs_suppressed"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_overcap"))
+  }
+
+  def lshBucketCensus(spark: SparkSession, sfDir: String): DataFrame =
+    lshBucketCensus(Tables.documents(spark, sfDir))
 
   /** q59: sketch-accuracy metric for the MinHash index — for every LSH
     * candidate pair, the signature-agreement estimate of Jaccard (fraction
@@ -440,8 +516,7 @@ object Dedup {
     * more groupBy, broadcast back onto members.
     */
   def dupClusters(docs: DataFrame): DataFrame = {
-    val pairs = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
-    val cc = Graph.connectedComponents(pairs)
+    val cc = Graph.connectedComponents(lshEdges(docs))
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "comp")
       .select(

@@ -38,6 +38,43 @@ class DedupSpec extends SparkSpec {
     assert(rows === Seq((0L, 1L, 3L), (0L, 2L, 3L), (1L, 2L, 3L)))
   }
 
+  test("mega-duplicate cluster: band cap suppresses the quadratic join but clustering recovers it") {
+    // 10k identical docs (one boilerplate mega-cluster) + the 4 normal docs.
+    // Uncapped, the mega-cluster alone would expand to ~5·10⁷ candidate
+    // pairs; the cap must keep the pair join to the normal docs' pairs and
+    // carry the mega-cluster into clustering as O(n) star edges.
+    val mega = spark.range(100, 10100).select(
+      col("id").as("doc_id"),
+      lit("shared boilerplate license header repeated across the whole mirror set").as("text"),
+      lit("sM").as("source"))
+    val all = docs.union(mega)
+
+    // pair surface: nothing from the over-cap bucket, normal pairs intact
+    val pairs = Dedup.minhashLsh(all)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs === Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+
+    // edge surface: exactly one star (9999 edges) for the mega-bucket
+    val edges = Dedup.lshEdges(all)
+    assert(edges.where(col("src") === 100L).count() === 9999L)
+    assert(edges.count() === 9999L + 3L)
+
+    // clustering recovers the full 10k cluster with min-id canonical rep
+    val clusters = Dedup.dupClusters(all)
+    val megaRows = clusters.where(col("cluster_id") === 100L)
+    assert(megaRows.count() === 10000L)
+    assert(megaRows.agg(max(col("cluster_size"))).as[Long].head() === 10000L)
+    assert(megaRows.where(col("is_canonical")).select("doc_id").as[Long].head() === 100L)
+
+    // accounting: the census reports the suppressed buckets per band
+    val census = Dedup.lshBucketCensus(all)
+      .select("band", "pairs_suppressed", "n_overcap")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(census.map(_._1) === Seq(0, 1, 2))
+    assert(census.forall(_._2 === 10000L * 9999L / 2))
+    assert(census.forall(_._3 === 1L))
+  }
+
   test("simhash is equal for identical texts and differs across texts") {
     val m = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(m(0L) === m(1L))
