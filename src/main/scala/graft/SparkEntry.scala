@@ -216,7 +216,8 @@ object SparkEntry {
         |              (max(value)-min(value))/20 width FROM ev GROUP BY 1),
         |binned AS (
         | SELECT ev.event_type, CASE WHEN ev.e < sp.split_e THEN 'u' ELSE 'v' END phase,
-        |        least(CAST(floor((ev.value - st.vmin)/st.width) AS BIGINT), 19) bin
+        |        CASE WHEN st.width = 0 THEN 0
+        |             ELSE least(CAST(floor((ev.value - st.vmin)/st.width) AS BIGINT), 19) END bin
         | FROM ev JOIN st ON ev.event_type = st.event_type CROSS JOIN sp),
         |counts AS (SELECT event_type, phase, bin, count(*) c FROM binned GROUP BY 1,2,3),
         |totals AS (SELECT event_type, phase, CAST(sum(c) AS BIGINT) total FROM counts GROUP BY 1,2),
@@ -224,7 +225,7 @@ object SparkEntry {
         |         FROM st, generate_series(0,19) gs(g),
         |              (SELECT 'u' AS phase UNION ALL SELECT 'v') ph),
         |dens AS (SELECT g.event_type, g.phase, g.bin,
-        |           coalesce(CAST(c.c AS DOUBLE)/t.total/g.width, 0.0) d
+        |           coalesce(CAST(c.c AS DOUBLE)/t.total/(CASE WHEN g.width = 0 THEN 1.0 ELSE g.width END), 0.0) d
         |         FROM grid g
         |         LEFT JOIN counts c ON g.event_type=c.event_type AND g.phase=c.phase AND g.bin=c.bin
         |         LEFT JOIN totals t ON g.event_type=t.event_type AND g.phase=t.phase),
@@ -989,9 +990,10 @@ object SparkEntry {
         |  round(pmi*10000)/10000 pmi
         |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
     "q61_contamination" ->
-      """WITH fp0 AS (SELECT source, md5(array_to_string(list_sort(list_distinct(
-        |   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))), ' ')) fp
+      """WITH canon AS (SELECT source, array_to_string(list_sort(list_distinct(
+        |   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))), ' ') c
         | FROM documents),
+        |fp0 AS (SELECT source, md5(c) fp FROM canon WHERE length(c) > 0),
         |fps AS (SELECT DISTINCT source, fp FROM fp0),
         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) n_fps FROM fps GROUP BY 1),
         |shared AS (SELECT a.source source_a, b.source source_b,

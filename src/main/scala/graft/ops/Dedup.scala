@@ -379,10 +379,15 @@ object Dedup {
     * standard contamination metric.
     */
   def sourceContamination(docs: DataFrame): DataFrame = {
+    // zero-token docs are excluded BEFORE fingerprinting: the empty string
+    // hashes to one universal fingerprint that would otherwise link every
+    // source containing any blank document into a fake contamination edge
     val fps = docs.select(
       col("source"),
-      md5(array_join(array_sort(array_distinct(
-        split(normText(col("text")), " "))), " ")).as("fp"))
+      array_join(array_sort(array_distinct(
+        split(normText(col("text")), " "))), " ").as("canon"))
+      .where(length(col("canon")) > 0)
+      .select(col("source"), md5(col("canon")).as("fp"))
       .distinct()
     val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fps"))
     val shared = fps.toDF("source_a", "fp")

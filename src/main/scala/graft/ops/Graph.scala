@@ -63,6 +63,14 @@ object Graph {
       labels = next
       iter += 1
     }
+    // A silent non-converged return would hand callers WRONG (split)
+    // components; duplicate-cluster graphs converge in a handful of rounds,
+    // so hitting the cap means the edge input isn't the near-clique shape
+    // this propagation is designed for — fail loudly.
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds — " +
+        "labels were still changing; raise maxIters or use a " +
+        "star-contraction variant for long-path graphs")
     labels
   }
 }

@@ -38,8 +38,11 @@ object Percentiles {
     val g = col(groupCol)
     val v = col(valueCol)
 
-    // 1. distinct-value compression: (group, value) -> multiplicity
-    val cnts = df.groupBy(g, v).agg(count(lit(1)).as("cnt"))
+    // 1. distinct-value compression: (group, value) -> multiplicity.
+    // NULLs are excluded up front: Catalyst `percentile` and DuckDB
+    // `quantile_cont` both ignore NULL values, and counting them into n
+    // would shift every rank.
+    val cnts = df.where(v.isNotNull).groupBy(g, v).agg(count(lit(1)).as("cnt"))
     // per-group totals + value envelope (one row per group)
     val stats = cnts.groupBy(g).agg(
       sum(col("cnt")).as("n"), min(v).as("mn"), max(v).as("mx"))

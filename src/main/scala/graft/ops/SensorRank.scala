@@ -57,12 +57,16 @@ object SensorRank {
       .crossJoin(broadcast(split))
       .join(broadcast(stats), Seq("event_type"))
       .withColumn("phase", when(col("e") < col("split_e"), "u").otherwise("v"))
+      // constant sensors have a zero-width envelope: every point lands in
+      // bin 0 (a raw divide would be NULL under Spark's non-ANSI semantics
+      // but inf in the DuckDB oracle — see Equipment.rankSensors)
       .withColumn(
         "bin",
-        least(
-          floor((col("value") - col("vmin")) / col("width")).cast("long"),
-          lit(NumBins - 1L)
-        )
+        when(col("width") === 0, lit(0L)).otherwise(
+          least(
+            floor((col("value") - col("vmin")) / col("width")).cast("long"),
+            lit(NumBins - 1L)
+          ))
       )
     val counts = binned
       .groupBy(col("event_type"), col("phase"), col("bin"))
@@ -87,7 +91,8 @@ object SensorRank {
         col("event_type"),
         col("phase"),
         col("bin"),
-        coalesce(col("c").cast("double") / col("total") / col("width"), lit(0.0)).as("d")
+        coalesce(col("c").cast("double") / col("total") /
+          when(col("width") === 0, lit(1.0)).otherwise(col("width")), lit(0.0)).as("d")
       )
 
     // Wasserstein between two equal-length vectors = mean |sorted u - sorted v|.

@@ -83,6 +83,11 @@ object ComponentSource {
     // (component, ts column position, [(sensor name, column position), ...])
     val meta = inferSchema(spark, root).map { sp =>
       val tsIdx = sp.columns.indexWhere(_.name == timestampCol)
+      // fail at metadata-build time with a clear message — a -1 here would
+      // otherwise surface at runtime as an opaque element_at(f, 0) index error
+      require(tsIdx >= 0,
+        s"component '${sp.name}' has no '$timestampCol' column " +
+          s"(found: ${sp.columns.map(_.name).mkString(", ")})")
       val sensors = sp.columns.zipWithIndex.collect {
         case (c, i) if i != tsIdx && c.dtype == "DOUBLE" => (c.name, i)
       }

@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     assert(census.forall(_._3 === 1L))
   }
 
+  test("empty documents cannot link sources via the universal fingerprint") {
+    // three sources that share NOTHING except a blank/whitespace-only doc;
+    // s0/s1 legitimately share the fox content
+    val withEmpty = docs.union(Seq(
+      (10L, "", "s0"), (11L, "   ", "s1"), (12L, "", "s2"),
+      (13L, "unique content only in s2", "s2")
+    ).toDF("doc_id", "text", "source"))
+    val rows = Dedup.sourceContamination(withEmpty)
+      .select("source_a", "source_b").as[(String, String)].collect().toSeq.sorted
+    // without the guard s2 would show contaminated with both s0 and s1
+    assert(rows === Seq(("s0", "s1")))
+  }
+
   test("simhash is equal for identical texts and differs across texts") {
     val m = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(m(0L) === m(1L))

@@ -23,6 +23,15 @@ class GraphSpec extends SparkSpec {
     assert(cc.size === 7)
   }
 
+  test("hitting the round cap without convergence fails loudly") {
+    // diameter 7 needs 7 propagation rounds + 1 detection round; cap at 3
+    val edges = (1L to 7L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(edges.toDF("src", "dst"), maxIters = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("edge direction is irrelevant") {
     // min vertex on the destination side
     val cc = components(Seq((5L, 1L), (2L, 5L)))

@@ -41,4 +41,17 @@ class PercentilesSpec extends SparkSpec {
   test("all values identical in a group") {
     check(Seq.fill(10)(("k", 42.0)), Seq("p50" -> 0.5, "p99" -> 0.99))
   }
+
+  test("NULL values are ignored, matching Catalyst percentile semantics") {
+    // nulls interleaved with 1..5; counting them into n would shift every rank
+    val df = Seq[(String, Option[Double])](
+      "a" -> Some(1.0), "a" -> None, "a" -> Some(2.0), "a" -> Some(3.0),
+      "a" -> None, "a" -> Some(4.0), "a" -> Some(5.0), "a" -> None)
+      .toDF("g", "v")
+    val got = Percentiles.exactQuantiles(df, "g", "v", Seq("p50" -> 0.5), nBuckets = 16)
+      .select($"qv").as[Double].head()
+    val want = df.agg(expr("percentile(v, 0.5)")).as[Double].head()
+    assert(got === want)
+    assert(got === 3.0)
+  }
 }

@@ -44,6 +44,21 @@ class SourcesSpec extends SparkSpec {
     assert(nScans === 1)
   }
 
+  test("component with no timestamp column fails fast with a clear message") {
+    val root = Files.createTempDirectory("graft-compsrc-nots")
+    val dir = root.resolve("pump")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("part-0.csv"),
+      """When,s1
+        |2024-01-01 00:00:00,1.5
+        |""".stripMargin)
+    val ex = intercept[IllegalArgumentException] {
+      ComponentSource.readLong(spark, root.toString)
+    }
+    assert(ex.getMessage.contains("pump"))
+    assert(ex.getMessage.contains("Timestamp"))
+  }
+
   test("partitioned sink: component directories + pruned read-back") {
     val root = Files.createTempDirectory("graft-sink")
     val long = Seq(
