@@ -163,6 +163,8 @@ object SparkEntry {
       Relational.orderDegreeCensus(s, d).orderBy(col("bucket"))),
     "q71_seasonal_index" -> ((s, d) =>
       TimeSeries.seasonalIndex(s, d).orderBy(col("event_type"), col("dow"))),
+    "q72_importance_evolution" -> ((s, d) =>
+      SensorRank.importanceEvolution(s, d).orderBy(col("rnk"), col("bucket"))),
     "q73_lsh_census" -> ((s, d) =>
       Dedup.lshBucketCensus(s, d).orderBy(col("band")))
   )
@@ -1184,6 +1186,24 @@ object SparkEntry {
         |  round((CAST(s AS DOUBLE)/n)/(CAST(ts_sum AS DOUBLE)/tn)*10000)/10000 seasonal_idx
         |FROM d JOIN t ON d.event_type = t.event_type
         |ORDER BY 1,2""".stripMargin,
+    "q72_importance_evolution" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |b AS (SELECT CAST(floor(min(e)+(max(e)-min(e))*0.5) AS BIGINT) w_start FROM ev),
+        |contrib AS (SELECT event_type, CAST(floor(e/86400)*86400 AS BIGINT) bucket,
+        |                   sum(CAST(value AS DECIMAL(18,6))) s
+        |            FROM ev, b WHERE e >= b.w_start GROUP BY 1,2),
+        |btot AS (SELECT bucket, sum(s) tot FROM contrib GROUP BY 1),
+        |tots AS (SELECT event_type, sum(s) sig_total FROM contrib GROUP BY 1),
+        |top AS (SELECT event_type, sig_total,
+        |          CAST(row_number() OVER (ORDER BY sig_total DESC, event_type) AS INT) rnk
+        |        FROM tots QUALIFY rnk <= 3)
+        |SELECT c.event_type, c.bucket,
+        |  round(CAST(c.s AS DOUBLE)/CAST(t.tot AS DOUBLE)*10000)/10000 imp_share,
+        |  round(CAST(p.sig_total AS DOUBLE)*10000)/10000 sig_total,
+        |  p.rnk
+        |FROM contrib c JOIN btot t ON c.bucket = t.bucket
+        |JOIN top p ON c.event_type = p.event_type
+        |ORDER BY p.rnk, c.bucket""".stripMargin,
     "q73_lsh_census" ->
       """WITH d AS (SELECT doc_id, string_split(
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),

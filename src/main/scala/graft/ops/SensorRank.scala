@@ -29,6 +29,52 @@ import graft.ops.TimeSeries.epochS
 object SensorRank {
   val NumBins = 20
 
+  /** q72: feature-importance evolution — the reference's
+    * `_build_feature_importance_dataframe` (plot.py:619-660) expands each
+    * prediction's per-signal diagnostics into an importance time series, and
+    * `plot_signal_importance_evolution` (plot.py:582-595) keeps the top-N
+    * signals by TOTAL importance over the evaluation window.
+    *
+    * Distributed formulation over the events diag data: the evaluation
+    * window is the last half of the time span; per (signal, bucket) the
+    * importance share is the signal's value mass over the bucket's total
+    * (the diagnostics-normalization analog — reference diagnostics sum to 1
+    * per timestamp), and signals rank by summed mass over the whole window.
+    * Two shuffles total — the (signal, bucket) aggregate and its two tiny
+    * rollups (≤ |signals|·|buckets| rows) — so the same plan holds at
+    * 100 TB; the top-N dimension broadcasts back onto the evolution rows.
+    */
+  def importanceEvolution(spark: SparkSession, sfDir: String,
+                          topN: Int = 3, bucketSec: Long = 86400L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    val bounds = ev
+      .agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+      .select(floor(col("mn") + (col("mx") - col("mn")) * 0.5).cast("long").as("w_start"))
+    val contrib = ev
+      .crossJoin(broadcast(bounds))
+      .where(col("e") >= col("w_start"))
+      .groupBy(col("event_type"),
+        (floor(col("e") / bucketSec) * bucketSec).cast("long").as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("s"))
+    val bucketTotals = contrib.groupBy(col("bucket")).agg(sum(col("s")).as("tot"))
+    // |signals| rows — the single-partition window is over a dimension table
+    val top = contrib
+      .groupBy(col("event_type")).agg(sum(col("s")).as("sig_total"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("sig_total").desc, col("event_type"))))
+      .where(col("rnk") <= topN)
+    contrib
+      .join(bucketTotals, "bucket")
+      .join(broadcast(top), "event_type")
+      .select(
+        col("event_type"), col("bucket"),
+        (round(col("s").cast("double") / col("tot").cast("double") * 10000) / 10000)
+          .as("imp_share"),
+        (round(col("sig_total").cast("double") * 10000) / 10000).as("sig_total"),
+        col("rnk"))
+  }
+
   def sensorRank(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
