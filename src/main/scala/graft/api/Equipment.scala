@@ -302,9 +302,23 @@ object Equipment {
     * end_time = start_time + frequency − 1 s (scheduler.py start_time /
     * end_time arithmetic, inclusive end).
     */
-  def nextTimeRange(now: Timestamp, frequencyMin: Int): (Timestamp, Timestamp) = {
-    val freqMs = frequencyMin * 60000L
-    val bucketStart = now.getTime / freqMs * freqMs
-    (new Timestamp(bucketStart), new Timestamp(bucketStart + freqMs - 1000L))
+  def nextTimeRange(now: Timestamp, frequencyMin: Int): (Timestamp, Timestamp) =
+    nextTimeRange(now, frequencyMin, java.time.ZoneOffset.UTC)
+
+  /** Timezone-aware variant — the reference scheduler floors the wakeup to a
+    * bucket of the LOCAL wall clock (scheduler.py:106-137 `_get_timezone_offset`
+    * + 153-164: `datetime.now(tz)` minus `minute % frequency`), so schedule
+    * boundaries follow the configured timezone, not UTC. For offsets that are
+    * not a multiple of the frequency (e.g. +05:30 with hourly scheduling) and
+    * across DST transitions this selects a DIFFERENT set of data rows than
+    * UTC flooring; window arithmetic runs in `zone` and converts back to
+    * instants at the edges.
+    */
+  def nextTimeRange(now: Timestamp, frequencyMin: Int,
+                    zone: java.time.ZoneId): (Timestamp, Timestamp) = {
+    val local = now.toInstant.atZone(zone).withSecond(0).withNano(0)
+    val start = local.minusMinutes(local.getMinute % frequencyMin)
+    val end = start.plusMinutes(frequencyMin.toLong).minusSeconds(1)
+    (Timestamp.from(start.toInstant), Timestamp.from(end.toInstant))
   }
 }

@@ -139,6 +139,38 @@ class EquipmentSpec extends SparkSpec {
     assert(e === ts("2024-01-01 10:09:59"))
   }
 
+  test("nextTimeRange with a half-hour-offset timezone floors on the LOCAL hour") {
+    // 10:47:30 UTC = 16:17:30 IST; hourly schedule must floor to 16:00 IST
+    // (= 10:30 UTC) — UTC flooring would wrongly select the 10:00 bucket
+    val utc = (s: String) => Timestamp.from(java.time.Instant.parse(s))
+    val (s, e) = Equipment.nextTimeRange(utc("2024-01-01T10:47:30Z"), 60,
+      java.time.ZoneId.of("Asia/Kolkata"))
+    assert(s === utc("2024-01-01T10:30:00Z"))
+    assert(e === utc("2024-01-01T11:29:59Z"))
+  }
+
+  test("nextTimeRange buckets stay contiguous across a DST spring-forward") {
+    val utc = (s: String) => Timestamp.from(java.time.Instant.parse(s))
+    val ny = java.time.ZoneId.of("America/New_York")
+    // 2024-03-10: 02:00 EST jumps to 03:00 EDT. Last pre-jump bucket:
+    val (s1, e1) = Equipment.nextTimeRange(utc("2024-03-10T06:30:00Z"), 60, ny) // 01:30 EST
+    assert(s1 === utc("2024-03-10T06:00:00Z")) // 01:00 EST
+    assert(e1 === utc("2024-03-10T06:59:59Z")) // 01:59:59 EST
+    // First post-jump bucket (02:xx local does not exist):
+    val (s2, e2) = Equipment.nextTimeRange(utc("2024-03-10T07:30:00Z"), 60, ny) // 03:30 EDT
+    assert(s2 === utc("2024-03-10T07:00:00Z")) // 03:00 EDT
+    assert(e2 === utc("2024-03-10T07:59:59Z")) // 03:59:59 EDT
+    // together the two buckets cover UTC without gap or overlap
+    assert(e1.getTime + 1000L === s2.getTime)
+  }
+
+  test("nextTimeRange UTC overload is the zone variant at ZoneOffset.UTC") {
+    val (s1, e1) = Equipment.nextTimeRange(ts("2024-01-01 10:07:30"), 5)
+    val (s2, e2) = Equipment.nextTimeRange(ts("2024-01-01 10:07:30"), 5,
+      java.time.ZoneOffset.UTC)
+    assert(s1 === s2 && e1 === e2)
+  }
+
   test("readLabels: headerless CSV -> flags -> rank round-trip (known=2 wins)") {
     // the reference's labels file: two headerless timestamp columns
     val dir = java.nio.file.Files.createTempDirectory("labels").toFile
