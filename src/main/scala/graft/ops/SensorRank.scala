@@ -79,28 +79,28 @@ object SensorRank {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
 
-    // ONE scan computes both broadcast dimensions: per-signal value
-    // envelopes AND per-signal time bounds; the global 75% split then
-    // derives from the per-signal bounds with a second-level aggregate over
-    // ~|signals| rows (min of mins == global min), never a second pass
-    // over the fact table.
-    val perSignal = ev
+    // ONE scan computes the whole per-signal dimension: value envelope, bin
+    // width, AND the global 75% time split (a second-level window over
+    // ~|signals| rows — min of mins == global min — never a second pass over
+    // the fact table). The dimension is localCheckpoint'ed because TWO
+    // consumers reference it (the binning join and the dense grid): without
+    // materialization each reference re-expands the scan subtree into the
+    // plan, and the fact table would be read once per reference.
+    val wAll = Window.partitionBy() // ~|signals| rows — not a data window
+    val stats = ev
       .groupBy(col("event_type"))
       .agg(
         min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         min(col("e")).as("emn"), max(col("e")).as("emx"))
-
-    val split = perSignal
-      .agg(min(col("emn")).as("mn"), max(col("emx")).as("mx"))
-      .select(floor(col("mn") + (col("mx") - col("mn")) * 0.75).cast("long").as("split_e"))
-
-    val stats = perSignal
-      .select(col("event_type"), col("vmin"), col("vmax"))
+      .withColumn("split_e",
+        floor(min(col("emn")).over(wAll) +
+          (max(col("emx")).over(wAll) - min(col("emn")).over(wAll)) * 0.75).cast("long"))
       .withColumn("width", (col("vmax") - col("vmin")) / NumBins)
+      .select(col("event_type"), col("vmin"), col("width"), col("split_e"))
+      .localCheckpoint()
 
     // Assign each point a phase and a bin, then count per (signal, phase, bin).
     val binned = ev
-      .crossJoin(broadcast(split))
       .join(broadcast(stats), Seq("event_type"))
       .withColumn("phase", when(col("e") < col("split_e"), "u").otherwise("v"))
       // constant sensors have a zero-width envelope: every point lands in
@@ -114,12 +114,14 @@ object SensorRank {
             lit(NumBins - 1L)
           ))
       )
+    // per-(signal, phase) totals ride as a window column over the already-
+    // aggregated counts (~signals×2×20 rows) — a separate totals aggregate
+    // joined back would re-expand the counts subtree into the plan twice
     val counts = binned
       .groupBy(col("event_type"), col("phase"), col("bin"))
       .agg(count(lit(1)).as("c"))
-    val totals = counts
-      .groupBy(col("event_type"), col("phase"))
-      .agg(sum(col("c")).as("total"))
+      .withColumn("total",
+        sum(col("c")).over(Window.partitionBy(col("event_type"), col("phase"))))
 
     // Dense (signal × phase × bin) grid so empty bins contribute density 0.
     val grid = stats
@@ -132,7 +134,6 @@ object SensorRank {
     // under-ranked relative to the reference's wasserstein_distance input)
     val densities = grid
       .join(counts, Seq("event_type", "phase", "bin"), "left_outer")
-      .join(totals, Seq("event_type", "phase"), "left_outer")
       .select(
         col("event_type"),
         col("phase"),
@@ -142,12 +143,16 @@ object SensorRank {
       )
 
     // Wasserstein between two equal-length vectors = mean |sorted u - sorted v|.
+    // The u/v pairing is a conditional-aggregation pivot on (signal, pos) —
+    // a u-filter/v-filter self-join would duplicate the entire densities
+    // subtree (scan included) on both sides of the join.
     val sortW = Window.partitionBy(col("event_type"), col("phase")).orderBy(col("d"), col("bin"))
-    val ranked = densities.withColumn("pos", row_number().over(sortW))
-    val u = ranked.filter(col("phase") === "u").select(col("event_type"), col("pos"), col("d").as("du"))
-    val v = ranked.filter(col("phase") === "v").select(col("event_type"), col("pos"), col("d").as("dv"))
-    val scores = u
-      .join(v, Seq("event_type", "pos"))
+    val scores = densities
+      .withColumn("pos", row_number().over(sortW))
+      .groupBy(col("event_type"), col("pos"))
+      .agg(
+        min(when(col("phase") === "u", col("d"))).as("du"),
+        min(when(col("phase") === "v", col("d"))).as("dv"))
       .groupBy(col("event_type"))
       .agg((round(sum(abs(col("du") - col("dv")).cast("decimal(28,20)")).cast("double")
         / count(lit(1)) * 1000000) / 1000000).as("score"))

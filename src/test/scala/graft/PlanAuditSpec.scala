@@ -77,6 +77,14 @@ class PlanAuditSpec extends SparkSpec {
       "q64 should go through TakeOrderedAndProject for its global top-k")
   }
 
+  test("sensor ranking reads the fact table at most twice") {
+    // one scan for the per-signal envelope+bounds dimension, one for the
+    // binning pass; a third scan (the round-1 shape: separate split-bounds
+    // pass) must not creep back in
+    val nScans = "Scan parquet".r.findAllIn(plans("q05_sensor_rank")).size
+    assert(nScans <= 2, s"q05 scans events $nScans times (expected <= 2)")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
