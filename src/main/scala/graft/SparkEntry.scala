@@ -166,7 +166,9 @@ object SparkEntry {
     "q72_importance_evolution" -> ((s, d) =>
       SensorRank.importanceEvolution(s, d).orderBy(col("rnk"), col("bucket"))),
     "q73_lsh_census" -> ((s, d) =>
-      Dedup.lshBucketCensus(s, d).orderBy(col("band")))
+      Dedup.lshBucketCensus(s, d).orderBy(col("band"))),
+    "q74_srp_lsh" -> ((s, d) =>
+      Similarity.srpLsh(s, d).orderBy(col("vec_a"), col("vec_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1224,6 +1226,45 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c <= 64 THEN c*(c-1)//2 ELSE 0 END) AS BIGINT) pairs_expanded,
         |  CAST(sum(CASE WHEN c > 64 THEN c*(c-1)//2 ELSE 0 END) AS BIGINT) pairs_suppressed,
         |  CAST(sum(CASE WHEN c > 64 THEN 1 ELSE 0 END) AS BIGINT) n_overcap
-        |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q74_srp_lsh" ->
+      """WITH pl AS (SELECT p.j, q.d,
+        |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
+        |  FROM (SELECT unnest(generate_series(0, 15)) j) p,
+        |       (SELECT unnest(generate_series(0, 63)) d) q),
+        |w AS (SELECT j, d,
+        |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)/16777216.0 - 0.5 w
+        |  FROM pl),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, i - 1 d, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
+        |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
+        |sigs AS (SELECT vec_id, CAST(floor(j/4) AS INT) band,
+        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 4) AS BIGINT)
+        |                         ELSE 0 END) AS BIGINT) sig
+        |         FROM dots GROUP BY 1,2),
+        |cand AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+        |           CAST(count(*) AS BIGINT) n_shared_bands
+        |         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        |           AND a.vec_id < b.vec_id
+        |         GROUP BY 1,2 HAVING count(*) >= 1),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |dp AS (SELECT c.vec_a, c.vec_b, c.n_shared_bands,
+        |         CAST(sum(CAST(xa.v*xb.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |       FROM cand c JOIN xx xa ON xa.vec_id = c.vec_a
+        |       JOIN xx xb ON xb.vec_id = c.vec_b AND xa.d = xb.d
+        |       GROUP BY 1,2,3)
+        |SELECT vec_a, vec_b, n_shared_bands,
+        |  round(dot/(na.nrm*nb.nrm), 6) cosine
+        |FROM dp JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.4
+        |ORDER BY 1,2""".stripMargin
   )
 }

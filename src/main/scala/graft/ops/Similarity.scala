@@ -133,6 +133,79 @@ object Similarity {
   def annRecall(spark: SparkSession, sfDir: String): DataFrame =
     annRecall(Tables.embeddings(spark, sfDir))
 
+  /** Deterministic pseudo-random hyperplanes for [[srpLsh]]: one row per
+    * plane, weights in [-0.5, 0.5) from the same md5→uniform idiom the
+    * stratified sampler uses — so the DuckDB oracle reproduces the EXACT
+    * hyperplanes and the test is a real end-to-end value check, not
+    * rows-only.
+    */
+  private def srpPlanes(spark: SparkSession, nPlanes: Int, dim: Int): DataFrame =
+    spark.range(nPlanes).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(dim).select(col("id").cast("int").as("d")))
+      .withColumn("h", md5(concat(lit("srp:"), col("j").cast("string"),
+        lit(":"), col("d").cast("string"))))
+      .withColumn("w",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)""")
+        / lit(16777216.0) - lit(0.5))
+      .groupBy(col("j"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, w))), s -> s.w)").as("pw"))
+
+  /** q74: SRP-LSH near-dup pairs over embeddings — sign-random-projection
+    * (hyperplane) LSH, the sublinear scale path for cosine similarity that
+    * q24's label-blocking can't provide when no cluster labels exist.
+    * Charikar's SimHash for vectors: each of `nPlanes` hyperplanes
+    * contributes one sign bit (P[bits agree] = 1 − θ/π); bits band into
+    * `nBands` bucket keys; pairs colliding in ≥ `minBands` bands are
+    * candidates; ONLY candidates get the exact-decimal cosine, and only
+    * pairs ≥ `minCos` survive.
+    *
+    * Scale posture mirrors the text-side LSH (q22): the planes dimension is
+    * tiny and broadcast, the signature pass is one linear scan, candidates
+    * come from equi-joins on (band, sig) — never a cross product — and the
+    * verify join touches candidates only. Embedding dimension is a
+    * parameter (the testdata embeddings are 64-d).
+    */
+  def srpLsh(emb: DataFrame, dim: Int = 64, nPlanes: Int = 16, nBands: Int = 4,
+             minBands: Int = 1, minCos: Double = 0.4): DataFrame = {
+    val spark = emb.sparkSession
+    val rowsPerBand = nPlanes / nBands
+    val planes = srpPlanes(spark, nPlanes, dim)
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+
+    val sigs = all.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("j"), (dotExpr("v", "pw") > 0).as("bit"))
+      .groupBy(col("vec_id"),
+        floor(col("j") / rowsPerBand).cast("int").as("band"))
+      .agg(sum(when(col("bit"),
+        pow(lit(2), col("j") % rowsPerBand).cast("bigint")).otherwise(0L)).as("sig"))
+
+    val a = sigs.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("band"), col("sig"))
+    val cand = a.join(b, Seq("band", "sig"))
+      .where(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .where(col("n_shared_bands") >= minBands)
+
+    cand
+      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", dotExpr("va", "vb") / (col("na") * col("nb")))
+      .where(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  def srpLsh(spark: SparkSession, sfDir: String): DataFrame =
+    srpLsh(Tables.embeddings(spark, sfDir))
+
   /** q56: IVF partition-quality metrics — per cluster label: vector count,
     * mean and max squared L2 distance to the label centroid. This is the
     * index-health dashboard for the q26 IVF search: a label whose max

@@ -33,4 +33,20 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfAnn(emb, nProbes = 1, k = 3, nprobe = 2).collect().toSeq
     assert(ivf === bf)
   }
+
+  test("srpLsh: identical vectors collide in every band; orthogonal pairs are cut") {
+    import org.apache.spark.sql.functions._
+    // 8-dim: two identical vectors (all bands collide, cosine 1) plus an
+    // orthogonal one (any accidental band collision dies at the cosine floor)
+    val e = Seq(
+      (0L, Array(1f, 0.5f, -0.25f, 1f, 0f, 0.5f, -1f, 0.75f), 0),
+      (1L, Array(1f, 0.5f, -0.25f, 1f, 0f, 0.5f, -1f, 0.75f), 0),
+      (2L, Array(-0.5f, 1f, 1f, 0f, 1f, -0.5f, 0.25f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.srpLsh(e, dim = 8)
+      .orderBy("vec_a", "vec_b")
+      .select("vec_a", "vec_b", "n_shared_bands", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows === Seq((0L, 1L, 4L, 1.0)))
+  }
 }
