@@ -1,15 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-query wall-clock benchmark. One untimed warmup pass first (JIT +
-  * whole-stage-codegen compilation + filesystem cache), then a timed pass in
-  * name order, so numbers reflect steady-state execution rather than which
-  * query happened to pay JVM startup.
+/** Per-query wall-clock benchmark. Two untimed warmup passes first (the
+  * first pays JIT + whole-stage-codegen compilation + filesystem cache; the
+  * second lets the JIT finish re-profiling the hot paths it deoptimized
+  * during the first), then three timed passes in name order keeping the
+  * per-query MINIMUM. On a shared box single measurements swing 2-3× from
+  * GC/scheduler jitter; the min over three steady-state passes is the
+  * reproducible signal and is what BASELINE.md records.
+  *
+  * Override passes with SPARK_GRAFT_BENCH_WARMUP / SPARK_GRAFT_BENCH_RUNS.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -19,22 +26,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    (1 to warmups).foreach { _ =>
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      }
     }
-    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val passes = (1 to runs).map(_ => timedPass())
+    val results = ordered.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
-    // min of two timed passes per query — machine noise on a shared box
-    // swings single measurements 2-3×; the min is the stable signal
-    val p1 = timedPass().toMap
-    val results = timedPass().map { case (name, t) => name -> math.min(t, p1(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"runs":$runs}""")
     spark.stop()
   }
 }
