@@ -168,7 +168,13 @@ object SparkEntry {
     "q73_lsh_census" -> ((s, d) =>
       Dedup.lshBucketCensus(s, d).orderBy(col("band"))),
     "q74_srp_lsh" -> ((s, d) =>
-      Similarity.srpLsh(s, d).orderBy(col("vec_a"), col("vec_b")))
+      Similarity.srpLsh(s, d).orderBy(col("vec_a"), col("vec_b"))),
+    "q75_mixture_plan" -> ((s, d) =>
+      Curation.mixturePlan(s, d).orderBy(col("lang"))),
+    "q76_semantic_prune" -> ((s, d) =>
+      Similarity.semanticPrune(s, d).orderBy(col("vec_id"))),
+    "q77_curation_funnel" -> ((s, d) =>
+      Curation.curationFunnel(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1265,6 +1271,106 @@ object SparkEntry {
         |  round(dot/(na.nrm*nb.nrm), 6) cosine
         |FROM dp JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
         |WHERE dot/(na.nrm*nb.nrm) >= 0.4
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q75_mixture_plan" ->
+      """WITH d AS (SELECT lang, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |a AS (SELECT lang, CAST(sum(len(w)) AS BIGINT) avail_tokens FROM d GROUP BY 1),
+        |t(lang, share) AS (VALUES ('en', 0.30), ('es', 0.20), ('fr', 0.20),
+        |                          ('de', 0.15), ('zh', 0.15)),
+        |j AS (SELECT a.lang, avail_tokens, CAST(share AS DOUBLE) target_share,
+        |        avail_tokens * 4.0 / CAST(share AS DOUBLE) cap_budget
+        |      FROM a JOIN t ON a.lang = t.lang),
+        |b AS (SELECT min(cap_budget) budget FROM j)
+        |SELECT lang, avail_tokens, target_share,
+        |  CAST(round(target_share * budget) AS BIGINT) planned_tokens,
+        |  round(target_share * budget / avail_tokens * 10000)/10000 epochs,
+        |  CAST(round(budget) AS BIGINT) budget_tokens
+        |FROM j, b ORDER BY lang""".stripMargin,
+    "q76_semantic_prune" ->
+      """WITH RECURSIVE pl AS (SELECT p.j, q.d,
+        |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
+        |  FROM (SELECT unnest(generate_series(0, 15)) j) p,
+        |       (SELECT unnest(generate_series(0, 63)) d) q),
+        |w AS (SELECT j, d,
+        |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)/16777216.0 - 0.5 w
+        |  FROM pl),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, i - 1 d, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
+        |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
+        |sigs AS (SELECT vec_id, CAST(floor(j/4) AS INT) band,
+        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 4) AS BIGINT)
+        |                         ELSE 0 END) AS BIGINT) sig
+        |         FROM dots GROUP BY 1,2),
+        |cand AS (SELECT a.vec_id vec_a, b.vec_id vec_b
+        |         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        |           AND a.vec_id < b.vec_id
+        |         GROUP BY 1,2),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |dp AS (SELECT c.vec_a, c.vec_b,
+        |         CAST(sum(CAST(xa.v*xb.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |       FROM cand c JOIN xx xa ON xa.vec_id = c.vec_a
+        |       JOIN xx xb ON xb.vec_id = c.vec_b AND xa.d = xb.d
+        |       GROUP BY 1,2),
+        |p AS (SELECT vec_a, vec_b
+        |      FROM dp JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+        |      WHERE dot/(na.nrm*nb.nrm) >= 0.4),
+        |edges AS (SELECT vec_a u, vec_b v FROM p
+        |          UNION SELECT vec_b, vec_a FROM p),
+        |reach(node, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.comp < e.v),
+        |cc AS (SELECT node, min(comp) comp FROM reach GROUP BY 1),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) cluster_size FROM cc GROUP BY 1)
+        |SELECT emb.vec_id,
+        |  coalesce(cc.comp, emb.vec_id) cluster_id,
+        |  CAST(coalesce(sz.cluster_size, 1) AS BIGINT) cluster_size,
+        |  emb.vec_id = coalesce(cc.comp, emb.vec_id) is_kept
+        |FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.node
+        |LEFT JOIN sz ON cc.comp = sz.comp
+        |ORDER BY vec_id""".stripMargin,
+    "q77_curation_funnel" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |sw AS (SELECT doc_id, source, t, string_split(t, ' ') w FROM s),
+        |base AS (SELECT doc_id, source,
+        |    CAST(length(t) AS BIGINT) n_chars,
+        |    CAST(len(w) AS BIGINT) n_words,
+        |    CAST(len(list_distinct(w)) AS BIGINT) uniq_words,
+        |    CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS BIGINT) n_punct
+        |  FROM sw),
+        |bgx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) g
+        |        FROM sw WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, w[g]||' '||w[g+1] bg, count(*) c FROM bgx GROUP BY 1,2),
+        |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) top_bigram_n FROM bc GROUP BY 1),
+        |f AS (SELECT b.doc_id, b.source, b.n_chars, b.n_words, b.uniq_words,
+        |        b.n_punct, coalesce(top_bigram_n, 0) top_bigram_n
+        |      FROM base b LEFT JOIN top USING (doc_id)),
+        |g AS (SELECT source,
+        |    (n_words BETWEEN 10 AND 1000) p_len,
+        |    ((n_words BETWEEN 10 AND 1000)
+        |      AND (n_words - uniq_words)*10 <= n_words*7
+        |      AND top_bigram_n*100 <= n_words*9) p_rep,
+        |    ((n_words BETWEEN 10 AND 1000)
+        |      AND (n_words - uniq_words)*10 <= n_words*7
+        |      AND top_bigram_n*100 <= n_words*9
+        |      AND n_punct*100 <= n_chars*10) p_punct
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) n_pass_len,
+        |  CAST(sum(CASE WHEN p_rep THEN 1 ELSE 0 END) AS BIGINT) n_pass_rep,
+        |  CAST(sum(CASE WHEN p_punct THEN 1 ELSE 0 END) AS BIGINT) n_pass_all,
+        |  round(CAST(sum(CASE WHEN p_punct THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*10000)/10000 retention
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

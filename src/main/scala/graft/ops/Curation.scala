@@ -139,4 +139,105 @@ object Curation {
 
   def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
     weightedSample(Tables.documents(spark, sfDir))
+
+  /** q75: data-mixture plan — given a target language mixture and a
+    * max-epochs cap, compute the largest token budget the corpus supports
+    * and each stratum's planned token count / epoch factor. The budget is
+    * pinned by the scarcest stratum: B = min over strata of
+    * avail·maxEpochs/share (any larger B forces that stratum past the epoch
+    * cap). This is the mixture-rebalancing arithmetic a training-data recipe
+    * runs before sampling: q54's per-stratum rates come FROM a plan like
+    * this.
+    *
+    * Scale posture: one projection+groupBy over the corpus (5 stratum rows
+    * out), then all remaining arithmetic happens on the stratum table with a
+    * broadcast one-row global min — the 100 TB input is touched exactly
+    * once.
+    */
+  def mixturePlan(
+      docs: DataFrame,
+      targets: Seq[(String, Double)] = Seq(
+        "en" -> 0.30, "es" -> 0.20, "fr" -> 0.20, "de" -> 0.15, "zh" -> 0.15),
+      maxEpochs: Double = 4.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs
+      .select(col("lang"),
+        size(split(Dedup.normText(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("avail_tokens"))
+    val tgt = targets.toDF("lang", "target_share")
+    val capped = avail.join(broadcast(tgt), "lang")
+      .withColumn("cap_budget",
+        col("avail_tokens") * lit(maxEpochs) / col("target_share"))
+    val budget = capped.agg(min(col("cap_budget")).as("budget"))
+    capped.crossJoin(broadcast(budget))
+      .select(
+        col("lang"), col("avail_tokens"), col("target_share"),
+        round(col("target_share") * col("budget")).cast("long").as("planned_tokens"),
+        (round(col("target_share") * col("budget") / col("avail_tokens") * 10000) / 10000)
+          .as("epochs"),
+        round(col("budget")).cast("long").as("budget_tokens"))
+  }
+
+  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame =
+    mixturePlan(Tables.documents(spark, sfDir))
+
+  /** q77: curation funnel — per source, how many documents survive each
+    * successive cleaning gate (length → repetition → punctuation), plus the
+    * end-to-end retention rate. This is the report a corpus owner reads to
+    * see WHERE their data dies in the pipeline; every gate compares
+    * integers (count·scale ≤ count·scale) so no float boundary can flip a
+    * document between engines.
+    *
+    * One tokenization pass feeds all gates; the only explode is the bigram
+    * census (needed for the q53-style top-bigram share), aggregated per doc
+    * before the per-source rollup — the wide explode never reaches a join.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      minWords: Int = 10,
+      maxWords: Int = 1000): DataFrame = {
+    val s = docs
+      .select(col("doc_id"), col("source"), Dedup.normText(col("text")).as("t"))
+      .withColumn("w", split(col("t"), " "))
+    val base = s.select(
+      col("doc_id"), col("source"),
+      length(col("t")).cast("long").as("n_chars"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("uniq_words"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[^a-z0-9 ]", "")))
+        .cast("long").as("n_punct"))
+    val topBigram = s
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"))
+    base
+      .join(topBigram, Seq("doc_id"), "left")
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      // gates are cumulative: a doc must pass every earlier stage
+      .withColumn("p_len",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("p_rep", col("p_len") &&
+        (col("n_words") - col("uniq_words")) * 10 <= col("n_words") * 7 &&
+        col("top_bigram_n") * 100 <= col("n_words") * 9)
+      .withColumn("p_punct", col("p_rep") &&
+        col("n_punct") * 100 <= col("n_chars") * 10)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p_len"), 1L).otherwise(0L)).as("n_pass_len"),
+        sum(when(col("p_rep"), 1L).otherwise(0L)).as("n_pass_rep"),
+        sum(when(col("p_punct"), 1L).otherwise(0L)).as("n_pass_all"))
+      .withColumn("retention",
+        round(col("n_pass_all").cast("double") / col("n_docs") * 10000) / 10000)
+  }
+
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    curationFunnel(Tables.documents(spark, sfDir))
 }

@@ -206,6 +206,36 @@ object Similarity {
   def srpLsh(spark: SparkSession, sfDir: String): DataFrame =
     srpLsh(Tables.embeddings(spark, sfDir))
 
+  /** q76: semantic prune — SemDeDup-shaped keep-one-per-semantic-cluster
+    * over embeddings. The q74 SRP-LSH pairs become edges, connected
+    * components collapse them into semantic clusters, and each cluster
+    * keeps exactly its min-id representative; vectors in no pair are
+    * singletons and always kept. Output is the per-vector prune verdict a
+    * downstream corpus filter joins against.
+    *
+    * Scale posture is inherited: candidate pairs are LSH-bucketed (never a
+    * cross product), the CC is the same min-label propagation q52 uses
+    * (near-clique clusters → a handful of rounds, one scalar driver read
+    * per round), and the final assembly is two joins keyed by vec_id.
+    */
+  def semanticPrune(emb: DataFrame, dim: Int = 64, minCos: Double = 0.4): DataFrame = {
+    val pairs = srpLsh(emb, dim = dim, minCos = minCos)
+      .select(col("vec_a"), col("vec_b"))
+    val cc = Graph.connectedComponents(pairs)
+      .withColumnRenamed("id", "vec_id")
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    emb.select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("vec_id")))
+      .join(sizes.withColumnRenamed("comp", "cluster_id"), Seq("cluster_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("is_kept"))
+  }
+
+  def semanticPrune(spark: SparkSession, sfDir: String): DataFrame =
+    semanticPrune(Tables.embeddings(spark, sfDir))
+
   /** q56: IVF partition-quality metrics — per cluster label: vector count,
     * mean and max squared L2 distance to the label centroid. This is the
     * index-health dashboard for the q26 IVF search: a label whose max

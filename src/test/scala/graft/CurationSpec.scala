@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Curation
+
+/** Mixture-plan arithmetic on a corpus small enough to verify by hand. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixturePlan: budget pinned by the scarcest stratum, epochs capped") {
+    // en has 100 tokens available, de only 10; with a 50/50 target and a
+    // 2-epoch cap the de side pins the budget at 10*2/0.5 = 40 tokens.
+    val docs = Seq(
+      (0L, Seq.fill(100)("w").mkString(" "), "en", "s0", 0L),
+      (1L, Seq.fill(10)("w").mkString(" "), "de", "s0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Curation.mixturePlan(docs,
+        targets = Seq("en" -> 0.5, "de" -> 0.5), maxEpochs = 2.0)
+      .orderBy("lang")
+      .select("lang", "avail_tokens", "planned_tokens", "epochs", "budget_tokens")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(rows === Seq(
+      ("de", 10L, 20L, 2.0, 40L),
+      ("en", 100L, 20L, 0.2, 40L)))
+  }
+
+  test("curationFunnel: gates are cumulative and each can drop a doc") {
+    val clean = (1 to 20).map(i => s"word$i").mkString(" ")
+    val tooShort = "just three words"
+    val repetitive = Seq.fill(40)("w").mkString(" ")
+    val punctHeavy = (1 to 15).map(i => s"w$i!!!").mkString(" ")
+    val docs = Seq(
+      (0L, clean, "en", "s0", 0L),
+      (1L, tooShort, "en", "s0", 0L),
+      (2L, repetitive, "en", "s0", 0L),
+      (3L, punctHeavy, "en", "s0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Curation.curationFunnel(docs)
+      .select("source", "n_docs", "n_pass_len", "n_pass_rep", "n_pass_all", "retention")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows === Seq(("s0", 4L, 3L, 2L, 1L, 0.25)))
+  }
+}

@@ -49,4 +49,17 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(rows === Seq((0L, 1L, 4L, 1.0)))
   }
+
+  test("semanticPrune: near-dup cluster keeps its min id; singletons survive") {
+    val e = Seq(
+      (0L, Array(1f, 0.5f, -0.25f, 1f, 0f, 0.5f, -1f, 0.75f), 0),
+      (1L, Array(1f, 0.5f, -0.25f, 1f, 0f, 0.5f, -1f, 0.75f), 0),
+      (2L, Array(-0.5f, 1f, 1f, 0f, 1f, -0.5f, 0.25f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.semanticPrune(e, dim = 8)
+      .orderBy("vec_id")
+      .select("vec_id", "cluster_id", "cluster_size", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows === Seq((0L, 0L, 2L, true), (1L, 0L, 2L, false), (2L, 2L, 1L, true)))
+  }
 }
