@@ -1236,7 +1236,7 @@ object SparkEntry {
     "q74_srp_lsh" ->
       """WITH pl AS (SELECT p.j, q.d,
         |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
-        |  FROM (SELECT unnest(generate_series(0, 15)) j) p,
+        |  FROM (SELECT unnest(generate_series(0, 31)) j) p,
         |       (SELECT unnest(generate_series(0, 63)) d) q),
         |w AS (SELECT j, d,
         |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
@@ -1251,13 +1251,16 @@ object SparkEntry {
         |xx AS (SELECT vec_id, i - 1 d, CAST(embedding[i] AS DOUBLE) v FROM ix),
         |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
         |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
-        |sigs AS (SELECT vec_id, CAST(floor(j/4) AS INT) band,
-        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 4) AS BIGINT)
+        |sigs AS (SELECT vec_id, CAST(floor(j/8) AS INT) band,
+        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 8) AS BIGINT)
         |                         ELSE 0 END) AS BIGINT) sig
         |         FROM dots GROUP BY 1,2),
+        |sigc AS (SELECT vec_id, band, sig,
+        |           count(*) OVER (PARTITION BY band, sig) bc FROM sigs),
+        |capped AS (SELECT vec_id, band, sig FROM sigc WHERE bc <= 1024),
         |cand AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
         |           CAST(count(*) AS BIGINT) n_shared_bands
-        |         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        |         FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
         |           AND a.vec_id < b.vec_id
         |         GROUP BY 1,2 HAVING count(*) >= 1),
         |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
@@ -1290,7 +1293,7 @@ object SparkEntry {
     "q76_semantic_prune" ->
       """WITH RECURSIVE pl AS (SELECT p.j, q.d,
         |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
-        |  FROM (SELECT unnest(generate_series(0, 15)) j) p,
+        |  FROM (SELECT unnest(generate_series(0, 31)) j) p,
         |       (SELECT unnest(generate_series(0, 63)) d) q),
         |w AS (SELECT j, d,
         |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
@@ -1305,12 +1308,15 @@ object SparkEntry {
         |xx AS (SELECT vec_id, i - 1 d, CAST(embedding[i] AS DOUBLE) v FROM ix),
         |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
         |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
-        |sigs AS (SELECT vec_id, CAST(floor(j/4) AS INT) band,
-        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 4) AS BIGINT)
+        |sigs AS (SELECT vec_id, CAST(floor(j/8) AS INT) band,
+        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 8) AS BIGINT)
         |                         ELSE 0 END) AS BIGINT) sig
         |         FROM dots GROUP BY 1,2),
+        |sigc AS (SELECT vec_id, band, sig,
+        |           count(*) OVER (PARTITION BY band, sig) bc FROM sigs),
+        |capped AS (SELECT vec_id, band, sig FROM sigc WHERE bc <= 1024),
         |cand AS (SELECT a.vec_id vec_a, b.vec_id vec_b
-        |         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        |         FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
         |           AND a.vec_id < b.vec_id
         |         GROUP BY 1,2),
         |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm

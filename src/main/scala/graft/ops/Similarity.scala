@@ -168,11 +168,18 @@ object Similarity {
     * Scale posture mirrors the text-side LSH (q22): the planes dimension is
     * tiny and broadcast, the signature pass is one linear scan, candidates
     * come from equi-joins on (band, sig) — never a cross product — and the
-    * verify join touches candidates only. Embedding dimension is a
-    * parameter (the testdata embeddings are 64-d).
+    * verify join touches candidates only. Two knobs keep the bucket join
+    * from going quadratic: bits-per-band (nPlanes/nBands) must be sized
+    * ~log2(n / target-bucket-size) so expected buckets stay O(1) as the
+    * corpus grows, and `maxBucket` hard-caps the residual hot buckets
+    * (near-identical mega-clusters) exactly like minhashLsh's cap — an
+    * over-cap SRP bucket means that many vectors agree on every sign bit
+    * of a band, a low-information key not worth m²/2 pair expansion.
+    * Embedding dimension is a parameter (the testdata embeddings are 64-d).
     */
-  def srpLsh(emb: DataFrame, dim: Int = 64, nPlanes: Int = 16, nBands: Int = 4,
-             minBands: Int = 1, minCos: Double = 0.4): DataFrame = {
+  def srpLsh(emb: DataFrame, dim: Int = 64, nPlanes: Int = 32, nBands: Int = 4,
+             minBands: Int = 1, minCos: Double = 0.4,
+             maxBucket: Int = 1024): DataFrame = {
     val spark = emb.sparkSession
     val rowsPerBand = nPlanes / nBands
     val planes = srpPlanes(spark, nPlanes, dim)
@@ -185,6 +192,10 @@ object Similarity {
         floor(col("j") / rowsPerBand).cast("int").as("band"))
       .agg(sum(when(col("bit"),
         pow(lit(2), col("j") % rowsPerBand).cast("bigint")).otherwise(0L)).as("sig"))
+      // bucket-size count rides the same (band, sig) shuffle the pair join
+      // needs — computed once, reused by both sides of the self-join
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .where(col("bc") <= maxBucket)
 
     val a = sigs.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
     val b = sigs.select(col("vec_id").as("vec_b"), col("band"), col("sig"))
