@@ -174,7 +174,9 @@ object SparkEntry {
     "q76_semantic_prune" -> ((s, d) =>
       Similarity.semanticPrune(s, d).orderBy(col("vec_id"))),
     "q77_curation_funnel" -> ((s, d) =>
-      Curation.curationFunnel(s, d).orderBy(col("source")))
+      Curation.curationFunnel(s, d).orderBy(col("source"))),
+    "q78_decontam_flags" -> ((s, d) =>
+      Dedup.decontamFlags(s, d).orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1377,6 +1379,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p_rep THEN 1 ELSE 0 END) AS BIGINT) n_pass_rep,
         |  CAST(sum(CASE WHEN p_punct THEN 1 ELSE 0 END) AS BIGINT) n_pass_all,
         |  round(CAST(sum(CASE WHEN p_punct THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*10000)/10000 retention
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_decontam_flags" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) g
+        |       FROM d WHERE len(w) >= 4),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[g]||' '||w[g+1]||' '||w[g+2]||' '||w[g+3] s FROM ix),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) n_shared_grams
+        |FROM sh JOIN ev USING (s) WHERE doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

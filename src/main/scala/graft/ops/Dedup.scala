@@ -407,6 +407,40 @@ object Dedup {
   def sourceContamination(spark: SparkSession, sfDir: String): DataFrame =
     sourceContamination(Tables.documents(spark, sfDir))
 
+  /** q78: benchmark decontamination flags — the doc-level companion to
+    * q61's source-pair census. An evaluation subset (here: doc_id ≡ 0 mod
+    * `evalMod`, standing in for a held-out benchmark) is shingled into
+    * n-grams; every TRAINING document sharing at least one n-gram with the
+    * eval set is flagged with its distinct-shared-gram count — the GPT-3
+    *-style n-gram decontamination pass (they used 13-grams; `n` scales
+    * with real vocabulary size).
+    *
+    * Scale posture: both sides are per-doc DISTINCT shingles (the explode
+    * collapses before the join), the eval side is a benchmark — tiny by
+    * definition — and is broadcast, so the training corpus streams through
+    * map-side with no shuffle of the big side; per-shingle fan-out is
+    * bounded by the eval set's occurrence count of that shingle.
+    */
+  def decontamFlags(docs: DataFrame, n: Int = 4, evalMod: Int = 50): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+          .as("g"))
+      .distinct()
+    val evalGrams = sh.where(col("doc_id") % evalMod === 0)
+      .select(col("g")).distinct()
+    sh.where(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  def decontamFlags(spark: SparkSession, sfDir: String): DataFrame =
+    decontamFlags(Tables.documents(spark, sfDir))
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLsh(Tables.documents(spark, sfDir))
 

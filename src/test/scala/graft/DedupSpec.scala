@@ -107,4 +107,17 @@ class DedupSpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect()
     assert(rows.toSeq === Seq((0L, 1L)))
   }
+
+  test("decontamFlags flags only training docs sharing an n-gram with the eval set") {
+    val corpus = Seq(
+      (0L, "a b c d e", "en", "s0", 0L), // eval (0 % 50 == 0)
+      (1L, "x a b c d y", "en", "s0", 0L), // shares "a b c d"
+      (2L, "p q r s t", "en", "s0", 0L), // clean
+      (3L, "b c d e", "en", "s0", 0L) // shares "b c d e"
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.decontamFlags(corpus)
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((1L, 1L), (3L, 1L)))
+  }
 }
