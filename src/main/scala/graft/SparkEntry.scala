@@ -176,7 +176,9 @@ object SparkEntry {
     "q77_curation_funnel" -> ((s, d) =>
       Curation.curationFunnel(s, d).orderBy(col("source"))),
     "q78_decontam_flags" -> ((s, d) =>
-      Dedup.decontamFlags(s, d).orderBy(col("doc_id")))
+      Dedup.decontamFlags(s, d).orderBy(col("doc_id"))),
+    "q79_sessionization" -> ((s, d) =>
+      Ranges.sessionization(s, d).orderBy(col("user_id"), col("sess_n")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1390,6 +1392,24 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
         |SELECT doc_id, CAST(count(*) AS BIGINT) n_shared_grams
         |FROM sh JOIN ev USING (s) WHERE doc_id % 50 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) ep FROM events),
+        |l AS (SELECT user_id, ep,
+        |    lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) prev
+        |  FROM e),
+        |m AS (SELECT user_id, ep,
+        |    CASE WHEN prev IS NULL OR ep - prev > 14400 THEN 1 ELSE 0 END is_new
+        |  FROM l),
+        |s AS (SELECT user_id, ep,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ep
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) sess_n
+        |  FROM m)
+        |SELECT user_id, sess_n,
+        |  min(ep) start_ep, max(ep) end_ep,
+        |  CAST(count(*) AS BIGINT) n_events,
+        |  max(ep) - min(ep) duration_sec
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

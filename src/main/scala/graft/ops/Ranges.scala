@@ -253,4 +253,34 @@ object Ranges {
         (round(col("n_active").cast("double") / col("cohort_size") * 10000) / 10000)
           .as("retention"))
   }
+
+  /** q79: gap-based sessionization — the batch analog of the streaming
+    * sessionizer (streaming/Sessionize.scala): a new session starts when a
+    * user's inter-event gap exceeds `gapSec`. Classic lag + running-sum
+    * session ids, then one aggregate per (user, session). Both windows
+    * partition per user — millions of small independent partitions at
+    * scale, never a global sort — and boundaries compare integer epoch
+    * seconds so no float/rounding edge can move a session break between
+    * engines.
+    */
+  def sessionization(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("ep", TimeSeries.epochS(col("ts")))
+      .withColumn("prev", lag(col("ep"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ep") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("sess_n",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_n"))
+      .agg(
+        min(col("ep")).as("start_ep"),
+        max(col("ep")).as("end_ep"),
+        count(lit(1)).as("n_events"),
+        (max(col("ep")) - min(col("ep"))).as("duration_sec"))
+  }
+
+  def sessionization(spark: SparkSession, sfDir: String, gapSec: Long = 14400L): DataFrame =
+    sessionization(Tables.events(spark, sfDir), gapSec)
 }

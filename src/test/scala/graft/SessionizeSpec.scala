@@ -54,4 +54,42 @@ class SessionizeSpec extends SparkSpec {
       assert(got === Seq(ClosedSession(7L, t0, t0 + 30, 2)))
     } finally q.stop()
   }
+
+  test("batch sessionization (q79) agrees with the streaming sessionizer") {
+    implicit val ctx = spark.sqlContext
+    import graft.ops.Ranges
+    val evs = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:05:00"), // session 1
+      (1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 01:05:00"), // session 2
+      (2L, "2024-01-01 00:30:00")) // singleton
+
+    val mem = MemoryStream[SessionEvent]
+    val out = Sessionize.sessionize(
+      mem.toDS(), gapSec = 600, watermarkDelay = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("sessions3").outputMode("append").start()
+    val streamed =
+      try {
+        mem.addData(evs.map { case (u, t) => SessionEvent(u, ts(t)) }: _*)
+        q.processAllAvailable()
+        // flush events push the watermark far past every gap window, then one
+        // more batch commits the fired timeouts
+        mem.addData(SessionEvent(99L, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        mem.addData(SessionEvent(99L, ts("2024-01-01 10:01:00")))
+        q.processAllAvailable()
+        spark.table("sessions3").as[ClosedSession].collect().toSet
+          .filter(_.user_id != 99L)
+          .map(c => (c.user_id, c.range_start, c.range_end, c.n_events))
+      } finally q.stop()
+
+    val batchDf = evs.zipWithIndex
+      .map { case ((u, t), i) => (u, ts(t), i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val batch = Ranges.sessionization(batchDf, gapSec = 600)
+      .select("user_id", "start_ep", "end_ep", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(batch === streamed)
+  }
 }
