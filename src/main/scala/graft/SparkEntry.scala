@@ -178,7 +178,9 @@ object SparkEntry {
     "q78_decontam_flags" -> ((s, d) =>
       Dedup.decontamFlags(s, d).orderBy(col("doc_id"))),
     "q79_sessionization" -> ((s, d) =>
-      Ranges.sessionization(s, d).orderBy(col("user_id"), col("sess_n")))
+      Ranges.sessionization(s, d).orderBy(col("user_id"), col("sess_n"))),
+    "q81_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(s, d).orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1410,6 +1412,23 @@ object SparkEntry {
         |  min(ep) start_ep, max(ep) end_ep,
         |  CAST(count(*) AS BIGINT) n_events,
         |  max(ep) - min(ep) duration_sec
-        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q81_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |bgx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) g
+        |        FROM d WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, w[g] w1, w[g+1] w2 FROM bgx),
+        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) n FROM bg GROUP BY 1,2,3),
+        |pair AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) c2 FROM db GROUP BY 1,2),
+        |pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) c1 FROM pair GROUP BY 1),
+        |m AS (SELECT p.w1, p.w2, c2, c1 FROM pair p JOIN pre USING (w1)),
+        |t AS (SELECT doc_id, n,
+        |        CAST(ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))
+        |             AS DECIMAL(18,12)) * n term
+        |      FROM db JOIN m USING (w1, w2))
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) n_bigrams,
+        |  round(CAST(sum(term) AS DOUBLE) / sum(n) * 10000)/10000 avg_logprob
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

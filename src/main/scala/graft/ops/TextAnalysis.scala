@@ -319,6 +319,50 @@ object TextAnalysis {
   def bigramPmi(spark: SparkSession, sfDir: String): DataFrame =
     bigramPmi(Tables.documents(spark, sfDir))
 
+  /** q81: bigram language-model scoring — train a bigram LM on the corpus
+    * itself (MLE: p(w2|w1) = c(w1,w2)/c(w1·)), then score every document by
+    * its mean bigram log-probability. This is the LM-quality gate of a
+    * CCNet-style curation pipeline: documents whose transitions are
+    * improbable under the corpus model (gibberish, boilerplate soup) score
+    * low and get filtered or down-weighted.
+    *
+    * Determinism: each per-bigram log term is snapped to DECIMAL(18,12)
+    * before the weighted sum (double→decimal rounding is tie-free, and
+    * decimal addition is order-free), so the per-doc mean is independent of
+    * aggregation order — the same trick DecimalDot uses for dot products.
+    * Scale posture: the model table is the corpus bigram vocabulary
+    * (Zipf-bounded, far smaller than the corpus); the doc-side join is N:1
+    * on the bigram key; per-doc bigram counts partial-combine before
+    * anything shuffles.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bgs = docs
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+      )).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBg = bgs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val pair = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+    val pre = pair.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = pair.join(pre, "w1")
+    docBg
+      .join(model, Seq("w1", "w2"))
+      .withColumn("term",
+        (log(col("c2").cast("double")) - log(col("c1").cast("double")))
+          .cast("decimal(18,12)") * col("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        (round(sum(col("term")).cast("double") / sum(col("n")) * 10000) / 10000)
+          .as("avg_logprob"))
+  }
+
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScore(Tables.documents(spark, sfDir))
+
   /** q68: per-source quality scorecard — the vendor-level rollup of the
     * per-doc q53 gates: document counts, keep rate, and the corpus-level
     * repeated-word fraction per source. This is the table a data-buying

@@ -46,4 +46,18 @@ class TextAnalysisSpec extends SparkSpec {
       .select("n_docs", "first_doc", "last_doc").as[(Long, Long, Long)].collect()
     assert(r.toSeq === Seq((3L, 0L, 2L)))
   }
+
+  test("lmScore: common transitions score higher than rare ones") {
+    // model over the corpus: c(a b)=3, c(b a)=1, c(a c)=1 -> c(a *)=4, c(b *)=1
+    val docs = Seq(
+      (0L, "a b a b", "en", "s0"), // (2*ln(3/4) + ln(1/1)) / 3
+      (1L, "a b", "en", "s0"), // ln(3/4)
+      (2L, "a c", "en", "s0") // ln(1/4)
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.lmScore(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows === Seq((0L, 3L, -0.1918), (1L, 1L, -0.2877), (2L, 1L, -1.3863)))
+  }
 }
