@@ -170,8 +170,12 @@ object Curation {
     val capped = avail.join(broadcast(tgt), "lang")
       .withColumn("cap_budget",
         col("avail_tokens") * lit(maxEpochs) / col("target_share"))
-    val budget = capped.agg(min(col("cap_budget")).as("budget"))
-    capped.crossJoin(broadcast(budget))
+    // global min as an unpartitioned window over the STRATUM table (a
+    // handful of rows post-aggregation) — a separate agg + cross join would
+    // re-scan the corpus
+    capped
+      .withColumn("budget", min(col("cap_budget")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(
         col("lang"), col("avail_tokens"), col("target_share"),
         round(col("target_share") * col("budget")).cast("long").as("planned_tokens"),

@@ -85,6 +85,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(nScans <= 2, s"q05 scans events $nScans times (expected <= 2)")
   }
 
+  test("srp-lsh broadcasts the hyperplane table, never shuffles it") {
+    assert(plans("q74_srp_lsh").contains("BroadcastExchange"),
+      "q74 should broadcast the tiny planes dimension")
+  }
+
+  test("decontamination broadcasts the eval-gram side") {
+    assert(plans("q78_decontam_flags").contains("BroadcastHashJoin"),
+      "q78's eval-gram join should be a broadcast hash join")
+  }
+
+  // distinct scan NODES: FormattedMode prints each node in the tree AND the
+  // detail section, so a raw substring count double-counts
+  private def nScans(name: String): Int =
+    """\(\d+\) Scan parquet""".r.findAllIn(plans(name)).size
+
+  test("mixture plan touches the corpus exactly once") {
+    assert(nScans("q75_mixture_plan") == 1,
+      s"q75 scans documents ${nScans("q75_mixture_plan")} times (expected 1)")
+  }
+
+  test("curation funnel reads documents at most twice") {
+    assert(nScans("q77_curation_funnel") <= 2,
+      s"q77 scans documents ${nScans("q77_curation_funnel")} times (expected <= 2)")
+  }
+
+  test("sessionization windows partition per user — no global sort except output order") {
+    val plan = plans("q79_sessionization")
+    assert(plan.contains("hashpartitioning(user_id"),
+      "q79 session windows should hash-partition by user_id")
+    assert("rangepartitioning".r.findAllIn(plan).size <= 1,
+      "q79 should have at most the final output ordering as a range exchange")
+  }
+
+  test("lm scoring keeps map-side partial aggregation") {
+    assert("HashAggregate".r.findAllIn(plans("q81_lm_score")).size >= 2,
+      "q81 lost partial aggregation")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
