@@ -179,6 +179,8 @@ object SparkEntry {
       Dedup.decontamFlags(s, d).orderBy(col("doc_id"))),
     "q79_sessionization" -> ((s, d) =>
       Ranges.sessionization(s, d).orderBy(col("user_id"), col("sess_n"))),
+    "q80_pipeline_manifest" -> ((s, d) =>
+      Curation.pipelineManifest(s, d).orderBy(col("doc_id"))),
     "q81_lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(s, d).orderBy(col("doc_id")))
   )
@@ -1429,6 +1431,46 @@ object SparkEntry {
         |      FROM db JOIN m USING (w1, w2))
         |SELECT doc_id, CAST(sum(n) AS BIGINT) n_bigrams,
         |  round(CAST(sum(term) AS DOUBLE) / sum(n) * 10000)/10000 avg_logprob
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_pipeline_manifest" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |hx AS (SELECT doc_id, lang, source, t, md5(t) hv FROM d),
+        |k AS (SELECT hv, min(doc_id) keeper FROM hx GROUP BY 1),
+        |dup AS (SELECT doc_id, lang, source, t, doc_id <> keeper is_dup
+        |        FROM hx JOIN k USING (hv)),
+        |sw AS (SELECT doc_id, t, string_split(t, ' ') w FROM d),
+        |base AS (SELECT doc_id,
+        |    CAST(length(t) AS BIGINT) n_chars,
+        |    CAST(len(w) AS BIGINT) n_words,
+        |    CAST(len(list_distinct(w)) AS BIGINT) uniq_words,
+        |    CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS BIGINT) n_punct
+        |  FROM sw),
+        |bgx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) g
+        |        FROM sw WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, w[g]||' '||w[g+1] bg, count(*) c FROM bgx GROUP BY 1,2),
+        |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) top_bigram_n FROM bc GROUP BY 1),
+        |g AS (SELECT b.doc_id,
+        |    ((n_words BETWEEN 10 AND 1000)
+        |      AND (n_words - uniq_words)*10 <= n_words*7
+        |      AND coalesce(top_bigram_n, 0)*100 <= n_words*9
+        |      AND n_punct*100 <= n_chars*10) p_punct
+        |  FROM base b LEFT JOIN top ON b.doc_id = top.doc_id),
+        |u AS (SELECT doc_id,
+        |  CAST((instr('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)), 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)), 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)), 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)), 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)), 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(md5('samp:'||CAST(doc_id AS VARCHAR)), 6, 1)) - 1) AS BIGINT) u24
+        |  FROM d)
+        |SELECT dup.doc_id, dup.lang, dup.source,
+        |  CASE WHEN is_dup THEN 'dup'
+        |       WHEN NOT p_punct THEN 'gate'
+        |       WHEN u24 >= (CASE WHEN dup.lang = 'en' THEN 0.4 ELSE 1.0 END) * 16777216.0
+        |         THEN 'sample'
+        |       ELSE 'kept' END stage
+        |FROM dup JOIN g ON dup.doc_id = g.doc_id JOIN u ON dup.doc_id = u.doc_id
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -198,7 +198,11 @@ object Curation {
     * census (needed for the q53-style top-bigram share), aggregated per doc
     * before the per-source rollup — the wide explode never reaches a join.
     */
-  def curationFunnel(
+  /** Per-document cumulative gate verdicts (length → repetition →
+    * punctuation) — the shared core of the q77 funnel rollup and the q80
+    * pipeline manifest. All comparisons are integer·scale ≤ integer·scale.
+    */
+  def gateFlags(
       docs: DataFrame,
       minWords: Int = 10,
       maxWords: Int = 1000): DataFrame = {
@@ -232,6 +236,13 @@ object Curation {
         col("top_bigram_n") * 100 <= col("n_words") * 9)
       .withColumn("p_punct", col("p_rep") &&
         col("n_punct") * 100 <= col("n_chars") * 10)
+  }
+
+  def curationFunnel(
+      docs: DataFrame,
+      minWords: Int = 10,
+      maxWords: Int = 1000): DataFrame = {
+    gateFlags(docs, minWords, maxWords)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -244,4 +255,52 @@ object Curation {
 
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame =
     curationFunnel(Tables.documents(spark, sfDir))
+
+  /** q80: end-to-end curation manifest — every document's fate through the
+    * full pipeline, with the stage that dropped it: exact dedup (q20
+    * semantics: md5 keep-first) → quality gates (q77 semantics) → stratified
+    * sampling (q54 semantics). The output is the audit trail a data release
+    * ships alongside the corpus: WHY each excluded document is gone.
+    *
+    * Composition stays declarative — one manifest row per input document,
+    * stages as column expressions over three already-scale-shaped
+    * sub-plans (argmin dedup via groupBy+join, integer gates, md5 sampling
+    * with no shuffle), so the whole pipeline is ONE Catalyst plan and the
+    * optimizer shares the scan.
+    */
+  def pipelineManifest(
+      docs: DataFrame,
+      rates: Map[String, Double] = Map("en" -> 0.4),
+      defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    val hashed = docs.select(col("doc_id"), col("lang"),
+      md5(Dedup.normText(col("text"))).as("h"))
+    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val dup = hashed.join(keepers, "h")
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+    val gates = gateFlags(docs).select(col("doc_id"), col("source"), col("p_punct"))
+    dup
+      .join(gates, "doc_id")
+      .withColumn("hs", md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(hs, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(hs, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(hs, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(hs, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(hs, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(hs, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("stage",
+        when(col("is_dup"), "dup")
+          .when(!col("p_punct"), "gate")
+          .when(col("u24") >= rate * lit(16777216.0), "sample")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("lang"), col("source"), col("stage"))
+  }
+
+  def pipelineManifest(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineManifest(Tables.documents(spark, sfDir))
 }

@@ -39,4 +39,28 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
     assert(rows === Seq(("s0", 4L, 3L, 2L, 1L, 0.25)))
   }
+
+  test("pipelineManifest attributes every drop to its stage") {
+    val clean1 = (1 to 20).map(i => s"word$i").mkString(" ")
+    val clean2 = (1 to 20).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (0L, clean1, "en", "s0", 0L),
+      (1L, clean1, "en", "s0", 0L), // exact dup of 0
+      (2L, "just three words", "en", "s0", 0L), // fails the length gate
+      (3L, clean2, "en", "s0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val noSampling = Curation.pipelineManifest(docs, rates = Map.empty)
+      .orderBy("doc_id").select("doc_id", "stage")
+      .as[(Long, String)].collect().toSeq
+    assert(noSampling === Seq(
+      (0L, "kept"), (1L, "dup"), (2L, "gate"), (3L, "kept")))
+
+    // rate 0 for en: every doc surviving dedup+gates is sampled out
+    val allSampled = Curation.pipelineManifest(docs, rates = Map("en" -> 0.0))
+      .orderBy("doc_id").select("doc_id", "stage")
+      .as[(Long, String)].collect().toSeq
+    assert(allSampled === Seq(
+      (0L, "sample"), (1L, "dup"), (2L, "gate"), (3L, "sample")))
+  }
 }
