@@ -182,7 +182,9 @@ object SparkEntry {
     "q80_pipeline_manifest" -> ((s, d) =>
       Curation.pipelineManifest(s, d).orderBy(col("doc_id"))),
     "q81_lm_score" -> ((s, d) =>
-      TextAnalysis.lmScore(s, d).orderBy(col("doc_id")))
+      TextAnalysis.lmScore(s, d).orderBy(col("doc_id"))),
+    "q82_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(s, d).orderBy(col("probe_id"), col("rnk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1471,6 +1473,34 @@ object SparkEntry {
         |         THEN 'sample'
         |       ELSE 'kept' END stage
         |FROM dup JOIN g ON dup.doc_id = g.doc_id JOIN u ON dup.doc_id = u.doc_id
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q82_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf FROM tx GROUP BY 1,2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |probes AS (SELECT doc_id probe_id, tok FROM tf WHERE doc_id < 5),
+        |scored AS (SELECT p.probe_id, t.doc_id,
+        |    sum(CAST(
+        |      ln((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      AS DECIMAL(18,10))) s
+        |  FROM tf t JOIN probes p USING (tok)
+        |  JOIN dfreq USING (tok) JOIN dl ON t.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  WHERE t.doc_id <> p.probe_id
+        |  GROUP BY 1,2),
+        |ranked AS (SELECT probe_id, doc_id, s,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, doc_id) rnk
+        |  FROM scored)
+        |SELECT probe_id, CAST(rnk AS BIGINT) rnk, doc_id,
+        |  round(CAST(s AS DOUBLE) * 10000)/10000 bm25
+        |FROM ranked WHERE rnk <= 5 ORDER BY 1,2""".stripMargin
   )
 }
