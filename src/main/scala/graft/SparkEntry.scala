@@ -184,7 +184,9 @@ object SparkEntry {
     "q81_lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(s, d).orderBy(col("doc_id"))),
     "q82_bm25_topk" -> ((s, d) =>
-      Retrieval.bm25TopK(s, d).orderBy(col("probe_id"), col("rnk")))
+      Retrieval.bm25TopK(s, d).orderBy(col("probe_id"), col("rnk"))),
+    "q83_leakage_safe_split" -> ((s, d) =>
+      Dedup.leakageSafeSplit(s, d).orderBy(col("split")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1501,6 +1503,54 @@ object SparkEntry {
         |  FROM scored)
         |SELECT probe_id, CAST(rnk AS BIGINT) rnk, doc_id,
         |  round(CAST(s AS DOUBLE) * 10000)/10000 bm25
-        |FROM ranked WHERE rnk <= 5 ORDER BY 1,2""".stripMargin
+        |FROM ranked WHERE rnk <= 5 ORDER BY 1,2""".stripMargin,
+    "q83_leakage_safe_split" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz0 AS (SELECT doc_id, band, sig,
+        |                count(*) OVER (PARTITION BY band, sig) bc FROM bands),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id
+        |          WHERE a.bc <= 64 AND b.bc <= 64),
+        |star AS (SELECT DISTINCT mn doc_a, doc_id doc_b FROM (
+        |           SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
+        |           FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
+        |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
+        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |          UNION SELECT doc_b, doc_a FROM allp),
+        |reach(node, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.comp < e.v),
+        |cc AS (SELECT node, min(comp) comp FROM reach GROUP BY 1),
+        |asg AS (SELECT d0.doc_id, coalesce(cc.comp, d0.doc_id) rep
+        |        FROM documents d0 LEFT JOIN cc ON d0.doc_id = cc.node),
+        |u AS (SELECT doc_id, rep,
+        |  CAST((instr('0123456789abcdef', substr(md5('split:'||CAST(rep AS VARCHAR)), 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(md5('split:'||CAST(rep AS VARCHAR)), 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(md5('split:'||CAST(rep AS VARCHAR)), 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(md5('split:'||CAST(rep AS VARCHAR)), 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(md5('split:'||CAST(rep AS VARCHAR)), 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(md5('split:'||CAST(rep AS VARCHAR)), 6, 1)) - 1) AS BIGINT) u24
+        |  FROM asg),
+        |sp AS (SELECT doc_id, rep,
+        |    CASE WHEN u24 < 0.8 * 16777216.0 THEN 'train'
+        |         WHEN u24 < 0.9 * 16777216.0 THEN 'val'
+        |         ELSE 'test' END split
+        |  FROM u)
+        |SELECT split, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(count(DISTINCT rep) AS BIGINT) n_clusters
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -567,4 +567,46 @@ object Dedup {
 
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
     dupClusters(Tables.documents(spark, sfDir))
+
+  /** q83: leakage-safe train/val/test split — split assignment hashes the
+    * near-dup CLUSTER representative, not the document, so every member of
+    * a duplicate cluster lands in the same split BY CONSTRUCTION (a
+    * doc-level hash split puts near-identical docs on both sides of the
+    * train/eval fence — the classic evaluation leak q61/q78 only detect
+    * after the fact; this prevents it). Docs in no cluster hash their own
+    * id. Thresholds on the md5-uniform u24: 80/10/10.
+    *
+    * Output is the release-audit rollup per split: docs, clusters (a
+    * singleton counts as its own cluster), and the two integer sums a
+    * reviewer checks against corpus totals.
+    */
+  def leakageSafeSplit(docs: DataFrame,
+                       trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
+    val cc = Graph.connectedComponents(lshEdges(docs))
+      .withColumnRenamed("id", "doc_id")
+    val assigned = docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("comp"), col("doc_id")))
+      .withColumn("h", md5(concat(lit("split:"), col("rep").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("split",
+        when(col("u24") < lit(trainPct * 16777216.0), "train")
+          .when(col("u24") < lit((trainPct + valPct) * 16777216.0), "val")
+          .otherwise("test"))
+    assigned
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("rep")).as("n_clusters"))
+  }
+
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
+    leakageSafeSplit(Tables.documents(spark, sfDir))
 }

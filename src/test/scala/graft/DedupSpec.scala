@@ -120,4 +120,19 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(rows === Seq((1L, 1L), (3L, 1L)))
   }
+
+  test("leakageSafeSplit never splits a duplicate cluster across splits") {
+    val corpus = Seq(
+      (0L, "aa bb cc dd ee", "en", "s0", 0L),
+      (1L, "aa bb cc dd ee", "en", "s0", 0L), // exact dup of 0 -> same cluster
+      (2L, "xx yy zz ww vv", "en", "s0", 0L) // singleton
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.leakageSafeSplit(corpus)
+      .select("split", "n_docs", "n_clusters")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).sum === 3L)
+    // if the dup pair straddled two splits, its shared rep would be counted
+    // in both and the cluster total would exceed 2
+    assert(rows.map(_._3).sum === 2L)
+  }
 }
