@@ -186,7 +186,9 @@ object SparkEntry {
     "q82_bm25_topk" -> ((s, d) =>
       Retrieval.bm25TopK(s, d).orderBy(col("probe_id"), col("rnk"))),
     "q83_leakage_safe_split" -> ((s, d) =>
-      Dedup.leakageSafeSplit(s, d).orderBy(col("split")))
+      Dedup.leakageSafeSplit(s, d).orderBy(col("split"))),
+    "q84_attribution" -> ((s, d) =>
+      Attribution.lastTouch(s, d).orderBy(col("purchase_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1551,6 +1553,20 @@ object SparkEntry {
         |  FROM u)
         |SELECT split, CAST(count(*) AS BIGINT) n_docs,
         |  CAST(count(DISTINCT rep) AS BIGINT) n_clusters
-        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) ep FROM events),
+        |p AS (SELECT event_id purchase_id, user_id, ep p_ep FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id click_id, user_id, ep c_ep FROM e
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.p_ep, c.click_id, c.c_ep,
+        |        row_number() OVER (PARTITION BY p.purchase_id
+        |          ORDER BY c.c_ep DESC, c.click_id DESC) rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |      WHERE c.c_ep <= p.p_ep AND p.p_ep - c.c_ep <= 3600)
+        |SELECT purchase_id, user_id, click_id, p_ep - c_ep gap_sec
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
   )
 }
