@@ -177,35 +177,47 @@ object Similarity {
     * of a band, a low-information key not worth m²/2 pair expansion.
     * Embedding dimension is a parameter (the testdata embeddings are 64-d).
     */
-  def srpLsh(emb: DataFrame, dim: Int = 64, nPlanes: Int = 32, nBands: Int = 4,
-             minBands: Int = 1, minCos: Double = 0.4,
-             maxBucket: Int = 1024): DataFrame = {
-    val spark = emb.sparkSession
+  /** The SRP signature stage alone: one (vec_id, band, sig) row per vector
+    * per band — what [[VecIndex]] persists for incremental maintenance.
+    */
+  def srpSignatures(emb: DataFrame, dim: Int = 64, nPlanes: Int = 32,
+                    nBands: Int = 4): DataFrame = {
     val rowsPerBand = nPlanes / nBands
-    val planes = srpPlanes(spark, nPlanes, dim)
-    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
-
-    val sigs = all.select(col("vec_id"), col("v"))
+    val planes = srpPlanes(emb.sparkSession, nPlanes, dim)
+    asDoubles(emb).select(col("vec_id"), col("v"))
       .crossJoin(broadcast(planes))
       .select(col("vec_id"), col("j"), (dotExpr("v", "pw") > 0).as("bit"))
       .groupBy(col("vec_id"),
         floor(col("j") / rowsPerBand).cast("int").as("band"))
       .agg(sum(when(col("bit"),
         pow(lit(2), col("j") % rowsPerBand).cast("bigint")).otherwise(0L)).as("sig"))
+  }
+
+  /** Candidate pairs from capped SRP band buckets — q74 before the exact
+    * cosine verify.
+    */
+  def srpCandidates(emb: DataFrame, dim: Int = 64, nPlanes: Int = 32,
+                    nBands: Int = 4, minBands: Int = 1,
+                    maxBucket: Int = 1024): DataFrame = {
+    val sigs = srpSignatures(emb, dim, nPlanes, nBands)
       // bucket-size count rides the same (band, sig) shuffle the pair join
       // needs — computed once, reused by both sides of the self-join
       .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
       .where(col("bc") <= maxBucket)
-
     val a = sigs.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
     val b = sigs.select(col("vec_id").as("vec_b"), col("band"), col("sig"))
-    val cand = a.join(b, Seq("band", "sig"))
+    a.join(b, Seq("band", "sig"))
       .where(col("vec_a") < col("vec_b"))
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .where(col("n_shared_bands") >= minBands)
+  }
 
-    cand
+  def srpLsh(emb: DataFrame, dim: Int = 64, nPlanes: Int = 32, nBands: Int = 4,
+             minBands: Int = 1, minCos: Double = 0.4,
+             maxBucket: Int = 1024): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+    srpCandidates(emb, dim, nPlanes, nBands, minBands, maxBucket)
       .join(all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
       .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .withColumn("cos", dotExpr("va", "vb") / (col("na") * col("nb")))
