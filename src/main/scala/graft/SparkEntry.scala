@@ -188,7 +188,11 @@ object SparkEntry {
     "q83_leakage_safe_split" -> ((s, d) =>
       Dedup.leakageSafeSplit(s, d).orderBy(col("split"))),
     "q84_attribution" -> ((s, d) =>
-      Attribution.lastTouch(s, d).orderBy(col("purchase_id")))
+      Attribution.lastTouch(s, d).orderBy(col("purchase_id"))),
+    "q85_embedding_stats" -> ((s, d) =>
+      Similarity.embeddingStats(s, d).orderBy(col("dim"))),
+    "q86_novelty_census" -> ((s, d) =>
+      TextAnalysis.noveltyCensus(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1567,6 +1571,35 @@ object SparkEntry {
         |      FROM p JOIN c ON p.user_id = c.user_id
         |      WHERE c.c_ep <= p.p_ep AND p.p_ep - c.c_ep <= 3600)
         |SELECT purchase_id, user_id, click_id, p_ep - c_ep gap_sec
-        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "q85_embedding_stats" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |x AS (SELECT CAST(i - 1 AS BIGINT) dim, CAST(embedding[i] AS DOUBLE) x FROM ix),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) n,
+        |        sum(CAST(x AS DECIMAL(18,12))) s,
+        |        sum(CAST(x*x AS DECIMAL(18,16))) sq
+        |      FROM x GROUP BY 1),
+        |t AS (SELECT dim, n, s, sq, sum(sq) OVER () total_sq FROM a)
+        |SELECT dim, n,
+        |  round(CAST(s AS DOUBLE) / n * 1000000)/1000000 mean,
+        |  round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) / n
+        |        * 1000000)/1000000 variance,
+        |  round(CAST(sq AS DOUBLE) / CAST(total_sq AS DOUBLE) * 1000000)/1000000 energy_share
+        |FROM t ORDER BY dim""".stripMargin,
+    "q86_novelty_census" ->
+      """WITH d AS (SELECT source, CAST(substr(source, 4) AS INT) src_num,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |ix AS (SELECT source, src_num, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |grams AS (SELECT DISTINCT source, src_num, w[g]||' '||w[g+1]||' '||w[g+2] gr FROM ix),
+        |fs AS (SELECT gr, min(src_num) first_src FROM grams GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) n_grams,
+        |  CAST(sum(CASE WHEN src_num = first_src THEN 1 ELSE 0 END) AS BIGINT) n_novel,
+        |  round(CAST(sum(CASE WHEN src_num = first_src THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) * 10000)/10000 novelty
+        |FROM grams JOIN fs USING (gr)
+        |GROUP BY source, src_num ORDER BY source""".stripMargin
   )
 }

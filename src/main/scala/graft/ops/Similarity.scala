@@ -259,6 +259,38 @@ object Similarity {
   def semanticPrune(spark: SparkSession, sfDir: String): DataFrame =
     semanticPrune(Tables.embeddings(spark, sfDir))
 
+  /** q85: embedding-space health census — per dimension: mean, variance,
+    * and share of total energy (Σx²). The drift/anisotropy dashboard for a
+    * vector corpus: a dimension hoarding energy means the index's distance
+    * geometry is collapsing; a mean far from 0 after a model that
+    * normalizes means an ingestion bug. One explode + one groupBy into
+    * `dim` rows; all moments are exact decimal sums (order-free), the
+    * energy denominator is a window over the already-tiny per-dim table.
+    */
+  def embeddingStats(emb: DataFrame): DataFrame = {
+    val x = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"), col("xf").cast("double").as("x"))
+    x.groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,12)")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(18,16)")).as("sq"))
+      .withColumn("total_sq", sum(col("sq")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(
+        col("dim"), col("n"),
+        (round(col("s").cast("double") / col("n") * 1000000) / 1000000).as("mean"),
+        (round((col("sq").cast("double")
+            - col("s").cast("double") * col("s").cast("double") / col("n")) / col("n")
+          * 1000000) / 1000000).as("variance"),
+        (round(col("sq").cast("double") / col("total_sq").cast("double") * 1000000) / 1000000)
+          .as("energy_share"))
+  }
+
+  def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingStats(Tables.embeddings(spark, sfDir))
+
   /** q56: IVF partition-quality metrics — per cluster label: vector count,
     * mean and max squared L2 distance to the label centroid. This is the
     * index-health dashboard for the q26 IVF search: a label whose max

@@ -363,6 +363,40 @@ object TextAnalysis {
   def lmScore(spark: SparkSession, sfDir: String): DataFrame =
     lmScore(Tables.documents(spark, sfDir))
 
+  /** q86: n-gram novelty census — in source-id order, how many distinct
+    * 3-grams each source contributes that NO earlier source contains. The
+    * marginal-diversity curve a data buyer reads before paying for source
+    * N+1: if novelty has flattened, the next source is redundant. "First
+    * seen" is a groupBy-min over the distinct (source, gram) pairs — no
+    * window over the corpus, no self-join; the distinct pass bounds the
+    * shuffle by vocabulary size, not corpus size.
+    */
+  def noveltyCensus(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("source"),
+        expr("CAST(substr(source, 4) AS INT)").as("src_num"),
+        split(Dedup.normText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("source"), col("src_num"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"
+        )).as("g"))
+      .distinct()
+    val firstSeen = grams.groupBy(col("g")).agg(min(col("src_num")).as("first_src"))
+    grams
+      .join(firstSeen, "g")
+      .groupBy(col("source"), col("src_num"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("src_num") === col("first_src"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        (round(col("n_novel").cast("double") / col("n_grams") * 10000) / 10000)
+          .as("novelty"))
+  }
+
+  def noveltyCensus(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyCensus(Tables.documents(spark, sfDir))
+
   /** q68: per-source quality scorecard — the vendor-level rollup of the
     * per-doc q53 gates: document counts, keep rate, and the corpus-level
     * repeated-word fraction per source. This is the table a data-buying

@@ -62,4 +62,19 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(rows === Seq((0L, 0L, 2L, true), (1L, 0L, 2L, false), (2L, 2L, 1L, true)))
   }
+
+  test("embeddingStats: energy shares sum to 1 and a constant dim has zero variance") {
+    val e = Seq(
+      (0L, Array(1f, 2f), 0),
+      (1L, Array(1f, 4f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embeddingStats(e)
+      .orderBy("dim")
+      .select("dim", "n", "mean", "variance", "energy_share")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.head === ((0L, 2L, 1.0, 0.0, math.rint(2.0 / 22.0 * 1e6) / 1e6)))
+    assert(rows(1)._3 === 3.0) // mean of 2 and 4
+    assert(rows(1)._4 === 1.0) // variance of {2, 4}
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-5)
+  }
 }

@@ -60,4 +60,18 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(rows === Seq((0L, 3L, -0.1918), (1L, 1L, -0.2877), (2L, 1L, -1.3863)))
   }
+
+  test("noveltyCensus: the first source is fully novel, a copy source fully redundant") {
+    val docs = Seq(
+      (0L, "a b c d e", "en", "src0"),
+      (1L, "a b c d e", "en", "src1"), // exact copy: zero novel grams
+      (2L, "x y z w v", "en", "src2") // disjoint: fully novel
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.noveltyCensus(docs)
+      .orderBy("source")
+      .select("source", "n_grams", "n_novel", "novelty")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("src0", 3L, 3L, 1.0), ("src1", 3L, 0L, 0.0), ("src2", 3L, 3L, 1.0)))
+  }
 }
