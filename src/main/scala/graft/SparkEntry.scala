@@ -192,7 +192,11 @@ object SparkEntry {
     "q85_embedding_stats" -> ((s, d) =>
       Similarity.embeddingStats(s, d).orderBy(col("dim"))),
     "q86_novelty_census" -> ((s, d) =>
-      TextAnalysis.noveltyCensus(s, d).orderBy(col("source")))
+      TextAnalysis.noveltyCensus(s, d).orderBy(col("source"))),
+    "q87_drift_psi" -> ((s, d) =>
+      Drift.driftPsi(s, d).orderBy(col("rnk"))),
+    "q88_pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrubCensus(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1600,6 +1604,66 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN src_num = first_src THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*) * 10000)/10000 novelty
         |FROM grams JOIN fs USING (gr)
-        |GROUP BY source, src_num ORDER BY source""".stripMargin
+        |GROUP BY source, src_num ORDER BY source""".stripMargin,
+    "q87_drift_psi" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |sp AS (SELECT CAST(floor(min(e)+(max(e)-min(e))*0.75) AS BIGINT) split_e FROM ev),
+        |st AS (SELECT event_type, min(value) vmin,
+        |              (max(value)-min(value))/20 width FROM ev GROUP BY 1),
+        |binned AS (
+        | SELECT ev.event_type, CASE WHEN ev.e < sp.split_e THEN 'u' ELSE 'v' END phase,
+        |        CASE WHEN st.width = 0 THEN 0
+        |             ELSE least(CAST(floor((ev.value - st.vmin)/st.width) AS BIGINT), 19) END bin
+        | FROM ev JOIN st ON ev.event_type = st.event_type CROSS JOIN sp),
+        |counts AS (SELECT event_type, phase, bin, count(*) c FROM binned GROUP BY 1,2,3),
+        |totals AS (SELECT event_type, phase, CAST(sum(c) AS BIGINT) total FROM counts GROUP BY 1,2),
+        |grid AS (SELECT st.event_type, gs.g AS bin, ph.phase
+        |         FROM st, generate_series(0,19) gs(g),
+        |              (SELECT 'u' AS phase UNION ALL SELECT 'v') ph),
+        |shares AS (SELECT g.event_type, g.phase, g.bin,
+        |             (coalesce(c.c, 0) + 0.5) / (coalesce(t.total, 0) + 10.0) p
+        |           FROM grid g
+        |           LEFT JOIN counts c ON g.event_type=c.event_type AND g.phase=c.phase AND g.bin=c.bin
+        |           LEFT JOIN totals t ON g.event_type=t.event_type AND g.phase=t.phase),
+        |pairs AS (SELECT event_type, bin,
+        |            min(CASE WHEN phase='u' THEN p END) pu,
+        |            min(CASE WHEN phase='v' THEN p END) pv
+        |          FROM shares GROUP BY 1,2),
+        |psi AS (SELECT event_type,
+        |          round(CAST(sum(CAST((pu-pv)*ln(pu/pv) AS DECIMAL(28,20))) AS DOUBLE)
+        |                *1000000)/1000000 psi
+        |        FROM pairs GROUP BY 1)
+        |SELECT event_type, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'high' END drift,
+        |  CAST(row_number() OVER (ORDER BY psi DESC, event_type) AS INT) rnk
+        |FROM psi ORDER BY rnk""".stripMargin,
+    "q88_pii_scrub" ->
+      """WITH seeded AS (
+        | SELECT doc_id, source,
+        |   text || ' contact user' || doc_id || '@example.com tel 555-' ||
+        |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |   ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS text
+        | FROM documents),
+        |scrubbed AS (
+        | SELECT doc_id, source,
+        |   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) n_emails,
+        |   len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) n_phones,
+        |   len(regexp_extract_all(text, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) n_ips,
+        |   regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+        |     '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') red,
+        |   text
+        | FROM seeded)
+        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(sum(n_emails) AS BIGINT) emails, CAST(sum(n_phones) AS BIGINT) phones,
+        |  CAST(sum(n_ips) AS BIGINT) ips,
+        |  CAST(sum(len(text) - len(red)) AS BIGINT) chars_removed,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |         + len(regexp_extract_all(red, '\b555-[0-9]{4}\b'))
+        |         + len(regexp_extract_all(red, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) = 0
+        |       THEN 0 ELSE 1 END) AS BIGINT) n_residual
+        |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin
   )
 }

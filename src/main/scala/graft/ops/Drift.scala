@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TimeSeries.epochS
+
+/** Distribution-drift monitoring via the Population Stability Index.
+  *
+  * The reference ranks signals by how far their anomalous-period histogram
+  * drifted from the normal-period one (evaluation.py:228-313, Wasserstein
+  * on shared-bin densities — our q05). PSI is the standard production
+  * monitoring companion to that analytic: the same shared-bin histograms,
+  * scored as sum over bins of (p_train − p_live) · ln(p_train / p_live),
+  * with the conventional <0.1 / <0.25 stable/moderate/high bands. A model
+  * monitor runs it continuously; a training-data pipeline runs it between
+  * corpus snapshots to catch ingest drift.
+  *
+  * Scale shape (identical to q05's): one fact-table scan builds the
+  * per-signal envelope dimension, one shuffle aggregates (signal, phase,
+  * bin) counts with map-side combine — ~|signals|×2×|bins| rows out no
+  * matter the input size — and the PSI itself is arithmetic over that tiny
+  * aggregate. Laplace smoothing ((c+0.5)/(n+bins/2)) keeps every bin share
+  * strictly positive, so ln never sees a zero and empty bins contribute a
+  * finite, deterministic penalty.
+  *
+  * The counts→PSI stage is factored out ([[psiFromCounts]]) so a streaming
+  * job can feed it live windowed counts against a static training
+  * dimension — StreamingDriftSpec proves batch ≡ stream on the same rows.
+  */
+object Drift {
+  val NumBins = 20
+
+  /** Per-signal envelope + global 75% time split, in ONE scan of `ev`
+    * (same single-pass dimension trick as SensorRank.sensorRank: the
+    * global split is a window over the ~|signals|-row aggregate, never a
+    * second fact-table pass).
+    */
+  def dimension(ev: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy() // ~|signals| rows — not a data window
+    ev.groupBy(col("event_type"))
+      .agg(
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        min(col("e")).as("emn"), max(col("e")).as("emx"))
+      .withColumn("split_e",
+        floor(min(col("emn")).over(wAll) +
+          (max(col("emx")).over(wAll) - min(col("emn")).over(wAll)) * 0.75).cast("long"))
+      .withColumn("width", (col("vmax") - col("vmin")) / NumBins)
+      .select(col("event_type"), col("vmin"), col("width"), col("split_e"))
+  }
+
+  /** Stateless binning projection — usable unchanged under Structured
+    * Streaming (the dimension broadcasts as a static side). Yields
+    * (event_type, phase u|v, bin).
+    */
+  def binning(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.join(broadcast(dim), Seq("event_type"))
+      .withColumn("phase", when(col("e") < col("split_e"), "u").otherwise("v"))
+      .withColumn("bin",
+        // zero-width (constant) sensors: everything in bin 0 — see
+        // SensorRank for the Spark-NULL vs DuckDB-inf divide rationale
+        when(col("width") === 0, lit(0L)).otherwise(
+          least(floor((col("value") - col("vmin")) / col("width")).cast("long"),
+            lit(NumBins - 1L))))
+      .select(col("event_type"), col("phase"), col("bin"))
+
+  /** (event_type, phase, bin, c) counts → per-signal PSI with drift band.
+    *
+    * Dense (signal × bin × phase) grid so empty bins contribute their
+    * smoothed share; conditional-aggregation pivot pairs u/v per bin (a
+    * u-filter/v-filter self-join would duplicate the counts subtree);
+    * per-term decimal cast before the sum makes the result independent of
+    * partial-aggregation order.
+    */
+  def psiFromCounts(countsIn: DataFrame): DataFrame = {
+    // THREE consumers below (grid types, totals, the bin join) — materialize
+    // the ~|signals|×2×|bins|-row aggregate once, or each reference
+    // re-expands the whole upstream subtree (fact scan included) into the
+    // plan; the checkpoint also de-conflicts attribute ids when the input
+    // is a re-read table (the streaming-monitor path).
+    val counts = countsIn.localCheckpoint()
+    val totals = counts.groupBy(col("event_type"), col("phase"))
+      .agg(sum(col("c")).as("total"))
+    val types = counts.select(col("event_type")).distinct()
+    val grid = types
+      .select(col("event_type"), explode(sequence(lit(0L), lit(NumBins - 1L))).as("bin"))
+      .crossJoin(
+        counts.sparkSession.range(1)
+          .select(explode(array(lit("u"), lit("v"))).as("phase")))
+    val shares = grid
+      .join(counts, Seq("event_type", "phase", "bin"), "left_outer")
+      .join(totals, Seq("event_type", "phase"), "left_outer")
+      .select(col("event_type"), col("phase"), col("bin"),
+        ((coalesce(col("c"), lit(0L)).cast("double") + 0.5)
+          / (coalesce(col("total"), lit(0L)).cast("double") + NumBins / 2.0)).as("p"))
+    shares
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        min(when(col("phase") === "u", col("p"))).as("pu"),
+        min(when(col("phase") === "v", col("p"))).as("pv"))
+      .withColumn("term",
+        ((col("pu") - col("pv")) * log(col("pu") / col("pv"))).cast("decimal(28,20)"))
+      .groupBy(col("event_type"))
+      .agg((round(sum(col("term")).cast("double") * 1000000) / 1000000).as("psi"))
+      .withColumn("drift",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("high"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("psi").desc, col("event_type"))))
+  }
+
+  /** q87: per-sensor train→eval distribution drift (PSI over shared bins,
+    * train = first 75% of the time span, eval = the rest).
+    */
+  def driftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    // two consumers (binning join + grid) — materialize the tiny dimension
+    val dim = dimension(ev).localCheckpoint()
+    val counts = binning(ev, dim)
+      .groupBy(col("event_type"), col("phase"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    psiFromCounts(counts)
+  }
+}

@@ -424,4 +424,65 @@ object TextAnalysis {
 
   def sourceScorecard(spark: SparkSession, sfDir: String): DataFrame =
     sourceScorecard(Tables.documents(spark, sfDir))
+
+  /** PII patterns for [[piiScrub]]. Kept to syntax shared by Java regex and
+    * RE2 (no backrefs, no lookaround) so the DuckDB oracle runs the exact
+    * same expressions.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val Ipv4Re  = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-doc PII detection + redaction. Input needs (doc_id, source, text);
+    * emits match counts per entity class, the redacted text's length delta,
+    * and a `clean` flag asserting the redacted text has no residual match —
+    * the self-check that makes the operator's contract part of its output.
+    * Pure codegen'd string expressions (regexp_count / regexp_replace), no
+    * UDF: a full-corpus scrub is a single map-only stage, no shuffle at all.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+    docs.select(
+      col("doc_id"), col("source"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
+      (length(col("text")) - length(redacted)).as("chars_removed"),
+      (regexp_count(redacted, lit(EmailRe)) +
+        regexp_count(redacted, lit(PhoneRe)) +
+        regexp_count(redacted, lit(Ipv4Re)) === 0).as("clean"))
+  }
+
+  /** q88: PII-scrub census — redaction round-trip per source. The synthetic
+    * corpus carries no PII, so the query plants a deterministic doc_id-derived
+    * contact block (email + 555-phone + 10.x.y.z host) on every document
+    * before scrubbing; the oracle re-derives the same injection, which makes
+    * every count and length delta a real value the hash compare checks, not a
+    * column of zeros. In production the injection step is simply absent —
+    * [[piiScrub]] itself is the shipped operator.
+    */
+  def piiScrubCensus(docs: DataFrame): DataFrame = {
+    val seeded = docs.select(
+      col("doc_id"), col("source"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@example.com tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" host 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")).as("text"))
+    piiScrub(seeded)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("emails"),
+        sum(col("n_phones")).as("phones"),
+        sum(col("n_ips")).as("ips"),
+        sum(col("chars_removed")).as("chars_removed"),
+        sum(when(col("clean"), 0L).otherwise(1L)).as("n_residual"))
+  }
+
+  def piiScrubCensus(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubCensus(Tables.documents(spark, sfDir))
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.Drift
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** PSI drift monitor: batch semantics on constructed distributions, and
+  * batch ≡ stream parity — the live-monitoring deployment feeds the same
+  * counts→PSI stage from a streaming aggregate over a static dimension.
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (event_type, e, value) rows: sensor "flat" has the same uniform spread
+    * in both phases; sensor "shift" moves its whole mass to the top of the
+    * envelope in the eval phase (e >= 750 given the 0..999 time span).
+    */
+  private def rows: Seq[(String, Long, Double)] = {
+    val train = (0 until 750).flatMap { i =>
+      Seq(("flat", i.toLong, (i % 100).toDouble),
+        ("shift", i.toLong, (i % 100).toDouble))
+    }
+    val eval_ = (750 until 1000).flatMap { i =>
+      Seq(("flat", i.toLong, (i % 100).toDouble),
+        ("shift", i.toLong, 95.0 + (i % 5))) // top bin only
+    }
+    train ++ eval_
+  }
+
+  private def ev = rows.toDF("event_type", "e", "value")
+
+  test("stable sensor scores near zero, shifted sensor scores high") {
+    val dim = Drift.dimension(ev).localCheckpoint()
+    val counts = Drift.binning(ev, dim)
+      .groupBy(col("event_type"), col("phase"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val gotMap = Drift.psiFromCounts(counts)
+      .select("event_type", "psi", "drift").as[(String, Double, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gotMap("flat")._1 < 0.1 && gotMap("flat")._2 == "stable")
+    assert(gotMap("shift")._1 > 0.25 && gotMap("shift")._2 == "high")
+  }
+
+  test("PSI is symmetric-positive: swapping phases preserves the score") {
+    val dim = Drift.dimension(ev).localCheckpoint()
+    val counts = Drift.binning(ev, dim)
+      .groupBy(col("event_type"), col("phase"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val swapped = counts.withColumn("phase",
+      when(col("phase") === "u", "v").otherwise("u"))
+    val a = Drift.psiFromCounts(counts)
+      .select("event_type", "psi").as[(String, Double)].collect().toMap
+    val b = Drift.psiFromCounts(swapped)
+      .select("event_type", "psi").as[(String, Double)].collect().toMap
+    assert(a === b) // (p-q)ln(p/q) is phase-exchange invariant
+  }
+
+  test("streamed eval counts yield the same PSI as the batch run") {
+    implicit val ctx = spark.sqlContext
+    // the dimension (envelope + split) is static — in production it comes
+    // from the frozen training snapshot
+    val dim = Drift.dimension(ev).localCheckpoint()
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val streamedCounts = Drift.binning(
+      mem.toDF().toDF("event_type", "e", "value"), dim)
+      .groupBy(col("event_type"), col("phase"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val q = streamedCounts.writeStream
+      .format("memory").queryName("drift_counts").outputMode("complete").start()
+    try {
+      val rs = rows
+      mem.addData(rs.take(600))
+      q.processAllAvailable()
+      mem.addData(rs.drop(600))
+      q.processAllAvailable()
+
+      val live = Drift.psiFromCounts(spark.table("drift_counts"))
+        .select("event_type", "psi", "drift", "rnk")
+        .as[(String, Double, String, Int)].collect().sortBy(_._4)
+      val batch = {
+        val counts = Drift.binning(ev, dim)
+          .groupBy(col("event_type"), col("phase"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        Drift.psiFromCounts(counts)
+          .select("event_type", "psi", "drift", "rnk")
+          .as[(String, Double, String, Int)].collect().sortBy(_._4)
+      }
+      assert(live.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+}
