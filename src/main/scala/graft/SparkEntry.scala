@@ -196,7 +196,9 @@ object SparkEntry {
     "q87_drift_psi" -> ((s, d) =>
       Drift.driftPsi(s, d).orderBy(col("rnk"))),
     "q88_pii_scrub" -> ((s, d) =>
-      TextAnalysis.piiScrubCensus(s, d).orderBy(col("source")))
+      TextAnalysis.piiScrubCensus(s, d).orderBy(col("source"))),
+    "q89_quantile_accuracy" -> ((s, d) =>
+      Sketches.quantileAccuracy(s, d).orderBy(col("grp")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1664,6 +1666,13 @@ object SparkEntry {
         |         + len(regexp_extract_all(red, '\b555-[0-9]{4}\b'))
         |         + len(regexp_extract_all(red, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) = 0
         |       THEN 0 ELSE 1 END) AS BIGINT) n_residual
-        |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin
+        |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin,
+    "q89_quantile_accuracy" ->
+      """SELECT l_returnflag AS grp,
+        |  round(quantile_cont(l_extendedprice, 0.50)*10000)/10000 AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95)*10000)/10000 AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.99)*10000)/10000 AS p99,
+        |  TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -39,4 +39,55 @@ object Sketches {
       .select(col("event_type"), col("exact_users"), col("n"),
         (abs(col("approx_users") - col("exact_users")).cast("double")
           / col("exact_users") <= Tolerance).as("sketch_ok"))
+
+  /** Rank-error slack for [[quantileAccuracy]]: percentile_approx at
+    * accuracy=10000 guarantees rank error ≤ n/10000; the audit brackets each
+    * estimate between the exact quantiles ±1 percentile — 100× that bound —
+    * so a pass is a property of the sketch, not luck, and a failure means
+    * the sketch (or its merge) is broken.
+    */
+  val QAccuracy = 10000
+  val RankSlack = 0.01
+
+  /** q89: quantile-sketch accuracy audit — the constant-memory
+    * percentile_approx (Greenwald–Khanna summaries: one bounded sketch per
+    * (partition, group), merged associatively — the 100 TB path where
+    * two-pass exact is a luxury) validated IN-PLAN against the exact
+    * two-pass quantiles: each estimate must land between the exact
+    * (p−slack) and (p+slack) values. The exact values anchor the DuckDB
+    * hash compare; the ok-flags make the sketch's rank-error contract part
+    * of the query's own output, the same feedback-loop shape as q38 (HLL)
+    * and q59 (MinHash).
+    */
+  def quantileAccuracy(spark: SparkSession, sfDir: String): DataFrame =
+    quantileAccuracy(Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x")))
+
+  /** Audit core over any (grp, x) input. */
+  def quantileAccuracy(li: DataFrame): DataFrame = {
+    val qs = Seq(
+      ("p50_lo", 0.49), ("p50", 0.50), ("p50_hi", 0.51),
+      ("p95_lo", 0.94), ("p95", 0.95), ("p95_hi", 0.96),
+      ("p99_lo", 0.98), ("p99", 0.99), ("p99_hi", 1.00))
+    val exact = Percentiles.exactQuantiles(li, "grp", "x", qs)
+      .groupBy(col("grp"))
+      .agg(
+        qs.map { case (nm, _) =>
+          min(when(col("qname") === nm, col("qv"))).as(nm)
+        }.head,
+        qs.map { case (nm, _) =>
+          min(when(col("qname") === nm, col("qv"))).as(nm)
+        }.tail: _*)
+    val approx = li.groupBy(col("grp"))
+      .agg(percentile_approx(col("x"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(QAccuracy)).as("ap"))
+    approx.join(exact, "grp").select(
+      col("grp"),
+      (round(col("p50") * 10000) / 10000).as("p50"),
+      (round(col("p95") * 10000) / 10000).as("p95"),
+      (round(col("p99") * 10000) / 10000).as("p99"),
+      (element_at(col("ap"), 1).between(col("p50_lo"), col("p50_hi"))).as("ok50"),
+      (element_at(col("ap"), 2).between(col("p95_lo"), col("p95_hi"))).as("ok95"),
+      (element_at(col("ap"), 3).between(col("p99_lo"), col("p99_hi"))).as("ok99"))
+  }
 }

@@ -42,6 +42,15 @@ class PercentilesSpec extends SparkSpec {
     check(Seq.fill(10)(("k", 42.0)), Seq("p50" -> 0.5, "p99" -> 0.99))
   }
 
+  test("quantile-sketch audit: estimates land inside the exact ±1pct bracket") {
+    val data = (vals("a", 5000, 3) ++ vals("b", 3000, 11))
+      .map { case (g, v) => (g, v) }
+    val got = graft.ops.Sketches.quantileAccuracy(data.toDF("grp", "x"))
+      .select($"grp", $"ok50", $"ok95", $"ok99")
+      .as[(String, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("a", true, true, true), ("b", true, true, true)))
+  }
+
   test("NULL values are ignored, matching Catalyst percentile semantics") {
     // nulls interleaved with 1..5; counting them into n would shift every rank
     val df = Seq[(String, Option[Double])](
