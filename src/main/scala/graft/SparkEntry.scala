@@ -198,7 +198,15 @@ object SparkEntry {
     "q88_pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrubCensus(s, d).orderBy(col("source"))),
     "q89_quantile_accuracy" -> ((s, d) =>
-      Sketches.quantileAccuracy(s, d).orderBy(col("grp")))
+      Sketches.quantileAccuracy(s, d).orderBy(col("grp"))),
+    "q90_chunk_plan" -> ((s, d) =>
+      Curation.chunkPlan(s, d).orderBy(col("doc_id"), col("chunk_idx"))),
+    "q91_cluster_balance" -> ((s, d) =>
+      Similarity.clusterBalance(s, d).orderBy(col("label"))),
+    "q92_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(s, d).orderBy(col("doc_id"))),
+    "q93_cluster_keep_best" -> ((s, d) =>
+      Dedup.clusterKeepBest(s, d).orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1673,6 +1681,89 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95)*10000)/10000 AS p95,
         |  round(quantile_cont(l_extendedprice, 0.99)*10000)/10000 AS p99,
         |  TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q90_chunk_plan" ->
+      """WITH d AS (SELECT doc_id, text, length(text) len FROM documents
+        |           WHERE doc_id % 50 = 0),
+        |n AS (SELECT doc_id, text, len,
+        |        CASE WHEN len <= 200 THEN 1 ELSE (len - 200 + 149) // 150 + 1 END n_chunks
+        |      FROM d),
+        |x AS (SELECT doc_id, text, len, unnest(generate_series(0, n_chunks - 1)) i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(i * 150 + 1 AS BIGINT) AS c_start,
+        |  CAST(least(200, len - i * 150) AS BIGINT) AS c_len,
+        |  md5(substr(text, CAST(i * 150 + 1 AS INT), CAST(least(200, len - i * 150) AS INT))) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q91_cluster_balance" ->
+      """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) n FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) total, CAST(count(*) AS BIGINT) k FROM c),
+        |e AS (SELECT sum(CAST((CAST(n AS DOUBLE) / total) * (-1.0) *
+        |        ln(CAST(n AS DOUBLE) / total) AS DECIMAL(18,12))) h FROM c, t)
+        |SELECT c.label, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.total * 10000) / 10000 AS share,
+        |  CAST(row_number() OVER (ORDER BY c.n DESC, c.label) AS INT) AS size_rank,
+        |  round(CAST(e.h AS DOUBLE) * 10000) / 10000 AS entropy,
+        |  round(CAST(e.h AS DOUBLE) / ln(CAST(t.k AS DOUBLE)) * 10000) / 10000 AS evenness
+        |FROM c, t, e ORDER BY label""".stripMargin,
+    "q92_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) tok FROM documents),
+        |dt AS (SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) n FROM tk GROUP BY 1,2,3),
+        |raw AS (SELECT tok, CAST(sum(n) AS BIGINT) c_raw FROM dt GROUP BY 1),
+        |tgt AS (SELECT tok, CAST(sum(n) AS BIGINT) c_tgt FROM dt
+        |        WHERE source = 'src0' GROUP BY 1),
+        |sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw) v,
+        |              (SELECT CAST(sum(c_raw) AS BIGINT) FROM raw) n_raw,
+        |              (SELECT CAST(sum(n) AS BIGINT) FROM dt WHERE source = 'src0') n_tgt),
+        |m AS (SELECT r.tok,
+        |        CAST(ln(CAST(coalesce(t.c_tgt, 0) + 1 AS DOUBLE) / (sc.n_tgt + sc.v)) -
+        |             ln(CAST(r.c_raw + 1 AS DOUBLE) / (sc.n_raw + sc.v))
+        |             AS DECIMAL(18,12)) lr
+        |      FROM raw r LEFT JOIN tgt t ON r.tok = t.tok, sc)
+        |SELECT dt.doc_id, dt.source, CAST(sum(dt.n) AS BIGINT) n_tok,
+        |  round(CAST(sum(m.lr * dt.n) AS DOUBLE) / sum(dt.n) * 10000) / 10000 AS logratio
+        |FROM dt JOIN m ON dt.tok = m.tok
+        |GROUP BY 1,2 ORDER BY doc_id""".stripMargin,
+    "q93_cluster_keep_best" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz0 AS (SELECT doc_id, band, sig,
+        |                count(*) OVER (PARTITION BY band, sig) bc FROM bands),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id
+        |          WHERE a.bc <= 64 AND b.bc <= 64),
+        |star AS (SELECT DISTINCT mn doc_a, doc_id doc_b FROM (
+        |           SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
+        |           FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
+        |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
+        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |          UNION SELECT doc_b, doc_a FROM allp),
+        |reach(node, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.comp < e.v),
+        |cc AS (SELECT node, min(comp) comp FROM reach GROUP BY 1),
+        |mem AS (SELECT dd.doc_id, dd.n_chars, coalesce(cc.comp, dd.doc_id) cluster_id
+        |        FROM documents dd LEFT JOIN cc ON dd.doc_id = cc.node),
+        |kp AS (SELECT cluster_id, CAST(count(*) AS BIGINT) cluster_size,
+        |              max(n_chars) mx FROM mem GROUP BY 1),
+        |k2 AS (SELECT m.cluster_id, min(m.doc_id) keeper_id
+        |       FROM mem m JOIN kp ON m.cluster_id = kp.cluster_id AND m.n_chars = kp.mx
+        |       GROUP BY 1)
+        |SELECT m.doc_id, m.cluster_id, kp.cluster_size, m.n_chars,
+        |  m.doc_id = k2.keeper_id AS is_kept
+        |FROM mem m JOIN kp USING (cluster_id) JOIN k2 USING (cluster_id)
+        |ORDER BY m.doc_id""".stripMargin
   )
 }

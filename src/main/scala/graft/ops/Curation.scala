@@ -303,4 +303,49 @@ object Curation {
 
   def pipelineManifest(spark: SparkSession, sfDir: String): DataFrame =
     pipelineManifest(Tables.documents(spark, sfDir))
+
+  /** q90: retrieval-chunking work list — fixed-size sliding character
+    * windows (`chunkSize` chars, `overlap`-char overlap between neighbors)
+    * over each document, the split step every RAG / embedding-index
+    * pipeline runs before vectorizing. Emits one row per chunk with its
+    * 1-based offset, length, and the md5 of the ACTUAL slice, so the oracle
+    * compare proves both engines cut byte-identical chunks (not just equal
+    * counts) — the same "verify the content, not the bookkeeping" posture
+    * as q88's residual-match self-check.
+    *
+    * Scale posture: the whole plan is one narrow projection + a bounded
+    * explode (fan-out = len/stride per doc, known before the explode from
+    * pure integer arithmetic — `(len - size) DIV stride + 1`, no
+    * double-precision ceil that could disagree at exact-boundary lengths).
+    * Zero shuffles, map-only, codegen'd end to end: at 100 TB this is an
+    * embarrassingly parallel scan whose output feeds the embedding UDF
+    * batches directly. `sampleMod` keeps the small-SF oracle output
+    * readable; production runs pass 1.
+    */
+  def chunkPlan(
+      docs: DataFrame,
+      chunkSize: Int = 200,
+      overlap: Int = 50,
+      sampleMod: Int = 50): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .where(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("n_chunks",
+        when(col("len") <= chunkSize, lit(1L))
+          .otherwise(expr(s"(len - $chunkSize + $stride - 1) DIV $stride") + 1L))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").cast("int").as("chunk_idx"),
+        (col("i") * stride + 1).cast("long").as("c_start"),
+        least(lit(chunkSize.toLong), col("len") - col("i") * stride).cast("long").as("c_len"),
+        md5(expr(s"substr(text, CAST(i * $stride + 1 AS INT), CAST(least($chunkSize, len - i * $stride) AS INT))"))
+          .as("chunk_md5"))
+  }
+
+  def chunkPlan(spark: SparkSession, sfDir: String): DataFrame =
+    chunkPlan(Tables.documents(spark, sfDir))
 }

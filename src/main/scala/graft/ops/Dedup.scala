@@ -568,6 +568,50 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
     dupClusters(Tables.documents(spark, sfDir))
 
+  /** q93: cluster-aware canonicalization — the keep/drop VERDICT a dedup
+    * pipeline actually executes. Every document joins its near-dup cluster
+    * (LSH edges → connected components; docs in no cluster are their own
+    * singleton cluster) and each cluster keeps exactly one member by an
+    * explicit POLICY: longest text wins (the most complete variant of a
+    * boilerplate family), ties broken by min doc_id so the choice is total
+    * and deterministic. This replaces q52's structural min-id canonical
+    * with a quality-aware one — any per-doc score column (q28 quality, q81
+    * LM score) plugs into the same argmax without changing the plan shape.
+    *
+    * Scale posture: the policy is a distributed argmax — one groupBy(comp)
+    * producing a cluster-keeper table (≤ one row per cluster), joined back
+    * on the cluster key; no window over a global sort, no driver-side
+    * choice. The doc side carries only (doc_id, n_chars), so the join
+    * input is two slim columns regardless of text width.
+    */
+  def clusterKeepBest(docs: DataFrame): DataFrame = {
+    val cc = Graph.connectedComponents(lshEdges(docs))
+      .withColumnRenamed("id", "doc_id")
+    val member = docs.select(col("doc_id"), col("n_chars"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+    // keeper per cluster: max n_chars, then min doc_id — encoded as one
+    // struct-max so the argmax is a single map-side-combinable aggregate
+    val keepers = member
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"),
+        col("cluster_size"))
+    member
+      .join(keepers, "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("cluster_size"),
+        col("n_chars"),
+        (col("doc_id") === col("keeper_id")).as("is_kept"))
+  }
+
+  def clusterKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    clusterKeepBest(Tables.documents(spark, sfDir))
+
   /** q83: leakage-safe train/val/test split — split assignment hashes the
     * near-dup CLUSTER representative, not the document, so every member of
     * a duplicate cluster lands in the same split BY CONSTRUCTION (a

@@ -386,4 +386,39 @@ object Similarity {
 
   def quantizedRecall(spark: SparkSession, sfDir: String): DataFrame =
     quantizedRecall(Tables.embeddings(spark, sfDir))
+
+  /** q91: cluster-balance census for the IVF partition layout — per label:
+    * vector count, corpus share, size rank, plus the partition-distribution
+    * Shannon entropy and Pielou evenness (H / ln k) repeated on every row.
+    * Near-uniform shares (evenness ≈ 1) mean probe-time pruning removes a
+    * predictable (nlist − nprobe)/nlist of the scan; a skewed layout
+    * (evenness ≪ 1) means one hot partition dominates latency and the index
+    * wants re-clustering — the same fit-check role q73 plays for the LSH
+    * index and q62 for a shuffle key.
+    *
+    * Scale: one map-side-combined count per label (output = nlist rows),
+    * then all derived statistics are arithmetic over that tiny table with
+    * two broadcast one-row scalars; each entropy term is snapped to
+    * DECIMAL(18,12) before the sum so H is order-free and engine-portable.
+    */
+  def clusterBalance(emb: DataFrame): DataFrame = {
+    val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("k"))
+    val entropy = counts.crossJoin(broadcast(totals))
+      .select(((col("n").cast("double") / col("total")) * lit(-1.0) *
+        log(col("n").cast("double") / col("total"))).cast("decimal(18,12)").as("term"))
+      .agg(sum(col("term")).as("h"))
+    counts.crossJoin(broadcast(totals)).crossJoin(broadcast(entropy))
+      .select(
+        col("label"),
+        col("n"),
+        (round(col("n").cast("double") / col("total") * 10000) / 10000).as("share"),
+        row_number().over(Window.orderBy(col("n").desc, col("label"))).as("size_rank"),
+        (round(col("h").cast("double") * 10000) / 10000).as("entropy"),
+        (round(col("h").cast("double") / log(col("k").cast("double")) * 10000) / 10000)
+          .as("evenness"))
+  }
+
+  def clusterBalance(spark: SparkSession, sfDir: String): DataFrame =
+    clusterBalance(Tables.embeddings(spark, sfDir))
 }

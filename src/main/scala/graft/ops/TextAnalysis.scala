@@ -485,4 +485,59 @@ object TextAnalysis {
 
   def piiScrubCensus(spark: SparkSession, sfDir: String): DataFrame =
     piiScrubCensus(Tables.documents(spark, sfDir))
+
+  /** q92: DSIR-style importance weights — score every document by how much
+    * more likely its unigrams are under a TARGET distribution (here: the
+    * docs of one source, standing in for "high-quality reference corpus")
+    * than under the RAW corpus distribution:
+    *
+    *   w(doc) = mean over tokens of [ ln p̂_target(tok) − ln p̂_raw(tok) ]
+    *
+    * with add-one (Laplace) smoothing over the shared corpus vocabulary so
+    * tokens unseen in the target stay finite. Documents that "sound like"
+    * the target get positive weights and are up-sampled when building a
+    * pre-training mixture — the hashed-n-gram importance-resampling recipe
+    * published for data selection, restated as three joins.
+    *
+    * Scale posture: token instances collapse to (doc, tok, n) with map-side
+    * combine before anything shuffles; both language models are
+    * vocabulary-sized tables (Zipf-bounded, ≪ corpus) built from that same
+    * collapsed table, so the raw token stream is shuffled exactly once; the
+    * scoring join is N:1 on the token key; the two normalizer scalars ride
+    * a broadcast. Each per-token log-ratio is snapped to DECIMAL(18,12)
+    * before the count-weighted sum, so the per-doc mean is order-free and
+    * matches the DuckDB oracle bit-for-bit after 4-dp rounding.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val raw = docTok.groupBy(col("tok")).agg(sum(col("n")).as("c_raw"))
+    val tgt = docTok.where(col("source") === targetSource)
+      .groupBy(col("tok")).agg(sum(col("n")).as("c_tgt"))
+    val scal = raw.agg(
+      count(lit(1)).as("v"),
+      sum(col("c_raw")).as("n_raw")).crossJoin(
+      docTok.where(col("source") === targetSource).agg(sum(col("n")).as("n_tgt")))
+    val model = raw
+      .join(tgt, Seq("tok"), "left_outer")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(scal))
+      .select(col("tok"),
+        (log((col("c_tgt") + 1).cast("double") / (col("n_tgt") + col("v"))) -
+          log((col("c_raw") + 1).cast("double") / (col("n_raw") + col("v"))))
+          .cast("decimal(18,12)").as("lr"))
+    docTok
+      .join(model, "tok")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("n")).as("n_tok"),
+        (round(sum(col("lr") * col("n")).cast("double") / sum(col("n")) * 10000) / 10000)
+          .as("logratio"))
+  }
+
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, sfDir))
 }

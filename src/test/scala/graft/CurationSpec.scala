@@ -40,6 +40,35 @@ class CurationSpec extends SparkSpec {
     assert(rows === Seq(("s0", 4L, 3L, 2L, 1L, 0.25)))
   }
 
+  test("chunkPlan: chunk grid covers the text with the declared overlap") {
+    // chunkSize 10, overlap 4 → stride 6. len 25 → chunks at 1, 7, 13, 19:
+    // the last chunk is the 7-char tail. len 10 and len 3 → exactly 1 chunk.
+    val docs = Seq(
+      (0L, "a" * 25, "en", "s0", 25L),
+      (50L, "b" * 10, "en", "s0", 10L),
+      (100L, "ccc", "en", "s0", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Curation.chunkPlan(docs, chunkSize = 10, overlap = 4, sampleMod = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "c_start", "c_len")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (0L, 0, 1L, 10L), (0L, 1, 7L, 10L), (0L, 2, 13L, 10L), (0L, 3, 19L, 7L),
+      (50L, 0, 1L, 10L),
+      (100L, 0, 1L, 3L)))
+    // coverage invariant: consecutive chunks overlap by exactly `overlap`
+    // and the final chunk ends at the document's last character
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      cs.sliding(2).foreach {
+        case Seq((_, _, s1, l1), (_, _, s2, _)) => assert(s1 + l1 - s2 === 4L)
+        case _ =>
+      }
+      val (_, _, s, l) = cs.last
+      val len = cs.head match { case (id, _, _, _) => Map(0L -> 25L, 50L -> 10L, 100L -> 3L)(id) }
+      assert(s + l - 1 === len)
+    }
+  }
+
   test("pipelineManifest attributes every drop to its stage") {
     val clean1 = (1 to 20).map(i => s"word$i").mkString(" ")
     val clean2 = (1 to 20).map(i => s"other$i").mkString(" ")

@@ -135,4 +135,30 @@ class DedupSpec extends SparkSpec {
     // in both and the cluster total would exceed 2
     assert(rows.map(_._3).sum === 2L)
   }
+
+  test("clusterKeepBest keeps the longest cluster member, min id on ties") {
+    val corpus = Seq(
+      // cluster {0,1,2}: identical shingle sets; 1 is longest → kept
+      (0L, "aa bb cc dd ee", "en", "s0", 14L),
+      (1L, "aa bb cc dd ee ff", "en", "s0", 17L),
+      (2L, "aa bb cc dd ee", "en", "s0", 14L),
+      (3L, "xx yy zz ww vv", "en", "s0", 14L) // singleton → kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.clusterKeepBest(corpus)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows === Seq(
+      (0L, 0L, 3L, false), (1L, 0L, 3L, true),
+      (2L, 0L, 3L, false), (3L, 3L, 1L, true)))
+
+    // tie on length inside the cluster → the smallest doc_id wins
+    val tied = Seq(
+      (5L, "aa bb cc dd ee", "en", "s0", 14L),
+      (6L, "aa bb cc dd ee", "en", "s0", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Dedup.clusterKeepBest(tied)
+      .where(col("is_kept")).select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(5L))
+  }
 }

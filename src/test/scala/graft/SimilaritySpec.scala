@@ -77,4 +77,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1)._4 === 1.0) // variance of {2, 4}
     assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-5)
   }
+
+  test("clusterBalance: uniform labels score evenness 1, a hot label drops it") {
+    val uniform = (0L until 8L).map(i => (i, Array(1f, 0f), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val u = Similarity.clusterBalance(uniform)
+      .select("label", "n", "share", "evenness")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(u.forall(_._2 == 2L) && u.forall(_._3 == 0.25) && u.forall(_._4 == 1.0))
+
+    // 7-of-10 vectors on one label: entropy well below the uniform ln(2)
+    val skewed = (0L until 10L).map(i => (i, Array(1f, 0f), if (i < 7) 0 else 1))
+      .toDF("vec_id", "embedding", "label")
+    val s = Similarity.clusterBalance(skewed)
+      .orderBy("size_rank")
+      .select("label", "n", "size_rank", "evenness")
+      .as[(Int, Long, Int, Double)].collect().toSeq
+    assert(s.map(r => (r._1, r._2, r._3)) === Seq((0, 7L, 1), (1, 3L, 2)))
+    assert(s.head._4 < 0.9)
+  }
 }

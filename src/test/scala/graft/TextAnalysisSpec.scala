@@ -74,4 +74,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows === Seq(
       ("src0", 3L, 3L, 1.0), ("src1", 3L, 0L, 0.0), ("src2", 3L, 3L, 1.0)))
   }
+
+  test("dsirWeights: documents that sound like the target source score higher") {
+    // target src0 speaks only {aa bb}; src1 speaks only {xx yy}. A src1 doc
+    // written in src0's vocabulary must out-score the native src1 docs.
+    val docs = Seq(
+      (0L, "aa bb aa bb aa", "en", "src0"),
+      (1L, "bb aa bb aa bb", "en", "src0"),
+      (2L, "xx yy xx yy xx", "en", "src1"),
+      (3L, "aa bb aa bb aa", "en", "src1") // target-like outlier inside src1
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.dsirWeights(docs, targetSource = "src0")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "logratio")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._2) === Seq(5L, 5L, 5L, 5L))
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    assert(byDoc(3L) > byDoc(2L)) // target-like doc beats native src1 docs
+    assert(byDoc(0L) > 0.0 && byDoc(2L) < 0.0)
+    assert(byDoc(0L) === byDoc(3L)) // identical text → identical weight, source-blind
+  }
 }
