@@ -123,6 +123,25 @@ class PlanAuditSpec extends SparkSpec {
       "q81 lost partial aggregation")
   }
 
+  test("rank-filter top-N queries get the WindowGroupLimit pushdown") {
+    // row_number() <= k filters should plan a WindowGroupLimit below the
+    // Window (partial per-partition limit before the shuffle, final after) —
+    // without it, every group sorts ALL its rows at 100 TB just to keep k
+    for (name <- Seq("q16_window_topn", "q58_tfidf", "q36_heavy_hitters"))
+      assert(plans(name).contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit rank-limit pushdown")
+  }
+
+  test("chunk plan is map-only: no shuffle except the output ordering") {
+    // the queries() entry appends an orderBy for deterministic output, so
+    // exactly one range exchange is expected — any hash exchange means the
+    // chunking stopped being a pure map
+    val plan = plans("q90_chunk_plan")
+    assert(!plan.contains("hashpartitioning"),
+      "q90 chunking should be a pure map — found a hash shuffle")
+    assert("rangepartitioning".r.findAllIn(plan).size <= 1)
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
