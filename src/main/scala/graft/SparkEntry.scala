@@ -206,7 +206,13 @@ object SparkEntry {
     "q92_dsir_weights" -> ((s, d) =>
       TextAnalysis.dsirWeights(s, d).orderBy(col("doc_id"))),
     "q93_cluster_keep_best" -> ((s, d) =>
-      Dedup.clusterKeepBest(s, d).orderBy(col("doc_id")))
+      Dedup.clusterKeepBest(s, d).orderBy(col("doc_id"))),
+    "q94_scd2_intervals" -> ((s, d) =>
+      Ranges.scd2Intervals(s, d).orderBy(col("user_id"), col("seg_n"))),
+    "q95_length_histogram" -> ((s, d) =>
+      Curation.lengthHistogram(s, d).orderBy(col("lang"), col("bucket"))),
+    "q96_containment" -> ((s, d) =>
+      Dedup.containmentPairs(s, d).orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1764,6 +1770,60 @@ object SparkEntry {
         |SELECT m.doc_id, m.cluster_id, kp.cluster_size, m.n_chars,
         |  m.doc_id = k2.keeper_id AS is_kept
         |FROM mem m JOIN kp USING (cluster_id) JOIN k2 USING (cluster_id)
-        |ORDER BY m.doc_id""".stripMargin
+        |ORDER BY m.doc_id""".stripMargin,
+    "q94_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |s AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                       OR lag(event_type) OVER w <> event_type
+        |                     THEN 1 ELSE 0 END chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+        |g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY e, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) seg
+        |      FROM s),
+        |iv AS (SELECT user_id, seg, event_type, min(e) valid_from,
+        |              CAST(count(*) AS BIGINT) n_events
+        |       FROM g GROUP BY 1,2,3)
+        |SELECT user_id, seg AS seg_n, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to, n_events,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+        |ORDER BY user_id, seg""".stripMargin,
+    "q95_length_histogram" ->
+      """WITH d AS (SELECT lang, len(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) n_tok
+        |           FROM documents),
+        |b AS (SELECT lang, CAST(length(bin(n_tok)) - 1 AS INT) bucket, n_tok FROM d),
+        |g AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) n_docs,
+        |             CAST(sum(n_tok) AS BIGINT) bucket_tokens
+        |      FROM b GROUP BY 1,2)
+        |SELECT lang, bucket, CAST(power(2, bucket) AS BIGINT) bucket_lo,
+        |  n_docs, bucket_tokens,
+        |  round(CAST(sum(bucket_tokens) OVER (PARTITION BY lang ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / sum(bucket_tokens) OVER (PARTITION BY lang) * 10000) / 10000
+        |    AS cum_token_share
+        |FROM g ORDER BY lang, bucket""".stripMargin,
+    "q96_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_sh FROM sh GROUP BY 1),
+        |f AS (SELECT sh, count(*) df FROM sh GROUP BY 1),
+        |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN f USING (sh) WHERE df <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |         FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+        |ex AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) n_shared
+        |       FROM cand c
+        |       JOIN sh sa ON sa.doc_id = c.doc_a
+        |       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        |       GROUP BY 1,2)
+        |SELECT ex.doc_a, ex.doc_b, sz.n_sh AS n_sh_a, ex.n_shared,
+        |  round(CAST(ex.n_shared AS DOUBLE) / sz.n_sh * 10000) / 10000 AS containment
+        |FROM ex JOIN sz ON sz.doc_id = ex.doc_a
+        |WHERE CAST(ex.n_shared AS DOUBLE) / sz.n_sh >= 0.8
+        |ORDER BY ex.doc_a, ex.doc_b""".stripMargin
   )
 }

@@ -348,4 +348,38 @@ object Curation {
 
   def chunkPlan(spark: SparkSession, sfDir: String): DataFrame =
     chunkPlan(Tables.documents(spark, sfDir))
+
+  /** q95: token-length histogram per language in power-of-2 buckets, with
+    * the running share of corpus tokens up to each bucket — the input the
+    * packing (q55) and mixture (q75) planners read: where the tokens
+    * actually live, how much of the budget short docs can ever contribute,
+    * what fraction a max-sequence-length truncation touches. Bucket =
+    * floor(log2 n_tok) via binary-string length (integer-exact — the q70
+    * idiom; no float log edge cases at bucket boundaries).
+    *
+    * Scale: one tokenizing projection (no explode — only sizes are needed)
+    * → one map-side-combined aggregate to O(langs × log n) rows; the
+    * cumulative share is a window over that tiny table, never the corpus.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val sized = docs
+      .select(col("lang"),
+        size(split(Dedup.normText(col("text")), " ")).as("n_tok"))
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("int"))
+    val g = sized
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bucket_tokens"))
+    val cum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col("lang"))
+    g.select(
+      col("lang"), col("bucket"),
+      expr("CAST(power(2, bucket) AS BIGINT)").as("bucket_lo"),
+      col("n_docs"), col("bucket_tokens"),
+      (round(sum(col("bucket_tokens")).over(cum).cast("double") /
+        sum(col("bucket_tokens")).over(tot) * 10000) / 10000).as("cum_token_share"))
+  }
+
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    lengthHistogram(Tables.documents(spark, sfDir))
 }

@@ -612,6 +612,52 @@ object Dedup {
   def clusterKeepBest(spark: SparkSession, sfDir: String): DataFrame =
     clusterKeepBest(Tables.documents(spark, sfDir))
 
+  /** q96: asymmetric containment pairs — ordered (doc_a, doc_b) where at
+    * least `minContainment` of A's shingles also appear in B. Containment
+    * |A∩B| / |A| catches what Jaccard structurally cannot: a short document
+    * embedded inside a much longer one (a quoted eval question inside a
+    * training doc, an article wrapped in boilerplate) has high containment
+    * but low Jaccard because the union is dominated by B. This is the
+    * doc-granular leak detector behind q78's n-gram flags.
+    *
+    * Scale posture: candidates come from an inverted-index join over
+    * shingles with document frequency ≤ `maxDf` (a shingle in thousands of
+    * docs is boilerplate carrying no containment signal but O(df²) join
+    * pairs — same cap design as q50); the EXACT intersection then runs on
+    * candidate pairs only, against the full shingle sets, so hot shingles
+    * still count toward containment — the cap only gates who gets
+    * compared, never the score (the q47 verify-on-candidates pattern). The
+    * oracle applies the identical cap, so the contract is exact at any df
+    * distribution.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh
+      .join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf), "sh")
+      .select(col("doc_id"), col("sh"))
+    val cand = rare.toDF("doc_a", "sh")
+      .join(rare.toDF("doc_b", "sh"), Seq("sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val exact = cand
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    exact
+      .join(sizes.toDF("doc_a", "n_sh_a"), "doc_a")
+      .where(col("n_shared").cast("double") / col("n_sh_a") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_sh_a"), col("n_shared"),
+        (round(col("n_shared").cast("double") / col("n_sh_a") * 10000) / 10000)
+          .as("containment"))
+  }
+
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, sfDir))
+
   /** q83: leakage-safe train/val/test split — split assignment hashes the
     * near-dup CLUSTER representative, not the document, so every member of
     * a duplicate cluster lands in the same split BY CONSTRUCTION (a

@@ -283,4 +283,45 @@ object Ranges {
 
   def sessionization(spark: SparkSession, sfDir: String, gapSec: Long = 14400L): DataFrame =
     sessionization(Tables.events(spark, sfDir), gapSec)
+
+  /** q94: SCD type-2 change tracking — collapse each user's event stream
+    * into validity intervals of its tracked attribute (event_type standing
+    * in for "operating state"): one row per run of equal consecutive
+    * values, `[valid_from, valid_to)` half-open with `valid_to` = the next
+    * interval's start and NULL on the open current interval. This is the
+    * warehouse dimension-history build (and the reference's predicted_ranges
+    * in disguise: q06 merges POINTS by time gap, this merges RUNS by value
+    * change).
+    *
+    * Shape: change flag (lag) → running-sum segment id → one aggregate per
+    * segment → lead for the closing timestamp. All three windows and the
+    * aggregate share the user_id hash partitioning, so the whole plan is
+    * ONE shuffle on the series key plus the final output sort; integer
+    * epoch-second comparisons throughout (no float boundary drift).
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("event_id"))
+    val seg = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        TimeSeries.epochS(col("ts")).as("e"))
+      .withColumn("prev_t", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+    seg
+      .groupBy(col("user_id"), col("seg"), col("event_type"))
+      .agg(min(col("e")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      // seg is the interval ordinal per user — kept in the output as the
+      // natural unique key (valid_from alone can tie when two same-second
+      // events open adjacent intervals)
+      .select(
+        col("user_id"), col("seg").as("seg_n"), col("event_type"),
+        col("valid_from"), col("valid_to"),
+        col("n_events"), col("valid_to").isNull.as("is_current"))
+  }
+
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Intervals(Tables.events(spark, sfDir))
 }
