@@ -1727,7 +1727,7 @@ object SparkEntry {
         |             AS DECIMAL(18,12)) lr
         |      FROM raw r LEFT JOIN tgt t ON r.tok = t.tok, sc)
         |SELECT dt.doc_id, dt.source, CAST(sum(dt.n) AS BIGINT) n_tok,
-        |  round(CAST(sum(m.lr * dt.n) AS DOUBLE) / sum(dt.n) * 10000) / 10000 AS logratio
+        |  round(CAST(sum(m.lr * dt.n) AS DOUBLE) / sum(dt.n) * 10000) / 10000 + 0.0 AS logratio
         |FROM dt JOIN m ON dt.tok = m.tok
         |GROUP BY 1,2 ORDER BY doc_id""".stripMargin,
     "q93_cluster_keep_best" ->

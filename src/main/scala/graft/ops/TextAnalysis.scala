@@ -534,8 +534,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("source"))
       .agg(
         sum(col("n")).as("n_tok"),
-        (round(sum(col("lr") * col("n")).cast("double") / sum(col("n")) * 10000) / 10000)
-          .as("logratio"))
+        // + 0.0 collapses IEEE negative zero (a doc whose ratio rounds to
+        // zero from below) so both engines emit the same +0.0
+        (round(sum(col("lr") * col("n")).cast("double") / sum(col("n")) * 10000) / 10000
+          + lit(0.0)).as("logratio"))
   }
 
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
