@@ -212,7 +212,14 @@ object SparkEntry {
     "q95_length_histogram" -> ((s, d) =>
       Curation.lengthHistogram(s, d).orderBy(col("lang"), col("bucket"))),
     "q96_containment" -> ((s, d) =>
-      Dedup.containmentPairs(s, d).orderBy(col("doc_a"), col("doc_b")))
+      Dedup.containmentPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q97_rolling_quantiles" -> ((s, d) =>
+      TimeSeries.rollingQuantiles(s, d).orderBy(col("user_id"), col("event_id"))),
+    // self-validating like q38: sketch estimates aren't cross-engine
+    // portable, so exact counts anchor the hash and ok-flags carry the
+    // sketch/merge accuracy contract
+    "q98_sketch_rollup" -> ((s, d) =>
+      Sketches.sketchRollup(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1824,6 +1831,25 @@ object SparkEntry {
         |  round(CAST(ex.n_shared AS DOUBLE) / sz.n_sh * 10000) / 10000 AS containment
         |FROM ex JOIN sz ON sz.doc_id = ex.doc_a
         |WHERE CAST(ex.n_shared AS DOUBLE) / sz.n_sh >= 0.8
-        |ORDER BY ex.doc_a, ex.doc_b""".stripMargin
+        |ORDER BY ex.doc_a, ex.doc_b""".stripMargin,
+    "q97_rolling_quantiles" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |r AS (SELECT user_id, event_id, CAST(row_number() OVER w AS INT) rn,
+        |        quantile_cont(value, 0.5) OVER (w ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) m,
+        |        quantile_cont(value, 0.9) OVER (w ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) p
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id))
+        |SELECT user_id, event_id, rn, round(m * 10000) / 10000 AS roll_med,
+        |  round(p * 10000) / 10000 AS roll_p90
+        |FROM r WHERE rn > 10 ORDER BY user_id, event_id""".stripMargin,
+    "q98_sketch_rollup" ->
+      """WITH fp AS (SELECT source, md5(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) h FROM documents),
+        |per AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) exact_fps,
+        |               CAST(count(*) AS BIGINT) n_docs, TRUE sketch_ok
+        |        FROM fp GROUP BY 1),
+        |tot AS (SELECT 'TOTAL' AS source, CAST(count(DISTINCT h) AS BIGINT) exact_fps,
+        |               CAST(count(*) AS BIGINT) n_docs, TRUE sketch_ok FROM fp)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY source""".stripMargin
   )
 }

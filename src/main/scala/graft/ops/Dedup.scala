@@ -631,17 +631,69 @@ object Dedup {
     * distribution.
     */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.8,
-                       maxDf: Int = 1000): DataFrame = {
+                       maxDf: Int = 1000): DataFrame =
+    finishContainment(docs, containmentCandidatesPrefix(docs, minContainment, maxDf),
+      minContainment)
+
+  /** Candidate generation via the ASYMMETRIC prefix filter (the containment
+    * member of the AllPairs/ppjoin family) — the shipped path. A pair with
+    * containment(A→B) ≥ t shares ≥ ceil(t·|A|) shingles counting hot ones,
+    * of which at most hot(A) can be hot — so if none of A's first
+    * |A| − ceil(t·|A|) + 1 RAREST capped shingles hits B, the pair cannot
+    * reach t (pigeonhole over the rare remainder). Only the PROBE side
+    * shrinks to its prefix; B indexes every capped shingle, because
+    * containment puts no bound on B — that asymmetry is what makes this
+    * ~5× cheaper than the symmetric inverted join at t = 0.8 while
+    * emitting the identical final pairs (DedupSpec asserts equality with
+    * [[containmentCandidatesDirect]]). The 1e-9 slack keeps the float
+    * ceil from rounding an exactly-integer t·|A| UP, which would shorten
+    * the prefix below the lossless bound.
+    */
+  private def containmentCandidatesPrefix(docs: DataFrame, minContainment: Double,
+                                          maxDf: Int): DataFrame = {
     val sh = shingles(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh
       .join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDf), "sh")
+      .select(col("doc_id"), col("sh"), col("df"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefixA = rare
+      .withColumn("pos", row_number().over(wOrd))
+      .join(sizes, "doc_id")
+      .where(col("pos") <=
+        col("n_sh") - ceil(lit(minContainment) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("sh"))
-    val cand = rare.toDF("doc_a", "sh")
+    prefixA.toDF("doc_a", "sh")
+      .join(rare.select(col("doc_id"), col("sh")).toDF("doc_b", "sh"), Seq("sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The symmetric rare-shingle inverted join — the cross-validation
+    * baseline the prefix path must reproduce (and what the DuckDB oracle
+    * computes).
+    */
+  def containmentCandidatesDirect(docs: DataFrame, maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs)
+    val rare = sh
+      .join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf), "sh")
+      .select(col("doc_id"), col("sh"))
+    rare.toDF("doc_a", "sh")
       .join(rare.toDF("doc_b", "sh"), Seq("sh"))
       .where(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact verify on candidates only, against FULL shingle sets (hot
+    * shingles count toward the score — the cap/prefix only gated who gets
+    * compared).
+    */
+  def finishContainment(docs: DataFrame, cand: DataFrame,
+                        minContainment: Double): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val exact = cand
       .join(sh.toDF("doc_a", "sh"), "doc_a")
       .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))

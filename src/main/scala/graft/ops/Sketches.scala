@@ -90,4 +90,44 @@ object Sketches {
       (element_at(col("ap"), 2).between(col("p95_lo"), col("p95_hi"))).as("ok95"),
       (element_at(col("ap"), 3).between(col("p99_lo"), col("p99_hi"))).as("ok99"))
   }
+
+  /** Datasketches HLL at lgConfigK=12 has rsd ≈ 1.6%; accept 5× — same
+    * "pass means the sketch works, not luck" posture as [[Rsd]].
+    */
+  val HllTolerance = 0.08
+
+  /** q98: sketch RE-AGGREGATION — per-source HyperLogLog sketches of
+    * distinct content fingerprints, then the corpus total answered by
+    * MERGING the per-source sketches (hll_union_agg), never rescanning the
+    * corpus. This is the pre-aggregated-cube pattern that matters at 100
+    * TB: distinct counts for any source roll-up come from unioning
+    * kilobyte-sized sketches, which exact distinct counts cannot do
+    * (distincts don't add — sources share fingerprints). Both levels ride
+    * beside their exact counterparts with ok-flags, so the oracle checks
+    * the merge accuracy contract, not just the bookkeeping (q38's
+    * self-validating shape).
+    */
+  def sketchRollup(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("source"), md5(Dedup.normText(col("text"))).as("h"))
+    val per = fp.groupBy(col("source")).agg(
+      hll_sketch_agg(col("h")).as("sk"),
+      count_distinct(col("h")).as("exact_fps"),
+      count(lit(1)).as("n_docs"))
+    val perOut = per.select(
+      col("source"), col("exact_fps"), col("n_docs"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_fps")).cast("double")
+        / col("exact_fps") <= HllTolerance).as("sketch_ok"))
+    val totOut = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      .crossJoin(broadcast(
+        fp.agg(count_distinct(col("h")).as("exact_fps"), count(lit(1)).as("n_docs"))))
+      .select(
+        lit("TOTAL").as("source"), col("exact_fps"), col("n_docs"),
+        (abs(col("approx") - col("exact_fps")).cast("double")
+          / col("exact_fps") <= HllTolerance).as("sketch_ok"))
+    perOut.union(totOut)
+  }
+
+  def sketchRollup(spark: SparkSession, sfDir: String): DataFrame =
+    sketchRollup(Tables.documents(spark, sfDir))
 }

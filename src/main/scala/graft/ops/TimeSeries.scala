@@ -372,4 +372,34 @@ object TimeSeries {
       )
       .select(col("event_type"), col("grid_start"), col("value_interp"))
   }
+
+  /** q97: rolling quantiles — sliding-window median and p90 per series, the
+    * robust-smoothing companion to q03's rolling mean (a median shrugs off
+    * the value spikes that drag a mean, which is why control-room trend
+    * lines prefer it). Window = the current row plus the `win` preceding
+    * rows, emitted only once the window is FULL: with a fixed odd count of
+    * 11 values, R-7 ranks for p50 and p90 land on integer indices, so both
+    * quantiles are pure element SELECTION — no interpolation arithmetic
+    * that could differ between engines, and the partial-window warmup rows
+    * (even counts → midpoint interpolation) never reach the output.
+    *
+    * Scale: one hash shuffle on the series key, then a bounded 11-row frame
+    * — constant memory per row regardless of series length, the sliding
+    * shape that survives unbounded series at 100 TB.
+    */
+  def rollingQuantiles(events: DataFrame, win: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("event_id"))
+    val wf = w.rowsBetween(-win, 0)
+    events
+      .select(col("user_id"), col("event_id"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("roll_med", percentile(col("value"), lit(0.5)).over(wf))
+      .withColumn("roll_p90", percentile(col("value"), lit(0.9)).over(wf))
+      .where(col("rn") > win)
+      .select(col("user_id"), col("event_id"), col("rn"),
+        r4(col("roll_med")).as("roll_med"), r4(col("roll_p90")).as("roll_p90"))
+  }
+
+  def rollingQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    rollingQuantiles(Tables.events(spark, sfDir))
 }

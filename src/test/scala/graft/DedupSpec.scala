@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(prefix === direct)
   }
 
+  test("asymmetric containment prefix filter is lossless vs the direct join") {
+    // the real sf0.001 corpus: 500 docs with genuine near-dup structure —
+    // the prefix path must emit the IDENTICAL final pairs as the symmetric
+    // inverted join at every threshold tried (incl. t where t*n is integral)
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.5, 0.8)) {
+      val direct = Dedup.finishContainment(corpus,
+          Dedup.containmentCandidatesDirect(corpus), t)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val pref = Dedup.containmentPairs(corpus, minContainment = t)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(pref === direct, s"containment prefix path diverged at t=$t")
+      assert(direct.nonEmpty, "cross-validation corpus produced no pairs")
+    }
+  }
+
   test("minhashLsh collides all bands for identical documents") {
     val rows = Dedup.minhashLsh(docs).orderBy("doc_a", "doc_b")
       .as[(Long, Long, Long)].collect()
