@@ -74,4 +74,48 @@ object DedupIndex {
     newSigs.write.mode(SaveMode.Append).parquet(path)
     out
   }
+
+  /** Incremental EXACT-dedup maintenance — the md5 twin of the LSH index,
+    * completing the trilogy (LSH bands here, SRP bands in VecIndex, exact
+    * hashes below). The index persists one (h, keeper) row per distinct
+    * normalized-content hash; an append hashes ONLY the new batch,
+    * semi-joins the index on the touched hashes, and emits each new doc's
+    * keep/dup verdict without ever scanning the corpus. First writer wins
+    * forever: a keeper recorded by an earlier batch stays the keeper, so
+    * verdicts are append-order stable — exactly [[Dedup.exactDedup]]'s
+    * keep-first semantics when batches arrive in doc_id order
+    * (IncrementalDedupSpec asserts batch ≡ build+append).
+    */
+  def buildExact(docs: DataFrame, path: String): Unit =
+    docs.select(md5(Dedup.normText(col("text"))).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Verdicts for `newDocs` — (doc_id, h, keeper, is_dup) — and append the
+    * batch's newly-seen hashes to the index. Per-append cost: O(new batch +
+    * touched hash rows); the index side reduces via a broadcast semi-join
+    * on the batch's distinct hashes before the shuffle.
+    */
+  def appendExact(spark: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
+    val hashed = newDocs.select(col("doc_id"), md5(Dedup.normText(col("text"))).as("h"))
+    val touched = hashed.select(col("h")).distinct()
+    val existing = spark.read.parquet(path)
+      .join(broadcast(touched), Seq("h"), "left_semi")
+      .select(col("h"), col("keeper").as("old_keeper"))
+    // in-batch keep-first for hashes the index has never seen
+    val batchMin = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("batch_keeper"))
+    val verdict = hashed
+      .join(batchMin, "h")
+      .join(existing, Seq("h"), "left_outer")
+      .withColumn("keeper", coalesce(col("old_keeper"), col("batch_keeper")))
+      .select(col("doc_id"), col("h"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+    val out = verdict.localCheckpoint()
+    // persist only hashes that were NOT already present (first writer wins)
+    batchMin
+      .join(existing, Seq("h"), "left_anti")
+      .select(col("h"), col("batch_keeper").as("keeper"))
+      .write.mode(SaveMode.Append).parquet(path)
+    out
+  }
 }

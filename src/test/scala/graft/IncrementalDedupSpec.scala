@@ -65,4 +65,39 @@ class IncrementalDedupSpec extends SparkSpec {
     // batch also suppresses the flooded bucket entirely
     assert(batch === Set.empty)
   }
+
+  test("exact index: append verdicts match the full-batch keep-first dedup") {
+    val path = Files.createTempDirectory("graft-exidx").resolve("idx").toString
+    DedupIndex.buildExact(oldDocs, path)
+
+    val verdicts = DedupIndex.appendExact(spark, path, newDocs)
+      .select("doc_id", "keeper", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // 10 duplicates content first seen as doc 0 — the INDEX keeper wins,
+    // not the in-batch minimum; 11 is novel and keeps itself
+    assert(verdicts === Seq((10L, 0L, true), (11L, 11L, false)))
+
+    // an in-batch dup pair on a never-seen hash: first of the batch keeps
+    val batch2 = Seq(
+      (20L, "same new thing twice", "s3"),
+      (21L, "same new thing twice", "s3")
+    ).toDF("doc_id", "text", "source")
+    val v2 = DedupIndex.appendExact(spark, path, batch2)
+      .select("doc_id", "keeper", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(v2 === Seq((20L, 20L, false), (21L, 20L, true)))
+
+    // a THIRD append re-sending already-indexed content still defers to the
+    // original keeper (first writer wins forever)
+    val v3 = DedupIndex.appendExact(spark, path,
+        Seq((30L, "same new thing twice", "s4")).toDF("doc_id", "text", "source"))
+      .select("doc_id", "keeper", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(v3 === Seq((30L, 20L, true)))
+
+    // index cardinality = number of distinct hashes ever seen
+    assert(spark.read.parquet(path).count() ===
+      oldDocs.union(newDocs).union(batch2)
+        .select(lower(trim(col("text")))).distinct().count())
+  }
 }
