@@ -84,4 +84,30 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"seed $seed")
     }
   }
+
+  test("containment prefix filter is lossless on random near-dup corpora") {
+    // documents drawn from a 12-word vocabulary so shared shingles (and
+    // doc-inside-doc embeddings) are common — the regime the prefix bound
+    // has to survive; lengths vary so t*n lands on and off integers
+    val word = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    val docGen = for {
+      n <- Gen.chooseNum(3, 15)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+
+    for (seed <- 1L to 4L) {
+      val texts = sample(Gen.listOfN(30, docGen), seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s0") }
+        .toDF("doc_id", "text", "lang", "source")
+      for (t <- Seq(0.5, 0.75, 0.8)) {
+        val direct = graft.ops.Dedup
+          .finishContainment(docs, graft.ops.Dedup.containmentCandidatesDirect(docs), t)
+          .orderBy("doc_a", "doc_b").collect().toSeq
+        val pref = graft.ops.Dedup.containmentPairs(docs, minContainment = t)
+          .orderBy("doc_a", "doc_b").collect().toSeq
+        assert(pref === direct, s"seed $seed t=$t")
+      }
+    }
+  }
 }
