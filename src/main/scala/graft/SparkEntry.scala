@@ -219,7 +219,9 @@ object SparkEntry {
     // portable, so exact counts anchor the hash and ok-flags carry the
     // sketch/merge accuracy contract
     "q98_sketch_rollup" -> ((s, d) =>
-      Sketches.sketchRollup(s, d).orderBy(col("source")))
+      Sketches.sketchRollup(s, d).orderBy(col("source"))),
+    "q99_basket_lift" -> ((s, d) =>
+      Ranges.basketLift(s, d).orderBy(col("type_a"), col("type_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1850,6 +1852,29 @@ object SparkEntry {
         |        FROM fp GROUP BY 1),
         |tot AS (SELECT 'TOTAL' AS source, CAST(count(DISTINCT h) AS BIGINT) exact_fps,
         |               CAST(count(*) AS BIGINT) n_docs, TRUE sketch_ok FROM fp)
-        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY source""".stripMargin
+        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY source""".stripMargin,
+    "q99_basket_lift" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) ep FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 14400
+        |                     THEN 1 ELSE 0 END is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess FROM s),
+        |st AS (SELECT DISTINCT user_id, sess, event_type FROM g),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) n_sess
+        |       FROM (SELECT DISTINCT user_id, sess FROM st)),
+        |sing AS (SELECT event_type, CAST(count(*) AS BIGINT) c FROM st GROUP BY 1),
+        |p AS (SELECT a.event_type type_a, b.event_type type_b,
+        |             CAST(count(*) AS BIGINT) c_ab
+        |      FROM st a JOIN st b ON a.user_id = b.user_id AND a.sess = b.sess
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1,2)
+        |SELECT p.type_a, p.type_b, p.c_ab, sa.c c_a, sb.c c_b,
+        |  round(CAST(p.c_ab AS DOUBLE) / ns.n_sess * 10000) / 10000 AS support,
+        |  round(CAST(p.c_ab AS DOUBLE) * ns.n_sess / (sa.c * sb.c) * 10000) / 10000 AS lift
+        |FROM p JOIN sing sa ON sa.event_type = p.type_a
+        |       JOIN sing sb ON sb.event_type = p.type_b, ns
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

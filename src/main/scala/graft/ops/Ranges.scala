@@ -324,4 +324,52 @@ object Ranges {
 
   def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame =
     scd2Intervals(Tables.events(spark, sfDir))
+
+  /** q99: market-basket lift over sessions — for every unordered pair of
+    * event types, how much more often they co-occur in one session than
+    * independence predicts: lift = P(a,b) / (P(a)·P(b)) with session-level
+    * supports. The classic basket statistic, here diagnosing behavioral
+    * coupling between event types (errors riding alongside purchases,
+    * etc.); q60's PMI is its text-adjacency cousin, this is the SESSION
+    * co-membership version.
+    *
+    * Scale: sessions come from the q79 gap windows (one user_id shuffle);
+    * the baskets table collapses to DISTINCT (user, session, type) before
+    * any join, so the self-join fans out |types-per-session|² ≤ |type
+    * vocabulary|² per session on a co-partitioned key — never a corpus
+    * cross product. Supports are ratios of exact longs; the two totals
+    * broadcast.
+    */
+  def basketLift(events: DataFrame, gapSec: Long = 14400L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    val st = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        TimeSeries.epochS(col("ts")).as("ep"))
+      .withColumn("prev", lag(col("ep"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ep") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("sess"), col("event_type"))
+      .distinct()
+    val nSess = st.select(col("user_id"), col("sess")).distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    val single = st.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = st.toDF("user_id", "sess", "type_a")
+      .join(st.toDF("user_id", "sess", "type_b"), Seq("user_id", "sess"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(single.toDF("type_a", "c_a")), "type_a")
+      .join(broadcast(single.toDF("type_b", "c_b")), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select(
+        col("type_a"), col("type_b"), col("c_ab"), col("c_a"), col("c_b"),
+        (round(col("c_ab").cast("double") / col("n_sess") * 10000) / 10000).as("support"),
+        (round(col("c_ab").cast("double") * col("n_sess") / (col("c_a") * col("c_b"))
+          * 10000) / 10000).as("lift"))
+  }
+
+  def basketLift(spark: SparkSession, sfDir: String): DataFrame =
+    basketLift(Tables.events(spark, sfDir))
 }

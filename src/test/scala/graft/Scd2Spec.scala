@@ -65,6 +65,25 @@ class Scd2Spec extends SparkSpec {
     assert(Dedup.ngramJaccardPrefix(docs).count() === 0L)
   }
 
+  test("basketLift: session co-membership counts and independence ratio") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      // user 1, session 1: {click, view}; session 2 (gap > 4h): {click}
+      (0L, ts(0, 0), 1L, "click", 0.0, ""),
+      (1L, ts(0, 30), 1L, "view", 0.0, ""),
+      (2L, ts(10, 0), 1L, "click", 0.0, ""),
+      // user 2, one session: {view}
+      (3L, ts(0, 0), 2L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Ranges.basketLift(events)
+      .select("type_a", "type_b", "c_ab", "c_a", "c_b", "support", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    // 3 sessions; click in 2, view in 2, together in 1:
+    // support 1/3, lift (1*3)/(2*2) = 0.75
+    assert(rows === Seq(("click", "view", 1L, 2L, 2L,
+      math.rint(1.0 / 3 * 1e4) / 1e4, 0.75)))
+  }
+
   test("containmentPairs: the df cap gates candidates but never the score") {
     // 'h h h' appears in every doc (df 3 > cap 2) so it cannot nominate
     // candidates; docs 0/1 still pair via their rare shared shingles, and
