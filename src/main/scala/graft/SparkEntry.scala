@@ -221,7 +221,9 @@ object SparkEntry {
     "q98_sketch_rollup" -> ((s, d) =>
       Sketches.sketchRollup(s, d).orderBy(col("source"))),
     "q99_basket_lift" -> ((s, d) =>
-      Ranges.basketLift(s, d).orderBy(col("type_a"), col("type_b")))
+      Ranges.basketLift(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q100_session_paths" -> ((s, d) =>
+      Ranges.sessionPaths(s, d).orderBy(col("rnk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1875,6 +1877,24 @@ object SparkEntry {
         |  round(CAST(p.c_ab AS DOUBLE) * ns.n_sess / (sa.c * sb.c) * 10000) / 10000 AS lift
         |FROM p JOIN sing sa ON sa.event_type = p.type_a
         |       JOIN sing sb ON sb.event_type = p.type_b, ns
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q100_session_paths" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) ep FROM events),
+        |s AS (SELECT *, lag(event_type) OVER w prev_t,
+        |        CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 14400
+        |             THEN 1 ELSE 0 END is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess FROM s),
+        |kept AS (SELECT * FROM g WHERE is_new = 1 OR prev_t <> event_type),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY ep, event_id) path
+        |      FROM kept GROUP BY 1,2),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) n_sessions FROM p GROUP BY 1
+        |      ORDER BY n_sessions DESC, path LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) rnk,
+        |  path, n_sessions
+        |FROM c ORDER BY rnk""".stripMargin
   )
 }

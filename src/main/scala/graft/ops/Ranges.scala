@@ -372,4 +372,49 @@ object Ranges {
 
   def basketLift(spark: SparkSession, sfDir: String): DataFrame =
     basketLift(Tables.events(spark, sfDir))
+
+  /** q100: top session paths — the most common event-type SEQUENCES users
+    * walk inside one session (the clickstream-path rollup product teams
+    * read; q67's transition matrix is its first-order projection, this
+    * keeps whole paths). Consecutive repeats collapse (click,click,view →
+    * click>view) so paths describe state changes, not dwell counts.
+    *
+    * Scale: session assembly is the q79 gap window (one user_id shuffle);
+    * each session then folds to ONE path row via an order-embedded
+    * aggregate — array_sort(collect_list(struct(ep, event_id, type))) —
+    * which is deterministic under any partitioning because the sort key
+    * rides inside the collected struct. Path counting is a map-side-
+    * combined aggregate over session rows; the top-k is a TakeOrdered over
+    * the path table (bounded by distinct paths, Zipf-small), never a
+    * global sort of sessions.
+    */
+  def sessionPaths(events: DataFrame, gapSec: Long = 14400L, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        TimeSeries.epochS(col("ts")).as("ep"))
+      .withColumn("prev", lag(col("ep"), 1).over(w))
+      .withColumn("prev_t", lag(col("event_type"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ep") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // consecutive-repeat collapse: keep a row iff it opens a session or
+      // changes type (prev_t is same-session by construction when is_new=0)
+      .where(col("is_new") === 1L || col("prev_t") =!= col("event_type"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ep, event_id, event_type)))," +
+          " x -> x.event_type), '>')").as("path"))
+    paths
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .select(col("rnk"), col("path"), col("n_sessions"))
+  }
+
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame =
+    sessionPaths(Tables.events(spark, sfDir))
 }

@@ -123,6 +123,17 @@ class PlanAuditSpec extends SparkSpec {
       "q81 lost partial aggregation")
   }
 
+  test("dsir scoring keeps map-side partial aggregation") {
+    assert("HashAggregate".r.findAllIn(plans("q92_dsir_weights")).size >= 2,
+      "q92 lost partial aggregation")
+  }
+
+  test("scd2 and session analytics shuffle once on the series key") {
+    for (name <- Seq("q94_scd2_intervals", "q99_basket_lift", "q100_session_paths"))
+      assert(plans(name).contains("hashpartitioning(user_id"),
+        s"$name should hash-partition by user_id")
+  }
+
   test("rank-filter top-N queries get the WindowGroupLimit pushdown") {
     // row_number() <= k filters should plan a WindowGroupLimit below the
     // Window (partial per-partition limit before the shuffle, final after) —

@@ -84,6 +84,25 @@ class Scd2Spec extends SparkSpec {
       math.rint(1.0 / 3 * 1e4) / 1e4, 0.75)))
   }
 
+  test("sessionPaths: consecutive repeats collapse, paths ranked by frequency") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      // user 1 session: click,click,view -> "click>view"
+      (0L, ts(0, 0), 1L, "click", 0.0, ""),
+      (1L, ts(0, 5), 1L, "click", 0.0, ""),
+      (2L, ts(0, 10), 1L, "view", 0.0, ""),
+      // user 2 session: click,view -> "click>view" (same path)
+      (3L, ts(0, 0), 2L, "click", 0.0, ""),
+      (4L, ts(0, 5), 2L, "view", 0.0, ""),
+      // user 2, second session after the gap: view -> "view"
+      (5L, ts(10, 0), 2L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Ranges.sessionPaths(events)
+      .select("rnk", "path", "n_sessions")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(rows === Seq((1, "click>view", 2L), (2, "view", 1L)))
+  }
+
   test("containmentPairs: the df cap gates candidates but never the score") {
     // 'h h h' appears in every doc (df 3 > cap 2) so it cannot nominate
     // candidates; docs 0/1 still pair via their rare shared shingles, and
