@@ -1887,7 +1887,9 @@ object SparkEntry {
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
         |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess FROM s),
-        |kept AS (SELECT * FROM g WHERE is_new = 1 OR prev_t <> event_type),
+        |kept AS (SELECT * FROM g WHERE is_new = 1 OR prev_t <> event_type
+        |         QUALIFY row_number() OVER (PARTITION BY user_id, sess
+        |           ORDER BY ep, event_id) <= 512),
         |p AS (SELECT user_id, sess,
         |        string_agg(event_type, '>' ORDER BY ep, event_id) path
         |      FROM kept GROUP BY 1,2),

@@ -383,12 +383,17 @@ object Ranges {
     * each session then folds to ONE path row via an order-embedded
     * aggregate — array_sort(collect_list(struct(ep, event_id, type))) —
     * which is deterministic under any partitioning because the sort key
-    * rides inside the collected struct. Path counting is a map-side-
-    * combined aggregate over session rows; the top-k is a TakeOrdered over
-    * the path table (bounded by distinct paths, Zipf-small), never a
-    * global sort of sessions.
+    * rides inside the collected struct. `maxSteps` truncates each session
+    * to its first N type CHANGES before the collect (one more window on
+    * the same user_id shuffle), so a bot session with millions of
+    * alternations cannot build an unbounded array on one row — the
+    * standard path-analysis guard. Path counting is a map-side-combined
+    * aggregate over session rows; the top-k is a TakeOrdered over the
+    * path table (bounded by distinct paths, Zipf-small), never a global
+    * sort of sessions.
     */
-  def sessionPaths(events: DataFrame, gapSec: Long = 14400L, k: Int = 20): DataFrame = {
+  def sessionPaths(events: DataFrame, gapSec: Long = 14400L, k: Int = 20,
+                   maxSteps: Int = 512): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
     val paths = events
       .select(col("user_id"), col("event_type"), col("event_id"),
@@ -401,6 +406,10 @@ object Ranges {
       // consecutive-repeat collapse: keep a row iff it opens a session or
       // changes type (prev_t is same-session by construction when is_new=0)
       .where(col("is_new") === 1L || col("prev_t") =!= col("event_type"))
+      .withColumn("step", row_number().over(
+        Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("ep"), col("event_id"))))
+      .where(col("step") <= maxSteps)
       .groupBy(col("user_id"), col("sess"))
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(ep, event_id, event_type)))," +

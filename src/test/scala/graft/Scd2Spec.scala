@@ -101,6 +101,14 @@ class Scd2Spec extends SparkSpec {
       .select("rnk", "path", "n_sessions")
       .as[(Int, String, Long)].collect().toSeq
     assert(rows === Seq((1, "click>view", 2L), (2, "view", 1L)))
+
+    // bot guard: a session alternating forever truncates to maxSteps
+    val bot = (0 until 40).map { i =>
+      (100L + i, ts(1, i % 60), 9L, if (i % 2 == 0) "click" else "view", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val capped = Ranges.sessionPaths(bot, maxSteps = 5)
+      .select("path").as[String].collect().toSeq
+    assert(capped === Seq("click>view>click>view>click"))
   }
 
   test("containmentPairs: the df cap gates candidates but never the score") {
