@@ -419,6 +419,7 @@ object Ranges {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
+      // single-partition window over the already-limited k rows only
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))))
       .select(col("rnk"), col("path"), col("n_sessions"))

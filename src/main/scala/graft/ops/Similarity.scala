@@ -413,6 +413,8 @@ object Similarity {
         col("label"),
         col("n"),
         (round(col("n").cast("double") / col("total") * 10000) / 10000).as("share"),
+        // single-partition window is safe here: input is the nlist-sized
+        // label table (O(100) rows), never vectors
         row_number().over(Window.orderBy(col("n").desc, col("label"))).as("size_rank"),
         (round(col("h").cast("double") * 10000) / 10000).as("entropy"),
         (round(col("h").cast("double") / log(col("k").cast("double")) * 10000) / 10000)

@@ -100,4 +100,50 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).isNullAt(2))          // pre-2022 line: score stays null
     assert(rows(0).isNullAt(3))          // prediction=0: no sensor columns
   }
+
+  test("schema evolution: mergeSchema unions old and new parquet generations") {
+    import org.apache.spark.sql.functions._
+    // generation 1: (sensor, ts, value); generation 2 adds a quality flag —
+    // the normal life of a 100 TB table that gained a column mid-history
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    Seq(("s1", 1L, 10.0), ("s2", 2L, 20.0))
+      .toDF("sensor", "ts", "value")
+      .write.parquet(s"$dir/gen=1")
+    Seq(("s1", 3L, 30.0, "good"), ("s2", 4L, 40.0, "bad"))
+      .toDF("sensor", "ts", "value", "quality")
+      .write.parquet(s"$dir/gen=2")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("sensor", "ts", "value", "quality", "gen"))
+    // old-generation rows read with the new column null-backfilled
+    assert(merged.where($"quality".isNull).count() === 2)
+    assert(merged.count() === 4)
+
+    // filters still push into the scan across both generations
+    val plan = merged.where($"ts" > 2L).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,2)"),
+      "ts filter did not push into the merged-schema scan")
+    assert(merged.where($"ts" > 2L).count() === 2)
+  }
+
+  test("orc round trip: partitioned write, pruned pushdown read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+      .resolve("data").toString
+    val df = Seq(
+      ("pump", 1L, 10.0), ("pump", 2L, 12.0), ("fan", 3L, 5.0)
+    ).toDF("component", "ts", "value")
+    df.write.partitionBy("component").orc(dir)
+
+    val back = spark.read.orc(dir)
+    assert(back.count() === 3)
+    val q = back.where($"component" === "pump" && $"ts" >= 2L)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // partition pruning handles component=, the ts filter reaches the ORC scan
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,2)"),
+      "ts filter did not push into the ORC scan")
+    assert(q.select(sum($"value")).as[Double].head() === 12.0)
+  }
 }
