@@ -223,7 +223,13 @@ object SparkEntry {
     "q99_basket_lift" -> ((s, d) =>
       Ranges.basketLift(s, d).orderBy(col("type_a"), col("type_b"))),
     "q100_session_paths" -> ((s, d) =>
-      Ranges.sessionPaths(s, d).orderBy(col("rnk")))
+      Ranges.sessionPaths(s, d).orderBy(col("rnk"))),
+    "q101_rate_spikes" -> ((s, d) =>
+      TimeSeries.rateSpikes(s, d).orderBy(col("user_id"), col("rn"))),
+    "q102_burstiness" -> ((s, d) =>
+      TimeSeries.burstiness(s, d).orderBy(col("user_id"))),
+    "q103_centroid_margins" -> ((s, d) =>
+      Similarity.centroidMargins(s, d).orderBy(col("label")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1897,6 +1903,56 @@ object SparkEntry {
         |      ORDER BY n_sessions DESC, path LIMIT 20)
         |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) rnk,
         |  path, n_sessions
-        |FROM c ORDER BY rnk""".stripMargin
+        |FROM c ORDER BY rnk""".stripMargin,
+    "q101_rate_spikes" ->
+      """WITH hc AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) hr,
+        |    CAST(count(*) AS BIGINT) c
+        |  FROM events GROUP BY 1,2),
+        |b AS (SELECT user_id, CAST(sum(c) AS BIGINT) total,
+        |        (max(hr) - min(hr)) / 3600 + 1 span_hours FROM hc GROUP BY 1),
+        |z AS (SELECT hc.user_id, hc.hr, hc.c,
+        |        CAST(b.total AS DOUBLE) / b.span_hours lambda,
+        |        (hc.c - CAST(b.total AS DOUBLE) / b.span_hours)
+        |          / sqrt(CAST(b.total AS DOUBLE) / b.span_hours) zz
+        |      FROM hc JOIN b USING (user_id)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |        ORDER BY zz DESC, hr) AS INT) rn
+        |      FROM z WHERE zz >= 3.0)
+        |SELECT user_id, rn, hr AS "hour", c, round(lambda*10000)/10000 AS lambda,
+        |  round(zz*10000)/10000 AS z
+        |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q102_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |g AS (SELECT user_id, e - lag(e) OVER (PARTITION BY user_id
+        |        ORDER BY e, event_id) d FROM e),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) n_gaps,
+        |        sum(CAST(d AS DECIMAL(28,0))) sd,
+        |        sum(CAST(d*d AS DECIMAL(38,0))) sd2
+        |      FROM g WHERE d IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  round(CAST(sd AS DOUBLE) / n_gaps * 10000)/10000 AS mean_gap,
+        |  round(sqrt(CAST(sd2 AS DOUBLE) * n_gaps -
+        |    CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) / CAST(sd AS DOUBLE)
+        |    * 10000)/10000 AS cv
+        |FROM a ORDER BY user_id""".stripMargin,
+    "q103_centroid_margins" ->
+      """WITH ix AS (SELECT label, unnest(generate_series(1, len(embedding))) i,
+        |              embedding FROM embeddings),
+        |x AS (SELECT label, CAST(i - 1 AS INT) d,
+        |        CAST(embedding[i] AS DOUBLE) x FROM ix),
+        |comp AS (SELECT label, d,
+        |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) m
+        |         FROM x GROUP BY 1,2),
+        |p AS (SELECT a.label label_a, b.label label_b,
+        |        sum(CAST((a.m - b.m) * (a.m - b.m) AS DECIMAL(28,16))) d2
+        |      FROM comp a JOIN comp b ON a.d = b.d AND a.label <> b.label
+        |      GROUP BY 1,2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label_a
+        |        ORDER BY d2, label_b) rn FROM p)
+        |SELECT label_a AS label, label_b AS nearest_label,
+        |  round(sqrt(CAST(d2 AS DOUBLE)) * 10000)/10000 AS margin
+        |FROM r WHERE rn = 1 ORDER BY label""".stripMargin
   )
 }

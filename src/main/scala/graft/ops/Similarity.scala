@@ -423,4 +423,39 @@ object Similarity {
 
   def clusterBalance(spark: SparkSession, sfDir: String): DataFrame =
     clusterBalance(Tables.embeddings(spark, sfDir))
+
+  /** q103: centroid separation margins — for every IVF partition, the
+    * Euclidean distance to its NEAREST other centroid. Small margins mean
+    * neighboring partitions overlap, so probe-time pruning at nprobe=1
+    * loses recall there — this is the geometric early warning that the
+    * recall audit (q43) only detects after the fact, and the companion to
+    * q56 (within-partition spread) and q91 (partition balance).
+    *
+    * Scale: ONE explode+aggregate pass over the vectors builds the
+    * (label, dim) component means (exact decimal sums → one division);
+    * everything after runs on the nlist×dim component table — the pairwise
+    * join is nlist² rows, driver-free, with per-term decimal snapping so
+    * the distance sums are order-free.
+    */
+  def centroidMargins(emb: DataFrame): DataFrame = {
+    val comp = asDoubles(emb)
+      .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
+    val pair = comp.toDF("label_a", "d", "ma")
+      .join(comp.toDF("label_b", "d", "mb"), Seq("d"))
+      .where(col("label_a") =!= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(((col("ma") - col("mb")) * (col("ma") - col("mb")))
+        .cast("decimal(28,16)")).as("d2"))
+    val w = Window.partitionBy(col("label_a")).orderBy(col("d2"), col("label_b"))
+    pair
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("label_a").as("label"), col("label_b").as("nearest_label"),
+        (round(sqrt(col("d2").cast("double")) * 10000) / 10000).as("margin"))
+  }
+
+  def centroidMargins(spark: SparkSession, sfDir: String): DataFrame =
+    centroidMargins(Tables.embeddings(spark, sfDir))
 }

@@ -402,4 +402,69 @@ object TimeSeries {
 
   def rollingQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     rollingQuantiles(Tables.events(spark, sfDir))
+
+  /** q101: event-RATE spikes — hours where a user's activity count blows
+    * past their own Poisson baseline (λ = events per ACTIVE span hour), by
+    * z = (c − λ)/√λ. The volume-anomaly view q41 (value z-scores) cannot
+    * see: a bot burst is thousands of perfectly normal-valued events. Top-3
+    * spike hours per user, spikes only (z ≥ `minZ`).
+    *
+    * Scale: one (user, hour) count aggregate (map-side combined), a
+    * per-user baseline from the same table plus integer span arithmetic,
+    * one slim join back, and a top-k window over spike hours only —
+    * nothing touches raw events twice.
+    */
+  def rateSpikes(events: DataFrame, minZ: Double = 3.0): DataFrame = {
+    val hc = events
+      .select(col("user_id"), (floor(epochS(col("ts")) / 3600L) * 3600L).cast("long").as("hour"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    val base = hc.groupBy(col("user_id")).agg(
+      sum(col("c")).as("total"),
+      ((max(col("hour")) - min(col("hour"))) / 3600L + 1L).as("span_hours"))
+      .withColumn("lambda", col("total").cast("double") / col("span_hours"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("z").desc, col("hour"))
+    hc.join(base, "user_id")
+      .withColumn("z", (col("c") - col("lambda")) / sqrt(col("lambda")))
+      .where(col("z") >= minZ)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("hour"), col("c"),
+        r4(col("lambda")).as("lambda"), r4(col("z")).as("z"))
+  }
+
+  def rateSpikes(spark: SparkSession, sfDir: String): DataFrame =
+    rateSpikes(Tables.events(spark, sfDir))
+
+  /** q102: inter-arrival burstiness per series — mean gap and coefficient
+    * of variation of the gaps (CV ≈ 1 for a Poisson process, ≫ 1 for
+    * bursty machine traffic, ≪ 1 for metronome schedulers) — the arrival-
+    * process profile that sizes streaming state and picks watermarks.
+    * Variance via the moment identity on EXACT decimal gap sums
+    * (Σd, Σd²), so the result is aggregation-order-free; gaps are integer
+    * seconds from one lag over the series shuffle.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), epochS(col("ts")).as("e"))
+      .withColumn("d", col("e") - lag(col("e"), 1).over(w))
+      .where(col("d").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("d").cast("decimal(28,0)")).as("sd"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"))
+      .select(
+        col("user_id"), col("n_gaps"),
+        r4(col("sd").cast("double") / col("n_gaps")).as("mean_gap"),
+        r4(
+          sqrt((col("sd2").cast("double") * col("n_gaps") -
+            col("sd").cast("double") * col("sd").cast("double")))
+            / col("sd").cast("double")).as("cv"))
+  }
+
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame =
+    burstiness(Tables.events(spark, sfDir))
 }
