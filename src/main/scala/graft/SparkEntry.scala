@@ -229,7 +229,9 @@ object SparkEntry {
     "q102_burstiness" -> ((s, d) =>
       TimeSeries.burstiness(s, d).orderBy(col("user_id"))),
     "q103_centroid_margins" -> ((s, d) =>
-      Similarity.centroidMargins(s, d).orderBy(col("label")))
+      Similarity.centroidMargins(s, d).orderBy(col("label"))),
+    "q104_sole_late_supplier" -> ((s, d) =>
+      Relational.soleLateSuppliers(s, d).orderBy(col("rnk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1953,6 +1955,21 @@ object SparkEntry {
         |        ORDER BY d2, label_b) rn FROM p)
         |SELECT label_a AS label, label_b AS nearest_label,
         |  round(sqrt(CAST(d2 AS DOUBLE)) * 10000)/10000 AS margin
-        |FROM r WHERE rn = 1 ORDER BY label""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY label""".stripMargin,
+    "q104_sole_late_supplier" ->
+      """WITH all_s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |ns AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) n_suppliers
+        |       FROM all_s GROUP BY 1),
+        |late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |         WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 60),
+        |nl AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) n_late FROM late GROUP BY 1),
+        |w AS (SELECT late.l_suppkey, CAST(count(*) AS BIGINT) numwait
+        |      FROM late JOIN ns USING (l_orderkey) JOIN nl USING (l_orderkey)
+        |      WHERE ns.n_suppliers >= 2 AND nl.n_late = 1
+        |      GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY numwait DESC, l_suppkey) AS INT) rnk,
+        |  l_suppkey, numwait
+        |FROM w ORDER BY rnk""".stripMargin
   )
 }

@@ -293,4 +293,42 @@ object Relational {
         round(col("tgt_rev").cast("double"), 4).as("target_rev"),
         round(col("all_rev").cast("double"), 4).as("total_rev"))
   }
+
+  /** q104: sole-late suppliers (TPC-H Q21 shape) — suppliers who were the
+    * ONLY late shipper on a multi-supplier order, ranked by how often. The
+    * classic blame-assignment query: its textbook form is a fact self-join
+    * with EXISTS (another supplier on the order) and NOT EXISTS (another
+    * LATE supplier), which at 100 TB means two more passes over lineitem.
+    * Restated here as per-order counts on the DISTINCT (order, supplier)
+    * table: n_suppliers ≥ 2 ⟺ the EXISTS, n_late = 1 ⟺ the NOT EXISTS —
+    * set semantics make the rewrite exact, and both counts come from the
+    * same shuffle the late-line table already needs ("late" = shipped > 60
+    * days after order date; the synthetic schema has no receipt/commit
+    * dates).
+    */
+  def soleLateSuppliers(spark: SparkSession, sfDir: String,
+                        lateDays: Int = 60, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate"))
+    val all = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val nSupp = all.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_suppliers"))
+    val late = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val nLate = late.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_late"))
+    late
+      .join(nSupp, "l_orderkey").where(col("n_suppliers") >= 2)
+      .join(nLate, "l_orderkey").where(col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(k)
+      // single-partition window over the already-limited k rows only
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("numwait").desc, col("l_suppkey"))))
+      .select(col("rnk"), col("l_suppkey"), col("numwait"))
+  }
 }
