@@ -59,4 +59,42 @@ class Scd2StreamSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("processor state survives a checkpointed query restart") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("scd2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2_ckpt").toString
+    val mem = MemoryStream[TypedEvent]
+    def start() = Scd2Stream.intervals(mem.toDS(), watermarkDelay = "1 day")
+      .writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // batch 1 opens an 'on' run; the query then STOPS with the run in state
+    val q1 = start()
+    try {
+      mem.addData(TypedEvent(1L, ts(0, 0), 0L, "on"),
+                  TypedEvent(1L, ts(0, 10), 1L, "on"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the checkpoint: the change event must close the interval
+    // opened BEFORE the restart — possible only if RocksDB state recovered
+    val q2 = start()
+    try {
+      mem.addData(TypedEvent(1L, ts(0, 20), 2L, "off"))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      val t0 = ts(0, 0).getTime / 1000
+      assert(rows === Seq((1L, "on", t0, t0 + 1200, 2L)))
+    } finally {
+      q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
