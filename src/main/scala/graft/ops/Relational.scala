@@ -312,16 +312,21 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate"))
-    val all = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val nSupp = all.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_suppliers"))
-    val late = li
+    // ONE pass over lineitem builds the whole (order, supplier, was-late)
+    // membership table; both per-order counts and the late-supplier rows
+    // come from it, so the fact is never rescanned for the subqueries (AQE
+    // stage reuse collapses the shared flags subtree at runtime)
+    val flags = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .where(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val nLate = late.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_late"))
-    late
-      .join(nSupp, "l_orderkey").where(col("n_suppliers") >= 2)
-      .join(nLate, "l_orderkey").where(col("n_late") === 1)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays, 1L)
+        .otherwise(0L)).as("late"))
+    val per = flags.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("late")).as("n_late"))
+    flags
+      .where(col("late") === 1L)
+      .join(per, "l_orderkey")
+      .where(col("n_suppliers") >= 2 && col("n_late") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("l_suppkey"))
