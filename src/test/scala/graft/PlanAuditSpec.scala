@@ -153,6 +153,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("rangepartitioning".r.findAllIn(plan).size <= 1)
   }
 
+  test("AQE reuses the shared shingle stage at runtime — corpus tokenized once") {
+    // the static plan prints the shingle subtree once per consumer; the
+    // EXECUTED adaptive plan must collapse them via stage reuse, or a 100 TB
+    // corpus gets re-tokenized for sizes/frequencies/prefix/verify
+    val df = SparkEntry.queries("q21_ngram_jaccard")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"))
+    assert(s.contains("Reused"), "no stage/exchange reuse in q21's executed plan")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
