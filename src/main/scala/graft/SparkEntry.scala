@@ -231,7 +231,9 @@ object SparkEntry {
     "q103_centroid_margins" -> ((s, d) =>
       Similarity.centroidMargins(s, d).orderBy(col("label"))),
     "q104_sole_late_supplier" -> ((s, d) =>
-      Relational.soleLateSuppliers(s, d).orderBy(col("rnk")))
+      Relational.soleLateSuppliers(s, d).orderBy(col("rnk"))),
+    "q105_point_in_time" -> ((s, d) =>
+      Ranges.pointInTimeJoin(s, d).orderBy(col("event_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1970,6 +1972,27 @@ object SparkEntry {
         |      GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 10)
         |SELECT CAST(row_number() OVER (ORDER BY numwait DESC, l_suppkey) AS INT) rnk,
         |  l_suppkey, numwait
-        |FROM w ORDER BY rnk""".stripMargin
+        |FROM w ORDER BY rnk""".stripMargin,
+    "q105_point_in_time" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |s AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                       OR lag(event_type) OVER w <> event_type
+        |                     THEN 1 ELSE 0 END chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+        |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY e, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) seg FROM s),
+        |iv0 AS (SELECT user_id, seg, event_type, min(e) valid_from
+        |        FROM g GROUP BY 1,2,3),
+        |iv AS (SELECT user_id, event_type dim_type, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) valid_to
+        |       FROM iv0),
+        |p AS (SELECT event_id, user_id, e + 1800 probe_e FROM e
+        |      WHERE event_id % 97 = 0)
+        |SELECT p.event_id, p.user_id, p.probe_e, iv.dim_type
+        |FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+        |  AND p.probe_e >= iv.valid_from
+        |  AND (iv.valid_to IS NULL OR p.probe_e < iv.valid_to)
+        |ORDER BY p.event_id""".stripMargin
   )
 }

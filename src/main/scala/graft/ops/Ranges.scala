@@ -427,4 +427,43 @@ object Ranges {
 
   def sessionPaths(spark: SparkSession, sfDir: String): DataFrame =
     sessionPaths(Tables.events(spark, sfDir))
+
+  /** q105: point-in-time join — enrich probes with the dimension version
+    * that was valid AT the probe's timestamp, against the q94 SCD-2
+    * intervals. This is the feature-store correctness primitive: training
+    * examples must see the attribute as it WAS, not as it is — an as-of
+    * lookup against a VERSIONED dimension ([valid_from, valid_to)
+    * half-open membership), where q33's as-of join finds the latest fact
+    * ≤ t against an append-only log. Probes here are the events shifted
+    * 30 min forward, so a probe near a state change resolves to the OLD
+    * version while it was still valid — the exact case a naive
+    * latest-version join gets wrong.
+    *
+    * Scale: equi-join on the series key with the interval bounds as a
+    * residual range predicate — both sides shuffle once on user_id and
+    * each probe meets only its own user's intervals (never a time
+    * cross-product); intervals partition the timeline, so the residual
+    * matches at most one row per probe. `probeMod` thins the oracle
+    * output; production passes 1.
+    */
+  def pointInTimeJoin(events: DataFrame, shiftSec: Long = 1800L,
+                      probeMod: Int = 97): DataFrame = {
+    val iv = scd2Intervals(events).select(
+      col("user_id"), col("event_type").as("dim_type"),
+      col("valid_from"), col("valid_to"))
+    val probes = events
+      .where(col("event_id") % probeMod === 0)
+      .select(col("event_id"), col("user_id"),
+        (TimeSeries.epochS(col("ts")) + shiftSec).as("probe_e"))
+    probes
+      .join(iv,
+        probes("user_id") === iv("user_id") &&
+          col("probe_e") >= col("valid_from") &&
+          (col("valid_to").isNull || col("probe_e") < col("valid_to")),
+        "left_outer")
+      .select(col("event_id"), probes("user_id"), col("probe_e"), col("dim_type"))
+  }
+
+  def pointInTimeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    pointInTimeJoin(Tables.events(spark, sfDir))
 }

@@ -30,6 +30,23 @@ class Scd2Spec extends SparkSpec {
       (2L, 1L, "on", t0, None, 1L, true)))
   }
 
+  test("pointInTimeJoin: a probe near a change resolves to the OLD version") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      (0L, ts(0), 1L, "v1", 0.0, ""),   // version 1 valid [t0, t0+40min)
+      (97L, ts(10), 1L, "v1", 0.0, ""), // probe source: 10min + 30min shift = t0+40min
+      (194L, ts(20), 1L, "v1", 0.0, ""), // probe at 20+30 = t0+50min -> v2's window
+      (3L, ts(40), 1L, "v2", 0.0, "")   // version 2 from t0+40min, open
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Ranges.pointInTimeJoin(events)
+      .orderBy("event_id")
+      .select("event_id", "dim_type")
+      .as[(Long, String)].collect().toSeq
+    // probe 0: t0+30 -> v1 still valid; probe 97: exactly t0+40 -> half-open
+    // boundary belongs to v2; probe 194: t0+50 -> v2
+    assert(rows === Seq((0L, "v1"), (97L, "v2"), (194L, "v2")))
+  }
+
   test("lengthHistogram: power-of-2 buckets and cumulative shares") {
     val docs = Seq(
       (0L, "a", "en", "s0"),                    // 1 token  -> bucket 0
