@@ -129,7 +129,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("scd2 and session analytics shuffle once on the series key") {
-    for (name <- Seq("q94_scd2_intervals", "q99_basket_lift", "q100_session_paths"))
+    for (name <- Seq("q94_scd2_intervals", "q99_basket_lift",
+                     "q100_session_paths", "q105_point_in_time"))
       assert(plans(name).contains("hashpartitioning(user_id"),
         s"$name should hash-partition by user_id")
   }

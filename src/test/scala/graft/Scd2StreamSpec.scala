@@ -60,6 +60,47 @@ class Scd2StreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-static point-in-time enrichment equals the batch join") {
+    // online feature lookup: a PROBE STREAM joins the frozen SCD-2
+    // dimension (batch q94 output) with the same interval-membership
+    // residual — streamed rows must resolve the identical versions
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val batchDf = events.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = Ranges.scd2Intervals(batchDf)
+      .select(col("user_id").as("d_user"), col("event_type").as("dim_type"),
+        col("valid_from"), col("valid_to"))
+
+    val probes = events.map(e => (e.event_id, e.user_id, e.ts.getTime / 1000 + 900))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val streamed = mem.toDF().toDF("event_id", "user_id", "probe_e")
+      .join(dim,
+        col("user_id") === col("d_user") &&
+          col("probe_e") >= col("valid_from") &&
+          (col("valid_to").isNull || col("probe_e") < col("valid_to")),
+        "left_outer")
+      .select("event_id", "dim_type")
+    val q = streamed.writeStream
+      .format("memory").queryName("pit_parity").outputMode("append").start()
+    try {
+      mem.addData(probes.take(3)); q.processAllAvailable()
+      mem.addData(probes.drop(3)); q.processAllAvailable()
+      val got = spark.table("pit_parity")
+        .as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+      val want = probes.toDF("event_id", "user_id", "probe_e")
+        .join(dim,
+          col("user_id") === col("d_user") &&
+            col("probe_e") >= col("valid_from") &&
+            (col("valid_to").isNull || col("probe_e") < col("valid_to")),
+          "left_outer")
+        .select("event_id", "dim_type")
+        .as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+      assert(got === want)
+      assert(got.size === events.size)
+    } finally q.stop()
+  }
+
   test("processor state survives a checkpointed query restart") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
