@@ -233,7 +233,9 @@ object SparkEntry {
     "q104_sole_late_supplier" -> ((s, d) =>
       Relational.soleLateSuppliers(s, d).orderBy(col("rnk"))),
     "q105_point_in_time" -> ((s, d) =>
-      Ranges.pointInTimeJoin(s, d).orderBy(col("event_id")))
+      Ranges.pointInTimeJoin(s, d).orderBy(col("event_id"))),
+    "q106_maint_overlap" -> ((s, d) =>
+      Ranges.maintenanceOverlap(s, d).orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1993,6 +1995,39 @@ object SparkEntry {
         |FROM p LEFT JOIN iv ON p.user_id = iv.user_id
         |  AND p.probe_e >= iv.valid_from
         |  AND (iv.valid_to IS NULL OR p.probe_e < iv.valid_to)
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    "q106_maint_overlap" ->
+      """WITH errs AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) e
+        |              FROM events WHERE event_type='error'),
+        |s AS (SELECT user_id, e,
+        |        CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+        |               OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800
+        |             THEN 1 ELSE 0 END new_session
+        |      FROM errs),
+        |s2 AS (SELECT user_id, e,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+        |       FROM s),
+        |r AS (SELECT user_id, min(e) range_start, max(e) range_end
+        |      FROM s2 GROUP BY user_id, sess HAVING count(*) >= 2),
+        |b AS (SELECT CAST(min(floor(epoch(ts))) AS BIGINT) mn,
+        |             CAST(max(floor(epoch(ts))) AS BIGINT) mx FROM events),
+        |w AS (SELECT d * 86400 + 2 * 3600 w_start, d * 86400 + 4 * 3600 w_end
+        |      FROM (SELECT unnest(generate_series(mn // 86400, mx // 86400)) d FROM b)),
+        |m AS (SELECT r.user_id, CAST(sum(greatest(0,
+        |          least(r.range_end, w.w_end) - greatest(r.range_start, w.w_start)
+        |        )) AS BIGINT) maint_sec
+        |      FROM r JOIN w ON r.range_start < w.w_end AND w.w_start < r.range_end
+        |      GROUP BY 1),
+        |t AS (SELECT user_id, CAST(count(*) AS BIGINT) n_ranges,
+        |        CAST(sum(range_end - range_start) AS BIGINT) anom_sec
+        |      FROM r GROUP BY 1)
+        |SELECT t.user_id, t.n_ranges, t.anom_sec,
+        |  coalesce(m.maint_sec, 0) AS maint_sec,
+        |  CASE WHEN t.anom_sec = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(m.maint_sec, 0) AS DOUBLE) / t.anom_sec
+        |              * 10000) / 10000 END AS maint_frac
+        |FROM t LEFT JOIN m USING (user_id)
+        |ORDER BY t.user_id""".stripMargin
   )
 }

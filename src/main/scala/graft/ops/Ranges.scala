@@ -70,8 +70,14 @@ object Ranges {
     * closer than `gapSec` merge into one range (gaps-and-islands via
     * lag + running sum of session breaks).
     */
-  def anomalyRanges(spark: SparkSession, sfDir: String, gapSec: Long = 1800L): DataFrame = {
-    val errs = Tables.events(spark, sfDir)
+  def anomalyRanges(spark: SparkSession, sfDir: String, gapSec: Long): DataFrame =
+    anomalyRanges(Tables.events(spark, sfDir), gapSec)
+
+  def anomalyRanges(spark: SparkSession, sfDir: String): DataFrame =
+    anomalyRanges(spark, sfDir, 1800L)
+
+  def anomalyRanges(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val errs = events
       .filter(col("event_type") === "error")
       .select(col("user_id"), epochS(col("ts")).as("e"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("e"))
@@ -466,4 +472,52 @@ object Ranges {
 
   def pointInTimeJoin(spark: SparkSession, sfDir: String): DataFrame =
     pointInTimeJoin(Tables.events(spark, sfDir))
+
+  /** q106: interval-overlap accounting — how much of each user's anomaly
+    * time falls inside the daily maintenance window (02:00–04:00 UTC)?
+    * Anomaly ranges (q06 gaps-and-islands) interval-join the maintenance
+    * calendar and overlap seconds are pure integer arithmetic
+    * (`max(0, min(ends) − max(starts))`); the ops question this answers is
+    * "are these alarms just the maintenance crew?".
+    *
+    * Scale: the calendar side is one row per day in the data span —
+    * thousands of rows at any horizon — so the interval join is a
+    * BROADCAST nested-loop against a tiny side with an integer residual, a
+    * deliberate plan (two BIG interval sets would instead bucket on a
+    * coarse time key and equi-join the buckets, the q48 pattern). Range
+    * totals and overlap totals come from the same ranges subtree (stage
+    * reuse); one final slim join per user.
+    */
+  def maintenanceOverlap(events: DataFrame, startHour: Int = 2,
+                         endHour: Int = 4): DataFrame = {
+    val ranges = anomalyRanges(events)
+    val wins = events
+      .agg(min(TimeSeries.epochS(col("ts"))).as("mn"),
+        max(TimeSeries.epochS(col("ts"))).as("mx"))
+      .select(explode(expr("sequence(mn DIV 86400, mx DIV 86400)")).as("day"))
+      .select((col("day") * 86400L + startHour * 3600L).as("w_start"),
+        (col("day") * 86400L + endHour * 3600L).as("w_end"))
+    val inMaint = ranges
+      .join(broadcast(wins),
+        col("range_start") < col("w_end") && col("w_start") < col("range_end"))
+      .withColumn("ov",
+        greatest(lit(0L),
+          least(col("range_end"), col("w_end")) -
+            greatest(col("range_start"), col("w_start"))))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ov")).as("maint_sec"))
+    ranges
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(col("range_end") - col("range_start")).as("anom_sec"))
+      .join(inMaint, Seq("user_id"), "left_outer")
+      .na.fill(0L, Seq("maint_sec"))
+      .select(col("user_id"), col("n_ranges"), col("anom_sec"), col("maint_sec"),
+        when(col("anom_sec") === 0L, lit(0.0))
+          .otherwise(round(col("maint_sec").cast("double") / col("anom_sec") * 10000) / 10000)
+          .as("maint_frac"))
+  }
+
+  def maintenanceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    maintenanceOverlap(Tables.events(spark, sfDir))
 }

@@ -47,6 +47,28 @@ class Scd2Spec extends SparkSpec {
     assert(rows === Seq((0L, "v1"), (97L, "v2"), (194L, "v2")))
   }
 
+  test("maintenanceOverlap: range crossing the window counts only inside seconds") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      // user 1: errors 01:30 -> 03:00 (one range, 5400 s; 3600 s in [02,04))
+      (0L, ts(1, 30), 1L, "error", 0.0, ""),
+      (1L, ts(1, 55), 1L, "error", 0.0, ""),
+      (2L, ts(2, 20), 1L, "error", 0.0, ""),
+      (3L, ts(2, 45), 1L, "error", 0.0, ""),
+      (4L, ts(3, 0), 1L, "error", 0.0, ""),
+      // user 2: a range entirely outside maintenance
+      (5L, ts(10, 0), 2L, "error", 0.0, ""),
+      (6L, ts(10, 10), 2L, "error", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Ranges.maintenanceOverlap(events)
+      .orderBy("user_id")
+      .select("user_id", "n_ranges", "anom_sec", "maint_sec", "maint_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 1L, 5400L, 3600L, math.rint(3600.0 / 5400 * 1e4) / 1e4),
+      (2L, 1L, 600L, 0L, 0.0)))
+  }
+
   test("lengthHistogram: power-of-2 buckets and cumulative shares") {
     val docs = Seq(
       (0L, "a", "en", "s0"),                    // 1 token  -> bucket 0
