@@ -51,4 +51,40 @@ object EventStream {
 
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     windowedAgg(Tables.events(spark, sfDir).select(col("ts"), col("event_type"), col("value")))
+
+  /** Live rate-spike monitor — the streaming half of q101: hourly event
+    * counts per user (tumbling windows) joined against a FROZEN per-user
+    * Poisson baseline (λ from the training period, a static broadcastable
+    * table), emitting windows whose z = (c − λ)/√λ clears the bar. The
+    * baseline side is stream-static, so no stateful join is needed; the
+    * only state is the windowed count aggregation, bounded by the
+    * watermark.
+    */
+  def rateSpikeStream(events: DataFrame, baseline: DataFrame,
+                      minZ: Double = 3.0,
+                      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(baseline, "user_id")
+      .withColumn("z", (col("c") - col("lambda")) / sqrt(col("lambda")))
+      .where(col("z") >= minZ)
+      .select(
+        unix_timestamp(col("window.start")).as("hour"),
+        col("user_id"), col("c"),
+        (round(col("z") * 10000) / 10000).as("z"))
+
+  /** Per-user Poisson baseline from a (training) batch: λ = events per
+    * active-span hour — the same arithmetic q101 uses.
+    */
+  def rateBaseline(training: DataFrame): DataFrame =
+    training
+      .select(col("user_id"),
+        (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).cast("long").as("hr"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total"),
+        ((max(col("hr")) - min(col("hr"))) / 3600L + 1L).as("span_hours"))
+      .select(col("user_id"),
+        (col("total").cast("double") / col("span_hours")).as("lambda"))
 }

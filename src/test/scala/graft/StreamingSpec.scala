@@ -88,4 +88,35 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq === Seq("click", "view"))
     } finally q.stop()
   }
+
+  test("rateSpikeStream flags the burst hour against a frozen baseline") {
+    implicit val ctx = spark.sqlContext
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-02 $h%02d:$m%02d:00")
+    // training: 1 event/hour for 48 hours -> lambda = 1
+    val training = (0 until 48).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-0${i / 24 + 1} ${i % 24}%02d:00:00"), 7L, "click", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val baseline = EventStream.rateBaseline(training)
+
+    val mem = MemoryStream[(Timestamp, Long)]
+    val monitored = EventStream.rateSpikeStream(
+      mem.toDF().toDF("ts", "user_id"), baseline)
+    val q = monitored.writeStream
+      .format("memory").queryName("rate_stream").outputMode("append").start()
+    try {
+      // quiet hour: one event -> z = 0, no alert
+      mem.addData((at(5, 0), 7L))
+      q.processAllAvailable()
+      // burst hour: 25 events -> z = 24, alert; then advance the watermark
+      mem.addData((0 until 25).map(i => (at(6, i), 7L)): _*)
+      mem.addData((at(10, 0), 7L))
+      q.processAllAvailable()
+      val got = spark.table("rate_stream")
+        .select("hour", "user_id", "c", "z")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got.size === 1)
+      assert(got.head._3 === 25L && got.head._4 === 24.0)
+      assert(got.head._1 === at(6, 0).getTime / 1000)
+    } finally q.stop()
+  }
 }
