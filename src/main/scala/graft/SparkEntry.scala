@@ -235,7 +235,11 @@ object SparkEntry {
     "q105_point_in_time" -> ((s, d) =>
       Ranges.pointInTimeJoin(s, d).orderBy(col("event_id"))),
     "q106_maint_overlap" -> ((s, d) =>
-      Ranges.maintenanceOverlap(s, d).orderBy(col("user_id")))
+      Ranges.maintenanceOverlap(s, d).orderBy(col("user_id"))),
+    "q107_promo_share" -> ((s, d) =>
+      Relational.promoShareMonthly(s, d).orderBy(col("ship_month"))),
+    "q108_cohort_ltv" -> ((s, d) =>
+      Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2028,6 +2032,34 @@ object SparkEntry {
         |       ELSE round(CAST(coalesce(m.maint_sec, 0) AS DOUBLE) / t.anom_sec
         |              * 10000) / 10000 END AS maint_frac
         |FROM t LEFT JOIN m USING (user_id)
-        |ORDER BY t.user_id""".stripMargin
+        |ORDER BY t.user_id""".stripMargin,
+    "q107_promo_share" ->
+      """WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) ship_month,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT ship_month, sum(rev) all_rev,
+        |        sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) promo_rev
+        |      FROM j GROUP BY 1)
+        |SELECT CAST(ship_month AS BIGINT) ship_month,
+        |  round(CAST(promo_rev AS DOUBLE) / CAST(all_rev AS DOUBLE) * 1000000)
+        |    / 1000000 AS promo_share,
+        |  round(CAST(promo_rev AS DOUBLE) * 10000) / 10000 AS promo_rev,
+        |  round(CAST(all_rev AS DOUBLE) * 10000) / 10000 AS all_rev
+        |FROM a ORDER BY ship_month""".stripMargin,
+    "q108_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) price FROM orders),
+        |c AS (SELECT o_custkey, min(wk) cohort_wk FROM o GROUP BY 1),
+        |cells AS (SELECT c.cohort_wk, o.wk - c.cohort_wk age_wk,
+        |            sum(o.price) rev, CAST(count(*) AS BIGINT) n_orders
+        |          FROM o JOIN c USING (o_custkey) GROUP BY 1,2)
+        |SELECT cohort_wk, age_wk, n_orders,
+        |  round(CAST(rev AS DOUBLE) * 10000) / 10000 AS rev,
+        |  round(CAST(sum(rev) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    * 10000) / 10000 AS cum_rev
+        |FROM cells ORDER BY cohort_wk, age_wk""".stripMargin
   )
 }

@@ -306,6 +306,60 @@ object Relational {
     * days after order date; the synthetic schema has no receipt/commit
     * dates).
     */
+  /** q107: monthly promo revenue share (TPC-H Q14 shape) — what fraction
+    * of each month's lineitem revenue came from PROMO parts. One fact-dim
+    * join (part is the dimension; Catalyst broadcasts it at small SF and
+    * shuffle-joins at scale — no hint, same plan rule as q66) and a
+    * conditional aggregate; numerator and denominator accumulate in the
+    * SAME exact DECIMAL(18,6) sums so the share is order-free.
+    */
+  def promoShareMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_shipdate"), rev.as("rev"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ship_month"))
+      .agg(
+        sum(col("rev")).as("all_rev"),
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("promo_rev"))
+      .select(
+        col("ship_month").cast("long").as("ship_month"),
+        (round(col("promo_rev").cast("double") / col("all_rev").cast("double") * 1000000)
+          / 1000000).as("promo_share"),
+        (round(col("promo_rev").cast("double") * 10000) / 10000).as("promo_rev"),
+        (round(col("all_rev").cast("double") * 10000) / 10000).as("all_rev"))
+  }
+
+  /** q108: cohort lifetime value — cumulative revenue per signup cohort by
+    * order age (weeks since the customer's first order), the money twin of
+    * q63's retention triangle. The cohort assignment is a groupBy-min over
+    * orders co-partitioned on o_custkey (one shuffle shared with the
+    * revenue rollup via stage reuse); the cumulative sum is a window over
+    * the cohort×age table, which is O(weeks²) rows, never orders.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        // integer weeks since epoch from day arithmetic — no tz ambiguity
+        expr("CAST(datediff(o_orderdate, DATE'1970-01-01') DIV 7 AS BIGINT)").as("wk"),
+        col("o_totalprice").cast("decimal(18,6)").as("price"))
+    val cohorts = o.groupBy(col("o_custkey")).agg(min(col("wk")).as("cohort_wk"))
+    val cells = o.join(cohorts, "o_custkey")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(sum(col("price")).as("rev"), count(lit(1)).as("n_orders"))
+    val cum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.select(
+      col("cohort_wk"), col("age_wk"), col("n_orders"),
+      (round(col("rev").cast("double") * 10000) / 10000).as("rev"),
+      (round(sum(col("rev")).over(cum).cast("double") * 10000) / 10000).as("cum_rev"))
+  }
+
   def soleLateSuppliers(spark: SparkSession, sfDir: String,
                         lateDays: Int = 60, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
