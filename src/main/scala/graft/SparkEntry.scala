@@ -238,6 +238,14 @@ object SparkEntry {
       Ranges.maintenanceOverlap(s, d).orderBy(col("user_id"))),
     "q107_promo_share" -> ((s, d) =>
       Relational.promoShareMonthly(s, d).orderBy(col("ship_month"))),
+    "q109_returns_impact" -> ((s, d) =>
+      Relational.returnsImpact(s, d).orderBy(col("rnk"))),
+    "q110_ewma" -> ((s, d) =>
+      TimeSeries.ewma(s, d).orderBy(col("user_id"), col("event_id"))),
+    "q111_changepoint" -> ((s, d) =>
+      TimeSeries.changepoint(s, d).orderBy(col("user_id"))),
+    "q112_idle_customers" -> ((s, d) =>
+      Relational.idleCustomers(s, d).orderBy(col("c_mktsegment"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2047,6 +2055,70 @@ object SparkEntry {
         |  round(CAST(promo_rev AS DOUBLE) * 10000) / 10000 AS promo_rev,
         |  round(CAST(all_rev AS DOUBLE) * 10000) / 10000 AS all_rev
         |FROM a ORDER BY ship_month""".stripMargin,
+    "q109_returns_impact" ->
+      """WITH r AS (SELECT l_orderkey,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) rev
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |pc AS (SELECT o_custkey, sum(rev) lost_rev,
+        |         CAST(count(*) AS BIGINT) n_items
+        |       FROM r JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        |t AS (SELECT * FROM pc ORDER BY lost_rev DESC, o_custkey LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY lost_rev DESC, o_custkey) AS INT) rnk,
+        |  o_custkey AS c_custkey, c_name, n_name, n_items,
+        |  round(CAST(lost_rev AS DOUBLE) * 10000) / 10000 AS lost_rev
+        |FROM t JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rnk""".stripMargin,
+    "q110_ewma" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |l AS (SELECT user_id, event_id, CAST(row_number() OVER w AS INT) rn,
+        |        CAST(value AS DECIMAL(18,6)) * CAST(1 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 1) OVER w AS DECIMAL(18,6)) * CAST(0.7 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 2) OVER w AS DECIMAL(18,6)) * CAST(0.49 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 3) OVER w AS DECIMAL(18,6)) * CAST(0.343 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 4) OVER w AS DECIMAL(18,6)) * CAST(0.2401 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 5) OVER w AS DECIMAL(18,6)) * CAST(0.16807 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 6) OVER w AS DECIMAL(18,6)) * CAST(0.117649 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 7) OVER w AS DECIMAL(18,6)) * CAST(0.0823543 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 8) OVER w AS DECIMAL(18,6)) * CAST(0.05764801 AS DECIMAL(12,8))
+        |          AS num
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id))
+        |SELECT user_id, event_id, rn,
+        |  round(CAST(num AS DOUBLE) / CAST(3.19882131 AS DOUBLE) * 10000) / 10000 AS ewma
+        |FROM l WHERE rn > 8 ORDER BY user_id, event_id""".stripMargin,
+    "q111_changepoint" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |             CAST(value AS DECIMAL(18,6)) v FROM events),
+        |s AS (SELECT user_id, event_id, e,
+        |        CAST(row_number() OVER w AS INT) rn,
+        |        sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+        |        count(*) OVER (PARTITION BY user_id) n,
+        |        sum(v) OVER (PARTITION BY user_id) total
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+        |c AS (SELECT *, CAST(cum AS DOUBLE) / rn mean_l,
+        |        CAST(total - cum AS DOUBLE) / (n - rn) mean_r
+        |      FROM s WHERE rn >= 5 AND rn <= n - 5),
+        |d AS (SELECT *, abs(mean_l - mean_r) shift FROM c),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY shift DESC, rn) pick FROM d)
+        |SELECT user_id, n, rn AS split_rn, e AS split_e,
+        |  round(mean_l * 10000) / 10000 AS mean_before,
+        |  round(mean_r * 10000) / 10000 AS mean_after,
+        |  round(shift * 10000) / 10000 AS shift
+        |FROM p WHERE pick = 1 ORDER BY user_id""".stripMargin,
+    "q112_idle_customers" ->
+      """WITH t AS (SELECT c_mktsegment,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) avg_bal
+        |  FROM customer WHERE c_acctbal > 0 GROUP BY 1),
+        |b AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) n_customers,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) * 10000)
+        |    / 10000 AS total_bal
+        |FROM customer c JOIN t ON c.c_mktsegment = t.c_mktsegment
+        |WHERE c.c_acctbal > t.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM b WHERE b.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

@@ -360,6 +360,67 @@ object Relational {
       (round(sum(col("rev")).over(cum).cast("double") * 10000) / 10000).as("cum_rev"))
   }
 
+  /** q109: revenue lost to returned items per customer (TPC-H Q10 shape) —
+    * the returns fact filtered FIRST (predicate reaches the parquet scan),
+    * one fact-fact shuffle join on the order key, then customer/nation
+    * resolved on the already-aggregated per-customer table, so the
+    * dimension join input is O(customers with returns), not O(lineitems).
+    * Exact decimal revenue sums keep the ranking aggregation-order-free.
+    */
+  def returnsImpact(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val perCust = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("lost_rev"), count(lit(1)).as("n_items"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    perCust
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("lost_rev").desc, col("c_custkey"))
+      .limit(k)
+      // single-partition window over the already-limited k rows only
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("lost_rev").desc, col("c_custkey"))))
+      .select(col("rnk"), col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_items"),
+        (round(col("lost_rev").cast("double") * 10000) / 10000).as("lost_rev"))
+  }
+
+  /** q112: idle high-balance customers (TPC-H Q22 shape) — customers whose
+    * balance beats their market segment's positive-balance average yet have
+    * never ordered. The per-segment threshold is a tiny aggregate joined
+    * back by broadcast; "never ordered" is a left-anti join against the
+    * DISTINCT order custkeys (the anti side is pre-deduplicated so the
+    * probe table is customers-sized, not orders-sized). Exact decimal
+    * balance sums make the segment rollup aggregation-order-free.
+    */
+  def idleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val thresholds = c
+      .where(col("c_acctbal") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("avg_bal"))
+    val buyers = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct()
+    c.join(broadcast(thresholds), "c_mktsegment")
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          * 10000) / 10000).as("total_bal"))
+  }
+
   def soleLateSuppliers(spark: SparkSession, sfDir: String,
                         lateDays: Int = 60, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -467,4 +467,77 @@ object TimeSeries {
 
   def burstiness(spark: SparkSession, sfDir: String): DataFrame =
     burstiness(Tables.events(spark, sfDir))
+
+  /** q110: finite-window EWMA per series — the recency-weighted smoother
+    * the reference's flat rolling average (plot.py:362-371) can't express.
+    * A K-lag truncated EWMA (weights β^k, renormalized over the window) is
+    * a FIXED linear combination of bounded lags, so it stays a one-shuffle
+    * windowed projection — no recursive state, unlike the infinite EWMA.
+    * Weights are exact decimal literals (β = 0.7, β^k at scale 8) and each
+    * term is an exact decimal product, so the weighted sum is identical on
+    * any partition order and in DuckDB; only the final renormalizing divide
+    * is double, snapped at scale 4. Emitted only on full windows (q97's
+    * convention) so boundary renormalization never enters.
+    */
+  def ewma(events: DataFrame, lags: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("event_id"))
+    // β^k as exact decimals: 0.7^k has exactly k fractional digits
+    val weights = (0 to lags).map(k => BigDecimal(7).pow(k) / BigDecimal(10).pow(k))
+    val norm = weights.sum // exact decimal, scale `lags`
+    val num = weights.zipWithIndex.map { case (wk, k) =>
+      val x = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      x.cast("decimal(18,6)") * lit(wk.bigDecimal).cast(s"decimal(12,$lags)")
+    }.reduce(_ + _)
+    events
+      .select(col("user_id"), col("event_id"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("num", num)
+      .where(col("rn") > lags)
+      .select(col("user_id"), col("event_id"), col("rn"),
+        r4(col("num").cast("double") / lit(norm.toDouble)).as("ewma"))
+  }
+
+  def ewma(spark: SparkSession, sfDir: String): DataFrame =
+    ewma(Tables.events(spark, sfDir))
+
+  /** q111: single changepoint per series — the split point maximizing the
+    * mean shift |mean(≤t) − mean(>t)| with a minimum segment size, i.e.
+    * the binary-segmentation step of classical changepoint detection. Both
+    * segment means come from ONE cumulative exact-decimal prefix sum over
+    * the series shuffle (left = cum/rn, right = (total−cum)/(n−rn)), so no
+    * per-candidate rescan; the argmax is a row_number over the same
+    * partitioning (second sort, zero extra shuffle). Means and shift are
+    * deterministic doubles (identical divide order in DuckDB), snapped at
+    * scale 4 for output; ties break to the earliest split.
+    */
+  def changepoint(events: DataFrame, minSeg: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("event_id"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val allW = Window.partitionBy(col("user_id"))
+    val scored = events
+      .select(col("user_id"), col("event_id"), epochS(col("ts")).as("e"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum(col("v")).over(cumW))
+      .withColumn("n", count(lit(1)).over(allW))
+      .withColumn("total", sum(col("v")).over(allW))
+      .where(col("rn") >= minSeg && col("rn") <= col("n") - minSeg)
+      .withColumn("mean_l", col("cum").cast("double") / col("rn"))
+      .withColumn("mean_r",
+        (col("total") - col("cum")).cast("double") / (col("n") - col("rn")))
+      .withColumn("shift", abs(col("mean_l") - col("mean_r")))
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("shift").desc, col("rn"))
+    scored
+      .withColumn("pick", row_number().over(best))
+      .where(col("pick") === 1)
+      .select(col("user_id"), col("n"), col("rn").as("split_rn"),
+        col("e").as("split_e"),
+        r4(col("mean_l")).as("mean_before"),
+        r4(col("mean_r")).as("mean_after"),
+        r4(col("shift")).as("shift"))
+  }
+
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame =
+    changepoint(Tables.events(spark, sfDir))
 }
