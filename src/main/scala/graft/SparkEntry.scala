@@ -246,6 +246,12 @@ object SparkEntry {
       TimeSeries.changepoint(s, d).orderBy(col("user_id"))),
     "q112_idle_customers" -> ((s, d) =>
       Relational.idleCustomers(s, d).orderBy(col("c_mktsegment"))),
+    "q113_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(s, d).orderBy(col("doc_id"))),
+    "q114_order_backlog" -> ((s, d) =>
+      Relational.orderBacklog(s, d).orderBy(col("day_num"))),
+    "q115_source_divergence" -> ((s, d) =>
+      TextAnalysis.sourceDivergence(s, d).orderBy(col("src_a"), col("src_b"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2119,6 +2125,65 @@ object SparkEntry {
         |WHERE c.c_acctbal > t.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q113_token_entropy" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) tok
+        |        FROM d WHERE length(t) > 0),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) n FROM tok GROUP BY 1,2),
+        |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_tokens,
+        |        CAST(count(*) AS BIGINT) n_unique,
+        |        sum(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(18,12)) * n) s
+        |      FROM c GROUP BY 1),
+        |h AS (SELECT *, ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / n_tokens
+        |        entropy FROM s)
+        |SELECT doc_id, n_tokens, n_unique,
+        |  round(entropy * 10000) / 10000 AS entropy,
+        |  round(CASE WHEN n_unique = 1 THEN 0.0
+        |        ELSE entropy / ln(CAST(n_unique AS DOUBLE)) END * 10000) / 10000
+        |    AS evenness
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q114_order_backlog" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) sd
+        |  FROM orders),
+        |c AS (SELECT l_orderkey,
+        |        CAST(max(date_diff('day', DATE '1970-01-01', l_shipdate)) AS BIGINT) ed
+        |      FROM lineitem GROUP BY 1),
+        |sp AS (SELECT sd, ed FROM o JOIN c ON o_orderkey = l_orderkey),
+        |d AS (SELECT sd day_num, CAST(1 AS BIGINT) delta FROM sp
+        |      UNION ALL SELECT ed + 1, CAST(-1 AS BIGINT) FROM sp),
+        |g AS (SELECT day_num, CAST(sum(delta) AS BIGINT) net,
+        |        CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) n_opened,
+        |        CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) n_closed
+        |      FROM d GROUP BY 1)
+        |SELECT day_num, n_opened, n_closed, net,
+        |  CAST(sum(net) OVER (ORDER BY day_num
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) open_after
+        |FROM g ORDER BY day_num""".stripMargin,
+    "q115_source_divergence" ->
+      """WITH d AS (SELECT source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |tok AS (SELECT source, unnest(string_split(t, ' ')) tok
+        |        FROM d WHERE length(t) > 0),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) n FROM tok GROUP BY 1,2),
+        |tt AS (SELECT source, CAST(sum(n) AS BIGINT) t FROM c GROUP BY 1),
+        |w AS (SELECT c.source, c.tok, c.n, tt.t FROM c JOIN tt USING (source)),
+        |p AS (SELECT a.source src_a, b.source src_b, a.n na, b.n nb,
+        |        a.t ta, b.t tb,
+        |        CAST(a.n AS DOUBLE) / a.t pa, CAST(b.n AS DOUBLE) / b.t pb
+        |      FROM w a JOIN w b ON a.tok = b.tok AND a.source < b.source),
+        |t2 AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) n_common,
+        |         CAST(sum(na) AS BIGINT) ca, CAST(sum(nb) AS BIGINT) cb,
+        |         max(ta) ta, max(tb) tb,
+        |         sum(CAST(pa * ln(2.0 * pa / (pa + pb))
+        |               + pb * ln(2.0 * pb / (pa + pb)) AS DECIMAL(18,12))) s
+        |       FROM p GROUP BY 1,2)
+        |SELECT src_a, src_b, n_common,
+        |  round((0.5 * CAST(s AS DOUBLE) + 0.5 * 0.6931471805599453 *
+        |    (2.0 - CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) * 10000)
+        |    / 10000 AS jsd
+        |FROM t2 ORDER BY src_a, src_b""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

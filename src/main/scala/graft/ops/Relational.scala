@@ -421,6 +421,40 @@ object Relational {
           * 10000) / 10000).as("total_bal"))
   }
 
+  /** q114: open-order backlog over time — how many orders are in flight
+    * (placed, not yet fully shipped) on each day the backlog changes. The
+    * classic concurrent-intervals operator, done the scale-safe way: each
+    * order becomes a +1 delta at its start day and a −1 after its last
+    * ship day, deltas AGGREGATE to day granularity first (one shuffle
+    * bounded by the number of distinct days, never orders), and the
+    * running backlog is a cumulative window over that O(days) table — the
+    * single-partition sort touches thousands of rows regardless of fact
+    * size. Order close = max ship date over its lineitems, one map-side-
+    * combined aggregate co-keyed with the orders join.
+    */
+  def orderBacklog(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epoch = lit("1970-01-01").cast("date")
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("sd"))
+    val close = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(datediff(col("l_shipdate"), epoch).cast("long")).as("ed"))
+    val spans = o.join(close, col("o_orderkey") === col("l_orderkey"))
+    val deltas = spans.select(col("sd").as("day_num"), lit(1L).as("delta"))
+      .unionAll(spans.select((col("ed") + 1L).as("day_num"), lit(-1L).as("delta")))
+      .groupBy(col("day_num"))
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opened"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_closed"))
+    // cumulative over the tiny day-level table only (O(days) rows)
+    val cum = Window.orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.select(col("day_num"), col("n_opened"), col("n_closed"), col("net"),
+      sum(col("net")).over(cum).as("open_after"))
+  }
+
   def soleLateSuppliers(spark: SparkSession, sfDir: String,
                         lateDays: Int = 60, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

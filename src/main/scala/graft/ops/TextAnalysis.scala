@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.TimeSeries.r4
 
 /** Text-analysis operators over the documents table: language ID, quality
   * scoring, token statistics, fingerprint census.
@@ -396,6 +397,93 @@ object TextAnalysis {
 
   def noveltyCensus(spark: SparkSession, sfDir: String): DataFrame =
     noveltyCensus(Tables.documents(spark, sfDir))
+
+  /** q113: per-doc token Shannon entropy + Pielou evenness — the lexical-
+    * diversity gate that catches what repetition ratios (q53) miss: a doc
+    * can have few exact repeats yet a degenerate, near-single-token
+    * distribution. Uses the identity H = ln(N) − (Σ n·ln n)/N so the only
+    * aggregation is over exact integers and DECIMAL(18,12)-snapped ln
+    * terms (order-free, q81's trick); evenness H/ln(V) is guarded for
+    * single-token docs. One tokenize + one (doc, token) aggregation with
+    * map-side combine — the same shuffle shape as q58's tf pass.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Dedup.normText(col("text")).as("t"))
+      .where(length(col("t")) > 0)
+      .select(col("doc_id"), explode(split(col("t"), " ")).as("tok"))
+    toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("term",
+        log(col("n").cast("double")).cast("decimal(18,12)") * col("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        sum(col("term")).as("s"))
+      .withColumn("entropy",
+        log(col("n_tokens").cast("double"))
+          - col("s").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        r4(col("entropy")).as("entropy"),
+        r4(when(col("n_unique") === 1, lit(0.0))
+          .otherwise(col("entropy") / log(col("n_unique").cast("double"))))
+          .as("evenness"))
+  }
+
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, sfDir))
+
+  /** q115: pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the symmetric, bounded [0, ln 2] distance a mixture
+    * planner (q75) reads to know which sources are near-duplicates in
+    * DISTRIBUTION (q61 detects shared documents; this detects shared
+    * style). The missing-token mass needs no outer join: tokens absent
+    * from one side contribute exactly p·ln 2, so
+    * JSD = ½·Σ_common[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    *     + ½·ln 2·(2 − Σ_common p − Σ_common q),
+    * and Σ_common p = (Σ_common n)/T is a ratio of EXACT integer sums —
+    * the only float aggregation is the DECIMAL(18,12)-snapped common-term
+    * sum. Shuffle is bounded by |vocab|×|sources|², independent of corpus
+    * size; totals broadcast.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val ln2 = lit(0.6931471805599453)
+    val counts = docs
+      .select(col("source"), Dedup.normText(col("text")).as("t"))
+      .where(length(col("t")) > 0)
+      .select(col("source"), explode(split(col("t"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("t"))
+    val withT = counts.join(broadcast(totals), "source")
+    val a = withT.select(col("source").as("src_a"), col("tok"),
+      col("n").as("na"), col("t").as("ta"))
+    val b = withT.select(col("source").as("src_b"), col("tok"),
+      col("n").as("nb"), col("t").as("tb"))
+    a.join(b, Seq("tok"))
+      .where(col("src_a") < col("src_b"))
+      .withColumn("pa", col("na").cast("double") / col("ta"))
+      .withColumn("pb", col("nb").cast("double") / col("tb"))
+      .withColumn("term",
+        (col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .cast("decimal(18,12)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum(col("na")).as("ca"), sum(col("nb")).as("cb"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        sum(col("term")).as("s"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        r4(lit(0.5) * col("s").cast("double")
+          + lit(0.5) * ln2 * (lit(2.0)
+            - col("ca").cast("double") / col("ta")
+            - col("cb").cast("double") / col("tb"))).as("jsd"))
+  }
+
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDivergence(Tables.documents(spark, sfDir))
 
   /** q68: per-source quality scorecard — the vendor-level rollup of the
     * per-doc q53 gates: document counts, keep rate, and the corpus-level
