@@ -252,6 +252,14 @@ object SparkEntry {
       Relational.orderBacklog(s, d).orderBy(col("day_num"))),
     "q115_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(s, d).orderBy(col("src_a"), col("src_b"))),
+    "q116_seasonal_outliers" -> ((s, d) =>
+      TimeSeries.seasonalOutliers(s, d).orderBy(col("event_type"), col("rn"))),
+    "q117_supplier_hhi" -> ((s, d) =>
+      Relational.supplierHhi(s, d).orderBy(col("n_name"))),
+    "q118_stickiness" -> ((s, d) =>
+      Ranges.stickiness(s, d).orderBy(col("wk"))),
+    "q119_abc_classes" -> ((s, d) =>
+      Relational.abcClassification(s, d).orderBy(col("cls"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2184,6 +2192,81 @@ object SparkEntry {
         |    (2.0 - CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) * 10000)
         |    / 10000 AS jsd
         |FROM t2 ORDER BY src_a, src_b""".stripMargin,
+    "q116_seasonal_outliers" ->
+      """WITH e0 AS (SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |ev AS (SELECT *, CAST((e // 86400 + 4) % 7 AS INT) dow FROM e0),
+        |bd AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) dn,
+        |         sum(CAST(value AS DECIMAL(18,6))) ds FROM ev GROUP BY 1,2),
+        |adj AS (SELECT ev.event_type, ev.event_id, ev.dow, ev.value,
+        |          CAST(ev.value / (CAST(bd.ds AS DOUBLE) / bd.dn)
+        |            AS DECIMAL(18,6)) adj
+        |        FROM ev JOIN bd ON ev.event_type = bd.event_type
+        |          AND ev.dow = bd.dow),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |         sum(adj) sa, sum(adj * adj) sa2 FROM adj GROUP BY 1),
+        |st2 AS (SELECT event_type, CAST(sa AS DOUBLE) / n mu,
+        |          sqrt(CAST(sa2 AS DOUBLE) / n
+        |            - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n)) sigma
+        |        FROM st),
+        |r AS (SELECT adj.event_type, adj.event_id, adj.dow, adj.value,
+        |        adj.adj, st2.mu, st2.sigma,
+        |        CAST(row_number() OVER (PARTITION BY adj.event_type
+        |          ORDER BY abs((CAST(adj.adj AS DOUBLE) - st2.mu) / st2.sigma)
+        |            DESC, adj.event_id) AS INT) rn
+        |      FROM adj JOIN st2 ON adj.event_type = st2.event_type)
+        |SELECT event_type, rn, event_id, dow,
+        |  round(value * 10000) / 10000 AS value,
+        |  round(CAST(adj AS DOUBLE) * 10000) / 10000 AS adj,
+        |  round((CAST(adj AS DOUBLE) - mu) / sigma * 10000) / 10000 AS z
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q117_supplier_hhi" ->
+      """WITH li AS (SELECT l_suppkey,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) rev
+        |  FROM lineitem),
+        |ps AS (SELECT n_name, s_suppkey, sum(rev) srev
+        |       FROM li JOIN supplier ON l_suppkey = s_suppkey
+        |         JOIN nation ON s_nationkey = n_nationkey GROUP BY 1,2),
+        |t AS (SELECT n_name, sum(srev) trev FROM ps GROUP BY 1),
+        |sh AS (SELECT ps.n_name,
+        |         CAST(ps.srev AS DOUBLE) / CAST(t.trev AS DOUBLE) shr, t.trev
+        |       FROM ps JOIN t ON ps.n_name = t.n_name)
+        |SELECT n_name, CAST(count(*) AS BIGINT) n_suppliers,
+        |  round(max(shr) * 10000) / 10000 AS top_share,
+        |  round(CAST(sum(CAST(shr * shr AS DECIMAL(18,12))) AS DOUBLE)
+        |    * 1000000) / 1000000 AS hhi,
+        |  round(CAST(max(trev) AS DOUBLE) * 10000) / 10000 AS total_rev
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q118_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 day_num FROM events),
+        |w AS (SELECT user_id, day_num, day_num // 7 wk FROM ud)
+        |SELECT wk, CAST(count(*) AS BIGINT) n_user_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) wau,
+        |  CAST(count(DISTINCT day_num) AS BIGINT) days_active,
+        |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT day_num) * 10000)
+        |    / 10000 AS avg_dau,
+        |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT day_num)
+        |    / count(DISTINCT user_id) * 10000) / 10000 AS stickiness
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q119_abc_classes" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) prev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(prev) trev FROM pp),
+        |c AS (SELECT l_partkey, prev, trev,
+        |        CAST(sum(prev) OVER (ORDER BY prev DESC, l_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |          / CAST(trev AS DOUBLE) cum_share
+        |      FROM pp CROSS JOIN t),
+        |k AS (SELECT *, CASE WHEN cum_share <= 0.8 THEN 'A'
+        |                     WHEN cum_share <= 0.95 THEN 'B'
+        |                     ELSE 'C' END cls FROM c)
+        |SELECT cls, CAST(count(*) AS BIGINT) n_parts,
+        |  round(CAST(sum(prev) AS DOUBLE) * 10000) / 10000 AS class_rev,
+        |  round(CAST(sum(prev) AS DOUBLE) / CAST(max(trev) AS DOUBLE)
+        |    * 1000000) / 1000000 AS rev_share
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

@@ -520,4 +520,32 @@ object Ranges {
 
   def maintenanceOverlap(spark: SparkSession, sfDir: String): DataFrame =
     maintenanceOverlap(Tables.events(spark, sfDir))
+
+  /** q118: weekly engagement stickiness — avg-DAU/WAU per week, the
+    * product-analytics ratio ("of the users active this week, what share
+    * shows up on a given day"). Everything reduces through the DISTINCT
+    * (user, day) pairs first — one dedup shuffle bounded by users×days,
+    * never raw events; from those rows, user-days and active days are
+    * plain counts and WAU is a distinct-user count per week. The two
+    * divides are the only float ops, on exact integers.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"),
+        floor(epochS(col("ts")) / 86400L).cast("long").as("day_num"))
+      .distinct()
+      .withColumn("wk", floor(col("day_num") / 7L).cast("long"))
+    userDays.groupBy(col("wk"))
+      .agg(
+        count(lit(1)).as("n_user_days"),
+        countDistinct(col("user_id")).as("wau"),
+        countDistinct(col("day_num")).as("days_active"))
+      .select(col("wk"), col("n_user_days"), col("wau"), col("days_active"),
+        r4(col("n_user_days").cast("double") / col("days_active")).as("avg_dau"),
+        r4(col("n_user_days").cast("double") / col("days_active") / col("wau"))
+          .as("stickiness"))
+  }
+
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame =
+    stickiness(Tables.events(spark, sfDir))
 }

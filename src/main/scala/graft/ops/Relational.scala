@@ -455,6 +455,73 @@ object Relational {
       sum(col("net")).over(cum).as("open_after"))
   }
 
+  /** q117: supplier revenue concentration per nation — Herfindahl–
+    * Hirschman index Σ shareᵢ² over each nation's suppliers, the
+    * market-concentration number a sourcing-risk review reads (HHI → 1 =
+    * one supplier owns the nation). One fact scan aggregates to (nation,
+    * supplier) decimal revenue; nation totals are a second-level aggregate
+    * OVER those rows broadcast back; each squared share is
+    * DECIMAL(18,12)-snapped so the HHI sum is aggregation-order-free.
+    */
+  def supplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val perSupp = li
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(col("rev")).as("srev"))
+    val totals = perSupp.groupBy(col("n_name")).agg(sum(col("srev")).as("trev"))
+    perSupp.join(broadcast(totals), "n_name")
+      .withColumn("share", col("srev").cast("double") / col("trev").cast("double"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        (round(max(col("share")) * 10000) / 10000).as("top_share"),
+        (round(sum((col("share") * col("share")).cast("decimal(18,12)"))
+          .cast("double") * 1000000) / 1000000).as("hhi"),
+        (round(max(col("trev")).cast("double") * 10000) / 10000).as("total_rev"))
+  }
+
+  /** q119: ABC inventory classification — parts ranked by revenue,
+    * partitioned into the classic A (first 80% of revenue) / B (next 15%) /
+    * C (tail) bands by CUMULATIVE share, then rolled up per class. The
+    * cumulative window runs over the per-part AGGREGATE (bounded by |part|,
+    * range-partitionable at scale), never lineitems; class boundaries
+    * compare exact-decimal cumulative sums against the total, and the
+    * rollup re-aggregates so the output is 3 rows whatever the part count.
+    */
+  def abcClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev")).as("prev"))
+    val total = perPart.agg(sum(col("prev")).as("trev"))
+    val cum = Window.orderBy(col("prev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perPart
+      .crossJoin(broadcast(total))
+      .withColumn("cum_share",
+        sum(col("prev")).over(cum).cast("double") / col("trev").cast("double"))
+      .withColumn("cls",
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (round(sum(col("prev")).cast("double") * 10000) / 10000).as("class_rev"),
+        (round(sum(col("prev")).cast("double")
+          / max(col("trev")).cast("double") * 1000000) / 1000000).as("rev_share"))
+  }
+
   def soleLateSuppliers(spark: SparkSession, sfDir: String,
                         lateDays: Int = 60, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

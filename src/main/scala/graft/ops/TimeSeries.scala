@@ -540,4 +540,43 @@ object TimeSeries {
 
   def changepoint(spark: SparkSession, sfDir: String): DataFrame =
     changepoint(Tables.events(spark, sfDir))
+
+  /** q116: seasonally-adjusted outliers — q41's z-score run on the
+    * DESEASONALIZED value (value ÷ its weekday mean), so a normal Sunday
+    * lull is no longer an outlier and a spike ON a lull day is. The
+    * weekday profile is q71's one-scan decimal aggregate (series×7 rows,
+    * broadcast back); adjusted values are DECIMAL(18,6)-snapped before
+    * the moment sums (the square then stays exact with no further cast)
+    * so the per-series mean/σ stay aggregation-order-free.
+    * Top-3 per series by |z|, the q41 window shape.
+    */
+  def seasonalOutliers(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("dow", pmod(floor(col("e") / 86400L) + 4, lit(7)).cast("int"))
+    val byDow = ev.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("dn"), sum(col("value").cast("decimal(18,6)")).as("ds"))
+    val adj = ev.join(broadcast(byDow), Seq("event_type", "dow"))
+      .withColumn("adj",
+        (col("value") / (col("ds").cast("double") / col("dn")))
+          .cast("decimal(18,6)"))
+    val stats = adj.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("adj")).as("sa"),
+        sum(col("adj") * col("adj")).as("sa2"))
+      .withColumn("mu", col("sa").cast("double") / col("n"))
+      .withColumn("sigma",
+        sqrt(col("sa2").cast("double") / col("n") - col("mu") * col("mu")))
+      .select(col("event_type"), col("mu"), col("sigma"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(abs((col("adj").cast("double") - col("mu")) / col("sigma")).desc,
+        col("event_id"))
+    adj.join(broadcast(stats), "event_type")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topN)
+      .select(col("event_type"), col("rn"), col("event_id"), col("dow"),
+        r4(col("value")).as("value"),
+        r4(col("adj").cast("double")).as("adj"),
+        r4((col("adj").cast("double") - col("mu")) / col("sigma")).as("z"))
+  }
 }
