@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Ranges, Relational, TextAnalysis, TimeSeries}
+
+/** Known-answer and invariant tests for the round-3 analytics additions:
+  * EWMA, changepoint, token entropy, source divergence, stickiness,
+  * order backlog, ABC classes, supplier HHI, seasonal outliers.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("user_id", "event_id", "e", "value")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(col("e")).as("ts"), col("value"))
+
+  test("ewma of a constant series is the constant; full windows only") {
+    val ev = eventsDf((1L to 12L).map(i => (1L, i, i * 60L, 2.0)))
+    val out = TimeSeries.ewma(ev).orderBy("event_id")
+      .select("rn", "ewma").as[(Int, Double)].collect().toSeq
+    // 12 rows, lags=8 -> rows 9..12 emit, all exactly the constant
+    assert(out === Seq((9, 2.0), (10, 2.0), (11, 2.0), (12, 2.0)))
+  }
+
+  test("ewma weights recency: a single spike contributes w0/norm") {
+    val ev = eventsDf(
+      (1L to 9L).map(i => (1L, i, i * 60L, 0.0)) :+ (1L, 10L, 600L, 1.0))
+    val out = TimeSeries.ewma(ev).orderBy("event_id")
+      .select("rn", "ewma").as[(Int, Double)].collect().toSeq
+    val expect = math.round(1.0 / 3.19882131 * 10000) / 10000.0
+    assert(out === Seq((9, 0.0), (10, expect)))
+  }
+
+  test("changepoint finds a clean level shift at its true location") {
+    val ev = eventsDf(
+      (1L to 10L).map(i => (1L, i, i * 60L, 0.0)) ++
+        (11L to 20L).map(i => (1L, i, i * 60L, 10.0)))
+    val r = TimeSeries.changepoint(ev)
+      .select("n", "split_rn", "mean_before", "mean_after", "shift")
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(r === ((20L, 10, 0.0, 10.0, 10.0)))
+  }
+
+  test("tokenEntropy: uniform two-token doc has H=ln2 and evenness 1") {
+    val docs = Seq(
+      (0L, "a a b b", "en", "s0"),
+      (1L, "a a a a", "en", "s0"),
+      (2L, "   ", "en", "s0") // whitespace-only doc is excluded
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.tokenEntropy(docs).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_unique", "entropy", "evenness")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 4L, 2L, 0.6931, 1.0),
+      (1L, 4L, 1L, 0.0, 0.0)))
+  }
+
+  test("sourceDivergence: identical distributions diverge by zero") {
+    val docs = Seq(
+      (0L, "a b c", "en", "s0"),
+      (1L, "a b c", "en", "s1"),
+      (2L, "x y z a", "en", "s2") // mostly disjoint from s0/s1
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.sourceDivergence(docs)
+      .select("src_a", "src_b", "jsd").as[(String, String, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out(("s0", "s1")) === 0.0)
+    // one shared token out of 3 vs 4 -> 0.494 by hand, under the ln2 ceiling
+    assert(out(("s0", "s2")) === 0.494)
+  }
+
+  test("stickiness: daily-active user vs one-day user") {
+    // user 1 active every day of week 0; user 2 only on day 0
+    val rows = (0L to 6L).map(d => (1L, d + 1, d * 86400L + 60L, 1.0)) :+
+      (2L, 100L, 60L, 1.0)
+    val r = Ranges.stickiness(eventsDf(rows))
+      .select("wk", "n_user_days", "wau", "days_active", "avg_dau", "stickiness")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(r === ((0L, 8L, 2L, 7L, 1.1429, 0.5714)))
+  }
+
+  test("orderBacklog: every order opened is eventually closed") {
+    val out = Relational.orderBacklog(spark, sf).orderBy("day_num")
+      .select("open_after").as[Long].collect().toSeq
+    assert(out.nonEmpty && out.forall(_ >= 0L) && out.last === 0L)
+  }
+
+  test("abcClassification covers all revenue in three Pareto bands") {
+    val out = Relational.abcClassification(spark, sf)
+      .select("cls", "rev_share").as[(String, Double)].collect().toSeq
+    assert(out.map(_._1).toSet.subsetOf(Set("A", "B", "C")))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("supplierHhi stays within (0, 1] and dominates top share squared") {
+    val rows = Relational.supplierHhi(spark, sf)
+      .select("top_share", "hhi").as[(Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (top, hhi) =>
+      assert(hhi > 0.0 && hhi <= 1.0 + 1e-9)
+      assert(hhi >= top * top - 1e-4) // Σ share² ≥ max share²
+    }
+  }
+
+  test("seasonalOutliers emits a top-3 per series with sane z ordering") {
+    val out = TimeSeries.seasonalOutliers(spark, sf)
+      .select("event_type", "rn", "z").as[(String, Int, Double)].collect().toSeq
+    val byType = out.groupBy(_._1)
+    byType.values.foreach { rs =>
+      assert(rs.map(_._2).sorted === Seq(1, 2, 3))
+      val zs = rs.sortBy(_._2).map(t => math.abs(t._3))
+      assert(zs === zs.sorted.reverse) // |z| non-increasing in rank
+    }
+  }
+}
