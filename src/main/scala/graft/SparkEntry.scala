@@ -260,6 +260,13 @@ object SparkEntry {
       Ranges.stickiness(s, d).orderBy(col("wk"))),
     "q119_abc_classes" -> ((s, d) =>
       Relational.abcClassification(s, d).orderBy(col("cls"))),
+    "q120_priority_mix" -> ((s, d) =>
+      Relational.priorityMix(s, d).orderBy(col("m"), col("prio"))),
+    "q121_revenue_gini" -> ((s, d) => Relational.revenueGini(s, d)),
+    "q122_norm_outliers" -> ((s, d) =>
+      Similarity.normOutliers(s, d).orderBy(col("label"), col("rn"))),
+    "q123_length_psi" -> ((s, d) =>
+      TextAnalysis.lengthPsi(s, d).orderBy(col("source"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2267,6 +2274,91 @@ object SparkEntry {
         |  round(CAST(sum(prev) AS DOUBLE) / CAST(max(trev) AS DOUBLE)
         |    * 1000000) / 1000000 AS rev_share
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q120_priority_mix" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |    AS BIGINT) m, o_orderpriority prio FROM orders),
+        |c AS (SELECT m, prio, CAST(count(*) AS BIGINT) n FROM o GROUP BY 1,2),
+        |t AS (SELECT m, CAST(sum(n) AS BIGINT) tot FROM c GROUP BY 1),
+        |s AS (SELECT c.m, c.prio, c.n, CAST(c.n AS DOUBLE) / t.tot shr
+        |      FROM c JOIN t USING (m)),
+        |l AS (SELECT *, lag(shr) OVER (PARTITION BY prio ORDER BY m) prev FROM s)
+        |SELECT m, prio, n, round(shr * 1000000) / 1000000 AS share,
+        |  round((shr - prev) * 1000000) / 1000000 AS mom_shift
+        |FROM l ORDER BY m, prio""".stripMargin,
+    "q121_revenue_gini" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) rev FROM orders GROUP BY 1),
+        |r AS (SELECT rev, CAST(row_number() OVER (ORDER BY rev, o_custkey)
+        |        AS INT) i FROM pc),
+        |a AS (SELECT CAST(count(*) AS BIGINT) n_customers, sum(rev) s0,
+        |        sum(rev * i) s1 FROM r)
+        |SELECT n_customers,
+        |  round(CAST(s0 AS DOUBLE) * 10000) / 10000 AS total_rev,
+        |  round((2.0 * CAST(s1 AS DOUBLE) / (n_customers * CAST(s0 AS DOUBLE))
+        |    - CAST(n_customers + 1 AS DOUBLE) / n_customers) * 1000000)
+        |    / 1000000 AS gini
+        |FROM a""".stripMargin,
+    "q122_norm_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, label,
+        |         unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |nm AS (SELECT vec_id, label,
+        |         CAST(sqrt(CAST(sum(CAST(v * v AS DECIMAL(18,16))) AS DOUBLE))
+        |           AS DECIMAL(18,12)) nrm
+        |       FROM xx GROUP BY 1,2),
+        |mn AS (SELECT label, min(nrm) mn FROM nm GROUP BY 1),
+        |dv AS (SELECT nm.label, nm.vec_id, nm.nrm,
+        |         CAST(nm.nrm - mn.mn AS DECIMAL(18,12)) d
+        |       FROM nm JOIN mn USING (label)),
+        |st AS (SELECT label, CAST(count(*) AS BIGINT) n, sum(d) sd,
+        |         sum(d * d) sd2 FROM dv GROUP BY 1),
+        |st2 AS (SELECT label, CAST(sd AS DOUBLE) / n mu_d,
+        |          sqrt(CAST(sd2 AS DOUBLE) / n
+        |            - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)) sigma
+        |        FROM st),
+        |r AS (SELECT dv.label, dv.vec_id, dv.nrm,
+        |        CASE WHEN st2.sigma = 0 THEN 0.0
+        |             ELSE (CAST(dv.d AS DOUBLE) - st2.mu_d) / st2.sigma END z
+        |      FROM dv JOIN st2 USING (label)),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |         ORDER BY abs(z) DESC, vec_id) AS INT) rn FROM r)
+        |SELECT label, rn, vec_id,
+        |  round(CAST(nrm AS DOUBLE) * 10000) / 10000 AS norm,
+        |  round(z * 10000) / 10000 AS z
+        |FROM rk WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+    "q123_length_psi" ->
+      """WITH sized AS (SELECT source,
+        |    CAST(length(bin(n_chars)) - 1 AS INT) bucket FROM documents),
+        |c AS (SELECT source, bucket, CAST(count(*) AS BIGINT) c
+        |      FROM sized GROUP BY 1,2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) t FROM c GROUP BY 1),
+        |bt AS (SELECT bucket, CAST(sum(c) AS BIGINT) bc FROM c GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT) nb FROM c),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) total FROM c),
+        |grid AS (SELECT s.source, b.bucket
+        |         FROM (SELECT DISTINCT source FROM c) s
+        |         CROSS JOIN (SELECT DISTINCT bucket FROM c) b),
+        |sh AS (SELECT g.source, g.bucket, coalesce(c.c, 0) cc, st.t, bt.bc,
+        |         nb.nb, tot.total
+        |       FROM grid g LEFT JOIN c ON g.source = c.source
+        |           AND g.bucket = c.bucket
+        |         JOIN st ON g.source = st.source
+        |         JOIN bt ON g.bucket = bt.bucket
+        |         CROSS JOIN nb CROSS JOIN tot),
+        |pq AS (SELECT source, t,
+        |         (CAST(cc AS DOUBLE) + 0.5) / (CAST(t AS DOUBLE) + nb / 2.0) p,
+        |         (CAST(bc - cc AS DOUBLE) + 0.5)
+        |           / (CAST(total - t AS DOUBLE) + nb / 2.0) q
+        |       FROM sh),
+        |ps AS (SELECT source, max(t) n_docs,
+        |         round(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(28,20)))
+        |           AS DOUBLE) * 1000000) / 1000000 psi
+        |       FROM pq GROUP BY 1)
+        |SELECT source, n_docs, psi,
+        |  CASE WHEN psi < 0.1 THEN 'ok' WHEN psi < 0.25 THEN 'watch'
+        |       ELSE 'drift' END AS band
+        |FROM ps ORDER BY source""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

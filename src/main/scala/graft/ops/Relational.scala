@@ -522,6 +522,61 @@ object Relational {
           / max(col("trev")).cast("double") * 1000000) / 1000000).as("rev_share"))
   }
 
+  /** q120: monthly order-priority mix + month-over-month share shift — the
+    * composition-drift view of the order stream (a priority class quietly
+    * gaining share is an ops-load early warning). One orders scan to
+    * (month, priority) counts; month totals are a second-level aggregate
+    * broadcast back; the MoM delta is a lag window over the O(months ×
+    * priorities) table only. First month of each priority has NULL shift.
+    */
+  def priorityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("m"),
+        col("o_orderpriority").as("prio"))
+    val c = o.groupBy(col("m"), col("prio")).agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("m")).agg(sum(col("n")).as("tot"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("m"))
+    c.join(broadcast(t), "m")
+      .withColumn("shr", col("n").cast("double") / col("tot"))
+      .withColumn("prev", lag(col("shr"), 1).over(w))
+      .select(col("m"), col("prio"), col("n"),
+        (round(col("shr") * 1000000) / 1000000).as("share"),
+        (round((col("shr") - col("prev")) * 1000000) / 1000000).as("mom_shift"))
+  }
+
+  /** q121: Gini coefficient of customer revenue — the inequality summary
+    * of the customer base (0 = every customer spends alike, →1 = revenue
+    * concentrated in a few whales), the economy-wide companion of q117's
+    * per-nation HHI. Revenue aggregates per customer first (exact decimal),
+    * the rank window runs over that customer-sized aggregate only
+    * (range-partitionable at scale), and Σ rank·revenue is an exact
+    * decimal sum, so the classic formula
+    * G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n is all-integer/decimal until the
+    * final divides.
+    */
+  def revenueGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,6)").as("price"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("price")).as("rev"))
+    val w = Window.orderBy(col("rev"), col("o_custkey"))
+    perCust
+      .withColumn("i", row_number().over(w))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("s0"),
+        sum(col("rev") * col("i")).as("s1"))
+      .select(col("n_customers"),
+        (round(col("s0").cast("double") * 10000) / 10000).as("total_rev"),
+        (round((lit(2.0) * col("s1").cast("double")
+          / (col("n_customers") * col("s0").cast("double"))
+          - (col("n_customers") + lit(1)).cast("double") / col("n_customers"))
+          * 1000000) / 1000000).as("gini"))
+  }
+
   def soleLateSuppliers(spark: SparkSession, sfDir: String,
                         lateDays: Int = 60, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -458,4 +458,46 @@ object Similarity {
 
   def centroidMargins(spark: SparkSession, sfDir: String): DataFrame =
     centroidMargins(Tables.embeddings(spark, sfDir))
+
+  /** q122: embedding-norm outliers per IVF partition — vectors whose L2
+    * norm sits far from their label's norm distribution (truncated,
+    * zeroed, or exploding embeddings are the classic ingestion bugs a
+    * vector index inherits silently; q85 watches dimensions, this watches
+    * whole vectors). Norms come from the native decimal_dot (exact
+    * scale-16 accumulation), are DECIMAL(18,12)-snapped so the per-label
+    * moment sums stay order-free, and the top-|z| window runs per label
+    * over the norm table (one row per vector, not per dimension). σ = 0
+    * (perfectly uniform norms) degrades to z = 0 instead of dividing.
+    */
+  def normOutliers(emb: DataFrame, topN: Int = 3): DataFrame = {
+    val n = asDoubles(emb)
+      .select(col("vec_id"), col("label"),
+        normCol("v").cast("decimal(18,12)").as("nrm"))
+    // moments of (nrm − per-label min): shifting to the distribution's own
+    // scale dodges the mean² ≫ σ² catastrophic cancellation that unit-
+    // normalized corpora (σ ~ 1e-8 around 1.0) would otherwise hit
+    val mins = n.groupBy(col("label")).agg(min(col("nrm")).as("mn"))
+    val dev = n.join(broadcast(mins), "label")
+      .withColumn("d", (col("nrm") - col("mn")).cast("decimal(18,12)"))
+    val stats = dev.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .withColumn("mu_d", col("sd").cast("double") / col("n"))
+      .withColumn("sigma",
+        sqrt(col("sd2").cast("double") / col("n") - col("mu_d") * col("mu_d")))
+      .select(col("label"), col("mu_d"), col("sigma"))
+    val z = when(col("sigma") === 0.0, lit(0.0))
+      .otherwise((col("d").cast("double") - col("mu_d")) / col("sigma"))
+    val w = Window.partitionBy(col("label")).orderBy(abs(z).desc, col("vec_id"))
+    dev.join(broadcast(stats), "label")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topN)
+      .select(col("label"), col("rn"), col("vec_id"),
+        (round(col("nrm").cast("double") * 10000) / 10000).as("norm"),
+        (round(z * 10000) / 10000).as("z"))
+  }
+
+  def normOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    normOutliers(Tables.embeddings(spark, sfDir))
 }

@@ -630,4 +630,53 @@ object TextAnalysis {
 
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
     dsirWeights(Tables.documents(spark, sfDir))
+
+  /** q123: per-source length-profile PSI — each source's document-size
+    * distribution (power-of-2 char buckets, q70's integer-exact bin idiom)
+    * against the REST of the corpus, scored with the same
+    * Laplace-smoothed PSI as q87. The "is this vendor shipping
+    * suspiciously short/long docs" screen that pure averages miss. Counts
+    * reduce to (source, bucket) in one scan; the zero-count grid is
+    * sources × observed buckets (tiny, built from two distinct passes
+    * over the aggregate); ln terms are DECIMAL(28,20)-snapped so the PSI
+    * sum is aggregation-order-free.
+    */
+  def lengthPsi(docs: DataFrame): DataFrame = {
+    val sized = docs.select(col("source"),
+      (length(bin(col("n_chars"))) - 1).cast("int").as("bucket"))
+    val counts = sized.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val srcTot = counts.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val bucketTot = counts.groupBy(col("bucket")).agg(sum(col("c")).as("bc"))
+    val nb = counts.select(col("bucket")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(counts.select(col("bucket")).distinct())
+    grid
+      .join(counts, Seq("source", "bucket"), "left_outer")
+      .join(broadcast(srcTot), "source")
+      .join(broadcast(bucketTot), "bucket")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(total))
+      .withColumn("cc", coalesce(col("c"), lit(0L)))
+      .withColumn("p",
+        (col("cc").cast("double") + 0.5)
+          / (col("t").cast("double") + col("nb") / 2.0))
+      .withColumn("q",
+        ((col("bc") - col("cc")).cast("double") + 0.5)
+          / ((col("total") - col("t")).cast("double") + col("nb") / 2.0))
+      .withColumn("term",
+        ((col("p") - col("q")) * log(col("p") / col("q"))).cast("decimal(28,20)"))
+      .groupBy(col("source"))
+      .agg(max(col("t")).as("n_docs"),
+        (round(sum(col("term")).cast("double") * 1000000) / 1000000).as("psi"))
+      .withColumn("band",
+        when(col("psi") < 0.1, "ok")
+          .when(col("psi") < 0.25, "watch")
+          .otherwise("drift"))
+  }
+
+  def lengthPsi(spark: SparkSession, sfDir: String): DataFrame =
+    lengthPsi(Tables.documents(spark, sfDir))
 }
