@@ -267,6 +267,12 @@ object SparkEntry {
       Similarity.normOutliers(s, d).orderBy(col("label"), col("rn"))),
     "q123_length_psi" -> ((s, d) =>
       TextAnalysis.lengthPsi(s, d).orderBy(col("source"))),
+    "q124_merged_incidents" -> ((s, d) =>
+      Ranges.mergedIncidents(s, d).orderBy(col("user_id"))),
+    "q125_welch_weekend" -> ((s, d) =>
+      TimeSeries.welchWeekend(s, d).orderBy(col("event_type"))),
+    "q126_session_durations" -> ((s, d) =>
+      Ranges.sessionDurations(s, d).orderBy(col("bucket"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2359,6 +2365,83 @@ object SparkEntry {
         |  CASE WHEN psi < 0.1 THEN 'ok' WHEN psi < 0.25 THEN 'watch'
         |       ELSE 'drift' END AS band
         |FROM ps ORDER BY source""".stripMargin,
+    "q124_merged_incidents" ->
+      """WITH errs AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) e
+        |              FROM events WHERE event_type='error'),
+        |s AS (SELECT user_id, e,
+        |        CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+        |               OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800
+        |             THEN 1 ELSE 0 END new_session
+        |      FROM errs),
+        |s2 AS (SELECT user_id, e,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+        |       FROM s),
+        |r AS (SELECT user_id, min(e) - 1200 s, max(e) + 1200 e2
+        |      FROM s2 GROUP BY user_id, sess HAVING count(*) >= 2),
+        |p AS (SELECT user_id, s, e2,
+        |        max(e2) OVER (PARTITION BY user_id ORDER BY s, e2
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+        |      FROM r),
+        |i AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END ni
+        |      FROM p),
+        |i2 AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e2
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) island FROM i),
+        |g AS (SELECT user_id, island, CAST(count(*) AS BIGINT) nr,
+        |        min(s) ms, max(e2) me FROM i2 GROUP BY 1,2)
+        |SELECT user_id, CAST(sum(nr) AS BIGINT) n_raw,
+        |  CAST(count(*) AS BIGINT) n_merged,
+        |  CAST(sum(me - ms) AS BIGINT) covered_sec,
+        |  CAST(max(me - ms) AS BIGINT) longest_sec
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q125_welch_weekend" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |g AS (SELECT event_type, value,
+        |        ((e // 86400 + 4) % 7) IN (0, 6) we FROM ev),
+        |m AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT) n_wd,
+        |        CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) n_we,
+        |        sum(CASE WHEN NOT we THEN CAST(value AS DECIMAL(18,6)) END) s_wd,
+        |        sum(CASE WHEN we THEN CAST(value AS DECIMAL(18,6)) END) s_we,
+        |        sum(CASE WHEN NOT we
+        |              THEN CAST(value * value AS DECIMAL(28,6)) END) q_wd,
+        |        sum(CASE WHEN we
+        |              THEN CAST(value * value AS DECIMAL(28,6)) END) q_we
+        |      FROM g GROUP BY 1),
+        |d AS (SELECT event_type, n_wd, n_we,
+        |        CAST(s_wd AS DOUBLE) / n_wd m_wd,
+        |        CAST(s_we AS DOUBLE) / n_we m_we,
+        |        (CAST(q_wd AS DOUBLE) - n_wd * (CAST(s_wd AS DOUBLE) / n_wd)
+        |          * (CAST(s_wd AS DOUBLE) / n_wd)) / (n_wd - 1) v_wd,
+        |        (CAST(q_we AS DOUBLE) - n_we * (CAST(s_we AS DOUBLE) / n_we)
+        |          * (CAST(s_we AS DOUBLE) / n_we)) / (n_we - 1) v_we
+        |      FROM m)
+        |SELECT event_type, n_wd, n_we,
+        |  round(m_wd * 10000) / 10000 AS mean_wd,
+        |  round(m_we * 10000) / 10000 AS mean_we,
+        |  round((m_wd - m_we) / sqrt(v_wd / n_wd + v_we / n_we) * 10000)
+        |    / 10000 AS t_stat
+        |FROM d ORDER BY event_type""".stripMargin,
+    "q126_session_durations" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |s AS (SELECT user_id, event_id, e,
+        |        CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800
+        |             THEN 1 ELSE 0 END brk
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+        |s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess FROM s),
+        |d AS (SELECT user_id, sess, max(e) - min(e) dur FROM s2 GROUP BY 1,2),
+        |h AS (SELECT CAST(length(bin(dur + 1)) - 1 AS INT) bucket,
+        |        CAST(count(*) AS BIGINT) n_sessions,
+        |        CAST(sum(dur) AS BIGINT) dur_sum
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) total FROM h)
+        |SELECT bucket, n_sessions,
+        |  round(CAST(dur_sum AS DOUBLE) / n_sessions * 10000) / 10000 AS mean_dur,
+        |  round(CAST(n_sessions AS DOUBLE) / total * 1000000) / 1000000 AS share
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

@@ -548,4 +548,74 @@ object Ranges {
 
   def stickiness(spark: SparkSession, sfDir: String): DataFrame =
     stickiness(Tables.events(spark, sfDir))
+
+  /** q124: incident coalescing — anomaly ranges padded by a ±guard band
+    * and MERGED where the padded intervals overlap (one outage with a
+    * 10-minute quiet patch is one incident, not three). The classic
+    * interval-union sweep as a declarative plan: per user, order by start
+    * and open a new island when the start clears the running max of all
+    * previous ends (cumulative-max window) — one shuffle on the series
+    * key, all-integer arithmetic end to end. The pad must exceed half the
+    * sessionization gap for merging to be reachable (raw ranges are
+    * already > gapSec apart), so the default guard band is 2·padSec =
+    * 2400 s against the 1800 s session gap.
+    */
+  def mergedIncidents(events: DataFrame, gapSec: Long = 1800L,
+                      padSec: Long = 1200L): DataFrame = {
+    val padded = anomalyRanges(events, gapSec)
+      .select(col("user_id"),
+        (col("range_start") - padSec).as("s"),
+        (col("range_end") + padSec).as("e"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    padded
+      .withColumn("pm", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("nr"), min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("nr")).as("n_raw"),
+        count(lit(1)).as("n_merged"),
+        sum(col("me") - col("ms")).as("covered_sec"),
+        max(col("me") - col("ms")).as("longest_sec"))
+  }
+
+  def mergedIncidents(spark: SparkSession, sfDir: String): DataFrame =
+    mergedIncidents(Tables.events(spark, sfDir))
+
+  /** q126: session-duration histogram — gap-sessionized user activity
+    * (q79's islands) reduced to a power-of-2 duration histogram (q70's
+    * integer-exact bin idiom) with corpus share per bucket. The
+    * state-sizing input for the streaming sessionizer: it says what
+    * session-timeout state lifetime actually looks like. One shuffle to
+    * sessionize, O(log duration) output rows.
+    */
+  def sessionDurations(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"), epochS(col("ts")).as("e"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("event_id"))
+    val durs = ev
+      .withColumn("prev", lag(col("e"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("e") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg((max(col("e")) - min(col("e"))).as("dur"))
+    val hist = durs
+      .withColumn("bucket", (length(bin(col("dur") + 1L)) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("dur")).as("dur_sum"))
+    val tot = hist.agg(sum(col("n_sessions")).as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_sessions"),
+        r4(col("dur_sum").cast("double") / col("n_sessions")).as("mean_dur"),
+        (round(col("n_sessions").cast("double") / col("total") * 1000000)
+          / 1000000).as("share"))
+  }
+
+  def sessionDurations(spark: SparkSession, sfDir: String): DataFrame =
+    sessionDurations(Tables.events(spark, sfDir))
 }

@@ -541,6 +541,48 @@ object TimeSeries {
   def changepoint(spark: SparkSession, sfDir: String): DataFrame =
     changepoint(Tables.events(spark, sfDir))
 
+  /** q125: weekday-vs-weekend Welch t-test per series — IS the weekly
+    * rhythm statistically real, the significance test behind q71's
+    * seasonal index (an index of 1.1 over noise σ=2 means nothing; the
+    * same index at σ=0.1 is structure). Both groups' moments come from ONE
+    * conditional aggregation over one scan (no self-join); sums are exact
+    * decimals (value snapped at scale 6, squares at q41's scale-6
+    * convention), so t = (μ₁−μ₂)/√(s₁²/n₁ + s₂²/n₂) is deterministic on
+    * any partition order.
+    */
+  def welchWeekend(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("we",
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).isin(0, 6))
+    val m = ev.groupBy(col("event_type")).agg(
+      sum(when(!col("we"), 1L).otherwise(0L)).as("n_wd"),
+      sum(when(col("we"), 1L).otherwise(0L)).as("n_we"),
+      sum(when(!col("we"), col("value").cast("decimal(18,6)"))).as("s_wd"),
+      sum(when(col("we"), col("value").cast("decimal(18,6)"))).as("s_we"),
+      sum(when(!col("we"), (col("value") * col("value")).cast("decimal(28,6)")))
+        .as("q_wd"),
+      sum(when(col("we"), (col("value") * col("value")).cast("decimal(28,6)")))
+        .as("q_we"))
+    m.withColumn("m_wd", col("s_wd").cast("double") / col("n_wd"))
+      .withColumn("m_we", col("s_we").cast("double") / col("n_we"))
+      .withColumn("v_wd",
+        (col("q_wd").cast("double") - col("n_wd") * col("m_wd") * col("m_wd"))
+          / (col("n_wd") - 1))
+      .withColumn("v_we",
+        (col("q_we").cast("double") - col("n_we") * col("m_we") * col("m_we"))
+          / (col("n_we") - 1))
+      .select(col("event_type"), col("n_wd"), col("n_we"),
+        r4(col("m_wd")).as("mean_wd"),
+        r4(col("m_we")).as("mean_we"),
+        r4((col("m_wd") - col("m_we"))
+          / sqrt(col("v_wd") / col("n_wd") + col("v_we") / col("n_we")))
+          .as("t_stat"))
+  }
+
+  def welchWeekend(spark: SparkSession, sfDir: String): DataFrame =
+    welchWeekend(Tables.events(spark, sfDir))
+
   /** q116: seasonally-adjusted outliers — q41's z-score run on the
     * DESEASONALIZED value (value ÷ its weekday mean), so a normal Sunday
     * lull is no longer an outlier and a spike ON a lull day is. The

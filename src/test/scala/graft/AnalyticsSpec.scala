@@ -105,6 +105,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ivf recall is non-decreasing in nprobe and exact at full probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val nlist = emb.select("label").distinct().count().toInt
+    val recalls = Seq(1, 2, nlist).map { np =>
+      ops.Similarity.annRecall(emb, nprobe = np)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    assert(recalls(0) <= recalls(1) + 1e-9)
+    assert(recalls(1) <= recalls(2) + 1e-9)
+    assert(recalls(2) === 1.0) // probing every partition IS brute force
+  }
+
+  test("mergedIncidents coalesces close ranges and keeps far ones apart") {
+    // user 1: ranges [0,600] and [3000,3300] — 2400 s apart, exactly the
+    // 2·pad merge horizon → one incident spanning [-1200, 4500].
+    // user 2: ranges [0,600] and [10000,10500] — far apart, stay separate.
+    // user 3: a lone error → no range at all (n_events >= 2 filter).
+    val errAt = Seq(
+      (1L, 0L), (1L, 600L), (1L, 3000L), (1L, 3300L),
+      (2L, 0L), (2L, 600L), (2L, 10000L), (2L, 10500L),
+      (3L, 0L))
+    val ev = errAt.zipWithIndex.map { case ((u, e), i) => (u, i.toLong, e) }
+      .toDF("user_id", "event_id", "e")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(col("e")).as("ts"), lit("error").as("event_type"),
+        lit(1.0).as("value"))
+    val out = ops.Ranges.mergedIncidents(ev)
+      .select("user_id", "n_raw", "n_merged", "covered_sec", "longest_sec")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq(
+      (1L, 2L, 1L, 5700L, 5700L),
+      (2L, 2L, 2L, 5900L, 3000L)))
+  }
+
+  test("sessionDurations buckets are log2 bins and shares sum to one") {
+    val out = ops.Ranges.sessionDurations(spark, sf)
+      .select("bucket", "n_sessions", "share")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    assert(out.forall(_._1 >= 0))
+  }
+
   test("seasonalOutliers emits a top-3 per series with sane z ordering") {
     val out = TimeSeries.seasonalOutliers(spark, sf)
       .select("event_type", "rn", "z").as[(String, Int, Double)].collect().toSeq
