@@ -273,6 +273,10 @@ object SparkEntry {
       TimeSeries.welchWeekend(s, d).orderBy(col("event_type"))),
     "q126_session_durations" -> ((s, d) =>
       Ranges.sessionDurations(s, d).orderBy(col("bucket"))),
+    "q127_linear_trend" -> ((s, d) =>
+      TimeSeries.linearTrend(s, d).orderBy(col("event_type"))),
+    "q128_ks_drift" -> ((s, d) =>
+      Drift.ksDrift(s, d).orderBy(col("event_type"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2442,6 +2446,60 @@ object SparkEntry {
         |  round(CAST(dur_sum AS DOUBLE) / n_sessions * 10000) / 10000 AS mean_dur,
         |  round(CAST(n_sessions AS DOUBLE) / total * 1000000) / 1000000 AS share
         |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "q127_linear_trend" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |t0 AS (SELECT event_type, min(e) t0 FROM ev GROUP BY 1),
+        |j AS (SELECT ev.event_type, CAST(e - t0 AS DOUBLE) td, value
+        |      FROM ev JOIN t0 USING (event_type)),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CAST(td AS DECIMAL(38,6))) AS DOUBLE) st,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) sv,
+        |        CAST(sum(CAST(td * value AS DECIMAL(38,10))) AS DOUBLE) stv,
+        |        CAST(sum(CAST(td * td AS DECIMAL(38,6))) AS DOUBLE) stt,
+        |        CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) svv
+        |      FROM j GROUP BY 1),
+        |d AS (SELECT event_type, n, st, sv,
+        |        stt - st * st / n sxx, svv - sv * sv / n syy,
+        |        stv - st * sv / n sxy FROM m),
+        |s AS (SELECT *, CASE WHEN sxx = 0 THEN 0 ELSE sxy / sxx END slope
+        |      FROM d)
+        |SELECT event_type, n,
+        |  round(slope * 86400 * 10000) / 10000 AS slope_day,
+        |  round((sv / n - slope * st / n) * 10000) / 10000 AS intercept,
+        |  round((CASE WHEN syy = 0 THEN 0 ELSE slope * sxy / syy END)
+        |    * 10000) / 10000 AS r2
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q128_ks_drift" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |sp AS (SELECT CAST(floor(min(e) + (max(e) - min(e)) * 0.75)
+        |                AS BIGINT) split_e FROM ev),
+        |ph AS (SELECT event_type, value,
+        |         CASE WHEN e < split_e THEN 1 ELSE 0 END tr
+        |       FROM ev CROSS JOIN sp),
+        |c AS (SELECT event_type, value, CAST(sum(tr) AS BIGINT) ca,
+        |        CAST(sum(1 - tr) AS BIGINT) cb FROM ph GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumb,
+        |    sum(ca) OVER (PARTITION BY event_type) na,
+        |    sum(cb) OVER (PARTITION BY event_type) nb
+        |  FROM c),
+        |k AS (SELECT event_type, CAST(max(na) AS BIGINT) n_train,
+        |        CAST(max(nb) AS BIGINT) n_eval,
+        |        max(abs(CAST(cuma AS DOUBLE) / na
+        |          - CAST(cumb AS DOUBLE) / nb)) ks_raw
+        |      FROM cum GROUP BY 1),
+        |t AS (SELECT *, 1.3581 * sqrt((CAST(n_train AS DOUBLE) + n_eval)
+        |        / (CAST(n_train AS DOUBLE) * n_eval)) thr_raw FROM k)
+        |SELECT event_type, n_train, n_eval,
+        |  round(ks_raw * 10000) / 10000 AS ks,
+        |  round(thr_raw * 10000) / 10000 AS threshold,
+        |  ks_raw > thr_raw AS drifted
+        |FROM t ORDER BY event_type""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

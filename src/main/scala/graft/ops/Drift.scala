@@ -124,4 +124,51 @@ object Drift {
       .agg(count(lit(1)).as("c"))
     psiFromCounts(counts)
   }
+
+  /** q128: two-sample Kolmogorov–Smirnov drift test per sensor — PSI's
+    * (q87) bin-free sibling: the exact max CDF gap between the train
+    * (first 75% of the global time span, q87's split) and eval value
+    * distributions, against the α=0.05 large-sample threshold
+    * 1.3581·√((n₁+n₂)/(n₁n₂)). PSI sees WHERE mass moved on a 20-bin
+    * grid; KS needs no grid and catches shifts PSI's binning blurs.
+    *
+    * Scale shape: one shuffle to (sensor, value) phase counts — bounded
+    * by distinct values per sensor, with map-side combine — then the CDFs
+    * are cumulative sums over that aggregate inside one per-sensor
+    * window; every ratio is integer/integer so the statistic is exact and
+    * partition-order-free. Same cost class as the two-pass exact
+    * percentiles (q34): a sort within each sensor's distinct values.
+    */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    val split = ev.agg(
+      floor(min(col("e")) + (max(col("e")) - min(col("e"))) * 0.75)
+        .cast("long").as("split_e"))
+    val cnts = ev.crossJoin(broadcast(split))
+      .withColumn("tr", (col("e") < col("split_e")).cast("long"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val whole = Window.partitionBy(col("event_type"))
+    cnts
+      .withColumn("cuma", sum(col("ca")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumb", sum(col("cb")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("na", sum(col("ca")).over(whole))
+      .withColumn("nb", sum(col("cb")).over(whole))
+      .withColumn("d", abs(col("cuma").cast("double") / col("na")
+        - col("cumb").cast("double") / col("nb")))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_train"), max(col("nb")).as("n_eval"),
+        max(col("d")).as("ks_raw"))
+      .withColumn("thr_raw", lit(1.3581) * sqrt(
+        (col("n_train").cast("double") + col("n_eval"))
+          / (col("n_train").cast("double") * col("n_eval"))))
+      .select(col("event_type"), col("n_train"), col("n_eval"),
+        (round(col("ks_raw") * 10000) / 10000).as("ks"),
+        (round(col("thr_raw") * 10000) / 10000).as("threshold"),
+        (col("ks_raw") > col("thr_raw")).as("drifted"))
+  }
+
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame =
+    ksDrift(Tables.events(spark, sfDir))
 }

@@ -583,6 +583,44 @@ object TimeSeries {
   def welchWeekend(spark: SparkSession, sfDir: String): DataFrame =
     welchWeekend(Tables.events(spark, sfDir))
 
+  /** q127: OLS linear trend per series — slope (per day), intercept at the
+    * series start, and R², the "is this sensor drifting and how fast"
+    * summary beside q111's changepoint (WHERE the level shifted) and
+    * q110's EWMA (the smoothed level itself). Time is re-based to each
+    * series' first timestamp (broadcast of a series-sized dimension) so
+    * the cross-moments stay small enough for exact decimal sums; all five
+    * moments come from ONE aggregation over one scan, and slope/R² are
+    * pure arithmetic over that ~|series|-row table. σ=0 degenerate cases
+    * (constant series, single timestamp) pin slope and R² to 0.
+    */
+  def linearTrend(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    val t0s = ev.groupBy(col("event_type")).agg(min(col("e")).as("t0"))
+    ev.join(broadcast(t0s), "event_type")
+      .withColumn("td", (col("e") - col("t0")).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("td").cast("decimal(38,6)")).cast("double").as("st"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sv"),
+        sum((col("td") * col("value")).cast("decimal(38,10)")).cast("double").as("stv"),
+        sum((col("td") * col("td")).cast("decimal(38,6)")).cast("double").as("stt"),
+        sum((col("value") * col("value")).cast("decimal(28,6)")).cast("double").as("svv"))
+      .withColumn("sxx", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("syy", col("svv") - col("sv") * col("sv") / col("n"))
+      .withColumn("sxy", col("stv") - col("st") * col("sv") / col("n"))
+      .withColumn("slope",
+        when(col("sxx") === 0, lit(0.0)).otherwise(col("sxy") / col("sxx")))
+      .select(col("event_type"), col("n"),
+        r4(col("slope") * 86400).as("slope_day"),
+        r4(col("sv") / col("n") - col("slope") * col("st") / col("n")).as("intercept"),
+        r4(when(col("syy") === 0, lit(0.0))
+          .otherwise(col("slope") * col("sxy") / col("syy"))).as("r2"))
+  }
+
+  def linearTrend(spark: SparkSession, sfDir: String): DataFrame =
+    linearTrend(Tables.events(spark, sfDir))
+
   /** q116: seasonally-adjusted outliers — q41's z-score run on the
     * DESEASONALIZED value (value ÷ its weekday mean), so a normal Sunday
     * lull is no longer an outlier and a spike ON a lull day is. The

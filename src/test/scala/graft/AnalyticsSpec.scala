@@ -139,6 +139,20 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 2L, 2L, 5900L, 3000L)))
   }
 
+  test("linearTrend recovers an exact synthetic slope and flatlines constants") {
+    val rows = (0 until 10).flatMap { k =>
+      Seq(("lin", k * 86400L, 2.0 + 3.0 * k), ("const", k * 86400L, 5.0))
+    }
+    val ev = rows.toDF("event_type", "e", "value")
+      .select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value"))
+    val got = TimeSeries.linearTrend(ev)
+      .select("event_type", "n", "slope_day", "intercept", "r2")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("lin") === (("lin", 10L, 3.0, 2.0, 1.0)))
+    assert(got("const") === (("const", 10L, 0.0, 5.0, 0.0)))
+  }
+
   test("sessionDurations buckets are log2 bins and shares sum to one") {
     val out = ops.Ranges.sessionDurations(spark, sf)
       .select("bucket", "n_sessions", "share")

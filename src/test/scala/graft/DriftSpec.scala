@@ -89,4 +89,25 @@ class DriftSpec extends SparkSpec {
       assert(live.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("ks drift: identical distributions pass, disjoint ones flag") {
+    // "same": uniform 0..49 in both phases → KS ≈ 0, below threshold.
+    // "jump": eval values disjoint from train's → KS = 1 exactly.
+    val rows = (0 until 1000).flatMap { e =>
+      val evalPhase = e >= 749 // global split at floor(999·0.75) = 749
+      Seq(
+        ("same", e.toLong, (e % 50).toDouble),
+        ("jump", e.toLong,
+          if (evalPhase) 100.0 + (e % 50) else (e % 50).toDouble))
+    }
+    val ev = rows.toDF("event_type", "e", "value")
+      .select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value"))
+    val got = Drift.ksDrift(ev)
+      .select("event_type", "n_train", "n_eval", "ks", "drifted")
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got("same")._5 && got("same")._4 < 0.05)
+    assert(got("jump")._5 && got("jump")._4 === 1.0)
+    assert(got("jump")._2 === 749L && got("jump")._3 === 251L)
+  }
 }

@@ -135,6 +135,17 @@ class PlanAuditSpec extends SparkSpec {
         s"$name should hash-partition by user_id")
   }
 
+  test("single-pass stats queries: partial agg kept, trend dim broadcast") {
+    // q125/q127 compute all their moments in ONE conditional aggregation —
+    // losing map-side combine would ship every event row to the reducers
+    for (name <- Seq("q125_welch_weekend", "q127_linear_trend")) {
+      assert("HashAggregate".r.findAllIn(plans(name)).size >= 2,
+        s"$name lost its partial (map-side) aggregate")
+      assert(!plans(name).contains("SortMergeJoin"),
+        s"$name fell back to a sort-merge join")
+    }
+  }
+
   test("rank-filter top-N queries get the WindowGroupLimit pushdown") {
     // row_number() <= k filters should plan a WindowGroupLimit below the
     // Window (partial per-partition limit before the shuffle, final after) —
