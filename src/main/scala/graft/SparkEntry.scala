@@ -277,6 +277,12 @@ object SparkEntry {
       TimeSeries.linearTrend(s, d).orderBy(col("event_type"))),
     "q128_ks_drift" -> ((s, d) =>
       Drift.ksDrift(s, d).orderBy(col("event_type"))),
+    "q129_heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsLaw(s, d).orderBy(col("lang"))),
+    "q130_mann_whitney" -> ((s, d) =>
+      TimeSeries.mannWhitney(s, d).orderBy(col("event_type"))),
+    "q131_dominant_period" -> ((s, d) =>
+      TimeSeries.dominantPeriod(s, d).orderBy(col("event_type"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2500,6 +2506,103 @@ object SparkEntry {
         |  round(thr_raw * 10000) / 10000 AS threshold,
         |  ks_raw > thr_raw AS drifted
         |FROM t ORDER BY event_type""".stripMargin,
+    "q129_heaps_law" ->
+      """WITH tok AS (SELECT lang, doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) w
+        |  FROM documents),
+        |pd AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) ntok
+        |       FROM tok GROUP BY 1, 2),
+        |fs AS (SELECT lang, w, min(doc_id) doc_id FROM tok GROUP BY 1, 2),
+        |fv AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) nnew
+        |       FROM fs GROUP BY 1, 2),
+        |d AS (SELECT pd.lang, pd.doc_id, ntok, coalesce(nnew, 0) nnew
+        |      FROM pd LEFT JOIN fv ON pd.lang = fv.lang
+        |        AND pd.doc_id = fv.doc_id),
+        |pts AS (SELECT lang,
+        |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cn,
+        |    sum(nnew) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cv
+        |  FROM d),
+        |p2 AS (SELECT lang, cn, cv, log10(CAST(cn AS DOUBLE)) x,
+        |         log10(CAST(cv AS DOUBLE)) y FROM pts),
+        |s AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+        |        CAST(max(cn) AS BIGINT) tokens, CAST(max(cv) AS BIGINT) vocab,
+        |        CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE) sx,
+        |        CAST(sum(CAST(y AS DECIMAL(28,18))) AS DOUBLE) sy,
+        |        CAST(sum(CAST(x * y AS DECIMAL(28,18))) AS DOUBLE) sxy,
+        |        CAST(sum(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) sxx
+        |      FROM p2 GROUP BY 1),
+        |b AS (SELECT *, CASE WHEN n_docs * sxx - sx * sx = 0 THEN 0
+        |        ELSE (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx)
+        |        END beta FROM s)
+        |SELECT lang, n_docs, tokens, vocab,
+        |  round(beta * 10000) / 10000 AS beta,
+        |  round((sy - beta * sx) / n_docs * 10000) / 10000 AS log10_k
+        |FROM b ORDER BY lang""".stripMargin,
+    "q130_mann_whitney" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |g AS (SELECT event_type, value,
+        |        ((e // 86400 + 4) % 7) IN (0, 6) we FROM ev),
+        |c AS (SELECT event_type, value,
+        |        CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT) ca,
+        |        CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) cb
+        |      FROM g GROUP BY 1, 2),
+        |c2 AS (SELECT *, ca + cb t FROM c),
+        |r AS (SELECT event_type, ca, cb, t,
+        |        coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY value
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb,
+        |        sum(ca) OVER (PARTITION BY event_type) na,
+        |        sum(cb) OVER (PARTITION BY event_type) nb
+        |      FROM c2),
+        |m AS (SELECT event_type, CAST(max(na) AS BIGINT) n_wd,
+        |        CAST(max(nb) AS BIGINT) n_we,
+        |        CAST(sum(CAST(ca * (CAST(cumb AS DOUBLE) + (t + 1) / 2.0)
+        |          AS DECIMAL(38,6))) AS DOUBLE) ra,
+        |        CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0)))
+        |          AS DOUBLE) tie_sum
+        |      FROM r GROUP BY 1),
+        |u AS (SELECT event_type, n_wd, n_we,
+        |        CAST(n_wd AS DOUBLE) * n_we nn, n_wd + n_we big_n,
+        |        ra - CAST(n_wd AS DOUBLE) * (n_wd + 1) / 2 u,
+        |        tie_sum FROM m),
+        |v AS (SELECT *, nn / 12 * ((big_n + 1)
+        |        - tie_sum / (CAST(big_n AS DOUBLE) * (big_n - 1))) var_u
+        |      FROM u)
+        |SELECT event_type, n_wd, n_we,
+        |  round(u * 10000) / 10000 AS u,
+        |  round((u - nn / 2) / sqrt(var_u) * 10000) / 10000 AS z
+        |FROM v ORDER BY event_type""".stripMargin,
+    "q131_dominant_period" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |daily AS (SELECT event_type, e // 86400 dy,
+        |            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |              / count(*) x
+        |          FROM ev GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |         CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) / count(*) mu
+        |       FROM daily GROUP BY 1),
+        |ctr AS (SELECT d.event_type, dy, x - mu cx, n_days
+        |        FROM daily d JOIN st USING (event_type)),
+        |den AS (SELECT event_type, max(n_days) n_days,
+        |          CAST(sum(CAST(cx * cx AS DECIMAL(28,16))) AS DOUBLE) ss
+        |        FROM ctr GROUP BY 1),
+        |lags AS (SELECT unnest(range(1, 15)) lg),
+        |pr AS (SELECT a.event_type, l.lg,
+        |         CAST(sum(CAST(a.cx * b.cx AS DECIMAL(28,16))) AS DOUBLE) num
+        |       FROM ctr a CROSS JOIN lags l
+        |       JOIN ctr b ON a.event_type = b.event_type
+        |         AND b.dy = a.dy + l.lg
+        |       GROUP BY 1, 2),
+        |rr AS (SELECT pr.event_type, den.n_days, pr.lg, num / ss r,
+        |         row_number() OVER (PARTITION BY pr.event_type
+        |           ORDER BY num / ss DESC, pr.lg) rn
+        |       FROM pr JOIN den USING (event_type))
+        |SELECT event_type, n_days, CAST(lg AS INT) AS best_lag,
+        |  round(r * 10000) / 10000 AS r_best
+        |FROM rr WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

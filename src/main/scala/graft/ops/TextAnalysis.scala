@@ -679,4 +679,70 @@ object TextAnalysis {
 
   def lengthPsi(spark: SparkSession, sfDir: String): DataFrame =
     lengthPsi(Tables.documents(spark, sfDir))
+
+  /** q129: Heaps'-law vocabulary growth per language — fit V(N) = K·N^β
+    * over the cumulative (tokens seen, distinct tokens seen) curve in doc
+    * order; β is the tokenizer-sizing constant of a corpus (how fast new
+    * vocabulary keeps arriving) and a β drifting upward between snapshots
+    * means the ingest mix changed (q57's Zipf slope is the static twin).
+    *
+    * Scale shape: a token's first appearance is min(doc_id) over one
+    * (lang, token) aggregate; per-doc new-vocab and token counts then
+    * reduce to ONE ROW PER DOC, and the cumulative curve over that
+    * doc-level table uses seqPacking's two-pass distributed prefix sum —
+    * the only unbounded-ordered window runs over the lang×bucket OFFSET
+    * table (docs/bucketWidth rows), never over docs. The regression
+    * consumes log-log points via exact decimal sums; no pow() anywhere
+    * (log10 K is reported directly, q57's determinism rule).
+    */
+  def heapsLaw(docs: DataFrame, bucketWidth: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("lang"), col("doc_id"),
+      explode(split(Dedup.normText(col("text")), " ")).as("w"))
+    val perDoc = tok.groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("ntok"))
+    val firsts = tok.groupBy(col("lang"), col("w"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("nnew"))
+    val d = perDoc.join(firsts, Seq("lang", "doc_id"), "left")
+      .withColumn("nnew", coalesce(col("nnew"), lit(0L)))
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val offW = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("ntok")).as("tn"), sum(col("nnew")).as("tv"))
+      .withColumn("offn", coalesce(sum(col("tn")).over(offW), lit(0L)))
+      .withColumn("offv", coalesce(sum(col("tv")).over(offW), lit(0L)))
+      .select(col("lang"), col("bucket"), col("offn"), col("offv"))
+    val wB = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = d
+      .withColumn("localn", sum(col("ntok")).over(wB))
+      .withColumn("localv", sum(col("nnew")).over(wB))
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cn", col("offn") + col("localn"))
+      .withColumn("cv", col("offv") + col("localv"))
+      .withColumn("x", log10(col("cn").cast("double")))
+      .withColumn("y", log10(col("cv").cast("double")))
+    pts.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("cn")).as("tokens"),
+        max(col("cv")).as("vocab"),
+        sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,18)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("sxx"))
+      .withColumn("den", col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("beta",
+        when(col("den") === 0, lit(0.0))
+          .otherwise((col("n_docs") * col("sxy") - col("sx") * col("sy")) / col("den")))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("vocab"),
+        r4(col("beta")).as("beta"),
+        r4((col("sy") - col("beta") * col("sx")) / col("n_docs")).as("log10_k"))
+  }
+
+  def heapsLaw(spark: SparkSession, sfDir: String): DataFrame =
+    heapsLaw(Tables.documents(spark, sfDir))
 }

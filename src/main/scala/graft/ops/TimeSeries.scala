@@ -621,6 +621,112 @@ object TimeSeries {
   def linearTrend(spark: SparkSession, sfDir: String): DataFrame =
     linearTrend(Tables.events(spark, sfDir))
 
+  /** q130: Mann–Whitney U rank-sum test, weekday vs weekend, per series —
+    * q125's nonparametric sibling: Welch assumes roughly-normal means;
+    * the rank test sees any distributional shift (heavy tails, medians)
+    * without that assumption. Tie-aware: ranks come from per-VALUE phase
+    * counts (one bounded aggregate, KS's q128 shape) — a tie group of
+    * size t at cumulative position c has average rank c + (t+1)/2 — and
+    * the normal approximation applies the standard tie correction
+    * σ² = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))). Every sum is over exact
+    * integers or half-integers (decimal-snapped), so U and z are
+    * partition-order-free.
+    */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("we",
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).isin(0, 6))
+    val cnts = ev.groupBy(col("event_type"), col("value"))
+      .agg(
+        sum(when(!col("we"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("we"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val whole = Window.partitionBy(col("event_type"))
+    cnts
+      .withColumn("cumBefore",
+        coalesce(sum(col("t")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("avgRank",
+        col("cumBefore").cast("double") + (col("t") + 1).cast("double") / 2)
+      .withColumn("na", sum(col("ca")).over(whole))
+      .withColumn("nb", sum(col("cb")).over(whole))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("na")).as("n_wd"), max(col("nb")).as("n_we"),
+        sum((col("ca") * col("avgRank")).cast("decimal(38,6)"))
+          .cast("double").as("ra"),
+        sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+          .as("tieSum"))
+      .withColumn("nn", col("n_wd").cast("double") * col("n_we"))
+      .withColumn("bigN", col("n_wd") + col("n_we"))
+      .withColumn("u",
+        col("ra") - col("n_wd").cast("double") * (col("n_wd") + 1) / 2)
+      .withColumn("varU",
+        col("nn") / 12 * ((col("bigN") + 1).cast("double")
+          - col("tieSum").cast("double")
+            / (col("bigN").cast("double") * (col("bigN") - 1))))
+      .select(col("event_type"), col("n_wd"), col("n_we"),
+        r4(col("u")).as("u"),
+        r4((col("u") - col("nn") / 2) / sqrt(col("varU"))).as("z"))
+  }
+
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame =
+    mannWhitney(Tables.events(spark, sfDir))
+
+  /** q131: dominant seasonality period per series — the ACF argmax over a
+    * daily-lag grid (1..maxLag days), generalizing q42's single lag-1
+    * coefficient into period DETECTION ("this sensor repeats weekly").
+    * The series first resamples to per-day means (exact decimal sums), so
+    * everything after the first shuffle runs on a series×days table; the
+    * lag grid fans out via an equi-join of that bounded table with itself
+    * on day+lag (gap days simply drop their pairs), and centered products
+    * are decimal-snapped before summing. Denominator is the full-series
+    * centered sum of squares, so r(lag) is Pearson-normalized and
+    * comparable across lags; best lag breaks ties toward the shorter
+    * period.
+    */
+  def dominantPeriod(events: DataFrame, maxLag: Int = 14): DataFrame = {
+    val daily = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("day", floor(col("e") / 86400L))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("x"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      (sum(col("x").cast("decimal(28,16)")).cast("double") / count(lit(1))).as("mu"))
+    val centered = daily.join(broadcast(stats), "event_type")
+      .withColumn("cx", col("x") - col("mu"))
+    val den = centered.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum((col("cx") * col("cx")).cast("decimal(28,16)"))
+          .cast("double").as("ss"))
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = centered.select(col("event_type"), col("day"), col("cx"))
+      .crossJoin(broadcast(lags))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(
+        centered.select(col("event_type"), col("day").as("day2"), col("cx").as("cx2")),
+        Seq("event_type", "day2"))
+    pairs
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum((col("cx") * col("cx2")).cast("decimal(28,16)"))
+        .cast("double").as("num"))
+      .join(broadcast(den), "event_type")
+      .withColumn("r", col("num") / col("ss"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("r").desc, col("lag"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("lag").as("best_lag"), r4(col("r")).as("r_best"))
+  }
+
+  def dominantPeriod(spark: SparkSession, sfDir: String): DataFrame =
+    dominantPeriod(Tables.events(spark, sfDir))
+
   /** q116: seasonally-adjusted outliers — q41's z-score run on the
     * DESEASONALIZED value (value ÷ its weekday mean), so a normal Sunday
     * lull is no longer an outlier and a spike ON a lull day is. The

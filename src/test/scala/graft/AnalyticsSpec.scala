@@ -153,6 +153,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("const") === (("const", 10L, 0.0, 5.0, 0.0)))
   }
 
+  test("mannWhitney matches the hand-computed tie-corrected statistic") {
+    // 4 weekday rows all value 1, 4 weekend rows all value 2: R_wd = 4·2.5
+    // → U = 0; var with tie groups t=4,4 is 16/12·(9 − 120/56) = 9.142857,
+    // so z = −8/√9.142857 = −2.645751…
+    val rows =
+      (1 to 4).map(i => (i.toLong, 0L, 1.0)) ++ // day 0 = Thursday
+        (1 to 4).map(i => (i.toLong + 4, 2L * 86400, 2.0)) // day 2 = Saturday
+    val ev = rows.toDF("event_id", "e", "value")
+      .select(lit("s").as("event_type"), to_timestamp(col("e")).as("ts"),
+        col("value"))
+    val got = TimeSeries.mannWhitney(ev)
+      .select("event_type", "n_wd", "n_we", "u", "z")
+      .as[(String, Long, Long, Double, Double)].head()
+    assert(got === (("s", 4L, 4L, 0.0, -2.6458)))
+  }
+
+  test("dominantPeriod finds a planted weekly cycle") {
+    val rows = (0 until 28).map { d =>
+      (d.toLong, d * 86400L, if (d % 7 == 0) 10.0 else 0.0)
+    }
+    val ev = rows.toDF("event_id", "e", "value")
+      .select(lit("s").as("event_type"), to_timestamp(col("e")).as("ts"),
+        col("value"))
+    val got = TimeSeries.dominantPeriod(ev)
+      .select("event_type", "n_days", "best_lag", "r_best")
+      .as[(String, Long, Int, Double)].head()
+    assert(got._2 === 28L)
+    assert(got._3 === 7)
+    assert(got._4 > 0.7)
+  }
+
   test("sessionDurations buckets are log2 bins and shares sum to one") {
     val out = ops.Ranges.sessionDurations(spark, sf)
       .select("bucket", "n_sessions", "share")

@@ -94,4 +94,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(0L) > 0.0 && byDoc(2L) < 0.0)
     assert(byDoc(0L) === byDoc(3L)) // identical text → identical weight, source-blind
   }
+
+  test("heapsLaw fits an exact half-power vocabulary curve") {
+    // doc i carries 1 new word + 2i-2 repeats, so after d docs the curve is
+    // V(d) = d, N(d) = d^2 — exactly V = N^0.5, i.e. beta 0.5, log10 K = 0.
+    val docs = (1 to 8).map { i =>
+      val words = s"w$i" +: Seq.fill(2 * i - 2)("w1")
+      (i.toLong, words.mkString(" "), "x", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.heapsLaw(docs)
+      .select("lang", "n_docs", "tokens", "vocab", "beta", "log10_k")
+      .as[(String, Long, Long, Long, Double, Double)].head()
+    assert(got === (("x", 8L, 64L, 8L, 0.5, 0.0)))
+  }
 }
