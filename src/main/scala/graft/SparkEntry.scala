@@ -283,6 +283,13 @@ object SparkEntry {
       TimeSeries.mannWhitney(s, d).orderBy(col("event_type"))),
     "q131_dominant_period" -> ((s, d) =>
       TimeSeries.dominantPeriod(s, d).orderBy(col("event_type"))),
+    "q132_local_supplier_volume" -> ((s, d) =>
+      Relational.localSupplierVolume(s, d).orderBy(col("nation"))),
+    "q133_cross_nation_trade" -> ((s, d) =>
+      Relational.crossNationTrade(s, d)
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))),
+    "q134_disjunctive_revenue" -> ((s, d) =>
+      Relational.disjunctiveRevenue(s, d).orderBy(col("p_brand"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2603,6 +2610,47 @@ object SparkEntry {
         |SELECT event_type, n_days, CAST(lg AS INT) AS best_lag,
         |  round(r * 10000) / 10000 AS r_best
         |FROM rr WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q132_local_supplier_volume" ->
+      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) * 10000) / 10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        |  AND year(o_orderdate) BETWEEN 1995 AND 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q133_cross_nation_trade" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(count(*) AS BIGINT) n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) * 10000) / 10000 AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+        |  AND nc.n_name IN ('NATION_1', 'NATION_2')
+        |  AND ns.n_name <> nc.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q134_disjunctive_revenue" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) * 10000) / 10000 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |         AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

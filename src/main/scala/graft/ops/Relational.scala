@@ -607,4 +607,102 @@ object Relational {
         Window.orderBy(col("numwait").desc, col("l_suppkey"))))
       .select(col("rnk"), col("l_suppkey"), col("numwait"))
   }
+
+  /** q132: local-supplier volume (TPC-H Q5 shape) — revenue per nation in
+    * one region where the customer and the supplier sit in the SAME
+    * nation. The residual c_nationkey = s_nationkey equality is what makes
+    * this shape interesting: it's a predicate BETWEEN two different join
+    * branches, applied after the fact joins, so no extra join is spent on
+    * it. Only nation⨝region broadcasts by hint; customer/supplier joins
+    * are left to stats, so the plan scales from broadcast to shuffle.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String,
+                          regionName: String = "ASIA"): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val rn = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+        .where(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")).between(1995, 1997))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (round(sum(col("rev")).cast("double") * 10000) / 10000).as("revenue"))
+      .select(col("n_name").as("nation"), col("n_items"), col("revenue"))
+  }
+
+  /** q133: cross-nation trade volume (TPC-H Q7 shape) — shipped revenue
+    * between two specific nations, by direction and ship year. Both
+    * nation filters push into the supplier/customer dimension joins
+    * (broadcast of two pre-filtered nation rows each side), so the fact
+    * table never carries rows that can't satisfy the nation pair.
+    */
+  def crossNationTrade(spark: SparkSession, sfDir: String,
+                       nationA: String = "NATION_1",
+                       nationB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .where(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), rev.as("rev"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_items"),
+        (round(sum(col("rev")).cast("double") * 10000) / 10000).as("volume"))
+  }
+
+  /** q134: disjunctive-predicate revenue (TPC-H Q19 shape) — sum of
+    * discounted revenue under an OR of three brand/size/quantity AND
+    * blocks, grouped by brand. The shape matters more than the numbers:
+    * the OR must stay a residual on ONE part join (never three unioned
+    * scans), the common l_quantity <= 30 envelope pushes into the
+    * lineitem scan, and the p_size >= 1 envelope into part's.
+    */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") <= 30) // envelope of all three branches
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_size") >= 1)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+        && col("l_quantity").between(20, 30))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .where(branch)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        (round(sum(col("rev")).cast("double") * 10000) / 10000).as("revenue"))
+  }
 }

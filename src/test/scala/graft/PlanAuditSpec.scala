@@ -146,6 +146,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch join shapes: dims broadcast, disjunction stays one join") {
+    for (name <- Seq("q132_local_supplier_volume", "q133_cross_nation_trade"))
+      assert(plans(name).contains("BroadcastHashJoin"),
+        s"$name lost its broadcast dimension joins")
+    // the OR-of-ANDs must be a residual on ONE lineitem⨝part join — three
+    // unioned scans would read the fact table three times at 100 TB
+    // (FormattedMode prints each scan in the tree AND its detail block, so
+    // count the per-scan Location lines)
+    val p = plans("q134_disjunctive_revenue")
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size <= 2,
+      "q134 disjunction expanded into extra table scans")
+    assert(p.contains("LessThanOrEqual(l_quantity"),
+      "q134 lost the shared l_quantity<=30 envelope pushdown")
+    // Catalyst should also derive the per-side OR envelope into part's scan
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "q134 lost the derived per-side OR pushdown on part")
+  }
+
   test("rank-filter top-N queries get the WindowGroupLimit pushdown") {
     // row_number() <= k filters should plan a WindowGroupLimit below the
     // Window (partial per-partition limit before the shuffle, final after) —
