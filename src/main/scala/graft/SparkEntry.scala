@@ -290,6 +290,8 @@ object SparkEntry {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))),
     "q134_disjunctive_revenue" -> ((s, d) =>
       Relational.disjunctiveRevenue(s, d).orderBy(col("p_brand"))),
+    "q135_survival" -> ((s, d) =>
+      Ranges.survivalCurve(s, d).orderBy(col("t_day"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2651,6 +2653,47 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q135_survival" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |tm AS (SELECT max(e) tmax FROM ev),
+        |s AS (SELECT user_id, min(e) s FROM ev
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT s.user_id, s.s,
+        |        min(CASE WHEN e.e >= s.s THEN e.e END) p
+        |      FROM s LEFT JOIN ev e ON e.user_id = s.user_id
+        |        AND e.event_type = 'purchase'
+        |      GROUP BY 1, 2),
+        |d AS (SELECT user_id, p IS NOT NULL evt,
+        |        CASE WHEN p IS NOT NULL THEN (p - s) // 86400
+        |             ELSE (tmax - s) // 86400 END t
+        |      FROM p CROSS JOIN tm),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN evt THEN 1 ELSE 0 END) AS BIGINT) d,
+        |        CAST(sum(CASE WHEN evt THEN 0 ELSE 1 END) AS BIGINT) c
+        |      FROM d GROUP BY 1),
+        |k AS (SELECT *, sum(d + c) OVER () total,
+        |        coalesce(sum(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) bf
+        |      FROM g),
+        |k2 AS (SELECT t, d, c, total - bf n_risk FROM k),
+        |k3 AS (SELECT *,
+        |         CAST(CASE WHEN d > 0 AND d < n_risk
+        |           THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0 END
+        |           AS DECIMAL(28,20)) lnterm,
+        |         CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END zf
+        |       FROM k2),
+        |k4 AS (SELECT *, sum(lnterm) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) lsum,
+        |         max(zf) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) anyzero
+        |       FROM k3)
+        |SELECT t AS t_day, CAST(n_risk AS BIGINT) n_risk, d AS d_events,
+        |  c AS c_censored,
+        |  CASE WHEN anyzero = 1 THEN 0.0
+        |       ELSE round(exp(CAST(lsum AS DOUBLE)) * 1000000) / 1000000
+        |  END AS surv
+        |FROM k4 WHERE d > 0 ORDER BY t""".stripMargin,
     "q108_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) wk,

@@ -618,4 +618,65 @@ object Ranges {
 
   def sessionDurations(spark: SparkSession, sfDir: String): DataFrame =
     sessionDurations(Tables.events(spark, sfDir))
+
+  /** q135: Kaplan–Meier survival curve for signup→first-purchase — the
+    * censoring-aware upgrade of q48's fixed-window funnel: a user who
+    * signed up yesterday and hasn't purchased is NOT a failure, they're
+    * censored at the observation end, and KM is the standard estimator
+    * that uses them correctly. Day-granularity: per user, duration to
+    * first purchase at-or-after signup (or to the corpus max time when
+    * censored); at each event day S multiplies by (1 − d/n_risk).
+    *
+    * Scale shape: per-user durations reduce through two aggregates on the
+    * user key; the KM recursion itself runs on the DAY GRID (bounded rows,
+    * q114's idiom) — the cumulative product is exp of a running sum of
+    * decimal-snapped ln factors, with an explicit zero flag once any
+    * factor hits 0 so ln(0) never enters the sum.
+    */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), epochS(col("ts")).as("e"))
+    val tmax = ev.agg(max(col("e")).as("tmax"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("e")).as("s"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("e").as("pe"))
+    val durs = su.join(pu, Seq("user_id"), "left_outer")
+      .withColumn("pe2", when(col("pe") >= col("s"), col("pe")))
+      .groupBy(col("user_id"), col("s"))
+      .agg(min(col("pe2")).as("p"))
+      .crossJoin(broadcast(tmax))
+      .withColumn("event", col("p").isNotNull)
+      .withColumn("t",
+        when(col("event"), expr("(p - s) div 86400"))
+          .otherwise(expr("(tmax - s) div 86400")))
+    val grid = durs.groupBy(col("t")).agg(
+      sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    // single-partition windows over the bounded day grid only
+    val w = Window.orderBy(col("t"))
+    grid
+      .withColumn("total", sum(col("d") + col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("before", coalesce(sum(col("d") + col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("total") - col("before"))
+      .withColumn("lnterm",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)).cast("decimal(28,20)"))
+      .withColumn("zf", when(col("d") >= col("n_risk") && col("d") > 0, 1).otherwise(0))
+      .withColumn("lsum", sum(col("lnterm")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("anyzero", max(col("zf")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("d") > 0)
+      .select(col("t").as("t_day"), col("n_risk"),
+        col("d").as("d_events"), col("c").as("c_censored"),
+        when(col("anyzero") === 1, lit(0.0))
+          .otherwise(round(exp(col("lsum").cast("double")) * 1000000) / 1000000)
+          .as("surv"))
+  }
+
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame =
+    survivalCurve(Tables.events(spark, sfDir))
 }

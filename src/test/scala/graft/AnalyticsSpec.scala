@@ -184,6 +184,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got._4 > 0.7)
   }
 
+  test("survivalCurve matches the hand-computed Kaplan-Meier estimate") {
+    // A, D purchase at day 2; B at day 4; C never (censored at tmax=day 4).
+    // S(2) = 1 - 2/4 = 0.5; S(4) = 0.5 * (1 - 1/2) = 0.25.
+    val day = 86400L
+    val rows = Seq(
+      ("a", "signup", 0L), ("a", "purchase", 2 * day),
+      ("b", "signup", 0L), ("b", "purchase", 4 * day),
+      ("c", "signup", 0L),
+      ("d", "signup", 0L), ("d", "purchase", 2 * day))
+    val ev = rows.zipWithIndex.map { case ((u, t, e), i) => (u.hashCode.toLong, i.toLong, t, e) }
+      .toDF("user_id", "event_id", "event_type", "e")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        to_timestamp(col("e")).as("ts"), lit(1.0).as("value"))
+    val got = ops.Ranges.survivalCurve(ev)
+      .select("t_day", "n_risk", "d_events", "c_censored", "surv")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((2L, 4L, 2L, 0L, 0.5), (4L, 2L, 1L, 1L, 0.25)))
+  }
+
   test("sessionDurations buckets are log2 bins and shares sum to one") {
     val out = ops.Ranges.sessionDurations(spark, sf)
       .select("bucket", "n_sessions", "share")
