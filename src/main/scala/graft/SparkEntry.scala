@@ -292,6 +292,8 @@ object SparkEntry {
       Relational.disjunctiveRevenue(s, d).orderBy(col("p_brand"))),
     "q135_survival" -> ((s, d) =>
       Ranges.survivalCurve(s, d).orderBy(col("t_day"))),
+    "q136_matryoshka_recall" -> ((s, d) =>
+      Similarity.matryoshkaRecall(s, d).orderBy(col("trunc_dim"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2653,6 +2655,49 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q136_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+        |         embedding FROM e),
+        |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |nf AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16)))
+        |         AS DOUBLE)) nrm FROM xx GROUP BY 1),
+        |df AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |         CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |       FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10
+        |         AND p.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        |truth AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+        |    FROM df JOIN nf np ON probe_id = np.vec_id
+        |      JOIN nf nc ON neighbor_id = nc.vec_id) WHERE rnk <= 5),
+        |dims AS (SELECT unnest([8, 16, 32, 64]) dd),
+        |nt AS (SELECT dd, vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16)))
+        |         AS DOUBLE)) nrm
+        |       FROM xx CROSS JOIN dims WHERE i <= dd GROUP BY 1, 2),
+        |dt AS (SELECT dd, p.vec_id probe_id, c.vec_id neighbor_id,
+        |         CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |       FROM dims, xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10
+        |         AND p.vec_id <> c.vec_id
+        |       WHERE p.i <= dd
+        |       GROUP BY 1, 2, 3),
+        |rt AS (SELECT dd, probe_id, neighbor_id FROM (
+        |    SELECT dt.dd, probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY dt.dd, probe_id
+        |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+        |    FROM dt JOIN nt np ON dt.dd = np.dd AND probe_id = np.vec_id
+        |      JOIN nt nc ON dt.dd = nc.dd AND neighbor_id = nc.vec_id)
+        |  WHERE rnk <= 5),
+        |h AS (SELECT dd, CAST(count(*) AS BIGINT) n_hits
+        |      FROM rt SEMI JOIN truth USING (probe_id, neighbor_id)
+        |      GROUP BY 1)
+        |SELECT CAST(dims.dd AS INT) AS trunc_dim,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) n_hits,
+        |  round(coalesce(n_hits, 0) / 50.0 * 1000000) / 1000000 AS recall
+        |FROM dims LEFT JOIN h ON dims.dd = h.dd
+        |ORDER BY 1""".stripMargin,
     "q135_survival" ->
       """WITH ev AS (SELECT user_id, event_type,
         |              CAST(floor(epoch(ts)) AS BIGINT) e FROM events),

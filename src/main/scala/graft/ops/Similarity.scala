@@ -500,4 +500,42 @@ object Similarity {
 
   def normOutliers(spark: SparkSession, sfDir: String): DataFrame =
     normOutliers(Tables.embeddings(spark, sfDir))
+
+  /** q136: matryoshka truncation audit — recall@k of cosine search run on
+    * only the FIRST d dimensions, against the full-dimension ground truth,
+    * for a ladder of prefix widths. The memory/recall trade of
+    * truncation-tolerant embeddings made measurable: a 64→16 prefix cuts
+    * index bytes 4× — this query says what it costs in recall (and the
+    * full-width rung must score exactly 1.0, a built-in self-check).
+    * Pure composition: each rung is the q25 plan over `slice(v, 1, d)`,
+    * recall is one semi-join against the shared ground-truth top-k — the
+    * same audit-the-index pattern as q43/q65.
+    */
+  def matryoshkaRecall(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64),
+                       nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(emb, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val runs = dims.map { d =>
+      cosineTopK(emb.withColumn("embedding", slice(col("embedding"), 1, d)),
+        nProbes, k)
+        .select(lit(d).as("trunc_dim"), col("probe_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = runs.join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("trunc_dim"))
+      .agg(count(lit(1)).as("n_hits"))
+    // emit every rung even at zero hits — a silently missing row reads as
+    // "not measured" when it actually means "recall collapsed to 0"
+    val allDims = emb.sparkSession.range(dims.size)
+      .select(element_at(
+        lit(dims.toArray), col("id").cast("int") + 1).as("trunc_dim"))
+    val total = lit(nProbes * k)
+    allDims.join(hits, Seq("trunc_dim"), "left_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("trunc_dim"), col("n_hits"),
+        (round(col("n_hits").cast("double") / total * 1000000) / 1000000)
+          .as("recall"))
+  }
+
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame =
+    matryoshkaRecall(Tables.embeddings(spark, sfDir))
 }

@@ -184,6 +184,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(got._4 > 0.7)
   }
 
+  test("matryoshka recall is monotone in width and exact at full width") {
+    val got = ops.Similarity.matryoshkaRecall(spark, sf)
+      .orderBy("trunc_dim")
+      .select("trunc_dim", "recall").as[(Int, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(8, 16, 32, 64))
+    assert(got.sliding(2).forall { case Seq(a, b) => a._2 <= b._2 + 1e-9 })
+    assert(got.last._2 === 1.0) // full width IS the ground truth
+  }
+
   test("survivalCurve matches the hand-computed Kaplan-Meier estimate") {
     // A, D purchase at day 2; B at day 4; C never (censored at tmax=day 4).
     // S(2) = 1 - 2/4 = 0.5; S(4) = 0.5 * (1 - 1/2) = 0.25.
