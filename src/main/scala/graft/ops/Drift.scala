@@ -148,6 +148,15 @@ object Drift {
       .withColumn("tr", (col("e") < col("split_e")).cast("long"))
       .groupBy(col("event_type"), col("value"))
       .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    ksFromCounts(cnts)
+  }
+
+  /** The counts→KS stage alone, over (event_type, value, ca, cb) rows —
+    * factored like [[psiFromCounts]] so a streaming monitor can feed it
+    * live per-value phase counts against a frozen split (StreamingDriftSpec
+    * proves batch ≡ stream on the same rows).
+    */
+  def ksFromCounts(cnts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
     val whole = Window.partitionBy(col("event_type"))
     cnts

@@ -90,6 +90,35 @@ class DriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed per-value counts yield the same KS verdict as batch") {
+    implicit val ctx = spark.sqlContext
+    // frozen split boundary, as a production monitor would configure it —
+    // must equal the batch derivation floor(0 + (999-0)*0.75) = 749
+    val splitE = 749L
+    val mem = MemoryStream[(String, Long, Double)]
+    val streamedCounts = mem.toDF().toDF("event_type", "e", "value")
+      .withColumn("tr", (col("e") < lit(splitE)).cast("long"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    val q = streamedCounts.writeStream
+      .format("memory").queryName("ks_counts").outputMode("complete").start()
+    try {
+      val rs = rows
+      mem.addData(rs.take(600))
+      q.processAllAvailable()
+      mem.addData(rs.drop(600))
+      q.processAllAvailable()
+      val live = Drift.ksFromCounts(spark.table("ks_counts"))
+        .select("event_type", "n_train", "n_eval", "ks", "drifted")
+        .as[(String, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      val batch = Drift.ksDrift(
+        ev.select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value")))
+        .select("event_type", "n_train", "n_eval", "ks", "drifted")
+        .as[(String, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      assert(live.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("ks drift: identical distributions pass, disjoint ones flag") {
     // "same": uniform 0..49 in both phases → KS ≈ 0, below threshold.
     // "jump": eval values disjoint from train's → KS = 1 exactly.
