@@ -294,6 +294,8 @@ object SparkEntry {
       Ranges.survivalCurve(s, d).orderBy(col("t_day"))),
     "q136_matryoshka_recall" -> ((s, d) =>
       Similarity.matryoshkaRecall(s, d).orderBy(col("trunc_dim"))),
+    "q137_rrf_fusion" -> ((s, d) =>
+      Retrieval.rrfFusion(s, d).orderBy(col("probe_id"), col("rnk"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2655,6 +2657,67 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q137_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf
+        |       FROM tx GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |probes AS (SELECT doc_id probe_id, tok FROM tf WHERE doc_id < 5),
+        |scored AS (SELECT p.probe_id, t.doc_id,
+        |    sum(CAST(
+        |      ln((n_docs - CAST(df AS DOUBLE) + 0.5)
+        |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      AS DECIMAL(18,10))) s
+        |  FROM tf t JOIN probes p USING (tok)
+        |  JOIN dfreq USING (tok) JOIN dl ON t.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  WHERE t.doc_id <> p.probe_id
+        |  GROUP BY 1, 2),
+        |brk AS (SELECT probe_id, doc_id, rnk FROM (
+        |    SELECT probe_id, doc_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, doc_id) rnk
+        |    FROM scored) WHERE rnk <= 10),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+        |         embedding FROM e),
+        |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |nrm AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16)))
+        |          AS DOUBLE)) nrm FROM xx GROUP BY 1),
+        |dots AS (SELECT p.vec_id probe_id, cd.vec_id doc_id,
+        |           CAST(sum(CAST(p.v*cd.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |         FROM xx p JOIN xx cd ON p.i = cd.i AND p.vec_id < 5
+        |           AND p.vec_id <> cd.vec_id
+        |         GROUP BY 1, 2),
+        |crk AS (SELECT probe_id, doc_id, rnk FROM (
+        |    SELECT probe_id, doc_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY dot/(np.nrm*nc.nrm) DESC, doc_id) rnk
+        |    FROM dots JOIN nrm np ON probe_id = np.vec_id
+        |      JOIN nrm nc ON doc_id = nc.vec_id) WHERE rnk <= 10),
+        |f AS (SELECT coalesce(b.probe_id, cr.probe_id) probe_id,
+        |        coalesce(b.doc_id, cr.doc_id) doc_id,
+        |        b.rnk brnk, cr.rnk crnk
+        |      FROM brk b FULL JOIN crk cr
+        |        ON b.probe_id = cr.probe_id AND b.doc_id = cr.doc_id),
+        |g AS (SELECT probe_id, doc_id,
+        |        coalesce(1.0 / (60 + brnk), 0) + coalesce(1.0 / (60 + crnk), 0)
+        |          rrf, brnk, crnk FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY rrf DESC, doc_id) rnk FROM g)
+        |SELECT probe_id, CAST(rnk AS INT) rnk, doc_id,
+        |  round(rrf * 1000000) / 1000000 AS rrf,
+        |  CAST(coalesce(brnk, -1) AS INT) rank_bm25,
+        |  CAST(coalesce(crnk, -1) AS INT) rank_cos
+        |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
     "q136_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,

@@ -69,4 +69,42 @@ object Retrieval {
 
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
     bm25TopK(Tables.documents(spark, sfDir))
+
+  /** q137: reciprocal-rank fusion of the lexical (BM25, q82) and semantic
+    * (cosine, q25) rankers — THE standard hybrid-retrieval combiner
+    * (Cormack et al. 2009): each ranker contributes 1/(c + rank) for the
+    * documents it placed in its top `kIn`, fused score sorts the union.
+    * RRF needs only RANKS, never comparable scores, which is why it
+    * survives fusing a log-scale BM25 with a [−1,1] cosine.
+    *
+    * Both inputs are the existing lazy plans; the fusion itself is a
+    * full-outer equi-join on (probe, doc) — two top-kIn tables of
+    * nProbes·kIn rows each, so the join is trivially small no matter the
+    * corpus. Ties (same pair of ranks swapped across rankers) break by
+    * doc_id, and 1/(c+rank) on integer ranks is deterministic, so the
+    * fused ordering is engine-independent.
+    */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, nProbes: Int = 5,
+                kIn: Int = 10, kOut: Int = 5, c: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, nProbes, kIn)
+      .select(col("probe_id"), col("doc_id"), col("rnk").as("rank_bm25"))
+    val sem = Similarity.cosineTopK(emb, nProbes, kIn)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("rank_cos"))
+    val fused = lex.join(sem, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank_bm25")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("rank_cos")), lit(0.0)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= kOut)
+      .select(col("probe_id"), col("rnk"), col("doc_id"),
+        (round(col("rrf") * 1000000) / 1000000).as("rrf"),
+        coalesce(col("rank_bm25"), lit(-1)).as("rank_bm25"),
+        coalesce(col("rank_cos"), lit(-1)).as("rank_cos"))
+  }
+
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
+    rrfFusion(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
 }
