@@ -296,6 +296,8 @@ object SparkEntry {
       Similarity.matryoshkaRecall(s, d).orderBy(col("trunc_dim"))),
     "q137_rrf_fusion" -> ((s, d) =>
       Retrieval.rrfFusion(s, d).orderBy(col("probe_id"), col("rnk"))),
+    "q138_rank_churn" -> ((s, d) =>
+      TextAnalysis.rankChurn(s, d).orderBy(col("lang"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2657,6 +2659,35 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q138_rank_churn" ->
+      """WITH cut AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) cut
+        |             FROM documents),
+        |tok AS (SELECT lang, doc_id <= cut oldph, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) tok
+        |  FROM documents CROSS JOIN cut),
+        |c AS (SELECT lang, oldph, tok, CAST(count(*) AS BIGINT) freq
+        |      FROM tok GROUP BY 1, 2, 3),
+        |r AS (SELECT lang, oldph, tok,
+        |        row_number() OVER (PARTITION BY lang, oldph
+        |          ORDER BY freq DESC, tok) rnk
+        |      FROM c),
+        |k AS (SELECT * FROM r WHERE rnk <= 20),
+        |a AS (SELECT lang, tok, rnk ra FROM k WHERE oldph),
+        |b AS (SELECT lang, tok, rnk rb FROM k WHERE NOT oldph),
+        |f AS (SELECT coalesce(a.lang, b.lang) lang, a.ra, b.rb
+        |      FROM a FULL JOIN b ON a.lang = b.lang AND a.tok = b.tok),
+        |g AS (SELECT lang,
+        |        CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |          THEN 1 ELSE 0 END) AS BIGINT) n_common,
+        |        CAST(count(*) AS BIGINT) n_union,
+        |        CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |          THEN abs(ra - rb) END) AS BIGINT) disp
+        |      FROM f GROUP BY 1)
+        |SELECT lang, n_common,
+        |  round(CAST(n_common AS DOUBLE) / n_union * 1000000) / 1000000
+        |    AS jaccard,
+        |  round(CAST(disp AS DOUBLE) / n_common * 10000) / 10000 AS mean_disp
+        |FROM g ORDER BY lang""".stripMargin,
     "q137_rrf_fusion" ->
       """WITH d AS (SELECT doc_id, string_split(
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w

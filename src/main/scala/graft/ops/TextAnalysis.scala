@@ -745,4 +745,52 @@ object TextAnalysis {
 
   def heapsLaw(spark: SparkSession, sfDir: String): DataFrame =
     heapsLaw(Tables.documents(spark, sfDir))
+
+  /** q138: top-k token rank churn between corpus snapshots — the head of
+    * the vocabulary is where tokenizer merges, stopword lists, and cache
+    * layouts are decided, so "did the top-20 move" is its own drift
+    * question beside q115's whole-distribution divergence. Snapshot split
+    * at 75% of doc ids (the ingest-order proxy); per language: Jaccard of
+    * the two top-k sets and mean absolute rank displacement on the common
+    * tokens.
+    *
+    * Shape: one (lang, phase, token) count shuffle with map-side combine;
+    * the rank windows carry a rank ≤ k filter, so WindowGroupLimit prunes
+    * them map-side; the fusion join runs on two |langs|·k rank tables —
+    * corpus-size-independent, q137's pattern.
+    */
+  def rankChurn(docs: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = docs.agg(
+      (max(col("doc_id")) * 3 / lit(4)).cast("long").as("cut"))
+    val counts = docs
+      .crossJoin(broadcast(cutoff))
+      .select(col("lang"), (col("doc_id") <= col("cut")).as("old"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("lang"), col("old"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang"), col("old"))
+      .orderBy(col("freq").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+    val a = ranked.where(col("old")).select(col("lang"), col("tok"), col("rnk").as("ra"))
+    val b = ranked.where(!col("old")).select(col("lang"), col("tok"), col("rnk").as("rb"))
+    a.join(b, Seq("lang", "tok"), "full_outer")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("ra").isNotNull && col("rb").isNotNull, 1L).otherwise(0L))
+          .as("n_common"),
+        count(lit(1)).as("n_union"),
+        sum(when(col("ra").isNotNull && col("rb").isNotNull,
+          abs(col("ra") - col("rb")).cast("long"))).as("disp"))
+      .select(col("lang"), col("n_common"),
+        (round(col("n_common").cast("double") / col("n_union") * 1000000)
+          / 1000000).as("jaccard"),
+        (round(col("disp").cast("double") / col("n_common") * 10000) / 10000)
+          .as("mean_disp"))
+  }
+
+  def rankChurn(spark: SparkSession, sfDir: String): DataFrame =
+    rankChurn(Tables.documents(spark, sfDir))
 }

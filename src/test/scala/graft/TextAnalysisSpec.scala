@@ -107,4 +107,18 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double, Double)].head()
     assert(got === (("x", 8L, 64L, 8L, 0.5, 0.0)))
   }
+
+  test("rankChurn scores a planted head-vocabulary shift") {
+    // cutoff = 3*3/4 = 2: docs 0-2 are the old snapshot ("aa bb" → ranks
+    // aa=1, bb=2), doc 3 is the new one ("bb cc" → bb=1, cc=2). Common
+    // token bb moved one rank; union is {aa, bb, cc}.
+    val docs = Seq(
+      (0L, "aa bb"), (1L, "aa bb"), (2L, "aa bb"), (3L, "bb cc")
+    ).map { case (id, t) => (id, t, "x", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.rankChurn(docs)
+      .select("lang", "n_common", "jaccard", "mean_disp")
+      .as[(String, Long, Double, Double)].head()
+    assert(got === (("x", 1L, 0.333333, 1.0)))
+  }
 }
