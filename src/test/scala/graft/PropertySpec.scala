@@ -110,4 +110,83 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mergedIncidents agrees with a plain interval-union sweep on random streams") {
+    val gap = 1800L; val pad = 1200L
+    val rowGen = for {
+      u <- Gen.chooseNum(1L, 4L)
+      e <- Gen.chooseNum(0L, 20000L)
+    } yield (u, e)
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(120, rowGen), seed).distinct
+      // independent reference: sessionize, filter n>=2, pad, union-merge
+      val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val sorted = rs.map(_._2).sorted
+        val ranges = scala.collection.mutable.ListBuffer[(Long, Long, Int)]()
+        var start = sorted.head; var prev = sorted.head; var n = 1
+        for (t <- sorted.tail) {
+          if (t - prev > gap) { ranges += ((start, prev, n)); start = t; n = 0 }
+          prev = t; n += 1
+        }
+        ranges += ((start, prev, n))
+        val kept = ranges.filter(_._3 >= 2).map(r => (r._1 - pad, r._2 + pad))
+        if (kept.isEmpty) None
+        else {
+          val merged = scala.collection.mutable.ListBuffer[(Long, Long)]()
+          for ((s, e) <- kept.sortBy(identity)) {
+            if (merged.nonEmpty && s <= merged.last._2)
+              merged(merged.length - 1) =
+                (merged.last._1, math.max(merged.last._2, e))
+            else merged += ((s, e))
+          }
+          val spans = merged.map(m => m._2 - m._1)
+          Some(u -> ((kept.size.toLong, merged.size.toLong,
+            spans.sum, spans.max)))
+        }
+      }
+      val ev = rows.zipWithIndex.map { case ((u, e), i) => (u, i.toLong, e) }
+        .toDF("user_id", "event_id", "e")
+        .select(col("user_id"), col("event_id"),
+          to_timestamp(col("e")).as("ts"), lit("error").as("event_type"),
+          lit(1.0).as("value"))
+      val got = graft.ops.Ranges.mergedIncidents(ev, gap, pad)
+        .select("user_id", "n_raw", "n_merged", "covered_sec", "longest_sec")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("ksDrift agrees with a direct two-sample KS computation on random data") {
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b")
+      e <- Gen.chooseNum(0L, 999L)
+      v <- Gen.frequency(
+        (3, Gen.chooseNum(-50.0, 50.0)),
+        (2, Gen.chooseNum(-5, 5).map(_.toDouble))) // deliberate ties
+    } yield (k, e, v)
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(400, rowGen), seed)
+      val es = rows.map(_._2)
+      val split = math.floor(es.min + (es.max - es.min) * 0.75).toLong
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val a = rs.filter(_._2 < split).map(_._3)
+        val b = rs.filter(_._2 >= split).map(_._3)
+        val vals = (a ++ b).distinct.sorted
+        val na = a.size.toDouble; val nb = b.size.toDouble
+        val ks = vals.map(v =>
+          math.abs(a.count(_ <= v) / na - b.count(_ <= v) / nb)).max
+        val thr = 1.3581 * math.sqrt((na + nb) / (na * nb))
+        k -> ((a.size.toLong, b.size.toLong,
+          math.round(ks * 10000) / 10000.0, ks > thr))
+      }
+      val ev = rows.toDF("event_type", "e", "value")
+        .select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value"))
+      val got = graft.ops.Drift.ksDrift(ev)
+        .select("event_type", "n_train", "n_eval", "ks", "drifted")
+        .as[(String, Long, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
