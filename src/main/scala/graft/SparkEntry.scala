@@ -298,6 +298,8 @@ object SparkEntry {
       Retrieval.rrfFusion(s, d).orderBy(col("probe_id"), col("rnk"))),
     "q138_rank_churn" -> ((s, d) =>
       TextAnalysis.rankChurn(s, d).orderBy(col("lang"))),
+    "q139_cusum" -> ((s, d) =>
+      TimeSeries.cusum(s, d).orderBy(col("event_type"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2659,6 +2661,41 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q139_cusum" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |daily AS (SELECT event_type, e // 86400 dy,
+        |            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |              / count(*) x
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type,
+        |        CAST(min(dy) + floor((max(dy) - min(dy)) * 0.75) AS BIGINT) cut
+        |      FROM daily GROUP BY 1),
+        |wp AS (SELECT d.event_type, dy, x, cut
+        |       FROM daily d JOIN b USING (event_type)),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n_train,
+        |         CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) s,
+        |         CAST(sum(CAST(x * x AS DECIMAL(38,16))) AS DOUBLE) sq
+        |       FROM wp WHERE dy <= cut GROUP BY 1),
+        |st2 AS (SELECT event_type, n_train, s / n_train mu,
+        |          sqrt((sq - s * s / n_train) / (n_train - 1)) sigma
+        |        FROM st),
+        |c AS (SELECT wp.event_type, dy, n_train,
+        |        CAST(CASE WHEN sigma = 0 THEN 0
+        |          ELSE (x - mu) / sigma - 0.5 END AS DECIMAL(28,16)) term
+        |      FROM wp JOIN st2 USING (event_type)),
+        |c2 AS (SELECT *, sum(term) OVER (PARTITION BY event_type ORDER BY dy
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cs FROM c),
+        |c3 AS (SELECT *, least(min(cs) OVER (PARTITION BY event_type
+        |         ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |         ROW), 0) runmin FROM c2),
+        |c4 AS (SELECT event_type, n_train, dy,
+        |         CAST(cs - runmin AS DOUBLE) exc FROM c3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY exc DESC, dy) rn FROM c4)
+        |SELECT event_type, n_train, dy AS peak_day,
+        |  round(exc * 10000) / 10000 AS peak, exc > 5.0 AS drifted
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q138_rank_churn" ->
       """WITH cut AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) cut
         |             FROM documents),

@@ -727,6 +727,68 @@ object TimeSeries {
   def dominantPeriod(spark: SparkSession, sfDir: String): DataFrame =
     dominantPeriod(Tables.events(spark, sfDir))
 
+  /** q139: one-sided CUSUM drift detector per series — the SPC classic
+    * that catches SUSTAINED small shifts q41's point z-scores and q111's
+    * single split both miss. The textbook recursion
+    * Cₜ = max(0, Cₜ₋₁ + zₜ − slack) is not window-expressible, but its
+    * closed form is: C = cumsum(z − slack) minus its own running minimum
+    * — two windows over the same per-series sort. Baseline μ/σ come from
+    * the first 75% of days (q87's frozen-train convention), so the eval
+    * tail is scored against pre-drift behavior.
+    *
+    * Scale shape: runs on the per-day resample (q131's bounded table),
+    * (z − slack) terms decimal-snapped before the cumulative sum so the
+    * excursion is partition-order-free; peak day tie-breaks earliest.
+    */
+  def cusum(events: DataFrame, slack: Double = 0.5,
+            threshold: Double = 5.0): DataFrame = {
+    val daily = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("day", floor(col("e") / 86400L))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("x"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("cut",
+        (col("d0") + floor((col("d1") - col("d0")) * 0.75)).cast("long"))
+      .select(col("event_type"), col("cut"))
+    val withPhase = daily.join(broadcast(bounds), "event_type")
+    val stats = withPhase.where(col("day") <= col("cut"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(col("x").cast("decimal(28,16)")).cast("double").as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,16)")).cast("double").as("sq"))
+      .withColumn("mu", col("s") / col("n_train"))
+      .withColumn("sigma", sqrt(
+        (col("sq") - col("s") * col("s") / col("n_train"))
+          / (col("n_train") - 1)))
+      .select(col("event_type"), col("n_train"), col("mu"), col("sigma"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = withPhase.join(broadcast(stats), "event_type")
+      .withColumn("term",
+        when(col("sigma") === 0, lit(0.0))
+          .otherwise((col("x") - col("mu")) / col("sigma") - slack)
+          .cast("decimal(28,16)"))
+      .withColumn("cs", sum(col("term")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("runmin", least(
+        min(col("cs")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,16)")))
+      .withColumn("exc", (col("cs") - col("runmin")).cast("double"))
+    cum
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("exc").desc, col("day"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("n_train"), col("day").as("peak_day"),
+        r4(col("exc")).as("peak"), (col("exc") > threshold).as("drifted"))
+  }
+
+  def cusum(spark: SparkSession, sfDir: String): DataFrame =
+    cusum(Tables.events(spark, sfDir))
+
   /** q116: seasonally-adjusted outliers — q41's z-score run on the
     * DESEASONALIZED value (value ÷ its weekday mean), so a normal Sunday
     * lull is no longer an outlier and a spike ON a lull day is. The

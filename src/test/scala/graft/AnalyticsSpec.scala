@@ -169,6 +169,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === (("s", 4L, 4L, 0.0, -2.6458)))
   }
 
+  test("cusum flags a sustained post-train shift and clears a stable series") {
+    val rows = (0 until 20).flatMap { d =>
+      val base = if (d % 2 == 0) 9.0 else 11.0
+      Seq(
+        ("flat", d, base),
+        ("shift", d, if (d >= 15) 20.0 else base)) // eval tail jumps +10
+    }
+    val ev = rows.zipWithIndex.map { case ((k, d, v), i) =>
+      (k, i.toLong, d * 86400L, v)
+    }.toDF("event_type", "event_id", "e", "value")
+      .select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value"))
+    val got = TimeSeries.cusum(ev)
+      .select("event_type", "peak_day", "peak", "drifted")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("shift")._4 && got("shift")._3 > 5.0)
+    assert(got("shift")._2 === 19L) // excursion keeps growing to the end
+    assert(!got("flat")._4 && got("flat")._3 < 3.0)
+  }
+
   test("dominantPeriod finds a planted weekly cycle") {
     val rows = (0 until 28).map { d =>
       (d.toLong, d * 86400L, if (d % 7 == 0) 10.0 else 0.0)
