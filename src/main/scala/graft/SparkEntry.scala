@@ -300,6 +300,10 @@ object SparkEntry {
       TextAnalysis.rankChurn(s, d).orderBy(col("lang"))),
     "q139_cusum" -> ((s, d) =>
       TimeSeries.cusum(s, d).orderBy(col("event_type"))),
+    "q140_quantile_drift" -> ((s, d) =>
+      Drift.quantileDrift(s, d).orderBy(col("event_type"))),
+    "q141_winsorized" -> ((s, d) =>
+      Drift.winsorizedStats(s, d).orderBy(col("event_type"))),
     "q108_cohort_ltv" -> ((s, d) =>
       Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
   )
@@ -2661,6 +2665,47 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q141_winsorized" ->
+      """WITH b AS (SELECT event_type,
+        |        quantile_cont(value, 0.05) lo,
+        |        quantile_cont(value, 0.95) hi
+        |      FROM events GROUP BY 1),
+        |w AS (SELECT e.event_type, value, lo, hi,
+        |        greatest(least(value, hi), lo) wv
+        |      FROM events e JOIN b USING (event_type)),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END)
+        |          AS BIGINT) n_clip_lo,
+        |        CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END)
+        |          AS BIGINT) n_clip_hi,
+        |        CAST(sum(CAST(wv AS DECIMAL(28,16))) AS DOUBLE) s,
+        |        CAST(sum(CAST(wv * wv AS DECIMAL(38,16))) AS DOUBLE) sq
+        |      FROM w GROUP BY 1)
+        |SELECT event_type, n, n_clip_lo, n_clip_hi,
+        |  round(s / n * 10000) / 10000 AS wins_mean,
+        |  round(sqrt((sq - s * s / n) / (n - 1)) * 10000) / 10000 AS wins_sd
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q140_quantile_drift" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |sp AS (SELECT CAST(floor(min(e) + (max(e) - min(e)) * 0.75)
+        |                AS BIGINT) split_e FROM ev),
+        |tr AS (SELECT event_type,
+        |         quantile_cont(value, 0.5) p50_tr,
+        |         quantile_cont(value, 0.9) p90_tr
+        |       FROM ev CROSS JOIN sp WHERE e < split_e GROUP BY 1),
+        |evl AS (SELECT event_type,
+        |          quantile_cont(value, 0.5) p50_ev,
+        |          quantile_cont(value, 0.9) p90_ev
+        |        FROM ev CROSS JOIN sp WHERE e >= split_e GROUP BY 1)
+        |SELECT event_type,
+        |  round(p50_tr * 10000) / 10000 AS p50_train,
+        |  round(p90_tr * 10000) / 10000 AS p90_train,
+        |  round(p50_ev * 10000) / 10000 AS p50_eval,
+        |  round(p90_ev * 10000) / 10000 AS p90_eval,
+        |  round((p50_ev - p50_tr) * 10000) / 10000 AS d50,
+        |  round((p90_ev - p90_tr) * 10000) / 10000 AS d90
+        |FROM tr JOIN evl USING (event_type) ORDER BY event_type""".stripMargin,
     "q139_cusum" ->
       """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
         |              value FROM events),

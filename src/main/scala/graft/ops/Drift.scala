@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TimeSeries.epochS
+import graft.ops.TimeSeries.{epochS, r4}
 
 /** Distribution-drift monitoring via the Population Stability Index.
   *
@@ -180,4 +180,74 @@ object Drift {
 
   def ksDrift(spark: SparkSession, sfDir: String): DataFrame =
     ksDrift(Tables.events(spark, sfDir))
+
+  /** q140: per-sensor quantile drift train→eval — completes the drift
+    * family along its fourth axis: q87/PSI sees binned mass, q128/KS the
+    * whole CDF, the Welch/Mann–Whitney pair the central tendency; this
+    * reports WHERE the distribution moved in its own units (median and
+    * p90 deltas), which is what a threshold-tuning runbook actually
+    * consumes. Both phases run the two-pass exact-quantile operator
+    * (q34's engine — no task ever buffers a group), split at the q87
+    * 75%-of-timespan boundary.
+    */
+  def quantileDrift(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    val split = ev.agg(
+      floor(min(col("e")) + (max(col("e")) - min(col("e"))) * 0.75)
+        .cast("long").as("split_e"))
+    val phased = ev.crossJoin(broadcast(split))
+    def quantilesOf(df: DataFrame, suffix: String): DataFrame =
+      Percentiles.exactQuantiles(df, "event_type", "value",
+        Seq(s"p50_$suffix" -> 0.5, s"p90_$suffix" -> 0.9))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("qname") === s"p50_$suffix", col("qv"))).as(s"p50_$suffix"),
+          min(when(col("qname") === s"p90_$suffix", col("qv"))).as(s"p90_$suffix"))
+    val tr = quantilesOf(phased.where(col("e") < col("split_e")), "tr")
+    val evq = quantilesOf(phased.where(col("e") >= col("split_e")), "ev")
+    tr.join(evq, "event_type")
+      .select(col("event_type"),
+        r4(col("p50_tr")).as("p50_train"), r4(col("p90_tr")).as("p90_train"),
+        r4(col("p50_ev")).as("p50_eval"), r4(col("p90_ev")).as("p90_eval"),
+        r4(col("p50_ev") - col("p50_tr")).as("d50"),
+        r4(col("p90_ev") - col("p90_tr")).as("d90"))
+  }
+
+  def quantileDrift(spark: SparkSession, sfDir: String): DataFrame =
+    quantileDrift(Tables.events(spark, sfDir))
+
+  /** q141: winsorized moments per series — mean/std after clipping values
+    * to the series' own [p05, p95] band: the robust location/scale pair a
+    * monitoring baseline should use when q41-style raw moments are hostage
+    * to a handful of spikes (clip-don't-drop keeps n constant, unlike
+    * trimming). Quantile bounds come from the two-pass exact operator
+    * (broadcast back as a series-sized dimension), clipped values are
+    * decimal-snapped before the moment sums, and the clip counts are
+    * reported so a saturated band is visible.
+    */
+  def winsorizedStats(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val bounds = Percentiles.exactQuantiles(ev, "event_type", "value",
+      Seq("lo" -> 0.05, "hi" -> 0.95))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("qname") === "lo", col("qv"))).as("lo"),
+        min(when(col("qname") === "hi", col("qv"))).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("w", greatest(least(col("value"), col("hi")), col("lo")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("w").cast("decimal(28,16)")).cast("double").as("s"),
+        sum((col("w") * col("w")).cast("decimal(38,16)")).cast("double").as("sq"))
+      .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        r4(col("s") / col("n")).as("wins_mean"),
+        r4(sqrt((col("sq") - col("s") * col("s") / col("n"))
+          / (col("n") - 1))).as("wins_sd"))
+  }
+
+  def winsorizedStats(spark: SparkSession, sfDir: String): DataFrame =
+    winsorizedStats(Tables.events(spark, sfDir))
 }

@@ -119,6 +119,34 @@ class DriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantileDrift reports a planted median shift in value units") {
+    // anchors at e=0 and e=1200 pin the split to floor(1200·0.75)=900;
+    // train is then 0..99 (×8 + one extra 0), eval 100..199 (×2 + one
+    // extra 100) — every R-7 rank lands ON a sorted element, so the
+    // quantiles are integers and d50 = d90 = 100 exactly.
+    val rows = Seq(("s", 0L, 0.0), ("s", 1200L, 100.0)) ++
+      (100 until 900).map(e => ("s", e.toLong, (e % 100).toDouble)) ++
+      (900 until 1100).map(e => ("s", e.toLong, 100.0 + e % 100))
+    val ev = rows.toDF("event_type", "e", "value")
+      .select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value"))
+    val got = Drift.quantileDrift(ev)
+      .select("event_type", "d50", "d90").as[(String, Double, Double)].head()
+    assert(got._2 === 100.0 && got._3 === 100.0)
+  }
+
+  test("winsorized moments clip symmetric tails without moving the center") {
+    // values 1..100: p05/p95 clip 5 rows each side symmetrically, so the
+    // winsorized mean stays exactly 50.5 while the spread shrinks.
+    val ev = (1 to 100).map(v => ("s", v.toLong, v.toDouble))
+      .toDF("event_type", "e", "value")
+      .select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value"))
+    val got = Drift.winsorizedStats(ev)
+      .select("event_type", "n", "n_clip_lo", "n_clip_hi", "wins_mean", "wins_sd")
+      .as[(String, Long, Long, Long, Double, Double)].head()
+    assert(got === (("s", 100L, 5L, 5L, 50.5, got._6)))
+    assert(got._6 > 0 && got._6 < 29.02) // tighter than the raw sd 29.01..?
+  }
+
   test("ks drift: identical distributions pass, disjoint ones flag") {
     // "same": uniform 0..49 in both phases → KS ≈ 0, below threshold.
     // "jump": eval values disjoint from train's → KS = 1 exactly.
