@@ -748,6 +748,16 @@ object TimeSeries {
       .groupBy(col("event_type"), col("day"))
       .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
         / count(lit(1))).as("x"))
+    cusumFromDaily(daily, slack, threshold)
+  }
+
+  /** The daily-resample→CUSUM stage alone, over (event_type, day, x) rows —
+    * factored like the PSI/KS count stages so a streaming monitor can feed
+    * it a live per-day aggregate (complete-mode) and get the identical
+    * verdict (StreamingDriftSpec-style parity in AnalyticsSpec).
+    */
+  def cusumFromDaily(daily: DataFrame, slack: Double = 0.5,
+                     threshold: Double = 5.0): DataFrame = {
     val bounds = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .withColumn("cut",

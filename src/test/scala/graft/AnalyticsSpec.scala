@@ -189,6 +189,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(!got("flat")._4 && got("flat")._3 < 3.0)
   }
 
+  test("streamed daily aggregates yield the same CUSUM verdict as batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rows = (0 until 20).flatMap { d =>
+      val base = if (d % 2 == 0) 9.0 else 11.0
+      Seq(("flat", d * 86400L, base),
+        ("shift", d * 86400L, if (d >= 15) 20.0 else base))
+    }
+    val mem = MemoryStream[(String, Long, Double)]
+    val streamedDaily = mem.toDF().toDF("event_type", "e", "value")
+      .withColumn("day", floor(col("e") / 86400L))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("x"))
+    val q = streamedDaily.writeStream
+      .format("memory").queryName("cusum_daily").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(25))
+      q.processAllAvailable()
+      mem.addData(rows.drop(25))
+      q.processAllAvailable()
+      // snapshot the live table: cusumFromDaily joins the daily frame with
+      // its own aggregate, and the memory-sink VIEW can't be on both sides
+      val live = TimeSeries.cusumFromDaily(
+        spark.table("cusum_daily").localCheckpoint())
+        .select("event_type", "peak_day", "peak", "drifted")
+        .as[(String, Long, Double, Boolean)].collect().sortBy(_._1)
+      val batch = TimeSeries.cusum(rows.toDF("event_type", "e", "value")
+        .select(col("event_type"), to_timestamp(col("e")).as("ts"), col("value")))
+        .select("event_type", "peak_day", "peak", "drifted")
+        .as[(String, Long, Double, Boolean)].collect().sortBy(_._1)
+      assert(live.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("dominantPeriod finds a planted weekly cycle") {
     val rows = (0 until 28).map { d =>
       (d.toLong, d * 86400L, if (d % 7 == 0) 10.0 else 0.0)
