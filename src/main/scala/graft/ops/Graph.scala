@@ -73,4 +73,115 @@ object Graph {
         "star-contraction variant for long-path graphs")
     labels
   }
+
+  /** Distributed PageRank by power iteration — importance scoring over a
+    * directed entity graph (source-citation webs, customer→supplier flow,
+    * doc-link graphs for crawl-frontier prioritisation).
+    *
+    * Each round is one shuffle: ranks join the edge list on the source,
+    * every edge carries rank/out_degree to its destination, and a groupBy
+    * on the destination sums the inflow. Dangling vertices (no out-edges)
+    * can't be dropped — their mass leaks and ranks stop summing to 1 — so
+    * their total rank is collected as ONE scalar per round (same O(1)
+    * driver-traffic idiom as connectedComponents' convergence aggregate)
+    * and redistributed uniformly. Convergence is the L1 delta between
+    * successive rank vectors; each round localCheckpoints to keep the plan
+    * O(1) deep. The edge list and out-degrees are materialized once.
+    *
+    * @param edges two BIGINT columns (src, dst), DIRECTED; parallel
+    *              duplicate edges are collapsed.
+    * @return (id, rank) — ranks sum to 1 over all vertices.
+    */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, tol: Double = 1e-6,
+               maxIters: Int = 120): DataFrame = {
+    // error contracts by ~damping per round, so the defaults (0.85, 1e-6)
+    // need ~log(tol)/log(damping) ≈ 85 rounds — size maxIters accordingly
+    // when tightening tol; non-convergence fails loudly below
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
+    val n = verts.count()
+    val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    // (id, deg) for every vertex; deg NULL ⇔ dangling
+    val degs = verts.join(outDeg, Seq("id"), "left").localCheckpoint()
+
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val withDeg = ranks.join(degs, "id")
+      val dangling = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val inflow = withDeg.where(col("deg").isNotNull)
+        .join(e.withColumnRenamed("u", "id"), "id")
+        .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
+        .groupBy("id").agg(sum("w").as("inflow"))
+      val base = (1.0 - damping) / n + damping * dangling / n
+      val next = ranks.select(col("id"), col("rank").as("prev"))
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      val delta = next.agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
+      converged = delta < tol
+      ranks = next.drop("prev")
+      iter += 1
+    }
+    require(converged,
+      s"pageRank did not converge within $maxIters rounds (L1 delta ≥ $tol); " +
+        "raise maxIters or loosen tol")
+    ranks
+  }
+
+  /** Distributed triangle counting via degree-ordered edge orientation —
+    * the standard cohesion/quality metric for near-dup graphs (a dup
+    * cluster whose edges close into triangles is a genuine clique; a hub
+    * whose edges don't is a false-positive star).
+    *
+    * All-pairs wedge enumeration on a raw adjacency explodes on hubs: a
+    * degree-m vertex contributes m²/2 wedges. Orienting every edge from
+    * its lower-(degree, id) endpoint to the higher one makes each triangle
+    * countable exactly once AND bounds any vertex's out-degree by
+    * O(sqrt(m)) — a hub's edges all point INTO it, so it generates no
+    * wedges. The count is then two equi-joins: oriented wedges
+    * (a→b, a→c) semi-joined against the oriented edge (b→c).
+    *
+    * @param edges two BIGINT columns, undirected semantics; self-loops and
+    *              duplicate/reversed rows are collapsed.
+    * @return (id, triangles) — per-vertex triangle membership counts;
+    *         vertices in no triangle are omitted.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    // canonical undirected edge (min, max) — kills duplicates + reversals
+    val und = raw.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")).distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id)
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint()
+    // wedges a→b, a→c (both leg orders kept): the closing edge b→c exists in
+    // exactly ONE orientation, so the semi-join keeps each triangle once —
+    // at its lowest-(deg, id) apex, with legs in orientation order
+    val w1 = oriented
+    val w2 = oriented.select(col("a"), col("b").as("c"))
+    val triangles = w1.join(w2, "a").where(col("b") =!= col("c"))
+      .join(oriented.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "leftsemi")
+    // a wedge (a,b,c) that closes is one triangle touching all three
+    triangles.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -37,4 +37,81 @@ class GraphSpec extends SparkSpec {
     val cc = components(Seq((5L, 1L), (2L, 5L)))
     assert(cc === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
   }
+
+  // independent plain-Scala power iteration for cross-validation
+  private def referencePageRank(edges: Seq[(Long, Long)], d: Double,
+                                iters: Int): Map[Long, Double] = {
+    val e = edges.distinct
+    val verts = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val n = verts.size
+    val out = e.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var r = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = verts.filterNot(out.contains).map(r).sum
+      val inflow = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / out(u).size }.sum
+      }
+      val base = (1.0 - d) / n + d * dangling / n
+      r = verts.map(v => v -> (base + d * inflow.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches a plain power iteration, dangling mass included") {
+    // 4 links into a hub, hub links out to one page, page 5 dangles
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 2L), (2L, 3L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), tol = 1e-10, maxIters = 300)
+      .as[(Long, Double)].collect().toMap
+    val want = referencePageRank(edges, 0.85, iters = 200)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-7, s"vertex $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the hub collects more rank than any of its pointers
+    assert(got(4L) > got(1L) && got(4L) > got(2L) && got(4L) > got(3L))
+  }
+
+  test("pageRank on a cycle is uniform") {
+    val got = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"),
+      tol = 1e-10).as[(Long, Double)].collect().toMap
+    got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-8))
+  }
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCount(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  // brute-force reference: count closed vertex triples
+  private def referenceTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val verts = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tris = for {
+      a <- verts; b <- verts if a < b && und((a, b))
+      c <- verts if b < c && und((b, c)) && und((a, c))
+    } yield Seq(a, b, c)
+    tris.flatten.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+  }
+
+  test("triangleCount on K4: each vertex in 3 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triangles(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCount: paths and stars have none; messy input collapses") {
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+    assert(triangles(Seq((9L, 1L), (9L, 2L), (9L, 3L))) === Map.empty)
+    // triangle given with a reversal, a duplicate, and a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (2L, 2L))
+    assert(triangles(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCount agrees with brute force on a hub-heavy random graph") {
+    // deterministic LCG; vertex 0 made a hub so orientation actually matters
+    var state = 12345L
+    def next(mod: Long): Long = { state = (state * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; state % mod }
+    val rnd = (1 to 120).map(_ => (next(25L), next(25L)))
+    val hub = (1L to 20L).map(v => (0L, v))
+    val edges = rnd ++ hub
+    assert(triangles(edges) === referenceTriangles(edges))
+  }
 }
