@@ -305,7 +305,11 @@ object SparkEntry {
     "q141_winsorized" -> ((s, d) =>
       Drift.winsorizedStats(s, d).orderBy(col("event_type"))),
     "q108_cohort_ltv" -> ((s, d) =>
-      Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk")))
+      Relational.cohortLtv(s, d).orderBy(col("cohort_wk"), col("age_wk"))),
+    "q142_supplier_pagerank" -> ((s, d) =>
+      Graph.supplierPageRank(s, d).orderBy(col("id"))),
+    "q143_copurchase_triangles" -> ((s, d) =>
+      Graph.copurchaseTriangles(s, d).orderBy(col("id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2928,6 +2932,54 @@ object SparkEntry {
         |  round(CAST(sum(rev) OVER (PARTITION BY cohort_wk ORDER BY age_wk
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    * 10000) / 10000 AS cum_rev
-        |FROM cells ORDER BY cohort_wk, age_wk""".stripMargin
+        |FROM cells ORDER BY cohort_wk, age_wk""".stripMargin,
+    "q142_supplier_pagerank" -> pageRankOracle(10),
+    "q143_copurchase_triangles" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |t AS (SELECT p1.u a, p1.v b, p2.v c
+        |      FROM p p1 JOIN p p2 ON p2.u = p1.v
+        |        JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v),
+        |x AS (SELECT a id FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT id, CAST(count(*) AS BIGINT) AS triangles
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per
+    * power-iteration round, arithmetic ordered exactly as
+    * [[graft.ops.Graph.pageRankStep]] evaluates it ((1-d)/n + d·dang/n,
+    * then + d·inflow, doubles throughout) so both engines walk the same
+    * float path and the ppm rounding compares clean.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    // every CTE is MATERIALIZED: each round reads the previous one twice
+    // (dangling + inflow), so DuckDB's default inlining would expand the
+    // chain 2^iters times and re-scan the parquet at every leaf
+    val rounds = (1 to iters).map { k =>
+      s"""b$k AS MATERIALIZED (SELECT (CAST(1 AS DOUBLE)-0.85e0)/nn.n + 0.85e0*dd.dang/nn.n AS base
+         |  FROM nn, (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) dang
+         |            FROM r${k - 1} r JOIN dg USING (id) WHERE dg.deg IS NULL) dd),
+         |r$k AS MATERIALIZED (SELECT v.id, b$k.base + 0.85e0*coalesce(fl.inflow, CAST(0 AS DOUBLE)) AS rank
+         |  FROM v CROSS JOIN b$k LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank/dg.deg) AS inflow
+         |    FROM r${k - 1} r JOIN dg USING (id) JOIN e ON e.src = r.id
+         |    WHERE dg.deg IS NOT NULL GROUP BY 1) fl ON v.id = fl.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) src,
+       |             CAST(l.l_suppkey AS BIGINT) + 1000000 dst
+       |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |nn AS MATERIALIZED (SELECT count(*) n FROM v),
+       |dg AS MATERIALIZED (SELECT v.id, d.deg FROM v LEFT JOIN
+       |        (SELECT src AS id, CAST(count(*) AS BIGINT) deg
+       |         FROM e GROUP BY 1) d USING (id)),
+       |r0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM v),
+       |$rounds
+       |SELECT id, round(rank*100000000)/100 AS rank_ppm
+       |FROM r$iters ORDER BY id""".stripMargin
+  }
 }

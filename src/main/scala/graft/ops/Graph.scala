@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Distributed connected components — the last stage of a dedup pipeline:
   * near-dup PAIRS (from LSH / SimHash banding / prefix-filtered Jaccard)
@@ -111,19 +112,7 @@ object Graph {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val withDeg = ranks.join(degs, "id")
-      val dangling = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-      val inflow = withDeg.where(col("deg").isNotNull)
-        .join(e.withColumnRenamed("u", "id"), "id")
-        .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
-        .groupBy("id").agg(sum("w").as("inflow"))
-      val base = (1.0 - damping) / n + damping * dangling / n
-      val next = ranks.select(col("id"), col("rank").as("prev"))
-        .join(inflow, Seq("id"), "left")
-        .select(col("id"), col("prev"),
-          (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      val next = pageRankStep(ranks, e, degs, n, damping)
       val delta = next.agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
       converged = delta < tol
       ranks = next.drop("prev")
@@ -133,6 +122,46 @@ object Graph {
       s"pageRank did not converge within $maxIters rounds (L1 delta ≥ $tol); " +
         "raise maxIters or loosen tol")
     ranks
+  }
+
+  /** Fixed-round PageRank — same power iteration as [[pageRank]] but an
+    * exact, pre-agreed number of rounds and no convergence aggregate (one
+    * fewer action per round). This is the ORACLE-CHECKABLE variant: a
+    * fixed round count unrolls to plain SQL (one CTE per round), so the
+    * result is comparable bit-for-bit against an independent engine,
+    * which a "loop until |Δ| < tol" contract never is.
+    */
+  def pageRankFixed(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
+    val n = verts.count()
+    val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val degs = verts.join(outDeg, Seq("id"), "left").localCheckpoint()
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters)
+      ranks = pageRankStep(ranks, e, degs, n, damping).drop("prev")
+    ranks
+  }
+
+  /** One power-iteration round: (id, rank) → (id, prev, rank). */
+  private def pageRankStep(ranks: DataFrame, e: DataFrame, degs: DataFrame,
+                           n: Long, damping: Double): DataFrame = {
+    val withDeg = ranks.join(degs, "id")
+    val dangling = withDeg.where(col("deg").isNull)
+      .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+    val inflow = withDeg.where(col("deg").isNotNull)
+      .join(e.withColumnRenamed("u", "id"), "id")
+      .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
+      .groupBy("id").agg(sum("w").as("inflow"))
+    val base = (1.0 - damping) / n + damping * dangling / n
+    ranks.select(col("id"), col("rank").as("prev"))
+      .join(inflow, Seq("id"), "left")
+      .select(col("id"), col("prev"),
+        (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      .localCheckpoint()
   }
 
   /** Distributed triangle counting via degree-ordered edge orientation —
@@ -183,5 +212,41 @@ object Graph {
     // a wedge (a,b,c) that closes is one triangle touching all three
     triangles.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** q142: supplier importance over the customer→supplier purchase graph.
+    * Edges are distinct (customer, supplier) pairs from orders⋈lineitem;
+    * supplier ids are offset by 1e6 so the two key spaces can't collide.
+    * Ten fixed PageRank rounds (the oracle unrolls the same ten in SQL);
+    * every supplier is dangling — all their mass redistributes — so this
+    * exercises the dangling path on real data. Ranks are reported in ppm.
+    */
+  def supplierPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").cast("bigint").as("src"),
+        (col("l_suppkey").cast("bigint") + lit(1000000L)).as("dst"))
+    pageRankFixed(edges, damping = 0.85, iters = 10)
+      .select(col("id"),
+        (round(col("rank") * lit(1e8)) / lit(100.0)).as("rank_ppm"))
+  }
+
+  /** q143: cohesion of the part co-purchase graph. An edge is a pair of
+    * parts bought together in ≥2 distinct orders (the support threshold
+    * keeps the graph at affinity pairs instead of the near-complete
+    * one-off co-occurrence hairball); per-part triangle counts measure
+    * how clique-like each part's affinity neighbourhood is. The per-order
+    * self-join fans out at most items-per-order² — bounded, skew-free.
+    */
+  def copurchaseTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .where(col("supp") >= 2)
+    triangleCount(pairs.select(col("u").cast("bigint"), col("v").cast("bigint")))
   }
 }

@@ -70,6 +70,15 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) > got(1L) && got(4L) > got(2L) && got(4L) > got(3L))
   }
 
+  test("pageRankFixed matches the reference at the same round count") {
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 2L), (2L, 3L))
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst"), 0.85, 10)
+      .as[(Long, Double)].collect().toMap
+    val want = referencePageRank(edges, 0.85, iters = 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"vertex $v") }
+  }
+
   test("pageRank on a cycle is uniform") {
     val got = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"),
       tol = 1e-10).as[(Long, Double)].collect().toMap
