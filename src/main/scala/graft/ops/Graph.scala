@@ -146,21 +146,29 @@ object Graph {
     ranks
   }
 
-  /** One power-iteration round: (id, rank) → (id, prev, rank). */
+  /** One power-iteration round: (id, rank) → (id, prev, rank).
+    *
+    * The dangling-mass total stays INSIDE the plan as a broadcast one-row
+    * aggregate (not a driver `.head()`): the round's only job is the
+    * localCheckpoint materialization. Evaluation order of the update —
+    * ((1−d)/n + d·dangling/n) + d·inflow, doubles throughout — is the
+    * contract the unrolled SQL oracle replicates; don't reassociate it.
+    */
   private def pageRankStep(ranks: DataFrame, e: DataFrame, degs: DataFrame,
                            n: Long, damping: Double): DataFrame = {
     val withDeg = ranks.join(degs, "id")
     val dangling = withDeg.where(col("deg").isNull)
-      .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
     val inflow = withDeg.where(col("deg").isNotNull)
       .join(e.withColumnRenamed("u", "id"), "id")
       .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
       .groupBy("id").agg(sum("w").as("inflow"))
-    val base = (1.0 - damping) / n + damping * dangling / n
     ranks.select(col("id"), col("rank").as("prev"))
       .join(inflow, Seq("id"), "left")
+      .crossJoin(broadcast(dangling))
       .select(col("id"), col("prev"),
-        (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        (lit((1.0 - damping) / n) + lit(damping) * col("dang") / lit(n)
+          + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       .localCheckpoint()
   }
 
