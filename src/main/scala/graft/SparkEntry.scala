@@ -309,7 +309,8 @@ object SparkEntry {
     "q142_supplier_pagerank" -> ((s, d) =>
       Graph.supplierPageRank(s, d).orderBy(col("id"))),
     "q143_copurchase_triangles" -> ((s, d) =>
-      Graph.copurchaseTriangles(s, d).orderBy(col("id")))
+      Graph.copurchaseTriangles(s, d).orderBy(col("id"))),
+    "q144_assortativity" -> ((s, d) => Graph.degreeAssortativity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2946,7 +2947,19 @@ object SparkEntry {
         |x AS (SELECT a id FROM t UNION ALL SELECT b FROM t
         |      UNION ALL SELECT c FROM t)
         |SELECT id, CAST(count(*) AS BIGINT) AS triangles
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_assortativity" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |s AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        |d AS (SELECT u AS id, CAST(count(*) AS BIGINT) deg FROM s GROUP BY 1)
+        |SELECT CAST(count(*)/2 AS BIGINT) AS n_edges,
+        |  round(avg(du.deg)*1000000)/1000000 AS avg_deg,
+        |  round(corr(du.deg, dv.deg)*1000000)/1000000 AS assortativity
+        |FROM s JOIN d du ON s.u = du.id JOIN d dv ON s.v = dv.id""".stripMargin
   )
 
   /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per

@@ -247,14 +247,42 @@ object Graph {
     * how clique-like each part's affinity neighbourhood is. The per-order
     * self-join fans out at most items-per-order² — bounded, skew-free.
     */
-  def copurchaseTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  def copurchaseTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCount(copurchaseEdges(spark, sfDir))
+
+  /** Canonical (u < v) part co-purchase edges with support ≥ 2 distinct
+    * orders — the shared input of q143/q144. Per-order self-join fan-out
+    * is bounded by items-per-order². */
+  private def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    val pairs = li.as("a")
+    li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .agg(countDistinct(col("a.l_orderkey")).as("supp"))
       .where(col("supp") >= 2)
-    triangleCount(pairs.select(col("u").cast("bigint"), col("v").cast("bigint")))
+      .select(col("u").cast("bigint"), col("v").cast("bigint"))
+  }
+
+  /** q144: degree assortativity of the co-purchase graph — the Pearson
+    * correlation between endpoint degrees over the symmetrized edge list
+    * (each edge contributes both directions, the standard Newman
+    * formulation). Positive ⇒ popular parts pair with popular parts
+    * (hub-hub affinity); negative ⇒ hub-and-spoke. One degree groupBy +
+    * two broadcast-size joins + a single scalar aggregate — no state
+    * beyond the degree table, shuffle keyed on vertex id.
+    */
+  def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .agg(
+        (count(lit(1)) / lit(2)).cast("bigint").as("n_edges"),
+        (round(avg(col("du")) * lit(1000000)) / lit(1000000.0)).as("avg_deg"),
+        (round(corr(col("du"), col("dv")) * lit(1000000)) / lit(1000000.0))
+          .as("assortativity"))
   }
 }
