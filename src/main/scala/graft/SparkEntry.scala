@@ -310,7 +310,8 @@ object SparkEntry {
       Graph.supplierPageRank(s, d).orderBy(col("id"))),
     "q143_copurchase_triangles" -> ((s, d) =>
       Graph.copurchaseTriangles(s, d).orderBy(col("id"))),
-    "q144_assortativity" -> ((s, d) => Graph.degreeAssortativity(s, d))
+    "q144_assortativity" -> ((s, d) => Graph.degreeAssortativity(s, d)),
+    "q145_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2959,7 +2960,26 @@ object SparkEntry {
         |SELECT CAST(count(*)/2 AS BIGINT) AS n_edges,
         |  round(avg(du.deg)*1000000)/1000000 AS avg_deg,
         |  round(corr(du.deg, dv.deg)*1000000)/1000000 AS assortativity
-        |FROM s JOIN d du ON s.u = du.id JOIN d dv ON s.v = dv.id""".stripMargin
+        |FROM s JOIN d du ON s.u = du.id JOIN d dv ON s.v = dv.id""".stripMargin,
+    "q145_adamic_adar" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |s AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        |d AS (SELECT u AS id, CAST(count(*) AS BIGINT) deg FROM s GROUP BY 1),
+        |a AS (SELECT s.u apex, s.v nb, d.deg FROM s
+        |      JOIN d ON s.u = d.id WHERE d.deg <= 1000),
+        |w AS (SELECT x.nb xa, y.nb yb, CAST(1 AS DOUBLE)/ln(x.deg) wt
+        |      FROM a x JOIN a y ON x.apex = y.apex AND x.nb < y.nb),
+        |g AS (SELECT xa, yb, CAST(count(*) AS BIGINT) common_neighbors,
+        |        sum(wt) sc
+        |      FROM w GROUP BY 1, 2),
+        |ne AS (SELECT g.* FROM g ANTI JOIN p ON g.xa = p.u AND g.yb = p.v)
+        |SELECT xa AS part_a, yb AS part_b, common_neighbors,
+        |  round(sc*1000000)/1000000 AS score
+        |FROM ne ORDER BY score DESC, part_a, part_b LIMIT 20""".stripMargin
   )
 
   /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per

@@ -272,6 +272,39 @@ object Graph {
     * two broadcast-size joins + a single scalar aggregate — no state
     * beyond the degree table, shuffle keyed on vertex id.
     */
+  /** q145: Adamic–Adar link prediction on the co-purchase graph — for
+    * every non-adjacent part pair, sum 1/ln(deg) over their common
+    * neighbours; high score ⇒ "parts that should co-sell but don't yet".
+    * Wedges are enumerated per apex, so a degree-m apex fans out m²/2 —
+    * the apexDegCap drops super-hub apexes (whose 1/ln contribution is
+    * smallest anyway) exactly like q50's maxDf valve; at test scales no
+    * apex reaches the cap, so the oracle compares uncapped-identical.
+    * Ranking sorts by the ROUNDED score so float-association noise can't
+    * reorder near-ties differently across engines.
+    */
+  def adamicAdar(spark: SparkSession, sfDir: String, topK: Int = 20,
+                 apexDegCap: Int = 1000): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg.where(col("deg") <= apexDegCap)
+        .select(col("id").as("u"), col("deg")), "u")
+      .select(col("u").as("apex"), col("v").as("nb"), col("deg"))
+    val wedges = adj.as("x")
+      .join(adj.as("y"), col("x.apex") === col("y.apex") &&
+        col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("part_a"), col("y.nb").as("part_b"),
+        (lit(1.0) / log(col("x.deg"))).as("wt"))
+    wedges.groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("common_neighbors"), sum("wt").as("sc"))
+      .join(e, col("part_a") === col("u") && col("part_b") === col("v"),
+        "left_anti")
+      .select(col("part_a"), col("part_b"), col("common_neighbors"),
+        (round(col("sc") * lit(1000000)) / lit(1000000.0)).as("score"))
+      .orderBy(col("score").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
     val e = copurchaseEdges(spark, sfDir)
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
