@@ -272,6 +272,59 @@ object Graph {
     * two broadcast-size joins + a single scalar aggregate — no state
     * beyond the degree table, shuffle keyed on vertex id.
     */
+  /** Distributed k-core decomposition (coreness per vertex) by h-index
+    * propagation: start from degrees and repeatedly replace each vertex's
+    * value with the h-index of its neighbours' values (the largest h such
+    * that ≥ h neighbours hold ≥ h). The sequence is per-vertex
+    * non-increasing and converges to coreness (Lü et al., "The H-index of
+    * a network node and its relation to degree and coreness", 2016) — so
+    * the CC convergence idiom applies: sum(value) is strictly monotone
+    * until fixpoint, one scalar aggregate per round detects it.
+    *
+    * Each round is one shuffle (neighbour-value join) plus one per-vertex
+    * sorted window; a degree-m hub sorts m rows — linear in edges, never
+    * m². Round count is bounded by the longest strictly-decreasing chain
+    * (small in practice; loud failure at maxIters).
+    *
+    * Coreness is the dedup-graph robustness metric: a cluster whose
+    * members sit in a high k-core is densely corroborated near-duplicate
+    * structure; coreness 1 hanging off a cluster is a chance collision.
+    *
+    * @param edges two BIGINT columns, undirected semantics; self-loops
+    *              and duplicate/reversed rows are collapsed.
+    * @return (id, coreness)
+    */
+  def coreness(edges: DataFrame, maxIters: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Array(srcCol, dstCol) = edges.columns
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val adj = raw.union(raw.select(col("v"), col("u"))).distinct()
+      .localCheckpoint()
+    var c = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    var prevSum = c.agg(sum(col("c").cast("decimal(38,0)"))).head().getDecimal(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbr = adj.join(c.withColumnRenamed("id", "v")
+        .withColumnRenamed("c", "nc"), "v")
+      val w = Window.partitionBy("u").orderBy(col("nc").desc)
+      val next = nbr.withColumn("rn", row_number().over(w))
+        .groupBy(col("u").as("id"))
+        .agg(max(least(col("rn"), col("nc"))).as("c"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("c").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      c = next
+      iter += 1
+    }
+    require(converged,
+      s"coreness did not converge within $maxIters rounds; raise maxIters")
+    c.select(col("id"), col("c").as("coreness"))
+  }
+
   /** q145: Adamic–Adar link prediction on the co-purchase graph — for
     * every non-adjacent part pair, sum 1/ln(deg) over their common
     * neighbours; high score ⇒ "parts that should co-sell but don't yet".

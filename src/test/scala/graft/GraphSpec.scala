@@ -114,6 +114,47 @@ class GraphSpec extends SparkSpec {
     assert(triangles(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  private def coreness(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.coreness(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  // reference: degeneracy ordering — repeatedly remove a minimum-degree
+  // vertex; coreness is the running max of the degree at removal
+  private def referenceCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import scala.collection.mutable
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    for ((a, b) <- edges if a != b) {
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val core = mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val v = adj.keys.minBy(x => (adj(x).size, x))
+      k = math.max(k, adj(v).size.toLong)
+      core(v) = k
+      for (n <- adj(v)) adj(n) -= v
+      adj -= v
+    }
+    core.toMap
+  }
+
+  test("coreness: K4 with a tail is core 3 plus core 1") {
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSeq
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    assert(coreness(edges) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("coreness agrees with degeneracy ordering on a hub-heavy random graph") {
+    var state = 98765L
+    def next(mod: Long): Long = { state = (state * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; state % mod }
+    val rnd = (1 to 200).map(_ => (next(30L), next(30L)))
+    val hub = (1L to 25L).map(v => (0L, v))
+    val edges = (rnd ++ hub).filter(p => p._1 != p._2)
+    assert(coreness(edges) === referenceCoreness(edges))
+  }
+
   test("triangleCount agrees with brute force on a hub-heavy random graph") {
     // deterministic LCG; vertex 0 made a hub so orientation actually matters
     var state = 12345L
