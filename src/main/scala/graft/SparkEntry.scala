@@ -311,7 +311,15 @@ object SparkEntry {
     "q143_copurchase_triangles" -> ((s, d) =>
       Graph.copurchaseTriangles(s, d).orderBy(col("id"))),
     "q144_assortativity" -> ((s, d) => Graph.degreeAssortativity(s, d)),
-    "q145_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d))
+    "q145_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
+    "q146_copurchase_kcore" -> ((s, d) =>
+      Graph.copurchaseKcore(s, d).orderBy(col("part"))),
+    "q147_revenue_scan" -> ((s, d) => Relational.revenueScan(s, d)),
+    "q148_profit_by_nation" -> ((s, d) =>
+      Relational.profitByNation(s, d).orderBy(col("nation"), col("o_year"))),
+    "q149_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
+    "q150_small_qty_revenue" -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    "q151_big_orders" -> ((s, d) => Relational.bigOrders(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2979,7 +2987,63 @@ object SparkEntry {
         |ne AS (SELECT g.* FROM g ANTI JOIN p ON g.xa = p.u AND g.yb = p.v)
         |SELECT xa AS part_a, yb AS part_b, common_neighbors,
         |  round(sc*1000000)/1000000 AS score
-        |FROM ne ORDER BY score DESC, part_a, part_b LIMIT 20""".stripMargin
+        |FROM ne ORDER BY score DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q146_copurchase_kcore" -> kcoreOracle(16),
+    "q147_revenue_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |    AS DOUBLE) * 10000) / 10000 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q148_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+        |  CAST(count(*) AS BIGINT) n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6)))
+        |    AS DOUBLE) * 10000) / 10000 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q149_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |        sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) total_rev
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1996-04-01'
+        |      GROUP BY 1),
+        |mx AS (SELECT max(total_rev) mx FROM rev)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_rev AS DOUBLE) * 10000) / 10000 AS total_rev
+        |FROM rev JOIN mx ON rev.total_rev = mx.mx
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "q150_small_qty_revenue" ->
+      """WITH pq AS (SELECT l_partkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,6))) qsum,
+        |        CAST(count(*) AS BIGINT) qcnt
+        |      FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) n_items,
+        |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / 7.0 * 100) / 100 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+        |JOIN pq ON pq.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * pq.qcnt < pq.qsum""".stripMargin,
+    "q151_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,6))) total_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) order_e,
+        |  round(o_totalprice * 10000) / 10000 AS total_price,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin
   )
 
   /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per
@@ -2988,6 +3052,32 @@ object SparkEntry {
     * then + d·inflow, doubles throughout) so both engines walk the same
     * float path and the ppm rounding compares clean.
     */
+  /** Unrolled fixed-round h-index coreness oracle — one CTE per H-operator
+    * round, all-integer arithmetic (no float portability concerns at all).
+    * [[graft.ops.Graph.coreness]] iterates to the fixpoint; since applying
+    * H at the fixpoint is the identity, any unroll depth ≥ the convergence
+    * round count produces the identical table (observed convergence: 10
+    * rounds at sf0.01, 5 at sf0.1 — 16 leaves margin).
+    */
+  private def kcoreOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT u AS id, CAST(max(least(rn, nc)) AS BIGINT) c
+         |  FROM (SELECT s.u, c${k - 1}.c nc,
+         |          row_number() OVER (PARTITION BY s.u ORDER BY c${k - 1}.c DESC) rn
+         |        FROM s JOIN c${k - 1} ON s.v = c${k - 1}.id) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+       |      FROM lineitem a JOIN lineitem b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+       |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+       |s AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+       |c0 AS MATERIALIZED (SELECT u AS id, CAST(count(*) AS BIGINT) c
+       |  FROM s GROUP BY 1),
+       |$rounds
+       |SELECT id AS part, c AS coreness FROM c$iters ORDER BY 1""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     // every CTE is MATERIALIZED: each round reads the previous one twice
     // (dangling + inflow), so DuckDB's default inlining would expand the

@@ -705,4 +705,131 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         (round(sum(col("rev")).cast("double") * 10000) / 10000).as("revenue"))
   }
+
+  /** q147: discounted-revenue scan (TPC-H Q6 shape) — no join at all: the
+    * point is the SCAN. All three predicates (ship-year range, discount
+    * band, quantity cap) push into the parquet reader and only the three
+    * referenced columns are read; at 100 TB this is the difference between
+    * a full-table read and row-group-pruned skimming. The aggregate is one
+    * map-side-combined scalar.
+    */
+  def revenueScan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        (round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double") * 10000) / 10000).as("revenue"))
+
+  /** q148: product-line profit by nation and ship year (TPC-H Q9 shape;
+    * this schema has no partsupp, so supply cost is proxied at 60% of
+    * retail — the SHAPE is what matters: a name-filtered part dimension
+    * prunes the fact early, supplier→nation resolves the group key, and
+    * per-item profit is summed in exact decimal). part/supplier joins are
+    * left to stats so the plan scales from broadcast to shuffle; only the
+    * 25-row nation table is hint-broadcast.
+    */
+  def profitByNation(spark: SparkSession, sfDir: String,
+                     namePattern: String = "%red%"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_name").like(namePattern))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    // per-item profit in doubles in this exact association order (matches
+    // the oracle), then decimal-snapped so the SUM is order-free
+    val profit = (col("l_extendedprice") * (lit(1) - col("l_discount"))
+      - lit(0.6) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("o_year"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        (round(sum(profit).cast("double") * 10000) / 10000).as("profit"))
+  }
+
+  /** q149: top supplier by quarterly revenue (TPC-H Q15 shape) — the
+    * view-plus-max-subquery restated as one per-supplier aggregate, its
+    * max as a broadcast one-row scalar, and an equality join back (ties
+    * all surface, exactly like the reference query). Exact decimal revenue
+    * makes "equals the max" deterministic — no float near-tie can drop or
+    * double the winner.
+    */
+  def topSupplier(spark: SparkSession, sfDir: String,
+                  qStart: String = "1996-01-01",
+                  qEnd: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (round(col("total_rev").cast("double") * 10000) / 10000).as("total_rev"))
+  }
+
+  /** q150: small-quantity-order revenue (TPC-H Q17 shape) — the correlated
+    * "below 20% of this part's average quantity" subquery decorrelated into
+    * one per-part (sum, count) aggregate joined back, and the threshold
+    * compare cross-multiplied (qty·5·cnt < sum) so it stays in exact
+    * decimal: no division, no float threshold, no tie ambiguity. The two
+    * lineitem reads share one scan via AQE stage reuse.
+    */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String,
+                      brand: String = "Brand#3"): DataFrame = {
+    val b = Tables.part(spark, sfDir)
+      .where(col("p_brand") === brand).select(col("p_partkey"))
+    // l_partkey determines the brand, so BOTH consumers — the per-part
+    // stats and the probe side — only ever need brand parts: prune the
+    // fact to 1/|brands| once and share the subplan (AQE stage reuse)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(b, col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val pq = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qsum"),
+        count(lit(1)).as("qcnt"))
+    li.join(pq, "l_partkey")
+      .where(col("l_quantity").cast("decimal(18,6)") * lit(5) * col("qcnt")
+        < col("qsum"))
+      .agg(count(lit(1)).as("n_items"),
+        (round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+          / 7.0 * 100) / 100).as("avg_yearly"))
+  }
+
+  /** q151: large-volume orders (TPC-H Q18 shape) — a HAVING on the
+    * order-level quantity rollup filters to a handful of orders BEFORE any
+    * dimension join, so customer/orders enrichment and the top-N run over
+    * an already-tiny table, never the fact. Quantities are integral, so
+    * the decimal sum and the >300 threshold are exact.
+    */
+  def bigOrders(spark: SparkSession, sfDir: String,
+                minQty: Int = 300, k: Int = 10): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    big
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_e"),
+        (round(col("o_totalprice") * 10000) / 10000).as("total_price"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(k)
+  }
 }
