@@ -319,7 +319,15 @@ object SparkEntry {
       Relational.profitByNation(s, d).orderBy(col("nation"), col("o_year"))),
     "q149_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
     "q150_small_qty_revenue" -> ((s, d) => Relational.smallQtyRevenue(s, d)),
-    "q151_big_orders" -> ((s, d) => Relational.bigOrders(s, d))
+    "q151_big_orders" -> ((s, d) => Relational.bigOrders(s, d)),
+    "q152_theil_sen" -> ((s, d) =>
+      TimeSeries.theilSen(s, d).orderBy(col("event_type"))),
+    "q153_lead_lag" -> ((s, d) =>
+      TimeSeries.leadLag(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q154_benford" -> ((s, d) =>
+      Diagnostics.benfordCensus(s, d).orderBy(col("event_type"), col("digit"))),
+    "q155_bootstrap_ci" -> ((s, d) =>
+      Diagnostics.bootstrapCi(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3043,7 +3051,109 @@ object SparkEntry {
         |  CAST(total_qty AS DOUBLE) AS total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q152_theil_sen" ->
+      """WITH d AS (SELECT event_type, CAST(floor(epoch(ts)/86400) AS BIGINT) dy,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value) v
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, (b.v - a.v)/CAST(b.dy - a.dy AS DOUBLE) slope
+        |      FROM d a JOIN d b
+        |        ON a.event_type = b.event_type AND a.dy < b.dy),
+        |r AS (SELECT event_type, slope,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY slope) rn,
+        |        count(*) OVER (PARTITION BY event_type) np FROM p),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days
+        |       FROM d GROUP BY 1)
+        |SELECT r.event_type, nd.n_days, CAST(max(np) AS BIGINT) n_pairs,
+        |  round((min(slope) + max(slope))/2*1000000)/1000000 AS ts_slope
+        |FROM r JOIN nd ON r.event_type = nd.event_type
+        |WHERE rn = CAST(floor((np+1)/2.0) AS BIGINT)
+        |   OR rn = CAST(floor(np/2.0) AS BIGINT) + 1
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q153_lead_lag" ->
+      """WITH d AS (SELECT event_type, CAST(floor(epoch(ts)/86400) AS BIGINT) dy,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value) v
+        |      FROM events GROUP BY 1, 2),
+        |l AS (SELECT a.event_type type_a, b.event_type type_b, g.lag,
+        |        CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CAST(a.v AS DECIMAL(28,16))) AS DOUBLE) sx,
+        |        CAST(sum(CAST(b.v AS DECIMAL(28,16))) AS DOUBLE) sy,
+        |        CAST(sum(CAST(a.v*b.v AS DECIMAL(28,12))) AS DOUBLE) sxy,
+        |        CAST(sum(CAST(a.v*a.v AS DECIMAL(28,12))) AS DOUBLE) sxx,
+        |        CAST(sum(CAST(b.v*b.v AS DECIMAL(28,12))) AS DOUBLE) syy
+        |      FROM d a
+        |      JOIN generate_series(-7, 7) g(lag) ON true
+        |      JOIN d b ON a.event_type < b.event_type AND a.dy + g.lag = b.dy
+        |      GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+        |r AS (SELECT type_a, type_b, lag, n,
+        |        CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) <= 0 THEN 0.0
+        |             ELSE (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+        |        END r FROM l),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+        |        ORDER BY abs(r) DESC, lag) rn FROM r)
+        |SELECT type_a, type_b, CAST(lag AS INT) best_lag, n AS n_overlap,
+        |  round(r*1000000)/1000000 AS r_best
+        |FROM k WHERE rn = 1 ORDER BY 1, 2""".stripMargin,
+    "q154_benford" ->
+      """WITH v AS (SELECT event_type,
+        |        CAST(round(abs(value)*10000) AS BIGINT) i FROM events),
+        |d AS (SELECT event_type,
+        |        CAST(substr(CAST(i AS VARCHAR), 1, 1) AS INT) digit
+        |      FROM v WHERE i > 0),
+        |c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) n
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) total
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT t.event_type, t.total, CAST(gs.g AS INT) digit
+        |      FROM t, generate_series(1, 9) gs(g)),
+        |e AS (SELECT g.event_type, g.digit, coalesce(c.n, 0) n, g.total,
+        |        CASE g.digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |          WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+        |          WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        |          WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |          ELSE 0.045757 END exp_share
+        |      FROM g LEFT JOIN c
+        |        ON g.event_type = c.event_type AND g.digit = c.digit)
+        |SELECT event_type, digit, n,
+        |  round(CAST(n AS DOUBLE)/total*1000000)/1000000 AS obs_share,
+        |  CAST(exp_share AS DOUBLE) AS exp_share,
+        |  round((CAST(n AS DOUBLE)/total - exp_share)*1000000)/1000000 AS dev
+        |FROM e ORDER BY 1, 2""".stripMargin,
+    "q155_bootstrap_ci" ->
+      """WITH r AS (SELECT e.event_type, e.event_id, e.value, gs.b
+        |      FROM events e, generate_series(0, 200) gs(b)),
+        |h AS (SELECT event_type, b, value,
+        |        md5('boot:'||CAST(event_id AS VARCHAR)||':'||CAST(b AS VARCHAR)) h
+        |      FROM r),
+        |u AS (SELECT event_type, b, value,
+        |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT) u24
+        |      FROM h),
+        |w AS (SELECT event_type, b, value,
+        |        CASE WHEN u24 < 6171992 THEN 0 WHEN u24 < 12343985 THEN 1
+        |             WHEN u24 < 15429982 THEN 2 WHEN u24 < 16458647 THEN 3
+        |             WHEN u24 < 16715813 THEN 4 ELSE 5 END w
+        |      FROM u),
+        |m AS (SELECT event_type, b,
+        |        CAST(sum(CAST(value*w AS DECIMAL(18,6))) AS DOUBLE)/sum(w) m
+        |      FROM w WHERE w > 0 GROUP BY 1, 2),
+        |k AS (SELECT event_type, m,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY m, b) rn
+        |      FROM m),
+        |ci AS (SELECT event_type, round(min(m)*1000000)/1000000 ci_lo,
+        |         round(max(m)*1000000)/1000000 ci_hi
+        |       FROM k WHERE rn = 6 OR rn = 196 GROUP BY 1),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) n_events,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(value)
+        |      *1000000)/1000000 mean
+        |  FROM events GROUP BY 1)
+        |SELECT base.event_type, n_events, mean, ci_lo, ci_hi
+        |FROM base JOIN ci ON base.event_type = ci.event_type
+        |ORDER BY 1""".stripMargin
   )
 
   /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per

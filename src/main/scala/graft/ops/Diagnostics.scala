@@ -43,4 +43,119 @@ object Diagnostics {
 
   def keySkew(spark: SparkSession, sfDir: String): DataFrame =
     keySkew(Tables.lineitem(spark, sfDir), "l_suppkey")
+
+  /** Benford first-digit expected shares, log10(1+1/d) as fixed 6-decimal
+    * literals — identical constants in any engine (computing log10 at
+    * runtime would compare one libm against another).
+    */
+  private val benfordExpected: Map[Int, Double] = Map(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** q154: Benford first-digit census per series — the classic screen for
+    * fabricated / synthetic / truncated measurements: organically grown
+    * magnitudes follow log10(1+1/d); uniform generators, clipped sensors
+    * and copy-paste batches don't. The first significant digit is
+    * extracted in integer space (round(|v|·10⁴) → decimal string → first
+    * char), never via log10/pow whose libm rounding differs across
+    * engines. One aggregation to 9·series rows; the digit grid is
+    * zero-filled (a missing digit is itself evidence) exactly like q123's
+    * bucket grid.
+    */
+  def benfordCensus(events: DataFrame): DataFrame = {
+    val digits = events
+      .select(col("event_type"),
+        round(abs(col("value")) * 10000).cast("bigint").as("i"))
+      .where(col("i") > 0)
+      .withColumn("digit", substring(col("i").cast("string"), 1, 1).cast("int"))
+    val counts = digits.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = digits.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("total"))
+    val grid = totals.select(col("event_type"), col("total"))
+      .withColumn("digit", explode(sequence(lit(1), lit(9))))
+    val expected = benfordExpected.foldLeft(lit(0.0)) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    grid
+      .join(counts, Seq("event_type", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select(col("event_type"), col("digit"), col("n"),
+        (round(col("n").cast("double") / col("total") * 1000000) / 1000000)
+          .as("obs_share"),
+        expected.as("exp_share"),
+        (round((col("n").cast("double") / col("total") - expected) * 1000000)
+          / 1000000).as("dev"))
+  }
+
+  def benfordCensus(spark: SparkSession, sfDir: String): DataFrame =
+    benfordCensus(Tables.events(spark, sfDir))
+
+  /** Poisson(1) inverse-CDF thresholds on the 24-bit uniform scale
+    * (floor(CDF·2²⁴) as integer literals, so the replica multiplicity is a
+    * pure integer compare in any engine). P(w>5) ≈ 0.06% is folded into
+    * w=5 — the truncation bias is identical on both sides of the oracle
+    * compare and far below the CI resolution.
+    */
+  private val poissonCdf24 = Seq(
+    6171992L -> 0, 12343985L -> 1, 15429982L -> 2, 16458647L -> 3,
+    16715813L -> 4)
+
+  /** q155: bootstrap confidence interval for the per-series mean via
+    * deterministic POISSON resampling — the resample-at-scale classic:
+    * "draw n rows with replacement" is a global operation, but each row
+    * entering replica b an independent Poisson(1) number of times is
+    * embarrassingly parallel and converges to the same bootstrap law. The
+    * multiplicity is a pure function of md5(event_id, b) → every engine,
+    * retry and backfill draws the SAME replicas. One bounded explode
+    * (×201 replicas), one aggregation to series×201 replica means (exact
+    * decimal sums), and the CI bounds are pure rank selection — B=201
+    * puts p2.5/p97.5 at integer ranks 6/196, so no cross-engine
+    * interpolation arithmetic exists at all.
+    */
+  def bootstrapCi(events: DataFrame, replicas: Int = 201): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = poissonCdf24.foldRight(lit(5)) {
+      case ((thresh, k), acc) => when(col("u24") < thresh, lit(k)).otherwise(acc)
+    }
+    val drawn = events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("b", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("h", md5(concat(lit("boot:"), col("event_id").cast("string"),
+        lit(":"), col("b").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("w", w)
+      .where(col("w") > 0)
+    val means = drawn.groupBy(col("event_type"), col("b"))
+      .agg((sum((col("value") * col("w")).cast("decimal(18,6)")).cast("double")
+        / sum(col("w"))).as("m"))
+    val rw = Window.partitionBy(col("event_type")).orderBy(col("m"), col("b"))
+    // B=201: p2.5 → rank 1+0.025·200 = 6, p97.5 → rank 196 (both integer)
+    val loRank = 1 + math.round(0.025 * (replicas - 1)).toInt
+    val hiRank = 1 + math.round(0.975 * (replicas - 1)).toInt
+    val ci = means
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") === loRank || col("rn") === hiRank)
+      .groupBy(col("event_type"))
+      .agg((round(min(col("m")) * 1000000) / 1000000).as("ci_lo"),
+        (round(max(col("m")) * 1000000) / 1000000).as("ci_hi"))
+    val base = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(col("value")) * 1000000) / 1000000).as("mean"))
+    base.join(ci, "event_type")
+      .select(col("event_type"), col("n_events"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame =
+    bootstrapCi(Tables.events(spark, sfDir))
 }

@@ -837,4 +837,91 @@ object TimeSeries {
         r4(col("adj").cast("double")).as("adj"),
         r4((col("adj").cast("double") - col("mu")) / col("sigma")).as("z"))
   }
+
+  /** q152: Theil–Sen robust trend per series — the median of all pairwise
+    * slopes between per-day means. A handful of outlier days can drag
+    * q127's OLS slope arbitrarily far; this estimator has a 29% breakdown
+    * point and barely moves. The pair fan-out is bounded by days² per
+    * series (per-day means FIRST), never events²; the median is a window
+    * sort of the ≤ days²/2 slope values — the q97 rolling-quantile cost
+    * class. Median selection is rank-based element selection (mean of the
+    * two middle ranks via min+max — partition-order-free, and identical
+    * values at identical ranks in any engine); slopes themselves are one
+    * IEEE double division each, bit-identical across engines.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        floor(epochS(col("ts")) / 86400L).cast("long").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(exactAvg(col("value")).as("v"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.v") - col("a.v")) /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+    val whole = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(whole))
+      .where(col("rn") === floor((col("np") + 1) / lit(2.0)).cast("long") ||
+        col("rn") === floor(col("np") / lit(2.0)).cast("long") + 1)
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        (round((min(col("slope")) + max(col("slope"))) / 2 * 1000000)
+          / 1000000).as("ts_slope"))
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"), col("ts_slope"))
+  }
+
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame =
+    theilSen(Tables.events(spark, sfDir))
+
+  /** q153: lead-lag cross-correlation between series pairs — q44's Pearson
+    * matrix only sees simultaneous co-movement; shifting one series by ±k
+    * days surfaces LEADING indicators (sensor A's today predicts B's in
+    * three days). The lag fan-out is an equi-join of the bounded
+    * series×days table with itself across a ±maxLag grid (q131's ACF shape
+    * generalized to CROSS-series); per (pair, lag) Pearson uses the exact
+    * decimal-snapped moment sums of q44/q127, and the best lag per pair is
+    * one window over the pairs×lags table. Reported per unordered pair
+    * (corr(a,b,ℓ) = corr(b,a,−ℓ), so a<b loses nothing).
+    */
+  def leadLag(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        floor(epochS(col("ts")) / 86400L).cast("long").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(exactAvg(col("value")).as("v"))
+    val a = daily.toDF("type_a", "day", "va")
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+    val b = daily.toDF("type_b", "day_b", "vb")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    a.join(b, col("type_a") < col("type_b") &&
+        col("day") + col("lag") === col("day_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("va").cast("decimal(28,16)")).cast("double").as("sx"),
+        sum(col("vb").cast("decimal(28,16)")).cast("double").as("sy"),
+        sum((col("va") * col("vb")).cast("decimal(28,12)")).cast("double").as("sxy"),
+        sum((col("va") * col("va")).cast("decimal(28,12)")).cast("double").as("sxx"),
+        sum((col("vb") * col("vb")).cast("decimal(28,12)")).cast("double").as("syy"))
+      .where(col("n") >= 3)
+      .withColumn("r", when(den <= 0, lit(0.0))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(den)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("type_a"), col("type_b"))
+          .orderBy(abs(col("r")).desc, col("lag"))))
+      .where(col("rn") === 1)
+      .select(col("type_a"), col("type_b"),
+        col("lag").cast("int").as("best_lag"), col("n").as("n_overlap"),
+        (round(col("r") * 1000000) / 1000000).as("r_best"))
+  }
+
+  def leadLag(spark: SparkSession, sfDir: String): DataFrame =
+    leadLag(Tables.events(spark, sfDir))
 }
