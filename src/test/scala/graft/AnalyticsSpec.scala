@@ -286,4 +286,73 @@ class AnalyticsSpec extends SparkSpec {
       assert(zs === zs.sorted.reverse) // |z| non-increasing in rank
     }
   }
+
+  // one event per (series, day): value IS the per-day mean
+  private def typedEvents(rows: Seq[(String, Long, Double)]) =
+    rows.zipWithIndex.map { case ((t, day, v), i) => (t, i.toLong, day, v) }
+      .toDF("event_type", "event_id", "day", "value")
+      .select(col("event_type"), col("event_id"),
+        to_timestamp(col("day") * 86400 + 10).as("ts"), col("value"))
+
+  test("theilSen shrugs off the outlier day that drags OLS") {
+    // slope exactly 2, except day 9 explodes to 1000
+    val ev = typedEvents((0L to 9L).map(d =>
+      ("a", d, if (d == 9) 1000.0 else 2.0 * d)))
+    val ts = TimeSeries.theilSen(ev)
+      .select("n_days", "n_pairs", "ts_slope")
+      .as[(Long, Long, Double)].head()
+    assert(ts === ((10L, 45L, 2.0))) // 36 of 45 pairwise slopes are exactly 2
+    val ols = TimeSeries.linearTrend(ev).select("slope_day").as[Double].head()
+    assert(ols > 30.0) // the single outlier owns the OLS fit
+  }
+
+  test("theilSen matches the brute-force pairwise-slope median") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val ev = typedEvents(vals.zipWithIndex.map { case (v, d) => ("a", d.toLong, v) })
+    val slopes = (for {
+      i <- vals.indices; j <- vals.indices if i < j
+    } yield (vals(j) - vals(i)) / (j - i)).sorted
+    val n = slopes.length
+    val expect = (slopes((n + 1) / 2 - 1) + slopes(n / 2)) / 2
+    val got = TimeSeries.theilSen(ev).select("ts_slope").as[Double].head()
+    assert(got === math.round(expect * 1000000) / 1000000.0)
+  }
+
+  test("leadLag recovers a planted 3-day lead at r = 1") {
+    val base = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.5,
+      8.5, 1.5, 7.5, 3.5, 9.5, 0.5, 6.5, 4.5, 5.5, 2.2)
+    val a = base.zipWithIndex.map { case (v, d) => ("a", d.toLong, v) }
+    val b = base.zipWithIndex.map { case (v, d) => ("b", d.toLong + 3, v) }
+    val got = TimeSeries.leadLag(typedEvents(a ++ b))
+      .select("type_a", "type_b", "best_lag", "r_best")
+      .as[(String, String, Int, Double)].head()
+    assert(got === (("a", "b", 3, 1.0)))
+  }
+
+  test("benfordCensus: integer-space digits, zero-filled grid, exact shares") {
+    val ev = typedEvents(Seq(("a", 0L, 1.0), ("a", 1L, 1.5), ("a", 2L, 2.0),
+      ("a", 3L, 0.0))) // zero value excluded from the census
+    val rows = ops.Diagnostics.benfordCensus(ev)
+      .select("digit", "n", "obs_share")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) === (1 to 9))
+    assert(rows.map(_._2) === Seq(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(rows.head._3 === 0.666667)
+    assert(rows(1)._3 === 0.333333)
+  }
+
+  test("bootstrapCi brackets the sample mean per series") {
+    val rows = (0 until 300).map { i =>
+      ("a", i.toLong, 10.0 + (i % 7) * 0.5)
+    } ++ (0 until 300).map { i => ("b", (i + 1000).toLong, 50.0 + (i % 5)) }
+    val out = ops.Diagnostics.bootstrapCi(typedEvents(rows))
+      .select("event_type", "n_events", "mean", "ci_lo", "ci_hi")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) === Seq("a", "b"))
+    out.foreach { case (_, n, mean, lo, hi) =>
+      assert(n === 300L)
+      assert(lo <= mean && mean <= hi)
+      assert(hi - lo < 1.0) // ~σ/√n scale, nowhere near the value spread
+    }
+  }
 }
