@@ -43,7 +43,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"runs":$runs}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"runs":$runs}"""
+    println(line)
+    // stdout tail-capture truncates past ~4 KB, which silently drops most of
+    // the per-query map (154 queries ≈ 6 KB) — persist the full artifact to
+    // a repo file so the numbers survive regardless of how stdout is caught
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

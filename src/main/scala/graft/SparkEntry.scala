@@ -3203,7 +3203,7 @@ object SparkEntry {
          |    WHERE dg.deg IS NOT NULL GROUP BY 1) fl ON v.id = fl.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) src,
-       |             CAST(l.l_suppkey AS BIGINT) + 1000000 dst
+       |             -CAST(l.l_suppkey AS BIGINT) dst
        |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |nn AS MATERIALIZED (SELECT count(*) n FROM v),

@@ -24,16 +24,28 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomPrefilter {
 
   /** Build a bloom over `dim[key]`, keep only `fact` rows whose key might
-    * be present. `expectedKeys`/`fpp` size the sketch — see
-    * [[org.apache.spark.util.sketch.BloomFilter]] for the bits formula.
+    * be present. `expectedKeys`/`fpp` size the sketch via the standard
+    * optimal-bits formula (same sizing as
+    * [[org.apache.spark.util.sketch.BloomFilter]]).
+    *
+    * The sketch is built and probed entirely with Catalyst's own
+    * `bloom_filter_agg` / `might_contain` expressions — the same pair
+    * Spark's InjectRuntimeFilter plants — so the probe stays inside
+    * whole-stage codegen (the aggregate ships to executors as a scalar
+    * subquery result, exactly like a runtime filter). Keys are hashed with
+    * xxhash64 on BOTH sides; `might_contain` on a NULL hash returns NULL,
+    * which `where` treats as drop — matching semi-join semantics for NULL
+    * keys.
     */
   def prefilter(fact: DataFrame, dim: DataFrame, key: String,
                 expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf: BloomFilter = dim.stat.bloomFilter(key, expectedKeys, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    // a UDF is acceptable here: no Catalyst built-in tests bloom membership,
-    // and the call is one branch-free hash probe per row
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
-    fact.where(col(key).isNotNull && mightContain(col(key)))
+    val numBits = BloomFilter.create(expectedKeys, fpp).bitSize()
+    val spark = fact.sparkSession
+    val viewName = s"graft_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    dim.select(xxhash64(col(key)).as("k")).where(col("k").isNotNull)
+      .agg(expr(s"bloom_filter_agg(k, ${expectedKeys}L, ${numBits}L)").as("bf"))
+      .createOrReplaceTempView(viewName)
+    fact.where(col(key).isNotNull &&
+      expr(s"might_contain((SELECT bf FROM $viewName), xxhash64(`$key`))"))
   }
 }

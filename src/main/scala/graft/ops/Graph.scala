@@ -9,30 +9,113 @@ import graft.Tables
   * become duplicate CLUSTERS, each with a canonical representative, so a
   * keep-one-per-cluster filter can actually drop rows.
   *
-  * Algorithm: min-label propagation. Every vertex starts labelled with its
-  * own id; each round it takes the min of its label and its neighbours'
-  * labels; at fixpoint every vertex carries the min vertex id of its
-  * component. Each round is one shuffle (join on the edge list + groupBy
-  * vertex); the number of rounds is the graph diameter. Duplicate clusters
-  * are near-cliques (diameter 2-4 even for million-doc clusters), so this
-  * converges in a handful of rounds — the pathological long-path graphs
-  * that motivate large-star/small-star contraction don't arise from
-  * band-collision edges.
+  * Two algorithms, same (id, comp=min id of component) contract:
   *
-  * Scale posture: labels only ever decrease, so sum(label) over all
-  * vertices is strictly monotone decreasing until fixpoint — convergence is
-  * detected with a single cheap aggregate per round (decimal(38,0): no
-  * overflow at any vertex-id scale), not a change-count self-join. Each
-  * round's result is localCheckpoint'ed to truncate lineage, keeping the
-  * plan O(1) deep regardless of round count.
+  *  - [[connectedComponents]] — large-star/small-star contraction
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC 2014). Converges in O(log n) rounds on ANY topology, long
+  *    paths included, because each round re-points edges at the running
+  *    component minimum instead of walking labels one hop at a time.
+  *    This is the default: an adversarial corpus (template drift chaining
+  *    thousands of docs into one long near-dup path) terminates just as
+  *    fast as a clique.
+  *  - [[minLabelComponents]] — one-hop min-label propagation. Round count
+  *    = graph diameter, so it is only for graphs KNOWN to be shallow
+  *    (band-collision dup clusters are near-cliques, diameter 2-4); it
+  *    does less work per round (one join, no re-pointing) when that
+  *    assumption holds, and fails loudly when it doesn't.
   */
 object Graph {
 
-  /** @param edges two BIGINT columns (src, dst), undirected semantics —
+  /** Star-contraction connected components.
+    *
+    * Each round applies large-star then small-star to a canonical
+    * (u > v, distinct) edge list:
+    *
+    *  - large-star: every vertex u computes m = min(Γ(u) ∪ u) and
+    *    re-points its STRICTLY LARGER neighbours at m — hubs hand their
+    *    big neighbours straight to the minimum, halving long chains.
+    *  - small-star: every vertex u (over its smaller neighbours Γ⁻) emits
+    *    (v, m) for v ∈ Γ⁻(u) and (u, m) with m = min(Γ⁻(u) ∪ u) —
+    *    flattening local trees into stars.
+    *
+    * The fixpoint is a forest of stars centred at each component's min
+    * vertex, so labels read straight off the final edge list. Convergence
+    * is detected with ONE action per round: the symmetric difference of
+    * consecutive edge sets (union + groupBy + count==1, limit 1) — both
+    * sets are distinct, so a count-1 group is a changed edge. Each round
+    * localCheckpoints to truncate lineage; every shuffle is keyed on a
+    * vertex id, never a cross product, and per-round volume never exceeds
+    * 2|E| rows, so the O(log n) bound holds at any scale.
+    *
+    * @param edges two BIGINT columns (src, dst), undirected semantics —
     *              each row needs to appear in one direction only.
     * @return (id, comp) — comp is the min vertex id of the component.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val verts = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
+    var e = raw.where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIters) {
+      // large-star over the symmetrized adjacency
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mLarge, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the big→small directed output (u > v holds by
+      // construction: large emits (v, m) with v > u ≥ m)
+      val mSmall = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(mSmall, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // exact set-equality check: both sides are distinct, so any (u,v)
+      // appearing once in the concatenation is in exactly one of the two
+      converged = next.union(e).groupBy("u", "v").count()
+        .where(col("count") === 1).limit(1).isEmpty
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds — " +
+        "star contraction needs O(log n) rounds; raise maxIters")
+    verts
+      .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Min-label propagation components — every vertex starts labelled with
+    * its own id and each round takes the min of its neighbours' labels;
+    * at fixpoint every vertex carries its component's min id. Round count
+    * is the graph DIAMETER — use only where that is known-small (dup
+    * clusters from band collisions are near-cliques, diameter 2-4); the
+    * general-topology default is [[connectedComponents]].
+    *
+    * Scale posture: labels only ever decrease, so sum(label) over all
+    * vertices is strictly monotone decreasing until fixpoint — convergence
+    * is detected with a single cheap aggregate per round (decimal(38,0):
+    * no overflow at any vertex-id scale), not a change-count self-join.
+    * Each round's result is localCheckpoint'ed to truncate lineage,
+    * keeping the plan O(1) deep regardless of round count.
+    *
+    * @param edges two BIGINT columns (src, dst), undirected semantics —
+    *              each row needs to appear in one direction only.
+    * @return (id, comp) — comp is the min vertex id of the component.
+    */
+  def minLabelComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     // materialize the adjacency ONCE — without this every propagation round
@@ -67,11 +150,12 @@ object Graph {
     // A silent non-converged return would hand callers WRONG (split)
     // components; duplicate-cluster graphs converge in a handful of rounds,
     // so hitting the cap means the edge input isn't the near-clique shape
-    // this propagation is designed for — fail loudly.
+    // this propagation is designed for — fail loudly (callers wanting
+    // topology-independence should be on connectedComponents instead).
     require(converged,
-      s"connectedComponents did not converge within $maxIters rounds — " +
-        "labels were still changing; raise maxIters or use a " +
-        "star-contraction variant for long-path graphs")
+      s"minLabelComponents did not converge within $maxIters rounds — " +
+        "labels were still changing; raise maxIters or use " +
+        "connectedComponents (star contraction) for long-path graphs")
     labels
   }
 
@@ -99,16 +183,23 @@ object Graph {
     // need ~log(tol)/log(damping) ≈ 85 rounds — size maxIters accordingly
     // when tightening tol; non-convergence fails loudly below
     val Array(srcCol, dstCol) = edges.columns
+    // the static sides are hash-partitioned ON THE PER-ROUND JOIN KEY
+    // before their one-time materialization: localCheckpoint preserves
+    // outputPartitioning, so none of the maxIters rank⋈deg⋈edge joins
+    // re-exchanges the edge list or the degree table — only the inflow
+    // groupBy (mass moving along edges) shuffles each round
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("u")).localCheckpoint()
     val verts = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
     val n = verts.count()
     val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     // (id, deg) for every vertex; deg NULL ⇔ dangling
-    val degs = verts.join(outDeg, Seq("id"), "left").localCheckpoint()
+    val degs = verts.join(outDeg, Seq("id"), "left")
+      .repartition(col("id")).localCheckpoint()
 
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+      .repartition(col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -133,14 +224,18 @@ object Graph {
     */
   def pageRankFixed(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
+    // same key-aligned one-time materialization as [[pageRank]]: the
+    // static sides never re-exchange across the fixed rounds
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("u")).localCheckpoint()
     val verts = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
     val n = verts.count()
     val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-    val degs = verts.join(outDeg, Seq("id"), "left").localCheckpoint()
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    val degs = verts.join(outDeg, Seq("id"), "left")
+      .repartition(col("id")).localCheckpoint()
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+      .repartition(col("id")).localCheckpoint()
     for (_ <- 1 to iters)
       ranks = pageRankStep(ranks, e, degs, n, damping).drop("prev")
     ranks
@@ -153,6 +248,17 @@ object Graph {
     * localCheckpoint materialization. Evaluation order of the update —
     * ((1−d)/n + d·dangling/n) + d·inflow, doubles throughout — is the
     * contract the unrolled SQL oracle replicates; don't reassociate it.
+    *
+    * Determinism note: the inflow/dangling sums accumulate raw doubles in
+    * partition-dependent order, so they are NOT bit-identical across runs
+    * — unlike the decimal-snapped aggregates elsewhere in the repo. The
+    * oracle still hash-matches by margin, not by construction: per-round
+    * reassociation error is bounded by n·ε·Σ|x| ≈ 1e-12 on unit mass,
+    * damped by 0.85 per round, while q142 reports ppm rounded to 1e-2 —
+    * ten orders of magnitude of slack. Snapping every per-edge rank/deg
+    * contribution to decimal would push that error to zero at the cost of
+    * decimal math in the hottest per-edge expression; the margin argument
+    * is why the cheap double path is safe here.
     */
   private def pageRankStep(ranks: DataFrame, e: DataFrame, degs: DataFrame,
                            n: Long, damping: Double): DataFrame = {
@@ -224,17 +330,20 @@ object Graph {
 
   /** q142: supplier importance over the customer→supplier purchase graph.
     * Edges are distinct (customer, supplier) pairs from orders⋈lineitem;
-    * supplier ids are offset by 1e6 so the two key spaces can't collide.
-    * Ten fixed PageRank rounds (the oracle unrolls the same ten in SQL);
-    * every supplier is dangling — all their mass redistributes — so this
-    * exercises the dangling path on real data. Ranks are reported in ppm.
+    * supplier vertices are keyed by the NEGATED suppkey — TPC-H keys are
+    * strictly positive at every scale factor, so negation keeps the two
+    * key spaces disjoint without a magic additive offset (custkey crosses
+    * any fixed offset around sf≈7). Ten fixed PageRank rounds (the oracle
+    * unrolls the same ten in SQL); every supplier is dangling — all their
+    * mass redistributes — so this exercises the dangling path on real
+    * data. Ranks are reported in ppm.
     */
   def supplierPageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
     val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
       .select(col("o_custkey").cast("bigint").as("src"),
-        (col("l_suppkey").cast("bigint") + lit(1000000L)).as("dst"))
+        (-col("l_suppkey").cast("bigint")).as("dst"))
     pageRankFixed(edges, damping = 0.85, iters = 10)
       .select(col("id"),
         (round(col("rank") * lit(1e8)) / lit(100.0)).as("rank_ppm"))
@@ -264,14 +373,6 @@ object Graph {
       .select(col("u").cast("bigint"), col("v").cast("bigint"))
   }
 
-  /** q144: degree assortativity of the co-purchase graph — the Pearson
-    * correlation between endpoint degrees over the symmetrized edge list
-    * (each edge contributes both directions, the standard Newman
-    * formulation). Positive ⇒ popular parts pair with popular parts
-    * (hub-hub affinity); negative ⇒ hub-and-spoke. One degree groupBy +
-    * two broadcast-size joins + a single scalar aggregate — no state
-    * beyond the degree table, shuffle keyed on vertex id.
-    */
   /** Distributed k-core decomposition (coreness per vertex) by h-index
     * propagation: start from degrees and repeatedly replace each vertex's
     * value with the h-index of its neighbours' values (the largest h such
@@ -373,6 +474,14 @@ object Graph {
     coreness(copurchaseEdges(spark, sfDir))
       .select(col("id").as("part"), col("coreness"))
 
+  /** q144: degree assortativity of the co-purchase graph — the Pearson
+    * correlation between endpoint degrees over the symmetrized edge list
+    * (each edge contributes both directions, the standard Newman
+    * formulation). Positive ⇒ popular parts pair with popular parts
+    * (hub-hub affinity); negative ⇒ hub-and-spoke. One degree groupBy +
+    * two broadcast-size joins + a single scalar aggregate — no state
+    * beyond the degree table, shuffle keyed on vertex id.
+    */
   def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
     val e = copurchaseEdges(spark, sfDir)
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))

@@ -490,8 +490,10 @@ object Relational {
   /** q119: ABC inventory classification — parts ranked by revenue,
     * partitioned into the classic A (first 80% of revenue) / B (next 15%) /
     * C (tail) bands by CUMULATIVE share, then rolled up per class. The
-    * cumulative window runs over the per-part AGGREGATE (bounded by |part|,
-    * range-partitionable at scale), never lineitems; class boundaries
+    * cumulative window runs over the per-part AGGREGATE (bounded by |part|
+    * — an unpartitioned orderBy window, i.e. a single task over that
+    * bounded aggregate; at larger |part| swap in the two-pass prefix-sum
+    * idiom used by heapsLaw), never lineitems; class boundaries
     * compare exact-decimal cumulative sums against the total, and the
     * rollup re-aggregates so the output is 3 rows whatever the part count.
     */
@@ -550,8 +552,10 @@ object Relational {
     * of the customer base (0 = every customer spends alike, →1 = revenue
     * concentrated in a few whales), the economy-wide companion of q117's
     * per-nation HHI. Revenue aggregates per customer first (exact decimal),
-    * the rank window runs over that customer-sized aggregate only
-    * (range-partitionable at scale), and Σ rank·revenue is an exact
+    * the rank window runs over that customer-sized aggregate only (an
+    * unpartitioned orderBy window — one task over the bounded aggregate;
+    * the heapsLaw two-pass prefix-sum idiom is the swap-in if |customer|
+    * outgrows a task), and Σ rank·revenue is an exact
     * decimal sum, so the classic formula
     * G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n is all-integer/decimal until the
     * final divides.

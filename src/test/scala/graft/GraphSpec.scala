@@ -24,12 +24,40 @@ class GraphSpec extends SparkSpec {
   }
 
   test("hitting the round cap without convergence fails loudly") {
-    // diameter 7 needs 7 propagation rounds + 1 detection round; cap at 3
-    val edges = (1L to 7L).map(i => (i, i + 1))
+    // star contraction halves chains per round; a 64-vertex path cannot
+    // collapse to a star in a single round — cap at 1 must throw
+    val edges = (1L to 63L).map(i => (i, i + 1))
     val ex = intercept[IllegalArgumentException] {
-      Graph.connectedComponents(edges.toDF("src", "dst"), maxIters = 3).collect()
+      Graph.connectedComponents(edges.toDF("src", "dst"), maxIters = 1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("star contraction converges on a long path where min-label cannot") {
+    // 2000-vertex path: diameter 1999, so one-hop min-label propagation
+    // needs ~2000 rounds and must fail loudly at the default cap, while
+    // large-star/small-star contraction needs only O(log n) rounds —
+    // this is the adversarial template-drift chain from the dedup graphs
+    val edges = (1L to 1999L).map(i => (i, i + 1))
+    val cc = components(edges) // default maxIters = 50 >> log2(2000)
+    assert(cc.size === 2000 && cc.values.forall(_ === 1L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.minLabelComponents(edges.toDF("src", "dst")).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("min-label propagation agrees with star contraction on shallow graphs") {
+    // two near-clique dup clusters + an isolated pair — the shape
+    // minLabelComponents is specified for
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L))
+    val star = components(edges)
+    val label = Graph.minLabelComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(star === label)
   }
 
   test("edge direction is irrelevant") {
