@@ -327,7 +327,12 @@ object SparkEntry {
     "q154_benford" -> ((s, d) =>
       Diagnostics.benfordCensus(s, d).orderBy(col("event_type"), col("digit"))),
     "q155_bootstrap_ci" -> ((s, d) =>
-      Diagnostics.bootstrapCi(s, d).orderBy(col("event_type")))
+      Diagnostics.bootstrapCi(s, d).orderBy(col("event_type"))),
+    "q156_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(s, d)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))),
+    "q157_communities" -> ((s, d) =>
+      Graph.copurchaseCommunities(s, d).orderBy(col("part")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3153,8 +3158,60 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT base.event_type, n_events, mean, ci_lo, ci_hi
         |FROM base JOIN ci ON base.event_type = ci.event_type
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // q50's window index with POSITIONS kept: matching 32-char substrings
+    // across a doc pair are seed points (pa, pb); a maximal verbatim shared
+    // run is a maximal diagonal island (pa−pb constant, pa consecutive) —
+    // collapsed by the gaps-and-islands pa − row_number() idiom. The Spark
+    // side seeds from 61-bit rolling hashes; the oracle from the literal
+    // substrings (collision-free by construction), same q50 design basis.
+    "q156_substring_spans" ->
+      """WITH nt AS (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |ix AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) g
+        |       FROM nt WHERE length(t) >= 32),
+        |hs AS (SELECT doc_id, CAST(g AS BIGINT) pos, substr(t, g, 32) s FROM ix),
+        |keep AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM hs)
+        |         GROUP BY 1 HAVING count(*) <= 1000),
+        |c AS (SELECT doc_id, pos, s FROM hs JOIN keep USING (s)),
+        |m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb
+        |      FROM c a JOIN c b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+        |          pa - row_number() OVER (
+        |            PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) grp
+        |        FROM m)
+        |SELECT doc_a, doc_b, min(pa) start_a, min(pb) start_b,
+        |       count(*) + 31 AS span_len
+        |FROM isl GROUP BY doc_a, doc_b, diag, grp
+        |HAVING count(*) + 31 >= 64
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q157_communities" -> lpaOracle(4)
   )
+
+  /** Unrolled fixed-round label-propagation oracle — one CTE per
+    * synchronous round; the argmax (most frequent neighbour label, ties to
+    * the smallest label) is the same row_number ordering
+    * [[graft.ops.Graph.labelPropagation]] uses, so both engines walk
+    * identical label states round by round.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val cte = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT id, label FROM (
+         |  SELECT s.u AS id, l.label, count(*) c,
+         |    row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.label) rn
+         |  FROM s JOIN l${k - 1} l ON s.v = l.id GROUP BY s.u, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+       |      FROM lineitem a JOIN lineitem b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+       |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+       |s AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM s),
+       |$cte
+       |SELECT id AS part, label AS community FROM l$rounds ORDER BY 1""".stripMargin
+  }
 
   /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per
     * power-iteration round, arithmetic ordered exactly as

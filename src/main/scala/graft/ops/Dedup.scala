@@ -166,6 +166,70 @@ object Dedup {
   def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
     chunkOverlap(Tables.documents(spark, sfDir))
 
+  /** q156: maximal shared-substring SPANS at character granularity — the
+    * exact-substring deduplication of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), which q50's chunk census
+    * only approximates: q50 counts how many windows two docs share, this
+    * reports WHERE the shared runs are and how long each maximal run is,
+    * which is what a span-removal pass (drop the repeated passage, keep the
+    * rest of the doc) actually needs.
+    *
+    * Suffix-array alignment doesn't distribute; the equivalent
+    * inverted-index form does. Each doc emits its `window`-char rolling
+    * hashes WITH positions; matching hashes across a doc pair give (pa, pb)
+    * seed points, and a run of text shared verbatim is exactly a maximal
+    * diagonal island of seeds — consecutive positions advancing in
+    * lock-step on both sides (pa−pb constant). Islands fall out of the
+    * classic gaps-and-islands idiom: group by (pair, diagonal), subtract
+    * row_number from pa, and each maximal run collapses to one group. A
+    * run of k consecutive matching windows certifies k+window−1 shared
+    * characters.
+    *
+    * Scale posture: the only join is the df-capped inverted index reused
+    * from q50 (boilerplate hashes in > maxDf docs never join), the island
+    * window partitions by (pair, diagonal) — thousands of small partitions,
+    * never a global sort — and output is bounded by matched seeds, not doc
+    * pairs. Hash collisions (61-bit Rabin–Karp vs the oracle's literal
+    * substrings) would need two colliding windows on the SAME diagonal of
+    * the SAME pair to corrupt a span — vanishingly unlikely; same design
+    * basis as q50.
+    *
+    * @return (doc_a, doc_b, start_a, start_b, span_len): one row per
+    *         maximal shared run of at least `minSpan` chars; start
+    *         positions are 1-based offsets into the normalized text.
+    */
+  def substringSpans(docs: DataFrame, window: Int = 32, minSpan: Int = 64,
+                     maxDf: Int = 1000): DataFrame = {
+    val hs = docs
+      .select(col("doc_id"),
+        posexplode(call_function("rolling_hash", normText(col("text")), lit(window)))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"), col("h"))
+    val keep = hs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("h"))
+    val capped = hs.join(keep, "h")
+    val seeds = capped.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(capped.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    seeds
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit(window - 1)).as("span_len"))
+      .where(col("span_len") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+  }
+
+  def substringSpans(spark: SparkSession, sfDir: String): DataFrame =
+    substringSpans(Tables.documents(spark, sfDir))
+
   /** q47: character-level verification of the Jaccard near-dup pairs —
     * exact Levenshtein distance over the candidate pairs only (edit distance
     * is O(len²) per pair, so it NEVER runs on the cross product; the cheap

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -473,6 +474,62 @@ object Graph {
   def copurchaseKcore(spark: SparkSession, sfDir: String): DataFrame =
     coreness(copurchaseEdges(spark, sfDir))
       .select(col("id").as("part"), col("coreness"))
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made DETERMINISTIC: every vertex starts labelled with its own
+    * id and each round SIMULTANEOUSLY adopts the most frequent label among
+    * its neighbours, ties broken by smallest label. The classic algorithm
+    * randomizes update order and tie-breaks to escape oscillation; a
+    * distributed engine wants the opposite trade — a fixed round count
+    * with total tie-order makes the result reproducible and lets an
+    * unrolled-SQL oracle replay it exactly, and synchronous rounds are
+    * what one-shuffle-per-round execution gives for free. Communities are
+    * the coarse complement of coreness: coreness says how deep a vertex
+    * sits, the label says WHICH dense region it sits in.
+    *
+    * Per round: one join (neighbour label lookup — the symmetrized
+    * adjacency is pre-partitioned on the lookup key once, so only the
+    * label side exchanges), one (vertex, label) count aggregate, and a
+    * per-vertex argmax window whose partition size is the vertex's
+    * DISTINCT neighbour-label count — bounded by degree, collapsing
+    * toward 1 as labels converge; never a global sort. localCheckpoint
+    * per round keeps the plan O(1) deep.
+    *
+    * @param edges  two BIGINT columns (src, dst), undirected — each edge
+    *               in one direction only.
+    * @param rounds fixed round count (diameter-scale rounds are overkill:
+    *               LPA community structure stabilizes in a handful).
+    * @return (id, label) — label is a community id drawn from the member
+    *         vertex ids.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v")).localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .repartition(col("id")).localCheckpoint()
+    val wArg = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wArg))
+        .where(col("rn") === 1)
+        .select(col("u").as("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q157: label-propagation communities of the part co-purchase graph —
+    * which dense co-purchase region each part belongs to, over the same
+    * support≥2 edges as q143/q144/q146. Four synchronous rounds (the
+    * oracle unrolls the same four in SQL).
+    */
+  def copurchaseCommunities(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropagation(copurchaseEdges(spark, sfDir), rounds = 4)
+      .select(col("id").as("part"), col("label").as("community"))
 
   /** q144: degree assortativity of the co-purchase graph — the Pearson
     * correlation between endpoint degrees over the symmetrized edge list

@@ -177,4 +177,37 @@ class DedupSpec extends SparkSpec {
       .where(col("is_kept")).select("doc_id").as[Long].collect().toSeq
     assert(kept === Seq(5L))
   }
+
+  test("substringSpans finds one maximal shared run with exact bounds") {
+    // 100 shared chars embedded at different offsets in unrelated context;
+    // letters chosen so context windows can't accidentally match
+    val shared = "z" * 36 + "q" * 32 + "k" * 32 // 100 chars, run structure
+    val a = "a" * 10 + shared + "b" * 20 // shared at 1-based pos 11
+    val b = "c" * 25 + shared + "d" * 5  // shared at 1-based pos 26
+    val spans = Dedup.substringSpans(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((1L, 2L, 11L, 26L, 100L)))
+  }
+
+  test("substringSpans separates distinct runs and drops short ones") {
+    // two shared regions: one of 80 chars (reported), one of 40 chars
+    // (40 < minSpan=64 → dropped); contexts differ so runs can't merge
+    val s1 = "m" * 40 + "n" * 40
+    val s2 = "p" * 40
+    val a = s1 + "x" * 15 + s2
+    val b = "y" * 7 + s1 + "w" * 30 + s2 + "v" * 3
+    val spans = Dedup.substringSpans(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((1L, 2L, 1L, 8L, 80L)))
+  }
+
+  test("substringSpans: no span between unrelated docs") {
+    val spans = Dedup.substringSpans(Seq(
+      (1L, "totally unrelated first document text that is long enough to window"),
+      (2L, "second document with nothing in common across any thirty two chars")
+    ).toDF("doc_id", "text")).count()
+    assert(spans === 0L)
+  }
 }

@@ -66,6 +66,49 @@ class GraphSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
   }
 
+  // independent plain-Scala synchronous LPA for cross-validation
+  private def referenceLpa(edges: Seq[(Long, Long)],
+                           rounds: Int): Map[Long, Long] = {
+    val sym = edges.flatMap(p => Seq(p, p.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (u, nbrs) =>
+        val counts = nbrs.map(lab).groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        // most frequent neighbour label, ties to the smallest label
+        u -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation matches a plain synchronous reference") {
+    // two 4-cliques joined by one bridge edge + an isolated pair
+    val cliques = for {
+      base <- Seq(0L, 10L); i <- 0 to 3; j <- (i + 1) to 3
+    } yield (base + i, base + j)
+    val edges = cliques ++ Seq((3L, 10L), (20L, 21L))
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === referenceLpa(edges, 4))
+    // and the cliques actually resolve to separate communities
+    assert(Seq(0L, 1L, 2L).map(got).distinct.size === 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(got).distinct.size === 1)
+    assert(got(0L) !== got(11L))
+  }
+
+  test("labelPropagation matches the reference on a hub-heavy random graph") {
+    val rnd = new scala.util.Random(7)
+    // preferential-attachment-ish: later vertices attach to random earlier
+    val edges = (1L to 120L).flatMap { v =>
+      (1 to (1 + rnd.nextInt(3))).map(_ => (rnd.nextLong().abs % v, v))
+    }.filter(p => p._1 != p._2).distinct
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === referenceLpa(edges, 3))
+  }
+
   // independent plain-Scala power iteration for cross-validation
   private def referencePageRank(edges: Seq[(Long, Long)], d: Double,
                                 iters: Int): Map[Long, Double] = {
