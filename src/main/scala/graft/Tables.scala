@@ -21,16 +21,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** The events table is written with nanosecond timestamps, which Spark's
-    * parquet reader rejects by default. Read them as raw nanos (legacy conf)
-    * and convert to a regular timestamp at microsecond precision — `div` keeps
-    * the arithmetic in exact integer space (a double division would lose
-    * precision at 2e18 nanos).
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: nanosecond timestamps (which Spark's parquet reader
+    * rejects unless read as raw longs via the legacy conf) and plain
+    * microsecond TIMESTAMP/TIMESTAMP_NTZ. Normalize every layout to a
+    * session-zone TIMESTAMP so downstream operators see one type. The
+    * nanos→micros `div` keeps the arithmetic in exact integer space (a
+    * double division would lose precision at 2e18 nanos); the NTZ cast is
+    * a wall-clock no-op because every graft session pins UTC.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant (session tz is UTC)
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   /** Spread an under-partitioned scan across the cluster. A small parquet
     * file arrives as one split, which would serialize every downstream
