@@ -332,7 +332,21 @@ object SparkEntry {
       Dedup.substringSpans(s, d)
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))),
     "q157_communities" -> ((s, d) =>
-      Graph.copurchaseCommunities(s, d).orderBy(col("part")))
+      Graph.copurchaseCommunities(s, d).orderBy(col("part"))),
+    "q158_span_removal" -> ((s, d) =>
+      Dedup.spanRemoval(s, d).orderBy(col("doc_id"))),
+    "q159_cust_opportunity" -> ((s, d) =>
+      Relational.custOpportunity(s, d).orderBy(col("nation"))),
+    "q160_hits_authority" -> ((s, d) => Graph.supplierHits(s, d)),
+    "q161_jaccard_neighbors" -> ((s, d) => Graph.jaccardNeighbors(s, d)),
+    "q162_peak_census" -> ((s, d) =>
+      TimeSeries.peakCensus(s, d).orderBy(col("event_type"))),
+    "q163_source_dup_matrix" -> ((s, d) =>
+      Dedup.sourceDupMatrix(s, d).orderBy(col("src_a"), col("src_b"))),
+    "q164_reorder_gaps" -> ((s, d) =>
+      Relational.reorderGaps(s, d).orderBy(col("c_mktsegment"))),
+    "q165_mmr_topk" -> ((s, d) =>
+      Similarity.mmrTopK(s, d).orderBy(col("rnk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3185,7 +3199,148 @@ object SparkEntry {
         |FROM isl GROUP BY doc_a, doc_b, diag, grp
         |HAVING count(*) + 31 >= 64
         |ORDER BY 1, 2, 3, 4""".stripMargin,
-    "q157_communities" -> lpaOracle(4)
+    "q157_communities" -> lpaOracle(4),
+    // q156's span CTE, then classic interval-merge (running-max gaps-and-
+    // islands) over each doc's doc_b-side spans — keep-earliest removal.
+    "q158_span_removal" ->
+      """WITH nt AS (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |ix AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) g
+        |       FROM nt WHERE length(t) >= 32),
+        |hs AS (SELECT doc_id, CAST(g AS BIGINT) pos, substr(t, g, 32) s FROM ix),
+        |keep AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM hs)
+        |         GROUP BY 1 HAVING count(*) <= 1000),
+        |c AS (SELECT doc_id, pos, s FROM hs JOIN keep USING (s)),
+        |m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb
+        |      FROM c a JOIN c b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+        |          pa - row_number() OVER (
+        |            PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) grp
+        |        FROM m),
+        |spans AS (SELECT doc_b AS doc_id, min(pb) s,
+        |            min(pb) + count(*) + 31 AS e
+        |          FROM isl GROUP BY doc_a, doc_b, diag, grp
+        |          HAVING count(*) + 31 >= 64),
+        |mk AS (SELECT doc_id, s, e,
+        |         CASE WHEN s > coalesce(max(e) OVER (
+        |             PARTITION BY doc_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |           THEN 1 ELSE 0 END op
+        |       FROM spans),
+        |gr AS (SELECT doc_id, s, e, sum(op) OVER (
+        |         PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) grp FROM mk),
+        |mg AS (SELECT doc_id, grp, min(s) rs, max(e) re FROM gr GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_regions,
+        |         CAST(sum(re - rs) AS BIGINT) chars_removable FROM mg GROUP BY 1)
+        |SELECT ag.doc_id, n_regions, chars_removable,
+        |  round(CAST(chars_removable AS DOUBLE)/length(nt.t)*1000000)/1000000
+        |    AS frac_removable
+        |FROM ag JOIN nt ON ag.doc_id = nt.doc_id ORDER BY 1""".stripMargin,
+    // TPC-H Q22 shape; the mean-positive-balance threshold compare is
+    // cross-multiplied (bal·n > sum) so it stays in exact decimal.
+    "q159_cust_opportunity" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(c_acctbal AS DECIMAL(18,2)) bal FROM customer),
+        |t AS (SELECT sum(bal) spos, count(*) npos FROM c WHERE bal > 0)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(CAST(sum(c.bal) AS DOUBLE)*100)/100 AS totacctbal
+        |FROM c CROSS JOIN t JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.bal * t.npos > t.spos
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q160_hits_authority" -> hitsOracle(4),
+    "q161_jaccard_neighbors" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |s AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        |d AS (SELECT u AS id, CAST(count(*) AS BIGINT) deg FROM s GROUP BY 1),
+        |a AS (SELECT s.u apex, s.v nb FROM s
+        |      JOIN d ON s.u = d.id WHERE d.deg <= 1000),
+        |g AS (SELECT x.nb xa, y.nb yb, CAST(count(*) AS BIGINT) common_neighbors
+        |      FROM a x JOIN a y ON x.apex = y.apex AND x.nb < y.nb
+        |      GROUP BY 1, 2),
+        |ne AS (SELECT g.* FROM g ANTI JOIN p ON g.xa = p.u AND g.yb = p.v)
+        |SELECT xa AS part_a, yb AS part_b, common_neighbors,
+        |  round(CAST(common_neighbors AS DOUBLE)
+        |    / (da.deg + db.deg - common_neighbors)*1000000)/1000000 AS jaccard
+        |FROM ne JOIN d da ON ne.xa = da.id JOIN d db ON ne.yb = db.id
+        |ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // Strict local maxima of stored values — exact compares, no statistic.
+    "q162_peak_census" ->
+      """WITH x AS (SELECT event_type, ts, event_id, value,
+        |             lag(value) OVER w pv, lead(value) OVER w nv
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |p AS (SELECT event_type, ts, event_id, value FROM x
+        |      WHERE value > pv AND value > nv),
+        |g AS (SELECT event_type, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |          OVER (PARTITION BY event_type ORDER BY ts, event_id) gap_s
+        |      FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) n_peaks,
+        |  round(CAST(sum(CAST(gap_s AS DECIMAL(18,2))) AS DOUBLE)
+        |    / sum(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END)*10000)/10000
+        |    AS avg_gap_s,
+        |  round(max(value)*10000)/10000 AS max_peak
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q22's capped band join rolled up by unordered source pair.
+    "q163_source_dup_matrix" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz AS (SELECT doc_id, band, sig FROM (
+        |          SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) bc
+        |          FROM bands) WHERE bc <= 64),
+        |prs AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+        |        FROM bsz a JOIN bsz b
+        |          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |        GROUP BY 1,2),
+        |ds AS (SELECT doc_id, source FROM documents),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) n FROM ds GROUP BY 1),
+        |mx AS (SELECT least(sa.source, sb.source) src_a,
+        |              greatest(sa.source, sb.source) src_b
+        |       FROM prs JOIN ds sa ON prs.doc_a = sa.doc_id
+        |                JOIN ds sb ON prs.doc_b = sb.doc_id),
+        |ag AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) n_dup_pairs
+        |       FROM mx GROUP BY 1,2)
+        |SELECT src_a, src_b, n_dup_pairs,
+        |  round(CAST(n_dup_pairs AS DOUBLE)
+        |    / (CASE WHEN src_a = src_b THEN na.n*(na.n-1)//2
+        |            ELSE na.n*nb.n END)*1000000)/1000000 AS dup_rate
+        |FROM ag JOIN ns na ON ag.src_a = na.source
+        |        JOIN ns nb ON ag.src_b = nb.source
+        |ORDER BY 1, 2""".stripMargin,
+    // Integer day gaps: mean is decimal-exact, median interpolates two
+    // integers in one IEEE op — no float-noise argument needed.
+    "q164_reorder_gaps" ->
+      """WITH g AS (SELECT o_custkey,
+        |             date_diff('day',
+        |               CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |               CAST(o_orderdate AS DATE)) gap_days
+        |           FROM orders),
+        |j AS (SELECT c_mktsegment, gap_days FROM g
+        |      JOIN customer ON o_custkey = c_custkey WHERE gap_days IS NOT NULL)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_gaps,
+        |  round(CAST(sum(CAST(gap_days AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*)*10000)/10000 AS avg_gap_days,
+        |  round(quantile_cont(gap_days, 0.5)*10000)/10000 AS median_gap_days,
+        |  CAST(max(gap_days) AS BIGINT) AS max_gap_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q165_mmr_topk" -> mmrOracle(pool = 40, k = 8)
   )
 
   /** Unrolled fixed-round label-propagation oracle — one CTE per
@@ -3211,6 +3366,93 @@ object SparkEntry {
        |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM s),
        |$cte
        |SELECT id AS part, label AS community FROM l$rounds ORDER BY 1""".stripMargin
+  }
+
+  /** Unrolled fixed-round HITS oracle — one (raw, normalized) CTE pair per
+    * side per round, replaying [[graft.ops.Graph.hits]] exactly: scores
+    * live as DECIMAL(28,12) (sums exact and order-free), each round
+    * max-normalizes (max of decimals — exact), and the single inexact op
+    * is the IEEE double division snapped back to 9 dp. Both engines
+    * therefore walk bit-identical score states; the final ppm rounding is
+    * 3 orders of margin on top of an exact match.
+    */
+  private def hitsOracle(rounds: Int): String = {
+    val cte = (1 to rounds).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.dst id, CAST(sum(score) AS DECIMAL(38,12)) raw
+         |  FROM e JOIN h${k - 1} ON e.src = h${k - 1}.id GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT id,
+         |  CAST(round(CAST(raw AS DOUBLE)/CAST((SELECT max(raw) FROM ar$k) AS DOUBLE)
+         |    *1e9)/1e9 AS DECIMAL(28,12)) score FROM ar$k),
+         |hr$k AS MATERIALIZED (SELECT e.src id, CAST(sum(score) AS DECIMAL(38,12)) raw
+         |  FROM e JOIN a$k ON e.dst = a$k.id GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT id,
+         |  CAST(round(CAST(raw AS DOUBLE)/CAST((SELECT max(raw) FROM hr$k) AS DOUBLE)
+         |    *1e9)/1e9 AS DECIMAL(28,12)) score FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) src,
+       |    CAST(l_suppkey AS BIGINT) dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src id,
+       |  CAST(1 AS DECIMAL(28,12)) score FROM e),
+       |$cte
+       |SELECT id AS s_suppkey,
+       |  round(CAST(score AS DOUBLE)*1000000)/1000000 AS authority
+       |FROM a$rounds ORDER BY authority DESC, s_suppkey LIMIT 25""".stripMargin
+  }
+
+  /** Unrolled greedy-MMR oracle — relevance pool and pairwise sims off the
+    * same exact decimal_dot arithmetic as q25, then one CTE pair per greedy
+    * step: the argmax of round(λ·rel − μ·maxsim, 9) with (score desc,
+    * vec_id) tie order, exactly [[graft.ops.Similarity.mmrTopK]]'s loop.
+    * λ and μ are independent literals (never 1−λ computed in-engine, whose
+    * decimal-vs-double result would differ between engines).
+    */
+  private def mmrOracle(pool: Int, k: Int, lambda: String = "0.7",
+                        mu: String = "0.3"): String = {
+    val steps = (1 to k).map { s =>
+      s"""st$s AS MATERIALIZED (SELECT vec_id, score FROM (
+         |  SELECT r.vec_id,
+         |    round(CAST($lambda AS DOUBLE)*r.rel
+         |      - CAST($mu AS DOUBLE)*coalesce(m.ms, 0.0), 9) score,
+         |    row_number() OVER (ORDER BY round(CAST($lambda AS DOUBLE)*r.rel
+         |      - CAST($mu AS DOUBLE)*coalesce(m.ms, 0.0), 9) DESC, r.vec_id) rn
+         |  FROM pool r
+         |  LEFT JOIN (SELECT sm.a, max(sm.sim) ms FROM sims sm
+         |             JOIN sel${s - 1} t ON sm.b = t.vec_id GROUP BY 1) m
+         |    ON r.vec_id = m.a
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel${s - 1}
+         |                         WHERE vec_id IS NOT NULL)) WHERE rn = 1),
+         |sel$s AS MATERIALIZED (SELECT * FROM sel${s - 1}
+         |  UNION ALL SELECT vec_id, score, $s rnk FROM st$s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+       |         embedding FROM e),
+       |xx AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+       |n AS MATERIALIZED (SELECT vec_id,
+       |  sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+       |  FROM xx GROUP BY 1),
+       |pv AS MATERIALIZED (SELECT i, v FROM xx WHERE vec_id = 0),
+       |relall AS (SELECT c.vec_id,
+       |    round(CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE)
+       |      /(pn.nrm*cn.nrm), 9) rel
+       |  FROM pv p JOIN xx c ON p.i = c.i AND c.vec_id <> 0
+       |  JOIN n pn ON pn.vec_id = 0 JOIN n cn ON cn.vec_id = c.vec_id
+       |  GROUP BY c.vec_id, pn.nrm, cn.nrm),
+       |pool AS MATERIALIZED (SELECT vec_id, rel FROM relall
+       |  ORDER BY rel DESC, vec_id LIMIT $pool),
+       |px AS MATERIALIZED (SELECT x.vec_id, x.i, x.v
+       |  FROM xx x JOIN pool p ON x.vec_id = p.vec_id),
+       |sims AS MATERIALIZED (SELECT xa.vec_id a, xb.vec_id b,
+       |    round(CAST(sum(CAST(xa.v*xb.v AS DECIMAL(18,16))) AS DOUBLE)
+       |      /(na.nrm*nb.nrm), 9) sim
+       |  FROM px xa JOIN px xb ON xa.i = xb.i AND xa.vec_id <> xb.vec_id
+       |  JOIN n na ON na.vec_id = xa.vec_id JOIN n nb ON nb.vec_id = xb.vec_id
+       |  GROUP BY 1, 2, na.nrm, nb.nrm),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score,
+       |         CAST(0 AS INT) rnk WHERE 1 = 0),
+       |$steps
+       |SELECT rnk, vec_id, score FROM sel$k ORDER BY rnk""".stripMargin
   }
 
   /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per

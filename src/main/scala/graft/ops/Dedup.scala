@@ -230,6 +230,48 @@ object Dedup {
   def substringSpans(spark: SparkSession, sfDir: String): DataFrame =
     substringSpans(Tables.documents(spark, sfDir))
 
+  /** q158: the span-REMOVAL census that completes the Lee et al. 2022
+    * exact-substring pass — q156 finds where the shared runs are; this
+    * answers "how much of each document would removal actually delete?".
+    * Keep-earliest policy: for every span the LOWER doc id keeps its copy,
+    * so a doc's removable text is the union of its doc_b-side intervals.
+    * Overlapping spans (one passage shared with many earlier docs) must
+    * not double-count, so intervals are merged per doc with the running-
+    * max gaps-and-islands idiom: an interval opens a new island iff its
+    * start clears every previous end (window runs inside one doc's
+    * interval list — thousands of small partitions, never a global sort).
+    *
+    * @return (doc_id, n_regions, chars_removable, frac_removable): merged
+    *         region count, their total char length, and that length over
+    *         the doc's normalized length.
+    */
+  def spanRemoval(docs: DataFrame, window: Int = 32, minSpan: Int = 64,
+                  maxDf: Int = 1000): DataFrame = {
+    val iv = substringSpans(docs, window, minSpan, maxDf)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val merged = iv
+      .withColumn("opens", coalesce(col("s") > max(col("e")).over(wPrev),
+        lit(true)))
+      .withColumn("grp", sum(col("opens").cast("int")).over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+    val lens = docs.select(col("doc_id"),
+      length(normText(col("text"))).as("doc_len"))
+    merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("re") - col("rs")).as("chars_removable"))
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("n_regions"), col("chars_removable"),
+        (round(col("chars_removable").cast("double") / col("doc_len")
+          * lit(1000000)) / lit(1000000.0)).as("frac_removable"))
+  }
+
+  def spanRemoval(spark: SparkSession, sfDir: String): DataFrame =
+    spanRemoval(Tables.documents(spark, sfDir))
+
   /** q47: character-level verification of the Jaccard near-dup pairs —
     * exact Levenshtein distance over the candidate pairs only (edit distance
     * is O(len²) per pair, so it NEVER runs on the cross product; the cheap
@@ -815,4 +857,40 @@ object Dedup {
 
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
     leakageSafeSplit(Tables.documents(spark, sfDir))
+
+  /** q163: cross-source duplication matrix — the q22 MinHash-LSH candidate
+    * pairs rolled up by (source, source): which corpus sources copy from
+    * which, the curation signal that decides whether a source is
+    * independent signal or a mirror. Diagonal cells are within-source
+    * duplication (denominator n·(n−1)/2 possible pairs); off-diagonal
+    * cells are cross-source (denominator na·nb), both exact integer
+    * counts, so the rate is one IEEE division of exact values. Source
+    * pairs are unordered via least/greatest so each cell appears once.
+    * Costs one broadcast-size join per side on top of the capped q22 pair
+    * join — the matrix itself is |sources|² rows, trivially small at any
+    * corpus scale.
+    */
+  def sourceDupMatrix(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val nBySrc = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = minhashLsh(docs)
+      .join(src.toDF("doc_a", "sa"), "doc_a")
+      .join(src.toDF("doc_b", "sb"), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    pairs
+      .join(broadcast(nBySrc.toDF("src_a", "na")), "src_a")
+      .join(broadcast(nBySrc.toDF("src_b", "nb")), "src_b")
+      .withColumn("possible",
+        when(col("src_a") === col("src_b"), col("na") * (col("na") - 1) / 2)
+          .otherwise(col("na") * col("nb")).cast("bigint"))
+      .select(col("src_a"), col("src_b"), col("n_dup_pairs"),
+        (round(col("n_dup_pairs").cast("double") / col("possible")
+          * lit(1000000)) / lit(1000000.0)).as("dup_rate"))
+  }
+
+  def sourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDupMatrix(Tables.documents(spark, sfDir))
 }

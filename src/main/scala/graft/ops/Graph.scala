@@ -552,4 +552,119 @@ object Graph {
         (round(corr(col("du"), col("dv")) * lit(1000000)) / lit(1000000.0))
           .as("assortativity"))
   }
+
+  /** q161: neighbourhood-Jaccard link prediction — the set-overlap
+    * complement of Adamic–Adar (q145): score(a,b) = |Γ(a)∩Γ(b)| /
+    * |Γ(a)∪Γ(b)| over non-adjacent part pairs. Jaccard penalizes hub
+    * endpoints (a hub's huge neighbourhood dilutes every union) where AA
+    * penalizes hub APEXES, so the two rankings disagree exactly on
+    * hub-adjacent candidates — running both is the standard link-prediction
+    * ensemble. Same apex-capped wedge enumeration as q145 (fan-out bounded
+    * per apex, never all-pairs), one extra broadcast-size degree join for
+    * the union denominator. All-integer score inputs; the single division
+    * is one IEEE op on exact integers, so cross-engine determinism needs no
+    * noise-margin argument at all.
+    */
+  def jaccardNeighbors(edges: DataFrame, topK: Int, apexDegCap: Int): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg.where(col("deg") <= apexDegCap)
+        .select(col("id").as("u")), "u")
+      .select(col("u").as("apex"), col("v").as("nb"))
+    val common = adj.as("x")
+      .join(adj.as("y"), col("x.apex") === col("y.apex") &&
+        col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("part_a"), col("y.nb").as("part_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    common
+      .join(e, col("part_a") === col("u") && col("part_b") === col("v"),
+        "left_anti")
+      .join(deg.select(col("id").as("part_a"), col("deg").as("da")), "part_a")
+      .join(deg.select(col("id").as("part_b"), col("deg").as("db")), "part_b")
+      .select(col("part_a"), col("part_b"), col("common_neighbors"),
+        (round(col("common_neighbors").cast("double") /
+          (col("da") + col("db") - col("common_neighbors")) * lit(1000000))
+          / lit(1000000.0)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  def jaccardNeighbors(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardNeighbors(copurchaseEdges(spark, sfDir), topK = 20,
+      apexDegCap = 1000)
+
+  /** Fixed-round HITS (Kleinberg 1999) on a bipartite hub→authority edge
+    * list, engineered for exact cross-engine replay: scores are stored as
+    * 9-dp values and summed as DECIMAL(28,12) (exact, order-independent —
+    * unlike double sums), and each round normalizes by the MAX score (also
+    * exact) instead of the usual L2 norm, whose global float sum would
+    * reintroduce partition-order noise. The one inexact op per round is a
+    * single IEEE double division of two exactly-determined values, snapped
+    * back to 9 dp — so an unrolled-SQL oracle replays the identical
+    * arithmetic path bit-for-bit. Max-normalized HITS has the same
+    * fixpoint direction as L2-normalized (normalization is a scalar), so
+    * rankings are the textbook ones with the top score pinned at 1.
+    *
+    * Per round: two shuffles (authority sum keyed on dst, hub sum keyed on
+    * src) and one broadcast one-row max join each — no driver action, no
+    * collect; state is one row per vertex side.
+    *
+    * @param edges (src, dst) BIGINT pairs, already distinct.
+    * @return (id, side, score): side ∈ {hub, authority}, score ∈ (0, 1].
+    */
+  def hits(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val snap = (c: org.apache.spark.sql.Column) =>
+      (round(c * lit(1e9)) / lit(1e9)).cast("decimal(28,12)")
+    var hubs = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1).cast("decimal(28,12)").as("score"))
+    var auths: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val araw = e.join(hubs, e("src") === hubs("id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("score")).as("raw"))
+      val amax = araw.agg(max(col("raw")).as("mx"))
+      auths = araw.join(broadcast(amax))
+        .select(col("id"),
+          snap(col("raw").cast("double") / col("mx").cast("double"))
+            .as("score"))
+        .localCheckpoint()
+      val hraw = e.join(auths, e("dst") === auths("id"))
+        .groupBy(col("src").as("id")).agg(sum(col("score")).as("raw"))
+      val hmax = hraw.agg(max(col("raw")).as("mx"))
+      hubs = hraw.join(broadcast(hmax))
+        .select(col("id"),
+          snap(col("raw").cast("double") / col("mx").cast("double"))
+            .as("score"))
+        .localCheckpoint()
+    }
+    hubs.select(col("id"), lit("hub").as("side"), col("score"))
+      .union(auths.select(col("id"), lit("authority").as("side"), col("score")))
+  }
+
+  /** q160: HITS authority ranking of suppliers in the customer→supplier
+    * order graph (edge when a customer's order contains the supplier's
+    * line). Four max-normalized rounds via [[hits]]; authoritative
+    * suppliers are those ordered from by the biggest-basket customers,
+    * which plain order counts (q149) conflate with volume. Top-k by the
+    * ROUNDED score so float near-ties cannot reorder across engines.
+    */
+  def supplierHits(spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
+    val edges = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    hits(edges, rounds = 4)
+      .where(col("side") === "authority")
+      .select(col("id").as("s_suppkey"),
+        (round(col("score").cast("double") * lit(1000000)) / lit(1000000.0))
+          .as("authority"))
+      .orderBy(col("authority").desc, col("s_suppkey"))
+      .limit(topK)
+  }
 }

@@ -836,4 +836,66 @@ object Relational {
       .orderBy(col("total_price").desc, col("o_orderkey"))
       .limit(k)
   }
+
+  /** q159: dormant high-balance customers by nation (TPC-H Q22 shape,
+    * phone-prefix predicate swapped for the nation dimension this schema
+    * carries) — customers whose balance beats the mean POSITIVE balance
+    * yet placed no order on/after the dormancy cutoff. The correlated
+    * scalar subquery decorrelates to a one-row aggregate broadcast
+    * against the customer scan; the NOT EXISTS is a left-anti join to
+    * the date-pruned orders slice keyed on custkey (the date filter
+    * pushes into the parquet scan, so the anti side is a fraction of the
+    * fact). Balances are money: the threshold compare is cross-
+    * multiplied in DECIMAL(18,2) (bal·n > sum — exact), so no customer
+    * can flip sides on float accumulation order, same trick as q150.
+    */
+  def custOpportunity(spark: SparkSession, sfDir: String,
+                      dormantSince: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val thr = cust.where(col("bal") > 0)
+      .agg(sum(col("bal")).as("spos"), count(lit(1)).as("npos"))
+    cust.join(broadcast(thr))
+      .where(col("bal") * col("npos") > col("spos"))
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") >= dormantSince).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        (round(sum(col("bal")).cast("double") * 100) / 100).as("totacctbal"))
+  }
+
+  /** q164: reorder-cadence profile — days between a customer's consecutive
+    * orders (lag over the per-customer order timeline), rolled up per
+    * market segment: how often each segment re-buys and how spread its
+    * cadence is. The window partitions by customer (millions of small
+    * partitions, shuffle keyed on custkey — never a global sort) and the
+    * gaps are exact integer day counts, so mean is a decimal-exact
+    * integer ratio and the median interpolates two integers in one IEEE
+    * op: cross-engine clean without a noise argument.
+    */
+  def reorderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"),
+      col("o_orderkey"))
+    val gaps = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .where(col("gap_days").isNotNull)
+    gaps
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (round(sum(col("gap_days").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)) * 10000) / 10000).as("avg_gap_days"),
+        (round(expr("percentile(gap_days, 0.5)") * 10000) / 10000)
+          .as("median_gap_days"),
+        max(col("gap_days")).cast("bigint").as("max_gap_days"))
+  }
 }

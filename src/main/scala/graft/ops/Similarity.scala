@@ -538,4 +538,61 @@ object Similarity {
 
   def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame =
     matryoshkaRecall(Tables.embeddings(spark, sfDir))
+
+  /** q165: Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the retrieval layer a training-data selector wants
+    * when plain cosine top-k returns k near-copies of one passage:
+    * score(d) = λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s), picked
+    * greedily. Structured for scale the way every bounded-rerank system
+    * does it: the DISTRIBUTED stage reduces the corpus to a `pool`-sized
+    * relevance shortlist (one broadcast-probe scan, same plan as q25);
+    * the greedy stage then runs k tiny argmax rounds over that fixed
+    * pool — pool² pairwise sims and k row_number passes over ≤ pool rows,
+    * cost independent of corpus size.
+    *
+    * Cross-engine determinism: cosines come exact off decimal_dot and are
+    * snapped to 9 dp, the per-step score is two IEEE mults and a subtract
+    * on snapped values (λ and 1−λ are passed as separate decimal-string
+    * literals — 1−0.7 in the engine would differ between double and
+    * decimal arithmetic), and every argmax breaks ties by (score desc,
+    * vec_id). The oracle unrolls the same k greedy steps.
+    */
+  def mmrTopK(emb: DataFrame, probeId: Long = 0, pool: Int = 40, k: Int = 8,
+              lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+    val probe = all.where(col("vec_id") === probeId)
+      .select(col("v").as("pv"), col("nrm").as("pn"))
+    val rel = all.where(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("rel", round(dotExpr("pv", "v") / (col("pn") * col("nrm")), 9))
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .localCheckpoint() // pool rows — tiny from here on
+    val sims = rel.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(broadcast(rel.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"))), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dotExpr("va", "vb") / (col("na") * col("nb")), 9).as("sim"))
+      .localCheckpoint()
+    var selected = rel.limit(0)
+      .select(col("vec_id"), lit(0.0).as("score"), lit(0).as("rnk"))
+    for (step <- 1 to k) {
+      val maxSim = sims.join(selected.select(col("vec_id").as("b")), "b")
+        .groupBy(col("a")).agg(max(col("sim")).as("ms"))
+      val next = rel
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(maxSim, col("vec_id") === col("a"), "left")
+        .withColumn("score", round(lit(lambda) * col("rel")
+          - lit(mu) * coalesce(col("ms"), lit(0.0)), 9))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("score"), lit(step).as("rnk"))
+      selected = selected.union(next).localCheckpoint()
+    }
+    selected.select(col("rnk"), col("vec_id"), col("score"))
+  }
+
+  def mmrTopK(spark: SparkSession, sfDir: String): DataFrame =
+    mmrTopK(Tables.embeddings(spark, sfDir))
 }

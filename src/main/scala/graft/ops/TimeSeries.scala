@@ -924,4 +924,40 @@ object TimeSeries {
 
   def leadLag(spark: SparkSession, sfDir: String): DataFrame =
     leadLag(Tables.events(spark, sfDir))
+
+  /** q162: peak census — per series, strict local maxima of the raw
+    * signal (value above BOTH neighbours; plateau edges and endpoints
+    * excluded by the strict compares) and the cadence between them.
+    * Peak detection here is pure neighbour comparison of STORED values —
+    * no rolling statistic, no accumulated threshold — so every compare
+    * is exact and the census is bit-deterministic on any partitioning;
+    * the deliberate contrast is q41/q116, which flag statistical
+    * outliers and need the noise-margin argument. One window pass keyed
+    * on the series (lag/lead + the inter-peak gap lag share one sort),
+    * one aggregate; both shuffles are keyed on event_type.
+    */
+  def peakCensus(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"),
+      col("event_id"))
+    val peaks = events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("is_peak",
+        col("value") > lag(col("value"), 1).over(w) &&
+        col("value") > lead(col("value"), 1).over(w))
+      .where(col("is_peak"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("ts"),
+      col("event_id"))
+    peaks
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wp)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_peaks"),
+        (round(sum(col("gap_s").cast("decimal(18,2)")).cast("double")
+          / sum(when(col("gap_s").isNotNull, 1).otherwise(0)) * 10000)
+          / 10000).as("avg_gap_s"),
+        (round(max(col("value")) * 10000) / 10000).as("max_peak"))
+  }
+
+  def peakCensus(spark: SparkSession, sfDir: String): DataFrame =
+    peakCensus(Tables.events(spark, sfDir))
 }

@@ -355,4 +355,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(hi - lo < 1.0) // ~σ/√n scale, nowhere near the value spread
     }
   }
+
+  test("peakCensus counts strict local maxima and their cadence") {
+    // series a: values 1,5,1,1,7,1 at days 0..5 → peaks at day 1 (5) and
+    // day 4 (7), gap = 3 days; plateaus (5,5) must NOT count as peaks.
+    val rows = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 5.0), ("a", 2L, 1.0),
+      ("a", 3L, 1.0), ("a", 4L, 7.0), ("a", 5L, 1.0),
+      ("b", 0L, 2.0), ("b", 1L, 4.0), ("b", 2L, 4.0), ("b", 3L, 2.0))
+    val byType = ops.TimeSeries.peakCensus(typedEvents(rows))
+      .select("event_type", "n_peaks", "avg_gap_s", "max_peak")
+      .as[(String, Long, Option[Double], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byType("a") === ((2L, Some(3.0 * 86400), 7.0)))
+    // b's plateau (4,4) is not a strict max → zero peaks, no row at all
+    assert(!byType.contains("b"))
+  }
 }

@@ -210,4 +210,32 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")).count()
     assert(spans === 0L)
   }
+
+  test("spanRemoval merges overlapping spans and charges only later docs") {
+    // doc 2 shares one 100-char passage with BOTH doc 0 and doc 1 — two
+    // identical doc_b-side intervals that must merge to ONE region of 100
+    // removable chars, not 200; docs 0/1 (earlier ids) keep their copies
+    // and doc 1 is charged for its own overlap with doc 0.
+    val shared = "z" * 36 + "q" * 32 + "k" * 32
+    val d0 = "a" * 10 + shared + "b" * 20
+    val d1 = "c" * 25 + shared + "d" * 5
+    val d2 = "e" * 7 + shared + "f" * 12
+    val out = Dedup.spanRemoval(
+        Seq((0L, d0), (1L, d1), (2L, d2)).toDF("doc_id", "text"))
+      .select("doc_id", "n_regions", "chars_removable")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    assert(!out.contains(0L)) // earliest copy never charged
+    assert(out(1L) === ((1L, 100L)))
+    assert(out(2L) === ((1L, 100L)))
+  }
+
+  test("spanRemoval frac is removable chars over normalized length") {
+    val shared = "z" * 36 + "q" * 32 + "k" * 32 // 100 chars
+    val a = "a" * 10 + shared + "b" * 20
+    val b = "c" * 25 + shared + "d" * 75 // normalized length 200
+    val row = Dedup.spanRemoval(Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .select("doc_id", "frac_removable").as[(Long, Double)].collect().toMap
+    assert(row(2L) === 0.5)
+  }
 }

@@ -47,6 +47,39 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("hits pins the top score at 1 and ranks the densest authority first") {
+    // bipartite: customers 1,2,3 → suppliers 101,102.
+    // 101 is cited by all three hubs, 102 by one → authority(101)=1 > 102.
+    val edges = Seq((1L, 101L), (2L, 101L), (3L, 101L), (3L, 102L))
+      .toDF("src", "dst")
+    val rows = Graph.hits(edges, rounds = 4)
+      .as[(Long, String, java.math.BigDecimal)].collect()
+    val auth = rows.filter(_._2 == "authority")
+      .map(r => r._1 -> r._3.doubleValue()).toMap
+    val hubs = rows.filter(_._2 == "hub")
+      .map(r => r._1 -> r._3.doubleValue()).toMap
+    assert(auth(101L) === 1.0)
+    assert(auth(102L) < auth(101L))
+    // hub 3 cites both authorities → strictly the strongest hub
+    assert(hubs(3L) === 1.0 && hubs(1L) < 1.0 && hubs(1L) === hubs(2L))
+  }
+
+  test("jaccard neighbors scores a shared-neighborhood pair exactly") {
+    // 1 and 2 are non-adjacent, both linked to {3,4}; deg(1)=deg(2)=2 →
+    // jaccard = 2/(2+2-2) = 1.0; pair (3,4) is adjacent → excluded.
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val rows = Graph.jaccardNeighbors(edges, topK = 10, apexDegCap = 1000)
+      .select("part_a", "part_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(rows((1L, 2L)) === 1.0)
+    assert(!rows.contains((3L, 4L)))
+    // deg(3)=deg(4)=3, common {1,2} minus adjacency → not emitted for
+    // the adjacent pair, and no pair involving an apex is double-counted
+    assert(rows.keys.forall { case (a, b) => a < b })
+  }
+
   test("min-label propagation agrees with star contraction on shallow graphs") {
     // two near-clique dup clusters + an isolated pair — the shape
     // minLabelComponents is specified for

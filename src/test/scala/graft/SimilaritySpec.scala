@@ -96,4 +96,33 @@ class SimilaritySpec extends SparkSpec {
     assert(s.map(r => (r._1, r._2, r._3)) === Seq((0, 7L, 1), (1, 3L, 2)))
     assert(s.head._4 < 0.9)
   }
+
+  test("mmrTopK diversifies: second pick trades relevance for novelty") {
+    // Vectors 1 and 2 are near-copies (sim ≈ 1) with relevance 0.9; vector
+    // 3 has lower relevance 0.8 but points away from them (sim ≈ 0.46).
+    // Plain top-2 returns {1, 2}; MMR picks 1, then 3 because 2's marginal
+    // score 0.7·0.9 − 0.3·1 ≈ 0.33 loses to 3's 0.7·0.8 − 0.3·0.46 ≈ 0.42.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.43589f, 0f), 0),
+      (2L, Array(0.9f, 0.43589f, 0.001f), 0),
+      (3L, Array(0.8f, -0.6f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val picks = Similarity.mmrTopK(vecs, probeId = 0, pool = 3, k = 2,
+        lambda = 0.7, mu = 0.3)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(picks === Seq(1L, 3L))
+  }
+
+  test("mmrTopK first pick is the plain relevance argmax") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.5f, 0.5f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val first = Similarity.mmrTopK(vecs, probeId = 0, pool = 2, k = 1,
+        lambda = 0.7, mu = 0.3)
+      .select("rnk", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(first === Seq((1, 1L)))
+  }
 }
