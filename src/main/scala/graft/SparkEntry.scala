@@ -346,7 +346,9 @@ object SparkEntry {
     "q164_reorder_gaps" -> ((s, d) =>
       Relational.reorderGaps(s, d).orderBy(col("c_mktsegment"))),
     "q165_mmr_topk" -> ((s, d) =>
-      Similarity.mmrTopK(s, d).orderBy(col("rnk")))
+      Similarity.mmrTopK(s, d).orderBy(col("rnk"))),
+    "q166_supplier_affinity" -> ((s, d) => Graph.supplierAffinity(s, d)),
+    "q167_min_price_supplier" -> ((s, d) => Relational.minPriceSupplier(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3138,20 +3140,27 @@ object SparkEntry {
         |  CAST(exp_share AS DOUBLE) AS exp_share,
         |  round((CAST(n AS DOUBLE)/total - exp_share)*1000000)/1000000 AS dev
         |FROM e ORDER BY 1, 2""".stripMargin,
+    // Replicas drawn in BLOCKS OF FIVE: one md5 digest = five independent
+    // 24-bit uniforms (slot s reads hex chars 6s+1..6s+6), matching the
+    // Spark side's 5x-fewer-digests layout exactly.
     "q155_bootstrap_ci" ->
-      """WITH r AS (SELECT e.event_type, e.event_id, e.value, gs.b
-        |      FROM events e, generate_series(0, 200) gs(b)),
-        |h AS (SELECT event_type, b, value,
-        |        md5('boot:'||CAST(event_id AS VARCHAR)||':'||CAST(b AS VARCHAR)) h
+      """WITH r AS (SELECT e.event_type, e.event_id, e.value, gs.blk
+        |      FROM events e, generate_series(0, 40) gs(blk)),
+        |h AS (SELECT event_type, event_id, blk, value,
+        |        md5('boot:'||CAST(event_id AS VARCHAR)||':'||CAST(blk AS VARCHAR)) h
         |      FROM r),
+        |s AS (SELECT event_type, blk*5 + sl.slot AS b, value, h,
+        |        CAST(sl.slot AS BIGINT) slot
+        |      FROM h, generate_series(0, 4) sl(slot)
+        |      WHERE blk*5 + sl.slot < 201),
         |u AS (SELECT event_type, b, value,
-        |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
-        |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
-        |       (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
-        |       (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
-        |       (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
-        |       (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT) u24
-        |      FROM h),
+        |  CAST((instr('0123456789abcdef', substr(h, 6*slot + 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(h, 6*slot + 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(h, 6*slot + 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(h, 6*slot + 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(h, 6*slot + 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(h, 6*slot + 6, 1)) - 1) AS BIGINT) u24
+        |      FROM s),
         |w AS (SELECT event_type, b, value,
         |        CASE WHEN u24 < 6171992 THEN 0 WHEN u24 < 12343985 THEN 1
         |             WHEN u24 < 15429982 THEN 2 WHEN u24 < 16458647 THEN 3
@@ -3340,7 +3349,23 @@ object SparkEntry {
         |  round(quantile_cont(gap_days, 0.5)*10000)/10000 AS median_gap_days,
         |  CAST(max(gap_days) AS BIGINT) AS max_gap_days
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q165_mmr_topk" -> mmrOracle(pool = 40, k = 8)
+    "q165_mmr_topk" -> mmrOracle(pool = 40, k = 8),
+    "q166_supplier_affinity" -> pprOracle(iters = 8, nSeeds = 5),
+    // TPC-H Q2 shape on observed unit prices; argmin orders by the SNAPPED
+    // price so the winner can't flip on accumulation order.
+    "q167_min_price_supplier" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_size = 1),
+        |u AS (SELECT l_partkey, l_suppkey,
+        |        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |          / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |          *10000)/10000 unit_price
+        |      FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY 1, 2),
+        |r AS (SELECT l_partkey, l_suppkey, unit_price,
+        |        row_number() OVER (PARTITION BY l_partkey
+        |          ORDER BY unit_price, l_suppkey) rn FROM u)
+        |SELECT l_partkey AS p_partkey, s_suppkey, s_name, unit_price
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1 ORDER BY p_partkey LIMIT 25""".stripMargin
   )
 
   /** Unrolled fixed-round label-propagation oracle — one CTE per
@@ -3453,6 +3478,46 @@ object SparkEntry {
        |         CAST(0 AS INT) rnk WHERE 1 = 0),
        |$steps
        |SELECT rnk, vec_id, score FROM sel$k ORDER BY rnk""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank oracle — the [[pageRankOracle]] round
+    * skeleton with the teleport (restart AND dangling mass) confined to
+    * the seed rows: rank = (seed ? (1−d)/|S| + d·dang/|S| : 0) +
+    * d·inflow, the exact evaluation order of
+    * [[graft.ops.Graph.personalizedPageRank]].
+    */
+  private def pprOracle(iters: Int, nSeeds: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""b$k AS MATERIALIZED (SELECT (CAST(1 AS DOUBLE)-0.85e0)/ns.n
+         |    + 0.85e0*dd.dang/ns.n AS base
+         |  FROM ns, (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) dang
+         |            FROM r${k - 1} r JOIN dg USING (id) WHERE dg.deg IS NULL) dd),
+         |r$k AS MATERIALIZED (SELECT dg.id,
+         |  CASE WHEN dg.seed THEN b$k.base ELSE CAST(0 AS DOUBLE) END
+         |    + 0.85e0*coalesce(fl.inflow, CAST(0 AS DOUBLE)) AS rank
+         |  FROM dg CROSS JOIN b$k LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank/dg2.deg) AS inflow
+         |    FROM r${k - 1} r JOIN dg dg2 USING (id) JOIN e ON e.src = r.id
+         |    WHERE dg2.deg IS NOT NULL GROUP BY 1) fl ON dg.id = fl.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) src,
+       |             -CAST(l.l_suppkey AS BIGINT) dst
+       |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |sd AS MATERIALIZED (SELECT CAST(o_custkey AS BIGINT) id FROM orders
+       |        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT $nSeeds),
+       |ns AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) n FROM sd),
+       |v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |dg AS MATERIALIZED (SELECT v.id, d.deg, sd.id IS NOT NULL AS seed
+       |  FROM v LEFT JOIN (SELECT src AS id, CAST(count(*) AS BIGINT) deg
+       |                    FROM e GROUP BY 1) d USING (id)
+       |       LEFT JOIN sd ON v.id = sd.id),
+       |r0 AS MATERIALIZED (SELECT id, CASE WHEN seed
+       |  THEN CAST(1 AS DOUBLE)/(SELECT n FROM ns)
+       |  ELSE CAST(0 AS DOUBLE) END rank FROM dg),
+       |$rounds
+       |SELECT -id AS s_suppkey, round(rank*100000000)/100 AS rank_ppm
+       |FROM r$iters WHERE id < 0
+       |ORDER BY rank_ppm DESC, s_suppkey LIMIT 25""".stripMargin
   }
 
   /** Unrolled fixed-round PageRank oracle — one (base, ranks) CTE pair per

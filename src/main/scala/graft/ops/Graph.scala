@@ -242,6 +242,90 @@ object Graph {
     ranks
   }
 
+  /** Fixed-round PERSONALIZED PageRank (random walk with restart): the
+    * teleport — both the (1−d) restart and the dangling mass — returns to
+    * the SEED set only, so rank measures proximity to the seeds instead
+    * of global importance. Same execution skeleton as [[pageRankFixed]]
+    * (static sides key-partitioned and materialized once, one inflow
+    * shuffle per round, dangling total as a broadcast one-row aggregate,
+    * no driver action in the loop) with one extra broadcast-size
+    * left-semi flag join to mark seeds. Arithmetic contract for the
+    * oracle: rank = (seed ? (1−d)/|S| + d·dang/|S| : 0) + d·inflow,
+    * doubles throughout, evaluation order fixed — the same noise-margin
+    * argument as [[pageRankStep]] applies.
+    *
+    * @param seeds one BIGINT column of seed vertex ids (must exist in the
+    *              graph; duplicates ignored).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           damping: Double, iters: Int): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .distinct().repartition(col("u")).localCheckpoint()
+    val sd = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .localCheckpoint()
+    val nS = sd.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val degs = verts.join(outDeg, Seq("id"), "left")
+      .join(sd.withColumn("seed", lit(true)), Seq("id"), "left")
+      .withColumn("seed", coalesce(col("seed"), lit(false)))
+      .repartition(col("id")).localCheckpoint()
+    var ranks = degs
+      .select(col("id"),
+        when(col("seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
+      .repartition(col("id")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(degs.select("id", "deg", "seed"), "id")
+      val dangling = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
+      val inflow = withDeg.where(col("deg").isNotNull)
+        .join(e.withColumnRenamed("u", "id"), "id")
+        .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
+        .groupBy("id").agg(sum("w").as("inflow"))
+      ranks = degs.select(col("id"), col("seed"))
+        .join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (when(col("seed"),
+            lit((1.0 - damping) / nS) + lit(damping) * col("dang") / lit(nS))
+            .otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** q166: suppliers closest to the top customers — personalized PageRank
+    * over the q142 bipartite purchase graph, seeded at the five customers
+    * with the most orders (ties to the smaller custkey — deterministic).
+    * Where q142 ranks global supplier importance, this ranks affinity TO A
+    * COHORT: the restart pins the walk near the seed customers, so a
+    * supplier scores by how much of the cohort's purchase flow reaches it.
+    * Top-25 by ppm-rounded rank, supplier keys decoded from the negated
+    * vertex ids.
+    */
+  def supplierAffinity(spark: SparkSession, sfDir: String,
+                       nSeeds: Int = 5, topK: Int = 25): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").cast("bigint").as("src"),
+        (-col("l_suppkey").cast("bigint")).as("dst"))
+    val seeds = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").cast("bigint").as("id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("id")).limit(nSeeds).select("id")
+    personalizedPageRank(edges, seeds, damping = 0.85, iters = 8)
+      .where(col("id") < 0)
+      .select((-col("id")).as("s_suppkey"),
+        (round(col("rank") * lit(1e8)) / lit(100.0)).as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("s_suppkey"))
+      .limit(topK)
+  }
+
   /** One power-iteration round: (id, rank) → (id, prev, rank).
     *
     * The dangling-mass total stays INSIDE the plan as a broadcast one-row

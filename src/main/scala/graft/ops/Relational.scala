@@ -869,6 +869,42 @@ object Relational {
         (round(sum(col("bal")).cast("double") * 100) / 100).as("totacctbal"))
   }
 
+  /** q167: cheapest-supplier selection per part (TPC-H Q2 shape; this
+    * schema has no partsupp, so the supply price is the part+supplier's
+    * observed average unit price over lineitem history). The correlated
+    * min-subquery decorrelates to a per-(part, supplier) aggregate and a
+    * per-part argmin window — the window partitions by part (bounded by
+    * suppliers-per-part, never global). Unit price divides two exact
+    * decimal sums in one IEEE op snapped to 4 dp, and the argmin orders
+    * by the SNAPPED price with suppkey tie-break, so the winner can't
+    * flip on accumulation order. Part filter (p_size = 1) prunes at the
+    * dimension scan and the fact join is a broadcast semi.
+    */
+  def minPriceSupplier(spark: SparkSession, sfDir: String,
+                       size: Int = 1, k: Int = 25): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .where(col("p_size") === size).select(col("p_partkey"))
+    val unit = Tables.lineitem(spark, sfDir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("ep"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("q"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (round(col("ep").cast("double") / col("q").cast("double")
+          * 10000) / 10000).as("unit_price"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("unit_price"), col("l_suppkey"))
+    unit.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("unit_price"))
+      .orderBy(col("p_partkey"))
+      .limit(k)
+  }
+
   /** q164: reorder-cadence profile — days between a customer's consecutive
     * orders (lag over the per-customer order timeline), rolled up per
     * market segment: how often each segment re-buys and how spread its

@@ -80,6 +80,29 @@ class GraphSpec extends SparkSpec {
     assert(rows.keys.forall { case (a, b) => a < b })
   }
 
+  test("personalized pagerank conserves mass and concentrates at the seed") {
+    // seed 1 → {2,3}; 2→4; 3→4; 4 is dangling so its mass restarts at the
+    // seed. Steady state: r1(1 + 0.85 + 0.7225) = 1 → seed highest, the
+    // symmetric branches tie, and total mass stays exactly 1.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"),
+        damping = 0.85, iters = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(2L) === r(3L))
+    assert(r(1L) > r(4L) && r(4L) > r(2L) && r(2L) > 0.0)
+  }
+
+  test("personalized pagerank gives zero to vertices unreachable from seeds") {
+    // two disjoint stars; seeding only the first keeps the second at 0
+    val edges = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"),
+        damping = 0.85, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(r(10L) === 0.0 && r(11L) === 0.0)
+    assert(r(1L) > 0.0 && r(2L) > 0.0)
+  }
+
   test("min-label propagation agrees with star contraction on shallow graphs") {
     // two near-clique dup clusters + an isolated pair — the shape
     // minLabelComponents is specified for
