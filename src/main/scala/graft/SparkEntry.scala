@@ -348,7 +348,9 @@ object SparkEntry {
     "q165_mmr_topk" -> ((s, d) =>
       Similarity.mmrTopK(s, d).orderBy(col("rnk"))),
     "q166_supplier_affinity" -> ((s, d) => Graph.supplierAffinity(s, d)),
-    "q167_min_price_supplier" -> ((s, d) => Relational.minPriceSupplier(s, d))
+    "q167_min_price_supplier" -> ((s, d) => Relational.minPriceSupplier(s, d)),
+    "q168_hurst_rs" -> ((s, d) =>
+      TimeSeries.hurstRs(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3365,7 +3367,44 @@ object SparkEntry {
         |          ORDER BY unit_price, l_suppkey) rn FROM u)
         |SELECT l_partkey AS p_partkey, s_suppkey, s_name, unit_price
         |FROM r JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE rn = 1 ORDER BY p_partkey LIMIT 25""".stripMargin
+        |WHERE rn = 1 ORDER BY p_partkey LIMIT 25""".stripMargin,
+    // R/S per complete window of 32/64/128 samples; cumulative deviation is
+    // a FIXED-ORDER running sum (frame ordered by rn) so both engines add
+    // in the same sequence; per-window ln(R/S) snapped to 12 dp before the
+    // cross-window decimal mean. Slope over ln-geometric sizes collapses to
+    // (m128 − m32)/(2·ln 2).
+    "q168_hurst_rs" ->
+      """WITH sz AS (SELECT unnest([32, 64, 128]) s),
+        |e AS (SELECT event_type, value,
+        |        CAST(row_number() OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) - 1 AS BIGINT) rn
+        |      FROM events),
+        |x AS (SELECT e.event_type, e.value, e.rn, sz.s, e.rn // sz.s AS win
+        |      FROM e, sz),
+        |st AS (SELECT event_type, s, win, count(*) cnt,
+        |         CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)/s mean
+        |       FROM x GROUP BY 1, 2, 3 HAVING count(*) = s),
+        |c AS (SELECT x.event_type, x.s, x.win, x.value, st.mean,
+        |        sum(x.value - st.mean) OVER (
+        |          PARTITION BY x.event_type, x.s, x.win ORDER BY x.rn
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |      FROM x JOIN st ON x.event_type = st.event_type
+        |        AND x.s = st.s AND x.win = st.win),
+        |wrs AS (SELECT event_type, s, win, max(cum) - min(cum) AS r,
+        |          sqrt(CAST(sum(CAST((value-mean)*(value-mean)
+        |            AS DECIMAL(28,12))) AS DOUBLE)/s) sd
+        |        FROM c GROUP BY 1, 2, 3),
+        |lr AS (SELECT event_type, s, CAST(ln(r/sd) AS DECIMAL(28,12)) ln_rs
+        |       FROM wrs WHERE sd > 0),
+        |ms AS (SELECT event_type, s, CAST(sum(ln_rs) AS DOUBLE)/count(*) m
+        |       FROM lr GROUP BY 1, 2)
+        |SELECT event_type,
+        |  round(max(CASE WHEN s=32 THEN m END)*1000000)/1000000 AS ln_rs_32,
+        |  round(max(CASE WHEN s=64 THEN m END)*1000000)/1000000 AS ln_rs_64,
+        |  round(max(CASE WHEN s=128 THEN m END)*1000000)/1000000 AS ln_rs_128,
+        |  round((max(CASE WHEN s=128 THEN m END) - max(CASE WHEN s=32 THEN m END))
+        |    /(2*ln(2))*1000000)/1000000 AS hurst
+        |FROM ms GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled fixed-round label-propagation oracle — one CTE per

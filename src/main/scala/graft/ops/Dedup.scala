@@ -661,7 +661,7 @@ object Dedup {
     * more groupBy, broadcast back onto members.
     */
   def dupClusters(docs: DataFrame): DataFrame = {
-    val cc = Graph.connectedComponents(lshEdges(docs))
+    val cc = Graph.componentsAuto(lshEdges(docs))
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "comp")
       .select(
@@ -691,7 +691,7 @@ object Dedup {
     * input is two slim columns regardless of text width.
     */
   def clusterKeepBest(docs: DataFrame): DataFrame = {
-    val cc = Graph.connectedComponents(lshEdges(docs))
+    val cc = Graph.componentsAuto(lshEdges(docs))
       .withColumnRenamed("id", "doc_id")
     val member = docs.select(col("doc_id"), col("n_chars"))
       .join(cc, Seq("doc_id"), "left_outer")
@@ -830,7 +830,7 @@ object Dedup {
     */
   def leakageSafeSplit(docs: DataFrame,
                        trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
-    val cc = Graph.connectedComponents(lshEdges(docs))
+    val cc = Graph.componentsAuto(lshEdges(docs))
       .withColumnRenamed("id", "doc_id")
     val assigned = docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")

@@ -117,6 +117,40 @@ object Graph {
     * @return (id, comp) — comp is the min vertex id of the component.
     */
   def minLabelComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val (labels, converged, _) = minLabelCore(edges, maxIters)
+    // A silent non-converged return would hand callers WRONG (split)
+    // components; duplicate-cluster graphs converge in a handful of rounds,
+    // so hitting the cap means the edge input isn't the near-clique shape
+    // this propagation is designed for — fail loudly (callers wanting
+    // topology-independence should be on connectedComponents instead).
+    require(converged,
+      s"minLabelComponents did not converge within $maxIters rounds — " +
+        "labels were still changing; raise maxIters or use " +
+        "connectedComponents (star contraction) for long-path graphs")
+    labels
+  }
+
+  /** Auto-selecting components — the dispatch the two algorithms above
+    * document: min-label propagation does less work per round (one join,
+    * no edge re-pointing) but needs diameter-many rounds, which on the
+    * near-clique graphs band-collision dedup produces (diameter 2-4)
+    * makes it the cheaper path; star contraction is the only safe choice
+    * on unknown topology. So: TRY min-label for `trialRounds` (a few
+    * cheap rounds, ~diameter+1 actions); the moment it converges, done —
+    * and if the graph turns out deeper than any plausible dup-cluster
+    * shape, fall back to star contraction and pay its re-pointing cost
+    * only then. The trial is bounded waste (trialRounds cheap rounds) on
+    * the rare deep graph; on the common shallow graph it saves star
+    * contraction's per-round symmetrize + two-phase re-point entirely.
+    */
+  def componentsAuto(edges: DataFrame, trialRounds: Int = 8,
+                     maxIters: Int = 50): DataFrame = {
+    val (labels, converged, _) = minLabelCore(edges, trialRounds)
+    if (converged) labels else connectedComponents(edges, maxIters)
+  }
+
+  private def minLabelCore(edges: DataFrame,
+                           maxIters: Int): (DataFrame, Boolean, Int) = {
     val Array(srcCol, dstCol) = edges.columns
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     // materialize the adjacency ONCE — without this every propagation round
@@ -148,16 +182,7 @@ object Graph {
       labels = next
       iter += 1
     }
-    // A silent non-converged return would hand callers WRONG (split)
-    // components; duplicate-cluster graphs converge in a handful of rounds,
-    // so hitting the cap means the edge input isn't the near-clique shape
-    // this propagation is designed for — fail loudly (callers wanting
-    // topology-independence should be on connectedComponents instead).
-    require(converged,
-      s"minLabelComponents did not converge within $maxIters rounds — " +
-        "labels were still changing; raise maxIters or use " +
-        "connectedComponents (star contraction) for long-path graphs")
-    labels
+    (labels, converged, iter)
   }
 
   /** Distributed PageRank by power iteration — importance scoring over a

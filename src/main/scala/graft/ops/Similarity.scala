@@ -244,7 +244,7 @@ object Similarity {
   def semanticPrune(emb: DataFrame, dim: Int = 64, minCos: Double = 0.4): DataFrame = {
     val pairs = srpLsh(emb, dim = dim, minCos = minCos)
       .select(col("vec_a"), col("vec_b"))
-    val cc = Graph.connectedComponents(pairs)
+    val cc = Graph.componentsAuto(pairs)
       .withColumnRenamed("id", "vec_id")
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     emb.select(col("vec_id"))

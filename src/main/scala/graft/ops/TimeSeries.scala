@@ -960,4 +960,69 @@ object TimeSeries {
 
   def peakCensus(spark: SparkSession, sfDir: String): DataFrame =
     peakCensus(Tables.events(spark, sfDir))
+
+  /** q168: Hurst exponent by rescaled-range (R/S) analysis — the
+    * long-memory diagnostic: H ≈ 0.5 means the series increments are
+    * memoryless, H > 0.5 persistent trends, H < 0.5 mean-reverting.
+    * Classic Mandelbrot–Wallis estimator, distributed: chop each series
+    * into complete windows of S ∈ {32, 64, 128} samples, compute each
+    * window's rescaled range R/S (range of the cumulative deviation from
+    * the window mean over the window's population σ), and the Hurst slope
+    * is d⟨ln R/S⟩/d ln S — with the three sizes geometric in ratio 2 the
+    * OLS slope collapses to (⟨ln⟩₁₂₈ − ⟨ln⟩₃₂)/(2·ln 2).
+    *
+    * Determinism contract: window means and σ² accumulate in exact
+    * decimal; the cumulative deviation is a FIXED-ORDER running sum
+    * (window frame ordered by rn — both engines add in the same
+    * sequence, so the doubles agree bit-for-bit); per-window ln(R/S) is
+    * snapped to 12 dp before the cross-window decimal mean, so the only
+    * order-free float aggregation is over snapped values. Shuffles are
+    * keyed on (series, window) — thousands of bounded partitions, never
+    * a global sort.
+    */
+  def hurstRs(events: DataFrame, sizes: Seq[Int] = Seq(32, 64, 128)): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"),
+      col("event_id"))
+    val seq0 = events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", (row_number().over(wOrd) - 1).cast("bigint"))
+      .localCheckpoint() // three per-size passes reuse the numbered series
+    val perSize = sizes.map { s =>
+      val df = seq0.withColumn("win", expr(s"rn div $s"))
+      val stats = df.groupBy(col("event_type"), col("win"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("value").cast("decimal(28,12)")).cast("double") / s)
+            .as("mean"))
+        .where(col("cnt") === s)
+      val wWin = Window.partitionBy(col("event_type"), col("win"))
+        .orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val winRs = df.join(stats, Seq("event_type", "win"))
+        .withColumn("cum", sum(col("value") - col("mean")).over(wWin))
+        .groupBy(col("event_type"), col("win"))
+        .agg((max(col("cum")) - min(col("cum"))).as("r"),
+          sqrt(sum(((col("value") - col("mean")) * (col("value") - col("mean")))
+            .cast("decimal(28,12)")).cast("double") / s).as("sd"))
+        .where(col("sd") > 0)
+      winRs
+        .select(col("event_type"),
+          log(col("r") / col("sd")).cast("decimal(28,12)").as("ln_rs"))
+        .groupBy(col("event_type"))
+        .agg((sum(col("ln_rs")).cast("double") / count(lit(1))).as("m"),
+          count(lit(1)).as("n_windows"))
+        .withColumn("size", lit(s))
+    }
+    val bySize = perSize.reduce(_ union _)
+    val m = (s: Int) => max(when(col("size") === s, col("m")))
+    bySize.groupBy(col("event_type"))
+      .agg(
+        (round(m(sizes.head) * 1000000) / 1000000).as(s"ln_rs_${sizes.head}"),
+        (round(m(sizes(1)) * 1000000) / 1000000).as(s"ln_rs_${sizes(1)}"),
+        (round(m(sizes(2)) * 1000000) / 1000000).as(s"ln_rs_${sizes(2)}"),
+        (round((m(sizes(2)) - m(sizes.head)) / lit(2 * math.log(2.0))
+          * 1000000) / 1000000).as("hurst"))
+  }
+
+  def hurstRs(spark: SparkSession, sfDir: String): DataFrame =
+    hurstRs(Tables.events(spark, sfDir))
 }

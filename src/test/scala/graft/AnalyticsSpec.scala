@@ -356,6 +356,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("hurstRs separates trending from mean-reverting series") {
+    // pure ramp: cumdev range grows ~S²/4 while σ ~ S/√12, so R/S ≈ 0.87·S
+    // → slope of ln(R/S) vs ln S is exactly 1 (H = 1). Alternating ±1:
+    // cumdev bounces between 1 and 0 in every window, σ = 1, so R/S = 1 at
+    // every size → H = 0 exactly.
+    val rows = (0 until 512).map(i => ("trend", i.toLong, i.toDouble)) ++
+      (0 until 512).map(i => ("flip", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val h = ops.TimeSeries.hurstRs(typedEvents(rows))
+      .select("event_type", "hurst").as[(String, Double)].collect().toMap
+    assert(math.abs(h("flip")) < 0.01)
+    assert(h("trend") > 0.95 && h("trend") < 1.05)
+  }
+
   test("peakCensus counts strict local maxima and their cadence") {
     // series a: values 1,5,1,1,7,1 at days 0..5 → peaks at day 1 (5) and
     // day 4 (7), gap = 3 days; plateaus (5,5) must NOT count as peaks.
