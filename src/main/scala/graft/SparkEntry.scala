@@ -350,7 +350,9 @@ object SparkEntry {
     "q166_supplier_affinity" -> ((s, d) => Graph.supplierAffinity(s, d)),
     "q167_min_price_supplier" -> ((s, d) => Relational.minPriceSupplier(s, d)),
     "q168_hurst_rs" -> ((s, d) =>
-      TimeSeries.hurstRs(s, d).orderBy(col("event_type")))
+      TimeSeries.hurstRs(s, d).orderBy(col("event_type"))),
+    "q169_asof_forward" -> ((s, d) =>
+      TimeSeries.asofForward(s, d).orderBy(col("o_orderkey")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3404,7 +3406,22 @@ object SparkEntry {
         |  round(max(CASE WHEN s=128 THEN m END)*1000000)/1000000 AS ln_rs_128,
         |  round((max(CASE WHEN s=128 THEN m END) - max(CASE WHEN s=32 THEN m END))
         |    /(2*ln(2))*1000000)/1000000 AS hurst
-        |FROM ms GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ms GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Forward twin of q33: first event at-or-after each order. The oracle
+    // ties on FLOORED epochs (the Spark side's second resolution) so a
+    // sub-second difference can never order differently across engines.
+    "q169_asof_forward" ->
+      """WITH j AS (SELECT o.o_orderkey, o.o_custkey AS user_id, e.event_id,
+        |    CAST(floor(epoch(e.ts)) AS BIGINT) ee,
+        |    CAST(floor(epoch(o.o_orderdate)) AS BIGINT) ot,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY CAST(floor(epoch(e.ts)) AS BIGINT), e.event_id) rn
+        |  FROM orders o JOIN events e
+        |    ON e.user_id = o.o_custkey
+        |   AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        |       >= CAST(floor(epoch(o.o_orderdate)) AS BIGINT))
+        |SELECT o_orderkey, user_id, event_id AS next_event_id, ee - ot AS lag_s
+        |FROM j WHERE rn = 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled fixed-round label-propagation oracle — one CTE per

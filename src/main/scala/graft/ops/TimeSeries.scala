@@ -336,6 +336,38 @@ object TimeSeries {
       .select(col("event_id"), col("user_id"), col("last_orderkey"), col("last_order_e"))
   }
 
+  /** q169: FORWARD as-of join — for every order, the user's first event
+    * at-or-after the order instant (q33 answers "state as of"; this
+    * answers "first reaction after", the other half of every
+    * point-in-time feature join). Same union-merge idiom as q33 so the
+    * pair costs ONE shuffle keyed on the entity, never a range join:
+    * both streams interleave into a single per-user timeline and a
+    * forward-looking ignore-null window (current row → unbounded
+    * following, ordered so an event at the exact order instant counts)
+    * picks the first event id and timestamp. The lag is an exact integer
+    * epoch difference. Window partitions by user — millions of bounded
+    * partitions at scale, no global sort.
+    */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), epochS(col("ts")).as("t"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"),
+        epochS(col("ts")).as("ee"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), epochS(col("o_orderdate")).as("t"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), lit(null).cast("long").as("ee"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("event_id"), col("o_orderkey"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ord.unionByName(ev)
+      .withColumn("next_event_id", first(col("event_id"), ignoreNulls = true).over(w))
+      .withColumn("next_event_e", first(col("ee"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0 && col("next_event_id").isNotNull)
+      .select(col("o_orderkey"), col("user_id"), col("next_event_id"),
+        (col("next_event_e") - col("t")).as("lag_s"))
+  }
+
   /** q12: hourly resample + linear interpolation of missing buckets.
     * prev/next known values come from ignore-null window frames; the
     * interpolation itself is a codegen'd arithmetic expression.
