@@ -352,7 +352,12 @@ object SparkEntry {
     "q168_hurst_rs" -> ((s, d) =>
       TimeSeries.hurstRs(s, d).orderBy(col("event_type"))),
     "q169_asof_forward" -> ((s, d) =>
-      TimeSeries.asofForward(s, d).orderBy(col("o_orderkey")))
+      TimeSeries.asofForward(s, d).orderBy(col("o_orderkey"))),
+    "q170_clustering_coeff" -> ((s, d) =>
+      Graph.clusteringCoeff(s, d).orderBy(col("part"))),
+    "q171_funnel_latency" -> ((s, d) => Ranges.funnelLatency(s, d)),
+    "q172_weighted_communities" -> ((s, d) =>
+      Graph.copurchaseCommunitiesWeighted(s, d).orderBy(col("part")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3421,8 +3426,78 @@ object SparkEntry {
         |   AND CAST(floor(epoch(e.ts)) AS BIGINT)
         |       >= CAST(floor(epoch(o.o_orderdate)) AS BIGINT))
         |SELECT o_orderkey, user_id, event_id AS next_event_id, ee - ot AS lag_s
-        |FROM j WHERE rn = 1 ORDER BY 1""".stripMargin
+        |FROM j WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // q143's triangle CTE + degrees: 2·triangles/(deg·(deg−1)) per part.
+    "q170_clustering_coeff" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |t AS (SELECT p1.u a, p1.v b, p2.v c
+        |      FROM p p1 JOIN p p2 ON p2.u = p1.v
+        |        JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v),
+        |x AS (SELECT a id FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t),
+        |tc AS (SELECT id, CAST(count(*) AS BIGINT) triangles FROM x GROUP BY 1),
+        |s AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        |d AS (SELECT u AS id, CAST(count(*) AS BIGINT) deg FROM s GROUP BY 1)
+        |SELECT d.id AS part, d.deg,
+        |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+        |  round(coalesce(tc.triangles, 0)*2.0/(d.deg*(d.deg-1))*1000000)/1000000
+        |    AS clustering
+        |FROM d LEFT JOIN tc ON d.id = tc.id
+        |WHERE d.deg >= 2 ORDER BY 1""".stripMargin,
+    // q48's range join kept per-signup: lag to the FIRST qualifying
+    // purchase, then the corpus latency profile over exact integer lags.
+    "q171_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |s AS (SELECT user_id, event_id, e FROM ev WHERE event_type = 'signup'),
+        |pur AS (SELECT user_id p_user, e pe FROM ev WHERE event_type = 'purchase'),
+        |lags AS (SELECT s.user_id, s.event_id, min(pur.pe - s.e) lag_s
+        |         FROM s LEFT JOIN pur ON s.user_id = pur.p_user
+        |           AND pur.pe >= s.e AND pur.pe <= s.e + 3600
+        |         GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) n_signups,
+        |  CAST(sum(CASE WHEN lag_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_converted,
+        |  round(CAST(sum(CAST(lag_s AS DECIMAL(18,2))) AS DOUBLE)
+        |    / sum(CASE WHEN lag_s IS NOT NULL THEN 1 ELSE 0 END)*10000)/10000
+        |    AS avg_lag_s,
+        |  round(quantile_cont(lag_s, 0.5)*10000)/10000 AS median_lag_s,
+        |  round(quantile_cont(lag_s, 0.9)*10000)/10000 AS p90_lag_s,
+        |  CAST(max(lag_s) AS BIGINT) AS max_lag_s
+        |FROM lags""".stripMargin,
+    "q172_weighted_communities" -> lpaWeightedOracle(4)
   )
+
+  /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge
+    * SUPPORT instead of counting neighbours — integer sums, same total
+    * tie-order, so both engines replay identical label states.
+    */
+  private def lpaWeightedOracle(rounds: Int): String = {
+    val cte = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT id, label FROM (
+         |  SELECT s.u AS id, l.label, sum(s.wt) c,
+         |    row_number() OVER (PARTITION BY s.u
+         |      ORDER BY sum(s.wt) DESC, l.label) rn
+         |  FROM s JOIN l${k - 1} l ON s.v = l.id GROUP BY s.u, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT a.l_partkey u, b.l_partkey v,
+       |        count(DISTINCT a.l_orderkey) supp
+       |      FROM lineitem a JOIN lineitem b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+       |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v,
+       |        CAST(supp AS BIGINT) wt FROM pr),
+       |s AS MATERIALIZED (SELECT u, v, wt FROM p
+       |  UNION ALL SELECT v AS u, u AS v, wt FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM s),
+       |$cte
+       |SELECT id AS part, label AS community FROM l$rounds ORDER BY 1""".stripMargin
+  }
 
   /** Unrolled fixed-round label-propagation oracle — one CTE per
     * synchronous round; the argmax (most frequent neighbour label, ties to

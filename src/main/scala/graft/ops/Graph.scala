@@ -584,6 +584,32 @@ object Graph {
     coreness(copurchaseEdges(spark, sfDir))
       .select(col("id").as("part"), col("coreness"))
 
+  /** q170: local clustering coefficient of the co-purchase graph — per
+    * part, the fraction of its neighbour pairs that are themselves
+    * connected: 2·triangles / (deg·(deg−1)). The micro-cohesion
+    * complement of the global metrics: q143 counts a vertex's triangles,
+    * q146 its depth, this NORMALIZES triangles by the possible wedge
+    * count, separating genuine cliques (coeff → 1) from hubs whose
+    * neighbourhoods don't interlock (coeff → 0) at equal triangle
+    * counts. Cost: the q143 degree-ordered triangle count plus one
+    * degree groupBy over the SAME checkpointed edge list (the lineitem
+    * self-join runs once, not twice) — the division is one IEEE op on
+    * exact integers.
+    */
+  def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val tri = triangleCount(e)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("id"), "left")
+      .select(col("id").as("part"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (round(coalesce(col("triangles"), lit(0L)) * lit(2.0)
+          / (col("deg") * (col("deg") - 1)) * lit(1000000))
+          / lit(1000000.0)).as("clustering"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007), made DETERMINISTIC: every vertex starts labelled with its own
     * id and each round SIMULTANEOUSLY adopts the most frequent label among
@@ -639,6 +665,54 @@ object Graph {
   def copurchaseCommunities(spark: SparkSession, sfDir: String): DataFrame =
     labelPropagation(copurchaseEdges(spark, sfDir), rounds = 4)
       .select(col("id").as("part"), col("label").as("community"))
+
+  /** Weighted synchronous label propagation — [[labelPropagation]] with
+    * the argmax taken over SUMMED EDGE WEIGHTS instead of neighbour
+    * counts, so a label backed by few strong ties beats one backed by
+    * many weak ties. Same determinism contract (synchronous rounds,
+    * ties to the smallest label) and the same one-shuffle-per-round
+    * plan; weights are integers, so the argmax compares exact sums.
+    */
+  def labelPropagationWeighted(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val Array(srcCol, dstCol, wCol) = edges.columns
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(wCol).as("wt"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v"), col("wt")))
+      .repartition(col("v")).localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .repartition(col("id")).localCheckpoint()
+    val wArg = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(col("u"), col("label")).agg(sum(col("wt")).as("c"))
+        .withColumn("rn", row_number().over(wArg))
+        .where(col("rn") === 1)
+        .select(col("u").as("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q172: support-weighted communities of the co-purchase graph — the
+    * weighted twin of q157: the same support≥2 edges, but each
+    * neighbour's vote counts its co-purchase support, so communities
+    * form around strong affinity cores instead of raw adjacency counts.
+    */
+  def copurchaseCommunitiesWeighted(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .where(col("supp") >= 2)
+      .select(col("u").cast("bigint"), col("v").cast("bigint"),
+        col("supp").cast("bigint"))
+    labelPropagationWeighted(edges, rounds = 4)
+      .select(col("id").as("part"), col("label").as("community"))
+  }
 
   /** q144: degree assortativity of the co-purchase graph — the Pearson
     * correlation between endpoint degrees over the symmetrized edge list

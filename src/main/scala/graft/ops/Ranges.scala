@@ -176,6 +176,44 @@ object Ranges {
         r4(sum(col("converted")).cast("double") / count(lit(1))).as("conv_rate"))
   }
 
+  /** q171: funnel latency — q48 answers WHETHER a signup converts inside
+    * the window; this answers HOW FAST: per signup, the lag to the FIRST
+    * qualifying purchase (min over the same user-keyed range join, so
+    * the join shape and scale posture are identical to q48 — one shuffle
+    * on user_id, the time predicate runs inside each user's partition),
+    * then the corpus-wide latency profile. Lags are exact integer
+    * seconds: the mean divides a decimal-exact sum and the quantiles
+    * interpolate two integers in one IEEE op each — cross-engine clean.
+    */
+  def funnelLatency(spark: SparkSession, sfDir: String,
+                    windowSec: Long = 3600L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochS(col("ts")).as("e"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("e"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("e").as("pe"))
+    val lags = signups
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pe") >= col("e") && col("pe") <= col("e") + windowSec,
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(min(col("pe") - col("e")).as("lag_s"))
+    lags.agg(
+      count(lit(1)).as("n_signups"),
+      sum(when(col("lag_s").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+      (round(sum(col("lag_s").cast("decimal(18,2)")).cast("double")
+        / sum(when(col("lag_s").isNotNull, 1).otherwise(0)) * 10000) / 10000)
+        .as("avg_lag_s"),
+      (round(expr("percentile(lag_s, 0.5)") * 10000) / 10000)
+        .as("median_lag_s"),
+      (round(expr("percentile(lag_s, 0.9)") * 10000) / 10000)
+        .as("p90_lag_s"),
+      max(col("lag_s")).cast("bigint").as("max_lag_s"))
+  }
+
   /** q49: median absolute deviation per series — the robust dispersion
     * statistic (outlier-insensitive, unlike stddev). Two exact median
     * passes through [[Percentiles.exactQuantiles]] (count-and-locate, so no
