@@ -3149,31 +3149,27 @@ object SparkEntry {
         |  CAST(exp_share AS DOUBLE) AS exp_share,
         |  round((CAST(n AS DOUBLE)/total - exp_share)*1000000)/1000000 AS dev
         |FROM e ORDER BY 1, 2""".stripMargin,
-    // Replicas drawn in BLOCKS OF FIVE: one md5 digest = five independent
-    // 24-bit uniforms (slot s reads hex chars 6s+1..6s+6), matching the
-    // Spark side's 5x-fewer-digests layout exactly.
+    // Replicas drawn in BLOCKS OF SIXTEEN: one md5 digest = sixteen
+    // independent 8-bit uniforms (slot s reads hex chars 2s+1..2s+2),
+    // matching the Spark side's 16x-fewer-digests layout exactly.
     "q155_bootstrap_ci" ->
       """WITH r AS (SELECT e.event_type, e.event_id, e.value, gs.blk
-        |      FROM events e, generate_series(0, 40) gs(blk)),
+        |      FROM events e, generate_series(0, 12) gs(blk)),
         |h AS (SELECT event_type, event_id, blk, value,
         |        md5('boot:'||CAST(event_id AS VARCHAR)||':'||CAST(blk AS VARCHAR)) h
         |      FROM r),
-        |s AS (SELECT event_type, blk*5 + sl.slot AS b, value, h,
+        |s AS (SELECT event_type, blk*16 + sl.slot AS b, value, h,
         |        CAST(sl.slot AS BIGINT) slot
-        |      FROM h, generate_series(0, 4) sl(slot)
-        |      WHERE blk*5 + sl.slot < 201),
+        |      FROM h, generate_series(0, 15) sl(slot)
+        |      WHERE blk*16 + sl.slot < 201),
         |u AS (SELECT event_type, b, value,
-        |  CAST((instr('0123456789abcdef', substr(h, 6*slot + 1, 1)) - 1)*1048576 +
-        |       (instr('0123456789abcdef', substr(h, 6*slot + 2, 1)) - 1)*65536 +
-        |       (instr('0123456789abcdef', substr(h, 6*slot + 3, 1)) - 1)*4096 +
-        |       (instr('0123456789abcdef', substr(h, 6*slot + 4, 1)) - 1)*256 +
-        |       (instr('0123456789abcdef', substr(h, 6*slot + 5, 1)) - 1)*16 +
-        |       (instr('0123456789abcdef', substr(h, 6*slot + 6, 1)) - 1) AS BIGINT) u24
+        |  CAST((instr('0123456789abcdef', substr(h, 2*slot + 1, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(h, 2*slot + 2, 1)) - 1) AS BIGINT) u8
         |      FROM s),
         |w AS (SELECT event_type, b, value,
-        |        CASE WHEN u24 < 6171992 THEN 0 WHEN u24 < 12343985 THEN 1
-        |             WHEN u24 < 15429982 THEN 2 WHEN u24 < 16458647 THEN 3
-        |             WHEN u24 < 16715813 THEN 4 ELSE 5 END w
+        |        CASE WHEN u8 < 94 THEN 0 WHEN u8 < 188 THEN 1
+        |             WHEN u8 < 235 THEN 2 WHEN u8 < 251 THEN 3
+        |             WHEN u8 < 255 THEN 4 ELSE 5 END w
         |      FROM u),
         |m AS (SELECT event_type, b,
         |        CAST(sum(CAST(value*w AS DECIMAL(18,6))) AS DOUBLE)/sum(w) m

@@ -92,15 +92,20 @@ object Diagnostics {
   def benfordCensus(spark: SparkSession, sfDir: String): DataFrame =
     benfordCensus(Tables.events(spark, sfDir))
 
-  /** Poisson(1) inverse-CDF thresholds on the 24-bit uniform scale
-    * (floor(CDF·2²⁴) as integer literals, so the replica multiplicity is a
-    * pure integer compare in any engine). P(w>5) ≈ 0.06% is folded into
-    * w=5 — the truncation bias is identical on both sides of the oracle
-    * compare and far below the CI resolution.
+  /** Poisson(1) inverse-CDF thresholds on the 8-bit uniform scale
+    * (round(CDF·2⁸) as integer literals, so the replica multiplicity is a
+    * pure integer compare in any engine). The 1/256 quantization moves
+    * each weight probability by < 0.002 absolute (e.g. P(w=0) = 94/256 =
+    * 0.3672 vs 0.36788 exact) and P(w>5) folds into w=5 — a deterministic
+    * bootstrap LAW shared exactly by both oracle sides, whose bias is
+    * orders of magnitude below the CI resolution at any realistic n.
+    * 8-bit draws exist so one 128-bit digest yields SIXTEEN uniforms —
+    * the digest count is the query's entire cost at scale (see
+    * [[bootstrapCi]]); the earlier 24-bit variant bought 3 extra digits
+    * of CDF resolution nobody consumes for 3.2× the digests.
     */
-  private val poissonCdf24 = Seq(
-    6171992L -> 0, 12343985L -> 1, 15429982L -> 2, 16458647L -> 3,
-    16715813L -> 4)
+  private val poissonCdf8 = Seq(
+    94L -> 0, 188L -> 1, 235L -> 2, 251L -> 3, 255L -> 4)
 
   /** q155: bootstrap confidence interval for the per-series mean via
     * deterministic POISSON resampling — the resample-at-scale classic:
@@ -110,32 +115,33 @@ object Diagnostics {
     * multiplicity is a pure function of md5(event_id, block) → every
     * engine, retry and backfill draws the SAME replicas.
     *
-    * Hash economics: one md5 digest carries 128 bits = five independent
-    * 24-bit uniforms, so replicas are drawn in BLOCKS OF FIVE — the md5
-    * runs on the ×⌈B/5⌉ block explode (computed once per block row,
-    * before the ×5 slot explode), cutting the dominant per-row cost 5×
-    * vs hashing every (event, replica) pair; at 100 TB the digest count
-    * is what the query costs. Aggregation is series×B replica means
-    * (exact decimal sums) and the CI bounds are pure rank selection —
-    * B=201 puts p2.5/p97.5 at integer ranks 6/196, so no cross-engine
+    * Hash economics: one md5 digest carries 128 bits = sixteen
+    * independent 8-bit uniforms (see [[poissonCdf8]] for why 8 bits
+    * suffice), so replicas are drawn in BLOCKS OF SIXTEEN — the md5 runs
+    * on the ×⌈B/16⌉ block explode (computed once per block row, before
+    * the ×16 slot explode), cutting the dominant per-row cost 16× vs
+    * hashing every (event, replica) pair; at 100 TB the digest count is
+    * what the query costs. Aggregation is series×B replica means (exact
+    * decimal sums) and the CI bounds are pure rank selection — B=201
+    * puts p2.5/p97.5 at integer ranks 6/196, so no cross-engine
     * interpolation arithmetic exists at all.
     */
   def bootstrapCi(events: DataFrame, replicas: Int = 201): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = poissonCdf24.foldRight(lit(5)) {
-      case ((thresh, k), acc) => when(col("u24") < thresh, lit(k)).otherwise(acc)
+    val w = poissonCdf8.foldRight(lit(5)) {
+      case ((thresh, k), acc) => when(col("u8") < thresh, lit(k)).otherwise(acc)
     }
-    val blocks = (replicas + 4) / 5
+    val blocks = (replicas + 15) / 16
     val drawn = events
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
       .withColumn("h", md5(concat(lit("boot:"), col("event_id").cast("string"),
         lit(":"), col("blk").cast("string"))))
-      .withColumn("slot", explode(sequence(lit(0), lit(4))))
-      .withColumn("b", col("blk") * 5 + col("slot"))
+      .withColumn("slot", explode(sequence(lit(0), lit(15))))
+      .withColumn("b", col("blk") * 16 + col("slot"))
       .where(col("b") < replicas)
-      .withColumn("u24",
-        expr("CAST(conv(substr(h, 1 + 6*slot, 6), 16, 10) AS BIGINT)"))
+      .withColumn("u8",
+        expr("CAST(conv(substr(h, 1 + 2*slot, 2), 16, 10) AS BIGINT)"))
       .withColumn("w", w)
       .where(col("w") > 0)
     val means = drawn.groupBy(col("event_type"), col("b"))
