@@ -357,7 +357,10 @@ object SparkEntry {
       Graph.clusteringCoeff(s, d).orderBy(col("part"))),
     "q171_funnel_latency" -> ((s, d) => Ranges.funnelLatency(s, d)),
     "q172_weighted_communities" -> ((s, d) =>
-      Graph.copurchaseCommunitiesWeighted(s, d).orderBy(col("part")))
+      Graph.copurchaseCommunitiesWeighted(s, d).orderBy(col("part"))),
+    "q173_degree_power_law" -> ((s, d) => Graph.degreePowerLaw(s, d)),
+    "q174_seasonal_strength" -> ((s, d) =>
+      TimeSeries.seasonalStrength(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3465,7 +3468,56 @@ object SparkEntry {
         |  round(quantile_cont(lag_s, 0.9)*10000)/10000 AS p90_lag_s,
         |  CAST(max(lag_s) AS BIGINT) AS max_lag_s
         |FROM lags""".stripMargin,
-    "q172_weighted_communities" -> lpaWeightedOracle(4)
+    "q172_weighted_communities" -> lpaWeightedOracle(4),
+    // Hill MLE over the degree tail: each ln(deg/dmin) snapped to 12-dp
+    // decimal before the order-free exact sum.
+    "q173_degree_power_law" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |s AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        |d AS (SELECT u AS id, CAST(count(*) AS BIGINT) deg FROM s GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) n_vertices,
+        |        CAST(max(deg) AS BIGINT) max_deg FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) n_tail,
+        |        sum(CAST(ln(CAST(deg AS DOUBLE)/4) AS DECIMAL(28,12))) s
+        |      FROM d WHERE deg >= 4)
+        |SELECT a.n_vertices, a.max_deg, t.n_tail,
+        |  round(CAST(t.n_tail AS DOUBLE)/a.n_vertices*1000000)/1000000
+        |    AS tail_frac,
+        |  round((1.0 + CAST(t.n_tail AS DOUBLE)/CAST(t.s AS DOUBLE))*1000000)
+        |    /1000000 AS alpha_hat
+        |FROM t CROSS JOIN a""".stripMargin,
+    // STL seasonal strength over a weekly profile: weekday = epoch-day
+    // mod 7 (portable integer arithmetic), variances from decimal-snapped
+    // Σx/Σx² so both IEEE variance evaluations are bit-deterministic.
+    "q174_seasonal_strength" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) dnum,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) m
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, dnum, m, dnum % 7 AS dow FROM daily),
+        |se AS (SELECT event_type, dow,
+        |    CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE)/count(*) s
+        |  FROM dw GROUP BY 1, 2),
+        |j AS (SELECT dw.event_type, dw.m, dw.m - se.s AS r
+        |      FROM dw JOIN se ON dw.event_type = se.event_type
+        |        AND dw.dow = se.dow),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(m*m AS DECIMAL(28,12))) AS DOUBLE) sx2,
+        |    CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) rx,
+        |    CAST(sum(CAST(r*r AS DECIMAL(28,12))) AS DOUBLE) rx2
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round((sx2/n_days - (sx/n_days)^2)*1000000)/1000000 AS var_total,
+        |  round((rx2/n_days - (rx/n_days)^2)*1000000)/1000000 AS var_resid,
+        |  round(greatest(0.0, 1.0 - (rx2/n_days - (rx/n_days)^2)
+        |    /(sx2/n_days - (sx/n_days)^2))*1000000)/1000000
+        |    AS seasonal_strength
+        |FROM ag ORDER BY 1""".stripMargin
   )
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

@@ -666,6 +666,37 @@ object Graph {
     labelPropagation(copurchaseEdges(spark, sfDir), rounds = 4)
       .select(col("id").as("part"), col("label").as("community"))
 
+  /** q173: power-law tail fit of the co-purchase degree distribution —
+    * the Hill maximum-likelihood estimator α̂ = 1 + n / Σ ln(deg/dmin)
+    * over vertices with deg ≥ dmin, with the tail fraction and max
+    * degree for context. Degree distributions decide shuffle-skew
+    * strategy (a heavy tail says salt-or-cap; α > 3 says the hub risk is
+    * bounded), so the fit belongs next to the q62 key-skew census as
+    * planning telemetry. One degree groupBy + one aggregate; each ln
+    * term is snapped to 12-dp decimal before the order-free exact sum,
+    * so the estimate is bit-deterministic on any partitioning.
+    */
+  def degreePowerLaw(spark: SparkSession, sfDir: String,
+                     dmin: Int = 4): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val tail = deg.where(col("deg") >= dmin)
+    val all = deg.agg(count(lit(1)).as("n_vertices"),
+      max(col("deg")).as("max_deg"))
+    tail
+      .select(log(col("deg").cast("double") / dmin)
+        .cast("decimal(28,12)").as("lnr"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("lnr")).as("s"))
+      .crossJoin(broadcast(all))
+      .select(col("n_vertices"), col("max_deg"), col("n_tail"),
+        (round((col("n_tail").cast("double") / col("n_vertices")) * lit(1000000))
+          / lit(1000000.0)).as("tail_frac"),
+        (round((lit(1.0) + col("n_tail").cast("double")
+          / col("s").cast("double")) * lit(1000000))
+          / lit(1000000.0)).as("alpha_hat"))
+  }
+
   /** Weighted synchronous label propagation — [[labelPropagation]] with
     * the argmax taken over SUMMED EDGE WEIGHTS instead of neighbour
     * counts, so a label backed by few strong ties beats one backed by

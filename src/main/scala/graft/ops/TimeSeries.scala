@@ -1057,4 +1057,54 @@ object TimeSeries {
 
   def hurstRs(spark: SparkSession, sfDir: String): DataFrame =
     hurstRs(Tables.events(spark, sfDir))
+
+  /** q174: seasonal-strength decomposition (the STL "strength of
+    * seasonality" statistic F_s = max(0, 1 − Var(remainder)/Var(data))
+    * over a weekly profile): per series, daily means decompose into a
+    * day-of-week seasonal component (the mean of that weekday's daily
+    * means) plus remainder, and F_s says how much of the daily variance
+    * the weekly cycle explains — the one number that decides whether
+    * q71's seasonal indices / q116's seasonal outlier model are even
+    * applicable to a series. Weekday comes from epoch-day mod 7 (pure
+    * integer arithmetic — portable, unlike engine dayofweek
+    * conventions); variances come from decimal-snapped Σx/Σx² so every
+    * aggregation is order-free and the two IEEE variance evaluations are
+    * bit-deterministic.
+    */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("m"))
+      .withColumn("dow", col("day") % 7)
+    val seasonal = daily.groupBy(col("event_type"), col("dow"))
+      .agg((sum(col("m").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("s"))
+    val snap = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,12)")
+    daily.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("m"), (col("m") - col("s")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(snap(col("m"))).as("sx"), sum(snap(col("m") * col("m"))).as("sx2"),
+        sum(snap(col("r"))).as("rx"), sum(snap(col("r") * col("r"))).as("rx2"))
+      .select(col("event_type"), col("n_days"),
+        (round((col("sx2").cast("double") / col("n_days")
+          - pow(col("sx").cast("double") / col("n_days"), 2)) * lit(1000000))
+          / lit(1000000.0)).as("var_total"),
+        (round((col("rx2").cast("double") / col("n_days")
+          - pow(col("rx").cast("double") / col("n_days"), 2)) * lit(1000000))
+          / lit(1000000.0)).as("var_resid"),
+        (round(greatest(lit(0.0), lit(1.0)
+          - (col("rx2").cast("double") / col("n_days")
+            - pow(col("rx").cast("double") / col("n_days"), 2))
+          / (col("sx2").cast("double") / col("n_days")
+            - pow(col("sx").cast("double") / col("n_days"), 2)))
+          * lit(1000000)) / lit(1000000.0)).as("seasonal_strength"))
+  }
+
+  def seasonalStrength(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalStrength(Tables.events(spark, sfDir))
 }
