@@ -360,7 +360,27 @@ object SparkEntry {
       Graph.copurchaseCommunitiesWeighted(s, d).orderBy(col("part"))),
     "q173_degree_power_law" -> ((s, d) => Graph.degreePowerLaw(s, d)),
     "q174_seasonal_strength" -> ((s, d) =>
-      TimeSeries.seasonalStrength(s, d).orderBy(col("event_type")))
+      TimeSeries.seasonalStrength(s, d).orderBy(col("event_type"))),
+    "q175_priority_wait" -> ((s, d) =>
+      Relational.priorityWait(s, d).orderBy(col("o_orderpriority"))),
+    "q176_late_ship_mix" -> ((s, d) =>
+      Relational.lateShipMix(s, d).orderBy(col("ship_year"))),
+    "q177_custdist" -> ((s, d) =>
+      Relational.custDist(s, d).orderBy(col("c_count"))),
+    "q178_supplier_breadth" -> ((s, d) =>
+      Relational.supplierBreadth(s, d).orderBy(col("p_brand"), col("p_size"))),
+    "q179_dominant_supplier" -> ((s, d) =>
+      Relational.dominantSupplier(s, d).orderBy(col("s_suppkey"))),
+    "q180_rolling_moments" -> ((s, d) =>
+      TimeSeries.rollingMoments(s, d).orderBy(col("event_type"), col("event_id"))),
+    "q181_runs_test" -> ((s, d) =>
+      TimeSeries.runsTest(s, d).orderBy(col("event_type"))),
+    "q182_drawdown" -> ((s, d) =>
+      TimeSeries.drawdown(s, d).orderBy(col("event_type"))),
+    "q183_variance_ratio" -> ((s, d) =>
+      TimeSeries.varianceRatio(s, d).orderBy(col("event_type"))),
+    "q184_run_length_census" -> ((s, d) =>
+      TimeSeries.runLengthCensus(s, d).orderBy(col("event_type"), col("bucket")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3517,7 +3537,176 @@ object SparkEntry {
         |  round(greatest(0.0, 1.0 - (rx2/n_days - (rx/n_days)^2)
         |    /(sx2/n_days - (sx/n_days)^2))*1000000)/1000000
         |    AS seasonal_strength
-        |FROM ag ORDER BY 1""".stripMargin
+        |FROM ag ORDER BY 1""".stripMargin,
+    "q175_priority_wait" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q176_late_ship_mix" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q177_custdist" ->
+      """WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |            FROM customer LEFT JOIN orders
+        |              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |            GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q178_supplier_breadth" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#11'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q179_dominant_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |              sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        |            FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(supp_qty) AS part_qty,
+        |          count(*) AS n_supp
+        |        FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name, count(*) AS n_parts_dominated
+        |FROM ps JOIN tot USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_supp >= 2 AND supp_qty*2*n_supp > part_qty*3
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q180_rolling_moments" ->
+      """WITH ev AS (SELECT event_type, ts, event_id,
+        |    CAST(value AS DECIMAL(18,6)) x1,
+        |    CAST(value*value AS DECIMAL(28,10)) x2,
+        |    CAST(value*value*value AS DECIMAL(28,8)) x3,
+        |    CAST(value*value*value*value AS DECIMAL(38,8)) x4
+        |  FROM events),
+        |s AS (SELECT event_type, event_id,
+        |    count(*) OVER w k,
+        |    CAST(sum(x1) OVER w AS DOUBLE)/25.0 m,
+        |    CAST(sum(x2) OVER w AS DOUBLE)/25.0 a2,
+        |    CAST(sum(x3) OVER w AS DOUBLE)/25.0 a3,
+        |    CAST(sum(x4) OVER w AS DOUBLE)/25.0 a4
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT event_type, event_id,
+        |    a2 - m*m AS m2,
+        |    a3 - 3.0*m*a2 + 2.0*m*m*m AS m3,
+        |    a4 - 4.0*m*a3 + 6.0*m*m*a2 - 3.0*m*m*m*m AS m4
+        |  FROM s WHERE k = 25)
+        |SELECT event_type, event_id,
+        |  round(m3/(m2*sqrt(m2))*1000000)/1000000 AS skew,
+        |  round((m4/(m2*m2) - 3.0)*1000000)/1000000 AS kurt
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    "q181_runs_test" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5)*1000000)/1000000 m
+        |  FROM events GROUP BY 1),
+        |sgn AS (SELECT e.event_type, ts, event_id,
+        |    CASE WHEN value > m THEN 1 ELSE 0 END s
+        |  FROM events e JOIN med ON e.event_type = med.event_type
+        |  WHERE value <> m),
+        |r AS (SELECT event_type, s,
+        |    CASE WHEN lag(s) OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id) IS DISTINCT FROM s
+        |      THEN 1 ELSE 0 END chg
+        |  FROM sgn),
+        |a AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) n_above,
+        |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) n_below,
+        |    CAST(sum(chg) AS BIGINT) runs
+        |  FROM r GROUP BY 1),
+        |z AS (SELECT event_type, n_above, n_below, runs,
+        |    CAST(n_above AS DOUBLE) na, CAST(n_below AS DOUBLE) nb
+        |  FROM a),
+        |z2 AS (SELECT *, 2.0*na*nb/(na + nb) + 1.0 AS mu FROM z)
+        |SELECT event_type, n_above, n_below, runs,
+        |  round((CAST(runs AS DOUBLE) - mu)
+        |    / sqrt((mu - 1.0)*(mu - 2.0)/(na + nb - 1.0))
+        |    *1000000)/1000000 AS z_runs
+        |FROM z2 ORDER BY 1""".stripMargin,
+    "q182_drawdown" ->
+      """WITH mn AS (SELECT event_type,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 mean_v
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT e.event_type, ts, event_id,
+        |    CAST(value AS DECIMAL(18,6))
+        |      - CAST(mean_v AS DECIMAL(28,12)) step
+        |  FROM events e JOIN mn ON e.event_type = mn.event_type),
+        |c AS (SELECT event_type, ts, event_id,
+        |    sum(step) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) c
+        |  FROM p),
+        |c2 AS (SELECT event_type, c,
+        |    max(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) peak
+        |  FROM c)
+        |SELECT event_type, CAST(count(*) AS BIGINT) n_points,
+        |  round(CAST(max(peak - c) AS DOUBLE)*1000000)/1000000
+        |    AS max_drawdown,
+        |  round(CAST(max(c) - min(c) AS DOUBLE)*1000000)/1000000
+        |    AS excursion_range
+        |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q183_variance_ratio" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) dnum,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |da AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |    sum(CAST(m AS DECIMAL(28,12))) sx,
+        |    sum(CAST(m*m AS DECIMAL(28,12))) sx2
+        |  FROM daily GROUP BY 1),
+        |wk AS (SELECT event_type, dnum // 7 w,
+        |    sum(CAST(m AS DECIMAL(28,12))) ws
+        |  FROM daily GROUP BY 1, 2 HAVING count(*) = 7),
+        |wd AS (SELECT event_type, CAST(ws AS DOUBLE) wsd FROM wk),
+        |wa AS (SELECT event_type, CAST(count(*) AS BIGINT) n_weeks,
+        |    sum(CAST(wsd AS DECIMAL(28,12))) wx,
+        |    sum(CAST(wsd*wsd AS DECIMAL(28,12))) wx2
+        |  FROM wd GROUP BY 1),
+        |v AS (SELECT da.event_type, n_days, n_weeks,
+        |    CAST(sx2 AS DOUBLE)/n_days
+        |      - (CAST(sx AS DOUBLE)/n_days)^2 vd,
+        |    CAST(wx2 AS DOUBLE)/n_weeks
+        |      - (CAST(wx AS DOUBLE)/n_weeks)^2 vw
+        |  FROM da JOIN wa ON da.event_type = wa.event_type
+        |  WHERE n_weeks >= 2)
+        |SELECT event_type, n_days, n_weeks,
+        |  round(vd*1000000)/1000000 AS var_daily,
+        |  round(vw*1000000)/1000000 AS var_weekly,
+        |  round(vw/(7.0*vd)*1000000)/1000000 AS variance_ratio
+        |FROM v ORDER BY 1""".stripMargin,
+    "q184_run_length_census" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5)*1000000)/1000000 m
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT e.event_type, ts, event_id, value, m,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY ts, event_id) rn
+        |  FROM events e JOIN med ON e.event_type = med.event_type),
+        |g AS (SELECT event_type,
+        |    rn - row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) grp
+        |  FROM f WHERE value > m),
+        |runs AS (SELECT event_type, grp, CAST(count(*) AS BIGINT) len
+        |  FROM g GROUP BY 1, 2)
+        |SELECT event_type, CAST(length(bin(len)) - 1 AS INT) bucket,
+        |  CAST(count(*) AS BIGINT) n_runs, CAST(max(len) AS BIGINT) max_len,
+        |  round(CAST(sum(len) AS DOUBLE)/count(*)*10000)/10000 AS mean_len
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

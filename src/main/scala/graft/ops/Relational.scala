@@ -934,4 +934,119 @@ object Relational {
           .as("median_gap_days"),
         max(col("gap_days")).cast("bigint").as("max_gap_days"))
   }
+
+  /** q175: late-fulfilment census per order priority (TPC-H Q4 shape —
+    * evaluation.py's "did the alarm fire in time" question asked of the
+    * order stream). The EXISTS becomes a left-semi join whose non-equi
+    * residual (l_shipdate more than 60 days after o_orderdate) rides the
+    * o_orderkey equi-join: lineitem is never aggregated, the probe stops
+    * at an order's first late line, and the date filter prunes the orders
+    * scan before the join.
+    */
+  def priorityWait(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** q176: late-line priority mix per ship year (TPC-H Q12 shape — the
+    * schema has no shipmode/receiptdate, so "late" is shipped >60 days
+    * after order date and the two-way split is urgent/high vs the rest).
+    * One fact-fact shuffle join on orderkey with the lateness residual,
+    * then conditional counts over the handful of ship years — the
+    * critical-vs-routine service-level mix a logistics dashboard reads.
+    */
+  def lateShipMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** q177: customer order-count distribution (TPC-H Q13 shape): LEFT join
+    * so never-ordered customers land in the zero bucket, with the order
+    * filter (here: priority ≠ 5-LOW, standing in for Q13's comment
+    * pattern) applied on the orders side BEFORE the join — ON-clause
+    * semantics, a customer whose only orders are low-priority still counts
+    * as zero. Two-level aggregate: per-customer counts shuffle on the
+    * customer key, then the count-of-counts rollup is O(distinct counts).
+    */
+  def custDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q178: supplier breadth per (brand, size) (TPC-H Q16 shape — no
+    * partsupp table, so the observed DISTINCT (part, supplier) pairs from
+    * lineitem stand in for the catalog). The "complaints" NOT IN becomes a
+    * left-anti join against the negative-balance suppliers (a broadcast —
+    * the excluded set is tiny); the pair table is deduplicated BEFORE any
+    * join so the countDistinct shuffles pairs, never raw lineitems.
+    */
+  def supplierBreadth(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#11")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bad = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** q179: dominant-supplier census (TPC-H Q20 shape — without partsupp
+    * the "stocks more than half the shipped volume" test becomes "shipped
+    * more than 1.5x the fair share of a multi-supplier part's volume").
+    * The nested aggregate stays exact: per-(part, supplier) and per-part
+    * quantity sums are DECIMAL, and the share test cross-multiplies
+    * (2·q·n_supp > 3·total) so no division ever enters the predicate. The
+    * per-part totals reuse the pair aggregate (AQE stage reuse — the fact
+    * is scanned once); dimensions join AFTER the filter, against the
+    * handful of surviving rows.
+    */
+  def dominantSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("supp_qty"))
+    val tot = ps.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"), count(lit(1)).as("n_supp"))
+    ps.join(tot, "l_partkey")
+      .filter(col("n_supp") >= 2 &&
+        col("supp_qty") * 2 * col("n_supp") > col("part_qty") * 3)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_parts_dominated"))
+  }
 }

@@ -1107,4 +1107,215 @@ object TimeSeries {
 
   def seasonalStrength(spark: SparkSession, sfDir: String): DataFrame =
     seasonalStrength(Tables.events(spark, sfDir))
+
+  /** q180: rolling skewness + excess kurtosis per series over a 25-sample
+    * trailing window — the shape diagnostics q03's rolling mean can't see
+    * (a level-stable series drifting into a heavy tail keeps its mean
+    * while g1/g2 move). The four raw power terms are formed in double
+    * (identically on both engines) and snapped to DECIMAL, so the window
+    * SUMs are partition-order-free; central moments come out of the raw
+    * sums through one textually-identical IEEE expression per engine, and
+    * rows emit only on full windows so every statistic is over exactly
+    * `win` samples. One series-keyed sort window — a single shuffle.
+    */
+  def rollingMoments(events: DataFrame, win: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(win - 1), 0)
+    val n = lit(win.toDouble)
+    val ev = events.select(col("event_type"), col("ts"), col("event_id"),
+      col("value").cast("decimal(18,6)").as("x1"),
+      (col("value") * col("value")).cast("decimal(28,10)").as("x2"),
+      (col("value") * col("value") * col("value"))
+        .cast("decimal(28,8)").as("x3"),
+      (col("value") * col("value") * col("value") * col("value"))
+        .cast("decimal(38,8)").as("x4"))
+    val sums = ev
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x1")).over(w))
+      .withColumn("sx2", sum(col("x2")).over(w))
+      .withColumn("sx3", sum(col("x3")).over(w))
+      .withColumn("sx4", sum(col("x4")).over(w))
+      .where(col("k") === win)
+    val m = col("sx").cast("double") / n
+    val a2 = col("sx2").cast("double") / n
+    val a3 = col("sx3").cast("double") / n
+    val a4 = col("sx4").cast("double") / n
+    val m2 = a2 - m * m
+    val m3 = a3 - lit(3.0) * m * a2 + lit(2.0) * m * m * m
+    val m4 = a4 - lit(4.0) * m * a3 + lit(6.0) * m * m * a2 -
+      lit(3.0) * m * m * m * m
+    sums.select(col("event_type"), col("event_id"),
+      (round(m3 / (m2 * sqrt(m2)) * lit(1000000)) / lit(1000000.0))
+        .as("skew"),
+      (round((m4 / (m2 * m2) - lit(3.0)) * lit(1000000)) / lit(1000000.0))
+        .as("kurt"))
+  }
+
+  def rollingMoments(spark: SparkSession, sfDir: String): DataFrame =
+    rollingMoments(Tables.events(spark, sfDir))
+
+  /** Per-series median through the two-pass exact-quantile engine, snapped
+    * to 6 dp so both engines threshold against the SAME constant (the raw
+    * interpolated midpoint could differ by an ulp across engines and flip
+    * a row that lands between the two medians). Shared by q181/q184.
+    */
+  private def snappedMedian(events: DataFrame): DataFrame =
+    Percentiles.exactQuantiles(
+        events.select(col("event_type"), col("value")),
+        "event_type", "value", Seq("m" -> 0.5))
+      .select(col("event_type"),
+        (round(col("qv") * lit(1000000)) / lit(1000000.0)).as("m"))
+
+  /** q181: Wald–Wolfowitz runs test per series — is the above/below-median
+    * sign sequence random, or does it clump (trend / regime persistence)
+    * or alternate (negative feedback)? The nonparametric randomness gate
+    * behind q42's parametric lag-1 autocorrelation. Rows equal to the
+    * snapped median are excluded (sign undefined); runs count from one
+    * lag window over the series shuffle; n_above/n_below/runs are exact
+    * integers and z evaluates one textually-identical IEEE expression per
+    * engine.
+    */
+  def runsTest(events: DataFrame): DataFrame = {
+    val med = snappedMedian(events)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val signed = events.select(col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .join(broadcast(med), "event_type")
+      .where(col("value") =!= col("m"))
+      .withColumn("s", when(col("value") > col("m"), 1).otherwise(0))
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+    val na = col("n_above").cast("double")
+    val nb = col("n_below").cast("double")
+    val nn = na + nb
+    val mu = lit(2.0) * na * nb / nn + lit(1.0)
+    val sig2 = (mu - lit(1.0)) * (mu - lit(2.0)) / (nn - lit(1.0))
+    signed.groupBy(col("event_type"))
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("n_below"),
+        sum(col("chg")).as("runs"))
+      .select(col("event_type"), col("n_above"), col("n_below"), col("runs"),
+        (round((col("runs").cast("double") - mu) / sqrt(sig2)
+          * lit(1000000)) / lit(1000000.0)).as("z_runs"))
+  }
+
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame =
+    runsTest(Tables.events(spark, sfDir))
+
+  /** q182: maximum cumulative-excursion drawdown per series. The raw
+    * values are positive, so the walk is the DEMEANED cumulative sum (the
+    * CUSUM excursion path): peak-to-trough fall of that path measures the
+    * deepest sustained below-mean stretch in the series' own units — the
+    * magnitude twin of q139's thresholded CUSUM alarm. Everything is
+    * DECIMAL end to end (mean snapped to 12 dp before subtraction, cumsum
+    * and running max over decimals), so the answer is exact on any
+    * partitioning; doubles appear only in the final rounded output. Two
+    * cumulative windows over one series-keyed sort — a single shuffle.
+    */
+  def drawdown(events: DataFrame): DataFrame = {
+    val mean = events.groupBy(col("event_type"))
+      .agg((round((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("mean_v"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val path = events.select(col("event_type"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,6)").as("x"))
+      .join(broadcast(mean), "event_type")
+      .withColumn("step", col("x") - col("mean_v").cast("decimal(28,12)"))
+      .withColumn("c", sum(col("step")).over(w))
+      .withColumn("peak", max(col("c")).over(w))
+    path.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        (round(max(col("peak") - col("c")).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("max_drawdown"),
+        (round((max(col("c")) - min(col("c"))).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("excursion_range"))
+  }
+
+  def drawdown(spark: SparkSession, sfDir: String): DataFrame =
+    drawdown(Tables.events(spark, sfDir))
+
+  /** q183: Lo–MacKinlay-style variance ratio per series on per-day means:
+    * Var(weekly sums of the daily series) / (7 · Var(daily)) ≈ 1 for a
+    * random walk, > 1 under positive serial correlation (trending), < 1
+    * under mean reversion — the aggregation-consistency check that says
+    * whether q127's trend fit and q139's drift detector see signal or
+    * noise. Weekly blocks are NON-overlapping (epoch-day DIV 7) and only
+    * complete 7-day blocks count; daily means and their squares snap to
+    * decimal before the variance sums, so both variances are
+    * order-free.
+    */
+  def varianceRatio(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((round((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("m"))
+    val dAgg = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("m").cast("decimal(28,12)")).as("sx"),
+        sum((col("m") * col("m")).cast("decimal(28,12)")).as("sx2"))
+    val weekly = daily
+      .withColumn("wk", expr("CAST(day DIV 7 AS BIGINT)"))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("m").cast("decimal(28,12)")).as("ws"))
+      .where(col("nd") === 7)
+    val wAgg = weekly
+      .select(col("event_type"), col("ws").cast("double").as("wsd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("wsd").cast("decimal(28,12)")).as("wx"),
+        sum((col("wsd") * col("wsd")).cast("decimal(28,12)")).as("wx2"))
+    val vd = (col("sx2").cast("double") / col("n_days")) -
+      pow(col("sx").cast("double") / col("n_days"), 2)
+    val vw = (col("wx2").cast("double") / col("n_weeks")) -
+      pow(col("wx").cast("double") / col("n_weeks"), 2)
+    dAgg.join(wAgg, "event_type")
+      .where(col("n_weeks") >= 2)
+      .select(col("event_type"), col("n_days"), col("n_weeks"),
+        (round(vd * lit(1000000)) / lit(1000000.0)).as("var_daily"),
+        (round(vw * lit(1000000)) / lit(1000000.0)).as("var_weekly"),
+        (round(vw / (lit(7.0) * vd) * lit(1000000)) / lit(1000000.0))
+          .as("variance_ratio"))
+  }
+
+  def varianceRatio(spark: SparkSession, sfDir: String): DataFrame =
+    varianceRatio(Tables.events(spark, sfDir))
+
+  /** q184: above-median run-length census per series — how LONG does a
+    * series stay above its own median once it crosses? (q181 tests
+    * whether the sign sequence is random; this reports the persistence
+    * profile itself, the state-sizing input for any hysteresis alarm.)
+    * Gaps-and-islands by the rn-difference idiom (both row_numbers ride
+    * the SAME series-keyed sort — one shuffle), run lengths bucketed into
+    * q70's integer-exact power-of-2 bins, O(log n) rows per series out.
+    */
+  def runLengthCensus(events: DataFrame): DataFrame = {
+    val med = snappedMedian(events)
+    val wAll = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = events.select(col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .join(broadcast(med), "event_type")
+      .withColumn("rn", row_number().over(wAll))
+      .where(col("value") > col("m"))
+      .withColumn("grp", col("rn") - row_number().over(wAll))
+    flagged.groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .withColumn("bucket", (length(bin(col("len"))) - 1).cast("int"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("len")).as("max_len"),
+        (round(sum(col("len")).cast("double") / count(lit(1)) * lit(10000))
+          / lit(10000.0)).as("mean_len"))
+  }
+
+  def runLengthCensus(spark: SparkSession, sfDir: String): DataFrame =
+    runLengthCensus(Tables.events(spark, sfDir))
 }
