@@ -380,7 +380,17 @@ object SparkEntry {
     "q183_variance_ratio" -> ((s, d) =>
       TimeSeries.varianceRatio(s, d).orderBy(col("event_type"))),
     "q184_run_length_census" -> ((s, d) =>
-      TimeSeries.runLengthCensus(s, d).orderBy(col("event_type"), col("bucket")))
+      TimeSeries.runLengthCensus(s, d).orderBy(col("event_type"), col("bucket"))),
+    "q185_template_prefix" -> ((s, d) =>
+      TextAnalysis.templatePrefix(s, d).orderBy(col("prefix_fp"))),
+    "q186_soft_dedup_weights" -> ((s, d) =>
+      Dedup.softDedupWeights(s, d).orderBy(col("source"))),
+    "q187_quality_temperature" -> ((s, d) =>
+      Curation.qualityTemperatureSample(s, d).orderBy(col("source"))),
+    "q188_rerank_recall" -> ((s, d) =>
+      Similarity.rerankRecall(s, d).orderBy(col("probe_id"))),
+    "q189_rich_club" -> ((s, d) =>
+      Graph.richClub(s, d).orderBy(col("t")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3706,7 +3716,163 @@ object SparkEntry {
         |SELECT event_type, CAST(length(bin(len)) - 1 AS INT) bucket,
         |  CAST(count(*) AS BIGINT) n_runs, CAST(max(len) AS BIGINT) max_len,
         |  round(CAST(sum(len) AS DOUBLE)/count(*)*10000)/10000 AS mean_len
-        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q185_template_prefix" ->
+      """WITH d AS (SELECT doc_id, source, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |p AS (SELECT doc_id, source,
+        |    md5(array_to_string(w[1:8], ' ')) prefix_fp
+        |  FROM d WHERE len(w) >= 8)
+        |SELECT prefix_fp, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) n_sources,
+        |  CAST(min(doc_id) AS BIGINT) first_doc
+        |FROM p GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
+    "q186_soft_dedup_weights" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz0 AS (SELECT doc_id, band, sig,
+        |                count(*) OVER (PARTITION BY band, sig) bc FROM bands),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id
+        |          WHERE a.bc <= 64 AND b.bc <= 64),
+        |star AS (SELECT DISTINCT mn doc_a, doc_id doc_b FROM (
+        |           SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
+        |           FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
+        |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
+        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |          UNION SELECT doc_b, doc_a FROM allp),
+        |reach(node, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.comp < e.v),
+        |cc AS (SELECT node, min(comp) comp FROM reach GROUP BY 1),
+        |mem AS (SELECT d0.doc_id, d0.source,
+        |          coalesce(cc.comp, d0.doc_id) cluster_id
+        |        FROM documents d0 LEFT JOIN cc ON d0.doc_id = cc.node),
+        |sz AS (SELECT cluster_id, count(*) cs FROM mem GROUP BY 1),
+        |wt AS (SELECT source, cs,
+        |         CAST(round(1.0/cs*1e12)/1e12 AS DECIMAL(28,12)) w
+        |       FROM mem JOIN sz USING (cluster_id))
+        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(sum(CASE WHEN cs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_dup_members,
+        |  round(CAST(sum(w) AS DOUBLE)*1000000)/1000000 AS effective_docs,
+        |  round(CAST(sum(w) AS DOUBLE)/count(*)*1000000)/1000000 AS efficiency
+        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q187_quality_temperature" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+        |f AS (SELECT doc_id, source, length(t) n_chars,
+        |        len(string_split(t, ' ')) n_words,
+        |        length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) n_punct,
+        |        len(list_filter(string_split(t, ' '), x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it'], x))) n_stop
+        |      FROM d),
+        |q AS (SELECT doc_id, source,
+        |        round((least(CAST(n_words AS DOUBLE)/100.0, 1.0)*0.5
+        |          + (1.0 - CAST(n_punct AS DOUBLE)/n_chars)*0.3
+        |          + least(CAST(n_stop AS DOUBLE)/n_words*5.0, 1.0)*0.2)
+        |          *10000)/10000 quality
+        |      FROM f),
+        |c AS (SELECT doc_id, source, quality,
+        |        md5('qsamp:'||CAST(doc_id AS VARCHAR)) h FROM q),
+        |u AS (SELECT source, quality,
+        |        CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+        |          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+        |          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+        |          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+        |          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+        |          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT) u24
+        |      FROM c),
+        |k AS (SELECT source, quality,
+        |        CAST(u24 AS DOUBLE) < quality*quality*16777216.0 kept
+        |      FROM u)
+        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+        |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /count(*)*1000000)/1000000 AS keep_rate,
+        |  round(CAST(sum(CASE WHEN kept THEN CAST(quality AS DECIMAL(18,6))
+        |      ELSE NULL END) AS DOUBLE)
+        |    /sum(CASE WHEN kept THEN 1 ELSE 0 END)*10000)/10000
+        |    AS mean_kept_quality
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q188_rerank_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |env AS (SELECT i, min(v) mn, max(v) mx FROM xx GROUP BY 1),
+        |rx AS (SELECT vec_id, xx.i,
+        |         CASE WHEN mx = mn THEN mn
+        |           ELSE mn + round((v - mn)/(mx - mn)*255)/255*(mx - mn) END rv
+        |       FROM xx JOIN env ON xx.i = env.i),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |nr AS (SELECT vec_id, sqrt(CAST(sum(CAST(rv*rv AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |       FROM rx GROUP BY 1),
+        |d1 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |      GROUP BY 1,2),
+        |sc1 AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d1 JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |truth AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+        |    FROM sc1) WHERE rnk <= 5),
+        |d2 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.rv*c.rv AS DECIMAL(18,16))) AS DOUBLE) dot
+        |      FROM rx p JOIN rx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |      GROUP BY 1,2),
+        |sc2 AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d2 JOIN nr np ON probe_id = np.vec_id JOIN nr nc ON neighbor_id = nc.vec_id),
+        |short AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+        |    FROM sc2) WHERE rnk <= 20),
+        |rr AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT s1.probe_id, s1.neighbor_id,
+        |      row_number() OVER (PARTITION BY s1.probe_id
+        |        ORDER BY s1.cos DESC, s1.neighbor_id) rnk
+        |    FROM sc1 s1 JOIN short sh ON s1.probe_id = sh.probe_id
+        |      AND s1.neighbor_id = sh.neighbor_id) WHERE rnk <= 5),
+        |hits AS (SELECT t.probe_id, count(*) n_hits FROM truth t JOIN rr a
+        |          ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id GROUP BY 1),
+        |tot AS (SELECT probe_id, count(*) n_true FROM truth GROUP BY 1)
+        |SELECT tot.probe_id, coalesce(n_hits, 0) n_hits, n_true,
+        | round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 recall
+        |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin,
+    "q189_rich_club" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u id, CAST(count(*) AS BIGINT) deg FROM sym GROUP BY 1),
+        |ks AS (SELECT unnest([1, 2, 4, 8, 16]) t),
+        |tagged AS (SELECT e.u, e.v, du.deg du, dv.deg dv FROM e
+        |           JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id),
+        |ek AS (SELECT t, CAST(count(*) AS BIGINT) e_club FROM tagged, ks
+        |       WHERE du > t AND dv > t GROUP BY 1),
+        |nk AS (SELECT t, CAST(count(*) AS BIGINT) n_club FROM deg, ks
+        |       WHERE deg > t GROUP BY 1)
+        |SELECT nk.t, n_club, coalesce(e_club, 0) e_club,
+        |  round(2.0*coalesce(e_club, 0)
+        |    /(CAST(n_club AS DOUBLE)*(n_club - 1))*1000000)/1000000 AS phi
+        |FROM nk LEFT JOIN ek ON nk.t = ek.t
+        |WHERE n_club >= 2 ORDER BY 1""".stripMargin
   )
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

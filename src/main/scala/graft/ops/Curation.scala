@@ -382,4 +382,46 @@ object Curation {
 
   def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
     lengthHistogram(Tables.documents(spark, sfDir))
+
+  /** q187: quality-temperature sampling — keep probability proportional to
+    * quality², so high-quality documents survive preferentially but
+    * low-quality ones still contribute mass (the soft alternative to
+    * q53's hard gates; τ = 2 sharpening as quality·quality keeps the
+    * probability arithmetic exact-multiply, never libm pow). Deterministic
+    * like q54: the coin is a 24-bit md5-derived uniform per doc_id, so the
+    * sample is reproducible across runs, engines and retries. Per-source
+    * rollup: raw/kept counts, realized keep rate, and mean quality of the
+    * kept slice (4-dp quality summed in DECIMAL — order-free). One
+    * tokenization pass (the q28 projection), map-only until the
+    * source-sized rollup.
+    */
+  def qualityTemperatureSample(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val coin = docs.select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .withColumn("h", md5(concat(lit("qsamp:"), col("doc_id").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("kept",
+        col("u24").cast("double") < col("quality") * col("quality") * lit(16777216.0))
+    coin.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (round(sum(when(col("kept"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)) * lit(1000000)) / lit(1000000.0)).as("keep_rate"),
+        (round(sum(when(col("kept"), col("quality").cast("decimal(18,6)"))
+          .otherwise(lit(null))).cast("double")
+          / sum(when(col("kept"), 1L).otherwise(0L)) * lit(10000))
+          / lit(10000.0)).as("mean_kept_quality"))
+  }
+
+  def qualityTemperatureSample(spark: SparkSession, sfDir: String): DataFrame =
+    qualityTemperatureSample(Tables.documents(spark, sfDir))
 }

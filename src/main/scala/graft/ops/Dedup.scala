@@ -893,4 +893,39 @@ object Dedup {
 
   def sourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame =
     sourceDupMatrix(Tables.documents(spark, sfDir))
+
+  /** q186: soft-dedup weights — instead of q93's hard keep/drop verdict,
+    * every document gets weight 1/|its near-dup cluster| (singletons weigh
+    * 1), so a training run can DOWN-WEIGHT duplicate families rather than
+    * delete them (the "soft dedup" option every LLM data pipeline wants
+    * beside hard dedup). Rolled up per source: raw count, duplicate-member
+    * count, effective document count Σw, and the efficiency ratio — a
+    * vendor whose 10k docs carry 4k effective documents is selling
+    * duplicates. Clusters are global (a family spanning sources splits its
+    * weight across them); per-doc weights are snapped to 12 dp decimal so
+    * the Σw rollup is partition-order-free. Same LSH → CC machinery as
+    * q52/q93 — one extra groupBy over the member table.
+    */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val cc = Graph.componentsAuto(lshEdges(docs))
+      .withColumnRenamed("id", "doc_id")
+    val member = docs.select(col("doc_id"), col("source"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+    val sizes = member.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cs"))
+    member.join(sizes, "cluster_id")
+      .withColumn("w", (round(lit(1.0) / col("cs") * lit(1e12)) / lit(1e12))
+        .cast("decimal(28,12)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cs") > 1, 1L).otherwise(0L)).as("n_dup_members"),
+        (round(sum(col("w")).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("effective_docs"),
+        (round(sum(col("w")).cast("double")
+          / count(lit(1)) * lit(1000000)) / lit(1000000.0)).as("efficiency"))
+  }
+
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame =
+    softDedupWeights(Tables.documents(spark, sfDir))
 }

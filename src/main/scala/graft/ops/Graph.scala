@@ -745,6 +745,41 @@ object Graph {
       .select(col("id").as("part"), col("label").as("community"))
   }
 
+  /** q189: rich-club coefficient curve of the co-purchase graph — for each
+    * degree threshold t in a power-of-2 grid, the density φ(t) of the
+    * subgraph induced by vertices with degree > t (Zhou & Mondragón 2004).
+    * A rising φ(t) says hubs preferentially interconnect (a "rich club"),
+    * which for a shuffle key means hot keys collide with each other — the
+    * topology companion to q173's tail-fit telemetry. One degree groupBy,
+    * two vertex-keyed joins to tag edge endpoints, then a broadcast
+    * threshold-grid join and exact-integer counts; φ's single IEEE
+    * division happens on the |grid|-row table.
+    */
+  def richClub(spark: SparkSession, sfDir: String,
+               grid: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    import spark.implicits._
+    val ks = grid.toDF("t")
+    val tagged = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val ek = tagged.crossJoin(broadcast(ks))
+      .where(col("du") > col("t") && col("dv") > col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("e_club"))
+    val nk = deg.crossJoin(broadcast(ks))
+      .where(col("deg") > col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_club"))
+    nk.join(ek, Seq("t"), "left_outer")
+      .select(col("t"), col("n_club"),
+        coalesce(col("e_club"), lit(0L)).as("e_club"),
+        (round(lit(2.0) * coalesce(col("e_club"), lit(0L))
+          / (col("n_club").cast("double") * (col("n_club") - lit(1)))
+          * lit(1000000)) / lit(1000000.0)).as("phi"))
+      .where(col("n_club") >= 2)
+  }
+
   /** q144: degree assortativity of the co-purchase graph — the Pearson
     * correlation between endpoint degrees over the symmetrized edge list
     * (each edge contributes both directions, the standard Newman

@@ -595,4 +595,68 @@ object Similarity {
 
   def mmrTopK(spark: SparkSession, sfDir: String): DataFrame =
     mmrTopK(Tables.embeddings(spark, sfDir))
+
+  /** q188: two-stage shortlist-rerank recall — the production ANN serving
+    * pattern (quantized/compressed index builds a cheap shortlist, exact
+    * vectors rerank it) measured end to end: recall@k of [int8-quantized
+    * cosine shortlist of `shortN` → exact-cosine rerank to top-k] against
+    * exact top-k ground truth. Sits between q65 (quantized-only recall —
+    * the floor) and brute force (the ceiling): the audit says what
+    * shortlist size buys back the quantization loss. Exact pair cosines
+    * are computed ONCE (truth and rerank both read the same table — AQE
+    * stage reuse); the rerank is a semi-join of that table against the
+    * shortlist, so the second stage touches `shortN` rows per probe, the
+    * 100 TB path where the exact rerank runs on a row-bounded candidate
+    * set, never the corpus.
+    */
+  def rerankRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5,
+                   shortN: Int = 20): DataFrame = {
+    val e = asDoubles(emb).select(col("vec_id"), col("v"))
+    val env = asDoubles(emb)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val envArr = env.agg(
+      expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)").as("mns"),
+      expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("mxs"))
+    val rec = e.crossJoin(broadcast(envArr))
+      .withColumn("rv", expr(
+        """zip_with(v, zip_with(mns, mxs, (a, b) -> struct(a AS mn, b AS mx)),
+          |  (x, en) -> CASE WHEN en.mx = en.mn THEN en.mn
+          |    ELSE en.mn + round((x - en.mn)/(en.mx - en.mn)*255)/255*(en.mx - en.mn) END)"""
+          .stripMargin))
+      .select(col("vec_id"), col("rv").as("v"))
+
+    def pairCos(vs: DataFrame): DataFrame = {
+      val all = vs.withColumn("nrm", normCol("v"))
+      val probes = all.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .crossJoin(broadcast(probes))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+        .select(col("probe_id"), col("neighbor_id"), col("cos"))
+    }
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = pairCos(e)
+    val truth = exact.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k).select(col("probe_id"), col("neighbor_id"))
+    val short = pairCos(rec).withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= shortN).select(col("probe_id"), col("neighbor_id"))
+    val rerank = exact.join(short, Seq("probe_id", "neighbor_id"), "left_semi")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k).select(col("probe_id"), col("neighbor_id"))
+    val hits = truth.join(rerank, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_true") * 10000) / 10000).as("recall"))
+  }
+
+  def rerankRecall(spark: SparkSession, sfDir: String): DataFrame =
+    rerankRecall(Tables.embeddings(spark, sfDir))
 }

@@ -793,4 +793,32 @@ object TextAnalysis {
 
   def rankChurn(spark: SparkSession, sfDir: String): DataFrame =
     rankChurn(Tables.documents(spark, sfDir))
+
+  /** q185: template-prefix census — families of documents that OPEN with
+    * the same leading `k` tokens (form letters, boilerplate headers, SEO
+    * templates). Exact-substring (q156) and MinHash (q22) dedup both need
+    * substantial overlap; template families share only their opening
+    * phrase, so they slip both nets — this is the cheap screen that
+    * catches them. One tokenizing projection (prefix only — the tail of
+    * the doc is never materialized), md5 of the prefix as the family key
+    * (shuffle carries a 32-char hash, not text), families of ≥ 2 reported
+    * with their source spread. Output is bounded by the number of
+    * colliding families, not corpus size.
+    */
+  def templatePrefix(docs: DataFrame, k: Int = 8): DataFrame = {
+    val pre = docs
+      .select(col("doc_id"), col("source"),
+        split(Dedup.normText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("w"), 1, k))).as("prefix_fp"))
+    pre.groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+  }
+
+  def templatePrefix(spark: SparkSession, sfDir: String): DataFrame =
+    templatePrefix(Tables.documents(spark, sfDir))
 }
