@@ -755,9 +755,8 @@ object Graph {
     * threshold-grid join and exact-integer counts; φ's single IEEE
     * division happens on the |grid|-row table.
     */
-  def richClub(spark: SparkSession, sfDir: String,
-               grid: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
-    val e = copurchaseEdges(spark, sfDir)
+  def richClub(e: DataFrame, grid: Seq[Int]): DataFrame = {
+    val spark = e.sparkSession
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     import spark.implicits._
@@ -779,6 +778,9 @@ object Graph {
           * lit(1000000)) / lit(1000000.0)).as("phi"))
       .where(col("n_club") >= 2)
   }
+
+  def richClub(spark: SparkSession, sfDir: String): DataFrame =
+    richClub(copurchaseEdges(spark, sfDir), Seq(1, 2, 4, 8, 16))
 
   /** q144: degree assortativity of the co-purchase graph — the Pearson
     * correlation between endpoint degrees over the symmetrized edge list
