@@ -390,7 +390,13 @@ object SparkEntry {
     "q188_rerank_recall" -> ((s, d) =>
       Similarity.rerankRecall(s, d).orderBy(col("probe_id"))),
     "q189_rich_club" -> ((s, d) =>
-      Graph.richClub(s, d).orderBy(col("t")))
+      Graph.richClub(s, d).orderBy(col("t"))),
+    "q190_important_parts" -> ((s, d) =>
+      Relational.importantParts(s, d).orderBy(col("l_partkey"))),
+    "q191_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(s, d).orderBy(col("lang"))),
+    "q192_lsh_scurve" -> ((s, d) =>
+      Dedup.lshScurveAudit(s, d).orderBy(col("decile")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3872,7 +3878,76 @@ object SparkEntry {
         |  round(2.0*coalesce(e_club, 0)
         |    /(CAST(n_club AS DOUBLE)*(n_club - 1))*1000000)/1000000 AS phi
         |FROM nk LEFT JOIN ek ON nk.t = ek.t
-        |WHERE n_club >= 2 ORDER BY 1""".stripMargin
+        |WHERE n_club >= 2 ORDER BY 1""".stripMargin,
+    "q190_important_parts" ->
+      """WITH s AS (SELECT s_suppkey FROM supplier
+        |           JOIN nation ON s_nationkey = n_nationkey
+        |           WHERE n_name = 'NATION_3'),
+        |pv AS (SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) pval
+        |       FROM lineitem JOIN s ON l_suppkey = s_suppkey GROUP BY 1),
+        |t AS (SELECT sum(pval) total, count(*) np FROM pv)
+        |SELECT l_partkey, CAST(pval AS DOUBLE) part_value,
+        |  round(CAST(pval AS DOUBLE)/CAST(total AS DOUBLE)*1000000)/1000000
+        |    AS share
+        |FROM pv CROSS JOIN t WHERE pval*2*np > total*3 ORDER BY 1""".stripMargin,
+    "q191_vocab_coverage" ->
+      """WITH tk AS (SELECT lang, tok, CAST(count(*) AS BIGINT) n_lt
+        |  FROM (SELECT lang, doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |vc AS (SELECT tok FROM (SELECT tok, sum(n_lt) n FROM tk GROUP BY 1)
+        |       ORDER BY n DESC, tok LIMIT 16),
+        |dl AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs
+        |       FROM documents GROUP BY 1),
+        |ag AS (SELECT lang, CAST(sum(n_lt) AS BIGINT) n_tokens,
+        |         CAST(sum(CASE WHEN vc.tok IS NULL THEN n_lt ELSE 0 END)
+        |           AS BIGINT) n_oov,
+        |         CAST(count(DISTINCT CASE WHEN vc.tok IS NULL THEN tk.tok END)
+        |           AS BIGINT) n_oov_types
+        |       FROM tk LEFT JOIN vc ON tk.tok = vc.tok GROUP BY 1)
+        |SELECT ag.lang, n_docs, n_tokens, n_oov, n_oov_types,
+        |  round(CAST(n_oov AS DOUBLE)/n_tokens*1000000)/1000000 AS oov_rate
+        |FROM ag JOIN dl ON ag.lang = dl.lang ORDER BY 1""".stripMargin,
+    "q192_lsh_scurve" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |truth AS (SELECT doc_a, doc_b,
+        |    round(CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared), 6) j
+        |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared) >= 0.5),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz AS (SELECT doc_id, band, sig FROM (
+        |          SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) bc
+        |          FROM bands) WHERE bc <= 64),
+        |lsh AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |        FROM bsz a JOIN bsz b ON a.band = b.band AND a.sig = b.sig
+        |          AND a.doc_id < b.doc_id),
+        |t AS (SELECT truth.doc_a, truth.doc_b, j,
+        |        CASE WHEN lsh.doc_a IS NULL THEN 0 ELSE 1 END hit,
+        |        CAST(round((1.0 - (1.0 - j*j*j*j)*(1.0 - j*j*j*j)
+        |          *(1.0 - j*j*j*j))*1e12)/1e12 AS DECIMAL(28,12)) p
+        |      FROM truth LEFT JOIN lsh ON truth.doc_a = lsh.doc_a
+        |        AND truth.doc_b = lsh.doc_b)
+        |SELECT CAST(floor(j*10) AS INT) decile, CAST(count(*) AS BIGINT) n_pairs,
+        |  CAST(sum(hit) AS BIGINT) n_detected,
+        |  round(CAST(sum(hit) AS DOUBLE)/count(*)*1000000)/1000000
+        |    AS observed_rate,
+        |  round(CAST(sum(p) AS DOUBLE)/count(*)*1000000)/1000000
+        |    AS mean_theory
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

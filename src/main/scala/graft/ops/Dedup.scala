@@ -928,4 +928,41 @@ object Dedup {
 
   def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame =
     softDedupWeights(Tables.documents(spark, sfDir))
+
+  /** q192: LSH s-curve audit — observed detection rate vs the theoretical
+    * collision curve, per exact-Jaccard decile. For k=12 MinHashes in
+    * b=3 bands of r=4 rows, theory says a pair at Jaccard s collides in
+    * ≥1 band with probability 1−(1−s⁴)³; this query buckets the exact
+    * ground-truth pairs (q21's prefix-filtered join) by Jaccard decile
+    * and reports, per decile, how many the production LSH index (q22,
+    * WITH its bucket cap) actually caught next to the theoretical mean —
+    * the empirical answer to "is the index missing pairs because of
+    * probability or because of the cap", which q73's census can't
+    * separate. Powers are explicit multiplies (never libm pow);
+    * per-pair theory terms snap to 12-dp decimal so the mean is
+    * order-free.
+    */
+  def lshScurveAudit(docs: DataFrame): DataFrame = {
+    val truth = ngramJaccardPrefix(docs)
+    val detected = minhashLsh(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val j = col("jaccard")
+    val s4 = j * j * j * j
+    val qq = lit(1.0) - s4
+    val p = lit(1.0) - qq * qq * qq
+    truth.join(detected, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("decile", floor(j * 10).cast("int"))
+      .withColumn("p_snap",
+        (round(p * lit(1e12)) / lit(1e12)).cast("decimal(28,12)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_detected"),
+        (round(sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1)) * lit(1000000)) / lit(1000000.0)).as("observed_rate"),
+        (round(sum(col("p_snap")).cast("double") / count(lit(1))
+          * lit(1000000)) / lit(1000000.0)).as("mean_theory"))
+  }
+
+  def lshScurveAudit(spark: SparkSession, sfDir: String): DataFrame =
+    lshScurveAudit(Tables.documents(spark, sfDir))
 }

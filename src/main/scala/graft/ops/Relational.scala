@@ -1031,6 +1031,37 @@ object Relational {
     * is scanned once); dimensions join AFTER the filter, against the
     * handful of surviving rows.
     */
+  /** q190: important parts by observed national inventory value (TPC-H Q11
+    * shape — no partsupp, so "stock value" is the shipped extended-price
+    * volume from one nation's suppliers). The correlated HAVING-subquery
+    * threshold decorrelates to a broadcast one-row (total, n_parts)
+    * aggregate; the cut is SCALE-FREE — parts above 1.5x the mean part
+    * value — and cross-multiplies in DECIMAL (2·value·n > 3·total) so no
+    * division enters the predicate, the same discipline as q150/q179 (a
+    * fixed share like Q11's 0.0001 empties out as the part count grows).
+    * Nation filter prunes the supplier dimension to a broadcast before
+    * the fact join.
+    */
+  def importantParts(spark: SparkSession, sfDir: String,
+                     nationName: String = "NATION_3"): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .where(col("n_name") === nationName).select(col("n_nationkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val pv = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("pval"))
+    val tot = pv.agg(sum(col("pval")).as("total"), count(lit(1)).as("np"))
+    pv.crossJoin(broadcast(tot))
+      .where(col("pval") * 2 * col("np") > col("total") * 3)
+      .select(col("l_partkey"), col("pval").cast("double").as("part_value"),
+        (round(col("pval").cast("double") / col("total").cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("share"))
+  }
+
   def dominantSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val ps = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"), col("l_suppkey"))

@@ -821,4 +821,42 @@ object TextAnalysis {
 
   def templatePrefix(spark: SparkSession, sfDir: String): DataFrame =
     templatePrefix(Tables.documents(spark, sfDir))
+
+  /** q191: tokenizer-vocabulary coverage — fix the vocab at the corpus'
+    * top-`vocabSize` tokens (frequency desc, token asc tie-break: total
+    * order, so the vocab is deterministic) and report per-language token
+    * counts, out-of-vocabulary counts and the OOV rate. The
+    * tokenizer-sizing complement to q129's Heaps-law fit: Heaps says how
+    * fast vocabulary grows, this says what a FIXED vocab misses per
+    * stratum — the number a BPE budget decision actually reads. The vocab
+    * is vocabulary-bounded (top-k of a token aggregate, broadcast back);
+    * the per-token membership probe is a broadcast left join on the
+    * already-aggregated (lang, tok) counts, so the corpus is tokenized
+    * once and the join input is vocabulary-sized, never token-stream-
+    * sized.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n_lt"))
+    val vocab = toks.groupBy(col("tok")).agg(sum(col("n_lt")).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    val docsPerLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_lt")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n_lt")).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("tok"))).as("n_oov_types"))
+      .join(docsPerLang, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        col("n_oov_types"),
+        (round(col("n_oov").cast("double") / col("n_tokens") * lit(1000000))
+          / lit(1000000.0)).as("oov_rate"))
+  }
+
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, sfDir))
 }
