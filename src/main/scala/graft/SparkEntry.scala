@@ -396,7 +396,11 @@ object SparkEntry {
     "q191_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(s, d).orderBy(col("lang"))),
     "q192_lsh_scurve" -> ((s, d) =>
-      Dedup.lshScurveAudit(s, d).orderBy(col("decile")))
+      Dedup.lshScurveAudit(s, d).orderBy(col("decile"))),
+    "q193_pacf" -> ((s, d) =>
+      TimeSeries.pacf(s, d).orderBy(col("event_type"))),
+    "q194_durbin_watson" -> ((s, d) =>
+      TimeSeries.durbinWatson(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3947,7 +3951,62 @@ object SparkEntry {
         |    AS observed_rate,
         |  round(CAST(sum(p) AS DOUBLE)/count(*)*1000000)/1000000
         |    AS mean_theory
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q193_pacf" ->
+      """WITH m AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) mu,
+        |    CAST(count(*) AS BIGINT) n
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT e.event_type, value, mu, n,
+        |    lag(value, 1) OVER w p1, lag(value, 2) OVER w p2
+        |  FROM events e JOIN m ON e.event_type = m.event_type
+        |  WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id)),
+        |a AS (SELECT event_type, max(n) n,
+        |    CAST(sum(CAST((value - mu)*(p1 - mu) AS DECIMAL(28,16)))
+        |      AS DOUBLE) num1,
+        |    CAST(sum(CAST((value - mu)*(p2 - mu) AS DECIMAL(28,16)))
+        |      AS DOUBLE) num2,
+        |    CAST(sum(CAST((value - mu)*(value - mu) AS DECIMAL(28,16)))
+        |      AS DOUBLE) den
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(num1/den*10000)/10000 AS r1,
+        |  round(num2/den*10000)/10000 AS r2,
+        |  round((num2/den - (num1/den)*(num1/den))
+        |    /(1.0 - (num1/den)*(num1/den))*1000000)/1000000 AS pacf2
+        |FROM a ORDER BY 1""".stripMargin,
+    "q194_durbin_watson" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    event_id, value FROM events),
+        |t0 AS (SELECT event_type, min(e) t0 FROM ev GROUP BY 1),
+        |td AS (SELECT ev.event_type, event_id, value,
+        |         CAST(e - t0 AS DOUBLE) td
+        |       FROM ev JOIN t0 ON ev.event_type = t0.event_type),
+        |p AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CAST(td AS DECIMAL(38,6))) AS DOUBLE) st,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) sv,
+        |        CAST(sum(CAST(td*value AS DECIMAL(38,10))) AS DOUBLE) stv,
+        |        CAST(sum(CAST(td*td AS DECIMAL(38,6))) AS DOUBLE) stt
+        |      FROM td GROUP BY 1),
+        |p2 AS (SELECT event_type, n, stt - st*st/n sxx, stv - st*sv/n sxy,
+        |         sv, st FROM p),
+        |p3 AS (SELECT event_type, n,
+        |         CASE WHEN sxx = 0 THEN 0.0 ELSE sxy/sxx END slope, sv, st
+        |       FROM p2),
+        |p4 AS (SELECT event_type, n, slope, sv/n - slope*st/n icept FROM p3),
+        |r AS (SELECT td.event_type, td.event_id, td.td, p4.n,
+        |        value - (icept + slope*td) r
+        |      FROM td JOIN p4 ON td.event_type = p4.event_type),
+        |l AS (SELECT event_type, n, r, lag(r) OVER (PARTITION BY event_type
+        |        ORDER BY td, event_id) pr FROM r),
+        |a AS (SELECT event_type, max(n) n,
+        |        CAST(sum(CAST(round((r - pr)*(r - pr)*1e12)/1e12
+        |          AS DECIMAL(28,12))) AS DOUBLE) sdiff,
+        |        CAST(sum(CAST(round(r*r*1e12)/1e12 AS DECIMAL(28,12)))
+        |          AS DOUBLE) ssq
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n, round(sdiff/ssq*1000000)/1000000 AS dw
+        |FROM a ORDER BY 1""".stripMargin
   )
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

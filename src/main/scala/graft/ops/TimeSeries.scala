@@ -1318,4 +1318,92 @@ object TimeSeries {
 
   def runLengthCensus(spark: SparkSession, sfDir: String): DataFrame =
     runLengthCensus(Tables.events(spark, sfDir))
+
+  /** q193: partial autocorrelation at lags 1 and 2 per series via the
+    * Durbin–Levinson recursion (φ11 = r1, φ22 = (r2 − r1²)/(1 − r1²)) —
+    * the model-order diagnostic q42's plain ACF can't give: an AR(1)
+    * process has r2 ≈ r1² so φ22 ≈ 0, while φ22 ≉ 0 says one lag of
+    * memory isn't enough (the input to choosing the ml/Forecast lag
+    * order). Both lag products come off ONE series-keyed sort window;
+    * numerators/denominator are centered decimal sums (order-free), the
+    * recursion is two IEEE expressions over per-series scalars.
+    */
+  def pacf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("ts"), col("event_id"),
+      col("value"))
+    val means = ev.groupBy(col("event_type")).agg(
+      (sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("mu"),
+      count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val agg = ev.join(means, "event_type")
+      .withColumn("p1", lag(col("value"), 1).over(w))
+      .withColumn("p2", lag(col("value"), 2).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(((col("value") - col("mu")) * (col("p1") - col("mu")))
+          .cast("decimal(28,16)")).cast("double").as("num1"),
+        sum(((col("value") - col("mu")) * (col("p2") - col("mu")))
+          .cast("decimal(28,16)")).cast("double").as("num2"),
+        sum(((col("value") - col("mu")) * (col("value") - col("mu")))
+          .cast("decimal(28,16)")).cast("double").as("den"))
+    val r1 = col("num1") / col("den")
+    val r2 = col("num2") / col("den")
+    agg.select(col("event_type"), col("n"),
+      r4(r1).as("r1"), r4(r2).as("r2"),
+      (round((r2 - r1 * r1) / (lit(1.0) - r1 * r1) * lit(1000000))
+        / lit(1000000.0)).as("pacf2"))
+  }
+
+  def pacf(spark: SparkSession, sfDir: String): DataFrame =
+    pacf(Tables.events(spark, sfDir))
+
+  /** q194: Durbin–Watson statistic on the q127 OLS residuals per series —
+    * the regression-diagnostics closer: DW ≈ 2 means the trend line left
+    * white noise behind, DW → 0 means positively-autocorrelated residuals
+    * (the fit is missing structure — seasonality, regime shifts), DW → 4
+    * anti-correlated. Slope/intercept come from the same single-pass
+    * decimal moment sums as q127 (identical IEEE derivation on both
+    * engines); residuals are per-row doubles, and both DW sums snap each
+    * term to 12-dp decimal so they are partition-order-free; the lag
+    * rides one series-keyed sort window.
+    */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"),
+      col("event_id"), col("value"))
+    val t0s = ev.groupBy(col("event_type")).agg(min(col("e")).as("t0"))
+    val td = ev.join(broadcast(t0s), "event_type")
+      .withColumn("td", (col("e") - col("t0")).cast("double"))
+    val params = td.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("td").cast("decimal(38,6)")).cast("double").as("st"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sv"),
+        sum((col("td") * col("value")).cast("decimal(38,10)")).cast("double").as("stv"),
+        sum((col("td") * col("td")).cast("decimal(38,6)")).cast("double").as("stt"))
+      .withColumn("sxx", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("sxy", col("stv") - col("st") * col("sv") / col("n"))
+      .withColumn("slope",
+        when(col("sxx") === 0, lit(0.0)).otherwise(col("sxy") / col("sxx")))
+      .withColumn("icept", col("sv") / col("n") - col("slope") * col("st") / col("n"))
+      .select(col("event_type"), col("n"), col("slope"), col("icept"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("td"), col("event_id"))
+    val res = td.join(params, "event_type")
+      .withColumn("r", col("value") - (col("icept") + col("slope") * col("td")))
+      .withColumn("pr", lag(col("r"), 1).over(w))
+    res.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum((round(((col("r") - col("pr")) * (col("r") - col("pr")))
+          * lit(1e12)) / lit(1e12)).cast("decimal(28,12)"))
+          .cast("double").as("sdiff"),
+        sum((round((col("r") * col("r")) * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("ssq"))
+      .select(col("event_type"), col("n"),
+        (round(col("sdiff") / col("ssq") * lit(1000000))
+          / lit(1000000.0)).as("dw"))
+  }
+
+  def durbinWatson(spark: SparkSession, sfDir: String): DataFrame =
+    durbinWatson(Tables.events(spark, sfDir))
 }

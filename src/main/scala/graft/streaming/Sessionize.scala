@@ -57,4 +57,29 @@ object Sessionize {
           }
       }
   }
+
+  /** The same sessionization through Catalyst's NATIVE session_window
+    * aggregation — zero custom state code. Spark's built-in session
+    * windows merge events closer than `gapSec` and (under a watermark, in
+    * append mode) emit each session exactly once when it can no longer
+    * grow — the declarative path to prefer when per-session output is
+    * just an aggregate of its events; flatMapGroupsWithState above stays
+    * for semantics the built-in can't express (mid-session emission,
+    * cross-session state). Works identically as a batch plan (watermark
+    * is a no-op there), which is what SessionWindowSpec asserts.
+    */
+  def sessionWindowAgg(events: org.apache.spark.sql.DataFrame,
+                       gapSec: Long = 1800L,
+                       watermarkDelay: String = "10 minutes"):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("range_start"),
+        col("n_events"))
+  }
 }
