@@ -400,7 +400,13 @@ object SparkEntry {
     "q193_pacf" -> ((s, d) =>
       TimeSeries.pacf(s, d).orderBy(col("event_type"))),
     "q194_durbin_watson" -> ((s, d) =>
-      TimeSeries.durbinWatson(s, d).orderBy(col("event_type")))
+      TimeSeries.durbinWatson(s, d).orderBy(col("event_type"))),
+    "q195_asset_dedup" -> ((s, d) =>
+      Multimodal.assetDedup(s, d).orderBy(col("kind"))),
+    "q196_resize_plan" -> ((s, d) =>
+      Multimodal.resizePlan(s, d).orderBy(col("asset_id"))),
+    "q197_frame_plan" -> ((s, d) =>
+      Multimodal.frameSamplePlan(s, d).orderBy(col("asset_id"), col("frame_idx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4006,7 +4012,58 @@ object SparkEntry {
         |          AS DOUBLE) ssq
         |      FROM l GROUP BY 1)
         |SELECT event_type, n, round(sdiff/ssq*1000000)/1000000 AS dw
-        |FROM a ORDER BY 1""".stripMargin
+        |FROM a ORDER BY 1""".stripMargin,
+    "q195_asset_dedup" ->
+      """WITH m AS (SELECT doc_id asset_id, strlen(text) n_bytes,
+        |             md5(text) digest FROM documents),
+        |k AS (SELECT asset_id, n_bytes, digest,
+        |        CASE WHEN asset_id % 3 = 0 THEN 'image'
+        |             WHEN asset_id % 3 = 1 THEN 'audio' ELSE 'video' END kind
+        |      FROM m),
+        |per AS (SELECT kind, digest, CAST(count(*) AS BIGINT) cnt,
+        |          CAST(max(n_bytes) AS BIGINT) nb FROM k GROUP BY 1, 2)
+        |SELECT kind, CAST(sum(cnt) AS BIGINT) n_assets,
+        |  CAST(count(*) AS BIGINT) n_unique,
+        |  CAST(sum((cnt - 1)*nb) AS BIGINT) dup_bytes,
+        |  round(CAST(sum(cnt) - count(*) AS DOUBLE)/sum(cnt)*1000000)/1000000
+        |    AS dup_rate
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q196_resize_plan" ->
+      """WITH m AS (SELECT doc_id asset_id, md5(text) digest FROM documents),
+        |x AS (SELECT asset_id,
+        |    ((instr('0123456789abcdef', substr(digest,1,1))-1)*4096
+        |     + (instr('0123456789abcdef', substr(digest,2,1))-1)*256
+        |     + (instr('0123456789abcdef', substr(digest,3,1))-1)*16
+        |     + (instr('0123456789abcdef', substr(digest,4,1))-1)) % 1024 + 16 width,
+        |    ((instr('0123456789abcdef', substr(digest,5,1))-1)*4096
+        |     + (instr('0123456789abcdef', substr(digest,6,1))-1)*256
+        |     + (instr('0123456789abcdef', substr(digest,7,1))-1)*16
+        |     + (instr('0123456789abcdef', substr(digest,8,1))-1)) % 1024 + 16 height
+        |  FROM m WHERE asset_id % 3 = 0),
+        |r AS (SELECT asset_id, width, height,
+        |        least(1.0, 256.0/width, 256.0/height) scale FROM x)
+        |SELECT asset_id, CAST(width AS BIGINT) width,
+        |  CAST(height AS BIGINT) height,
+        |  greatest(1, CAST(floor(width*scale) AS BIGINT)) target_w,
+        |  greatest(1, CAST(floor(height*scale) AS BIGINT)) target_h,
+        |  round(scale*10000)/10000 AS scale, scale < 1.0 AS needs_resize
+        |FROM r ORDER BY 1""".stripMargin,
+    "q197_frame_plan" ->
+      """WITH m AS (SELECT doc_id asset_id, md5(text) digest FROM documents),
+        |d AS (SELECT asset_id,
+        |    ((instr('0123456789abcdef', substr(digest,9,1))-1)*4096
+        |     + (instr('0123456789abcdef', substr(digest,10,1))-1)*256
+        |     + (instr('0123456789abcdef', substr(digest,11,1))-1)*16
+        |     + (instr('0123456789abcdef', substr(digest,12,1))-1)) % 60000 + 1000
+        |      duration_ms
+        |  FROM m WHERE asset_id % 3 = 2),
+        |f AS (SELECT asset_id, duration_ms,
+        |        unnest(generate_series(0, duration_ms - 1, 1000)) offset_ms
+        |      FROM d)
+        |SELECT asset_id, CAST(offset_ms // 1000 AS BIGINT) frame_idx,
+        |  CAST(offset_ms AS BIGINT) offset_ms,
+        |  CAST(duration_ms AS BIGINT) duration_ms
+        |FROM f ORDER BY 1, 2""".stripMargin
   )
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

@@ -53,15 +53,7 @@ object Multimodal {
     * is pruned out of every exchange).
     */
   def multimodalMeta(docs: DataFrame): DataFrame = {
-    val assets = docs.select(
-      col("doc_id").as("asset_id"),
-      encode(col("text"), "UTF-8").as("payload"))
-    val withMeta = decodeStub(
-      assets.select(
-        col("asset_id"),
-        octet_length(col("payload")).as("n_bytes"),
-        md5(col("payload")).as("digest")))
-    withMeta
+    assetMeta(docs)
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_assets"),
@@ -74,6 +66,50 @@ object Multimodal {
 
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
     multimodalMeta(Tables.documents(spark, sfDir))
+
+  /** The asset-metadata table (digest + typed decode-stub fields) every
+    * downstream multimodal operator reads — built once here so q31/q195/
+    * q196/q197 share the shape. Payload bytes are projected away
+    * immediately; only the 16-byte digest and small metadata survive.
+    */
+  def assetMeta(docs: DataFrame): DataFrame = {
+    val assets = docs.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    decodeStub(assets.select(
+      col("asset_id"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("digest")))
+  }
+
+  /** q195: exact asset dedup census by payload digest — the multimodal
+    * twin of q20's text dedup (media pipelines dedup by content hash
+    * before any decode; a CDN mirror or re-crawl shows up as byte-equal
+    * payloads). Per kind: asset/unique counts, reclaimable duplicate
+    * bytes ((copies−1)·size per digest group) and the duplicate rate.
+    * The digest groupBy shuffles a 32-char hash + a long per asset —
+    * never payload bytes.
+    */
+  def assetDedup(docs: DataFrame): DataFrame = {
+    val per = assetMeta(docs)
+      .groupBy(col("kind"), col("digest"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_bytes")).as("nb"))
+    per.groupBy(col("kind"))
+      .agg(sum(col("cnt")).as("n_assets"),
+        count(lit(1)).as("n_unique"),
+        sum((col("cnt") - 1) * col("nb")).as("dup_bytes"),
+        (round((sum(col("cnt")) - count(lit(1))).cast("double")
+          / sum(col("cnt")) * lit(1000000)) / lit(1000000.0)).as("dup_rate"))
+  }
+
+  def assetDedup(spark: SparkSession, sfDir: String): DataFrame =
+    assetDedup(Tables.documents(spark, sfDir))
+
+  def resizePlan(spark: SparkSession, sfDir: String): DataFrame =
+    resizePlan(assetMeta(Tables.documents(spark, sfDir)), 256L, 256L)
+
+  def frameSamplePlan(spark: SparkSession, sfDir: String): DataFrame =
+    frameSamplePlan(assetMeta(Tables.documents(spark, sfDir)), fps = 1.0)
 
   /** Resize planning for image assets: the largest scale ≤ 1 that fits the
     * (maxW, maxH) box while preserving aspect ratio, and the resulting
