@@ -406,7 +406,9 @@ object SparkEntry {
     "q196_resize_plan" -> ((s, d) =>
       Multimodal.resizePlan(s, d).orderBy(col("asset_id"))),
     "q197_frame_plan" -> ((s, d) =>
-      Multimodal.frameSamplePlan(s, d).orderBy(col("asset_id"), col("frame_idx")))
+      Multimodal.frameSamplePlan(s, d).orderBy(col("asset_id"), col("frame_idx"))),
+    "q198_detection_f1" -> ((s, d) => Ranges.detectionF1(s, d)),
+    "q199_local_bridges" -> ((s, d) => Graph.localBridges(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4063,7 +4065,59 @@ object SparkEntry {
         |SELECT asset_id, CAST(offset_ms // 1000 AS BIGINT) frame_idx,
         |  CAST(offset_ms AS BIGINT) offset_ms,
         |  CAST(duration_ms AS BIGINT) duration_ms
-        |FROM f ORDER BY 1, 2""".stripMargin
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    "q198_detection_f1" ->
+      """WITH thr AS (SELECT user_id,
+        |    round(quantile_cont(value, 0.95)*1000000)/1000000 thr
+        |  FROM events GROUP BY 1),
+        |ranges AS (SELECT user_id,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) range_start,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) range_end
+        |  FROM events WHERE event_type='error'
+        |  GROUP BY user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)),
+        |pts AS (SELECT e.user_id, e.event_id, value > thr pred,
+        |    max(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) truth
+        |  FROM events e JOIN thr ON e.user_id = thr.user_id
+        |  LEFT JOIN ranges r ON e.user_id = r.user_id
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        |      BETWEEN r.range_start AND r.range_end
+        |  GROUP BY 1, 2, 3),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN pred AND truth = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) tp,
+        |    CAST(sum(CASE WHEN pred AND truth = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) fp,
+        |    CAST(sum(CASE WHEN NOT pred AND truth = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) fn,
+        |    CAST(sum(CASE WHEN NOT pred AND truth = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) tn
+        |  FROM pts)
+        |SELECT tp, fp, fn, tn,
+        |  round(CAST(tp AS DOUBLE)/(tp + fp)*1000000)/1000000 AS prec,
+        |  round(CAST(tp AS DOUBLE)/(tp + fn)*1000000)/1000000 AS recall,
+        |  round(2.0*(CAST(tp AS DOUBLE)/(tp + fp))*(CAST(tp AS DOUBLE)/(tp + fn))
+        |    /((CAST(tp AS DOUBLE)/(tp + fp)) + (CAST(tp AS DOUBLE)/(tp + fn)))
+        |    *1000000)/1000000 AS f1
+        |FROM a""".stripMargin,
+    "q199_local_bridges" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |tri AS (SELECT DISTINCT e.u, e.v FROM e
+        |        WHERE EXISTS (SELECT 1 FROM sym a JOIN sym b
+        |          ON a.v = b.v AND a.u = e.u AND b.u = e.v)),
+        |c AS (SELECT (SELECT count(*) FROM e) n_edges,
+        |        (SELECT count(*) FROM e
+        |         WHERE NOT EXISTS (SELECT 1 FROM tri
+        |           WHERE tri.u = e.u AND tri.v = e.v)) n_bridges)
+        |SELECT CAST(n_edges AS BIGINT) n_edges,
+        |  CAST(n_bridges AS BIGINT) n_bridges,
+        |  round(CAST(n_bridges AS DOUBLE)/n_edges*1000000)/1000000
+        |    AS bridge_rate
+        |FROM c""".stripMargin
   )
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

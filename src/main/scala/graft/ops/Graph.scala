@@ -782,6 +782,43 @@ object Graph {
   def richClub(spark: SparkSession, sfDir: String): DataFrame =
     richClub(copurchaseEdges(spark, sfDir), Seq(1, 2, 4, 8, 16))
 
+  /** q199: local-bridge census — edges that close NO triangle (no common
+    * neighbour), i.e. the structurally fragile links whose removal
+    * locally disconnects their endpoints (Granovetter's weak ties). For a
+    * dup graph these are exactly the chance LSH collisions q143's
+    * triangle count corroborates against; the census reports how much of
+    * the graph is uncorroborated. Wedge enumeration fans out from each
+    * edge's LOWER-degree endpoint (the q143 orientation idea applied
+    * per-edge), so a hub edge costs its cheap side's degree, and the
+    * triangle test is one adjacency semi-join — no per-edge neighbour
+    * sets materialized.
+    */
+  def localBridges(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val tagged = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"),
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("lo"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("hi"))
+    val inTri = tagged
+      .join(sym.select(col("u").as("lo"), col("v").as("w")), "lo")
+      .where(col("w") =!= col("hi"))
+      .join(sym.select(col("u").as("hi"), col("v").as("w")),
+        Seq("hi", "w"), "left_semi")
+      .select(col("u"), col("v")).distinct()
+    val bridges = e.join(inTri, Seq("u", "v"), "left_anti")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(bridges.agg(count(lit(1)).as("n_bridges")))
+      .select(col("n_edges"), col("n_bridges"),
+        (round(col("n_bridges").cast("double") / col("n_edges")
+          * lit(1000000)) / lit(1000000.0)).as("bridge_rate"))
+  }
+
+  def localBridges(spark: SparkSession, sfDir: String): DataFrame =
+    localBridges(copurchaseEdges(spark, sfDir))
+
   /** q144: degree assortativity of the co-purchase graph — the Pearson
     * correlation between endpoint degrees over the symmetrized edge list
     * (each edge contributes both directions, the standard Newman

@@ -66,6 +66,51 @@ object Ranges {
       .agg(count(lit(1)).as("n"), r4(exactAvg(col("value"))).as("avg_value"))
   }
 
+  /** q198: point-detector evaluation against the labeled ranges — the
+    * reference's evaluation loop closed end to end: a per-user p95
+    * threshold detector (the simplest per-asset alarm) scored against the
+    * labeled error ranges as TP/FP/FN/TN with micro precision/recall/F1.
+    * q04 reports the overlap census; this reports the DETECTOR
+    * scorecard, the number a threshold-tuning loop actually optimizes.
+    * Thresholds come from the two-pass exact-quantile engine (snapped to
+    * 6 dp so both engines compare against the same constant); the range
+    * join is the q04 broadcast interval join; everything after is exact
+    * integer counting with three final IEEE divisions.
+    */
+  def detectionF1(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), epochS(col("ts")).as("e"),
+        col("value"))
+    val thr = Percentiles.exactQuantiles(
+        ev.select(col("user_id"), col("value")),
+        "user_id", "value", Seq("p" -> 0.95))
+      .select(col("user_id"),
+        (round(col("qv") * lit(1000000)) / lit(1000000.0)).as("thr"))
+    val ranges = errorRanges(spark, sfDir)
+      .select(col("user_id").as("r_user"), col("range_start"),
+        col("range_end"))
+    val pts = ev.join(thr, "user_id")
+      .withColumn("pred", col("value") > col("thr"))
+      .join(broadcast(ranges),
+        col("user_id") === col("r_user") &&
+          col("e") >= col("range_start") && col("e") <= col("range_end"),
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"), col("pred"))
+      .agg(max(when(col("r_user").isNotNull, 1).otherwise(0)).as("truth"))
+    val agg = pts.agg(
+      sum(when(col("pred") && col("truth") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && col("truth") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("truth") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("pred") && col("truth") === 0, 1L).otherwise(0L)).as("tn"))
+    val prec = col("tp").cast("double") / (col("tp") + col("fp"))
+    val rec = col("tp").cast("double") / (col("tp") + col("fn"))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      (round(prec * lit(1000000)) / lit(1000000.0)).as("prec"),
+      (round(rec * lit(1000000)) / lit(1000000.0)).as("recall"),
+      (round(lit(2.0) * prec * rec / (prec + rec) * lit(1000000))
+        / lit(1000000.0)).as("f1"))
+  }
+
   /** q06: points → contiguous ranges. Consecutive error events of a user
     * closer than `gapSec` merge into one range (gaps-and-islands via
     * lag + running sum of session breaks).
