@@ -408,7 +408,9 @@ object SparkEntry {
     "q197_frame_plan" -> ((s, d) =>
       Multimodal.frameSamplePlan(s, d).orderBy(col("asset_id"), col("frame_idx"))),
     "q198_detection_f1" -> ((s, d) => Ranges.detectionF1(s, d)),
-    "q199_local_bridges" -> ((s, d) => Graph.localBridges(s, d))
+    "q199_local_bridges" -> ((s, d) => Graph.localBridges(s, d)),
+    "q200_pca_power" -> ((s, d) =>
+      Similarity.pcaPower(s, d).orderBy(col("dim")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4117,8 +4119,46 @@ object SparkEntry {
         |  CAST(n_bridges AS BIGINT) n_bridges,
         |  round(CAST(n_bridges AS DOUBLE)/n_edges*1000000)/1000000
         |    AS bridge_rate
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q200_pca_power" -> pcaOracle(6)
   )
+
+  /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
+    * dimension-weighted-sum, max-normalize) CTE triple per round, every
+    * multi-reference CTE MATERIALIZED so DuckDB doesn't inline the chain
+    * exponentially (the §3 rule learned on q165). Mean-centering and both
+    * per-round aggregates use the same per-term decimal snaps as the
+    * Spark plan, so every round's v state is bit-identical across
+    * engines.
+    */
+  private def pcaOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT vec_id,
+         |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) d
+         |  FROM xx JOIN v${k - 1} ON xx.i = v${k - 1}.i GROUP BY 1),
+         |w$k AS MATERIALIZED (SELECT i,
+         |    CAST(sum(CAST(x*d AS DECIMAL(28,12))) AS DOUBLE) w
+         |  FROM xx JOIN d$k ON xx.vec_id = d$k.vec_id GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) m FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, round(w/m*1e12)/1e12 vi
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xx0 AS MATERIALIZED (SELECT vec_id, i,
+       |    CAST(embedding[i] AS DOUBLE) x
+       |  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+       |          embedding FROM embeddings)),
+       |mu AS MATERIALIZED (SELECT i,
+       |    round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+       |      /count(*)*1e12)/1e12 mu
+       |  FROM xx0 GROUP BY 1),
+       |xx AS MATERIALIZED (SELECT vec_id, xx0.i, x - mu x
+       |  FROM xx0 JOIN mu ON xx0.i = mu.i),
+       |v0 AS (SELECT i, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END vi FROM mu),
+       |$rounds
+       |SELECT CAST(i AS INT) dim, vi AS loading
+       |FROM v$iters ORDER BY 1""".stripMargin
+  }
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge
     * SUPPORT instead of counting neighbours — integer sums, same total

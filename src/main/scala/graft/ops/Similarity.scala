@@ -659,4 +659,52 @@ object Similarity {
 
   def rerankRecall(spark: SparkSession, sfDir: String): DataFrame =
     rerankRecall(Tables.embeddings(spark, sfDir))
+
+  /** q200: top principal direction of the embedding corpus by distributed
+    * power iteration — the anisotropy AXIS where q85 reports only
+    * per-dimension variance (embedding spaces collapse toward a dominant
+    * direction as models overtrain; the leading eigenvector of the
+    * covariance names that direction, and its loadings say which
+    * dimensions carry it). The covariance matrix is never materialized:
+    * each round computes X·(Xᵀv) as two vocabulary-thin aggregations —
+    * per-row dot with the broadcast 64-row v, then per-dimension weighted
+    * sums — exactly the matrix-free trick that makes power iteration the
+    * distributed PCA workhorse. MAX-normalization per round (exact
+    * compare + one division, the q160 HITS contract) instead of an L2
+    * float sum; per-term decimal snaps make every aggregate
+    * partition-order-free, so the oracle replays the identical rounds as
+    * unrolled CTEs. Fixed `iters` rounds, no driver-side vector: v stays
+    * a 64-row DataFrame, localCheckpoint'd per round.
+    */
+  def pcaPower(emb: DataFrame, iters: Int = 6): DataFrame = {
+    val xx0 = asDoubles(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val mu = xx0.groupBy(col("i")).agg(
+      (round((sum(col("x").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("mu"))
+    val xc = xx0.join(broadcast(mu), "i")
+      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("x"))
+      .localCheckpoint()
+    var v = mu.select(col("i"),
+      when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("vi"))
+    for (_ <- 1 to iters) {
+      val dots = xc.join(broadcast(v), "i")
+        .groupBy(col("vec_id"))
+        .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
+          .cast("double").as("d"))
+      val w = xc.join(dots, "vec_id")
+        .groupBy(col("i"))
+        .agg(sum((col("x") * col("d")).cast("decimal(28,12)"))
+          .cast("double").as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i"),
+          (round(col("w") / col("m") * lit(1e12)) / lit(1e12)).as("vi"))
+        .localCheckpoint()
+    }
+    v.select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
+  }
+
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
+    pcaPower(Tables.embeddings(spark, sfDir))
 }
