@@ -410,7 +410,13 @@ object SparkEntry {
     "q198_detection_f1" -> ((s, d) => Ranges.detectionF1(s, d)),
     "q199_local_bridges" -> ((s, d) => Graph.localBridges(s, d)),
     "q200_pca_power" -> ((s, d) =>
-      Similarity.pcaPower(s, d).orderBy(col("dim")))
+      Similarity.pcaPower(s, d).orderBy(col("dim"))),
+    "q201_kendall_tau" -> ((s, d) =>
+      TimeSeries.kendallTau(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q202_spearman_daily" -> ((s, d) =>
+      TimeSeries.spearmanDaily(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q203_cross_entropy" -> ((s, d) =>
+      TextAnalysis.crossEntropyDrift(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4120,7 +4126,88 @@ object SparkEntry {
         |  round(CAST(n_bridges AS DOUBLE)/n_edges*1000000)/1000000
         |    AS bridge_rate
         |FROM c""".stripMargin,
-    "q200_pca_power" -> pcaOracle(6)
+    "q200_pca_power" -> pcaOracle(6),
+    "q201_kendall_tau" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |bo AS (SELECT a.event_type type_a, b.event_type type_b, a.d,
+        |         a.m ma, b.m mb
+        |       FROM daily a JOIN daily b ON a.d = b.d
+        |         AND a.event_type < b.event_type),
+        |pp AS (SELECT x.type_a, x.type_b, x.ma ma1, x.mb mb1,
+        |         y.ma ma2, y.mb mb2
+        |       FROM bo x JOIN bo y ON x.type_a = y.type_a
+        |         AND x.type_b = y.type_b AND x.d < y.d),
+        |a AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) n0,
+        |        CAST(sum(CASE WHEN (ma1 - ma2)*(mb1 - mb2) > 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) conc,
+        |        CAST(sum(CASE WHEN (ma1 - ma2)*(mb1 - mb2) < 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) disc,
+        |        CAST(sum(CASE WHEN ma1 = ma2 THEN 1 ELSE 0 END)
+        |          AS BIGINT) ties_a,
+        |        CAST(sum(CASE WHEN mb1 = mb2 THEN 1 ELSE 0 END)
+        |          AS BIGINT) ties_b
+        |      FROM pp GROUP BY 1, 2)
+        |SELECT type_a, type_b, n0, conc, disc,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    /sqrt(CAST(n0 - ties_a AS DOUBLE)*CAST(n0 - ties_b AS DOUBLE))
+        |    *1000000)/1000000 AS tau_b
+        |FROM a ORDER BY 1, 2""".stripMargin,
+    "q202_spearman_daily" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, d,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY m) AS DOUBLE)
+        |      + CAST(count(*) OVER (PARTITION BY event_type, m) - 1
+        |          AS DOUBLE)/2.0 rk
+        |  FROM daily),
+        |j AS (SELECT a.event_type type_a, b.event_type type_b,
+        |        a.rk ra, b.rk rb
+        |      FROM rk a JOIN rk b ON a.d = b.d
+        |        AND a.event_type < b.event_type),
+        |g AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CAST(ra AS DECIMAL(28,6))) AS DOUBLE) sa,
+        |        CAST(sum(CAST(rb AS DECIMAL(28,6))) AS DOUBLE) sb,
+        |        CAST(sum(CAST(ra*rb AS DECIMAL(28,6))) AS DOUBLE) sab,
+        |        CAST(sum(CAST(ra*ra AS DECIMAL(28,6))) AS DOUBLE) saa,
+        |        CAST(sum(CAST(rb*rb AS DECIMAL(28,6))) AS DOUBLE) sbb
+        |      FROM j GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  round((sab - sa*sb/n)/sqrt((saa - sa*sa/n)*(sbb - sb*sb/n))
+        |    *1000000)/1000000 AS rho
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    "q203_cross_entropy" ->
+      """WITH d0 AS (SELECT source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |tk AS (SELECT source, unnest(string_split(t, ' ')) tok
+        |       FROM d0 WHERE length(t) > 0),
+        |sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) ns
+        |       FROM tk GROUP BY 1, 2),
+        |co AS (SELECT tok, CAST(sum(ns) AS BIGINT) nc FROM sc GROUP BY 1),
+        |ct AS (SELECT CAST(sum(nc) AS BIGINT) nn,
+        |         CAST(count(*) AS BIGINT) vv FROM co),
+        |st AS (SELECT source, CAST(sum(ns) AS BIGINT) nst,
+        |         CAST(count(*) AS BIGINT) vocab_src FROM sc GROUP BY 1),
+        |t AS (SELECT sc.source, nst, vocab_src,
+        |        CAST(ns AS DOUBLE)/nst ps,
+        |        CAST(nc + 1 AS DOUBLE)/(nn + vv) pc
+        |      FROM sc JOIN co USING (tok) CROSS JOIN ct
+        |      JOIN st ON sc.source = st.source),
+        |x AS (SELECT source, nst, vocab_src,
+        |        CAST(ps*ln(pc) AS DECIMAL(18,12)) ce_term,
+        |        CAST(ps*ln(ps/pc) AS DECIMAL(18,12)) kl_term FROM t)
+        |SELECT source, max(nst) n_tokens, max(vocab_src) vocab_src,
+        |  round(-CAST(sum(ce_term) AS DOUBLE)*1000000)/1000000
+        |    AS cross_entropy,
+        |  round(CAST(sum(kl_term) AS DOUBLE)*1000000)/1000000 AS kl_div
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -859,4 +859,46 @@ object TextAnalysis {
 
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, sfDir))
+
+  /** q203: per-source cross-entropy and KL divergence against the corpus
+    * unigram LM (add-one smoothed) — the DIRECTED drift measure beside
+    * q115's symmetric JS divergence, and the nats-per-token number a
+    * "does this vendor match my target distribution" decision reads
+    * (DSIR's q92 scores documents; this scores SOURCES). One token
+    * shuffle builds (source, tok) counts; the corpus LM is the same
+    * table re-aggregated; the scoring join is vocab×sources-bounded.
+    * Probabilities are ratios of exact integers (identical doubles on
+    * both engines); each p·ln term snaps to 12-dp decimal so the sums
+    * are order-free — the q115/q81 discipline.
+    */
+  def crossEntropyDrift(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), Dedup.normText(col("text")).as("t"))
+      .where(length(col("t")) > 0)
+      .select(col("source"), explode(split(col("t"), " ")).as("tok"))
+    val srcCounts = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("ns"))
+    val corpus = srcCounts.groupBy(col("tok")).agg(sum(col("ns")).as("nc"))
+    val corpusTot = corpus.agg(sum(col("nc")).as("nn"),
+      count(lit(1)).as("vv"))
+    val srcTot = srcCounts.groupBy(col("source")).agg(sum(col("ns")).as("nst"),
+      count(lit(1)).as("vocab_src"))
+    val ps = col("ns").cast("double") / col("nst")
+    val pc = (col("nc") + lit(1)).cast("double") / (col("nn") + col("vv"))
+    srcCounts.join(corpus, "tok")
+      .crossJoin(broadcast(corpusTot))
+      .join(broadcast(srcTot), "source")
+      .withColumn("ce_term", (ps * log(pc)).cast("decimal(18,12)"))
+      .withColumn("kl_term", (ps * log(ps / pc)).cast("decimal(18,12)"))
+      .groupBy(col("source"))
+      .agg(max(col("nst")).as("n_tokens"),
+        max(col("vocab_src")).as("vocab_src"),
+        (round(-sum(col("ce_term")).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("cross_entropy"),
+        (round(sum(col("kl_term")).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("kl_div"))
+  }
+
+  def crossEntropyDrift(spark: SparkSession, sfDir: String): DataFrame =
+    crossEntropyDrift(Tables.documents(spark, sfDir))
 }

@@ -1406,4 +1406,91 @@ object TimeSeries {
 
   def durbinWatson(spark: SparkSession, sfDir: String): DataFrame =
     durbinWatson(Tables.events(spark, sfDir))
+
+  /** Per-day mean table shared by the rank-correlation pair ops
+    * (q201/q202): decimal-exact daily means snapped to 12 dp.
+    */
+  private def dailyMeans(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"),
+        col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg((round((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("m"))
+
+  /** q201: Kendall tau-b rank correlation between series pairs on aligned
+    * per-day means — the ROBUST co-movement measure beside q44's Pearson
+    * (Pearson sees linear association and is wrecked by one outlier day;
+    * tau counts concordant vs discordant day pairs, invariant under any
+    * monotone transform). Tie-aware tau-b with the standard correction.
+    * The day-pair fan-out is days² per series pair — bounded by the TIME
+    * SPAN, not the data volume, so the plan is corpus-size-independent
+    * after the daily aggregate; every count is an exact integer and tau
+    * evaluates one IEEE expression per pair.
+    */
+  def kendallTau(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val a = daily.toDF("type_a", "d", "ma")
+    val b = daily.toDF("type_b", "d", "mb")
+    val both = a.join(b, Seq("d")).where(col("type_a") < col("type_b"))
+    val x = both.select(col("type_a"), col("type_b"), col("d").as("d1"),
+      col("ma").as("ma1"), col("mb").as("mb1"))
+    val y = both.select(col("type_a"), col("type_b"), col("d").as("d2"),
+      col("ma").as("ma2"), col("mb").as("mb2"))
+    val pp = x.join(y, Seq("type_a", "type_b")).where(col("d1") < col("d2"))
+    val sgn = (col("ma1") - col("ma2")) * (col("mb1") - col("mb2"))
+    val agg = pp.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("ma1") === col("ma2"), 1L).otherwise(0L)).as("ties_a"),
+        sum(when(col("mb1") === col("mb2"), 1L).otherwise(0L)).as("ties_b"))
+    agg.select(col("type_a"), col("type_b"), col("n0"), col("conc"),
+      col("disc"),
+      (round((col("conc") - col("disc")).cast("double")
+        / sqrt((col("n0") - col("ties_a")).cast("double")
+          * (col("n0") - col("ties_b")).cast("double")) * lit(1000000))
+        / lit(1000000.0)).as("tau_b"))
+  }
+
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame =
+    kendallTau(Tables.events(spark, sfDir))
+
+  /** q202: Spearman rank correlation between series pairs on aligned
+    * per-day means — Pearson on tie-averaged ranks (rank + (|tie group|−1)/2,
+    * half-integers so every rank is exact). Completes the correlation
+    * triad: q44 linear, q201 ordinal-pairwise, q202 ordinal-global. Ranks
+    * ride one series-keyed sort window; the pair Pearson runs over the
+    * bounded series×days table with decimal-snapped rank moments.
+    */
+  def spearmanDaily(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+    val wEq = Window.partitionBy(col("event_type"), col("m"))
+    val ranked = daily
+      .withColumn("rk",
+        rank().over(w).cast("double")
+          + (count(lit(1)).over(wEq) - lit(1)).cast("double") / lit(2.0))
+    val a = ranked.select(col("event_type").as("type_a"), col("d"),
+      col("rk").as("ra"))
+    val b = ranked.select(col("event_type").as("type_b"), col("d"),
+      col("rk").as("rb"))
+    a.join(b, Seq("d")).where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra").cast("decimal(28,6)")).cast("double").as("sa"),
+        sum(col("rb").cast("decimal(28,6)")).cast("double").as("sb"),
+        sum((col("ra") * col("rb")).cast("decimal(28,6)")).cast("double").as("sab"),
+        sum((col("ra") * col("ra")).cast("decimal(28,6)")).cast("double").as("saa"),
+        sum((col("rb") * col("rb")).cast("decimal(28,6)")).cast("double").as("sbb"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        (round((col("sab") - col("sa") * col("sb") / col("n"))
+          / sqrt((col("saa") - col("sa") * col("sa") / col("n"))
+            * (col("sbb") - col("sb") * col("sb") / col("n")))
+          * lit(1000000)) / lit(1000000.0)).as("rho"))
+  }
+
+  def spearmanDaily(spark: SparkSession, sfDir: String): DataFrame =
+    spearmanDaily(Tables.events(spark, sfDir))
 }
