@@ -416,7 +416,11 @@ object SparkEntry {
     "q202_spearman_daily" -> ((s, d) =>
       TimeSeries.spearmanDaily(s, d).orderBy(col("type_a"), col("type_b"))),
     "q203_cross_entropy" -> ((s, d) =>
-      TextAnalysis.crossEntropyDrift(s, d).orderBy(col("source")))
+      TextAnalysis.crossEntropyDrift(s, d).orderBy(col("source"))),
+    "q204_cube_revenue" -> ((s, d) =>
+      Relational.cubeRevenue(s, d).orderBy(col("gid"), col("rflag"), col("lstatus"))),
+    "q205_position_attribution" -> ((s, d) =>
+      Attribution.positionAttribution(s, d).orderBy(col("touch_pos")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4207,6 +4211,43 @@ object SparkEntry {
         |  round(-CAST(sum(ce_term) AS DOUBLE)*1000000)/1000000
         |    AS cross_entropy,
         |  round(CAST(sum(kl_term) AS DOUBLE)*1000000)/1000000 AS kl_div
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q204_cube_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') rflag,
+        |  coalesce(l_linestatus, 'ALL') lstatus,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INT) gid,
+        |  round(CAST(sum(CAST(l_extendedprice*(1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE)*10000)/10000 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 3, 1, 2""".stripMargin,
+    "q205_position_attribution" ->
+      """WITH p AS (SELECT event_id purchase_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) p_ep
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id click_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) c_ep
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (SELECT purchase_id, click_id, c_ep
+        |      FROM p JOIN c USING (user_id)
+        |      WHERE c_ep <= p_ep AND p_ep - c_ep <= 86400),
+        |r AS (SELECT purchase_id, click_id,
+        |        row_number() OVER (PARTITION BY purchase_id
+        |          ORDER BY c_ep, click_id) rn,
+        |        count(*) OVER (PARTITION BY purchase_id) k
+        |      FROM t),
+        |x AS (SELECT purchase_id,
+        |        CASE WHEN k = 1 THEN 'single' WHEN rn = 1 THEN 'first'
+        |             WHEN rn = k THEN 'last' ELSE 'middle' END touch_pos,
+        |        CAST(round(CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+        |             WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+        |             WHEN rn = 1 OR rn = k THEN CAST(0.4 AS DOUBLE)
+        |             ELSE CAST(0.2 AS DOUBLE)/(k - 2) END*1e12)/1e12
+        |          AS DECIMAL(28,12)) credit
+        |      FROM r)
+        |SELECT touch_pos, CAST(count(*) AS BIGINT) n_touches,
+        |  CAST(count(DISTINCT purchase_id) AS BIGINT) n_purchases,
+        |  round(CAST(sum(credit) AS DOUBLE)*1000000)/1000000 AS total_credit
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

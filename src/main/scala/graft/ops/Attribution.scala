@@ -38,6 +38,56 @@ object Attribution {
   def lastTouch(spark: SparkSession, sfDir: String): DataFrame =
     lastTouch(Tables.events(spark, sfDir))
 
+  /** q205: U-shaped (position-based) multi-touch attribution — the
+    * industry-standard credit split q84's last-touch can't express: with
+    * k in-window touches, first and last get 40% each and the middles
+    * split the remaining 20% (k=1 → 100%, k=2 → 50/50). Same bounded
+    * user-keyed interval join as q84; positions come from ONE window over
+    * the per-purchase touch list (partition key (purchase, user) —
+    * bounded by a user's click density, never global); per-touch credits
+    * snap to 12-dp decimal so the position rollup and the
+    * credit-conservation identity (Σcredit = #attributed purchases,
+    * spec-asserted) are exact.
+    */
+  def positionAttribution(events: DataFrame,
+                          windowSec: Long = 86400L): DataFrame = {
+    val ep = TimeSeries.epochS(col("ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        ep.as("p_ep"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), ep.as("c_ep"))
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .where(col("c_ep") <= col("p_ep") &&
+        col("p_ep") - col("c_ep") <= windowSec)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("c_ep"), col("click_id"))
+    val ranked = touches
+      .withColumn("rn", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("purchase_id"))))
+    val credit = when(col("k") === 1, lit(1.0))
+      .when(col("k") === 2, lit(0.5))
+      .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+      .otherwise(lit(0.2) / (col("k") - lit(2)))
+    val position = when(col("k") === 1, "single")
+      .when(col("rn") === 1, "first")
+      .when(col("rn") === col("k"), "last")
+      .otherwise("middle")
+    ranked
+      .withColumn("credit",
+        (round(credit * lit(1e12)) / lit(1e12)).cast("decimal(28,12)"))
+      .groupBy(position.as("touch_pos"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        (round(sum(col("credit")).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("total_credit"))
+  }
+
+  def positionAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    positionAttribution(Tables.events(spark, sfDir))
+
   /** Stream-stream interval join: purchases arriving on one stream join
     * clicks arriving on another, same user, click within `windowSec`
     * before the purchase. The symmetric watermarks bound how long either

@@ -935,6 +935,30 @@ object Relational {
         max(col("gap_days")).cast("bigint").as("max_gap_days"))
   }
 
+  /** q204: CUBE rollup of discounted revenue over (returnflag, linestatus)
+    * — the full 2^k grouping-set lattice in ONE pass (q35 covers the
+    * hierarchical ROLLUP; CUBE adds the cross-slices a BI layer asks
+    * for). Catalyst expands the lattice map-side (each input row feeds
+    * all four grouping sets before the single shuffle), so the cost is
+    * one aggregate, not four scans. NULL group keys are disambiguated by
+    * grouping() bits (gid), the portable form of GROUPING SETS identity;
+    * per-term decimal casts keep the revenue sums order-free.
+    */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg((round(sum(col("rev").cast("decimal(18,6)")).cast("double")
+          * lit(10000)) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2
+          + grouping(col("l_linestatus"))).cast("int").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("revenue"), col("n"))
+  }
+
   /** q175: late-fulfilment census per order priority (TPC-H Q4 shape —
     * evaluation.py's "did the alarm fire in time" question asked of the
     * order stream). The EXISTS becomes a left-semi join whose non-equi
