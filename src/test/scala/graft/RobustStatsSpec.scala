@@ -110,6 +110,77 @@ class RobustStatsSpec extends SparkSpec {
     assert(out.toSet === again.toSet)
   }
 
+  test("kendallTau matches a brute-force tau-b on seeded random days") {
+    val rnd = new scala.util.Random(42)
+    val days = 20
+    val va = Array.fill(days)(math.round(rnd.nextDouble() * 1e4) / 1e4)
+    val vb = Array.fill(days)(math.round(rnd.nextDouble() * 1e4) / 1e4)
+    // one event per day per type at noon -> daily mean == the value itself
+    val rows = (0 until days).flatMap { d =>
+      val e = 86400L * d + 43200L
+      Seq(("a", e, d.toLong * 2, va(d)), ("b", e, d.toLong * 2 + 1, vb(d)))
+    }
+    val ev = rows.toDF("event_type", "e", "event_id", "value")
+      .select(col("event_type"), to_timestamp(col("e")).as("ts"),
+        col("event_id"), col("value"))
+    val got = TimeSeries.kendallTau(ev)
+      .select("n0", "conc", "disc", "tau_b")
+      .as[(Long, Long, Long, Double)].head()
+    var conc = 0L; var disc = 0L
+    for (i <- 0 until days; j <- i + 1 until days) {
+      val s = (va(i) - va(j)) * (vb(i) - vb(j))
+      if (s > 0) conc += 1 else if (s < 0) disc += 1
+    }
+    val n0 = days.toLong * (days - 1) / 2
+    val tau = (conc - disc).toDouble / n0 // no ties in random doubles
+    assert(got._1 === n0 && got._2 === conc && got._3 === disc)
+    assert(math.abs(got._4 - tau) < 2e-6)
+  }
+
+  test("spearmanDaily equals Pearson-on-ranks computed by hand") {
+    val rnd = new scala.util.Random(7)
+    val days = 15
+    val va = Array.fill(days)(math.round(rnd.nextDouble() * 1e4) / 1e4)
+    val vb = Array.fill(days)(math.round(rnd.nextDouble() * 1e4) / 1e4)
+    val rows = (0 until days).flatMap { d =>
+      val e = 86400L * d + 43200L
+      Seq(("a", e, d.toLong * 2, va(d)), ("b", e, d.toLong * 2 + 1, vb(d)))
+    }
+    val ev = rows.toDF("event_type", "e", "event_id", "value")
+      .select(col("event_type"), to_timestamp(col("e")).as("ts"),
+        col("event_id"), col("value"))
+    val got = TimeSeries.spearmanDaily(ev).select("rho").as[Double].head()
+    def ranks(v: Array[Double]): Array[Double] =
+      v.map(x => 1.0 + v.count(_ < x) + (v.count(_ == x) - 1) / 2.0)
+    val ra = ranks(va); val rb = ranks(vb)
+    val n = days
+    val sa = ra.sum; val sb = rb.sum
+    val sab = ra.zip(rb).map { case (x, y) => x * y }.sum
+    val saa = ra.map(x => x * x).sum; val sbb = rb.map(x => x * x).sum
+    val rho = (sab - sa * sb / n) /
+      math.sqrt((saa - sa * sa / n) * (sbb - sb * sb / n))
+    assert(math.abs(got - rho) < 2e-6)
+  }
+
+  test("positionAttribution conserves credit: sum equals attributed purchases") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = graft.ops.Attribution.positionAttribution(ev)
+      .select("n_purchases", "total_credit")
+      .as[(Long, Double)].collect().toSeq
+    val nPurch = {
+      import org.apache.spark.sql.functions._
+      val ep = unix_timestamp(col("ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), ep.as("pe"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), ep.as("ce"))
+      p.join(c, Seq("user_id"))
+        .where(col("ce") <= col("pe") && col("pe") - col("ce") <= 86400L)
+        .select("pid").distinct().count()
+    }
+    assert(math.abs(out.map(_._2).sum - nPurch) < 1e-4)
+  }
+
   test("rerankRecall: a full-corpus shortlist recovers exact recall 1.0") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count().toInt
