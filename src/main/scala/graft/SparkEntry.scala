@@ -420,7 +420,18 @@ object SparkEntry {
     "q204_cube_revenue" -> ((s, d) =>
       Relational.cubeRevenue(s, d).orderBy(col("gid"), col("rflag"), col("lstatus"))),
     "q205_position_attribution" -> ((s, d) =>
-      Attribution.positionAttribution(s, d).orderBy(col("touch_pos")))
+      Attribution.positionAttribution(s, d).orderBy(col("touch_pos"))),
+    "q206_jarque_bera" -> ((s, d) =>
+      StatTests.jarqueBera(s, d).orderBy(col("event_type"))),
+    "q207_chi_square" -> ((s, d) =>
+      StatTests.chiSquare(s, d)
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))),
+    "q208_anova_f" -> ((s, d) => StatTests.anovaF(s, d)),
+    "q209_bartlett" -> ((s, d) => StatTests.bartlett(s, d)),
+    "q210_cohens_d" -> ((s, d) =>
+      StatTests.cohensD(s, d).orderBy(col("event_type"))),
+    "q211_partial_corr" -> ((s, d) =>
+      StatTests.partialCorr(s, d).orderBy(col("x"), col("y"), col("z")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4248,7 +4259,184 @@ object SparkEntry {
         |SELECT touch_pos, CAST(count(*) AS BIGINT) n_touches,
         |  CAST(count(DISTINCT purchase_id) AS BIGINT) n_purchases,
         |  round(CAST(sum(credit) AS DOUBLE)*1000000)/1000000 AS total_credit
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q206_jarque_bera" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2,
+        |    CAST(sum(CAST(value*value*value AS DECIMAL(38,6))) AS DOUBLE) s3,
+        |    CAST(sum(CAST(value*value*value*value AS DECIMAL(38,6)))
+        |      AS DOUBLE) s4
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT event_type, n, CAST(n AS DOUBLE) nn,
+        |        s1/CAST(n AS DOUBLE) mean, s2, s3, s4 FROM a),
+        |c AS (SELECT event_type, n, nn, mean,
+        |        s2/nn - mean*mean m2,
+        |        s3/nn - 3.0*mean*(s2/nn) + 2.0*mean*mean*mean m3,
+        |        s4/nn - 4.0*mean*(s3/nn) + 6.0*mean*mean*(s2/nn)
+        |          - 3.0*mean*mean*mean*mean m4
+        |      FROM b),
+        |d AS (SELECT event_type, n, nn,
+        |        m3/(m2*sqrt(m2)) skew,
+        |        m4/(m2*m2) - 3.0 exkurt
+        |      FROM c)
+        |SELECT event_type, n,
+        |  round(skew*1000000)/1000000 AS skewness,
+        |  round(exkurt*1000000)/1000000 AS ex_kurtosis,
+        |  round(nn/6.0*(skew*skew + exkurt*exkurt/4.0)*1000000)/1000000
+        |    AS jb_stat
+        |FROM d ORDER BY 1""".stripMargin,
+    "q207_chi_square" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) obs FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) ct
+        |       FROM cells GROUP BY 1),
+        |dims AS (SELECT CAST(count(*) AS BIGINT) n_tot,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) n_rows,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) n_cols
+        |  FROM orders),
+        |j AS (SELECT c.o_orderpriority, c.o_orderstatus, c.obs, rt.rt,
+        |        ct.ct, dims.n_tot, dims.n_rows, dims.n_cols
+        |      FROM cells c JOIN rt USING (o_orderpriority)
+        |      JOIN ct USING (o_orderstatus) CROSS JOIN dims),
+        |e AS (SELECT *, CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)
+        |        /CAST(n_tot AS DOUBLE) ex FROM j),
+        |c2 AS (SELECT *, CAST((CAST(obs AS DOUBLE) - ex)
+        |        *(CAST(obs AS DOUBLE) - ex)/ex AS DECIMAL(28,12)) contrib
+        |      FROM e),
+        |f AS (SELECT *, CAST(sum(contrib) OVER () AS DOUBLE) chi2 FROM c2)
+        |SELECT o_orderpriority, o_orderstatus, obs,
+        |  round(ex*1000000)/1000000 AS expected,
+        |  round(CAST(contrib AS DOUBLE)*1000000)/1000000 AS contrib,
+        |  round(chi2*1000000)/1000000 AS chi2,
+        |  CAST((n_rows - 1)*(n_cols - 1) AS INT) AS dof,
+        |  round(sqrt(chi2/(CAST(n_tot AS DOUBLE)
+        |    *CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))
+        |    *1000000)/1000000 AS cramers_v
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    "q208_anova_f" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) ng,
+        |    sum(CAST(value AS DECIMAL(18,6))) sg,
+        |    sum(CAST(value*value AS DECIMAL(28,6))) qg
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(ng) OVER () AS BIGINT) n_tot,
+        |        sum(sg) OVER () s_tot FROM g),
+        |u AS (SELECT *, CAST(s_tot AS DOUBLE)/CAST(n_tot AS DOUBLE) gm,
+        |        CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE) mg FROM t),
+        |v AS (SELECT n_tot,
+        |        CAST(CAST(ng AS DOUBLE)*(mg - gm)*(mg - gm)
+        |          AS DECIMAL(28,12)) ssb_t,
+        |        CAST(CAST(qg AS DOUBLE) - CAST(ng AS DOUBLE)*mg*mg
+        |          AS DECIMAL(28,12)) ssw_t
+        |      FROM u),
+        |w AS (SELECT n_tot, CAST(count(*) AS BIGINT) k,
+        |        CAST(sum(ssb_t) AS DOUBLE) ssb,
+        |        CAST(sum(ssw_t) AS DOUBLE) ssw
+        |      FROM v GROUP BY 1)
+        |SELECT k, n_tot AS n,
+        |  round(ssb*1000000)/1000000 AS ss_between,
+        |  round(ssw*1000000)/1000000 AS ss_within,
+        |  round((ssb/CAST(k - 1 AS DOUBLE))/(ssw/CAST(n_tot - k AS DOUBLE))
+        |    *1000000)/1000000 AS f_stat,
+        |  round(ssb/(ssb + ssw)*1000000)/1000000 AS eta_sq
+        |FROM w""".stripMargin,
+    "q209_bartlett" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) ng,
+        |    sum(CAST(value AS DECIMAL(18,6))) sg,
+        |    sum(CAST(value*value AS DECIMAL(28,6))) qg
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT *, CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE) mg FROM g),
+        |v AS (SELECT *,
+        |        (CAST(qg AS DOUBLE) - CAST(ng AS DOUBLE)*mg*mg)
+        |          /CAST(ng - 1 AS DOUBLE) vg,
+        |        CAST(CAST(qg AS DOUBLE) - CAST(ng AS DOUBLE)*mg*mg
+        |          AS DECIMAL(28,12)) ssw_t
+        |      FROM u),
+        |x AS (SELECT *,
+        |        CAST(CAST(ng - 1 AS DOUBLE)*ln(vg) AS DECIMAL(28,12)) ln_t,
+        |        CAST(1.0/CAST(ng - 1 AS DOUBLE) AS DECIMAL(28,18)) inv_t
+        |      FROM v),
+        |y AS (SELECT CAST(count(*) AS BIGINT) k, CAST(sum(ng) AS BIGINT) n,
+        |        CAST(sum(ssw_t) AS DOUBLE) ssw,
+        |        CAST(sum(ln_t) AS DOUBLE) sum_ln,
+        |        CAST(sum(inv_t) AS DOUBLE) sum_inv
+        |      FROM x),
+        |z AS (SELECT *, ssw/CAST(n - k AS DOUBLE) pooled_var FROM y)
+        |SELECT k, n,
+        |  round(pooled_var*1000000)/1000000 AS pooled_var,
+        |  round((CAST(n - k AS DOUBLE)*ln(pooled_var) - sum_ln)
+        |    /(1.0 + (sum_inv - 1.0/CAST(n - k AS DOUBLE))
+        |      /(3.0*CAST(k - 1 AS DOUBLE)))*1000000)/1000000
+        |    AS bartlett_stat
+        |FROM z""".stripMargin,
+    "q210_cohens_d" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |              value FROM events),
+        |g AS (SELECT event_type, value,
+        |        ((e // 86400 + 4) % 7) IN (0, 6) we FROM ev),
+        |m AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT) n_wd,
+        |        CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) n_we,
+        |        sum(CASE WHEN NOT we THEN CAST(value AS DECIMAL(18,6)) END) s_wd,
+        |        sum(CASE WHEN we THEN CAST(value AS DECIMAL(18,6)) END) s_we,
+        |        sum(CASE WHEN NOT we
+        |              THEN CAST(value * value AS DECIMAL(28,6)) END) q_wd,
+        |        sum(CASE WHEN we
+        |              THEN CAST(value * value AS DECIMAL(28,6)) END) q_we
+        |      FROM g GROUP BY 1),
+        |d AS (SELECT event_type, n_wd, n_we,
+        |        CAST(s_wd AS DOUBLE) / n_wd m_wd,
+        |        CAST(s_we AS DOUBLE) / n_we m_we,
+        |        CAST(q_wd AS DOUBLE) - n_wd * (CAST(s_wd AS DOUBLE) / n_wd)
+        |          * (CAST(s_wd AS DOUBLE) / n_wd) ss_wd,
+        |        CAST(q_we AS DOUBLE) - n_we * (CAST(s_we AS DOUBLE) / n_we)
+        |          * (CAST(s_we AS DOUBLE) / n_we) ss_we
+        |      FROM m),
+        |p AS (SELECT *, sqrt((ss_wd + ss_we)
+        |        /CAST(n_wd + n_we - 2 AS DOUBLE)) pooled_sd FROM d)
+        |SELECT event_type, n_wd, n_we,
+        |  round(m_wd*1000000)/1000000 AS mean_wd,
+        |  round(m_we*1000000)/1000000 AS mean_we,
+        |  round(pooled_sd*1000000)/1000000 AS pooled_sd,
+        |  round((m_wd - m_we)/pooled_sd*1000000)/1000000 AS cohens_d
+        |FROM p ORDER BY event_type""".stripMargin,
+    "q211_partial_corr" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |ka AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) k
+        |       FROM daily),
+        |pd AS (SELECT d FROM daily GROUP BY d
+        |       HAVING count(*) = (SELECT k FROM ka)),
+        |panel AS (SELECT daily.event_type, daily.d, daily.m
+        |          FROM daily JOIN pd USING (d)),
+        |j AS (SELECT a.event_type ta, b.event_type tb, a.m ma, b.m mb
+        |      FROM panel a JOIN panel b ON a.d = b.d
+        |        AND a.event_type < b.event_type),
+        |g AS (SELECT ta, tb, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CAST(ma AS DECIMAL(28,12))) AS DOUBLE) sa,
+        |        CAST(sum(CAST(mb AS DECIMAL(28,12))) AS DOUBLE) sb,
+        |        CAST(sum(CAST(ma*mb AS DECIMAL(28,12))) AS DOUBLE) sab,
+        |        CAST(sum(CAST(ma*ma AS DECIMAL(28,12))) AS DOUBLE) saa,
+        |        CAST(sum(CAST(mb*mb AS DECIMAL(28,12))) AS DOUBLE) sbb
+        |      FROM j GROUP BY 1, 2),
+        |rr AS (SELECT ta, tb, n,
+        |        (sab - sa*sb/n)/sqrt((saa - sa*sa/n)*(sbb - sb*sb/n)) r
+        |       FROM g),
+        |rs AS (SELECT ta, tb, n, r FROM rr
+        |       UNION ALL SELECT tb, ta, n, r FROM rr)
+        |SELECT p.ta AS x, p.tb AS y, xz.tb AS z, p.n,
+        |  round(p.r*1000000)/1000000 AS r_xy,
+        |  round((p.r - xz.r*yz.r)/sqrt((1.0 - xz.r*xz.r)
+        |    *(1.0 - yz.r*yz.r))*1000000)/1000000 AS partial_r
+        |FROM rs p JOIN rs xz ON xz.ta = p.ta
+        |JOIN rs yz ON yz.ta = p.tb AND yz.tb = xz.tb
+        |WHERE p.ta < p.tb AND xz.tb <> p.tb
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1,0 +1,317 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Classical statistical tests as one-scan distributed aggregations.
+  *
+  * The reference's evaluation surface (evaluation.py:189-313) reports
+  * anomaly scores without asking "is the difference real?" — this module
+  * supplies the missing inferential layer: normality (is a z-score
+  * meaningful?), independence (are two categoricals related?), equality of
+  * means (ANOVA) and variances (Bartlett), effect size (Cohen's d — the
+  * magnitude the t-test's p-value hides), and partial correlation (does a
+  * pair co-move beyond what a confounder explains?).
+  *
+  * Scale posture: every test reduces the raw table to per-group power sums
+  * in ONE aggregation (map-side partial, no self-join), then finishes the
+  * algebra on the handful of group rows. At 100 TB the scan dominates and
+  * parallelizes perfectly; the final arithmetic is O(groups). Per-row terms
+  * are snapped to exact decimals before summation so every statistic is
+  * bit-deterministic under any partition order — double accumulation would
+  * make the oracle hash a coin flip.
+  */
+object StatTests {
+
+  private def r6(c: org.apache.spark.sql.Column) =
+    round(c * lit(1000000)) / lit(1000000.0)
+  private def epochS(c: org.apache.spark.sql.Column) = unix_timestamp(c)
+
+  /** q206: Jarque–Bera normality screen per series — skewness, excess
+    * kurtosis, and the JB statistic n/6·(S² + K²/4) from one pass of raw
+    * power sums (Σv..Σv⁴ as exact decimals; v ≤ ~560 so Σv⁴ fits
+    * decimal(38,6) with 15 digits of headroom at sf100). Central moments
+    * come from the binomial expansion of the raw sums; S uses m₂·√m₂
+    * rather than pow(m₂,1.5) so both engines hit the IEEE-exact sqrt path.
+    */
+  def jarqueBera(events: DataFrame): DataFrame = {
+    val agg = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"),
+      sum((col("value") * col("value") * col("value"))
+        .cast("decimal(38,6)")).as("s3"),
+      sum((col("value") * col("value") * col("value") * col("value"))
+        .cast("decimal(38,6)")).as("s4"))
+    agg
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("mean", col("s1").cast("double") / col("nn"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("nn") - col("mean") * col("mean"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("nn")
+          - lit(3.0) * col("mean") * (col("s2").cast("double") / col("nn"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4",
+        col("s4").cast("double") / col("nn")
+          - lit(4.0) * col("mean") * (col("s3").cast("double") / col("nn"))
+          + lit(6.0) * col("mean") * col("mean")
+            * (col("s2").cast("double") / col("nn"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("exkurt", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+      .select(col("event_type"), col("n"),
+        r6(col("skew")).as("skewness"),
+        r6(col("exkurt")).as("ex_kurtosis"),
+        r6(col("nn") / lit(6.0)
+          * (col("skew") * col("skew")
+            + col("exkurt") * col("exkurt") / lit(4.0))).as("jb_stat"))
+  }
+
+  def jarqueBera(spark: SparkSession, sfDir: String): DataFrame =
+    jarqueBera(Tables.events(spark, sfDir))
+
+  /** q207: chi-square independence test on the order-priority × status
+    * contingency table, with per-cell observed/expected/contribution and
+    * the table-level χ², dof, and Cramér's V on every row. Marginals are
+    * two tiny re-aggregations of the 15-cell table (broadcast-joined back);
+    * the unpartitioned window summing χ² runs over the CELL table (≤
+    * |priorities|·|statuses| rows at any scale), not the data — per-cell
+    * contributions are decimal-snapped so the window total is order-free.
+    */
+  def chiSquare(orders: DataFrame): DataFrame = {
+    val cells = orders.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy(col("o_orderpriority"))
+      .agg(sum(col("obs")).as("rt"))
+    val colTot = cells.groupBy(col("o_orderstatus"))
+      .agg(sum(col("obs")).as("ct"))
+    val dims = orders.agg(count(lit(1)).as("n_tot"),
+      countDistinct(col("o_orderpriority")).as("n_rows"),
+      countDistinct(col("o_orderstatus")).as("n_cols"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    cells
+      .join(broadcast(rowTot), Seq("o_orderpriority"))
+      .join(broadcast(colTot), Seq("o_orderstatus"))
+      .crossJoin(broadcast(dims))
+      .withColumn("exp",
+        col("rt").cast("double") * col("ct").cast("double")
+          / col("n_tot").cast("double"))
+      .withColumn("contrib",
+        ((col("obs").cast("double") - col("exp"))
+          * (col("obs").cast("double") - col("exp")) / col("exp"))
+          .cast("decimal(28,12)"))
+      .withColumn("chi2", sum(col("contrib")).over(w).cast("double"))
+      .withColumn("dof",
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).cast("int"))
+      .select(
+        col("o_orderpriority"), col("o_orderstatus"), col("obs"),
+        r6(col("exp")).as("expected"),
+        r6(col("contrib").cast("double")).as("contrib"),
+        r6(col("chi2")).as("chi2"),
+        col("dof"),
+        r6(sqrt(col("chi2") / (col("n_tot").cast("double")
+          * least(col("n_rows") - 1, col("n_cols") - 1).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  def chiSquare(spark: SparkSession, sfDir: String): DataFrame =
+    chiSquare(Tables.orders(spark, sfDir))
+
+  /** q208: one-way ANOVA of `value` across series — between/within sums of
+    * squares, the F statistic, and η² (variance explained by the series
+    * label). One conditional-free aggregation to per-group (n, Σv, Σv²),
+    * then each group's SSB/SSW term is decimal-snapped and summed in a
+    * second 5-row aggregate — the grand mean comes from the exact decimal
+    * group sums, so no second data scan and no accumulation-order noise.
+    */
+  def anovaF(events: DataFrame): DataFrame = {
+    val g = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("ng"),
+      sum(col("value").cast("decimal(18,6)")).as("sg"),
+      sum((col("value") * col("value")).cast("decimal(28,6)")).as("qg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val terms = g
+      .withColumn("n_tot", sum(col("ng")).over(w))
+      .withColumn("s_tot", sum(col("sg")).over(w))
+      .withColumn("gm",
+        col("s_tot").cast("double") / col("n_tot").cast("double"))
+      .withColumn("mg", col("sg").cast("double") / col("ng").cast("double"))
+      .withColumn("ssb_t",
+        (col("ng").cast("double") * (col("mg") - col("gm"))
+          * (col("mg") - col("gm"))).cast("decimal(28,12)"))
+      .withColumn("ssw_t",
+        (col("qg").cast("double")
+          - col("ng").cast("double") * col("mg") * col("mg"))
+          .cast("decimal(28,12)"))
+    terms.groupBy(col("n_tot"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("ssb_t")).cast("double").as("ssb"),
+        sum(col("ssw_t")).cast("double").as("ssw"))
+      .select(col("k"), col("n_tot").as("n"),
+        r6(col("ssb")).as("ss_between"),
+        r6(col("ssw")).as("ss_within"),
+        r6((col("ssb") / (col("k") - 1).cast("double"))
+          / (col("ssw") / (col("n_tot") - col("k")).cast("double")))
+          .as("f_stat"),
+        r6(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+  }
+
+  def anovaF(spark: SparkSession, sfDir: String): DataFrame =
+    anovaF(Tables.events(spark, sfDir))
+
+  /** q209: Bartlett's test for variance homogeneity across series — the
+    * precondition check for q208's ANOVA (the F test assumes equal group
+    * variances; Bartlett quantifies how violated that is). Same one-pass
+    * group moments as q208; ln() of each group variance is weighted,
+    * snapped to decimal, and summed over the 5 group rows. The statistic is
+    * ((N−k)·ln Sp² − Σ(nᵢ−1)·ln Sᵢ²) / (1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1))).
+    */
+  def bartlett(events: DataFrame): DataFrame = {
+    val g = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("ng"),
+      sum(col("value").cast("decimal(18,6)")).as("sg"),
+      sum((col("value") * col("value")).cast("decimal(28,6)")).as("qg"))
+    val terms = g
+      .withColumn("mg", col("sg").cast("double") / col("ng").cast("double"))
+      .withColumn("vg",
+        (col("qg").cast("double")
+          - col("ng").cast("double") * col("mg") * col("mg"))
+          / (col("ng") - 1).cast("double"))
+      .withColumn("ssw_t",
+        (col("qg").cast("double")
+          - col("ng").cast("double") * col("mg") * col("mg"))
+          .cast("decimal(28,12)"))
+      .withColumn("ln_t",
+        ((col("ng") - 1).cast("double") * log(col("vg")))
+          .cast("decimal(28,12)"))
+      .withColumn("inv_t",
+        (lit(1.0) / (col("ng") - 1).cast("double")).cast("decimal(28,18)"))
+    terms.groupBy(lit(1).as("one"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("ssw_t")).cast("double").as("ssw"),
+        sum(col("ln_t")).cast("double").as("sum_ln"),
+        sum(col("inv_t")).cast("double").as("sum_inv"))
+      .withColumn("pooled_var",
+        col("ssw") / (col("n") - col("k")).cast("double"))
+      .select(col("k"), col("n"),
+        r6(col("pooled_var")).as("pooled_var"),
+        r6(((col("n") - col("k")).cast("double") * log(col("pooled_var"))
+          - col("sum_ln"))
+          / (lit(1.0)
+            + (col("sum_inv")
+              - lit(1.0) / (col("n") - col("k")).cast("double"))
+              / (lit(3.0) * (col("k") - 1).cast("double"))))
+          .as("bartlett_stat"))
+  }
+
+  def bartlett(spark: SparkSession, sfDir: String): DataFrame =
+    bartlett(Tables.events(spark, sfDir))
+
+  /** q210: Cohen's d weekday-vs-weekend effect size per series — the
+    * MAGNITUDE companion to q125's Welch t (at 100 TB every difference is
+    * "significant"; d says whether it is big enough to matter). Pooled-sd
+    * standardization: d = (μ_wd − μ_we)/√(((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2)).
+    * Identical one-scan conditional-moment shape as q125 — both groups'
+    * sums from one aggregation, weekday from the epoch-day mod-7 (day 0 =
+    * Thursday, so +4 makes 0=Sunday/6=Saturday the weekend residues).
+    */
+  def cohensD(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("we",
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).isin(0, 6))
+    val m = ev.groupBy(col("event_type")).agg(
+      sum(when(!col("we"), 1L).otherwise(0L)).as("n_wd"),
+      sum(when(col("we"), 1L).otherwise(0L)).as("n_we"),
+      sum(when(!col("we"), col("value").cast("decimal(18,6)"))).as("s_wd"),
+      sum(when(col("we"), col("value").cast("decimal(18,6)"))).as("s_we"),
+      sum(when(!col("we"), (col("value") * col("value")).cast("decimal(28,6)")))
+        .as("q_wd"),
+      sum(when(col("we"), (col("value") * col("value")).cast("decimal(28,6)")))
+        .as("q_we"))
+    m.withColumn("m_wd", col("s_wd").cast("double") / col("n_wd"))
+      .withColumn("m_we", col("s_we").cast("double") / col("n_we"))
+      .withColumn("ss_wd",
+        col("q_wd").cast("double") - col("n_wd") * col("m_wd") * col("m_wd"))
+      .withColumn("ss_we",
+        col("q_we").cast("double") - col("n_we") * col("m_we") * col("m_we"))
+      .withColumn("pooled_sd",
+        sqrt((col("ss_wd") + col("ss_we"))
+          / (col("n_wd") + col("n_we") - 2).cast("double")))
+      .select(col("event_type"), col("n_wd"), col("n_we"),
+        r6(col("m_wd")).as("mean_wd"),
+        r6(col("m_we")).as("mean_we"),
+        r6(col("pooled_sd")).as("pooled_sd"),
+        r6((col("m_wd") - col("m_we")) / col("pooled_sd")).as("cohens_d"))
+  }
+
+  def cohensD(spark: SparkSession, sfDir: String): DataFrame =
+    cohensD(Tables.events(spark, sfDir))
+
+  /** q211: first-order partial correlation between every series pair given
+    * each third series as the control — does click/purchase co-movement
+    * survive conditioning on view volume, or was it all one traffic tide?
+    * pcor = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) from the full pairwise
+    * Pearson matrix. The panel keeps only days where EVERY series has a
+    * mean (the formula assumes one common sample), so all pairwise r share
+    * n. Everything after the per-day aggregation runs on |types|·|days|
+    * rows; the pair/triple joins are over the |types|² correlation matrix —
+    * a broadcast-sized table at any data scale.
+    */
+  def partialCorr(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"),
+        col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg((round((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("m"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
+    val panel = daily
+      .withColumn("k_day", count(lit(1)).over(wDay))
+      .withColumn("k_all", size(collect_set(col("event_type")).over(wAll)))
+      .where(col("k_day") === col("k_all"))
+      .select(col("event_type"), col("d"), col("m"))
+    val a = panel.select(col("event_type").as("ta"), col("d"), col("m").as("ma"))
+    val b = panel.select(col("event_type").as("tb"), col("d"), col("m").as("mb"))
+    val r = a.join(b, Seq("d")).where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ma").cast("decimal(28,12)")).cast("double").as("sa"),
+        sum(col("mb").cast("decimal(28,12)")).cast("double").as("sb"),
+        sum((col("ma") * col("mb")).cast("decimal(28,12)")).cast("double").as("sab"),
+        sum((col("ma") * col("ma")).cast("decimal(28,12)")).cast("double").as("saa"),
+        sum((col("mb") * col("mb")).cast("decimal(28,12)")).cast("double").as("sbb"))
+      .select(col("ta"), col("tb"), col("n"),
+        ((col("sab") - col("sa") * col("sb") / col("n"))
+          / sqrt((col("saa") - col("sa") * col("sa") / col("n"))
+            * (col("sbb") - col("sb") * col("sb") / col("n")))).as("r"))
+    // symmetric closure so lookups need no min/max gymnastics
+    val rSym = r.select(col("ta"), col("tb"), col("n"), col("r"))
+      .union(r.select(col("tb").as("ta"), col("ta").as("tb"), col("n"), col("r")))
+    val rxy = rSym.select(col("ta").as("x"), col("tb").as("y"),
+      col("n"), col("r").as("r_xy"))
+    val rxz = rSym.select(col("ta").as("x"), col("tb").as("z"), col("r").as("r_xz"))
+    val ryz = rSym.select(col("ta").as("y"), col("tb").as("z2"), col("r").as("r_yz"))
+    rxy.where(col("x") < col("y"))
+      .join(rxz, Seq("x")).where(col("z") =!= col("y"))
+      .join(ryz.withColumnRenamed("z2", "z"), Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"), col("n"),
+        r6(col("r_xy")).as("r_xy"),
+        r6((col("r_xy") - col("r_xz") * col("r_yz"))
+          / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+            * (lit(1.0) - col("r_yz") * col("r_yz")))).as("partial_r"))
+  }
+
+  def partialCorr(spark: SparkSession, sfDir: String): DataFrame =
+    partialCorr(Tables.events(spark, sfDir))
+}
