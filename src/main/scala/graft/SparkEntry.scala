@@ -431,7 +431,15 @@ object SparkEntry {
     "q210_cohens_d" -> ((s, d) =>
       StatTests.cohensD(s, d).orderBy(col("event_type"))),
     "q211_partial_corr" -> ((s, d) =>
-      StatTests.partialCorr(s, d).orderBy(col("x"), col("y"), col("z")))
+      StatTests.partialCorr(s, d).orderBy(col("x"), col("y"), col("z"))),
+    "q212_block_maxima" -> ((s, d) =>
+      ExtremeStats.blockMaximaGumbel(s, d).orderBy(col("event_type"))),
+    "q213_hill_tail" -> ((s, d) =>
+      ExtremeStats.hillTail(s, d).orderBy(col("event_type"))),
+    "q214_records_census" -> ((s, d) =>
+      ExtremeStats.recordsCensus(s, d).orderBy(col("event_type"))),
+    "q215_turning_points" -> ((s, d) =>
+      ExtremeStats.turningPoints(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4436,7 +4444,82 @@ object SparkEntry {
         |FROM rs p JOIN rs xz ON xz.ta = p.ta
         |JOIN rs yz ON yz.ta = p.tb AND yz.tb = xz.tb
         |WHERE p.ta < p.tb AND xz.tb <> p.tb
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q212_block_maxima" ->
+      """WITH b AS (SELECT event_type,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 30 blk,
+        |    max(value) mx
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) n_blocks,
+        |    CAST(sum(CAST(mx AS DECIMAL(18,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(mx*mx AS DECIMAL(28,6))) AS DOUBLE) s2
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT event_type, n_blocks, CAST(n_blocks AS DOUBLE) nb,
+        |        s1/CAST(n_blocks AS DOUBLE) mean_mx, s2 FROM a),
+        |d AS (SELECT *, sqrt((s2 - nb*mean_mx*mean_mx)
+        |        /CAST(n_blocks - 1 AS DOUBLE)) sd_mx FROM c),
+        |e AS (SELECT *, sd_mx*sqrt(6.0)/3.141592653589793 beta FROM d),
+        |f AS (SELECT *, mean_mx - 0.5772156649015329*beta mu FROM e)
+        |SELECT event_type, n_blocks,
+        |  round(mean_mx*1000000)/1000000 AS mean_max,
+        |  round(sd_mx*1000000)/1000000 AS sd_max,
+        |  round(mu*1000000)/1000000 AS gumbel_loc,
+        |  round(beta*1000000)/1000000 AS gumbel_scale,
+        |  round((mu - beta*ln(-ln(0.99)))*1000000)/1000000 AS rl100
+        |FROM f ORDER BY 1""".stripMargin,
+    "q213_hill_tail" ->
+      """WITH t AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) rn
+        |  FROM events),
+        |thr AS (SELECT event_type, value x_thr FROM t WHERE rn = 101),
+        |s AS (SELECT t.event_type, x_thr, CAST(count(*) AS BIGINT) k_used,
+        |        CAST(sum(CAST(ln(value/x_thr) AS DECIMAL(28,12)))
+        |          AS DOUBLE) sum_ln
+        |      FROM t JOIN thr USING (event_type)
+        |      WHERE rn <= 100 GROUP BY 1, 2)
+        |SELECT event_type, k_used,
+        |  round(x_thr*1000000)/1000000 AS threshold,
+        |  round(sum_ln/CAST(k_used AS DOUBLE)*1000000)/1000000 AS inv_alpha,
+        |  round(CAST(k_used AS DOUBLE)/sum_ln*1000000)/1000000 AS hill_alpha
+        |FROM s ORDER BY 1""".stripMargin,
+    "q214_records_census" ->
+      """WITH o AS (SELECT event_type, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |r AS (SELECT event_type, value,
+        |        max(value) OVER (PARTITION BY event_type ORDER BY e, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+        |      FROM o),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CASE WHEN pm IS NULL OR value > pm
+        |          THEN 1 ELSE 0 END) AS BIGINT) n_records
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n, n_records,
+        |  round((ln(CAST(n AS DOUBLE)) + 0.5772156649015329)
+        |    *1000000)/1000000 AS expected_iid,
+        |  round(CAST(n_records AS DOUBLE)
+        |    /(ln(CAST(n AS DOUBLE)) + 0.5772156649015329)
+        |    *1000000)/1000000 AS ratio
+        |FROM g ORDER BY 1""".stripMargin,
+    "q215_turning_points" ->
+      """WITH o AS (SELECT event_type, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |d AS (SELECT event_type, value,
+        |        value - lag(value) OVER w d1,
+        |        lead(value) OVER w - value d2
+        |      FROM o WINDOW w AS (PARTITION BY event_type
+        |        ORDER BY e, event_id)),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CASE WHEN d1*d2 < 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) n_turning
+        |      FROM d GROUP BY 1),
+        |x AS (SELECT *, 2.0*CAST(n - 2 AS DOUBLE)/3.0 expected,
+        |        (16.0*CAST(n AS DOUBLE) - 29.0)/90.0 variance FROM g)
+        |SELECT event_type, n, n_turning,
+        |  round(expected*1000000)/1000000 AS expected,
+        |  round((CAST(n_turning AS DOUBLE) - expected)/sqrt(variance)
+        |    *1000000)/1000000 AS z_score
+        |FROM x ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
