@@ -439,7 +439,19 @@ object SparkEntry {
     "q214_records_census" -> ((s, d) =>
       ExtremeStats.recordsCensus(s, d).orderBy(col("event_type"))),
     "q215_turning_points" -> ((s, d) =>
-      ExtremeStats.turningPoints(s, d).orderBy(col("event_type")))
+      ExtremeStats.turningPoints(s, d).orderBy(col("event_type"))),
+    "q216_unpivot_measures" -> ((s, d) =>
+      Relational.unpivotMeasures(s, d).orderBy(col("measure"))),
+    "q217_range_frame_revenue" -> ((s, d) =>
+      Relational.rangeFrameRevenue(s, d)
+        .orderBy(col("o_custkey"), col("d"))),
+    "q218_mom_growth" -> ((s, d) =>
+      Relational.momGrowth(s, d).orderBy(col("nation"), col("ym"))),
+    "q219_modularity" -> ((s, d) =>
+      Graph.communityModularity(s, d).orderBy(col("community"))),
+    "q220_grouping_sets" -> ((s, d) =>
+      Relational.groupingSetsMix(s, d)
+        .orderBy(col("gid"), col("rflag"), col("lstatus"), col("yr")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4519,7 +4531,70 @@ object SparkEntry {
         |  round(expected*1000000)/1000000 AS expected,
         |  round((CAST(n_turning AS DOUBLE) - expected)/sqrt(variance)
         |    *1000000)/1000000 AS z_score
-        |FROM x ORDER BY 1""".stripMargin
+        |FROM x ORDER BY 1""".stripMargin,
+    "q216_unpivot_measures" ->
+      """WITH m AS (SELECT 'quantity' measure, l_quantity val FROM lineitem
+        | UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'tax', l_tax FROM lineitem),
+        |g AS (SELECT measure, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(val*val AS DECIMAL(28,6))) AS DOUBLE) s2,
+        |    min(val) mn, max(val) mx FROM m GROUP BY 1),
+        |x AS (SELECT measure, n, s1/CAST(n AS DOUBLE) mean, s2, mn, mx
+        |      FROM g)
+        |SELECT measure, n,
+        |  round(mean*10000)/10000 AS mean,
+        |  round(sqrt((s2 - CAST(n AS DOUBLE)*mean*mean)
+        |    /CAST(n - 1 AS DOUBLE))*10000)/10000 AS sd,
+        |  round(mn*10000)/10000 AS min_val,
+        |  round(mx*10000)/10000 AS max_val
+        |FROM x ORDER BY measure""".stripMargin,
+    "q217_range_frame_revenue" ->
+      """WITH daily AS (SELECT o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 d,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) day_rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, d,
+        |  round(CAST(day_rev AS DOUBLE)*10000)/10000 AS day_rev,
+        |  round(CAST(sum(day_rev) OVER w AS DOUBLE)*10000)/10000 AS rev30,
+        |  CAST(count(*) OVER w AS BIGINT) days30
+        |FROM daily WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+    "q218_mom_growth" ->
+      """WITH monthly AS (SELECT n_name nation,
+        |    CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) ym,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, ym,
+        |  round(CAST(rev AS DOUBLE)*10000)/10000 AS revenue,
+        |  round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+        |    /CAST(lag(rev) OVER w AS DOUBLE)*1000000)/1000000 AS mom_pct,
+        |  round(CAST(sum(rev) OVER (w ROWS BETWEEN 2 PRECEDING
+        |      AND CURRENT ROW) AS DOUBLE)
+        |    /CAST(count(*) OVER (w ROWS BETWEEN 2 PRECEDING
+        |      AND CURRENT ROW) AS DOUBLE)*10000)/10000 AS ma3
+        |FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY ym)
+        |ORDER BY 1, 2""".stripMargin,
+    "q219_modularity" -> modularityOracle(4),
+    "q220_grouping_sets" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(year(l_shipdate) AS INT) l_year,
+        |    l_extendedprice, l_discount FROM lineitem)
+        |SELECT coalesce(l_returnflag, 'ALL') rflag,
+        |  coalesce(l_linestatus, 'ALL') lstatus,
+        |  coalesce(CAST(l_year AS VARCHAR), 'ALL') yr,
+        |  CAST(GROUPING(l_returnflag)*4 + GROUPING(l_linestatus)*2
+        |    + GROUPING(l_year) AS INT) gid,
+        |  round(CAST(sum(CAST(l_extendedprice*(1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE)*10000)/10000 AS revenue,
+        |  count(*) AS n
+        |FROM li GROUP BY GROUPING SETS ((l_returnflag, l_year),
+        |  (l_linestatus, l_year), (l_year), ())
+        |ORDER BY 4, 1, 2, 3""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -4557,6 +4632,51 @@ object SparkEntry {
        |$rounds
        |SELECT CAST(i AS INT) dim, vi AS loading
        |FROM v$iters ORDER BY 1""".stripMargin
+  }
+
+  /** q219 oracle: replay [[lpaOracle]]'s four label-propagation rounds,
+    * then compute Newman modularity of the final partition — intra-edge
+    * counts and degree sums are exact integers; each community's
+    * (e_c/m − (d_c/2m)²) term is decimal-snapped before the scalar Q sum,
+    * mirroring [[graft.ops.Graph.modularity]] bit for bit.
+    */
+  private def modularityOracle(rounds: Int): String = {
+    val cte = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT id, label FROM (
+         |  SELECT s.u AS id, l.label, count(*) c,
+         |    row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.label) rn
+         |  FROM s JOIN l${k - 1} l ON s.v = l.id GROUP BY s.u, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+       |      FROM lineitem a JOIN lineitem b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+       |p AS MATERIALIZED (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v
+       |     FROM pr),
+       |s AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM s),
+       |$cte,
+       |mm AS (SELECT CAST(count(*) AS BIGINT) m FROM p),
+       |ie AS (SELECT l1.label community, CAST(count(*) AS BIGINT) int_edges
+       |  FROM p JOIN l$rounds l1 ON p.u = l1.id
+       |  JOIN l$rounds l2 ON p.v = l2.id
+       |  WHERE l1.label = l2.label GROUP BY 1),
+       |dg AS (SELECT u, CAST(count(*) AS BIGINT) deg FROM s GROUP BY 1),
+       |ds AS (SELECT l.label community, CAST(sum(deg) AS BIGINT) deg_sum,
+       |    CAST(count(*) AS BIGINT) n_nodes
+       |  FROM dg d JOIN l$rounds l ON d.u = l.id GROUP BY 1),
+       |c AS (SELECT ds.community, n_nodes,
+       |    coalesce(int_edges, CAST(0 AS BIGINT)) int_edges, deg_sum,
+       |    CAST(CAST(coalesce(int_edges, 0) AS DOUBLE)/m
+       |      - (CAST(deg_sum AS DOUBLE)/(2*m))*(CAST(deg_sum AS DOUBLE)/(2*m))
+       |      AS DECIMAL(28,18)) contrib
+       |  FROM ds LEFT JOIN ie USING (community) CROSS JOIN mm),
+       |qt AS (SELECT CAST(sum(contrib) AS DOUBLE) q FROM c)
+       |SELECT community, n_nodes, int_edges, deg_sum,
+       |  round(CAST(contrib AS DOUBLE)*1000000)/1000000 + 0.0 AS contrib,
+       |  round(q*1000000)/1000000 + 0.0 AS modularity
+       |FROM c CROSS JOIN qt WHERE n_nodes >= 3 ORDER BY community""".stripMargin
   }
 
   /** Weighted twin of [[lpaOracle]]: the per-round argmax sums edge

@@ -955,4 +955,59 @@ object Graph {
       .orderBy(col("authority").desc, col("s_suppkey"))
       .limit(topK)
   }
+
+  /** Newman modularity of a community partition: Q = Σ_c (e_c/m −
+    * (d_c/2m)²) over communities, where e_c counts intra-community edges,
+    * d_c sums member degrees, m is the edge total. Everything is exact
+    * integer counting until the final per-community double term, which is
+    * decimal-snapped before the scalar total — so Q is deterministic and
+    * oracle-replayable. Two label-lookup joins (both keyed on vertex id,
+    * the same partitioning the LPA rounds already use) + two bounded
+    * aggregates; no step touches more than the edge list once.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.toDF("u", "v")
+    val lu = labels.toDF("u", "lu")
+    val lv = labels.toDF("v", "lv")
+    val internal = e.join(lu, Seq("u")).join(lv, Seq("v"))
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community"))
+      .agg(count(lit(1)).as("int_edges"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(lu, Seq("u"))
+      .groupBy(col("lu").as("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val c = dsum.join(internal, Seq("community"), "left")
+      .na.fill(0L, Seq("int_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib",
+        (col("int_edges").cast("double") / col("m")
+          - (col("deg_sum").cast("double") / (lit(2) * col("m")))
+            * (col("deg_sum").cast("double") / (lit(2) * col("m"))))
+          .cast("decimal(28,18)"))
+    val q = c.agg(sum(col("contrib")).cast("double").as("q"))
+    c.crossJoin(broadcast(q))
+      .where(col("n_nodes") >= 3)
+      .select(col("community"), col("n_nodes"), col("int_edges"),
+        col("deg_sum"),
+        // + 0.0 folds IEEE negative zero (a tiny negative term rounded
+        // to -0.0) onto +0.0 so the cross-engine hash can't split on it
+        (round(col("contrib").cast("double") * lit(1000000))
+          / lit(1000000.0) + lit(0.0)).as("contrib"),
+        (round(col("q") * lit(1000000)) / lit(1000000.0) + lit(0.0))
+          .as("modularity"))
+  }
+
+  /** q219: modularity audit of the q157 LPA partition on the co-purchase
+    * graph — the "was that clustering any good" number (Q ≈ 0 means the
+    * labels explain nothing beyond degree chance; Q ≳ 0.3 means real
+    * community structure), reported per community (≥3 members) with the
+    * graph-level Q on every row.
+    */
+  def communityModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    modularity(e, labelPropagation(e, rounds = 4))
+  }
 }

@@ -1104,4 +1104,122 @@ object Relational {
       .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
       .agg(count(lit(1)).as("n_parts_dominated"))
   }
+
+  /** q216: unpivot the lineitem measure columns into (measure, value) rows
+    * and profile each — the melt/long-form primitive every EDA pipeline
+    * starts with (the reference's describe() equivalent). `stack` expands
+    * rows inside the scan projection (no join, no shuffle beyond the final
+    * 4-group aggregate), so the wide→long reshape is free at any scale;
+    * moments use the standard decimal-snapped power sums.
+    */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame = {
+    val long = Tables.lineitem(spark, sfDir)
+      .select(expr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+          + " 'discount', l_discount, 'tax', l_tax) AS (measure, val)"))
+    long.groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val").cast("decimal(18,6)")).as("s1"),
+        sum((col("val") * col("val")).cast("decimal(28,6)")).as("s2"),
+        min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .select(col("measure"), col("n"),
+        r4(col("mean")).as("mean"),
+        r4(sqrt((col("s2").cast("double")
+          - col("n").cast("double") * col("mean") * col("mean"))
+          / (col("n") - 1).cast("double"))).as("sd"),
+        r4(col("mn")).as("min_val"),
+        r4(col("mx")).as("max_val"))
+  }
+
+  /** q217: 30-day trailing revenue per customer via a RANGE window frame —
+    * the event-time sliding aggregate that ROWS frames get wrong whenever
+    * activity is irregular (a ROWS 29-preceding frame spans 29 ORDERS, not
+    * 29 DAYS). Orders first collapse to per-(customer, day) decimal
+    * subtotals, so the range frame slides over exact decimals — sums are
+    * order-free — and the window partition is per customer: no global
+    * sort, perfectly key-parallel at any scale.
+    */
+  def rangeFrameRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    rangeFrameRevenue(spark, Tables.orders(spark, sfDir))
+
+  def rangeFrameRevenue(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(col("o_custkey"),
+        expr("CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)")
+          .as("d"),
+        col("o_totalprice"))
+      .groupBy(col("o_custkey"), col("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("day_rev"))
+    val w30 = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-29, 0)
+    daily
+      .withColumn("rev30", sum(col("day_rev")).over(w30))
+      .withColumn("days30", count(lit(1)).over(w30))
+      .select(col("o_custkey"), col("d"),
+        r4(col("day_rev").cast("double")).as("day_rev"),
+        r4(col("rev30").cast("double")).as("rev30"),
+        col("days30"))
+  }
+
+  /** q218: month-over-month revenue growth per nation with a 3-month
+    * moving average — the reporting staple (lag + pct-change + smoothing)
+    * over the orders→customer→nation star. Monthly subtotals are exact
+    * decimals; lag/moving-average windows are per nation over ~84 month
+    * rows, so the window stage is negligible no matter how large the fact
+    * table is — all the data motion is in the one monthly groupBy.
+    */
+  def momGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"),
+        col("o_totalprice"))
+      .groupBy(col("nation"), col("ym"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+    val ord = Window.partitionBy(col("nation")).orderBy(col("ym"))
+    val ma = ord.rowsBetween(-2, 0)
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(ord))
+      .withColumn("ma3_s", sum(col("rev")).over(ma))
+      .withColumn("ma3_n", count(lit(1)).over(ma))
+      .select(col("nation"), col("ym"),
+        r4(col("rev").cast("double")).as("revenue"),
+        (round((col("rev").cast("double") - col("prev").cast("double"))
+          / col("prev").cast("double") * lit(1000000))
+          / lit(1000000.0)).as("mom_pct"),
+        r4(col("ma3_s").cast("double") / col("ma3_n").cast("double"))
+          .as("ma3"))
+  }
+
+  /** q220: explicit GROUPING SETS — the non-lattice aggregate shape that
+    * CUBE (q204) and ROLLUP (q35) can't express: exactly the marginals the
+    * report needs ((rflag, year), (lstatus, year), (year), ()) in ONE
+    * shuffle instead of four union'd scans. gid decodes which set each row
+    * came from via the grouping() bits. Executed through Spark SQL so
+    * Catalyst's Expand operator plans the multi-set replication.
+    */
+  def groupingSetsMix(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .withColumn("l_year", year(col("l_shipdate")))
+      .createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') rflag,
+        |  coalesce(l_linestatus, 'ALL') lstatus,
+        |  coalesce(CAST(l_year AS STRING), 'ALL') yr,
+        |  CAST(grouping(l_returnflag)*4 + grouping(l_linestatus)*2
+        |    + grouping(l_year) AS INT) gid,
+        |  round(CAST(sum(CAST(l_extendedprice*(1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE)*10000)/10000 AS revenue,
+        |  count(*) AS n
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_year),
+        |  (l_linestatus, l_year), (l_year), ())""".stripMargin)
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Relational}
+
+/** Known-answer checks for the q216-q220 widening: unpivot, RANGE frames,
+  * MoM growth, modularity, grouping sets.
+  */
+class RelationalWideningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("modularity of two disjoint triangles is 1/2") {
+    // two triangles: {1,2,3} and {4,5,6}; perfect partition
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "label")
+    val out = Graph.modularity(edges, labels).collect()
+    assert(out.length == 2)
+    // each community: e_c=3, m=6, d_c=6 -> 3/6 - (6/12)^2 = 0.25; Q=0.5
+    assert(out.forall(r => math.abs(r.getAs[Double]("contrib") - 0.25) < 1e-9))
+    assert(out.forall(r => math.abs(r.getAs[Double]("modularity") - 0.5) < 1e-9))
+  }
+
+  test("one-community partition scores Q=0, below the clean split") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val allOne = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("id", "label")
+    val q = Graph.modularity(edges, allOne)
+      .collect().head.getAs[Double]("modularity")
+    // every edge internal but degree term eats it all: Q = 1 - 1 = 0
+    assert(math.abs(q) < 1e-9)
+  }
+
+  test("rangeFrameRevenue RANGE frame spans days, not rows") {
+    val orders = Seq(
+      (1L, 10L, "O", 100.0, 0L), // day 0
+      (2L, 10L, "O", 50.0, 10L * 86400), // day 10 (within 30 of day 0)
+      (3L, 10L, "O", 25.0, 50L * 86400)) // day 50 (outside both)
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "sec")
+      .withColumn("o_orderdate", expr("timestamp_seconds(sec)"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .drop("sec")
+    val out = Relational.rangeFrameRevenue(spark, orders)
+      .orderBy(col("d")).collect()
+    assert(out.map(_.getAs[Double]("rev30")).toSeq == Seq(100.0, 150.0, 25.0))
+    assert(out.map(_.getAs[Long]("days30")).toSeq == Seq(1L, 2L, 1L))
+  }
+
+  test("groupingSetsMix gid decodes the grouping set membership") {
+    val out = Relational.groupingSetsMix(spark, "/root/testdata/sf0.001")
+      .collect()
+    // gid 1: (rflag, lstatus) grouped, year aggregated... our sets:
+    // (rflag,year)->gid 2, (lstatus,year)->gid 4, (year)->gid 6, ()->7
+    val gids = out.map(_.getAs[Int]("gid")).toSet
+    assert(gids == Set(2, 4, 6, 7))
+    val grand = out.filter(_.getAs[Int]("gid") == 7)
+    assert(grand.length == 1)
+    val n = grand.head.getAs[Long]("n")
+    // grand total row counts every lineitem
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    assert(n == expected)
+  }
+}
