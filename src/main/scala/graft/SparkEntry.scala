@@ -451,7 +451,14 @@ object SparkEntry {
       Graph.communityModularity(s, d).orderBy(col("community"))),
     "q220_grouping_sets" -> ((s, d) =>
       Relational.groupingSetsMix(s, d)
-        .orderBy(col("gid"), col("rflag"), col("lstatus"), col("yr")))
+        .orderBy(col("gid"), col("rflag"), col("lstatus"), col("yr"))),
+    "q221_naive_bayes" -> ((s, d) =>
+      TextAnalysis.naiveBayesSource(s, d)
+        .orderBy(col("actual"), col("predicted"))),
+    "q222_tokenizer_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(s, d).orderBy(col("source"))),
+    "q223_filtered_ann" -> ((s, d) =>
+      Similarity.filteredAnn(s, d).orderBy(col("probe_id"), col("rnk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4594,7 +4601,93 @@ object SparkEntry {
         |  count(*) AS n
         |FROM li GROUP BY GROUPING SETS ((l_returnflag, l_year),
         |  (l_linestatus, l_year), (l_year), ())
-        |ORDER BY 4, 1, 2, 3""".stripMargin
+        |ORDER BY 4, 1, 2, 3""".stripMargin,
+    "q221_naive_bayes" ->
+      """WITH d0 AS (SELECT doc_id, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, unnest(string_split(t, ' ')) tok
+        |       FROM d0),
+        |tf AS (SELECT doc_id, source, tok FROM tk WHERE length(tok) > 0),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) cnt
+        |       FROM tf GROUP BY 1, 2),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) ns
+        |       FROM tf GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(ns) AS BIGINT) n_src
+        |         FROM st GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) v FROM st),
+        |pri AS (SELECT source, CAST(count(*) AS BIGINT) docs_src
+        |        FROM documents GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+        |grid AS (SELECT tks.tok, stot.source,
+        |    ln(CAST(coalesce(st.ns, 0) + 1 AS DOUBLE)
+        |      /CAST(stot.n_src + vv.v AS DOUBLE)) ll
+        |  FROM (SELECT DISTINCT tok FROM st) tks
+        |  CROSS JOIN stot
+        |  LEFT JOIN st ON st.source = stot.source AND st.tok = tks.tok
+        |  CROSS JOIN vv),
+        |sc AS (SELECT dt.doc_id, grid.source,
+        |    CAST(sum(CAST(CAST(cnt AS DOUBLE)*ll AS DECIMAL(28,12)))
+        |      AS DOUBLE) s
+        |  FROM dt JOIN grid ON dt.tok = grid.tok GROUP BY 1, 2),
+        |pv AS (SELECT pri.source,
+        |    ln(CAST(docs_src AS DOUBLE)/CAST(n_docs AS DOUBLE)) lp
+        |  FROM pri CROSS JOIN nd),
+        |fin AS (SELECT sc.doc_id, sc.source, pv.lp + sc.s score
+        |        FROM sc JOIN pv ON sc.source = pv.source),
+        |best AS (SELECT doc_id, source predicted FROM (
+        |    SELECT doc_id, source,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, source) rn
+        |    FROM fin) WHERE rn = 1)
+        |SELECT d.source actual, b.predicted,
+        |  CAST(count(*) AS BIGINT) n_docs
+        |FROM documents d JOIN best b ON d.doc_id = b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q222_tokenizer_fertility" ->
+      """WITH d0 AS (SELECT source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |tk AS (SELECT source, unnest(string_split(t, ' ')) tok FROM d0),
+        |tf AS (SELECT source, tok FROM tk WHERE length(tok) > 0),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) n_words,
+        |    CAST(sum((length(tok) + 3)//4) AS BIGINT) n_pieces,
+        |    CAST(sum(length(tok)) AS BIGINT) n_chars,
+        |    CAST(sum(CASE WHEN length(tok) > 8 THEN 1 ELSE 0 END)
+        |      AS BIGINT) n_long
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_words, n_pieces,
+        |  round(CAST(n_pieces AS DOUBLE)/CAST(n_words AS DOUBLE)
+        |    *1000000)/1000000 AS fertility,
+        |  round(CAST(n_chars AS DOUBLE)/CAST(n_words AS DOUBLE)
+        |    *10000)/10000 AS avg_word_len,
+        |  round(CAST(n_long AS DOUBLE)/CAST(n_words AS DOUBLE)
+        |    *1000000)/1000000 AS long_word_frac
+        |FROM g ORDER BY source""".stripMargin,
+    "q223_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+        |         embedding FROM e),
+        |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |n AS (SELECT vec_id,
+        |        sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |d AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10
+        |        AND p.vec_id <> c.vec_id
+        |      JOIN keep ON c.vec_id = keep.doc_id
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+        |       FROM d JOIN n np ON probe_id = np.vec_id
+        |       JOIN n nc ON neighbor_id = nc.vec_id),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY cos DESC, neighbor_id) AS INT) rnk
+        |      FROM sc)
+        |SELECT probe_id, rnk, neighbor_id, round(cos, 6) cosine
+        |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -707,4 +707,41 @@ object Similarity {
 
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
     pcaPower(Tables.embeddings(spark, sfDir))
+
+  /** q223: metadata-filtered exact top-k — vector search restricted by a
+    * relational predicate (here: candidate documents with lang = 'en'),
+    * the "filtered ANN" shape every retrieval stack needs once queries
+    * carry filters. Pre-filtering (semi-join the candidate set down BEFORE
+    * scoring) beats post-filtering a top-k (which under-fills k when the
+    * filter is selective); the filter is a key semi-join so Catalyst can
+    * push it into the candidate scan, and the probe side stays broadcast.
+    * The exact path doubles as the recall oracle for a filtered IVF.
+    */
+  def filteredAnn(emb: DataFrame, docs: DataFrame, nProbes: Int = 10,
+                  k: Int = 5): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+    val probes = all.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val keep = docs.where(col("lang") === "en")
+      .select(col("doc_id").as("neighbor_id"))
+    val cand = all
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      .join(keep, Seq("neighbor_id"), "left_semi")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .crossJoin(broadcast(probes))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  def filteredAnn(spark: SparkSession, sfDir: String): DataFrame =
+    filteredAnn(Tables.embeddings(spark, sfDir),
+      Tables.documents(spark, sfDir))
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TimeSeries.r4
@@ -901,4 +902,97 @@ object TextAnalysis {
 
   def crossEntropyDrift(spark: SparkSession, sfDir: String): DataFrame =
     crossEntropyDrift(Tables.documents(spark, sfDir))
+
+  /** q221: multinomial naive-Bayes source attribution with a confusion
+    * census — train Laplace-smoothed per-source token likelihoods on the
+    * corpus, score every document against every source, and report the
+    * (actual, predicted) matrix: the standard "are my corpus sources
+    * actually distinguishable / mislabeled" probe before mixture planning
+    * (q75) trusts the source column. All counting is exact; each
+    * token-score term cnt·ln((nₛ+1)/(Nₛ+V)) is decimal-snapped so the
+    * per-document argmax compares bit-identical sums (ties broken by
+    * source name). The scoring join fans each distinct (doc, token) out
+    * by |sources| — linear in corpus size with a bounded constant, the
+    * canonical NB shape.
+    */
+  def naiveBayesSource(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val dt = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("ns"))
+    val stot = st.groupBy(col("source")).agg(sum(col("ns")).as("n_src"))
+    val vocab = st.agg(countDistinct(col("tok")).as("v"))
+    val priors = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_src"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val grid = st.select(col("tok")).distinct()
+      .crossJoin(broadcast(stot))
+      .join(st, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("ns"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("ll",
+        log((col("ns") + 1).cast("double")
+          / (col("n_src") + col("v")).cast("double")))
+      .select(col("tok"), col("source"), col("ll"))
+    val scores = dt.join(grid, Seq("tok"))
+      .withColumn("term", (col("cnt").cast("double") * col("ll"))
+        .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("term")).cast("double").as("s"))
+      .join(broadcast(priors.crossJoin(nDocs)
+        .select(col("source"),
+          log(col("docs_src").cast("double")
+            / col("n_docs").cast("double")).as("prior"))),
+        Seq("source"))
+      .withColumn("score", col("prior") + col("s"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("source"))
+    val pred = scores
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("source").as("predicted"))
+    docs.select(col("doc_id"), col("source").as("actual"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
+    naiveBayesSource(Tables.documents(spark, sfDir))
+
+  /** q222: tokenizer-fertility census per source — pieces-per-word under a
+    * fixed-width-4 BPE-ish chunking ((len+3) div 4 pieces per word), plus
+    * mean word length and long-word fraction. Fertility is the
+    * compute-cost multiplier a tokenizer pays on each source (agglutinative
+    * or noisy sources tokenize fat); the whole census is integer-exact —
+    * one explode, one groupBy, no float accumulation at all.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("(length(tok) + 3) div 4")).as("n_pieces"),
+        sum(length(col("tok")).cast("bigint")).as("n_chars"),
+        sum(when(length(col("tok")) > 8, 1L).otherwise(0L)).as("n_long"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        (round(col("n_pieces").cast("double")
+          / col("n_words").cast("double") * lit(1000000))
+          / lit(1000000.0)).as("fertility"),
+        (round(col("n_chars").cast("double")
+          / col("n_words").cast("double") * lit(10000))
+          / lit(10000.0)).as("avg_word_len"),
+        (round(col("n_long").cast("double")
+          / col("n_words").cast("double") * lit(1000000))
+          / lit(1000000.0)).as("long_word_frac"))
+  }
+
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizerFertility(Tables.documents(spark, sfDir))
 }
