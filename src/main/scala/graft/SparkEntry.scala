@@ -458,7 +458,13 @@ object SparkEntry {
     "q222_tokenizer_fertility" -> ((s, d) =>
       TextAnalysis.tokenizerFertility(s, d).orderBy(col("source"))),
     "q223_filtered_ann" -> ((s, d) =>
-      Similarity.filteredAnn(s, d).orderBy(col("probe_id"), col("rnk")))
+      Similarity.filteredAnn(s, d).orderBy(col("probe_id"), col("rnk"))),
+    "q224_mann_kendall" -> ((s, d) =>
+      StatTests.seasonalMannKendall(s, d).orderBy(col("event_type"))),
+    "q225_pot_exceedances" -> ((s, d) =>
+      ExtremeStats.potExceedances(s, d).orderBy(col("event_type"))),
+    "q226_nprobe_curve" -> ((s, d) =>
+      Similarity.nprobeCurve(s, d).orderBy(col("nprobe")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4687,7 +4693,69 @@ object SparkEntry {
         |          ORDER BY cos DESC, neighbor_id) AS INT) rnk
         |      FROM sc)
         |SELECT probe_id, rnk, neighbor_id, round(cos, 6) cosine
-        |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
+    "q224_mann_kendall" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |ds AS (SELECT event_type, d, m, (d + 4) % 7 season FROM daily),
+        |p AS (SELECT a.event_type,
+        |        CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1
+        |             ELSE 0 END sg
+        |      FROM ds a JOIN ds b ON a.event_type = b.event_type
+        |        AND a.season = b.season AND a.d < b.d),
+        |s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) s_stat
+        |      FROM p GROUP BY 1),
+        |ng AS (SELECT event_type,
+        |        CAST(sum(n_g*(n_g - 1)*(2*n_g + 5)) AS BIGINT) raw
+        |      FROM (SELECT event_type, season, CAST(count(*) AS BIGINT) n_g
+        |            FROM ds GROUP BY 1, 2) GROUP BY 1),
+        |tt AS (SELECT event_type,
+        |        CAST(sum(t*(t - 1)*(2*t + 5)) AS BIGINT) tie_raw
+        |      FROM (SELECT event_type, season, m, CAST(count(*) AS BIGINT) t
+        |            FROM ds GROUP BY 1, 2, 3 HAVING count(*) > 1)
+        |      GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days
+        |       FROM ds GROUP BY 1),
+        |v AS (SELECT nd.event_type, n_days, s_stat,
+        |        CAST(ng.raw - coalesce(tie_raw, 0) AS DOUBLE)/18.0 var_s,
+        |        CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1
+        |             ELSE 0 END sgn
+        |      FROM nd JOIN s USING (event_type) JOIN ng USING (event_type)
+        |      LEFT JOIN tt USING (event_type))
+        |SELECT event_type, n_days, s_stat,
+        |  round(var_s*1000000)/1000000 AS var_s,
+        |  CASE WHEN var_s > 0 THEN
+        |    round(CAST(s_stat - sgn AS DOUBLE)/sqrt(var_s)*1000000)/1000000
+        |    ELSE 0.0 END AS z_score
+        |FROM v ORDER BY 1""".stripMargin,
+    "q225_pot_exceedances" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n
+        |  FROM events),
+        |thr AS (SELECT event_type, value thr, n FROM r
+        |        WHERE rn = (19*n + 19)//20),
+        |x AS (SELECT r.event_type, r.value, t.thr
+        |      FROM r JOIN thr t ON r.event_type = t.event_type
+        |      WHERE r.value > t.thr),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n_exceed,
+        |        sum(CAST(value - thr AS DECIMAL(18,6))) s_exc
+        |      FROM x GROUP BY 1),
+        |f AS (SELECT g.event_type, t.n, t.thr, n_exceed,
+        |        CAST(s_exc AS DOUBLE)/CAST(n_exceed AS DOUBLE) mean_excess
+        |      FROM g JOIN thr t ON g.event_type = t.event_type)
+        |SELECT event_type, n,
+        |  round(thr*1000000)/1000000 AS threshold, n_exceed,
+        |  round(mean_excess*1000000)/1000000 AS mean_excess,
+        |  round(1.0/mean_excess*1000000)/1000000 AS exp_rate,
+        |  round(CAST(n_exceed AS DOUBLE)/CAST(n AS DOUBLE)
+        |    *1000000)/1000000 AS frac_exceed
+        |FROM f ORDER BY 1""".stripMargin,
+    "q226_nprobe_curve" -> nprobeCurveOracle(Seq(1, 2, 4))
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -4725,6 +4793,70 @@ object SparkEntry {
        |$rounds
        |SELECT CAST(i AS INT) dim, vi AS loading
        |FROM v$iters ORDER BY 1""".stripMargin
+  }
+
+  /** q226 oracle: the q43 recall replay with one approx/hits/recall CTE
+    * chain per nprobe setting, sharing the truth and centroid CTEs; each
+    * curve point aggregates exact hit/truth integers (micro recall) and
+    * the min of the already-rounded per-probe recalls.
+    */
+  private def nprobeCurveOracle(curve: Seq[Int]): String = {
+    val perNp = curve.map { np =>
+      s"""short$np AS (SELECT probe_id, label FROM (
+         |    SELECT probe_id, label,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, label) crk
+         |    FROM ps) WHERE crk <= $np),
+         |d2_$np AS (SELECT s.probe_id, c.vec_id neighbor_id,
+         |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+         |      FROM short$np s JOIN xx c ON c.label = s.label
+         |        JOIN xx p ON p.vec_id = s.probe_id AND p.i = c.i
+         |      WHERE c.vec_id <> s.probe_id GROUP BY 1, 2),
+         |sc2_$np AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+         |       FROM d2_$np JOIN n np ON probe_id = np.vec_id
+         |       JOIN n nc ON neighbor_id = nc.vec_id),
+         |approx$np AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+         |    FROM sc2_$np) WHERE rnk <= 5),
+         |hits$np AS (SELECT t.probe_id, count(*) n_hits FROM truth t JOIN approx$np a
+         |          ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id GROUP BY 1),
+         |rec$np AS (SELECT tot.probe_id, coalesce(n_hits, 0) h, n_true t,
+         |        round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 r
+         |      FROM tot LEFT JOIN hits$np ON tot.probe_id = hits$np.probe_id),
+         |sum$np AS (SELECT CAST($np AS INT) nprobe, CAST(sum(h) AS BIGINT) n_hits,
+         |        CAST(sum(t) AS BIGINT) n_true,
+         |        round(CAST(sum(h) AS DOUBLE)/CAST(sum(t) AS DOUBLE)*10000)/10000 micro_recall,
+         |        min(r) min_recall FROM rec$np)""".stripMargin
+    }.mkString(",\n")
+    val sel = curve.map(np => s"SELECT * FROM sum$np")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |ix AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+       |xx AS MATERIALIZED (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+       |n AS MATERIALIZED (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+       |      FROM xx GROUP BY 1),
+       |d1 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+       |        CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+       |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+       |      GROUP BY 1, 2),
+       |sc1 AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
+       |       FROM d1 JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+       |truth AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk
+       |    FROM sc1) WHERE rnk <= 5),
+       |tot AS MATERIALIZED (SELECT probe_id, count(*) n_true FROM truth GROUP BY 1),
+       |cent AS MATERIALIZED (SELECT label, i, CAST(sum(CAST(v AS DECIMAL(30,20))) AS DOUBLE)/count(*) c
+       |         FROM xx GROUP BY 1, 2),
+       |cn AS (SELECT label, sqrt(CAST(sum(CAST(c*c AS DECIMAL(18,16))) AS DOUBLE)) cnrm
+       |       FROM cent GROUP BY 1),
+       |pd AS (SELECT p.vec_id probe_id, cent.label,
+       |         CAST(sum(CAST(p.v*cent.c AS DECIMAL(18,16))) AS DOUBLE) dot
+       |       FROM xx p JOIN cent ON p.i = cent.i WHERE p.vec_id < 10 GROUP BY 1, 2),
+       |ps AS MATERIALIZED (SELECT probe_id, pd.label, dot/(np.nrm*cn.cnrm) ccos
+       |       FROM pd JOIN n np ON probe_id = np.vec_id JOIN cn ON pd.label = cn.label),
+       |$perNp
+       |$sel ORDER BY nprobe""".stripMargin
   }
 
   /** q219 oracle: replay [[lpaOracle]]'s four label-propagation rounds,

@@ -153,4 +153,45 @@ object ExtremeStats {
 
   def turningPoints(spark: SparkSession, sfDir: String): DataFrame =
     turningPoints(Tables.events(spark, sfDir))
+
+  /** q225: peaks-over-threshold exceedance fit — the OTHER classical EVT
+    * route beside q212's block maxima (POT uses every tail observation,
+    * not one per block, so its scale estimate converges much faster). The
+    * threshold is the exact 95th percentile — the k = ⌈0.95n⌉-th smallest
+    * value via one per-series rank (integer k = (19n+19) div 20, no float
+    * boundary) — and exceedances fit an exponential by mean excess. The
+    * rank window is the same per-series sort q213 already pays; the tail
+    * aggregate sees ~n/20 rows.
+    */
+  def potExceedances(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val thr = ranked
+      .where(col("rn") === expr("(19 * n + 19) div 20"))
+      .select(col("event_type"), col("value").as("thr"), col("n"))
+    ranked.join(broadcast(thr.select(col("event_type"), col("thr"))),
+        Seq("event_type"))
+      .where(col("value") > col("thr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exceed"),
+        sum((col("value") - col("thr")).cast("decimal(18,6)")).as("s_exc"))
+      .join(broadcast(thr), Seq("event_type"))
+      .withColumn("mean_excess",
+        col("s_exc").cast("double") / col("n_exceed").cast("double"))
+      .select(col("event_type"), col("n"),
+        r6(col("thr")).as("threshold"),
+        col("n_exceed"),
+        r6(col("mean_excess")).as("mean_excess"),
+        r6(lit(1.0) / col("mean_excess")).as("exp_rate"),
+        r6(col("n_exceed").cast("double") / col("n").cast("double"))
+          .as("frac_exceed"))
+  }
+
+  def potExceedances(spark: SparkSession, sfDir: String): DataFrame =
+    potExceedances(Tables.events(spark, sfDir))
 }

@@ -744,4 +744,29 @@ object Similarity {
   def filteredAnn(spark: SparkSession, sfDir: String): DataFrame =
     filteredAnn(Tables.embeddings(spark, sfDir),
       Tables.documents(spark, sfDir))
+
+  /** q226: recall-vs-nprobe curve for the IVF index — the tuning table an
+    * operator reads before picking nprobe (recall climbs with each probed
+    * partition, cost climbs linearly; the knee is the setting). Micro
+    * recall aggregates exact hit/truth integers across probes; min recall
+    * exposes the worst query, which the mean hides. Pure composition of
+    * the existing ANN plans — each curve point reuses the same centroid
+    * codebook and truth scan shapes.
+    */
+  def nprobeCurve(emb: DataFrame, nProbes: Int = 10, k: Int = 5,
+                  curve: Seq[Int] = Seq(1, 2, 4)): DataFrame =
+    curve.map { np =>
+      annRecall(emb, nProbes, k, np)
+        .agg(sum(col("n_hits")).as("n_hits"),
+          sum(col("n_true")).as("n_true"),
+          min(col("recall")).as("min_recall"))
+        .select(lit(np).as("nprobe"), col("n_hits"), col("n_true"),
+          (round(col("n_hits").cast("double")
+            / col("n_true").cast("double") * lit(10000))
+            / lit(10000.0)).as("micro_recall"),
+          col("min_recall"))
+    }.reduce(_ union _)
+
+  def nprobeCurve(spark: SparkSession, sfDir: String): DataFrame =
+    nprobeCurve(Tables.embeddings(spark, sfDir))
 }

@@ -314,4 +314,69 @@ object StatTests {
 
   def partialCorr(spark: SparkSession, sfDir: String): DataFrame =
     partialCorr(Tables.events(spark, sfDir))
+
+  /** q224: seasonal Mann–Kendall trend test per series — the significance
+    * companion to q152's Theil–Sen slope (MK says WHETHER the monotone
+    * trend is real; Theil–Sen says how steep). Day-pair sign counting runs
+    * WITHIN each weekday season so the weekly cycle can't masquerade as
+    * trend; S sums over seasons, Var(S) uses the exact
+    * Σ n(n−1)(2n+5)/18 formula with the tied-value correction, and the
+    * z-score applies the ±1 continuity correction. Everything before the
+    * final two divisions is exact integer arithmetic — no float
+    * accumulation anywhere. The pair join is per (series, weekday) over
+    * per-day means, so its size is bounded by (days/7)² per season — a
+    * fixed-size table once the calendar is fixed, independent of row
+    * count.
+    */
+  def seasonalMannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"),
+        col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg((round((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("m"))
+      .withColumn("season", pmod(col("d") + 4, lit(7)))
+    val a = daily.select(col("event_type"), col("season"),
+      col("d").as("d1"), col("m").as("m1"))
+    val b = daily.select(col("event_type"), col("season"),
+      col("d").as("d2"), col("m").as("m2"))
+    val s = a.join(b, Seq("event_type", "season"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("m2") > col("m1"), 1L)
+        .when(col("m2") < col("m1"), -1L).otherwise(0L)).as("s_stat"))
+    val ng = daily.groupBy(col("event_type"), col("season"))
+      .agg(count(lit(1)).as("n_g"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_g") * (col("n_g") - 1) * (col("n_g") * 2 + 5))
+        .as("raw"))
+    val ties = daily.groupBy(col("event_type"), col("season"), col("m"))
+      .agg(count(lit(1)).as("t"))
+      .where(col("t") > 1)
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tie_raw"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    nDays
+      .join(s, Seq("event_type"))
+      .join(ng, Seq("event_type"))
+      .join(ties, Seq("event_type"), "left")
+      .na.fill(0L, Seq("tie_raw"))
+      .withColumn("var_s",
+        (col("raw") - col("tie_raw")).cast("double") / lit(18.0))
+      .withColumn("sgn",
+        when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L)
+          .otherwise(0L))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        r6(col("var_s")).as("var_s"),
+        // all-tied seasons give Var(S)=0; define z=0 there (no evidence)
+        when(col("var_s") > 0,
+          r6((col("s_stat") - col("sgn")).cast("double")
+            / sqrt(col("var_s")))).otherwise(lit(0.0)).as("z_score"))
+  }
+
+  def seasonalMannKendall(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalMannKendall(Tables.events(spark, sfDir))
 }

@@ -72,6 +72,19 @@ class ExtremeStatsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("z_score") - (4 - e) / math.sqrt(v)) < 1e-5)
   }
 
+  test("potExceedances picks the exact p95 rank and mean excess") {
+    // 20 values 1..20: k = ceil(0.95*20) = 19 -> threshold = 19,
+    // exceedances = {20}, mean excess = 1
+    val rows = (1 to 20).map(i => (i.toLong, i.toLong * 60, "a", i.toDouble))
+    val row = ExtremeStats.potExceedances(events(rows)).collect().head
+    assert(row.getAs[Long]("n") == 20)
+    assert(math.abs(row.getAs[Double]("threshold") - 19.0) < 1e-9)
+    assert(row.getAs[Long]("n_exceed") == 1)
+    assert(math.abs(row.getAs[Double]("mean_excess") - 1.0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("exp_rate") - 1.0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("frac_exceed") - 0.05) < 1e-9)
+  }
+
   test("flat series has zero turning points and one record") {
     val rows = (0 until 5).map(i => (i.toLong, i.toLong * 60, "a", 7.0))
     assert(ExtremeStats.turningPoints(events(rows))

@@ -93,6 +93,31 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("cohens_d") + 4.0) < 1e-6)
   }
 
+  test("seasonalMannKendall detects a monotone trend with z > 0") {
+    // strictly increasing daily series over 28 days: every within-season
+    // pair concordant -> S = sum over 7 seasons of C(4,2) = 42
+    val rows = (0 until 28).map { d =>
+      (d.toLong, d, 1L, "a", d.toDouble)
+    }
+    val row = StatTests.seasonalMannKendall(events(rows)).collect().head
+    assert(row.getAs[Long]("n_days") == 28)
+    assert(row.getAs[Long]("s_stat") == 42)
+    // var = 7 * n_g(n_g-1)(2n_g+5)/18 with n_g=4 -> 7*4*3*13/18
+    val v = 7.0 * 4 * 3 * 13 / 18.0
+    assert(math.abs(row.getAs[Double]("var_s") - v) < 1e-6)
+    assert(math.abs(row.getAs[Double]("z_score")
+      - (42 - 1) / math.sqrt(v)) < 1e-5)
+  }
+
+  test("seasonalMannKendall is S=0 on a pure weekly cycle") {
+    // value depends only on weekday -> all within-season pairs tie
+    val rows = (0 until 28).map { d =>
+      (d.toLong, d, 1L, "a", (d % 7).toDouble)
+    }
+    val row = StatTests.seasonalMannKendall(events(rows)).collect().head
+    assert(row.getAs[Long]("s_stat") == 0)
+  }
+
   test("partialCorr removes a perfectly-explained confounder") {
     // x and y are both exact linear functions of z -> r_xy=1 via z;
     // partial correlation given z is 0/0-guarded: use near-exact instead
