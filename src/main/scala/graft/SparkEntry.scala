@@ -464,7 +464,12 @@ object SparkEntry {
     "q225_pot_exceedances" -> ((s, d) =>
       ExtremeStats.potExceedances(s, d).orderBy(col("event_type"))),
     "q226_nprobe_curve" -> ((s, d) =>
-      Similarity.nprobeCurve(s, d).orderBy(col("nprobe")))
+      Similarity.nprobeCurve(s, d).orderBy(col("nprobe"))),
+    "q227_logreg_newton" -> ((s, d) => Regression.logisticNewton(s, d)),
+    "q228_sax_motifs" -> ((s, d) =>
+      Sax.saxMotifs(s, d).orderBy(col("event_type"), col("rnk"))),
+    "q229_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4755,7 +4760,66 @@ object SparkEntry {
         |  round(CAST(n_exceed AS DOUBLE)/CAST(n AS DOUBLE)
         |    *1000000)/1000000 AS frac_exceed
         |FROM f ORDER BY 1""".stripMargin,
-    "q226_nprobe_curve" -> nprobeCurveOracle(Seq(1, 2, 4))
+    "q226_nprobe_curve" -> nprobeCurveOracle(Seq(1, 2, 4)),
+    "q227_logreg_newton" -> logregOracle(4),
+    "q228_sax_motifs" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/3600) AS BIGINT) h,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) nh,
+        |    CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(m*m AS DECIMAL(28,12))) AS DOUBLE) s2
+        |  FROM hourly GROUP BY 1),
+        |ms AS (SELECT event_type, s1/CAST(nh AS DOUBLE) mu,
+        |    sqrt((s2 - CAST(nh AS DOUBLE)*(s1/CAST(nh AS DOUBLE))
+        |      *(s1/CAST(nh AS DOUBLE)))/CAST(nh - 1 AS DOUBLE)) sd
+        |  FROM mom),
+        |sym AS (SELECT hourly.event_type, h,
+        |    CASE WHEN (m - mu)/sd < -0.6744897501960817 THEN 0
+        |         WHEN (m - mu)/sd < 0 THEN 1
+        |         WHEN (m - mu)/sd < 0.6744897501960817 THEN 2
+        |         ELSE 3 END s
+        |  FROM hourly JOIN ms ON hourly.event_type = ms.event_type),
+        |wd AS (SELECT event_type,
+        |    s*16 + (lead(s, 1) OVER w)*4 + (lead(s, 2) OVER w) word,
+        |    lead(s, 2) OVER w ok
+        |  FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |cnt AS (SELECT event_type, word, CAST(count(*) AS BIGINT) n
+        |        FROM wd WHERE ok IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT event_type, word, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, word) AS INT) rnk
+        |  FROM cnt)
+        |SELECT event_type, rnk, CAST(word AS INT) word, n
+        |FROM rk WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
+    "q229_paragraph_dedup" ->
+      """WITH d0 AS (SELECT doc_id, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |pa AS (SELECT doc_id, source, unnest(string_split(t, '. ')) para
+        |       FROM d0),
+        |pf AS (SELECT doc_id, source, para, md5(para) ph FROM pa
+        |       WHERE length(para) >= 20),
+        |sp AS (SELECT ph, CAST(count(DISTINCT doc_id) AS BIGINT)
+        |         n_docs_with FROM pf GROUP BY 1),
+        |j AS (SELECT pf.source, pf.para, pf.ph, sp.n_docs_with
+        |      FROM pf JOIN sp ON pf.ph = sp.ph),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) n_paras,
+        |    CAST(count(DISTINCT ph) AS BIGINT) n_distinct,
+        |    CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) n_shared,
+        |    CAST(sum(CASE WHEN n_docs_with >= 2 THEN length(para)
+        |      ELSE 0 END) AS BIGINT) shared_chars,
+        |    CAST(sum(length(para)) AS BIGINT) total_chars
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_paras, n_distinct, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)/CAST(n_paras AS DOUBLE)
+        |    *1000000)/1000000 AS shared_frac,
+        |  round(CAST(shared_chars AS DOUBLE)/CAST(total_chars AS DOUBLE)
+        |    *1000000)/1000000 AS shared_char_frac
+        |FROM g ORDER BY source""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -4793,6 +4857,50 @@ object SparkEntry {
        |$rounds
        |SELECT CAST(i AS INT) dim, vi AS loading
        |FROM v$iters ORDER BY 1""".stripMargin
+  }
+
+  /** q227 oracle: unrolled distributed Newton–Raphson for the logistic
+    * fit — one (cross-join coefficients, per-row sigmoid, decimal-snapped
+    * gradient/Hessian sums, closed-form 2×2 solve, 1e-12 coefficient snap)
+    * CTE chain per iteration, replaying [[graft.ops.Regression
+    * .logisticNewton]] state for state.
+    */
+  private def logregOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""pp$k AS (SELECT xy.x, xy.y, b.b0, b.b1,
+         |    1.0/(1.0 + exp(-(b.b0 + b.b1*xy.x))) p
+         |  FROM xy CROSS JOIN be${k - 1} b),
+         |ag$k AS (SELECT max(b0) b0, max(b1) b1,
+         |    CAST(sum(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) g0,
+         |    CAST(sum(CAST((y - p)*x AS DECIMAL(28,12))) AS DOUBLE) g1,
+         |    CAST(sum(CAST(p*(1.0 - p) AS DECIMAL(28,12))) AS DOUBLE) h00,
+         |    CAST(sum(CAST(p*(1.0 - p)*x AS DECIMAL(28,12))) AS DOUBLE) h01,
+         |    CAST(sum(CAST(p*(1.0 - p)*x*x AS DECIMAL(28,12))) AS DOUBLE) h11
+         |  FROM pp$k),
+         |st$k AS (SELECT *, h00*h11 - h01*h01 det FROM ag$k),
+         |be$k AS (SELECT
+         |    round((b0 + (h11*g0 - h01*g1)/det)*1e12)/1e12 b0,
+         |    round((b1 + (h00*g1 - h01*g0)/det)*1e12)/1e12 b1
+         |  FROM st$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xy AS MATERIALIZED (SELECT value/100.0 x,
+       |    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END y
+       |  FROM events),
+       |be0 AS (SELECT 0.0 b0, 0.0 b1),
+       |$rounds,
+       |cls AS (SELECT xy.y, b.b0, b.b1,
+       |    CASE WHEN b.b0 + b.b1*xy.x > 0 THEN 1.0 ELSE 0.0 END pred
+       |  FROM xy CROSS JOIN be$iters b),
+       |g AS (SELECT b0, b1, CAST(count(*) AS BIGINT) n,
+       |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) n_pos,
+       |    CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) nc
+       |  FROM cls GROUP BY 1, 2)
+       |SELECT n, n_pos,
+       |  round(b0*1000000)/1000000 + 0.0 AS beta0,
+       |  round(b1*1000000)/1000000 + 0.0 AS beta1,
+       |  round(CAST(nc AS DOUBLE)/CAST(n AS DOUBLE)*1000000)/1000000
+       |    AS accuracy
+       |FROM g""".stripMargin
   }
 
   /** q226 oracle: the q43 recall replay with one approx/hits/recall CTE

@@ -965,4 +965,43 @@ object Dedup {
 
   def lshScurveAudit(spark: SparkSession, sfDir: String): DataFrame =
     lshScurveAudit(Tables.documents(spark, sfDir))
+
+  /** q229: paragraph-granularity exact dedup census — the sub-document
+    * complement of q20 (whole-doc md5) and q156 (window-hash spans): split
+    * each document at sentence boundaries, hash each fragment, and report
+    * per source how much of its text is boilerplate shared across ≥2
+    * documents. Lee et al. 2022 showed exactly this sub-document
+    * repetition dominates web-scale training corpora. One explode + one
+    * hash groupBy (the dedup-index shuffle) + one broadcast-back census;
+    * fragments under 20 chars are noise and dropped before the shuffle.
+    */
+  def paragraphDedup(docs: DataFrame, minLen: Int = 20): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(normText(col("text")), "\\. ")).as("para"))
+      .where(length(col("para")) >= minLen)
+      .withColumn("ph", md5(col("para")))
+    val spread = paras.groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    paras.join(spread, Seq("ph"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_paras"),
+        countDistinct(col("ph")).as("n_distinct"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_shared"),
+        sum(when(col("n_docs_with") >= 2, length(col("para")).cast("bigint"))
+          .otherwise(0L)).as("shared_chars"),
+        sum(length(col("para")).cast("bigint")).as("total_chars"))
+      .select(col("source"), col("n_paras"), col("n_distinct"),
+        col("n_shared"),
+        (round(col("n_shared").cast("double")
+          / col("n_paras").cast("double") * lit(1000000))
+          / lit(1000000.0)).as("shared_frac"),
+        (round(col("shared_chars").cast("double")
+          / col("total_chars").cast("double") * lit(1000000))
+          / lit(1000000.0)).as("shared_char_frac"))
+  }
+
+  def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame =
+    paragraphDedup(Tables.documents(spark, sfDir))
 }
