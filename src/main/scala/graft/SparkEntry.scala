@@ -3265,26 +3265,27 @@ object SparkEntry {
     // independent 8-bit uniforms (slot s reads hex chars 2s+1..2s+2),
     // matching the Spark side's 16x-fewer-digests layout exactly.
     "q155_bootstrap_ci" ->
-      """WITH r AS (SELECT e.event_type, e.event_id, e.value, gs.blk
+      """WITH r AS (SELECT e.event_type, e.event_id, e.value,
+        |        CAST(round(e.value*1000000) AS BIGINT) v6, gs.blk
         |      FROM events e, generate_series(0, 12) gs(blk)),
-        |h AS (SELECT event_type, event_id, blk, value,
+        |h AS (SELECT event_type, event_id, blk, v6,
         |        md5('boot:'||CAST(event_id AS VARCHAR)||':'||CAST(blk AS VARCHAR)) h
         |      FROM r),
-        |s AS (SELECT event_type, blk*16 + sl.slot AS b, value, h,
+        |s AS (SELECT event_type, blk*16 + sl.slot AS b, v6, h,
         |        CAST(sl.slot AS BIGINT) slot
         |      FROM h, generate_series(0, 15) sl(slot)
         |      WHERE blk*16 + sl.slot < 201),
-        |u AS (SELECT event_type, b, value,
+        |u AS (SELECT event_type, b, v6,
         |  CAST((instr('0123456789abcdef', substr(h, 2*slot + 1, 1)) - 1)*16 +
         |       (instr('0123456789abcdef', substr(h, 2*slot + 2, 1)) - 1) AS BIGINT) u8
         |      FROM s),
-        |w AS (SELECT event_type, b, value,
+        |w AS (SELECT event_type, b, v6,
         |        CASE WHEN u8 < 94 THEN 0 WHEN u8 < 188 THEN 1
         |             WHEN u8 < 235 THEN 2 WHEN u8 < 251 THEN 3
         |             WHEN u8 < 255 THEN 4 ELSE 5 END w
         |      FROM u),
         |m AS (SELECT event_type, b,
-        |        CAST(sum(CAST(value*w AS DECIMAL(18,6))) AS DOUBLE)/sum(w) m
+        |        CAST(sum(v6*w) AS DOUBLE)/1000000.0/sum(w) m
         |      FROM w WHERE w > 0 GROUP BY 1, 2),
         |k AS (SELECT event_type, m,
         |        row_number() OVER (PARTITION BY event_type ORDER BY m, b) rn

@@ -132,21 +132,32 @@ object Diagnostics {
       case ((thresh, k), acc) => when(col("u8") < thresh, lit(k)).otherwise(acc)
     }
     val blocks = (replicas + 15) / 16
+    // the digest's 16 bytes are pulled through FOUR 32-bit conv calls per
+    // hash (string parsing is the hot path at 16 slot-rows per hash; the
+    // per-slot byte then costs one shift+mask in codegen, not a substr+conv)
     val drawn = events
       .select(col("event_type"), col("event_id"), col("value"))
+      // snap value to 6 dp as a long ONCE per event — the replica sum is
+      // then a pure long multiply-add (w ≤ 5, so no overflow concern)
+      .withColumn("v6", expr("CAST(round(value * 1000000) AS BIGINT)"))
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
       .withColumn("h", md5(concat(lit("boot:"), col("event_id").cast("string"),
         lit(":"), col("blk").cast("string"))))
+      .withColumn("cs", expr(
+        "transform(sequence(0, 3), i -> CAST(conv(substr(h, 1 + 8*i, 8), 16, 10) AS BIGINT))"))
       .withColumn("slot", explode(sequence(lit(0), lit(15))))
       .withColumn("b", col("blk") * 16 + col("slot"))
       .where(col("b") < replicas)
       .withColumn("u8",
-        expr("CAST(conv(substr(h, 1 + 2*slot, 2), 16, 10) AS BIGINT)"))
+        expr("shiftright(cs[slot div 4], 8 * (3 - slot % 4)) & 255"))
       .withColumn("w", w)
       .where(col("w") > 0)
+    // value·w snapped at 6 dp as a LONG (same half-up rounding the
+    // decimal(18,6) cast performed, but summed through codegen'd long
+    // addition — Spark's decimal aggregate was the query's hot half)
     val means = drawn.groupBy(col("event_type"), col("b"))
-      .agg((sum((col("value") * col("w")).cast("decimal(18,6)")).cast("double")
-        / sum(col("w"))).as("m"))
+      .agg((sum(col("v6") * col("w")).cast("double")
+        / lit(1000000.0) / sum(col("w"))).as("m"))
     val rw = Window.partitionBy(col("event_type")).orderBy(col("m"), col("b"))
     // B=201: p2.5 → rank 1+0.025·200 = 6, p97.5 → rank 196 (both integer)
     val loRank = 1 + math.round(0.025 * (replicas - 1)).toInt
