@@ -469,7 +469,15 @@ object SparkEntry {
     "q228_sax_motifs" -> ((s, d) =>
       Sax.saxMotifs(s, d).orderBy(col("event_type"), col("rnk"))),
     "q229_paragraph_dedup" -> ((s, d) =>
-      Dedup.paragraphDedup(s, d).orderBy(col("source")))
+      Dedup.paragraphDedup(s, d).orderBy(col("source"))),
+    "q230_json_props" -> ((s, d) =>
+      SemiStructured.jsonProps(s, d)
+        .orderBy(col("event_type"), col("k_bucket"))),
+    "q231_vector_profile" -> ((s, d) =>
+      SemiStructured.vectorProfile(s, d).orderBy(col("vec_id"))),
+    "q232_window_tail" -> ((s, d) =>
+      SemiStructured.windowTail(s, d)
+        .orderBy(col("user_id"), col("event_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4820,7 +4828,43 @@ object SparkEntry {
         |    *1000000)/1000000 AS shared_frac,
         |  round(CAST(shared_chars AS DOUBLE)/CAST(total_chars AS DOUBLE)
         |    *1000000)/1000000 AS shared_char_frac
-        |FROM g ORDER BY source""".stripMargin
+        |FROM g ORDER BY source""".stripMargin,
+    "q230_json_props" ->
+      """WITH p AS (SELECT event_type, value,
+        |    CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) k
+        |  FROM events),
+        |b AS (SELECT event_type, value, k,
+        |        CAST(k//10 AS INT)*10 k_bucket FROM p)
+        |SELECT event_type, k_bucket, CAST(count(*) AS BIGINT) n,
+        |  min(k) k_min, max(k) k_max,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    /count(*)*10000)/10000 AS avg_value
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q231_vector_profile" ->
+      """WITH ix AS (SELECT vec_id, label, len(embedding) dim,
+        |    unnest(embedding) e FROM embeddings),
+        |g AS (SELECT vec_id, label, dim,
+        |    CAST(sum(CAST(abs(CAST(e AS DOUBLE)) AS DECIMAL(28,12)))
+        |      AS DOUBLE) l1,
+        |    max(abs(CAST(e AS DOUBLE))) linf,
+        |    CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS INT) n_pos
+        |  FROM ix GROUP BY 1, 2, 3)
+        |SELECT vec_id, label, CAST(dim AS INT) dim,
+        |  round(l1*1000000)/1000000 AS l1,
+        |  round(linf*1000000)/1000000 AS linf, n_pos,
+        |  round(l1/CAST(dim AS DOUBLE)*1000000)/1000000 AS mean_abs
+        |FROM g ORDER BY vec_id""".stripMargin,
+    "q232_window_tail" ->
+      """SELECT user_id, event_id,
+        |  round(percent_rank() OVER w*1000000)/1000000 AS pr,
+        |  round(first_value(value) OVER (w ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW), 4) AS first_val,
+        |  round(nth_value(value, 3) OVER (w ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW), 4) AS third_val
+        |FROM (SELECT user_id, event_id, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) e FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -473,12 +473,18 @@ object Graph {
     * orders — the shared input of q143/q144. Per-order self-join fan-out
     * is bounded by items-per-order². */
   private def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    // distinct BEFORE the self-join: a part repeated across an order's
+    // line items would otherwise fan the pair join out multiplicatively
+    // and force a countDistinct de-dup inside the aggregate; on distinct
+    // (order, part) rows every pair appears once per order, so plain
+    // count() IS the support and the aggregate stays map-side-combinable
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
     li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .agg(count(lit(1)).as("supp"))
       .where(col("supp") >= 2)
       .select(col("u").cast("bigint"), col("v").cast("bigint"))
   }
@@ -732,12 +738,14 @@ object Graph {
     */
   def copurchaseCommunitiesWeighted(spark: SparkSession,
                                     sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    // same distinct-before-self-join rationale as copurchaseEdges
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
     val edges = li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .agg(count(lit(1)).as("supp"))
       .where(col("supp") >= 2)
       .select(col("u").cast("bigint"), col("v").cast("bigint"),
         col("supp").cast("bigint"))
