@@ -477,7 +477,13 @@ object SparkEntry {
       SemiStructured.vectorProfile(s, d).orderBy(col("vec_id"))),
     "q232_window_tail" -> ((s, d) =>
       SemiStructured.windowTail(s, d)
-        .orderBy(col("user_id"), col("event_id")))
+        .orderBy(col("user_id"), col("event_id"))),
+    "q233_rolling_corr" -> ((s, d) =>
+      StatTests.rollingCorr(s, d).orderBy(col("h"))),
+    "q234_time_weighted_avg" -> ((s, d) =>
+      TimeSeries.timeWeightedAvg(s, d).orderBy(col("event_type"))),
+    "q235_top_types_concat" -> ((s, d) =>
+      Relational.topTypesConcat(s, d).orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4864,7 +4870,67 @@ object SparkEntry {
         |FROM (SELECT user_id, event_id, value,
         |        CAST(floor(epoch(ts)) AS BIGINT) e FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q233_rolling_corr" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/3600) AS BIGINT) h,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a.h, a.m x, b.m y
+        |      FROM hourly a JOIN hourly b ON a.h = b.h
+        |      WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+        |s AS (SELECT h,
+        |    CAST(count(*) OVER w AS BIGINT) n24,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) OVER w AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,12))) OVER w AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*y AS DECIMAL(28,12))) OVER w AS DOUBLE) sxy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(28,12))) OVER w AS DOUBLE) sxx,
+        |    CAST(sum(CAST(y*y AS DECIMAL(28,12))) OVER w AS DOUBLE) syy
+        |  FROM j WINDOW w AS (ORDER BY h
+        |    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *, (n24*sxx - sx*sx)*(n24*syy - sy*sy) den
+        |      FROM s WHERE n24 >= 12)
+        |SELECT h, n24,
+        |  CASE WHEN den > 0
+        |    THEN round((n24*sxy - sx*sy)/sqrt(den)*1000000)/1000000
+        |    ELSE 0.0 END AS corr24
+        |FROM f ORDER BY h""".stripMargin,
+    "q234_time_weighted_avg" ->
+      """WITH o AS (SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |l AS (SELECT event_type, value, e,
+        |        lag(e) OVER w pe, lag(value) OVER w pv
+        |      FROM o WINDOW w AS (PARTITION BY event_type
+        |        ORDER BY e, event_id)),
+        |t AS (SELECT event_type, value,
+        |        CAST(e - pe AS DOUBLE) dt,
+        |        CAST(((pv + value)/2.0)*CAST(e - pe AS DOUBLE)
+        |          AS DECIMAL(28,6)) trap
+        |      FROM l),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) sv,
+        |        CAST(sum(trap) AS DOUBLE) area,
+        |        CAST(sum(CAST(dt AS DECIMAL(18,2))) AS DOUBLE) span
+        |      FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(sv/CAST(n AS DOUBLE)*10000)/10000 AS plain_mean,
+        |  round(area/span*10000)/10000 AS twa,
+        |  round((sv/CAST(n AS DOUBLE) - area/span)*10000)/10000
+        |    AS sampling_bias
+        |FROM g ORDER BY 1""".stripMargin,
+    "q235_top_types_concat" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY n DESC, event_type) rnk
+        |      FROM c)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) top3_events,
+        |  string_agg(event_type || ':' || CAST(n AS VARCHAR), '|'
+        |    ORDER BY n DESC, event_type) top_types
+        |FROM r WHERE rnk <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

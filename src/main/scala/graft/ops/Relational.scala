@@ -1198,6 +1198,32 @@ object Relational {
           .as("ma3"))
   }
 
+  /** q235: ordered string aggregation — each user's top-3 event types as
+    * one pipe-joined string, the "summarize a group as a label" reshape
+    * (session descriptors, basket signatures) that needs DETERMINISTIC
+    * collect order: collect_list alone is partition-order-dependent, so
+    * the list is array_sort'ed on (count desc ⇒ negative count asc, name)
+    * struct keys before joining. The per-user type census is bounded by
+    * the event-type vocabulary, so the collect is a tiny constant per key.
+    */
+  def topTypesConcat(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= 3)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n")).as("top3_events"),
+        concat_ws("|",
+          expr("transform(array_sort(collect_list(struct(-n AS negn, " +
+            "event_type AS t, n AS n))), s -> concat(s.t, ':', s.n))"))
+          .as("top_types"))
+  }
+
   /** q220: explicit GROUPING SETS — the non-lattice aggregate shape that
     * CUBE (q204) and ROLLUP (q35) can't express: exactly the marginals the
     * report needs ((rflag, year), (lstatus, year), (year), ()) in ONE

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -379,4 +380,54 @@ object StatTests {
 
   def seasonalMannKendall(spark: SparkSession, sfDir: String): DataFrame =
     seasonalMannKendall(Tables.events(spark, sfDir))
+
+  /** q233: rolling 24-hour correlation between the click and purchase
+    * series — the time-LOCAL co-movement monitor (q44's corr is one number
+    * for all history; this shows when the coupling strengthens or breaks,
+    * which is what an incident review actually asks). Hourly means align
+    * the two series; all five sufficient statistics ride ONE 24-hour
+    * RANGE frame as exact decimal sums, so each output hour is
+    * deterministic. The unpartitioned window runs over the per-hour pair
+    * table — calendar-bounded (rows = hours observed), independent of raw
+    * data volume; the data-sized work is the one hourly groupBy.
+    */
+  def rollingCorr(events: DataFrame, typeA: String = "click",
+                  typeB: String = "purchase", hours: Int = 24): DataFrame = {
+    val hourly = events
+      .where(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("h"),
+        col("value"))
+      .groupBy(col("h"), col("event_type"))
+      .agg((round((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("m"))
+    val joined = hourly.where(col("event_type") === typeA)
+      .select(col("h"), col("m").as("x"))
+      .join(hourly.where(col("event_type") === typeB)
+        .select(col("h"), col("m").as("y")), Seq("h"))
+    val w = Window.orderBy(col("h")).rangeBetween(-(hours - 1), 0)
+    joined
+      .withColumn("n24", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x").cast("decimal(28,12)")).over(w)
+        .cast("double"))
+      .withColumn("sy", sum(col("y").cast("decimal(28,12)")).over(w)
+        .cast("double"))
+      .withColumn("sxy", sum((col("x") * col("y")).cast("decimal(28,12)"))
+        .over(w).cast("double"))
+      .withColumn("sxx", sum((col("x") * col("x")).cast("decimal(28,12)"))
+        .over(w).cast("double"))
+      .withColumn("syy", sum((col("y") * col("y")).cast("decimal(28,12)"))
+        .over(w).cast("double"))
+      .where(col("n24") >= 12)
+      .withColumn("den",
+        (col("n24") * col("sxx") - col("sx") * col("sx"))
+          * (col("n24") * col("syy") - col("sy") * col("sy")))
+      .select(col("h"), col("n24"),
+        when(col("den") > 0,
+          r6((col("n24") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("den")))).otherwise(lit(0.0)).as("corr24"))
+  }
+
+  def rollingCorr(spark: SparkSession, sfDir: String): DataFrame =
+    rollingCorr(Tables.events(spark, sfDir))
 }

@@ -1493,4 +1493,41 @@ object TimeSeries {
 
   def spearmanDaily(spark: SparkSession, sfDir: String): DataFrame =
     spearmanDaily(Tables.events(spark, sfDir))
+
+  /** q234: time-weighted average per series — trapezoidal integration over
+    * the irregular sample grid, the aggregate a plain mean silently gets
+    * wrong whenever sampling density correlates with level (a sensor that
+    * reports MORE during spikes biases its arithmetic mean upward; TWA
+    * weights each reading by the time it was "in effect"). One lag window
+    * per series; each trapezoid term (vᵢ₋₁+vᵢ)/2·Δt is snapped to decimal
+    * before the order-free sum, and the plain mean rides the same pass for
+    * the bias comparison.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("e"), col("event_id"))
+    val ev = events
+      .select(col("event_type"), col("event_id"),
+        epochS(col("ts")).as("e"), col("value"))
+      .withColumn("pe", lag(col("e"), 1).over(ord))
+      .withColumn("pv", lag(col("value"), 1).over(ord))
+      .withColumn("dt", (col("e") - col("pe")).cast("double"))
+      .withColumn("trap",
+        (((col("pv") + col("value")) / lit(2.0)) * col("dt"))
+          .cast("decimal(28,6)"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"),
+        sum(col("trap")).cast("double").as("area"),
+        sum(col("dt").cast("decimal(18,2)")).cast("double").as("span"))
+      .select(col("event_type"), col("n"),
+        r4(col("sv").cast("double") / col("n").cast("double"))
+          .as("plain_mean"),
+        r4(col("area") / col("span")).as("twa"),
+        r4(col("sv").cast("double") / col("n").cast("double")
+          - col("area") / col("span")).as("sampling_bias"))
+  }
+
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame =
+    timeWeightedAvg(Tables.events(spark, sfDir))
 }

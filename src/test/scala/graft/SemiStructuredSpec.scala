@@ -36,6 +36,37 @@ class SemiStructuredSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_abs") - 0.875) < 1e-9)
   }
 
+  test("timeWeightedAvg weights by holding time, not sample count") {
+    // value 0 held for 90s, then three quick 10-spikes 1s apart:
+    // plain mean = (0+10+10+10)/4 = 7.5
+    // TWA = (trap(0->10 over 90) + 2*trap(10->10 over 1)) / 92
+    //     = (450 + 10 + 10) / 92 ≈ 5.1087
+    val df = Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 90L, 1L, "a", 10.0),
+      (3L, 91L, 1L, "a", 10.0), (4L, 92L, 1L, "a", 10.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(sec)")).drop("sec")
+      .withColumn("props", lit("{}"))
+    val r = graft.ops.TimeSeries.timeWeightedAvg(df).collect().head
+    assert(math.abs(r.getAs[Double]("plain_mean") - 7.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("twa") - 470.0 / 92.0) < 1e-3)
+    assert(r.getAs[Double]("sampling_bias") > 2.0)
+  }
+
+  test("rollingCorr tracks a sign flip between aligned series") {
+    // x rises while y falls for 30h -> strongly negative local corr
+    val rows = (0 until 30).flatMap { h =>
+      Seq((h * 2L, h * 3600L, 1L, "click", h.toDouble),
+        (h * 2 + 1L, h * 3600L, 1L, "purchase", 100.0 - h))
+    }
+    val df = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(sec)")).drop("sec")
+      .withColumn("props", lit("{}"))
+    val out = graft.ops.StatTests.rollingCorr(df).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("corr24") < -0.999))
+  }
+
   test("windowTail percent_rank and nth_value over event order") {
     val df = Seq(
       (1L, 0L, 1L, "a", 10.0), (2L, 60L, 1L, "a", 20.0),
