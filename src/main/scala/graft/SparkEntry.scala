@@ -483,7 +483,13 @@ object SparkEntry {
     "q234_time_weighted_avg" -> ((s, d) =>
       TimeSeries.timeWeightedAvg(s, d).orderBy(col("event_type"))),
     "q235_top_types_concat" -> ((s, d) =>
-      Relational.topTypesConcat(s, d).orderBy(col("user_id")))
+      Relational.topTypesConcat(s, d).orderBy(col("user_id"))),
+    "q236_column_profile" -> ((s, d) =>
+      Relational.columnProfile(s, d).orderBy(col("col_name"))),
+    "q237_fk_orphans" -> ((s, d) =>
+      Relational.fkOrphans(s, d).orderBy(col("relation"))),
+    "q238_pareto_frontier" -> ((s, d) =>
+      Relational.paretoFrontier(s, d).orderBy(col("l_partkey")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4930,7 +4936,81 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(n) AS BIGINT) top3_events,
         |  string_agg(event_type || ':' || CAST(n AS VARCHAR), '|'
         |    ORDER BY n DESC, event_type) top_types
-        |FROM r WHERE rnk <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM r WHERE rnk <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q236_column_profile" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) n_rows,
+        |  CAST(count(*) - count(l_orderkey) AS BIGINT) c1n,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) c1d,
+        |  CAST(min(l_orderkey) AS VARCHAR) c1mn,
+        |  CAST(max(l_orderkey) AS VARCHAR) c1mx,
+        |  CAST(count(*) - count(l_partkey) AS BIGINT) c2n,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) c2d,
+        |  CAST(min(l_partkey) AS VARCHAR) c2mn,
+        |  CAST(max(l_partkey) AS VARCHAR) c2mx,
+        |  CAST(count(*) - count(l_quantity) AS BIGINT) c3n,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) c3d,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) c3mn,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) c3mx,
+        |  CAST(count(*) - count(l_extendedprice) AS BIGINT) c4n,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) c4d,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) c4mn,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) c4mx,
+        |  CAST(count(*) - count(l_returnflag) AS BIGINT) c5n,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) c5d,
+        |  CAST(min(l_returnflag) AS VARCHAR) c5mn,
+        |  CAST(max(l_returnflag) AS VARCHAR) c5mx,
+        |  CAST(count(*) - count(l_shipdate) AS BIGINT) c6n,
+        |  CAST(count(DISTINCT l_shipdate) AS BIGINT) c6d,
+        |  CAST(min(l_shipdate) AS VARCHAR) c6mn,
+        |  CAST(max(l_shipdate) AS VARCHAR) c6mx
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' col_name, n_rows, c1n n_nulls, c1d n_distinct,
+        |  c1mn min_s, c1mx max_s FROM g
+        |UNION ALL SELECT 'l_partkey', n_rows, c2n, c2d, c2mn, c2mx FROM g
+        |UNION ALL SELECT 'l_quantity', n_rows, c3n, c3d, c3mn, c3mx FROM g
+        |UNION ALL SELECT 'l_extendedprice', n_rows, c4n, c4d, c4mn, c4mx
+        |  FROM g
+        |UNION ALL SELECT 'l_returnflag', n_rows, c5n, c5d, c5mn, c5mx FROM g
+        |UNION ALL SELECT 'l_shipdate', n_rows, c6n, c6d, c6mn, c6mx FROM g
+        |ORDER BY col_name""".stripMargin,
+    "q237_fk_orphans" ->
+      """WITH a1 AS (SELECT CAST(count(*) AS BIGINT) n_child FROM lineitem),
+        |o1 AS (SELECT CAST(count(*) AS BIGINT) n_orphans FROM lineitem l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |         WHERE o.o_orderkey = l.l_orderkey)),
+        |a2 AS (SELECT CAST(count(*) AS BIGINT) n_child FROM orders),
+        |o2 AS (SELECT CAST(count(*) AS BIGINT) n_orphans FROM orders r
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = r.o_custkey)),
+        |a3 AS (SELECT CAST(count(*) AS BIGINT) n_child FROM customer),
+        |o3 AS (SELECT CAST(count(*) AS BIGINT) n_orphans FROM customer c
+        |       WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |         WHERE n.n_nationkey = c.c_nationkey)),
+        |u AS (SELECT 'lineitem->orders' relation, n_child, n_orphans
+        |        FROM a1 CROSS JOIN o1
+        |      UNION ALL SELECT 'orders->customer', n_child, n_orphans
+        |        FROM a2 CROSS JOIN o2
+        |      UNION ALL SELECT 'customer->nation', n_child, n_orphans
+        |        FROM a3 CROSS JOIN o3)
+        |SELECT relation, n_child, n_orphans,
+        |  round(CAST(n_orphans AS DOUBLE)/CAST(n_child AS DOUBLE)
+        |    *1000000)/1000000 AS orphan_frac
+        |FROM u ORDER BY relation""".stripMargin,
+    "q238_pareto_frontier" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    min(CAST(l_extendedprice/l_quantity AS DECIMAL(18,6)))
+        |      unit_price,
+        |    max(l_quantity) max_qty
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT l_partkey, unit_price, max_qty,
+        |        max(max_qty) OVER (ORDER BY unit_price, max_qty DESC,
+        |          l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING) best_prior
+        |      FROM pp)
+        |SELECT l_partkey, round(CAST(unit_price AS DOUBLE), 4) unit_price,
+        |  max_qty
+        |FROM s WHERE best_prior IS NULL OR max_qty > best_prior
+        |ORDER BY l_partkey""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1198,6 +1198,96 @@ object Relational {
           .as("ma3"))
   }
 
+  /** q236: one-pass column profile of lineitem — null count, distinct
+    * count, min/max (canonicalized to strings) per column, the
+    * `describe()`-style data-quality audit every ingestion run fronts
+    * with. ALL columns profile in ONE aggregate (Catalyst plans the
+    * multi-distinct via Expand — still a single scan); the long-format
+    * reshape explodes a 6-element struct array AFTER aggregation, so the
+    * reshape touches 6 rows, not the data.
+    */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate")
+    // canonical min/max rendering per type: integers and strings cast
+    // directly; doubles snap to DECIMAL(18,4) first (both engines render
+    // fixed-scale decimals identically — raw double→string formatting
+    // does NOT agree across engines); timestamps via their string form
+    def typed(c: String) = c match {
+      case "l_quantity" | "l_extendedprice" => col(c).cast("decimal(18,4)")
+      case _ => col(c)
+    }
+    val aggs = cols.flatMap { c =>
+      // min/max on the TYPED value (string min would be lexicographic),
+      // string-rendered only at the end
+      Seq(count(lit(1)).minus(count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(typed(c)).cast("string").as(s"${c}_min"),
+        max(typed(c)).cast("string").as(s"${c}_max"))
+    }
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val structs = cols.map { c =>
+      s"struct('$c' AS col_name, n_rows, ${c}_nulls AS n_nulls, " +
+        s"${c}_distinct AS n_distinct, ${c}_min AS min_s, ${c}_max AS max_s)"
+    }.mkString("array(", ", ", ")")
+    one.select(explode(expr(structs)).as("p")).select(col("p.*"))
+  }
+
+  /** q237: referential-integrity orphan census — child rows whose foreign
+    * key has no parent, per relation edge of the star schema. Each check
+    * is one left-anti join on the key (the parent side shrinks to its key
+    * column before the join, so the whole audit is key-join-bounded); the
+    * three relations report in one unioned frame.
+    */
+  def fkOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"),
+          (round(col("n_orphans").cast("double")
+            / col("n_child").cast("double") * lit(1000000))
+            / lit(1000000.0)).as("orphan_frac"))
+    }
+    audit("lineitem->orders", Tables.lineitem(spark, sfDir), "l_orderkey",
+      Tables.orders(spark, sfDir), "o_orderkey")
+      .union(audit("orders->customer", Tables.orders(spark, sfDir),
+        "o_custkey", Tables.customer(spark, sfDir), "c_custkey"))
+      .union(audit("customer->nation", Tables.customer(spark, sfDir),
+        "c_nationkey", Tables.nation(spark, sfDir), "n_nationkey"))
+  }
+
+  /** q238: 2-D Pareto frontier (SKYLINE) over per-part (min unit price,
+    * max shipped quantity) — the parts no other part beats on BOTH
+    * cheapness and volume. After the per-part aggregate the skyline is
+    * one window pass: sort by price asc (tie: qty desc, partkey), keep
+    * rows whose qty strictly exceeds the running max qty of everything
+    * cheaper — O(parts log parts), never a dominance self-join. The
+    * window is unpartitioned but runs over the per-part AGGREGATE, and
+    * at real scale the frontier filter composes with a pre-filter on a
+    * price-grid coarsening if even that table were huge.
+    */
+  def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val pp = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(min((col("l_extendedprice") / col("l_quantity"))
+        .cast("decimal(18,6)")).as("unit_price"),
+        max(col("l_quantity")).as("max_qty"))
+    val ord = Window.orderBy(col("unit_price"), col("max_qty").desc,
+      col("l_partkey"))
+    val prevBest = ord.rowsBetween(Window.unboundedPreceding, -1)
+    pp
+      .withColumn("best_prior", max(col("max_qty")).over(prevBest))
+      .where(col("best_prior").isNull
+        || col("max_qty") > col("best_prior"))
+      .select(col("l_partkey"),
+        round(col("unit_price").cast("double"), 4).as("unit_price"),
+        col("max_qty"))
+  }
+
   /** q235: ordered string aggregation — each user's top-3 event types as
     * one pipe-joined string, the "summarize a group as a label" reshape
     * (session descriptors, basket signatures) that needs DETERMINISTIC

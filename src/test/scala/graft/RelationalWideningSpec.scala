@@ -48,6 +48,37 @@ class RelationalWideningSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("days30")).toSeq == Seq(1L, 2L, 1L))
   }
 
+  test("columnProfile reports nulls, distincts, canonical min/max") {
+    val out = Relational.columnProfile(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.size == 6)
+    assert(out.values.forall(_.getAs[Long]("n_nulls") == 0))
+    assert(out("l_returnflag").getAs[Long]("n_distinct") == 3)
+    // decimal-canonicalized numeric rendering has the fixed scale
+    assert(out("l_quantity").getAs[String]("min_s").matches("""\d+\.\d{4}"""))
+  }
+
+  test("fkOrphans finds zero orphans on the consistent star schema") {
+    val out = Relational.fkOrphans(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("n_orphans") == 0))
+    assert(out.forall(_.getAs[Double]("orphan_frac") == 0.0))
+  }
+
+  test("paretoFrontier keeps only undominated (price, qty) points") {
+    val out = Relational.paretoFrontier(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // pairwise non-dominance: no frontier point is cheaper AND
+    // higher-volume than another
+    for (a <- out; b <- out if a != b) {
+      val dom = a.getAs[Double]("unit_price") <= b.getAs[Double]("unit_price") &&
+        a.getAs[Double]("max_qty") >= b.getAs[Double]("max_qty")
+      assert(!dom || (a.getAs[Double]("unit_price") == b.getAs[Double]("unit_price")
+        && a.getAs[Double]("max_qty") == b.getAs[Double]("max_qty")))
+    }
+  }
+
   test("groupingSetsMix gid decodes the grouping set membership") {
     val out = Relational.groupingSetsMix(spark, "/root/testdata/sf0.001")
       .collect()
