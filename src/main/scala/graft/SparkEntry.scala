@@ -489,7 +489,9 @@ object SparkEntry {
     "q237_fk_orphans" -> ((s, d) =>
       Relational.fkOrphans(s, d).orderBy(col("relation"))),
     "q238_pareto_frontier" -> ((s, d) =>
-      Relational.paretoFrontier(s, d).orderBy(col("l_partkey")))
+      Relational.paretoFrontier(s, d).orderBy(col("l_partkey"))),
+    "q239_ljung_box" -> ((s, d) =>
+      StatTests.ljungBox(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5010,7 +5012,42 @@ object SparkEntry {
         |SELECT l_partkey, round(CAST(unit_price AS DOUBLE), 4) unit_price,
         |  max_qty
         |FROM s WHERE best_prior IS NULL OR max_qty > best_prior
-        |ORDER BY l_partkey""".stripMargin
+        |ORDER BY l_partkey""".stripMargin,
+    "q239_ljung_box" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/3600) AS BIGINT) h,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type,
+        |    CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE)/count(*) mu
+        |  FROM hourly GROUP BY 1),
+        |d AS (SELECT hourly.event_type, h, m - mu d
+        |      FROM hourly JOIN mu ON hourly.event_type = mu.event_type),
+        |l AS (SELECT event_type, d,
+        |        lag(d, 1) OVER w d1, lag(d, 2) OVER w d2,
+        |        lag(d, 3) OVER w d3, lag(d, 4) OVER w d4,
+        |        lag(d, 5) OVER w d5, lag(d, 6) OVER w d6
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n_hours,
+        |        CAST(sum(CAST(d*d AS DECIMAL(28,12))) AS DOUBLE) den,
+        |        CAST(sum(CAST(d*d1 AS DECIMAL(28,12))) AS DOUBLE) num1,
+        |        CAST(sum(CAST(d*d2 AS DECIMAL(28,12))) AS DOUBLE) num2,
+        |        CAST(sum(CAST(d*d3 AS DECIMAL(28,12))) AS DOUBLE) num3,
+        |        CAST(sum(CAST(d*d4 AS DECIMAL(28,12))) AS DOUBLE) num4,
+        |        CAST(sum(CAST(d*d5 AS DECIMAL(28,12))) AS DOUBLE) num5,
+        |        CAST(sum(CAST(d*d6 AS DECIMAL(28,12))) AS DOUBLE) num6
+        |      FROM l GROUP BY 1),
+        |f AS (SELECT event_type, n_hours, CAST(n_hours AS DOUBLE) nn,
+        |        num1/den r1, num2/den r2, num3/den r3,
+        |        num4/den r4, num5/den r5, num6/den r6
+        |      FROM g)
+        |SELECT event_type, n_hours,
+        |  round(r1*1000000)/1000000 AS r1,
+        |  round(nn*(nn + 2.0)*(r1*r1/(nn - 1.0) + r2*r2/(nn - 2.0)
+        |    + r3*r3/(nn - 3.0) + r4*r4/(nn - 4.0) + r5*r5/(nn - 5.0)
+        |    + r6*r6/(nn - 6.0))*1000000)/1000000 AS q_lb
+        |FROM f ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

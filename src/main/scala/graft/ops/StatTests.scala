@@ -430,4 +430,49 @@ object StatTests {
 
   def rollingCorr(spark: SparkSession, sfDir: String): DataFrame =
     rollingCorr(Tables.events(spark, sfDir))
+
+  /** q239: Ljung–Box portmanteau whiteness test per series — Q = n(n+2)·
+    * Σₖ rₖ²/(n−k) over the first 6 autocorrelations of demeaned hourly
+    * means. The "is there ANY serial structure left" gate: q42 reads one
+    * lag, LB pools six with the right small-sample weights, and a large Q
+    * on squared residuals is the standard ARCH/volatility-clustering
+    * screen. All six numerators ride one lag window pass (observed-hour
+    * adjacency, as q228); every product is decimal-snapped pre-sum.
+    */
+  def ljungBox(events: DataFrame, maxLag: Int = 6): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("h"),
+        col("value"))
+      .groupBy(col("event_type"), col("h"))
+      .agg((round((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("m"))
+    val mu = hourly.groupBy(col("event_type"))
+      .agg((sum(col("m").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("mu"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    var d = hourly.join(broadcast(mu), Seq("event_type"))
+      .withColumn("d", col("m") - col("mu"))
+    (1 to maxLag).foreach { k =>
+      d = d.withColumn(s"p$k",
+        (col("d") * lag(col("d"), k).over(ord)).cast("decimal(28,12)"))
+    }
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      sum((col("d") * col("d")).cast("decimal(28,12)"))
+        .cast("double").as("den") +:
+        (1 to maxLag).map(k => sum(col(s"p$k")).cast("double").as(s"num$k"))
+    val g = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), aggs: _*)
+      .withColumn("nn", col("n_hours").cast("double"))
+    val qTerms = (1 to maxLag).map { k =>
+      val r = col(s"num$k") / col("den")
+      r * r / (col("nn") - lit(k.toDouble))
+    }.reduce(_ + _)
+    g.select(col("event_type"), col("n_hours"),
+      r6(col("num1") / col("den")).as("r1"),
+      r6(col("nn") * (col("nn") + lit(2.0)) * qTerms).as("q_lb"))
+  }
+
+  def ljungBox(spark: SparkSession, sfDir: String): DataFrame =
+    ljungBox(Tables.events(spark, sfDir))
 }

@@ -118,6 +118,17 @@ class StatTestsSpec extends SparkSpec {
     assert(row.getAs[Long]("s_stat") == 0)
   }
 
+  test("ljungBox is large on an alternating series, small on constant+spike") {
+    // hourly sawtooth: r1 ~ -1 -> Q blows up
+    val sawDf = (0 until 48).map { h =>
+      (h.toLong, h.toLong * 3600, 1L, "a", if (h % 2 == 0) 1.0 else 9.0)
+    }.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(sec)")).drop("sec")
+    val q = graft.ops.StatTests.ljungBox(sawDf).collect().head
+    assert(q.getAs[Double]("r1") < -0.9)
+    assert(q.getAs[Double]("q_lb") > 100.0)
+  }
+
   test("partialCorr removes a perfectly-explained confounder") {
     // x and y are both exact linear functions of z -> r_xy=1 via z;
     // partial correlation given z is 0/0-guarded: use near-exact instead
