@@ -11,9 +11,9 @@ import json
 import re
 import sys
 
-HEADER = """# BASELINE — round-4 bench (the number round 5+ must stay within 2x of)
+HEADER = """# BASELINE — round-5 bench (the number round 6+ must stay within 2x of)
 
-Source: fresh end-of-round-4 run of `graft.Bench` — sf0.1, local[32],
+Source: fresh end-of-round-5 run of `graft.Bench` — sf0.1, local[32],
 all {n} queries.
 
 **Methodology** (this is what makes the number comparable): 2 untimed
