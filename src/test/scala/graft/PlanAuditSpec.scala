@@ -194,6 +194,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("Reused"), "no stage/exchange reuse in q21's executed plan")
   }
 
+  test("round-4 widening: one-scan aggregates keep partial aggregation") {
+    // the inference/EVT suites must reduce map-side — a lost partial agg
+    // means every raw row crosses the shuffle
+    for (name <- Seq("q206_jarque_bera", "q208_anova_f", "q209_bartlett",
+                     "q210_cohens_d", "q216_unpivot_measures",
+                     "q222_tokenizer_fertility", "q234_time_weighted_avg"))
+      assert("HashAggregate".r.findAllIn(plans(name)).size >= 2,
+        s"$name lost its map-side partial aggregate")
+  }
+
+  test("q236 column profile is a single lineitem scan through Expand") {
+    val plan = plans("q236_column_profile")
+    // the formatted dump names each node twice (tree + detail section)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1,
+      "column profile re-scans lineitem — the multi-distinct Expand " +
+        "should profile all columns in one pass")
+    assert(plan.contains("Expand"),
+      "multi-distinct no longer plans through Expand")
+  }
+
+  test("q237 orphan anti-joins are hash joins (BNLJ only on 1-row counts)") {
+    val plan = plans("q237_fk_orphans")
+    assert("BroadcastHashJoin LeftAnti".r.findAllIn(plan).size == 3,
+      "an orphan check lost its broadcast hash anti join")
+  }
+
+  test("q221 naive-bayes priors and vocab broadcast to the scoring join") {
+    val plan = plans("q221_naive_bayes")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1
+      || plan.contains("BroadcastExchange"),
+      "NB scoring joins lost their broadcast sides")
+  }
+
+  test("q230 json parse stays in the scan projection (no extra exchange)") {
+    val plan = plans("q230_json_props")
+    assert(plan.contains("from_json"), "q230 no longer parses with from_json")
+    // one shuffle for the final groupBy is expected; a second would mean
+    // the parse forced a materialization
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      "q230 introduced an extra exchange around the JSON parse")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
