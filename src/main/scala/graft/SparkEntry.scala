@@ -491,7 +491,16 @@ object SparkEntry {
     "q238_pareto_frontier" -> ((s, d) =>
       Relational.paretoFrontier(s, d).orderBy(col("l_partkey"))),
     "q239_ljung_box" -> ((s, d) =>
-      StatTests.ljungBox(s, d).orderBy(col("event_type")))
+      StatTests.ljungBox(s, d).orderBy(col("event_type"))),
+    "q240_grubbs" -> ((s, d) =>
+      StatTests.grubbs(s, d).orderBy(col("event_type"))),
+    "q241_proportion_z" -> ((s, d) =>
+      StatTests.proportionZ(s, d).orderBy(col("event_type"))),
+    "q242_odds_ratio" -> ((s, d) => StatTests.oddsRatio(s, d)),
+    "q243_weighted_median" -> ((s, d) =>
+      Relational.weightedMedianPrice(s, d).orderBy(col("l_returnflag"))),
+    "q244_lorenz_deciles" -> ((s, d) =>
+      Relational.lorenzDeciles(s, d).orderBy(col("decile")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5047,7 +5056,115 @@ object SparkEntry {
         |  round(nn*(nn + 2.0)*(r1*r1/(nn - 1.0) + r2*r2/(nn - 2.0)
         |    + r3*r3/(nn - 3.0) + r4*r4/(nn - 4.0) + r5*r5/(nn - 5.0)
         |    + r6*r6/(nn - 6.0))*1000000)/1000000 AS q_lb
-        |FROM f ORDER BY 1""".stripMargin
+        |FROM f ORDER BY 1""".stripMargin,
+    "q240_grubbs" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2
+        |  FROM events GROUP BY 1),
+        |mm AS (SELECT event_type, n, s1/CAST(n AS DOUBLE) mean, s2 FROM m),
+        |ms AS (SELECT event_type, n, mean,
+        |        sqrt((s2 - CAST(n AS DOUBLE)*mean*mean)
+        |          /CAST(n - 1 AS DOUBLE)) sd
+        |      FROM mm),
+        |j AS (SELECT e.event_type, ms.n, ms.mean, ms.sd, e.event_id,
+        |        e.value, abs(e.value - ms.mean) absdev
+        |      FROM events e JOIN ms ON e.event_type = ms.event_type),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY absdev DESC, event_id) rn FROM j)
+        |SELECT event_type, n,
+        |  round(mean*1000000)/1000000 AS mean,
+        |  round(sd*1000000)/1000000 AS sd,
+        |  round(absdev/sd*1000000)/1000000 AS g_stat,
+        |  event_id AS worst_event_id,
+        |  round(value*1000000)/1000000 AS worst_value
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q241_proportion_z" ->
+      """WITH ev AS (SELECT event_type,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7)
+        |      IN (0, 6) we
+        |  FROM events),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) n1,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) x1
+        |  FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) nt,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) xt
+        |  FROM ev),
+        |f AS (SELECT event_type, n1, nt - n1 n2, x1, xt - x1 x2, nt, xt
+        |      FROM per CROSS JOIN tot),
+        |g AS (SELECT event_type, n1, n2,
+        |        CAST(x1 AS DOUBLE)/CAST(n1 AS DOUBLE) p1,
+        |        CAST(x2 AS DOUBLE)/CAST(n2 AS DOUBLE) p2,
+        |        CAST(xt AS DOUBLE)/CAST(nt AS DOUBLE) pp
+        |      FROM f)
+        |SELECT event_type, n1 AS n_type,
+        |  round(p1*1000000)/1000000 AS weekend_share,
+        |  round(p2*1000000)/1000000 AS rest_share,
+        |  round((p1 - p2)/sqrt(pp*(1.0 - pp)
+        |    *(1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)))
+        |    *1000000)/1000000 AS z_score
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q242_odds_ratio" ->
+      """WITH ev AS (SELECT
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7)
+        |      IN (0, 6) we,
+        |    event_type = 'error' err
+        |  FROM events),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN we AND err THEN 1 ELSE 0 END) AS BIGINT) a,
+        |    CAST(sum(CASE WHEN we AND NOT err THEN 1 ELSE 0 END)
+        |      AS BIGINT) b,
+        |    CAST(sum(CASE WHEN NOT we AND err THEN 1 ELSE 0 END)
+        |      AS BIGINT) c,
+        |    CAST(sum(CASE WHEN NOT we AND NOT err THEN 1 ELSE 0 END)
+        |      AS BIGINT) d
+        |  FROM ev),
+        |x AS (SELECT *,
+        |        CAST(a AS DOUBLE)*CAST(d AS DOUBLE)
+        |          /(CAST(b AS DOUBLE)*CAST(c AS DOUBLE)) or0,
+        |        sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)
+        |          + 1.0/CAST(c AS DOUBLE) + 1.0/CAST(d AS DOUBLE)) se
+        |      FROM t)
+        |SELECT a, b, c, d,
+        |  round(or0*1000000)/1000000 AS odds_ratio,
+        |  round(exp(ln(or0) - 1.96*se)*1000000)/1000000 AS ci_lo,
+        |  round(exp(ln(or0) + 1.96*se)*1000000)/1000000 AS ci_hi
+        |FROM x""".stripMargin,
+    "q243_weighted_median" ->
+      """WITH pp AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice/l_quantity AS DECIMAL(18,6)) price,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, price, rev,
+        |        sum(rev) OVER (PARTITION BY l_returnflag ORDER BY price
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+        |        sum(rev) OVER (PARTITION BY l_returnflag) tot
+        |      FROM pp),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY price) rn
+        |      FROM w WHERE cum*2 >= tot)
+        |SELECT l_returnflag,
+        |  round(CAST(price AS DOUBLE), 4) weighted_median_price,
+        |  round(CAST(tot AS DOUBLE), 2) total_rev
+        |FROM s WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q244_lorenz_deciles" ->
+      """WITH cr AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) rev
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, rev,
+        |        CAST(ntile(10) OVER (ORDER BY rev, o_custkey) AS INT)
+        |          decile
+        |      FROM cr),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) n_cust,
+        |        sum(rev) dec_rev FROM d GROUP BY 1),
+        |c AS (SELECT *, sum(dec_rev) OVER (ORDER BY decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_rev,
+        |        sum(dec_rev) OVER () tot_rev FROM g)
+        |SELECT decile, n_cust,
+        |  round(CAST(dec_rev AS DOUBLE), 2) decile_rev,
+        |  round(CAST(cum_rev AS DOUBLE)/CAST(tot_rev AS DOUBLE)
+        |    *1000000)/1000000 cum_share
+        |FROM c ORDER BY decile""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1198,6 +1198,68 @@ object Relational {
           .as("ma3"))
   }
 
+  /** q243: revenue-weighted median unit price per return flag — the
+    * weighted-quantile primitive (where does the MONEY sit, not the row
+    * count; a plain median over rows is dominated by cheap high-volume
+    * lines). Prices snap to decimals, per-price revenue aggregates first,
+    * and the median is the first price whose doubled cumulative revenue
+    * reaches the total — an EXACT decimal comparison, no float boundary.
+    * The cumulative window runs per flag over the price-distinct
+    * aggregate, not the fact table.
+    */
+  def weightedMedianPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val pp = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") / col("l_quantity"))
+          .cast("decimal(18,6)").as("price"),
+        col("l_extendedprice").cast("decimal(18,2)").as("rev"))
+      .groupBy(col("l_returnflag"), col("price"))
+      .agg(sum(col("rev")).as("rev"))
+    val ord = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    val first = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price"))
+    pp
+      .withColumn("cum", sum(col("rev")).over(cum))
+      .withColumn("tot", sum(col("rev")).over(tot))
+      .where(col("cum") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(first))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"),
+        round(col("price").cast("double"), 4).as("weighted_median_price"),
+        round(col("tot").cast("double"), 2).as("total_rev"))
+  }
+
+  /** q244: Lorenz curve of customer revenue concentration in deciles —
+    * the distributional VIEW behind q121's single Gini number (which
+    * decile holds what share; the retention/whale planning table). ntile
+    * and the cumulative share both run over the per-customer AGGREGATE,
+    * with the decile order fully determined by (revenue, custkey).
+    */
+  def lorenzDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cr = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val ord = Window.orderBy(col("rev"), col("o_custkey"))
+    val byDecile = cr
+      .withColumn("decile", ntile(10).over(ord))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("dec_rev"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    byDecile
+      .withColumn("cum_rev", sum(col("dec_rev")).over(cum))
+      .withColumn("tot_rev", sum(col("dec_rev")).over(tot))
+      .select(col("decile"), col("n_cust"),
+        round(col("dec_rev").cast("double"), 2).as("decile_rev"),
+        (round(col("cum_rev").cast("double")
+          / col("tot_rev").cast("double") * lit(1000000))
+          / lit(1000000.0)).as("cum_share"))
+  }
+
   /** q236: one-pass column profile of lineitem — null count, distinct
     * count, min/max (canonicalized to strings) per column, the
     * `describe()`-style data-quality audit every ingestion run fronts

@@ -475,4 +475,102 @@ object StatTests {
 
   def ljungBox(spark: SparkSession, sfDir: String): DataFrame =
     ljungBox(Tables.events(spark, sfDir))
+
+  /** q240: Grubbs' outlier statistic per series — G = max|x−x̄|/s with the
+    * attaining observation, the single-most-extreme-point screen that
+    * complements q41's all-points z census. Two aggregates (moments, then
+    * a struct-max argmax with ties to the smallest event id — no sort, no
+    * window) around one broadcast-back of the 5-row moment table.
+    */
+  def grubbs(events: DataFrame): DataFrame = {
+    val m = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("sd",
+        sqrt((col("s2").cast("double")
+          - col("n").cast("double") * col("mean") * col("mean"))
+          / (col("n") - 1).cast("double")))
+      .select(col("event_type"), col("n"), col("mean"), col("sd"))
+    events.join(broadcast(m), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("mean")))
+      .groupBy(col("event_type"), col("n"), col("mean"), col("sd"))
+      .agg(max(struct(col("absdev"), (-col("event_id")).as("nid"),
+        col("value"))).as("w"))
+      .select(col("event_type"), col("n"),
+        r6(col("mean")).as("mean"), r6(col("sd")).as("sd"),
+        r6(col("w.absdev") / col("sd")).as("g_stat"),
+        (-col("w.nid")).as("worst_event_id"),
+        r6(col("w.value")).as("worst_value"))
+  }
+
+  def grubbs(spark: SparkSession, sfDir: String): DataFrame =
+    grubbs(Tables.events(spark, sfDir))
+
+  /** q241: two-proportion z-test of each series' weekend share against the
+    * pooled rest-of-traffic weekend share — "does THIS event type shift
+    * its weekly mix significantly". Pure integer counting until the final
+    * z; complements q125/q210 (which test the VALUE, not the mix).
+    */
+  def proportionZ(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"))
+      .withColumn("we",
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).isin(0, 6))
+    val per = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n1"),
+      sum(when(col("we"), 1L).otherwise(0L)).as("x1"))
+    val tot = ev.agg(count(lit(1)).as("nt"),
+      sum(when(col("we"), 1L).otherwise(0L)).as("xt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nt") - col("n1"))
+      .withColumn("x2", col("xt") - col("x1"))
+      .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
+      .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
+      .withColumn("pp", col("xt").cast("double") / col("nt").cast("double"))
+      .select(col("event_type"), col("n1").as("n_type"),
+        r6(col("p1")).as("weekend_share"),
+        r6(col("p2")).as("rest_share"),
+        r6((col("p1") - col("p2"))
+          / sqrt(col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / col("n1").cast("double")
+              + lit(1.0) / col("n2").cast("double")))).as("z_score"))
+  }
+
+  def proportionZ(spark: SparkSession, sfDir: String): DataFrame =
+    proportionZ(Tables.events(spark, sfDir))
+
+  /** q242: odds ratio of the weekend × error 2×2 table with the Woolf
+    * log-interval — the effect-size complement to q207's χ² (association
+    * strength with a CI, not just "is there association"). One conditional
+    * aggregate; everything exact until OR and the interval exp/ln.
+    */
+  def oddsRatio(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"))
+      .withColumn("we",
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).isin(0, 6))
+      .withColumn("err", col("event_type") === "error")
+    ev.agg(
+      sum(when(col("we") && col("err"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("we") && !col("err"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("we") && col("err"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("we") && !col("err"), 1L).otherwise(0L)).as("d"))
+      .withColumn("or0",
+        col("a").cast("double") * col("d").cast("double")
+          / (col("b").cast("double") * col("c").cast("double")))
+      .withColumn("se",
+        sqrt(lit(1.0) / col("a").cast("double")
+          + lit(1.0) / col("b").cast("double")
+          + lit(1.0) / col("c").cast("double")
+          + lit(1.0) / col("d").cast("double")))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        r6(col("or0")).as("odds_ratio"),
+        r6(exp(log(col("or0")) - lit(1.96) * col("se"))).as("ci_lo"),
+        r6(exp(log(col("or0")) + lit(1.96) * col("se"))).as("ci_hi"))
+  }
+
+  def oddsRatio(spark: SparkSession, sfDir: String): DataFrame =
+    oddsRatio(Tables.events(spark, sfDir))
 }

@@ -79,6 +79,24 @@ class RelationalWideningSpec extends SparkSpec {
     }
   }
 
+  test("lorenzDeciles shares are monotone and end at 1.0") {
+    val out = Relational.lorenzDeciles(spark, "/root/testdata/sf0.001")
+      .orderBy(col("decile")).collect()
+    assert(out.length == 10)
+    val shares = out.map(_.getAs[Double]("cum_share"))
+    assert(shares.sliding(2).forall(p => p(0) <= p(1)))
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    // top decile holds a disproportionate share
+    assert(1.0 - shares(8) > 0.1)
+  }
+
+  test("weightedMedianPrice sits where half the revenue accumulates") {
+    val out = Relational.weightedMedianPrice(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Double]("weighted_median_price") > 0))
+  }
+
   test("groupingSetsMix gid decodes the grouping set membership") {
     val out = Relational.groupingSetsMix(spark, "/root/testdata/sf0.001")
       .collect()

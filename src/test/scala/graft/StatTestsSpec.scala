@@ -118,6 +118,45 @@ class StatTestsSpec extends SparkSpec {
     assert(row.getAs[Long]("s_stat") == 0)
   }
 
+  test("grubbs pinpoints the single planted outlier") {
+    val rows = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, i % 3, 1L, "a", v)
+    }
+    val r = StatTests.grubbs(events(rows)).collect().head
+    assert(r.getAs[Long]("worst_event_id") == 20L)
+    assert(r.getAs[Double]("worst_value") == 100.0)
+    assert(r.getAs[Double]("g_stat") > 4.0)
+  }
+
+  test("grubbs ties resolve to the smallest event id") {
+    // two symmetric extremes with equal |dev|: ids 0 and 3
+    val rows = Seq((0L, 0, 1L, "a", 0.0), (1L, 0, 1L, "a", 5.0),
+      (2L, 0, 1L, "a", 5.0), (3L, 0, 1L, "a", 10.0))
+    val r = StatTests.grubbs(events(rows)).collect().head
+    assert(r.getAs[Long]("worst_event_id") == 0L)
+  }
+
+  test("proportionZ is ~zero when every type shares the weekend mix") {
+    // two types, both 50% weekend (days 3=weekend, 4=weekday)
+    val rows = (0 until 40).map { i =>
+      val day = if (i % 2 == 0) 3 else 4
+      (i.toLong, day, 1L, if (i < 20) "a" else "b", 1.0)
+    }
+    val out = StatTests.proportionZ(events(rows)).collect()
+    assert(out.forall(r => math.abs(r.getAs[Double]("z_score")) < 1e-9))
+  }
+
+  test("oddsRatio is 1.0 on an independent 2x2 table") {
+    // equal error rate on weekend and weekday
+    val rows = (0 until 40).map { i =>
+      val day = if (i % 2 == 0) 3 else 4
+      (i.toLong, day, 1L, if (i % 4 < 2) "error" else "view", 1.0)
+    }
+    val r = StatTests.oddsRatio(events(rows)).collect().head
+    assert(math.abs(r.getAs[Double]("odds_ratio") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("ci_lo") < 1.0 && r.getAs[Double]("ci_hi") > 1.0)
+  }
+
   test("ljungBox is large on an alternating series, small on constant+spike") {
     // hourly sawtooth: r1 ~ -1 -> Q blows up
     val sawDf = (0 until 48).map { h =>
