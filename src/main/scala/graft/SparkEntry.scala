@@ -500,7 +500,11 @@ object SparkEntry {
     "q243_weighted_median" -> ((s, d) =>
       Relational.weightedMedianPrice(s, d).orderBy(col("l_returnflag"))),
     "q244_lorenz_deciles" -> ((s, d) =>
-      Relational.lorenzDeciles(s, d).orderBy(col("decile")))
+      Relational.lorenzDeciles(s, d).orderBy(col("decile"))),
+    "q245_entropy_rate" -> ((s, d) =>
+      Ranges.entropyRate(s, d).orderBy(col("from_type"))),
+    "q246_hopping_peaks" -> ((s, d) =>
+      Ranges.hoppingPeaks(s, d).orderBy(col("event_type"), col("rnk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5164,7 +5168,49 @@ object SparkEntry {
         |  round(CAST(dec_rev AS DOUBLE), 2) decile_rev,
         |  round(CAST(cum_rev AS DOUBLE)/CAST(tot_rev AS DOUBLE)
         |    *1000000)/1000000 cum_share
-        |FROM c ORDER BY decile""".stripMargin
+        |FROM c ORDER BY decile""".stripMargin,
+    "q245_entropy_rate" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) from_type
+        |  FROM events),
+        |t AS (SELECT from_type, event_type to_type,
+        |        CAST(count(*) AS BIGINT) n
+        |      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_type, CAST(sum(n) AS BIGINT) rt
+        |      FROM t GROUP BY 1),
+        |gg AS (SELECT CAST(sum(n) AS BIGINT) g FROM t),
+        |h AS (SELECT t.from_type, r.rt,
+        |        CAST(sum(CAST(-(CAST(n AS DOUBLE)/CAST(rt AS DOUBLE))
+        |          *ln(CAST(n AS DOUBLE)/CAST(rt AS DOUBLE))
+        |          AS DECIMAL(28,12))) AS DOUBLE) h_cond
+        |      FROM t JOIN r ON t.from_type = r.from_type GROUP BY 1, 2),
+        |x AS (SELECT from_type, rt, h_cond,
+        |        CAST(rt AS DOUBLE)/CAST(g AS DOUBLE) pi,
+        |        CAST(CAST(rt AS DOUBLE)/CAST(g AS DOUBLE)*h_cond
+        |          AS DECIMAL(28,12)) term
+        |      FROM h CROSS JOIN gg),
+        |hr AS (SELECT CAST(sum(term) AS DOUBLE) h_rate FROM x)
+        |SELECT from_type, rt AS n_from,
+        |  round(pi*1000000)/1000000 AS pi,
+        |  round(h_cond*1000000)/1000000 AS h_cond,
+        |  round(h_rate*1000000)/1000000 AS h_rate
+        |FROM x CROSS JOIN hr ORDER BY from_type""".stripMargin,
+    "q246_hopping_peaks" ->
+      """WITH o AS (SELECT event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |wmap AS (SELECT event_type, value,
+        |    (e//900 - gs.k)*900 win_start
+        |  FROM o, generate_series(0, 3) gs(k)),
+        |a AS (SELECT event_type, CAST(win_start AS BIGINT) win_start,
+        |        CAST(count(*) AS BIGINT) n_events,
+        |        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          /count(*)*10000)/10000 avg_value
+        |      FROM wmap GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |        ORDER BY n_events DESC, win_start) AS INT) rnk FROM a)
+        |SELECT event_type, rnk, win_start, n_events, avg_value
+        |FROM r WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

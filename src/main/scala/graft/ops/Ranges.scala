@@ -317,6 +317,65 @@ object Ranges {
         (round(col("n").cast("double") / col("row_total") * 10000) / 10000).as("p"))
   }
 
+  /** q245: entropy rate of the user event-type Markov chain — H =
+    * Σᵢ π(i)·Hᵢ with Hᵢ = −Σⱼ p(j|i)·ln p(j|i) over q67's transition
+    * counts, plus the per-state conditional entropies. The
+    * predictability number behind the transition matrix: H → 0 means
+    * journeys are deterministic (prefetchable, compressible), H → ln k
+    * means memoryless traffic. Stationary π is estimated as the
+    * FROM-state share of observed transitions; all counting is exact and
+    * each p·ln p term is decimal-snapped over the k² matrix rows only.
+    */
+  def entropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = trans.groupBy(col("from_type")).agg(sum(col("n")).as("rt"))
+    val grand = trans.agg(sum(col("n")).as("g"))
+    val hRow = trans.join(rowTot, "from_type")
+      .withColumn("p", col("n").cast("double") / col("rt").cast("double"))
+      .withColumn("t", (-col("p") * log(col("p"))).cast("decimal(28,12)"))
+      .groupBy(col("from_type"), col("rt"))
+      .agg(sum(col("t")).cast("double").as("h_cond"))
+    val total = hRow.crossJoin(broadcast(grand))
+      .withColumn("pi", col("rt").cast("double") / col("g").cast("double"))
+      .withColumn("term", (col("pi") * col("h_cond")).cast("decimal(28,12)"))
+    val hRate = total.agg(sum(col("term")).cast("double").as("h_rate"))
+    total.crossJoin(broadcast(hRate))
+      .select(col("from_type"), col("rt").as("n_from"),
+        (round(col("pi") * lit(1000000)) / lit(1000000.0)).as("pi"),
+        (round(col("h_cond") * lit(1000000)) / lit(1000000.0)).as("h_cond"),
+        (round(col("h_rate") * lit(1000000)) / lit(1000000.0)).as("h_rate"))
+  }
+
+  /** q246: busiest hopping windows — native window(ts, 1h, 15m) hopping
+    * aggregation (each event lands in 4 overlapping frames via Catalyst's
+    * window Expand, no self-join), then the top-3 windows per series by
+    * count. The sliding-peak detector q101's fixed hour buckets miss when
+    * a burst straddles a bucket edge; candidate windows aggregate first,
+    * so the top-N window runs over (series × frames), never events.
+    */
+  def hoppingPeaks(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
+    val agg = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 hour", "15 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) * lit(10000)) / lit(10000.0)).as("avg_value"))
+    val rankW = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("win.start"))
+    agg
+      .withColumn("rnk", row_number().over(rankW))
+      .where(col("rnk") <= topN)
+      .select(col("event_type"), col("rnk"),
+        unix_timestamp(col("win.start")).as("win_start"),
+        col("n_events"), col("avg_value"))
+  }
+
   /** q63: weekly cohort retention — users grouped by first-activity week
     * (the cohort), then for each (cohort, week-offset) cell the fraction of
     * the cohort still active. The standard product-analytics triangle, as

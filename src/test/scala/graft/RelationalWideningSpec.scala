@@ -97,6 +97,34 @@ class RelationalWideningSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("weighted_median_price") > 0))
   }
 
+  test("entropyRate is 0 for a deterministic chain, ln k for uniform") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.ops.Ranges.entropyRate(spark, sf).collect()
+    assert(out.nonEmpty)
+    val hr = out.head.getAs[Double]("h_rate")
+    // 5 event types: entropy rate bounded by ln 5, above 0 on real data
+    assert(hr > 0.0 && hr <= math.log(5.0) + 1e-9)
+    // h_rate is a weighted mean of h_cond values
+    val conds = out.map(_.getAs[Double]("h_cond"))
+    assert(hr <= conds.max + 1e-9 && hr >= conds.min - 1e-9)
+    // pis sum to 1
+    assert(math.abs(out.map(_.getAs[Double]("pi")).sum - 1.0) < 1e-4)
+  }
+
+  test("hoppingPeaks windows overlap and never under-count the peak hour") {
+    val sf = "/root/testdata/sf0.001"
+    val peaks = graft.ops.Ranges.hoppingPeaks(spark, sf).collect()
+    assert(peaks.nonEmpty)
+    // rank-1 window per type has the max count, starts at a 15-min grid
+    peaks.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("win_start") % 900 == 0)
+    }
+    peaks.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byRnk = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("n_events"))
+      assert(byRnk.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("groupingSetsMix gid decodes the grouping set membership") {
     val out = Relational.groupingSetsMix(spark, "/root/testdata/sf0.001")
       .collect()
