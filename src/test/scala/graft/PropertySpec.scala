@@ -189,4 +189,75 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"seed $seed")
     }
   }
+
+  test("ANOVA partitions total variance on random data: SSB+SSW = SST") {
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (g, v)
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(200, rowGen), seed).zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, 0L, 1L, g, v) }
+      val df = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+        .withColumn("ts", expr("timestamp_seconds(sec)")).drop("sec")
+      val r = graft.ops.StatTests.anovaF(df).collect().head
+      val vals = rows.map(_._5)
+      val mean = vals.sum / vals.size
+      val sst = vals.map(v => (v - mean) * (v - mean)).sum
+      val ssb = r.getAs[Double]("ss_between")
+      val ssw = r.getAs[Double]("ss_within")
+      assert(math.abs(ssb + ssw - sst) < 1e-4 * math.max(1.0, sst),
+        s"seed $seed: SSB $ssb + SSW $ssw != SST $sst")
+      assert(ssb >= -1e-9 && ssw >= -1e-9)
+      val eta = r.getAs[Double]("eta_sq")
+      assert(eta >= 0.0 && eta <= 1.0)
+    }
+  }
+
+  test("jarqueBera moments match brute force on random samples") {
+    for (seed <- 1L to 5L) {
+      val vals = sample(Gen.listOfN(150, Gen.chooseNum(0.0, 500.0)), seed)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 0L, 1L, "x", v)
+      }
+      val df = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+        .withColumn("ts", expr("timestamp_seconds(sec)")).drop("sec")
+      val r = graft.ops.StatTests.jarqueBera(df).collect().head
+      val n = vals.size.toDouble
+      val mean = vals.sum / n
+      val m2 = vals.map(v => (v - mean) * (v - mean)).sum / n
+      val m3 = vals.map(v => math.pow(v - mean, 3)).sum / n
+      val m4 = vals.map(v => math.pow(v - mean, 4)).sum / n
+      assert(math.abs(r.getAs[Double]("skewness")
+        - m3 / (m2 * math.sqrt(m2))) < 1e-4, s"seed $seed skew")
+      assert(math.abs(r.getAs[Double]("ex_kurtosis")
+        - (m4 / (m2 * m2) - 3.0)) < 1e-4, s"seed $seed kurt")
+    }
+  }
+
+  test("weighted median never moves past half the weight (random prices)") {
+    // Internal consistency on real data at two scale factors: the chosen
+    // price must accumulate >= 50% of revenue, and the price just below
+    // it must accumulate < 50%.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice") / col("l_quantity"))
+            .cast("decimal(18,6)").as("price"),
+          col("l_extendedprice").cast("decimal(18,2)").as("rev"))
+      val med = graft.ops.Relational.weightedMedianPrice(spark, sf)
+        .collect().map(r => r.getAs[String]("l_returnflag")
+          -> r.getAs[Double]("weighted_median_price")).toMap
+      for ((flag, wm) <- med) {
+        val rows = li.where(col("l_returnflag") === flag)
+          .as[(String, java.math.BigDecimal, java.math.BigDecimal)]
+          .collect().map(t => (t._2.doubleValue, t._3.doubleValue))
+        val tot = rows.map(_._2).sum
+        val below = rows.filter(_._1 < wm - 5e-5).map(_._2).sum
+        val upto = rows.filter(_._1 <= wm + 5e-5).map(_._2).sum
+        assert(below * 2 < tot + 1e-6, s"$flag: below-median mass >= half")
+        assert(upto * 2 >= tot - 1e-6, s"$flag: median failed to reach half")
+      }
+    }
+  }
 }
