@@ -38,6 +38,26 @@ object EventStream {
   def windowedAggStream(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "30 minutes"))
 
+  /** Hopping (sliding) windowed aggregation — each event contributes to
+    * FOUR overlapping 1-hour frames via Catalyst's window Expand; with a
+    * watermark the state per key is bounded by (watermark / slide) frames.
+    * The streaming half of q246's hopping-peak detector: run over a
+    * stream, sink the frame aggregates, and the batch top-N over the sink
+    * equals the batch q246 plan (HoppingStreamSpec asserts parity).
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) * 10000) / lit(10000.0)).as("avg_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("avg_value"))
+
+  def hoppingAggStream(events: DataFrame,
+                       watermarkDelay: String = "2 hours"): DataFrame =
+    hoppingAgg(events.withWatermark("ts", watermarkDelay))
+
   /** Streaming exact dedup on a key: state retention is bounded by the
     * watermark (dropDuplicatesWithinWatermark), so duplicate suppression
     * runs forever on an unbounded stream with O(keys-per-watermark-window)
