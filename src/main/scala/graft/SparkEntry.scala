@@ -4351,8 +4351,8 @@ object SparkEntry {
         |          - 3.0*mean*mean*mean*mean m4
         |      FROM b),
         |d AS (SELECT event_type, n, nn,
-        |        m3/(m2*sqrt(m2)) skew,
-        |        m4/(m2*m2) - 3.0 exkurt
+        |        CASE WHEN m2 > 0 THEN m3/(m2*sqrt(m2)) ELSE 0.0 END skew,
+        |        CASE WHEN m2 > 0 THEN m4/(m2*m2) - 3.0 ELSE 0.0 END exkurt
         |      FROM c)
         |SELECT event_type, n,
         |  round(skew*1000000)/1000000 AS skewness,
@@ -5079,7 +5079,8 @@ object SparkEntry {
         |SELECT event_type, n,
         |  round(mean*1000000)/1000000 AS mean,
         |  round(sd*1000000)/1000000 AS sd,
-        |  round(absdev/sd*1000000)/1000000 AS g_stat,
+        |  CASE WHEN sd > 0 THEN round(absdev/sd*1000000)/1000000
+        |       ELSE 0.0 END AS g_stat,
         |  event_id AS worst_event_id,
         |  round(value*1000000)/1000000 AS worst_value
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,

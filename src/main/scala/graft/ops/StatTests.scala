@@ -60,8 +60,13 @@ object StatTests {
           + lit(6.0) * col("mean") * col("mean")
             * (col("s2").cast("double") / col("nn"))
           - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
-      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
-      .withColumn("exkurt", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+      // zero-variance guard: ANSI double division by zero throws
+      .withColumn("skew",
+        when(col("m2") > 0, col("m3") / (col("m2") * sqrt(col("m2"))))
+          .otherwise(lit(0.0)))
+      .withColumn("exkurt",
+        when(col("m2") > 0, col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .otherwise(lit(0.0)))
       .select(col("event_type"), col("n"),
         r6(col("skew")).as("skewness"),
         r6(col("exkurt")).as("ex_kurtosis"),
@@ -500,7 +505,10 @@ object StatTests {
         col("value"))).as("w"))
       .select(col("event_type"), col("n"),
         r6(col("mean")).as("mean"), r6(col("sd")).as("sd"),
-        r6(col("w.absdev") / col("sd")).as("g_stat"),
+        // ANSI mode errors on /0 even for doubles: a zero-variance series
+        // has no outlier by definition — report G = 0, don't crash
+        when(col("sd") > 0, r6(col("w.absdev") / col("sd")))
+          .otherwise(lit(0.0)).as("g_stat"),
         (-col("w.nid")).as("worst_event_id"),
         r6(col("w.value")).as("worst_value"))
   }
