@@ -4412,9 +4412,11 @@ object SparkEntry {
         |SELECT k, n_tot AS n,
         |  round(ssb*1000000)/1000000 AS ss_between,
         |  round(ssw*1000000)/1000000 AS ss_within,
-        |  round((ssb/CAST(k - 1 AS DOUBLE))/(ssw/CAST(n_tot - k AS DOUBLE))
-        |    *1000000)/1000000 AS f_stat,
-        |  round(ssb/(ssb + ssw)*1000000)/1000000 AS eta_sq
+        |  CASE WHEN ssw > 0 THEN
+        |    round((ssb/CAST(k - 1 AS DOUBLE))/(ssw/CAST(n_tot - k AS DOUBLE))
+        |      *1000000)/1000000 ELSE 0.0 END AS f_stat,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    round(ssb/(ssb + ssw)*1000000)/1000000 ELSE 0.0 END AS eta_sq
         |FROM w""".stripMargin,
     "q209_bartlett" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) ng,
@@ -4474,7 +4476,9 @@ object SparkEntry {
         |  round(m_wd*1000000)/1000000 AS mean_wd,
         |  round(m_we*1000000)/1000000 AS mean_we,
         |  round(pooled_sd*1000000)/1000000 AS pooled_sd,
-        |  round((m_wd - m_we)/pooled_sd*1000000)/1000000 AS cohens_d
+        |  CASE WHEN pooled_sd > 0 THEN
+        |    round((m_wd - m_we)/pooled_sd*1000000)/1000000
+        |    ELSE 0.0 END AS cohens_d
         |FROM p ORDER BY event_type""".stripMargin,
     "q211_partial_corr" ->
       """WITH daily AS (SELECT event_type,
@@ -4499,14 +4503,18 @@ object SparkEntry {
         |        CAST(sum(CAST(mb*mb AS DECIMAL(28,12))) AS DOUBLE) sbb
         |      FROM j GROUP BY 1, 2),
         |rr AS (SELECT ta, tb, n,
-        |        (sab - sa*sb/n)/sqrt((saa - sa*sa/n)*(sbb - sb*sb/n)) r
+        |        CASE WHEN (saa - sa*sa/n)*(sbb - sb*sb/n) > 0 THEN
+        |          (sab - sa*sb/n)/sqrt((saa - sa*sa/n)*(sbb - sb*sb/n))
+        |          ELSE 0.0 END r
         |       FROM g),
         |rs AS (SELECT ta, tb, n, r FROM rr
         |       UNION ALL SELECT tb, ta, n, r FROM rr)
         |SELECT p.ta AS x, p.tb AS y, xz.tb AS z, p.n,
         |  round(p.r*1000000)/1000000 AS r_xy,
-        |  round((p.r - xz.r*yz.r)/sqrt((1.0 - xz.r*xz.r)
-        |    *(1.0 - yz.r*yz.r))*1000000)/1000000 AS partial_r
+        |  CASE WHEN (1.0 - xz.r*xz.r)*(1.0 - yz.r*yz.r) > 0 THEN
+        |    round((p.r - xz.r*yz.r)/sqrt((1.0 - xz.r*xz.r)
+        |      *(1.0 - yz.r*yz.r))*1000000)/1000000
+        |    ELSE 0.0 END AS partial_r
         |FROM rs p JOIN rs xz ON xz.ta = p.ta
         |JOIN rs yz ON yz.ta = p.tb AND yz.tb = xz.tb
         |WHERE p.ta < p.tb AND xz.tb <> p.tb
@@ -5051,15 +5059,21 @@ object SparkEntry {
         |        CAST(sum(CAST(d*d5 AS DECIMAL(28,12))) AS DOUBLE) num5,
         |        CAST(sum(CAST(d*d6 AS DECIMAL(28,12))) AS DOUBLE) num6
         |      FROM l GROUP BY 1),
-        |f AS (SELECT event_type, n_hours, CAST(n_hours AS DOUBLE) nn,
-        |        num1/den r1, num2/den r2, num3/den r3,
-        |        num4/den r4, num5/den r5, num6/den r6
+        |f AS (SELECT event_type, n_hours, CAST(n_hours AS DOUBLE) nn, den,
+        |        CASE WHEN den > 0 THEN num1/den ELSE 0.0 END r1,
+        |        CASE WHEN den > 0 THEN num2/den ELSE 0.0 END r2,
+        |        CASE WHEN den > 0 THEN num3/den ELSE 0.0 END r3,
+        |        CASE WHEN den > 0 THEN num4/den ELSE 0.0 END r4,
+        |        CASE WHEN den > 0 THEN num5/den ELSE 0.0 END r5,
+        |        CASE WHEN den > 0 THEN num6/den ELSE 0.0 END r6
         |      FROM g)
         |SELECT event_type, n_hours,
-        |  round(r1*1000000)/1000000 AS r1,
-        |  round(nn*(nn + 2.0)*(r1*r1/(nn - 1.0) + r2*r2/(nn - 2.0)
-        |    + r3*r3/(nn - 3.0) + r4*r4/(nn - 4.0) + r5*r5/(nn - 5.0)
-        |    + r6*r6/(nn - 6.0))*1000000)/1000000 AS q_lb
+        |  CASE WHEN den > 0 THEN round(r1*1000000)/1000000
+        |       ELSE 0.0 END AS r1,
+        |  CASE WHEN den > 0 THEN
+        |    round(nn*(nn + 2.0)*(r1*r1/(nn - 1.0) + r2*r2/(nn - 2.0)
+        |      + r3*r3/(nn - 3.0) + r4*r4/(nn - 4.0) + r5*r5/(nn - 5.0)
+        |      + r6*r6/(nn - 6.0))*1000000)/1000000 ELSE 0.0 END AS q_lb
         |FROM f ORDER BY 1""".stripMargin,
     "q240_grubbs" ->
       """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
@@ -5105,9 +5119,10 @@ object SparkEntry {
         |SELECT event_type, n1 AS n_type,
         |  round(p1*1000000)/1000000 AS weekend_share,
         |  round(p2*1000000)/1000000 AS rest_share,
-        |  round((p1 - p2)/sqrt(pp*(1.0 - pp)
-        |    *(1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)))
-        |    *1000000)/1000000 AS z_score
+        |  CASE WHEN pp > 0 AND pp < 1 THEN
+        |    round((p1 - p2)/sqrt(pp*(1.0 - pp)
+        |      *(1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)))
+        |      *1000000)/1000000 ELSE 0.0 END AS z_score
         |FROM g ORDER BY event_type""".stripMargin,
     "q242_odds_ratio" ->
       """WITH ev AS (SELECT
@@ -5131,9 +5146,12 @@ object SparkEntry {
         |          + 1.0/CAST(c AS DOUBLE) + 1.0/CAST(d AS DOUBLE)) se
         |      FROM t)
         |SELECT a, b, c, d,
-        |  round(or0*1000000)/1000000 AS odds_ratio,
-        |  round(exp(ln(or0) - 1.96*se)*1000000)/1000000 AS ci_lo,
-        |  round(exp(ln(or0) + 1.96*se)*1000000)/1000000 AS ci_hi
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(or0*1000000)/1000000 END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(ln(or0) - 1.96*se)*1000000)/1000000 END AS ci_lo,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(ln(or0) + 1.96*se)*1000000)/1000000 END AS ci_hi
         |FROM x""".stripMargin,
     "q243_weighted_median" ->
       """WITH pp AS (SELECT l_returnflag,

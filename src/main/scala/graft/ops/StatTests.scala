@@ -162,10 +162,14 @@ object StatTests {
       .select(col("k"), col("n_tot").as("n"),
         r6(col("ssb")).as("ss_between"),
         r6(col("ssw")).as("ss_within"),
-        r6((col("ssb") / (col("k") - 1).cast("double"))
-          / (col("ssw") / (col("n_tot") - col("k")).cast("double")))
-          .as("f_stat"),
-        r6(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+        // zero-variance guards: ANSI errors on double /0
+        when(col("ssw") > 0,
+          r6((col("ssb") / (col("k") - 1).cast("double"))
+            / (col("ssw") / (col("n_tot") - col("k")).cast("double"))))
+          .otherwise(lit(0.0)).as("f_stat"),
+        when(col("ssb") + col("ssw") > 0,
+          r6(col("ssb") / (col("ssb") + col("ssw"))))
+          .otherwise(lit(0.0)).as("eta_sq"))
   }
 
   def anovaF(spark: SparkSession, sfDir: String): DataFrame =
@@ -242,20 +246,25 @@ object StatTests {
         .as("q_wd"),
       sum(when(col("we"), (col("value") * col("value")).cast("decimal(28,6)")))
         .as("q_we"))
-    m.withColumn("m_wd", col("s_wd").cast("double") / col("n_wd"))
-      .withColumn("m_we", col("s_we").cast("double") / col("n_we"))
+    m.withColumn("m_wd",
+        when(col("n_wd") > 0, col("s_wd").cast("double") / col("n_wd")))
+      .withColumn("m_we",
+        when(col("n_we") > 0, col("s_we").cast("double") / col("n_we")))
       .withColumn("ss_wd",
         col("q_wd").cast("double") - col("n_wd") * col("m_wd") * col("m_wd"))
       .withColumn("ss_we",
         col("q_we").cast("double") - col("n_we") * col("m_we") * col("m_we"))
       .withColumn("pooled_sd",
-        sqrt((col("ss_wd") + col("ss_we"))
-          / (col("n_wd") + col("n_we") - 2).cast("double")))
+        when(col("n_wd") + col("n_we") > 2,
+          sqrt((col("ss_wd") + col("ss_we"))
+            / (col("n_wd") + col("n_we") - 2).cast("double"))))
       .select(col("event_type"), col("n_wd"), col("n_we"),
         r6(col("m_wd")).as("mean_wd"),
         r6(col("m_we")).as("mean_we"),
         r6(col("pooled_sd")).as("pooled_sd"),
-        r6((col("m_wd") - col("m_we")) / col("pooled_sd")).as("cohens_d"))
+        when(col("pooled_sd") > 0,
+          r6((col("m_wd") - col("m_we")) / col("pooled_sd")))
+          .otherwise(lit(0.0)).as("cohens_d"))
   }
 
   def cohensD(spark: SparkSession, sfDir: String): DataFrame =
@@ -298,9 +307,12 @@ object StatTests {
         sum((col("ma") * col("ma")).cast("decimal(28,12)")).cast("double").as("saa"),
         sum((col("mb") * col("mb")).cast("decimal(28,12)")).cast("double").as("sbb"))
       .select(col("ta"), col("tb"), col("n"),
-        ((col("sab") - col("sa") * col("sb") / col("n"))
-          / sqrt((col("saa") - col("sa") * col("sa") / col("n"))
-            * (col("sbb") - col("sb") * col("sb") / col("n")))).as("r"))
+        when((col("saa") - col("sa") * col("sa") / col("n"))
+          * (col("sbb") - col("sb") * col("sb") / col("n")) > 0,
+          (col("sab") - col("sa") * col("sb") / col("n"))
+            / sqrt((col("saa") - col("sa") * col("sa") / col("n"))
+              * (col("sbb") - col("sb") * col("sb") / col("n"))))
+          .otherwise(lit(0.0)).as("r"))
     // symmetric closure so lookups need no min/max gymnastics
     val rSym = r.select(col("ta"), col("tb"), col("n"), col("r"))
       .union(r.select(col("tb").as("ta"), col("ta").as("tb"), col("n"), col("r")))
@@ -313,9 +325,12 @@ object StatTests {
       .join(ryz.withColumnRenamed("z2", "z"), Seq("y", "z"))
       .select(col("x"), col("y"), col("z"), col("n"),
         r6(col("r_xy")).as("r_xy"),
-        r6((col("r_xy") - col("r_xz") * col("r_yz"))
-          / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
-            * (lit(1.0) - col("r_yz") * col("r_yz")))).as("partial_r"))
+        when((lit(1.0) - col("r_xz") * col("r_xz"))
+          * (lit(1.0) - col("r_yz") * col("r_yz")) > 0,
+          r6((col("r_xy") - col("r_xz") * col("r_yz"))
+            / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+              * (lit(1.0) - col("r_yz") * col("r_yz")))))
+          .otherwise(lit(0.0)).as("partial_r"))
   }
 
   def partialCorr(spark: SparkSession, sfDir: String): DataFrame =
@@ -474,8 +489,11 @@ object StatTests {
       r * r / (col("nn") - lit(k.toDouble))
     }.reduce(_ + _)
     g.select(col("event_type"), col("n_hours"),
-      r6(col("num1") / col("den")).as("r1"),
-      r6(col("nn") * (col("nn") + lit(2.0)) * qTerms).as("q_lb"))
+      when(col("den") > 0, r6(col("num1") / col("den")))
+        .otherwise(lit(0.0)).as("r1"),
+      when(col("den") > 0,
+        r6(col("nn") * (col("nn") + lit(2.0)) * qTerms))
+        .otherwise(lit(0.0)).as("q_lb"))
   }
 
   def ljungBox(spark: SparkSession, sfDir: String): DataFrame =
@@ -535,15 +553,18 @@ object StatTests {
       .withColumn("n2", col("nt") - col("n1"))
       .withColumn("x2", col("xt") - col("x1"))
       .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
-      .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
+      .withColumn("p2", when(col("n2") > 0,
+        col("x2").cast("double") / col("n2").cast("double")))
       .withColumn("pp", col("xt").cast("double") / col("nt").cast("double"))
       .select(col("event_type"), col("n1").as("n_type"),
         r6(col("p1")).as("weekend_share"),
         r6(col("p2")).as("rest_share"),
-        r6((col("p1") - col("p2"))
-          / sqrt(col("pp") * (lit(1.0) - col("pp"))
-            * (lit(1.0) / col("n1").cast("double")
-              + lit(1.0) / col("n2").cast("double")))).as("z_score"))
+        when(col("pp") > 0 && col("pp") < 1 && col("n2") > 0,
+          r6((col("p1") - col("p2"))
+            / sqrt(col("pp") * (lit(1.0) - col("pp"))
+              * (lit(1.0) / col("n1").cast("double")
+                + lit(1.0) / col("n2").cast("double")))))
+          .otherwise(lit(0.0)).as("z_score"))
   }
 
   def proportionZ(spark: SparkSession, sfDir: String): DataFrame =
@@ -565,18 +586,26 @@ object StatTests {
       sum(when(col("we") && !col("err"), 1L).otherwise(0L)).as("b"),
       sum(when(!col("we") && col("err"), 1L).otherwise(0L)).as("c"),
       sum(when(!col("we") && !col("err"), 1L).otherwise(0L)).as("d"))
+      // guard BEFORE the divisions: ANSI raises on /0, and a withColumn
+      // division would evaluate regardless of any later when()
+      .withColumn("ok",
+        col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0)
       .withColumn("or0",
-        col("a").cast("double") * col("d").cast("double")
-          / (col("b").cast("double") * col("c").cast("double")))
+        when(col("ok"),
+          col("a").cast("double") * col("d").cast("double")
+            / (col("b").cast("double") * col("c").cast("double"))))
       .withColumn("se",
-        sqrt(lit(1.0) / col("a").cast("double")
-          + lit(1.0) / col("b").cast("double")
-          + lit(1.0) / col("c").cast("double")
-          + lit(1.0) / col("d").cast("double")))
+        when(col("ok"),
+          sqrt(lit(1.0) / col("a").cast("double")
+            + lit(1.0) / col("b").cast("double")
+            + lit(1.0) / col("c").cast("double")
+            + lit(1.0) / col("d").cast("double"))))
       .select(col("a"), col("b"), col("c"), col("d"),
-        r6(col("or0")).as("odds_ratio"),
-        r6(exp(log(col("or0")) - lit(1.96) * col("se"))).as("ci_lo"),
-        r6(exp(log(col("or0")) + lit(1.96) * col("se"))).as("ci_hi"))
+        when(col("ok"), r6(col("or0"))).as("odds_ratio"),
+        when(col("ok"), r6(exp(log(col("or0")) - lit(1.96) * col("se"))))
+          .as("ci_lo"),
+        when(col("ok"), r6(exp(log(col("or0")) + lit(1.96) * col("se"))))
+          .as("ci_hi"))
   }
 
   def oddsRatio(spark: SparkSession, sfDir: String): DataFrame =
