@@ -73,4 +73,43 @@ object QualityClassifier {
         col("doc_id"),
         vector_to_array(col("probability")).getItem(1).as("p_good"),
         col("prediction"))
+
+  /** Deterministic k-fold cross-validation — the honest generalization
+    * estimate a single train score can't give (a hashed-feature linear
+    * model can memorize a small seed set; CV exposes it). Folds are
+    * assigned by md5(doc_id) mod k — stable across runs, partitionings
+    * and engines, unlike randomSplit — and each fold's model trains on
+    * the other k−1 and scores the held-out fold ONCE. Returns per-fold
+    * (n_train, n_test, accuracy, plus the held-out positive rate as the
+    * trivial-baseline yardstick).
+    */
+  def crossValidate(labeled: DataFrame, k: Int = 3,
+                    numFeatures: Int = 1 << 12): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val folded = labeled.withColumn("fold",
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(k)).cast("int"))
+      .localCheckpoint()
+    val rows = (0 until k).map { f =>
+      val train = folded.where(col("fold") =!= f)
+      val test = folded.where(col("fold") === f)
+      val model = fit(train, numFeatures)
+      val scored = score(model, test)
+        .join(test.select(col("doc_id"), col("label")), "doc_id")
+      val agg = scored.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("prediction") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+        .collect().head
+      val nTrain = train.count()
+      (f, nTrain, agg.getAs[Long]("n_test"),
+        math.round(agg.getAs[Long]("n_correct").toDouble
+          / agg.getAs[Long]("n_test") * 1e6) / 1e6,
+        math.round(agg.getAs[Long]("n_pos").toDouble
+          / agg.getAs[Long]("n_test") * 1e6) / 1e6)
+    }
+    rows.toDF("fold", "n_train", "n_test", "accuracy", "pos_rate")
+  }
 }

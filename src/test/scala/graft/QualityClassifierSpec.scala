@@ -49,4 +49,25 @@ class QualityClassifierSpec extends SparkSpec {
       .select("doc_id", "p_good").as[(Long, Double)].collect().toMap
     assert(a === b) // the serialized artifact scores bit-identically
   }
+
+  test("3-fold CV generalizes on separable data and covers every doc once") {
+    val labeled = QualityClassifier.weakLabels(docs)
+    val cv = QualityClassifier.crossValidate(labeled, k = 3)
+      .collect().sortBy(_.getAs[Int]("fold"))
+    assert(cv.length == 3)
+    // every doc held out exactly once
+    assert(cv.map(_.getAs[Long]("n_test")).sum == 40L)
+    // train+test partition the corpus per fold
+    cv.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 40L)
+    }
+    // separable vocabulary generalizes well above the trivial baseline
+    cv.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      val base = math.max(r.getAs[Double]("pos_rate"),
+        1.0 - r.getAs[Double]("pos_rate"))
+      assert(acc >= base - 0.15, s"fold ${r.getAs[Int]("fold")}: " +
+        s"accuracy $acc far below baseline $base")
+    }
+  }
 }
