@@ -504,7 +504,13 @@ object SparkEntry {
     "q245_entropy_rate" -> ((s, d) =>
       Ranges.entropyRate(s, d).orderBy(col("from_type"))),
     "q246_hopping_peaks" -> ((s, d) =>
-      Ranges.hoppingPeaks(s, d).orderBy(col("event_type"), col("rnk")))
+      Ranges.hoppingPeaks(s, d).orderBy(col("event_type"), col("rnk"))),
+    "q247_ols_normal_eq" -> ((s, d) => Regression.olsNormalEq(s, d)),
+    "q248_decision_stump" -> ((s, d) => Regression.decisionStump(s, d)),
+    "q249_period_set_ops" -> ((s, d) =>
+      Relational.periodSetOps(s, d).orderBy(col("segment"))),
+    "q250_rolling_distinct" -> ((s, d) =>
+      Relational.rollingDistinctUsers(s, d).orderBy(col("day_num")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5229,7 +5235,96 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
         |        ORDER BY n_events DESC, win_start) AS INT) rnk FROM a)
         |SELECT event_type, rnk, win_start, n_events, avg_value
-        |FROM r WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,
+    "q247_ols_normal_eq" ->
+      """WITH f AS (SELECT l_orderkey,
+        |    CAST(count(*) AS DOUBLE) x1,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) x2
+        |  FROM lineitem GROUP BY 1),
+        |xy AS (SELECT o_totalprice y, x1, x2
+        |  FROM orders JOIN f ON o_orderkey = l_orderkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) s2,
+        |    CAST(sum(CAST(x1*x1 AS DECIMAL(28,6))) AS DOUBLE) s11,
+        |    CAST(sum(CAST(x1*x2 AS DECIMAL(28,6))) AS DOUBLE) s12,
+        |    CAST(sum(CAST(x2*x2 AS DECIMAL(28,6))) AS DOUBLE) s22,
+        |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x1*y AS DECIMAL(38,6))) AS DOUBLE) s1y,
+        |    CAST(sum(CAST(x2*y AS DECIMAL(38,6))) AS DOUBLE) s2y,
+        |    CAST(sum(CAST(y*y AS DECIMAL(38,4))) AS DOUBLE) syy
+        |  FROM xy),
+        |d AS (SELECT *, CAST(n AS DOUBLE) nn,
+        |    CAST(n AS DOUBLE)*(s11*s22 - s12*s12)
+        |      - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) det,
+        |    sy*(s11*s22 - s12*s12)
+        |      - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) det0,
+        |    CAST(n AS DOUBLE)*(s1y*s22 - s12*s2y)
+        |      - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) det1,
+        |    CAST(n AS DOUBLE)*(s11*s2y - s1y*s12)
+        |      - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) det2
+        |  FROM m),
+        |b AS (SELECT *, det0/det b0, det1/det b1, det2/det b2 FROM d),
+        |e AS (SELECT *, syy - b0*sy - b1*s1y - b2*s2y sse,
+        |    syy - sy*sy/nn sst FROM b)
+        |SELECT n, round(b0*1000000)/1000000.0 AS beta0,
+        |  round(b1*1000000)/1000000.0 AS beta1,
+        |  round(b2*1000000)/1000000.0 AS beta2,
+        |  round((1.0 - sse/sst)*1000000)/1000000.0 AS r2
+        |FROM e""".stripMargin,
+    "q248_decision_stump" ->
+      """WITH pq AS (SELECT CAST(l_quantity AS INT) q,
+        |    CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) pos
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT q, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY q) AS BIGINT) nl,
+        |    CAST(sum(pos) OVER (ORDER BY q) AS BIGINT) pl
+        |  FROM pq),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) nt, CAST(sum(pos) AS BIGINT) pt
+        |  FROM pq),
+        |g AS (SELECT q, nl, pl, nt - nl nr, pt - pl pr, nt, pt,
+        |    round((
+        |      -(CASE WHEN pt > 0 THEN CAST(pt AS DOUBLE)*ln(CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE)) ELSE 0.0 END
+        |        + CASE WHEN nt - pt > 0 THEN CAST(nt - pt AS DOUBLE)*ln(CAST(nt - pt AS DOUBLE)/CAST(nt AS DOUBLE)) ELSE 0.0 END)
+        |      + (CASE WHEN pl > 0 THEN CAST(pl AS DOUBLE)*ln(CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE)) ELSE 0.0 END
+        |        + CASE WHEN nl - pl > 0 THEN CAST(nl - pl AS DOUBLE)*ln(CAST(nl - pl AS DOUBLE)/CAST(nl AS DOUBLE)) ELSE 0.0 END)
+        |      + (CASE WHEN pt - pl > 0 THEN CAST(pt - pl AS DOUBLE)*ln(CAST(pt - pl AS DOUBLE)/CAST(nt - nl AS DOUBLE)) ELSE 0.0 END
+        |        + CASE WHEN (nt - nl) - (pt - pl) > 0 THEN CAST((nt - nl) - (pt - pl) AS DOUBLE)*ln(CAST((nt - nl) - (pt - pl) AS DOUBLE)/CAST(nt - nl AS DOUBLE)) ELSE 0.0 END))
+        |      / CAST(nt AS DOUBLE) * 1e12)/1e12 gain
+        |  FROM c, t WHERE nl < nt),
+        |r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, q) rnk FROM g)
+        |SELECT q AS threshold, round(gain*1000000)/1000000.0 AS gain,
+        |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right
+        |FROM r WHERE rnk = 1""".stripMargin,
+    "q249_period_set_ops" ->
+      """WITH u1 AS (SELECT DISTINCT user_id FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |u2 AS (SELECT DISTINCT user_id FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT 'both' AS segment, CAST(count(*) AS BIGINT) n_users
+        |  FROM (SELECT * FROM u1 INTERSECT SELECT * FROM u2)
+        |UNION ALL
+        |SELECT 'only_first', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT * FROM u1 EXCEPT SELECT * FROM u2)
+        |UNION ALL
+        |SELECT 'only_second', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT * FROM u2 EXCEPT SELECT * FROM u1)
+        |UNION ALL
+        |SELECT 'either', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT * FROM u1 UNION SELECT * FROM u2)
+        |ORDER BY segment""".stripMargin,
+    "q250_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT
+        |    CAST(floor(epoch(ts)/86400) AS BIGINT) dy, user_id FROM events),
+        |mx AS (SELECT max(dy) max_day FROM du),
+        |w AS (SELECT dy + gs.k win_day, user_id
+        |  FROM du, generate_series(0, 6) gs(k))
+        |SELECT CAST(win_day AS BIGINT) AS day_num,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        |FROM w, mx WHERE win_day <= max_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

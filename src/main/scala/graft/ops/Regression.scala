@@ -84,4 +84,123 @@ object Regression {
 
   def logisticNewton(spark: SparkSession, sfDir: String): DataFrame =
     logisticNewton(Tables.events(spark, sfDir))
+
+  /** q247: two-feature OLS by the normal equations — o_totalprice regressed
+    * on an order's line count and total quantity. The closed-form
+    * counterpart of q227's iterated Newton: ALL nine sufficient moments
+    * (Σx, Σx², cross products, Σy terms) come from ONE map-side-combinable
+    * aggregate over the order-level feature table, then a 3×3 Cramer solve
+    * runs on the single moment row. At 100 TB this is one scan + one
+    * O(1)-row reduce — the textbook "training as aggregation" shape; no
+    * gradient loop, no parameter state.
+    *
+    * Determinism: features are integers and cent-valued doubles, so every
+    * per-row product is IEEE-exact; each is still snapped to decimal
+    * before summation so the moment totals are partition-order-free, and
+    * the Cramer determinants are written as ONE fixed expression both
+    * engines evaluate identically in doubles.
+    */
+  def olsNormalEq(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val feats = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("double").as("x1"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("x2"))
+    val xy = orders.select(col("o_orderkey"), col("o_totalprice").as("y"))
+      .join(feats, col("o_orderkey") === col("l_orderkey"))
+    val m = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1").cast("decimal(28,6)")).cast("double").as("s1"),
+      sum(col("x2").cast("decimal(28,6)")).cast("double").as("s2"),
+      sum((col("x1") * col("x1")).cast("decimal(28,6)")).cast("double").as("s11"),
+      sum((col("x1") * col("x2")).cast("decimal(28,6)")).cast("double").as("s12"),
+      sum((col("x2") * col("x2")).cast("decimal(28,6)")).cast("double").as("s22"),
+      sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+      sum((col("x1") * col("y")).cast("decimal(38,6)")).cast("double").as("s1y"),
+      sum((col("x2") * col("y")).cast("decimal(38,6)")).cast("double").as("s2y"),
+      sum((col("y") * col("y")).cast("decimal(38,4)")).cast("double").as("syy"))
+    // Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]·β = [sy,s1y,s2y];
+    // cofactor expansion along the first row, one fixed expression per det
+    m.withColumn("nn", col("n").cast("double"))
+      .withColumn("det",
+        col("nn") * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("det0",
+        col("sy") * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+          + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y")))
+      .withColumn("det1",
+        col("nn") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+          - col("sy") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+      .withColumn("det2",
+        col("nn") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
+          - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+          + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("b0", col("det0") / col("det"))
+      .withColumn("b1", col("det1") / col("det"))
+      .withColumn("b2", col("det2") / col("det"))
+      .withColumn("sse",
+        col("syy") - col("b0") * col("sy") - col("b1") * col("s1y")
+          - col("b2") * col("s2y"))
+      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("nn"))
+      .select(col("n"),
+        r6(col("b0")).as("beta0"), r6(col("b1")).as("beta1"),
+        r6(col("b2")).as("beta2"),
+        r6(lit(1.0) - col("sse") / col("sst")).as("r2"))
+  }
+
+  def olsNormalEq(spark: SparkSession, sfDir: String): DataFrame =
+    olsNormalEq(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+
+  /** q248: one-level decision tree (stump) — the best l_quantity threshold
+    * for predicting l_returnflag = 'R' by information gain. Quantities are
+    * the 50 TPC-H integer values, so the search space collapses to a
+    * 50-row per-quantity count table: ONE aggregate over the fact, then
+    * cumulative sums give every candidate's left/right class counts and
+    * the argmax runs on 49 rows. The 100 TB shape: scan → 50-row state →
+    * O(candidates) finish; continuous features would bin to quantiles
+    * first (q34's engine) and reuse the same cumulative idiom.
+    *
+    * Entropy terms use ln on count ratios; each child's weighted entropy
+    * contribution is snapped to 1e-12 before the gain subtraction and the
+    * argmax compares gains rounded at that resolution (ties broken on the
+    * smaller threshold), so a last-ulp libm divergence between engines
+    * cannot flip the winner.
+    */
+  def decisionStump(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perQ = lineitem.groupBy(col("l_quantity").cast("int").as("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perQ.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    // plogp(c, n): c·ln(c/n) with the 0·ln0 = 0 convention, in doubles
+    def plogp(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(c > 0, c.cast("double") * log(c.cast("double") / n.cast("double")))
+        .otherwise(lit(0.0))
+    // H(node) · n = −Σ_c c·ln(c/n); weighted child entropy is then a plain
+    // sum of the two children's n·H, divided by the parent n
+    def nH(p: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      -(plogp(p, n) + plogp(n - p, n))
+    val cand = perQ
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("nl") < col("nt")) // right child must be non-empty
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .withColumn("gain", snap12(
+        (nH(col("pt"), col("nt"))
+          - nH(col("pl"), col("nl")) - nH(col("pr"), col("nr")))
+          / col("nt").cast("double")))
+    val best = Window.orderBy(col("gain").desc, col("q"))
+    cand.withColumn("rnk", row_number().over(best)).where(col("rnk") === 1)
+      .select(col("q").as("threshold"), r6(col("gain")).as("gain"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"))
+  }
+
+  def decisionStump(spark: SparkSession, sfDir: String): DataFrame =
+    decisionStump(Tables.lineitem(spark, sfDir))
 }

@@ -1400,4 +1400,57 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_year),
         |  (l_linestatus, l_year), (l_year), ())""".stripMargin)
   }
+
+  /** q249: audience overlap between the two halves of the observation
+    * window through the SQL set operators — users active in both halves
+    * (INTERSECT), lost (EXCEPT), gained (reversed EXCEPT), and reach
+    * (UNION). Each operand is a distinct user set, so Catalyst plans
+    * hash-aggregate set ops on the user key: the same one-shuffle
+    * cardinality each a groupBy would cost, with no row-level flags to
+    * maintain. At 100 TB the distinct sets are the only shuffles and the
+    * four counts are O(1)-row reduces off them.
+    */
+  def periodSetOps(events: DataFrame): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val u1 = events.where(col("ts") < split).select(col("user_id")).distinct()
+    val u2 = events.where(col("ts") >= split).select(col("user_id")).distinct()
+    def seg(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("segment"), col("n_users"))
+    seg("both", u1.intersect(u2))
+      .unionAll(seg("only_first", u1.except(u2)))
+      .unionAll(seg("only_second", u2.except(u1)))
+      .unionAll(seg("either", u1.union(u2).distinct()))
+  }
+
+  def periodSetOps(spark: SparkSession, sfDir: String): DataFrame =
+    periodSetOps(Tables.events(spark, sfDir))
+
+  /** q250: trailing 7-day distinct active users per day — the windowed
+    * COUNT(DISTINCT) that plain window frames cannot express (distinct
+    * isn't decomposable over sliding frames). The scalable shape: collapse
+    * the fact to distinct (day, user) FIRST (the only data-sized shuffle),
+    * then fan each row out to the ≤7 windows it feeds — a 7× blowup of
+    * the already-tiny distinct table, not of the fact — re-distinct on
+    * (window, user) to absorb users active on several days of one window,
+    * and count. Early days report partial (shorter) trailing windows;
+    * days past the data's end are clipped against the broadcast max-day.
+    */
+  def rollingDistinctUsers(events: DataFrame): DataFrame = {
+    val du = events
+      .select((floor(unix_timestamp(col("ts")) / 86400)).cast("bigint").as("day"),
+        col("user_id"))
+      .distinct()
+    val mx = du.agg(max(col("day")).as("max_day"))
+    du.select(explode(sequence(col("day"), col("day") + 6)).as("win_day"),
+        col("user_id"))
+      .crossJoin(broadcast(mx))
+      .where(col("win_day") <= col("max_day"))
+      .select(col("win_day").as("day_num"), col("user_id"))
+      .distinct()
+      .groupBy(col("day_num"))
+      .agg(count(lit(1)).as("n_users_7d"))
+  }
+
+  def rollingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    rollingDistinctUsers(Tables.events(spark, sfDir))
 }

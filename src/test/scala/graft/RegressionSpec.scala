@@ -70,4 +70,65 @@ class RegressionSpec extends SparkSpec {
     assert(out("a").getAs[Long]("n_shared") == 2) // the two shared copies
     assert(out("b").getAs[Long]("n_shared") == 0)
   }
+
+  test("olsNormalEq recovers exact coefficients on noiseless planar data") {
+    // y = 100 + 7·n_items + 3·sum_qty exactly -> R² = 1, betas exact
+    val li = (1 to 50).flatMap { ok =>
+      val items = 1 + ok % 5
+      (1 to items).map(i => (ok.toLong, (ok * 3 + i) % 17 + 1.0, "N"))
+    }.toDF("l_orderkey", "l_quantity", "l_returnflag")
+    val feats = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("ni"), sum("l_quantity").as("sq"))
+      .select(col("l_orderkey").as("o_orderkey"),
+        (lit(100.0) + lit(7.0) * col("ni") + lit(3.0) * col("sq"))
+          .as("o_totalprice"))
+    val out = Regression.olsNormalEq(feats, li).collect().head
+    assert(out.getAs[Long]("n") == 50)
+    assert(math.abs(out.getAs[Double]("beta0") - 100.0) < 1e-4)
+    assert(math.abs(out.getAs[Double]("beta1") - 7.0) < 1e-4)
+    assert(math.abs(out.getAs[Double]("beta2") - 3.0) < 1e-4)
+    assert(math.abs(out.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  test("decisionStump finds the exact separating threshold") {
+    // returnflag = R exactly when quantity <= 20 -> stump splits at 20
+    // with perfect purity on both sides (gain = parent entropy)
+    val li = (1 to 40).flatMap(q => Seq.fill(5)(
+      (q.toLong, q.toDouble, if (q <= 20) "R" else "N")))
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+    val out = Regression.decisionStump(li).collect().head
+    assert(out.getAs[Int]("threshold") == 20)
+    assert(out.getAs[Long]("pos_left") == 100 &&
+      out.getAs[Long]("n_left") == 100)
+    assert(out.getAs[Long]("pos_right") == 0 &&
+      out.getAs[Long]("n_right") == 100)
+    // balanced parent: H = ln 2; children pure: gain = ln 2
+    assert(math.abs(out.getAs[Double]("gain") - math.log(2)) < 1e-6)
+  }
+
+  test("periodSetOps partitions users into consistent segments") {
+    val rows = Seq(
+      // user 1: both halves, user 2: only first, user 3: only second
+      (1L, "2024-01-05 00:00:00", 1L), (2L, "2024-01-20 00:00:00", 1L),
+      (3L, "2024-01-06 00:00:00", 2L), (4L, "2024-01-25 00:00:00", 3L))
+      .map { case (e, t, u) =>
+        (e, java.sql.Timestamp.valueOf(t), u, "view", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.Relational.periodSetOps(rows).collect()
+      .map(r => r.getAs[String]("segment") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map("both" -> 1L, "only_first" -> 1L,
+      "only_second" -> 1L, "either" -> 3L))
+  }
+
+  test("rollingDistinctUsers counts each user once per trailing window") {
+    // user 1 active days 0 and 3 (one window covers both); user 2 day 1
+    val rows = Seq((1L, 0L, 1L), (2L, 3L * 86400, 1L), (3L, 86400L, 2L))
+      .map { case (e, s, u) =>
+        (e, new java.sql.Timestamp(s * 1000L), u, "view", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.Relational.rollingDistinctUsers(rows).collect()
+      .map(r => r.getAs[Long]("day_num") -> r.getAs[Long]("n_users_7d")).toMap
+    // windows clip at the max observed day (3): days 0..3 only
+    assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
