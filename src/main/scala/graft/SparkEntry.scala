@@ -510,7 +510,11 @@ object SparkEntry {
     "q249_period_set_ops" -> ((s, d) =>
       Relational.periodSetOps(s, d).orderBy(col("segment"))),
     "q250_rolling_distinct" -> ((s, d) =>
-      Relational.rollingDistinctUsers(s, d).orderBy(col("day_num")))
+      Relational.rollingDistinctUsers(s, d).orderBy(col("day_num"))),
+    "q251_holt_linear" -> ((s, d) =>
+      TimeSeries.holtLinear(s, d).orderBy(col("event_type"))),
+    "q252_savitzky_golay" -> ((s, d) =>
+      TimeSeries.savitzkyGolay(s, d).orderBy(col("event_type"), col("event_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5324,7 +5328,52 @@ object SparkEntry {
         |SELECT CAST(win_day AS BIGINT) AS day_num,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
         |FROM w, mx WHERE win_day <= max_day
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q251_holt_linear" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, m,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) rn
+        |  FROM daily),
+        |tt AS (SELECT event_type, max(rn) t FROM idx GROUP BY 1),
+        |r AS (
+        |  SELECT d1.event_type, CAST(2 AS BIGINT) AS t, d2.m AS l,
+        |    d2.m - d1.m AS b, CAST(0.0 AS DOUBLE) AS sae
+        |  FROM idx d1 JOIN idx d2 ON d1.event_type = d2.event_type
+        |    AND d1.rn = 1 AND d2.rn = 2
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    round((0.5*d.m + 0.5*(r.l + r.b))*1e12)/1e12,
+        |    round((0.3*(round((0.5*d.m + 0.5*(r.l + r.b))*1e12)/1e12 - r.l)
+        |      + 0.7*r.b)*1e12)/1e12,
+        |    r.sae + round(abs(d.m - (r.l + r.b))*1e12)/1e12
+        |  FROM r JOIN idx d ON d.event_type = r.event_type
+        |    AND d.rn = r.t + 1)
+        |SELECT r.event_type, r.t AS n_days,
+        |  round(r.l*1000000)/1000000.0 AS level,
+        |  round(r.b*1000000)/1000000.0 AS trend,
+        |  round((r.l + 7.0*r.b)*1000000)/1000000.0 AS forecast_7d,
+        |  round((CASE WHEN r.t > 2 THEN r.sae/CAST(r.t - 2 AS DOUBLE)
+        |    ELSE 0.0 END)*1000000)/1000000.0 AS mae
+        |FROM r JOIN tt ON r.event_type = tt.event_type AND r.t = tt.t
+        |ORDER BY 1""".stripMargin,
+    "q252_savitzky_golay" ->
+      """WITH s AS (SELECT event_type, event_id, value,
+        |    lag(value, 2) OVER w a, lag(value, 1) OVER w b,
+        |    lead(value, 1) OVER w d, lead(value, 2) OVER w e
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |f AS (SELECT event_type, event_id, value,
+        |    (-3.0*a + 12.0*b + 17.0*value + 12.0*d - 3.0*e)/35.0 smooth
+        |  FROM s WHERE a IS NOT NULL AND e IS NOT NULL)
+        |SELECT event_type, event_id,
+        |  round(smooth*1000000)/1000000.0 + 0.0 AS smooth,
+        |  round((value - smooth)*1000000)/1000000.0 + 0.0 AS resid
+        |FROM f ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

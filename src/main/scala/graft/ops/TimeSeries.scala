@@ -1530,4 +1530,91 @@ object TimeSeries {
 
   def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame =
     timeWeightedAvg(Tables.events(spark, sfDir))
+
+  /** q251: Holt's linear-trend double exponential smoothing per series —
+    * the level+trend upgrade of q110's plain EWMA (a flat EWMA lags a
+    * trending series by trend/α forever; Holt tracks the slope as a second
+    * smoothed state and extrapolates it for forecasts). Runs on the
+    * bounded per-day mean table: the fact-sized scan is the ONE daily
+    * aggregate, then the inherently-sequential recursion folds over each
+    * series' ≤span-many days inside a single higher-order `aggregate`
+    * expression — per-series sequential is the correct distribution shape
+    * (series are the parallel unit, days are the sequence), identical to
+    * how the streaming monitors carry state.
+    *
+    * Determinism: the recursion state (l, b) is snapped to 1e-12 after
+    * every step and both engines evaluate the same literal expression
+    * sequence (the oracle replays the fold as a recursive CTE), so the
+    * walked states are bit-identical; absolute one-step errors are
+    * snapped per term before accumulating.
+    */
+  def holtLinear(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val arr = daily.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+        .as("xs"))
+      .where(size(col("xs")) >= 2)
+    // init after the first two days: l=x₂, b=x₂−x₁ (the t=2 state the
+    // standard init walks to exactly); fold days 3..T
+    arr
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(xs, 3, greatest(size(xs) - 2, 0)),
+          |  named_struct(
+          |    'l', element_at(xs, 2),
+          |    'b', element_at(xs, 2) - element_at(xs, 1),
+          |    'sae', CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> named_struct(
+          |    'l', round((0.5*x + 0.5*(acc.l + acc.b))*1e12)/1e12,
+          |    'b', round((0.3*(round((0.5*x + 0.5*(acc.l + acc.b))*1e12)/1e12
+          |           - acc.l) + 0.7*acc.b)*1e12)/1e12,
+          |    'sae', acc.sae + round(abs(x - (acc.l + acc.b))*1e12)/1e12))
+          |""".stripMargin))
+      .select(col("event_type"),
+        size(col("xs")).cast("bigint").as("n_days"),
+        r6c(col("st.l")).as("level"),
+        r6c(col("st.b")).as("trend"),
+        r6c(col("st.l") + lit(7.0) * col("st.b")).as("forecast_7d"),
+        r6c(when(size(col("xs")) > 2,
+          col("st.sae") / (size(col("xs")) - 2).cast("double"))
+          .otherwise(lit(0.0))).as("mae"))
+  }
+
+  def holtLinear(spark: SparkSession, sfDir: String): DataFrame =
+    holtLinear(Tables.events(spark, sfDir))
+
+  /** q252: Savitzky–Golay smoothing per series — the 5-point quadratic
+    * least-squares filter (coefficients −3,12,17,12,−3 over 35) that
+    * preserves peak height and width where q03's flat rolling mean blunts
+    * them (the filter fits a parabola to each window, so second-order
+    * structure passes through unchanged). A pure window dot product: two
+    * lags + two leads on the series-keyed sort, emitted for full windows
+    * only; every product is an exact small-integer scaling, evaluated as
+    * ONE identical expression in both engines.
+    */
+  def savitzkyGolay(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .withColumn("a", lag(col("value"), 2).over(ord))
+      .withColumn("b", lag(col("value"), 1).over(ord))
+      .withColumn("d", lead(col("value"), 1).over(ord))
+      .withColumn("e", lead(col("value"), 2).over(ord))
+      .where(col("a").isNotNull && col("e").isNotNull)
+      .drop("ts")
+      .withColumn("smooth",
+        (lit(-3.0) * col("a") + lit(12.0) * col("b") + lit(17.0) * col("value")
+          + lit(12.0) * col("d") - lit(3.0) * col("e")) / lit(35.0))
+      .select(col("event_type"), col("event_id"),
+        // + 0.0 folds rounded -0.0 onto +0.0 (hash parity with the oracle)
+        (r6c(col("smooth")) + lit(0.0)).as("smooth"),
+        (r6c(col("value") - col("smooth")) + lit(0.0)).as("resid"))
+  }
+
+  def savitzkyGolay(spark: SparkSession, sfDir: String): DataFrame =
+    savitzkyGolay(Tables.events(spark, sfDir))
+
+  private def r6c(c: org.apache.spark.sql.Column) =
+    round(c * lit(1000000)) / lit(1000000.0)
 }

@@ -384,4 +384,36 @@ class AnalyticsSpec extends SparkSpec {
     // b's plateau (4,4) is not a strict max → zero peaks, no row at all
     assert(!byType.contains("b"))
   }
+
+  test("holtLinear tracks a pure linear trend exactly") {
+    // x_t = 10 + 3t: level lands on the line, trend = 3, zero MAE,
+    // forecast extrapolates the line 7 steps ahead
+    val ev = typedEvents((0L to 9L).map(d => ("a", d, 10.0 + 3.0 * d)))
+    val r = ops.TimeSeries.holtLinear(ev).collect().head
+    assert(r.getAs[Long]("n_days") == 10)
+    assert(math.abs(r.getAs[Double]("level") - 37.0) < 1e-6) // 10 + 3·9
+    assert(math.abs(r.getAs[Double]("trend") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("forecast_7d") - 58.0) < 1e-6)
+    assert(r.getAs[Double]("mae") == 0.0)
+  }
+
+  test("holtLinear level settles between the two means of a step series") {
+    // constant 10 for 10 days then constant 50: the smoothed level must
+    // land strictly between, approaching 50
+    val ev = typedEvents((0L to 19L).map(d =>
+      ("a", d, if (d < 10) 10.0 else 50.0)))
+    val r = ops.TimeSeries.holtLinear(ev).collect().head
+    val lvl = r.getAs[Double]("level")
+    assert(lvl > 40.0 && lvl <= 52.0)
+    assert(r.getAs[Double]("mae") > 0.0)
+  }
+
+  test("savitzkyGolay passes a quadratic through unchanged") {
+    // SG(5, quadratic) exactly reproduces any degree-≤2 polynomial at the
+    // window center: residuals are 0 for all interior points
+    val ev = typedEvents((0L to 8L).map(d => ("a", d, 2.0 + d + 0.5 * d * d)))
+    val out = ops.TimeSeries.savitzkyGolay(ev).collect()
+    assert(out.length == 5) // 9 points minus 2 on each edge
+    out.foreach(r => assert(math.abs(r.getAs[Double]("resid")) < 1e-6))
+  }
 }
