@@ -514,7 +514,11 @@ object SparkEntry {
     "q251_holt_linear" -> ((s, d) =>
       TimeSeries.holtLinear(s, d).orderBy(col("event_type"))),
     "q252_savitzky_golay" -> ((s, d) =>
-      TimeSeries.savitzkyGolay(s, d).orderBy(col("event_type"), col("event_id")))
+      TimeSeries.savitzkyGolay(s, d).orderBy(col("event_type"), col("event_id"))),
+    "q253_norm_funnel" -> ((s, d) =>
+      Dedup.normFunnel(s, d).orderBy(col("source"))),
+    "q254_dup_inflation" -> ((s, d) =>
+      Dedup.dupInflation(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5373,7 +5377,38 @@ object SparkEntry {
         |SELECT event_type, event_id,
         |  round(smooth*1000000)/1000000.0 + 0.0 AS smooth,
         |  round((value - smooth)*1000000)/1000000.0 + 0.0 AS resid
-        |FROM f ORDER BY 1, 2""".stripMargin
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    "q253_norm_funnel" ->
+      """SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) u_raw,
+        |  CAST(count(DISTINCT md5(trim(text))) AS BIGINT) u_trim,
+        |  CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) u_lower,
+        |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'))) AS BIGINT) u_ws,
+        |  CAST(count(DISTINCT md5(regexp_replace(regexp_replace(
+        |    lower(trim(text)), '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g')))
+        |    AS BIGINT) u_alnum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q254_dup_inflation" ->
+      """WITH hs AS (SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) h,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+        |      AS BIGINT) n_tok
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) keeper FROM hs GROUP BY 1),
+        |j AS (SELECT hs.*, k.keeper FROM hs JOIN k ON hs.h = k.h),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) tokens_total,
+        |    CAST(sum(CASE WHEN doc_id <> keeper THEN n_tok ELSE 0 END)
+        |      AS BIGINT) tokens_dup
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_docs, tokens_total, tokens_dup,
+        |  tokens_total - tokens_dup AS tokens_kept,
+        |  CASE WHEN tokens_total - tokens_dup > 0
+        |    THEN round(CAST(tokens_total AS DOUBLE)
+        |      /CAST(tokens_total - tokens_dup AS DOUBLE)*10000)/10000.0
+        |    ELSE 0.0 END AS inflation
+        |FROM a ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

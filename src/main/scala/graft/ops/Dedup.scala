@@ -1004,4 +1004,62 @@ object Dedup {
 
   def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame =
     paragraphDedup(Tables.documents(spark, sfDir))
+
+  /** q253: normalization collision funnel per source — how many "distinct"
+    * documents each normalization stage collapses: raw bytes → trim →
+    * lowercase → whitespace-collapse (q20's exact-dup key) → alphanumeric
+    * only. The gap between successive stages attributes duplicate volume
+    * to its CAUSE (case-only dups vs spacing dups vs punctuation dups),
+    * which decides how aggressive the production dedup key should be.
+    * One scan; each stage is a count-distinct over md5 strings, all five
+    * computed in the same partial-aggregate pass.
+    */
+  def normFunnel(docs: DataFrame): DataFrame = {
+    val ws = normText(col("text")) // lower+trim+collapse whitespace
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(md5(col("text"))).as("u_raw"),
+      count_distinct(md5(trim(col("text")))).as("u_trim"),
+      count_distinct(md5(lower(trim(col("text"))))).as("u_lower"),
+      count_distinct(md5(ws)).as("u_ws"),
+      count_distinct(md5(regexp_replace(ws, "[^a-z0-9 ]", "")))
+        .as("u_alnum"))
+  }
+
+  def normFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    normFunnel(Tables.documents(spark, sfDir))
+
+  /** q254: token inflation from exact duplicates, per source — the
+    * curation accounting q20 implies but doesn't price: how many TOKENS a
+    * training run would re-see because of exact dups (what matters for
+    * contamination and compute cost is token volume, not document count).
+    * Keepers are corpus-global (min doc_id per normalized-text hash), so
+    * a dup whose original lives in another source still counts as
+    * inflation here — matching how cross-source dedup actually deflates a
+    * mixture. Same two-shuffle shape as q20 (hash groupBy + source
+    * aggregate); token counts ride the same scan.
+    */
+  def dupInflation(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(normText(col("text"))).as("h"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("bigint").as("n_tok"))
+    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    hashed.join(keepers, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("doc_id") =!= col("keeper"), col("n_tok"))
+          .otherwise(0L)).as("tokens_dup"))
+      .withColumn("tokens_kept", col("tokens_total") - col("tokens_dup"))
+      .withColumn("inflation",
+        when(col("tokens_kept") > 0,
+          round(col("tokens_total").cast("double")
+            / col("tokens_kept").cast("double") * lit(10000))
+            / lit(10000.0))
+          .otherwise(lit(0.0)))
+  }
+
+  def dupInflation(spark: SparkSession, sfDir: String): DataFrame =
+    dupInflation(Tables.documents(spark, sfDir))
 }

@@ -238,4 +238,34 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "frac_removable").as[(Long, Double)].collect().toMap
     assert(row(2L) === 0.5)
   }
+
+  test("normFunnel attributes collisions to the right normalization stage") {
+    val d = Seq(
+      (1L, "Hello World", "a"),  // case-dup of 2 only after lower
+      (2L, "hello world", "a"),
+      (3L, "hello  world", "a"), // spacing-dup only after ws-collapse
+      (4L, "hello, world!", "a") // punct-dup only after alnum strip
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.normFunnel(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("u_raw") == 4)
+    assert(r.getAs[Long]("u_trim") == 4)
+    assert(r.getAs[Long]("u_lower") == 3)  // 1 ≡ 2
+    assert(r.getAs[Long]("u_ws") == 2)     // 3 joins
+    assert(r.getAs[Long]("u_alnum") == 1)  // 4 joins
+  }
+
+  test("dupInflation charges cross-source dups to the duplicate's source") {
+    val d = Seq(
+      (1L, "one two three", "orig"),   // keeper (3 tokens)
+      (2L, "one two three", "mirror"), // dup in another source
+      (3L, "four five", "mirror"))     // unique (2 tokens)
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.dupInflation(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("orig").getAs[Long]("tokens_dup") == 0)
+    assert(m("mirror").getAs[Long]("tokens_total") == 5)
+    assert(m("mirror").getAs[Long]("tokens_dup") == 3)
+    assert(m("mirror").getAs[Double]("inflation") == 2.5)
+  }
 }
