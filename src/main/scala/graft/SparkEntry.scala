@@ -518,7 +518,11 @@ object SparkEntry {
     "q253_norm_funnel" -> ((s, d) =>
       Dedup.normFunnel(s, d).orderBy(col("source"))),
     "q254_dup_inflation" -> ((s, d) =>
-      Dedup.dupInflation(s, d).orderBy(col("source")))
+      Dedup.dupInflation(s, d).orderBy(col("source"))),
+    "q255_landmark_bfs" -> ((s, d) =>
+      Graph.landmarkBfs(s, d).orderBy(col("dist"))),
+    "q256_edge_formation" -> ((s, d) =>
+      Graph.edgeFormation(s, d).orderBy(col("ym")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5408,7 +5412,46 @@ object SparkEntry {
         |    THEN round(CAST(tokens_total AS DOUBLE)
         |      /CAST(tokens_total - tokens_dup AS DOUBLE)*10000)/10000.0
         |    ELSE 0.0 END AS inflation
-        |FROM a ORDER BY 1""".stripMargin
+        |FROM a ORDER BY 1""".stripMargin,
+    "q255_landmark_bfs" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |adj AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |verts AS (SELECT DISTINCT u AS id FROM adj),
+        |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) dg
+        |  FROM adj GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY dg DESC, id LIMIT 1),
+        |r1 AS (SELECT DISTINCT v AS id FROM adj JOIN lm ON adj.u = lm.id),
+        |r2 AS (SELECT DISTINCT a2.v AS id FROM adj a2 JOIN r1 ON a2.u = r1.id),
+        |r3 AS (SELECT DISTINCT a3.v AS id FROM adj a3 JOIN r2 ON a3.u = r2.id),
+        |d AS (SELECT vv.id, CAST(CASE
+        |    WHEN vv.id IN (SELECT id FROM lm) THEN 0
+        |    WHEN vv.id IN (SELECT id FROM r1) THEN 1
+        |    WHEN vv.id IN (SELECT id FROM r2) THEN 2
+        |    WHEN vv.id IN (SELECT id FROM r3) THEN 3
+        |    ELSE -1 END AS INT) dist
+        |  FROM verts vv)
+        |SELECT dist, CAST(count(*) AS BIGINT) n_parts
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q256_edge_formation" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (SELECT a.l_orderkey ok, a.l_partkey u, b.l_partkey v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |pd AS (SELECT pp.u, pp.v, pp.ok, o.o_orderdate
+        |  FROM pp JOIN orders o ON pp.ok = o.o_orderkey),
+        |r AS (SELECT u, v, o_orderdate, row_number() OVER (
+        |    PARTITION BY u, v ORDER BY o_orderdate, ok) rn FROM pd),
+        |f AS (SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT)
+        |    ym FROM r WHERE rn = 2),
+        |m AS (SELECT ym, CAST(count(*) AS BIGINT) edges_formed
+        |  FROM f GROUP BY 1)
+        |SELECT ym, edges_formed,
+        |  CAST(sum(edges_formed) OVER (ORDER BY ym) AS BIGINT) edges_cum
+        |FROM m ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1018,4 +1018,88 @@ object Graph {
     val e = copurchaseEdges(spark, sfDir).localCheckpoint()
     modularity(e, labelPropagation(e, rounds = 4))
   }
+
+  /** Multi-round BFS distances from one source over an undirected edge
+    * list — each round is ONE frontier⋈adjacency equi-join plus a
+    * min-distance aggregate, the textbook distributed BFS (frontier size
+    * is the only state; no per-vertex mutable structure). maxHops is
+    * fixed and small, so the plan unrolls to a bounded join chain — which
+    * is also what makes the result oracle-expressible as plain SQL.
+    *
+    * @return (id, dist) for vertices within maxHops; others omitted.
+    */
+  def bfsDistances(edges: DataFrame, source: DataFrame,
+                   maxHops: Int): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = e.union(e.select(col("v"), col("u"))).distinct()
+      .localCheckpoint()
+    var reach = source.toDF("id").withColumn("dist", lit(0))
+      .localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val next = adj.join(reach.where(col("dist") === h - 1)
+          .withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id"), lit(h).as("dist"))
+      reach = reach.unionAll(next)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    reach
+  }
+
+  /** q255: landmark distance census of the part co-purchase graph — BFS
+    * ≤3 hops from the highest-degree part (the "how centralized is the
+    * affinity graph" probe: a hub landmark reaching most vertices in 2-3
+    * hops means a tight core; a large unreachable share means fragmented
+    * product islands). The landmark is the max-degree vertex (ties to the
+    * smallest id — deterministic), picked off the already-aggregated
+    * degree table; unreachable-within-3 is reported as dist = -1.
+    */
+  def landmarkBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    val deg = verts.join(
+      e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg")), "id")
+    val landmark = deg.orderBy(col("deg").desc, col("id")).limit(1)
+      .select(col("id"))
+    val dists = bfsDistances(e, landmark, maxHops = 3)
+    verts.join(dists, Seq("id"), "left")
+      .select(coalesce(col("dist"), lit(-1)).as("dist"))
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** q256: co-purchase edge formation timeline — the month each support≥2
+    * edge came into existence, defined as the month of the SECOND distinct
+    * order containing the pair (the moment the support threshold is
+    * crossed, so the graph the other q14x queries analyze is the cumulative
+    * sum of this series). Pair fan-out is the same bounded per-order
+    * self-join as [[copurchaseEdges]]; the second-order pick is a
+    * row_number over each pair's support-many rows; the monthly census and
+    * its running total run on the ≤months-many aggregate rows.
+    */
+  def edgeFormation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .join(ord, col("ok") === col("o_orderkey"))
+    val w = Window.partitionBy(col("u"), col("v"))
+      .orderBy(col("o_orderdate"), col("ok"))
+    val formed = pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 2) // support crosses 2 here
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("ym"))
+      .groupBy(col("ym")).agg(count(lit(1)).as("edges_formed"))
+    val cum = Window.orderBy(col("ym"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running total over the bounded month table (≤ span months rows)
+    formed.withColumn("edges_cum", sum(col("edges_formed")).over(cum))
+  }
 }

@@ -291,4 +291,15 @@ class GraphSpec extends SparkSpec {
     val edges = rnd ++ hub
     assert(triangles(edges) === referenceTriangles(edges))
   }
+
+  test("bfsDistances finds shortest hop counts on a path with a chord") {
+    // path 1-2-3-4-5 plus chord 1-4: dist(4) = 2 via the chord, not 3;
+    // 6-7 is a separate component, unreachable from 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (6L, 7L))
+      .toDF("u", "v")
+    val src = Seq(1L).toDF("id")
+    val d = Graph.bfsDistances(e, src, maxHops = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("dist")).toMap
+    assert(d === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
 }
