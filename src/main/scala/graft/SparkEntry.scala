@@ -522,7 +522,11 @@ object SparkEntry {
     "q255_landmark_bfs" -> ((s, d) =>
       Graph.landmarkBfs(s, d).orderBy(col("dist"))),
     "q256_edge_formation" -> ((s, d) =>
-      Graph.edgeFormation(s, d).orderBy(col("ym")))
+      Graph.edgeFormation(s, d).orderBy(col("ym"))),
+    "q257_knn_graph" -> ((s, d) =>
+      Similarity.knnGraphCensus(s, d).orderBy(col("label"))),
+    "q258_brown_forsythe" -> ((s, d) =>
+      StatTests.brownForsythe(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5451,7 +5455,78 @@ object SparkEntry {
         |  FROM f GROUP BY 1)
         |SELECT ym, edges_formed,
         |  CAST(sum(edges_formed) OVER (ORDER BY ym) AS BIGINT) edges_cum
-        |FROM m ORDER BY 1""".stripMargin
+        |FROM m ORDER BY 1""".stripMargin,
+    "q257_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v
+        |  FROM ix),
+        |n AS (SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |  FROM xx GROUP BY 1),
+        |d AS (SELECT a.label, a.vec_id src, b.vec_id dst,
+        |    CAST(sum(CAST(a.v*b.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |  FROM xx a JOIN xx b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT label, src, dst, dot/(ns.nrm*nd.nrm) cos
+        |  FROM d JOIN n ns ON src = ns.vec_id JOIN n nd ON dst = nd.vec_id),
+        |r AS (SELECT label, src, dst, row_number() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst) rnk FROM sc),
+        |knn AS (SELECT label, src, dst FROM r WHERE rnk <= 3),
+        |mu AS (SELECT k1.label, k1.src FROM knn k1
+        |  JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src),
+        |nv AS (SELECT label, CAST(count(*) AS BIGINT) n_vecs
+        |  FROM e GROUP BY 1),
+        |ne AS (SELECT label, CAST(count(*) AS BIGINT) n_edges
+        |  FROM knn GROUP BY 1),
+        |nm AS (SELECT label, CAST(count(*) AS BIGINT) n_mutual
+        |  FROM mu GROUP BY 1)
+        |SELECT nv.label, n_vecs, coalesce(n_edges, 0) n_edges,
+        |  coalesce(n_mutual, 0) n_mutual,
+        |  CASE WHEN coalesce(n_edges, 0) > 0
+        |    THEN round(CAST(coalesce(n_mutual, 0) AS DOUBLE)
+        |      /CAST(n_edges AS DOUBLE)*10000)/10000.0
+        |    ELSE 0.0 END AS mutual_frac
+        |FROM nv LEFT JOIN ne ON nv.label = ne.label
+        |  LEFT JOIN nm ON nv.label = nm.label
+        |ORDER BY 1""".stripMargin,
+    "q258_brown_forsythe" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |g AS (SELECT event_type, value,
+        |    ((e // 86400 + 4) % 7) IN (0, 6) we FROM ev),
+        |med AS (SELECT event_type, we,
+        |    round(quantile_cont(value, 0.5)*1000000)/1000000.0 m
+        |  FROM g GROUP BY 1, 2),
+        |z AS (SELECT g.event_type, g.we, med.m, abs(g.value - med.m) z
+        |  FROM g JOIN med ON g.event_type = med.event_type
+        |    AND g.we = med.we),
+        |a AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT) n_wd,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) n_we,
+        |    max(CASE WHEN NOT we THEN m END) med_wd,
+        |    max(CASE WHEN we THEN m END) med_we,
+        |    sum(CASE WHEN NOT we THEN CAST(z AS DECIMAL(28,12)) END) sz_wd,
+        |    sum(CASE WHEN we THEN CAST(z AS DECIMAL(28,12)) END) sz_we,
+        |    sum(CASE WHEN NOT we THEN CAST(z*z AS DECIMAL(28,12)) END) zz_wd,
+        |    sum(CASE WHEN we THEN CAST(z*z AS DECIMAL(28,12)) END) zz_we
+        |  FROM z GROUP BY 1),
+        |b AS (SELECT *, CAST(sz_wd AS DOUBLE)/n_wd zb_wd,
+        |    CAST(sz_we AS DOUBLE)/n_we zb_we,
+        |    CAST(sz_wd + sz_we AS DOUBLE)/(n_wd + n_we) zb FROM a),
+        |c AS (SELECT *,
+        |    CAST(n_wd + n_we - 2 AS DOUBLE)
+        |      * (n_wd*(zb_wd - zb)*(zb_wd - zb)
+        |        + n_we*(zb_we - zb)*(zb_we - zb)) num,
+        |    (CAST(zz_wd AS DOUBLE) - n_wd*zb_wd*zb_wd)
+        |      + (CAST(zz_we AS DOUBLE) - n_we*zb_we*zb_we) den
+        |  FROM b)
+        |SELECT event_type, n_wd, n_we, med_wd, med_we,
+        |  round((CASE WHEN den > 0 THEN num/den ELSE 0.0 END)
+        |    *1000000)/1000000.0 AS f_stat
+        |FROM c ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -769,4 +769,50 @@ object Similarity {
 
   def nprobeCurve(spark: SparkSession, sfDir: String): DataFrame =
     nprobeCurve(Tables.embeddings(spark, sfDir))
+
+  /** q257: within-cluster kNN graph + mutual-edge census — the graph that
+    * feeds kNN-based clustering/agglomeration (two vectors that each rank
+    * the other in their top-k are a high-precision merge candidate; a low
+    * mutual share marks a cluster whose neighborhoods are asymmetric hub
+    * spokes). Candidates are label-partition-local — the IVF posture: at
+    * scale the vector table is partitioned by cluster, each partition
+    * builds its kNN sub-graph independently, and the pair fan-out is
+    * Σ|cluster|², never corpus². Cosines ride the native decimal_dot, so
+    * ranks are deterministic (ties broken on neighbor id); the mutuality
+    * check is a self-semi-join of the k·n-row edge list on the swapped
+    * key.
+    */
+  def knnGraphCensus(emb: DataFrame, k: Int = 3): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+    val a = all.select(col("label"), col("vec_id").as("src"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = all.select(col("label"), col("vec_id").as("dst"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val knn = a.join(b, Seq("label"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("cos", dotExpr("av", "bv") / (col("an") * col("bn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("label"), col("src"), col("dst"))
+    val mutual = knn.join(
+      knn.select(col("src").as("dst"), col("dst").as("src")),
+      Seq("src", "dst"), "leftsemi")
+    val nv = all.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val ne = knn.groupBy(col("label")).agg(count(lit(1)).as("n_edges"))
+    val nm = mutual.groupBy(col("label")).agg(count(lit(1)).as("n_mutual"))
+    nv.join(ne, Seq("label"), "left").join(nm, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .withColumn("mutual_frac",
+        when(col("n_edges") > 0,
+          round(col("n_mutual").cast("double")
+            / col("n_edges").cast("double") * lit(10000)) / lit(10000.0))
+          .otherwise(lit(0.0)))
+  }
+
+  def knnGraphCensus(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphCensus(Tables.embeddings(spark, sfDir))
 }

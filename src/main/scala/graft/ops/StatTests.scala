@@ -610,4 +610,61 @@ object StatTests {
 
   def oddsRatio(spark: SparkSession, sfDir: String): DataFrame =
     oddsRatio(Tables.events(spark, sfDir))
+
+  /** q258: Brown–Forsythe (median-centered Levene) test per series —
+    * weekday-vs-weekend equality of VARIANCE. Completes the weekend
+    * inference triad: q125 Welch compares centers, q130 Mann–Whitney
+    * compares distributions rank-wise, this compares spreads — and unlike
+    * Bartlett (q209) it doesn't collapse under non-normal tails, because
+    * it's just an ANOVA on absolute deviations from each group's MEDIAN.
+    * Two scans (the repo's exact-quantile engine needs one for the
+    * medians), then the deviation ANOVA is ONE conditional aggregate;
+    * per-term decimal snaps keep the F statistic partition-order-free.
+    */
+  def brownForsythe(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("we",
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).isin(0, 6))
+    val keyed = ev.withColumn("grp", concat_ws("|", col("event_type"),
+      when(col("we"), lit("we")).otherwise(lit("wd"))))
+    val med = graft.ops.Percentiles.exactQuantiles(
+        keyed.select(col("grp"), col("value")), "grp", "value",
+        Seq("m" -> 0.5))
+      .select(col("grp"),
+        (round(col("qv") * lit(1000000)) / lit(1000000.0)).as("m"))
+    val z = keyed.join(broadcast(med), "grp")
+      .withColumn("z", abs(col("value") - col("m")))
+    val agg = z.groupBy(col("event_type")).agg(
+      sum(when(!col("we"), 1L).otherwise(0L)).as("n_wd"),
+      sum(when(col("we"), 1L).otherwise(0L)).as("n_we"),
+      max(when(!col("we"), col("m"))).as("med_wd"),
+      max(when(col("we"), col("m"))).as("med_we"),
+      sum(when(!col("we"), col("z").cast("decimal(28,12)"))).as("sz_wd"),
+      sum(when(col("we"), col("z").cast("decimal(28,12)"))).as("sz_we"),
+      sum(when(!col("we"), (col("z") * col("z")).cast("decimal(28,12)")))
+        .as("zz_wd"),
+      sum(when(col("we"), (col("z") * col("z")).cast("decimal(28,12)")))
+        .as("zz_we"))
+    agg
+      .withColumn("zb_wd", col("sz_wd").cast("double") / col("n_wd"))
+      .withColumn("zb_we", col("sz_we").cast("double") / col("n_we"))
+      .withColumn("zb",
+        (col("sz_wd") + col("sz_we")).cast("double")
+          / (col("n_wd") + col("n_we")))
+      .withColumn("num",
+        (col("n_wd") + col("n_we") - 2).cast("double")
+          * (col("n_wd") * (col("zb_wd") - col("zb")) * (col("zb_wd") - col("zb"))
+            + col("n_we") * (col("zb_we") - col("zb")) * (col("zb_we") - col("zb"))))
+      .withColumn("den",
+        (col("zz_wd").cast("double") - col("n_wd") * col("zb_wd") * col("zb_wd"))
+          + (col("zz_we").cast("double") - col("n_we") * col("zb_we") * col("zb_we")))
+      .select(col("event_type"), col("n_wd"), col("n_we"),
+        col("med_wd"), col("med_we"),
+        r6(when(col("den") > 0, col("num") / col("den"))
+          .otherwise(lit(0.0))).as("f_stat"))
+  }
+
+  def brownForsythe(spark: SparkSession, sfDir: String): DataFrame =
+    brownForsythe(Tables.events(spark, sfDir))
 }

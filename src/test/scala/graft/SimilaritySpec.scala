@@ -125,4 +125,18 @@ class SimilaritySpec extends SparkSpec {
       .select("rnk", "vec_id").as[(Int, Long)].collect().toSeq
     assert(first === Seq((1, 1L)))
   }
+
+  test("knnGraphCensus: k=1 edges on an asymmetric trio are not all mutual") {
+    // cluster 0: a0 at 0°, a1 at 5°, a2 at 20°. Nearest neighbors:
+    // 0→1, 1→0 (mutual pair), 2→1 (unreciprocated) → 2 of 3 edges mutual
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq((0L, v(0), 0), (1L, v(5), 0), (2L, v(20), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnGraphCensus(vecs, k = 1).collect().head
+    assert(r.getAs[Long]("n_vecs") == 3)
+    assert(r.getAs[Long]("n_edges") == 3)
+    assert(r.getAs[Long]("n_mutual") == 2)
+  }
 }

@@ -192,4 +192,31 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(pr) < math.abs(rxy))
     assert(out.forall(r => r.getAs[Long]("n") == 12))
   }
+
+  test("brownForsythe flags a variance blowup the means hide") {
+    // weekday (days 1-5): tight around 10; weekend (days 6-7 = Sat/Sun
+    // for epoch days 2/3): same center, 10× the spread
+    // epoch day d is weekend iff (d+4)%7 in {0,6} → days 2,3 (Sat,Sun)
+    val wd = Seq(0, 1, 4, 5, 6).flatMap(d =>
+      Seq(9.9, 10.0, 10.1, 9.8, 10.2).zipWithIndex.map { case (v, i) =>
+        ((d * 10 + i).toLong, d, 1L, "a", v) })
+    val we = Seq(2, 3).flatMap(d =>
+      Seq(2.0, 18.0, 5.0, 15.0, 10.0).zipWithIndex.map { case (v, i) =>
+        ((100 + d * 10 + i).toLong, d, 1L, "a", v) })
+    val out = StatTests.brownForsythe(events(wd ++ we)).collect().head
+    assert(out.getAs[Long]("n_wd") == 25)
+    assert(out.getAs[Long]("n_we") == 10)
+    assert(out.getAs[Double]("med_wd") == 10.0)
+    assert(out.getAs[Double]("med_we") == 10.0)
+    // same medians, wildly different spreads → large F
+    assert(out.getAs[Double]("f_stat") > 10.0)
+  }
+
+  test("brownForsythe is ~zero when both phases share one distribution") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val all = (0 to 6).flatMap(d => vals.zipWithIndex.map { case (v, i) =>
+      ((d * 10 + i).toLong, d, 1L, "a", v) })
+    val out = StatTests.brownForsythe(events(all)).collect().head
+    assert(out.getAs[Double]("f_stat") < 0.1)
+  }
 }
