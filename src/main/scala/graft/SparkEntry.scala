@@ -526,7 +526,9 @@ object SparkEntry {
     "q257_knn_graph" -> ((s, d) =>
       Similarity.knnGraphCensus(s, d).orderBy(col("label"))),
     "q258_brown_forsythe" -> ((s, d) =>
-      StatTests.brownForsythe(s, d).orderBy(col("event_type")))
+      StatTests.brownForsythe(s, d).orderBy(col("event_type"))),
+    "q259_kmeans_fixed" -> ((s, d) =>
+      Similarity.kmeansFixed(s, d).orderBy(col("cluster")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5526,7 +5528,8 @@ object SparkEntry {
         |SELECT event_type, n_wd, n_we, med_wd, med_we,
         |  round((CASE WHEN den > 0 THEN num/den ELSE 0.0 END)
         |    *1000000)/1000000.0 AS f_stat
-        |FROM c ORDER BY 1""".stripMargin
+        |FROM c ORDER BY 1""".stripMargin,
+    "q259_kmeans_fixed" -> kmeansOracle(iters = 2, k = 4)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -5564,6 +5567,52 @@ object SparkEntry {
        |$rounds
        |SELECT CAST(i AS INT) dim, vi AS loading
        |FROM v$iters ORDER BY 1""".stripMargin
+  }
+
+  /** q259 oracle: unrolled fixed-round Lloyd k-means — per round one
+    * (centroid self-energy, vector·centroid decimal dots, argmin
+    * assignment, 1e-12-snapped per-dimension centroid means) CTE block,
+    * replaying [[graft.ops.Similarity.kmeansFixed]] state for state;
+    * every multi-reference CTE MATERIALIZED per the §3 rule.
+    */
+  private def kmeansOracle(iters: Int, k: Int): String = {
+    def assignBlock(r: Int): String =
+      s"""cc$r AS MATERIALIZED (SELECT c,
+         |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
+         |  FROM c$r GROUP BY 1),
+         |dt$r AS MATERIALIZED (SELECT xx.vec_id, c$r.c,
+         |    CAST(sum(CAST(xx.x*c$r.cd AS DECIMAL(28,16))) AS DOUBLE) dot
+         |  FROM xx JOIN c$r ON xx.i = c$r.i GROUP BY 1, 2),
+         |asg$r AS MATERIALIZED (SELECT vec_id, c, d2 FROM (
+         |    SELECT dt.vec_id, dt.c, vv.vv - 2.0*dt.dot + cc.cc d2,
+         |      row_number() OVER (PARTITION BY dt.vec_id
+         |        ORDER BY vv.vv - 2.0*dt.dot + cc.cc, dt.c) rn
+         |    FROM dt$r dt JOIN vv ON dt.vec_id = vv.vec_id
+         |      JOIN cc$r cc ON dt.c = cc.c)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      s"""${assignBlock(r)},
+         |c${r + 1} AS MATERIALIZED (SELECT a.c, xx.i,
+         |    round(CAST(sum(CAST(xx.x AS DECIMAL(28,12))) AS DOUBLE)
+         |      /count(*)*1e12)/1e12 cd
+         |  FROM asg$r a JOIN xx ON a.vec_id = xx.vec_id GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH xx AS MATERIALIZED (SELECT vec_id, i,
+       |    CAST(embedding[i] AS DOUBLE) x
+       |  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+       |          embedding FROM embeddings)),
+       |vv AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) vv
+       |  FROM xx GROUP BY 1),
+       |c0 AS MATERIALIZED (SELECT vec_id c, i, x cd FROM xx
+       |  WHERE vec_id < $k),
+       |$rounds,
+       |${assignBlock(iters)}
+       |SELECT c AS cluster, CAST(count(*) AS BIGINT) n_vecs,
+       |  round(CAST(sum(CAST(round(d2*1e12)/1e12 AS DECIMAL(28,12)))
+       |    AS DOUBLE)*1000000)/1000000.0 AS wss
+       |FROM asg$iters GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q227 oracle: unrolled distributed Newton–Raphson for the logistic

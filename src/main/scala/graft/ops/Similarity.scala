@@ -815,4 +815,70 @@ object Similarity {
 
   def knnGraphCensus(spark: SparkSession, sfDir: String): DataFrame =
     knnGraphCensus(Tables.embeddings(spark, sfDir))
+
+  /** q259: fixed-round Lloyd k-means trained IN the engine — unlike the
+    * IVF codebook (q26, means of GIVEN labels), this learns the partition
+    * itself. Each round is two shuffles, both map-side combinable: the
+    * assignment (a dims⋈centroid-dims equi-join on the dimension index →
+    * per-(vector, centroid) decimal dot products → argmin over k rows per
+    * vector) and the update (per-(cluster, dim) decimal means). Centroid
+    * state is O(k·dim) — never collected, never a driver loop; at 100 TB
+    * the data-sized shuffle is the assignment join, and k·dim is small
+    * enough that the centroid side broadcasts.
+    *
+    * Determinism contract (what makes the unrolled-SQL oracle replayable,
+    * same scheme as q200's PCA): seeds are the first k vectors by id;
+    * d² = ‖v‖² − 2v·c + ‖c‖² from EXACT decimal dots so the argmin is
+    * bit-stable (ties broken on cluster id); updated centroid dims are
+    * snapped to 1e-12. Empty clusters simply drop out of the centroid
+    * table — both engines agree by construction.
+    */
+  def kmeansFixed(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val x = asDoubles(emb).select(col("vec_id"), col("v"))
+    val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+      .localCheckpoint()
+    val vv = dims.groupBy(col("vec_id"))
+      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
+        .cast("double").as("vv"))
+      .localCheckpoint()
+
+    def assign(cent: DataFrame): DataFrame = {
+      val cc = cent.groupBy(col("c"))
+        .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
+          .cast("double").as("cc"))
+      val dot = dims.join(cent, "i")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
+          .cast("double").as("dot"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("c"))
+      dot.join(vv, "vec_id").join(cc, "c")
+        .withColumn("d2", col("vv") - lit(2.0) * col("dot") + col("cc"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("c"), col("d2"))
+    }
+
+    var cent = dims.where(col("vec_id") < k)
+      .select(col("vec_id").as("c"), col("i"), col("xd").as("cd"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = assign(cent)
+      cent = asg.join(dims, "vec_id")
+        .groupBy(col("c"), col("i"))
+        .agg((round((sum(col("xd").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
+        .localCheckpoint()
+    }
+    assign(cent)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((round(col("d2") * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("wss_raw"))
+      .select(col("c").as("cluster"), col("n_vecs"),
+        (round(col("wss_raw") * lit(1000000)) / lit(1000000.0)).as("wss"))
+  }
+
+  def kmeansFixed(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansFixed(Tables.embeddings(spark, sfDir))
 }

@@ -139,4 +139,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") == 3)
     assert(r.getAs[Long]("n_mutual") == 2)
   }
+
+  test("kmeansFixed recovers four well-separated clusters exactly") {
+    // seeds are vec_ids 0-3, one per true cluster; two Lloyd rounds must
+    // pull every satellite to its center
+    val centers = Seq((0f, 0f), (10f, 0f), (0f, 10f), (10f, 10f))
+    val vecs = centers.zipWithIndex.flatMap { case ((cx, cy), ci) =>
+      Seq(
+        (ci.toLong, Array(cx, cy), 0),
+        (10L + ci * 2, Array(cx + 0.5f, cy), 0),
+        (11L + ci * 2, Array(cx, cy + 0.5f), 0))
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansFixed(vecs, k = 4, iters = 2).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("wss")))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    out.values.foreach { case (n, wss) =>
+      assert(n == 3)
+      assert(wss < 1.0) // tight: satellites 0.5 away from the mean
+    }
+  }
 }
