@@ -528,7 +528,15 @@ object SparkEntry {
     "q258_brown_forsythe" -> ((s, d) =>
       StatTests.brownForsythe(s, d).orderBy(col("event_type"))),
     "q259_kmeans_fixed" -> ((s, d) =>
-      Similarity.kmeansFixed(s, d).orderBy(col("cluster")))
+      Similarity.kmeansFixed(s, d).orderBy(col("cluster"))),
+    "q260_event_dedup" -> ((s, d) =>
+      Relational.eventDedupCensus(s, d).orderBy(col("event_type"))),
+    "q261_iqr_outliers" -> ((s, d) =>
+      Ranges.iqrOutliers(s, d).orderBy(col("event_type"))),
+    "q262_readability" -> ((s, d) =>
+      TextAnalysis.readability(s, d).orderBy(col("doc_id"))),
+    "q263_grouped_ols" -> ((s, d) =>
+      Regression.groupedOls(s, d).orderBy(col("p_brand")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5529,7 +5537,76 @@ object SparkEntry {
         |  round((CASE WHEN den > 0 THEN num/den ELSE 0.0 END)
         |    *1000000)/1000000.0 AS f_stat
         |FROM c ORDER BY 1""".stripMargin,
-    "q259_kmeans_fixed" -> kmeansOracle(iters = 2, k = 4)
+    "q259_kmeans_fixed" -> kmeansOracle(iters = 2, k = 4),
+    "q260_event_dedup" ->
+      """WITH k AS (SELECT event_type, user_id, value,
+        |    CAST(floor(epoch(ts)/300) AS BIGINT) bkt FROM events),
+        |u AS (SELECT event_type, user_id, value, bkt,
+        |    CAST(count(*) AS BIGINT) copies
+        |  FROM k GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT event_type, CAST(sum(copies) AS BIGINT) n_raw,
+        |    CAST(count(*) AS BIGINT) n_unique
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_raw, n_unique,
+        |  round(CAST(n_raw - n_unique AS DOUBLE)
+        |    /CAST(n_raw AS DOUBLE)*10000)/10000.0 AS dup_rate
+        |FROM a ORDER BY 1""".stripMargin,
+    "q261_iqr_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25)*1000000)/1000000.0 q1,
+        |    round(quantile_cont(value, 0.75)*1000000)/1000000.0 q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT *, q1 - 1.5*(q3 - q1) lo, q3 + 1.5*(q3 - q1) hi
+        |  FROM q),
+        |a AS (SELECT e.event_type, CAST(count(*) AS BIGINT) n,
+        |    max(f.q1) q1, max(f.q3) q3,
+        |    CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END)
+        |      AS BIGINT) n_low,
+        |    CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) n_high
+        |  FROM events e JOIN f ON e.event_type = f.event_type
+        |  GROUP BY 1)
+        |SELECT event_type, n, q1, q3, n_low, n_high,
+        |  round(CAST(n_low + n_high AS DOUBLE)/CAST(n AS DOUBLE)
+        |    *10000)/10000.0 AS pct_out
+        |FROM a ORDER BY 1""".stripMargin,
+    "q262_readability" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) tx FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(tx, '[^.!?]+', 0)) AS BIGINT) n_sent,
+        |    CAST(len(regexp_extract_all(tx, '[a-z0-9]+', 0)) AS BIGINT)
+        |      n_words,
+        |    CAST(len(regexp_extract_all(tx, '[aeiou]+', 0)) AS BIGINT) n_syll
+        |  FROM t)
+        |SELECT doc_id, lang, n_sent, n_words, n_syll,
+        |  CASE WHEN n_sent > 0 AND n_words > 0
+        |    THEN round((206.835
+        |      - 1.015*(CAST(n_words AS DOUBLE)/CAST(n_sent AS DOUBLE))
+        |      - 84.6*(CAST(n_syll AS DOUBLE)/CAST(n_words AS DOUBLE)))
+        |      *10000)/10000.0
+        |    ELSE 0.0 END AS flesch
+        |FROM c ORDER BY 1""".stripMargin,
+    "q263_grouped_ols" ->
+      """WITH xy AS (SELECT p_brand, l_quantity x, l_extendedprice y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(28,6))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(y*y AS DECIMAL(38,4))) AS DOUBLE) syy
+        |  FROM xy GROUP BY 1),
+        |s AS (SELECT *, CAST(n AS DOUBLE) nn,
+        |    CAST(n AS DOUBLE)*sxx - sx*sx vx,
+        |    CAST(n AS DOUBLE)*syy - sy*sy vy,
+        |    (CAST(n AS DOUBLE)*sxy - sx*sy)/(CAST(n AS DOUBLE)*sxx - sx*sx)
+        |      slope FROM m)
+        |SELECT p_brand, n,
+        |  round(slope*1000000)/1000000.0 AS slope,
+        |  round((sy - slope*sx)/nn*1000000)/1000000.0 AS intercept,
+        |  round((nn*sxy - sx*sy)*(nn*sxy - sx*sy)/(vx*vy)
+        |    *1000000)/1000000.0 AS r2
+        |FROM s ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -821,4 +821,38 @@ object Ranges {
 
   def survivalCurve(spark: SparkSession, sfDir: String): DataFrame =
     survivalCurve(Tables.events(spark, sfDir))
+
+  /** q261: Tukey-fence outlier census per series — the IQR rule
+    * (lo = Q1 − 1.5·IQR, hi = Q3 + 1.5·IQR), the third robust-outlier
+    * lens beside q41's z-scores (moment-based, masked by the outliers
+    * themselves) and q49's MAD (median-based scale): quartile fences are
+    * what box plots and most data-quality dashboards actually draw. One
+    * exact-quantile pass for Q1/Q3, fences broadcast back, tail counts
+    * from one conditional aggregate over the same scan.
+    */
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val qs = Percentiles.exactQuantiles(ev, "event_type", "value",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      .groupBy(col("event_type"))
+      .agg(
+        (round(max(when(col("qname") === "q1", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q1"),
+        (round(max(when(col("qname") === "q3", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    ev.join(broadcast(qs), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .withColumn("pct_out",
+        round((col("n_low") + col("n_high")).cast("double")
+          / col("n").cast("double") * lit(10000)) / lit(10000.0))
+  }
+
+  def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    iqrOutliers(Tables.events(spark, sfDir))
 }

@@ -203,4 +203,44 @@ object Regression {
 
   def decisionStump(spark: SparkSession, sfDir: String): DataFrame =
     decisionStump(Tables.lineitem(spark, sfDir))
+
+  /** q263: grouped simple OLS — extended price regressed on quantity PER
+    * part brand, the "thousands of small models in one shuffle" pattern
+    * (per-segment elasticities, per-device calibration curves): all five
+    * sufficient moments land in ONE map-side-combinable aggregate keyed
+    * by brand, and every brand's closed-form solve is a row-local
+    * expression. The reduction is |brands|-sized regardless of fact
+    * volume — at 100 TB this is exactly one scan plus one tiny shuffle.
+    * The slope answers "what does one more unit cost in this brand?";
+    * R² flags brands whose pricing isn't quantity-driven.
+    */
+  def groupedOls(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val xy = lineitem.select(col("l_partkey"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    xy.groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,4)")).cast("double").as("syy"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("vx", col("nn") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        (col("nn") * col("sxy") - col("sx") * col("sy")) / col("vx"))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("nn"))
+      .withColumn("vy", col("nn") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r2",
+        (col("nn") * col("sxy") - col("sx") * col("sy"))
+          * (col("nn") * col("sxy") - col("sx") * col("sy"))
+          / (col("vx") * col("vy")))
+      .select(col("p_brand"), col("n"), r6(col("slope")).as("slope"),
+        r6(col("intercept")).as("intercept"), r6(col("r2")).as("r2"))
+  }
+
+  def groupedOls(spark: SparkSession, sfDir: String): DataFrame =
+    groupedOls(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
 }

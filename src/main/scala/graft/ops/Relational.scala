@@ -1453,4 +1453,30 @@ object Relational {
 
   def rollingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
     rollingDistinctUsers(Tables.events(spark, sfDir))
+
+  /** q260: exact event-dedup census — duplicates defined as identical
+    * (user, type, value) tuples landing in the same 5-minute bucket (the
+    * at-least-once-delivery signature: a retried producer re-emits the
+    * same payload seconds apart). Per series: raw volume, surviving
+    * volume under keep-one-per-tuple, and the dup rate — the BATCH ledger
+    * of what the streaming dedup (stream_dedup) drops in flight. Two
+    * aggregates on the same key prefix, so the second groupBy reuses the
+    * first shuffle's partitioning.
+    */
+  def eventDedupCensus(events: DataFrame): DataFrame = {
+    val keyed = events.select(col("event_type"), col("user_id"), col("value"),
+      (floor(unix_timestamp(col("ts")) / 300)).cast("bigint").as("bkt"))
+    val uniq = keyed
+      .groupBy(col("event_type"), col("user_id"), col("value"), col("bkt"))
+      .agg(count(lit(1)).as("copies"))
+    uniq.groupBy(col("event_type"))
+      .agg(sum(col("copies")).as("n_raw"),
+        count(lit(1)).as("n_unique"))
+      .withColumn("dup_rate",
+        round((col("n_raw") - col("n_unique")).cast("double")
+          / col("n_raw").cast("double") * lit(10000)) / lit(10000.0))
+  }
+
+  def eventDedupCensus(spark: SparkSession, sfDir: String): DataFrame =
+    eventDedupCensus(Tables.events(spark, sfDir))
 }

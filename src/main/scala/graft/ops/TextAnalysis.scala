@@ -995,4 +995,35 @@ object TextAnalysis {
 
   def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
     tokenizerFertility(Tables.documents(spark, sfDir))
+
+  /** q262: Flesch reading-ease per document — the classical readability
+    * screen beside q28's structural quality score (a curation pipeline
+    * uses reading ease to stratify corpora by difficulty, and its
+    * ingredients — sentence and syllable rates — catch boilerplate that
+    * looks fine structurally). Sentences are maximal runs without
+    * terminators, syllables the standard vowel-group proxy; all three
+    * counts come from regexp_extract_all in the SAME projection, one
+    * scan, no shuffle at all until the optional ordering.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .withColumn("n_sent",
+        size(expr("regexp_extract_all(t, '[^.!?]+', 0)")).cast("bigint"))
+      .withColumn("n_words",
+        size(expr("regexp_extract_all(t, '[a-z0-9]+', 0)")).cast("bigint"))
+      .withColumn("n_syll",
+        size(expr("regexp_extract_all(t, '[aeiou]+', 0)")).cast("bigint"))
+      .select(col("doc_id"), col("lang"), col("n_sent"), col("n_words"),
+        col("n_syll"),
+        when(col("n_sent") > 0 && col("n_words") > 0,
+          round((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sent").cast("double"))
+            - lit(84.6) * (col("n_syll").cast("double")
+              / col("n_words").cast("double"))) * lit(10000)) / lit(10000.0))
+          .otherwise(lit(0.0)).as("flesch"))
+  }
+
+  def readability(spark: SparkSession, sfDir: String): DataFrame =
+    readability(Tables.documents(spark, sfDir))
 }

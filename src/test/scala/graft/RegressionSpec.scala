@@ -131,4 +131,22 @@ class RegressionSpec extends SparkSpec {
     // windows clip at the max observed day (3): days 0..3 only
     assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("groupedOls recovers each brand's exact line on noiseless data") {
+    // brand A: y = 3 + 2x; brand B: y = 10 + 5x -> R-squared 1 for both
+    val li = (1 to 20).map { i =>
+      val brand = if (i % 2 == 0) 1L else 2L
+      val x = (i % 7 + 1).toDouble
+      val y = if (brand == 1L) 3.0 + 2.0 * x else 10.0 + 5.0 * x
+      (i.toLong, x, y)
+    }.toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = (1 to 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B")).toDF("p_partkey", "p_brand")
+    val m = Regression.groupedOls(li, part).collect()
+      .map(r => r.getAs[String]("p_brand") -> r).toMap
+    assert(math.abs(m("A").getAs[Double]("slope") - 2.0) < 1e-6)
+    assert(math.abs(m("A").getAs[Double]("intercept") - 3.0) < 1e-6)
+    assert(math.abs(m("B").getAs[Double]("slope") - 5.0) < 1e-6)
+    assert(math.abs(m("B").getAs[Double]("r2") - 1.0) < 1e-6)
+  }
 }

@@ -140,4 +140,22 @@ class RelationalWideningSpec extends SparkSpec {
       .parquet("/root/testdata/sf0.001/lineitem.parquet").count()
     assert(n == expected)
   }
+
+  test("eventDedupCensus counts same-bucket repeats as duplicates") {
+    val rows = Seq(
+      // two identical payloads 10s apart (same 5-min bucket) + one distinct
+      (1L, 10L, 1L, "click", 5.0), (2L, 20L, 1L, "click", 5.0),
+      (3L, 30L, 1L, "click", 7.0),
+      // same payload but in the NEXT bucket -> not a duplicate
+      (4L, 310L, 1L, "view", 5.0), (5L, 10L, 1L, "view", 5.0))
+      .map { case (e, sec, u, t, v) =>
+        (e, new java.sql.Timestamp(sec * 1000L), u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Relational.eventDedupCensus(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(m("click").getAs[Long]("n_raw") == 3)
+    assert(m("click").getAs[Long]("n_unique") == 2)
+    assert(m("view").getAs[Long]("n_unique") == 2)
+    assert(m("view").getAs[Double]("dup_rate") == 0.0)
+  }
 }

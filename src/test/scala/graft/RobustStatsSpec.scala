@@ -188,4 +188,17 @@ class RobustStatsSpec extends SparkSpec {
       .select("recall").as[Double].collect().toSeq
     assert(out.size === 5 && out.forall(_ === 1.0))
   }
+
+  test("iqrOutliers fences exactly the planted tails") {
+    // 1..100 per series plus two extreme points; Q1=25.75, Q3=75.25 (R-7),
+    // IQR=49.5 -> lo=-48.5, hi=149.5: only the planted 1000/-1000 escape
+    val rows = ((1 to 100).map(_.toDouble) ++ Seq(1000.0, -1000.0))
+      .zipWithIndex.map { case (v, i) =>
+        (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "a", v) }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.ops.Ranges.iqrOutliers(df).collect().head
+    assert(r.getAs[Long]("n") == 102)
+    assert(r.getAs[Long]("n_low") == 1)
+    assert(r.getAs[Long]("n_high") == 1)
+  }
 }

@@ -121,4 +121,16 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].head()
     assert(got === (("x", 1L, 0.333333, 1.0)))
   }
+
+  test("readability counts sentences, words and vowel groups") {
+    val docs = Seq((1L, "The cat sat. The dog ran!", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.readability(docs).collect().head
+    assert(r.getAs[Long]("n_sent") == 2)
+    assert(r.getAs[Long]("n_words") == 6)
+    // e, a, a, e, o, a -> 6 vowel groups
+    assert(r.getAs[Long]("n_syll") == 6)
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(r.getAs[Double]("flesch") - 119.19) < 1e-9)
+  }
 }
