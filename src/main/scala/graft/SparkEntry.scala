@@ -536,7 +536,13 @@ object SparkEntry {
     "q262_readability" -> ((s, d) =>
       TextAnalysis.readability(s, d).orderBy(col("doc_id"))),
     "q263_grouped_ols" -> ((s, d) =>
-      Regression.groupedOls(s, d).orderBy(col("p_brand")))
+      Regression.groupedOls(s, d).orderBy(col("p_brand"))),
+    "q264_rfm_segments" -> ((s, d) =>
+      Relational.rfmSegments(s, d).orderBy(col("segment"))),
+    "q265_binseg_two_level" -> ((s, d) =>
+      TimeSeries.binsegTwoLevel(s, d).orderBy(col("event_type"), col("level"))),
+    "q266_silhouette" -> ((s, d) =>
+      Similarity.silhouette(s, d).orderBy(col("label")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5606,7 +5612,113 @@ object SparkEntry {
         |  round((sy - slope*sx)/nn*1000000)/1000000.0 AS intercept,
         |  round((nn*sxy - sx*sy)*(nn*sxy - sx*sy)/(vx*vy)
         |    *1000000)/1000000.0 AS r2
-        |FROM s ORDER BY 1""".stripMargin
+        |FROM s ORDER BY 1""".stripMargin,
+    "q264_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    max(CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)) last_day,
+        |    CAST(count(*) AS BIGINT) freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) monetary
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY last_day DESC, o_custkey) AS INT)
+        |      r_q,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS INT) f_q,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+        |      m_q
+        |  FROM per)
+        |SELECT CAST(r_q*100 + f_q*10 + m_q AS INT) AS segment,
+        |  CAST(count(*) AS BIGINT) n_customers,
+        |  round(CAST(sum(monetary) AS DOUBLE)/count(*)*100)/100.0
+        |    AS avg_monetary
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q265_binseg_two_level" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 AS DECIMAL(28,12)) md
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, d, md,
+        |    CAST(row_number() OVER w AS BIGINT) rn,
+        |    sum(md) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n,
+        |    sum(md) OVER (PARTITION BY event_type) total
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |cand AS (SELECT *, CAST(cum AS DOUBLE)/rn mean_l,
+        |    CAST(total - cum AS DOUBLE)/(n - rn) mean_r,
+        |    abs(CAST(cum AS DOUBLE)/rn - CAST(total - cum AS DOUBLE)/(n - rn))
+        |      shift
+        |  FROM base WHERE rn >= 3 AND rn <= n - 3),
+        |root AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY shift DESC, rn) pick
+        |    FROM cand) WHERE pick = 1),
+        |sided AS (SELECT b.event_type, b.d, b.md,
+        |    CASE WHEN b.rn <= root.rn THEN 'left' ELSE 'right' END side
+        |  FROM base b JOIN root ON b.event_type = root.event_type),
+        |base2 AS (SELECT event_type, side, d, md,
+        |    CAST(row_number() OVER w2 AS BIGINT) rn,
+        |    sum(md) OVER (w2 ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type, side) AS BIGINT) n,
+        |    sum(md) OVER (PARTITION BY event_type, side) total
+        |  FROM sided
+        |  WINDOW w2 AS (PARTITION BY event_type, side ORDER BY d)),
+        |cand2 AS (SELECT *, CAST(cum AS DOUBLE)/rn mean_l,
+        |    CAST(total - cum AS DOUBLE)/(n - rn) mean_r,
+        |    abs(CAST(cum AS DOUBLE)/rn - CAST(total - cum AS DOUBLE)/(n - rn))
+        |      shift
+        |  FROM base2 WHERE rn >= 3 AND rn <= n - 3),
+        |sub AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY event_type, side ORDER BY shift DESC, rn) pick
+        |    FROM cand2) WHERE pick = 1),
+        |allrows AS (
+        |  SELECT event_type, 'root' AS "level", d, n, mean_l, mean_r, shift
+        |    FROM root
+        |  UNION ALL
+        |  SELECT event_type, side, d, n, mean_l, mean_r, shift FROM sub)
+        |SELECT event_type, "level", d AS split_day, n AS n_days,
+        |  round(mean_l*1000000)/1000000.0 AS mean_l,
+        |  round(mean_r*1000000)/1000000.0 AS mean_r,
+        |  round(shift*1000000)/1000000.0 AS shift
+        |FROM allrows ORDER BY 1, 2""".stripMargin,
+    "q266_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |ix AS (SELECT vec_id, label, v,
+        |    unnest(generate_series(1, len(v))) i FROM e),
+        |xx AS (SELECT vec_id, label, i, v[i] x FROM ix),
+        |cent AS (SELECT label clabel, i,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/count(*) c
+        |  FROM xx GROUP BY 1, 2),
+        |vv AS (SELECT vec_id,
+        |    CAST(sum(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE) dvv
+        |  FROM xx GROUP BY 1),
+        |cc AS (SELECT clabel,
+        |    CAST(sum(CAST(c*c AS DECIMAL(18,16))) AS DOUBLE) dcc
+        |  FROM cent GROUP BY 1),
+        |dt AS (SELECT xx.vec_id, xx.label, cent.clabel,
+        |    CAST(sum(CAST(xx.x*cent.c AS DECIMAL(18,16))) AS DOUBLE) dvc
+        |  FROM xx JOIN cent ON xx.i = cent.i GROUP BY 1, 2, 3),
+        |d2 AS (SELECT dt.vec_id, dt.label, dt.clabel,
+        |    vv.dvv - 2.0*dt.dvc + cc.dcc d2
+        |  FROM dt JOIN vv ON dt.vec_id = vv.vec_id
+        |    JOIN cc ON dt.clabel = cc.clabel),
+        |a AS (SELECT vec_id, label, d2 a2 FROM d2 WHERE clabel = label),
+        |b AS (SELECT vec_id, min(d2) b2 FROM d2 WHERE clabel <> label
+        |  GROUP BY 1),
+        |s AS (SELECT a.vec_id, a.label,
+        |    CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+        |      THEN (sqrt(b2) - sqrt(a2))/greatest(sqrt(a2), sqrt(b2))
+        |      ELSE 0.0 END s
+        |  FROM a JOIN b ON a.vec_id = b.vec_id)
+        |SELECT label, CAST(count(*) AS BIGINT) n_vecs,
+        |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)/count(*)
+        |    *1000000)/1000000.0 AS mean_silhouette,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_misplaced
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

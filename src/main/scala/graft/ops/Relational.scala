@@ -1479,4 +1479,39 @@ object Relational {
 
   def eventDedupCensus(spark: SparkSession, sfDir: String): DataFrame =
     eventDedupCensus(Tables.events(spark, sfDir))
+
+  /** q264: RFM segmentation census — every customer scored into
+    * recency/frequency/monetary quintiles (1 = best: most recent, most
+    * orders, highest spend), segments = the concatenated code, reported
+    * with size and average spend. The classic CRM partition, and a
+    * multi-metric window shape: three ntile(5)s over the per-customer
+    * aggregate, each with a deterministic (metric, custkey) tie-break.
+    * The ntiles run single-task over the CUSTOMER aggregate (bounded by
+    * |customers|, not order volume); at the scale where that's too big
+    * the quintile boundaries would come from the exact-quantile engine
+    * and score via broadcast range joins — the census shape is identical.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey")).agg(
+      max(floor(unix_timestamp(col("o_orderdate")) / lit(86400))
+        .cast("bigint")).as("last_day"),
+      count(lit(1)).as("freq"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+    val rW = Window.orderBy(col("last_day").desc, col("o_custkey"))
+    val fW = Window.orderBy(col("freq").desc, col("o_custkey"))
+    val mW = Window.orderBy(col("monetary").desc, col("o_custkey"))
+    per
+      .withColumn("r_q", ntile(5).over(rW))
+      .withColumn("f_q", ntile(5).over(fW))
+      .withColumn("m_q", ntile(5).over(mW))
+      .withColumn("segment",
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (round((sum(col("monetary")).cast("double")
+          / count(lit(1))) * lit(100)) / lit(100.0)).as("avg_monetary"))
+  }
+
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame =
+    rfmSegments(Tables.orders(spark, sfDir))
 }

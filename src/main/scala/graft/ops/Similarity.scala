@@ -881,4 +881,54 @@ object Similarity {
 
   def kmeansFixed(spark: SparkSession, sfDir: String): DataFrame =
     kmeansFixed(Tables.embeddings(spark, sfDir))
+
+  /** q266: simplified silhouette per label — the clustering-quality score
+    * that q56's within-cluster spread can't give, because silhouette also
+    * measures SEPARATION: a = distance to the own-label centroid, b = the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1] (negative ⇔
+    * the vector sits closer to a foreign cluster — the merge/split
+    * signal). Centroid-based (the O(n·k·d) "simplified silhouette"), not
+    * pairwise O(n²) — the only formulation that scales; distances expand
+    * as ‖v‖² − 2v·c + ‖c‖² with all three terms exact decimal sums, so
+    * a/b and the per-label mean are deterministic.
+    */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val dims = asDoubles(emb)
+      .select(col("vec_id"), col("label"), posexplode(col("v"))
+        .as(Seq("i", "xd")))
+    val cent = dims.groupBy(col("label").as("clabel"), col("i"))
+      .agg((sum(col("xd").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("c"))
+    val vv = dims.groupBy(col("vec_id"))
+      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
+        .cast("double").as("dvv"))
+    val cc = cent.groupBy(col("clabel"))
+      .agg(sum((col("c") * col("c")).cast("decimal(28,16)"))
+        .cast("double").as("dcc"))
+    val dot = dims.join(cent, "i")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("xd") * col("c")).cast("decimal(28,16)"))
+        .cast("double").as("dvc"))
+    val d2 = dot.join(vv, "vec_id").join(cc, "clabel")
+      .withColumn("d2", col("dvv") - lit(2.0) * col("dvc") + col("dcc"))
+    val a = d2.where(col("clabel") === col("label"))
+      .select(col("vec_id"), col("label"), col("d2").as("a2"))
+    val b = d2.where(col("clabel") =!= col("label"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("b2"))
+    a.join(b, "vec_id")
+      .withColumn("s",
+        when(greatest(sqrt(col("a2")), sqrt(col("b2"))) > 0,
+          (sqrt(col("b2")) - sqrt(col("a2")))
+            / greatest(sqrt(col("a2")), sqrt(col("b2"))))
+          .otherwise(lit(0.0)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (round((sum(col("s").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))) * lit(1000000)) / lit(1000000.0))
+          .as("mean_silhouette"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_misplaced"))
+  }
+
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame =
+    silhouette(Tables.embeddings(spark, sfDir))
 }

@@ -1617,4 +1617,71 @@ object TimeSeries {
 
   private def r6c(c: org.apache.spark.sql.Column) =
     round(c * lit(1000000)) / lit(1000000.0)
+
+  /** q265: two-level binary segmentation per series — q111 finds THE
+    * changepoint; real regime histories have several, and binary
+    * segmentation is the standard scale-out: split at the best point,
+    * recurse into each side. Depth 2 here (root + best sub-split per
+    * side), on the bounded per-day mean table so every segment scan is a
+    * window over ≤span rows. Each level is the same prefix-sum trick as
+    * q111 — both segment means from ONE cumulative decimal sum, no
+    * per-candidate rescan — with the level-2 windows partitioned by
+    * (series, side). minSeg days on each side of any split; a side
+    * shorter than 2·minSeg yields no row, identically in both engines.
+    */
+  def binsegTwoLevel(events: DataFrame, minSeg: Int = 3): DataFrame = {
+    val daily = dailyMeans(events)
+      .withColumn("md", col("m").cast("decimal(28,12)"))
+    val ordW = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val cumW = ordW.rowsBetween(Window.unboundedPreceding, 0)
+    val allW = Window.partitionBy(col("event_type"))
+    val base = daily
+      .withColumn("rn", row_number().over(ordW))
+      .withColumn("cum", sum(col("md")).over(cumW))
+      .withColumn("n", count(lit(1)).over(allW))
+      .withColumn("total", sum(col("md")).over(allW))
+    def pickBest(df: DataFrame, partCols: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(col("shift").desc, col("rn"))
+      df.where(col("rn") >= minSeg && col("rn") <= col("n") - minSeg)
+        .withColumn("mean_l", col("cum").cast("double") / col("rn"))
+        .withColumn("mean_r",
+          (col("total") - col("cum")).cast("double") / (col("n") - col("rn")))
+        .withColumn("shift", abs(col("mean_l") - col("mean_r")))
+        .withColumn("pick", row_number().over(w))
+        .where(col("pick") === 1)
+    }
+    val root = pickBest(base, Seq("event_type"))
+      .select(col("event_type"), col("rn").as("s1"), col("d").as("root_d"),
+        col("mean_l").as("rml"), col("mean_r").as("rmr"),
+        col("shift").as("rshift"), col("n").as("rootn"))
+    // level 2: re-rank inside each side of the root split
+    val sided = base.join(root.select(col("event_type"), col("s1")),
+        "event_type")
+      .withColumn("side", when(col("rn") <= col("s1"), lit("left"))
+        .otherwise(lit("right")))
+    val ord2 = Window.partitionBy(col("event_type"), col("side"))
+      .orderBy(col("d"))
+    val cum2 = ord2.rowsBetween(Window.unboundedPreceding, 0)
+    val all2 = Window.partitionBy(col("event_type"), col("side"))
+    val base2 = sided
+      .withColumn("rn", row_number().over(ord2))
+      .withColumn("cum", sum(col("md")).over(cum2))
+      .withColumn("n", count(lit(1)).over(all2))
+      .withColumn("total", sum(col("md")).over(all2))
+    val sub = pickBest(base2, Seq("event_type", "side"))
+      .select(col("event_type"), col("side").as("level"), col("d"),
+        col("n"), col("mean_l"), col("mean_r"), col("shift"))
+    val rootRow = root.select(col("event_type"), lit("root").as("level"),
+      col("root_d").as("d"), col("rootn").as("n"), col("rml").as("mean_l"),
+      col("rmr").as("mean_r"), col("rshift").as("shift"))
+    rootRow.unionAll(sub)
+      .select(col("event_type"), col("level"), col("d").as("split_day"),
+        col("n").as("n_days"),
+        r6c(col("mean_l")).as("mean_l"), r6c(col("mean_r")).as("mean_r"),
+        r6c(col("shift")).as("shift"))
+  }
+
+  def binsegTwoLevel(spark: SparkSession, sfDir: String): DataFrame =
+    binsegTwoLevel(Tables.events(spark, sfDir))
 }

@@ -416,4 +416,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length == 5) // 9 points minus 2 on each edge
     out.foreach(r => assert(math.abs(r.getAs[Double]("resid")) < 1e-6))
   }
+
+  test("binsegTwoLevel finds both steps of a double staircase") {
+    // 30 days: 10 at level 0, 10 at level 10, 10 at level 30 -> root split
+    // isolates the biggest mean gap; a sub-split finds the other step
+    val ev = typedEvents((0L to 29L).map { d =>
+      val v = if (d < 10) 0.0 else if (d < 20) 10.0 else 30.0
+      ("a", d, v)
+    })
+    val out = ops.TimeSeries.binsegTwoLevel(ev).collect()
+      .map(r => r.getAs[String]("level") -> r).toMap
+    assert(out.contains("root") && (out.contains("left") || out.contains("right")))
+    val splits = out.values.map(_.getAs[Long]("split_day")).toSet
+    // the two true boundaries are at days 9->10 and 19->20: the chosen
+    // split days must be at (or next to) those steps
+    assert(splits.exists(d => d >= 8 && d <= 11))
+    assert(splits.exists(d => d >= 18 && d <= 21))
+  }
 }

@@ -158,4 +158,25 @@ class RelationalWideningSpec extends SparkSpec {
     assert(m("view").getAs[Long]("n_unique") == 2)
     assert(m("view").getAs[Double]("dup_rate") == 0.0)
   }
+
+  test("rfmSegments puts the dominant customer in segment 111") {
+    // customer 1: most recent, most orders, highest spend -> quintile 1
+    // on all three axes; 5 customers, one per quintile
+    val rows = (1 to 5).flatMap { c =>
+      (1 to (6 - c)).map { k =>
+        (c * 100L + k, c.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-${c * 5}%02d 00:00:00"),
+          (6 - c) * 100.0)
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      // recency: customer 5 ordered latest -> invert so c1 is most recent
+      .withColumn("o_orderdate",
+        expr("timestamp_seconds(86400 * (40 - 5 * o_custkey))"))
+    val m = Relational.rfmSegments(rows).collect()
+      .map(r => r.getAs[Int]("segment") -> r.getAs[Long]("n_customers"))
+      .toMap
+    assert(m(111) == 1) // customer 1 best on all axes
+    assert(m(555) == 1) // customer 5 worst on all axes
+    assert(m.values.sum == 5)
+  }
 }

@@ -159,4 +159,17 @@ class SimilaritySpec extends SparkSpec {
       assert(wss < 1.0) // tight: satellites 0.5 away from the mean
     }
   }
+
+  test("silhouette is near 1 for tight separated clusters, negative for a misfit") {
+    val vecs = Seq(
+      (0L, Array(0f, 0.1f), 0), (1L, Array(0.1f, 0f), 0),
+      (2L, Array(10f, 10.1f), 1), (3L, Array(10.1f, 10f), 1),
+      // labeled 0 but sitting inside cluster 1 -> negative s, misplaced
+      (4L, Array(10f, 10f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.silhouette(vecs).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(m(1).getAs[Double]("mean_silhouette") > 0.8)
+    assert(m(0).getAs[Long]("n_misplaced") == 1)
+  }
 }
