@@ -542,7 +542,12 @@ object SparkEntry {
     "q265_binseg_two_level" -> ((s, d) =>
       TimeSeries.binsegTwoLevel(s, d).orderBy(col("event_type"), col("level"))),
     "q266_silhouette" -> ((s, d) =>
-      Similarity.silhouette(s, d).orderBy(col("label")))
+      Similarity.silhouette(s, d).orderBy(col("label"))),
+    "q267_tfidf_cosine" -> ((s, d) =>
+      TextAnalysis.tfidfCosinePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q268_negative_samples" -> ((s, d) =>
+      Curation.negativeSamples(s, d).orderBy(col("source"))),
+    "q269_dup_transitivity" -> ((s, d) => Dedup.dupTransitivity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5718,7 +5723,96 @@ object SparkEntry {
         |    *1000000)/1000000.0 AS mean_silhouette,
         |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    n_misplaced
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q267_tfidf_cosine" ->
+      """WITH tok AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |  FROM (SELECT doc_id, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |df0 AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tok
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+        |dfq AS (SELECT term, df FROM df0, nn
+        |  WHERE df*5 <= n AND df <= 1000),
+        |w AS (SELECT doc_id, tok.term,
+        |    round((tf*(ln((1.0 + n)/(1.0 + df)) + 1.0))*1e12)/1e12 w
+        |  FROM tok JOIN dfq ON tok.term = dfq.term CROSS JOIN nn),
+        |nrm AS (SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(round(w*w*1e12)/1e12 AS DECIMAL(28,12)))
+        |      AS DOUBLE)) nrm
+        |  FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+        |    CAST(count(*) AS BIGINT) n_shared_terms,
+        |    CAST(sum(CAST(round(a.w*b.w*1e12)/1e12 AS DECIMAL(28,12)))
+        |      AS DOUBLE) dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT doc_a, doc_b, n_shared_terms,
+        |    dot/(na.nrm*nb.nrm) cos
+        |  FROM dots JOIN nrm na ON doc_a = na.doc_id
+        |    JOIN nrm nb ON doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b, n_shared_terms,
+        |  round(cos*1000000)/1000000.0 AS cosine
+        |FROM sc WHERE cos >= 0.3 ORDER BY 1, 2""".stripMargin,
+    "q268_negative_samples" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) h,
+        |    doc_id % 64 b
+        |  FROM documents),
+        |reps AS (SELECT b tb, min(doc_id) rep_id FROM d GROUP BY 1),
+        |r2 AS (SELECT reps.tb, reps.rep_id, d.h rep_h
+        |  FROM reps JOIN d ON reps.rep_id = d.doc_id),
+        |c0 AS (SELECT d.doc_id, d.source, d.h, d.b, os.o
+        |  FROM d, (SELECT unnest([1, 7, 31]) o) os),
+        |cand AS (SELECT c0.doc_id, c0.source, c0.h, r2.rep_id, r2.rep_h
+        |  FROM c0 JOIN r2 ON (c0.b + c0.o) % 64 = r2.tb)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) n_docs,
+        |  CAST(sum(CASE WHEN rep_id <> doc_id AND rep_h <> h
+        |    THEN 1 ELSE 0 END) AS BIGINT) n_negs,
+        |  CAST(sum(CASE WHEN rep_id <> doc_id AND rep_h = h
+        |    THEN 1 ELSE 0 END) AS BIGINT) n_dropped_dup,
+        |  CAST(sum(CASE WHEN rep_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_dropped_self
+        |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q269_dup_transitivity" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh
+        |  FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz AS (SELECT doc_id, band, sig FROM (
+        |          SELECT doc_id, band, sig,
+        |            count(*) OVER (PARTITION BY band, sig) bc
+        |          FROM bands) WHERE bc <= 64),
+        |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM bsz a JOIN bsz b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |adj AS (SELECT doc_a m, doc_b x FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |wedges AS (SELECT a1.m, a1.x, a2.x y FROM adj a1
+        |  JOIN adj a2 ON a1.m = a2.m AND a1.x < a2.x),
+        |closed AS (SELECT w.* FROM wedges w
+        |  JOIN pairs p ON w.x = p.doc_a AND w.y = p.doc_b),
+        |np AS (SELECT CAST(count(*) AS BIGINT) n_pairs FROM pairs),
+        |nw AS (SELECT CAST(count(*) AS BIGINT) n_wedges FROM wedges),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) n_closed FROM closed)
+        |SELECT n_pairs, n_wedges, n_closed,
+        |  CASE WHEN n_wedges > 0
+        |    THEN round(CAST(n_closed AS DOUBLE)/CAST(n_wedges AS DOUBLE)
+        |      *10000)/10000.0
+        |    ELSE 0.0 END AS closure_rate
+        |FROM np, nw, nc""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -424,4 +424,41 @@ object Curation {
 
   def qualityTemperatureSample(spark: SparkSession, sfDir: String): DataFrame =
     qualityTemperatureSample(Tables.documents(spark, sfDir))
+
+  /** q268: deterministic negative sampling for contrastive training —
+    * every document is paired with the representatives of `offsets.size`
+    * OTHER hash buckets (bucket = doc_id mod nBuckets, representative =
+    * the bucket's min doc_id), then pairs that would poison the loss are
+    * dropped: the self-pair and exact near-misses (same normalized-text
+    * md5 — a "negative" that's actually a positive). The census reports
+    * how many negatives survive per source and how many the dup guard
+    * caught. Scale shape: the representative table is nBuckets rows —
+    * broadcast — so negative assignment is a map-side join over one scan;
+    * no sampling RNG, so retries/engines agree bit-for-bit.
+    */
+  def negativeSamples(docs: DataFrame, nBuckets: Int = 64,
+                      offsets: Seq[Int] = Seq(1, 7, 31)): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      md5(Dedup.normText(col("text"))).as("h"),
+      pmod(col("doc_id"), lit(nBuckets)).as("b"))
+    val reps = d.groupBy(col("b")).agg(min(col("doc_id")).as("rep_id"))
+      .join(d.select(col("doc_id").as("rep_id"), col("h").as("rep_h")),
+        "rep_id")
+      .withColumnRenamed("b", "tb")
+    val cand = d
+      .withColumn("o", explode(array(offsets.map(lit): _*)))
+      .withColumn("tb", pmod(col("b") + col("o"), lit(nBuckets)))
+      .join(broadcast(reps), "tb")
+    cand.groupBy(col("source")).agg(
+      count_distinct(col("doc_id")).as("n_docs"),
+      sum(when(col("rep_id") =!= col("doc_id") && col("rep_h") =!= col("h"),
+        1L).otherwise(0L)).as("n_negs"),
+      sum(when(col("rep_id") =!= col("doc_id") && col("rep_h") === col("h"),
+        1L).otherwise(0L)).as("n_dropped_dup"),
+      sum(when(col("rep_id") === col("doc_id"), 1L).otherwise(0L))
+        .as("n_dropped_self"))
+  }
+
+  def negativeSamples(spark: SparkSession, sfDir: String): DataFrame =
+    negativeSamples(Tables.documents(spark, sfDir))
 }

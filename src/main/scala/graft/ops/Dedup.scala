@@ -1062,4 +1062,36 @@ object Dedup {
 
   def dupInflation(spark: SparkSession, sfDir: String): DataFrame =
     dupInflation(Tables.documents(spark, sfDir))
+
+  /** q269: transitivity census of the LSH near-dup pair graph — how
+    * clique-like are q22's candidate pairs? A high closure rate says the
+    * pairs form genuine duplicate CLUSTERS (safe to collapse to one
+    * keeper, the q52/q93 move); a low rate says chains/hubs — template
+    * drift where A~B~C but A≁C, exactly the shape where keep-one-per-
+    * component over-deletes. One number that decides which dedup policy
+    * the corpus can take. Wedge fan-out is bounded by the pair graph's
+    * degree (already band-capped by q22's maxBucket), not by corpus size.
+    */
+  def dupTransitivity(docs: DataFrame): DataFrame = {
+    val pairs = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val adj = pairs.select(col("doc_a").as("m"), col("doc_b").as("x"))
+      .unionAll(pairs.select(col("doc_b").as("m"), col("doc_a").as("x")))
+    val wedges = adj.join(adj.toDF("m", "y"), "m")
+      .where(col("x") < col("y"))
+    val closed = wedges.join(
+      pairs.select(col("doc_a").as("x"), col("doc_b").as("y")),
+      Seq("x", "y"), "leftsemi")
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+      .withColumn("closure_rate",
+        when(col("n_wedges") > 0,
+          round(col("n_closed").cast("double")
+            / col("n_wedges").cast("double") * lit(10000)) / lit(10000.0))
+          .otherwise(lit(0.0)))
+  }
+
+  def dupTransitivity(spark: SparkSession, sfDir: String): DataFrame =
+    dupTransitivity(Tables.documents(spark, sfDir))
 }

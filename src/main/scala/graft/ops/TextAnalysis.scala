@@ -1026,4 +1026,58 @@ object TextAnalysis {
 
   def readability(spark: SparkSession, sfDir: String): DataFrame =
     readability(Tables.documents(spark, sfDir))
+
+  /** q267: doc-doc cosine similarity over rare-term tf-idf vectors — the
+    * SPARSE text-similarity lens the engine was missing (q21 Jaccard sees
+    * set overlap, q24 sees dense embeddings; tf-idf cosine weights shared
+    * RARE vocabulary, the retrieval-style signal). The vocabulary is
+    * df-capped FIRST (df ≤ min(maxDf, n/5)), which is simultaneously the semantic
+    * choice (stopwords carry no tf-idf mass) and the scale guarantee: the
+    * term self-join fans out at most df² per surviving term, so a Zipfian
+    * stop-term can never produce the O(n²) hairball. Weights are
+    * 1e-12-snapped after the ln so the decimal dot/norm sums are
+    * engine-identical.
+    */
+  def tfidfCosinePairs(docs: DataFrame, maxDf: Long = 1000,
+                       minCos: Double = 0.3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normText(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    // vocabulary cap: df ≤ min(maxDf, n/5). The ABSOLUTE cap bounds the
+    // term self-join fan-out at any corpus size (Σ df² per term ≤ maxDf²);
+    // the RELATIVE cap keeps the semantics at small corpora, where "rare"
+    // must mean rare relative to n (cross-multiplied so it stays integer)
+    val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .where(col("df") * 5 <= col("n") && col("df") <= maxDf)
+      .select(col("term"), col("df"))
+    val w = tok.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("w", round((col("tf")
+        * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)))
+        * lit(1e12)) / lit(1e12))
+      .select(col("doc_id"), col("term"), col("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum((round(col("w") * col("w") * lit(1e12)) / lit(1e12))
+        .cast("decimal(28,12)")).cast("double")).as("nrm"))
+    val dots = w.toDF("doc_a", "term", "wa")
+      .join(w.toDF("doc_b", "term", "wb"), "term")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum((round(col("wa") * col("wb") * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("dot"))
+    dots
+      .join(norms.toDF("doc_a", "na"), "doc_a")
+      .join(norms.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .where(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_terms"),
+        (round(col("cos") * lit(1000000)) / lit(1000000.0)).as("cosine"))
+  }
+
+  def tfidfCosinePairs(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfCosinePairs(Tables.documents(spark, sfDir))
 }

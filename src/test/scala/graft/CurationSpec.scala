@@ -92,4 +92,20 @@ class CurationSpec extends SparkSpec {
     assert(allSampled === Seq(
       (0L, "sample"), (1L, "dup"), (2L, "gate"), (3L, "sample")))
   }
+
+  test("negativeSamples drops self pairs and exact-dup negatives") {
+    // bucket b = doc_id % 64; representative of each bucket = its min id.
+    // doc 65 (b=1) pairs with reps of buckets 2, 8, 32; doc 2 is an exact
+    // dup of doc 65's text -> that pair is dropped as a false negative
+    val docs = (Seq((1L, "alpha beta"), (2L, "same text"), (8L, "gamma"),
+      (32L, "delta"), (65L, "same text"), (33L, "epsilon"), (39L, "zeta"),
+      (63L, "eta")))
+      .map { case (id, t) => (id, t, "en", "s" + (id % 2), t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.Curation.negativeSamples(docs).collect()
+    val negs = out.map(_.getAs[Long]("n_negs")).sum
+    val dropped = out.map(_.getAs[Long]("n_dropped_dup")).sum
+    assert(negs > 0)
+    assert(dropped >= 1) // 65 vs bucket-2 rep (doc 2, identical text)
+  }
 }

@@ -268,4 +268,18 @@ class DedupSpec extends SparkSpec {
     assert(m("mirror").getAs[Long]("tokens_dup") == 3)
     assert(m("mirror").getAs[Double]("inflation") == 2.5)
   }
+
+  test("dupTransitivity closure on a clean duplicate pair graph") {
+    // three identical docs -> LSH pairs (1,2),(1,3),(2,3): every wedge
+    // closes, closure_rate = 1
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, t, "a"), (2L, t, "a"), (3L, t, "b"),
+      (4L, "totally different words here that never collide at all", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dupTransitivity(docs).collect().head
+    assert(r.getAs[Long]("n_pairs") == 3)
+    assert(r.getAs[Long]("n_wedges") == 3)
+    assert(r.getAs[Long]("n_closed") == 3)
+    assert(r.getAs[Double]("closure_rate") == 1.0)
+  }
 }

@@ -133,4 +133,17 @@ class TextAnalysisSpec extends SparkSpec {
     // 206.835 - 1.015*3 - 84.6*1 = 119.19
     assert(math.abs(r.getAs[Double]("flesch") - 119.19) < 1e-9)
   }
+
+  test("tfidfCosinePairs: shared rare term links docs, stop term does not") {
+    // "zebra" appears in docs 1,2 only (rare); "common" in all 10 (df*5 > n)
+    val docs = ((1 to 10).map { i =>
+      val extra = if (i <= 2) "zebra quark" else s"filler$i other$i"
+      (i.toLong, s"common $extra", "en", "s", 20L)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.tfidfCosinePairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(rows.keySet == Set((1L, 2L)))
+    // docs 1 and 2 share their entire rare vocabulary -> cosine 1
+    assert(math.abs(rows((1L, 2L)).getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
 }
