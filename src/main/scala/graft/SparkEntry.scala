@@ -547,7 +547,13 @@ object SparkEntry {
       TextAnalysis.tfidfCosinePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q268_negative_samples" -> ((s, d) =>
       Curation.negativeSamples(s, d).orderBy(col("source"))),
-    "q269_dup_transitivity" -> ((s, d) => Dedup.dupTransitivity(s, d))
+    "q269_dup_transitivity" -> ((s, d) => Dedup.dupTransitivity(s, d)),
+    "q270_calibration_bins" -> ((s, d) =>
+      Regression.calibrationBins(s, d).orderBy(col("bin"))),
+    "q271_lifecycle_states" -> ((s, d) =>
+      Ranges.lifecycleStates(s, d).orderBy(col("wk"))),
+    "q272_mode_per_group" -> ((s, d) =>
+      Relational.modePerGroup(s, d).orderBy(col("l_returnflag")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5812,7 +5818,44 @@ object SparkEntry {
         |    THEN round(CAST(n_closed AS DOUBLE)/CAST(n_wedges AS DOUBLE)
         |      *10000)/10000.0
         |    ELSE 0.0 END AS closure_rate
-        |FROM np, nw, nc""".stripMargin
+        |FROM np, nw, nc""".stripMargin,
+    "q270_calibration_bins" -> calibrationOracle(4),
+    "q271_lifecycle_states" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor(floor(epoch(ts)/86400)/7) AS BIGINT) wk FROM events),
+        |mx AS (SELECT max(wk) max_wk FROM uw),
+        |lg AS (SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) pwk,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) nwk
+        |  FROM uw),
+        |st AS (SELECT wk, CAST(count(*) AS BIGINT) n_active,
+        |    CAST(sum(CASE WHEN pwk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_new,
+        |    CAST(sum(CASE WHEN pwk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_retained,
+        |    CAST(sum(CASE WHEN pwk IS NOT NULL AND pwk < wk - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) n_resurrected
+        |  FROM lg GROUP BY 1),
+        |ch AS (SELECT wk + 1 wk, CAST(count(*) AS BIGINT) n_churned
+        |  FROM lg, mx
+        |  WHERE (nwk IS NULL AND wk < max_wk) OR nwk > wk + 1
+        |  GROUP BY 1)
+        |SELECT st.wk, n_active, n_new, n_retained, n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM st LEFT JOIN ch ON st.wk = ch.wk ORDER BY 1""".stripMargin,
+    "q272_mode_per_group" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS INT) q,
+        |    CAST(count(*) AS BIGINT) cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) n
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, q) rn FROM c)
+        |SELECT r.l_returnflag, q AS mode_qty, cnt AS mode_count, n,
+        |  round(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)*1000000)/1000000.0
+        |    AS mode_share
+        |FROM r JOIN t ON r.l_returnflag = t.l_returnflag
+        |WHERE rn = 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -5896,6 +5939,53 @@ object SparkEntry {
        |  round(CAST(sum(CAST(round(d2*1e12)/1e12 AS DECIMAL(28,12)))
        |    AS DOUBLE)*1000000)/1000000.0 AS wss
        |FROM asg$iters GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q270 oracle: the q227 Newton rounds verbatim, then the reliability
+    * binning — predicted p snapped to 1e-12 before both the bin floor and
+    * the per-bin decimal mean, replaying [[graft.ops.Regression
+    * .calibrationBins]].
+    */
+  private def calibrationOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""pp$k AS (SELECT xy.x, xy.y, b.b0, b.b1,
+         |    1.0/(1.0 + exp(-(b.b0 + b.b1*xy.x))) p
+         |  FROM xy CROSS JOIN be${k - 1} b),
+         |ag$k AS (SELECT max(b0) b0, max(b1) b1,
+         |    CAST(sum(CAST(y - p AS DECIMAL(28,12))) AS DOUBLE) g0,
+         |    CAST(sum(CAST((y - p)*x AS DECIMAL(28,12))) AS DOUBLE) g1,
+         |    CAST(sum(CAST(p*(1.0 - p) AS DECIMAL(28,12))) AS DOUBLE) h00,
+         |    CAST(sum(CAST(p*(1.0 - p)*x AS DECIMAL(28,12))) AS DOUBLE) h01,
+         |    CAST(sum(CAST(p*(1.0 - p)*x*x AS DECIMAL(28,12))) AS DOUBLE) h11
+         |  FROM pp$k),
+         |st$k AS (SELECT *, h00*h11 - h01*h01 det FROM ag$k),
+         |be$k AS (SELECT
+         |    round((b0 + (h11*g0 - h01*g1)/det)*1e12)/1e12 b0,
+         |    round((b1 + (h00*g1 - h01*g0)/det)*1e12)/1e12 b1
+         |  FROM st$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xy AS MATERIALIZED (SELECT value/100.0 x,
+       |    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END y
+       |  FROM events),
+       |be0 AS (SELECT 0.0 b0, 0.0 b1),
+       |$rounds,
+       |ps AS (SELECT xy.y,
+       |    round((1.0/(1.0 + exp(-(b.b0 + b.b1*xy.x))))*1e12)/1e12 p
+       |  FROM xy CROSS JOIN be$iters b),
+       |bn AS (SELECT CAST(least(floor(p*10), 9.0) AS INT) bin, y, p FROM ps),
+       |g AS (SELECT bin, CAST(count(*) AS BIGINT) n,
+       |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) n_pos,
+       |    sum(CAST(p AS DECIMAL(28,12))) sp
+       |  FROM bn GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |  round(CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)*1000000)/1000000.0
+       |    AS mean_pred,
+       |  round(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)*1000000)/1000000.0
+       |    AS obs_rate,
+       |  round((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)
+       |    - CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))*1000000)/1000000.0 + 0.0
+       |    AS gap
+       |FROM g ORDER BY 1""".stripMargin
   }
 
   /** q227 oracle: unrolled distributed Newton–Raphson for the logistic

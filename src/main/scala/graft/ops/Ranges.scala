@@ -855,4 +855,45 @@ object Ranges {
 
   def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame =
     iqrOutliers(Tables.events(spark, sfDir))
+
+  /** q271: weekly growth-accounting states — every (user, week) classified
+    * as new (first ever week), retained (active the week before) or
+    * resurrected (returns after a gap), plus churned counted into the
+    * week AFTER the last activity (the standard growth ledger: actives(w)
+    * = new + retained + resurrected, and churned(w) balances
+    * actives(w−1) − retained(w)). One distinct (user, week) shuffle, one
+    * user-keyed lag/lead window over it, bounded |weeks|-row output; the
+    * trailing churn week is clipped at the observed max week + 1.
+    */
+  def lifecycleStates(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        (floor(floor(unix_timestamp(col("ts")) / 86400) / 7))
+          .cast("bigint").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val mx = uw.agg(max(col("wk")).as("max_wk"))
+    val lagged = uw
+      .withColumn("pwk", lag(col("wk"), 1).over(w))
+      .withColumn("nwk", lead(col("wk"), 1).over(w))
+    val states = lagged.groupBy(col("wk")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("pwk").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("pwk") === col("wk") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("pwk").isNotNull && col("pwk") < col("wk") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    // churn lands in the week after the last (or gap-preceding) activity
+    val churn = lagged.crossJoin(broadcast(mx))
+      .where((col("nwk").isNull && col("wk") < col("max_wk"))
+        || col("nwk") > col("wk") + 1)
+      .select((col("wk") + 1).as("wk"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("wk"), "left")
+      .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  def lifecycleStates(spark: SparkSession, sfDir: String): DataFrame =
+    lifecycleStates(Tables.events(spark, sfDir))
 }

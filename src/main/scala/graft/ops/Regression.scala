@@ -33,12 +33,36 @@ object Regression {
     * comparison — no float boundary).
     */
   def logisticNewton(events: DataFrame, iters: Int = 4): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val xy = events.select(
+    val xy = logisticXy(events)
+    val beta = fitLogistic(xy, iters)
+    xy.crossJoin(broadcast(beta))
+      .withColumn("pred",
+        when(col("b0") + col("b1") * col("x") > 0, 1.0).otherwise(0.0))
+      .groupBy(col("b0"), col("b1"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("n"), col("n_pos"),
+        // + 0.0 folds a rounded -0.0 coefficient onto +0.0 (hash parity)
+        (r6(col("b0")) + lit(0.0)).as("beta0"),
+        (r6(col("b1")) + lit(0.0)).as("beta1"),
+        r6(col("n_correct").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+  }
+
+  private def logisticXy(events: DataFrame): DataFrame =
+    events.select(
       (col("value") / lit(100.0)).as("x"),
       when(col("event_type") === "error", lit(1.0)).otherwise(lit(0.0))
         .as("y"))
+
+  /** The distributed Newton loop shared by q227 and q270 — returns the
+    * one-row (b0, b1) table after `iters` steps, every state snapped to
+    * 1e-12 so both consumers (and their oracles) walk identical betas.
+    */
+  private def fitLogistic(xy: DataFrame, iters: Int): DataFrame = {
+    val spark = xy.sparkSession
+    import spark.implicits._
     var beta = Seq((0.0, 0.0)).toDF("b0", "b1")
     for (_ <- 1 to iters) {
       val step = xy.crossJoin(broadcast(beta))
@@ -67,23 +91,45 @@ object Regression {
           .as("b1"))
         .localCheckpoint()
     }
-    xy.crossJoin(broadcast(beta))
-      .withColumn("pred",
-        when(col("b0") + col("b1") * col("x") > 0, 1.0).otherwise(0.0))
-      .groupBy(col("b0"), col("b1"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
-      .select(col("n"), col("n_pos"),
-        // + 0.0 folds a rounded -0.0 coefficient onto +0.0 (hash parity)
-        (r6(col("b0")) + lit(0.0)).as("beta0"),
-        (r6(col("b1")) + lit(0.0)).as("beta1"),
-        r6(col("n_correct").cast("double") / col("n").cast("double"))
-          .as("accuracy"))
+    beta
   }
 
   def logisticNewton(spark: SparkSession, sfDir: String): DataFrame =
     logisticNewton(Tables.events(spark, sfDir))
+
+  /** q270: calibration (reliability) bins for the q227 logistic model —
+    * predicted P(error|value) in ten equal-width probability bins vs the
+    * OBSERVED positive rate per bin. The model-eval step every deployed
+    * scorer needs: accuracy says how often the sign is right, calibration
+    * says whether 0.7 means 70%. One extra scan after the Newton fit;
+    * predicted p is snapped to 1e-12 BEFORE both the bin floor and the
+    * per-bin mean sum, so bin membership and means are engine-identical
+    * despite exp().
+    */
+  def calibrationBins(events: DataFrame, iters: Int = 4): DataFrame = {
+    val xy = logisticXy(events)
+    val beta = fitLogistic(xy, iters)
+    xy.crossJoin(broadcast(beta))
+      .withColumn("p", snap12(lit(1.0)
+        / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))))
+      .withColumn("bin",
+        least(floor(col("p") * 10), lit(9.0)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("p").cast("decimal(28,12)")).as("sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6(col("sp").cast("double") / col("n").cast("double"))
+          .as("mean_pred"),
+        r6(col("n_pos").cast("double") / col("n").cast("double"))
+          .as("obs_rate"),
+        (r6(col("n_pos").cast("double") / col("n").cast("double")
+          - col("sp").cast("double") / col("n").cast("double"))
+          + lit(0.0)).as("gap"))
+  }
+
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame =
+    calibrationBins(Tables.events(spark, sfDir))
 
   /** q247: two-feature OLS by the normal equations — o_totalprice regressed
     * on an order's line count and total quantity. The closed-form

@@ -1514,4 +1514,31 @@ object Relational {
 
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame =
     rfmSegments(Tables.orders(spark, sfDir))
+
+  /** q272: exact mode per group — the most frequent l_quantity per return
+    * flag with its count and share (the aggregate SQL lacks natively;
+    * approximate sketches get it wrong on close ties, and ML feature
+    * pipelines need the exact answer for categorical imputation). Shape:
+    * value-counts groupBy (map-side combinable, |groups|·|distinct
+    * values| rows out) then an argmax window over that bounded table,
+    * ties broken on the smaller value.
+    */
+  def modePerGroup(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("int").as("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("q"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(tot, "l_returnflag")
+      .select(col("l_returnflag"), col("q").as("mode_qty"),
+        col("cnt").as("mode_count"), col("n"),
+        (round(col("cnt").cast("double") / col("n").cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("mode_share"))
+  }
+
+  def modePerGroup(spark: SparkSession, sfDir: String): DataFrame =
+    modePerGroup(Tables.lineitem(spark, sfDir))
 }

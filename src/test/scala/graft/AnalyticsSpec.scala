@@ -433,4 +433,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(splits.exists(d => d >= 8 && d <= 11))
     assert(splits.exists(d => d >= 18 && d <= 21))
   }
+
+  test("lifecycleStates balances the weekly growth ledger") {
+    // user 1: weeks 0,1,2 (retained twice). user 2: weeks 0,2 (gap ->
+    // churned into wk1, resurrected wk2). user 3: week 0 only (churned wk1)
+    val rows = Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0), (2L, 2), (3L, 0))
+      .zipWithIndex.map { case ((u, wk), i) =>
+        (i.toLong, new java.sql.Timestamp(wk * 7L * 86400000L + 1000L),
+          u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = ops.Ranges.lifecycleStates(rows).collect()
+      .map(r => r.getAs[Long]("wk") -> r).toMap
+    assert(out(0).getAs[Long]("n_new") == 3)
+    assert(out(1).getAs[Long]("n_retained") == 1)
+    assert(out(1).getAs[Long]("n_churned") == 2) // users 2 and 3
+    assert(out(2).getAs[Long]("n_resurrected") == 1) // user 2 returns
+    // ledger: actives(w) = new + retained + resurrected
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_new")
+        + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+    }
+  }
 }

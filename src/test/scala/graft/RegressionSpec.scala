@@ -149,4 +149,33 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(m("B").getAs[Double]("slope") - 5.0) < 1e-6)
     assert(math.abs(m("B").getAs[Double]("r2") - 1.0) < 1e-6)
   }
+
+  test("calibrationBins: a sharp separable model fills the extreme bins") {
+    // separable step data: after 4 Newton rounds p is near 0 left of the
+    // step and near 1 right of it -> mass concentrates in outer bins and
+    // observed rates match predictions there
+    val rows = (0 until 400).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        1L, if (i >= 300) "error" else "view", i.toDouble)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Regression.calibrationBins(df).collect()
+      .map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(out.contains(0) && out.contains(9))
+    assert(out(0).getAs[Double]("obs_rate") < 0.1)
+    assert(out(9).getAs[Double]("obs_rate") > 0.9)
+    assert(out.values.map(_.getAs[Long]("n")).sum == 400)
+  }
+
+  test("modePerGroup picks the most frequent value, smaller value on ties") {
+    val li = (Seq.fill(3)(("R", 10.0)) ++ Seq.fill(3)(("R", 7.0))
+      ++ Seq.fill(2)(("N", 5.0)) ++ Seq(("N", 9.0)))
+      .zipWithIndex.map { case ((f, q), i) => (i.toLong, q, f) }
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+    val m = graft.ops.Relational.modePerGroup(li).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(m("R").getAs[Int]("mode_qty") == 7) // tie 3-3 -> smaller value
+    assert(m("N").getAs[Int]("mode_qty") == 5)
+    assert(m("N").getAs[Double]("mode_share") == 0.666667)
+  }
 }
