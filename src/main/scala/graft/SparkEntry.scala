@@ -553,7 +553,9 @@ object SparkEntry {
     "q271_lifecycle_states" -> ((s, d) =>
       Ranges.lifecycleStates(s, d).orderBy(col("wk"))),
     "q272_mode_per_group" -> ((s, d) =>
-      Relational.modePerGroup(s, d).orderBy(col("l_returnflag")))
+      Relational.modePerGroup(s, d).orderBy(col("l_returnflag"))),
+    "q273_holt_winters" -> ((s, d) =>
+      TimeSeries.holtWinters(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5855,7 +5857,89 @@ object SparkEntry {
         |  round(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)*1000000)/1000000.0
         |    AS mode_share
         |FROM r JOIN t ON r.l_returnflag = t.l_returnflag
-        |WHERE rn = 1 ORDER BY 1""".stripMargin
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "q273_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, m,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) rn
+        |  FROM daily),
+        |tt AS (SELECT event_type, max(rn) t FROM idx GROUP BY 1
+        |  HAVING max(rn) >= 14),
+        |piv AS (SELECT event_type,
+        |    max(CASE WHEN rn = 1 THEN m END) m1,
+        |    max(CASE WHEN rn = 2 THEN m END) m2,
+        |    max(CASE WHEN rn = 3 THEN m END) m3,
+        |    max(CASE WHEN rn = 4 THEN m END) m4,
+        |    max(CASE WHEN rn = 5 THEN m END) m5,
+        |    max(CASE WHEN rn = 6 THEN m END) m6,
+        |    max(CASE WHEN rn = 7 THEN m END) m7,
+        |    max(CASE WHEN rn = 8 THEN m END) m8,
+        |    max(CASE WHEN rn = 9 THEN m END) m9,
+        |    max(CASE WHEN rn = 10 THEN m END) m10,
+        |    max(CASE WHEN rn = 11 THEN m END) m11,
+        |    max(CASE WHEN rn = 12 THEN m END) m12,
+        |    max(CASE WHEN rn = 13 THEN m END) m13,
+        |    max(CASE WHEN rn = 14 THEN m END) m14
+        |  FROM idx WHERE rn <= 14 GROUP BY 1 HAVING count(*) >= 14),
+        |i0 AS (SELECT event_type, m1, m2, m3, m4, m5, m6, m7,
+        |    round(((((((m1+m2)+m3)+m4)+m5)+m6)+m7)/7.0*1e12)/1e12 l,
+        |    round(((((((m8+m9)+m10)+m11)+m12)+m13)+m14)/7.0*1e12)/1e12 w2
+        |  FROM piv),
+        |r AS (
+        |  SELECT event_type, CAST(14 AS BIGINT) t, l,
+        |    round((w2 - l)/7.0*1e12)/1e12 b,
+        |    round((m1 - l)*1e12)/1e12 s0,
+        |    round((m2 - l)*1e12)/1e12 s1,
+        |    round((m3 - l)*1e12)/1e12 s2,
+        |    round((m4 - l)*1e12)/1e12 s3,
+        |    round((m5 - l)*1e12)/1e12 s4,
+        |    round((m6 - l)*1e12)/1e12 s5,
+        |    round((m7 - l)*1e12)/1e12 s6,
+        |    CAST(0.0 AS DOUBLE) sae
+        |  FROM i0
+        |  UNION ALL
+        |  SELECT event_type, t, lnew, bnew,
+        |    CASE WHEN sidx = 0 THEN snew ELSE s0 END,
+        |    CASE WHEN sidx = 1 THEN snew ELSE s1 END,
+        |    CASE WHEN sidx = 2 THEN snew ELSE s2 END,
+        |    CASE WHEN sidx = 3 THEN snew ELSE s3 END,
+        |    CASE WHEN sidx = 4 THEN snew ELSE s4 END,
+        |    CASE WHEN sidx = 5 THEN snew ELSE s5 END,
+        |    CASE WHEN sidx = 6 THEN snew ELSE s6 END,
+        |    saenew
+        |  FROM (SELECT *,
+        |      round((0.2*(lnew - l) + 0.8*b)*1e12)/1e12 bnew,
+        |      round((0.3*(x - lnew) + 0.7*scur)*1e12)/1e12 snew,
+        |      sae + round(abs(x - (l + b + scur))*1e12)/1e12 saenew
+        |    FROM (SELECT *,
+        |        round((0.4*(x - scur) + 0.6*(l + b))*1e12)/1e12 lnew
+        |      FROM (SELECT r.event_type, r.t + 1 t, d.m x, r.l, r.b,
+        |          r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6, r.sae,
+        |          CAST(r.t % 7 AS INT) sidx,
+        |          CASE CAST(r.t % 7 AS INT) WHEN 0 THEN r.s0
+        |            WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3
+        |            WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END scur
+        |        FROM r JOIN idx d ON d.event_type = r.event_type
+        |          AND d.rn = r.t + 1))))
+        |SELECT r.event_type, r.t AS n_days,
+        |  round(r.l*1000000)/1000000.0 AS level,
+        |  round(r.b*1000000)/1000000.0 AS trend,
+        |  round((r.l + r.b + (CASE CAST(r.t % 7 AS INT) WHEN 0 THEN r.s0
+        |    WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3
+        |    WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END))
+        |    *1000000)/1000000.0 AS forecast_1,
+        |  round((greatest(r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6)
+        |    - least(r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6))
+        |    *1000000)/1000000.0 AS s_amplitude,
+        |  round((CASE WHEN r.t > 14 THEN r.sae/CAST(r.t - 14 AS DOUBLE)
+        |    ELSE 0.0 END)*1000000)/1000000.0 AS mae
+        |FROM r JOIN tt ON r.event_type = tt.event_type AND r.t = tt.t
+        |ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

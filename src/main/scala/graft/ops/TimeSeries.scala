@@ -1684,4 +1684,67 @@ object TimeSeries {
 
   def binsegTwoLevel(spark: SparkSession, sfDir: String): DataFrame =
     binsegTwoLevel(Tables.events(spark, sfDir))
+
+  /** q273: Holt–Winters additive triple exponential smoothing per series
+    * (α=0.4, β=0.2, γ=0.3, weekly period) — the seasonal completion of
+    * q251's level+trend Holt: q71/q174 DETECT the weekly rhythm, this
+    * TRACKS it as seven smoothed seasonal states and forecasts with it.
+    * Same execution shape as q251: the fact-sized work is the one per-day
+    * aggregate; the inherently-sequential recursion folds each series'
+    * days inside a single higher-order `aggregate`, state = (level,
+    * trend, 7 seasonal slots, Σ|err|). Initialization is the textbook
+    * two-week start (l₀ = week-1 mean, b₀ = (week-2 mean − week-1
+    * mean)/7, sᵢ = xᵢ − l₀), then days 15..T walk the recursion; series
+    * with under 14 days emit nothing.
+    *
+    * Determinism: every state component is snapped to 1e-12 after every
+    * step, and the fixed-order init sums are written as one literal
+    * expression — the oracle replays the identical walk as a recursive
+    * CTE carrying s0..s6 as columns.
+    */
+  def holtWinters(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val arr = daily.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+        .as("xs"))
+      .where(size(col("xs")) >= 14)
+    def s12(e: String) = s"round(($e)*1e12)/1e12"
+    val m = (i: Int) => s"element_at(xs, $i)"
+    val w1 = s"((((((${m(1)}+${m(2)})+${m(3)})+${m(4)})+${m(5)})+${m(6)})+${m(7)})/7.0"
+    val w2 = s"((((((${m(8)}+${m(9)})+${m(10)})+${m(11)})+${m(12)})+${m(13)})+${m(14)})/7.0"
+    val init =
+      s"""named_struct(
+         |  'l', ${s12(w1)},
+         |  'b', ${s12(s"(${s12(w2)} - ${s12(w1)})/7.0")},
+         |  's', transform(slice(xs, 1, 7), x -> ${s12(s"x - ${s12(w1)}")}),
+         |  'i', CAST(14 AS INT),
+         |  'sae', CAST(0.0 AS DOUBLE))""".stripMargin
+    // one recursion step; acc.i is the 1-based position of the LAST
+    // consumed day, so the incoming day's seasonal slot is acc.i % 7
+    val step =
+      s"""(acc, x) -> named_struct(
+         |  'l', ${s12("0.4*(x - element_at(acc.s, acc.i % 7 + 1)) + 0.6*(acc.l + acc.b)")},
+         |  'b', ${s12(s"0.2*(${s12("0.4*(x - element_at(acc.s, acc.i % 7 + 1)) + 0.6*(acc.l + acc.b)")} - acc.l) + 0.8*acc.b")},
+         |  's', transform(acc.s, (v, j) -> IF(j = acc.i % 7,
+         |    ${s12(s"0.3*(x - ${s12("0.4*(x - element_at(acc.s, acc.i % 7 + 1)) + 0.6*(acc.l + acc.b)")}) + 0.7*v")}, v)),
+         |  'i', acc.i + 1,
+         |  'sae', acc.sae + ${s12("abs(x - (acc.l + acc.b + element_at(acc.s, acc.i % 7 + 1)))")})""".stripMargin
+    arr
+      .withColumn("st", expr(
+        s"aggregate(slice(xs, 15, greatest(size(xs) - 14, 0)), $init, $step)"))
+      .select(col("event_type"),
+        size(col("xs")).cast("bigint").as("n_days"),
+        r6c(col("st.l")).as("level"),
+        r6c(col("st.b")).as("trend"),
+        // next day's forecast: l + b + the upcoming weekday's seasonal
+        r6c(col("st.l") + col("st.b")
+          + expr("element_at(st.s, st.i % 7 + 1)")).as("forecast_1"),
+        r6c(expr("array_max(st.s) - array_min(st.s)")).as("s_amplitude"),
+        r6c(when(size(col("xs")) > 14,
+          col("st.sae") / (size(col("xs")) - 14).cast("double"))
+          .otherwise(lit(0.0))).as("mae"))
+  }
+
+  def holtWinters(spark: SparkSession, sfDir: String): DataFrame =
+    holtWinters(Tables.events(spark, sfDir))
 }

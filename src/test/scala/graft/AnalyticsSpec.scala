@@ -454,4 +454,20 @@ class AnalyticsSpec extends SparkSpec {
         + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
     }
   }
+
+  test("holtWinters locks onto a pure weekly sawtooth exactly") {
+    // x_t = 50 + s(t mod 7), zero trend: the recursion is a fixpoint -> 
+    // level 50, trend 0, MAE 0, forecast = next weekday's value
+    val season = Seq(0.0, 7.0, -3.0, 2.0, -6.0, 4.0, -4.0)
+    val ev = typedEvents((0L until 28L).map(d =>
+      ("a", d, 50.0 + season((d % 7).toInt))))
+    val r = ops.TimeSeries.holtWinters(ev).collect().head
+    assert(r.getAs[Long]("n_days") == 28)
+    assert(math.abs(r.getAs[Double]("level") - 50.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("trend")) < 1e-6)
+    assert(r.getAs[Double]("mae") == 0.0)
+    // day 29 (0-based 28) is weekday 0 -> forecast 50 + 0
+    assert(math.abs(r.getAs[Double]("forecast_1") - 50.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("s_amplitude") - 13.0) < 1e-6)
+  }
 }
