@@ -555,7 +555,11 @@ object SparkEntry {
     "q272_mode_per_group" -> ((s, d) =>
       Relational.modePerGroup(s, d).orderBy(col("l_returnflag"))),
     "q273_holt_winters" -> ((s, d) =>
-      TimeSeries.holtWinters(s, d).orderBy(col("event_type")))
+      TimeSeries.holtWinters(s, d).orderBy(col("event_type"))),
+    "q274_against_tide" -> ((s, d) =>
+      Relational.againstTide(s, d).orderBy(col("nation"))),
+    "q275_vocab_overlap" -> ((s, d) =>
+      TextAnalysis.vocabOverlap(s, d).orderBy(col("src_a"), col("src_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5939,7 +5943,51 @@ object SparkEntry {
         |  round((CASE WHEN r.t > 14 THEN r.sae/CAST(r.t - 14 AS DOUBLE)
         |    ELSE 0.0 END)*1000000)/1000000.0 AS mae
         |FROM r JOIN tt ON r.event_type = tt.event_type AND r.t = tt.t
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q274_against_tide" ->
+      """WITH per AS (SELECT o_custkey,
+        |    sum(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) r1,
+        |    sum(CASE WHEN year(o_orderdate) = 1997
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) r2
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1),
+        |d AS (SELECT o_custkey,
+        |    coalesce(r2, CAST(0 AS DECIMAL(18,2)))
+        |      - coalesce(r1, CAST(0 AS DECIMAL(18,2))) dd
+        |  FROM per),
+        |wn AS (SELECT d.o_custkey, d.dd, n.n_name
+        |  FROM d JOIN customer c ON d.o_custkey = c.c_custkey
+        |    JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |tide AS (SELECT n_name, sum(dd) nation_delta FROM wn GROUP BY 1)
+        |SELECT wn.n_name AS nation,
+        |  CAST(tide.nation_delta AS DOUBLE) AS nation_delta,
+        |  CAST(count(*) AS BIGINT) n_customers,
+        |  CAST(sum(CASE WHEN dd > 0 AND nation_delta < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_up_against,
+        |  CAST(sum(CASE WHEN dd < 0 AND nation_delta > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_down_against
+        |FROM wn JOIN tide ON wn.n_name = tide.n_name
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q275_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(regexp_replace(
+        |      lower(trim(text)), '\s+', ' ', 'g'), ' ')) tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) n_tok
+        |  FROM st GROUP BY 1),
+        |inter AS (SELECT a.source src_a, b.source src_b,
+        |    CAST(count(*) AS BIGINT) n_shared
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, sa.n_tok AS na, sb.n_tok AS nb,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    /CAST(least(sa.n_tok, sb.n_tok) AS DOUBLE)*1000000)/1000000.0
+        |    AS overlap
+        |FROM inter JOIN sizes sa ON src_a = sa.source
+        |  JOIN sizes sb ON src_b = sb.source
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1541,4 +1541,48 @@ object Relational {
 
   def modePerGroup(spark: SparkSession, sfDir: String): DataFrame =
     modePerGroup(Tables.lineitem(spark, sfDir))
+
+  /** q274: against-the-tide census — customers whose year-over-year spend
+    * moved AGAINST their nation's aggregate (grew while the nation
+    * shrank, or the reverse) between two fixed years. The analytical
+    * shape: one conditional aggregate per customer (two years side by
+    * side), the nation tide re-aggregated from the same rows, and the
+    * divergence test is a sign comparison — no self-join, no window over
+    * the fact. Flat-to-flat cases count to neither side.
+    */
+  def againstTide(orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, y1: Int = 1996, y2: Int = 1997): DataFrame = {
+    val per = orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .where(col("yr") === y1 || col("yr") === y2)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("yr") === y1, col("o_totalprice").cast("decimal(18,2)")))
+          .as("r1"),
+        sum(when(col("yr") === y2, col("o_totalprice").cast("decimal(18,2)")))
+          .as("r2"))
+      .withColumn("d", coalesce(col("r2"), lit(0).cast("decimal(18,2)"))
+        - coalesce(col("r1"), lit(0).cast("decimal(18,2)")))
+    val withNation = per
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    val tide = withNation.groupBy(col("n_name"))
+      .agg(sum(col("d")).as("nation_delta"))
+    withNation.join(broadcast(tide), "n_name")
+      .groupBy(col("n_name"), col("nation_delta"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("d") > 0 && col("nation_delta") < 0, 1L)
+          .otherwise(0L)).as("n_up_against"),
+        sum(when(col("d") < 0 && col("nation_delta") > 0, 1L)
+          .otherwise(0L)).as("n_down_against"))
+      .select(col("n_name").as("nation"),
+        col("nation_delta").cast("double").as("nation_delta"),
+        col("n_customers"), col("n_up_against"), col("n_down_against"))
+  }
+
+  def againstTide(spark: SparkSession, sfDir: String): DataFrame =
+    againstTide(Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir))
 }

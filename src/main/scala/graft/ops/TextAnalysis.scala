@@ -1080,4 +1080,37 @@ object TextAnalysis {
 
   def tfidfCosinePairs(spark: SparkSession, sfDir: String): DataFrame =
     tfidfCosinePairs(Tables.documents(spark, sfDir))
+
+  /** q275: vocabulary overlap matrix between sources — the Szymkiewicz–
+    * Simpson overlap coefficient |A∩B| / min(|A|,|B|) on distinct token
+    * sets (q163's cross-source matrix counts shared DOCUMENTS; this
+    * measures shared LANGUAGE, catching sources that paraphrase the same
+    * domain without literal dups). Distinct (source, token) first — the
+    * only data-sized shuffle — then the pair intersection is a
+    * token-keyed self-join of that deduped table and sizes broadcast
+    * back; |sources|²-bounded output.
+    */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+    val inter = st.toDF("src_a", "tok")
+      .join(st.toDF("src_b", "tok"), "tok")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.toDF("src_a", "na"), "src_a")
+      .join(sizes.toDF("src_b", "nb"), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("na"), col("nb"),
+        (round(col("n_shared").cast("double")
+          / least(col("na"), col("nb")).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("overlap"))
+  }
+
+  def vocabOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    vocabOverlap(Tables.documents(spark, sfDir))
 }

@@ -179,4 +179,27 @@ class RelationalWideningSpec extends SparkSpec {
     assert(m(555) == 1) // customer 5 worst on all axes
     assert(m.values.sum == 5)
   }
+
+  test("againstTide counts only sign-opposed customer deltas") {
+    // nation A: customers 1 (+100) and 2 (-300) -> tide -200; customer 1
+    // moves against it. nation B: both up -> tide up, nobody against.
+    val orders = Seq(
+      (1L, 1L, 1996, 100.0), (2L, 1L, 1997, 200.0),   // c1: +100
+      (3L, 2L, 1996, 500.0), (4L, 2L, 1997, 200.0),   // c2: -300
+      (5L, 3L, 1996, 50.0), (6L, 3L, 1997, 80.0),     // c3: +30
+      (7L, 4L, 1997, 10.0))                           // c4: +10 (new)
+      .map { case (ok, ck, yr, p) =>
+        (ok, ck, java.sql.Timestamp.valueOf(s"$yr-06-01 00:00:00"), p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("c_custkey", "c_nationkey")
+    val nat = Seq((10L, "A"), (20L, "B")).toDF("n_nationkey", "n_name")
+    val m = Relational.againstTide(orders, cust, nat).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    assert(m("A").getAs[Double]("nation_delta") == -200.0)
+    assert(m("A").getAs[Long]("n_up_against") == 1)
+    assert(m("A").getAs[Long]("n_down_against") == 0)
+    assert(m("B").getAs[Long]("n_up_against") == 0)
+    assert(m("B").getAs[Long]("n_down_against") == 0)
+  }
 }

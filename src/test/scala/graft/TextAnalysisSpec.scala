@@ -146,4 +146,19 @@ class TextAnalysisSpec extends SparkSpec {
     // docs 1 and 2 share their entire rare vocabulary -> cosine 1
     assert(math.abs(rows((1L, 2L)).getAs[Double]("cosine") - 1.0) < 1e-9)
   }
+
+  test("vocabOverlap uses the Szymkiewicz-Simpson coefficient") {
+    // s1 vocab {a,b,c,d}, s2 vocab {c,d}, overlap 2/min(4,2) = 1.0;
+    // s3 is disjoint -> no row at all
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "c d", "s2"),
+      (3L, "x y z", "s3"))
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.vocabOverlap(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r)
+      .toMap
+    assert(rows.keySet == Set(("s1", "s2")))
+    assert(rows(("s1", "s2")).getAs[Double]("overlap") == 1.0)
+    assert(rows(("s1", "s2")).getAs[Long]("n_shared") == 2)
+  }
 }
