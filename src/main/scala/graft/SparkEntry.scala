@@ -559,7 +559,11 @@ object SparkEntry {
     "q274_against_tide" -> ((s, d) =>
       Relational.againstTide(s, d).orderBy(col("nation"))),
     "q275_vocab_overlap" -> ((s, d) =>
-      TextAnalysis.vocabOverlap(s, d).orderBy(col("src_a"), col("src_b")))
+      TextAnalysis.vocabOverlap(s, d).orderBy(col("src_a"), col("src_b"))),
+    "q276_price_volume_mix" -> ((s, d) =>
+      Relational.priceVolumeMix(s, d).orderBy(col("nation"))),
+    "q277_fanout_profile" -> ((s, d) =>
+      Relational.fanoutProfile(s, d).orderBy(col("relation"), col("bucket")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5987,6 +5991,54 @@ object SparkEntry {
         |    AS overlap
         |FROM inter JOIN sizes sa ON src_a = sa.source
         |  JOIN sizes sb ON src_b = sb.source
+        |ORDER BY 1, 2""".stripMargin,
+    "q276_price_volume_mix" ->
+      """WITH f AS (SELECT n.n_name, year(o.o_orderdate) yr,
+        |    l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE year(o.o_orderdate) IN (1996, 1997)),
+        |m AS (SELECT n_name,
+        |    sum(CASE WHEN yr = 1996
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) q1,
+        |    sum(CASE WHEN yr = 1997
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) q2,
+        |    sum(CASE WHEN yr = 1996
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) r1,
+        |    sum(CASE WHEN yr = 1997
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) r2
+        |  FROM f GROUP BY 1),
+        |d AS (SELECT *, CAST(r1 AS DOUBLE)/CAST(q1 AS DOUBLE) p1,
+        |    CAST(r2 AS DOUBLE)/CAST(q2 AS DOUBLE) p2 FROM m)
+        |SELECT n_name AS nation,
+        |  CAST(r2 - r1 AS DOUBLE) AS delta_rev,
+        |  round((CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))*p1*100)/100.0
+        |    AS volume_effect,
+        |  round(CAST(q2 AS DOUBLE)*(p2 - p1)*100)/100.0 AS price_effect
+        |FROM d ORDER BY 1""".stripMargin,
+    "q277_fanout_profile" ->
+      """WITH po AS (SELECT l_orderkey k, CAST(count(*) AS BIGINT) n
+        |  FROM lineitem GROUP BY 1),
+        |pc AS (SELECT o_custkey k, CAST(count(*) AS BIGINT) n
+        |  FROM orders GROUP BY 1),
+        |bo AS (SELECT CAST(power(2, length(bin(n)) - 1) AS BIGINT) bucket,
+        |    CAST(count(*) AS BIGINT) keys_in_bucket,
+        |    max(n) max_fanout FROM po GROUP BY 1),
+        |bc AS (SELECT CAST(power(2, length(bin(n)) - 1) AS BIGINT) bucket,
+        |    CAST(count(*) AS BIGINT) keys_in_bucket,
+        |    max(n) max_fanout FROM pc GROUP BY 1),
+        |to_ AS (SELECT CAST(count(*) AS BIGINT) n_keys FROM po),
+        |tc AS (SELECT CAST(count(*) AS BIGINT) n_keys FROM pc)
+        |SELECT 'orders->lineitem' AS relation, bucket, keys_in_bucket,
+        |  round(CAST(keys_in_bucket AS DOUBLE)/CAST(n_keys AS DOUBLE)
+        |    *10000)/10000.0 AS share, max_fanout
+        |FROM bo, to_
+        |UNION ALL
+        |SELECT 'customer->orders', bucket, keys_in_bucket,
+        |  round(CAST(keys_in_bucket AS DOUBLE)/CAST(n_keys AS DOUBLE)
+        |    *10000)/10000.0, max_fanout
+        |FROM bc, tc
         |ORDER BY 1, 2""".stripMargin
   )
 

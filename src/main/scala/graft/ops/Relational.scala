@@ -1585,4 +1585,86 @@ object Relational {
   def againstTide(spark: SparkSession, sfDir: String): DataFrame =
     againstTide(Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
       Tables.nation(spark, sfDir))
+
+  /** q276: price–volume–mix revenue bridge per nation, 1996 → 1997 — the
+    * finance-classic waterfall: ΔR decomposed EXACTLY into a volume
+    * effect (ΔQ at old unit price) and a price effect (new volume ×
+    * Δunit-price), with ΔR = volume + price by construction when unit
+    * price is revenue/quantity. One scan builds the per-(nation, year)
+    * quantity/revenue moments (conditional aggregate, two years side by
+    * side); the decomposition is row-local arithmetic over 25 rows.
+    */
+  def priceVolumeMix(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, nation: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    val facts = li
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("yr") === 1996 || col("yr") === 1997)
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    facts.groupBy(col("n_name"))
+      .agg(
+        sum(when(col("yr") === 1996, col("l_quantity").cast("decimal(18,2)")))
+          .as("q1"),
+        sum(when(col("yr") === 1997, col("l_quantity").cast("decimal(18,2)")))
+          .as("q2"),
+        sum(when(col("yr") === 1996,
+          col("l_extendedprice").cast("decimal(18,2)"))).as("r1"),
+        sum(when(col("yr") === 1997,
+          col("l_extendedprice").cast("decimal(18,2)"))).as("r2"))
+      .withColumn("p1", col("r1").cast("double") / col("q1").cast("double"))
+      .withColumn("p2", col("r2").cast("double") / col("q2").cast("double"))
+      .withColumn("volume_effect",
+        (col("q2").cast("double") - col("q1").cast("double")) * col("p1"))
+      .withColumn("price_effect",
+        col("q2").cast("double") * (col("p2") - col("p1")))
+      .select(col("n_name").as("nation"),
+        (col("r2") - col("r1")).cast("double").as("delta_rev"),
+        (round(col("volume_effect") * lit(100)) / lit(100.0))
+          .as("volume_effect"),
+        (round(col("price_effect") * lit(100)) / lit(100.0))
+          .as("price_effect"))
+  }
+
+  def priceVolumeMix(spark: SparkSession, sfDir: String): DataFrame =
+    priceVolumeMix(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir))
+
+  /** q277: foreign-key fan-out profile — the 1:N cardinality histogram of
+    * each core join edge (orders→lineitem, customer→orders), in q70's
+    * integer-exact power-of-2 buckets. The data-engineering profile that
+    * sizes shuffle partitions and flags hidden skew before it burns a
+    * production join: a fat tail here is the empirical trigger for the
+    * salted-join/AQE paths. Two map-combinable aggregates per edge
+    * (per-key counts, then bucket census); output is O(log fan-out) rows.
+    */
+  def fanoutProfile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def profile(rel: String, df: DataFrame, key: String): DataFrame = {
+      val per = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      val tot = per.agg(count(lit(1)).as("n_keys"))
+      // floor(log2 n) via binary string length (q70's integer-exact idiom
+      // — a ln-ratio log2 can land at 2.9999…96 on exact powers of two)
+      per.withColumn("bucket",
+          expr("CAST(power(2, length(bin(n)) - 1) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("keys_in_bucket"), max(col("n")).as("max_fanout"))
+        .crossJoin(broadcast(tot))
+        .select(lit(rel).as("relation"), col("bucket"),
+          col("keys_in_bucket"),
+          (round(col("keys_in_bucket").cast("double")
+            / col("n_keys").cast("double") * lit(10000)) / lit(10000.0))
+            .as("share"),
+          col("max_fanout"))
+    }
+    profile("orders->lineitem", lineitem, "l_orderkey")
+      .unionAll(profile("customer->orders", orders, "o_custkey"))
+  }
+
+  def fanoutProfile(spark: SparkSession, sfDir: String): DataFrame =
+    fanoutProfile(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
 }

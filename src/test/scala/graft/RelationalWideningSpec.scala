@@ -202,4 +202,38 @@ class RelationalWideningSpec extends SparkSpec {
     assert(m("B").getAs[Long]("n_up_against") == 0)
     assert(m("B").getAs[Long]("n_down_against") == 0)
   }
+
+  test("priceVolumeMix decomposes the revenue delta exactly") {
+    // nation A: 1996 sells 10 units for 100; 1997 sells 20 units for 300.
+    // p1=10, p2=15 -> volume = (20-10)*10 = 100, price = 20*5 = 100,
+    // delta_rev = 200 = volume + price
+    val li = Seq((1L, 10.0, 100.0), (2L, 20.0, 300.0))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("1996-06-01 00:00:00")),
+      (2L, 1L, java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((1L, 10L)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((10L, "A")).toDF("n_nationkey", "n_name")
+    val r = Relational.priceVolumeMix(li, ord, cust, nat).collect().head
+    assert(r.getAs[Double]("delta_rev") == 200.0)
+    assert(r.getAs[Double]("volume_effect") == 100.0)
+    assert(r.getAs[Double]("price_effect") == 100.0)
+  }
+
+  test("fanoutProfile buckets keys by power-of-2 fan-out") {
+    // orders->lineitem: order 1 has 1 item (bucket 1), order 2 has 5
+    // (bucket 4), order 3 has 8 (bucket 8)
+    val li = (Seq.fill(1)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(8)(3L))
+      .zipWithIndex.map { case (ok, i) => (ok, i.toLong) }
+      .toDF("l_orderkey", "l_linenumber")
+    val ord = Seq((1L, 7L), (2L, 7L), (3L, 8L))
+      .toDF("o_orderkey", "o_custkey")
+    val rows = Relational.fanoutProfile(ord, li).collect()
+      .filter(_.getAs[String]("relation") == "orders->lineitem")
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("keys_in_bucket"), r.getAs[Long]("max_fanout"))))
+      .toMap
+    assert(rows == Map(1L -> ((1L, 1L)), 4L -> ((1L, 5L)), 8L -> ((1L, 8L))))
+  }
 }
