@@ -236,6 +236,39 @@ class PlanAuditSpec extends SparkSpec {
       "q230 introduced an extra exchange around the JSON parse")
   }
 
+  test("round-5 broadcast contracts: quantile fences, OLS brands, tide") {
+    // q261: the per-series Q1/Q3 fence table must broadcast back to the
+    // fact scan, never shuffle it
+    assert(plans("q261_iqr_outliers").contains("BroadcastExchange"),
+      "q261 fences no longer broadcast")
+    // q274: the nation dim and tide aggregate are broadcast by hint
+    assert("BroadcastHashJoin".r.findAllIn(plans("q274_against_tide"))
+      .size >= 2, "q274 lost its broadcast joins")
+    // q276: nation dim broadcast on the 4-way star
+    assert(plans("q276_price_volume_mix").contains("BroadcastHashJoin"),
+      "q276 nation join fell back to shuffle")
+  }
+
+  test("round-5 aggregates keep map-side partial combine") {
+    for (name <- Seq("q247_ols_normal_eq", "q253_norm_funnel",
+                     "q263_grouped_ols", "q272_mode_per_group",
+                     "q277_fanout_profile"))
+      assert("HashAggregate".r.findAllIn(plans(name)).size >= 2,
+        s"$name lost partial aggregation")
+  }
+
+  test("q250 rolling distinct fans out the distinct table, not the fact") {
+    // the 7x explode must consume the already-deduped (day, user) table:
+    // in the formatted dump (root first, scans deepest) some HashAggregate
+    // must sit DEEPER than the Generate — if the explode ran on the raw
+    // fact, Generate would be the deepest operator above the scan
+    val plan = plans("q250_rolling_distinct")
+    val gen = plan.indexOf("Generate")
+    assert(gen >= 0, "q250 lost its explode")
+    assert(plan.lastIndexOf("HashAggregate") > gen,
+      "q250 explodes before deduplicating (fan-out on the raw fact)")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
