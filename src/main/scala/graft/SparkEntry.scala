@@ -563,7 +563,11 @@ object SparkEntry {
     "q276_price_volume_mix" -> ((s, d) =>
       Relational.priceVolumeMix(s, d).orderBy(col("nation"))),
     "q277_fanout_profile" -> ((s, d) =>
-      Relational.fanoutProfile(s, d).orderBy(col("relation"), col("bucket")))
+      Relational.fanoutProfile(s, d).orderBy(col("relation"), col("bucket"))),
+    "q278_source_minhash" -> ((s, d) =>
+      Dedup.sourceMinhash(s, d).orderBy(col("src_a"), col("src_b"))),
+    "q279_retention_halflife" -> ((s, d) =>
+      Ranges.retentionHalflife(s, d).orderBy(col("week_offset")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6039,7 +6043,76 @@ object SparkEntry {
         |  round(CAST(keys_in_bucket AS DOUBLE)/CAST(n_keys AS DOUBLE)
         |    *10000)/10000.0, max_fanout
         |FROM bc, tc
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q278_source_minhash" ->
+      """WITH d AS (SELECT source, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |ix AS (SELECT source, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT source, w[g]||' '||w[g+1]||' '||w[g+2] sh
+        |  FROM ix),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) n_sh
+        |  FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source src_a, b.source src_b,
+        |    CAST(count(*) AS BIGINT) n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sigs AS (SELECT source, s.g salt,
+        |    min(md5(CAST(s.g AS VARCHAR)||':'||sh)) m
+        |  FROM sh, (SELECT unnest(generate_series(0, 11)) g) s
+        |  GROUP BY 1, 2),
+        |mt AS (SELECT a.source src_a, b.source src_b,
+        |    CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_match
+        |  FROM sigs a JOIN sigs b ON a.salt = b.salt
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |f AS (SELECT i.src_a, i.src_b, i.n_inter,
+        |    CAST(i.n_inter AS DOUBLE)
+        |      /CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) exact_j,
+        |    CAST(mt.n_match AS DOUBLE)/12.0 est_j
+        |  FROM inter i JOIN sizes sa ON i.src_a = sa.source
+        |    JOIN sizes sb ON i.src_b = sb.source
+        |    JOIN mt ON i.src_a = mt.src_a AND i.src_b = mt.src_b)
+        |SELECT src_a, src_b, n_inter,
+        |  round(exact_j*10000)/10000.0 AS exact_j,
+        |  round(est_j*10000)/10000.0 AS est_j,
+        |  round(abs(est_j - exact_j)*10000)/10000.0 AS abs_err
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    "q279_retention_halflife" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)/604800) AS BIGINT) wk FROM events),
+        |cohorts AS (SELECT user_id, min(wk) cw FROM weeks GROUP BY 1),
+        |sizes AS (SELECT cw, CAST(count(*) AS BIGINT) sz
+        |  FROM cohorts GROUP BY 1),
+        |mx AS (SELECT max(wk) max_wk FROM weeks),
+        |offs AS (SELECT wk - cw o, CAST(count(*) AS BIGINT) num
+        |  FROM weeks JOIN cohorts ON weeks.user_id = cohorts.user_id
+        |  WHERE wk > cw GROUP BY 1),
+        |dens AS (SELECT o, CAST(sum(sz) AS BIGINT) den
+        |  FROM sizes, mx, (SELECT o FROM offs) oo
+        |  WHERE cw + o <= max_wk GROUP BY 1),
+        |rates AS (SELECT offs.o, num, den,
+        |    CAST(num AS DOUBLE)/CAST(den AS DOUBLE) rate,
+        |    round(ln(CAST(num AS DOUBLE)/CAST(den AS DOUBLE))*1e12)/1e12 y
+        |  FROM offs JOIN dens ON offs.o = dens.o
+        |  WHERE CAST(num AS DOUBLE)/CAST(den AS DOUBLE) > 0),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(o AS DECIMAL(28,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(o*o AS DECIMAL(28,12))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(CAST(o AS DOUBLE)*y AS DECIMAL(28,12)))
+        |      AS DOUBLE) sxy
+        |  FROM rates),
+        |sl AS (SELECT (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |    /(CAST(n AS DOUBLE)*sxx - sx*sx) slope FROM fit)
+        |SELECT o AS week_offset, num, den,
+        |  round(rate*10000)/10000.0 AS rate,
+        |  round(slope*1000000)/1000000.0 AS slope,
+        |  round((CASE WHEN slope < 0 THEN -ln(2.0)/slope ELSE 0.0 END)
+        |    *10000)/10000.0 AS half_life_weeks
+        |FROM rates, sl ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

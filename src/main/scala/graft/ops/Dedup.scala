@@ -1094,4 +1094,57 @@ object Dedup {
 
   def dupTransitivity(spark: SparkSession, sfDir: String): DataFrame =
     dupTransitivity(Tables.documents(spark, sfDir))
+
+  /** q278: source-level similarity via MERGED MinHash sketches, audited
+    * against the exact Jaccard — the sketch-mergeability property that
+    * makes MinHash the right tool for corpus-level dedup planning: a
+    * source's signature is the component-wise min over its documents'
+    * shingle hashes (commutative/associative ⇒ computable incrementally,
+    * shippable between clusters), and matching components estimate
+    * source-pair Jaccard at k=12 resolution. The exact side is the
+    * shingle-keyed self-join; per-shingle fan-out is bounded by the
+    * number of SOURCES sharing it (≤ |sources|², never docs²). The
+    * |est − exact| column IS the sketch-accuracy audit.
+    */
+  def sourceMinhash(docs: DataFrame, k: Int = 12): DataFrame = {
+    val srcSh = docs
+      .select(col("source"), split(normText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = srcSh.toDF("src_a", "sh")
+      .join(srcSh.toDF("src_b", "sh"), "sh")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sigs = srcSh
+      .withColumn("salt", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col("source"), col("salt"))
+      .agg(min(md5(concat(col("salt").cast("string"), lit(":"), col("sh"))))
+        .as("m"))
+    val matches = sigs.toDF("src_a", "salt", "ma")
+      .join(sigs.toDF("src_b", "salt", "mb"), "salt")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_match"))
+    inter
+      .join(sizes.toDF("src_a", "na"), "src_a")
+      .join(sizes.toDF("src_b", "nb"), "src_b")
+      .join(matches, Seq("src_a", "src_b"))
+      .withColumn("exact_j", col("n_inter").cast("double")
+        / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .withColumn("est_j", col("n_match").cast("double") / lit(k.toDouble))
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        (round(col("exact_j") * lit(10000)) / lit(10000.0)).as("exact_j"),
+        (round(col("est_j") * lit(10000)) / lit(10000.0)).as("est_j"),
+        (round(abs(col("est_j") - col("exact_j")) * lit(10000))
+          / lit(10000.0)).as("abs_err"))
+  }
+
+  def sourceMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    sourceMinhash(Tables.documents(spark, sfDir))
 }

@@ -896,4 +896,57 @@ object Ranges {
 
   def lifecycleStates(spark: SparkSession, sfDir: String): DataFrame =
     lifecycleStates(Tables.events(spark, sfDir))
+
+  /** q279: retention half-life — pooled cohort retention by week offset,
+    * fitted as exponential decay (ln rate ~ offset OLS ⇒ half-life =
+    * −ln 2 / slope). The single number product teams quote from q63's
+    * whole triangle. Denominators count every cohort OLD ENOUGH to be
+    * observable at the offset (missing cells are real zeros, not gaps);
+    * ln terms are 1e-12-snapped before the decimal moment sums so the
+    * fitted slope is engine-identical. Everything after the distinct
+    * (user, week) shuffle is cohort-cell-sized.
+    */
+  def retentionHalflife(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cw"))
+    val sizes = cohorts.groupBy(col("cw")).agg(count(lit(1)).as("sz"))
+    val mx = weeks.agg(max(col("week")).as("max_wk"))
+    val offsets = weeks.join(cohorts, "user_id")
+      .where(col("week") > col("cw"))
+      .groupBy((col("week") - col("cw")).as("o"))
+      .agg(count(lit(1)).as("num"))
+    // observable denominator: cohorts with cw + o <= max_wk
+    val dens = sizes.crossJoin(broadcast(mx))
+      .crossJoin(offsets.select(col("o")))
+      .where(col("cw") + col("o") <= col("max_wk"))
+      .groupBy(col("o")).agg(sum(col("sz")).as("den"))
+    val rates = offsets.join(dens, "o")
+      .withColumn("rate", col("num").cast("double") / col("den").cast("double"))
+      .where(col("rate") > 0)
+      .withColumn("y", round(log(col("rate")) * lit(1e12)) / lit(1e12))
+    val fit = rates.agg(
+        count(lit(1)).as("n"),
+        sum(col("o").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("o") * col("o")).cast("decimal(28,12)")).cast("double").as("sxx"),
+        sum((col("o").cast("double") * col("y")).cast("decimal(28,12)"))
+          .cast("double").as("sxy"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("slope",
+        (col("nn") * col("sxy") - col("sx") * col("sy"))
+          / (col("nn") * col("sxx") - col("sx") * col("sx")))
+    rates.crossJoin(broadcast(fit.select(col("slope"))))
+      .select(col("o").as("week_offset"), col("num"), col("den"),
+        (round(col("rate") * lit(10000)) / lit(10000.0)).as("rate"),
+        (round(col("slope") * lit(1000000)) / lit(1000000.0)).as("slope"),
+        (round(when(col("slope") < 0, -log(lit(2.0)) / col("slope"))
+          .otherwise(lit(0.0)) * lit(10000)) / lit(10000.0))
+          .as("half_life_weeks"))
+  }
+
+  def retentionHalflife(spark: SparkSession, sfDir: String): DataFrame =
+    retentionHalflife(Tables.events(spark, sfDir))
 }

@@ -470,4 +470,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("forecast_1") - 50.0) < 1e-6)
     assert(math.abs(r.getAs[Double]("s_amplitude") - 13.0) < 1e-6)
   }
+
+  test("retentionHalflife recovers a clean geometric decay") {
+    // one cohort of 8 users in week 0; active users halve each week:
+    // rate(o) = 2^-o exactly -> slope = -ln 2, half-life = 1 week
+    val rows = (0 until 8).flatMap { u =>
+      val lastWeek = Seq(3, 2, 1, 1, 0, 0, 0, 0)(u) // 8,4,2,1 actives
+      (0 to lastWeek).map(w => (u.toLong, w))
+    }.zipWithIndex.map { case ((u, w), i) =>
+      (i.toLong, new java.sql.Timestamp(w * 604800000L + 1000L), u,
+        "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = ops.Ranges.retentionHalflife(rows).collect()
+    assert(out.nonEmpty)
+    val r = out.head
+    assert(math.abs(r.getAs[Double]("slope") + math.log(2.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("half_life_weeks") - 1.0) < 1e-4)
+    val rates = out.map(x =>
+      x.getAs[Long]("week_offset") -> x.getAs[Double]("rate")).toMap
+    assert(rates(1L) == 0.5 && rates(2L) == 0.25 && rates(3L) == 0.125)
+  }
 }

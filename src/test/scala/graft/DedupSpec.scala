@@ -282,4 +282,19 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_closed") == 3)
     assert(r.getAs[Double]("closure_rate") == 1.0)
   }
+
+  test("sourceMinhash: identical sources estimate Jaccard 1, disjoint near 0") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine ten"
+    val d = Seq((1L, t1, "sA"), (2L, t1, "sB"), (3L, t2, "sC"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceMinhash(d).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r)
+      .toMap
+    // sA and sB share every shingle: exact and estimated Jaccard both 1
+    assert(rows(("sA", "sB")).getAs[Double]("exact_j") == 1.0)
+    assert(rows(("sA", "sB")).getAs[Double]("est_j") == 1.0)
+    // disjoint sources produce no intersection row at all
+    assert(!rows.contains(("sA", "sC")))
+  }
 }
