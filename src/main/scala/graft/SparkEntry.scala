@@ -567,7 +567,11 @@ object SparkEntry {
     "q278_source_minhash" -> ((s, d) =>
       Dedup.sourceMinhash(s, d).orderBy(col("src_a"), col("src_b"))),
     "q279_retention_halflife" -> ((s, d) =>
-      Ranges.retentionHalflife(s, d).orderBy(col("week_offset")))
+      Ranges.retentionHalflife(s, d).orderBy(col("week_offset"))),
+    "q280_rollup_consistency" -> ((s, d) =>
+      Relational.rollupConsistency(s, d).orderBy(col("yr"), col("mo"))),
+    "q281_compressibility" -> ((s, d) =>
+      TextAnalysis.compressibility(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6112,7 +6116,39 @@ object SparkEntry {
         |  round(slope*1000000)/1000000.0 AS slope,
         |  round((CASE WHEN slope < 0 THEN -ln(2.0)/slope ELSE 0.0 END)
         |    *10000)/10000.0 AS half_life_weeks
-        |FROM rates, sl ORDER BY 1""".stripMargin
+        |FROM rates, sl ORDER BY 1""".stripMargin,
+    "q280_rollup_consistency" ->
+      """WITH base AS (SELECT year(o_orderdate) yr, month(o_orderdate) mo,
+        |    day(o_orderdate) dom, CAST(o_totalprice AS DECIMAL(18,2)) p
+        |  FROM orders),
+        |daily AS (SELECT yr, mo, dom, sum(p) day_rev,
+        |    CAST(count(*) AS BIGINT) day_n
+        |  FROM base GROUP BY 1, 2, 3),
+        |merged AS (SELECT yr, mo, sum(day_rev) rev_merged,
+        |    CAST(sum(day_n) AS BIGINT) n_merged,
+        |    CAST(count(*) AS BIGINT) n_days
+        |  FROM daily GROUP BY 1, 2),
+        |direct AS (SELECT yr, mo, sum(p) rev_direct,
+        |    CAST(count(*) AS BIGINT) n_direct
+        |  FROM base GROUP BY 1, 2)
+        |SELECT m.yr, m.mo, n_days,
+        |  CAST(rev_merged AS DOUBLE) AS rev_merged,
+        |  CAST(rev_direct AS DOUBLE) AS rev_direct,
+        |  (rev_merged = rev_direct AND n_merged = n_direct) AS consistent
+        |FROM merged m JOIN direct d ON m.yr = d.yr AND m.mo = d.mo
+        |ORDER BY 1, 2""".stripMargin,
+    "q281_compressibility" ->
+      """WITH t AS (SELECT source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |g AS (SELECT source, unnest(list_transform(
+        |    generate_series(1, length(t) - 3), i -> substring(t, i, 4))) g
+        |  FROM t WHERE length(t) >= 4)
+        |SELECT source, CAST(count(*) AS BIGINT) n_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) n_distinct,
+        |  round(CAST(count(DISTINCT g) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |    *10000)/10000.0 AS distinct_ratio
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1667,4 +1667,38 @@ object Relational {
 
   def fanoutProfile(spark: SparkSession, sfDir: String): DataFrame =
     fanoutProfile(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+
+  /** q280: rollup-consistency proof — monthly revenue computed BOTH ways:
+    * direct from the fact, and merged from precomputed per-day subtotals
+    * (the incremental-pipeline pattern: daily partitions aggregate once,
+    * months are merges of day rows, backfills touch one day). Because
+    * every per-day subtotal is an exact decimal, merge-then-report equals
+    * direct-report bit-for-bit, and the emitted `consistent` flag proves
+    * it IN the result — the property that makes incremental aggregation
+    * safe to ship. Double sums would break this silently; that's the
+    * point of the decimal contract.
+    */
+  def rollupConsistency(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val daily = base.groupBy(col("yr"), col("mo"), col("dom"))
+      .agg(sum(col("p")).as("day_rev"), count(lit(1)).as("day_n"))
+    val merged = daily.groupBy(col("yr"), col("mo"))
+      .agg(sum(col("day_rev")).as("rev_merged"),
+        sum(col("day_n")).as("n_merged"),
+        count(lit(1)).as("n_days"))
+    val direct = base.groupBy(col("yr"), col("mo"))
+      .agg(sum(col("p")).as("rev_direct"), count(lit(1)).as("n_direct"))
+    merged.join(direct, Seq("yr", "mo"))
+      .select(col("yr"), col("mo"), col("n_days"),
+        col("rev_merged").cast("double").as("rev_merged"),
+        col("rev_direct").cast("double").as("rev_direct"),
+        (col("rev_merged") === col("rev_direct")
+          && col("n_merged") === col("n_direct")).as("consistent"))
+  }
+
+  def rollupConsistency(spark: SparkSession, sfDir: String): DataFrame =
+    rollupConsistency(Tables.orders(spark, sfDir))
 }

@@ -1113,4 +1113,30 @@ object TextAnalysis {
 
   def vocabOverlap(spark: SparkSession, sfDir: String): DataFrame =
     vocabOverlap(Tables.documents(spark, sfDir))
+
+  /** q281: compressibility proxy per source — distinct character-4-gram
+    * count over total 4-gram count (the cheap stand-in for gzip ratio
+    * used to screen machine-generated/boilerplate text: highly repetitive
+    * sources reuse the same few 4-grams, organic prose keeps minting new
+    * ones). Entirely integer counting after one substring explode; the
+    * per-source distinct is the only shuffle beyond the final census.
+    */
+  def compressibility(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("source"), Dedup.normText(col("text")).as("t"))
+      .where(length(col("t")) >= 4)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))"))
+        .as("g"))
+    val tot = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("g")).as("n_distinct"))
+    tot.select(col("source"), col("n_grams"), col("n_distinct"),
+      (round(col("n_distinct").cast("double")
+        / col("n_grams").cast("double") * lit(10000)) / lit(10000.0))
+        .as("distinct_ratio"))
+  }
+
+  def compressibility(spark: SparkSession, sfDir: String): DataFrame =
+    compressibility(Tables.documents(spark, sfDir))
 }

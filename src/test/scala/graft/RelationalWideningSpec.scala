@@ -236,4 +236,19 @@ class RelationalWideningSpec extends SparkSpec {
       .toMap
     assert(rows == Map(1L -> ((1L, 1L)), 4L -> ((1L, 5L)), 8L -> ((1L, 8L))))
   }
+
+  test("rollupConsistency: merged day rows equal the direct month exactly") {
+    val orders = Seq(
+      (1L, "1996-01-01", 10.01), (2L, "1996-01-01", 20.02),
+      (3L, "1996-01-15", 0.03), (4L, "1996-02-01", 5.55))
+      .map { case (ok, d, p) =>
+        (ok, java.sql.Timestamp.valueOf(d + " 00:00:00"), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rollupConsistency(orders).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Boolean]("consistent")))
+    val jan = out.find(_.getAs[Int]("mo") == 1).get
+    assert(jan.getAs[Long]("n_days") == 2)
+    assert(jan.getAs[Double]("rev_merged") == 30.06)
+  }
 }

@@ -161,4 +161,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(("s1", "s2")).getAs[Double]("overlap") == 1.0)
     assert(rows(("s1", "s2")).getAs[Long]("n_shared") == 2)
   }
+
+  test("compressibility separates repetitive from organic text") {
+    val docs = Seq(
+      (1L, "ab" * 50, "loop"),        // 2 distinct 4-grams out of 97
+      (2L, ('a' to 'z').mkString + "0123456789", "organic"))
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextAnalysis.compressibility(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("loop").getAs[Long]("n_distinct") == 2)
+    assert(m("organic").getAs[Double]("distinct_ratio") == 1.0)
+    assert(m("loop").getAs[Double]("distinct_ratio")
+      < m("organic").getAs[Double]("distinct_ratio"))
+  }
 }
