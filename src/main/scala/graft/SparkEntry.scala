@@ -571,7 +571,11 @@ object SparkEntry {
     "q280_rollup_consistency" -> ((s, d) =>
       Relational.rollupConsistency(s, d).orderBy(col("yr"), col("mo"))),
     "q281_compressibility" -> ((s, d) =>
-      TextAnalysis.compressibility(s, d).orderBy(col("source")))
+      TextAnalysis.compressibility(s, d).orderBy(col("source"))),
+    "q282_session_conversion" -> ((s, d) =>
+      Ranges.sessionConversion(s, d).orderBy(col("entry_type"))),
+    "q283_detector_agreement" -> ((s, d) =>
+      Ranges.detectorAgreement(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6148,7 +6152,68 @@ object SparkEntry {
         |  CAST(count(DISTINCT g) AS BIGINT) n_distinct,
         |  round(CAST(count(DISTINCT g) AS DOUBLE)/CAST(count(*) AS DOUBLE)
         |    *10000)/10000.0 AS distinct_ratio
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q282_session_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) ep FROM events),
+        |l AS (SELECT *, lag(ep) OVER (PARTITION BY user_id
+        |    ORDER BY ep, event_id) prev FROM e),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR ep - prev > 14400
+        |    THEN 1 ELSE 0 END is_new FROM l),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ep, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    sess_n FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess_n
+        |    ORDER BY ep, event_id) rn FROM s),
+        |per AS (SELECT user_id, sess_n,
+        |    max(CASE WHEN rn = 1 THEN event_type END) entry_type,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      converted,
+        |    CAST(count(*) AS BIGINT) n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT entry_type, CAST(count(*) AS BIGINT) n_sessions,
+        |  CAST(sum(converted) AS BIGINT) n_converted,
+        |  round(CAST(sum(n_events) AS DOUBLE)/count(*)*10000)/10000.0
+        |    AS avg_events,
+        |  round(CAST(sum(converted) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |    *10000)/10000.0 AS conversion_rate
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q283_detector_agreement" ->
+      """WITH mom AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2
+        |  FROM events GROUP BY 1),
+        |ms AS (SELECT event_type, s1/n m,
+        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom),
+        |q AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25)*1000000)/1000000.0 q1,
+        |    round(quantile_cont(value, 0.75)*1000000)/1000000.0 q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT *, q1 - 1.5*(q3 - q1) lo, q3 + 1.5*(q3 - q1) hi
+        |  FROM q),
+        |fl AS (SELECT e.event_type,
+        |    abs(e.value - ms.m) > 3.0*ms.sd fa,
+        |    (e.value < f.lo OR e.value > f.hi) fb
+        |  FROM events e JOIN ms ON e.event_type = ms.event_type
+        |    JOIN f ON e.event_type = f.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) n_a,
+        |    CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) n_b,
+        |    CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_both
+        |  FROM fl GROUP BY 1),
+        |k AS (SELECT *, CAST(n_a AS DOUBLE)/n pa, CAST(n_b AS DOUBLE)/n pb,
+        |    CAST(n_both + (n - n_a - n_b + n_both) AS DOUBLE)/n po
+        |  FROM a),
+        |k2 AS (SELECT *, pa*pb + (1.0 - pa)*(1.0 - pb) pe FROM k)
+        |SELECT event_type, n, n_a, n_b, n_both,
+        |  round((CASE WHEN n_a + n_b - n_both > 0
+        |    THEN CAST(n_both AS DOUBLE)/CAST(n_a + n_b - n_both AS DOUBLE)
+        |    ELSE 0.0 END)*10000)/10000.0 AS jaccard,
+        |  round((CASE WHEN 1.0 - pe > 0 THEN (po - pe)/(1.0 - pe)
+        |    ELSE 0.0 END)*10000)/10000.0 AS kappa
+        |FROM k2 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

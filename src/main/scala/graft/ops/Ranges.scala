@@ -949,4 +949,105 @@ object Ranges {
 
   def retentionHalflife(spark: SparkSession, sfDir: String): DataFrame =
     retentionHalflife(Tables.events(spark, sfDir))
+
+  /** q282: conversion rate by session ENTRY type — does the first action
+    * of a session predict purchase? (the landing-page question, asked of
+    * q79's sessions). Same lag + running-sum sessionization shuffle;
+    * entry event via rn = 1 on the session-keyed sort, conversion = any
+    * purchase in the session; the census is |entry types| rows.
+    */
+  def sessionConversion(events: DataFrame, gapSec: Long = 14400): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+      .withColumn("prev", lag(col("ep"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ep") - col("prev") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("sess_n", sum(col("is_new")).over(cum))
+    val sw = Window.partitionBy(col("user_id"), col("sess_n"))
+      .orderBy(col("ep"), col("event_id"))
+    val per = sess
+      .withColumn("rn", row_number().over(sw))
+      .groupBy(col("user_id"), col("sess_n"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("entry_type"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"),
+        count(lit(1)).as("n_events"))
+    per.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted").cast("bigint")).as("n_converted"),
+        // exact integer sum / count — a double avg would be
+        // partition-order-dependent
+        (round(sum(col("n_events")).cast("double") / count(lit(1))
+          * lit(10000)) / lit(10000.0)).as("avg_events"))
+      .withColumn("conversion_rate",
+        round(col("n_converted").cast("double")
+          / col("n_sessions").cast("double") * lit(10000)) / lit(10000.0))
+  }
+
+  def sessionConversion(spark: SparkSession, sfDir: String): DataFrame =
+    sessionConversion(Tables.events(spark, sfDir))
+
+  /** q283: detector-agreement census — the z-score rule (|v−μ| > 3σ,
+    * cross-multiplied so no division enters the predicate) vs the Tukey
+    * fence rule (q261) flagging the SAME points, scored as pointwise
+    * Jaccard and Cohen's kappa per series. The model-governance question
+    * ("do my two anomaly detectors even agree?") that decides whether an
+    * ensemble adds signal or redundancy. Moments and quantiles each come
+    * from one pass; the comparison is a single conditional aggregate.
+    */
+  def detectorAgreement(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val mom = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
+      .withColumn("m", col("s1").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("s2").cast("double") - col("n") * col("m") * col("m"))
+          / (col("n") - 1)))
+      .select(col("event_type"), col("m"), col("sd"))
+    val qs = Percentiles.exactQuantiles(ev, "event_type", "value",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      .groupBy(col("event_type"))
+      .agg(
+        (round(max(when(col("qname") === "q1", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q1"),
+        (round(max(when(col("qname") === "q3", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select(col("event_type"), col("lo"), col("hi"))
+    val flagged = ev.join(broadcast(mom), "event_type")
+      .join(broadcast(qs), "event_type")
+      .withColumn("fa", abs(col("value") - col("m")) > lit(3.0) * col("sd"))
+      .withColumn("fb", col("value") < col("lo") || col("value") > col("hi"))
+    flagged.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("fa"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("fb"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("n_both"))
+      .withColumn("pa", col("n_a").cast("double") / col("n"))
+      .withColumn("pb", col("n_b").cast("double") / col("n"))
+      .withColumn("po",
+        (col("n_both") + (col("n") - col("n_a") - col("n_b") + col("n_both")))
+          .cast("double") / col("n"))
+      .withColumn("pe",
+        col("pa") * col("pb") + (lit(1.0) - col("pa")) * (lit(1.0) - col("pb")))
+      .select(col("event_type"), col("n"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (round(when(col("n_a") + col("n_b") - col("n_both") > 0,
+          col("n_both").cast("double")
+            / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .otherwise(lit(0.0)) * lit(10000)) / lit(10000.0)).as("jaccard"),
+        (round(when(lit(1.0) - col("pe") > 0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(0.0)) * lit(10000)) / lit(10000.0)).as("kappa"))
+  }
+
+  def detectorAgreement(spark: SparkSession, sfDir: String): DataFrame =
+    detectorAgreement(Tables.events(spark, sfDir))
 }

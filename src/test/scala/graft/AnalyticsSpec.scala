@@ -490,4 +490,37 @@ class AnalyticsSpec extends SparkSpec {
       x.getAs[Long]("week_offset") -> x.getAs[Double]("rate")).toMap
     assert(rates(1L) == 0.5 && rates(2L) == 0.25 && rates(3L) == 0.125)
   }
+
+  test("sessionConversion attributes purchases to the entry action") {
+    // user 1: session [view, purchase] -> entry view, converted;
+    // then a >4h gap; session [click] -> entry click, not converted
+    val rows = Seq(
+      (1L, 0L, "view"), (2L, 60L, "purchase"), (3L, 20000L, "click"),
+      // user 2: lone purchase session -> entry purchase, converted
+      (4L, 100L, "purchase"))
+      .map { case (e, sec, t) =>
+        (e, new java.sql.Timestamp(sec * 1000L), if (e == 4L) 2L else 1L,
+          t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = ops.Ranges.sessionConversion(rows).collect()
+      .map(r => r.getAs[String]("entry_type") -> r).toMap
+    assert(m("view").getAs[Long]("n_sessions") == 1)
+    assert(m("view").getAs[Long]("n_converted") == 1)
+    assert(m("click").getAs[Long]("n_converted") == 0)
+    assert(m("purchase").getAs[Double]("conversion_rate") == 1.0)
+  }
+
+  test("detectorAgreement: perfect agreement on a planted outlier") {
+    // spread base 1..50 (healthy IQR) plus one extreme point: both the
+    // 3-sigma rule and the Tukey fence flag exactly the planted point
+    val vals = (1 to 50).map(_.toDouble) ++ Seq(1000.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "a", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = ops.Ranges.detectorAgreement(rows).collect().head
+    assert(r.getAs[Long]("n_a") == 1 && r.getAs[Long]("n_b") == 1)
+    assert(r.getAs[Long]("n_both") == 1)
+    assert(r.getAs[Double]("jaccard") == 1.0)
+    assert(r.getAs[Double]("kappa") == 1.0)
+  }
 }
