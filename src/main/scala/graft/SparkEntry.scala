@@ -575,7 +575,13 @@ object SparkEntry {
     "q282_session_conversion" -> ((s, d) =>
       Ranges.sessionConversion(s, d).orderBy(col("entry_type"))),
     "q283_detector_agreement" -> ((s, d) =>
-      Ranges.detectorAgreement(s, d).orderBy(col("event_type")))
+      Ranges.detectorAgreement(s, d).orderBy(col("event_type"))),
+    "q284_lang_purity" -> ((s, d) =>
+      TextAnalysis.langPurity(s, d).orderBy(col("source"))),
+    "q285_basket_confidence" -> ((s, d) =>
+      Relational.basketConfidence(s, d).orderBy(col("rnk"))),
+    "q286_profile_neighbors" -> ((s, d) =>
+      TimeSeries.profileNeighbors(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6213,7 +6219,64 @@ object SparkEntry {
         |    ELSE 0.0 END)*10000)/10000.0 AS jaccard,
         |  round((CASE WHEN 1.0 - pe > 0 THEN (po - pe)/(1.0 - pe)
         |    ELSE 0.0 END)*10000)/10000.0 AS kappa
-        |FROM k2 ORDER BY 1""".stripMargin
+        |FROM k2 ORDER BY 1""".stripMargin,
+    "q284_lang_purity" ->
+      """WITH sc AS (SELECT source, lang,
+        |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |      'g'), ' ')) n_tok,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) n_stop
+        |  FROM documents),
+        |p AS (SELECT source, lang,
+        |    CASE WHEN n_stop*1000 >= n_tok*80 THEN 'en' ELSE 'other' END
+        |      pred_lang
+        |  FROM sc)
+        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_match,
+        |  round(CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+        |    AS DOUBLE)/CAST(count(*) AS DOUBLE)*10000)/10000.0 AS purity
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q285_basket_confidence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |s1 AS (SELECT l_partkey, CAST(count(*) AS BIGINT) s FROM li
+        |  GROUP BY 1),
+        |pr AS (SELECT a.l_partkey ante, b.l_partkey cons,
+        |    CAST(count(*) AS BIGINT) s_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cf AS (SELECT ante, cons, s_ab, s1.s s_a,
+        |    round(CAST(s_ab AS DOUBLE)/CAST(s1.s AS DOUBLE)*10000)/10000.0
+        |      conf
+        |  FROM pr JOIN s1 ON pr.ante = s1.l_partkey),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY conf DESC, ante, cons) AS INT) rnk FROM cf)
+        |SELECT rnk, ante, cons, s_ab, s_a, conf
+        |FROM r WHERE rnk <= 10 ORDER BY 1""".stripMargin,
+    "q286_profile_neighbors" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT)
+        |      hod,
+        |    CAST(count(*) AS BIGINT) n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) nt FROM p
+        |  GROUP BY 1),
+        |sh AS (SELECT p.event_type, hod,
+        |    CAST(n AS DOUBLE)/CAST(nt AS DOUBLE) s
+        |  FROM p JOIN t ON p.event_type = t.event_type),
+        |d AS (SELECT a.event_type type_a, b.event_type type_b,
+        |    CAST(sum(CAST((a.s - b.s)*(a.s - b.s) AS DECIMAL(28,16)))
+        |      AS DOUBLE) d2
+        |  FROM sh a JOIN sh b ON a.hod = b.hod
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY type_a
+        |    ORDER BY d2, type_b) rn FROM d)
+        |SELECT type_a AS event_type, type_b AS nearest_type,
+        |  round(sqrt(d2)*1000000)/1000000.0 AS l2_dist
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

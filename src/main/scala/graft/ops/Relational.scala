@@ -1701,4 +1701,40 @@ object Relational {
 
   def rollupConsistency(spark: SparkSession, sfDir: String): DataFrame =
     rollupConsistency(Tables.orders(spark, sfDir))
+
+  /** q285: association-rule confidence over order baskets — for the
+    * support≥2 co-purchased part pairs (the graph family threshold), the DIRECTED rule strength
+    * conf(a→b) = supp(ab)/supp(a) (q99's session lift is symmetric;
+    * recommendations need the asymmetric number — "of the orders with a,
+    * how many also had b"). Same bounded per-order pair fan-out as the
+    * co-purchase graph; per-part supports broadcast back; top-10 rules by
+    * (confidence, pair) over the support-thresholded pair table.
+    */
+  def basketConfidence(lineitem: DataFrame, minSupport: Long = 2,
+                       topN: Int = 10): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    val supp1 = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("ante"), col("b.l_partkey").as("cons"))
+      .agg(count(lit(1)).as("s_ab"))
+      .where(col("s_ab") >= minSupport)
+    val w = Window.orderBy(col("conf").desc, col("ante"), col("cons"))
+    pairs
+      .join(supp1.select(col("l_partkey").as("ante"), col("s").as("s_a")),
+        "ante")
+      .withColumn("conf",
+        round(col("s_ab").cast("double") / col("s_a").cast("double")
+          * lit(10000)) / lit(10000.0))
+      // topN window runs over the support-thresholded RULE table (tiny);
+      // at larger scale it becomes a TakeOrderedAndProject
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .select(col("rnk"), col("ante"), col("cons"), col("s_ab"),
+        col("s_a"), col("conf"))
+  }
+
+  def basketConfidence(spark: SparkSession, sfDir: String): DataFrame =
+    basketConfidence(Tables.lineitem(spark, sfDir))
 }

@@ -1139,4 +1139,34 @@ object TextAnalysis {
 
   def compressibility(spark: SparkSession, sfDir: String): DataFrame =
     compressibility(Tables.documents(spark, sfDir))
+
+  /** q284: language purity per source — q27's stopword lang-id heuristic
+    * scored against the labeled language, broken out by SOURCE (the
+    * mixture-planning question: which feeds are mislabeled or
+    * code-mixed enough to need per-source language filtering before they
+    * enter a training mixture). Same single tokenization pass as q27;
+    * one extra grouping column.
+    */
+  def langPurity(docs: DataFrame): DataFrame = {
+    val stopList = enStop.map("'" + _ + "'").mkString(",")
+    docs
+      .select(col("source"), col("lang"),
+        split(Dedup.normText(col("text")), " ").as("w"))
+      .select(col("source"), col("lang"), size(col("w")).as("n_tok"),
+        size(expr(s"filter(w, t -> array_contains(array($stopList), t))"))
+          .as("n_stop"))
+      .withColumn("pred_lang",
+        when(col("n_stop") * 1000 >= col("n_tok") * 80, "en")
+          .otherwise("other"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .as("n_match"))
+      .withColumn("purity",
+        round(col("n_match").cast("double") / col("n_docs").cast("double")
+          * lit(10000)) / lit(10000.0))
+  }
+
+  def langPurity(spark: SparkSession, sfDir: String): DataFrame =
+    langPurity(Tables.documents(spark, sfDir))
 }

@@ -1747,4 +1747,41 @@ object TimeSeries {
 
   def holtWinters(spark: SparkSession, sfDir: String): DataFrame =
     holtWinters(Tables.events(spark, sfDir))
+
+  /** q286: behavioural nearest neighbour by hour-of-day profile — each
+    * series reduced to its 24-bin activity-share vector (q51's heatmap
+    * marginal, volume-normalized so shape is compared, not size), then
+    * the closest other series by L2 over the shares. The "which sensors
+    * behave alike" primer for grouping assets into shared models.
+    * Profiles are |series|×24 rows; the pair join is |series|²×24 —
+    * bounded by the series vocabulary, never by event volume. Shares are
+    * exact integer ratios; squared gaps decimal-snapped before summing.
+    */
+  def profileNeighbors(events: DataFrame): DataFrame = {
+    val prof = events
+      .select(col("event_type"),
+        ((unix_timestamp(col("ts")) % 86400L) / 3600L).cast("int").as("hod"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = prof.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    val shares = prof.join(tot, "event_type")
+      .select(col("event_type"), col("hod"),
+        (col("n").cast("double") / col("nt").cast("double")).as("s"))
+    val d2 = shares.toDF("type_a", "hod", "sa")
+      .join(shares.toDF("type_b", "hod", "sb"), "hod")
+      .where(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(((col("sa") - col("sb")) * (col("sa") - col("sb")))
+        .cast("decimal(28,16)")).cast("double").as("d2"))
+    val w = Window.partitionBy(col("type_a"))
+      .orderBy(col("d2"), col("type_b"))
+    d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("type_a").as("event_type"),
+        col("type_b").as("nearest_type"),
+        (round(sqrt(col("d2")) * lit(1000000)) / lit(1000000.0))
+          .as("l2_dist"))
+  }
+
+  def profileNeighbors(spark: SparkSession, sfDir: String): DataFrame =
+    profileNeighbors(Tables.events(spark, sfDir))
 }

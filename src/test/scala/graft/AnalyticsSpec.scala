@@ -523,4 +523,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard") == 1.0)
     assert(r.getAs[Double]("kappa") == 1.0)
   }
+
+  test("profileNeighbors pairs the series with matching daily shapes") {
+    // a and b are morning series (hour 1), c is an evening series (hour 20):
+    // a's nearest is b (identical share vector), not c
+    val mk = (t: String, hrs: Seq[Int]) => hrs.map(h => (t, h))
+    val rows = (mk("a", Seq(1, 1, 1, 2)) ++ mk("b", Seq(1, 1, 1, 2))
+      ++ mk("c", Seq(20, 20, 21, 22))).zipWithIndex.map {
+      case ((t, h), i) =>
+        (i.toLong, new java.sql.Timestamp((h * 3600L + i) * 1000L), 1L, t, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = ops.TimeSeries.profileNeighbors(rows).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[String]("nearest_type"), r.getAs[Double]("l2_dist")))).toMap
+    assert(m("a")._1 == "b" && m("a")._2 == 0.0)
+    assert(m("b")._1 == "a")
+  }
 }

@@ -251,4 +251,17 @@ class RelationalWideningSpec extends SparkSpec {
     assert(jan.getAs[Long]("n_days") == 2)
     assert(jan.getAs[Double]("rev_merged") == 30.06)
   }
+
+  test("basketConfidence is asymmetric: conf(a->b) != conf(b->a)") {
+    // part 1 in 4 orders, part 2 in 2 orders, together in 2 orders:
+    // conf(1->2) = 2/4 = 0.5, conf(2->1) = 2/2 = 1.0
+    val li = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (3L, 2L), (4L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val m = Relational.basketConfidence(li).collect()
+      .map(r => (r.getAs[Long]("ante"), r.getAs[Long]("cons")) ->
+        r.getAs[Double]("conf")).toMap
+    assert(m((1L, 2L)) == 0.5)
+    assert(m((2L, 1L)) == 1.0)
+  }
 }

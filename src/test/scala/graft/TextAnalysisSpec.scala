@@ -175,4 +175,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("loop").getAs[Double]("distinct_ratio")
       < m("organic").getAs[Double]("distinct_ratio"))
   }
+
+  test("langPurity scores sources by lang-id agreement") {
+    val en = "the cat of the house and the dog in it is a pet it is"
+    val xx = "zzz yyy www qqq rrr"
+    val docs = Seq((1L, en, "en", "good"), (2L, en, "en", "mixed"),
+      (3L, xx, "en", "mixed")) // labeled en but no stopwords -> miss
+      .map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextAnalysis.langPurity(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("purity")).toMap
+    assert(m("good") == 1.0)
+    assert(m("mixed") == 0.5)
+  }
 }
