@@ -822,6 +822,22 @@ object Ranges {
   def survivalCurve(spark: SparkSession, sfDir: String): DataFrame =
     survivalCurve(Tables.events(spark, sfDir))
 
+  /** Per-series Tukey fences (lo = Q1 − 1.5·IQR, hi = Q3 + 1.5·IQR) from
+    * one exact-quantile pass, quartiles snapped to 6 dp — the shared
+    * input of q261's census and q283's detector comparison.
+    */
+  private def tukeyFences(ev: DataFrame): DataFrame =
+    Percentiles.exactQuantiles(ev, "event_type", "value",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      .groupBy(col("event_type"))
+      .agg(
+        (round(max(when(col("qname") === "q1", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q1"),
+        (round(max(when(col("qname") === "q3", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+
   /** q261: Tukey-fence outlier census per series — the IQR rule
     * (lo = Q1 − 1.5·IQR, hi = Q3 + 1.5·IQR), the third robust-outlier
     * lens beside q41's z-scores (moment-based, masked by the outliers
@@ -832,17 +848,7 @@ object Ranges {
     */
   def iqrOutliers(events: DataFrame): DataFrame = {
     val ev = events.select(col("event_type"), col("value"))
-    val qs = Percentiles.exactQuantiles(ev, "event_type", "value",
-        Seq("q1" -> 0.25, "q3" -> 0.75))
-      .groupBy(col("event_type"))
-      .agg(
-        (round(max(when(col("qname") === "q1", col("qv"))) * lit(1000000))
-          / lit(1000000.0)).as("q1"),
-        (round(max(when(col("qname") === "q3", col("qv"))) * lit(1000000))
-          / lit(1000000.0)).as("q3"))
-      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
-      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
-    ev.join(broadcast(qs), "event_type")
+    ev.join(broadcast(tukeyFences(ev)), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         max(col("q1")).as("q1"), max(col("q3")).as("q3"),
@@ -1010,17 +1016,7 @@ object Ranges {
         (col("s2").cast("double") - col("n") * col("m") * col("m"))
           / (col("n") - 1)))
       .select(col("event_type"), col("m"), col("sd"))
-    val qs = Percentiles.exactQuantiles(ev, "event_type", "value",
-        Seq("q1" -> 0.25, "q3" -> 0.75))
-      .groupBy(col("event_type"))
-      .agg(
-        (round(max(when(col("qname") === "q1", col("qv"))) * lit(1000000))
-          / lit(1000000.0)).as("q1"),
-        (round(max(when(col("qname") === "q3", col("qv"))) * lit(1000000))
-          / lit(1000000.0)).as("q3"))
-      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
-      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
-      .select(col("event_type"), col("lo"), col("hi"))
+    val qs = tukeyFences(ev).select(col("event_type"), col("lo"), col("hi"))
     val flagged = ev.join(broadcast(mom), "event_type")
       .join(broadcast(qs), "event_type")
       .withColumn("fa", abs(col("value") - col("m")) > lit(3.0) * col("sd"))
