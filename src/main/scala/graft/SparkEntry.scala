@@ -3751,10 +3751,10 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q176_late_ship_mix" ->
       """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -490,15 +490,14 @@ object Relational {
   /** q119: ABC inventory classification — parts ranked by revenue,
     * partitioned into the classic A (first 80% of revenue) / B (next 15%) /
     * C (tail) bands by CUMULATIVE share, then rolled up per class. The
-    * cumulative window runs over the per-part AGGREGATE (bounded by |part|
-    * — an unpartitioned orderBy window, i.e. a single task over that
-    * bounded aggregate; at larger |part| swap in the two-pass prefix-sum
-    * idiom used by heapsLaw), never lineitems; class boundaries
-    * compare exact-decimal cumulative sums against the total, and the
-    * rollup re-aggregates so the output is 3 rows whatever the part count.
+    * cumulative sum runs over the per-part AGGREGATE (bounded by |part|)
+    * through Prefix.over's distributed two-pass prefix sum — range-bucketed
+    * on (revenue desc, partkey), so no task ever holds the whole part
+    * table; class boundaries compare exact-decimal cumulative sums against
+    * the total, and the rollup re-aggregates so the output is 3 rows
+    * whatever the part count.
     */
   def abcClassification(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perPart = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -506,12 +505,11 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(sum(col("rev")).as("prev"))
     val total = perPart.agg(sum(col("prev")).as("trev"))
-    val cum = Window.orderBy(col("prev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    perPart
-      .crossJoin(broadcast(total))
+    Prefix.over(perPart.crossJoin(broadcast(total)),
+        Seq(col("prev").desc, col("l_partkey")),
+        Seq(Prefix.Agg(col("prev"), "cum_rev")))
       .withColumn("cum_share",
-        sum(col("prev")).over(cum).cast("double") / col("trev").cast("double"))
+        col("cum_rev").cast("double") / col("trev").cast("double"))
       .withColumn("cls",
         when(col("cum_share") <= 0.8, "A")
           .when(col("cum_share") <= 0.95, "B")
@@ -552,23 +550,20 @@ object Relational {
     * of the customer base (0 = every customer spends alike, →1 = revenue
     * concentrated in a few whales), the economy-wide companion of q117's
     * per-nation HHI. Revenue aggregates per customer first (exact decimal),
-    * the rank window runs over that customer-sized aggregate only (an
-    * unpartitioned orderBy window — one task over the bounded aggregate;
-    * the heapsLaw two-pass prefix-sum idiom is the swap-in if |customer|
-    * outgrows a task), and Σ rank·revenue is an exact
+    * the rank comes from Prefix.over's distributed prefix-count over the
+    * (rev, custkey) total order — no single task ever holds the customer
+    * aggregate — and Σ rank·revenue is an exact
     * decimal sum, so the classic formula
     * G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n is all-integer/decimal until the
     * final divides.
     */
   def revenueGini(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perCust = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,6)").as("price"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("price")).as("rev"))
-    val w = Window.orderBy(col("rev"), col("o_custkey"))
-    perCust
-      .withColumn("i", row_number().over(w))
+    Prefix.over(perCust, Seq(col("rev"), col("o_custkey")),
+        Seq(Prefix.rowNumber("i")))
       .agg(
         count(lit(1)).as("n_customers"),
         sum(col("rev")).as("s0"),
@@ -1233,17 +1228,21 @@ object Relational {
 
   /** q244: Lorenz curve of customer revenue concentration in deciles —
     * the distributional VIEW behind q121's single Gini number (which
-    * decile holds what share; the retention/whale planning table). ntile
-    * and the cumulative share both run over the per-customer AGGREGATE,
-    * with the decile order fully determined by (revenue, custkey).
+    * decile holds what share; the retention/whale planning table). The
+    * decile assignment runs over the per-customer AGGREGATE with the order
+    * fully determined by (revenue, custkey) — but through Prefix.over's
+    * distributed prefix-count plus the closed-form ntile reconstruction,
+    * so no single task ever holds the customer table.
     */
   def lorenzDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     val cr = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-    val ord = Window.orderBy(col("rev"), col("o_custkey"))
-    val byDecile = cr
-      .withColumn("decile", ntile(10).over(ord))
+    val n = cr.agg(count(lit(1)).as("n_total"))
+    val byDecile = Prefix.over(cr.crossJoin(broadcast(n)),
+        Seq(col("rev"), col("o_custkey")), Seq(Prefix.rowNumber("rn")))
+      .withColumn("decile",
+        Prefix.ntileFromRowNumber(col("rn"), col("n_total"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("dec_rev"))
     val cum = Window.orderBy(col("decile"))
@@ -1325,12 +1324,11 @@ object Relational {
   /** q238: 2-D Pareto frontier (SKYLINE) over per-part (min unit price,
     * max shipped quantity) — the parts no other part beats on BOTH
     * cheapness and volume. After the per-part aggregate the skyline is
-    * one window pass: sort by price asc (tie: qty desc, partkey), keep
+    * one prefix pass: sort by price asc (tie: qty desc, partkey), keep
     * rows whose qty strictly exceeds the running max qty of everything
     * cheaper — O(parts log parts), never a dominance self-join. The
-    * window is unpartitioned but runs over the per-part AGGREGATE, and
-    * at real scale the frontier filter composes with a pre-filter on a
-    * price-grid coarsening if even that table were huge.
+    * running max is Prefix.over's distributed exclusive prefix-max over
+    * the per-part AGGREGATE, so no single task ever holds the part table.
     */
   def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
     val pp = Tables.lineitem(spark, sfDir)
@@ -1338,11 +1336,9 @@ object Relational {
       .agg(min((col("l_extendedprice") / col("l_quantity"))
         .cast("decimal(18,6)")).as("unit_price"),
         max(col("l_quantity")).as("max_qty"))
-    val ord = Window.orderBy(col("unit_price"), col("max_qty").desc,
-      col("l_partkey"))
-    val prevBest = ord.rowsBetween(Window.unboundedPreceding, -1)
-    pp
-      .withColumn("best_prior", max(col("max_qty")).over(prevBest))
+    Prefix.over(pp,
+        Seq(col("unit_price"), col("max_qty").desc, col("l_partkey")),
+        Seq(Prefix.Agg(col("max_qty"), "best_prior", "max", inclusive = false)))
       .where(col("best_prior").isNull
         || col("max_qty") > col("best_prior"))
       .select(col("l_partkey"),
@@ -1484,12 +1480,12 @@ object Relational {
     * recency/frequency/monetary quintiles (1 = best: most recent, most
     * orders, highest spend), segments = the concatenated code, reported
     * with size and average spend. The classic CRM partition, and a
-    * multi-metric window shape: three ntile(5)s over the per-customer
-    * aggregate, each with a deterministic (metric, custkey) tie-break.
-    * The ntiles run single-task over the CUSTOMER aggregate (bounded by
-    * |customers|, not order volume); at the scale where that's too big
-    * the quintile boundaries would come from the exact-quantile engine
-    * and score via broadcast range joins — the census shape is identical.
+    * multi-metric window shape: three quintile assignments over the
+    * per-customer aggregate, each with a deterministic (metric, custkey)
+    * tie-break. Each quintile is a Prefix.over distributed prefix-count
+    * on its own total order plus the closed-form ntile reconstruction —
+    * three parallel range-bucketed passes over the CUSTOMER aggregate, no
+    * single-task window anywhere.
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val per = orders.groupBy(col("o_custkey")).agg(
@@ -1497,13 +1493,18 @@ object Relational {
         .cast("bigint")).as("last_day"),
       count(lit(1)).as("freq"),
       sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
-    val rW = Window.orderBy(col("last_day").desc, col("o_custkey"))
-    val fW = Window.orderBy(col("freq").desc, col("o_custkey"))
-    val mW = Window.orderBy(col("monetary").desc, col("o_custkey"))
-    per
-      .withColumn("r_q", ntile(5).over(rW))
-      .withColumn("f_q", ntile(5).over(fW))
-      .withColumn("m_q", ntile(5).over(mW))
+    val n = per.agg(count(lit(1)).as("n_total"))
+    val ranked = Seq(
+      (Seq(col("last_day").desc, col("o_custkey")), "r_rn"),
+      (Seq(col("freq").desc, col("o_custkey")), "f_rn"),
+      (Seq(col("monetary").desc, col("o_custkey")), "m_rn"))
+      .foldLeft(per.crossJoin(broadcast(n))) { case (acc, (ord, out)) =>
+        Prefix.over(acc, ord, Seq(Prefix.rowNumber(out)))
+      }
+    ranked
+      .withColumn("r_q", Prefix.ntileFromRowNumber(col("r_rn"), col("n_total"), 5))
+      .withColumn("f_q", Prefix.ntileFromRowNumber(col("f_rn"), col("n_total"), 5))
+      .withColumn("m_q", Prefix.ntileFromRowNumber(col("m_rn"), col("n_total"), 5))
       .withColumn("segment",
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
       .groupBy(col("segment"))

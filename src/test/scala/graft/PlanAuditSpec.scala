@@ -269,6 +269,36 @@ class PlanAuditSpec extends SparkSpec {
       "q250 explodes before deduplicating (fan-out on the raw fact)")
   }
 
+  test("global-order analytics run the two-pass prefix shape, not one task") {
+    // q119/q121/q238/q244/q264 order an unbounded-key aggregate globally;
+    // each must go through Prefix.over — local windows hash-partitioned by
+    // the range bucket id — and never a single-task ntile/row_number/sum
+    // window over the whole aggregate
+    for (name <- Seq("q119_abc_classes", "q121_revenue_gini",
+                     "q238_pareto_frontier", "q244_lorenz_deciles",
+                     "q264_rfm_segments")) {
+      val plan = plans(name)
+      assert(plan.contains("hashpartitioning(__prefix_pid"),
+        s"$name lost the distributed prefix shape (no __prefix_pid partition)")
+      assert(!plan.contains("ntile("),
+        s"$name still plans a single-task ntile window")
+      // every UNPARTITIONED window must consume the per-bucket totals
+      // (__t_ columns, <= bucket-count rows) — never the data itself.
+      // Partitioned windows show three bracket lists in their detail
+      // Arguments (exprs, partition, order); unpartitioned show two.
+      val winBlock = """\(\d+\) Window\nInput[^\n]*: (\[[^\n]*\])\nArguments: ([^\n]*)""".r
+      for (m <- winBlock.findAllMatchIn(plan)) {
+        val partitioned = "\\], \\[".r.findAllIn(m.group(2)).size == 2
+        // bounded-by-construction inputs: the per-bucket totals (__t_,
+        // <= bucket count) and q244's 10-row decile rollup
+        if (!partitioned && !m.group(1).contains("decile#"))
+          assert(m.group(1).contains("__t_"),
+            s"$name has an unpartitioned Window over ${m.group(1)} — " +
+              "a single task holds that whole input")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
