@@ -5868,9 +5868,12 @@ object SparkEntry {
         |  FROM lg, mx
         |  WHERE (nwk IS NULL AND wk < max_wk) OR nwk > wk + 1
         |  GROUP BY 1)
-        |SELECT st.wk, n_active, n_new, n_retained, n_resurrected,
+        |SELECT wk, coalesce(n_active, 0) AS n_active,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
         |  coalesce(n_churned, 0) AS n_churned
-        |FROM st LEFT JOIN ch ON st.wk = ch.wk ORDER BY 1""".stripMargin,
+        |FROM st FULL JOIN ch USING (wk) ORDER BY 1""".stripMargin,
     "q272_mode_per_group" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS INT) q,
         |    CAST(count(*) AS BIGINT) cnt

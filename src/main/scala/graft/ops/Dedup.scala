@@ -1106,26 +1106,42 @@ object Dedup {
     * number of SOURCES sharing it (≤ |sources|², never docs²). The
     * |est − exact| column IS the sketch-accuracy audit.
     */
+  /** Distinct (source, 3-gram shingle) inventory — the base table of the
+    * source-level MinHash family (q278 and SourceMinhashIndex).
+    */
+  private[ops] def sourceShingles(docs: DataFrame): DataFrame = docs
+    .select(col("source"), split(normText(col("text")), " ").as("w"))
+    .where(size(col("w")) >= 3)
+    .select(col("source"), explode(expr(
+      "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+      .as("sh"))
+    .distinct()
+
+  /** Per-source k-component MinHash signature rows (source, salt, m) from a
+    * shingle inventory. min() is commutative/associative and idempotent, so
+    * signatures over any partition of a corpus MIN-MERGE to the full-corpus
+    * signature — the property SourceMinhashIndex's append path relies on.
+    */
+  private[ops] def sigsFromShingles(srcSh: DataFrame, k: Int): DataFrame =
+    srcSh
+      .withColumn("salt", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col("source"), col("salt"))
+      .agg(min(md5(concat(col("salt").cast("string"), lit(":"), col("sh"))))
+        .as("m"))
+
+  /** Per-source MinHash signatures straight from a document batch. */
+  def sourceSignatures(docs: DataFrame, k: Int = 12): DataFrame =
+    sigsFromShingles(sourceShingles(docs), k)
+
   def sourceMinhash(docs: DataFrame, k: Int = 12): DataFrame = {
-    val srcSh = docs
-      .select(col("source"), split(normText(col("text")), " ").as("w"))
-      .where(size(col("w")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
-        .as("sh"))
-      .distinct()
-      .localCheckpoint()
+    val srcSh = sourceShingles(docs).localCheckpoint()
     val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val inter = srcSh.toDF("src_a", "sh")
       .join(srcSh.toDF("src_b", "sh"), "sh")
       .where(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val sigs = srcSh
-      .withColumn("salt", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy(col("source"), col("salt"))
-      .agg(min(md5(concat(col("salt").cast("string"), lit(":"), col("sh"))))
-        .as("m"))
+    val sigs = sigsFromShingles(srcSh, k)
     val matches = sigs.toDF("src_a", "salt", "ma")
       .join(sigs.toDF("src_b", "salt", "mb"), "salt")
       .where(col("src_a") < col("src_b"))

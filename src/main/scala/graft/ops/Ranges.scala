@@ -894,9 +894,15 @@ object Ranges {
         || col("nwk") > col("wk") + 1)
       .select((col("wk") + 1).as("wk"))
       .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
-    states.join(churn, Seq("wk"), "left")
-      .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
-        col("n_resurrected"),
+    // FULL join: a week with zero actives can still owe a churn count
+    // (everyone's last activity was the week before) — a left join would
+    // silently drop it and break actives(w-1) = retained(w) + churned(w)
+    states.join(churn, Seq("wk"), "full")
+      .select(col("wk"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 

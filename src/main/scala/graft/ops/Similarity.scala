@@ -827,7 +827,10 @@ object Similarity {
     * enough that the centroid side broadcasts.
     *
     * Determinism contract (what makes the unrolled-SQL oracle replayable,
-    * same scheme as q200's PCA): seeds are the first k vectors by id;
+    * same scheme as q200's PCA): seeds are the first k vectors by id —
+    * selected via a distributed ordered limit, so offset or sparse
+    * vec_ids still seed exactly k clusters (cluster labels stay the
+    * seeds' vec_ids);
     * d² = ‖v‖² − 2v·c + ‖c‖² from EXACT decimal dots so the argmin is
     * bit-stable (ties broken on cluster id); updated centroid dims are
     * snapped to 1e-12. Empty clusters simply drop out of the centroid
@@ -859,7 +862,10 @@ object Similarity {
         .select(col("vec_id"), col("c"), col("d2"))
     }
 
-    var cent = dims.where(col("vec_id") < k)
+    // first k vector ids via TakeOrderedAndProject (distributed top-k),
+    // broadcast back — works for any id layout, not just 0-based dense
+    val seedIds = x.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+    var cent = dims.join(broadcast(seedIds), "vec_id")
       .select(col("vec_id").as("c"), col("i"), col("xd").as("cd"))
       .localCheckpoint()
     for (_ <- 1 to iters) {

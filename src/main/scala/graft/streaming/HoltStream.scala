@@ -69,8 +69,8 @@ object HoltStream {
         timerValues: TimerValues): Iterator[HoltSnapshot] = {
       var s = if (st.exists()) st.get()
         else HoltState(0L, 0.0, 0.0, 0.0, 0.0, Long.MinValue, 0L, 0L)
-      rows.toArray.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
-        val day = math.floorDiv(r.ts.getTime / 1000, 86400L)
+      rows.toArray.sortBy(r => (StreamTime.micros(r.ts), r.event_id)).foreach { r =>
+        val day = math.floorDiv(StreamTime.micros(r.ts), 86400L * 1000000L)
         if (s.curDay == Long.MinValue) s = s.copy(curDay = day)
         if (day > s.curDay) {
           // rollover: the held day is complete — fold its mean

@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
 case class SavGolPoint(event_type: String, event_id: Long, smooth: Double,
                        resid: Double)
 
-/** Ring of the last four readings per key (epoch-millis, id, value), oldest
+/** Ring of the last four readings per key (epoch-MICROS, id, value), oldest
   * first — exactly the lookback the 5-point filter needs.
   */
 case class SavGolState(e: Seq[Long], id: Seq[Long], v: Seq[Double])
@@ -20,7 +20,8 @@ case class SavGolState(e: Seq[Long], id: Seq[Long], v: Seq[Double])
   * reading is emitted exactly two readings late: when x_{t+2} arrives, the
   * window centred on x_t is complete and its smoothed value is final. State
   * per series is the last four readings (O(1)); rows inside a batch are
-  * replay-sorted on (ts, event_id) — the batch window's total order — so
+  * replay-sorted on (full-microsecond ts, event_id) — the batch window's
+  * total order down to Timestamp precision — so
   * under any micro-batch slicing of an in-order stream the emitted points
   * equal the batch q252 rows exactly (SavGolStreamSpec asserts it,
   * including windows straddling batch boundaries).
@@ -50,8 +51,8 @@ object SavGolStream {
         timerValues: TimerValues): Iterator[SavGolPoint] = {
       var s = if (st.exists()) st.get() else SavGolState(Nil, Nil, Nil)
       val out = Seq.newBuilder[SavGolPoint]
-      rows.toArray.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
-        val e = r.ts.getTime
+      rows.toArray.sortBy(r => (StreamTime.micros(r.ts), r.event_id)).foreach { r =>
+        val e = StreamTime.micros(r.ts)
         // in-order guard: a reading sorting before the ring's tail arrived
         // after its window was already finalized — drop it
         if (s.e.isEmpty || e > s.e.last

@@ -9,6 +9,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
 case class SensorReading(event_type: String, event_id: Long, ts: Timestamp,
                          value: Double)
 
+/** Shared time helpers for the stateful processors. */
+private[streaming] object StreamTime {
+  /** Full-microsecond epoch of a Timestamp — `getTime` alone truncates to
+    * milliseconds, so two readings a few microseconds apart would tie and
+    * replay-sort by event_id while the batch windows order by the full
+    * timestamp first. Used as the replay/guard key wherever a processor
+    * must walk rows in the batch plan's (ts, event_id) total order.
+    */
+  def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+}
+
 /** One running snapshot per key per batch: the time-weighted average so
   * far, the plain mean, and the coverage span in seconds.
   */
