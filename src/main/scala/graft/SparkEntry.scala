@@ -581,7 +581,29 @@ object SparkEntry {
     "q285_basket_confidence" -> ((s, d) =>
       Relational.basketConfidence(s, d).orderBy(col("rnk"))),
     "q286_profile_neighbors" -> ((s, d) =>
-      TimeSeries.profileNeighbors(s, d).orderBy(col("event_type")))
+      TimeSeries.profileNeighbors(s, d).orderBy(col("event_type"))),
+    "q287_kalman_level" -> ((s, d) =>
+      TimeSeries.kalman1d(s, d).orderBy(col("event_type"))),
+    "q288_kpss_level" -> ((s, d) =>
+      TimeSeries.kpssLevel(s, d).orderBy(col("event_type"))),
+    "q289_rolling_median" -> ((s, d) =>
+      TimeSeries.rollingMedian(s, d).orderBy(col("event_type"), col("day"))),
+    "q290_interval_coverage" -> ((s, d) =>
+      Ranges.intervalCoverage(s, d).orderBy(col("event_type"))),
+    "q291_delivery_percentiles" -> ((s, d) =>
+      Relational.deliveryPercentiles(s, d).orderBy(col("prio"))),
+    "q292_markov_stationary" -> ((s, d) =>
+      Relational.markovStationary(s, d).orderBy(col("state"))),
+    "q293_simpson_diversity" -> ((s, d) =>
+      TextAnalysis.simpsonDiversity(s, d).orderBy(col("source"))),
+    "q294_gap_acf" -> ((s, d) =>
+      TimeSeries.gapAcf(s, d).orderBy(col("event_type"))),
+    "q295_weighted_jaccard" -> ((s, d) =>
+      TextAnalysis.weightedJaccard(s, d).orderBy(col("src_a"), col("src_b"))),
+    "q296_boosted_stumps" -> ((s, d) =>
+      Regression.boostedStumps(s, d).orderBy(col("round"))),
+    "q297_target_encoding" -> ((s, d) =>
+      Regression.targetEncoding(s, d).orderBy(col("cat"), col("fold")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6279,7 +6301,307 @@ object SparkEntry {
         |    ORDER BY d2, type_b) rn FROM d)
         |SELECT type_a AS event_type, type_b AS nearest_type,
         |  round(sqrt(d2)*1000000)/1000000.0 AS l2_dist
-        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "q287_kalman_level" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, m,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) rn
+        |  FROM daily),
+        |tt AS (SELECT event_type, max(rn) t FROM idx GROUP BY 1
+        |  HAVING max(rn) >= 2),
+        |r AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS t, m AS x,
+        |    CAST(1.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS k,
+        |    CAST(0.0 AS DOUBLE) AS sae
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    round((r.x + (round(((r.p + 0.1)/(r.p + 1.1))*1e12)/1e12)
+        |      *(d.m - r.x))*1e12)/1e12,
+        |    round(((1.0 - round(((r.p + 0.1)/(r.p + 1.1))*1e12)/1e12)
+        |      *(r.p + 0.1))*1e12)/1e12,
+        |    round(((r.p + 0.1)/(r.p + 1.1))*1e12)/1e12,
+        |    r.sae + round(abs(d.m - r.x)*1e12)/1e12
+        |  FROM r JOIN idx d ON d.event_type = r.event_type
+        |    AND d.rn = r.t + 1)
+        |SELECT r.event_type, r.t AS n_days,
+        |  round(r.x*1000000)/1000000.0 AS level,
+        |  round(r.p*1000000)/1000000.0 AS p_var,
+        |  round(r.k*1000000)/1000000.0 AS gain,
+        |  round(r.sae/CAST(r.t - 1 AS DOUBLE)*1000000)/1000000.0
+        |    AS mean_abs_innov
+        |FROM r JOIN tt ON r.event_type = tt.event_type AND r.t = tt.t
+        |ORDER BY 1""".stripMargin,
+    "q288_kpss_level" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    round(CAST(sum(CAST(m AS DECIMAL(28,16))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 mu
+        |  FROM daily GROUP BY 1),
+        |cx AS (SELECT daily.event_type, d,
+        |    round((m - mu)*1e12)/1e12 e, n
+        |  FROM daily JOIN st ON daily.event_type = st.event_type),
+        |cs AS (SELECT event_type, e, n,
+        |    CAST(sum(CAST(e AS DECIMAL(28,12))) OVER (
+        |      PARTITION BY event_type ORDER BY d) AS DOUBLE) s
+        |  FROM cx),
+        |ag AS (SELECT event_type, max(n) n_days,
+        |    CAST(sum(CAST(e*e AS DECIMAL(28,16))) AS DOUBLE) ss,
+        |    CAST(sum(CAST(s*s AS DECIMAL(38,16))) AS DOUBLE) cum2
+        |  FROM cs GROUP BY 1 HAVING
+        |    CAST(sum(CAST(e*e AS DECIMAL(28,16))) AS DOUBLE) > 0)
+        |SELECT event_type, n_days,
+        |  round(cum2/CAST(n_days*n_days AS DOUBLE)
+        |    /(ss/CAST(n_days AS DOUBLE))*1000000)/1000000.0 AS kpss_eta
+        |FROM ag ORDER BY 1""".stripMargin,
+    "q289_rolling_median" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, d AS day,
+        |  CAST(count(*) OVER w AS INT) AS n_in_window,
+        |  round(median(m) OVER w*1000000)/1000000.0 AS med7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+    "q290_interval_coverage" ->
+      """WITH iv AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 e
+        |  FROM events),
+        |mm AS (SELECT *, max(e) OVER (PARTITION BY event_type
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    pmax
+        |  FROM iv),
+        |op AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END opens FROM mm),
+        |sg AS (SELECT *, sum(opens) OVER (PARTITION BY event_type
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    seg
+        |  FROM op),
+        |g AS (SELECT event_type, seg, CAST(count(*) AS BIGINT) n,
+        |    min(s) ss, max(e) se
+        |  FROM sg GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) n_intervals,
+        |  CAST(count(*) AS BIGINT) n_merged,
+        |  CAST(sum(se - ss) AS BIGINT) covered_sec,
+        |  round(CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE)*10000)
+        |    /10000.0 AS merge_ratio
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q291_delivery_percentiles" ->
+      """SELECT o_orderpriority AS prio,
+        |  round(quantile_cont(datediff('day', o_orderdate, l_shipdate),
+        |    0.5), 4) AS p50_days,
+        |  round(quantile_cont(datediff('day', o_orderdate, l_shipdate),
+        |    0.9), 4) AS p90_days,
+        |  round(quantile_cont(datediff('day', o_orderdate, l_shipdate),
+        |    0.99), 4) AS p99_days,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q292_markov_stationary" ->
+      """WITH stp AS MATERIALIZED (SELECT event_type src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) dst
+        |  FROM events),
+        |tr AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) n
+        |  FROM stp WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ot AS (SELECT src, CAST(sum(n) AS BIGINT) tot FROM tr GROUP BY 1),
+        |p AS MATERIALIZED (SELECT tr.src, tr.dst,
+        |    round(CAST(n AS DOUBLE)/CAST(tot AS DOUBLE)*1e12)/1e12 p
+        |  FROM tr JOIN ot ON tr.src = ot.src),
+        |kk AS (SELECT count(DISTINCT src) k FROM p),
+        |pi0 AS (SELECT DISTINCT src state, 1.0/CAST(k AS DOUBLE) pi
+        |  FROM p, kk),
+        |pi1 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi0 ON p.src = pi0.state GROUP BY 1),
+        |pi2 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi1 ON p.src = pi1.state GROUP BY 1),
+        |pi3 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi2 ON p.src = pi2.state GROUP BY 1),
+        |pi4 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi3 ON p.src = pi3.state GROUP BY 1),
+        |pi5 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi4 ON p.src = pi4.state GROUP BY 1),
+        |pi6 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi5 ON p.src = pi5.state GROUP BY 1),
+        |pi7 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi6 ON p.src = pi6.state GROUP BY 1),
+        |pi8 AS MATERIALIZED (SELECT dst state,
+        |    round(CAST(sum(CAST(pi*p AS DECIMAL(38,18))) AS DOUBLE)
+        |      *1e12)/1e12 pi
+        |  FROM p JOIN pi7 ON p.src = pi7.state GROUP BY 1)
+        |SELECT state, round(pi*1000000)/1000000.0 AS pi
+        |FROM pi8 ORDER BY 1""".stripMargin,
+    "q293_simpson_diversity" ->
+      """WITH t AS (SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) w
+        |  FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) c
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) n_tokens,
+        |  CAST(count(*) AS BIGINT) n_distinct,
+        |  round((1.0 - CAST(sum(CAST(c AS DECIMAL(19,0))
+        |      *CAST(c - 1 AS DECIMAL(19,0))) AS DOUBLE)
+        |    /(CAST(sum(c) AS DOUBLE)*CAST(sum(c) - 1 AS DOUBLE)))
+        |    *1000000)/1000000.0 AS simpson
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q294_gap_acf" ->
+      """WITH g1 AS (SELECT event_type, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY event_type ORDER BY ts, event_id) g
+        |  FROM events),
+        |g2 AS (SELECT event_type, ts, event_id, g FROM g1
+        |  WHERE g IS NOT NULL),
+        |pr AS (SELECT event_type, g, lead(g) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id) g2
+        |  FROM g2),
+        |ag AS (SELECT event_type,
+        |    CAST(count(*) AS DECIMAL(38,0)) n_pairs,
+        |    sum(CAST(g AS DECIMAL(38,0))) sx,
+        |    sum(CAST(g2 AS DECIMAL(38,0))) sy,
+        |    sum(CAST(g*g AS DECIMAL(38,0))) sxx,
+        |    sum(CAST(g2*g2 AS DECIMAL(38,0))) syy,
+        |    sum(CAST(g*g2 AS DECIMAL(38,0))) sxy
+        |  FROM pr WHERE g2 IS NOT NULL GROUP BY 1),
+        |dn AS (SELECT *, sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE)
+        |    *CAST(n_pairs*syy - sy*sy AS DOUBLE)) den FROM ag)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) n_pairs,
+        |  round(CAST(n_pairs*sxy - sx*sy AS DOUBLE)/den*1000000)
+        |    /1000000.0 AS gap_acf1
+        |FROM dn WHERE den > 0 ORDER BY 1""".stripMargin,
+    "q295_weighted_jaccard" ->
+      """WITH t AS (SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) w
+        |  FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) c
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) tot FROM c
+        |  GROUP BY 1),
+        |mn AS (SELECT a.source src_a, b.source src_b,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) smin
+        |  FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, smin,
+        |  round(CAST(smin AS DOUBLE)
+        |    /CAST(ta.tot + tb.tot - smin AS DOUBLE)*1000000)/1000000.0
+        |    AS weighted_jaccard
+        |FROM mn JOIN tot ta ON mn.src_a = ta.source
+        |  JOIN tot tb ON mn.src_b = tb.source
+        |ORDER BY 1, 2""".stripMargin,
+    "q296_boosted_stumps" ->
+      """WITH pq AS MATERIALIZED (SELECT CAST(l_quantity AS INT) q,
+        |    CAST(count(*) AS BIGINT) n,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) sy,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      *CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+        |      syy
+        |  FROM lineitem GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(n) AS BIGINT) nt, sum(sy) syt,
+        |    sum(syy) syyt FROM pq),
+        |c1a AS (SELECT q,
+        |    CAST(sum(n) OVER w AS BIGINT) nl, sum(sy) OVER w syl,
+        |    nt, syt, syyt
+        |  FROM pq, t1
+        |  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW)),
+        |c1b AS (SELECT q, nl, nt,
+        |    round(CAST(syl AS DOUBLE)/CAST(nl AS DOUBLE)*1e12)/1e12 ml,
+        |    round(CAST(syt - syl AS DOUBLE)/CAST(nt - nl AS DOUBLE)*1e12)
+        |      /1e12 mr,
+        |    syyt
+        |  FROM c1a WHERE nl < nt),
+        |c1 AS (SELECT q, ml, mr,
+        |    round((CAST(syyt AS DOUBLE) - CAST(nl AS DOUBLE)*ml*ml
+        |      - CAST(nt - nl AS DOUBLE)*mr*mr)*1e12)/1e12 sse
+        |  FROM c1b),
+        |r1 AS MATERIALIZED (SELECT q t, ml, mr, sse FROM c1
+        |  ORDER BY sse, q LIMIT 1),
+        |pq2 AS MATERIALIZED (SELECT pq.q, pq.n,
+        |    pq.sy - CAST(CAST(pq.n AS DOUBLE)
+        |      *(round((CASE WHEN pq.q <= r1.t THEN r1.ml ELSE r1.mr END
+        |        *0.5)*1e12)/1e12) AS DECIMAL(28,6)) sy,
+        |    CAST(CAST(pq.syy AS DOUBLE)
+        |      - 2.0*(round((CASE WHEN pq.q <= r1.t THEN r1.ml ELSE r1.mr
+        |        END*0.5)*1e12)/1e12)*CAST(pq.sy AS DOUBLE)
+        |      + CAST(pq.n AS DOUBLE)
+        |        *(round((CASE WHEN pq.q <= r1.t THEN r1.ml ELSE r1.mr END
+        |          *0.5)*1e12)/1e12)
+        |        *(round((CASE WHEN pq.q <= r1.t THEN r1.ml ELSE r1.mr END
+        |          *0.5)*1e12)/1e12) AS DECIMAL(38,6)) syy
+        |  FROM pq, r1),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) nt, sum(sy) syt,
+        |    sum(syy) syyt FROM pq2),
+        |c2a AS (SELECT q,
+        |    CAST(sum(n) OVER w AS BIGINT) nl, sum(sy) OVER w syl,
+        |    nt, syt, syyt
+        |  FROM pq2, t2
+        |  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW)),
+        |c2b AS (SELECT q, nl, nt,
+        |    round(CAST(syl AS DOUBLE)/CAST(nl AS DOUBLE)*1e12)/1e12 ml,
+        |    round(CAST(syt - syl AS DOUBLE)/CAST(nt - nl AS DOUBLE)*1e12)
+        |      /1e12 mr,
+        |    syyt
+        |  FROM c2a WHERE nl < nt),
+        |c2 AS (SELECT q, ml, mr,
+        |    round((CAST(syyt AS DOUBLE) - CAST(nl AS DOUBLE)*ml*ml
+        |      - CAST(nt - nl AS DOUBLE)*mr*mr)*1e12)/1e12 sse
+        |  FROM c2b),
+        |r2 AS (SELECT q t, ml, mr, sse FROM c2 ORDER BY sse, q LIMIT 1)
+        |SELECT 1 AS round, t AS threshold,
+        |  round(round((ml*0.5)*1e12)/1e12*1000000)/1000000.0 AS incr_left,
+        |  round(round((mr*0.5)*1e12)/1e12*1000000)/1000000.0 AS incr_right,
+        |  round(sse/1e6*10)/10.0 AS split_sse_m
+        |FROM r1
+        |UNION ALL
+        |SELECT 2, t, round(round((ml*0.5)*1e12)/1e12*1000000)/1000000.0,
+        |  round(round((mr*0.5)*1e12)/1e12*1000000)/1000000.0,
+        |  round(sse/1e6*10)/10.0
+        |FROM r2 ORDER BY 1""".stripMargin,
+    "q297_target_encoding" ->
+      """WITH cells AS (SELECT o_orderpriority cat,
+        |    CAST(o_orderkey % 3 AS INT) fold,
+        |    CAST(count(*) AS BIGINT) n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) sy
+        |  FROM orders GROUP BY 1, 2),
+        |pc AS (SELECT cat, CAST(sum(n) AS BIGINT) cn, sum(sy) csy
+        |  FROM cells GROUP BY 1),
+        |g AS (SELECT round(CAST(sum(sy) AS DOUBLE)
+        |    /CAST(sum(n) AS DOUBLE)*1e12)/1e12 gmean FROM cells)
+        |SELECT cells.cat, fold, n AS n_in_fold, cn - n AS n_oof,
+        |  round(round((CAST(csy - sy AS DOUBLE) + 10.0*gmean)
+        |    /(CAST(cn - n AS DOUBLE) + 10.0)*1e12)/1e12*1000000)
+        |    /1000000.0 AS encoding
+        |FROM cells JOIN pc ON cells.cat = pc.cat, g
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1,27 +1,26 @@
 package graft
 
-/** Ad-hoc single-pass timer for a subset of SparkEntry queries — the quick
-  * hog-check between formal Bench baselines. Args: query-name prefixes
-  * (default: every query); one warmup pass, then one timed pass each.
+/** Ad-hoc per-query timer: runMain graft.TimeNew <sfDir> q1,q2,... —
+  * 2 warmups + min-of-3, the bench protocol, on just the named queries.
   */
 object TimeNew {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => args.isEmpty || args.exists(n.startsWith))
-    names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
-    names.foreach { n =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.getOrCreate(master = "local[32]",
+      shufflePartitions = 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      (1 to 2).foreach(_ => fn(spark, sfDir).count())
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$n%-28s $best%8.3f s")
     }
     spark.stop()
   }

@@ -909,6 +909,44 @@ object Ranges {
   def lifecycleStates(spark: SparkSession, sfDir: String): DataFrame =
     lifecycleStates(Tables.events(spark, sfDir))
 
+  /** q290: interval-union coverage per series — each event projects a
+    * fixed-length active window [ts, ts+len); the union sweep merges
+    * overlaps into segments and reports raw vs merged counts and total
+    * covered seconds (sensor uptime, alert-storm compression, on-call
+    * load — any "how much wall-clock was actually covered" question that
+    * naive n×len double-counts). Classic sweep as two windows on the
+    * series-keyed sort: a segment opens where start exceeds the running
+    * max end of every earlier interval (exclusive prefix max), segment id
+    * = cumulative count of opens; both windows partition by series, and
+    * everything after is per-segment aggregation. All integer seconds.
+    */
+  def intervalCoverage(events: DataFrame, lenSec: Int = 1800): DataFrame = {
+    val iv = events.select(col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("e", col("s") + lenSec)
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("s"), col("e"))
+    val seg = iv
+      .withColumn("pmax",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("seg",
+        sum(col("opens")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    seg.groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("n"), min(col("s")).as("ss"), max(col("e")).as("se"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_intervals"),
+        count(lit(1)).as("n_merged"),
+        sum(col("se") - col("ss")).as("covered_sec"))
+      .withColumn("merge_ratio",
+        round(col("n_merged").cast("double")
+          / col("n_intervals").cast("double") * lit(10000)) / lit(10000.0))
+  }
+
+  def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    intervalCoverage(Tables.events(spark, sfDir))
+
   /** q279: retention half-life — pooled cohort retention by week offset,
     * fitted as exponential decay (ln rate ~ offset OLS ⇒ half-life =
     * −ln 2 / slope). The single number product teams quote from q63's

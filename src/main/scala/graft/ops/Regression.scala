@@ -289,4 +289,124 @@ object Regression {
 
   def groupedOls(spark: SparkSession, sfDir: String): DataFrame =
     groupedOls(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
+
+  /** q296: two-round gradient-boosted regression stumps — l_extendedprice
+    * predicted from l_quantity, squared loss, shrinkage ν=0.5. The GBM
+    * primitive as pure aggregation: quantities are ~50 integers, so ONE
+    * fact scan produces the per-quantity (n, Σy, Σy²) table and EVERYTHING
+    * else — both rounds' candidate searches AND the residual statistics —
+    * runs on those 50 rows. Round 2 never rescans: with a constant
+    * prediction per side, Σr = Σy − n·pred and Σr² = Σy² − 2·pred·Σy +
+    * n·pred² per quantity, algebra on the same aggregate. Split scores are
+    * SSE reductions from cumulative decimal sums; child means and gains
+    * 1e-12-snapped with ties to the smaller threshold, so the unrolled
+    * oracle walks the identical pair of splits. Output: one row per round
+    * with its split, child predictions (post-shrinkage increments), and
+    * the running total SSE after the round.
+    */
+  def boostedStumps(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nu = 0.5
+    val perQ = lineitem
+      .select(col("l_quantity").cast("int").as("q"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,6)")).as("syy"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // one boosting round over a (q, n, sy, syy) table: best SSE split,
+    // returning ONE row (t, mean_l, mean_r, sse_after)
+    def bestSplit(tab: DataFrame): DataFrame = {
+      val tot = tab.agg(sum(col("n")).as("nt"),
+        sum(col("sy")).as("syt"), sum(col("syy")).as("syyt"))
+      tab
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("syl", sum(col("sy")).over(w))
+        .crossJoin(broadcast(tot))
+        .where(col("nl") < col("nt"))
+        .withColumn("ml", snap12(col("syl").cast("double")
+          / col("nl").cast("double")))
+        .withColumn("mr", snap12((col("syt") - col("syl")).cast("double")
+          / (col("nt") - col("nl")).cast("double")))
+        .withColumn("sse", snap12(col("syyt").cast("double")
+          - col("nl").cast("double") * col("ml") * col("ml")
+          - (col("nt") - col("nl")).cast("double") * col("mr") * col("mr")))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("sse"), col("q"))))
+        .where(col("rnk") === 1)
+        .select(col("q").as("t"), col("ml"), col("mr"), col("sse"))
+    }
+
+    val r1 = bestSplit(perQ).localCheckpoint()
+    // residual sufficient statistics after applying nu * round-1 stump
+    val perQ2 = perQ.crossJoin(broadcast(r1))
+      .withColumn("pred", snap12(
+        when(col("q") <= col("t"), col("ml")).otherwise(col("mr"))
+          * lit(nu)))
+      .select(col("q"), col("n"),
+        (col("sy") - (col("n") * col("pred")).cast("decimal(28,6)"))
+          .as("sy"),
+        (col("syy").cast("double")
+          - lit(2.0) * col("pred") * col("sy").cast("double")
+          + col("n").cast("double") * col("pred") * col("pred"))
+          .cast("decimal(38,6)").as("syy"))
+    val r2 = bestSplit(perQ2)
+    // sse ~ 1e13: the exact-decimal total exceeds double precision, so the
+    // decimal->double conversion differs between engines in the last ulp
+    // (~0.01) - report in MILLIONS at 1 dp, far coarser than that noise
+    def sseM(c: org.apache.spark.sql.Column) =
+      round(c / lit(1e6) * lit(10)) / lit(10.0)
+    r1.select(lit(1).as("round"), col("t").as("threshold"),
+        r6(snap12(col("ml") * lit(nu))).as("incr_left"),
+        r6(snap12(col("mr") * lit(nu))).as("incr_right"),
+        sseM(col("sse")).as("split_sse_m"))
+      .unionAll(r2.select(lit(2).as("round"), col("t").as("threshold"),
+        r6(snap12(col("ml") * lit(nu))).as("incr_left"),
+        r6(snap12(col("mr") * lit(nu))).as("incr_right"),
+        sseM(col("sse")).as("split_sse_m")))
+  }
+
+  def boostedStumps(spark: SparkSession, sfDir: String): DataFrame =
+    boostedStumps(Tables.lineitem(spark, sfDir))
+
+  /** q297: leakage-safe out-of-fold target encoding — the categorical
+    * feature trick (replace category by the target mean of OTHER folds,
+    * smoothed toward the global mean) that naive in-fold means corrupt
+    * with target leakage. Folds are o_orderkey % 3 (deterministic, no
+    * RNG); encoding(cat, fold) = (Σ_target(cat) − Σ_target(cat, fold) +
+    * α·global_mean) / (n(cat) − n(cat, fold) + α), α=10. ONE aggregate to
+    * the (cat, fold) cell table (|cats|·3 rows); per-cat and global
+    * totals are rollups of the cells, so the fact is scanned once. All
+    * sums exact decimal; the global mean is 1e-12-snapped before
+    * smoothing.
+    */
+  def targetEncoding(orders: DataFrame, folds: Int = 3,
+                     alpha: Double = 10.0): DataFrame = {
+    val cells = orders
+      .select(col("o_orderpriority").as("cat"),
+        (col("o_orderkey") % folds).cast("int").as("fold"),
+        col("o_totalprice").cast("decimal(18,2)").as("y"))
+      .groupBy(col("cat"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .localCheckpoint()
+    val perCat = cells.groupBy(col("cat"))
+      .agg(sum(col("n")).as("cn"), sum(col("sy")).as("csy"))
+    val global = cells.agg(
+      snap12(sum(col("sy")).cast("double")
+        / sum(col("n")).cast("double")).as("gmean"))
+    cells.join(perCat, "cat").crossJoin(broadcast(global))
+      .select(col("cat"), col("fold"), col("n").as("n_in_fold"),
+        (col("cn") - col("n")).as("n_oof"),
+        r6(snap12(((col("csy") - col("sy")).cast("double")
+          + lit(alpha) * col("gmean"))
+          / ((col("cn") - col("n")).cast("double") + lit(alpha))))
+          .as("encoding"))
+  }
+
+  def targetEncoding(spark: SparkSession, sfDir: String): DataFrame =
+    targetEncoding(Tables.orders(spark, sfDir))
 }

@@ -106,6 +106,76 @@ object Relational {
       .join(n, "event_type")
   }
 
+  /** q291: order-to-ship latency percentiles per priority class — the SLA
+    * distribution view behind q69's single threshold: P50/P90/P99 of
+    * datediff(shipdate, orderdate) per o_orderpriority, through the same
+    * count-and-locate exact-quantile engine as q34 (latencies collapse to
+    * ~122 distinct day values per group, so the distinct-compression step
+    * does nearly all the work; no task ever buffers a group).
+    */
+  def deliveryPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val lat = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("double").as("lat"))
+    val qv = Percentiles.exactQuantiles(lat, "prio", "lat",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    val n = lat.groupBy(col("prio")).agg(count(lit(1)).as("n_lines"))
+    qv.groupBy(col("prio"))
+      .agg(
+        round(min(when(col("qname") === "p50", col("qv"))), 4).as("p50_days"),
+        round(min(when(col("qname") === "p90", col("qv"))), 4).as("p90_days"),
+        round(min(when(col("qname") === "p99", col("qv"))), 4).as("p99_days"))
+      .join(n, "prio")
+  }
+
+  /** q292: stationary distribution of the event-type transition chain —
+    * where q67 reports the one-step transition MATRIX, this reports the
+    * long-run occupancy π (π = πP) the chain converges to: the "what
+    * fraction of a user's journey is spent in each state" number behind
+    * capacity planning and funnel-health baselines. Fixed 8 power-iteration
+    * rounds from the uniform vector over the |types|² matrix — the state is
+    * |types| rows, every round is one broadcast join + one tiny aggregate,
+    * and each π component is 1e-12-snapped so the walk is engine-exact.
+    * Rows with no outgoing transition never occur (every observed FROM has
+    * a TO by construction of the lead window).
+    */
+  def markovStationary(events: DataFrame, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = steps.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    val p = steps.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        (round((col("n").cast("double") / col("tot").cast("double"))
+          * lit(1e12)) / lit(1e12)).as("p"))
+      .localCheckpoint()
+    val k = p.select(col("src")).distinct().count()
+    var pi = p.select(col("src").as("state")).distinct()
+      .withColumn("pi", lit(1.0) / lit(k.toDouble))
+    for (_ <- 1 to rounds) {
+      pi = p.join(pi, col("src") === col("state"))
+        .groupBy(col("dst"))
+        .agg((round(sum((col("pi") * col("p")).cast("decimal(38,18)"))
+          .cast("double") * lit(1e12)) / lit(1e12)).as("pi"))
+        .select(col("dst").as("state"), col("pi"))
+    }
+    pi.select(col("state"),
+      (round(col("pi") * lit(1000000)) / lit(1000000.0)).as("pi"))
+  }
+
+  def markovStationary(spark: SparkSession, sfDir: String): DataFrame =
+    markovStationary(Tables.events(spark, sfDir))
+
   /** q35: multi-level rollup (region → nation → grand total) in one pass —
     * GROUPING SETS expand map-side, so the fact table is still scanned and
     * shuffled once.

@@ -1169,4 +1169,69 @@ object TextAnalysis {
 
   def langPurity(spark: SparkSession, sfDir: String): DataFrame =
     langPurity(Tables.documents(spark, sfDir))
+
+  /** q293: Simpson diversity of each source's token distribution — the
+    * "probability two random tokens differ" concentration number beside
+    * q57's Zipf slope and q113's entropy (entropy weights the tail,
+    * Simpson weights the HEAD — a source dominated by a few boilerplate
+    * tokens scores low here even when its tail keeps entropy respectable).
+    * Unbiased estimator 1 − Σc(c−1)/(N(N−1)): all integer until the final
+    * divide, so no float-order concerns anywhere.
+    */
+  def simpsonDiversity(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"),
+        explode(split(Dedup.normText(col("text")), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    // decimal/double widening BEFORE the products: N·(N−1) and Σc(c−1)
+    // overflow int64 at corpus scale
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("decimal(19,0)") * (col("c") - 1).cast("decimal(19,0)"))
+          .as("rep2"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        (round((lit(1.0) - col("rep2").cast("double")
+          / (col("n_tokens").cast("double")
+            * (col("n_tokens") - 1).cast("double")))
+          * lit(1000000)) / lit(1000000.0)).as("simpson"))
+  }
+
+  def simpsonDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    simpsonDiversity(Tables.documents(spark, sfDir))
+
+  /** q295: weighted Jaccard between sources over token COUNT vectors —
+    * Σ min(cₐ, c_b) / Σ max(cₐ, c_b), the multiplicity-aware refinement of
+    * q275's set overlap (two sources sharing a vocabulary but using it at
+    * wildly different rates score high on set overlap, low here — the
+    * distinction between "same language" and "same distribution"). One
+    * token-count aggregate; the pair join is keyed on token and bounded by
+    * |sources|²·|vocab|, with the Σmax side computed from per-source
+    * totals minus Σmin (max(a,b) = a + b − min(a,b)) so only co-occurring
+    * tokens ever join. All integer counts.
+    */
+  def weightedJaccard(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"),
+        explode(split(Dedup.normText(col("text")), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val mins = counts.toDF("src_a", "w", "ca")
+      .join(counts.toDF("src_b", "w", "cb"), "w")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+    mins
+      .join(totals.toDF("src_a", "ta"), "src_a")
+      .join(totals.toDF("src_b", "tb"), "src_b")
+      .select(col("src_a"), col("src_b"), col("smin"),
+        (round(col("smin").cast("double")
+          / (col("ta") + col("tb") - col("smin")).cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("weighted_jaccard"))
+  }
+
+  def weightedJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    weightedJaccard(Tables.documents(spark, sfDir))
 }

@@ -1748,6 +1748,161 @@ object TimeSeries {
   def holtWinters(spark: SparkSession, sfDir: String): DataFrame =
     holtWinters(Tables.events(spark, sfDir))
 
+  /** q294: lag-1 autocorrelation of inter-arrival gaps per series — the
+    * MEMORY dimension of burstiness q102's CV can't see (two streams with
+    * identical gap variance differ operationally if long gaps cluster:
+    * positive gap-ACF means outages beget outages). Consecutive-gap pairs
+    * come from two stacked lag/lead windows on the series-keyed sort
+    * (integer seconds end-to-end); Pearson r over the pairs uses exact
+    * decimal moment sums, one final IEEE expression.
+    */
+  def gapAcf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("g", epochS(col("ts"))
+        - lag(epochS(col("ts")), 1).over(w))
+      .where(col("g").isNotNull)
+    val pairs = gaps
+      .withColumn("g2", lead(col("g"), 1).over(w))
+      .where(col("g2").isNotNull)
+    // decimal(38,0) moments: n·Σg² at corpus scale overflows int64
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_pairs"),
+        sum(col("g").cast("decimal(38,0)")).as("sx"),
+        sum(col("g2").cast("decimal(38,0)")).as("sy"),
+        sum((col("g") * col("g")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("g2") * col("g2")).cast("decimal(38,0)")).as("syy"),
+        sum((col("g") * col("g2")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("den",
+        sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+          * (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))
+      .where(col("den") > 0)
+      .select(col("event_type"), col("n_pairs").cast("bigint").as("n_pairs"),
+        r6c((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / col("den")).as("gap_acf1"))
+  }
+
+  def gapAcf(spark: SparkSession, sfDir: String): DataFrame =
+    gapAcf(Tables.events(spark, sfDir))
+
+  /** q287: 1-D Kalman filter (local-level model, process var q=0.1,
+    * observation var r=1.0) per series over daily means — the optimal
+    * recursive estimator completing the smoother family: q110's EWMA is a
+    * FIXED-gain filter, this one ADAPTS its gain from the tracked state
+    * variance (large early when the estimate is uncertain, converging to
+    * the steady-state gain), and the innovation stream |m − x̂| is the
+    * classic change-detection residual. Same execution shape as q251: the
+    * fact-sized work is the per-day aggregate; the inherently-sequential
+    * recursion folds each series' days inside ONE higher-order
+    * `aggregate`, state = (x, p, k, Σ|innov|), every component snapped to
+    * 1e-12 — the recursive-CTE oracle replays the identical walk.
+    */
+  def kalman1d(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val arr = daily.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+        .as("xs"))
+      .where(size(col("xs")) >= 2)
+    def s12(e: String) = s"round(($e)*1e12)/1e12"
+    val kGain = s12("(acc.p + 0.1)/(acc.p + 1.1)")
+    arr
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(xs, 2, size(xs) - 1),
+           |  named_struct(
+           |    'x', element_at(xs, 1),
+           |    'p', CAST(1.0 AS DOUBLE),
+           |    'k', CAST(0.0 AS DOUBLE),
+           |    'sae', CAST(0.0 AS DOUBLE)),
+           |  (acc, m) -> named_struct(
+           |    'x', ${s12(s"acc.x + $kGain*(m - acc.x)")},
+           |    'p', ${s12(s"(1.0 - $kGain)*(acc.p + 0.1)")},
+           |    'k', $kGain,
+           |    'sae', acc.sae + ${s12("abs(m - acc.x)")}))
+           |""".stripMargin))
+      .select(col("event_type"),
+        size(col("xs")).cast("bigint").as("n_days"),
+        r6c(col("st.x")).as("level"),
+        r6c(col("st.p")).as("p_var"),
+        r6c(col("st.k")).as("gain"),
+        r6c(col("st.sae") / (size(col("xs")) - 1).cast("double"))
+          .as("mean_abs_innov"))
+  }
+
+  def kalman1d(spark: SparkSession, sfDir: String): DataFrame =
+    kalman1d(Tables.events(spark, sfDir))
+
+  /** q288: KPSS level-stationarity statistic per series (Bartlett lag 0):
+    * η = Σ S_t² / (n²·σ̂²) over the demeaned daily means' partial sums —
+    * the stationarity TEST complementing q224's Mann-Kendall trend
+    * detection (KPSS's null is stationarity, so large η ⇒ a unit
+    * root/level drift; the two tests disagreeing is the classic "trend
+    * stationary" signal). Partial sums are a per-series window over the
+    * bounded daily table; demeaned terms are 1e-12-snapped before the
+    * cumulative sum so the walk is partition-order-free, and Σ S² uses
+    * exact decimal accumulation.
+    */
+  def kpssLevel(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      (round((sum(col("m").cast("decimal(28,16)")).cast("double")
+        / count(lit(1))) * lit(1e12)) / lit(1e12)).as("mu"))
+    val cx = daily.join(broadcast(stats), "event_type")
+      .withColumn("e", (round((col("m") - col("mu")) * lit(1e12)) / lit(1e12)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // partial sums accumulate as exact decimal, then drop to double BEFORE
+    // squaring (a decimal×decimal square would hit precision-38 rescaling,
+    // where the two engines' truncation rules differ)
+    cx.withColumn("s",
+        sum(col("e").cast("decimal(28,12)")).over(w).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum((col("e") * col("e")).cast("decimal(28,16)"))
+          .cast("double").as("ss"),
+        sum((col("s") * col("s")).cast("decimal(38,16)"))
+          .cast("double").as("cum2"))
+      .where(col("ss") > 0)
+      .select(col("event_type"), col("n_days"),
+        r6c(col("cum2")
+          / (col("n_days") * col("n_days")).cast("double")
+          / (col("ss") / col("n_days").cast("double"))).as("kpss_eta"))
+  }
+
+  def kpssLevel(spark: SparkSession, sfDir: String): DataFrame =
+    kpssLevel(Tables.events(spark, sfDir))
+
+  /** q289: 7-day rolling MEDIAN of daily means per series — the
+    * outlier-immune smoother beside q03's rolling mean (one wild day
+    * drags a mean for a week; the median shrugs it off, which is why SPC
+    * dashboards overlay both). The window holds at most 7 values, so the
+    * sort is a constant-size array_sort per row — never a quantile
+    * aggregate — and the even-count midpoint average matches SQL median
+    * interpolation.
+    */
+  def rollingMedian(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("win", collect_list(col("m")).over(w))
+      .select(col("event_type"), col("d").as("day"),
+        size(col("win")).as("n_in_window"),
+        r6c(expr(
+          """CASE WHEN size(win) % 2 = 1
+            |  THEN element_at(array_sort(win), CAST(size(win) div 2 + 1 AS INT))
+            |  ELSE (element_at(array_sort(win), CAST(size(win) div 2 AS INT))
+            |      + element_at(array_sort(win), CAST(size(win) div 2 + 1 AS INT))) / 2.0
+            |END""".stripMargin)).as("med7"))
+  }
+
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame =
+    rollingMedian(Tables.events(spark, sfDir))
+
   /** q286: behavioural nearest neighbour by hour-of-day profile — each
     * series reduced to its 24-bin activity-share vector (q51's heatmap
     * marginal, volume-normalized so shape is compared, not size), then
