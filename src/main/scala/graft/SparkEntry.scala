@@ -603,7 +603,23 @@ object SparkEntry {
     "q296_boosted_stumps" -> ((s, d) =>
       Regression.boostedStumps(s, d).orderBy(col("round"))),
     "q297_target_encoding" -> ((s, d) =>
-      Regression.targetEncoding(s, d).orderBy(col("cat"), col("fold")))
+      Regression.targetEncoding(s, d).orderBy(col("cat"), col("fold"))),
+    "q298_radius_profile" -> ((s, d) =>
+      Similarity.radiusProfile(s, d).orderBy(col("label"), col("shell"))),
+    "q299_absorbing_time" -> ((s, d) =>
+      Relational.absorbingTime(s, d).orderBy(col("state"))),
+    "q300_jaccard_sweep" -> ((s, d) =>
+      Dedup.jaccardThresholdSweep(s, d).orderBy(col("threshold"))),
+    "q301_peak_concurrency" -> ((s, d) =>
+      Ranges.peakConcurrency(s, d).orderBy(col("event_type"))),
+    "q302_cvm_drift" -> ((s, d) =>
+      Drift.cvmDrift(s, d).orderBy(col("event_type"))),
+    "q303_knn_hubness" -> ((s, d) =>
+      Similarity.knnHubness(s, d).orderBy(col("label"), col("occ"))),
+    "q304_burrows_delta" -> ((s, d) =>
+      TextAnalysis.burrowsDelta(s, d).orderBy(col("src_a"), col("src_b"))),
+    "q305_nation_gini" -> ((s, d) =>
+      Relational.nationGini(s, d).orderBy(col("n_name")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6601,7 +6617,290 @@ object SparkEntry {
         |    /(CAST(cn - n AS DOUBLE) + 10.0)*1e12)/1e12*1000000)
         |    /1000000.0 AS encoding
         |FROM cells JOIN pc ON cells.cat = pc.cat, g
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q298_radius_profile" ->
+      """WITH ix AS (SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) i, embedding
+        |  FROM embeddings),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v
+        |  FROM ix),
+        |ct AS (SELECT label, i,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)/count(*) cd
+        |  FROM xx GROUP BY 1, 2),
+        |cc AS (SELECT label,
+        |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
+        |  FROM ct GROUP BY 1),
+        |vv AS (SELECT vec_id, label,
+        |    CAST(sum(CAST(v*v AS DECIMAL(28,16))) AS DOUBLE) vv
+        |  FROM xx GROUP BY 1, 2),
+        |dt AS (SELECT xx.vec_id, xx.label,
+        |    CAST(sum(CAST(v*cd AS DECIMAL(28,16))) AS DOUBLE) dot
+        |  FROM xx JOIN ct ON xx.label = ct.label AND xx.i = ct.i
+        |  GROUP BY 1, 2),
+        |d AS (SELECT vv.vec_id, vv.label,
+        |    sqrt(greatest(vv - 2.0*dot + cc.cc, 0.0)) d
+        |  FROM vv JOIN dt ON vv.vec_id = dt.vec_id AND vv.label = dt.label
+        |    JOIN cc ON vv.label = cc.label),
+        |dm AS (SELECT label, max(d) dmax, CAST(count(*) AS BIGINT) n_vecs
+        |  FROM d GROUP BY 1),
+        |sh AS (SELECT d.label,
+        |    CASE WHEN dmax = 0 THEN 0
+        |      ELSE CAST(least(floor(d/dmax*5), 4) AS INT) END shell,
+        |    n_vecs
+        |  FROM d JOIN dm ON d.label = dm.label)
+        |SELECT label, shell, CAST(count(*) AS BIGINT) n_in_shell,
+        |  round(CAST(count(*) AS DOUBLE)/CAST(max(n_vecs) AS DOUBLE)
+        |    *10000)/10000.0 AS share
+        |FROM sh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q299_absorbing_time" ->
+      """WITH stp AS MATERIALIZED (SELECT event_type src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) dst
+        |  FROM events),
+        |tr AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) n
+        |  FROM stp WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ot AS (SELECT src, CAST(sum(n) AS BIGINT) tot FROM tr GROUP BY 1),
+        |p AS MATERIALIZED (SELECT tr.src, tr.dst,
+        |    round(CAST(n AS DOUBLE)/CAST(tot AS DOUBLE)*1e12)/1e12 p
+        |  FROM tr JOIN ot ON tr.src = ot.src),
+        |ss AS MATERIALIZED (SELECT DISTINCT src state FROM p),
+        |t0 AS (SELECT state, 0.0 t FROM ss),
+        |t1 AS MATERIALIZED (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t0 ON p.dst = t0.state GROUP BY 1) i
+        |    ON ss.state = i.src),
+        |t2 AS MATERIALIZED (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t1 ON p.dst = t1.state GROUP BY 1) i
+        |    ON ss.state = i.src),
+        |t3 AS MATERIALIZED (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t2 ON p.dst = t2.state GROUP BY 1) i
+        |    ON ss.state = i.src),
+        |t4 AS MATERIALIZED (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t3 ON p.dst = t3.state GROUP BY 1) i
+        |    ON ss.state = i.src),
+        |t5 AS MATERIALIZED (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t4 ON p.dst = t4.state GROUP BY 1) i
+        |    ON ss.state = i.src),
+        |t6 AS MATERIALIZED (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t5 ON p.dst = t5.state GROUP BY 1) i
+        |    ON ss.state = i.src),
+        |t7 AS MATERIALIZED (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t6 ON p.dst = t6.state GROUP BY 1) i
+        |    ON ss.state = i.src),
+        |t8 AS (SELECT ss.state,
+        |    CASE WHEN ss.state = 'purchase' THEN 0.0
+        |      ELSE round((1.0 + coalesce(i.et, 0.0))*1e12)/1e12 END t
+        |  FROM ss LEFT JOIN (SELECT src,
+        |      round(CAST(sum(CAST(p*t AS DECIMAL(38,18))) AS DOUBLE)
+        |        *1e12)/1e12 et
+        |    FROM p JOIN t7 ON p.dst = t7.state GROUP BY 1) i
+        |    ON ss.state = i.src)
+        |SELECT state, round(t*1000000)/1000000.0 AS exp_steps
+        |FROM t8 ORDER BY 1""".stripMargin,
+    "q300_jaccard_sweep" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |  FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh
+        |  FROM ix),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pj AS (SELECT round(CAST(n_shared AS DOUBLE)
+        |    /(sa.n_sh + sb.n_sh - n_shared), 6) jaccard
+        |  FROM inter JOIN sz sa ON doc_a = sa.doc_id
+        |    JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_shared AS DOUBLE)
+        |    /(sa.n_sh + sb.n_sh - n_shared) >= 0.3),
+        |grid AS (SELECT CAST(g AS DOUBLE)/10.0 threshold
+        |  FROM generate_series(3, 9) t(g)),
+        |cn AS (SELECT threshold, CAST(count(*) AS BIGINT) n_pairs,
+        |    sum(CAST(jaccard AS DECIMAL(28,6))) sj
+        |  FROM pj JOIN grid ON jaccard >= threshold GROUP BY 1)
+        |SELECT grid.threshold, coalesce(n_pairs, 0) AS n_pairs,
+        |  round(CASE WHEN n_pairs IS NULL THEN 0.0
+        |    ELSE CAST(sj AS DOUBLE)/CAST(n_pairs AS DOUBLE) END
+        |    *1000000)/1000000.0 AS mean_jaccard
+        |FROM grid LEFT JOIN cn ON grid.threshold = cn.threshold
+        |ORDER BY 1""".stripMargin,
+    "q301_peak_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) t,
+        |    CAST(1 AS BIGINT) delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) + 1800,
+        |    CAST(-1 AS BIGINT) FROM events),
+        |run AS (SELECT event_type, t,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) active
+        |  FROM pts),
+        |pk AS (SELECT event_type, t, active, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY active DESC, t) rn
+        |  FROM run),
+        |nv AS (SELECT event_type, count(*) n_intervals FROM events
+        |  GROUP BY 1)
+        |SELECT pk.event_type, n_intervals,
+        |  CAST(active AS BIGINT) peak_concurrency, t AS peak_at
+        |FROM pk JOIN nv ON pk.event_type = nv.event_type
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "q302_cvm_drift" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |sp AS (SELECT CAST(floor(min(e) + (max(e) - min(e)) * 0.75)
+        |    AS BIGINT) split_e FROM ev),
+        |ph AS (SELECT event_type, value,
+        |    CASE WHEN e < split_e THEN 1 ELSE 0 END tr
+        |  FROM ev CROSS JOIN sp),
+        |c AS (SELECT event_type, value, CAST(sum(tr) AS BIGINT) ca,
+        |    CAST(sum(1 - tr) AS BIGINT) cb FROM ph GROUP BY 1, 2),
+        |cum AS (SELECT event_type, ca, cb,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumb,
+        |    sum(ca) OVER (PARTITION BY event_type) na,
+        |    sum(cb) OVER (PARTITION BY event_type) nb
+        |  FROM c),
+        |g AS (SELECT event_type, na, nb,
+        |    CAST(round((CAST(cuma AS DOUBLE)/na - CAST(cumb AS DOUBLE)/nb)
+        |      *(CAST(cuma AS DOUBLE)/na - CAST(cumb AS DOUBLE)/nb)
+        |      *CAST(ca + cb AS DOUBLE)*1e12)/1e12 AS DECIMAL(38,12)) gap2
+        |  FROM cum),
+        |ag AS (SELECT event_type, CAST(max(na) AS BIGINT) n_train,
+        |    CAST(max(nb) AS BIGINT) n_eval,
+        |    CAST(sum(gap2) AS DOUBLE) sg
+        |  FROM g GROUP BY 1),
+        |fin AS (SELECT event_type, n_train, n_eval,
+        |    round(CAST(n_train AS DOUBLE)*CAST(n_eval AS DOUBLE)
+        |      /(CAST(n_train + n_eval AS DOUBLE)
+        |        *CAST(n_train + n_eval AS DOUBLE))
+        |      *sg*1000000)/1000000.0 cvm_r
+        |  FROM ag)
+        |SELECT event_type, n_train, n_eval, cvm_r AS cvm,
+        |  cvm_r > 0.461 AS drifted
+        |FROM fin ORDER BY 1""".stripMargin,
+    "q303_knn_hubness" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v
+        |  FROM ix),
+        |n AS (SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |  FROM xx GROUP BY 1),
+        |d AS (SELECT a.label, a.vec_id src, b.vec_id dst,
+        |    CAST(sum(CAST(a.v*b.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |  FROM xx a JOIN xx b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT label, src, dst, dot/(ns.nrm*nd.nrm) cos
+        |  FROM d JOIN n ns ON src = ns.vec_id JOIN n nd ON dst = nd.vec_id),
+        |r AS (SELECT label, src, dst, row_number() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst) rnk FROM sc),
+        |knn AS (SELECT label, dst FROM r WHERE rnk <= 3),
+        |indeg AS (SELECT label, dst, CAST(count(*) AS BIGINT) occ
+        |  FROM knn GROUP BY 1, 2),
+        |hist AS (SELECT label, occ, CAST(count(*) AS BIGINT) n_vectors
+        |  FROM indeg GROUP BY 1, 2),
+        |nv AS (SELECT label, CAST(count(*) AS BIGINT) n_vecs FROM e
+        |  GROUP BY 1),
+        |hit AS (SELECT label, CAST(count(*) AS BIGINT) n_hit FROM indeg
+        |  GROUP BY 1)
+        |SELECT label, occ, n_vectors FROM hist
+        |UNION ALL
+        |SELECT nv.label, CAST(0 AS BIGINT), n_vecs - n_hit
+        |FROM nv JOIN hit ON nv.label = hit.label
+        |WHERE n_vecs > n_hit
+        |ORDER BY 1, 2""".stripMargin,
+    "q304_burrows_delta" ->
+      """WITH t AS (SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) w
+        |  FROM documents),
+        |top AS MATERIALIZED (SELECT w FROM
+        |  (SELECT w, count(*) n FROM t GROUP BY 1) c
+        |  ORDER BY n DESC, w LIMIT 30),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) nt FROM t
+        |  GROUP BY 1),
+        |f AS (SELECT t.source, t.w,
+        |    round(CAST(count(*) AS DOUBLE)/CAST(max(nt) AS DOUBLE)
+        |      *1e12)/1e12 f
+        |  FROM t JOIN top ON t.w = top.w
+        |    JOIN ps ON t.source = ps.source
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT source, w FROM ps, top),
+        |cells AS (SELECT grid.source, grid.w, coalesce(f.f, 0.0) f
+        |  FROM grid LEFT JOIN f ON grid.source = f.source
+        |    AND grid.w = f.w),
+        |mom AS (SELECT w, count(*) ns,
+        |    CAST(sum(CAST(f AS DECIMAL(28,16))) AS DOUBLE) sf,
+        |    CAST(sum(CAST(f*f AS DECIMAL(28,16))) AS DOUBLE) sff
+        |  FROM cells GROUP BY 1),
+        |ms AS (SELECT w, round(sf/ns*1e12)/1e12 mu,
+        |    sqrt(greatest(sff/ns - (round(sf/ns*1e12)/1e12)
+        |      *(round(sf/ns*1e12)/1e12), 0.0)) sg
+        |  FROM mom),
+        |z AS (SELECT source, cells.w, (f - mu)/sg z
+        |  FROM cells JOIN ms ON cells.w = ms.w WHERE sg > 0)
+        |SELECT a.source src_a, b.source src_b,
+        |  CAST(count(*) AS BIGINT) n_words,
+        |  round(CAST(sum(CAST(round(abs(a.z - b.z)*1e12)/1e12
+        |      AS DECIMAL(28,12))) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS delta
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q305_nation_gini" ->
+      """WITH pc AS (SELECT n_name, o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT n_name, rev, CAST(row_number() OVER (
+        |    PARTITION BY n_name ORDER BY rev, o_custkey) AS BIGINT) i
+        |  FROM pc)
+        |SELECT n_name, CAST(count(*) AS BIGINT) n_customers,
+        |  round(CAST(sum(rev) AS DOUBLE)*10000)/10000 AS total_rev,
+        |  round((2.0*CAST(sum(rev*i) AS DOUBLE)
+        |    /(count(*)*CAST(sum(rev) AS DOUBLE))
+        |    - CAST(count(*) + 1 AS DOUBLE)/count(*))*1000000)/1000000
+        |    AS gini
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

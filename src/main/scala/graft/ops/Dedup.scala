@@ -302,6 +302,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("jaccard"), 6).as("jaccard"))
 
+  /** q300: dedup threshold sensitivity sweep — pair counts and mean
+    * similarity at every candidate Jaccard cutoff 0.3..0.9, from ONE
+    * prefix-filtered pair build at the loosest threshold (the sweep is a
+    * broadcast fan-out over the bounded pair table, never a re-join). The
+    * tuning table behind "where do we set the dedup knife": the knee of
+    * n_pairs(t) separates the near-dup mass from the template tail, and a
+    * mean_jaccard far above t says the cutoff is lazy. Zero-pair
+    * thresholds still report (left join from the threshold grid).
+    */
+  def jaccardThresholdSweep(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPrefix(docs, 0.3)
+      .select(col("jaccard")).localCheckpoint()
+    val grid = docs.sparkSession.range(3, 10)
+      .select((col("id").cast("double") / 10.0).as("threshold"))
+    val counts = pairs.crossJoin(broadcast(grid))
+      .where(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(28,6)")).as("sj"))
+    grid.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (round(when(col("n_pairs").isNull, lit(0.0))
+          .otherwise(col("sj").cast("double") / col("n_pairs").cast("double"))
+          * lit(1000000)) / lit(1000000.0)).as("mean_jaccard"))
+  }
+
+  def jaccardThresholdSweep(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardThresholdSweep(Tables.documents(spark, sfDir))
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccard(Tables.documents(spark, sfDir))
 

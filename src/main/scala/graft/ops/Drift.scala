@@ -181,6 +181,56 @@ object Drift {
   def ksDrift(spark: SparkSession, sfDir: String): DataFrame =
     ksDrift(Tables.events(spark, sfDir))
 
+  /** q302: two-sample Cramér–von Mises drift statistic per series, same
+    * frozen 75% time split as q128 — the INTEGRATED-gap companion of KS's
+    * max-gap: KS sees the single worst CDF separation, CvM accumulates
+    * (F_train − F_eval)² over the whole pooled distribution, so a broad
+    * small shift that never spikes (the classic slow-degradation mode KS
+    * misses) still scores. Same distinct-value-counts execution shape as
+    * ksFromCounts: cumulative windows per series, each squared gap
+    * weighted by pooled multiplicity, 1e-12-snapped, exact decimal sum;
+    * flag vs the 0.461 asymptotic 5% critical value on the rounded
+    * statistic.
+    */
+  def cvmDrift(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    val split = ev.agg(
+      floor(min(col("e")) + (max(col("e")) - min(col("e"))) * 0.75)
+        .cast("long").as("split_e"))
+    val cnts = ev.crossJoin(broadcast(split))
+      .withColumn("tr", (col("e") < col("split_e")).cast("long"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val whole = Window.partitionBy(col("event_type"))
+    cnts
+      .withColumn("cuma", sum(col("ca")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumb", sum(col("cb")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("na", sum(col("ca")).over(whole))
+      .withColumn("nb", sum(col("cb")).over(whole))
+      .withColumn("gap2", (round(
+        (col("cuma").cast("double") / col("na")
+          - col("cumb").cast("double") / col("nb"))
+          * (col("cuma").cast("double") / col("na")
+            - col("cumb").cast("double") / col("nb"))
+          * (col("ca") + col("cb")).cast("double") * lit(1e12)) / lit(1e12))
+        .cast("decimal(38,12)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_train"), max(col("nb")).as("n_eval"),
+        sum(col("gap2")).cast("double").as("sg"))
+      .withColumn("cvm_r", round(
+        col("n_train").cast("double") * col("n_eval").cast("double")
+          / ((col("n_train") + col("n_eval")).cast("double")
+            * (col("n_train") + col("n_eval")).cast("double"))
+          * col("sg") * lit(1000000)) / lit(1000000.0))
+      .select(col("event_type"), col("n_train"), col("n_eval"),
+        col("cvm_r").as("cvm"),
+        (col("cvm_r") > 0.461).as("drifted"))
+  }
+
+  def cvmDrift(spark: SparkSession, sfDir: String): DataFrame =
+    cvmDrift(Tables.events(spark, sfDir))
+
   /** q140: per-sensor quantile drift train→eval — completes the drift
     * family along its fourth axis: q87/PSI sees binned mass, q128/KS the
     * whole CDF, the Welch/Mann–Whitney pair the central tendency; this

@@ -947,6 +947,39 @@ object Ranges {
   def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame =
     intervalCoverage(Tables.events(spark, sfDir))
 
+  /** q301: peak concurrency per series — the maximum number of
+    * simultaneously-active [ts, ts+len) windows, with the earliest time it
+    * is reached (capacity sizing: q290 says how much wall-clock is
+    * covered, this says how DEEP the busiest pile-up is). The classic
+    * +1/−1 sweep: starts and ends unioned into one delta stream, running
+    * sum over the series-keyed sort with ends ordered BEFORE coincident
+    * starts (half-open intervals), argmax with earliest-time tie-break.
+    * All integers; one window per series, same accepted class as q79.
+    */
+  def peakConcurrency(events: DataFrame, lenSec: Int = 1800): DataFrame = {
+    val starts = events.select(col("event_type"),
+      unix_timestamp(col("ts")).as("t"), lit(1L).as("delta"))
+    val ends = events.select(col("event_type"),
+      (unix_timestamp(col("ts")) + lenSec).as("t"), lit(-1L).as("delta"))
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta")) // -1 sorts first: close before open
+    val run = starts.unionByName(ends)
+      .withColumn("active",
+        sum(col("delta")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(col("active").desc, col("t"))
+    run
+      .withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .join(events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals")), "event_type")
+      .select(col("event_type"), col("n_intervals"),
+        col("active").as("peak_concurrency"), col("t").as("peak_at"))
+  }
+
+  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame =
+    peakConcurrency(Tables.events(spark, sfDir))
+
   /** q279: retention half-life — pooled cohort retention by week offset,
     * fitted as exponential decay (ln rate ~ offset OLS ⇒ half-life =
     * −ln 2 / slope). The single number product teams quote from q63's

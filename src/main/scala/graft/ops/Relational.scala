@@ -176,6 +176,84 @@ object Relational {
   def markovStationary(spark: SparkSession, sfDir: String): DataFrame =
     markovStationary(Tables.events(spark, sfDir))
 
+  /** q299: finite-horizon expected steps to reach 'purchase' from each
+    * event-type state — q292's chain machinery pointed at the funnel
+    * question ("how far is each state from conversion"). Eight rounds of
+    * value iteration t(s) = [s ≠ purchase]·(1 + Σ P(s,s')·t(s')) from
+    * t₀ = 0, each component 1e-12-snapped; states outside the 8-step
+    * horizon (and transitions into dst-only sink states, whose t is 0 by
+    * truncation) read as optimistic lower bounds — documented semantics,
+    * identical in the unrolled oracle. State space is the event-type
+    * vocabulary, so every round is a broadcast-scale join.
+    */
+  def absorbingTime(events: DataFrame, target: String = "purchase",
+                    rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = steps.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    val p = steps.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        (round((col("n").cast("double") / col("tot").cast("double"))
+          * lit(1e12)) / lit(1e12)).as("p"))
+      .localCheckpoint()
+    val states = p.select(col("src").as("state")).distinct()
+    var t = states.withColumn("t", lit(0.0))
+    for (_ <- 1 to rounds) {
+      val inflow = p.join(t, col("dst") === col("state"))
+        .groupBy(col("src"))
+        .agg((round(sum((col("p") * col("t")).cast("decimal(38,18)"))
+          .cast("double") * lit(1e12)) / lit(1e12)).as("et"))
+      t = states.join(inflow, col("state") === col("src"), "left")
+        .select(col("state"),
+          when(col("state") === target, lit(0.0))
+            .otherwise(round((lit(1.0) + coalesce(col("et"), lit(0.0)))
+              * lit(1e12)) / lit(1e12)).as("t"))
+    }
+    t.select(col("state"),
+      (round(col("t") * lit(1000000)) / lit(1000000.0)).as("exp_steps"))
+  }
+
+  def absorbingTime(spark: SparkSession, sfDir: String): DataFrame =
+    absorbingTime(Tables.events(spark, sfDir))
+
+  /** q305: Gini coefficient of customer revenue PER NATION — q121's
+    * economy-wide number broken out along the dimension that makes it
+    * actionable (which market is whale-driven). Unlike q121 the rank
+    * window partitions by nation, so it is naturally distributed — every
+    * nation ranks in parallel — and the q121 formula runs per group on
+    * exact decimal sums.
+    */
+  def nationGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev"), col("o_custkey"))
+    perCust
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("s0"),
+        sum(col("rev") * col("i")).as("s1"))
+      .select(col("n_name"), col("n_customers"),
+        (round(col("s0").cast("double") * 10000) / 10000).as("total_rev"),
+        (round((lit(2.0) * col("s1").cast("double")
+          / (col("n_customers") * col("s0").cast("double"))
+          - (col("n_customers") + lit(1)).cast("double") / col("n_customers"))
+          * 1000000) / 1000000).as("gini"))
+  }
+
   /** q35: multi-level rollup (region → nation → grand total) in one pass —
     * GROUPING SETS expand map-side, so the fact table is still scanned and
     * shuffled once.

@@ -816,6 +816,95 @@ object Similarity {
   def knnGraphCensus(spark: SparkSession, sfDir: String): DataFrame =
     knnGraphCensus(Tables.embeddings(spark, sfDir))
 
+  /** q298: cluster radius profile — each label's members binned by their
+    * distance to the OWN centroid in five equal-width shells of the
+    * label's max radius. The distribution view behind q56's single spread
+    * number and q266's silhouette: a healthy cluster is dense at shell 0
+    * with a thin rim; mass piling up in the outer shells is the
+    * "centroid is a compromise between two real clusters" signal. One
+    * dims⋈centroid join (centroid side broadcast), d² = ‖v‖² − 2v·c +
+    * ‖c‖² from exact decimal dots, max radius per label joined back —
+    * every per-row quantity deterministic, bins integer.
+    */
+  def radiusProfile(emb: DataFrame, shells: Int = 5): DataFrame = {
+    val dims = asDoubles(emb)
+      .select(col("vec_id"), col("label"), posexplode(col("v"))
+        .as(Seq("i", "xd")))
+    val cent = dims.groupBy(col("label"), col("i"))
+      .agg((sum(col("xd").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("cd"))
+    val cc = cent.groupBy(col("label"))
+      .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
+        .cast("double").as("cc"))
+    val vv = dims.groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
+        .cast("double").as("vv"))
+    val dot = dims.join(cent, Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
+        .cast("double").as("dot"))
+    val d = vv.join(dot, Seq("vec_id", "label"))
+      .join(broadcast(cc), "label")
+      .withColumn("d", sqrt(greatest(
+        col("vv") - lit(2.0) * col("dot") + col("cc"), lit(0.0))))
+    val dmax = d.groupBy(col("label")).agg(max(col("d")).as("dmax"))
+    val n = d.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    d.join(broadcast(dmax), "label")
+      .withColumn("shell",
+        when(col("dmax") === 0, lit(0)).otherwise(
+          least(floor(col("d") / col("dmax") * shells),
+            lit(shells - 1))).cast("int"))
+      .groupBy(col("label"), col("shell"))
+      .agg(count(lit(1)).as("n_in_shell"))
+      .join(broadcast(n), "label")
+      .select(col("label"), col("shell"), col("n_in_shell"),
+        (round(col("n_in_shell").cast("double")
+          / col("n_vecs").cast("double") * lit(10000)) / lit(10000.0))
+          .as("share"))
+  }
+
+  def radiusProfile(spark: SparkSession, sfDir: String): DataFrame =
+    radiusProfile(Tables.embeddings(spark, sfDir))
+
+  /** q303: k-occurrence hubness census of the label-blocked kNN graph —
+    * how often each vector appears in OTHERS' top-k lists. High-dimensional
+    * spaces concentrate in-links on a few "hub" vectors (the classic ANN
+    * pathology: hubs dominate every result list and recall audits go
+    * blind), so the in-degree histogram — including the 0-occurrence
+    * antihubs — is the first diagnostic to run before shipping an index.
+    * Reuses q257's bounded per-label kNN edges; the histogram is two tiny
+    * aggregates; zero-row counts come from n_vecs − distinct targets.
+    */
+  def knnHubness(emb: DataFrame, k: Int = 3): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+    val a = all.select(col("label"), col("vec_id").as("src"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = all.select(col("label"), col("vec_id").as("dst"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val knn = a.join(b, Seq("label"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("cos", dotExpr("av", "bv") / (col("an") * col("bn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("label"), col("dst"))
+    val indeg = knn.groupBy(col("label"), col("dst"))
+      .agg(count(lit(1)).as("occ"))
+    val hist = indeg.groupBy(col("label"), col("occ"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val nv = all.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val hit = indeg.groupBy(col("label")).agg(count(lit(1)).as("n_hit"))
+    val zeros = nv.join(hit, "label")
+      .where(col("n_vecs") > col("n_hit"))
+      .select(col("label"), lit(0L).as("occ"),
+        (col("n_vecs") - col("n_hit")).as("n_vectors"))
+    hist.unionByName(zeros)
+  }
+
+  def knnHubness(spark: SparkSession, sfDir: String): DataFrame =
+    knnHubness(Tables.embeddings(spark, sfDir))
+
   /** q259: fixed-round Lloyd k-means trained IN the engine — unlike the
     * IVF codebook (q26, means of GIVEN labels), this learns the partition
     * itself. Each round is two shuffles, both map-side combinable: the

@@ -1234,4 +1234,61 @@ object TextAnalysis {
 
   def weightedJaccard(spark: SparkSession, sfDir: String): DataFrame =
     weightedJaccard(Tables.documents(spark, sfDir))
+
+  /** q304: Burrows' Delta stylometric distance between sources — the
+    * digital-humanities classic: z-score each source's relative frequency
+    * of the top-30 corpus function words across the source population,
+    * Delta(a,b) = mean |z_a − z_b|. Two sources "writing alike" (same
+    * template generator, same boilerplate engine) sit near 0 even when
+    * their topics differ — a provenance lens none of the
+    * similarity/overlap queries (q163/q275/q295) give. Top words by a
+    * distributed count top-k (tie: alphabetical); μ/σ across sources per
+    * word via exact decimal sums of 1e-12-snapped frequencies; σ=0 words
+    * drop; |z-gap| terms snapped before the pair mean.
+    */
+  def burrowsDelta(docs: DataFrame, topWords: Int = 30): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(Dedup.normText(col("text")), " ")).as("w"))
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(topWords)
+      .select(col("w"))
+    val perSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+    val f = tok.join(broadcast(top), "w")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .join(perSrc, "source")
+      .select(col("source"), col("w"),
+        (round(col("c").cast("double") / col("nt").cast("double")
+          * lit(1e12)) / lit(1e12)).as("f"))
+    // every (source, top word) cell, zero-filled: a source never using a
+    // word still counts in that word's population moments
+    val grid = perSrc.select(col("source")).crossJoin(broadcast(top))
+    val cells = grid.join(f, Seq("source", "w"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0.0)))
+    val mom = cells.groupBy(col("w"))
+      .agg(count(lit(1)).as("ns"),
+        sum(col("f").cast("decimal(28,16)")).cast("double").as("sf"),
+        sum((col("f") * col("f")).cast("decimal(28,16)"))
+          .cast("double").as("sff"))
+      .withColumn("mu", round(col("sf") / col("ns") * lit(1e12)) / lit(1e12))
+      .withColumn("sg", sqrt(greatest(
+        col("sff") / col("ns") - col("mu") * col("mu"), lit(0.0))))
+      .where(col("sg") > 0)
+      .select(col("w"), col("mu"), col("sg"))
+    val z = cells.join(broadcast(mom), "w")
+      .select(col("source"), col("w"),
+        ((col("f") - col("mu")) / col("sg")).as("z"))
+    z.toDF("src_a", "w", "za")
+      .join(z.toDF("src_b", "w", "zb"), "w")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum((round(abs(col("za") - col("zb")) * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("sd"))
+      .select(col("src_a"), col("src_b"), col("n_words"),
+        (round(col("sd") / col("n_words") * lit(1000000))
+          / lit(1000000.0)).as("delta"))
+  }
+
+  def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame =
+    burrowsDelta(Tables.documents(spark, sfDir))
 }
