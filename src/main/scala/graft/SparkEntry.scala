@@ -619,7 +619,15 @@ object SparkEntry {
     "q304_burrows_delta" -> ((s, d) =>
       TextAnalysis.burrowsDelta(s, d).orderBy(col("src_a"), col("src_b"))),
     "q305_nation_gini" -> ((s, d) =>
-      Relational.nationGini(s, d).orderBy(col("n_name")))
+      Relational.nationGini(s, d).orderBy(col("n_name"))),
+    "q306_theil_decomposition" -> ((s, d) =>
+      Relational.theilDecomposition(s, d)),
+    "q307_diff_in_diff" -> ((s, d) => Relational.diffInDiff(s, d)),
+    "q308_cold_start" -> ((s, d) =>
+      Relational.coldStartCensus(s, d)
+        .orderBy(col("cohort_year"), col("cohort_month"))),
+    "q309_spend_migration" -> ((s, d) =>
+      Relational.spendMigration(s, d).orderBy(col("q_from"), col("q_to")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6900,7 +6908,120 @@ object SparkEntry {
         |    /(count(*)*CAST(sum(rev) AS DOUBLE))
         |    - CAST(count(*) + 1 AS DOUBLE)/count(*))*1000000)/1000000
         |    AS gini
-        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q306_theil_decomposition" ->
+      """WITH pc AS (SELECT n_name, o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    round(CAST(sum(x) AS DOUBLE)/count(*)*1e12)/1e12 mu FROM pc),
+        |pn AS (SELECT n_name, CAST(count(*) AS BIGINT) ng,
+        |    round(CAST(sum(x) AS DOUBLE)/count(*)*1e12)/1e12 mug
+        |  FROM pc GROUP BY 1),
+        |tm AS (SELECT pc.n_name, ng, mug, n, mu,
+        |    round(CAST(x AS DOUBLE)/mu*ln(CAST(x AS DOUBLE)/mu)*1e12)
+        |      /1e12 t_tot,
+        |    round(CAST(x AS DOUBLE)/mug*ln(CAST(x AS DOUBLE)/mug)*1e12)
+        |      /1e12 t_in
+        |  FROM pc JOIN pn ON pc.n_name = pn.n_name, gl),
+        |nt AS (SELECT n_name, max(ng) ng, max(mug) mug, max(n) n,
+        |    max(mu) mu,
+        |    round(CAST(sum(CAST(t_in AS DECIMAL(38,12))) AS DOUBLE)
+        |      /max(ng)*1e12)/1e12 tg
+        |  FROM tm GROUP BY 1),
+        |nb AS (SELECT n_name,
+        |    round(CAST(ng AS DOUBLE)/n*(mug/mu)*ln(mug/mu)*1e12)/1e12 bt,
+        |    round(CAST(ng AS DOUBLE)/n*(mug/mu)*tg*1e12)/1e12 wt
+        |  FROM nt),
+        |tt AS (SELECT max(n) n_customers,
+        |    round(CAST(sum(CAST(t_tot AS DECIMAL(38,12))) AS DOUBLE)
+        |      /max(n)*1e12)/1e12 t_total
+        |  FROM tm),
+        |pp AS (SELECT
+        |    round(CAST(sum(CAST(bt AS DECIMAL(38,12))) AS DOUBLE)*1e12)
+        |      /1e12 t_between,
+        |    round(CAST(sum(CAST(wt AS DECIMAL(38,12))) AS DOUBLE)*1e12)
+        |      /1e12 t_within
+        |  FROM nb)
+        |SELECT n_customers,
+        |  round(t_total*1000000)/1000000.0 AS theil_total,
+        |  round(t_between*1000000)/1000000.0 AS theil_between,
+        |  round(t_within*1000000)/1000000.0 AS theil_within,
+        |  round((t_total - t_between - t_within)*1000000)/1000000.0
+        |    + 0.0 AS identity_gap
+        |FROM tt, pp""".stripMargin,
+    "q307_diff_in_diff" ->
+      """WITH li AS (SELECT (p_type LIKE 'PROMO%') AS treat,
+        |    (year(o_orderdate) = 1996) AS post,
+        |    CAST(l_extendedprice*(1 - l_discount) AS DECIMAL(18,6)) rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN part ON l_partkey = p_partkey
+        |  WHERE year(o_orderdate) IN (1995, 1996)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) n_lines,
+        |    round(CAST(sum(CASE WHEN treat AND NOT post THEN rev END)
+        |      AS DOUBLE)/sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0
+        |      END)*1e12)/1e12 m_tp,
+        |    round(CAST(sum(CASE WHEN treat AND post THEN rev END)
+        |      AS DOUBLE)/sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+        |      *1e12)/1e12 m_ta,
+        |    round(CAST(sum(CASE WHEN NOT treat AND NOT post THEN rev END)
+        |      AS DOUBLE)/sum(CASE WHEN NOT treat AND NOT post THEN 1
+        |      ELSE 0 END)*1e12)/1e12 m_cp,
+        |    round(CAST(sum(CASE WHEN NOT treat AND post THEN rev END)
+        |      AS DOUBLE)/sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0
+        |      END)*1e12)/1e12 m_ca
+        |  FROM li)
+        |SELECT n_lines,
+        |  round(m_tp*100)/100.0 AS m_treat_pre,
+        |  round(m_ta*100)/100.0 AS m_treat_post,
+        |  round(m_cp*100)/100.0 AS m_ctrl_pre,
+        |  round(m_ca*100)/100.0 AS m_ctrl_post,
+        |  round((m_ta - m_tp - (m_ca - m_cp))*100)/100.0 AS did
+        |FROM c""".stripMargin,
+    "q308_cold_start" ->
+      """WITH pm AS (SELECT l_partkey,
+        |    CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT)
+        |      m,
+        |    sum(CAST(l_extendedprice*(1 - l_discount) AS DECIMAL(18,6)))
+        |      rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |fs AS (SELECT l_partkey, min(m) m0 FROM pm GROUP BY 1),
+        |o AS (SELECT pm.l_partkey, m0, (m - m0) AS ofs, rev
+        |  FROM pm JOIN fs ON pm.l_partkey = fs.l_partkey
+        |  WHERE m - m0 <= 2)
+        |SELECT CAST(m0 // 12 AS INT) cohort_year,
+        |  CAST(m0 % 12 + 1 AS INT) cohort_month,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) n_parts,
+        |  round(CAST(sum(CASE WHEN ofs = 0 THEN rev END) AS DOUBLE)*100)
+        |    /100.0 AS rev_m0,
+        |  round(CAST(coalesce(sum(CASE WHEN ofs = 1 THEN rev END), 0)
+        |    AS DOUBLE)*100)/100.0 AS rev_m1,
+        |  round(CAST(coalesce(sum(CASE WHEN ofs = 2 THEN rev END), 0)
+        |    AS DOUBLE)*100)/100.0 AS rev_m2
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q309_spend_migration" ->
+      """WITH y1 AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) rev
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |q1 AS (SELECT o_custkey, ntile(5) OVER (
+        |    ORDER BY rev DESC, o_custkey) q_from FROM y1),
+        |y2 AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) rev
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        |q2 AS (SELECT o_custkey, ntile(5) OVER (
+        |    ORDER BY rev DESC, o_custkey) q_to FROM y2),
+        |m AS (SELECT q_from, q_to, CAST(count(*) AS BIGINT) n_customers
+        |  FROM q1 JOIN q2 USING (o_custkey) GROUP BY 1, 2),
+        |rt AS (SELECT q_from, CAST(sum(n_customers) AS BIGINT) rt
+        |  FROM m GROUP BY 1)
+        |SELECT m.q_from, q_to, n_customers,
+        |  round(CAST(n_customers AS DOUBLE)/CAST(rt AS DOUBLE)*10000)
+        |    /10000.0 AS row_share
+        |FROM m JOIN rt ON m.q_from = rt.q_from
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -221,6 +221,168 @@ object Relational {
   def absorbingTime(spark: SparkSession, sfDir: String): DataFrame =
     absorbingTime(Tables.events(spark, sfDir))
 
+  /** q306: Theil-T inequality decomposition of customer revenue BY nation
+    * — the inequality index that DECOMPOSES exactly (Gini does not): T =
+    * T_between + T_within, so "how much of revenue inequality is
+    * between-market vs within-market" is one query. Additive shape: one
+    * per-customer aggregate, global and per-nation means as broadcast
+    * scalars, every (x/μ)·ln(x/μ) term 1e-12-snapped before its exact
+    * decimal sum; the identity residual is emitted as an audit column
+    * (nonzero only at snap resolution).
+    */
+  def theilDecomposition(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val perCust = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    val glob = perCust.agg(count(lit(1)).as("n"),
+      s12(sum(col("x")).cast("double") / count(lit(1))).as("mu"))
+    val perNat = perCust.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("ng"),
+        s12(sum(col("x")).cast("double") / count(lit(1))).as("mug"))
+    val terms = perCust.join(broadcast(perNat), "n_name")
+      .crossJoin(broadcast(glob))
+      .withColumn("xt", col("x").cast("double"))
+      .withColumn("t_tot", s12(col("xt") / col("mu")
+        * log(col("xt") / col("mu"))))
+      .withColumn("t_in", s12(col("xt") / col("mug")
+        * log(col("xt") / col("mug"))))
+    val natT = terms.groupBy(col("n_name"))
+      .agg(max(col("ng")).as("ng"), max(col("mug")).as("mug"),
+        max(col("n")).as("n"), max(col("mu")).as("mu"),
+        s12(sum(col("t_in").cast("decimal(38,12)")).cast("double")
+          / max(col("ng"))).as("tg"))
+      .withColumn("bt", s12(col("ng").cast("double") / col("n")
+        * (col("mug") / col("mu")) * log(col("mug") / col("mu"))))
+      .withColumn("wt", s12(col("ng").cast("double") / col("n")
+        * (col("mug") / col("mu")) * col("tg")))
+    val total = terms.agg(max(col("n")).as("n_customers"),
+      s12(sum(col("t_tot").cast("decimal(38,12)")).cast("double")
+        / max(col("n"))).as("t_total"))
+    val parts = natT.agg(
+      s12(sum(col("bt").cast("decimal(38,12)")).cast("double")).as("t_between"),
+      s12(sum(col("wt").cast("decimal(38,12)")).cast("double")).as("t_within"))
+    total.crossJoin(parts)
+      .select(col("n_customers"),
+        (round(col("t_total") * 1000000) / 1000000.0).as("theil_total"),
+        (round(col("t_between") * 1000000) / 1000000.0).as("theil_between"),
+        (round(col("t_within") * 1000000) / 1000000.0).as("theil_within"),
+        (round((col("t_total") - col("t_between") - col("t_within"))
+          * 1000000) / 1000000.0 + lit(0.0)).as("identity_gap"))
+  }
+
+  /** q307: difference-in-differences — did PROMO parts' average line
+    * revenue move differently from non-promo parts between 1995 and 1996?
+    * The causal-inference workhorse as ONE conditional aggregate: four
+    * cell means (treat/control × before/after) from a single fact scan,
+    * DiD = (T₁−T₀) − (C₁−C₀) row-locally. Exact decimal sums, means
+    * 1e-12-snapped; parallel-trends caveats are the analyst's problem.
+    */
+  def diffInDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .where(year(col("o_orderdate")).isin(1995, 1996))
+      .select(col("p_type").startsWith("PROMO").as("treat"),
+        (year(col("o_orderdate")) === 1996).as("post"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+    def cell(t: Boolean, p: Boolean) =
+      s12(sum(when(col("treat") === t && col("post") === p, col("rev")))
+        .cast("double")
+        / sum(when(col("treat") === t && col("post") === p, 1L)
+          .otherwise(0L)))
+    li.agg(
+        count(lit(1)).as("n_lines"),
+        cell(true, false).as("m_treat_pre"),
+        cell(true, true).as("m_treat_post"),
+        cell(false, false).as("m_ctrl_pre"),
+        cell(false, true).as("m_ctrl_post"))
+      .select(col("n_lines"),
+        (round(col("m_treat_pre") * 100) / 100.0).as("m_treat_pre"),
+        (round(col("m_treat_post") * 100) / 100.0).as("m_treat_post"),
+        (round(col("m_ctrl_pre") * 100) / 100.0).as("m_ctrl_pre"),
+        (round(col("m_ctrl_post") * 100) / 100.0).as("m_ctrl_post"),
+        (round((col("m_treat_post") - col("m_treat_pre")
+          - (col("m_ctrl_post") - col("m_ctrl_pre"))) * 100) / 100.0)
+          .as("did"))
+  }
+
+  /** q308: new-product ramp census — parts cohorted by FIRST-sale month,
+    * with revenue in relative months 0/1/2 after launch (the
+    * cold-start curve: how fast does a new part reach cruising revenue,
+    * and is that ramp changing across cohorts). One pass to per-(part,
+    * month) revenue, min-month per part joined back, bounded
+    * cohort×offset output. Month arithmetic is all integer.
+    */
+  def coldStartCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("rev")).as("rev"))
+    val first = pm.groupBy(col("l_partkey")).agg(min(col("m")).as("m0"))
+    pm.join(first, "l_partkey")
+      .withColumn("off", col("m") - col("m0"))
+      .where(col("off") <= 2)
+      .groupBy(col("m0"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        sum(when(col("off") === 0, col("rev"))).as("r0"),
+        sum(when(col("off") === 1, col("rev"))).as("r1"),
+        sum(when(col("off") === 2, col("rev"))).as("r2"))
+      .select(
+        (floor(col("m0") / 12)).cast("int").as("cohort_year"),
+        (col("m0") % 12 + 1).cast("int").as("cohort_month"),
+        col("n_parts"),
+        (round(col("r0").cast("double") * 100) / 100.0).as("rev_m0"),
+        (round(coalesce(col("r1"), lit(0)).cast("double") * 100) / 100.0)
+          .as("rev_m1"),
+        (round(coalesce(col("r2"), lit(0)).cast("double") * 100) / 100.0)
+          .as("rev_m2"))
+  }
+
+  /** q309: spend-quintile migration matrix 1996→1997 — which revenue
+    * quintile customers land in next year given this year's (the
+    * retention-marketing transition table). Each year's quintile
+    * assignment runs through Prefix.over's distributed prefix-count +
+    * closed-form ntile — two parallel range-bucketed passes, no
+    * single-task window — then one equi-join on custkey builds the 5×5
+    * census with row shares.
+    */
+  def spendMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    def yearSpend(y: Int): DataFrame = {
+      val per = Tables.orders(spark, sfDir)
+        .where(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val n = per.agg(count(lit(1)).as("n_total"))
+      Prefix.over(per.crossJoin(broadcast(n)),
+          Seq(col("rev").desc, col("o_custkey")), Seq(Prefix.rowNumber("rn")))
+        .select(col("o_custkey"),
+          Prefix.ntileFromRowNumber(col("rn"), col("n_total"), 5).as("q"))
+    }
+    val m = yearSpend(1996).toDF("o_custkey", "q_from")
+      .join(yearSpend(1997).toDF("o_custkey", "q_to"), "o_custkey")
+      .groupBy(col("q_from"), col("q_to"))
+      .agg(count(lit(1)).as("n_customers"))
+    val rowTot = m.groupBy(col("q_from")).agg(sum(col("n_customers")).as("rt"))
+    m.join(broadcast(rowTot), "q_from")
+      .select(col("q_from"), col("q_to"), col("n_customers"),
+        (round(col("n_customers").cast("double") / col("rt").cast("double")
+          * lit(10000)) / lit(10000.0)).as("row_share"))
+  }
+
   /** q305: Gini coefficient of customer revenue PER NATION — q121's
     * economy-wide number broken out along the dimension that makes it
     * actionable (which market is whale-driven). Unlike q121 the rank
