@@ -627,7 +627,16 @@ object SparkEntry {
       Relational.coldStartCensus(s, d)
         .orderBy(col("cohort_year"), col("cohort_month"))),
     "q309_spend_migration" -> ((s, d) =>
-      Relational.spendMigration(s, d).orderBy(col("q_from"), col("q_to")))
+      Relational.spendMigration(s, d).orderBy(col("q_from"), col("q_to"))),
+    "q310_token_burstiness" -> ((s, d) =>
+      TextAnalysis.tokenBurstiness(s, d).orderBy(col("token"))),
+    "q311_repurchase_latency" -> ((s, d) =>
+      Relational.repurchaseLatency(s, d).orderBy(col("segment"))),
+    "q312_brand_revenue_corr" -> ((s, d) =>
+      Relational.brandRevenueCorr(s, d)
+        .orderBy(col("brand_a"), col("brand_b"))),
+    "q313_intrinsic_dim" -> ((s, d) =>
+      Similarity.intrinsicDim(s, d).orderBy(col("label")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7021,7 +7030,103 @@ object SparkEntry {
         |  round(CAST(n_customers AS DOUBLE)/CAST(rt AS DOUBLE)*10000)
         |    /10000.0 AS row_share
         |FROM m JOIN rt ON m.q_from = rt.q_from
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q310_token_burstiness" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) w
+        |  FROM documents),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) d
+        |  FROM documents),
+        |pd AS (SELECT w, doc_id, count(*) c FROM t GROUP BY 1, 2),
+        |st AS (SELECT w, CAST(sum(c) AS BIGINT) cf,
+        |    CAST(count(*) AS BIGINT) df
+        |  FROM pd GROUP BY 1),
+        |top AS (SELECT * FROM st ORDER BY cf DESC, w LIMIT 50),
+        |x AS (SELECT w, cf, df,
+        |    round(CAST(cf AS DOUBLE)/CAST(df AS DOUBLE)*1e12)/1e12 rate,
+        |    round(CAST(d AS DOUBLE)
+        |      *(1.0 - exp(-(CAST(cf AS DOUBLE)/CAST(d AS DOUBLE))))
+        |      *1e12)/1e12 df_hat
+        |  FROM top, nd)
+        |SELECT w AS token, cf, df,
+        |  round(rate*10000)/10000.0 AS per_doc_rate,
+        |  round(df_hat*100)/100.0 AS df_expected,
+        |  round(CAST(df AS DOUBLE)/df_hat*10000)/10000.0 AS spread_ratio
+        |FROM x ORDER BY 1""".stripMargin,
+    "q311_repurchase_latency" ->
+      """WITH g AS (SELECT o_custkey, o_orderdate,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) prev
+        |  FROM orders),
+        |gap AS (SELECT c_mktsegment segment,
+        |    CAST(datediff('day', prev, o_orderdate) AS DOUBLE) gap
+        |  FROM g JOIN customer ON o_custkey = c_custkey
+        |  WHERE prev IS NOT NULL)
+        |SELECT segment,
+        |  round(quantile_cont(gap, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(gap, 0.9), 4) AS p90_days,
+        |  count(*) AS n_gaps
+        |FROM gap GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q312_brand_revenue_corr" ->
+      """WITH bm AS (SELECT p_brand,
+        |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) m,
+        |    CAST(sum(CAST(l_extendedprice*(1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT a.p_brand brand_a, b.p_brand brand_b,
+        |    CAST(count(*) AS BIGINT) n_months,
+        |    CAST(sum(CAST(a.r AS DECIMAL(28,6))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(b.r AS DECIMAL(28,6))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(a.r*a.r AS DECIMAL(38,6))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(b.r*b.r AS DECIMAL(38,6))) AS DOUBLE) syy,
+        |    CAST(sum(CAST(a.r*b.r AS DECIMAL(38,6))) AS DOUBLE) sxy
+        |  FROM bm a JOIN bm b ON a.m = b.m AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2),
+        |dn AS (SELECT *, sqrt((n_months*sxx - sx*sx)
+        |    *(n_months*syy - sy*sy)) den FROM pr)
+        |SELECT brand_a, brand_b, n_months,
+        |  round((n_months*sxy - sx*sy)/den*1000000)/1000000.0 AS rev_corr
+        |FROM dn WHERE den > 0 ORDER BY 1, 2""".stripMargin,
+    "q313_intrinsic_dim" ->
+      """WITH ix AS (SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) i, embedding
+        |  FROM embeddings),
+        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v
+        |  FROM ix),
+        |n2 AS (SELECT vec_id,
+        |    CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE) nn
+        |  FROM xx GROUP BY 1),
+        |dt AS (SELECT a.label, a.vec_id src, b.vec_id dst,
+        |    CAST(sum(CAST(a.v*b.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |  FROM xx a JOIN xx b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |d2 AS (SELECT label, src, dst,
+        |    na.nn - 2.0*dot + nb.nn d2
+        |  FROM dt JOIN n2 na ON src = na.vec_id
+        |    JOIN n2 nb ON dst = nb.vec_id),
+        |r AS (SELECT label, src, d2, row_number() OVER (
+        |    PARTITION BY src ORDER BY d2, dst) rnk FROM d2),
+        |nn2 AS (SELECT label, src,
+        |    min(CASE WHEN rnk = 1 THEN d2 END) d1,
+        |    min(CASE WHEN rnk = 2 THEN d2 END) d2nd
+        |  FROM r WHERE rnk <= 2 GROUP BY 1, 2),
+        |tm AS (SELECT label,
+        |    (d1 > 0 AND d2nd IS NOT NULL) ok,
+        |    CASE WHEN d1 > 0 AND d2nd IS NOT NULL
+        |      THEN round(ln(sqrt(d2nd/d1))*1e12)/1e12 END t
+        |  FROM nn2),
+        |ag AS (SELECT label, CAST(count(*) AS BIGINT) n_vecs,
+        |    CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_degenerate,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) n_used,
+        |    CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) st
+        |  FROM tm GROUP BY 1)
+        |SELECT label, n_vecs, n_degenerate,
+        |  round(ln(2.0)/(st/n_used)*10000)/10000.0 AS intrinsic_dim
+        |FROM ag WHERE st > 0 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -383,6 +383,74 @@ object Relational {
           * lit(10000)) / lit(10000.0)).as("row_share"))
   }
 
+  /** q311: repeat-purchase latency per market segment — exact P50/P90 of
+    * the gap (days) between a customer's consecutive orders, by
+    * c_mktsegment. THE replenishment-cadence number behind q164's raw gap
+    * list and q112's idle flags. Consecutive gaps via a per-customer lag
+    * window (distributed across customers); quantiles through the
+    * count-and-locate exact engine — gaps collapse to a few thousand
+    * distinct day values, so no task buffers a segment.
+    */
+  def repurchaseLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"),
+      col("o_orderkey"))
+    val gaps = Tables.orders(spark, sfDir)
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        datediff(col("o_orderdate"), col("prev")).cast("double").as("gap"))
+    val qv = Percentiles.exactQuantiles(gaps, "segment", "gap",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+    val n = gaps.groupBy(col("segment")).agg(count(lit(1)).as("n_gaps"))
+    qv.groupBy(col("segment"))
+      .agg(
+        round(min(when(col("qname") === "p50", col("qv"))), 4).as("p50_days"),
+        round(min(when(col("qname") === "p90", col("qv"))), 4).as("p90_days"))
+      .join(n, "segment")
+  }
+
+  /** q312: brand revenue co-movement — Pearson correlation of monthly
+    * revenue between brand pairs (the cannibalization/complement screen:
+    * persistent negative co-movement inside a category is substitution).
+    * Everything after the one fact scan is bounded by |brands|·|months|
+    * (25×~84), and the pair join by |brands|²·|months| — corpus-free.
+    * Moment sums are exact decimals; only complete pair overlaps (both
+    * brands present that month) enter, and constant series drop out.
+    */
+  def brandRevenueCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val bm = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("rev"))
+      .select(col("p_brand"), col("m"), col("rev").cast("double").as("r"))
+    val pairs = bm.toDF("brand_a", "m", "ra")
+      .join(bm.toDF("brand_b", "m", "rb"), "m")
+      .where(col("brand_a") < col("brand_b"))
+    pairs.groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("ra").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(col("rb").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((col("ra") * col("ra")).cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum((col("rb") * col("rb")).cast("decimal(38,6)")).cast("double").as("syy"),
+        sum((col("ra") * col("rb")).cast("decimal(38,6)")).cast("double").as("sxy"))
+      .withColumn("den", sqrt(
+        (col("n_months") * col("sxx") - col("sx") * col("sx"))
+          * (col("n_months") * col("syy") - col("sy") * col("sy"))))
+      .where(col("den") > 0)
+      .select(col("brand_a"), col("brand_b"), col("n_months"),
+        (round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+          / col("den") * lit(1000000)) / lit(1000000.0)).as("rev_corr"))
+  }
+
   /** q305: Gini coefficient of customer revenue PER NATION — q121's
     * economy-wide number broken out along the dimension that makes it
     * actionable (which market is whale-driven). Unlike q121 the rank

@@ -905,6 +905,49 @@ object Similarity {
   def knnHubness(spark: SparkSession, sfDir: String): DataFrame =
     knnHubness(Tables.embeddings(spark, sfDir))
 
+  /** q313: two-NN intrinsic dimension (Facco et al. 2017) per label — the
+    * embedding-geometry number behind every ANN sizing decision: ID ≈
+    * ln 2 / mean(ln(r₂/r₁)) over each point's two nearest EUCLIDEAN
+    * neighbours. A 64-d embedding whose ID is ~10 quantizes and
+    * LSH-buckets far better than its ambient dimension suggests; ID
+    * drifting between snapshots means the encoder changed geometry.
+    * Reuses the label-blocked kNN shape (k=2) with exact-decimal d²;
+    * exact-duplicate pairs (r₁ = 0) are excluded and counted. ln ratios
+    * are 1e-12-snapped before the decimal mean.
+    */
+  def intrinsicDim(emb: DataFrame): DataFrame = {
+    val all = asDoubles(emb)
+    val a = all.select(col("label"), col("vec_id").as("src"), col("v").as("av"))
+    val b = all.select(col("label"), col("vec_id").as("dst"), col("v").as("bv"))
+    val w = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+    val nn2 = a.join(b, Seq("label"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("d2",
+        dotExpr("av", "av") - lit(2.0) * dotExpr("av", "bv")
+          + dotExpr("bv", "bv"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 2)
+      .groupBy(col("label"), col("src"))
+      .agg(min(when(col("rnk") === 1, col("d2"))).as("d1"),
+        min(when(col("rnk") === 2, col("d2"))).as("d2nd"))
+    val terms = nn2
+      .withColumn("ok", col("d1") > 0 && col("d2nd").isNotNull)
+      .withColumn("t", when(col("ok"),
+        round(log(sqrt(col("d2nd") / col("d1"))) * lit(1e12)) / lit(1e12)))
+    terms.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_degenerate"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_used"),
+        sum(col("t").cast("decimal(38,12)")).cast("double").as("st"))
+      .where(col("st") > 0)
+      .select(col("label"), col("n_vecs"), col("n_degenerate"),
+        (round(lit(math.log(2.0)) / (col("st") / col("n_used"))
+          * lit(10000)) / lit(10000.0)).as("intrinsic_dim"))
+  }
+
+  def intrinsicDim(spark: SparkSession, sfDir: String): DataFrame =
+    intrinsicDim(Tables.embeddings(spark, sfDir))
+
   /** q259: fixed-round Lloyd k-means trained IN the engine — unlike the
     * IVF codebook (q26, means of GIVEN labels), this learns the partition
     * itself. Each round is two shuffles, both map-side combinable: the

@@ -1291,4 +1291,41 @@ object TextAnalysis {
 
   def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame =
     burrowsDelta(Tables.documents(spark, sfDir))
+
+  /** q310: token burstiness census (Church–Gale) — for the 50 most common
+    * tokens, how CLUMPED the occurrences are across documents: rate =
+    * cf/df (mean occurrences per containing doc, always ≥ 1) against the
+    * Poisson-expected containing-doc count df̂ = D·(1−e^(−cf/D)). Topical
+    * tokens burst (df ≪ df̂, rate high); function words spread evenly.
+    * The dedup/quality screens (q53 repetition, q185 templates) see
+    * within-doc repetition — this is the ACROSS-doc clumping lens. One
+    * (token, doc) count aggregate bounded by the top-token join; the
+    * exp() term is snapped to 1e-12 before the ratio.
+    */
+  def tokenBurstiness(docs: DataFrame, topTokens: Int = 50): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(Dedup.normText(col("text")), " ")).as("w"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("d"))
+    val perDoc = tok.groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("w"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+    val top = stats.orderBy(col("cf").desc, col("w")).limit(topTokens)
+    top.crossJoin(broadcast(nDocs))
+      .withColumn("rate",
+        round(col("cf").cast("double") / col("df").cast("double")
+          * lit(1e12)) / lit(1e12))
+      .withColumn("df_hat",
+        round(col("d").cast("double")
+          * (lit(1.0) - exp(-(col("cf").cast("double") / col("d").cast("double"))))
+          * lit(1e12)) / lit(1e12))
+      .select(col("w").as("token"), col("cf"), col("df"),
+        (round(col("rate") * lit(10000)) / lit(10000.0)).as("per_doc_rate"),
+        (round(col("df_hat") * lit(100)) / lit(100.0)).as("df_expected"),
+        (round(col("df").cast("double") / col("df_hat") * lit(10000))
+          / lit(10000.0)).as("spread_ratio"))
+  }
+
+  def tokenBurstiness(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBurstiness(Tables.documents(spark, sfDir))
 }
