@@ -636,7 +636,19 @@ object SparkEntry {
       Relational.brandRevenueCorr(s, d)
         .orderBy(col("brand_a"), col("brand_b"))),
     "q313_intrinsic_dim" -> ((s, d) =>
-      Similarity.intrinsicDim(s, d).orderBy(col("label")))
+      Similarity.intrinsicDim(s, d).orderBy(col("label"))),
+    "q314_energy_distance" -> ((s, d) =>
+      Drift.energyDistance(s, d).orderBy(col("event_type"))),
+    "q315_decayed_share" -> ((s, d) =>
+      Relational.decayedShare(s, d).orderBy(col("p_brand"))),
+    "q316_bimodality" -> ((s, d) =>
+      TimeSeries.bimodality(s, d).orderBy(col("event_type"))),
+    "q317_adf_test" -> ((s, d) =>
+      TimeSeries.adfTest(s, d).orderBy(col("event_type"))),
+    "q318_holt_damped" -> ((s, d) =>
+      TimeSeries.holtDamped(s, d).orderBy(col("event_type"))),
+    "q319_croston" -> ((s, d) =>
+      TimeSeries.croston(s, d).orderBy(col("l_partkey")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7126,7 +7138,202 @@ object SparkEntry {
         |  FROM tm GROUP BY 1)
         |SELECT label, n_vecs, n_degenerate,
         |  round(ln(2.0)/(st/n_used)*10000)/10000.0 AS intrinsic_dim
-        |FROM ag WHERE st > 0 ORDER BY 1""".stripMargin
+        |FROM ag WHERE st > 0 ORDER BY 1""".stripMargin,
+    "q314_energy_distance" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |sp AS (SELECT CAST(floor(min(e) + (max(e) - min(e)) * 0.75)
+        |    AS BIGINT) split_e FROM ev),
+        |ph AS (SELECT event_type, value,
+        |    CASE WHEN e < split_e THEN 1 ELSE 0 END tr
+        |  FROM ev CROSS JOIN sp),
+        |c AS (SELECT event_type, value, CAST(sum(tr) AS BIGINT) ca,
+        |    CAST(sum(1 - tr) AS BIGINT) cb FROM ph GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value, ca, cb,
+        |    sum(ca) OVER wv cuma, sum(cb) OVER wv cumb,
+        |    CAST(sum(CAST(round(ca*value*1e12)/1e12 AS DECIMAL(38,12)))
+        |      OVER wv AS DOUBLE) cumsa,
+        |    CAST(sum(CAST(round(cb*value*1e12)/1e12 AS DECIMAL(38,12)))
+        |      OVER wv AS DOUBLE) cumsb,
+        |    sum(ca) OVER we na, sum(cb) OVER we nb,
+        |    CAST(sum(CAST(round(ca*value*1e12)/1e12 AS DECIMAL(38,12)))
+        |      OVER we AS DOUBLE) tsa,
+        |    CAST(sum(CAST(round(cb*value*1e12)/1e12 AS DECIMAL(38,12)))
+        |      OVER we AS DOUBLE) tsb
+        |  FROM c
+        |  WINDOW wv AS (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  we AS (PARTITION BY event_type)),
+        |k AS (SELECT event_type,
+        |    round(CAST(ca AS DOUBLE)*(value*CAST(cumb AS DOUBLE) - cumsb
+        |      + (tsb - cumsb) - value*CAST(nb - cumb AS DOUBLE))*1e12)
+        |      /1e12 xy,
+        |    round(CAST(ca AS DOUBLE)*(value*CAST(cuma AS DOUBLE) - cumsa
+        |      + (tsa - cumsa) - value*CAST(na - cuma AS DOUBLE))*1e12)
+        |      /1e12 xx,
+        |    round(CAST(cb AS DOUBLE)*(value*CAST(cumb AS DOUBLE) - cumsb
+        |      + (tsb - cumsb) - value*CAST(nb - cumb AS DOUBLE))*1e12)
+        |      /1e12 yy,
+        |    na, nb
+        |  FROM cum),
+        |ag AS (SELECT event_type, CAST(max(na) AS BIGINT) n_train,
+        |    CAST(max(nb) AS BIGINT) n_eval,
+        |    CAST(sum(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(xx AS DECIMAL(38,6))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(yy AS DECIMAL(38,6))) AS DOUBLE) syy
+        |  FROM k GROUP BY 1)
+        |SELECT event_type, n_train, n_eval,
+        |  round((2.0*sxy/(CAST(n_train AS DOUBLE)*CAST(n_eval AS DOUBLE))
+        |    - sxx/(CAST(n_train AS DOUBLE)*CAST(n_train AS DOUBLE))
+        |    - syy/(CAST(n_eval AS DOUBLE)*CAST(n_eval AS DOUBLE)))
+        |    *1000000)/1000000.0 AS energy_d2
+        |FROM ag ORDER BY 1""".stripMargin,
+    "q315_decayed_share" ->
+      """WITH li AS (SELECT p_brand, o_orderdate,
+        |    l_extendedprice*(1 - l_discount) rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN part ON l_partkey = p_partkey),
+        |an AS (SELECT max(o_orderdate) mx FROM li),
+        |d AS (SELECT p_brand,
+        |    CAST(round(rev*exp(CAST(datediff('day', o_orderdate, mx)
+        |      AS DOUBLE)*(-ln(2.0)/180.0))*1e12)/1e12 AS DECIMAL(38,12))
+        |      wrev
+        |  FROM li, an),
+        |g AS (SELECT p_brand, sum(wrev) drev,
+        |    CAST(count(*) AS BIGINT) n_lines FROM d GROUP BY 1),
+        |t AS (SELECT sum(drev) dtot FROM g)
+        |SELECT p_brand, n_lines,
+        |  round(CAST(drev AS DOUBLE)*100)/100.0 AS decayed_rev,
+        |  round(CAST(drev AS DOUBLE)/CAST(dtot AS DOUBLE)*1000000)
+        |    /1000000.0 AS decayed_share
+        |FROM g, t ORDER BY 1""".stripMargin,
+    "q316_bimodality" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,8))) AS DOUBLE) s2,
+        |    CAST(sum(CAST(value*value*value AS DECIMAL(38,6)))
+        |      AS DOUBLE) s3,
+        |    CAST(sum(CAST(value*value*value*value AS DECIMAL(38,4)))
+        |      AS DOUBLE) s4
+        |  FROM events GROUP BY 1),
+        |mm AS (SELECT event_type, n, CAST(n AS DOUBLE) nn,
+        |    s1/CAST(n AS DOUBLE) mu, s2, s3, s4 FROM m),
+        |c2 AS (SELECT *, s2/nn - mu*mu m2,
+        |    s3/nn - 3.0*mu*s2/nn + 2.0*mu*mu*mu m3,
+        |    s4/nn - 4.0*mu*s3/nn + 6.0*mu*mu*s2/nn - 3.0*mu*mu*mu*mu m4
+        |  FROM mm),
+        |g AS (SELECT event_type, n, m3/sqrt(m2*m2*m2) g1,
+        |    m4/(m2*m2) g2
+        |  FROM c2 WHERE m2 > 0)
+        |SELECT event_type, n,
+        |  round(g1*1000000)/1000000.0 AS skewness,
+        |  round(g2*1000000)/1000000.0 AS kurtosis,
+        |  round((g1*g1 + 1.0)/g2*1000000)/1000000.0 AS bimodality,
+        |  round((g1*g1 + 1.0)/g2*1000000)/1000000.0 > 0.555
+        |    AS likely_bimodal
+        |FROM g ORDER BY 1""".stripMargin,
+    "q317_adf_test" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (SELECT event_type, m,
+        |    lag(m) OVER (PARTITION BY event_type ORDER BY d) xl
+        |  FROM daily),
+        |px AS (SELECT event_type, xl,
+        |    round((m - xl)*1e12)/1e12 dx
+        |  FROM pr WHERE xl IS NOT NULL),
+        |mo AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(xl AS DECIMAL(38,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(dx AS DECIMAL(38,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(xl*xl AS DECIMAL(38,10))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(xl*dx AS DECIMAL(38,10))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(dx*dx AS DECIMAL(38,10))) AS DOUBLE) syy
+        |  FROM px GROUP BY 1),
+        |fit AS (SELECT event_type, n, CAST(n AS DOUBLE) nn, sx, sy,
+        |    sxx, sxy, syy, sxx - sx*sx/CAST(n AS DOUBLE) vx
+        |  FROM mo WHERE n > 2),
+        |b AS (SELECT *, (sxy - sx*sy/nn)/vx beta FROM fit WHERE vx > 0),
+        |e AS (SELECT *, sy/nn - beta*sx/nn alpha FROM b),
+        |s AS (SELECT *, syy - alpha*sy - beta*sxy sse FROM e),
+        |t AS (SELECT event_type, n, beta,
+        |    beta/sqrt(greatest(sse, 0.0)/(nn - 2)/vx) tstat FROM s)
+        |SELECT event_type, n AS n_days,
+        |  round(beta*1000000)/1000000.0 AS beta,
+        |  round(tstat*1000000)/1000000.0 AS adf_t,
+        |  round(tstat*1000000)/1000000.0 < -2.86 AS mean_reverting
+        |FROM t ORDER BY 1""".stripMargin,
+    "q318_holt_damped" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, m,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) rn
+        |  FROM daily),
+        |tt AS (SELECT event_type, max(rn) t FROM idx GROUP BY 1),
+        |r AS (
+        |  SELECT d1.event_type, CAST(2 AS BIGINT) AS t, d2.m AS l,
+        |    d2.m - d1.m AS b, CAST(0.0 AS DOUBLE) AS sae
+        |  FROM idx d1 JOIN idx d2 ON d1.event_type = d2.event_type
+        |    AND d1.rn = 1 AND d2.rn = 2
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    round((0.5*d.m + 0.5*(r.l + 0.9*r.b))*1e12)/1e12,
+        |    round((0.3*(round((0.5*d.m + 0.5*(r.l + 0.9*r.b))*1e12)/1e12
+        |      - r.l) + 0.7*0.9*r.b)*1e12)/1e12,
+        |    r.sae + round(abs(d.m - (r.l + 0.9*r.b))*1e12)/1e12
+        |  FROM r JOIN idx d ON d.event_type = r.event_type
+        |    AND d.rn = r.t + 1)
+        |SELECT r.event_type, r.t AS n_days,
+        |  round(r.l*1000000)/1000000.0 AS level,
+        |  round(r.b*1000000)/1000000.0 AS trend,
+        |  round((r.l + 0.9*(1.0 - 0.9*0.9*0.9*0.9*0.9*0.9*0.9)/0.1*r.b)
+        |    *1000000)/1000000.0 AS forecast_7d,
+        |  round((CASE WHEN r.t > 2 THEN r.sae/CAST(r.t - 2 AS DOUBLE)
+        |    ELSE 0.0 END)*1000000)/1000000.0 AS mae
+        |FROM r JOIN tt ON r.event_type = tt.event_type AND r.t = tt.t
+        |ORDER BY 1""".stripMargin,
+    "q319_croston" ->
+      """WITH RECURSIVE dem AS (SELECT l_partkey,
+        |    CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) dd,
+        |    CAST(l_quantity AS DECIMAL(18,2)) q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |top AS (SELECT l_partkey FROM
+        |  (SELECT l_partkey, count(*) nl FROM dem GROUP BY 1) c
+        |  ORDER BY nl DESC, l_partkey LIMIT 10),
+        |daily AS (SELECT dem.l_partkey, dd,
+        |    CAST(sum(q) AS DOUBLE) q
+        |  FROM dem JOIN top ON dem.l_partkey = top.l_partkey
+        |  GROUP BY 1, 2),
+        |idx AS (SELECT l_partkey, dd, q,
+        |    CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY dd)
+        |      AS BIGINT) rn
+        |  FROM daily),
+        |tt AS (SELECT l_partkey, max(rn) t FROM idx GROUP BY 1
+        |  HAVING max(rn) >= 2),
+        |r AS (
+        |  SELECT d1.l_partkey, CAST(2 AS BIGINT) AS t,
+        |    round((0.2*d2.q + 0.8*d1.q)*1e12)/1e12 AS z,
+        |    CAST(d2.dd - d1.dd AS DOUBLE) AS p, d2.dd AS d
+        |  FROM idx d1 JOIN idx d2 ON d1.l_partkey = d2.l_partkey
+        |    AND d1.rn = 1 AND d2.rn = 2
+        |  UNION ALL
+        |  SELECT r.l_partkey, r.t + 1,
+        |    round((0.2*e.q + 0.8*r.z)*1e12)/1e12,
+        |    round((0.2*CAST(e.dd - r.d AS DOUBLE) + 0.8*r.p)*1e12)/1e12,
+        |    e.dd
+        |  FROM r JOIN idx e ON e.l_partkey = r.l_partkey
+        |    AND e.rn = r.t + 1)
+        |SELECT r.l_partkey, r.t AS n_demand_days,
+        |  round(r.z*1000000)/1000000.0 AS smoothed_size,
+        |  round(r.p*1000000)/1000000.0 AS smoothed_interval,
+        |  round(r.z/r.p*1000000)/1000000.0 AS demand_rate
+        |FROM r JOIN tt ON r.l_partkey = tt.l_partkey AND r.t = tt.t
+        |ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -231,6 +231,74 @@ object Drift {
   def cvmDrift(spark: SparkSession, sfDir: String): DataFrame =
     cvmDrift(Tables.events(spark, sfDir))
 
+  /** q314: two-sample ENERGY distance per series on the frozen 75% split —
+    * the drift family's sixth axis and the only one sensitive to ANY
+    * distributional difference (KS: worst CDF gap; CvM: integrated gap;
+    * PSI/KL: binned mass; energy: D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|,
+    * metric-space native and zero iff the distributions are equal).
+    * Naively O(n²) pairs; here each pairwise-|Δ| expectation reduces to a
+    * cumulative-window pass over the distinct-value counts: Σᵢⱼ cᵃᵢcᵇⱼ|vᵢ−vⱼ|
+    * = Σᵢ cᵃᵢ·[vᵢ·CB≤ᵢ − SB≤ᵢ + (SB − SB≤ᵢ) − vᵢ·(CB − CB≤ᵢ)] with CB/SB
+    * the other sample's cumulative count/value-sum — same execution shape
+    * as ksFromCounts. Per-row contributions snapped to 1e-12, decimal
+    * sums, normalization in one final expression.
+    */
+  def energyDistance(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    val split = ev.agg(
+      floor(min(col("e")) + (max(col("e")) - min(col("e"))) * 0.75)
+        .cast("long").as("split_e"))
+    val cnts = ev.crossJoin(broadcast(split))
+      .withColumn("tr", (col("e") < col("split_e")).cast("long"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col("event_type"))
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    // cross-sum of |v_i - v_j| against counts `other` with value-sums:
+    // per-row contribution of THIS row's own count `mine`
+    def contrib(mine: String, cumC: String, cumS: String,
+                totC: String, totS: String) =
+      s12(col(mine).cast("double") * (
+        col("value") * col(cumC).cast("double") - col(cumS)
+          + (col(totS) - col(cumS))
+          - col("value") * (col(totC) - col(cumC)).cast("double")))
+    val base = cnts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("cumsa", sum(s12(col("ca") * col("value"))
+        .cast("decimal(38,12)")).over(w).cast("double"))
+      .withColumn("cumsb", sum(s12(col("cb") * col("value"))
+        .cast("decimal(38,12)")).over(w).cast("double"))
+      .withColumn("na", sum(col("ca")).over(whole))
+      .withColumn("nb", sum(col("cb")).over(whole))
+      .withColumn("tsa", sum(s12(col("ca") * col("value"))
+        .cast("decimal(38,12)")).over(whole).cast("double"))
+      .withColumn("tsb", sum(s12(col("cb") * col("value"))
+        .cast("decimal(38,12)")).over(whole).cast("double"))
+    base
+      .withColumn("xy", contrib("ca", "cumb", "cumsb", "nb", "tsb"))
+      .withColumn("xx", contrib("ca", "cuma", "cumsa", "na", "tsa"))
+      .withColumn("yy", contrib("cb", "cumb", "cumsb", "nb", "tsb"))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_train"), max(col("nb")).as("n_eval"),
+        sum(col("xy").cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum(col("xx").cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum(col("yy").cast("decimal(38,6)")).cast("double").as("syy"))
+      .select(col("event_type"), col("n_train"), col("n_eval"),
+        (round((lit(2.0) * col("sxy")
+          / (col("n_train").cast("double") * col("n_eval").cast("double"))
+          - col("sxx")
+            / (col("n_train").cast("double") * col("n_train").cast("double"))
+          - col("syy")
+            / (col("n_eval").cast("double") * col("n_eval").cast("double")))
+          * lit(1000000)) / lit(1000000.0)).as("energy_d2"))
+  }
+
+  def energyDistance(spark: SparkSession, sfDir: String): DataFrame =
+    energyDistance(Tables.events(spark, sfDir))
+
   /** q140: per-sensor quantile drift train→eval — completes the drift
     * family along its fourth axis: q87/PSI sees binned mass, q128/KS the
     * whole CDF, the Welch/Mann–Whitney pair the central tendency; this

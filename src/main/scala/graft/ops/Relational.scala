@@ -451,6 +451,39 @@ object Relational {
           / col("den") * lit(1000000)) / lit(1000000.0)).as("rev_corr"))
   }
 
+  /** q315: exponentially time-decayed revenue leaderboard per brand —
+    * each line's revenue weighted by 2^(−age/180d) relative to the
+    * corpus's last order date, so the ranking answers "who matters NOW"
+    * instead of ever (the recency-weighted share every dashboard
+    * eventually reinvents; mergeable because the decay reference is a
+    * frozen anchor, not the query time). One scan; weights are
+    * exp(−λ·age) with λ = ln2/180, each term 1e-12-snapped before the
+    * exact decimal sum; share against the decayed total.
+    */
+  def decayedShare(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val anchor = li.agg(max(col("o_orderdate")).as("mx"))
+    val dec = li.crossJoin(broadcast(anchor))
+      .withColumn("age", datediff(col("mx"), col("o_orderdate")).cast("double"))
+      .withColumn("wrev", s12(
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          * exp(col("age") * lit(-math.log(2.0) / 180.0)))
+        .cast("decimal(38,12)"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("wrev")).as("drev"), count(lit(1)).as("n_lines"))
+    val tot = dec.agg(sum(col("drev")).as("dtot"))
+    dec.crossJoin(broadcast(tot))
+      .select(col("p_brand"), col("n_lines"),
+        (round(col("drev").cast("double") * 100) / 100.0).as("decayed_rev"),
+        (round(col("drev").cast("double") / col("dtot").cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("decayed_share"))
+  }
+
   /** q305: Gini coefficient of customer revenue PER NATION — q121's
     * economy-wide number broken out along the dimension that makes it
     * actionable (which market is whale-driven). Unlike q121 the rank

@@ -1748,6 +1748,196 @@ object TimeSeries {
   def holtWinters(spark: SparkSession, sfDir: String): DataFrame =
     holtWinters(Tables.events(spark, sfDir))
 
+  /** q316: Sarle's bimodality coefficient per series — b = (g₁² + 1)/g₂
+    * from the sample skewness and (non-excess) kurtosis of raw values;
+    * b > 0.555 (the uniform's value) flags likely bimodality. The cheap
+    * one-pass screen for "this sensor is actually two regimes" that
+    * q111/q265's changepoint machinery then localizes in time. All four
+    * raw moments from ONE map-side-combinable aggregate with exact
+    * decimal sums; the moment algebra is one final IEEE expression.
+    */
+  def bimodality(events: DataFrame): DataFrame = {
+    val m = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(28,12)")).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,8)"))
+        .cast("double").as("s2"),
+      sum((col("value") * col("value") * col("value"))
+        .cast("decimal(38,6)")).cast("double").as("s3"),
+      sum((col("value") * col("value") * col("value") * col("value"))
+        .cast("decimal(38,4)")).cast("double").as("s4"))
+    m.withColumn("nn", col("n").cast("double"))
+      .withColumn("mu", col("s1") / col("nn"))
+      .withColumn("m2", col("s2") / col("nn") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("nn")
+        - lit(3.0) * col("mu") * col("s2") / col("nn")
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("nn")
+        - lit(4.0) * col("mu") * col("s3") / col("nn")
+        + lit(6.0) * col("mu") * col("mu") * col("s2") / col("nn")
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .where(col("m2") > 0)
+      .withColumn("g1", col("m3") / sqrt(col("m2") * col("m2") * col("m2")))
+      .withColumn("g2", col("m4") / (col("m2") * col("m2")))
+      .select(col("event_type"), col("n"),
+        r6c(col("g1")).as("skewness"),
+        r6c(col("g2")).as("kurtosis"),
+        r6c((col("g1") * col("g1") + lit(1.0)) / col("g2")).as("bimodality"),
+        (round((col("g1") * col("g1") + lit(1.0)) / col("g2") * lit(1000000))
+          / lit(1000000.0) > 0.555).as("likely_bimodal"))
+  }
+
+  def bimodality(spark: SparkSession, sfDir: String): DataFrame =
+    bimodality(Tables.events(spark, sfDir))
+
+  /** q317: ADF(0) unit-root test per series — Δx_t regressed on x_{t−1}
+    * with intercept over the daily means; the Dickey–Fuller t-statistic
+    * on β̂ answers "does this series mean-revert or wander", the
+    * complement of q288's KPSS (ADF null = unit root, KPSS null =
+    * stationary; the 2×2 of their verdicts is the standard diagnosis
+    * grid). One lag window on the bounded daily table, five decimal
+    * moment sums, closed-form OLS + t in one expression; flag at the 5%
+    * critical value −2.86.
+    */
+  def adfTest(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val pairs = daily
+      .withColumn("xl", lag(col("m"), 1).over(w))
+      .where(col("xl").isNotNull)
+      .withColumn("dx", round((col("m") - col("xl")) * lit(1e12)) / lit(1e12))
+    val m = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("xl").cast("decimal(38,12)")).cast("double").as("sx"),
+      sum(col("dx").cast("decimal(38,12)")).cast("double").as("sy"),
+      sum((col("xl") * col("xl")).cast("decimal(38,10)"))
+        .cast("double").as("sxx"),
+      sum((col("xl") * col("dx")).cast("decimal(38,10)"))
+        .cast("double").as("sxy"),
+      sum((col("dx") * col("dx")).cast("decimal(38,10)"))
+        .cast("double").as("syy"))
+    m.where(col("n") > 2)
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("nn"))
+      .where(col("vx") > 0)
+      .withColumn("beta",
+        (col("sxy") - col("sx") * col("sy") / col("nn")) / col("vx"))
+      .withColumn("alpha", col("sy") / col("nn")
+        - col("beta") * col("sx") / col("nn"))
+      .withColumn("sse", col("syy")
+        - col("alpha") * col("sy")
+        - col("beta") * col("sxy"))
+      .withColumn("tstat", col("beta")
+        / sqrt(greatest(col("sse"), lit(0.0)) / (col("nn") - 2) / col("vx")))
+      .select(col("event_type"), col("n").as("n_days"),
+        r6c(col("beta")).as("beta"),
+        r6c(col("tstat")).as("adf_t"),
+        (round(col("tstat") * lit(1000000)) / lit(1000000.0) < -2.86)
+          .as("mean_reverting"))
+  }
+
+  def adfTest(spark: SparkSession, sfDir: String): DataFrame =
+    adfTest(Tables.events(spark, sfDir))
+
+  /** q318: damped-trend Holt (φ=0.9) per series — the smoother the M-series
+    * forecasting competitions crowned: q251's linear trend extrapolates
+    * forever, the damped variant geometrically flattens it (the 7-day
+    * forecast uses Σφⁱ·b), which is why it wins at horizon. Identical
+    * execution shape to q251 — ONE higher-order aggregate fold, state
+    * (l, b, Σ|err|), 1e-12 snaps — with φ folded into every recursion
+    * term; the recursive-CTE oracle replays the walk.
+    */
+  def holtDamped(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val arr = daily.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+        .as("xs"))
+      .where(size(col("xs")) >= 2)
+    // phi-damped recursion: l = .5x + .5(l + φb); b = .3(l'−l) + .7φb
+    arr
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(xs, 3, greatest(size(xs) - 2, 0)),
+          |  named_struct(
+          |    'l', element_at(xs, 2),
+          |    'b', element_at(xs, 2) - element_at(xs, 1),
+          |    'sae', CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> named_struct(
+          |    'l', round((0.5*x + 0.5*(acc.l + 0.9*acc.b))*1e12)/1e12,
+          |    'b', round((0.3*(round((0.5*x + 0.5*(acc.l + 0.9*acc.b))*1e12)/1e12
+          |           - acc.l) + 0.7*0.9*acc.b)*1e12)/1e12,
+          |    'sae', acc.sae + round(abs(x - (acc.l + 0.9*acc.b))*1e12)/1e12))
+          |""".stripMargin))
+      .select(col("event_type"),
+        size(col("xs")).cast("bigint").as("n_days"),
+        r6c(col("st.l")).as("level"),
+        r6c(col("st.b")).as("trend"),
+        // sum_{i=1..7} 0.9^i = 0.9(1−0.9⁷)/0.1, the power written as
+        // explicit left-assoc multiplications so both engines constant-fold
+        // the identical IEEE value (pow() could differ in the last ulp)
+        r6c(col("st.l")
+          + lit(0.9 * (1.0 - 0.9 * 0.9 * 0.9 * 0.9 * 0.9 * 0.9 * 0.9) / 0.1)
+            * col("st.b"))
+          .as("forecast_7d"),
+        r6c(when(size(col("xs")) > 2,
+          col("st.sae") / (size(col("xs")) - 2).cast("double"))
+          .otherwise(lit(0.0))).as("mae"))
+  }
+
+  def holtDamped(spark: SparkSession, sfDir: String): DataFrame =
+    holtDamped(Tables.events(spark, sfDir))
+
+  /** q319: Croston's method for intermittent demand — the forecasting
+    * standard for sparse series (most part-level retail demand), which
+    * plain smoothing butchers: separately smooth the nonzero demand SIZES
+    * (z) and the INTERVALS between them (p), both at α=0.2; the demand
+    * rate forecast is z/p. Runs on the 10 highest-volume parts
+    * (deterministic top-k, broadcast): per part the (day, qty) demand
+    * events fold through ONE higher-order aggregate starting at the 2nd
+    * event (z₀ = first size, p₀ = first interval), every state snapped to
+    * 1e-12 — the recursive-CTE oracle replays per part. Parts with one
+    * demand day drop.
+    */
+  def croston(spark: SparkSession, sfDir: String): DataFrame = {
+    val demands = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400L).as("day"),
+        col("l_quantity").cast("decimal(18,2)").as("q"))
+    val top = demands.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("nl"))
+      .orderBy(col("nl").desc, col("l_partkey")).limit(10)
+      .select(col("l_partkey"))
+    val daily = demands.join(broadcast(top), "l_partkey")
+      .groupBy(col("l_partkey"), col("day"))
+      .agg(sum(col("q")).cast("double").as("q"))
+    val arr = daily.groupBy(col("l_partkey"))
+      .agg(expr("array_sort(collect_list(struct(day, q)))").as("ev"))
+      .where(size(col("ev")) >= 2)
+    def s12(e: String) = s"round(($e)*1e12)/1e12"
+    arr
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(ev, 3, greatest(size(ev) - 2, 0)),
+           |  named_struct(
+           |    'z', ${s12("0.2*element_at(ev, 2).q + 0.8*element_at(ev, 1).q")},
+           |    'p', CAST(element_at(ev, 2).day - element_at(ev, 1).day
+           |      AS DOUBLE),
+           |    'd', element_at(ev, 2).day),
+           |  (acc, e) -> named_struct(
+           |    'z', ${s12("0.2*e.q + 0.8*acc.z")},
+           |    'p', ${s12("0.2*CAST(e.day - acc.d AS DOUBLE) + 0.8*acc.p")},
+           |    'd', e.day))
+           |""".stripMargin))
+      .select(col("l_partkey"),
+        size(col("ev")).cast("bigint").as("n_demand_days"),
+        r6c(col("st.z")).as("smoothed_size"),
+        r6c(col("st.p")).as("smoothed_interval"),
+        r6c(col("st.z") / col("st.p")).as("demand_rate"))
+  }
+
   /** q294: lag-1 autocorrelation of inter-arrival gaps per series — the
     * MEMORY dimension of burstiness q102's CV can't see (two streams with
     * identical gap variance differ operationally if long gaps cluster:
