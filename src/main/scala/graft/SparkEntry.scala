@@ -648,7 +648,15 @@ object SparkEntry {
     "q318_holt_damped" -> ((s, d) =>
       TimeSeries.holtDamped(s, d).orderBy(col("event_type"))),
     "q319_croston" -> ((s, d) =>
-      TimeSeries.croston(s, d).orderBy(col("l_partkey")))
+      TimeSeries.croston(s, d).orderBy(col("l_partkey"))),
+    "q320_gap_percentiles" -> ((s, d) =>
+      TimeSeries.gapPercentiles(s, d).orderBy(col("event_type"))),
+    "q321_mutual_information" -> ((s, d) =>
+      StatTests.mutualInformation(s, d)),
+    "q323_dim_variance" -> ((s, d) =>
+      Similarity.dimVariance(s, d).orderBy(col("dim"))),
+    "q324_anomaly_mtbf" -> ((s, d) =>
+      TimeSeries.anomalyMtbf(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7333,7 +7341,94 @@ object SparkEntry {
         |  round(r.p*1000000)/1000000.0 AS smoothed_interval,
         |  round(r.z/r.p*1000000)/1000000.0 AS demand_rate
         |FROM r JOIN tt ON r.l_partkey = tt.l_partkey AND r.t = tt.t
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q320_gap_percentiles" ->
+      """WITH g1 AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY event_type ORDER BY ts, event_id) g
+        |  FROM events),
+        |g2 AS (SELECT event_type, CAST(g AS DOUBLE) g FROM g1
+        |  WHERE g IS NOT NULL)
+        |SELECT event_type,
+        |  round(quantile_cont(g, 0.5), 4) AS p50_sec,
+        |  round(quantile_cont(g, 0.9), 4) AS p90_sec,
+        |  round(quantile_cont(g, 0.99), 4) AS p99_sec,
+        |  count(*) AS n_gaps
+        |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q321_mutual_information" ->
+      """WITH q AS (SELECT quantile_cont(value, 0.25) b1,
+        |    quantile_cont(value, 0.5) b2,
+        |    quantile_cont(value, 0.75) b3 FROM events),
+        |b AS (SELECT event_type,
+        |    CASE WHEN value <= b1 THEN 0 WHEN value <= b2 THEN 1
+        |      WHEN value <= b3 THEN 2 ELSE 3 END bkt
+        |  FROM events, q),
+        |cells AS (SELECT event_type, bkt, CAST(count(*) AS BIGINT) nij
+        |  FROM b GROUP BY 1, 2),
+        |rws AS (SELECT event_type, CAST(sum(nij) AS BIGINT) ni
+        |  FROM cells GROUP BY 1),
+        |cls AS (SELECT bkt, CAST(sum(nij) AS BIGINT) nj FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nij) AS BIGINT) n FROM cells),
+        |mi AS (SELECT CAST(max(n) AS BIGINT) n_events,
+        |    round(CAST(sum(CAST(round(nij/CAST(n AS DOUBLE)
+        |      *ln(CAST(nij AS DOUBLE)*CAST(n AS DOUBLE)
+        |        /(CAST(ni AS DOUBLE)*CAST(nj AS DOUBLE)))*1e12)/1e12
+        |      AS DECIMAL(38,12))) AS DOUBLE)*1000000)/1000000.0 mi_nats
+        |  FROM cells JOIN rws ON cells.event_type = rws.event_type
+        |    JOIN cls ON cells.bkt = cls.bkt, tot),
+        |ht AS (SELECT round(CAST(sum(CAST(round(-(ni/CAST(n AS DOUBLE))
+        |      *ln(ni/CAST(n AS DOUBLE))*1e12)/1e12 AS DECIMAL(38,12)))
+        |    AS DOUBLE)*1000000)/1000000.0 h_type
+        |  FROM rws, tot),
+        |hb AS (SELECT round(CAST(sum(CAST(round(-(nj/CAST(n AS DOUBLE))
+        |      *ln(nj/CAST(n AS DOUBLE))*1e12)/1e12 AS DECIMAL(38,12)))
+        |    AS DOUBLE)*1000000)/1000000.0 h_bucket
+        |  FROM cls, tot)
+        |SELECT n_events, mi_nats, h_type, h_bucket FROM mi, ht, hb"""
+        .stripMargin,
+    "q323_dim_variance" ->
+      """WITH ix AS (SELECT vec_id,
+        |    unnest(generate_series(1, len(embedding))) i, embedding
+        |  FROM embeddings),
+        |xx AS (SELECT CAST(i - 1 AS INT) dim,
+        |    CAST(embedding[i] AS DOUBLE) x FROM ix),
+        |m AS (SELECT dim, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) s2
+        |  FROM xx GROUP BY 1),
+        |v1 AS (SELECT dim, CAST(n AS DOUBLE) nn, s1, s2,
+        |    s1/CAST(n AS DOUBLE) mu FROM m),
+        |v2 AS (SELECT dim, mu, s2/nn - mu*mu v FROM v1),
+        |tot AS (SELECT CAST(sum(CAST(round(v*1e12)/1e12
+        |    AS DECIMAL(38,12))) AS DOUBLE) tv FROM v2)
+        |SELECT dim, round(mu*1000000)/1000000.0 AS mean,
+        |  round(v*1000000)/1000000.0 AS variance,
+        |  round(v/tv*1000000)/1000000.0 AS var_share,
+        |  round(v*1000000)/1000000.0 < 0.0001 AS near_zero
+        |FROM v2, tot ORDER BY 1""".stripMargin,
+    "q324_anomaly_mtbf" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,8))) AS DOUBLE) s2
+        |  FROM events GROUP BY 1),
+        |fl AS (SELECT events.event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e, event_id
+        |  FROM events JOIN st ON events.event_type = st.event_type
+        |  WHERE (value*n - s1)*(value*n - s1) > 9.0*(n*s2 - s1*s1)),
+        |g AS (SELECT event_type, e - lag(e) OVER (
+        |    PARTITION BY event_type ORDER BY e, event_id) g
+        |  FROM fl),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) n_gaps,
+        |    CAST(sum(g) AS BIGINT) sg, CAST(max(g) AS BIGINT)
+        |      max_quiet_sec
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps + 1 AS n_anomalies,
+        |  round(CAST(sg AS DOUBLE)/CAST(n_gaps AS DOUBLE)*100)/100.0
+        |    AS mtba_sec,
+        |  max_quiet_sec
+        |FROM ag ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -948,6 +948,39 @@ object Similarity {
   def intrinsicDim(spark: SparkSession, sfDir: String): DataFrame =
     intrinsicDim(Tables.embeddings(spark, sfDir))
 
+  /** q323: per-dimension variance census of the embedding space — the
+    * near-zero-variance screen (dead dimensions waste index bytes and
+    * quantization codebook entries; a dimension whose variance collapsed
+    * between snapshots means the encoder head changed). One posexplode
+    * aggregate, exact decimal moment sums, population variance; share of
+    * total variance ranks the dimensions without an eigensolve.
+    */
+  def dimVariance(emb: DataFrame): DataFrame = {
+    val dims = asDoubles(emb)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+    val m = dims.groupBy(col("i")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(28,16)")).cast("double").as("s1"),
+      sum((col("x") * col("x")).cast("decimal(28,16)"))
+        .cast("double").as("s2"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("mu", col("s1") / col("nn"))
+      .withColumn("v", col("s2") / col("nn") - col("mu") * col("mu"))
+    val tot = m.agg(sum((round(col("v") * lit(1e12)) / lit(1e12))
+      .cast("decimal(38,12)")).cast("double").as("tv"))
+    m.crossJoin(broadcast(tot))
+      .select(col("i").as("dim"),
+        (round(col("mu") * lit(1000000)) / lit(1000000.0)).as("mean"),
+        (round(col("v") * lit(1000000)) / lit(1000000.0)).as("variance"),
+        (round(col("v") / col("tv") * lit(1000000)) / lit(1000000.0))
+          .as("var_share"),
+        (round(col("v") * lit(1000000)) / lit(1000000.0) < 0.0001)
+          .as("near_zero"))
+  }
+
+  def dimVariance(spark: SparkSession, sfDir: String): DataFrame =
+    dimVariance(Tables.embeddings(spark, sfDir))
+
   /** q259: fixed-round Lloyd k-means trained IN the engine — unlike the
     * IVF codebook (q26, means of GIVEN labels), this learns the partition
     * itself. Each round is two shuffles, both map-side combinable: the

@@ -667,4 +667,57 @@ object StatTests {
 
   def brownForsythe(spark: SparkSession, sfDir: String): DataFrame =
     brownForsythe(Tables.events(spark, sfDir))
+
+  /** q321: mutual information between series identity and value quartile —
+    * the DEPENDENCE number behind q207's chi-square test (chi² says
+    * "associated or not"; MI says how many nats of information the value
+    * level carries about which sensor produced it — the feature-selection
+    * ranking criterion). Global exact quartile boundaries from the
+    * count-and-locate engine broadcast back as three literals-per-row;
+    * the MI sum runs over the |types|×4 contingency cells with each
+    * p·ln(p/(pq)) term 1e-12-snapped. H(type) and H(bucket) emitted so
+    * the normalized MI is one division away.
+    */
+  def mutualInformation(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ev = events.select(col("event_type"), col("value"),
+      lit(1).as("g"))
+    val qs = Percentiles.exactQuantiles(ev, "g", "value",
+      Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+      .groupBy(col("g"))
+      .agg(min(when(col("qname") === "q1", col("qv"))).as("b1"),
+        min(when(col("qname") === "q2", col("qv"))).as("b2"),
+        min(when(col("qname") === "q3", col("qv"))).as("b3"))
+    val cells = ev.join(broadcast(qs), "g")
+      .withColumn("bkt",
+        when(col("value") <= col("b1"), 0)
+          .when(col("value") <= col("b2"), 1)
+          .when(col("value") <= col("b3"), 2).otherwise(3))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("nij"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("ni"))
+    val cols_ = cells.groupBy(col("bkt")).agg(sum(col("nij")).as("nj"))
+    val tot = cells.agg(sum(col("nij")).as("n"))
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val mi = cells.join(broadcast(rows), "event_type")
+      .join(broadcast(cols_), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("mi_t", s12(col("nij") / col("nn")
+        * log(col("nij").cast("double") * col("nn")
+          / (col("ni").cast("double") * col("nj").cast("double")))))
+      .agg(max(col("n")).as("n_events"),
+        r6(sum(col("mi_t").cast("decimal(38,12)")).cast("double"))
+          .as("mi_nats"))
+    def entropy(marg: DataFrame, c: String) = marg.crossJoin(broadcast(tot))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("h_t", s12(-(col(c) / col("nn"))
+        * log(col(c) / col("nn"))))
+      .agg(r6(sum(col("h_t").cast("decimal(38,12)")).cast("double")).as("h"))
+    mi.crossJoin(entropy(rows, "ni").toDF("h_type"))
+      .crossJoin(entropy(cols_, "nj").toDF("h_bucket"))
+  }
+
+  def mutualInformation(spark: SparkSession, sfDir: String): DataFrame =
+    mutualInformation(Tables.events(spark, sfDir))
 }

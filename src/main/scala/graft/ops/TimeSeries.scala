@@ -1748,6 +1748,73 @@ object TimeSeries {
   def holtWinters(spark: SparkSession, sfDir: String): DataFrame =
     holtWinters(Tables.events(spark, sfDir))
 
+  /** q320: exact inter-arrival gap percentiles per series — P50/P90/P99 of
+    * consecutive-event gaps through the count-and-locate quantile engine
+    * (gaps collapse to a few thousand distinct second values, so the
+    * distinct-compression does the work). The tail view q102's CV and
+    * q294's ACF summarize away: P99/P50 is the "how bad is a bad gap"
+    * ratio that pages people.
+    */
+  def gapPercentiles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("g", (epochS(col("ts"))
+        - lag(epochS(col("ts")), 1).over(w)).cast("double"))
+      .where(col("g").isNotNull)
+      .select(col("event_type"), col("g"))
+    val qv = Percentiles.exactQuantiles(gaps, "event_type", "g",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    val n = gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_gaps"))
+    qv.groupBy(col("event_type"))
+      .agg(
+        round(min(when(col("qname") === "p50", col("qv"))), 4).as("p50_sec"),
+        round(min(when(col("qname") === "p90", col("qv"))), 4).as("p90_sec"),
+        round(min(when(col("qname") === "p99", col("qv"))), 4).as("p99_sec"))
+      .join(n, "event_type")
+  }
+
+  def gapPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    gapPercentiles(Tables.events(spark, sfDir))
+
+  /** q324: mean time between anomalies per series — 3σ points (the q41
+    * flag, division-free cross-multiplied predicate) reduced to the
+    * operational number on-call actually plans around: MTBA, the longest
+    * quiet stretch, and the anomaly count. Flags come from one
+    * moment-aggregate broadcast back; gaps between consecutive flagged
+    * points are one lag window over the FLAGGED subset only.
+    */
+  def anomalyMtbf(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(28,12)")).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,8)"))
+        .cast("double").as("s2"))
+    val flagged = events.join(broadcast(stats), "event_type")
+      // |x·n − s1| > 3·sqrt(n·s2 − s1²)·sqrt(n) ⇔ |x − μ| > 3σ (n-scaled,
+      // division-free: both sides nonneg so the square compare is exact)
+      .where((col("value") * col("n") - col("s1"))
+        * (col("value") * col("n") - col("s1"))
+        > lit(9.0) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("e"), col("event_id"))
+    val gaps = flagged
+      .withColumn("g", col("e") - lag(col("e"), 1).over(w))
+      .where(col("g").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"), max(col("g")).as("max_quiet_sec"))
+      .select(col("event_type"),
+        (col("n_gaps") + 1).as("n_anomalies"),
+        (round(col("sg").cast("double") / col("n_gaps").cast("double")
+          * lit(100)) / lit(100.0)).as("mtba_sec"),
+        col("max_quiet_sec"))
+  }
+
+  def anomalyMtbf(spark: SparkSession, sfDir: String): DataFrame =
+    anomalyMtbf(Tables.events(spark, sfDir))
+
   /** q316: Sarle's bimodality coefficient per series — b = (g₁² + 1)/g₂
     * from the sample skewness and (non-excess) kurtosis of raw values;
     * b > 0.555 (the uniform's value) flags likely bimodality. The cheap
