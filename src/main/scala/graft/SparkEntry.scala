@@ -656,7 +656,16 @@ object SparkEntry {
     "q323_dim_variance" -> ((s, d) =>
       Similarity.dimVariance(s, d).orderBy(col("dim"))),
     "q324_anomaly_mtbf" -> ((s, d) =>
-      TimeSeries.anomalyMtbf(s, d).orderBy(col("event_type")))
+      TimeSeries.anomalyMtbf(s, d).orderBy(col("event_type"))),
+    "q325_abc_xyz" -> ((s, d) =>
+      Relational.abcXyz(s, d).orderBy(col("abc"), col("xyz"))),
+    "q326_pairwise_contrasts" -> ((s, d) =>
+      StatTests.pairwiseContrasts(s, d)
+        .orderBy(col("type_a"), col("type_b"))),
+    "q327_neyman_allocation" -> ((s, d) =>
+      Curation.neymanAllocation(s, d).orderBy(col("source"))),
+    "q328_forecast_reconciliation" -> ((s, d) =>
+      TimeSeries.forecastReconciliation(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7428,7 +7437,128 @@ object SparkEntry {
         |  round(CAST(sg AS DOUBLE)/CAST(n_gaps AS DOUBLE)*100)/100.0
         |    AS mtba_sec,
         |  max_quiet_sec
-        |FROM ag ORDER BY 1""".stripMargin
+        |FROM ag ORDER BY 1""".stripMargin,
+    "q325_abc_xyz" ->
+      """WITH pm AS (SELECT l_partkey,
+        |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) m,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) qm,
+        |    sum(CAST(l_extendedprice*(1 - l_discount) AS DECIMAL(18,6)))
+        |      revm
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, sum(revm) prev,
+        |    CAST(count(*) AS BIGINT) nm,
+        |    CAST(sum(CAST(qm AS DECIMAL(28,6))) AS DOUBLE) sq,
+        |    CAST(sum(CAST(qm*qm AS DECIMAL(38,6))) AS DOUBLE) sqq
+        |  FROM pm GROUP BY 1),
+        |cvt AS (SELECT l_partkey, prev, sq/nm mu, nm, sqq FROM pp),
+        |cv AS (SELECT l_partkey, prev,
+        |    CASE WHEN mu > 0 THEN round(sqrt(greatest(sqq/nm - mu*mu,
+        |      0.0))/mu*1e12)/1e12 ELSE 0.0 END cv
+        |  FROM cvt),
+        |tr AS (SELECT sum(prev) trev FROM pp),
+        |cl AS (SELECT l_partkey, prev, cv,
+        |    CAST(sum(prev) OVER (ORDER BY prev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)/CAST(trev AS DOUBLE) cum_share, trev
+        |  FROM cv, tr),
+        |lab AS (SELECT prev, trev,
+        |    CASE WHEN cum_share <= 0.8 THEN 'A'
+        |      WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END abc,
+        |    CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y'
+        |      ELSE 'Z' END xyz
+        |  FROM cl)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) n_parts,
+        |  round(CAST(sum(prev) AS DOUBLE)/CAST(max(trev) AS DOUBLE)
+        |    *1000000)/1000000.0 AS rev_share
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q326_pairwise_contrasts" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,8))) AS DOUBLE) s2
+        |  FROM events GROUP BY 1),
+        |mm AS (SELECT event_type, n, round(s1/n*1e12)/1e12 mu,
+        |    s2 - s1*s1/n ssw FROM m),
+        |pl AS (SELECT CAST(sum(n) AS BIGINT) nt,
+        |    CAST(count(*) AS BIGINT) k,
+        |    round(CAST(sum(CAST(round(ssw*1e12)/1e12 AS DECIMAL(38,10)))
+        |      AS DOUBLE)*1e12)/1e12 ssw_tot
+        |  FROM mm),
+        |ps AS (SELECT *, round(ssw_tot/(nt - k)*1e12)/1e12 mse FROM pl)
+        |SELECT a.event_type type_a, b.event_type type_b,
+        |  round((a.mu - b.mu)*1000000)/1000000.0 AS mean_diff,
+        |  round((a.mu - b.mu)/sqrt(mse*(1.0/a.n + 1.0/b.n))*1000000)
+        |    /1000000.0 AS t_stat,
+        |  abs(round((a.mu - b.mu)/sqrt(mse*(1.0/a.n + 1.0/b.n))*1000000)
+        |    /1000000.0) > 3.0 AS significant
+        |FROM mm a JOIN mm b ON a.event_type < b.event_type, ps
+        |ORDER BY 1, 2""".stripMargin,
+    "q327_neyman_allocation" ->
+      """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) nh,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(n_chars*n_chars AS DECIMAL(38,4)))
+        |      AS DOUBLE) s2
+        |  FROM documents GROUP BY 1),
+        |mm AS (SELECT source, nh, s1/nh mu, s2 FROM m),
+        |sg AS (SELECT source, nh,
+        |    round(sqrt(greatest(s2/nh - mu*mu, 0.0))*1e12)/1e12 sg
+        |  FROM mm),
+        |wg AS (SELECT source, nh, sg,
+        |    round(nh*sg*1e12)/1e12 wgt FROM sg),
+        |tt AS (SELECT round(CAST(sum(CAST(wgt AS DECIMAL(38,10)))
+        |    AS DOUBLE)*1e12)/1e12 wtot FROM wg),
+        |sh AS (SELECT source, nh, sg,
+        |    round(wgt/wtot*1e12)/1e12 shr FROM wg, tt)
+        |SELECT source, nh AS n_docs,
+        |  round(sg*100)/100.0 AS sigma_chars,
+        |  round(shr*1000000)/1000000.0 AS alloc_share,
+        |  CAST(floor(shr*10000) AS BIGINT) AS n_sample,
+        |  round(least(shr*10000/nh, 1.0)*1000000)/1000000.0
+        |    AS sampling_frac
+        |FROM sh ORDER BY 1""".stripMargin,
+    "q328_forecast_reconciliation" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT '__TOTAL__' event_type, d,
+        |    round(CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE)*1e12)
+        |      /1e12 m
+        |  FROM daily GROUP BY d),
+        |d2 AS (SELECT * FROM daily UNION ALL SELECT * FROM tot),
+        |idx AS (SELECT event_type, m,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) rn
+        |  FROM d2),
+        |tt AS (SELECT event_type, max(rn) t FROM idx GROUP BY 1),
+        |r AS (
+        |  SELECT d1.event_type, CAST(2 AS BIGINT) AS t, dd2.m AS l,
+        |    dd2.m - d1.m AS b
+        |  FROM idx d1 JOIN idx dd2 ON d1.event_type = dd2.event_type
+        |    AND d1.rn = 1 AND dd2.rn = 2
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    round((0.5*e.m + 0.5*(r.l + r.b))*1e12)/1e12,
+        |    round((0.3*(round((0.5*e.m + 0.5*(r.l + r.b))*1e12)/1e12
+        |      - r.l) + 0.7*r.b)*1e12)/1e12
+        |  FROM r JOIN idx e ON e.event_type = r.event_type
+        |    AND e.rn = r.t + 1),
+        |fin AS (SELECT r.event_type,
+        |    round((r.l + 7.0*r.b)*1000000)/1000000.0 forecast
+        |  FROM r JOIN tt ON r.event_type = tt.event_type AND r.t = tt.t),
+        |ag AS (SELECT
+        |    CAST(sum(CASE WHEN event_type <> '__TOTAL__' THEN 1 ELSE 0
+        |      END) AS BIGINT) n_series,
+        |    CAST(sum(CASE WHEN event_type <> '__TOTAL__'
+        |      THEN CAST(forecast AS DECIMAL(28,6)) END) AS DOUBLE) bu,
+        |    max(CASE WHEN event_type = '__TOTAL__' THEN forecast END) td
+        |  FROM fin)
+        |SELECT n_series,
+        |  round(bu*10000)/10000.0 AS bottom_up_7d,
+        |  round(td*10000)/10000.0 AS top_down_7d,
+        |  round((bu - td)*10000)/10000.0 + 0.0 AS recon_gap
+        |FROM ag""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -11,6 +11,42 @@ import graft.Tables
   */
 object Curation {
 
+  /** q327: Neyman allocation for stratified sampling — given a target
+    * sample of 10k documents, the per-source (stratum) sample sizes
+    * n_h ∝ N_h·σ_h that minimize the variance of an estimated mean (here
+    * of document length): the statistically-correct version of the
+    * proportional split q54 implements. One moment aggregate per source;
+    * the allocation weights, shares and the implied sampling fractions
+    * are closed-form; σ_h terms snapped before the weight sum.
+    */
+  def neymanAllocation(docs: DataFrame, target: Int = 10000): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val m = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("nh"),
+      sum(col("n_chars").cast("decimal(28,4)")).cast("double").as("s1"),
+      sum((col("n_chars") * col("n_chars")).cast("decimal(38,4)"))
+        .cast("double").as("s2"))
+      .withColumn("mu", col("s1") / col("nh"))
+      .withColumn("sg", s12(sqrt(greatest(
+        col("s2") / col("nh") - col("mu") * col("mu"), lit(0.0)))))
+      .withColumn("wgt", s12(col("nh") * col("sg")))
+    val tot = m.agg(
+      s12(sum(col("wgt").cast("decimal(38,10)")).cast("double")).as("wtot"))
+    m.crossJoin(broadcast(tot))
+      .withColumn("share", s12(col("wgt") / col("wtot")))
+      .select(col("source"), col("nh").as("n_docs"),
+        (round(col("sg") * 100) / 100.0).as("sigma_chars"),
+        (round(col("share") * lit(1000000)) / lit(1000000.0))
+          .as("alloc_share"),
+        floor(col("share") * target).cast("bigint").as("n_sample"),
+        (round(least(col("share") * target / col("nh"), lit(1.0))
+          * lit(1000000)) / lit(1000000.0)).as("sampling_frac"))
+  }
+
+  def neymanAllocation(spark: SparkSession, sfDir: String): DataFrame =
+    neymanAllocation(Tables.documents(spark, sfDir))
+
+
   /** q54: deterministic stratified sampling — downsample over-represented
     * strata (here: languages) with a per-stratum keep rate. The keep
     * decision is a pure function of the row key: u = first 24 bits of

@@ -451,6 +451,56 @@ object Relational {
           / col("den") * lit(1000000)) / lit(1000000.0)).as("rev_corr"))
   }
 
+  /** q325: ABC×XYZ inventory matrix — q119's revenue classification
+    * crossed with demand VARIABILITY classes (X: monthly-demand CV ≤ 0.5,
+    * Y: ≤ 1.0, Z above): the 9-cell planning grid (AX = automate, CZ =
+    * drop) that neither axis gives alone. The ABC cumulative share runs
+    * through Prefix.over (no single-task window); the CV comes from
+    * per-(part, month) demand moments — both from the same fact scan's
+    * aggregates. Output is the 9-cell census with revenue share per cell.
+    */
+  def abcXyz(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val pm = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("q")).cast("double").as("qm"), sum(col("rev")).as("revm"))
+    val perPart = pm.groupBy(col("l_partkey"))
+      .agg(sum(col("revm")).as("prev"),
+        count(lit(1)).as("nm"),
+        sum(col("qm").cast("decimal(28,6)")).cast("double").as("sq"),
+        sum((col("qm") * col("qm")).cast("decimal(38,6)"))
+          .cast("double").as("sqq"))
+      .withColumn("mu", col("sq") / col("nm"))
+      .withColumn("cv", when(col("mu") > 0, s12(
+        sqrt(greatest(col("sqq") / col("nm") - col("mu") * col("mu"),
+          lit(0.0))) / col("mu"))).otherwise(lit(0.0)))
+    val total = perPart.agg(sum(col("prev")).as("trev"))
+    val classed = Prefix.over(perPart.crossJoin(broadcast(total)),
+        Seq(col("prev").desc, col("l_partkey")),
+        Seq(Prefix.Agg(col("prev"), "cum_rev")))
+      .withColumn("cum_share",
+        col("cum_rev").cast("double") / col("trev").cast("double"))
+      .withColumn("abc",
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .withColumn("xyz",
+        when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y")
+          .otherwise("Z"))
+    classed.groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        (round(sum(col("prev")).cast("double")
+          / max(col("trev")).cast("double") * lit(1000000))
+          / lit(1000000.0)).as("rev_share"))
+  }
+
   /** q315: exponentially time-decayed revenue leaderboard per brand —
     * each line's revenue weighted by 2^(−age/180d) relative to the
     * corpus's last order date, so the ranking answers "who matters NOW"

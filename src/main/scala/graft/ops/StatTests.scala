@@ -720,4 +720,45 @@ object StatTests {
 
   def mutualInformation(spark: SparkSession, sfDir: String): DataFrame =
     mutualInformation(Tables.events(spark, sfDir))
+
+  /** q326: post-hoc pairwise mean contrasts after q208's one-way ANOVA —
+    * Tukey-style |Δmean| / SE tables for every series pair with the
+    * pooled within-group variance (ANOVA's F says "some group differs";
+    * this says WHICH pairs, the answer people actually act on). Everything
+    * after the one moment aggregate is |types|²-bounded; the pooled MSE
+    * and each SE are closed-form from exact decimal sums; flag at the
+    * Bonferroni-ish |t| > 3 line on the rounded statistic.
+    */
+  def pairwiseContrasts(events: DataFrame): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val m = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(28,12)")).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,8)"))
+        .cast("double").as("s2"))
+      .withColumn("mu", s12(col("s1") / col("n")))
+      .withColumn("ssw", col("s2") - col("s1") * col("s1") / col("n"))
+    val pooled = m.agg(
+      sum(col("n")).as("nt"), count(lit(1)).as("k"),
+      s12(sum(s12(col("ssw")).cast("decimal(38,10)")).cast("double"))
+        .as("ssw_tot"))
+      .withColumn("mse", s12(col("ssw_tot") / (col("nt") - col("k"))))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("mu").as("mua"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("mu").as("mub"))
+    a.crossJoin(b).where(col("type_a") < col("type_b"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("se", sqrt(col("mse")
+        * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+      .withColumn("t", (col("mua") - col("mub")) / col("se"))
+      .select(col("type_a"), col("type_b"),
+        r6(col("mua") - col("mub")).as("mean_diff"),
+        r6(col("t")).as("t_stat"),
+        (abs(round(col("t") * lit(1000000)) / lit(1000000.0)) > 3.0)
+          .as("significant"))
+  }
+
+  def pairwiseContrasts(spark: SparkSession, sfDir: String): DataFrame =
+    pairwiseContrasts(Tables.events(spark, sfDir))
 }

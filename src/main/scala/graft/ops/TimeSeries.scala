@@ -1548,8 +1548,14 @@ object TimeSeries {
     * walked states are bit-identical; absolute one-step errors are
     * snapped per term before accumulating.
     */
-  def holtLinear(events: DataFrame): DataFrame = {
-    val daily = dailyMeans(events)
+  def holtLinear(events: DataFrame): DataFrame =
+    holtFromDaily(dailyMeans(events))
+
+  /** The q251 fold over an arbitrary (event_type, d, m) daily table —
+    * factored so q328's reconciliation can run the identical recursion on
+    * the bottom series AND the aggregated total series.
+    */
+  private[ops] def holtFromDaily(daily: DataFrame): DataFrame = {
     val arr = daily.groupBy(col("event_type"))
       .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
         .as("xs"))
@@ -1582,6 +1588,42 @@ object TimeSeries {
 
   def holtLinear(spark: SparkSession, sfDir: String): DataFrame =
     holtLinear(Tables.events(spark, sfDir))
+
+  /** q328: hierarchical forecast reconciliation audit — the 7-day Holt
+    * forecast made BOTTOM-UP (sum of per-series q251 forecasts) vs
+    * TOP-DOWN (the same fold on the aggregated total series). Smoothers
+    * don't commute with aggregation, so the two disagree; the gap is the
+    * reconciliation error a hierarchical-forecasting layer (MinT et al.)
+    * would distribute, and a gap blowing up between snapshots means the
+    * mix is shifting faster than the trend. One extra |days|-row fold on
+    * top of q251's machinery — the total series is the snapped per-day
+    * sum of the series' daily means, appended as one more key through the
+    * IDENTICAL recursion.
+    */
+  def forecastReconciliation(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val total = daily.groupBy(col("d"))
+      .agg((round(sum(col("m").cast("decimal(38,12)")).cast("double")
+        * lit(1e12)) / lit(1e12)).as("m"))
+      .select(lit("__TOTAL__").as("event_type"), col("d"), col("m"))
+    val fc = holtFromDaily(daily.unionByName(total))
+    fc.agg(
+        sum(when(col("event_type") =!= "__TOTAL__", 1L).otherwise(0L))
+          .as("n_series"),
+        sum(when(col("event_type") =!= "__TOTAL__",
+          col("forecast_7d").cast("decimal(28,6)"))).cast("double")
+          .as("bu"),
+        max(when(col("event_type") === "__TOTAL__", col("forecast_7d")))
+          .as("td"))
+      .select(col("n_series"),
+        (round(col("bu") * 10000) / 10000.0).as("bottom_up_7d"),
+        (round(col("td") * 10000) / 10000.0).as("top_down_7d"),
+        (round((col("bu") - col("td")) * 10000) / 10000.0 + lit(0.0))
+          .as("recon_gap"))
+  }
+
+  def forecastReconciliation(spark: SparkSession, sfDir: String): DataFrame =
+    forecastReconciliation(Tables.events(spark, sfDir))
 
   /** q252: Savitzky–Golay smoothing per series — the 5-point quadratic
     * least-squares filter (coefficients −3,12,17,12,−3 over 35) that
