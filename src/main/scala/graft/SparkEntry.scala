@@ -665,7 +665,14 @@ object SparkEntry {
     "q327_neyman_allocation" -> ((s, d) =>
       Curation.neymanAllocation(s, d).orderBy(col("source"))),
     "q328_forecast_reconciliation" -> ((s, d) =>
-      TimeSeries.forecastReconciliation(s, d))
+      TimeSeries.forecastReconciliation(s, d)),
+    "q329_brand_cagr" -> ((s, d) =>
+      Relational.brandCagr(s, d).orderBy(col("p_brand"))),
+    "q330_survivor_bias" -> ((s, d) =>
+      Dedup.survivorBias(s, d).orderBy(col("source"))),
+    "q331_price_elasticity" -> ((s, d) =>
+      Relational.priceElasticity(s, d).orderBy(col("p_brand"))),
+    "q332_nbd_fit" -> ((s, d) => Relational.nbdFit(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7558,7 +7565,126 @@ object SparkEntry {
         |  round(bu*10000)/10000.0 AS bottom_up_7d,
         |  round(td*10000)/10000.0 AS top_down_7d,
         |  round((bu - td)*10000)/10000.0 + 0.0 AS recon_gap
-        |FROM ag""".stripMargin
+        |FROM ag""".stripMargin,
+    "q329_brand_cagr" ->
+      """WITH bm AS (SELECT p_brand,
+        |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) m,
+        |    sum(CAST(l_extendedprice*(1 - l_discount) AS DECIMAL(18,6)))
+        |      rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |ag AS (SELECT p_brand, CAST(count(*) AS BIGINT) n_months,
+        |    min(m) mfirst, max(m) mlast FROM bm GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |fr AS (SELECT ag.p_brand, n_months, bf.rev frev, bl.rev lrev
+        |  FROM ag JOIN bm bf ON ag.p_brand = bf.p_brand
+        |    AND bf.m = ag.mfirst
+        |  JOIN bm bl ON ag.p_brand = bl.p_brand AND bl.m = ag.mlast),
+        |g AS (SELECT p_brand, n_months, frev, lrev,
+        |    round((ln(CAST(lrev AS DOUBLE)) - ln(CAST(frev AS DOUBLE)))
+        |      /CAST(n_months - 1 AS DOUBLE)*1e12)/1e12 g
+        |  FROM fr)
+        |SELECT p_brand, n_months,
+        |  round(CAST(frev AS DOUBLE)*100)/100.0 AS first_month_rev,
+        |  round(CAST(lrev AS DOUBLE)*100)/100.0 AS last_month_rev,
+        |  round((exp(g) - 1.0)*1000000)/1000000.0 AS monthly_growth
+        |FROM g ORDER BY 1""".stripMargin,
+    "q330_survivor_bias" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz0 AS (SELECT doc_id, band, sig,
+        |                count(*) OVER (PARTITION BY band, sig) bc FROM bands),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id
+        |          WHERE a.bc <= 64 AND b.bc <= 64),
+        |star AS (SELECT DISTINCT mn doc_a, doc_id doc_b FROM (
+        |           SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
+        |           FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
+        |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
+        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |          UNION SELECT doc_b, doc_a FROM allp),
+        |reach(node, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.comp < e.v),
+        |cc AS (SELECT node, min(comp) comp FROM reach GROUP BY 1),
+        |mem AS (SELECT dd.doc_id, dd.n_chars, coalesce(cc.comp, dd.doc_id) cluster_id
+        |        FROM documents dd LEFT JOIN cc ON dd.doc_id = cc.node),
+        |kp AS (SELECT cluster_id, CAST(count(*) AS BIGINT) cluster_size,
+        |              max(n_chars) mx FROM mem GROUP BY 1),
+        |k2 AS (SELECT m.cluster_id, min(m.doc_id) keeper_id
+        |       FROM mem m JOIN kp ON m.cluster_id = kp.cluster_id AND m.n_chars = kp.mx
+        |       GROUP BY 1),
+        |sv AS (SELECT m.doc_id, m.doc_id = k2.keeper_id AS is_kept
+        |  FROM mem m JOIN k2 USING (cluster_id)),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_kept
+        |  FROM documents JOIN sv ON documents.doc_id = sv.doc_id
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) td,
+        |    CAST(sum(n_kept) AS BIGINT) tk FROM ag)
+        |SELECT source, n_docs, n_kept,
+        |  round(CAST(n_kept AS DOUBLE)/CAST(n_docs AS DOUBLE)*10000)
+        |    /10000.0 AS keep_rate,
+        |  round(CAST(n_kept AS DOUBLE)/CAST(tk AS DOUBLE)
+        |    /(CAST(n_docs AS DOUBLE)/CAST(td AS DOUBLE))*10000)/10000.0
+        |    AS representation_ratio
+        |FROM ag, tt ORDER BY 1""".stripMargin,
+    "q331_price_elasticity" ->
+      """WITH xy AS (SELECT p_brand,
+        |    round(ln(CAST(l_extendedprice/l_quantity AS DOUBLE))*1e12)
+        |      /1e12 x,
+        |    round(ln(CAST(l_quantity AS DOUBLE))*1e12)/1e12 y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |mo AS (SELECT p_brand, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,10))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(y*y AS DECIMAL(38,10))) AS DOUBLE) syy
+        |  FROM xy GROUP BY 1),
+        |v AS (SELECT p_brand, n, CAST(n AS DOUBLE) nn, sx, sy, sxx,
+        |    sxy, syy FROM mo),
+        |w AS (SELECT p_brand, n,
+        |    sxx - sx*sx/nn vx, syy - sy*sy/nn vy,
+        |    sxy - sx*sy/nn cxy FROM v)
+        |SELECT p_brand, n,
+        |  round(cxy/vx*1000000)/1000000.0 AS elasticity,
+        |  round(cxy*cxy/(vx*vy)*1000000)/1000000.0 AS r2
+        |FROM w WHERE vx > 0 AND vy > 0 ORDER BY 1""".stripMargin,
+    "q332_nbd_fit" ->
+      """WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) k
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) n_customers,
+        |    CAST(sum(k) AS BIGINT) s1, CAST(sum(k*k) AS BIGINT) s2
+        |  FROM per),
+        |x AS (SELECT n_customers, CAST(n_customers AS DOUBLE) nn,
+        |    round(CAST(s1 AS DOUBLE)/CAST(n_customers AS DOUBLE)*1e12)
+        |      /1e12 mu, s2 FROM m),
+        |y AS (SELECT n_customers, mu,
+        |    round((CAST(s2 AS DOUBLE)/nn - mu*mu)*1e12)/1e12 v FROM x)
+        |SELECT n_customers,
+        |  round(mu*10000)/10000.0 AS mean_orders,
+        |  round(v*10000)/10000.0 AS var_orders,
+        |  v > mu AS overdispersed,
+        |  round((CASE WHEN v > mu THEN mu*mu/(v - mu) ELSE 0.0 END)
+        |    *10000)/10000.0 AS nb_r,
+        |  round((CASE WHEN v > mu THEN mu/v ELSE 1.0 END)*10000)/10000.0
+        |    AS nb_p
+        |FROM y""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

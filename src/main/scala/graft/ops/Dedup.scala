@@ -748,6 +748,34 @@ object Dedup {
   def clusterKeepBest(spark: SparkSession, sfDir: String): DataFrame =
     clusterKeepBest(Tables.documents(spark, sfDir))
 
+  /** q330: dedup survivor-bias census — after q93's keep-best-per-cluster
+    * policy, which SOURCES survive? A source whose docs lose ties
+    * systematically (shorter boilerplate copies of content another feed
+    * carries in full) quietly vanishes from the deduped corpus; the
+    * representation ratio (share of kept / share of corpus) is the number
+    * mixture planning must re-weight by. Composes clusterKeepBest with
+    * one source join + a 20-row rollup.
+    */
+  def survivorBias(docs: DataFrame): DataFrame = {
+    val kept = clusterKeepBest(docs).select(col("doc_id"), col("is_kept"))
+    val ag = docs.select(col("doc_id"), col("source"))
+      .join(kept, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"))
+    val tot = ag.agg(sum(col("n_docs")).as("td"), sum(col("n_kept")).as("tk"))
+    ag.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (round(col("n_kept").cast("double") / col("n_docs").cast("double")
+          * lit(10000)) / lit(10000.0)).as("keep_rate"),
+        (round(col("n_kept").cast("double") / col("tk").cast("double")
+          / (col("n_docs").cast("double") / col("td").cast("double"))
+          * lit(10000)) / lit(10000.0)).as("representation_ratio"))
+  }
+
+  def survivorBias(spark: SparkSession, sfDir: String): DataFrame =
+    survivorBias(Tables.documents(spark, sfDir))
+
   /** q96: asymmetric containment pairs — ordered (doc_a, doc_b) where at
     * least `minContainment` of A's shingles also appear in B. Containment
     * |A∩B| / |A| catches what Jaccard structurally cannot: a short document

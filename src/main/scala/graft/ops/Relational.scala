@@ -501,6 +501,113 @@ object Relational {
           / lit(1000000.0)).as("rev_share"))
   }
 
+  /** q329: compound monthly growth rate per brand — the geometric-mean
+    * growth over each brand's ACTIVE months, which telescopes: the mean of
+    * ln month-over-month ratios collapses to (ln last − ln first)/steps,
+    * so the whole CAGR needs only each brand's first/last monthly revenue
+    * (two struct-extremes in one aggregate) — no per-month chain at all.
+    * ln endpoints snapped before the divide; exp at the end, swallowed by
+    * the output rounding.
+    */
+  def brandCagr(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val bm = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("rev"))
+    bm.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_months"),
+        min(struct(col("m"), col("rev"))).as("first"),
+        max(struct(col("m"), col("rev"))).as("last"))
+      .where(col("n_months") >= 2)
+      .withColumn("g", s12(
+        (log(col("last.rev").cast("double"))
+          - log(col("first.rev").cast("double")))
+          / (col("n_months") - 1).cast("double")))
+      .select(col("p_brand"), col("n_months"),
+        (round(col("first.rev").cast("double") * 100) / 100.0)
+          .as("first_month_rev"),
+        (round(col("last.rev").cast("double") * 100) / 100.0)
+          .as("last_month_rev"),
+        (round((exp(col("g")) - lit(1.0)) * lit(1000000))
+          / lit(1000000.0)).as("monthly_growth"))
+  }
+
+  /** q331: price elasticity of demand per brand — the log-log OLS slope
+    * d ln Q / d ln P over line items (q263's LINEAR per-brand fit answers
+    * "how correlated"; the elasticity answers the pricing question "what
+    * happens to volume at +1% price"). ln terms 1e-12-snapped before the
+    * five decimal moment sums (the q279 contract), closed-form slope and
+    * R² per brand in one shuffle.
+    */
+  def priceElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val xy = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        s12(log((col("l_extendedprice") / col("l_quantity"))
+          .cast("double"))).as("x"),
+        s12(log(col("l_quantity").cast("double"))).as("y"))
+    xy.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,12)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,10)"))
+          .cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,10)"))
+          .cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,10)"))
+          .cast("double").as("syy"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("nn"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("nn"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("nn"))
+      .where(col("vx") > 0 && col("vy") > 0)
+      .select(col("p_brand"), col("n"),
+        (round(col("cxy") / col("vx") * lit(1000000)) / lit(1000000.0))
+          .as("elasticity"),
+        (round(col("cxy") * col("cxy") / (col("vx") * col("vy"))
+          * lit(1000000)) / lit(1000000.0)).as("r2"))
+  }
+
+  /** q332: negative-binomial fit of orders-per-customer by method of
+    * moments — the count-modeling classic (Poisson forces mean =
+    * variance; real purchase counts overdisperse, and the NBD's (r, p)
+    * is the standard basis for "how many will buy k times" planning à la
+    * Ehrenberg). One aggregate to (mean, variance); r = μ²/(σ²−μ),
+    * p = μ/σ² closed-form, with the underdispersed edge flagged instead
+    * of emitting a negative r.
+    */
+  def nbdFit(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+    per.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("k")).as("s1"),
+        sum(col("k") * col("k")).as("s2"))
+      .withColumn("nn", col("n_customers").cast("double"))
+      .withColumn("mu", s12(col("s1").cast("double") / col("nn")))
+      .withColumn("v", s12(col("s2").cast("double") / col("nn")
+        - col("mu") * col("mu")))
+      .select(col("n_customers"),
+        (round(col("mu") * lit(10000)) / lit(10000.0)).as("mean_orders"),
+        (round(col("v") * lit(10000)) / lit(10000.0)).as("var_orders"),
+        (col("v") > col("mu")).as("overdispersed"),
+        (round(when(col("v") > col("mu"),
+          col("mu") * col("mu") / (col("v") - col("mu")))
+          .otherwise(lit(0.0)) * lit(10000)) / lit(10000.0)).as("nb_r"),
+        (round(when(col("v") > col("mu"), col("mu") / col("v"))
+          .otherwise(lit(1.0)) * lit(10000)) / lit(10000.0)).as("nb_p"))
+  }
+
   /** q315: exponentially time-decayed revenue leaderboard per brand —
     * each line's revenue weighted by 2^(−age/180d) relative to the
     * corpus's last order date, so the ranking answers "who matters NOW"

@@ -276,7 +276,8 @@ class PlanAuditSpec extends SparkSpec {
     // window over the whole aggregate
     for (name <- Seq("q119_abc_classes", "q121_revenue_gini",
                      "q238_pareto_frontier", "q244_lorenz_deciles",
-                     "q264_rfm_segments")) {
+                     "q264_rfm_segments", "q309_spend_migration",
+                     "q325_abc_xyz")) {
       val plan = plans(name)
       assert(plan.contains("hashpartitioning(__prefix_pid"),
         s"$name lost the distributed prefix shape (no __prefix_pid partition)")
@@ -297,6 +298,24 @@ class PlanAuditSpec extends SparkSpec {
               "a single task holds that whole input")
       }
     }
+  }
+
+  test("round-6 widening: moment-heavy aggregates keep map-side combine") {
+    // the moment/entropy suites must reduce map-side — a lost partial agg
+    // ships every raw row to the reducers at 100 TB
+    for (name <- Seq("q306_theil_decomposition", "q316_bimodality",
+                     "q321_mutual_information", "q326_pairwise_contrasts",
+                     "q293_simpson_diversity", "q312_brand_revenue_corr"))
+      assert("HashAggregate".r.findAllIn(plans(name)).size >= 2,
+        s"$name lost its map-side partial aggregate")
+  }
+
+  test("round-6 widening: scalar/dimension sides broadcast") {
+    for (name <- Seq("q315_decayed_share", "q305_nation_gini",
+                     "q307_diff_in_diff"))
+      assert(plans(name).contains("BroadcastExchange")
+        || plans(name).contains("BroadcastHashJoin"),
+        s"$name lost its broadcast side")
   }
 
   test("whole-stage codegen covers the relational core") {
