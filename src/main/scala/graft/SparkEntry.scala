@@ -672,7 +672,9 @@ object SparkEntry {
       Dedup.survivorBias(s, d).orderBy(col("source"))),
     "q331_price_elasticity" -> ((s, d) =>
       Relational.priceElasticity(s, d).orderBy(col("p_brand"))),
-    "q332_nbd_fit" -> ((s, d) => Relational.nbdFit(s, d))
+    "q332_nbd_fit" -> ((s, d) => Relational.nbdFit(s, d)),
+    "q333_mase_baselines" -> ((s, d) =>
+      TimeSeries.maseBaselines(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7684,7 +7686,32 @@ object SparkEntry {
         |    *10000)/10000.0 AS nb_r,
         |  round((CASE WHEN v > mu THEN mu/v ELSE 1.0 END)*10000)/10000.0
         |    AS nb_p
-        |FROM y""".stripMargin
+        |FROM y""".stripMargin,
+    "q333_mase_baselines" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, m,
+        |    row_number() OVER w rn,
+        |    lag(m, 1) OVER w l1, lag(m, 7) OVER w l7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |e AS (SELECT event_type,
+        |    round(abs(m - l1)*1e12)/1e12 e1,
+        |    round(abs(m - l7)*1e12)/1e12 e7
+        |  FROM lg WHERE rn > 7),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) n_eval,
+        |    CAST(sum(CAST(e1 AS DECIMAL(38,12))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(e7 AS DECIMAL(38,12))) AS DOUBLE) s7
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |  round(s1/n_eval*1000000)/1000000.0 AS mae_naive,
+        |  round(s7/n_eval*1000000)/1000000.0 AS mae_seasonal,
+        |  round(s7/s1*1000000)/1000000.0 AS mase,
+        |  round(s7/s1*1000000)/1000000.0 < 1.0 AS weekly_signal
+        |FROM ag WHERE s1 > 0 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

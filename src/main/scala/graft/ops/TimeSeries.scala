@@ -1996,6 +1996,40 @@ object TimeSeries {
   def holtDamped(spark: SparkSession, sfDir: String): DataFrame =
     holtDamped(Tables.events(spark, sfDir))
 
+  /** q333: MASE baseline duel per series — MAE of the seasonal-naive
+    * (x̂ₜ = xₜ₋₇) against the plain naive (x̂ₜ = xₜ₋₁) forecast over the
+    * SAME evaluation rows, their ratio being the scaled error every
+    * forecast paper normalizes by: mase < 1 ⇒ the weekly rhythm carries
+    * real signal (the decision input for q273-vs-q251 model choice).
+    * Two lag windows on the bounded daily table; absolute errors
+    * 1e-12-snapped, exact decimal means.
+    */
+  def maseBaselines(events: DataFrame): DataFrame = {
+    val daily = dailyMeans(events)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val e = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("l1", lag(col("m"), 1).over(w))
+      .withColumn("l7", lag(col("m"), 7).over(w))
+      .where(col("rn") > 7)
+      .withColumn("e1", round(abs(col("m") - col("l1")) * lit(1e12)) / lit(1e12))
+      .withColumn("e7", round(abs(col("m") - col("l7")) * lit(1e12)) / lit(1e12))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("e1").cast("decimal(38,12)")).cast("double").as("s1"),
+        sum(col("e7").cast("decimal(38,12)")).cast("double").as("s7"))
+      .where(col("s1") > 0)
+      .select(col("event_type"), col("n_eval"),
+        r6c(col("s1") / col("n_eval")).as("mae_naive"),
+        r6c(col("s7") / col("n_eval")).as("mae_seasonal"),
+        r6c(col("s7") / col("s1")).as("mase"),
+        (round(col("s7") / col("s1") * lit(1000000)) / lit(1000000.0)
+          < 1.0).as("weekly_signal"))
+  }
+
+  def maseBaselines(spark: SparkSession, sfDir: String): DataFrame =
+    maseBaselines(Tables.events(spark, sfDir))
+
   /** q319: Croston's method for intermittent demand — the forecasting
     * standard for sparse series (most part-level retail demand), which
     * plain smoothing butchers: separately smooth the nonzero demand SIZES
