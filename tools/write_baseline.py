@@ -11,10 +11,12 @@ import json
 import re
 import sys
 
-HEADER = """# BASELINE — round-5 bench (the number round 6+ must stay within 2x of)
+HEADER = """# BASELINE — round-6 bench (the number round 7+ must stay within 2x of)
 
-Source: fresh end-of-round-5 run of `graft.Bench` — sf0.1, local[32],
-all {n} queries.
+Source: fresh end-of-round-6 run of `graft.Bench` — sf0.1, local[32],
+all {n} queries. The prior round's table is preserved as
+BASELINE_r05.md, so cross-round comparisons never diff a round against
+itself.
 
 **Methodology** (this is what makes the number comparable): 2 untimed
 warmup passes over the full query list (JIT + whole-stage-codegen
@@ -32,9 +34,13 @@ bench — CPU contention skews sub-second queries 3-4x.
 Deliberate algorithm trades (slower locally, mandatory at 100 TB), all
 oracle-identical to their direct counterparts: q21/q47 prefix-filtered
 Jaccard, q34/q49 two-pass exact percentiles, q50 maxDf cap, q22/q52/q59
-LSH band-bucket cap, q96 asymmetric containment prefix. The heavy
-hitters are the pair-join dedup family (q21/q47/q96) and the CC-based
-clustering consumers (q76/q83/q93) — all candidate-bounded, none
+LSH band-bucket cap, q96 asymmetric containment prefix, and — new in
+round 6 — the distributed two-pass prefix aggregation behind
+q119/q121/q238/q244/q264/q309/q325 (a localCheckpoint + two extra
+bounded shuffles per pass buys the removal of every single-task
+global-order window; ~0.3-0.7 s per query locally). The heavy hitters
+remain the pair-join dedup family (q21/q47/q96/q300) and the CC-based
+clustering consumers (q76/q83/q93/q330) — all candidate-bounded, none
 all-pairs.
 
 | query | sec |
