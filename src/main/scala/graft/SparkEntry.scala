@@ -674,7 +674,15 @@ object SparkEntry {
       Relational.priceElasticity(s, d).orderBy(col("p_brand"))),
     "q332_nbd_fit" -> ((s, d) => Relational.nbdFit(s, d)),
     "q333_mase_baselines" -> ((s, d) =>
-      TimeSeries.maseBaselines(s, d).orderBy(col("event_type")))
+      TimeSeries.maseBaselines(s, d).orderBy(col("event_type"))),
+    "q334_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(s, d).orderBy(col("source"))),
+    "q335_session_depth" -> ((s, d) =>
+      Ranges.sessionDepth(s, d).orderBy(col("log2_depth"))),
+    "q336_type_user_overlap" -> ((s, d) =>
+      Ranges.typeUserOverlap(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q337_weibull_fit" -> ((s, d) =>
+      Ranges.weibullFit(s, d).orderBy(col("segment")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7711,7 +7719,104 @@ object SparkEntry {
         |  round(s7/n_eval*1000000)/1000000.0 AS mae_seasonal,
         |  round(s7/s1*1000000)/1000000.0 AS mase,
         |  round(s7/s1*1000000)/1000000.0 < 1.0 AS weekly_signal
-        |FROM ag WHERE s1 > 0 ORDER BY 1""".stripMargin
+        |FROM ag WHERE s1 > 0 ORDER BY 1""".stripMargin,
+    "q334_char_entropy" ->
+      """WITH ch AS (SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '')) ch
+        |  FROM documents),
+        |c AS (SELECT source, ch, CAST(count(*) AS BIGINT) c
+        |  FROM ch WHERE length(ch) = 1 GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) n,
+        |    CAST(count(*) AS BIGINT) alphabet FROM c GROUP BY 1),
+        |k AS (SELECT c.source, n, alphabet,
+        |    round(-(CAST(c AS DOUBLE)/n)*log2(CAST(c AS DOUBLE)/n)*1e12)
+        |      /1e12 t
+        |  FROM c JOIN t ON c.source = t.source)
+        |SELECT source, max(n) n_chars, max(alphabet) alphabet,
+        |  round(CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE)*1000000)
+        |    /1000000.0 AS char_entropy_bits
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q335_session_depth" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) ep FROM events),
+        |l AS (SELECT user_id, ep,
+        |    lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+        |      prev
+        |  FROM e),
+        |m AS (SELECT user_id, ep,
+        |    CASE WHEN prev IS NULL OR ep - prev > 14400 THEN 1 ELSE 0
+        |      END is_new
+        |  FROM l),
+        |s AS (SELECT user_id, ep,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ep
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) sess_n
+        |  FROM m),
+        |g AS (SELECT user_id, sess_n, CAST(count(*) AS BIGINT) n_events
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT CAST(length(bin(n_events)) - 1 AS INT) bkt,
+        |    n_events FROM g),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) ts,
+        |    CAST(sum(n_events) AS BIGINT) te FROM b)
+        |SELECT bkt AS log2_depth, CAST(count(*) AS BIGINT) n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) n_events,
+        |  round(CAST(count(*) AS DOUBLE)/CAST(ts AS DOUBLE)*10000)
+        |    /10000.0 AS session_share,
+        |  round(CAST(sum(n_events) AS DOUBLE)/CAST(te AS DOUBLE)*10000)
+        |    /10000.0 AS event_share
+        |FROM b, tt GROUP BY 1, ts, te ORDER BY 1""".stripMargin,
+    "q336_type_user_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) nu FROM tu
+        |  GROUP BY 1),
+        |iv AS (SELECT a.event_type type_a, b.event_type type_b,
+        |    CAST(count(*) AS BIGINT) n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  round(CAST(n_both AS DOUBLE)
+        |    /CAST(sa.nu + sb.nu - n_both AS DOUBLE)*1000000)/1000000.0
+        |    AS user_jaccard
+        |FROM iv JOIN sz sa ON type_a = sa.event_type
+        |  JOIN sz sb ON type_b = sb.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q337_weibull_fit" ->
+      """WITH g0 AS (SELECT o_custkey, o_orderdate,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) prev
+        |  FROM orders),
+        |gp AS (SELECT c_mktsegment segment,
+        |    datediff('day', prev, o_orderdate) gap
+        |  FROM g0 JOIN customer ON o_custkey = c_custkey
+        |  WHERE prev IS NOT NULL
+        |    AND datediff('day', prev, o_orderdate) > 0),
+        |rk AS (SELECT segment, gap,
+        |    CAST(row_number() OVER (PARTITION BY segment ORDER BY gap)
+        |      AS BIGINT) i,
+        |    CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) n
+        |  FROM gp),
+        |xy AS (SELECT segment,
+        |    round(ln(CAST(gap AS DOUBLE))*1e12)/1e12 x,
+        |    round(ln(-ln(1.0 - (i - 0.3)/(n + 0.4)))*1e12)/1e12 y
+        |  FROM rk),
+        |mo AS (SELECT segment, CAST(count(*) AS BIGINT) n_gaps,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,10))) AS DOUBLE) sxy
+        |  FROM xy GROUP BY 1),
+        |ft AS (SELECT segment, n_gaps, CAST(n_gaps AS DOUBLE) nn, sx, sy,
+        |    sxx, sxy FROM mo),
+        |k AS (SELECT segment, n_gaps,
+        |    (sxy - sx*sy/nn)/(sxx - sx*sx/nn) k, sx, sy, nn FROM ft),
+        |lm AS (SELECT segment, n_gaps, k,
+        |    sx/nn - (sy/nn)/k lnlam FROM k)
+        |SELECT segment, n_gaps,
+        |  round(k*1000000)/1000000.0 AS shape_k,
+        |  round(exp(lnlam)*10000)/10000.0 AS scale_days,
+        |  round(k*1000000)/1000000.0 < 1.0 AS front_loaded
+        |FROM lm ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

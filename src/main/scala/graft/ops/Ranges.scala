@@ -432,6 +432,110 @@ object Ranges {
   def sessionization(spark: SparkSession, sfDir: String, gapSec: Long = 14400L): DataFrame =
     sessionization(Tables.events(spark, sfDir), gapSec)
 
+  /** q335: session-depth distribution — sessions histogrammed into
+    * power-of-2 event-count buckets with event mass per bucket (the
+    * engagement-shape table: a healthy product shows a fat 2-8 band; a
+    * bot problem shows a 256+ tail carrying most of the events). Rides
+    * q79's sessionization; the bucket is the integer bit-length idiom
+    * (length(bin(n))−1, q277's contract — never a ln ratio).
+    */
+  def sessionDepth(events: DataFrame, gapSec: Long = 14400L): DataFrame = {
+    val sess = sessionization(events, gapSec)
+      .withColumn("bkt", (length(bin(col("n_events"))) - 1).cast("int"))
+    val tot = sess.agg(count(lit(1)).as("ts"), sum(col("n_events")).as("te"))
+    sess.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("bkt").as("log2_depth"),
+        col("n_sessions"), col("n_events"),
+        (round(col("n_sessions").cast("double") / col("ts").cast("double")
+          * lit(10000)) / lit(10000.0)).as("session_share"),
+        (round(col("n_events").cast("double") / col("te").cast("double")
+          * lit(10000)) / lit(10000.0)).as("event_share"))
+  }
+
+  def sessionDepth(spark: SparkSession, sfDir: String): DataFrame =
+    sessionDepth(Tables.events(spark, sfDir))
+
+  /** q336: user-base overlap between event types — Jaccard of the DISTINCT
+    * user sets per type pair ("do the people who error also purchase"),
+    * the audience-overlap table feature-flag and funnel work leans on.
+    * One distinct (type, user) shuffle; the pair intersection joins on
+    * user and is bounded by per-user type combinations (≤ |types|² per
+    * user); union sizes from the per-type totals.
+    */
+  def typeUserOverlap(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val inter = tu.toDF("type_a", "user_id")
+      .join(tu.toDF("type_b", "user_id"), "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.toDF("type_a", "na"), "type_a")
+      .join(sizes.toDF("type_b", "nb"), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (round(col("n_both").cast("double")
+          / (col("na") + col("nb") - col("n_both")).cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("user_jaccard"))
+  }
+
+  def typeUserOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    typeUserOverlap(Tables.events(spark, sfDir))
+
+  /** q337: Weibull fit of repeat-order gaps per market segment by
+    * median-rank regression — ln(−ln(1−F)) regressed on ln(gap) over the
+    * ordered gaps gives the SHAPE k (k < 1 ⇒ reorder hazard falls with
+    * time: churn risk front-loaded; k > 1 ⇒ wear-out style reordering)
+    * and scale λ; the distributional upgrade of q311's two quantile
+    * points. Ranks come from a per-segment window; Benard's median rank
+    * (i−0.3)/(n+0.4); both ln terms snapped before the decimal moment
+    * sums; closed-form OLS per segment.
+    */
+  def weibullFit(spark: SparkSession, sfDir: String): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"),
+      col("o_orderkey"))
+    val gaps = Tables.orders(spark, sfDir)
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        datediff(col("o_orderdate"), col("prev")).as("gap"))
+      .where(col("gap") > 0)
+    // ties in gap get arbitrary ranks, but tied rows share x, so the
+    // (x, y) pair SET — and every moment sum — is tie-order invariant
+    val ranked = gaps
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("segment")).orderBy(col("gap"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("segment"))))
+      .withColumn("x", s12(log(col("gap").cast("double"))))
+      .withColumn("y", s12(log(-log(lit(1.0)
+        - (col("i") - lit(0.3)) / (col("n") + lit(0.4))))))
+    ranked.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,12)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,10)"))
+          .cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,10)"))
+          .cast("double").as("sxy"))
+      .withColumn("nn", col("n_gaps").cast("double"))
+      .withColumn("k", (col("sxy") - col("sx") * col("sy") / col("nn"))
+        / (col("sxx") - col("sx") * col("sx") / col("nn")))
+      .withColumn("lnlam", col("sx") / col("nn")
+        - (col("sy") / col("nn")) / col("k"))
+      .select(col("segment"), col("n_gaps"),
+        (round(col("k") * lit(1000000)) / lit(1000000.0)).as("shape_k"),
+        (round(exp(col("lnlam")) * lit(10000)) / lit(10000.0))
+          .as("scale_days"),
+        (round(col("k") * lit(1000000)) / lit(1000000.0) < 1.0)
+          .as("front_loaded"))
+  }
+
   /** q94: SCD type-2 change tracking — collapse each user's event stream
     * into validity intervals of its tracked attribute (event_type standing
     * in for "operating state"): one row per run of equal consecutive

@@ -1328,4 +1328,33 @@ object TextAnalysis {
 
   def tokenBurstiness(spark: SparkSession, sfDir: String): DataFrame =
     tokenBurstiness(Tables.documents(spark, sfDir))
+
+  /** q334: character-level entropy per source — the alphabet-granularity
+    * compressibility signal under q113's token entropy and q281's 4-gram
+    * proxy (machine-generated or base64-ish feeds show char entropy far
+    * from natural language's ~4.1 bits even when token stats look sane).
+    * One char explode into a (source, char) count table bounded by
+    * |sources|×|alphabet|; −Σ p·log₂p with snapped terms.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"),
+        explode(split(Dedup.normText(col("text")), "")).as("ch"))
+      .where(length(col("ch")) === 1)
+      .groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("alphabet"))
+    counts.join(broadcast(tot), "source")
+      .withColumn("t", round(-(col("c").cast("double") / col("n"))
+        * log(2.0, col("c").cast("double") / col("n")) * lit(1e12))
+        / lit(1e12))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_chars"), max(col("alphabet")).as("alphabet"),
+        (round(sum(col("t").cast("decimal(38,12)")).cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("char_entropy_bits"))
+  }
+
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    charEntropy(Tables.documents(spark, sfDir))
 }
