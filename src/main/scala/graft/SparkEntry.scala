@@ -682,7 +682,13 @@ object SparkEntry {
     "q336_type_user_overlap" -> ((s, d) =>
       Ranges.typeUserOverlap(s, d).orderBy(col("type_a"), col("type_b"))),
     "q337_weibull_fit" -> ((s, d) =>
-      Ranges.weibullFit(s, d).orderBy(col("segment")))
+      Ranges.weibullFit(s, d).orderBy(col("segment"))),
+    "q338_order_day_streaks" -> ((s, d) =>
+      Relational.orderDayStreaks(s, d)),
+    "q339_priority_inversion" -> ((s, d) =>
+      Relational.priorityInversionDays(s, d)),
+    "q340_lognormal_fit" -> ((s, d) =>
+      TextAnalysis.lognormalFit(s, d).orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7816,7 +7822,66 @@ object SparkEntry {
         |  round(k*1000000)/1000000.0 AS shape_k,
         |  round(exp(lnlam)*10000)/10000.0 AS scale_days,
         |  round(k*1000000)/1000000.0 < 1.0 AS front_loaded
-        |FROM lm ORDER BY 1""".stripMargin
+        |FROM lm ORDER BY 1""".stripMargin,
+    "q338_order_day_streaks" ->
+      """WITH days AS (SELECT DISTINCT
+        |    CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) d
+        |  FROM orders),
+        |isl AS (SELECT d, d - row_number() OVER (ORDER BY d) island
+        |  FROM days),
+        |st AS (SELECT island, CAST(count(*) AS BIGINT) len FROM isl
+        |  GROUP BY 1),
+        |gp AS (SELECT coalesce(max(nxt - d - 1), 0) max_gap_days,
+        |    CAST(count(*) AS BIGINT) n_gaps
+        |  FROM (SELECT d, lead(d) OVER (ORDER BY d) nxt FROM isl)
+        |  WHERE nxt IS NOT NULL AND nxt > d + 1)
+        |SELECT CAST(count(*) AS BIGINT) n_streaks,
+        |  CAST(max(len) AS BIGINT) longest_streak_days,
+        |  CAST(sum(len) AS BIGINT) n_active_days,
+        |  CAST(max_gap_days AS BIGINT) max_gap_days, n_gaps
+        |FROM st, gp GROUP BY max_gap_days, n_gaps""".stripMargin,
+    "q339_priority_inversion" ->
+      """WITH lat AS (SELECT
+        |    CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) d,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'hi' ELSE 'lo' END cls,
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE) lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |md AS (SELECT d, cls, quantile_cont(lat, 0.5) med
+        |  FROM lat GROUP BY 1, 2),
+        |hi AS (SELECT d, med mhi FROM md WHERE cls = 'hi'),
+        |lo AS (SELECT d, med mlo FROM md WHERE cls = 'lo'),
+        |j AS (SELECT hi.d, mhi, mlo FROM hi JOIN lo ON hi.d = lo.d)
+        |SELECT CAST(count(*) AS BIGINT) n_days_both,
+        |  CAST(sum(CASE WHEN mhi > mlo THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_inversion_days,
+        |  round(CAST(sum(CASE WHEN mhi > mlo THEN 1 ELSE 0 END)
+        |    AS DOUBLE)/CAST(count(*) AS DOUBLE)*10000)/10000.0
+        |    AS inversion_rate
+        |FROM j""".stripMargin,
+    "q340_lognormal_fit" ->
+      """WITH xs AS (SELECT source,
+        |    round(ln(CAST(n_chars AS DOUBLE))*1e12)/1e12 x,
+        |    CAST(n_chars AS DOUBLE) len
+        |  FROM documents WHERE n_chars > 0),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) s2
+        |  FROM xs GROUP BY 1),
+        |f AS (SELECT source, n_docs,
+        |    round(s1/n_docs*1e12)/1e12 mu, s2 FROM m),
+        |g AS (SELECT source, n_docs, mu,
+        |    round(sqrt(greatest(s2/n_docs - mu*mu, 0.0))*1e12)/1e12 sg
+        |  FROM f),
+        |md AS (SELECT source, quantile_cont(len, 0.5) med FROM xs
+        |  GROUP BY 1)
+        |SELECT g.source, n_docs,
+        |  round(mu*1000000)/1000000.0 AS ln_mu,
+        |  round(sg*1000000)/1000000.0 AS ln_sigma,
+        |  round(exp(mu)*100)/100.0 AS fitted_median,
+        |  round(med*100)/100.0 AS actual_median,
+        |  round(exp(mu)/med*10000)/10000.0 AS median_ratio
+        |FROM g JOIN md ON g.source = md.source ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

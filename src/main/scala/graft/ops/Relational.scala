@@ -501,6 +501,74 @@ object Relational {
           / lit(1000000.0)).as("rev_share"))
   }
 
+  /** q338: order-day streak census — the classic gaps-and-islands idiom on
+    * the distinct order-day table (island id = day − dense row number;
+    * consecutive days share it): longest streak of consecutive days with
+    * at least one order, streak-length histogram, and the widest dark
+    * gap. The business-continuity pulse; the window runs over the BOUNDED
+    * distinct-day table, never order rows.
+    */
+  def orderDayStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.orders(spark, sfDir)
+      .select(floor(unix_timestamp(col("o_orderdate")) / 86400L).as("d"))
+      .distinct()
+    val w = Window.orderBy(col("d"))
+    val isl = days
+      .withColumn("island", col("d") - row_number().over(w))
+    val streaks = isl.groupBy(col("island"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("sd"), max(col("d")).as("ed"))
+    val gaps = isl
+      .withColumn("nxt", lead(col("d"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") > col("d") + 1)
+      .agg(coalesce(max(col("nxt") - col("d") - 1), lit(0L)).as("max_gap_days"),
+        count(lit(1)).as("n_gaps"))
+    streaks.agg(
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak_days"),
+        sum(col("len")).as("n_active_days"))
+      .crossJoin(gaps)
+  }
+
+  /** q339: priority-inversion days — order days where URGENT/HIGH lines
+    * actually shipped SLOWER (by exact median latency) than LOW-class
+    * lines placed the same day: the SLA-integrity violation count behind
+    * q291's static percentiles. Medians per (day, class) run through the
+    * count-and-locate engine on the composite group key — thousands of
+    * tiny groups, no task buffers one — and the inversion compare is one
+    * bounded self-join on the day.
+    */
+  def priorityInversionDays(spark: SparkSession, sfDir: String): DataFrame = {
+    val lat = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(
+          floor(unix_timestamp(col("o_orderdate")) / 86400L).cast("string"),
+          lit("|"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+            .otherwise("lo")).as("grp"),
+        datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("double").as("lat"))
+    val med = Percentiles.exactQuantiles(lat, "grp", "lat", Seq("m" -> 0.5))
+      .select(col("grp"), col("qv").as("med"))
+      .withColumn("d", split(col("grp"), "\\|").getItem(0).cast("long"))
+      .withColumn("cls", split(col("grp"), "\\|").getItem(1))
+    val hi = med.where(col("cls") === "hi").select(col("d"), col("med").as("mhi"))
+    val lo = med.where(col("cls") === "lo").select(col("d"), col("med").as("mlo"))
+    val joined = hi.join(lo, "d")
+    joined.agg(
+        count(lit(1)).as("n_days_both"),
+        sum(when(col("mhi") > col("mlo"), 1L).otherwise(0L))
+          .as("n_inversion_days"))
+      .select(col("n_days_both"), col("n_inversion_days"),
+        (round(col("n_inversion_days").cast("double")
+          / col("n_days_both").cast("double") * lit(10000)) / lit(10000.0))
+          .as("inversion_rate"))
+  }
+
   /** q329: compound monthly growth rate per brand — the geometric-mean
     * growth over each brand's ACTIVE months, which telescopes: the mean of
     * ln month-over-month ratios collapses to (ln last − ln first)/steps,

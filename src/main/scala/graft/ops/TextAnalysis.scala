@@ -1357,4 +1357,40 @@ object TextAnalysis {
 
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame =
     charEntropy(Tables.documents(spark, sfDir))
+
+  /** q340: lognormal fit of document length per source by method of
+    * moments on ln(n_chars) — THE canonical doc-length model; the fit
+    * table (μ, σ, fitted median e^μ vs actual exact median) screens
+    * sources whose length distribution isn't lognormal-ish (truncation,
+    * fixed-size chunking, template stamping all bend it). ln terms
+    * snapped before the decimal moment sums; the actual median through
+    * the count-and-locate engine.
+    */
+  def lognormalFit(docs: DataFrame): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val xs = docs.where(col("n_chars") > 0)
+      .select(col("source"), s12(log(col("n_chars").cast("double"))).as("x"),
+        col("n_chars").cast("double").as("len"))
+    val m = xs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x").cast("decimal(38,12)")).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,10)"))
+          .cast("double").as("s2"))
+      .withColumn("mu", s12(col("s1") / col("n_docs")))
+      .withColumn("sg", s12(sqrt(greatest(
+        col("s2") / col("n_docs") - col("mu") * col("mu"), lit(0.0)))))
+    val med = Percentiles.exactQuantiles(xs, "source", "len",
+      Seq("m" -> 0.5)).select(col("source"), col("qv").as("med"))
+    m.join(med, "source")
+      .select(col("source"), col("n_docs"),
+        (round(col("mu") * lit(1000000)) / lit(1000000.0)).as("ln_mu"),
+        (round(col("sg") * lit(1000000)) / lit(1000000.0)).as("ln_sigma"),
+        (round(exp(col("mu")) * lit(100)) / lit(100.0)).as("fitted_median"),
+        (round(col("med") * lit(100)) / lit(100.0)).as("actual_median"),
+        (round(exp(col("mu")) / col("med") * lit(10000)) / lit(10000.0))
+          .as("median_ratio"))
+  }
+
+  def lognormalFit(spark: SparkSession, sfDir: String): DataFrame =
+    lognormalFit(Tables.documents(spark, sfDir))
 }
