@@ -688,7 +688,10 @@ object SparkEntry {
     "q339_priority_inversion" -> ((s, d) =>
       Relational.priorityInversionDays(s, d)),
     "q340_lognormal_fit" -> ((s, d) =>
-      TextAnalysis.lognormalFit(s, d).orderBy(col("source")))
+      TextAnalysis.lognormalFit(s, d).orderBy(col("source"))),
+    "q341_quantile_shift" -> ((s, d) =>
+      Drift.quantileShift(s, d).orderBy(col("event_type"), col("quantile"))),
+    "q342_top_heavy" -> ((s, d) => Relational.topHeavyRatio(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7881,7 +7884,51 @@ object SparkEntry {
         |  round(exp(mu)*100)/100.0 AS fitted_median,
         |  round(med*100)/100.0 AS actual_median,
         |  round(exp(mu)/med*10000)/10000.0 AS median_ratio
-        |FROM g JOIN md ON g.source = md.source ORDER BY 1""".stripMargin
+        |FROM g JOIN md ON g.source = md.source ORDER BY 1""".stripMargin,
+    "q341_quantile_shift" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |sp AS (SELECT CAST(floor(min(e) + (max(e) - min(e)) * 0.75)
+        |    AS BIGINT) split_e FROM ev),
+        |ph AS (SELECT event_type,
+        |    CASE WHEN e < split_e THEN 'tr' ELSE 'ev' END phase, value
+        |  FROM ev CROSS JOIN sp),
+        |qv AS (SELECT event_type, phase,
+        |    quantile_cont(value, 0.10) q10, quantile_cont(value, 0.25) q25,
+        |    quantile_cont(value, 0.50) q50, quantile_cont(value, 0.75) q75,
+        |    quantile_cont(value, 0.90) q90
+        |  FROM ph GROUP BY 1, 2),
+        |lg AS (SELECT event_type, phase, qn quantile, q
+        |  FROM qv UNPIVOT (q FOR qn IN (q10, q25, q50, q75, q90))),
+        |pv AS (SELECT event_type, quantile,
+        |    min(CASE WHEN phase = 'tr' THEN q END) tr,
+        |    min(CASE WHEN phase = 'ev' THEN q END) ev
+        |  FROM lg GROUP BY 1, 2)
+        |SELECT event_type, quantile,
+        |  round(tr*10000)/10000.0 AS train_q,
+        |  round(ev*10000)/10000.0 AS eval_q,
+        |  round((ev - tr)*10000)/10000.0 + 0.0 AS shift
+        |FROM pv WHERE tr IS NOT NULL AND ev IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
+    "q342_top_heavy" ->
+      """WITH per AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) rev
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) n_total FROM per),
+        |rk AS (SELECT rev, n_total, CAST(row_number() OVER (
+        |    ORDER BY rev DESC, o_custkey) AS BIGINT) rn FROM per, n)
+        |SELECT CAST(max(n_total) AS BIGINT) n_customers,
+        |  round(CAST(sum(CASE WHEN rn <= ceil(n_total*0.01) THEN rev END)
+        |    AS DOUBLE)/CAST(sum(rev) AS DOUBLE)*1000000)/1000000.0
+        |    AS top1_share,
+        |  round(CAST(sum(CASE WHEN rn <= ceil(n_total*0.10) THEN rev END)
+        |    AS DOUBLE)/CAST(sum(rev) AS DOUBLE)*1000000)/1000000.0
+        |    AS top10_share,
+        |  round(CAST(sum(CASE WHEN rn <= ceil(n_total*0.01) THEN rev END)
+        |    AS DOUBLE)/CAST(sum(CASE WHEN rn <= ceil(n_total*0.10)
+        |      THEN rev END) AS DOUBLE)*1000000)/1000000.0
+        |    AS top1_of_top10
+        |FROM rk""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -299,6 +299,43 @@ object Drift {
   def energyDistance(spark: SparkSession, sfDir: String): DataFrame =
     energyDistance(Tables.events(spark, sfDir))
 
+  /** q341: quantile shift function per series on the frozen 75% split —
+    * eval-minus-train deltas at the 10/25/50/75/90 quantiles, the WHERE
+    * view the drift family's scalar statistics (KS/CvM/PSI/energy)
+    * compress away: a shift confined to Δq90 is a new heavy tail, a
+    * uniform Δ across all five is a level step — different incidents,
+    * same KS number. Both phases' quantiles run through the
+    * count-and-locate engine on a composite (series, phase) key; the
+    * pivot is |series|×5 rows.
+    */
+  def quantileShift(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+    val sp = ev.agg(
+      floor(min(col("e")) + (max(col("e")) - min(col("e"))) * 0.75)
+        .cast("long").as("split_e"))
+    val phased = ev.crossJoin(broadcast(sp))
+      .select(concat(col("event_type"), lit("|"),
+        when(col("e") < col("split_e"), "tr").otherwise("ev")).as("grp"),
+        col("value"))
+    val qv = Percentiles.exactQuantiles(phased, "grp", "value",
+      Seq("q10" -> 0.10, "q25" -> 0.25, "q50" -> 0.50,
+        "q75" -> 0.75, "q90" -> 0.90))
+      .withColumn("event_type", split(col("grp"), "\\|").getItem(0))
+      .withColumn("phase", split(col("grp"), "\\|").getItem(1))
+    val piv = qv.groupBy(col("event_type"), col("qname"))
+      .agg(min(when(col("phase") === "tr", col("qv"))).as("tr"),
+        min(when(col("phase") === "ev", col("qv"))).as("ev"))
+    piv.where(col("tr").isNotNull && col("ev").isNotNull)
+      .select(col("event_type"), col("qname").as("quantile"),
+        (round(col("tr") * lit(10000)) / lit(10000.0)).as("train_q"),
+        (round(col("ev") * lit(10000)) / lit(10000.0)).as("eval_q"),
+        (round((col("ev") - col("tr")) * lit(10000)) / lit(10000.0)
+          + lit(0.0)).as("shift"))
+  }
+
+  def quantileShift(spark: SparkSession, sfDir: String): DataFrame =
+    quantileShift(Tables.events(spark, sfDir))
+
   /** q140: per-sensor quantile drift train→eval — completes the drift
     * family along its fourth axis: q87/PSI sees binned mass, q128/KS the
     * whole CDF, the Welch/Mann–Whitney pair the central tendency; this

@@ -501,6 +501,36 @@ object Relational {
           / lit(1000000.0)).as("rev_share"))
   }
 
+  /** q342: top-heaviness ratios — revenue share of the top 1% and top 10%
+    * of customers and the 1%-to-10% concentration ratio (the "is this a
+    * whale business" summary executives actually quote, where q121's Gini
+    * is the integral). Ranks come from Prefix.over's distributed
+    * prefix-count (no single-task window); cutoffs are ceil(n·p) and the
+    * shares one conditional aggregate.
+    */
+  def topHeavyRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val n = per.agg(count(lit(1)).as("n_total"))
+    Prefix.over(per.crossJoin(broadcast(n)),
+        Seq(col("rev").desc, col("o_custkey")), Seq(Prefix.rowNumber("rn")))
+      .agg(
+        max(col("n_total")).as("n_customers"),
+        sum(col("rev")).as("tot"),
+        sum(when(col("rn") <= ceil(col("n_total") * lit(0.01)), col("rev")))
+          .as("top1"),
+        sum(when(col("rn") <= ceil(col("n_total") * lit(0.10)), col("rev")))
+          .as("top10"))
+      .select(col("n_customers"),
+        (round(col("top1").cast("double") / col("tot").cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("top1_share"),
+        (round(col("top10").cast("double") / col("tot").cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("top10_share"),
+        (round(col("top1").cast("double") / col("top10").cast("double")
+          * lit(1000000)) / lit(1000000.0)).as("top1_of_top10"))
+  }
+
   /** q338: order-day streak census — the classic gaps-and-islands idiom on
     * the distinct order-day table (island id = day − dense row number;
     * consecutive days share it): longest streak of consecutive days with

@@ -277,7 +277,7 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("q119_abc_classes", "q121_revenue_gini",
                      "q238_pareto_frontier", "q244_lorenz_deciles",
                      "q264_rfm_segments", "q309_spend_migration",
-                     "q325_abc_xyz")) {
+                     "q325_abc_xyz", "q342_top_heavy")) {
       val plan = plans(name)
       assert(plan.contains("hashpartitioning(__prefix_pid"),
         s"$name lost the distributed prefix shape (no __prefix_pid partition)")
