@@ -691,7 +691,8 @@ object SparkEntry {
       TextAnalysis.lognormalFit(s, d).orderBy(col("source"))),
     "q341_quantile_shift" -> ((s, d) =>
       Drift.quantileShift(s, d).orderBy(col("event_type"), col("quantile"))),
-    "q342_top_heavy" -> ((s, d) => Relational.topHeavyRatio(s, d))
+    "q342_top_heavy" -> ((s, d) => Relational.topHeavyRatio(s, d)),
+    "q343_bass_diffusion" -> ((s, d) => Regression.bassDiffusion(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7928,7 +7929,55 @@ object SparkEntry {
         |    AS DOUBLE)/CAST(sum(CASE WHEN rn <= ceil(n_total*0.10)
         |      THEN rev END) AS DOUBLE)*1000000)/1000000.0
         |    AS top1_of_top10
-        |FROM rk""".stripMargin
+        |FROM rk""".stripMargin,
+    "q343_bass_diffusion" ->
+      """WITH fo AS (SELECT o_custkey,
+        |    CAST(floor(min(epoch(o_orderdate))/86400) AS BIGINT) d
+        |  FROM orders GROUP BY 1),
+        |daily AS (SELECT d, CAST(count(*) AS DOUBLE) y FROM fo GROUP BY 1),
+        |cm AS (SELECT d, y, coalesce(sum(y) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) x1
+        |  FROM daily),
+        |cm2 AS (SELECT y, x1, x1*x1 x2 FROM cm),
+        |m AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(x2 AS DECIMAL(38,6))) AS DOUBLE) s2,
+        |    CAST(sum(CAST(x1*x1 AS DECIMAL(38,6))) AS DOUBLE) s11,
+        |    CAST(sum(CAST(x1*x2 AS DECIMAL(38,6))) AS DOUBLE) s12,
+        |    CAST(sum(CAST(x2*x2 AS DECIMAL(38,6))) AS DOUBLE) s22,
+        |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x1*y AS DECIMAL(38,6))) AS DOUBLE) s1y,
+        |    CAST(sum(CAST(x2*y AS DECIMAL(38,6))) AS DOUBLE) s2y
+        |  FROM cm2),
+        |dets AS (SELECT n, CAST(n AS DOUBLE) nn, s1, s2, s11, s12, s22,
+        |    sy, s1y, s2y FROM m),
+        |dv AS (SELECT n,
+        |    nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) det0,
+        |    nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) det1,
+        |    nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) det2
+        |  FROM dets),
+        |abc AS (SELECT n, round(det0/det*1e12)/1e12 + 0.0 a,
+        |    round(det1/det*1e12)/1e12 + 0.0 b,
+        |    round(det2/det*1e12)/1e12 + 0.0 c FROM dv),
+        |rt AS (SELECT n, a, b, c, b*b - 4.0*c*a disc FROM abc),
+        |mh AS (SELECT n, a, b, c,
+        |    CASE WHEN disc >= 0 AND c <> 0.0 THEN
+        |      greatest((-b + sqrt(disc))/(2.0*c),
+        |               (-b - sqrt(disc))/(2.0*c)) END m_raw FROM rt),
+        |pq AS (SELECT n, a, b, c, m_raw,
+        |    round(a/m_raw*1e12)/1e12 + 0.0 p,
+        |    round(-c*m_raw*1e12)/1e12 + 0.0 q FROM mh)
+        |SELECT n AS n_days, a AS beta0, b AS beta1, c AS beta2,
+        |  round(m_raw*100)/100.0 + 0.0 AS m_hat,
+        |  p AS p_hat, q AS q_hat,
+        |  CASE WHEN p > 0 AND q > 0 THEN
+        |    round(ln(q/p)/(p+q)*100)/100.0 + 0.0 END AS peak_day
+        |FROM pq""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -409,4 +409,86 @@ object Regression {
 
   def targetEncoding(spark: SparkSession, sfDir: String): DataFrame =
     targetEncoding(Tables.orders(spark, sfDir))
+
+  /** q343: Bass diffusion fit of the customer adoption curve — the classic
+    * n(t) = a + b·N(t−1) + c·N(t−1)² discrete regression (Bass 1969) over
+    * daily first-order counts, solved closed-form and inverted to the
+    * market-size / innovation / imitation triple M = root of cM²+bM+a,
+    * p̂ = a/M, q̂ = −c·M. The growth-curve question a corpus or customer
+    * base planner asks ("when does acquisition peak, and at what size?")
+    * answered without an optimizer loop.
+    *
+    * Scale shape: first-order dates are ONE map-side-combinable min per
+    * customer (the |customer|-key shuffle is the cost and parallelizes
+    * perfectly); everything after runs on the bounded day-level table
+    * (≤ timespan rows at any data scale — the cumulative window is over
+    * days, never customers), and the 3×3 Cramer solve mirrors
+    * [[olsNormalEq]]: nine decimal-snapped moments, one fixed expression.
+    * Adoption counts and their cumulative prefix are integer-valued, so
+    * every per-row product is IEEE-deterministic before its decimal snap.
+    * The peak time ln(q̂/p̂)/(p̂+q̂) only exists for an S-curve (p̂,q̂ > 0);
+    * on a flat adoption stream it is NULL by construction — both engines
+    * agree via the same guard.
+    */
+  def bassDiffusion(orders: DataFrame): DataFrame = {
+    val fo = orders.groupBy(col("o_custkey"))
+      .agg(floor(min(unix_timestamp(col("o_orderdate"))) / 86400L)
+        .cast("long").as("d"))
+    val daily = fo.groupBy(col("d")).agg(count(lit(1)).cast("double").as("y"))
+    val wDay = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cm = daily
+      .withColumn("x1", coalesce(sum(col("y")).over(wDay), lit(0.0)))
+      .withColumn("x2", col("x1") * col("x1"))
+    val m = cm.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1").cast("decimal(28,6)")).cast("double").as("s1"),
+      sum(col("x2").cast("decimal(38,6)")).cast("double").as("s2"),
+      sum((col("x1") * col("x1")).cast("decimal(38,6)")).cast("double").as("s11"),
+      sum((col("x1") * col("x2")).cast("decimal(38,6)")).cast("double").as("s12"),
+      sum((col("x2") * col("x2")).cast("decimal(38,6)")).cast("double").as("s22"),
+      sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+      sum((col("x1") * col("y")).cast("decimal(38,6)")).cast("double").as("s1y"),
+      sum((col("x2") * col("y")).cast("decimal(38,6)")).cast("double").as("s2y"))
+    val beta = m.withColumn("nn", col("n").cast("double"))
+      .withColumn("det",
+        col("nn") * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("det0",
+        col("sy") * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+          + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y")))
+      .withColumn("det1",
+        col("nn") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+          - col("sy") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+      .withColumn("det2",
+        col("nn") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
+          - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+          + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("a", snap12(col("det0") / col("det")))
+      .withColumn("b", snap12(col("det1") / col("det")))
+      .withColumn("c", snap12(col("det2") / col("det")))
+    beta
+      .withColumn("disc", col("b") * col("b") - lit(4.0) * col("c") * col("a"))
+      .withColumn("mHat",
+        when(col("disc") >= 0 && col("c") =!= 0.0,
+          greatest(
+            (-col("b") + sqrt(col("disc"))) / (lit(2.0) * col("c")),
+            (-col("b") - sqrt(col("disc"))) / (lit(2.0) * col("c")))))
+      .withColumn("pHat", snap12(col("a") / col("mHat")))
+      .withColumn("qHat", snap12(-col("c") * col("mHat")))
+      .select(col("n").as("n_days"),
+        snap12(col("a")).as("beta0"), snap12(col("b")).as("beta1"),
+        snap12(col("c")).as("beta2"),
+        (round(col("mHat") * 100) / 100.0).as("m_hat"),
+        col("pHat").as("p_hat"), col("qHat").as("q_hat"),
+        when(col("pHat") > 0 && col("qHat") > 0,
+          round(log(col("qHat") / col("pHat")) / (col("pHat") + col("qHat"))
+            * 100) / 100.0).as("peak_day"))
+  }
+
+  def bassDiffusion(spark: SparkSession, sfDir: String): DataFrame =
+    bassDiffusion(Tables.orders(spark, sfDir))
 }
