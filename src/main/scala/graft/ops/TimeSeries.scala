@@ -773,30 +773,33 @@ object TimeSeries {
     * excursion is partition-order-free; peak day tie-breaks earliest.
     */
   def cusum(events: DataFrame, slack: Double = 0.5,
-            threshold: Double = 5.0): DataFrame = {
-    val daily = events
+            threshold: Double = 5.0): DataFrame =
+    cusumFromDaily(cusumDaily(events), slack, threshold)
+
+  /** The daily-mean resample stage of [[cusum]], factored so the streaming
+    * twin's spec can feed the identical per-day table to both engines.
+    */
+  def cusumDaily(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
       .withColumn("day", floor(col("e") / 86400L))
       .groupBy(col("event_type"), col("day"))
       .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
         / count(lit(1))).as("x"))
-    cusumFromDaily(daily, slack, threshold)
-  }
 
-  /** The daily-resample→CUSUM stage alone, over (event_type, day, x) rows —
-    * factored like the PSI/KS count stages so a streaming monitor can feed
-    * it a live per-day aggregate (complete-mode) and get the identical
-    * verdict (StreamingDriftSpec-style parity in AnalyticsSpec).
+  /** Train-phase reference stats of [[cusumFromDaily]] — mean/σ of the
+    * first 75% of each series' day span. Factored out so a streaming
+    * CUSUM monitor can be handed the identical (μ, σ) the batch plan
+    * derives (the stream can't know the 75% cut of an unbounded stream).
     */
-  def cusumFromDaily(daily: DataFrame, slack: Double = 0.5,
-                     threshold: Double = 5.0): DataFrame = {
+  def cusumTrainStats(daily: DataFrame): DataFrame = {
     val bounds = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .withColumn("cut",
         (col("d0") + floor((col("d1") - col("d0")) * 0.75)).cast("long"))
       .select(col("event_type"), col("cut"))
-    val withPhase = daily.join(broadcast(bounds), "event_type")
-    val stats = withPhase.where(col("day") <= col("cut"))
+    daily.join(broadcast(bounds), "event_type")
+      .where(col("day") <= col("cut"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_train"),
@@ -807,8 +810,18 @@ object TimeSeries {
         (col("sq") - col("s") * col("s") / col("n_train"))
           / (col("n_train") - 1)))
       .select(col("event_type"), col("n_train"), col("mu"), col("sigma"))
+  }
+
+  /** The daily-resample→CUSUM stage alone, over (event_type, day, x) rows —
+    * factored like the PSI/KS count stages so a streaming monitor can feed
+    * it a live per-day aggregate (complete-mode) and get the identical
+    * verdict (StreamingDriftSpec-style parity in AnalyticsSpec).
+    */
+  def cusumFromDaily(daily: DataFrame, slack: Double = 0.5,
+                     threshold: Double = 5.0): DataFrame = {
+    val stats = cusumTrainStats(daily)
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val cum = withPhase.join(broadcast(stats), "event_type")
+    val cum = daily.join(broadcast(stats), "event_type")
       .withColumn("term",
         when(col("sigma") === 0, lit(0.0))
           .otherwise((col("x") - col("mu")) / col("sigma") - slack)
