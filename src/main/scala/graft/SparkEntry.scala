@@ -692,7 +692,14 @@ object SparkEntry {
     "q341_quantile_shift" -> ((s, d) =>
       Drift.quantileShift(s, d).orderBy(col("event_type"), col("quantile"))),
     "q342_top_heavy" -> ((s, d) => Relational.topHeavyRatio(s, d)),
-    "q343_bass_diffusion" -> ((s, d) => Regression.bassDiffusion(s, d))
+    "q343_bass_diffusion" -> ((s, d) => Regression.bassDiffusion(s, d)),
+    "q344_chunk_ttr" -> ((s, d) =>
+      TextAnalysis.chunkTtr(s, d).orderBy(col("source"))),
+    "q345_wilson_returns" -> ((s, d) =>
+      Relational.wilsonReturns(s, d).orderBy(col("ship_dow"))),
+    "q346_triplet_margin" -> ((s, d) =>
+      Similarity.tripletMargin(s, d).orderBy(col("label"))),
+    "q347_icc_ship_delay" -> ((s, d) => StatTests.iccShipDelay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7977,7 +7984,138 @@ object SparkEntry {
         |  p AS p_hat, q AS q_hat,
         |  CASE WHEN p > 0 AND q > 0 THEN
         |    round(ln(q/p)/(p+q)*100)/100.0 + 0.0 END AS peak_day
-        |FROM pq""".stripMargin
+        |FROM pq""".stripMargin,
+    "q344_chunk_ttr" ->
+      """WITH d AS (SELECT doc_id, source, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, source, w,
+        |    unnest(generate_series(1, len(w))) g FROM d),
+        |tk AS (SELECT doc_id, source,
+        |    CAST(floor((g-1)/50) AS BIGINT) chk, w[g] tok FROM ix),
+        |ch AS (SELECT source, doc_id, chk, count(*) n_tok,
+        |    count(DISTINCT tok) n_types FROM tk GROUP BY 1, 2, 3),
+        |fc AS (SELECT source, CAST(count(*) AS BIGINT) n_chunks,
+        |    CAST(sum(n_types) AS BIGINT) st, CAST(sum(n_tok) AS BIGINT) sn
+        |  FROM ch WHERE n_tok = 50 GROUP BY 1),
+        |g AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) nd,
+        |    CAST(count(*) AS BIGINT) nt FROM tk GROUP BY 1)
+        |SELECT fc.source, n_chunks,
+        |  round(CAST(st AS DOUBLE)/sn*10000)/10000.0 AS mattr,
+        |  round(CAST(nd AS DOUBLE)/nt*10000)/10000.0 AS global_ttr,
+        |  round((CAST(st AS DOUBLE)/sn)/(CAST(nd AS DOUBLE)/nt)
+        |    *10000)/10000.0 AS diversity_gain
+        |FROM fc JOIN g ON fc.source = g.source ORDER BY 1""".stripMargin,
+    "q345_wilson_returns" ->
+      """WITH g AS (SELECT
+        |    CAST((CAST(floor(epoch(l_shipdate)/86400) AS BIGINT) + 4) % 7
+        |      AS INT) ship_dow,
+        |    CAST(count(*) AS BIGINT) n_lines,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) n_returns
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT ship_dow, n_lines, n_returns,
+        |    CAST(n_lines AS DOUBLE) nn,
+        |    CAST(n_returns AS DOUBLE)/CAST(n_lines AS DOUBLE) p,
+        |    1.0 + (1.96*1.96)/CAST(n_lines AS DOUBLE) den FROM g),
+        |c AS (SELECT ship_dow, n_lines, n_returns, p,
+        |    (p + (1.96*1.96)/(2.0*nn))/den center,
+        |    1.96*sqrt(p*(1.0-p)/nn + (1.96*1.96)/(4.0*nn*nn))/den half
+        |  FROM w)
+        |SELECT ship_dow, n_lines, n_returns,
+        |  round(p*1000000)/1000000.0 AS return_rate,
+        |  round((center - half)*1000000)/1000000.0 AS wilson_lo,
+        |  round((center + half)*1000000)/1000000.0 AS wilson_hi
+        |FROM c ORDER BY 1""".stripMargin,
+    "q346_triplet_margin" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label, embedding
+        |  FROM embeddings),
+        |rk AS (SELECT vec_id, label, CAST(row_number() OVER (
+        |      PARTITION BY label ORDER BY vec_id) AS BIGINT) r,
+        |    lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) pos_id
+        |  FROM e),
+        |cnt AS MATERIALIZED (SELECT label, CAST(count(*) AS BIGINT) c
+        |  FROM e GROUP BY 1),
+        |labs AS MATERIALIZED (SELECT label, CAST(row_number() OVER (
+        |    ORDER BY label) AS BIGINT) li FROM cnt),
+        |nl AS (SELECT max(li) nl FROM labs),
+        |nx AS (SELECT a.label, b.label next_label
+        |  FROM labs a CROSS JOIN nl JOIN labs b ON b.li = (a.li % nl.nl) + 1),
+        |tri AS MATERIALIZED (SELECT rk.label, rk.vec_id a_id, rk.pos_id,
+        |    nx.next_label, ((rk.r - 1) % c2.c) + 1 nr
+        |  FROM rk JOIN nx ON rk.label = nx.label
+        |  JOIN cnt c2 ON c2.label = nx.next_label
+        |  WHERE rk.pos_id IS NOT NULL),
+        |rkn AS (SELECT label, vec_id, CAST(row_number() OVER (
+        |    PARTITION BY label ORDER BY vec_id) AS BIGINT) r FROM e),
+        |trip AS MATERIALIZED (SELECT t.label, t.a_id, t.pos_id,
+        |    n.vec_id neg_id
+        |  FROM tri t JOIN rkn n ON n.label = t.next_label AND n.r = t.nr),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+        |    embedding FROM e),
+        |xx AS MATERIALIZED (SELECT vec_id, i,
+        |    CAST(embedding[i] AS DOUBLE) x FROM ix),
+        |nrm AS MATERIALIZED (SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |  FROM xx GROUP BY 1),
+        |dap AS (SELECT t.label, t.a_id, t.pos_id, t.neg_id,
+        |    CAST(sum(CAST(a.x*p.x AS DECIMAL(18,16))) AS DOUBLE) d
+        |  FROM trip t JOIN xx a ON a.vec_id = t.a_id
+        |  JOIN xx p ON p.vec_id = t.pos_id AND p.i = a.i
+        |  GROUP BY 1, 2, 3, 4),
+        |dan AS (SELECT t.a_id,
+        |    CAST(sum(CAST(a.x*g.x AS DECIMAL(18,16))) AS DOUBLE) d
+        |  FROM trip t JOIN xx a ON a.vec_id = t.a_id
+        |  JOIN xx g ON g.vec_id = t.neg_id AND g.i = a.i
+        |  GROUP BY 1),
+        |sc AS (SELECT dap.label,
+        |    dap.d/(na.nrm*np.nrm) - dan.d/(na.nrm*ng.nrm) m
+        |  FROM dap JOIN dan ON dap.a_id = dan.a_id
+        |  JOIN nrm na ON na.vec_id = dap.a_id
+        |  JOIN nrm np ON np.vec_id = dap.pos_id
+        |  JOIN nrm ng ON ng.vec_id = dap.neg_id)
+        |SELECT label, CAST(count(*) AS BIGINT) n_triplets,
+        |  CAST(sum(CASE WHEN m < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_violations,
+        |  round(CAST(sum(CASE WHEN m < 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS violation_rate,
+        |  round(CAST(sum(CAST(m AS DECIMAL(28,16))) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS mean_margin
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q347_icc_ship_delay" ->
+      """WITH d AS (SELECT l_suppkey,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS DOUBLE) d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) ng,
+        |    sum(CAST(d AS DECIMAL(18,6))) sg,
+        |    sum(CAST(d*d AS DECIMAL(28,6))) qg FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) a,
+        |    CAST(sum(ng) AS BIGINT) n_tot, sum(sg) s_tot,
+        |    sum(CAST(ng*ng AS DECIMAL(38,0))) nsq FROM g),
+        |terms AS (SELECT g.*, t.*,
+        |    CAST(s_tot AS DOUBLE)/CAST(n_tot AS DOUBLE) gm,
+        |    CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE) mg FROM g CROSS JOIN t),
+        |tt AS (SELECT a, n_tot, nsq,
+        |    CAST(sum(CAST(CAST(ng AS DOUBLE)*(mg-gm)*(mg-gm)
+        |      AS DECIMAL(28,12))) AS DOUBLE) ssb,
+        |    CAST(sum(CAST(CAST(qg AS DOUBLE)
+        |      - CAST(ng AS DOUBLE)*mg*mg AS DECIMAL(28,12))) AS DOUBLE) ssw
+        |  FROM terms GROUP BY 1, 2, 3),
+        |f AS (SELECT a, n_tot, ssb, ssw, CAST(a AS DOUBLE) aa,
+        |    CAST(n_tot AS DOUBLE) nn, CAST(nsq AS DOUBLE) nsqd FROM tt),
+        |m AS (SELECT a, n_tot, ssb/(aa-1.0) msb, ssw/(nn-aa) msw,
+        |    (nn - nsqd/nn)/(aa-1.0) k0 FROM f)
+        |SELECT a AS n_suppliers, n_tot AS n_obs,
+        |  round(msb*1000000)/1000000.0 AS ms_between,
+        |  round(msw*1000000)/1000000.0 AS ms_within,
+        |  round(k0*1000000)/1000000.0 AS k0,
+        |  CASE WHEN msb + (k0-1.0)*msw > 0 THEN
+        |    round((msb-msw)/(msb+(k0-1.0)*msw)*1000000)/1000000.0
+        |    ELSE 0.0 END AS icc,
+        |  CASE WHEN msw > 0 THEN round(msb/msw*1000000)/1000000.0
+        |    ELSE 0.0 END AS f_stat
+        |FROM m""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

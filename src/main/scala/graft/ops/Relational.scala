@@ -2404,4 +2404,44 @@ object Relational {
 
   def basketConfidence(spark: SparkSession, sfDir: String): DataFrame =
     basketConfidence(Tables.lineitem(spark, sfDir))
+
+  /** q345: weekday return-rate profile with Wilson 95% score intervals —
+    * does merchandise shipped on a weekend really come back more often, or
+    * is the lift inside the interval? The Wilson form (unlike the naive
+    * Wald ±z√(p(1-p)/n)) stays inside [0,1] and behaves at small n, so the
+    * seven rows remain honest even on a thin slice of the fact table.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the fact scan
+    * projecting two columns (ship day, return flag) to 7 rows; every
+    * interval is closed-form arithmetic on the two integer counts, so the
+    * output is deterministic at any partitioning. z is pinned 1.96 and
+    * enters both engines as the same double-constant expression tree.
+    */
+  def wilsonReturns(lineitem: DataFrame): DataFrame = {
+    val z2 = 1.96 * 1.96
+    val g = lineitem
+      .select(
+        pmod(floor(unix_timestamp(col("l_shipdate")) / 86400L) + 4, lit(7))
+          .cast("int").as("ship_dow"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy(col("ship_dow"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("r")).as("n_returns"))
+    g.withColumn("nn", col("n_lines").cast("double"))
+      .withColumn("p", col("n_returns").cast("double") / col("nn"))
+      .withColumn("den", lit(1.0) + lit(z2) / col("nn"))
+      .withColumn("center",
+        (col("p") + lit(z2) / (lit(2.0) * col("nn"))) / col("den"))
+      .withColumn("half",
+        lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("nn")
+          + lit(z2) / (lit(4.0) * col("nn") * col("nn"))) / col("den"))
+      .select(col("ship_dow"), col("n_lines"), col("n_returns"),
+        (round(col("p") * 1000000) / 1000000.0).as("return_rate"),
+        (round((col("center") - col("half")) * 1000000) / 1000000.0)
+          .as("wilson_lo"),
+        (round((col("center") + col("half")) * 1000000) / 1000000.0)
+          .as("wilson_hi"))
+  }
+
+  def wilsonReturns(spark: SparkSession, sfDir: String): DataFrame =
+    wilsonReturns(Tables.lineitem(spark, sfDir))
 }

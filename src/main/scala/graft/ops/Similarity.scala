@@ -1102,4 +1102,72 @@ object Similarity {
 
   def silhouette(spark: SparkSession, sfDir: String): DataFrame =
     silhouette(Tables.embeddings(spark, sfDir))
+
+  /** q346: deterministic triplet-margin audit of the embedding space — for
+    * every anchor, positive = the next same-label vector (by vec_id) and
+    * negative = the rank-matched vector of the cyclically-next label, then
+    * count how often cos(a,p) − cos(a,n) falls below the margin. The
+    * metric-learning health check ("do labels separate by at least m in
+    * cosine?") run as a pure SQL plan: no sampling RNG — the pos/neg picks
+    * are order-statistics, so the audit is reproducible run to run, and
+    * its violation rate per label localizes WHICH class bleeds into its
+    * neighbor (complements q103's centroid margins, which average away
+    * per-anchor failures, and q43's recall, which needs a ground truth).
+    *
+    * Scale shape: one triplet per vector — the pos/neg fetches are plain
+    * |V|-row equi-joins on vec_id (shuffle-partitioned, no pair
+    * explosion), the label-rank windows partition by label, and the tiny
+    * label directory broadcasts. All cosine math runs through the native
+    * codegen'd decimal_dot, so the margin doubles are bit-identical to
+    * the oracle's decimal-sum lambda on any partitioning.
+    */
+  def tripletMargin(emb: DataFrame, margin: Double = 0.05): DataFrame = {
+    val x = asDoubles(emb)
+    val wl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val ranked = x
+      .withColumn("r", row_number().over(wl))
+      .withColumn("pos_id", lead(col("vec_id"), 1).over(wl))
+    val cnt = x.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    // label directory: |labels| rows — broadcast-scale by construction
+    val labs = cnt.select(col("label"))
+      .withColumn("li", row_number().over(Window.orderBy(col("label"))))
+    val nl = labs.agg(max(col("li")).as("nl"))
+    val nx = labs.crossJoin(broadcast(nl))
+      .withColumn("nli", pmod(col("li"), col("nl")) + 1)
+      .join(broadcast(labs.select(col("label").as("next_label"),
+        col("li").as("nli"))), "nli")
+      .select(col("label"), col("next_label"))
+    val tri = ranked.where(col("pos_id").isNotNull)
+      .join(broadcast(nx), "label")
+      .join(broadcast(cnt.select(col("label").as("next_label"), col("cnt"))),
+        "next_label")
+      .withColumn("nr", pmod(col("r") - 1, col("cnt")) + 1)
+      .select(col("label"), col("vec_id"), col("v"), col("pos_id"),
+        col("next_label"), col("nr"))
+    val rankedNeg = x.withColumn("r", row_number().over(wl))
+      .select(col("label").as("next_label"), col("r").as("nr"),
+        col("v").as("nv"))
+    val pv = x.select(col("vec_id").as("pos_id"), col("v").as("pv"))
+    val sc = tri
+      .join(pv, "pos_id")
+      .join(rankedNeg, Seq("next_label", "nr"))
+      .withColumn("na", sqrt(DecimalDot(col("v"), col("v"))))
+      .withColumn("m",
+        DecimalDot(col("v"), col("pv"))
+          / (col("na") * sqrt(DecimalDot(col("pv"), col("pv"))))
+          - DecimalDot(col("v"), col("nv"))
+          / (col("na") * sqrt(DecimalDot(col("nv"), col("nv")))))
+    sc.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_triplets"),
+        sum(when(col("m") < margin, 1L).otherwise(0L)).as("n_violations"),
+        sum(col("m").cast("decimal(28,16)")).cast("double").as("sm"))
+      .select(col("label"), col("n_triplets"), col("n_violations"),
+        (round(col("n_violations").cast("double") / col("n_triplets")
+          * 1000000) / 1000000.0).as("violation_rate"),
+        (round(col("sm") / col("n_triplets") * 1000000) / 1000000.0)
+          .as("mean_margin"))
+  }
+
+  def tripletMargin(spark: SparkSession, sfDir: String): DataFrame =
+    tripletMargin(Tables.embeddings(spark, sfDir))
 }

@@ -761,4 +761,74 @@ object StatTests {
 
   def pairwiseContrasts(spark: SparkSession, sfDir: String): DataFrame =
     pairwiseContrasts(Tables.events(spark, sfDir))
+
+  /** q347: intraclass correlation of order→ship latency within suppliers —
+    * one-way random-effects ICC(1) from the ANOVA mean squares, with the
+    * unbalanced-design group-size correction k₀ = (N − Σnᵢ²/N)/(a−1)
+    * (Searle). Answers the supply-chain attribution question q208's F test
+    * (on series) does not: what SHARE of delay variance is a stable
+    * supplier trait vs per-shipment noise — i.e. whether supplier-level
+    * intervention can move the needle at all.
+    *
+    * Scale shape: unlike q208's |groups|-row global window (fine for 5
+    * series, wrong for |supplier| groups), the grand totals here come from
+    * a second tiny aggregate broadcast BACK onto the group rows — two
+    * map-side-combinable aggregates and one broadcast, no single-task
+    * window over an unbounded key space. The lineitem⋈orders equi-join is
+    * q69's shuffle shape (both sides key-partitioned on orderkey). Group
+    * moments are exact decimal sums (delay is integer days, so d² is
+    * exact pre-cast); each group's SSB/SSW term is decimal-snapped before
+    * the final sum, so the statistic is partition-order-free.
+    */
+  def iccShipDelay(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val g = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("double").as("d"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("d").cast("decimal(18,6)")).as("sg"),
+        sum((col("d") * col("d")).cast("decimal(28,6)")).as("qg"))
+    val tot = g.agg(count(lit(1)).as("a"),
+      sum(col("ng")).as("n_tot"),
+      sum(col("sg")).as("s_tot"),
+      sum((col("ng") * col("ng")).cast("decimal(38,0)")).as("nsq"))
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("gm",
+        col("s_tot").cast("double") / col("n_tot").cast("double"))
+      .withColumn("mg", col("sg").cast("double") / col("ng").cast("double"))
+      .withColumn("ssb_t",
+        (col("ng").cast("double") * (col("mg") - col("gm"))
+          * (col("mg") - col("gm"))).cast("decimal(28,12)"))
+      .withColumn("ssw_t",
+        (col("qg").cast("double")
+          - col("ng").cast("double") * col("mg") * col("mg"))
+          .cast("decimal(28,12)"))
+    terms.groupBy(col("a"), col("n_tot"), col("nsq"))
+      .agg(sum(col("ssb_t")).cast("double").as("ssb"),
+        sum(col("ssw_t")).cast("double").as("ssw"))
+      .withColumn("aa", col("a").cast("double"))
+      .withColumn("nn", col("n_tot").cast("double"))
+      .withColumn("msb", col("ssb") / (col("aa") - 1.0))
+      .withColumn("msw", col("ssw") / (col("nn") - col("aa")))
+      .withColumn("k0",
+        (col("nn") - col("nsq").cast("double") / col("nn"))
+          / (col("aa") - 1.0))
+      .select(col("a").as("n_suppliers"), col("n_tot").as("n_obs"),
+        r6(col("msb")).as("ms_between"),
+        r6(col("msw")).as("ms_within"),
+        r6(col("k0")).as("k0"),
+        when(col("msb") + (col("k0") - 1.0) * col("msw") > 0,
+          r6((col("msb") - col("msw"))
+            / (col("msb") + (col("k0") - 1.0) * col("msw"))))
+          .otherwise(lit(0.0)).as("icc"),
+        when(col("msw") > 0, r6(col("msb") / col("msw")))
+          .otherwise(lit(0.0)).as("f_stat"))
+  }
+
+  def iccShipDelay(spark: SparkSession, sfDir: String): DataFrame =
+    iccShipDelay(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))
 }

@@ -1393,4 +1393,44 @@ object TextAnalysis {
 
   def lognormalFit(spark: SparkSession, sfDir: String): DataFrame =
     lognormalFit(Tables.documents(spark, sfDir))
+
+  /** q344: MATTR-style chunked type-token ratio per source — lexical
+    * diversity from full non-overlapping 50-token chunks (the
+    * length-robust estimator: plain corpus TTR collapses as the corpus
+    * grows, so cross-source comparisons need the fixed-window form), with
+    * the collapsing global TTR reported beside it and the ratio of the
+    * two as the repetition-vs-scale signal. Complements q129 (Heaps
+    * exponent) and q281 (compressibility): those measure vocabulary
+    * GROWTH and redundancy; this one is the windowed diversity level a
+    * curation gate thresholds on.
+    *
+    * Scale shape: one posexplode after projecting to (source, doc_id,
+    * text); the chunk census is a (source, doc, chunk)-key aggregate
+    * (map-side combinable, keys ~ tokens/50) and everything after runs on
+    * per-source rows. The global distinct count shuffles (source, token)
+    * pairs once — the same bounded-vocabulary shape q129 ships.
+    */
+  def chunkTtr(docs: DataFrame, chunk: Int = 50): DataFrame = {
+    val tk = docs
+      .select(col("source"), col("doc_id"),
+        posexplode(split(Dedup.normText(col("text")), " ")).as(Seq("pos", "tok")))
+      .withColumn("chk", floor(col("pos") / chunk))
+    val fc = tk.groupBy(col("source"), col("doc_id"), col("chk"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_types"))
+      .where(col("n_tok") === chunk)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_types")).as("st"), sum(col("n_tok")).as("sn"))
+    val g = tk.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("nd"), count(lit(1)).as("nt"))
+    fc.join(g, "source")
+      .select(col("source"), col("n_chunks"),
+        r4(col("st").cast("double") / col("sn")).as("mattr"),
+        r4(col("nd").cast("double") / col("nt")).as("global_ttr"),
+        r4((col("st").cast("double") / col("sn"))
+          / (col("nd").cast("double") / col("nt"))).as("diversity_gain"))
+  }
+
+  def chunkTtr(spark: SparkSession, sfDir: String): DataFrame =
+    chunkTtr(Tables.documents(spark, sfDir))
 }
