@@ -699,7 +699,13 @@ object SparkEntry {
       Relational.wilsonReturns(s, d).orderBy(col("ship_dow"))),
     "q346_triplet_margin" -> ((s, d) =>
       Similarity.tripletMargin(s, d).orderBy(col("label"))),
-    "q347_icc_ship_delay" -> ((s, d) => StatTests.iccShipDelay(s, d))
+    "q347_icc_ship_delay" -> ((s, d) => StatTests.iccShipDelay(s, d)),
+    "q348_taylor_law" -> ((s, d) =>
+      TimeSeries.taylorLaw(s, d).orderBy(col("event_type"))),
+    "q349_purchase_entropy" -> ((s, d) =>
+      Relational.purchaseEntropy(s, d).orderBy(col("c_mktsegment"))),
+    "q350_clumpiness" -> ((s, d) =>
+      Relational.clumpiness(s, d).orderBy(col("c_mktsegment")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8115,7 +8121,94 @@ object SparkEntry {
         |    ELSE 0.0 END AS icc,
         |  CASE WHEN msw > 0 THEN round(msb/msw*1000000)/1000000.0
         |    ELSE 0.0 END AS f_stat
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q348_taylor_law" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)/86400) AS BIGINT) dd,
+        |    CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) q
+        |  FROM events GROUP BY 1, 2),
+        |mv AS (SELECT event_type, n, s/n m, (q - s*s/n)/(n-1) v
+        |  FROM daily WHERE n >= 2),
+        |xy AS (SELECT event_type, round(ln(m)*1e12)/1e12 x,
+        |    round(ln(v)*1e12)/1e12 y
+        |  FROM mv WHERE m > 0 AND v > 0),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,10))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(y*y AS DECIMAL(38,10))) AS DOUBLE) syy
+        |  FROM xy GROUP BY 1),
+        |e AS (SELECT event_type, n_days, CAST(n_days AS DOUBLE) nn,
+        |    sx, sy,
+        |    CAST(n_days AS DOUBLE)*sxx - sx*sx dx,
+        |    CAST(n_days AS DOUBLE)*syy - sy*sy dy,
+        |    CAST(n_days AS DOUBLE)*sxy - sx*sy cv
+        |  FROM g)
+        |SELECT event_type, n_days,
+        |  CASE WHEN dx > 0 THEN round(cv/dx*1000000)/1000000.0 END
+        |    AS taylor_b,
+        |  CASE WHEN dx > 0 THEN
+        |    round((sy - cv/dx*sx)/nn*1000000)/1000000.0 END AS ln_a,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    round(cv*cv/(dx*dy)*1000000)/1000000.0 END AS r2
+        |FROM e ORDER BY 1""".stripMargin,
+    "q349_purchase_entropy" ->
+      """WITH cb AS (SELECT o_custkey, p_brand, CAST(count(*) AS BIGINT) c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT o_custkey, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_custkey) AS BIGINT) n,
+        |    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) k
+        |  FROM cb),
+        |pr AS (SELECT o_custkey, k, CAST(c AS DOUBLE)/n p FROM t),
+        |tt AS (SELECT o_custkey, k, round(p*ln(p)*1e12)/1e12 t FROM pr),
+        |h AS (SELECT o_custkey, k,
+        |    -CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) h
+        |  FROM tt GROUP BY 1, 2),
+        |hn AS (SELECT o_custkey, k, h,
+        |    CASE WHEN k > 1 THEN h/ln(CAST(k AS DOUBLE)) ELSE 0.0 END hn
+        |  FROM h),
+        |j AS (SELECT c_mktsegment, h, hn, k
+        |  FROM hn JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_customers,
+        |  round(CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS avg_entropy,
+        |  round(CAST(sum(CAST(hn AS DECIMAL(38,12))) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS avg_norm_entropy,
+        |  round(CAST(sum(k) AS DOUBLE)/count(*)*10000)/10000.0 AS avg_brands
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q350_clumpiness" ->
+      """WITH od AS (SELECT DISTINCT o_custkey,
+        |    CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) d FROM orders),
+        |sp AS (SELECT min(d) d0, max(d) d1 FROM od),
+        |g AS (SELECT o_custkey, d, d0, d1,
+        |    lag(d) OVER (PARTITION BY o_custkey ORDER BY d) prev,
+        |    CAST(d1 - d0 + 2 AS DOUBLE) tt FROM od CROSS JOIN sp),
+        |z AS (SELECT o_custkey, tt, d1, d,
+        |    CAST(CASE WHEN prev IS NULL THEN d - d0 + 1
+        |      ELSE d - prev END AS DOUBLE)/tt z FROM g),
+        |tm AS (SELECT o_custkey, tt, d1, d,
+        |    round(z*ln(z)*1e12)/1e12 term FROM z),
+        |pc AS (SELECT o_custkey, tt, d1, CAST(count(*) AS BIGINT) n,
+        |    max(d) dmax, sum(CAST(term AS DECIMAL(38,12))) sterm
+        |  FROM tm GROUP BY 1, 2, 3),
+        |cl AS (SELECT o_custkey,
+        |    1.0 + (CAST(sterm AS DOUBLE)
+        |      + round((CAST(d1 - dmax + 1 AS DOUBLE)/tt)
+        |        *ln(CAST(d1 - dmax + 1 AS DOUBLE)/tt)*1e12)/1e12)
+        |      /ln(CAST(n + 1 AS DOUBLE)) cl
+        |  FROM pc WHERE n >= 2)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_customers,
+        |  round(CAST(sum(CAST(cl AS DECIMAL(38,12))) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS avg_clumpiness,
+        |  round(CAST(sum(CASE WHEN cl > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS clumpy_share
+        |FROM cl JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -2444,4 +2444,118 @@ object Relational {
 
   def wilsonReturns(spark: SparkSession, sfDir: String): DataFrame =
     wilsonReturns(Tables.lineitem(spark, sfDir))
+
+  /** q349: purchase-diversity census — per-customer Shannon entropy of the
+    * brand mix, rolled up to market segment as average entropy, average
+    * ln(k)-normalized entropy, and average brand breadth. The assortment
+    * question ("are BUILDING customers brand-loyal or brand-promiscuous?")
+    * that raw brand share tables (q66) can't answer, because entropy is a
+    * per-CUSTOMER property that averages destroy unless computed before
+    * the rollup.
+    *
+    * Scale shape: two key-partitioned shuffle joins (orderkey, partkey —
+    * no broadcast of the 100 TB part side), one (customer, brand)
+    * map-combinable count, a customer-PARTITIONED window for the totals
+    * (never global), and a segment rollup via the customer join. Entropy
+    * terms are 1e-12-snapped before their exact decimal sum, so the
+    * per-customer H is partition-order-free.
+    */
+  def purchaseEntropy(lineitem: DataFrame, orders: DataFrame,
+                      part: DataFrame, customer: DataFrame): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val cb = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey"), col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("o_custkey"))
+    val h = cb
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("t", s12(col("p") * log(col("p"))))
+      .groupBy(col("o_custkey"), col("k"))
+      .agg((-sum(col("t").cast("decimal(38,12)")).cast("double")).as("h"))
+      .withColumn("hn",
+        when(col("k") > 1, col("h") / log(col("k").cast("double")))
+          .otherwise(lit(0.0)))
+    h.join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("h").cast("decimal(38,12)")).cast("double").as("sh"),
+        sum(col("hn").cast("decimal(38,12)")).cast("double").as("shn"),
+        sum(col("k")).as("sk"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        (round(col("sh") / col("n_customers") * 1000000) / 1000000.0)
+          .as("avg_entropy"),
+        (round(col("shn") / col("n_customers") * 1000000) / 1000000.0)
+          .as("avg_norm_entropy"),
+        (round(col("sk").cast("double") / col("n_customers") * 10000)
+          / 10000.0).as("avg_brands"))
+  }
+
+  def purchaseEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    purchaseEntropy(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.part(spark, sfDir),
+      Tables.customer(spark, sfDir))
+
+  /** q350: inter-purchase clumpiness per market segment — the
+    * entropy-of-gaps measure C = 1 + Σ zᵢ ln zᵢ / ln(n+1) over each
+    * customer's normalized order-day gaps (boundary gaps included, so
+    * Σzᵢ = 1; Zhang–Bradlow–Small's Hp form). C≈0 is metronomic
+    * reordering, C≈1 is one burst then silence — the CRM dimension RFM
+    * (q264) provably misses, since frequency ignores WHEN the orders
+    * clustered. Reported as segment-average C and the share of customers
+    * past 0.5.
+    *
+    * Scale shape: distinct (customer, day) table, one customer-PARTITIONED
+    * lag window for the gaps, the global span as a broadcast scalar, and
+    * exact decimal sums of 1e-12-snapped z·ln z terms — no global window,
+    * every shuffle keyed on customer. Gaps are ≥1 day by construction
+    * (distinct days), so ln never sees 0.
+    */
+  def clumpiness(orders: DataFrame, customer: DataFrame): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val od = orders.select(col("o_custkey"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400L)
+          .cast("long").as("d"))
+      .distinct()
+    val span = od.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    val gaps = od.crossJoin(broadcast(span))
+      .withColumn("prev", lag(col("d"), 1).over(w))
+      .withColumn("tt", (col("d1") - col("d0") + 2).cast("double"))
+      .withColumn("z",
+        when(col("prev").isNull, col("d") - col("d0") + 1)
+          .otherwise(col("d") - col("prev")).cast("double") / col("tt"))
+      .withColumn("term", s12(col("z") * log(col("z"))))
+    val perCust = gaps
+      .groupBy(col("o_custkey"), col("tt"), col("d1"))
+      .agg(count(lit(1)).as("n"), max(col("d")).as("dmax"),
+        sum(col("term").cast("decimal(38,12)")).as("sterm"))
+      .where(col("n") >= 2)
+      .withColumn("ztail",
+        (col("d1") - col("dmax") + 1).cast("double") / col("tt"))
+      .withColumn("s",
+        col("sterm").cast("double") + s12(col("ztail") * log(col("ztail"))))
+      .withColumn("cl",
+        lit(1.0) + col("s") / log((col("n") + 1).cast("double")))
+    perCust.join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cl").cast("decimal(38,12)")).cast("double").as("scl"),
+        sum(when(col("cl") > 0.5, 1L).otherwise(0L)).as("nclumpy"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        (round(col("scl") / col("n_customers") * 1000000) / 1000000.0)
+          .as("avg_clumpiness"),
+        (round(col("nclumpy").cast("double") / col("n_customers") * 1000000)
+          / 1000000.0).as("clumpy_share"))
+  }
+
+  def clumpiness(spark: SparkSession, sfDir: String): DataFrame =
+    clumpiness(Tables.orders(spark, sfDir), Tables.customer(spark, sfDir))
 }

@@ -2285,4 +2285,64 @@ object TimeSeries {
 
   def profileNeighbors(spark: SparkSession, sfDir: String): DataFrame =
     profileNeighbors(Tables.events(spark, sfDir))
+
+  /** q348: Taylor's power law fit per series — regress ln(daily variance)
+    * on ln(daily mean) across days. The mean–variance scaling exponent is
+    * the classic aggregation-theory fingerprint (Taylor 1961; b≈1 Poisson
+    * counts, b≈2 multiplicative/clumped processes) and the practical
+    * answer to "which variance stabilizer does this sensor need before
+    * z-scoring" (b=2 → log, b=1 → sqrt) — upstream of q41/q116, which
+    * assume stabilized input.
+    *
+    * Scale shape: ONE (series, day)-key map-combinable moment aggregate
+    * over the fact scan (the cusumDaily shuffle), then per-series OLS on
+    * the bounded day table via exact decimal moment sums of
+    * 1e-12-snapped logs — no window anywhere, every stage partitioned by
+    * series.
+    */
+  def taylorLaw(events: DataFrame): DataFrame = {
+    def s12(c: Column) = round(c * lit(1e12)) / lit(1e12)
+    val daily = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("day", floor(col("e") / 86400L))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("s"),
+        sum((col("value") * col("value")).cast("decimal(28,6)"))
+          .cast("double").as("q"))
+      .where(col("n") >= 2)
+      .withColumn("m", col("s") / col("n"))
+      .withColumn("v",
+        (col("q") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      .where(col("m") > 0 && col("v") > 0)
+      .withColumn("x", s12(log(col("m"))))
+      .withColumn("y", s12(log(col("v"))))
+    daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,12)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,10)"))
+          .cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,10)"))
+          .cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,10)"))
+          .cast("double").as("syy"))
+      .withColumn("nn", col("n_days").cast("double"))
+      .withColumn("dx", col("nn") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("nn") * col("syy") - col("sy") * col("sy"))
+      .withColumn("cv", col("nn") * col("sxy") - col("sx") * col("sy"))
+      .select(col("event_type"), col("n_days"),
+        when(col("dx") > 0,
+          (round(col("cv") / col("dx") * lit(1000000)) / lit(1000000.0)))
+          .as("taylor_b"),
+        when(col("dx") > 0,
+          (round((col("sy") - col("cv") / col("dx") * col("sx")) / col("nn")
+            * lit(1000000)) / lit(1000000.0))).as("ln_a"),
+        when(col("dx") > 0 && col("dy") > 0,
+          (round(col("cv") * col("cv") / (col("dx") * col("dy"))
+            * lit(1000000)) / lit(1000000.0))).as("r2"))
+  }
+
+  def taylorLaw(spark: SparkSession, sfDir: String): DataFrame =
+    taylorLaw(Tables.events(spark, sfDir))
 }
