@@ -705,7 +705,16 @@ object SparkEntry {
     "q349_purchase_entropy" -> ((s, d) =>
       Relational.purchaseEntropy(s, d).orderBy(col("c_mktsegment"))),
     "q350_clumpiness" -> ((s, d) =>
-      Relational.clumpiness(s, d).orderBy(col("c_mktsegment")))
+      Relational.clumpiness(s, d).orderBy(col("c_mktsegment"))),
+    "q351_semivariogram" -> ((s, d) =>
+      TimeSeries.semivariogram(s, d)
+        .orderBy(col("event_type"), col("h_days"))),
+    "q352_priority_markov" -> ((s, d) =>
+      Relational.priorityTransitions(s, d)
+        .orderBy(col("from_priority"), col("to_priority"))),
+    "q353_price_endings" -> ((s, d) =>
+      Relational.priceEndings(s, d).orderBy(col("cents_ending"))),
+    "q354_flow_reciprocity" -> ((s, d) => Relational.flowReciprocity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8208,7 +8217,68 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN cl > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
         |    /count(*)*1000000)/1000000.0 AS clumpy_share
         |FROM cl JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q351_semivariogram" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)/86400) AS BIGINT) dd,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM events GROUP BY 1, 2),
+        |hs AS (SELECT unnest(generate_series(1, 7)) h),
+        |j AS (SELECT a.event_type, hs.h, a.x xa, b.x xb
+        |  FROM daily a CROSS JOIN hs JOIN daily b
+        |    ON b.event_type = a.event_type AND b.dd = a.dd - hs.h),
+        |t AS (SELECT event_type, h,
+        |    round((xa-xb)*(xa-xb)*1e12)/1e12 term FROM j)
+        |SELECT event_type, CAST(h AS INT) h_days,
+        |  CAST(count(*) AS BIGINT) n_pairs,
+        |  round(0.5*CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS gamma
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q352_priority_markov" ->
+      """WITH s AS (SELECT o_custkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) from_priority
+        |  FROM orders),
+        |t AS (SELECT from_priority, o_orderpriority to_priority,
+        |    CAST(count(*) AS BIGINT) n
+        |  FROM s WHERE from_priority IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_priority, CAST(sum(n) AS BIGINT) row_total
+        |  FROM t GROUP BY 1)
+        |SELECT t.from_priority, to_priority, n,
+        |  round(CAST(n AS DOUBLE)/row_total*10000)/10000.0 AS p,
+        |  from_priority = to_priority AS is_sticky
+        |FROM t JOIN r USING (from_priority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q353_price_endings" ->
+      """WITH e AS (SELECT CAST(CAST(round(p_retailprice*100) AS BIGINT)
+        |      % 100 AS INT) cents_ending, p_retailprice
+        |  FROM part),
+        |g AS (SELECT cents_ending, CAST(count(*) AS BIGINT) n_parts,
+        |    sum(CAST(p_retailprice AS DECIMAL(18,6))) sp
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_parts) AS BIGINT) n_total FROM g)
+        |SELECT cents_ending, n_parts,
+        |  round(CAST(n_parts AS DOUBLE)/n_total*1000000)/1000000.0 AS share,
+        |  round(CAST(sp AS DOUBLE)/n_parts*100)/100.0 AS avg_price
+        |FROM g CROSS JOIN t ORDER BY 1""".stripMargin,
+    "q354_flow_reciprocity" ->
+      """WITH fl AS (SELECT s_nationkey sn, c_nationkey cn,
+        |    sum(CAST(l_extendedprice*(1 - l_discount) AS DECIMAL(18,6))) f
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |d AS MATERIALIZED (SELECT * FROM fl WHERE sn <> cn),
+        |j AS (SELECT a.sn, a.cn, a.f,
+        |    coalesce(b.f, CAST(0 AS DECIMAL(28,6))) fr
+        |  FROM d a LEFT JOIN d b ON b.sn = a.cn AND b.cn = a.sn)
+        |SELECT CAST(count(*) AS BIGINT) n_pairs,
+        |  round(CAST(sum(f) AS DOUBLE)*10000)/10000.0 AS total_flow,
+        |  round(CAST(sum(least(f, fr)) AS DOUBLE)*10000)/10000.0
+        |    AS reciprocal_flow,
+        |  round(CAST(sum(least(f, fr)) AS DOUBLE)/CAST(sum(f) AS DOUBLE)
+        |    *1000000)/1000000.0 AS reciprocity
+        |FROM j""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -2558,4 +2558,120 @@ object Relational {
 
   def clumpiness(spark: SparkSession, sfDir: String): DataFrame =
     clumpiness(Tables.orders(spark, sfDir), Tables.customer(spark, sfDir))
+
+  /** q352: order-priority Markov matrix — transition census of each
+    * customer's consecutive order priorities with row-normalized
+    * probabilities. The service-mix persistence question q120's static
+    * priority mix can't see: a 20% URGENT share reads very differently if
+    * it's the same fifth of customers every time (high diagonal) vs
+    * uniformly churned urgency. The q67 lag-census idiom moved from the
+    * event stream to the order book.
+    *
+    * Scale shape: one customer-PARTITIONED lag window (deterministic
+    * (date, orderkey) order), a 25-key pair census (map-combinable), and
+    * a 5-row row-total broadcast join. Nothing global anywhere.
+    */
+  def priorityTransitions(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val pairs = orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("from_priority", lag(col("o_orderpriority"), 1).over(w))
+      .where(col("from_priority").isNotNull)
+      .groupBy(col("from_priority"),
+        col("o_orderpriority").as("to_priority"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_priority"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), "from_priority")
+      .select(col("from_priority"), col("to_priority"), col("n"),
+        (round(col("n").cast("double") / col("row_total") * 10000)
+          / 10000.0).as("p"),
+        (col("from_priority") === col("to_priority")).as("is_sticky"))
+  }
+
+  def priorityTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    priorityTransitions(Tables.orders(spark, sfDir))
+
+  /** q353: psychological price-point census — distribution of retail-price
+    * cent endings (…,99 ,95 ,49 ,00) across the part catalog, with each
+    * ending's average price. The pricing-integrity profile a catalog audit
+    * runs before any elasticity work (q331-style regressions bias when
+    * price mass sits on charm points), and a data-quality screen: a
+    * synthetic price generator shows up instantly as a uniform ending
+    * histogram. Complements q154 (Benford, LEADING digits) with the
+    * trailing-digit lens.
+    *
+    * Scale shape: one map-combinable 100-key aggregate over a two-column
+    * projection of part; the total broadcasts back. Endings come from
+    * integer arithmetic on round(price·100), so no float-mod hazards.
+    */
+  def priceEndings(part: DataFrame): DataFrame = {
+    val e = part.select(
+      pmod(round(col("p_retailprice") * 100).cast("long"), lit(100L))
+        .cast("int").as("cents_ending"),
+      col("p_retailprice"))
+    val g = e.groupBy(col("cents_ending"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast("decimal(18,6)")).as("sp"))
+    val tot = g.agg(sum(col("n_parts")).as("n_total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("cents_ending"), col("n_parts"),
+        (round(col("n_parts").cast("double") / col("n_total") * 1000000)
+          / 1000000.0).as("share"),
+        (round(col("sp").cast("double") / col("n_parts") * 100) / 100.0)
+          .as("avg_price"))
+  }
+
+  def priceEndings(spark: SparkSession, sfDir: String): DataFrame =
+    priceEndings(Tables.part(spark, sfDir))
+
+  /** q354: weighted reciprocity of the nation trade digraph — Σ min(f_ab,
+    * f_ba) / Σ f_ab over directed supplier-nation → customer-nation
+    * revenue flows (Squartini et al. 2013's weighted form). One scalar
+    * that says whether trade is bilateral exchange or hub-and-spoke
+    * extraction — the DIRECTIONAL digest of the q133 flow table, which
+    * lists volumes but never nets the two directions against each other.
+    *
+    * Scale shape: the q133 join pipeline (all keyed shuffles, no
+    * broadcast of the big sides) down to a ≤ nations² flow table; the
+    * reversed-pair match and the final scalar run on that bounded table.
+    * Flow sums stay DECIMAL through the min/total arithmetic — exact on
+    * any partitioning.
+    */
+  def flowReciprocity(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val flows = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey").as("sn")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey").as("cn")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("sn"), col("cn"))
+      .agg(sum(col("rev")).as("f"))
+      .where(col("sn") =!= col("cn"))
+    val back = flows.select(col("cn").as("sn"), col("sn").as("cn"),
+      col("f").as("fr"))
+    flows.join(back, Seq("sn", "cn"), "left")
+      .withColumn("fr0", coalesce(col("fr"), lit(0).cast("decimal(28,6)")))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("f")).as("tot"), sum(least(col("f"), col("fr0"))).as("rec"))
+      .select(col("n_pairs"),
+        (round(col("tot").cast("double") * 10000) / 10000.0)
+          .as("total_flow"),
+        (round(col("rec").cast("double") * 10000) / 10000.0)
+          .as("reciprocal_flow"),
+        (round(col("rec").cast("double") / col("tot").cast("double")
+          * 1000000) / 1000000.0).as("reciprocity"))
+  }
+
+  def flowReciprocity(spark: SparkSession, sfDir: String): DataFrame =
+    flowReciprocity(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir))
 }

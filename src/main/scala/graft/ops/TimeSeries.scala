@@ -2345,4 +2345,40 @@ object TimeSeries {
 
   def taylorLaw(spark: SparkSession, sfDir: String): DataFrame =
     taylorLaw(Tables.events(spark, sfDir))
+
+  /** q351: temporal semivariogram per series — γ(h) = ½·E[(x(t+h)−x(t))²]
+    * of the daily means at lags 1..7 days. The geostatistics structure
+    * function: unlike the ACF (q42), it needs no global mean/variance and
+    * stays meaningful under trend/nonstationarity, and its sill/nugget
+    * shape is the standard diagnostic for "how many days apart are
+    * readings still informative" (smoothing-window selection for
+    * q03/q252).
+    *
+    * Scale shape: daily resample ([[cusumDaily]]'s map-combinable shape),
+    * then ONE (series, day−h)-keyed equi-join against a 7-row exploded
+    * lag spine — day gaps pair correctly (a lag window would slip across
+    * holes), fan-out is exactly 7×days, and no window appears at all.
+    * Squared differences are 1e-12-snapped into exact decimal sums.
+    */
+  def semivariogram(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    def s12(c: Column) = round(c * lit(1e12)) / lit(1e12)
+    val daily = cusumDaily(events)
+    val a = daily.withColumn("h",
+      explode(sequence(lit(1), lit(maxLag))))
+    val b = daily.select(col("event_type"), col("day").as("bd"),
+      col("x").as("xb"))
+    a.join(b, a("event_type") === b("event_type")
+        && col("bd") === col("day") - col("h"))
+      .withColumn("term", s12((col("x") - col("xb")) * (col("x") - col("xb"))))
+      .groupBy(a("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("term").cast("decimal(38,12)")).cast("double").as("sd"))
+      .select(a("event_type"), col("h").cast("int").as("h_days"),
+        col("n_pairs"),
+        (round(lit(0.5) * col("sd") / col("n_pairs") * 1000000)
+          / 1000000.0).as("gamma"))
+  }
+
+  def semivariogram(spark: SparkSession, sfDir: String): DataFrame =
+    semivariogram(Tables.events(spark, sfDir))
 }
