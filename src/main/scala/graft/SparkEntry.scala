@@ -714,7 +714,13 @@ object SparkEntry {
         .orderBy(col("from_priority"), col("to_priority"))),
     "q353_price_endings" -> ((s, d) =>
       Relational.priceEndings(s, d).orderBy(col("cents_ending"))),
-    "q354_flow_reciprocity" -> ((s, d) => Relational.flowReciprocity(s, d))
+    "q354_flow_reciprocity" -> ((s, d) => Relational.flowReciprocity(s, d)),
+    "q356_kish_ess" -> ((s, d) =>
+      Curation.kishEss(s, d).orderBy(col("source"))),
+    "q355_sampler_uniformity" -> ((s, d) =>
+      Curation.samplerUniformity(s, d).orderBy(col("source"))),
+    "q357_von_neumann" -> ((s, d) =>
+      TimeSeries.vonNeumann(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8278,7 +8284,101 @@ object SparkEntry {
         |    AS reciprocal_flow,
         |  round(CAST(sum(least(f, fr)) AS DOUBLE)/CAST(sum(f) AS DOUBLE)
         |    *1000000)/1000000.0 AS reciprocity
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    "q356_kish_ess" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, length(t) n_chars,
+        |    len(string_split(t, ' ')) n_words,
+        |    length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g'))
+        |      n_punct,
+        |    len(list_filter(string_split(t, ' '), x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], x))) n_stop
+        |  FROM d),
+        |q AS (SELECT doc_id, source,
+        |    round((least(CAST(n_words AS DOUBLE)/100.0, 1.0)*0.5
+        |      + (1.0 - CAST(n_punct AS DOUBLE)/n_chars)*0.3
+        |      + least(CAST(n_stop AS DOUBLE)/n_words*5.0, 1.0)*0.2)
+        |      *10000)/10000 quality
+        |  FROM f),
+        |w AS (SELECT source, quality*quality w FROM q),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(CAST(w AS DECIMAL(38,16))) AS DOUBLE) sw,
+        |    CAST(sum(CAST(w*w AS DECIMAL(38,16))) AS DOUBLE) sw2
+        |  FROM w GROUP BY 1)
+        |SELECT source, n_docs,
+        |  CASE WHEN sw2 > 0 THEN round(sw*sw/sw2*100)/100.0
+        |    ELSE 0.0 END AS ess,
+        |  CASE WHEN sw2 > 0 THEN
+        |    round(sw*sw/sw2/n_docs*1000000)/1000000.0 ELSE 0.0 END
+        |    AS ess_ratio,
+        |  CASE WHEN sw*sw > 0 THEN
+        |    round(n_docs*sw2/(sw*sw)*1000000)/1000000.0 ELSE 0.0 END
+        |    AS design_effect
+        |FROM g ORDER BY 1""".stripMargin,
+    "q355_sampler_uniformity" ->
+      """WITH u AS (SELECT source,
+        |    md5('samp:'||CAST(doc_id AS VARCHAR)) h FROM documents),
+        |uu AS (SELECT source,
+        |    CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+        |      (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+        |      (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+        |      (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+        |      (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+        |      (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT) u24
+        |  FROM u),
+        |b AS (SELECT source, CAST(floor(u24/4096) AS BIGINT) bin FROM uu),
+        |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) cnt
+        |  FROM b GROUP BY 1, 2),
+        |srcs AS (SELECT source, CAST(count(*) AS BIGINT) n
+        |  FROM b GROUP BY 1),
+        |spine AS (SELECT source, n,
+        |    unnest(generate_series(0, 4095)) bin FROM srcs),
+        |f AS (SELECT spine.source, spine.n, spine.bin,
+        |    coalesce(cnt, 0) cnt
+        |  FROM spine LEFT JOIN c ON c.source = spine.source
+        |    AND c.bin = spine.bin),
+        |cum AS (SELECT source, n, bin, CAST(sum(cnt) OVER (
+        |    PARTITION BY source ORDER BY bin) AS BIGINT) cum FROM f),
+        |d AS (SELECT source, n, abs(CAST(cum AS DOUBLE)/n
+        |    - CAST(bin + 1 AS DOUBLE)/4096.0) dd FROM cum),
+        |k AS (SELECT source, n, max(dd) d FROM d GROUP BY 1, 2)
+        |SELECT source, n AS n_docs,
+        |  round(d*1000000)/1000000.0 AS ks_binned,
+        |  round(1.36/sqrt(CAST(n AS DOUBLE))*1000000)/1000000.0
+        |    AS ks_crit_95,
+        |  d < 1.36/sqrt(CAST(n AS DOUBLE)) AS uniform_ok
+        |FROM k ORDER BY 1""".stripMargin,
+    "q357_von_neumann" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)/86400) AS BIGINT) dd,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY dd) prev
+        |  FROM daily),
+        |t AS (SELECT event_type, x,
+        |    CASE WHEN prev IS NOT NULL THEN
+        |      round((x-prev)*(x-prev)*1e12)/1e12 END d2 FROM lg),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) s,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) q,
+        |    CAST(count(d2) AS BIGINT) nd,
+        |    CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) sd2
+        |  FROM t GROUP BY 1),
+        |e AS (SELECT event_type, n_days,
+        |    (q - s*s/n_days)/(n_days - 1) v, sd2/nd m FROM g)
+        |SELECT event_type, n_days,
+        |  round(m*1000000)/1000000.0 AS mssd,
+        |  round(v*1000000)/1000000.0 AS variance,
+        |  CASE WHEN v > 0 THEN round(m/v*1000000)/1000000.0 END
+        |    AS vn_ratio,
+        |  CASE WHEN v > 0 THEN
+        |    CASE WHEN m/v < 1.8 THEN 'trending'
+        |      WHEN m/v > 2.2 THEN 'oscillating'
+        |      ELSE 'noise-like' END END AS verdict
+        |FROM e ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

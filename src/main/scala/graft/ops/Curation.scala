@@ -497,4 +497,92 @@ object Curation {
 
   def negativeSamples(spark: SparkSession, sfDir: String): DataFrame =
     negativeSamples(Tables.documents(spark, sfDir))
+
+  /** q356: Kish effective sample size of the quality-temperature weights —
+    * per source, ESS = (Σw)²/Σw² with w = quality² (q187's acceptance
+    * weight), plus ESS/n and the design effect n·Σw²/(Σw)² (the ESS
+    * ratio's reciprocal). The sampling-theory answer to "how much statistical
+    * power survives the reweighting": a source whose ESS ratio collapses
+    * is being represented by a handful of high-quality documents — exactly
+    * the over-concentration failure mixture planning (q75) must know
+    * about before trusting q187's keep rates.
+    *
+    * Scale shape: quality is q28's map-side projection; one
+    * map-combinable per-source moment aggregate; weights are 1e-4-snapped
+    * upstream so the decimal(38,16) sums are exact on any partitioning.
+    */
+  def kishEss(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+      .withColumn("w", col("quality") * col("quality"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("decimal(38,16)")).cast("double").as("sw"),
+        sum((col("w") * col("w")).cast("decimal(38,16)"))
+          .cast("double").as("sw2"))
+      .select(col("source"), col("n_docs"),
+        when(col("sw2") > 0,
+          (round(col("sw") * col("sw") / col("sw2") * 100) / 100.0))
+          .otherwise(0.0).as("ess"),
+        when(col("sw2") > 0,
+          (round(col("sw") * col("sw") / col("sw2") / col("n_docs")
+            * 1000000) / 1000000.0)).otherwise(0.0).as("ess_ratio"),
+        when(col("sw") * col("sw") > 0,
+          (round(col("n_docs") * col("sw2") / (col("sw") * col("sw"))
+            * 1000000) / 1000000.0)).otherwise(0.0).as("design_effect"))
+  }
+
+  def kishEss(spark: SparkSession, sfDir: String): DataFrame =
+    kishEss(Tables.documents(spark, sfDir))
+
+  /** q355: uniformity audit of the engine's own md5 sampling coin — the
+    * binned one-sample KS statistic of u24 ("samp:" salt, q54's exact
+    * keep-coin) against U[0,1) per source, with the 95% critical value
+    * 1.36/√n. Every deterministic sampler in the repo (q54/q64/q83/q187)
+    * stands on this coin being uniform and source-independent; a
+    * contractor swapping doc_id allocation schemes (e.g. source-prefixed
+    * id ranges) could silently bias every downstream sample — this query
+    * is the tripwire.
+    *
+    * Scale shape: the ECDF never sorts the data — u24 buckets into 4096
+    * bins ((source, bin) map-combinable census), a dense 4096-row spine
+    * per source left-joins the counts, and the cumulative walk is a
+    * window over ≤4096 BOUNDED rows per source. Statistic resolution is
+    * the bin width (1/4096), stated in the column name; all inputs to
+    * the sup are exact integers.
+    */
+  def samplerUniformity(docs: DataFrame, bins: Int = 4096): DataFrame = {
+    val u = docs.select(col("doc_id"), col("source"))
+      .withColumn("h", md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("bin", floor(col("u24") / lit(bins.toLong)).cast("long"))
+    val c = u.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val spine = u.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("bin", explode(sequence(lit(0L), lit(bins - 1L))))
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+    spine.join(c, Seq("source", "bin"), "left")
+      .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum", sum(col("cnt0")).over(w))
+      .withColumn("dd", abs(col("cum").cast("double") / col("n")
+        - (col("bin") + 1).cast("double") / lit(bins.toDouble)))
+      .groupBy(col("source"), col("n"))
+      .agg(max(col("dd")).as("d"))
+      .select(col("source"), col("n").as("n_docs"),
+        (round(col("d") * 1000000) / 1000000.0).as("ks_binned"),
+        (round(lit(1.36) / sqrt(col("n").cast("double")) * 1000000)
+          / 1000000.0).as("ks_crit_95"),
+        (col("d") < lit(1.36) / sqrt(col("n").cast("double")))
+          .as("uniform_ok"))
+  }
+
+  def samplerUniformity(spark: SparkSession, sfDir: String): DataFrame =
+    samplerUniformity(Tables.documents(spark, sfDir))
 }

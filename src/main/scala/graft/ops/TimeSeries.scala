@@ -2381,4 +2381,50 @@ object TimeSeries {
 
   def semivariogram(spark: SparkSession, sfDir: String): DataFrame =
     semivariogram(Tables.events(spark, sfDir))
+
+  /** q357: von Neumann successive-difference ratio per series — η =
+    * MSSD/s² over the day-ordered daily means (η≈2 white noise, η≪2
+    * trend/positive drift, η≫2 oscillation), with a three-way verdict at
+    * the ±0.2 band. The one-number "is this series trend-dominated or
+    * alternating" classifier: q194 runs Durbin–Watson on REGRESSION
+    * residuals, this is the raw-series sibling that needs no fit at all,
+    * and unlike q42's ACF it has a calibrated null value (2) to compare
+    * against.
+    *
+    * Scale shape: daily resample + one series-PARTITIONED lag window +
+    * one map-combinable moment aggregate; squared differences are
+    * 1e-12-snapped into exact decimal sums.
+    */
+  def vonNeumann(events: DataFrame): DataFrame = {
+    def s12(c: Column) = round(c * lit(1e12)) / lit(1e12)
+    val daily = cusumDaily(events)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("x"), 1).over(w))
+      .withColumn("dd", when(col("prev").isNotNull,
+        s12((col("x") - col("prev")) * (col("x") - col("prev")))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,10)"))
+          .cast("double").as("q"),
+        count(col("dd")).as("nd"),
+        sum(col("dd").cast("decimal(38,12)")).cast("double").as("sd2"))
+      .withColumn("v",
+        (col("q") - col("s") * col("s") / col("n_days"))
+          / (col("n_days") - 1))
+      .withColumn("m", col("sd2") / col("nd"))
+      .select(col("event_type"), col("n_days"),
+        (round(col("m") * 1000000) / 1000000.0).as("mssd"),
+        (round(col("v") * 1000000) / 1000000.0).as("variance"),
+        when(col("v") > 0, round(col("m") / col("v") * 1000000) / 1000000.0)
+          .as("vn_ratio"),
+        when(col("v") > 0,
+          when(col("m") / col("v") < 1.8, "trending")
+            .when(col("m") / col("v") > 2.2, "oscillating")
+            .otherwise("noise-like")).as("verdict"))
+  }
+
+  def vonNeumann(spark: SparkSession, sfDir: String): DataFrame =
+    vonNeumann(Tables.events(spark, sfDir))
 }
