@@ -321,4 +321,68 @@ object Equipment {
     val end = start.plusMinutes(frequencyMin.toLong).minusSeconds(1)
     (Timestamp.from(start.toInstant), Timestamp.from(end.toInstant))
   }
+
+  /** The scheduler's Markdown inspection report — reference
+    * scheduler.py:172-216 (`build_inspection_report`) re-expressed as a
+    * pure function of the scheduler parameters: what cadence it wakes on,
+    * where it looks, which files it expects at the next wakeup, and a
+    * per-component table template with the exact filename timestamp. The
+    * reference derives all of this from live boto3 describe calls plus
+    * `datetime.now`; here the clock is an argument so the report is
+    * deterministic and testable, and the schema is the
+    * [[graft.sources.ComponentSource.ComponentSpec]] inventory the
+    * engine's own ingestion produces.
+    *
+    * Timestamp formats mirror scheduler.py:146-152: "EPOCH",
+    * "yyyy-MM-dd-HH-mm-ss", "yyyyMMddHHmmss".
+    */
+  def buildInspectionReport(
+      schedulerName: String,
+      frequencyMin: Int,
+      delayOffsetMin: Int,
+      inputLocation: String,
+      schema: Seq[graft.sources.ComponentSource.ComponentSpec],
+      now: Timestamp,
+      delimiter: String = "_",
+      timestampFormat: String = "yyyyMMddHHmmss",
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): String = {
+    val (start, end) = nextTimeRange(now, frequencyMin, zone)
+    val startLocal = start.toInstant.atZone(zone)
+    val nextWakeup = startLocal.plusMinutes(frequencyMin.toLong)
+    val nextTimestamp = timestampFormat match {
+      case "EPOCH" => startLocal.toInstant.getEpochSecond.toString
+      case fmt => startLocal.format(
+        java.time.format.DateTimeFormatter.ofPattern(fmt))
+    }
+    val wall = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"**SCHEDULER: $schedulerName**\n"
+    lines += s"*Scheduler inspection report run at: ${now.toInstant.atZone(zone).format(wall)}*\n"
+    lines += "Here is the behavior you can expect from this scheduler:\n"
+    if (delayOffsetMin > 0) {
+      lines += s"* It will wake up every **$frequencyMin minutes**"
+      lines += s"and wait for up to **$delayOffsetMin minute(s)** for the data to be available.\n"
+    } else {
+      lines += s"* It will wake up every **$frequencyMin minutes**.\n"
+    }
+    lines += s"* It will look for CSV files in the following location `$inputLocation*.csv`.\n"
+    lines += s"* The current time is **${now.toInstant.atZone(zone).format(wall)}** and the next time the scheduler will wake up will be **${nextWakeup.format(wall)}**\n"
+    lines += s"* The dataset associated to this scheduler's model has **${schema.size} components** in its schema.\n"
+    lines += s"Each time the scheduler wakes up, it expects to find **${schema.size} CSV files** in the input location, one for each component as defined in the dataset schema.\n"
+    lines += s"If the scheduler was to wake up at **${nextWakeup.format(wall)}**, it would look for the following files:"
+    for (component <- schema) {
+      lines += s"\n* `${component.name}$delimiter$nextTimestamp.csv` and this file content would have to follow this template:"
+      val cols = component.columns
+      val table = new StringBuilder("\n")
+      cols.foreach(c => table ++= " | " + c.name)
+      table ++= "|"
+      table ++= "\n" + "| --- " * cols.length + "|"
+      table ++= s"\n| ${startLocal.format(wall)}" + "| 0.0 " * (cols.length - 1) + "|"
+      table ++= "\n" + "| ... " * cols.length + "|"
+      table ++= s"\n| ${end.toInstant.atZone(zone).format(wall)}" + "| 0.0 " * (cols.length - 1) + "|"
+      lines += table.toString
+    }
+    lines.mkString("\n")
+  }
 }

@@ -213,4 +213,46 @@ class EquipmentSpec extends SparkSpec {
     assert(sub.select("sensor").distinct().as[String].collect().toSeq === Seq("s2"))
     assert(sub.count() === 20)
   }
+
+  test("buildInspectionReport renders the scheduler contract (scheduler.py:172-216)") {
+    import graft.sources.ComponentSource.{ColumnSpec, ComponentSpec}
+    val schema = Seq(
+      ComponentSpec("pump", Seq(ColumnSpec("Timestamp", "DATETIME"),
+        ColumnSpec("s1", "DOUBLE"), ColumnSpec("s2", "DOUBLE"))),
+      ComponentSpec("motor", Seq(ColumnSpec("Timestamp", "DATETIME"),
+        ColumnSpec("s3", "DOUBLE"))))
+    // 10:17:42 with PT15M cadence -> bucket start 10:15, next wakeup 10:30
+    val now = java.sql.Timestamp.valueOf("2020-03-05 10:17:42")
+    val report = Equipment.buildInspectionReport(
+      "sched-1", 15, 5, "s3://bucket/prefix/", schema, now)
+    assert(report.contains("**SCHEDULER: sched-1**"))
+    assert(report.contains("every **15 minutes**"))
+    assert(report.contains("up to **5 minute(s)**"))
+    assert(report.contains("`s3://bucket/prefix/*.csv`"))
+    assert(report.contains("will wake up will be **2020-03-05 10:30:00**"))
+    assert(report.contains("has **2 components**"))
+    // filenames carry the FLOORED bucket timestamp in the configured format
+    assert(report.contains("`pump_20200305101500.csv`"))
+    assert(report.contains("`motor_20200305101500.csv`"))
+    // table template: header, separator, start row, ellipsis, end row
+    assert(report.contains(" | Timestamp | s1 | s2|"))
+    assert(report.contains("| --- | --- | --- |"))
+    assert(report.contains("| 2020-03-05 10:15:00| 0.0 | 0.0 |"))
+    assert(report.contains("| 2020-03-05 10:29:59| 0.0 | 0.0 |"))
+    assert(report.contains("| ... | ... | ... |"))
+
+    // zero delay offset takes the compact sentence
+    val noDelay = Equipment.buildInspectionReport(
+      "s2", 15, 0, "s3://b/p/", schema.take(1), now)
+    assert(noDelay.contains("every **15 minutes**.\n"))
+    assert(!noDelay.contains("minute(s)"))
+
+    // EPOCH format yields epoch-seconds filenames
+    val epoch = Equipment.buildInspectionReport(
+      "s3", 15, 0, "s3://b/p/", schema.take(1), now,
+      timestampFormat = "EPOCH")
+    val bucketEpoch = java.sql.Timestamp.valueOf("2020-03-05 10:15:00")
+      .toInstant.getEpochSecond
+    assert(epoch.contains(s"`pump_$bucketEpoch.csv`"))
+  }
 }

@@ -318,6 +318,48 @@ class PlanAuditSpec extends SparkSpec {
         s"$name lost its broadcast side")
   }
 
+  test("round-6 batches 12-15: broadcast sides survive planning") {
+    // label directory (q346), grand totals (q347), global span (q350),
+    // ending total (q353), sampler spine counts (q355)
+    for (name <- Seq("q346_triplet_margin", "q347_icc_ship_delay",
+                     "q350_clumpiness", "q353_price_endings"))
+      assert(plans(name).contains("BroadcastExchange")
+        || plans(name).contains("BroadcastHashJoin"),
+        s"$name lost its broadcast side")
+  }
+
+  test("round-6 batches 12-15: moment aggregates keep map-side combine") {
+    for (name <- Seq("q344_chunk_ttr", "q345_wilson_returns",
+                     "q348_taylor_law", "q356_kish_ess",
+                     "q351_semivariogram", "q357_von_neumann"))
+      assert("HashAggregate".r.findAllIn(plans(name)).size >= 2,
+        s"$name lost its map-side partial aggregate")
+  }
+
+  test("round-6 batches 12-15: windows shuffle on their entity key") {
+    // q349/q350/q352/q357 windows must partition on their entity key — a
+    // missing partition spec would single-task the whole fact table. The
+    // Arguments bracket-count heuristic is ambiguous for order-less
+    // windows, so pin the keyed exchange directly AND assert every
+    // windowspecdefinition leads with that key. (q355's windows run on
+    // the 4096-row bin spine and q343's on the day table — bounded by
+    // construction, documented in their scaladoc.)
+    val keyed = Seq(
+      "q349_purchase_entropy" -> "o_custkey",
+      "q350_clumpiness" -> "o_custkey",
+      "q352_priority_markov" -> "o_custkey",
+      "q357_von_neumann" -> "event_type")
+    for ((name, key) <- keyed) {
+      val plan = plans(name)
+      assert(plan.contains(s"hashpartitioning($key"),
+        s"$name window input is not hash-partitioned on $key")
+      for (m <- """windowspecdefinition\(([a-z_0-9]+)""".r
+             .findAllMatchIn(plan))
+        assert(m.group(1) == key,
+          s"$name has a window keyed on ${m.group(1)}, expected $key")
+    }
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
