@@ -720,7 +720,11 @@ object SparkEntry {
     "q355_sampler_uniformity" -> ((s, d) =>
       Curation.samplerUniformity(s, d).orderBy(col("source"))),
     "q357_von_neumann" -> ((s, d) =>
-      TimeSeries.vonNeumann(s, d).orderBy(col("event_type")))
+      TimeSeries.vonNeumann(s, d).orderBy(col("event_type"))),
+    "q358_participation_ratio" -> ((s, d) =>
+      Similarity.participationRatio(s, d).orderBy(col("label"))),
+    "q359_ql_bm25_agreement" -> ((s, d) =>
+      Retrieval.qlBm25Agreement(s, d).orderBy(col("probe_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8378,7 +8382,104 @@ object SparkEntry {
         |    CASE WHEN m/v < 1.8 THEN 'trending'
         |      WHEN m/v > 2.2 THEN 'oscillating'
         |      ELSE 'noise-like' END END AS verdict
-        |FROM e ORDER BY 1""".stripMargin
+        |FROM e ORDER BY 1""".stripMargin,
+    "q358_participation_ratio" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label, embedding
+        |  FROM embeddings),
+        |ix AS (SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) gi, embedding
+        |  FROM e),
+        |xx AS MATERIALIZED (SELECT vec_id, label, gi - 1 i,
+        |    CAST(embedding[gi] AS DOUBLE) xi FROM ix),
+        |mu AS MATERIALIZED (SELECT label, i,
+        |    CAST(sum(CAST(xi AS DECIMAL(28,16))) AS DOUBLE)/count(*) mu
+        |  FROM xx GROUP BY 1, 2),
+        |pr AS (SELECT a.label, a.i, b.i j, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(a.xi*b.xi AS DECIMAL(28,16))) AS DOUBLE) sij
+        |  FROM xx a JOIN xx b ON b.vec_id = a.vec_id
+        |  GROUP BY 1, 2, 3),
+        |cov AS (SELECT p.label, p.i, p.j,
+        |    round((sij/n - m1.mu*m2.mu)*1e12)/1e12 c
+        |  FROM pr p JOIN mu m1 ON m1.label = p.label AND m1.i = p.i
+        |  JOIN mu m2 ON m2.label = p.label AND m2.i = p.j),
+        |g AS (SELECT label, max(i) imax,
+        |    CAST(sum(CASE WHEN i = j THEN CAST(c AS DECIMAL(38,12)) END)
+        |      AS DOUBLE) tr,
+        |    CAST(sum(CAST(c*c AS DECIMAL(38,12))) AS DOUBLE) frob2
+        |  FROM cov GROUP BY 1)
+        |SELECT label, CAST(imax + 1 AS INT) d,
+        |  round(tr*1000000)/1000000.0 AS trace,
+        |  CASE WHEN frob2 > 0 THEN round(tr*tr/frob2*10000)/10000.0 END
+        |    AS participation_ratio,
+        |  CASE WHEN frob2 > 0 THEN
+        |    round(tr*tr/frob2/(imax+1)*1000000)/1000000.0 END AS pr_ratio
+        |FROM g ORDER BY 1""".stripMargin,
+    "q359_ql_bm25_agreement" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) tok FROM d),
+        |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf
+        |  FROM tx GROUP BY 1, 2),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl
+        |  FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) df
+        |  FROM tf GROUP BY 1),
+        |probes AS MATERIALIZED (SELECT doc_id probe_id, tok FROM tf
+        |  WHERE doc_id < 5),
+        |scored AS (SELECT p.probe_id, t.doc_id,
+        |    sum(CAST(
+        |      ln((n_docs - CAST(df AS DOUBLE) + 0.5)
+        |         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      AS DECIMAL(18,10))) s
+        |  FROM tf t JOIN probes p USING (tok)
+        |  JOIN dfreq USING (tok) JOIN dl ON t.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  WHERE t.doc_id <> p.probe_id
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT probe_id, doc_id, rnk rbm FROM (
+        |    SELECT probe_id, doc_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY s DESC, doc_id) rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |ctot AS (SELECT CAST(sum(dl) AS DOUBLE) ctot FROM dl),
+        |ctf AS (SELECT tok, CAST(sum(tf) AS BIGINT) ctf
+        |  FROM tf GROUP BY 1),
+        |nq AS (SELECT probe_id, CAST(count(*) AS BIGINT) nq FROM probes
+        |  GROUP BY 1),
+        |sq AS (SELECT p.probe_id, t.doc_id,
+        |    sum(CAST(ln(1.0 + CAST(t.tf AS DOUBLE)
+        |      / (300.0 * (CAST(ctf AS DOUBLE) / ctot)))
+        |      AS DECIMAL(18,10))) sv
+        |  FROM tf t JOIN probes p USING (tok)
+        |  JOIN ctf USING (tok) CROSS JOIN ctot
+        |  WHERE t.doc_id <> p.probe_id GROUP BY 1, 2),
+        |ql AS (SELECT sq.probe_id, sq.doc_id,
+        |    CAST(sv AS DOUBLE) + CAST(nq AS DOUBLE)
+        |      * ln(300.0 / (CAST(dl AS DOUBLE) + 300.0)) score
+        |  FROM sq JOIN dl ON sq.doc_id = dl.doc_id JOIN nq USING (probe_id)),
+        |tql AS (SELECT probe_id, doc_id, rql FROM (
+        |    SELECT probe_id, doc_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY score DESC, doc_id) rql
+        |    FROM ql) WHERE rql <= 5),
+        |j AS (SELECT coalesce(b.probe_id, q.probe_id) probe_id,
+        |    b.rbm, q.rql
+        |  FROM bm b FULL JOIN tql q ON b.probe_id = q.probe_id
+        |    AND b.doc_id = q.doc_id)
+        |SELECT probe_id,
+        |  CAST(sum(CASE WHEN rbm IS NOT NULL AND rql IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) overlap_at_k,
+        |  CAST(sum(CASE WHEN rbm = rql THEN 1 ELSE 0 END) AS BIGINT)
+        |    rank_matches,
+        |  round(CAST(sum(CASE WHEN rbm IS NOT NULL AND rql IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /(10 - sum(CASE WHEN rbm IS NOT NULL AND rql IS NOT NULL
+        |      THEN 1 ELSE 0 END))*10000)/10000.0 AS jaccard
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

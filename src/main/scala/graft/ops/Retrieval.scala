@@ -70,6 +70,70 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
     bm25TopK(Tables.documents(spark, sfDir))
 
+  /** q359: query-likelihood (Dirichlet μ-smoothed) ranking vs BM25 — the
+    * second classic lexical ranker, scored through the rank-equivalent
+    * inverted-index decomposition score = Σ_{t∈q∩d} ln(1 + tf/(μ·p_t)) +
+    * |q|·ln(μ/(dl+μ)) (Zhai & Lafferty 2001), then compared probe-by-probe
+    * against q82's BM25 top-k: set overlap, exact-rank matches, and
+    * Jaccard. Two rankers that disagree flag probes whose results are
+    * length-artifact-driven (QL's dl penalty differs structurally from
+    * BM25's b-normalization) — the standard sanity pass before trusting
+    * either list.
+    *
+    * Scale posture identical to q82: postings join the tiny probe term
+    * set, collection stats are one-row broadcasts, per-term scores snap
+    * to DECIMAL(18,10) pre-sum, and the agreement join runs on two
+    * nProbes·k-row tables.
+    */
+  def qlBm25Agreement(docs: DataFrame, nProbes: Int = 5, k: Int = 5,
+                      mu: Double = 300.0): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val ctot = dl.agg(sum(col("dl")).cast("double").as("ctot"))
+    val ctf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    val probes = tf.where(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("tok"))
+    val nq = probes.groupBy(col("probe_id")).agg(count(lit(1)).as("nq"))
+    val s1 = tf.join(probes, "tok")
+      .where(col("doc_id") =!= col("probe_id"))
+      .join(ctf, "tok")
+      .crossJoin(broadcast(ctot))
+      .withColumn("term",
+        log(lit(1.0) + col("tf").cast("double")
+          / (lit(mu) * (col("ctf").cast("double") / col("ctot"))))
+          .cast("decimal(18,10)"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("term")).as("sv"))
+    val ql = s1.join(dl, "doc_id").join(broadcast(nq), "probe_id")
+      .withColumn("score", col("sv").cast("double")
+        + col("nq").cast("double")
+          * log(lit(mu) / (col("dl").cast("double") + lit(mu))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val topQl = ql.withColumn("rql", row_number().over(w))
+      .where(col("rql") <= k)
+      .select(col("probe_id"), col("doc_id"), col("rql"))
+    val topBm = bm25TopK(docs, nProbes, k)
+      .select(col("probe_id"), col("doc_id"), col("rnk").as("rbm"))
+    topBm.join(topQl, Seq("probe_id", "doc_id"), "full_outer")
+      .groupBy(col("probe_id"))
+      .agg(
+        sum(when(col("rbm").isNotNull && col("rql").isNotNull, 1L)
+          .otherwise(0L)).as("overlap_at_k"),
+        sum(when(col("rbm") === col("rql"), 1L).otherwise(0L))
+          .as("rank_matches"))
+      .withColumn("jaccard",
+        round(col("overlap_at_k").cast("double")
+          / (lit(2 * k) - col("overlap_at_k")) * 10000) / 10000.0)
+  }
+
+  def qlBm25Agreement(spark: SparkSession, sfDir: String): DataFrame =
+    qlBm25Agreement(Tables.documents(spark, sfDir))
+
   /** q137: reciprocal-rank fusion of the lexical (BM25, q82) and semantic
     * (cosine, q25) rankers — THE standard hybrid-retrieval combiner
     * (Cormack et al. 2009): each ranker contributes 1/(c + rank) for the

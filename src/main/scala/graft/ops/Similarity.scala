@@ -1170,4 +1170,57 @@ object Similarity {
 
   def tripletMargin(spark: SparkSession, sfDir: String): DataFrame =
     tripletMargin(Tables.embeddings(spark, sfDir))
+
+  /** q358: participation ratio of the embedding covariance per label —
+    * PR = tr(C)²/‖C‖²_F = (Σλ)²/Σλ², the effective LINEAR dimensionality,
+    * computed without any eigendecomposition (trace and Frobenius norm
+    * are pure moment sums). The anisotropy screen that complements q313's
+    * TwoNN (manifold dimension) and q200's top eigenvector: a 32-dim
+    * embedding with PR≈3 wastes 29 dims — matryoshka truncation (q136)
+    * and PQ budgets should be set from THIS number.
+    *
+    * Scale shape: one per-vector d² self-join on vec_id (the inherent
+    * cost of a Frobenius norm — d²·|V| products, d=dim, never |V|²),
+    * then (label, i, j)-key map-combinable decimal moment sums and a
+    * d²-row-per-label reduction. Covariance entries are 1e-12-snapped
+    * before the trace/Frobenius sums.
+    */
+  def participationRatio(emb: DataFrame): DataFrame = {
+    def s12(c: Column) = round(c * lit(1e12)) / lit(1e12)
+    val x = asDoubles(emb)
+    val dims = x.select(col("label"), col("vec_id"),
+      posexplode(col("v")).as(Seq("i", "xi")))
+    val mu = dims.groupBy(col("label"), col("i"))
+      .agg((sum(col("xi").cast("decimal(28,16)")).cast("double")
+        / count(lit(1))).as("mu"))
+    val prods = dims
+      .join(dims.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")),
+        "vec_id")
+      .groupBy(col("label"), col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("xi") * col("xj")).cast("decimal(28,16)"))
+          .cast("double").as("sij"))
+    val cov = prods
+      .join(broadcast(mu), Seq("label", "i"))
+      .join(broadcast(mu.select(col("label"), col("i").as("j"),
+        col("mu").as("muj"))), Seq("label", "j"))
+      .withColumn("c", s12(col("sij") / col("n") - col("mu") * col("muj")))
+    cov.groupBy(col("label"))
+      .agg(max(col("i")).as("imax"),
+        sum(when(col("i") === col("j"), col("c").cast("decimal(38,12)")))
+          .cast("double").as("tr"),
+        sum((col("c") * col("c")).cast("decimal(38,12)"))
+          .cast("double").as("frob2"))
+      .select(col("label"), (col("imax") + 1).cast("int").as("d"),
+        (round(col("tr") * 1000000) / 1000000.0).as("trace"),
+        when(col("frob2") > 0,
+          round(col("tr") * col("tr") / col("frob2") * 10000) / 10000.0)
+          .as("participation_ratio"),
+        when(col("frob2") > 0,
+          round(col("tr") * col("tr") / col("frob2")
+            / (col("imax") + 1) * 1000000) / 1000000.0).as("pr_ratio"))
+  }
+
+  def participationRatio(spark: SparkSession, sfDir: String): DataFrame =
+    participationRatio(Tables.embeddings(spark, sfDir))
 }
