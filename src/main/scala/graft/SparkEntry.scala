@@ -724,7 +724,12 @@ object SparkEntry {
     "q358_participation_ratio" -> ((s, d) =>
       Similarity.participationRatio(s, d).orderBy(col("label"))),
     "q359_ql_bm25_agreement" -> ((s, d) =>
-      Retrieval.qlBm25Agreement(s, d).orderBy(col("probe_id")))
+      Retrieval.qlBm25Agreement(s, d).orderBy(col("probe_id"))),
+    "q360_diameter_sweep" -> ((s, d) => Graph.diameterSweep(s, d)),
+    "q361_churn_hazard" -> ((s, d) =>
+      Relational.churnHazard(s, d).orderBy(col("tenure_weeks"))),
+    "q362_fulfillment_spread" -> ((s, d) =>
+      Relational.fulfillmentSpread(s, d).orderBy(col("size_bucket")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8479,7 +8484,102 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS DOUBLE)
         |    /(10 - sum(CASE WHEN rbm IS NOT NULL AND rql IS NOT NULL
         |      THEN 1 ELSE 0 END))*10000)/10000.0 AS jaccard
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q360_diameter_sweep" ->
+      """WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |p AS (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v FROM pr),
+        |adj AS MATERIALIZED (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM adj),
+        |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) dg
+        |  FROM adj GROUP BY 1),
+        |lm AS MATERIALIZED (SELECT id FROM deg ORDER BY dg DESC, id
+        |  LIMIT 1),
+        |r1 AS (SELECT DISTINCT v AS id FROM adj JOIN lm ON adj.u = lm.id),
+        |r2 AS (SELECT DISTINCT a2.v AS id FROM adj a2
+        |  JOIN r1 ON a2.u = r1.id),
+        |r3 AS (SELECT DISTINCT a3.v AS id FROM adj a3
+        |  JOIN r2 ON a3.u = r2.id),
+        |d1 AS MATERIALIZED (SELECT vv.id, CAST(CASE
+        |    WHEN vv.id IN (SELECT id FROM lm) THEN 0
+        |    WHEN vv.id IN (SELECT id FROM r1) THEN 1
+        |    WHEN vv.id IN (SELECT id FROM r2) THEN 2
+        |    WHEN vv.id IN (SELECT id FROM r3) THEN 3
+        |    ELSE -1 END AS INT) dist FROM verts vv),
+        |far AS MATERIALIZED (SELECT id FROM d1 WHERE dist >= 0
+        |  ORDER BY dist DESC, id LIMIT 1),
+        |s1 AS (SELECT DISTINCT v AS id FROM adj
+        |  JOIN far ON adj.u = far.id),
+        |s2 AS (SELECT DISTINCT b2.v AS id FROM adj b2
+        |  JOIN s1 ON b2.u = s1.id),
+        |s3 AS (SELECT DISTINCT b3.v AS id FROM adj b3
+        |  JOIN s2 ON b3.u = s2.id),
+        |d2 AS MATERIALIZED (SELECT vv.id, CAST(CASE
+        |    WHEN vv.id IN (SELECT id FROM far) THEN 0
+        |    WHEN vv.id IN (SELECT id FROM s1) THEN 1
+        |    WHEN vv.id IN (SELECT id FROM s2) THEN 2
+        |    WHEN vv.id IN (SELECT id FROM s3) THEN 3
+        |    ELSE -1 END AS INT) dist FROM verts vv)
+        |SELECT (SELECT id FROM lm) AS landmark_id,
+        |  (SELECT CAST(max(dist) AS INT) FROM d1 WHERE dist >= 0)
+        |    AS ecc_landmark,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d1 WHERE dist >= 0)
+        |    AS n_reached_from_landmark,
+        |  (SELECT id FROM far) AS far_id,
+        |  (SELECT CAST(max(dist) AS INT) FROM d2 WHERE dist >= 0)
+        |    AS diameter_lb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d2 WHERE dist >= 0)
+        |    AS n_reached_from_far,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_verts""".stripMargin,
+    "q361_churn_hazard" ->
+      """WITH ow AS (SELECT o_custkey,
+        |    CAST(floor(floor(epoch(o_orderdate)/86400)/7) AS BIGINT) wk
+        |  FROM orders),
+        |sp AS (SELECT max(wk) wmax FROM ow),
+        |per AS (SELECT o_custkey, min(wk) w0, max(wk) wl
+        |  FROM ow GROUP BY 1),
+        |pe AS (SELECT wl - w0 t, (wmax - wl) >= 4 ev
+        |  FROM per CROSS JOIN sp),
+        |bt AS (SELECT t, CAST(count(*) AS BIGINT) n_t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) d_t
+        |  FROM pe GROUP BY 1),
+        |ar AS (SELECT t, n_t, d_t, CAST(sum(n_t) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    at_risk FROM bt)
+        |SELECT t AS tenure_weeks, at_risk, d_t AS n_churned,
+        |  round(CAST(d_t AS DOUBLE)/at_risk*1000000)/1000000.0 AS hazard
+        |FROM ar ORDER BY 1""".stripMargin,
+    "q362_fulfillment_spread" ->
+      """WITH sd AS (SELECT l_orderkey,
+        |    CAST(floor(epoch(l_shipdate)/86400) AS BIGINT) sd
+        |  FROM lineitem),
+        |per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) n_lines,
+        |    max(sd) - min(sd) span_days,
+        |    CAST(count(DISTINCT sd) AS BIGINT) n_ship_days
+        |  FROM sd GROUP BY 1 HAVING count(*) >= 2),
+        |b AS (SELECT CASE WHEN n_lines <= 3 THEN '2-3'
+        |      WHEN n_lines <= 5 THEN '4-5' ELSE '6-7' END size_bucket,
+        |    n_lines, span_days, n_ship_days FROM per),
+        |q AS (SELECT size_bucket,
+        |    quantile_cont(CAST(span_days AS DOUBLE), 0.5) p50,
+        |    quantile_cont(CAST(span_days AS DOUBLE), 0.9) p90
+        |  FROM b GROUP BY 1),
+        |a AS (SELECT size_bucket, CAST(count(*) AS BIGINT) n_orders,
+        |    CAST(sum(n_ship_days) AS BIGINT) ssd,
+        |    CAST(sum(n_lines) AS BIGINT) sl,
+        |    CAST(sum(CASE WHEN span_days = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) sd0
+        |  FROM b GROUP BY 1)
+        |SELECT a.size_bucket, n_orders,
+        |  round(p50*10000)/10000.0 AS p50_span,
+        |  round(p90*10000)/10000.0 AS p90_span,
+        |  round(CAST(sd0 AS DOUBLE)/n_orders*1000000)/1000000.0
+        |    AS single_day_share,
+        |  round(CAST(ssd AS DOUBLE)/sl*1000000)/1000000.0 AS frag_ratio
+        |FROM a JOIN q ON a.size_bucket = q.size_bucket
+        |ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

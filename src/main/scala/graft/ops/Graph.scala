@@ -1102,4 +1102,40 @@ object Graph {
     // running total over the bounded month table (≤ span months rows)
     formed.withColumn("edges_cum", sum(col("edges_formed")).over(cum))
   }
+
+  /** q360: double-sweep diameter bound of the co-purchase graph (Magnien–
+    * Latapy–Habib): BFS from the max-degree landmark, hop to the farthest
+    * vertex found, BFS again — the second eccentricity is the classic
+    * cheap diameter LOWER bound (exact on trees, near-tight on most real
+    * graphs), and with q255's hub-centric census it brackets "how wide is
+    * this graph really". Both sweeps are hop-capped (default 3, stated in
+    * the column semantics): a reported bound of `maxHops` means "≥ cap",
+    * never an exact diameter claim.
+    *
+    * Scale shape: two fixed-round [[bfsDistances]] frontier expansions
+    * (one keyed join per hop, no driver loop over data), landmark/far
+    * picks via TakeOrderedAndProject limit(1) with deterministic (metric,
+    * id) tie-breaks, and a single-row broadcast assembly.
+    */
+  def diameterSweep(spark: SparkSession, sfDir: String,
+                    maxHops: Int = 3): DataFrame = {
+    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val lm = deg.orderBy(col("dg").desc, col("id")).limit(1)
+      .select(col("id"))
+    val d1 = bfsDistances(e, lm, maxHops)
+    val far = d1.orderBy(col("dist").desc, col("id")).limit(1)
+    val d2 = bfsDistances(e, far.select("id"), maxHops)
+    lm.select(col("id").as("landmark_id"))
+      .crossJoin(broadcast(d1.agg(max(col("dist")).as("ecc_landmark"),
+        count(lit(1)).as("n_reached_from_landmark"))))
+      .crossJoin(broadcast(far.select(col("id").as("far_id"))))
+      .crossJoin(broadcast(d2.agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reached_from_far"))))
+      .crossJoin(broadcast(verts.agg(count(lit(1)).as("n_verts"))))
+  }
 }

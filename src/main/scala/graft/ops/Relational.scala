@@ -2674,4 +2674,90 @@ object Relational {
     flowReciprocity(Tables.lineitem(spark, sfDir),
       Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
       Tables.supplier(spark, sfDir))
+
+  /** q361: discrete-time churn hazard over the order book — per tenure
+    * week k (last-order week − first-order week), hazard(k) = churned-at-k
+    * / at-risk(k), where "churned" means the last order sits ≥
+    * `churnGapWeeks` before the observation horizon (later customers are
+    * right-CENSORED, not counted as churn — the correction a naive
+    * "inactive = churned" cut gets wrong, and the WHEN-in-tenure view that
+    * q271's weekly state ledger doesn't give). The at-risk denominator
+    * counts everyone with tenure ≥ k, censored included.
+    *
+    * Scale shape: one per-customer min/max aggregate (map-combinable),
+    * horizon as a broadcast scalar, then the suffix-sum window runs on
+    * the BOUNDED tenure table (≤ observed-weeks rows at any data scale).
+    */
+  def churnHazard(orders: DataFrame, churnGapWeeks: Int = 4): DataFrame = {
+    val ow = orders.select(col("o_custkey"),
+      floor(floor(unix_timestamp(col("o_orderdate")) / 86400L) / 7L)
+        .cast("long").as("wk"))
+    val span = ow.agg(max(col("wk")).as("wmax"))
+    val per = ow.groupBy(col("o_custkey"))
+      .agg(min(col("wk")).as("w0"), max(col("wk")).as("wl"))
+      .crossJoin(broadcast(span))
+      .withColumn("t", col("wl") - col("w0"))
+      .withColumn("event", col("wmax") - col("wl") >= churnGapWeeks)
+    val byT = per.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(when(col("event"), 1L).otherwise(0L)).as("d_t"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT.withColumn("at_risk", sum(col("n_t")).over(w))
+      .select(col("t").as("tenure_weeks"), col("at_risk"),
+        col("d_t").as("n_churned"),
+        (round(col("d_t").cast("double") / col("at_risk") * 1000000)
+          / 1000000.0).as("hazard"))
+  }
+
+  def churnHazard(spark: SparkSession, sfDir: String): DataFrame =
+    churnHazard(Tables.orders(spark, sfDir))
+
+  /** q362: fulfillment fragmentation by order size — for multi-line
+    * orders, the ship-date SPREAD (max−min days), exact P50/P90 of the
+    * spread per size bucket, the share fulfilled in a single day, and the
+    * fragmentation ratio (distinct ship days ÷ lines). The
+    * shipping-consolidation question q69's order→ship latency hides: two
+    * orders with identical median latency can differ wildly in how many
+    * separate shipments the customer received.
+    *
+    * Scale shape: one per-order aggregate (map-combinable), a 3-bucket
+    * rollup, and spread percentiles through the distributed
+    * count-and-locate engine ([[Percentiles.exactQuantiles]]) — no
+    * global sort anywhere.
+    */
+  def fulfillmentSpread(lineitem: DataFrame): DataFrame = {
+    val per = lineitem.select(col("l_orderkey"),
+        floor(unix_timestamp(col("l_shipdate")) / 86400L)
+          .cast("long").as("sd"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        (max(col("sd")) - min(col("sd"))).as("span_days"),
+        countDistinct(col("sd")).as("n_ship_days"))
+      .where(col("n_lines") >= 2)
+      .withColumn("size_bucket",
+        when(col("n_lines") <= 3, "2-3")
+          .when(col("n_lines") <= 5, "4-5").otherwise("6-7"))
+    val qs = Percentiles.exactQuantiles(
+        per.withColumn("spand", col("span_days").cast("double")),
+        "size_bucket", "spand", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .groupBy(col("size_bucket"))
+      .agg(min(when(col("qname") === "p50", col("qv"))).as("p50r"),
+        min(when(col("qname") === "p90", col("qv"))).as("p90r"))
+    per.groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_ship_days")).as("ssd"), sum(col("n_lines")).as("sl"),
+        sum(when(col("span_days") === 0, 1L).otherwise(0L)).as("sd0"))
+      .join(broadcast(qs), "size_bucket")
+      .select(col("size_bucket"), col("n_orders"),
+        (round(col("p50r") * 10000) / 10000.0).as("p50_span"),
+        (round(col("p90r") * 10000) / 10000.0).as("p90_span"),
+        (round(col("sd0").cast("double") / col("n_orders") * 1000000)
+          / 1000000.0).as("single_day_share"),
+        (round(col("ssd").cast("double") / col("sl") * 1000000)
+          / 1000000.0).as("frag_ratio"))
+  }
+
+  def fulfillmentSpread(spark: SparkSession, sfDir: String): DataFrame =
+    fulfillmentSpread(Tables.lineitem(spark, sfDir))
 }
