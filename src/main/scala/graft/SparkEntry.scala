@@ -729,7 +729,15 @@ object SparkEntry {
     "q361_churn_hazard" -> ((s, d) =>
       Relational.churnHazard(s, d).orderBy(col("tenure_weeks"))),
     "q362_fulfillment_spread" -> ((s, d) =>
-      Relational.fulfillmentSpread(s, d).orderBy(col("size_bucket")))
+      Relational.fulfillmentSpread(s, d).orderBy(col("size_bucket"))),
+    "q363_calendar_r2" -> ((s, d) =>
+      TimeSeries.calendarR2(s, d).orderBy(col("event_type"))),
+    "q364_cluster_purity" -> ((s, d) =>
+      Dedup.clusterPurity(s, d)
+        .orderBy(col("cluster_size"), col("n_sources"))),
+    "q365_value_precision" -> ((s, d) =>
+      TimeSeries.valuePrecision(s, d)
+        .orderBy(col("event_type"), col("decimals")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8579,7 +8587,111 @@ object SparkEntry {
         |    AS single_day_share,
         |  round(CAST(ssd AS DOUBLE)/sl*1000000)/1000000.0 AS frag_ratio
         |FROM a JOIN q ON a.size_bucket = q.size_bucket
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q363_calendar_r2" ->
+      """WITH ev AS (SELECT event_type, value,
+        |    CAST((CAST(floor(epoch(ts)/86400) AS BIGINT) + 4) % 7 AS INT)
+        |      dow,
+        |    CAST(CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS INT) hr
+        |  FROM events),
+        |grand AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    sum(CAST(value AS DECIMAL(18,6))) s,
+        |    sum(CAST(value*value AS DECIMAL(28,6))) q
+        |  FROM ev GROUP BY 1),
+        |gg AS (SELECT event_type, n, CAST(s AS DOUBLE)/n gm,
+        |    CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n sst
+        |  FROM grand),
+        |dm AS (SELECT event_type, dow,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) md
+        |  FROM ev GROUP BY 1, 2),
+        |hm AS (SELECT event_type, hr,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) mh
+        |  FROM ev GROUP BY 1, 2),
+        |res AS (SELECT ev.event_type,
+        |    round((value - (md + mh - gm))*(value - (md + mh - gm))
+        |      *1e12)/1e12 r2t
+        |  FROM ev JOIN dm ON ev.event_type = dm.event_type
+        |    AND ev.dow = dm.dow
+        |  JOIN hm ON ev.event_type = hm.event_type AND ev.hr = hm.hr
+        |  JOIN gg ON ev.event_type = gg.event_type),
+        |se AS (SELECT event_type,
+        |    CAST(sum(CAST(r2t AS DECIMAL(38,12))) AS DOUBLE) sse
+        |  FROM res GROUP BY 1)
+        |SELECT gg.event_type, n AS n_events,
+        |  round(sst*10000)/10000.0 AS sst,
+        |  round(sse*10000)/10000.0 AS sse,
+        |  CASE WHEN sst > 0 THEN
+        |    round((1.0 - sse/sst)*1000000)/1000000.0 END AS calendar_r2
+        |FROM gg JOIN se ON gg.event_type = se.event_type
+        |ORDER BY 1""".stripMargin,
+    "q364_cluster_purity" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh
+        |  FROM ix),
+        |salted AS (SELECT doc_id, s.g salt,
+        |    md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |  FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |    md5(string_agg(m, '|' ORDER BY salt)) sig
+        |  FROM mh GROUP BY 1, 2),
+        |bsz0 AS (SELECT doc_id, band, sig,
+        |    count(*) OVER (PARTITION BY band, sig) bc FROM bands),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.bc <= 64 AND b.bc <= 64),
+        |star AS (SELECT DISTINCT mn doc_a, doc_id doc_b FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
+        |    FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
+        |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
+        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |  UNION SELECT doc_b, doc_a FROM allp),
+        |reach(node, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.comp < e.v),
+        |cc AS (SELECT node, min(comp) comp FROM reach GROUP BY 1),
+        |cl AS (SELECT node doc_id, comp cluster_id,
+        |    CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) cluster_size
+        |  FROM cc),
+        |js AS (SELECT cl.cluster_id, cl.cluster_size, doc.source
+        |  FROM cl JOIN documents doc ON cl.doc_id = doc.doc_id),
+        |per AS (SELECT cluster_id, cluster_size,
+        |    CAST(count(DISTINCT source) AS BIGINT) n_sources
+        |  FROM js GROUP BY 1, 2),
+        |cen AS (SELECT cluster_size, n_sources,
+        |    CAST(count(*) AS BIGINT) n_clusters FROM per GROUP BY 1, 2),
+        |tot AS (SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT)
+        |    sz_total FROM cen GROUP BY 1)
+        |SELECT c.cluster_size, n_sources, n_clusters,
+        |  round(CAST(n_clusters AS DOUBLE)/sz_total*10000)/10000.0
+        |    AS share_of_size
+        |FROM cen c JOIN tot USING (cluster_size) ORDER BY 1, 2""".stripMargin,
+    "q365_value_precision" ->
+      """WITH m AS (SELECT event_type,
+        |    CAST(round(value*1000000) AS BIGINT) mi FROM events),
+        |c AS (SELECT event_type, CAST(CASE
+        |    WHEN mi % 1000000 = 0 THEN 0
+        |    WHEN mi % 100000 = 0 THEN 1
+        |    WHEN mi % 10000 = 0 THEN 2
+        |    WHEN mi % 1000 = 0 THEN 3
+        |    WHEN mi % 100 = 0 THEN 4
+        |    WHEN mi % 10 = 0 THEN 5
+        |    ELSE 6 END AS INT) decimals FROM m),
+        |g AS (SELECT event_type, decimals, CAST(count(*) AS BIGINT) n
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) n_total
+        |  FROM g GROUP BY 1)
+        |SELECT g.event_type, decimals, n,
+        |  round(CAST(n AS DOUBLE)/n_total*1000000)/1000000.0 AS share
+        |FROM g JOIN t ON g.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -704,6 +704,38 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
     dupClusters(Tables.documents(spark, sfDir))
 
+  /** q364: near-duplicate cluster source purity — the (cluster_size,
+    * n_sources) census of q52's LSH clusters with each cell's share of
+    * its size class. Single-source clusters are boilerplate WITHIN a
+    * crawl (dedup freely); cross-source clusters are syndication or —
+    * if one "source" is an eval set — contamination, and their share is
+    * the number q61/q163 summarize per PAIR but never per CLUSTER (a
+    * 5-source cluster is one syndication event, not 10 independent
+    * pair-hits).
+    *
+    * Scale shape: the q52 cluster pipeline (capped LSH, star edges,
+    * distributed CC), one doc→source join, a per-cluster distinct-source
+    * aggregate, and a bounded (size, sources) census with broadcast
+    * size totals.
+    */
+  def clusterPurity(docs: DataFrame): DataFrame = {
+    val per = dupClusters(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    val cen = per.groupBy(col("cluster_size"), col("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val tot = cen.groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).as("sz_total"))
+    cen.join(broadcast(tot), "cluster_size")
+      .select(col("cluster_size"), col("n_sources"), col("n_clusters"),
+        (round(col("n_clusters").cast("double") / col("sz_total") * 10000)
+          / 10000.0).as("share_of_size"))
+  }
+
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame =
+    clusterPurity(Tables.documents(spark, sfDir))
+
   /** q93: cluster-aware canonicalization — the keep/drop VERDICT a dedup
     * pipeline actually executes. Every document joins its near-dup cluster
     * (LSH edges → connected components; docs in no cluster are their own

@@ -2427,4 +2427,95 @@ object TimeSeries {
 
   def vonNeumann(spark: SparkSession, sfDir: String): DataFrame =
     vonNeumann(Tables.events(spark, sfDir))
+
+  /** q363: calendar explainability R² per series — variance explained by
+    * the additive weekday+hour profile x̂ = m_dow + m_hour − m̄ (two-way
+    * means model, no interaction). The one number that says whether a
+    * sensor is "a calendar pattern plus noise" (R²→1: model it with
+    * q71/q51 profiles and alert on residuals) or genuinely dynamic
+    * (R²→0: it needs the q110/q287 state trackers). Closed-form — no
+    * iterative fit.
+    *
+    * Scale shape: three map-combinable aggregates (grand, 7-row dow
+    * profile, 24-row hour profile per series), the two tiny profiles
+    * broadcast back onto ONE more fact scan for the residual sum.
+    * Residual squares are 1e-12-snapped into exact decimal sums.
+    */
+  def calendarR2(events: DataFrame): DataFrame = {
+    def s12(c: Column) = round(c * lit(1e12)) / lit(1e12)
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("dow", pmod(floor(col("e") / 86400L) + 4, lit(7)).cast("int"))
+      .withColumn("hr", pmod(floor(col("e") / 3600L), lit(24)).cast("int"))
+    val grand = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(28,6)")).as("q"))
+      .withColumn("gm", col("s").cast("double") / col("n"))
+      .withColumn("sst", col("q").cast("double")
+        - col("s").cast("double") * col("s").cast("double") / col("n"))
+    val dowm = ev.groupBy(col("event_type"), col("dow"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("md"))
+    val hrm = ev.groupBy(col("event_type"), col("hr"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("mh"))
+    val sse = ev
+      .join(broadcast(dowm), Seq("event_type", "dow"))
+      .join(broadcast(hrm), Seq("event_type", "hr"))
+      .join(broadcast(grand.select(col("event_type"), col("gm"))),
+        "event_type")
+      .withColumn("res",
+        col("value") - (col("md") + col("mh") - col("gm")))
+      .withColumn("r2t", s12(col("res") * col("res")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("r2t").cast("decimal(38,12)")).cast("double").as("sse"))
+    grand.join(sse, "event_type")
+      .select(col("event_type"), col("n").as("n_events"),
+        (round(col("sst") * 10000) / 10000.0).as("sst"),
+        (round(col("sse") * 10000) / 10000.0).as("sse"),
+        when(col("sst") > 0,
+          round((lit(1.0) - col("sse") / col("sst")) * 1000000)
+            / 1000000.0).as("calendar_r2"))
+  }
+
+  def calendarR2(spark: SparkSession, sfDir: String): DataFrame =
+    calendarR2(Tables.events(spark, sfDir))
+
+  /** q365: value-precision census per series — how many decimal places
+    * each sensor ACTUALLY uses (at the engine's 6-dp canonical
+    * resolution), from pure integer arithmetic on round(value·10⁶):
+    * trailing-zero runs of the micro-unit image classify a reading as
+    * 0..6 decimals. The quantization fingerprint a data-quality pass runs
+    * before trusting any variance-based statistic: a "continuous" sensor
+    * that suddenly reports integers has a truncated upstream pipeline,
+    * and two sources mixing 1-dp and 3-dp readings will ghost-step every
+    * histogram (q34/q95). No float comparisons anywhere — portable by
+    * construction.
+    *
+    * Scale shape: one map-side integer classification + a ≤ 7-key-per-
+    * series map-combinable census with a broadcast per-series total.
+    */
+  def valuePrecision(events: DataFrame): DataFrame = {
+    val m = events.select(col("event_type"),
+        round(col("value") * 1000000).cast("long").as("mi"))
+      .withColumn("decimals",
+        when(pmod(col("mi"), lit(1000000L)) === 0, 0)
+          .when(pmod(col("mi"), lit(100000L)) === 0, 1)
+          .when(pmod(col("mi"), lit(10000L)) === 0, 2)
+          .when(pmod(col("mi"), lit(1000L)) === 0, 3)
+          .when(pmod(col("mi"), lit(100L)) === 0, 4)
+          .when(pmod(col("mi"), lit(10L)) === 0, 5)
+          .otherwise(6).cast("int"))
+    val g = m.groupBy(col("event_type"), col("decimals"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
+    g.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("decimals"), col("n"),
+        (round(col("n").cast("double") / col("n_total") * 1000000)
+          / 1000000.0).as("share"))
+  }
+
+  def valuePrecision(spark: SparkSession, sfDir: String): DataFrame =
+    valuePrecision(Tables.events(spark, sfDir))
 }
