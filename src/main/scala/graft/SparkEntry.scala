@@ -737,7 +737,12 @@ object SparkEntry {
         .orderBy(col("cluster_size"), col("n_sources"))),
     "q365_value_precision" -> ((s, d) =>
       TimeSeries.valuePrecision(s, d)
-        .orderBy(col("event_type"), col("decimals")))
+        .orderBy(col("event_type"), col("decimals"))),
+    "q366_market_churn" -> ((s, d) =>
+      Relational.marketChurn(s, d).orderBy(col("from_year"))),
+    "q367_tail_dependence" -> ((s, d) =>
+      ExtremeStats.tailDependence(s, d)
+        .orderBy(col("type_a"), col("type_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8691,7 +8696,57 @@ object SparkEntry {
         |SELECT g.event_type, decimals, n,
         |  round(CAST(n AS DOUBLE)/n_total*1000000)/1000000.0 AS share
         |FROM g JOIN t ON g.event_type = t.event_type
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q366_market_churn" ->
+      """WITH sy AS (SELECT l_suppkey, CAST(year(l_shipdate) AS INT) yr,
+        |    sum(CAST(l_extendedprice*(1 - l_discount) AS DECIMAL(18,6))) r
+        |  FROM lineitem GROUP BY 1, 2),
+        |yt AS (SELECT yr, sum(r) tot FROM sy GROUP BY 1),
+        |sh AS (SELECT l_suppkey, sy.yr,
+        |    CAST(r AS DOUBLE)/CAST(tot AS DOUBLE) shr
+        |  FROM sy JOIN yt ON sy.yr = yt.yr),
+        |nxt AS (SELECT l_suppkey, yr - 1 yr, shr shr_next FROM sh),
+        |vy AS (SELECT a.yr FROM yt a JOIN yt b ON b.yr = a.yr + 1),
+        |j AS (SELECT coalesce(sh.l_suppkey, nxt.l_suppkey) sk,
+        |    coalesce(sh.yr, nxt.yr) yr, sh.shr, nxt.shr_next
+        |  FROM sh FULL JOIN nxt ON sh.l_suppkey = nxt.l_suppkey
+        |    AND sh.yr = nxt.yr),
+        |jv AS (SELECT j.*, round(abs(coalesce(shr_next, 0.0)
+        |    - coalesce(shr, 0.0))*1e12)/1e12 d
+        |  FROM j JOIN vy ON j.yr = vy.yr)
+        |SELECT yr AS from_year, CAST(count(*) AS BIGINT) n_suppliers,
+        |  CAST(sum(CASE WHEN shr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_entrants,
+        |  CAST(sum(CASE WHEN shr_next IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_exits,
+        |  round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE)
+        |    *0.5*1000000)/1000000.0 AS tv_distance
+        |FROM jv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q367_tail_dependence" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)/86400) AS BIGINT) dd,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, quantile_cont(x, 0.9) thr
+        |  FROM daily GROUP BY 1),
+        |f AS (SELECT d.event_type, dd, x > thr exc
+        |  FROM daily d JOIN q ON d.event_type = q.event_type),
+        |j AS (SELECT a.event_type type_a, b.event_type type_b,
+        |    a.exc exc_a, b.exc exc_b
+        |  FROM f a JOIN f b ON a.dd = b.dd
+        |  WHERE a.event_type < b.event_type)
+        |SELECT type_a, type_b, CAST(count(*) AS BIGINT) n_days,
+        |  CAST(sum(CASE WHEN exc_a THEN 1 ELSE 0 END) AS BIGINT) n_a,
+        |  CAST(sum(CASE WHEN exc_b THEN 1 ELSE 0 END) AS BIGINT) n_b,
+        |  CAST(sum(CASE WHEN exc_a AND exc_b THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_joint,
+        |  CASE WHEN sum(CASE WHEN exc_a THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN exc_b THEN 1 ELSE 0 END) > 0 THEN
+        |    round(2.0*sum(CASE WHEN exc_a AND exc_b THEN 1 ELSE 0 END)
+        |      /(sum(CASE WHEN exc_a THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN exc_b THEN 1 ELSE 0 END))*10000)/10000.0
+        |    ELSE 0.0 END AS tail_dep
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

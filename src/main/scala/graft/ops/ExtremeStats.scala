@@ -194,4 +194,44 @@ object ExtremeStats {
 
   def potExceedances(spark: SparkSession, sfDir: String): DataFrame =
     potExceedances(Tables.events(spark, sfDir))
+
+  /** q367: empirical upper-tail dependence between series pairs — on the
+    * day-aligned daily means, λ̂_U = 2·P(both > q90)/(P(A > q90) +
+    * P(B > q90)) per unordered pair. The JOINT-extremes question q44's
+    * Pearson matrix cannot answer (correlation is dominated by the bulk;
+    * two sensors can correlate 0.9 yet never spike together, or
+    * correlate 0.2 and always fail together — capacity planning cares
+    * about the second case). Thresholds are per-series exact q90 from
+    * the distributed count-and-locate engine.
+    *
+    * Scale shape: daily resample, q90 fences broadcast, one day-keyed
+    * self-join bounded by |series|²·|days|, integer exceed counts only.
+    */
+  def tailDependence(events: DataFrame): DataFrame = {
+    val daily = TimeSeries.cusumDaily(events)
+    val q90 = Percentiles.exactQuantiles(daily, "event_type", "x",
+        Seq("q90" -> 0.9))
+      .select(col("event_type"), col("qv").as("thr"))
+    val f = daily.join(broadcast(q90), "event_type")
+      .select(col("event_type"), col("day"),
+        (col("x") > col("thr")).as("exc"))
+    val b = f.select(col("event_type").as("type_b"), col("day"),
+      col("exc").as("exc_b"))
+    f.join(b, "day")
+      .where(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("exc"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("exc_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("exc") && col("exc_b"), 1L).otherwise(0L))
+          .as("n_joint"))
+      .select(col("type_a"), col("type_b"), col("n_days"), col("n_a"),
+        col("n_b"), col("n_joint"),
+        when(col("n_a") + col("n_b") > 0,
+          round(lit(2.0) * col("n_joint") / (col("n_a") + col("n_b"))
+            * 10000) / 10000.0).otherwise(0.0).as("tail_dep"))
+  }
+
+  def tailDependence(spark: SparkSession, sfDir: String): DataFrame =
+    tailDependence(Tables.events(spark, sfDir))
 }

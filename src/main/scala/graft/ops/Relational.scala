@@ -2760,4 +2760,53 @@ object Relational {
 
   def fulfillmentSpread(spark: SparkSession, sfDir: String): DataFrame =
     fulfillmentSpread(Tables.lineitem(spark, sfDir))
+
+  /** q366: supplier market-churn index — for each consecutive ship-year
+    * pair, the total-variation distance ½·Σ|share_{y+1} − share_y| of the
+    * supplier revenue-share distribution, with entrant/exit counts.
+    * One number per year-pair for "how much did the supplier landscape
+    * reshuffle" — q117's HHI tracks CONCENTRATION (a perfectly stable
+    * oligopoly scores high) while TV distance tracks MOVEMENT (the same
+    * oligopoly scores 0), and the pair separates consolidation from
+    * churn.
+    *
+    * Scale shape: one (supplier, year) map-combinable revenue aggregate,
+    * year totals broadcast, a supplier-keyed self-join onto year+1, and
+    * 1e-12-snapped |Δshare| terms in exact decimal sums per bounded
+    * year-pair row.
+    */
+  def marketChurn(lineitem: DataFrame): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val sy = lineitem.select(col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .groupBy(col("l_suppkey"), col("yr"))
+      .agg(sum(col("rev")).as("r"))
+    val yt = sy.groupBy(col("yr")).agg(sum(col("r")).as("tot"))
+    val sh = sy.join(broadcast(yt), "yr")
+      .select(col("l_suppkey"), col("yr"),
+        (col("r").cast("double") / col("tot").cast("double")).as("share"))
+    val nxt = sh.select(col("l_suppkey"), (col("yr") - 1).as("yr"),
+      col("share").as("share_next"))
+    val validYears = yt.select(col("yr"))
+      .join(yt.select((col("yr") - 1).as("yr")), "yr")
+    sh.join(nxt, Seq("l_suppkey", "yr"), "full")
+      .join(broadcast(validYears), "yr")
+      .withColumn("d",
+        s12(abs(coalesce(col("share_next"), lit(0.0))
+          - coalesce(col("share"), lit(0.0)))))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(when(col("share").isNull, 1L).otherwise(0L)).as("n_entrants"),
+        sum(when(col("share_next").isNull, 1L).otherwise(0L)).as("n_exits"),
+        sum(col("d").cast("decimal(38,12)")).cast("double").as("sd"))
+      .select(col("yr").as("from_year"), col("n_suppliers"),
+        col("n_entrants"), col("n_exits"),
+        (round(col("sd") * lit(0.5) * 1000000) / 1000000.0)
+          .as("tv_distance"))
+  }
+
+  def marketChurn(spark: SparkSession, sfDir: String): DataFrame =
+    marketChurn(Tables.lineitem(spark, sfDir))
 }

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.SketchIndex
+
+/** Incremental HLL index: building on the full corpus and building on a
+  * prefix then appending the rest must yield BIT-identical estimates (HLL
+  * union is associative/commutative/idempotent on the register state), and
+  * the estimate must match a direct hll_sketch_agg over the whole corpus.
+  */
+class SketchIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def estMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("build+append ≡ full rebuild, and matches a direct corpus sketch") {
+    val docs = Tables.documents(spark, sfDir)
+    val part1 = docs.where(col("doc_id") % 3 =!= 0)
+    val part2 = docs.where(col("doc_id") % 3 === 0)
+
+    val full = Files.createTempDirectory("hllfull").toString
+    val incr = Files.createTempDirectory("hllincr").toString
+    SketchIndex.build(docs, full)
+    SketchIndex.build(part1, incr)
+    SketchIndex.appendDocs(part2, incr)
+
+    val a = estMap(SketchIndex.estimates(spark, full))
+    val b = estMap(SketchIndex.estimates(spark, incr))
+    assert(a.keySet == b.keySet)
+    for ((k, v) <- a) assert(b(k) == v, s"estimate drift for $k")
+
+    // direct one-shot sketch over the corpus — same estimates
+    val direct = docs
+      .select(col("source"),
+        explode(split(graft.ops.Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))")
+        .as("distinct_tokens_est"))
+    val c = estMap(direct)
+    for ((k, v) <- a) assert(c(k) == v, s"direct-sketch drift for $k")
+
+    // estimates are sane: within 5% of exact distinct counts
+    val exact = docs
+      .select(col("source"),
+        explode(split(graft.ops.Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("source")).agg(countDistinct(col("tok")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, v) <- a)
+      assert(math.abs(v.toDouble - exact(k)) / exact(k) < 0.05,
+        s"$k estimate $v vs exact ${exact(k)}")
+  }
+
+  test("compact folds appends to one row per source, same estimates") {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Files.createTempDirectory("hllcomp").toString
+    SketchIndex.build(docs.where(col("doc_id") % 2 === 0), idx)
+    SketchIndex.appendDocs(docs.where(col("doc_id") % 2 =!= 0), idx)
+    val before = estMap(SketchIndex.estimates(spark, idx))
+    SketchIndex.compact(spark, idx)
+    val rows = spark.read.parquet(idx)
+    assert(rows.count() == rows.select("source").distinct().count(),
+      "compact must leave one row per source")
+    assert(estMap(SketchIndex.estimates(spark, idx)) == before)
+  }
+}
