@@ -742,7 +742,10 @@ object SparkEntry {
       Relational.marketChurn(s, d).orderBy(col("from_year"))),
     "q367_tail_dependence" -> ((s, d) =>
       ExtremeStats.tailDependence(s, d)
-        .orderBy(col("type_a"), col("type_b")))
+        .orderBy(col("type_a"), col("type_b"))),
+    "q368_extremal_index" -> ((s, d) =>
+      ExtremeStats.extremalIndex(s, d).orderBy(col("event_type"))),
+    "q369_cramers_v" -> ((s, d) => StatTests.cramersV(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8746,7 +8749,63 @@ object SparkEntry {
         |      /(sum(CASE WHEN exc_a THEN 1 ELSE 0 END)
         |        + sum(CASE WHEN exc_b THEN 1 ELSE 0 END))*10000)/10000.0
         |    ELSE 0.0 END AS tail_dep
-        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q368_extremal_index" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)/86400) AS BIGINT) dd,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, quantile_cont(x, 0.9) thr
+        |  FROM daily GROUP BY 1),
+        |exc AS (SELECT d.event_type, dd
+        |  FROM daily d JOIN q ON d.event_type = q.event_type
+        |  WHERE x > thr),
+        |lg AS (SELECT event_type, dd, lag(dd) OVER (
+        |    PARTITION BY event_type ORDER BY dd) prev FROM exc),
+        |nc AS (SELECT event_type, dd, CASE WHEN prev IS NULL
+        |    OR dd - prev > 2 THEN 1 ELSE 0 END newc FROM lg),
+        |cid AS (SELECT event_type, CAST(sum(newc) OVER (
+        |    PARTITION BY event_type ORDER BY dd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    cid FROM nc),
+        |sz AS (SELECT event_type, cid, CAST(count(*) AS BIGINT) csz
+        |  FROM cid GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(csz) AS BIGINT) n_exceed,
+        |    CAST(count(*) AS BIGINT) n_clusters, max(csz) max_cluster
+        |  FROM sz GROUP BY 1)
+        |SELECT event_type, n_exceed, n_clusters, max_cluster,
+        |  round(CAST(n_clusters AS DOUBLE)/n_exceed*10000)/10000.0
+        |    AS theta,
+        |  round(CAST(n_exceed AS DOUBLE)/n_clusters*10000)/10000.0
+        |    AS mean_cluster
+        |FROM g ORDER BY 1""".stripMargin,
+    "q369_cramers_v" ->
+      """WITH cells AS (SELECT
+        |    CAST(floor((l_quantity - 1)/10) AS INT) qty_band,
+        |    CAST(round(l_discount*100) AS INT) disc_pct,
+        |    CAST(count(*) AS BIGINT) o
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT qty_band, CAST(sum(o) AS BIGINT) rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT disc_pct, CAST(sum(o) AS BIGINT) ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) n,
+        |    CAST(count(DISTINCT qty_band) AS BIGINT) r,
+        |    CAST(count(DISTINCT disc_pct) AS BIGINT) c FROM cells),
+        |terms AS (SELECT n, r, c,
+        |    round((o - e)*(o - e)/e*1e12)/1e12 t FROM (
+        |      SELECT cells.o, n, r, c,
+        |        CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/n e
+        |      FROM cells JOIN rt USING (qty_band)
+        |      JOIN ct USING (disc_pct) CROSS JOIN tot)),
+        |g AS (SELECT n, r, c,
+        |    CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) chi2
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n AS n_lines, r AS n_qty_bands, c AS n_disc_levels,
+        |  round(chi2*10000)/10000.0 AS chi2,
+        |  round(sqrt(chi2/(n*CAST(least(r, c) - 1 AS DOUBLE)))
+        |    *1000000)/1000000.0 AS cramers_v
+        |FROM g""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

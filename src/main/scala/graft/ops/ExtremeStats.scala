@@ -234,4 +234,50 @@ object ExtremeStats {
 
   def tailDependence(spark: SparkSession, sfDir: String): DataFrame =
     tailDependence(Tables.events(spark, sfDir))
+
+  /** q368: extremal index by runs declustering — exceedance days over the
+    * exact per-series q90 fence grouped into clusters (a gap > `sep` days
+    * starts a new cluster), θ̂ = clusters/exceedances (Ferro–Segers runs
+    * estimator). θ→1 means extremes arrive independently (q225's POT
+    * counts are honest effective sample sizes); θ→0 means they arrive in
+    * storms — the effective number of independent extreme events is
+    * θ·n, and every return-period estimate must shrink accordingly.
+    * Complements q367 (CROSS-series joint extremes) with the
+    * within-series time-clustering lens.
+    *
+    * Scale shape: daily resample, broadcast fences, one series-
+    * PARTITIONED lag window over exceedance days only, then a
+    * (series, cluster) census — all keyed, nothing global.
+    */
+  def extremalIndex(events: DataFrame, sep: Int = 2): DataFrame = {
+    val daily = TimeSeries.cusumDaily(events)
+    val q90 = Percentiles.exactQuantiles(daily, "event_type", "x",
+        Seq("q90" -> 0.9))
+      .select(col("event_type"), col("qv").as("thr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val runs = daily.join(broadcast(q90), "event_type")
+      .where(col("x") > col("thr"))
+      .select(col("event_type"), col("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("newc",
+        when(col("prev").isNull || col("day") - col("prev") > sep, 1L)
+          .otherwise(0L))
+      .withColumn("cid", sum(col("newc")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sizes = runs.groupBy(col("event_type"), col("cid"))
+      .agg(count(lit(1)).as("csz"))
+    sizes.groupBy(col("event_type"))
+      .agg(sum(col("csz")).as("n_exceed"),
+        count(lit(1)).as("n_clusters"),
+        max(col("csz")).as("max_cluster"))
+      .select(col("event_type"), col("n_exceed"), col("n_clusters"),
+        col("max_cluster"),
+        (round(col("n_clusters").cast("double") / col("n_exceed") * 10000)
+          / 10000.0).as("theta"),
+        (round(col("n_exceed").cast("double") / col("n_clusters") * 10000)
+          / 10000.0).as("mean_cluster"))
+  }
+
+  def extremalIndex(spark: SparkSession, sfDir: String): DataFrame =
+    extremalIndex(Tables.events(spark, sfDir))
 }

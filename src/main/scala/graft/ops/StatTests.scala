@@ -831,4 +831,50 @@ object StatTests {
 
   def iccShipDelay(spark: SparkSession, sfDir: String): DataFrame =
     iccShipDelay(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))
+
+  /** q369: Cramér's V association between quantity band and discount level
+    * — the normalized-χ² effect size on the 5×11 contingency grid, the
+    * number that says whether "bigger orders get deeper discounts" is a
+    * real pricing policy or noise (q207's χ² alone grows with n, so at
+    * 100 TB EVERYTHING is "significant"; V is sample-size-free). Expected
+    * counts come from the broadcast margins; the per-cell (o−e)²/e terms
+    * are 1e-12-snapped into an exact decimal sum.
+    *
+    * Scale shape: one map-combinable ≤55-cell census over a two-column
+    * fact projection; margins and the grand total broadcast back onto
+    * the bounded cell table. Integer bucketing only (discount·100
+    * rounded) — no float-equality hazards.
+    */
+  def cramersV(lineitem: DataFrame): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val cells = lineitem.select(
+        floor((col("l_quantity") - 1) / 10).cast("int").as("qty_band"),
+        round(col("l_discount") * 100).cast("int").as("disc_pct"))
+      .groupBy(col("qty_band"), col("disc_pct"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("qty_band")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("disc_pct")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("qty_band")).as("r"),
+      countDistinct(col("disc_pct")).as("c"))
+    val terms = cells
+      .join(broadcast(rowT), "qty_band")
+      .join(broadcast(colT), "disc_pct")
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / col("n"))
+      .withColumn("t",
+        s12((col("o") - col("e")) * (col("o") - col("e")) / col("e")))
+    terms.groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("t").cast("decimal(38,12)")).cast("double").as("chi2"))
+      .select(col("n").as("n_lines"), col("r").as("n_qty_bands"),
+        col("c").as("n_disc_levels"),
+        (round(col("chi2") * 10000) / 10000.0).as("chi2"),
+        (round(sqrt(col("chi2")
+          / (col("n") * (least(col("r"), col("c")) - 1).cast("double")))
+          * 1000000) / 1000000.0).as("cramers_v"))
+  }
+
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame =
+    cramersV(Tables.lineitem(spark, sfDir))
 }
