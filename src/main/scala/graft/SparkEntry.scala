@@ -745,7 +745,11 @@ object SparkEntry {
         .orderBy(col("type_a"), col("type_b"))),
     "q368_extremal_index" -> ((s, d) =>
       ExtremeStats.extremalIndex(s, d).orderBy(col("event_type"))),
-    "q369_cramers_v" -> ((s, d) => StatTests.cramersV(s, d))
+    "q369_cramers_v" -> ((s, d) => StatTests.cramersV(s, d)),
+    "q370_median_polish" -> ((s, d) =>
+      TimeSeries.medianPolish(s, d).orderBy(col("event_type"))),
+    "q371_acf_half_life" -> ((s, d) =>
+      TimeSeries.acfHalfLife(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8805,7 +8809,116 @@ object SparkEntry {
         |  round(chi2*10000)/10000.0 AS chi2,
         |  round(sqrt(chi2/(n*CAST(least(r, c) - 1 AS DOUBLE)))
         |    *1000000)/1000000.0 AS cramers_v
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "q370_median_polish" ->
+      """WITH r0 AS (SELECT event_type,
+        |    CAST((CAST(floor(epoch(ts)/86400) AS BIGINT) + 4) % 7 AS INT)
+        |      dow,
+        |    CAST(CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS INT) hr,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) r
+        |  FROM events GROUP BY 1, 2, 3),
+        |rm1 AS (SELECT event_type, dow, sum(r)/count(*) rm FROM (
+        |    SELECT event_type, dow, r,
+        |      row_number() OVER (PARTITION BY event_type, dow ORDER BY r)
+        |        rn,
+        |      count(*) OVER (PARTITION BY event_type, dow) cnt FROM r0) z
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1, 2),
+        |r1 AS (SELECT r0.event_type, r0.dow, hr, r - rm r
+        |  FROM r0 JOIN rm1 ON r0.event_type = rm1.event_type
+        |    AND r0.dow = rm1.dow),
+        |cm1 AS (SELECT event_type, hr, sum(r)/count(*) cm FROM (
+        |    SELECT event_type, hr, r,
+        |      row_number() OVER (PARTITION BY event_type, hr ORDER BY r)
+        |        rn,
+        |      count(*) OVER (PARTITION BY event_type, hr) cnt FROM r1) z
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1, 2),
+        |r2 AS (SELECT r1.event_type, dow, r1.hr, r - cm r
+        |  FROM r1 JOIN cm1 ON r1.event_type = cm1.event_type
+        |    AND r1.hr = cm1.hr),
+        |rm2 AS (SELECT event_type, dow, sum(r)/count(*) rm FROM (
+        |    SELECT event_type, dow, r,
+        |      row_number() OVER (PARTITION BY event_type, dow ORDER BY r)
+        |        rn,
+        |      count(*) OVER (PARTITION BY event_type, dow) cnt FROM r2) z
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1, 2),
+        |r3 AS (SELECT r2.event_type, r2.dow, hr, r - rm r
+        |  FROM r2 JOIN rm2 ON r2.event_type = rm2.event_type
+        |    AND r2.dow = rm2.dow),
+        |cm2 AS (SELECT event_type, hr, sum(r)/count(*) cm FROM (
+        |    SELECT event_type, hr, r,
+        |      row_number() OVER (PARTITION BY event_type, hr ORDER BY r)
+        |        rn,
+        |      count(*) OVER (PARTITION BY event_type, hr) cnt FROM r3) z
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1, 2),
+        |r4 AS (SELECT r3.event_type, dow, r3.hr, r - cm r
+        |  FROM r3 JOIN cm2 ON r3.event_type = cm2.event_type
+        |    AND r3.hr = cm2.hr),
+        |re AS (SELECT rm1.event_type, rm1.dow, rm1.rm + rm2.rm re
+        |  FROM rm1 JOIN rm2 ON rm1.event_type = rm2.event_type
+        |    AND rm1.dow = rm2.dow),
+        |ce AS (SELECT cm1.event_type, cm1.hr, cm1.cm + cm2.cm ce
+        |  FROM cm1 JOIN cm2 ON cm1.event_type = cm2.event_type
+        |    AND cm1.hr = cm2.hr),
+        |ov AS (SELECT event_type, sum(re)/count(*) ov FROM (
+        |    SELECT event_type, re,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY re) rn,
+        |      count(*) OVER (PARTITION BY event_type) cnt FROM re) z
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1),
+        |rr AS (SELECT event_type, max(re) - min(re) row_range FROM re
+        |  GROUP BY 1),
+        |cr AS (SELECT event_type, max(ce) - min(ce) col_range FROM ce
+        |  GROUP BY 1),
+        |mad AS (SELECT event_type, sum(ar)/count(*) mad FROM (
+        |    SELECT event_type, abs(r) ar,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY abs(r))
+        |        rn,
+        |      count(*) OVER (PARTITION BY event_type) cnt FROM r4) z
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1),
+        |mx AS (SELECT event_type, max(abs(r)) max_resid FROM r4
+        |  GROUP BY 1)
+        |SELECT ov.event_type,
+        |  round(ov*1000000)/1000000.0 AS overall_effect,
+        |  round(row_range*1000000)/1000000.0 AS dow_range,
+        |  round(col_range*1000000)/1000000.0 AS hour_range,
+        |  round(mad*1000000)/1000000.0 AS resid_mad,
+        |  round(max_resid*1000000)/1000000.0 AS max_resid
+        |FROM ov JOIN rr ON ov.event_type = rr.event_type
+        |JOIN cr ON ov.event_type = cr.event_type
+        |JOIN mad ON ov.event_type = mad.event_type
+        |JOIN mx ON ov.event_type = mx.event_type
+        |ORDER BY 1""".stripMargin,
+    "q371_acf_half_life" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)/86400) AS BIGINT) dd,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) s,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) q
+        |  FROM daily GROUP BY 1),
+        |mm AS (SELECT event_type, s/n mu, q - s*s/n den FROM mom),
+        |hs AS (SELECT unnest(generate_series(1, 14)) h),
+        |j AS (SELECT a.event_type, hs.h, a.x, b.x xb
+        |  FROM daily a CROSS JOIN hs JOIN daily b
+        |    ON b.event_type = a.event_type AND b.dd = a.dd - hs.h),
+        |t AS (SELECT j.event_type, h,
+        |    round((x - mu)*(xb - mu)*1e12)/1e12 t
+        |  FROM j JOIN mm ON j.event_type = mm.event_type),
+        |ac AS (SELECT t.event_type, h,
+        |    CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) num
+        |  FROM t GROUP BY 1, 2),
+        |af AS (SELECT ac.event_type, h, num/den acf
+        |  FROM ac JOIN mm ON ac.event_type = mm.event_type)
+        |SELECT event_type,
+        |  CAST(min(CASE WHEN acf < 0.5 THEN h END) AS INT)
+        |    half_life_days,
+        |  max(CASE WHEN h = 1 THEN round(acf*1000000)/1000000.0 END)
+        |    AS acf_1,
+        |  max(CASE WHEN h = 7 THEN round(acf*1000000)/1000000.0 END)
+        |    AS acf_7,
+        |  max(CASE WHEN h = 14 THEN round(acf*1000000)/1000000.0 END)
+        |    AS acf_14
+        |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

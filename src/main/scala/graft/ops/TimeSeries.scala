@@ -2518,4 +2518,133 @@ object TimeSeries {
 
   def valuePrecision(spark: SparkSession, sfDir: String): DataFrame =
     valuePrecision(Tables.events(spark, sfDir))
+
+  /** Median over BOUNDED partitions (≤ a few hundred rows by construction)
+    * as avg-of-middle-order-statistics — the windows here are safe because
+    * the partition sizes are fixed small (7/24/168 cells), never data-
+    * scale. The even-n middle pair averages via sum/2 (commutative, so
+    * scan order can't flip a bit).
+    */
+  private def boundedMedian(df: DataFrame, keys: Seq[String], v: String,
+                            out: String): DataFrame = {
+    val pw = Window.partitionBy(keys.map(col): _*)
+    val w = pw.orderBy(col(v))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(pw))
+      .where(col("__rn") === expr("(__cnt + 1) div 2")
+        || col("__rn") === expr("(__cnt + 2) div 2"))
+      .groupBy(keys.map(col): _*)
+      .agg((sum(col(v)) / count(lit(1))).as(out))
+  }
+
+  /** q370: Tukey median polish of the weekday × hour grid per series —
+    * two full row/column sweeps of median subtraction, reporting the
+    * overall effect, row/column effect ranges, residual MAD, and the
+    * largest absolute residual. The ROBUST twin of q363's two-way means
+    * model: means-based calendar fits let one stuck-sensor day drag a
+    * whole weekday effect; median polish bounds any cell's influence, so
+    * its residuals locate calendar-adjusted anomalies even when the
+    * calendar profile itself is contaminated (Tukey 1977, EDA ch. 11).
+    *
+    * Scale shape: the grid is ≤168 cells per series (one map-combinable
+    * aggregate), and every median runs on a 7- or 24-cell bounded
+    * partition — the whole polish is window arithmetic on a
+    * series-keyed, fixed-size table; data volume only affects the first
+    * aggregate.
+    */
+  def medianPolish(events: DataFrame, iters: Int = 2): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("dow", pmod(floor(col("e") / 86400L) + 4, lit(7)).cast("int"))
+      .withColumn("hr", pmod(floor(col("e") / 3600L), lit(24)).cast("int"))
+    var resid = ev.groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("r"))
+    var rowEff: DataFrame = null
+    var colEff: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rm = boundedMedian(resid, Seq("event_type", "dow"), "r", "rm")
+      resid = resid.join(rm, Seq("event_type", "dow"))
+        .withColumn("r", col("r") - col("rm")).drop("rm")
+      rowEff = if (rowEff == null) rm.withColumnRenamed("rm", "re")
+        else rowEff.join(rm, Seq("event_type", "dow"))
+          .withColumn("re", col("re") + col("rm")).drop("rm")
+      val cm = boundedMedian(resid, Seq("event_type", "hr"), "r", "cm")
+      resid = resid.join(cm, Seq("event_type", "hr"))
+        .withColumn("r", col("r") - col("cm")).drop("cm")
+      colEff = if (colEff == null) cm.withColumnRenamed("cm", "ce")
+        else colEff.join(cm, Seq("event_type", "hr"))
+          .withColumn("ce", col("ce") + col("cm")).drop("cm")
+    }
+    val ov = boundedMedian(rowEff, Seq("event_type"), "re", "ov")
+    val rRange = rowEff.groupBy(col("event_type"))
+      .agg((max(col("re")) - min(col("re"))).as("row_range"))
+    val cRange = colEff.groupBy(col("event_type"))
+      .agg((max(col("ce")) - min(col("ce"))).as("col_range"))
+    val mad = boundedMedian(resid.withColumn("ar", abs(col("r"))),
+      Seq("event_type"), "ar", "mad")
+    val mx = resid.groupBy(col("event_type"))
+      .agg(max(abs(col("r"))).as("max_resid"))
+    ov.join(rRange, "event_type").join(cRange, "event_type")
+      .join(mad, "event_type").join(mx, "event_type")
+      .select(col("event_type"),
+        (round(col("ov") * 1000000) / 1000000.0).as("overall_effect"),
+        (round(col("row_range") * 1000000) / 1000000.0).as("dow_range"),
+        (round(col("col_range") * 1000000) / 1000000.0).as("hour_range"),
+        (round(col("mad") * 1000000) / 1000000.0).as("resid_mad"),
+        (round(col("max_resid") * 1000000) / 1000000.0).as("max_resid"))
+  }
+
+  def medianPolish(spark: SparkSession, sfDir: String): DataFrame =
+    medianPolish(Tables.events(spark, sfDir))
+
+  /** q371: autocorrelation memory half-life per series — the full ACF at
+    * day lags 1..14 on the daily means, summarized as the FIRST lag where
+    * ACF drops below ½ (NULL = memory longer than two weeks). The one
+    * number that sets lookback windows across the engine: rolling-mean
+    * width (q03), drift-detector reference span (q128/q139), and how many
+    * lagged features an AR forecast (ml_ar_forecast) can usefully take.
+    * q42 reports lag-1 only; the half-life needs the decay CURVE.
+    *
+    * Scale shape: daily resample, one (series, day−h) equi-join against
+    * a 14-row lag spine (gap-correct, no window), per-series decimal
+    * moment sums; the 14-row-per-series ACF table reduces to the scalar.
+    */
+  def acfHalfLife(events: DataFrame, maxLag: Int = 14): DataFrame = {
+    def s12(c: Column) = round(c * lit(1e12)) / lit(1e12)
+    val daily = cusumDaily(events)
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,10)"))
+          .cast("double").as("q"))
+      .withColumn("mu", col("s") / col("n"))
+      .withColumn("den", col("q") - col("s") * col("s") / col("n"))
+    val a = daily.withColumn("h", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("event_type").as("et"), col("day"), col("x"), col("h"))
+    val b = daily.select(col("event_type").as("bt"), col("day").as("bd"),
+      col("x").as("xb"))
+    val acf = a
+      .join(b, col("et") === col("bt")
+        && col("bd") === col("day") - col("h"))
+      .join(broadcast(mom.select(col("event_type").as("mt"), col("mu"))),
+        col("et") === col("mt"))
+      .withColumn("t", s12((col("x") - col("mu")) * (col("xb") - col("mu"))))
+      .groupBy(col("et"), col("h"))
+      .agg(sum(col("t").cast("decimal(38,12)")).cast("double").as("num"))
+      .join(broadcast(mom.select(col("event_type").as("et"), col("den"))),
+        "et")
+      .withColumn("acf", col("num") / col("den"))
+    acf.groupBy(col("et").as("event_type"))
+      .agg(min(when(col("acf") < 0.5, col("h"))).as("half_life_days"),
+        max(when(col("h") === 1,
+          round(col("acf") * 1000000) / 1000000.0)).as("acf_1"),
+        max(when(col("h") === 7,
+          round(col("acf") * 1000000) / 1000000.0)).as("acf_7"),
+        max(when(col("h") === 14,
+          round(col("acf") * 1000000) / 1000000.0)).as("acf_14"))
+  }
+
+  def acfHalfLife(spark: SparkSession, sfDir: String): DataFrame =
+    acfHalfLife(Tables.events(spark, sfDir))
 }
