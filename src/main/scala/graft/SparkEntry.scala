@@ -749,7 +749,13 @@ object SparkEntry {
     "q370_median_polish" -> ((s, d) =>
       TimeSeries.medianPolish(s, d).orderBy(col("event_type"))),
     "q371_acf_half_life" -> ((s, d) =>
-      TimeSeries.acfHalfLife(s, d).orderBy(col("event_type")))
+      TimeSeries.acfHalfLife(s, d).orderBy(col("event_type"))),
+    "q372_catalog_dynamics" -> ((s, d) =>
+      Relational.catalogDynamics(s, d).orderBy(col("ym"))),
+    "q373_first_value_ltv" -> ((s, d) =>
+      Relational.firstValueLtv(s, d).orderBy(col("c_mktsegment"))),
+    "q374_mean_residual_life" -> ((s, d) =>
+      Relational.meanResidualLife(s, d).orderBy(col("threshold_days")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8918,7 +8924,84 @@ object SparkEntry {
         |    AS acf_7,
         |  max(CASE WHEN h = 14 THEN round(acf*1000000)/1000000.0 END)
         |    AS acf_14
-        |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM af GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q372_catalog_dynamics" ->
+      """WITH pm AS (SELECT l_partkey,
+        |    min(CAST(year(l_shipdate)*12 + month(l_shipdate) - 1
+        |      AS BIGINT)) fm,
+        |    max(CAST(year(l_shipdate)*12 + month(l_shipdate) - 1
+        |      AS BIGINT)) lm
+        |  FROM lineitem GROUP BY 1),
+        |births AS (SELECT fm mi, CAST(count(*) AS BIGINT) births
+        |  FROM pm GROUP BY 1),
+        |deaths AS (SELECT lm mi, CAST(count(*) AS BIGINT) deaths
+        |  FROM pm GROUP BY 1),
+        |sp AS (SELECT min(fm) lo, max(lm) hi FROM pm),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) mi FROM sp),
+        |f AS (SELECT spine.mi, coalesce(births, 0) b,
+        |    coalesce(deaths, 0) d
+        |  FROM spine LEFT JOIN births ON spine.mi = births.mi
+        |  LEFT JOIN deaths ON spine.mi = deaths.mi),
+        |c AS (SELECT mi, b, d,
+        |    CAST(sum(b) OVER (ORDER BY mi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) cb,
+        |    CAST(sum(d) OVER (ORDER BY mi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) cd FROM f)
+        |SELECT CAST(floor(mi/12)*100 + mi % 12 + 1 AS INT) ym,
+        |  b AS n_new, d AS n_retired, cb - cd + d AS n_active,
+        |  CASE WHEN cb - cd + d > 0 THEN
+        |    round(CAST(b + d AS DOUBLE)/(cb - cd + d)*1000000)/1000000.0
+        |    ELSE 0.0 END AS turnover
+        |FROM c ORDER BY 1""".stripMargin,
+    "q373_first_value_ltv" ->
+      """WITH f AS (SELECT o_custkey, o_totalprice fv FROM (
+        |    SELECT o_custkey, o_totalprice, row_number() OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn
+        |    FROM orders) z WHERE rn = 1),
+        |t AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) ltv
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_mktsegment, fv, ltv
+        |  FROM f JOIN t USING (o_custkey)
+        |  JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_customers,
+        |    CAST(sum(CAST(fv AS DECIMAL(28,6))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(ltv AS DECIMAL(28,6))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(fv*fv AS DECIMAL(38,6))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(fv*ltv AS DECIMAL(38,6))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(ltv*ltv AS DECIMAL(38,6))) AS DOUBLE) syy
+        |  FROM j GROUP BY 1),
+        |e AS (SELECT c_mktsegment, n_customers,
+        |    CAST(n_customers AS DOUBLE) nn, sx, sy, sxx, sxy, syy FROM g),
+        |d AS (SELECT c_mktsegment, n_customers, sx, sy,
+        |    nn*sxx - sx*sx dx, nn*syy - sy*sy dy, nn*sxy - sx*sy cv
+        |  FROM e)
+        |SELECT c_mktsegment, n_customers,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    round(cv/sqrt(dx*dy)*1000000)/1000000.0 END AS pearson_r,
+        |  round(sy/sx*10000)/10000.0 AS ltv_multiple
+        |FROM d ORDER BY 1""".stripMargin,
+    "q374_mean_residual_life" ->
+      """WITH g0 AS (SELECT o_custkey, o_orderdate, lag(o_orderdate)
+        |    OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) prev
+        |  FROM orders),
+        |gaps AS (SELECT CAST(date_diff('day', CAST(prev AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) gap
+        |  FROM g0 WHERE prev IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) n_gaps FROM gaps),
+        |us AS (SELECT unnest([7, 14, 30, 60, 90]) u),
+        |e AS (SELECT CAST(u AS BIGINT) u, CAST(count(*) AS BIGINT)
+        |    n_exceed, CAST(sum(gap) AS BIGINT) sg
+        |  FROM gaps CROSS JOIN us WHERE gap > u GROUP BY 1)
+        |SELECT u AS threshold_days, n_exceed,
+        |  round(CAST(sg - n_exceed*u AS DOUBLE)/n_exceed*10000)/10000.0
+        |    AS mrl_days,
+        |  round(CAST(n_exceed AS DOUBLE)/n_gaps*1000000)/1000000.0
+        |    AS survivor_share
+        |FROM e CROSS JOIN tot ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -2809,4 +2809,145 @@ object Relational {
 
   def marketChurn(spark: SparkSession, sfDir: String): DataFrame =
     marketChurn(Tables.lineitem(spark, sfDir))
+
+  /** q372: catalog dynamics — monthly active-part census with birth/
+    * retirement counts and a turnover rate, where a part is "active" in
+    * every month of its [first sale, last sale] interval. Interval
+    * counting WITHOUT expanding part×months: actives(m) = cumulative
+    * births(≤m) − cumulative deaths(<m), so the expensive thing (the
+    * per-part interval) reduces to two integer marginals. q308 profiles
+    * individual cohort ramps; this is the assortment-level breathing the
+    * merchandising team actually charts.
+    *
+    * Scale shape: one per-part min/max aggregate (map-combinable), two
+    * ≤months-key marginals, and a cumulative window over the BOUNDED
+    * month spine (≤ span months at any data scale).
+    */
+  def catalogDynamics(lineitem: DataFrame): DataFrame = {
+    val pm = lineitem.select(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("mi"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("mi")).as("fm"), max(col("mi")).as("lm"))
+    val births = pm.groupBy(col("fm").as("mi"))
+      .agg(count(lit(1)).as("births"))
+    val deaths = pm.groupBy(col("lm").as("mi"))
+      .agg(count(lit(1)).as("deaths"))
+    val spine = pm.agg(min(col("fm")).as("lo"), max(col("lm")).as("hi"))
+      .withColumn("mi", explode(sequence(col("lo"), col("hi"))))
+      .select(col("mi"))
+    val w = Window.orderBy(col("mi"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(broadcast(births), Seq("mi"), "left")
+      .join(broadcast(deaths), Seq("mi"), "left")
+      .withColumn("b", coalesce(col("births"), lit(0L)))
+      .withColumn("d", coalesce(col("deaths"), lit(0L)))
+      .withColumn("cb", sum(col("b")).over(w))
+      .withColumn("cd", sum(col("d")).over(w))
+      .withColumn("n_active", col("cb") - col("cd") + col("d"))
+      .select(
+        (floor(col("mi") / 12) * 100 + pmod(col("mi"), lit(12)) + 1)
+          .cast("int").as("ym"),
+        col("b").as("n_new"), col("d").as("n_retired"), col("n_active"),
+        when(col("n_active") > 0,
+          round((col("b") + col("d")).cast("double") / col("n_active")
+            * 1000000) / 1000000.0).otherwise(0.0).as("turnover"))
+  }
+
+  def catalogDynamics(spark: SparkSession, sfDir: String): DataFrame =
+    catalogDynamics(Tables.lineitem(spark, sfDir))
+
+  /** q373: does the first order predict the customer? Pearson correlation
+    * between first-order value and TOTAL lifetime revenue per market
+    * segment, with the average LTV multiple (total ÷ first). The
+    * acquisition-quality question behind every "high-value first basket"
+    * targeting rule — q108's cohort LTV gives the time dimension, this
+    * gives the screening dimension, and a near-zero r says first-basket
+    * targeting is noise.
+    *
+    * Scale shape: one customer-PARTITIONED row_number window picks the
+    * deterministic first order ((date, orderkey) order), one per-customer
+    * revenue aggregate, then per-segment exact decimal moment sums —
+    * every stage keyed on customer or segment.
+    */
+  def firstValueLtv(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val first = orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice").as("fv"))
+    val tot = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("ltv"), count(lit(1)).as("n_orders"))
+    val j = first.join(tot, "o_custkey")
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    j.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("fv").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(col("ltv").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((col("fv") * col("fv")).cast("decimal(38,6)"))
+          .cast("double").as("sxx"),
+        sum((col("fv") * col("ltv")).cast("decimal(38,6)"))
+          .cast("double").as("sxy"),
+        sum((col("ltv") * col("ltv")).cast("decimal(38,6)"))
+          .cast("double").as("syy"))
+      .withColumn("nn", col("n_customers").cast("double"))
+      .withColumn("dx", col("nn") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("nn") * col("syy") - col("sy") * col("sy"))
+      .withColumn("cv", col("nn") * col("sxy") - col("sx") * col("sy"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round(col("cv") / sqrt(col("dx") * col("dy")) * 1000000)
+            / 1000000.0).as("pearson_r"),
+        (round(col("sy") / col("sx") * 10000) / 10000.0)
+          .as("ltv_multiple"))
+  }
+
+  def firstValueLtv(spark: SparkSession, sfDir: String): DataFrame =
+    firstValueLtv(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir))
+
+  /** q374: mean residual life of reorder gaps — for thresholds u ∈ {7,
+    * 14, 30, 60, 90} days, E[gap − u | gap > u] with survivor counts.
+    * THE principled way to pick a churn window (q361 hard-codes 4 weeks;
+    * the MRL curve says where waiting longer stops buying information —
+    * the u where MRL flattens), and the standard GPD threshold-selection
+    * plot from EVT applied to behavior instead of extremes: an MRL rising
+    * in u means heavy-tailed gaps (dormant ≠ dead), falling means a real
+    * wall.
+    *
+    * Scale shape: one customer-PARTITIONED lag window for the gaps, an
+    * exploded 5-row threshold spine, and a (threshold)-key map-combinable
+    * aggregate of exact integer gap sums. No quantile machinery needed —
+    * the thresholds are the OUTPUT grid.
+    */
+  def meanResidualLife(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev")).cast("long")
+        .as("gap"))
+    val tot = gaps.agg(count(lit(1)).as("n_gaps"))
+    gaps.withColumn("u", explode(array(Seq(7, 14, 30, 60, 90)
+        .map(u => lit(u.toLong)): _*)))
+      .where(col("gap") > col("u"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_exceed"), sum(col("gap")).as("sg"))
+      .crossJoin(broadcast(tot))
+      .select(col("u").as("threshold_days"), col("n_exceed"),
+        (round((col("sg") - col("n_exceed") * col("u")).cast("double")
+          / col("n_exceed") * 10000) / 10000.0).as("mrl_days"),
+        (round(col("n_exceed").cast("double") / col("n_gaps") * 1000000)
+          / 1000000.0).as("survivor_share"))
+  }
+
+  def meanResidualLife(spark: SparkSession, sfDir: String): DataFrame =
+    meanResidualLife(Tables.orders(spark, sfDir))
 }
