@@ -755,7 +755,11 @@ object SparkEntry {
     "q373_first_value_ltv" -> ((s, d) =>
       Relational.firstValueLtv(s, d).orderBy(col("c_mktsegment"))),
     "q374_mean_residual_life" -> ((s, d) =>
-      Relational.meanResidualLife(s, d).orderBy(col("threshold_days")))
+      Relational.meanResidualLife(s, d).orderBy(col("threshold_days"))),
+    "q375_weekday_entropy" -> ((s, d) =>
+      Relational.weekdayEntropy(s, d).orderBy(col("c_mktsegment"))),
+    "q376_discount_monotonicity" -> ((s, d) =>
+      Relational.discountMonotonicity(s, d).orderBy(col("disc_pct")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9001,7 +9005,43 @@ object SparkEntry {
         |    AS mrl_days,
         |  round(CAST(n_exceed AS DOUBLE)/n_gaps*1000000)/1000000.0
         |    AS survivor_share
-        |FROM e CROSS JOIN tot ORDER BY 1""".stripMargin
+        |FROM e CROSS JOIN tot ORDER BY 1""".stripMargin,
+    "q375_weekday_entropy" ->
+      """WITH cd AS (SELECT o_custkey,
+        |    CAST((CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) + 4)
+        |      % 7 AS INT) dow, CAST(count(*) AS BIGINT) c
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_custkey, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_custkey) AS BIGINT) n
+        |  FROM cd),
+        |pr AS (SELECT o_custkey, n, CAST(c AS DOUBLE)/n p FROM t),
+        |tt AS (SELECT o_custkey, n, round(p*ln(p)*1e12)/1e12 t FROM pr),
+        |h AS (SELECT o_custkey,
+        |    -CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) h,
+        |    max(n) n_orders FROM tt GROUP BY 1),
+        |hn AS (SELECT o_custkey, h/ln(7.0) hn FROM h
+        |  WHERE n_orders >= 3),
+        |j AS (SELECT c_mktsegment, hn
+        |  FROM hn JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_customers,
+        |  round(CAST(sum(CAST(hn AS DECIMAL(38,12))) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS avg_norm_entropy,
+        |  round(CAST(sum(CASE WHEN hn < 0.75 THEN 1 ELSE 0 END)
+        |    AS DOUBLE)/count(*)*1000000)/1000000.0 AS routine_share
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q376_discount_monotonicity" ->
+      """WITH g AS (SELECT CAST(round(l_discount*100) AS INT) disc_pct,
+        |    CAST(count(*) AS BIGINT) n_lines,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*) mq
+        |  FROM lineitem GROUP BY 1),
+        |l AS (SELECT disc_pct, n_lines, mq,
+        |    lag(mq) OVER (ORDER BY disc_pct) prev_mq FROM g)
+        |SELECT disc_pct, n_lines,
+        |  round(mq*10000)/10000.0 AS mean_qty,
+        |  CASE WHEN prev_mq IS NOT NULL THEN mq < prev_mq END
+        |    AS is_violation
+        |FROM l ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -2950,4 +2950,83 @@ object Relational {
 
   def meanResidualLife(spark: SparkSession, sfDir: String): DataFrame =
     meanResidualLife(Tables.orders(spark, sfDir))
+
+  /** q375: order-timing regularity — per-customer Shannon entropy of the
+    * order day-of-week mix (ln-7-normalized), rolled to segment as the
+    * average plus the share of "routine" customers (normalized entropy
+    * < 0.75, i.e. concentrated on 1-2 weekdays). The habit-strength
+    * lens: q350's clumpiness measures WHEN bursts happen in calendar
+    * time, this measures whether a customer has a WEEKLY ritual — the
+    * two disagree exactly for the "every other Monday" shopper
+    * (clumpy-irregular vs ritual-regular), and replenishment campaigns
+    * target the ritual ones.
+    *
+    * Scale shape: q349's entropy pipeline on a (customer, dow) key —
+    * customer-PARTITIONED windows, 1e-12-snapped p·ln p terms in exact
+    * decimal sums, segment rollup via the customer join.
+    */
+  def weekdayEntropy(orders: DataFrame, customer: DataFrame): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val cd = orders.select(col("o_custkey"),
+        pmod(floor(unix_timestamp(col("o_orderdate")) / 86400L) + 4, lit(7))
+          .cast("int").as("dow"))
+      .groupBy(col("o_custkey"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("o_custkey"))
+    val h = cd
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("t", s12(col("p") * log(col("p"))))
+      .groupBy(col("o_custkey"))
+      .agg((-sum(col("t").cast("decimal(38,12)")).cast("double")).as("h"),
+        max(col("n")).as("n_orders"))
+      .where(col("n_orders") >= 3)
+      .withColumn("hn", col("h") / log(lit(7.0)))
+    h.join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("hn").cast("decimal(38,12)")).cast("double").as("shn"),
+        sum(when(col("hn") < 0.75, 1L).otherwise(0L)).as("n_routine"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        (round(col("shn") / col("n_customers") * 1000000) / 1000000.0)
+          .as("avg_norm_entropy"),
+        (round(col("n_routine").cast("double") / col("n_customers")
+          * 1000000) / 1000000.0).as("routine_share"))
+  }
+
+  def weekdayEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    weekdayEntropy(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir))
+
+  /** q376: discount-depth monotonicity audit — mean quantity per discount
+    * level (11 integer levels) with the adjacent-pair violation count and
+    * the net uplift from 0% to max. The pricing-policy sanity check
+    * BEFORE fitting q331's elasticity: a clean elasticity number on a
+    * non-monotone response curve is a modeling artifact, and the
+    * violation count (computed on the bounded 11-row level table) says
+    * exactly where the curve breaks.
+    *
+    * Scale shape: one 11-key map-combinable aggregate over a two-column
+    * fact projection; the lag comparison runs on the bounded level
+    * table.
+    */
+  def discountMonotonicity(lineitem: DataFrame): DataFrame = {
+    val g = lineitem.select(
+        round(col("l_discount") * 100).cast("int").as("disc_pct"),
+        col("l_quantity"))
+      .groupBy(col("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("mq"))
+    val w = Window.orderBy(col("disc_pct"))
+    g.withColumn("prev_mq", lag(col("mq"), 1).over(w))
+      .select(col("disc_pct"), col("n_lines"),
+        (round(col("mq") * 10000) / 10000.0).as("mean_qty"),
+        when(col("prev_mq").isNotNull, col("mq") < col("prev_mq"))
+          .as("is_violation"))
+  }
+
+  def discountMonotonicity(spark: SparkSession, sfDir: String): DataFrame =
+    discountMonotonicity(Tables.lineitem(spark, sfDir))
 }
