@@ -870,9 +870,12 @@ object StatTests {
       .select(col("n").as("n_lines"), col("r").as("n_qty_bands"),
         col("c").as("n_disc_levels"),
         (round(col("chi2") * 10000) / 10000.0).as("chi2"),
-        (round(sqrt(col("chi2")
-          / (col("n") * (least(col("r"), col("c")) - 1).cast("double")))
-          * 1000000) / 1000000.0).as("cramers_v"))
+        // ANSI-safe: a 1-level factor has no association dof — NULL V
+        // (vacuous on the real 5×11 grid, so oracle parity is untouched)
+        when(least(col("r"), col("c")) > 1,
+          round(sqrt(col("chi2")
+            / (col("n") * (least(col("r"), col("c")) - 1).cast("double")))
+            * 1000000) / 1000000.0).as("cramers_v"))
   }
 
   def cramersV(spark: SparkSession, sfDir: String): DataFrame =

@@ -2410,10 +2410,13 @@ object TimeSeries {
           .cast("double").as("q"),
         count(col("dd")).as("nd"),
         sum(col("dd").cast("decimal(38,12)")).cast("double").as("sd2"))
-      .withColumn("v",
+      // ANSI-safe: a 1-day series has no variance dof and no diffs —
+      // NULL out instead of dividing by zero (guards are vacuous on any
+      // multi-day series, so oracle parity is untouched)
+      .withColumn("v", when(col("n_days") > 1,
         (col("q") - col("s") * col("s") / col("n_days"))
-          / (col("n_days") - 1))
-      .withColumn("m", col("sd2") / col("nd"))
+          / (col("n_days") - 1)))
+      .withColumn("m", when(col("nd") > 0, col("sd2") / col("nd")))
       .select(col("event_type"), col("n_days"),
         (round(col("m") * 1000000) / 1000000.0).as("mssd"),
         (round(col("v") * 1000000) / 1000000.0).as("variance"),
