@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * GC/scheduler jitter; the min over three steady-state passes is the
   * reproducible signal and is what BASELINE.md records.
   *
+  * Artifacts (the per-round driver keeps only the LAST ~2000 chars of
+  * stdout, which truncates a 374-query JSON line mid-object — observed as
+  * `parsed: null` in BENCH_r06/r07.json):
+  *   - BENCH.json          — full per-query min map (the historical shape).
+  *   - BENCH_spread.json   — per-query {min, median, stdev, runs[]} so
+  *                           run-to-run noise is measurable per query.
+  *   - stdout, LAST line   — a COMPACT (<1.5 KB) JSON summary that survives
+  *                           the tail capture intact: totals + slowest-10 +
+  *                           pointers to the two file artifacts. The full
+  *                           line is printed BEFORE it for full-capture
+  *                           consumers.
+  *
   * Override passes with SPARK_GRAFT_BENCH_WARMUP / SPARK_GRAFT_BENCH_RUNS.
   */
 object Bench {
@@ -17,6 +29,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "2").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -26,6 +39,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     (1 to warmups).foreach { _ =>
       ordered.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
@@ -37,20 +51,36 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val passes = (1 to runs).map(_ => timedPass())
-    val results = ordered.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+    def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val spread = ordered.map { case (name, _) =>
+      val xs = passes.map(_(name)).sorted
+      val n = xs.length
+      val med = if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+      name -> (xs.head, med, sd, xs)
     }
+    val results = spread.map { case (name, (mn, _, _, _)) => name -> mn }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"runs":$runs}"""
-    println(line)
-    // stdout tail-capture truncates past ~4 KB, which silently drops most of
-    // the per-query map (154 queries ≈ 6 KB) — persist the full artifact to
-    // a repo file so the numbers survive regardless of how stdout is caught
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"runs":$runs}"""
+    def writeFile(path: String, body: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeFile(out, fullLine)
+    val spreadJson = spread.map { case (k, (mn, med, sd, xs)) =>
+      s"\"" + k + "\":{\"min\":" + fmt(mn) + ",\"median\":" + fmt(med) +
+        ",\"stdev\":" + fmt(sd) + ",\"runs\":[" + xs.map(fmt).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    writeFile(out.stripSuffix(".json") + "_spread.json",
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmups":$warmups,"runs":$runs,"n_queries":${results.size},"queries":$spreadJson}""")
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(fullLine)
+    // compact final line — MUST stay well under the driver's 2000-char tail
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","warmups":$warmups,"runs":$runs,"n_queries":${results.size},"queries_file":"$out","spread_file":"${out.stripSuffix(".json")}_spread.json","slowest10":$top}""")
     spark.stop()
   }
 }
