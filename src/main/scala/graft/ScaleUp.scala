@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a larger scale factor from an existing one by stamping K
+  * key-shifted copies (default 10: sf0.1 → sf1) — the scale-rehearsal data
+  * generator behind BASELINE_sf1.md.
+  *
+  * Design constraints, so that timings at the synthetic SF mean something:
+  *
+  *  - **Referential integrity per copy.** Every foreign key is offset by the
+  *    same per-table stride as its primary key, so joins have the same
+  *    per-key fan-out as the source data — row counts scale ×K, join output
+  *    scales ×K, never ×K².
+  *  - **Constant duplicate ratio.** Documents get a per-copy token suffix
+  *    (`w` → `w~i`), making shingle/MinHash/SimHash spaces of different
+  *    copies disjoint: the near-dup pair density (pairs/row) stays that of
+  *    the source corpus instead of every doc gaining K−1 exact twins, which
+  *    would quadratically inflate pair-join output and measure a *harder*
+  *    problem than 10× data. Embeddings get a small deterministic per-copy
+  *    perturbation for the same reason (exact-tie clusters would grow ×K).
+  *  - **Dims stay dims.** region/nation are not replicated — at any real SF
+  *    they are broadcast-side tables.
+  *  - **Time axis unchanged.** Timestamps are copied verbatim, so per-window
+  *    densities grow ×K — the same thing that happens when a real deployment
+  *    ingests K× the devices over the same calendar window.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [copies]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // One stride per key family, each far above the source key range so
+    // copies can never collide.
+    val C = 10000000L   // custkey
+    val O = 100000000L  // orderkey
+    val P = 10000000L   // partkey
+    val S = 1000000L    // suppkey
+    val E = 100000000L  // event_id
+    val U = 100000000L  // user_id
+    val D = 10000000L   // doc_id / vec_id
+
+    def stamp(name: String, df: DataFrame)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val out = (0 until copies).map(i => shift(df, i)).reduce(_ unionAll _)
+      out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name x$copies written")
+    }
+
+    // dims: copy verbatim
+    Seq("region", "nation").foreach { t =>
+      Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    stamp("customer", Tables.customer(spark, src)) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * C))
+    }
+    stamp("supplier", Tables.supplier(spark, src)) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * S))
+    }
+    stamp("part", Tables.part(spark, src)) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * P))
+    }
+    stamp("orders", Tables.orders(spark, src)) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * O))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * C))
+    }
+    stamp("lineitem", Tables.lineitem(spark, src)) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * P))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * S))
+    }
+    stamp("events", Tables.events(spark, src)) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * E))
+        .withColumn("user_id", col("user_id") + lit(i * U))
+    }
+    stamp("documents", Tables.load(spark, src, "documents")) { (df, i) =>
+      val t =
+        if (i == 0) df
+        else df.withColumn(
+          "text",
+          array_join(transform(split(col("text"), " "), w => concat(w, lit(s"~$i"))), " "))
+      t.withColumn("doc_id", col("doc_id") + lit(i * D))
+        .withColumn("n_chars", length(col("text")))
+    }
+    stamp("embeddings", Tables.load(spark, src, "embeddings")) { (df, i) =>
+      val t =
+        if (i == 0) df
+        else df.withColumn(
+          "embedding",
+          expr(s"transform(embedding, (x, j) -> cast(x + 0.02 * sin(vec_id * 13.7 + j * 0.61 + $i) as float))"))
+      t.withColumn("vec_id", col("vec_id") + lit(i * D))
+    }
+    spark.stop()
+  }
+}

@@ -759,7 +759,9 @@ object SparkEntry {
     "q375_weekday_entropy" -> ((s, d) =>
       Relational.weekdayEntropy(s, d).orderBy(col("c_mktsegment"))),
     "q376_discount_monotonicity" -> ((s, d) =>
-      Relational.discountMonotonicity(s, d).orderBy(col("disc_pct")))
+      Relational.discountMonotonicity(s, d).orderBy(col("disc_pct"))),
+    "q377_pq_recall" -> ((s, d) =>
+      Similarity.pqRecall(s, d).orderBy(col("probe_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9041,7 +9043,8 @@ object SparkEntry {
         |  round(mq*10000)/10000.0 AS mean_qty,
         |  CASE WHEN prev_mq IS NOT NULL THEN mq < prev_mq END
         |    AS is_violation
-        |FROM l ORDER BY 1""".stripMargin
+        |FROM l ORDER BY 1""".stripMargin,
+    "q377_pq_recall" -> pqOracle(iters = 2, m = 4, k = 8)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -9125,6 +9128,94 @@ object SparkEntry {
        |  round(CAST(sum(CAST(round(d2*1e12)/1e12 AS DECIMAL(28,12)))
        |    AS DOUBLE)*1000000)/1000000.0 AS wss
        |FROM asg$iters GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q377 oracle: product quantization — the q259 Lloyd rounds with the key
+    * extended by the interleaved subspace id ((i−1) mod m; Spark's 0-based
+    * pos mod m lands every dimension in the same subspace), then ADC
+    * scoring off the final codebook and the same exact-cosine ground truth
+    * as q65. Decimal snaps and tie-breaks replay
+    * [[graft.ops.Similarity.pqRecall]] state for state; multi-reference
+    * CTEs MATERIALIZED per the §3 rule.
+    */
+  private def pqOracle(iters: Int, m: Int, k: Int): String = {
+    def assignBlock(r: Int): String =
+      s"""cc$r AS MATERIALIZED (SELECT s, c,
+         |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
+         |  FROM c$r GROUP BY 1, 2),
+         |dt$r AS MATERIALIZED (SELECT xx.vec_id, c$r.s, c$r.c,
+         |    CAST(sum(CAST(xx.x*c$r.cd AS DECIMAL(28,16))) AS DOUBLE) dot
+         |  FROM xx JOIN c$r ON xx.i = c$r.i GROUP BY 1, 2, 3),
+         |asg$r AS MATERIALIZED (SELECT vec_id, s, c FROM (
+         |    SELECT dt.vec_id, dt.s, dt.c,
+         |      row_number() OVER (PARTITION BY dt.vec_id, dt.s
+         |        ORDER BY vv.vv - 2.0*dt.dot + cc.cc, dt.c) rn
+         |    FROM dt$r dt JOIN vvs vv ON dt.vec_id = vv.vec_id AND dt.s = vv.s
+         |      JOIN cc$r cc ON dt.s = cc.s AND dt.c = cc.c)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      s"""${assignBlock(r)},
+         |c${r + 1} AS MATERIALIZED (SELECT a.s, a.c, xx.i,
+         |    round(CAST(sum(CAST(xx.x AS DECIMAL(28,12))) AS DOUBLE)
+         |      /count(*)*1e12)/1e12 cd
+         |  FROM asg$r a JOIN xx ON a.vec_id = xx.vec_id AND a.s = xx.s
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xx AS MATERIALIZED (SELECT vec_id, i, CAST((i - 1) % $m AS INT) s,
+       |    CAST(embedding[i] AS DOUBLE) x
+       |  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+       |          embedding FROM embeddings)),
+       |vvs AS MATERIALIZED (SELECT vec_id, s,
+       |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) vv
+       |  FROM xx GROUP BY 1, 2),
+       |c0 AS MATERIALIZED (SELECT s, vec_id c, i, x cd FROM xx
+       |  WHERE vec_id < $k),
+       |$rounds,
+       |${assignBlock(iters)},
+       |ccf AS MATERIALIZED (SELECT s, c,
+       |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
+       |  FROM c$iters GROUP BY 1, 2),
+       |rnm AS MATERIALIZED (SELECT a.vec_id,
+       |    sqrt(CAST(sum(CAST(cc AS DECIMAL(28,16))) AS DOUBLE)) rnrm
+       |  FROM asg$iters a JOIN ccf ON a.s = ccf.s AND a.c = ccf.c GROUP BY 1),
+       |lut AS MATERIALIZED (SELECT p.vec_id probe_id, c.s, c.c,
+       |    CAST(sum(CAST(p.x*c.cd AS DECIMAL(28,16))) AS DOUBLE) part
+       |  FROM xx p JOIN c$iters c ON p.i = c.i WHERE p.vec_id < 10
+       |  GROUP BY 1, 2, 3),
+       |pns AS MATERIALIZED (SELECT vec_id probe_id,
+       |    sqrt(CAST(sum(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) pn
+       |  FROM xx WHERE vec_id < 10 GROUP BY 1),
+       |adc AS MATERIALIZED (SELECT l.probe_id, a.vec_id,
+       |    CAST(sum(CAST(part AS DECIMAL(28,16))) AS DOUBLE) adot
+       |  FROM asg$iters a JOIN lut l ON a.s = l.s AND a.c = l.c
+       |  WHERE a.vec_id <> l.probe_id GROUP BY 1, 2),
+       |approx AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+       |    SELECT adc.probe_id, adc.vec_id neighbor_id,
+       |      row_number() OVER (PARTITION BY adc.probe_id
+       |        ORDER BY round(adot/(pns.pn*rnm.rnrm)*1e12)/1e12 DESC, adc.vec_id) rnk
+       |    FROM adc JOIN rnm ON adc.vec_id = rnm.vec_id
+       |      JOIN pns ON adc.probe_id = pns.probe_id) WHERE rnk <= 5),
+       |d1 AS MATERIALIZED (SELECT p.vec_id probe_id, cnd.vec_id neighbor_id,
+       |    CAST(sum(CAST(p.x*cnd.x AS DECIMAL(18,16))) AS DOUBLE) dot
+       |  FROM xx p JOIN xx cnd ON p.i = cnd.i AND p.vec_id < 10
+       |    AND p.vec_id <> cnd.vec_id
+       |  GROUP BY 1, 2),
+       |n AS MATERIALIZED (SELECT vec_id,
+       |    sqrt(CAST(sum(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) nrm
+       |  FROM xx GROUP BY 1),
+       |truth AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+       |    FROM d1 JOIN n np ON probe_id = np.vec_id
+       |      JOIN n nc ON neighbor_id = nc.vec_id) WHERE rnk <= 5),
+       |hits AS (SELECT t.probe_id, count(*) n_hits FROM truth t JOIN approx a
+       |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY 1),
+       |tot AS (SELECT probe_id, count(*) n_true FROM truth GROUP BY 1)
+       |SELECT tot.probe_id, coalesce(n_hits, 0) n_hits, n_true,
+       |  round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 recall
+       |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin
   }
 
   /** q270 oracle: the q227 Newton rounds verbatim, then the reliability

@@ -201,6 +201,15 @@ object Drift {
       .withColumn("tr", (col("e") < col("split_e")).cast("long"))
       .groupBy(col("event_type"), col("value"))
       .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    cvmFromCounts(cnts)
+  }
+
+  /** The counts→CvM stage alone, over (event_type, value, ca, cb) rows —
+    * factored like [[ksFromCounts]] so a streaming monitor can feed it live
+    * per-value phase counts against a frozen split (CvmStreamSpec proves
+    * batch ≡ stream on the same rows across micro-batch slicings).
+    */
+  def cvmFromCounts(cnts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
     val whole = Window.partitionBy(col("event_type"))
     cnts
@@ -252,6 +261,14 @@ object Drift {
       .withColumn("tr", (col("e") < col("split_e")).cast("long"))
       .groupBy(col("event_type"), col("value"))
       .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    energyFromCounts(cnts)
+  }
+
+  /** The counts→energy-distance stage alone, over (event_type, value, ca,
+    * cb) rows — factored like [[ksFromCounts]]/[[cvmFromCounts]] for the
+    * streaming monitor (EnergyStreamSpec proves batch ≡ stream parity).
+    */
+  def energyFromCounts(cnts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val whole = Window.partitionBy(col("event_type"))

@@ -24,7 +24,7 @@ import graft.functions.DecimalDot
 object Similarity {
 
   /** embedding floats → doubles once, up front. */
-  private def asDoubles(emb: DataFrame): DataFrame =
+  private[ops] def asDoubles(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
 
@@ -386,6 +386,130 @@ object Similarity {
 
   def quantizedRecall(spark: SparkSession, sfDir: String): DataFrame =
     quantizedRecall(Tables.embeddings(spark, sfDir))
+
+  /** q377: product-quantization recall — the codebook rung between scalar
+    * int8 (q65) and matryoshka truncation (q136) on the compression ladder.
+    *
+    * PQ splits each vector into `m` interleaved subspaces (dim j → subspace
+    * j mod m), trains `kCodes` codewords per subspace with the same
+    * fixed-round Lloyd as q259 (seeds = the first kCodes vectors'
+    * sub-vectors, exact-decimal distances, 1e-12 centroid snaps, ties on
+    * codeword id — the determinism contract that makes the unrolled-SQL
+    * oracle replayable), encodes every vector as m small codes, and scores
+    * probes by ADC (asymmetric distance computation): the probe's exact
+    * sub-vectors dot the CANDIDATE'S CODEWORDS, so scoring a candidate
+    * reads m codes + a (nProbes × m × kCodes) lookup table instead of the
+    * raw floats. Output is recall@k of ADC-ranked cosine against the exact
+    * ground truth, per probe — the audit that says whether this codebook
+    * is usable.
+    *
+    * Scale: training shuffles are keyed by (subspace, codeword) — O(m·k)
+    * groups, never data-sized state; the LUT is broadcast (tiny); the scan
+    * side streams the code table once per probe batch. At 100 TB the code
+    * table is 32× smaller than the raw vectors — that compression IS the
+    * operator's point, and the plan never touches raw floats after
+    * encoding.
+    */
+  def pqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
+               nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val x = asDoubles(emb).select(col("vec_id"), col("v"))
+    val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+      .withColumn("s", pmod(col("i"), lit(m)))
+      .localCheckpoint()
+    val vvs = dims.groupBy(col("vec_id"), col("s"))
+      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
+        .cast("double").as("vv"))
+      .localCheckpoint()
+
+    def assign(cent: DataFrame): DataFrame = {
+      val cc = cent.groupBy(col("s"), col("c"))
+        .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
+          .cast("double").as("cc"))
+      val dot = dims.join(cent, Seq("s", "i"))
+        .groupBy(col("vec_id"), col("s"), col("c"))
+        .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
+          .cast("double").as("dot"))
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d2"), col("c"))
+      dot.join(vvs, Seq("vec_id", "s")).join(cc, Seq("s", "c"))
+        .withColumn("d2", col("vv") - lit(2.0) * col("dot") + col("cc"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("c"))
+    }
+
+    val seedIds = x.select(col("vec_id")).orderBy(col("vec_id")).limit(kCodes)
+    var cent = dims.join(broadcast(seedIds), "vec_id")
+      .select(col("s"), col("vec_id").as("c"), col("i"), col("xd").as("cd"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = assign(cent)
+      cent = asg.join(dims, Seq("vec_id", "s"))
+        .groupBy(col("s"), col("c"), col("i"))
+        .agg((round((sum(col("xd").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
+        .localCheckpoint()
+    }
+    val codes = assign(cent).localCheckpoint() // (vec_id, s, c)
+    val ccF = cent.groupBy(col("s"), col("c"))
+      .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
+        .cast("double").as("cc"))
+    // reconstructed-vector norm: subspaces are orthogonal coordinate blocks,
+    // so ‖recon‖² = Σ_s ‖codeword(s, code)‖²
+    val rnrm = codes.join(broadcast(ccF), Seq("s", "c"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(col("cc").cast("decimal(28,16)")).cast("double")).as("rnrm"))
+
+    val lut = dims.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("s"), col("i"), col("xd").as("pd"))
+      .join(cent, Seq("s", "i"))
+      .groupBy(col("probe_id"), col("s"), col("c"))
+      .agg(sum((col("pd") * col("cd")).cast("decimal(28,16)"))
+        .cast("double").as("part"))
+    val pn = x.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), normCol("v").as("pn"))
+
+    // ADC: one broadcast-LUT equi-join over the code table → m rows per
+    // (probe, candidate), summed. Linear in candidates, no raw floats.
+    val adc = codes.join(broadcast(lut), Seq("s", "c"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("part").cast("decimal(28,16)")).cast("double").as("adot"))
+    val wA = Window.partitionBy(col("probe_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val approx = adc.join(rnrm, "vec_id").join(broadcast(pn), "probe_id")
+      .withColumn("acos", round(col("adot") / (col("pn") * col("rnrm")) * lit(1e12)) / lit(1e12))
+      .withColumn("rnk", row_number().over(wA))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+
+    // exact ground truth — same plan shape as q25/q65
+    val all = x.withColumn("nrm", normCol("v"))
+    val probes = all.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val wT = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val truth = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .crossJoin(broadcast(probes))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", dotExpr("pv", "cv") / (col("pnrm") * col("cn")))
+      .withColumn("rnk", row_number().over(wT))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+
+    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") * 10000) / 10000)
+          .as("recall"))
+  }
+
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pqRecall(Tables.embeddings(spark, sfDir))
 
   /** q91: cluster-balance census for the IVF partition layout — per label:
     * vector count, corpus share, size rank, plus the partition-distribution
@@ -1002,7 +1126,23 @@ object Similarity {
     * table — both engines agree by construction.
     */
   def kmeansFixed(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
-    val x = asDoubles(emb).select(col("vec_id"), col("v"))
+    val (_, fin) = lloydState(asDoubles(emb).select(col("vec_id"), col("v")), k, iters)
+    fin
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((round(col("d2") * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("wss_raw"))
+      .select(col("c").as("cluster"), col("n_vecs"),
+        (round(col("wss_raw") * lit(1000000)) / lit(1000000.0)).as("wss"))
+  }
+
+  /** The Lloyd rounds behind [[kmeansFixed]], exposed for the persisted IVF
+    * index ([[IvfIndex]]): returns (final centroid table (c, i, cd), final
+    * assignments (vec_id, c, d2)). Identical state discipline — decimal
+    * dots, 1e-12 centroid snaps, id tie-breaks — so anything built on this
+    * replays deterministically.
+    */
+  private[ops] def lloydState(x: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
       .localCheckpoint()
     val vv = dims.groupBy(col("vec_id"))
@@ -1041,13 +1181,7 @@ object Similarity {
           / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
         .localCheckpoint()
     }
-    assign(cent)
-      .groupBy(col("c"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum((round(col("d2") * lit(1e12)) / lit(1e12))
-          .cast("decimal(28,12)")).cast("double").as("wss_raw"))
-      .select(col("c").as("cluster"), col("n_vecs"),
-        (round(col("wss_raw") * lit(1000000)) / lit(1000000.0)).as("wss"))
+    (cent, assign(cent))
   }
 
   def kmeansFixed(spark: SparkSession, sfDir: String): DataFrame =
