@@ -761,7 +761,17 @@ object SparkEntry {
     "q376_discount_monotonicity" -> ((s, d) =>
       Relational.discountMonotonicity(s, d).orderBy(col("disc_pct"))),
     "q377_pq_recall" -> ((s, d) =>
-      Similarity.pqRecall(s, d).orderBy(col("probe_id")))
+      Similarity.pqRecall(s, d).orderBy(col("probe_id"))),
+    "q378_kruskal_wallis" -> ((s, d) =>
+      StatTests.kruskalWallis(s, d).orderBy(col("event_type"))),
+    "q379_cliffs_delta" -> ((s, d) =>
+      StatTests.cliffsDelta(s, d).orderBy(col("event_type"))),
+    "q380_ndcg_quantized" -> ((s, d) =>
+      Similarity.ndcgQuantized(s, d).orderBy(col("probe_id"))),
+    "q381_period_fold" -> ((s, d) =>
+      TimeSeries.periodFold(s, d).orderBy(col("event_type"))),
+    "q382_pq_distortion" -> ((s, d) =>
+      Similarity.pqDistortion(s, d).orderBy(col("subspace"), col("codeword")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9044,7 +9054,160 @@ object SparkEntry {
         |  CASE WHEN prev_mq IS NOT NULL THEN mq < prev_mq END
         |    AS is_violation
         |FROM l ORDER BY 1""".stripMargin,
-    "q377_pq_recall" -> pqOracle(iters = 2, m = 4, k = 8)
+    "q377_pq_recall" -> pqOracle(iters = 2, m = 4, k = 8),
+    "q378_kruskal_wallis" ->
+      """WITH tv AS (SELECT value, event_type, CAST(count(*) AS BIGINT) c
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT value, CAST(sum(c) AS BIGINT) t FROM tv GROUP BY 1),
+        |r AS (SELECT value, t,
+        |    coalesce(sum(t) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb
+        |  FROM v),
+        |ar AS (SELECT value, CAST(cumb AS DOUBLE) + (t + 1)/2.0 avg_rank
+        |  FROM r),
+        |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) n,
+        |    CAST(sum(CAST(c * avg_rank AS DECIMAL(38,6))) AS DOUBLE) rsum
+        |  FROM tv JOIN ar USING (value) GROUP BY 1),
+        |ties AS (SELECT CAST(sum(t) AS BIGINT) big_n,
+        |    CAST(sum(CAST(t*t*t - t AS DECIMAL(38,0))) AS DOUBLE) tie_sum
+        |  FROM v),
+        |hh AS (SELECT max(big_n) big_n, max(tie_sum) tie_sum,
+        |    CAST(sum(CAST(round(rsum*rsum/n*1e6)/1e6 AS DECIMAL(38,6)))
+        |      AS DOUBLE) sum_term
+        |  FROM g CROSS JOIN ties),
+        |h2 AS (SELECT big_n,
+        |    12.0/(CAST(big_n AS DOUBLE)*(big_n + 1))*sum_term
+        |      - 3.0*CAST(big_n + 1 AS DOUBLE) h_raw,
+        |    1.0 - tie_sum/(CAST(big_n AS DOUBLE)*big_n*big_n - big_n) cf
+        |  FROM hh),
+        |k AS (SELECT count(*) k FROM g)
+        |SELECT g.event_type, g.n,
+        |  round(rsum*10000)/10000.0 AS rank_sum,
+        |  round(rsum/n*10000)/10000.0 AS mean_rank,
+        |  round(h_raw*1000000)/1000000.0 AS h,
+        |  round(h_raw/cf*1000000)/1000000.0 AS h_adj,
+        |  CAST(k.k - 1 AS INT) AS df
+        |FROM g CROSS JOIN h2 CROSS JOIN k ORDER BY 1""".stripMargin,
+    "q379_cliffs_delta" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |g AS (SELECT event_type, value,
+        |    ((e // 86400 + 4) % 7) IN (0, 6) we FROM ev),
+        |c AS (SELECT event_type, value,
+        |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT) ca,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) cb
+        |  FROM g GROUP BY 1, 2),
+        |r AS (SELECT event_type, value, ca, cb,
+        |    coalesce(sum(cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb_below,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cb_at,
+        |    sum(ca) OVER (PARTITION BY event_type) na,
+        |    sum(cb) OVER (PARTITION BY event_type) nb
+        |  FROM c),
+        |m AS (SELECT event_type, CAST(max(na) AS BIGINT) n_wd,
+        |    CAST(max(nb) AS BIGINT) n_we,
+        |    sum(CAST(ca*cb_below AS DECIMAL(38,0))) gt,
+        |    sum(CAST(ca*(nb - cb_at) AS DECIMAL(38,0))) lt
+        |  FROM r GROUP BY 1),
+        |d AS (SELECT event_type, n_wd, n_we,
+        |    CAST(gt - lt AS DOUBLE)/(CAST(n_wd AS DOUBLE)*n_we) delta
+        |  FROM m)
+        |SELECT event_type, n_wd, n_we,
+        |  round(delta*1000000)/1000000.0 AS delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM d ORDER BY 1""".stripMargin,
+    "q380_ndcg_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+        |    embedding FROM e),
+        |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |env AS (SELECT i, min(v) mn, max(v) mx FROM xx GROUP BY 1),
+        |rx AS (SELECT vec_id, xx.i,
+        |    CASE WHEN mx = mn THEN mn
+        |      ELSE mn + round((v - mn)/(mx - mn)*255)/255*(mx - mn) END rv
+        |  FROM xx JOIN env ON xx.i = env.i),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16)))
+        |    AS DOUBLE)) nrm FROM xx GROUP BY 1),
+        |nr AS (SELECT vec_id, sqrt(CAST(sum(CAST(rv*rv AS DECIMAL(18,16)))
+        |    AS DOUBLE)) nrm FROM rx GROUP BY 1),
+        |d1 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |    CAST(sum(CAST(p.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |  FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10
+        |    AND p.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT probe_id, neighbor_id, rnk,
+        |    CAST(11 - rnk AS DOUBLE) rel FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+        |    FROM d1 JOIN n np ON probe_id = np.vec_id
+        |      JOIN n nc ON neighbor_id = nc.vec_id) WHERE rnk <= 10),
+        |d2 AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |    CAST(sum(CAST(p.rv*c.rv AS DECIMAL(18,16))) AS DOUBLE) dot
+        |  FROM rx p JOIN rx c ON p.i = c.i AND p.vec_id < 10
+        |    AND p.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |approx AS (SELECT probe_id, neighbor_id, rnk pos FROM (
+        |    SELECT probe_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+        |    FROM d2 JOIN nr np ON probe_id = np.vec_id
+        |      JOIN nr nc ON neighbor_id = nc.vec_id) WHERE rnk <= 10),
+        |dcg AS (SELECT a.probe_id,
+        |    CAST(sum(CAST(round(coalesce(t.rel, 0.0)
+        |      /(ln(a.pos + 1.0)/ln(2.0))*1e12)/1e12 AS DECIMAL(28,12)))
+        |      AS DOUBLE) dcg,
+        |    CAST(sum(CASE WHEN t.rel IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) n_hits
+        |  FROM approx a LEFT JOIN truth t ON a.probe_id = t.probe_id
+        |    AND a.neighbor_id = t.neighbor_id
+        |  GROUP BY 1),
+        |idcg AS (SELECT probe_id,
+        |    CAST(sum(CAST(round(rel/(ln(rnk + 1.0)/ln(2.0))*1e12)/1e12
+        |      AS DECIMAL(28,12))) AS DOUBLE) idcg
+        |  FROM truth GROUP BY 1)
+        |SELECT dcg.probe_id, n_hits,
+        |  round(dcg*1000000)/1000000.0 AS dcg,
+        |  round(dcg/idcg*1000000)/1000000.0 AS ndcg
+        |FROM dcg JOIN idcg USING (probe_id) ORDER BY 1""".stripMargin,
+    "q381_period_fold" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |daily AS (SELECT event_type, e // 86400 dy,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (SELECT unnest(generate_series(2, 14)) p),
+        |perph AS (SELECT event_type, p.p, dy % p.p ph,
+        |    CAST(count(*) AS BIGINT) n_ph,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) s_ph
+        |  FROM daily CROSS JOIN p GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) s,
+        |    CAST(sum(CAST(round(x*x*1e12)/1e12 AS DECIMAL(38,12)))
+        |      AS DOUBLE) sxx
+        |  FROM daily GROUP BY 1),
+        |tot2 AS (SELECT *, round(s*s/n_days*1e12)/1e12 cm FROM tot),
+        |sc AS (SELECT event_type, p,
+        |    CAST(sum(CAST(round(s_ph*s_ph/n_ph*1e12)/1e12 AS DECIMAL(38,12)))
+        |      AS DOUBLE) sb
+        |  FROM perph GROUP BY 1, 2),
+        |sh AS (SELECT sc.event_type, sc.p, n_days,
+        |    CASE WHEN sxx - cm <= 0 THEN NULL
+        |      ELSE round((sb - cm)/(sxx - cm)*1000000)/1000000.0 END shr
+        |  FROM sc JOIN tot2 USING (event_type)),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY shr DESC NULLS LAST, p) rn FROM sh)
+        |SELECT event_type, CAST(max(n_days) AS BIGINT) n_days,
+        |  CAST(max(CASE WHEN rn = 1 THEN p END) AS INT) best_p,
+        |  max(CASE WHEN rn = 1 THEN shr END) best_share,
+        |  CAST(max(CASE WHEN rn = 2 THEN p END) AS INT) second_p,
+        |  max(CASE WHEN rn = 2 THEN shr END) second_share
+        |FROM rr WHERE rn <= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q382_pq_distortion" -> pqDistortionOracle(iters = 2, m = 4, k = 8)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -9138,7 +9301,11 @@ object SparkEntry {
     * [[graft.ops.Similarity.pqRecall]] state for state; multi-reference
     * CTEs MATERIALIZED per the §3 rule.
     */
-  private def pqOracle(iters: Int, m: Int, k: Int): String = {
+  /** The PQ training CTE prefix shared by the q377 and q382 oracles:
+    * subspace-keyed Lloyd rounds ending at `asg<iters>` (vec_id, s, c, d2)
+    * and the final codebook `c<iters>`.
+    */
+  private def pqTrainSql(iters: Int, m: Int, k: Int): String = {
     def assignBlock(r: Int): String =
       s"""cc$r AS MATERIALIZED (SELECT s, c,
          |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
@@ -9146,8 +9313,9 @@ object SparkEntry {
          |dt$r AS MATERIALIZED (SELECT xx.vec_id, c$r.s, c$r.c,
          |    CAST(sum(CAST(xx.x*c$r.cd AS DECIMAL(28,16))) AS DOUBLE) dot
          |  FROM xx JOIN c$r ON xx.i = c$r.i GROUP BY 1, 2, 3),
-         |asg$r AS MATERIALIZED (SELECT vec_id, s, c FROM (
+         |asg$r AS MATERIALIZED (SELECT vec_id, s, c, d2 FROM (
          |    SELECT dt.vec_id, dt.s, dt.c,
+         |      vv.vv - 2.0*dt.dot + cc.cc d2,
          |      row_number() OVER (PARTITION BY dt.vec_id, dt.s
          |        ORDER BY vv.vv - 2.0*dt.dot + cc.cc, dt.c) rn
          |    FROM dt$r dt JOIN vvs vv ON dt.vec_id = vv.vec_id AND dt.s = vv.s
@@ -9161,7 +9329,7 @@ object SparkEntry {
          |  FROM asg$r a JOIN xx ON a.vec_id = xx.vec_id AND a.s = xx.s
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    s"""WITH xx AS MATERIALIZED (SELECT vec_id, i, CAST((i - 1) % $m AS INT) s,
+    s"""xx AS MATERIALIZED (SELECT vec_id, i, CAST((i - 1) % $m AS INT) s,
        |    CAST(embedding[i] AS DOUBLE) x
        |  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
        |          embedding FROM embeddings)),
@@ -9171,7 +9339,28 @@ object SparkEntry {
        |c0 AS MATERIALIZED (SELECT s, vec_id c, i, x cd FROM xx
        |  WHERE vec_id < $k),
        |$rounds,
-       |${assignBlock(iters)},
+       |${assignBlock(iters)}""".stripMargin
+  }
+
+  /** q382 oracle: the distortion census over the shared PQ training state —
+    * the q259-WSS snap discipline on the per-subspace d².
+    */
+  private def pqDistortionOracle(iters: Int, m: Int, k: Int): String =
+    s"""WITH ${pqTrainSql(iters, m, k)},
+       |per AS (SELECT s, c, CAST(count(*) AS BIGINT) n_vecs,
+       |    CAST(sum(CAST(round(d2*1e12)/1e12 AS DECIMAL(28,12)))
+       |      AS DOUBLE) sse
+       |  FROM asg$iters GROUP BY 1, 2),
+       |tt AS (SELECT s, CAST(sum(CAST(sse AS DECIMAL(28,12))) AS DOUBLE)
+       |    sub_sse FROM per GROUP BY 1)
+       |SELECT per.s AS subspace, per.c AS codeword, n_vecs,
+       |  round(sse/n_vecs*1000000)/1000000.0 AS mse,
+       |  CASE WHEN sub_sse = 0 THEN 0.0
+       |    ELSE round(sse/sub_sse*1000000)/1000000.0 END AS sse_share
+       |FROM per JOIN tt ON per.s = tt.s ORDER BY 1, 2""".stripMargin
+
+  private def pqOracle(iters: Int, m: Int, k: Int): String = {
+    s"""WITH ${pqTrainSql(iters, m, k)},
        |ccf AS MATERIALIZED (SELECT s, c,
        |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
        |  FROM c$iters GROUP BY 1, 2),

@@ -410,8 +410,14 @@ object Similarity {
     * operator's point, and the plan never touches raw floats after
     * encoding.
     */
-  def pqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
-               nProbes: Int = 10, k: Int = 5): DataFrame = {
+  /** The PQ trainer behind [[pqRecall]] / [[pqDistortion]]: interleaved
+    * subspace split, per-subspace fixed-round Lloyd (q259's discipline),
+    * final encoding. Returns (subspace dims, codebook (s, c, i, cd),
+    * codes (vec_id, s, c, d2)) — d2 is the per-subspace quantization error
+    * the distortion census aggregates.
+    */
+  private[ops] def pqState(emb: DataFrame, m: Int, kCodes: Int,
+                           iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val x = asDoubles(emb).select(col("vec_id"), col("v"))
     val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
       .withColumn("s", pmod(col("i"), lit(m)))
@@ -435,7 +441,7 @@ object Similarity {
         .withColumn("d2", col("vv") - lit(2.0) * col("dot") + col("cc"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("vec_id"), col("s"), col("c"))
+        .select(col("vec_id"), col("s"), col("c"), col("d2"))
     }
 
     val seedIds = x.select(col("vec_id")).orderBy(col("vec_id")).limit(kCodes)
@@ -450,7 +456,13 @@ object Similarity {
           / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
         .localCheckpoint()
     }
-    val codes = assign(cent).localCheckpoint() // (vec_id, s, c)
+    (dims, cent, assign(cent).localCheckpoint())
+  }
+
+  def pqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
+               nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val x = asDoubles(emb).select(col("vec_id"), col("v"))
+    val (dims, cent, codes) = pqState(emb, m, kCodes, iters)
     val ccF = cent.groupBy(col("s"), col("c"))
       .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
         .cast("double").as("cc"))
@@ -510,6 +522,106 @@ object Similarity {
 
   def pqRecall(spark: SparkSession, sfDir: String): DataFrame =
     pqRecall(Tables.embeddings(spark, sfDir))
+
+  /** q382: PQ distortion census — per (subspace, codeword): member count and
+    * mean squared quantization error, plus each codeword's share of its
+    * subspace's total distortion. q377 says whether the codebook RANKS
+    * well; this says WHERE it hurts: a codeword with out-sized MSE is a
+    * region the codebook under-covers (split it), an empty-ish codeword is
+    * wasted bits (merge it) — the per-cell view behind the single recall
+    * number, same role q91's balance census plays for the IVF layout.
+    * Execution: the trainer's final assignment already carries per-subspace
+    * d²; this is ONE bounded aggregate over it (m·k output rows), d² terms
+    * snapped like q259's WSS.
+    */
+  def pqDistortion(emb: DataFrame, m: Int = 4, kCodes: Int = 8,
+                   iters: Int = 2): DataFrame = {
+    val (_, _, codes) = pqState(emb, m, kCodes, iters)
+    val per = codes.groupBy(col("s"), col("c"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((round(col("d2") * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("sse"))
+    val tot = per.groupBy(col("s"))
+      .agg(sum(col("sse").cast("decimal(28,12)")).cast("double").as("sub_sse"))
+    per.join(broadcast(tot), "s")
+      .select(col("s").as("subspace"), col("c").as("codeword"), col("n_vecs"),
+        (round(col("sse") / col("n_vecs") * lit(1e6)) / lit(1e6)).as("mse"),
+        when(col("sub_sse") === 0, lit(0.0))
+          .otherwise(round(col("sse") / col("sub_sse") * lit(1e6)) / lit(1e6))
+          .as("sse_share"))
+  }
+
+  def pqDistortion(spark: SparkSession, sfDir: String): DataFrame =
+    pqDistortion(Tables.embeddings(spark, sfDir))
+
+  /** q380: nDCG@10 of the int8-quantized ranking (q65's codec) against the
+    * exact-cosine ranking — the position-weighted audit recall@k cannot
+    * give: losing the #1 neighbor and losing the #10 are the same recall
+    * miss but very different retrieval quality. Graded relevance is the
+    * exact rank (rel = 11 − rank for the true top-10, 0 otherwise);
+    * DCG = Σ rel/log₂(pos+1) over the quantized order; IDCG is the perfect
+    * arrangement of those gains. Per-position terms are decimal-snapped so
+    * the sum is partition-order-free. Same brute-force-over-broadcast-probes
+    * shape as q25/q65 — the probe set is tiny, the corpus streams once per
+    * ranking.
+    */
+  def ndcgQuantized(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val e = asDoubles(emb).select(col("vec_id"), col("v"))
+    val env = asDoubles(emb)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val envArr = env.agg(
+      expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)").as("mns"),
+      expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("mxs"))
+    val rec = e.crossJoin(broadcast(envArr))
+      .withColumn("rv", expr(
+        """zip_with(v, zip_with(mns, mxs, (a, b) -> struct(a AS mn, b AS mx)),
+          |  (x, en) -> CASE WHEN en.mx = en.mn THEN en.mn
+          |    ELSE en.mn + round((x - en.mn)/(en.mx - en.mn)*255)/255*(en.mx - en.mn) END)"""
+          .stripMargin))
+      .select(col("vec_id"), col("rv").as("v"))
+
+    def ranked(vs: DataFrame): DataFrame = {
+      val all = vs.withColumn("nrm", normCol("v"))
+      val probes = all.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      val cand = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.crossJoin(broadcast(probes))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+    }
+
+    val s12 = (c: Column) => round(c * lit(1e12)) / lit(1e12)
+    val truth = ranked(e)
+      .withColumn("rel", (lit(k + 1) - col("rnk")).cast("double"))
+    val approx = ranked(rec).withColumnRenamed("rnk", "pos")
+    // log2(x) = ln(x)/ln(2): both engines hit the same IEEE ln path
+    val dcg = approx
+      .join(truth.select(col("probe_id"), col("neighbor_id"), col("rel")),
+        Seq("probe_id", "neighbor_id"), "left_outer")
+      .withColumn("g", s12(coalesce(col("rel"), lit(0.0))
+        / (log(col("pos").cast("double") + 1) / log(lit(2.0)))))
+      .groupBy(col("probe_id"))
+      .agg(sum(col("g").cast("decimal(28,12)")).cast("double").as("dcg"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    val idcg = truth
+      .withColumn("g", s12(col("rel")
+        / (log(col("rnk").cast("double") + 1) / log(lit(2.0)))))
+      .groupBy(col("probe_id"))
+      .agg(sum(col("g").cast("decimal(28,12)")).cast("double").as("idcg"))
+    dcg.join(idcg, "probe_id")
+      .select(col("probe_id"), col("n_hits"),
+        (round(col("dcg") * 1000000) / 1000000.0).as("dcg"),
+        (round(col("dcg") / col("idcg") * 1000000) / 1000000.0).as("ndcg"))
+  }
+
+  def ndcgQuantized(spark: SparkSession, sfDir: String): DataFrame =
+    ndcgQuantized(Tables.embeddings(spark, sfDir))
 
   /** q91: cluster-balance census for the IVF partition layout — per label:
     * vector count, corpus share, size rank, plus the partition-distribution

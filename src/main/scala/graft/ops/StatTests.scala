@@ -880,4 +880,113 @@ object StatTests {
 
   def cramersV(spark: SparkSession, sfDir: String): DataFrame =
     cramersV(Tables.lineitem(spark, sfDir))
+
+  /** q378: Kruskal–Wallis H across ALL event types on value — the K-group
+    * generalization of q130's two-group rank test, completing the
+    * nonparametric row of the inference triad (q208 ANOVA assumes
+    * normal-ish groups; KW sees any location shift). Ranks are tie-aware
+    * midranks from per-value counts; the GLOBAL rank pool's cumulative
+    * count runs through [[Prefix.over]]'s distributed prefix sum (an
+    * unpartitioned window here would serialize the whole distinct-value
+    * table through one task — the anti-pattern the repo retired). Rank
+    * sums are decimal-snapped; H gets the standard tie correction
+    * C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Output: one row per group (n, rank sum, mean rank) with the shared
+    * H / H_adj / df repeated — the per-group view says WHICH group sits
+    * high or low, which the scalar H alone cannot.
+    */
+  def kruskalWallis(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val byTv = ev.groupBy(col("value"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val byV = byTv.groupBy(col("value")).agg(sum(col("c")).as("t"))
+    val ranked = Prefix.over(byV, Seq(col("value")),
+      Seq(Prefix.Agg(col("t"), "cumb", "sum", inclusive = false)))
+      .withColumn("avgRank",
+        coalesce(col("cumb"), lit(0L)).cast("double")
+          + (col("t") + 1).cast("double") / 2)
+    val perGroup = byTv.join(ranked.select(col("value"), col("avgRank")), "value")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * col("avgRank")).cast("decimal(38,6)"))
+          .cast("double").as("rsum"))
+    val ties = byV.agg(
+      sum(col("t")).as("bigN"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+        .as("tieSum"))
+    val h = perGroup.crossJoin(broadcast(ties))
+      .withColumn("term",
+        round(col("rsum") * col("rsum") / col("n").cast("double") * lit(1e6))
+          / lit(1e6))
+      .agg(max(col("bigN")).as("bigN"), max(col("tieSum")).as("tieSum"),
+        sum(col("term").cast("decimal(38,6)")).cast("double").as("sumTerm"))
+      .withColumn("h_raw",
+        lit(12.0) / (col("bigN").cast("double") * (col("bigN") + 1))
+          * col("sumTerm") - lit(3.0) * (col("bigN") + 1).cast("double"))
+      .withColumn("cf",
+        lit(1.0) - col("tieSum").cast("double")
+          / (col("bigN").cast("double") * col("bigN") * col("bigN")
+            - col("bigN")))
+      .select(col("h_raw"), col("cf"))
+    val k = perGroup.agg(count(lit(1)).as("k"))
+    perGroup.crossJoin(broadcast(h)).crossJoin(broadcast(k))
+      .select(col("event_type"), col("n"),
+        (round(col("rsum") * 10000) / 10000.0).as("rank_sum"),
+        (round(col("rsum") / col("n") * 10000) / 10000.0).as("mean_rank"),
+        r6(col("h_raw")).as("h"),
+        r6(col("h_raw") / col("cf")).as("h_adj"),
+        (col("k") - 1).cast("int").as("df"))
+  }
+
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame =
+    kruskalWallis(Tables.events(spark, sfDir))
+
+  /** q379: Cliff's delta weekday-vs-weekend per series — the ordinal effect
+    * size behind q130's Mann–Whitney z: δ = (#(x>y) − #(x<y))/(n₁n₂) says
+    * HOW OFTEN a weekday reading beats a weekend one, sample-size-free
+    * (the z statistic grows with n even for trivial shifts — same reason
+    * q369 exists beside q207). Computed from the same per-value phase
+    * counts as q130: with CB<(v) the weekend count strictly below v and
+    * CB≤(v) at-or-below, #(x>y) = Σ ca(v)·CB<(v) and #(x<y) =
+    * Σ ca(v)·(n₂ − CB≤(v)) — one bounded per-series window pass, never a
+    * pair join. Magnitude classes at the conventional |δ| fences
+    * .147/.33/.474.
+    */
+  def cliffsDelta(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("we",
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).isin(0, 6))
+    val cnts = ev.groupBy(col("event_type"), col("value"))
+      .agg(
+        sum(when(!col("we"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("we"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val whole = Window.partitionBy(col("event_type"))
+    cnts
+      .withColumn("cbBelow",
+        coalesce(sum(col("cb")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cbAtOrBelow",
+        sum(col("cb")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("na", sum(col("ca")).over(whole))
+      .withColumn("nb", sum(col("cb")).over(whole))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_wd"), max(col("nb")).as("n_we"),
+        sum((col("ca") * col("cbBelow")).cast("decimal(38,0)")).as("gt"),
+        sum((col("ca") * (col("nb") - col("cbAtOrBelow")))
+          .cast("decimal(38,0)")).as("lt"))
+      .withColumn("delta",
+        (col("gt") - col("lt")).cast("double")
+          / (col("n_wd").cast("double") * col("n_we")))
+      .select(col("event_type"), col("n_wd"), col("n_we"),
+        r6(col("delta")).as("delta"),
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  def cliffsDelta(spark: SparkSession, sfDir: String): DataFrame =
+    cliffsDelta(Tables.events(spark, sfDir))
 }

@@ -759,6 +759,65 @@ object TimeSeries {
   def dominantPeriod(spark: SparkSession, sfDir: String): DataFrame =
     dominantPeriod(Tables.events(spark, sfDir))
 
+  /** q381: epoch-folding period scan per series — the periodicity hunter
+    * that complements q131's ACF view without trig (a trig periodogram's
+    * cos/sin differ across engines in the last ulp, so it cannot be
+    * oracle'd; folding is pure integer-bucket arithmetic, the classic
+    * variance-ratio technique from pulsar timing). For each candidate
+    * period p ∈ [2, maxPeriod]: fold days onto phase = day mod p and score
+    * the between-phase variance share R²(p) = SSB/SST — the fraction of
+    * daily variance a p-day cycle explains (p=7 recovers the weekly
+    * seasonality q174 assumes up front; the scan finds it instead of
+    * assuming it). Output: best and runner-up period per series with
+    * shares — a close runner-up at a multiple (7 vs 14) is the harmonic
+    * signature, a lone spike is a true cycle.
+    *
+    * Scale: the scan runs on the bounded per-day resample ([[cusumDaily]]),
+    * fans out ×(maxPeriod−1) — still bounded — and aggregates to
+    * series×period rows. Per-phase sums are exact decimals; SSB/SST use
+    * the S²/n identity with 1e-12 snaps so both engines agree bit-for-bit.
+    */
+  def periodFold(events: DataFrame, maxPeriod: Int = 14): DataFrame = {
+    def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
+    val daily = cusumDaily(events) // (event_type, day, x)
+    val periods = events.sparkSession.range(2, maxPeriod + 1)
+      .select(col("id").cast("int").as("p"))
+    val perPhase = daily.crossJoin(broadcast(periods))
+      .withColumn("ph", pmod(col("day"), col("p")))
+      .groupBy(col("event_type"), col("p"), col("ph"))
+      .agg(count(lit(1)).as("n_ph"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("s_ph"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("s"),
+        sum(s12(col("x") * col("x")).cast("decimal(38,12)"))
+          .cast("double").as("sxx"))
+      .withColumn("cm", s12(col("s") * col("s") / col("n_days")))
+      .withColumn("sst", col("sxx") - col("cm"))
+    val scored = perPhase
+      .withColumn("term", s12(col("s_ph") * col("s_ph") / col("n_ph")))
+      .groupBy(col("event_type"), col("p"))
+      .agg(sum(col("term").cast("decimal(38,12)")).cast("double").as("sb"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("share",
+        when(col("sst") <= 0, lit(null)) // constant series: no variance to explain
+          .otherwise(round((col("sb") - col("cm")) / col("sst") * lit(1e6))
+            / lit(1e6)))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("share").desc_nulls_last, col("p"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(when(col("rn") === 1, col("p"))).as("best_p"),
+        max(when(col("rn") === 1, col("share"))).as("best_share"),
+        max(when(col("rn") === 2, col("p"))).as("second_p"),
+        max(when(col("rn") === 2, col("share"))).as("second_share"))
+  }
+
+  def periodFold(spark: SparkSession, sfDir: String): DataFrame =
+    periodFold(Tables.events(spark, sfDir))
+
   /** q139: one-sided CUSUM drift detector per series — the SPC classic
     * that catches SUSTAINED small shifts q41's point z-scores and q111's
     * single split both miss. The textbook recursion

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.{Similarity, StatTests, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-8 widening operators on constructed
+  * fixtures with hand-computable answers (the DuckDB oracle already pins
+  * engine parity on the real tables; these pin the STATISTICS).
+  */
+class Round8WideningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, i: Int) =
+    new Timestamp((19700L + day) * 86400000L + i * 60000L)
+
+  test("kruskalWallis: separated groups score high, identical groups zero") {
+    // three groups occupying disjoint value bands → near-maximal H
+    val sep = (0 until 30).flatMap { i =>
+      Seq(("a", ts(i % 7, i), 0L, 1L, 10.0 + i % 5),
+        ("b", ts(i % 7, i), 0L, 1L, 20.0 + i % 5),
+        ("c", ts(i % 7, i), 0L, 1L, 30.0 + i % 5))
+    }.toDF("event_type", "ts", "event_id", "user_id", "value")
+    val hSep = StatTests.kruskalWallis(sep)
+    val rows = hSep.orderBy($"event_type")
+      .select($"event_type", $"mean_rank", $"h", $"h_adj", $"df")
+      .as[(String, Double, Double, Double, Int)].collect()
+    assert(rows.map(_._1).toSeq === Seq("a", "b", "c"))
+    // mean ranks must be ordered with the bands
+    assert(rows(0)._2 < rows(1)._2 && rows(1)._2 < rows(2)._2)
+    assert(rows(0)._5 === 2)
+    // χ²(df=2) 0.001 critical value is 13.8; perfect separation clears it
+    assert(rows(0)._3 > 13.8)
+    // ties exist (5 distinct values per band) so the correction raises H
+    assert(rows(0)._4 >= rows(0)._3)
+
+    // identical distributions → H ≈ 0
+    val same = (0 until 30).flatMap { i =>
+      Seq(("a", ts(i % 7, i), 0L, 1L, (i % 5).toDouble),
+        ("b", ts(i % 7, i), 0L, 1L, (i % 5).toDouble))
+    }.toDF("event_type", "ts", "event_id", "user_id", "value")
+    val h0 = StatTests.kruskalWallis(same)
+      .select($"h").as[Double].head()
+    assert(math.abs(h0) < 1e-9)
+  }
+
+  test("cliffsDelta: dominance hits ±1, identical phases 0") {
+    // weekday epoch-days: ((d + 4) % 7) not in {0,6}; day 19704 % cycle…
+    // use explicit days: 19700+1=Fri? anchor: pmod(day+4,7)∈{0,6} is weekend.
+    val wd = (0 until 7).filter(d => { val x = (19700 + d + 4) % 7; x != 0 && x != 6 })
+    val we = (0 until 7).filter(d => { val x = (19700 + d + 4) % 7; x == 0 || x == 6 })
+    assert(wd.nonEmpty && we.nonEmpty)
+    val rows =
+      // "up": every weekday value above every weekend value → δ = +1
+      wd.flatMap(d => (0 until 5).map(i => ("up", ts(d, i), 0L, 1L, 100.0 + i))) ++
+      we.flatMap(d => (0 until 5).map(i => ("up", ts(d, i), 0L, 1L, 1.0 + i))) ++
+      // "flat": same values both phases → δ = 0
+      wd.flatMap(d => (0 until 5).map(i => ("flat", ts(d, i), 0L, 1L, i.toDouble))) ++
+      we.flatMap(d => (0 until 5).map(i => ("flat", ts(d, i), 0L, 1L, i.toDouble)))
+    val got = StatTests.cliffsDelta(
+      rows.toDF("event_type", "ts", "event_id", "user_id", "value"))
+      .select($"event_type", $"delta", $"magnitude")
+      .as[(String, Double, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("up") === ((1.0, "large")))
+    assert(got("flat") === ((0.0, "negligible")))
+  }
+
+  test("periodFold finds an exact 7-day cycle with share 1") {
+    // 8 full weeks, one reading per day, value = pure function of day%7
+    val rows = (0 until 56).map { d =>
+      ("w", ts(d, 0), 0L, 1L, Seq(5.0, 1.0, 2.0, 8.0, 3.0, 9.0, 4.0)(d % 7))
+    }.toDF("event_type", "ts", "event_id", "user_id", "value")
+    val r = TimeSeries.periodFold(rows)
+      .select($"n_days", $"best_p", $"best_share", $"second_p", $"second_share")
+      .as[(Long, Int, Double, Int, Double)].head()
+    assert(r._1 === 56)
+    assert(r._2 === 7 && r._3 === 1.0)
+    // 14 explains the cycle too (harmonic) — ties broken to the smaller p
+    assert(r._4 === 14 && r._5 === 1.0)
+  }
+
+  test("pqDistortion: per-subspace SSE shares sum to 1, counts cover corpus") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val census = Similarity.pqDistortion(emb)
+      .select($"subspace", $"n_vecs", $"sse_share")
+      .as[(Int, Long, Double)].collect()
+    val bySub = census.groupBy(_._1)
+    assert(bySub.keySet === Set(0, 1, 2, 3))
+    bySub.foreach { case (s, rows) =>
+      assert(rows.map(_._2).sum === n, s"subspace $s counts")
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, s"subspace $s shares")
+    }
+  }
+
+  test("ndcgQuantized: ndcg in (0,1], perfect when quantization is lossless") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.ndcgQuantized(emb)
+      .select($"ndcg").as[Double].collect()
+    assert(got.length === 10)
+    assert(got.forall(v => v > 0.0 && v <= 1.0))
+  }
+}
