@@ -95,11 +95,24 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")))
     }
     stamp("embeddings", Tables.load(spark, src, "embeddings")) { (df, i) =>
+      // Decorrelate copies with a per-copy CYCLIC DIMENSION ROTATION:
+      // within a copy every pairwise distance/cosine is EXACTLY preserved
+      // (a rotation is an isometry), so each copy carries the source
+      // corpus's full near-dup/cluster structure — while cross-copy
+      // cosines collapse to noise (~N(0, 1/64)), far below any near-dup
+      // threshold. Additive noise can't do both: at ±0.02 copies sat at
+      // cos ≈ 0.99 (every vector gained K−1 near-twins and the rehearsal
+      // measured that artifact, not the operator), and even entry-scale
+      // noise leaves cos ≈ 0.7, still above srpLsh's 0.4 link fence.
+      // Shifts 7i mod 64 are distinct and nonzero for i = 1..9.
       val t =
         if (i == 0) df
-        else df.withColumn(
-          "embedding",
-          expr(s"transform(embedding, (x, j) -> cast(x + 0.02 * sin(vec_id * 13.7 + j * 0.61 + $i) as float))"))
+        else {
+          val sh = (7 * i) % 64
+          df.withColumn(
+            "embedding",
+            expr(s"concat(slice(embedding, ${sh + 1}, ${64 - sh}), slice(embedding, 1, $sh))"))
+        }
       t.withColumn("vec_id", col("vec_id") + lit(i * D))
     }
     spark.stop()

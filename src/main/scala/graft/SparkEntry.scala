@@ -7228,15 +7228,21 @@ object SparkEntry {
       """WITH ix AS (SELECT vec_id, label,
         |    unnest(generate_series(1, len(embedding))) i, embedding
         |  FROM embeddings),
-        |xx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v
+        |xx0 AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) v
         |  FROM ix),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) c
+        |  FROM embeddings GROUP BY 1),
+        |bl AS (SELECT label, (c + 255) // 256 nb FROM cnt),
+        |xx AS (SELECT xx0.vec_id, xx0.label, xx0.i, xx0.v,
+        |    xx0.vec_id % bl.nb sb
+        |  FROM xx0 JOIN bl USING (label)),
         |n2 AS (SELECT vec_id,
         |    CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE) nn
         |  FROM xx GROUP BY 1),
         |dt AS (SELECT a.label, a.vec_id src, b.vec_id dst,
         |    CAST(sum(CAST(a.v*b.v AS DECIMAL(18,16))) AS DOUBLE) dot
         |  FROM xx a JOIN xx b ON a.i = b.i AND a.label = b.label
-        |    AND a.vec_id <> b.vec_id
+        |    AND a.sb = b.sb AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2, 3),
         |d2 AS (SELECT label, src, dst,
         |    na.nn - 2.0*dot + nb.nn d2

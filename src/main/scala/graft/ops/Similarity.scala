@@ -1151,12 +1151,26 @@ object Similarity {
     * exact-duplicate pairs (r₁ = 0) are excluded and counted. ln ratios
     * are 1e-12-snapped before the decimal mean.
     */
-  def intrinsicDim(emb: DataFrame): DataFrame = {
+  def intrinsicDim(emb: DataFrame, maxBlock: Int = 256): DataFrame = {
     val all = asDoubles(emb)
-    val a = all.select(col("label"), col("vec_id").as("src"), col("v").as("av"))
-    val b = all.select(col("label"), col("vec_id").as("dst"), col("v").as("bv"))
+    // Sub-block within label, capped at ~maxBlock vectors per block. The
+    // label alone is a FIXED-cardinality blocking key, so label blocks grow
+    // linearly with the corpus and the pair join quadratically — measured
+    // at the sf1 rehearsal as a 70× wall-time step for 10× rows
+    // (BASELINE_sf1.md). The deterministic modulo split (vec_id mod
+    // ceil(n/maxBlock)) bounds every block, making the pair fan-out linear
+    // in rows; TwoNN on a within-block neighbor is the standard
+    // subsample-TwoNN estimator (each block IS a uniform subsample of its
+    // label). At sf ≤ 0.01 every label fits one block, so small-scale
+    // results are unchanged.
+    val nb = all.groupBy(col("label"))
+      .agg(expr(s"CAST((count(1) + ${maxBlock - 1}) DIV $maxBlock AS BIGINT)").as("nb"))
+    val blocked = all.join(broadcast(nb), "label")
+      .withColumn("sb", pmod(col("vec_id"), col("nb")))
+    val a = blocked.select(col("label"), col("sb"), col("vec_id").as("src"), col("v").as("av"))
+    val b = blocked.select(col("label"), col("sb"), col("vec_id").as("dst"), col("v").as("bv"))
     val w = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
-    val nn2 = a.join(b, Seq("label"))
+    val nn2 = a.join(b, Seq("label", "sb"))
       .where(col("src") =!= col("dst"))
       .withColumn("d2",
         dotExpr("av", "av") - lit(2.0) * dotExpr("av", "bv")
