@@ -771,7 +771,15 @@ object SparkEntry {
     "q381_period_fold" -> ((s, d) =>
       TimeSeries.periodFold(s, d).orderBy(col("event_type"))),
     "q382_pq_distortion" -> ((s, d) =>
-      Similarity.pqDistortion(s, d).orderBy(col("subspace"), col("codeword")))
+      Similarity.pqDistortion(s, d).orderBy(col("subspace"), col("codeword"))),
+    "q383_friedman" -> ((s, d) =>
+      StatTests.friedman(s, d).orderBy(col("event_type"))),
+    "q384_page_trend" -> ((s, d) =>
+      StatTests.pageTrend(s, d).orderBy(col("event_type"))),
+    "q385_dunn_posthoc" -> ((s, d) =>
+      StatTests.dunnPosthoc(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q386_rbo_quantized" -> ((s, d) =>
+      Similarity.rboQuantized(s, d).orderBy(col("probe_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9213,7 +9221,107 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rn = 2 THEN p END) AS INT) second_p,
         |  max(CASE WHEN rn = 2 THEN shr END) second_share
         |FROM rr WHERE rn <= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q382_pq_distortion" -> pqDistortionOracle(iters = 2, m = 4, k = 8)
+    "q382_pq_distortion" -> pqDistortionOracle(iters = 2, m = 4, k = 8),
+    "q383_friedman" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |daily AS (SELECT event_type, e // 86400 dy,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM ev GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) k
+        |  FROM daily),
+        |cmpl AS (SELECT d.*, count(*) OVER (PARTITION BY dy) nd
+        |  FROM daily d),
+        |cb AS (SELECT cmpl.*, k FROM cmpl CROSS JOIN kk WHERE nd = k),
+        |rk AS (SELECT event_type, dy, k,
+        |    rank() OVER (PARTITION BY dy ORDER BY x) min_rnk,
+        |    count(*) OVER (PARTITION BY dy, x) tie
+        |  FROM cb),
+        |mr AS (SELECT event_type, dy, k,
+        |    CAST(min_rnk AS DOUBLE) + (tie - 1)/2.0 midrank FROM rk),
+        |per AS (SELECT event_type, CAST(max(k) AS BIGINT) k,
+        |    CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(CAST(midrank AS DECIMAL(38,6))) AS DOUBLE) rj
+        |  FROM mr GROUP BY 1),
+        |qq AS (SELECT max(k) k, max(n_days) n,
+        |    CAST(sum(CAST(round(rj*rj*1e6)/1e6 AS DECIMAL(38,6)))
+        |      AS DOUBLE) srj2
+        |  FROM per),
+        |q2 AS (SELECT
+        |    12.0/(CAST(n AS DOUBLE)*k*(k+1))*srj2
+        |      - 3.0*CAST(n AS DOUBLE)*(k+1) q_raw,
+        |    CAST(k - 1 AS INT) df FROM qq)
+        |SELECT per.event_type, per.n_days,
+        |  round(rj*10000)/10000.0 AS rank_sum,
+        |  round(rj/n_days*10000)/10000.0 AS mean_rank,
+        |  round(q_raw*1000000)/1000000.0 AS q,
+        |  df
+        |FROM per CROSS JOIN q2 ORDER BY 1""".stripMargin,
+    "q384_page_trend" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |daily AS (SELECT event_type, e // 86400 dy,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM ev GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) k
+        |  FROM daily),
+        |cmpl AS (SELECT d.*, count(*) OVER (PARTITION BY dy) nd
+        |  FROM daily d),
+        |cb AS (SELECT cmpl.*, k FROM cmpl CROSS JOIN kk WHERE nd = k),
+        |rk AS (SELECT event_type, dy, k,
+        |    rank() OVER (PARTITION BY dy ORDER BY x) min_rnk,
+        |    count(*) OVER (PARTITION BY dy, x) tie
+        |  FROM cb),
+        |mr AS (SELECT event_type, dy, k,
+        |    CAST(min_rnk AS DOUBLE) + (tie - 1)/2.0 midrank FROM rk),
+        |per AS (SELECT event_type, CAST(max(k) AS BIGINT) k,
+        |    CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(CAST(midrank AS DECIMAL(38,6))) AS DOUBLE) rj
+        |  FROM mr GROUP BY 1),
+        |jper AS (SELECT *, CAST(row_number() OVER (ORDER BY event_type)
+        |    AS BIGINT) j FROM per),
+        |ll AS (SELECT max(k) k, max(n_days) n,
+        |    CAST(sum(CAST(round(j*rj*1e6)/1e6 AS DECIMAL(38,6)))
+        |      AS DOUBLE) lsum
+        |  FROM jper),
+        |lz AS (SELECT lsum,
+        |    CAST(n AS DOUBLE)*k*(k+1)*(k+1)/4 mu,
+        |    sqrt(CAST(n AS DOUBLE)*k*k*(k+1)*(k*k - 1)/144) sigma
+        |  FROM ll)
+        |SELECT event_type, CAST(j AS INT) AS position, n_days,
+        |  round(rj*10000)/10000.0 AS rank_sum,
+        |  round(lsum*10000)/10000.0 AS l,
+        |  round((lsum - mu)/sigma*1000000)/1000000.0 AS z
+        |FROM jper CROSS JOIN lz ORDER BY 1""".stripMargin,
+    "q385_dunn_posthoc" ->
+      """WITH tv AS (SELECT value, event_type, CAST(count(*) AS BIGINT) c
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT value, CAST(sum(c) AS BIGINT) t FROM tv GROUP BY 1),
+        |r AS (SELECT value, t,
+        |    coalesce(sum(t) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb
+        |  FROM v),
+        |ar AS (SELECT value, CAST(cumb AS DOUBLE) + (t + 1)/2.0 avg_rank
+        |  FROM r),
+        |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) n,
+        |    CAST(sum(CAST(c * avg_rank AS DECIMAL(38,6))) AS DOUBLE) rsum
+        |  FROM tv JOIN ar USING (value) GROUP BY 1),
+        |ties AS (SELECT CAST(sum(t) AS BIGINT) big_n,
+        |    CAST(sum(CAST(t*t*t - t AS DECIMAL(38,0))) AS DOUBLE) tie_sum
+        |  FROM v),
+        |p AS (SELECT a.event_type type_a, b.event_type type_b,
+        |    a.n na, b.n nb, a.rsum/a.n ma, b.rsum/b.n mb
+        |  FROM g a JOIN g b ON a.event_type < b.event_type),
+        |s AS (SELECT p.*, (CAST(big_n AS DOUBLE)*(big_n + 1)/12
+        |    - tie_sum/(12.0*CAST(big_n - 1 AS DOUBLE)))
+        |    *(1.0/na + 1.0/nb) s2
+        |  FROM p CROSS JOIN ties)
+        |SELECT type_a, type_b, na, nb,
+        |  round((ma - mb)*10000)/10000.0 AS mean_rank_diff,
+        |  round((ma - mb)/sqrt(s2)*1000000)/1000000.0 AS z,
+        |  abs((ma - mb)/sqrt(s2)) > 2.807 AS significant
+        |FROM s ORDER BY 1, 2""".stripMargin,
+    "q386_rbo_quantized" -> rboOracle(d = 10, p = 0.9)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -9364,6 +9472,66 @@ object SparkEntry {
        |  CASE WHEN sub_sse = 0 THEN 0.0
        |    ELSE round(sse/sub_sse*1000000)/1000000.0 END AS sse_share
        |FROM per JOIN tt ON per.s = tt.s ORDER BY 1, 2""".stripMargin
+
+  /** q386 oracle: the q380 ranking prefix (exact + int8-quantized cosine
+    * top-d with ranks), then RBO from the tail-weight identity. The weight
+    * table is interpolated from [[graft.ops.Similarity.rboWeights]] via
+    * Double.toString, so both engines consume literally identical doubles
+    * and no pow() ever evaluates in-engine.
+    */
+  private def rboOracle(d: Int, p: Double): String = {
+    val w = graft.ops.Similarity.rboWeights(p, d)
+      .map { case (m, v) => s"($m, ${java.lang.Double.toString(v)})" }
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+       |    embedding FROM e),
+       |xx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v FROM ix),
+       |env AS (SELECT i, min(v) mn, max(v) mx FROM xx GROUP BY 1),
+       |rx AS (SELECT vec_id, xx.i,
+       |    CASE WHEN mx = mn THEN mn
+       |      ELSE mn + round((v - mn)/(mx - mn)*255)/255*(mx - mn) END rv
+       |  FROM xx JOIN env ON xx.i = env.i),
+       |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16)))
+       |    AS DOUBLE)) nrm FROM xx GROUP BY 1),
+       |nr AS (SELECT vec_id, sqrt(CAST(sum(CAST(rv*rv AS DECIMAL(18,16)))
+       |    AS DOUBLE)) nrm FROM rx GROUP BY 1),
+       |d1 AS (SELECT px.vec_id probe_id, c.vec_id neighbor_id,
+       |    CAST(sum(CAST(px.v*c.v AS DECIMAL(18,16))) AS DOUBLE) dot
+       |  FROM xx px JOIN xx c ON px.i = c.i AND px.vec_id < 10
+       |    AND px.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT probe_id, neighbor_id, rnk FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+       |    FROM d1 JOIN n np ON probe_id = np.vec_id
+       |      JOIN n nc ON neighbor_id = nc.vec_id) WHERE rnk <= $d),
+       |d2 AS (SELECT px.vec_id probe_id, c.vec_id neighbor_id,
+       |    CAST(sum(CAST(px.rv*c.rv AS DECIMAL(18,16))) AS DOUBLE) dot
+       |  FROM rx px JOIN rx c ON px.i = c.i AND px.vec_id < 10
+       |    AND px.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |approx AS (SELECT probe_id, neighbor_id, rnk rnk_b FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+       |    FROM d2 JOIN nr np ON probe_id = np.vec_id
+       |      JOIN nr nc ON neighbor_id = nc.vec_id) WHERE rnk <= $d),
+       |wt(m, w) AS (VALUES $w),
+       |common AS (SELECT t.probe_id, greatest(t.rnk, a.rnk_b) m
+       |  FROM truth t JOIN approx a ON t.probe_id = a.probe_id
+       |    AND t.neighbor_id = a.neighbor_id),
+       |agg AS (SELECT probe_id, CAST(count(*) AS BIGINT) n_common,
+       |    CAST(sum(CAST(round(w*1e12)/1e12 AS DECIMAL(28,12)))
+       |      AS DOUBLE) sw
+       |  FROM common JOIN wt USING (m) GROUP BY 1),
+       |spine AS (SELECT DISTINCT probe_id FROM truth)
+       |SELECT spine.probe_id,
+       |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       |  round((1.0 - $p)*coalesce(sw, 0.0)*1000000)/1000000.0 AS rbo
+       |FROM spine LEFT JOIN agg USING (probe_id) ORDER BY 1""".stripMargin
+  }
 
   private def pqOracle(iters: Int, m: Int, k: Int): String = {
     s"""WITH ${pqTrainSql(iters, m, k)},

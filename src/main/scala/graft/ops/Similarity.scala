@@ -565,7 +565,10 @@ object Similarity {
     * shape as q25/q65 — the probe set is tiny, the corpus streams once per
     * ranking.
     */
-  def ndcgQuantized(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+  /** Per-dim-envelope int8 reconstruction (q65's codec) — shared by the
+    * quantized-ranking audits (q65 recall, q380 nDCG, q386 RBO).
+    */
+  private def int8Recon(emb: DataFrame): DataFrame = {
     val e = asDoubles(emb).select(col("vec_id"), col("v"))
     val env = asDoubles(emb)
       .select(posexplode(col("v")).as(Seq("i", "x")))
@@ -573,33 +576,40 @@ object Similarity {
     val envArr = env.agg(
       expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)").as("mns"),
       expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("mxs"))
-    val rec = e.crossJoin(broadcast(envArr))
+    e.crossJoin(broadcast(envArr))
       .withColumn("rv", expr(
         """zip_with(v, zip_with(mns, mxs, (a, b) -> struct(a AS mn, b AS mx)),
           |  (x, en) -> CASE WHEN en.mx = en.mn THEN en.mn
           |    ELSE en.mn + round((x - en.mn)/(en.mx - en.mn)*255)/255*(en.mx - en.mn) END)"""
           .stripMargin))
       .select(col("vec_id"), col("rv").as("v"))
+  }
 
-    def ranked(vs: DataFrame): DataFrame = {
-      val all = vs.withColumn("nrm", normCol("v"))
-      val probes = all.where(col("vec_id") < nProbes)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      val cand = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      cand.crossJoin(broadcast(probes))
-        .where(col("neighbor_id") =!= col("probe_id"))
-        .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= k)
-        .select(col("probe_id"), col("neighbor_id"), col("rnk"))
-    }
+  /** Exact-decimal cosine top-k per probe WITH rank — the q25 plan shape,
+    * rank kept for the position-sensitive audits.
+    */
+  private def cosTopKRanked(vs: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val all = vs.withColumn("nrm", normCol("v"))
+    val probes = all.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val cand = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.crossJoin(broadcast(probes))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+  }
 
+  def ndcgQuantized(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val e = asDoubles(emb).select(col("vec_id"), col("v"))
     val s12 = (c: Column) => round(c * lit(1e12)) / lit(1e12)
-    val truth = ranked(e)
+    val truth = cosTopKRanked(e, nProbes, k)
       .withColumn("rel", (lit(k + 1) - col("rnk")).cast("double"))
-    val approx = ranked(rec).withColumnRenamed("rnk", "pos")
+    val approx = cosTopKRanked(int8Recon(emb), nProbes, k)
+      .withColumnRenamed("rnk", "pos")
     // log2(x) = ln(x)/ln(2): both engines hit the same IEEE ln path
     val dcg = approx
       .join(truth.select(col("probe_id"), col("neighbor_id"), col("rel")),
@@ -622,6 +632,57 @@ object Similarity {
 
   def ndcgQuantized(spark: SparkSession, sfDir: String): DataFrame =
     ndcgQuantized(Tables.embeddings(spark, sfDir))
+
+  /** q386's tail weights wTail(m) = Σ_{k=m..d} p^{k−1}/k, computed ONCE in
+    * Scala and consumed as identical double literals by BOTH engines (the
+    * Spark plan broadcasts them; SparkEntry interpolates
+    * `java.lang.Double.toString` of the same array into the oracle SQL) —
+    * the p^k power never evaluates inside either engine, so libm pow ulp
+    * drift can't split the hash.
+    */
+  def rboWeights(p: Double, d: Int): Seq[(Int, Double)] =
+    (1 to d).map { m =>
+      m -> (m to d).map(k => math.pow(p, k - 1) / k).sum
+    }
+
+  /** q386: rank-biased overlap (Webber et al.) between the int8-quantized
+    * and exact cosine rankings, truncated at depth d=10 with persistence
+    * p=0.9 — the top-weighted ranking-agreement number beside q380's
+    * relevance-weighted nDCG: RBO compares the ORDERINGS directly (no
+    * relevance model), geometrically discounting depth, so churn at rank 1
+    * costs ~10× churn at rank 10. Computed without materializing prefixes:
+    * a document in both top-d lists joins the overlap at every depth
+    * k ≥ max(rank_a, rank_b), so its total contribution is the
+    * precomputed tail weight wTail(max) and RBO = (1−p)·Σ wTail(max) over
+    * common documents — one equi-join on (probe, doc) plus a broadcast
+    * d-row weight table.
+    */
+  def rboQuantized(emb: DataFrame, nProbes: Int = 10, d: Int = 10,
+                   p: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = asDoubles(emb).select(col("vec_id"), col("v"))
+    val truth = cosTopKRanked(e, nProbes, d)
+    val approx = cosTopKRanked(int8Recon(emb), nProbes, d)
+      .withColumnRenamed("rnk", "rnk_b")
+    val wts = broadcast(rboWeights(p, d).toDF("m", "w"))
+    val agg = truth.join(approx, Seq("probe_id", "neighbor_id"))
+      .withColumn("m", greatest(col("rnk"), col("rnk_b")))
+      .join(wts, "m")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum((round(col("w") * lit(1e12)) / lit(1e12)).cast("decimal(28,12)"))
+          .cast("double").as("sw"))
+    truth.select(col("probe_id")).distinct()
+      .join(agg, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (round((lit(1.0) - lit(p)) * coalesce(col("sw"), lit(0.0)) * 1000000)
+          / 1000000.0).as("rbo"))
+  }
+
+  def rboQuantized(spark: SparkSession, sfDir: String): DataFrame =
+    rboQuantized(Tables.embeddings(spark, sfDir))
 
   /** q91: cluster-balance census for the IVF partition layout — per label:
     * vector count, corpus share, size rank, plus the partition-distribution

@@ -989,4 +989,151 @@ object StatTests {
 
   def cliffsDelta(spark: SparkSession, sfDir: String): DataFrame =
     cliffsDelta(Tables.events(spark, sfDir))
+
+  /** Per-day treatment midranks over COMPLETE blocks — the shared stage of
+    * the Friedman (q383) and Page (q384) tests: daily means per
+    * (event_type, day), days missing any treatment dropped (both tests
+    * require complete blocks), within-day midranks (min-rank + (t−1)/2 over
+    * the tie group) so exact ties stay deterministic. Bounded: the grid is
+    * days × types.
+    */
+  private def dailyMidranks(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
+      .withColumn("day", floor(col("e") / 86400L))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("x"))
+    val k = daily.agg(countDistinct(col("event_type")).as("k"))
+    val complete = daily
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("day"))))
+      .crossJoin(broadcast(k))
+      .where(col("nd") === col("k"))
+    complete
+      .withColumn("minRnk",
+        rank().over(Window.partitionBy(col("day")).orderBy(col("x"))))
+      .withColumn("tie",
+        count(lit(1)).over(Window.partitionBy(col("day"), col("x"))))
+      .withColumn("midrank",
+        col("minRnk").cast("double") + (col("tie") - 1).cast("double") / 2)
+      .select(col("event_type"), col("day"), col("midrank"), col("k"))
+  }
+
+  /** q383: Friedman test across event types on per-day daily means — the
+    * repeated-measures rank test: each DAY is a block, so day-level level
+    * shifts (weekends, global traffic swings) cancel out and only the
+    * BETWEEN-TYPE ordering within each day is scored; q378's
+    * Kruskal–Wallis pools all readings and would confound those. Classic
+    * Q = 12/(nk(k+1))·ΣR²ⱼ − 3n(k+1) on midranks (ties broken by
+    * averaging, the standard practical treatment). Per-type rank sums +
+    * shared Q/df.
+    */
+  def friedman(events: DataFrame): DataFrame = {
+    val ranks = dailyMidranks(events)
+    val per = ranks.groupBy(col("event_type"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n_days"),
+        sum(col("midrank").cast("decimal(38,6)")).cast("double").as("rj"))
+    val q = per
+      .withColumn("term", round(col("rj") * col("rj") * lit(1e6)) / lit(1e6))
+      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+        sum(col("term").cast("decimal(38,6)")).cast("double").as("srj2"))
+      .withColumn("q_raw",
+        lit(12.0) / (col("n").cast("double") * col("k")
+          * (col("k") + 1)) * col("srj2")
+          - lit(3.0) * col("n").cast("double") * (col("k") + 1))
+      .select(col("q_raw"), (col("k") - 1).cast("int").as("df"))
+    per.crossJoin(broadcast(q))
+      .select(col("event_type"), col("n_days"),
+        (round(col("rj") * 10000) / 10000.0).as("rank_sum"),
+        (round(col("rj") / col("n_days") * 10000) / 10000.0).as("mean_rank"),
+        r6(col("q_raw")).as("q"), col("df"))
+  }
+
+  def friedman(spark: SparkSession, sfDir: String): DataFrame =
+    friedman(Tables.events(spark, sfDir))
+
+  /** q384: Page's L trend test — the ORDERED-alternative sibling of q383:
+    * Friedman asks "do the treatments differ at all", Page asks "do they
+    * trend MONOTONICALLY along a declared order" and buys power when they
+    * do. The declared order here is alphabetical event_type (a fixed,
+    * reproducible convention — callers with a domain ordering relabel).
+    * L = Σⱼ j·Rⱼ; z = (L − μ)/σ with μ = nk(k+1)²/4 and
+    * σ² = nk²(k+1)(k²−1)/144. Per-type (position, rank sum) + shared L/z.
+    */
+  def pageTrend(events: DataFrame): DataFrame = {
+    val ranks = dailyMidranks(events)
+    val per = ranks.groupBy(col("event_type"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n_days"),
+        sum(col("midrank").cast("decimal(38,6)")).cast("double").as("rj"))
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("event_type"))).cast("long"))
+    val l = per
+      .withColumn("term", round(col("j") * col("rj") * lit(1e6)) / lit(1e6))
+      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+        sum(col("term").cast("decimal(38,6)")).cast("double").as("lsum"))
+      .withColumn("kk", col("k").cast("double"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("mu", col("nn") * col("kk") * (col("kk") + 1)
+        * (col("kk") + 1) / 4)
+      .withColumn("sigma", sqrt(col("nn") * col("kk") * col("kk")
+        * (col("kk") + 1) * (col("kk") * col("kk") - 1) / 144))
+      .select(col("lsum"), col("mu"), col("sigma"))
+    per.crossJoin(broadcast(l))
+      .select(col("event_type"), col("j").cast("int").as("position"),
+        col("n_days"),
+        (round(col("rj") * 10000) / 10000.0).as("rank_sum"),
+        (round(col("lsum") * 10000) / 10000.0).as("l"),
+        r6((col("lsum") - col("mu")) / col("sigma")).as("z"))
+  }
+
+  def pageTrend(spark: SparkSession, sfDir: String): DataFrame =
+    pageTrend(Tables.events(spark, sfDir))
+
+  /** q385: Dunn's post-hoc pairwise comparisons on q378's global rank
+    * pool — the follow-up that says WHICH groups differ once
+    * Kruskal–Wallis rejects: zₐᵦ = (m̄ₐ − m̄ᵦ)/√[(N(N+1)/12 −
+    * Σ(t³−t)/(12(N−1)))·(1/nₐ + 1/nᵦ)], tie-corrected, flagged at the
+    * Bonferroni fence for k(k−1)/2 two-sided comparisons at α=0.05
+    * (z₀.₀₅/₂₀ = 2.807 for k=5). The rank pool reuses the KW machinery
+    * (Prefix.over distributed prefix sum); the pair join runs on the
+    * k-row per-group table.
+    */
+  def dunnPosthoc(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val byTv = ev.groupBy(col("value"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val byV = byTv.groupBy(col("value")).agg(sum(col("c")).as("t"))
+    val ranked = Prefix.over(byV, Seq(col("value")),
+      Seq(Prefix.Agg(col("t"), "cumb", "sum", inclusive = false)))
+      .withColumn("avgRank",
+        coalesce(col("cumb"), lit(0L)).cast("double")
+          + (col("t") + 1).cast("double") / 2)
+    val perGroup = byTv.join(ranked.select(col("value"), col("avgRank")), "value")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * col("avgRank")).cast("decimal(38,6)"))
+          .cast("double").as("rsum"))
+    val ties = byV.agg(
+      sum(col("t")).as("bigN"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+        .cast("double").as("tieSum"))
+    val a = perGroup.select(col("event_type").as("type_a"),
+      col("n").as("na"), (col("rsum") / col("n")).as("ma"))
+    val b = perGroup.select(col("event_type").as("type_b"),
+      col("n").as("nb"), (col("rsum") / col("n")).as("mb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(ties))
+      .withColumn("s2",
+        (col("bigN").cast("double") * (col("bigN") + 1) / 12
+          - col("tieSum") / (lit(12.0) * (col("bigN") - 1).cast("double")))
+          * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      .withColumn("z", (col("ma") - col("mb")) / sqrt(col("s2")))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        (round((col("ma") - col("mb")) * 10000) / 10000.0).as("mean_rank_diff"),
+        (round(col("z") * 1000000) / 1000000.0).as("z"),
+        (abs(col("z")) > 2.807).as("significant"))
+  }
+
+  def dunnPosthoc(spark: SparkSession, sfDir: String): DataFrame =
+    dunnPosthoc(Tables.events(spark, sfDir))
 }

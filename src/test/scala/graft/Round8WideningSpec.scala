@@ -100,4 +100,67 @@ class Round8WideningSpec extends SparkSpec {
     assert(got.length === 10)
     assert(got.forall(v => v > 0.0 && v <= 1.0))
   }
+
+  test("friedman + pageTrend: a perfectly consistent daily ordering") {
+    // types a < b < c on EVERY day (alphabetical order = trend order, so
+    // Page's declared ordering is the true one); day-level shifts vary
+    val rows = (0 until 12).flatMap { d =>
+      Seq(("a", ts(d, 0), 0L, 1L, 10.0 + d),
+        ("b", ts(d, 0), 0L, 1L, 20.0 + d),
+        ("c", ts(d, 0), 0L, 1L, 30.0 + d))
+    }.toDF("event_type", "ts", "event_id", "user_id", "value")
+    val fr = StatTests.friedman(rows)
+      .orderBy($"event_type")
+      .select($"n_days", $"mean_rank", $"q", $"df")
+      .as[(Long, Double, Double, Int)].collect()
+    assert(fr.map(_._1).toSeq === Seq(12L, 12L, 12L))
+    assert(fr.map(_._2).toSeq === Seq(1.0, 2.0, 3.0))
+    // perfect consistency: Q = n(k-1)... here 12·2 = 24, df 2
+    assert(fr(0)._3 === 24.0 && fr(0)._4 === 2)
+
+    val pg = StatTests.pageTrend(rows)
+      .orderBy($"position")
+      .select($"event_type", $"position", $"l", $"z")
+      .as[(String, Int, Double, Double)].collect()
+    assert(pg.map(r => (r._1, r._2)).toSeq === Seq(("a", 1), ("b", 2), ("c", 3)))
+    // perfect ascending trend: L = n·(1·1 + 2·2 + 3·3) = 12·14 = 168 and
+    // z hits the distribution's maximum (L = μ + σ·z with every block agreeing)
+    assert(pg(0)._3 === 168.0)
+    assert(pg(0)._4 > 4.0)
+  }
+
+  test("dunnPosthoc: separated bands are pairwise significant and signed") {
+    val sep = (0 until 40).flatMap { i =>
+      Seq(("a", ts(i % 7, i), 0L, 1L, 10.0 + i % 5),
+        ("b", ts(i % 7, i), 0L, 1L, 20.0 + i % 5),
+        ("c", ts(i % 7, i), 0L, 1L, 30.0 + i % 5))
+    }.toDF("event_type", "ts", "event_id", "user_id", "value")
+    val got = StatTests.dunnPosthoc(sep)
+      .orderBy($"type_a", $"type_b")
+      .select($"type_a", $"type_b", $"z", $"significant")
+      .as[(String, String, Double, Boolean)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got.forall(_._4))
+    assert(got.forall(_._3 < 0)) // lower band has the lower mean rank
+    // a-vs-c spans two bands: the most extreme z
+    assert(got(1)._3 < got(0)._3 && got(1)._3 < got(2)._3)
+  }
+
+  test("rboWeights identity and rboQuantized bounds") {
+    // identical rankings ⇒ every rank-m doc contributes wTail(m), and
+    // (1−p)·Σ_m wTail(m) = 1 − p^d (the truncated-RBO maximum)
+    val w = Similarity.rboWeights(0.9, 10)
+    assert(w.map(_._1) === (1 to 10))
+    val maxRbo = 0.1 * 0 + (1.0 - 0.9) * w.map(_._2).sum
+    assert(math.abs(maxRbo - (1.0 - math.pow(0.9, 10))) < 1e-12)
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.rboQuantized(emb)
+      .select($"rbo").as[Double].collect()
+    assert(got.length === 10)
+    // the emitted rbo is rounded to 1e-6, which can sit up to 5e-7 above
+    // the analytic truncated maximum
+    assert(got.forall(v => v >= 0.0 && v <= maxRbo + 5e-7))
+  }
 }
