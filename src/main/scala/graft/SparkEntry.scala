@@ -779,7 +779,9 @@ object SparkEntry {
     "q385_dunn_posthoc" -> ((s, d) =>
       StatTests.dunnPosthoc(s, d).orderBy(col("type_a"), col("type_b"))),
     "q386_rbo_quantized" -> ((s, d) =>
-      Similarity.rboQuantized(s, d).orderBy(col("probe_id")))
+      Similarity.rboQuantized(s, d).orderBy(col("probe_id"))),
+    "q387_jonckheere" -> ((s, d) =>
+      StatTests.jonckheere(s, d).orderBy(col("type_a"), col("type_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9125,11 +9127,14 @@ object SparkEntry {
         |    sum(CAST(ca*(nb - cb_at) AS DECIMAL(38,0))) lt
         |  FROM r GROUP BY 1),
         |d AS (SELECT event_type, n_wd, n_we,
-        |    CAST(gt - lt AS DOUBLE)/(CAST(n_wd AS DOUBLE)*n_we) delta
+        |    CASE WHEN n_wd = 0 OR n_we = 0 THEN NULL
+        |      ELSE CAST(gt - lt AS DOUBLE)/(CAST(n_wd AS DOUBLE)*n_we)
+        |    END delta
         |  FROM m)
         |SELECT event_type, n_wd, n_we,
         |  round(delta*1000000)/1000000.0 AS delta,
-        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |  CASE WHEN delta IS NULL THEN NULL
+        |       WHEN abs(delta) < 0.147 THEN 'negligible'
         |       WHEN abs(delta) < 0.33 THEN 'small'
         |       WHEN abs(delta) < 0.474 THEN 'medium'
         |       ELSE 'large' END AS magnitude
@@ -9321,7 +9326,45 @@ object SparkEntry {
         |  round((ma - mb)/sqrt(s2)*1000000)/1000000.0 AS z,
         |  abs((ma - mb)/sqrt(s2)) > 2.807 AS significant
         |FROM s ORDER BY 1, 2""".stripMargin,
-    "q386_rbo_quantized" -> rboOracle(d = 10, p = 0.9)
+    "q386_rbo_quantized" -> rboOracle(d = 10, p = 0.9),
+    "q387_jonckheere" ->
+      """WITH cnts AS (SELECT event_type, value, CAST(count(*) AS BIGINT) c
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT value FROM cnts),
+        |types AS (SELECT DISTINCT event_type FROM cnts),
+        |grid AS (SELECT t.event_type, s.value, coalesce(c.c, 0) c0
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN cnts c ON c.event_type = t.event_type
+        |    AND c.value = s.value),
+        |f AS (SELECT event_type type_a, value,
+        |    CAST(coalesce(sum(c0) OVER (PARTITION BY event_type
+        |      ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS DOUBLE)
+        |      + CAST(c0 AS DOUBLE)/2 fa
+        |  FROM grid),
+        |b AS (SELECT event_type type_b, value, c cb FROM cnts),
+        |pp AS (SELECT type_a, type_b,
+        |    CAST(sum(CAST(round(cb*fa*1e6)/1e6 AS DECIMAL(38,6)))
+        |      AS DOUBLE) u
+        |  FROM f JOIN b USING (value) WHERE type_a < type_b
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT event_type, CAST(sum(c) AS BIGINT) n
+        |  FROM cnts GROUP BY 1),
+        |nrm AS (SELECT CAST(sum(n) AS BIGINT) big_n,
+        |    CAST(sum(CAST(n*n AS DECIMAL(38,0))) AS DOUBLE) sn2,
+        |    CAST(sum(CAST(n*n*(2*n + 3) AS DECIMAL(38,0))) AS DOUBLE) sn23
+        |  FROM sz),
+        |nz AS (SELECT (CAST(big_n AS DOUBLE)*big_n - sn2)/4 mu,
+        |    sqrt((CAST(big_n AS DOUBLE)*big_n
+        |      *(2.0*CAST(big_n AS DOUBLE) + 3) - sn23)/72) sigma
+        |  FROM nrm),
+        |jj AS (SELECT CAST(sum(CAST(round(u*1e6)/1e6 AS DECIMAL(38,6)))
+        |    AS DOUBLE) jstat FROM pp)
+        |SELECT type_a, type_b,
+        |  round(u*10000)/10000.0 AS u,
+        |  round(jstat*10000)/10000.0 AS j,
+        |  round((jstat - mu)/sigma*1000000)/1000000.0 AS z
+        |FROM pp CROSS JOIN jj CROSS JOIN nz ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

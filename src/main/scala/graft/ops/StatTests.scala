@@ -976,12 +976,16 @@ object StatTests {
         sum((col("ca") * col("cbBelow")).cast("decimal(38,0)")).as("gt"),
         sum((col("ca") * (col("nb") - col("cbAtOrBelow")))
           .cast("decimal(38,0)")).as("lt"))
+      // ANSI-safe: an empty phase has no pairs to compare — NULL delta
+      // (ANSI decimal division would otherwise raise DIVIDE_BY_ZERO)
       .withColumn("delta",
-        (col("gt") - col("lt")).cast("double")
-          / (col("n_wd").cast("double") * col("n_we")))
+        when(col("n_wd") === 0 || col("n_we") === 0, lit(null))
+          .otherwise((col("gt") - col("lt")).cast("double")
+            / (col("n_wd").cast("double") * col("n_we"))))
       .select(col("event_type"), col("n_wd"), col("n_we"),
         r6(col("delta")).as("delta"),
-        when(abs(col("delta")) < 0.147, "negligible")
+        when(col("delta").isNull, lit(null))
+          .when(abs(col("delta")) < 0.147, "negligible")
           .when(abs(col("delta")) < 0.33, "small")
           .when(abs(col("delta")) < 0.474, "medium")
           .otherwise("large").as("magnitude"))
@@ -1136,4 +1140,63 @@ object StatTests {
 
   def dunnPosthoc(spark: SparkSession, sfDir: String): DataFrame =
     dunnPosthoc(Tables.events(spark, sfDir))
+
+  /** q387: Jonckheere–Terpstra ordered-alternative test across event types
+    * (alphabetical order as the declared convention, q384's rule) — the
+    * independent-groups sibling of Page's L: Page needs day blocks, JT
+    * pools each group and asks whether the groups trend monotonically.
+    * J = Σ_{a<b} U_ab with U_ab = #(x_a < x_b) + ½#(x_a = x_b), computed
+    * per ordered pair from value-level counts: every group's CDF steps are
+    * cumulated over the SHARED value spine (one bounded per-type window —
+    * q130's shape), so U_ab = Σ_v c_b(v)·[cumA_below(v) + c_a(v)/2] is a
+    * value-level equi-join, never a row-pair join. z uses the standard
+    * no-tie normalization μ = (N²−Σn²)/4, σ² = [N²(2N+3) −
+    * Σn²(2n+3)]/72 (ties enter U via the ½ term; the variance tie
+    * correction is omitted, as in the classic test — documented choice).
+    */
+  def jonckheere(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val spine = cnts.select(col("value")).distinct()
+    val types = cnts.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(broadcast(types))
+      .join(cnts, Seq("event_type", "value"), "left_outer")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val f = grid
+      .withColumn("cumBelow",
+        coalesce(sum(col("c0")).over(wt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("fa",
+        col("cumBelow").cast("double") + col("c0").cast("double") / 2)
+      .select(col("event_type").as("type_a"), col("value"), col("fa"))
+    val b = cnts.select(col("event_type").as("type_b"), col("value"),
+      col("c").as("cb"))
+    val perPair = f.join(b, "value")
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum((round(col("cb") * col("fa") * lit(1e6)) / lit(1e6))
+        .cast("decimal(38,6)")).cast("double").as("u"))
+    val sizes = cnts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val norm = sizes.agg(
+      sum(col("n")).as("bigN"),
+      sum((col("n") * col("n")).cast("decimal(38,0)")).cast("double").as("sn2"),
+      sum((col("n") * col("n") * (lit(2L) * col("n") + 3))
+        .cast("decimal(38,0)")).cast("double").as("sn23"))
+      .withColumn("nn", col("bigN").cast("double"))
+      .withColumn("mu", (col("nn") * col("nn") - col("sn2")) / 4)
+      .withColumn("sigma", sqrt((col("nn") * col("nn")
+        * (lit(2.0) * col("nn") + 3) - col("sn23")) / 72))
+      .select(col("mu"), col("sigma"))
+    val j = perPair.agg(
+      sum((round(col("u") * lit(1e6)) / lit(1e6)).cast("decimal(38,6)"))
+        .cast("double").as("jstat"))
+    perPair.crossJoin(broadcast(j)).crossJoin(broadcast(norm))
+      .select(col("type_a"), col("type_b"),
+        (round(col("u") * 10000) / 10000.0).as("u"),
+        (round(col("jstat") * 10000) / 10000.0).as("j"),
+        r6((col("jstat") - col("mu")) / col("sigma")).as("z"))
+  }
+
+  def jonckheere(spark: SparkSession, sfDir: String): DataFrame =
+    jonckheere(Tables.events(spark, sfDir))
 }

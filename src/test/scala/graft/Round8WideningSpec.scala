@@ -163,4 +163,60 @@ class Round8WideningSpec extends SparkSpec {
     // the analytic truncated maximum
     assert(got.forall(v => v >= 0.0 && v <= maxRbo + 5e-7))
   }
+
+  test("jonckheere: fully separated ascending bands maximize J") {
+    val sep = (0 until 20).flatMap { i =>
+      Seq(("a", ts(i % 7, i), 0L, 1L, 10.0 + i % 5),
+        ("b", ts(i % 7, i), 0L, 1L, 20.0 + i % 5),
+        ("c", ts(i % 7, i), 0L, 1L, 30.0 + i % 5))
+    }.toDF("event_type", "ts", "event_id", "user_id", "value")
+    val got = StatTests.jonckheere(sep)
+      .orderBy($"type_a", $"type_b")
+      .select($"type_a", $"type_b", $"u", $"j", $"z")
+      .as[(String, String, Double, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    // full separation in the declared order: every pair's U = na·nb = 400,
+    // so J = 1200 — the statistic's maximum — and z is far right-tail
+    assert(got.forall(_._3 === 400.0))
+    assert(got.head._4 === 1200.0)
+    assert(got.head._5 > 5.0)
+
+    // reversed bands: J = 0, z mirrored to the far left tail
+    val rev = sep.withColumn("value", lit(40.0) - $"value")
+    val z2 = StatTests.jonckheere(rev).select($"j", $"z")
+      .as[(Double, Double)].head()
+    assert(z2._1 === 0.0)
+    assert(math.abs(z2._2 + got.head._5) < 1e-9)
+  }
+
+  test("degenerate inputs degrade without errors") {
+    // single group: KW h has df 0 and a defined value; no throw
+    val one = (0 until 10).map(i => ("a", ts(i % 3, i), 0L, 1L, i.toDouble))
+      .toDF("event_type", "ts", "event_id", "user_id", "value")
+    val kw = StatTests.kruskalWallis(one)
+      .select($"df").as[Int].collect()
+    assert(kw.toSeq === Seq(0))
+
+    // all rows in one phase: Cliff's delta has an empty side → NULL delta
+    // and NULL magnitude, row still emitted (the monitor sees the series,
+    // not a crash and not a spurious class)
+    val wdOnly = (0 until 7)
+      .filter(d => { val x = (19700 + d + 4) % 7; x != 0 && x != 6 })
+      .flatMap(d => (0 until 3).map(i => ("a", ts(d, i), 0L, 1L, i.toDouble)))
+      .toDF("event_type", "ts", "event_id", "user_id", "value")
+    val cd = StatTests.cliffsDelta(wdOnly)
+      .select($"n_we", $"delta", $"magnitude")
+      .as[(Long, Option[Double], Option[String])].collect()
+    assert(cd.length === 1 && cd.head._1 === 0L)
+    assert(cd.head._2.isEmpty && cd.head._3.isEmpty)
+
+    // constant series: periodFold's SST = 0 → null shares, periods ranked
+    // by the deterministic tie-break, no division error
+    val const = (0 until 30).map(d => ("a", ts(d, 0), 0L, 1L, 5.0))
+      .toDF("event_type", "ts", "event_id", "user_id", "value")
+    val pf = TimeSeries.periodFold(const)
+      .select($"best_p", $"best_share").as[(Int, Option[Double])].head()
+    assert(pf._1 === 2 && pf._2.isEmpty)
+  }
 }
