@@ -145,8 +145,16 @@ object Graph {
     */
   def componentsAuto(edges: DataFrame, trialRounds: Int = 8,
                      maxIters: Int = 50): DataFrame = {
-    val (labels, converged, _) = minLabelCore(edges, trialRounds)
-    if (converged) labels else connectedComponents(edges, maxIters)
+    // Pin the edge input ONCE. The trial and the star-contraction fallback
+    // each consume `edges`; left lazy, the fallback re-executes the whole
+    // upstream edge-producing pipeline a SECOND time (for LSH input the
+    // full signature→band→bucket DAG — measured at the sf1 rehearsal as
+    // q76 paying its 17 s candidate build twice). The converged path does
+    // the same total work as before: one upstream evaluation, now into the
+    // pinned frame instead of straight into the adjacency build.
+    val pinned = edges.localCheckpoint()
+    val (labels, converged, _) = minLabelCore(pinned, trialRounds)
+    if (converged) labels else connectedComponents(pinned, maxIters)
   }
 
   private def minLabelCore(edges: DataFrame,
