@@ -777,10 +777,17 @@ object TimeSeries {
     * series×period rows. Per-phase sums are exact decimals; SSB/SST use
     * the S²/n identity with 1e-12 snaps so both engines agree bit-for-bit.
     */
-  def periodFold(events: DataFrame, maxPeriod: Int = 14): DataFrame = {
+  def periodFold(events: DataFrame, maxPeriod: Int = 14): DataFrame =
+    periodFoldFromDaily(cusumDaily(events), maxPeriod)
+
+  /** The daily-means→fold-scan stage of [[periodFold]] alone — factored
+    * like [[Drift.cvmFromCounts]] so a streaming monitor can feed it a
+    * live complete-mode daily aggregate (PeriodFoldStreamSpec proves
+    * batch ≡ stream across micro-batch slicings).
+    */
+  def periodFoldFromDaily(daily: DataFrame, maxPeriod: Int = 14): DataFrame = {
     def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
-    val daily = cusumDaily(events) // (event_type, day, x)
-    val periods = events.sparkSession.range(2, maxPeriod + 1)
+    val periods = daily.sparkSession.range(2, maxPeriod + 1)
       .select(col("id").cast("int").as("p"))
     val perPhase = daily.crossJoin(broadcast(periods))
       .withColumn("ph", pmod(col("day"), col("p")))
