@@ -781,7 +781,9 @@ object SparkEntry {
     "q386_rbo_quantized" -> ((s, d) =>
       Similarity.rboQuantized(s, d).orderBy(col("probe_id"))),
     "q387_jonckheere" -> ((s, d) =>
-      StatTests.jonckheere(s, d).orderBy(col("type_a"), col("type_b")))
+      StatTests.jonckheere(s, d).orderBy(col("type_a"), col("type_b"))),
+    "q388_quade" -> ((s, d) =>
+      StatTests.quade(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9364,7 +9366,53 @@ object SparkEntry {
         |  round(u*10000)/10000.0 AS u,
         |  round(jstat*10000)/10000.0 AS j,
         |  round((jstat - mu)/sigma*1000000)/1000000.0 AS z
-        |FROM pp CROSS JOIN jj CROSS JOIN nz ORDER BY 1, 2""".stripMargin
+        |FROM pp CROSS JOIN jj CROSS JOIN nz ORDER BY 1, 2""".stripMargin,
+    "q388_quade" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e,
+        |    value FROM events),
+        |daily AS (SELECT event_type, e // 86400 dy,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) x
+        |  FROM ev GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) k
+        |  FROM daily),
+        |cmpl AS (SELECT d.*, count(*) OVER (PARTITION BY dy) nd
+        |  FROM daily d),
+        |cb AS (SELECT cmpl.*, k FROM cmpl CROSS JOIN kk WHERE nd = k),
+        |rk AS (SELECT event_type, dy, k, x,
+        |    rank() OVER (PARTITION BY dy ORDER BY x) min_rnk,
+        |    count(*) OVER (PARTITION BY dy, x) tie
+        |  FROM cb),
+        |mr AS (SELECT event_type, dy, k, x,
+        |    CAST(min_rnk AS DOUBLE) + (tie - 1)/2.0 midrank FROM rk),
+        |rg AS (SELECT dy, max(x) - min(x) rg FROM mr GROUP BY 1),
+        |qd AS (SELECT dy,
+        |    CAST(rank() OVER (ORDER BY rg) AS DOUBLE)
+        |      + (count(*) OVER (PARTITION BY rg) - 1)/2.0 q
+        |  FROM rg),
+        |sij AS (SELECT mr.event_type, mr.dy,
+        |    round(q*(midrank - (k + 1)/2.0)*1e6)/1e6 sij
+        |  FROM mr JOIN qd USING (dy)),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(CAST(sij AS DECIMAL(38,6))) AS DOUBLE) sj,
+        |    CAST(sum(CAST(round(sij*sij*1e6)/1e6 AS DECIMAL(38,6)))
+        |      AS DOUBLE) aj
+        |  FROM sij GROUP BY 1),
+        |ff AS (SELECT max(n_days) n, count(*) k,
+        |    CAST(sum(CAST(aj AS DECIMAL(38,6))) AS DOUBLE) a,
+        |    CAST(sum(CAST(round(sj*sj*1e6)/1e6 AS DECIMAL(38,6)))
+        |      AS DOUBLE) sb
+        |  FROM per),
+        |fz AS (SELECT
+        |    CASE WHEN a - sb/n <= 0 THEN NULL
+        |      ELSE CAST(n - 1 AS DOUBLE)*(sb/n)/(a - sb/n) END fstat,
+        |    CAST(k - 1 AS INT) df1,
+        |    CAST((n - 1)*(k - 1) AS INT) df2
+        |  FROM ff)
+        |SELECT event_type, n_days,
+        |  round(sj*10000)/10000.0 AS s_j,
+        |  round(fstat*1000000)/1000000.0 AS f,
+        |  df1, df2
+        |FROM per CROSS JOIN fz ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

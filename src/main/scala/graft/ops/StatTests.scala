@@ -1020,7 +1020,7 @@ object StatTests {
         count(lit(1)).over(Window.partitionBy(col("day"), col("x"))))
       .withColumn("midrank",
         col("minRnk").cast("double") + (col("tie") - 1).cast("double") / 2)
-      .select(col("event_type"), col("day"), col("midrank"), col("k"))
+      .select(col("event_type"), col("day"), col("midrank"), col("k"), col("x"))
   }
 
   /** q383: Friedman test across event types on per-day daily means — the
@@ -1199,4 +1199,55 @@ object StatTests {
 
   def jonckheere(spark: SparkSession, sfDir: String): DataFrame =
     jonckheere(Tables.events(spark, sfDir))
+
+  /** q388: Quade test — the weighted member of the blocked-design family
+    * (q383 Friedman treats every day equally, q384 Page adds an order;
+    * Quade weights each day by how INFORMATIVE it is): blocks are ranked
+    * by their within-day value RANGE, and each within-day rank deviation
+    * is scaled by that block weight, S_ij = Q_i·(R_ij − (k+1)/2), so a day
+    * where the types differ wildly counts more than a near-tie day.
+    * F = (n−1)·B/(A−B) with A = ΣS²ᵢⱼ, B = ΣS²ⱼ/n, on (k−1, (n−1)(k−1))
+    * degrees of freedom; a perfectly consistent design has A = B and an
+    * infinite F — emitted as NULL with the df columns still meaningful.
+    * All ranks are midranks; the block-range ranking runs on the bounded
+    * per-day table (one row per day).
+    */
+  def quade(events: DataFrame): DataFrame = {
+    def s6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+    val ranks = dailyMidranks(events)
+    val rng = ranks.groupBy(col("day"))
+      .agg((max(col("x")) - min(col("x"))).as("rg"), max(col("k")).as("k"))
+      .withColumn("minR", rank().over(Window.orderBy(col("rg"))))
+      .withColumn("tie", count(lit(1)).over(Window.partitionBy(col("rg"))))
+      .withColumn("q",
+        col("minR").cast("double") + (col("tie") - 1).cast("double") / 2)
+    val sij = ranks.join(rng.select(col("day"), col("q"), col("k").as("k2")), "day")
+      .withColumn("sij",
+        s6(col("q") * (col("midrank") - (col("k") + 1).cast("double") / 2)))
+    val per = sij.groupBy(col("event_type"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n_days"),
+        sum(col("sij").cast("decimal(38,6)")).cast("double").as("sj"),
+        sum(s6(col("sij") * col("sij")).cast("decimal(38,6)"))
+          .cast("double").as("aj"))
+    val f = per
+      .withColumn("sj2", s6(col("sj") * col("sj")))
+      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+        sum(col("aj").cast("decimal(38,6)")).cast("double").as("a"),
+        sum(col("sj2").cast("decimal(38,6)")).cast("double").as("sb"))
+      .withColumn("b", col("sb") / col("n"))
+      .withColumn("fstat",
+        when(col("a") - col("b") <= 0, lit(null))
+          .otherwise((col("n") - 1).cast("double") * col("b")
+            / (col("a") - col("b"))))
+      .select(col("fstat"),
+        (col("k") - 1).cast("int").as("df1"),
+        ((col("n") - 1) * (col("k") - 1)).cast("int").as("df2"))
+    per.crossJoin(broadcast(f))
+      .select(col("event_type"), col("n_days"),
+        (round(col("sj") * 10000) / 10000.0).as("s_j"),
+        r6(col("fstat")).as("f"), col("df1"), col("df2"))
+  }
+
+  def quade(spark: SparkSession, sfDir: String): DataFrame =
+    quade(Tables.events(spark, sfDir))
 }

@@ -190,6 +190,30 @@ class Round8WideningSpec extends SparkSpec {
     assert(math.abs(z2._2 + got.head._5) < 1e-9)
   }
 
+  test("quade: perfect consistency is the A=B singularity; noise gives finite F") {
+    // types ordered identically every day → every S_ij deviation pattern is
+    // the same sign structure, A = B exactly → F undefined (NULL)
+    // integer day shifts keep every within-day range EXACTLY equal (a
+    // 0.1·d shift perturbs the range in the last ulp, un-tying the block
+    // weights and silently leaving the singularity)
+    val perfect = (0 until 10).flatMap { d =>
+      Seq(("a", ts(d, 0), 0L, 1L, 1.0 + d),
+        ("b", ts(d, 0), 0L, 1L, 2.0 + d),
+        ("c", ts(d, 0), 0L, 1L, 3.0 + d))
+    }.toDF("event_type", "ts", "event_id", "user_id", "value")
+    val fPerfect = StatTests.quade(perfect)
+      .select($"f", $"df1", $"df2").as[(Option[Double], Int, Int)].head()
+    assert(fPerfect._1.isEmpty && fPerfect._2 === 2 && fPerfect._3 === 18)
+
+    // one day flips the ordering → finite positive F
+    val noisy = perfect.withColumn("value",
+      when(unix_timestamp($"ts") === lit(ts(0, 0).getTime / 1000)
+        && $"event_type" === "a", 9.0).otherwise($"value"))
+    val fNoisy = StatTests.quade(noisy)
+      .select($"f").as[Option[Double]].head()
+    assert(fNoisy.exists(v => v > 0 && !v.isInfinite))
+  }
+
   test("degenerate inputs degrade without errors") {
     // single group: KW h has df 0 and a defined value; no throw
     val one = (0 until 10).map(i => ("a", ts(i % 3, i), 0L, 1L, i.toDouble))
