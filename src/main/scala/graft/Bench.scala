@@ -68,7 +68,10 @@ object Bench {
     def writeFile(path: String, body: String): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // A filtered run must not clobber the canonical full-surface artifact:
+    // default the output elsewhere unless the caller names a path explicitly.
+    val defaultOut = if (only.isDefined) "BENCH_partial.json" else "BENCH.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     writeFile(out, fullLine)
     val spreadJson = spread.map { case (k, (mn, med, sd, xs)) =>
       s"\"" + k + "\":{\"min\":" + fmt(mn) + ",\"median\":" + fmt(med) +

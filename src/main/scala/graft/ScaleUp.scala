@@ -52,6 +52,13 @@ object ScaleUp {
     val U = 100000000L  // user_id
     val D = 10000000L   // doc_id / vec_id
 
+    // Shift a key by i*stride while PRESERVING the source column's type —
+    // `col + lit(long)` would silently widen an IntegerType key to LongType,
+    // handing the rehearsal different parquet schemas (and thus different
+    // join/coercion plans) than real generated data.
+    def shifted(df: DataFrame, c: String, stride: Long, i: Int) =
+      (col(c) + lit(i * stride)).cast(df.schema(c).dataType)
+
     def stamp(name: String, df: DataFrame)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val out = (0 until copies).map(i => shift(df, i)).reduce(_ unionAll _)
       out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -64,26 +71,26 @@ object ScaleUp {
     }
 
     stamp("customer", Tables.customer(spark, src)) { (df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(i * C))
+      df.withColumn("c_custkey", shifted(df, "c_custkey", C, i))
     }
     stamp("supplier", Tables.supplier(spark, src)) { (df, i) =>
-      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * S))
+      df.withColumn("s_suppkey", shifted(df, "s_suppkey", S, i))
     }
     stamp("part", Tables.part(spark, src)) { (df, i) =>
-      df.withColumn("p_partkey", col("p_partkey") + lit(i * P))
+      df.withColumn("p_partkey", shifted(df, "p_partkey", P, i))
     }
     stamp("orders", Tables.orders(spark, src)) { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * O))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * C))
+      df.withColumn("o_orderkey", shifted(df, "o_orderkey", O, i))
+        .withColumn("o_custkey", shifted(df, "o_custkey", C, i))
     }
     stamp("lineitem", Tables.lineitem(spark, src)) { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * P))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * S))
+      df.withColumn("l_orderkey", shifted(df, "l_orderkey", O, i))
+        .withColumn("l_partkey", shifted(df, "l_partkey", P, i))
+        .withColumn("l_suppkey", shifted(df, "l_suppkey", S, i))
     }
     stamp("events", Tables.events(spark, src)) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * E))
-        .withColumn("user_id", col("user_id") + lit(i * U))
+      df.withColumn("event_id", shifted(df, "event_id", E, i))
+        .withColumn("user_id", shifted(df, "user_id", U, i))
     }
     stamp("documents", Tables.load(spark, src, "documents")) { (df, i) =>
       val t =
@@ -91,8 +98,8 @@ object ScaleUp {
         else df.withColumn(
           "text",
           array_join(transform(split(col("text"), " "), w => concat(w, lit(s"~$i"))), " "))
-      t.withColumn("doc_id", col("doc_id") + lit(i * D))
-        .withColumn("n_chars", length(col("text")))
+      t.withColumn("doc_id", shifted(df, "doc_id", D, i))
+        .withColumn("n_chars", length(col("text")).cast(df.schema("n_chars").dataType))
     }
     stamp("embeddings", Tables.load(spark, src, "embeddings")) { (df, i) =>
       // Decorrelate copies with a per-copy CYCLIC DIMENSION ROTATION:
@@ -113,7 +120,7 @@ object ScaleUp {
             "embedding",
             expr(s"concat(slice(embedding, ${sh + 1}, ${64 - sh}), slice(embedding, 1, $sh))"))
         }
-      t.withColumn("vec_id", col("vec_id") + lit(i * D))
+      t.withColumn("vec_id", shifted(df, "vec_id", D, i))
     }
     spark.stop()
   }

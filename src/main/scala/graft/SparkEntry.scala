@@ -9087,7 +9087,7 @@ object SparkEntry {
         |    CAST(sum(CAST(c * avg_rank AS DECIMAL(38,6))) AS DOUBLE) rsum
         |  FROM tv JOIN ar USING (value) GROUP BY 1),
         |ties AS (SELECT CAST(sum(t) AS BIGINT) big_n,
-        |    CAST(sum(CAST(t*t*t - t AS DECIMAL(38,0))) AS DOUBLE) tie_sum
+        |    CAST(sum(CAST(t AS HUGEINT)*t*t - t) AS DOUBLE) tie_sum
         |  FROM v),
         |hh AS (SELECT max(big_n) big_n, max(tie_sum) tie_sum,
         |    CAST(sum(CAST(round(rsum*rsum/n*1e6)/1e6 AS DECIMAL(38,6)))
@@ -9103,7 +9103,8 @@ object SparkEntry {
         |  round(rsum*10000)/10000.0 AS rank_sum,
         |  round(rsum/n*10000)/10000.0 AS mean_rank,
         |  round(h_raw*1000000)/1000000.0 AS h,
-        |  round(h_raw/cf*1000000)/1000000.0 AS h_adj,
+        |  CASE WHEN cf = 0 THEN NULL
+        |       ELSE round(h_raw/cf*1000000)/1000000.0 END AS h_adj,
         |  CAST(k.k - 1 AS INT) AS df
         |FROM g CROSS JOIN h2 CROSS JOIN k ORDER BY 1""".stripMargin,
     "q379_cliffs_delta" ->
@@ -9314,7 +9315,7 @@ object SparkEntry {
         |    CAST(sum(CAST(c * avg_rank AS DECIMAL(38,6))) AS DOUBLE) rsum
         |  FROM tv JOIN ar USING (value) GROUP BY 1),
         |ties AS (SELECT CAST(sum(t) AS BIGINT) big_n,
-        |    CAST(sum(CAST(t*t*t - t AS DECIMAL(38,0))) AS DOUBLE) tie_sum
+        |    CAST(sum(CAST(t AS HUGEINT)*t*t - t) AS DOUBLE) tie_sum
         |  FROM v),
         |p AS (SELECT a.event_type type_a, b.event_type type_b,
         |    a.n na, b.n nb, a.rsum/a.n ma, b.rsum/b.n mb
@@ -9353,8 +9354,8 @@ object SparkEntry {
         |sz AS (SELECT event_type, CAST(sum(c) AS BIGINT) n
         |  FROM cnts GROUP BY 1),
         |nrm AS (SELECT CAST(sum(n) AS BIGINT) big_n,
-        |    CAST(sum(CAST(n*n AS DECIMAL(38,0))) AS DOUBLE) sn2,
-        |    CAST(sum(CAST(n*n*(2*n + 3) AS DECIMAL(38,0))) AS DOUBLE) sn23
+        |    CAST(sum(CAST(n AS HUGEINT)*n) AS DOUBLE) sn2,
+        |    CAST(sum(CAST(n AS HUGEINT)*n*(2*n + 3)) AS DOUBLE) sn23
         |  FROM sz),
         |nz AS (SELECT (CAST(big_n AS DOUBLE)*big_n - sn2)/4 mu,
         |    sqrt((CAST(big_n AS DOUBLE)*big_n

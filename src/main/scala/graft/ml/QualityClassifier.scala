@@ -91,6 +91,11 @@ object QualityClassifier {
       pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(k)).cast("int"))
       .localCheckpoint()
+    // ONE up-front action for all fold sizes (n_train(f) = total − size(f))
+    // instead of a per-fold train.count(): halves the job count per fold.
+    val foldSizes = folded.groupBy(col("fold")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Int]("fold") -> r.getAs[Long]("c")).toMap
+    val total = foldSizes.values.sum
     val rows = (0 until k).map { f =>
       val train = folded.where(col("fold") =!= f)
       val test = folded.where(col("fold") === f)
@@ -103,7 +108,7 @@ object QualityClassifier {
           .as("n_correct"),
         sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"))
         .collect().head
-      val nTrain = train.count()
+      val nTrain = total - foldSizes.getOrElse(f, 0L)
       (f, nTrain, agg.getAs[Long]("n_test"),
         math.round(agg.getAs[Long]("n_correct").toDouble
           / agg.getAs[Long]("n_test") * 1e6) / 1e6,

@@ -911,9 +911,11 @@ object StatTests {
       .agg(sum(col("c")).as("n"),
         sum((col("c") * col("avgRank")).cast("decimal(38,6)"))
           .cast("double").as("rsum"))
+    // Cast BEFORE cubing: t*t*t in LongType overflows 64-bit once a tie
+    // group exceeds ~2.1M rows — real at 100 TB. decimal(38,0)*t*t is exact.
     val ties = byV.agg(
       sum(col("t")).as("bigN"),
-      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
         .as("tieSum"))
     val h = perGroup.crossJoin(broadcast(ties))
       .withColumn("term",
@@ -935,7 +937,10 @@ object StatTests {
         (round(col("rsum") * 10000) / 10000.0).as("rank_sum"),
         (round(col("rsum") / col("n") * 10000) / 10000.0).as("mean_rank"),
         r6(col("h_raw")).as("h"),
-        r6(col("h_raw") / col("cf")).as("h_adj"),
+        // cf = 0 when every row shares one value (tieSum = N³−N): emit NULL
+        // rather than engine-dependent Inf/NaN division semantics.
+        when(col("cf") === 0, lit(null).cast("double"))
+          .otherwise(r6(col("h_raw") / col("cf"))).as("h_adj"),
         (col("k") - 1).cast("int").as("df"))
   }
 
@@ -1119,7 +1124,8 @@ object StatTests {
           .cast("double").as("rsum"))
     val ties = byV.agg(
       sum(col("t")).as("bigN"),
-      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+      // decimal cast before the cube — same 64-bit overflow fence as q378
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
         .cast("double").as("tieSum"))
     val a = perGroup.select(col("event_type").as("type_a"),
       col("n").as("na"), (col("rsum") / col("n")).as("ma"))
@@ -1179,9 +1185,11 @@ object StatTests {
     val sizes = cnts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
     val norm = sizes.agg(
       sum(col("n")).as("bigN"),
-      sum((col("n") * col("n")).cast("decimal(38,0)")).cast("double").as("sn2"),
-      sum((col("n") * col("n") * (lit(2L) * col("n") + 3))
-        .cast("decimal(38,0)")).cast("double").as("sn23"))
+      // decimal cast before multiplying: n*n*(2n+3) in LongType overflows
+      // 64-bit once one group passes ~2.1M rows
+      sum(col("n").cast("decimal(38,0)") * col("n")).cast("double").as("sn2"),
+      sum(col("n").cast("decimal(38,0)") * col("n") * (lit(2L) * col("n") + 3))
+        .cast("double").as("sn23"))
       .withColumn("nn", col("bigN").cast("double"))
       .withColumn("mu", (col("nn") * col("nn") - col("sn2")) / 4)
       .withColumn("sigma", sqrt((col("nn") * col("nn")
