@@ -783,7 +783,13 @@ object SparkEntry {
     "q387_jonckheere" -> ((s, d) =>
       StatTests.jonckheere(s, d).orderBy(col("type_a"), col("type_b"))),
     "q388_quade" -> ((s, d) =>
-      StatTests.quade(s, d).orderBy(col("event_type")))
+      StatTests.quade(s, d).orderBy(col("event_type"))),
+    // the DF-capped dedup configurations — caps chosen to BITE at sf0.01 so
+    // the web-scale code path is what the oracle gates
+    "q389_capped_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardCapped(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q390_capped_containment" -> ((s, d) =>
+      Dedup.containmentPairsCapped(s, d).orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1843,10 +1849,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c > 64 THEN 1 ELSE 0 END) AS BIGINT) n_overcap
         |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_srp_lsh" ->
-      """WITH pl AS (SELECT p.j, q.d,
+      """WITH nn AS (SELECT count(*) n FROM embeddings),
+        |geo AS (SELECT coalesce(min(b), 24) bits
+        |  FROM (SELECT unnest(generate_series(8, 24)) b) bb, nn
+        |  WHERE (CAST(8 AS BIGINT) << b) >= n),
+        |pl AS (SELECT p.j, q.d,
         |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
-        |  FROM (SELECT unnest(generate_series(0, 31)) j) p,
-        |       (SELECT unnest(generate_series(0, 63)) d) q),
+        |  FROM (SELECT unnest(generate_series(0, 95)) j) p,
+        |       (SELECT unnest(generate_series(0, 63)) d) q, geo
+        |  WHERE p.j < 4*geo.bits),
         |w AS (SELECT j, d,
         |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
         |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
@@ -1860,10 +1871,10 @@ object SparkEntry {
         |xx AS (SELECT vec_id, i - 1 d, CAST(embedding[i] AS DOUBLE) v FROM ix),
         |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
         |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
-        |sigs AS (SELECT vec_id, CAST(floor(j/8) AS INT) band,
-        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 8) AS BIGINT)
+        |sigs AS (SELECT vec_id, CAST(floor(j/bits) AS INT) band,
+        |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % bits))
         |                         ELSE 0 END) AS BIGINT) sig
-        |         FROM dots GROUP BY 1,2),
+        |         FROM dots, geo GROUP BY 1,2),
         |sigc AS (SELECT vec_id, band, sig,
         |           count(*) OVER (PARTITION BY band, sig) bc FROM sigs),
         |capped AS (SELECT vec_id, band, sig FROM sigc WHERE bc <= 1024),
@@ -1900,10 +1911,15 @@ object SparkEntry {
         |  CAST(round(budget) AS BIGINT) budget_tokens
         |FROM j, b ORDER BY lang""".stripMargin,
     "q76_semantic_prune" ->
-      """WITH RECURSIVE pl AS (SELECT p.j, q.d,
+      """WITH RECURSIVE nn AS (SELECT count(*) n FROM embeddings),
+        |geo AS (SELECT coalesce(min(b), 24) bits
+        |  FROM (SELECT unnest(generate_series(8, 24)) b) bb, nn
+        |  WHERE (CAST(8 AS BIGINT) << b) >= n),
+        |pl AS (SELECT p.j, q.d,
         |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
-        |  FROM (SELECT unnest(generate_series(0, 31)) j) p,
-        |       (SELECT unnest(generate_series(0, 63)) d) q),
+        |  FROM (SELECT unnest(generate_series(0, 95)) j) p,
+        |       (SELECT unnest(generate_series(0, 63)) d) q, geo
+        |  WHERE p.j < 4*geo.bits),
         |w AS (SELECT j, d,
         |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
         |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
@@ -1917,10 +1933,10 @@ object SparkEntry {
         |xx AS (SELECT vec_id, i - 1 d, CAST(embedding[i] AS DOUBLE) v FROM ix),
         |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
         |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
-        |sigs AS (SELECT vec_id, CAST(floor(j/8) AS INT) band,
-        |           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 8) AS BIGINT)
+        |sigs AS (SELECT vec_id, CAST(floor(j/bits) AS INT) band,
+        |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % bits))
         |                         ELSE 0 END) AS BIGINT) sig
-        |         FROM dots GROUP BY 1,2),
+        |         FROM dots, geo GROUP BY 1,2),
         |sigc AS (SELECT vec_id, band, sig,
         |           count(*) OVER (PARTITION BY band, sig) bc FROM sigs),
         |capped AS (SELECT vec_id, band, sig FROM sigc WHERE bc <= 1024),
@@ -9413,7 +9429,44 @@ object SparkEntry {
         |  round(sj*10000)/10000.0 AS s_j,
         |  round(fstat*1000000)/1000000.0 AS f,
         |  df1, df2
-        |FROM per CROSS JOIN fz ORDER BY 1""".stripMargin
+        |FROM per CROSS JOIN fz ORDER BY 1""".stripMargin,
+    "q389_capped_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh0 AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |f AS (SELECT sh, count(*) df FROM sh0 GROUP BY 1),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN f USING (sh) WHERE df <= 5),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, n_shared,
+        | round(CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared), 6) jaccard
+        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared) >= 0.5
+        |ORDER BY 1,2""".stripMargin,
+    "q390_capped_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_sh FROM sh GROUP BY 1),
+        |f AS (SELECT sh, count(*) df FROM sh GROUP BY 1),
+        |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN f USING (sh) WHERE df <= 5),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |         FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+        |ex AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) n_shared
+        |       FROM cand c
+        |       JOIN sh sa ON sa.doc_id = c.doc_a
+        |       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        |       GROUP BY 1,2)
+        |SELECT ex.doc_a, ex.doc_b, sz.n_sh AS n_sh_a, ex.n_shared,
+        |  round(CAST(ex.n_shared AS DOUBLE) / sz.n_sh * 10000) / 10000 AS containment
+        |FROM ex JOIN sz ON sz.doc_id = ex.doc_a
+        |WHERE CAST(ex.n_shared AS DOUBLE) / sz.n_sh >= 0.8
+        |ORDER BY ex.doc_a, ex.doc_b""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

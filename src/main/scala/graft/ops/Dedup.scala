@@ -128,6 +128,64 @@ object Dedup {
     finishJaccard(inter, sizes, minJaccard)
   }
 
+  /** q389: DF-capped prefix-filtered Jaccard — the configuration actually
+    * shipped at web scale, oracle-pinned with a cap that BITES at the test
+    * SF (maxDf = 5 drops 29 shingles at sf0.01) so the capped code path is
+    * what correctness gates, not just the lossless one.
+    *
+    * Semantics: the cap REDEFINES the feature set. A shingle present in
+    * more than `maxDf` documents is corpus boilerplate (license headers,
+    * templates — at web scale, a Zipfian stop-shingle can sit in 30% of
+    * all documents) carrying no dedup signal but O(df²) join pairs on one
+    * key; it is removed BEFORE sizes, prefixes and intersections, and
+    * Jaccard is then EXACT over the capped sets — so the operator has a
+    * precise contract the DuckDB oracle reproduces with the identical cap,
+    * rather than "approximately Jaccard, load-shedding unspecified".
+    * Documents whose entire shingle set is boilerplate drop out (they have
+    * no capped features to compare). The prefix-filter machinery of
+    * [[ngramJaccardPrefix]] applies unchanged on the capped set — the df
+    * ordering already computed for the cap doubles as the prefix order.
+    */
+  def ngramJaccardCapped(docs: DataFrame, minJaccard: Double = 0.5,
+                         maxDf: Int = 5): DataFrame = {
+    val sh0 = shingles(docs)
+    val freq = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val shd = sh0.join(freq, "sh") // capped shingles, df kept for the order
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefixes = shd
+      .withColumn("pos", row_number().over(wOrd))
+      .join(sizes, "doc_id")
+      .where(col("pos") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefixes.toDF("doc_a", "sh")
+      .join(prefixes.toDF("doc_b", "sh"), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val capped = shd.select(col("doc_id"), col("sh"))
+    val inter = cand
+      .join(capped.toDF("doc_a", "sh"), "doc_a")
+      .join(capped.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    finishJaccard(inter, sizes, minJaccard)
+  }
+
+  def ngramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardCapped(Tables.documents(spark, sfDir))
+
+  /** q390: [[containmentPairs]] with a candidate cap that bites at the test
+    * SF — same exact-verify semantics (hot shingles still count toward the
+    * score; the cap only gates who gets compared), so what changes under
+    * the cap is exactly the candidate set, and the oracle applying the
+    * identical cap pins that contract where it actually engages.
+    */
+  def containmentPairsCapped(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, sfDir), minContainment = 0.8,
+      maxDf = 5)
+
   /** q50: chunk-overlap census via the native rolling_hash expression — two
     * documents sharing any `window`-char run of text share that window's
     * Rabin–Karp hash (a 61-bit double hash, see

@@ -226,8 +226,94 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Corpus-size-driven SRP geometry: the smallest bits-per-band b in
+    * [8, 24] with targetOccupancy·2^b ≥ n, as a ONE-ROW DataFrame joined
+    * into the plan as a broadcast scalar — never collected to the driver.
+    *
+    * Why: fixed 8-bit bands mean 256 buckets per band forever, so expected
+    * occupancy n/256 grows linearly with the corpus and the bucket
+    * self-join grows QUADRATICALLY until the maxBucket cap truncates it
+    * (BASELINE_sf1.md finding 4: q76 at 8.1× wall for 10× rows). Solving
+    * 2^b ≥ n/target instead holds expected occupancy at the target, so
+    * pair work stays ~n·target — linear. The price is per-band recall at
+    * the low-cosine tail (P[band collision] = p^b); near-dup use is
+    * cos ≥ 0.9 where p ≈ 0.86, and raising nBands is the compensating
+    * knob left to callers who need tail recall.
+    *
+    * The bound is computed with INTEGER shifts, not ceil(log2(n/t)):
+    * the DuckDB oracle re-derives the same b, and a last-ulp libm
+    * divergence at an exact power of two would flip the whole geometry.
+    * At the oracle test SFs (n ≤ 2k) this resolves to b = 8 — exactly the
+    * historical pinned 32-plane/4-band geometry, so small-SF results are
+    * unchanged by construction.
+    */
+  def srpAutoBits(emb: DataFrame, targetOccupancy: Int = 8): DataFrame =
+    emb.agg(count(lit(1)).as("n"))
+      .select(explode(sequence(lit(8), lit(24))).as("b"), col("n"))
+      .where(expr(s"shiftleft(CAST($targetOccupancy AS BIGINT), b)") >= col("n"))
+      .agg(coalesce(min(col("b")), lit(24)).as("bits"))
+
+  /** [[srpSignatures]] with the bits-per-band derived from corpus size
+    * ([[srpAutoBits]]) instead of pinned — the geometry rides the plan as
+    * a broadcast scalar column, so no extra driver action. Plane j's
+    * hyperplane is a pure function of j (md5-seeded), so at a corpus size
+    * where the auto choice lands on 8 bits the signatures are bit-for-bit
+    * the pinned default's.
+    */
+  def srpSignaturesAuto(emb: DataFrame, dim: Int = 64, nBands: Int = 4,
+                        targetOccupancy: Int = 8): DataFrame = {
+    val bits = srpAutoBits(emb, targetOccupancy)
+    val planes = srpPlanes(emb.sparkSession, nBands * 24, dim)
+      .crossJoin(broadcast(bits))
+      .where(col("j") < lit(nBands) * col("bits"))
+    asDoubles(emb).select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("j"), col("bits"),
+        (dotExpr("v", "pw") > 0).as("bit"))
+      .groupBy(col("vec_id"),
+        floor(col("j") / col("bits")).cast("int").as("band"))
+      .agg(sum(when(col("bit"),
+        expr("shiftleft(CAST(1 AS BIGINT), j % bits)")).otherwise(0L)).as("sig"))
+  }
+
+  /** [[srpCandidates]] on the auto-scaled geometry. The bucket cap stays
+    * 128·targetOccupancy (= the historical 1024 at the default target):
+    * with occupancy held at the target by the bits formula, the cap's only
+    * job is fencing genuine mega-clusters — scaling it with n would
+    * re-admit the quadratic hot buckets the geometry just removed.
+    */
+  def srpCandidatesAuto(emb: DataFrame, dim: Int = 64, nBands: Int = 4,
+                        minBands: Int = 1, targetOccupancy: Int = 8): DataFrame = {
+    val sigs = srpSignaturesAuto(emb, dim, nBands, targetOccupancy)
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .where(col("bc") <= 128 * targetOccupancy)
+    val a = sigs.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .where(col("n_shared_bands") >= minBands)
+  }
+
+  /** [[srpLsh]] with corpus-size-driven geometry — what q74/q76 run, so
+    * the operator a user ships at 100 TB is the oracle-gated one.
+    */
+  def srpLshAuto(emb: DataFrame, dim: Int = 64, nBands: Int = 4,
+                 minBands: Int = 1, minCos: Double = 0.4,
+                 targetOccupancy: Int = 8): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+    srpCandidatesAuto(emb, dim, nBands, minBands, targetOccupancy)
+      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", dotExpr("va", "vb") / (col("na") * col("nb")))
+      .where(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   def srpLsh(spark: SparkSession, sfDir: String): DataFrame =
-    srpLsh(Tables.embeddings(spark, sfDir))
+    srpLshAuto(Tables.embeddings(spark, sfDir))
 
   /** q76: semantic prune — SemDeDup-shaped keep-one-per-semantic-cluster
     * over embeddings. The q74 SRP-LSH pairs become edges, connected
@@ -242,7 +328,7 @@ object Similarity {
     * per round), and the final assembly is two joins keyed by vec_id.
     */
   def semanticPrune(emb: DataFrame, dim: Int = 64, minCos: Double = 0.4): DataFrame = {
-    val pairs = srpLsh(emb, dim = dim, minCos = minCos)
+    val pairs = srpLshAuto(emb, dim = dim, minCos = minCos)
       .select(col("vec_a"), col("vec_b"))
     val cc = Graph.componentsAuto(pairs)
       .withColumnRenamed("id", "vec_id")

@@ -32,6 +32,40 @@ class DedupSpec extends SparkSpec {
     assert(prefix === direct)
   }
 
+  test("ngramJaccardCapped: the cap engages, and the prefix path stays exact on the capped set") {
+    // the real sf0.001 corpus at maxDf=3: a biting cap (sf0.001 shingle DFs
+    // reach beyond 3). The capped output must (a) differ from the uncapped
+    // one — otherwise the cap never engaged and the test proves nothing —
+    // and (b) equal a direct inverted-index join over the SAME capped
+    // shingle set, i.e. the prefix filter is still lossless post-cap.
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val capped = Dedup.ngramJaccardCapped(corpus, minJaccard = 0.5, maxDf = 3)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val uncapped = Dedup.ngramJaccardPrefix(corpus, minJaccard = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(capped !== uncapped, "maxDf=3 never engaged on the fixture corpus")
+    // direct recompute on the capped feature set
+    val sh0 = Dedup.shingles(corpus)
+    val keep = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 3).select("sh")
+    val sh = sh0.join(keep, "sh").select(col("doc_id"), col("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val direct = sh.toDF("doc_a", "sh")
+      .join(sh.toDF("doc_b", "sh"), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(capped === direct)
+    assert(capped.nonEmpty, "capped corpus produced no pairs")
+  }
+
   test("asymmetric containment prefix filter is lossless vs the direct join") {
     // the real sf0.001 corpus: 500 docs with genuine near-dup structure —
     // the prefix path must emit the IDENTICAL final pairs as the symmetric

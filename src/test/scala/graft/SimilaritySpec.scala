@@ -50,6 +50,28 @@ class SimilaritySpec extends SparkSpec {
     assert(rows === Seq((0L, 1L, 4L, 1.0)))
   }
 
+  test("srpAutoBits picks occupancy-bounded geometry across corpus decades") {
+    import org.apache.spark.sql.functions.col
+    // smallest b in [8,24] with 8·2^b ≥ n: the three rehearsal decades
+    // (sf0.1 / sf1 / sf10 corpus sizes) plus both clamps
+    def bitsFor(n: Long): Int =
+      Similarity.srpAutoBits(spark.range(n).toDF("vec_id"))
+        .select(col("bits")).as[Int].collect().head
+    assert(bitsFor(2000L) === 8)     // sf0.1: the historical pinned geometry
+    assert(bitsFor(20000L) === 12)   // sf1: 4096 buckets/band, occupancy ~5
+    assert(bitsFor(200000L) === 15)  // sf10: occupancy ~6, still bounded
+    assert(bitsFor(10L) === 8)       // floor clamp
+    assert(bitsFor((8L << 24) + 1) === 24) // ceiling clamp (coalesce path)
+  }
+
+  test("srpLshAuto at a small corpus is bit-identical to the pinned default") {
+    val auto = Similarity.srpLshAuto(emb, dim = 2)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    val pinned = Similarity.srpLsh(emb, dim = 2)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    assert(auto === pinned && auto.nonEmpty)
+  }
+
   test("semanticPrune: near-dup cluster keeps its min id; singletons survive") {
     val e = Seq(
       (0L, Array(1f, 0.5f, -0.25f, 1f, 0f, 0.5f, -1f, 0.75f), 0),
