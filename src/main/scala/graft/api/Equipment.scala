@@ -296,6 +296,102 @@ object Equipment {
   def getRankedList(ranked: DataFrame, topN: Int): DataFrame =
     ranked.filter(col("rank") <= topN).orderBy(col("rank"))
 
+  /** Shared-bin density comparison of two value series — the DATA behind
+    * plot.py:795-857 `plot_histogram_comparison` (and each panel of
+    * plot.py:552-617 `plot_histograms`): aligned bin edges over the
+    * COMBINED envelope of both series (plot.py:747-793
+    * `compute_bin_edges`), per-series density = count / total / bin width
+    * (np.histogram density=True), one row per bin carrying both densities
+    * so a renderer overlays them. Plan shape: one union scan, a broadcast
+    * 2-value envelope, one groupBy — bins the chart needs, never a
+    * per-bin loop or a collect of the series.
+    */
+  def histogramComparison(a: DataFrame, b: DataFrame,
+                          valueCol: String = "value",
+                          numBins: Int = 10): DataFrame = {
+    val all = a.select(col(valueCol).cast("double").as("x"), lit("a").as("s"))
+      .unionAll(b.select(col(valueCol).cast("double").as("x"), lit("b").as("s")))
+    val env = all.agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .withColumn("width", (col("vmax") - col("vmin")) / numBins)
+    val counts = all.crossJoin(broadcast(env))
+      // a flat combined envelope puts everything in bin 0 (densities equal
+      // by construction) instead of NaN bins — same guard as rankSensors
+      .withColumn("bin", when(col("width") === 0, lit(0L)).otherwise(
+        least(floor((col("x") - col("vmin")) / col("width")).cast("long"),
+          lit(numBins - 1L))))
+      .groupBy(col("s"), col("bin")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("s")).agg(sum(col("c")).as("total"))
+    val dens = counts.join(totals, "s")
+      .crossJoin(broadcast(env))
+      .select(col("s"), col("bin"),
+        (col("c").cast("double") / col("total") /
+          when(col("width") === 0, lit(1.0)).otherwise(col("width"))).as("d"))
+    env.select(col("vmin"), col("width"),
+        explode(sequence(lit(0L), lit(numBins - 1L))).as("bin"))
+      .join(dens.filter(col("s") === "a").select(col("bin"), col("d").as("density_a")),
+        Seq("bin"), "left_outer")
+      .join(dens.filter(col("s") === "b").select(col("bin"), col("d").as("density_b")),
+        Seq("bin"), "left_outer")
+      .select(col("bin"),
+        (col("vmin") + col("bin") * col("width")).as("bin_start"),
+        (col("vmin") + (col("bin") + 1) * col("width")).as("bin_end"),
+        coalesce(col("density_a"), lit(0.0)).as("density_a"),
+        coalesce(col("density_b"), lit(0.0)).as("density_b"))
+      .orderBy(col("bin"))
+  }
+
+  /** The ranking grid of evaluation.py:315-478 (`plot_histograms_v2`) as a
+    * report SECTION: the reference draws one histogram panel per signal,
+    * titled with the tag and its rank, in decreasing Wasserstein-distance
+    * order and capped at `maxPlots` — this renders the same content as a
+    * markdown table (rank, component, sensor, score) from [[rankSensors]]'
+    * output. The collect is bounded by `maxPlots` rows by construction.
+    */
+  def buildEvaluationReport(ranked: DataFrame, maxPlots: Int = 12): String = {
+    val rows = getRankedList(ranked, maxPlots)
+      .select(col("rank"), col("component"), col("sensor"),
+        (round(col("score") * 1000000) / 1000000).as("score"))
+      .collect()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += "**SIGNAL RANKING: normal vs anomalous distribution shift**\n"
+    lines += s"*Top ${rows.length} signals by Wasserstein distance between the*"
+    lines += "*training-period and evaluation-period value densities.*\n"
+    lines += "| rank | component | sensor | distance |"
+    lines += "| --- | --- | --- | --- |"
+    rows.foreach { r =>
+      lines += s"| ${r.getAs[Int]("rank")} | ${r.getAs[String]("component")} " +
+        s"| ${r.getAs[String]("sensor")} | ${r.getAs[Double]("score")} |"
+    }
+    lines.mkString("\n")
+  }
+
+  /** The per-event top-signal table of plot.py:858-906 (`plot_event_barh`)
+    * as a report SECTION: the reference bar-chart shows, for one detected
+    * event, each contributing signal's feature importance (formatted
+    * `{v*100:.2f}%`), keeps the top `numSignals`, and draws the uniform
+    * line at 1/num_values (equal contribution) — signals above it are the
+    * diagnosis. Same content, tabular: importance descending, percent
+    * formatted exactly as the reference, and an `above_uniform` marker per
+    * row. `details` is the already-small (sensor → importance) map for ONE
+    * event (q09's diagnostics expansion provides it), so this is a pure
+    * function, not a Spark job.
+    */
+  def buildEventReport(eventTime: String, details: Seq[(String, Double)],
+                       numSignals: Int = 10): String = {
+    val uniform = 1.0 / details.size
+    val top = details.sortBy { case (n, v) => (-v, n) }.take(numSignals)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"**Event detected at $eventTime**\n"
+    lines += f"*Uniform-contribution line: ${uniform * 100}%.2f%% " +
+      s"(1/${details.size} signals); signals above it drive the detection.*\n"
+    lines += "| sensor | importance | above_uniform |"
+    lines += "| --- | --- | --- |"
+    top.foreach { case (name, v) =>
+      lines += f"| $name | ${v * 100}%.2f%% | ${if (v > uniform) "yes" else "no"} |"
+    }
+    lines.mkString("\n")
+  }
+
   /** Scheduler time-bucket arithmetic (scheduler.py:139-170): for a wakeup
     * at `now` with `frequencyMin`-minute scheduling, the inference input
     * window is the CURRENT bucket: start_time = now floored to the bucket,

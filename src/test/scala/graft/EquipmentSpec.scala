@@ -117,6 +117,42 @@ class EquipmentSpec extends SparkSpec {
     assert(ranked.toSeq === Seq("narrow", "wide"))
   }
 
+  test("histogramComparison: shared envelope, density=True normalization per series") {
+    // a in [0,10] (uniform over 10 points), b concentrated at 0 — shared
+    // bins must span the COMBINED envelope and each series' densities must
+    // integrate to 1 (Σ d·width = 1), the np.histogram(density=True)
+    // contract of plot.py:795-857
+    val a = (0 until 10).map(i => i.toDouble).toDF("value")
+    val b = Seq(0.0, 0.0, 0.0, 0.0).toDF("value")
+    val h = Equipment.histogramComparison(a, b, numBins = 9)
+    val rows = h.select("bin", "bin_start", "bin_end", "density_a", "density_b")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length === 9)
+    assert(rows.head._2 === 0.0 && rows.last._3 === 9.0) // combined [0,9]
+    val width = 1.0
+    assert(math.abs(rows.map(_._4).sum * width - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._5).sum * width - 1.0) < 1e-9)
+    // all of b lands in bin 0; a is uniform except the closed last bin
+    assert(rows.head._5 === 1.0 && rows.tail.forall(_._5 === 0.0))
+    assert(rows.head._4 === 0.1 && rows.last._4 === 0.2)
+  }
+
+  test("buildEvaluationReport renders the ranked Wasserstein table (evaluation.py:315-478 content)") {
+    val t0 = ts("2024-01-01 00:00:00").getTime / 1000
+    val anomalies = Seq((t0 + 600, t0 + 1140)).toDF("range_start", "range_end")
+    val md = Equipment.buildEvaluationReport(
+      Equipment.rankSensors(long, anomalies), maxPlots = 12)
+    assert(md.contains("**SIGNAL RANKING"))
+    assert(md.contains("| rank | component | sensor | distance |"))
+    // s1 (the shifted sensor) ranks first; s2 present; rank order is the line order
+    val tableLines = md.linesIterator.filter(_.startsWith("| 1 |")).toSeq
+    assert(tableLines.size === 1 && tableLines.head.contains("| s1 |"))
+    assert(md.linesIterator.count(_.matches("\\| \\d+ \\|.*")) === 2)
+    // renders through the existing builder to styled HTML
+    val html = graft.api.MarkdownHtml.render(md)
+    assert(html.contains("<strong>SIGNAL RANKING") && html.contains("<th>distance</th>"))
+  }
+
   test("generateReplayData shifts a history slice onto a new clock") {
     val replay = Equipment.generateReplayData(
       long, ts("2024-01-01 00:05:00"), ts("2025-06-01 00:00:00"), "PT5M", replayDays = 1)

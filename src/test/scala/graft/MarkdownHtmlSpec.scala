@@ -71,6 +71,32 @@ class MarkdownHtmlSpec extends AnyFunSuite {
     assert(html === expected)
   }
 
+  test("buildEventReport renders plot_event_barh's content: top-N, percent format, uniform line") {
+    // 5 signals → uniform line at 20.00%; top 3 requested
+    val details = Seq(
+      ("s_flow", 0.42), ("s_temp", 0.25), ("s_pressure", 0.18),
+      ("s_rpm", 0.10), ("s_voltage", 0.05))
+    val md = Equipment.buildEventReport("2024-01-01 00:10:00", details, numSignals = 3)
+    assert(md.contains("**Event detected at 2024-01-01 00:10:00**"))
+    assert(md.contains("20.00%")) // 1/5 uniform-contribution line
+    // top-3 by importance, descending, reference {v*100:.2f}% formatting
+    val rows = md.linesIterator.filter(_.matches("\\| s_.*")).toSeq
+    assert(rows === Seq(
+      "| s_flow | 42.00% | yes |",
+      "| s_temp | 25.00% | yes |",
+      "| s_pressure | 18.00% | no |"))
+    // golden-pins the rendered section so content drift is a visible diff
+    val html = MarkdownHtml.render(md)
+    val golden = java.nio.file.Paths.get("src/test/resources/event-report.html")
+    if (sys.env.get("GRAFT_REGEN_GOLDEN").contains("1")) {
+      java.nio.file.Files.write(golden,
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val expected = new String(java.nio.file.Files.readAllBytes(golden),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(html === expected)
+  }
+
   test("exportToFile writes the rendered document") {
     val tmp = java.nio.file.Files.createTempFile("report", ".html")
     val html = MarkdownHtml.exportToFile(report, tmp)
