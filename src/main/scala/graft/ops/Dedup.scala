@@ -14,9 +14,15 @@ import graft.functions.DecimalDot
   * every O(n²) "compare all pairs" into an inverted-index / band-bucket
   * shuffle join keyed on the shared token, so the only pairs materialized are
   * the ones that actually collide. At 100 TB the remaining skew risk is a
-  * high-document-frequency shingle; AQE skew-join splits those buckets, and a
-  * DF-cap filter (drop shingles occurring in > N docs — they carry no dedup
-  * signal) is the standard mitigation, kept out of the small-SF oracle here.
+  * high-document-frequency shingle — and AQE skew-split measurably CANNOT
+  * absorb it (AqeSkewJoinSpec pins why: the self-join is hot on both sides
+  * of the same key, and the family's other joins have aggregate children
+  * the rule's pattern doesn't match), so the mitigations are structural:
+  * prefix-demotion keeps hot shingles out of the candidate index, and the
+  * DF-cap (drop shingles occurring in > N docs — they carry no dedup
+  * signal) removes them from the join keys entirely. The capped
+  * configuration is itself oracle-pinned (q389/q390, caps that bite at the
+  * test SF).
   *
   * Portable-hash rule (SURVEY.md §3): every hash is an md5 hex string, which
   * DuckDB computes identically; MinHash is the lexicographic min of salted

@@ -47,4 +47,83 @@ class AqeSkewJoinSpec extends SparkSpec {
       case (key, None) => spark.conf.unset(key)
     }
   }
+
+  test("dedup joins are structurally outside AQE skew-split's reach; the DF cap removes the hot pair mass") {
+    import graft.ops.Dedup
+    // 600 documents, each otherwise-unique, all sharing ONE boilerplate
+    // 3-gram built from padded words (so the hot shuffle partition trips
+    // the test-sized byte threshold) — the Zipfian stop-shingle scenario
+    // of SURVEY §4 / Dedup's scale notes
+    // Skew detection reads COMPRESSED shuffle sizes (MapStatus), and the
+    // hot rows are (doc_id, constant-string) pairs that lz4 crushes — so
+    // the fixture separates the masses: 2000 hot docs that are EXACTLY the
+    // padded hot phrase (one shingle each, no heavy boundary shingles
+    // polluting the tail partitions) vs 500 short unique-text tail docs.
+    val pad = "z" * 100
+    val docs = ((0 until 2000).map(i => (i.toLong, s"${pad}1 ${pad}2 ${pad}3", "s")) ++
+      (0 until 500).map(i => ((10000 + i).toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e", "s")))
+      .toDF("doc_id", "text", "source")
+
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+
+      // MEASURED BOUNDARY, pinned as assertions: AQE skew-split cannot
+      // reach the dedup joins, for two structural reasons —
+      //
+      // (a) the inverted-index SELF-join is hot on BOTH sides of the same
+      //     key; OptimizeSkewedJoin splits one side and replicates the
+      //     other, so a both-sides-hot partition is unsplittable;
+      // (b) every other join in the family (sh ⋈ freq annotation, the
+      //     candidate verify) has an AGGREGATE (distinct / groupBy) as a
+      //     join child, and the rule's pattern only matches
+      //     Sort ← ShuffleQueryStage directly on both children (a
+      //     repartition() interpose doesn't help either — the rule
+      //     restricts itself to ENSURE_REQUIREMENTS shuffle origins).
+      //
+      // A threshold above 1 keeps the OUTPUT empty (hot pairs have jaccard
+      // exactly 1.0) so the collects are cheap while the joins still chew
+      // the full 2M-pair hot mass. If either assertion flips on a Spark
+      // upgrade, AQE learned a new trick — revisit Dedup's scale notes.
+      val direct = Dedup.ngramJaccard(docs, minJaccard = 1.01)
+      assert(direct.collect().isEmpty)
+      val planD = direct.queryExecution.executedPlan.toString
+      assert(planD.contains("isFinalPlan=true"))
+      assert(!planD.contains("skew=true"),
+        "AQE claims to split a both-sides-hot self-join now — revisit the Dedup scale notes")
+
+      val pref = Dedup.ngramJaccardPrefix(docs, minJaccard = 1.01)
+      assert(pref.collect().isEmpty)
+      val planP = pref.queryExecution.executedPlan.toString
+      assert(planP.contains("isFinalPlan=true"))
+      assert(!planP.contains("skew=true"),
+        "AQE now splits joins with aggregate children — revisit the Dedup scale notes")
+
+      // the DF-capped path never materializes the hot mass at all: the
+      // boilerplate shingle (df = 600 > 5) is cut before the join, so the
+      // candidate pair count collapses from the hot key's 600·599/2 to 0
+      val sh = Dedup.shingles(docs)
+      val hotPairs = sh.toDF("doc_a", "sh")
+        .join(sh.toDF("doc_b", "sh"), Seq("sh"))
+        .where($"doc_a" < $"doc_b").count()
+      assert(hotPairs >= 2000L * 1999 / 2)
+      val keep = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .where($"df" <= 5).select("sh")
+      val cappedPairs = sh.join(keep, "sh").select("doc_id", "sh").toDF("doc_a", "sh")
+        .join(sh.join(keep, "sh").select("doc_id", "sh").toDF("doc_b", "sh"), Seq("sh"))
+        .where($"doc_a" < $"doc_b").count()
+      assert(cappedPairs === 0L)
+      assert(Dedup.ngramJaccardCapped(docs, minJaccard = 0.5, maxDf = 5).count() === 0L)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
 }
