@@ -937,9 +937,10 @@ object SparkEntry {
         |FROM n ORDER BY 1,2""".stripMargin,
     "q13_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),4) sum_qty, round(sum(l_extendedprice),4) sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),4) sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) sum_charge,
+        | round(CAST(sum(CAST(round(l_quantity*1e10)/1e10 AS DECIMAL(38,10))) AS DOUBLE),4) sum_qty,
+        | round(CAST(sum(CAST(round(l_extendedprice*1e10)/1e10 AS DECIMAL(38,10))) AS DOUBLE),4) sum_base_price,
+        | round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1e10)/1e10 AS DECIMAL(38,10))) AS DOUBLE),4) sum_disc_price,
+        | round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1e10)/1e10 AS DECIMAL(38,10))) AS DOUBLE),4) sum_charge,
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/count(l_quantity)*10000)/10000 avg_qty,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/count(l_extendedprice)*10000)/10000 avg_price,
         | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(l_discount)*10000)/10000 avg_disc, count(*) count_order
@@ -4006,17 +4007,17 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q180_rolling_moments" ->
       """WITH ev AS (SELECT event_type, ts, event_id,
-        |    CAST(value AS DECIMAL(18,6)) x1,
-        |    CAST(value*value AS DECIMAL(28,10)) x2,
-        |    CAST(value*value*value AS DECIMAL(28,8)) x3,
-        |    CAST(value*value*value*value AS DECIMAL(38,8)) x4
+        |    CAST(round(value*1e6) AS DECIMAL(38,0)) x1,
+        |    CAST(round(value*value*1e10) AS DECIMAL(38,0)) x2,
+        |    CAST(round(value*value*value*1e8) AS DECIMAL(38,0)) x3,
+        |    CAST(round(value*value*value*value*1e8) AS DECIMAL(38,0)) x4
         |  FROM events),
         |s AS (SELECT event_type, event_id,
         |    count(*) OVER w k,
-        |    CAST(sum(x1) OVER w AS DOUBLE)/25.0 m,
-        |    CAST(sum(x2) OVER w AS DOUBLE)/25.0 a2,
-        |    CAST(sum(x3) OVER w AS DOUBLE)/25.0 a3,
-        |    CAST(sum(x4) OVER w AS DOUBLE)/25.0 a4
+        |    CAST(sum(x1) OVER w AS DOUBLE)/1e6/25.0 m,
+        |    CAST(sum(x2) OVER w AS DOUBLE)/1e10/25.0 a2,
+        |    CAST(sum(x3) OVER w AS DOUBLE)/1e8/25.0 a3,
+        |    CAST(sum(x4) OVER w AS DOUBLE)/1e8/25.0 a4
         |  FROM ev
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),
@@ -4026,8 +4027,8 @@ object SparkEntry {
         |    a4 - 4.0*m*a3 + 6.0*m*m*a2 - 3.0*m*m*m*m AS m4
         |  FROM s WHERE k = 25)
         |SELECT event_type, event_id,
-        |  round(m3/(m2*sqrt(m2))*1000000)/1000000 AS skew,
-        |  round((m4/(m2*m2) - 3.0)*1000000)/1000000 AS kurt
+        |  round(m3/(m2*sqrt(m2))*1000000)/1000000 + 0.0 AS skew,
+        |  round((m4/(m2*m2) - 3.0)*1000000)/1000000 + 0.0 AS kurt
         |FROM c ORDER BY 1, 2""".stripMargin,
     "q181_runs_test" ->
       """WITH med AS (SELECT event_type,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -13,16 +13,24 @@ import graft.ops.TimeSeries.{exactAvg, r4}
   */
 object Relational {
 
-  /** q13: pricing summary (TPC-H Q1 shape) — one shuffle, map-side combine. */
+  /** q13: pricing summary (TPC-H Q1 shape) — one shuffle, map-side combine.
+    * Every SUM is a per-row-snapped DECIMAL sum (round(x·1e10)/1e10 →
+    * decimal(38,10)), not a double sum: double accumulation is
+    * partition-order-dependent, and at the sf1 rehearsal (6M rows) the
+    * drifted ulp crossed a round(·,4) boundary vs the oracle
+    * (sum_disc_price …2316.2499 vs …2316.25 — the CORRECTNESS_sf1 catch).
+    */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    def snapSum(c: Column): Column =
+      sum((round(c * lit(1e10)) / lit(1e10)).cast("decimal(38,10)")).cast("double")
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(snapSum(col("l_quantity")), 4).as("sum_qty"),
+        round(snapSum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(snapSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(snapSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
         r4(exactAvg(col("l_quantity"))).as("avg_qty"),
         r4(exactAvg(col("l_extendedprice"))).as("avg_price"),
         r4(exactAvg(col("l_discount"))).as("avg_disc"),

@@ -1201,13 +1201,22 @@ object TimeSeries {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-(win - 1), 0)
     val n = lit(win.toDouble)
+    // Per-row powers snapped to INTEGER-VALUED doubles (round(x·10^s)),
+    // then summed as exact decimal(38,0). A direct CAST(v*v AS DECIMAL(p,s))
+    // asks both engines to round a double at sub-ulp decimal places — they
+    // disagree by 1 unit in ~1e-6 of rows, and the m2 = a2 − m² cancellation
+    // in a near-constant window amplifies that ulp into the 6th output
+    // decimal (the CORRECTNESS_sf1 q180 catch). round() of the identical
+    // double is engine-identical, and every double ≥ 2^52 is exactly an
+    // integer, so the decimal cast below never rounds again.
+    def snap(x: Column, scale: Double): Column =
+      round(x * lit(scale)).cast("decimal(38,0)")
+    val v = col("value")
     val ev = events.select(col("event_type"), col("ts"), col("event_id"),
-      col("value").cast("decimal(18,6)").as("x1"),
-      (col("value") * col("value")).cast("decimal(28,10)").as("x2"),
-      (col("value") * col("value") * col("value"))
-        .cast("decimal(28,8)").as("x3"),
-      (col("value") * col("value") * col("value") * col("value"))
-        .cast("decimal(38,8)").as("x4"))
+      snap(v, 1e6).as("x1"),
+      snap(v * v, 1e10).as("x2"),
+      snap(v * v * v, 1e8).as("x3"),
+      snap(v * v * v * v, 1e8).as("x4"))
     val sums = ev
       .withColumn("k", count(lit(1)).over(w))
       .withColumn("sx", sum(col("x1")).over(w))
@@ -1215,18 +1224,20 @@ object TimeSeries {
       .withColumn("sx3", sum(col("x3")).over(w))
       .withColumn("sx4", sum(col("x4")).over(w))
       .where(col("k") === win)
-    val m = col("sx").cast("double") / n
-    val a2 = col("sx2").cast("double") / n
-    val a3 = col("sx3").cast("double") / n
-    val a4 = col("sx4").cast("double") / n
+    val m = col("sx").cast("double") / lit(1e6) / n
+    val a2 = col("sx2").cast("double") / lit(1e10) / n
+    val a3 = col("sx3").cast("double") / lit(1e8) / n
+    val a4 = col("sx4").cast("double") / lit(1e8) / n
     val m2 = a2 - m * m
     val m3 = a3 - lit(3.0) * m * a2 + lit(2.0) * m * m * m
     val m4 = a4 - lit(4.0) * m * a3 + lit(6.0) * m * m * a2 -
       lit(3.0) * m * m * m * m
+    // + 0.0 normalizes IEEE −0.0 (DuckDB's round keeps it; Spark's
+    // BigDecimal-based round cannot produce it) — textually mirrored in SQL
     sums.select(col("event_type"), col("event_id"),
-      (round(m3 / (m2 * sqrt(m2)) * lit(1000000)) / lit(1000000.0))
+      (round(m3 / (m2 * sqrt(m2)) * lit(1000000)) / lit(1000000.0) + lit(0.0))
         .as("skew"),
-      (round((m4 / (m2 * m2) - lit(3.0)) * lit(1000000)) / lit(1000000.0))
+      (round((m4 / (m2 * m2) - lit(3.0)) * lit(1000000)) / lit(1000000.0) + lit(0.0))
         .as("kurt"))
   }
 

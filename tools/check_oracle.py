@@ -69,12 +69,19 @@ def type_mismatches(got_desc, exp_desc):
     return errs
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is a single parquet FILE; Spark-written synthetic
+        # SFs (graft.ScaleUp) are DIRECTORIES of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -102,8 +109,9 @@ def main(out_dir, sf_dir):
         elif got != exp:
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             diff = [(a, b) for a, b in zip(got, exp) if a != b][:3]
-            only_got = [r for r in got if r not in set(exp)][:3]
-            only_exp = [r for r in exp if r not in set(got)][:3]
+            exp_set, got_set = set(exp), set(got)  # once — not per element
+            only_got = [r for r in got if r not in exp_set][:3]
+            only_exp = [r for r in exp if r not in got_set][:3]
             for a, b in diff:
                 print(f"  first diffs: spark={a}\n               oracle={b}")
                 break
@@ -120,4 +128,6 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: comma-separated query filter (resumable sweeps)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
