@@ -1190,7 +1190,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_revenue_rollup" ->
       """SELECT r.r_name, n.n_name,
-        | round(sum(l.l_extendedprice*(1-l.l_discount)),4) revenue, count(*) n_items
+        | round(CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1e10)/1e10 AS DECIMAL(38,10))) AS DOUBLE),4) revenue, count(*) n_items
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey=s.s_suppkey
         |JOIN nation n ON s.s_nationkey=n.n_nationkey
@@ -1679,7 +1679,7 @@ object SparkEntry {
         |        CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) rn
         |      FROM p)
         |SELECT rn, doc_id, lang, n_chars,
-        |  round(priority*10000000)/10000000 priority
+        |  round(priority*10000000)/10000000 + 0.0 priority
         |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin,
     "q65_quantized_recall" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -6574,21 +6574,21 @@ object SparkEntry {
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY 1, 2""".stripMargin,
     "q290_interval_coverage" ->
-      """WITH iv AS (SELECT event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) s,
-        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 e
-        |  FROM events),
+      """WITH iv AS (SELECT event_type, s, CAST(count(*) AS BIGINT) cnt,
+        |    s + 1800 e
+        |  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) s
+        |        FROM events) GROUP BY 1, 2),
         |mm AS (SELECT *, max(e) OVER (PARTITION BY event_type
-        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |    pmax
         |  FROM iv),
         |op AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
         |    THEN 1 ELSE 0 END opens FROM mm),
         |sg AS (SELECT *, sum(opens) OVER (PARTITION BY event_type
-        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    seg
         |  FROM op),
-        |g AS (SELECT event_type, seg, CAST(count(*) AS BIGINT) n,
+        |g AS (SELECT event_type, seg, CAST(sum(cnt) AS BIGINT) n,
         |    min(s) ss, max(e) se
         |  FROM sg GROUP BY 1, 2)
         |SELECT event_type, CAST(sum(n) AS BIGINT) n_intervals,
@@ -8355,18 +8355,18 @@ object SparkEntry {
         |FROM g CROSS JOIN t ORDER BY 1""".stripMargin,
     "q354_flow_reciprocity" ->
       """WITH fl AS (SELECT s_nationkey sn, c_nationkey cn,
-        |    sum(CAST(l_extendedprice*(1 - l_discount) AS DECIMAL(18,6))) f
+        |    sum(CAST(round(l_extendedprice*(1 - l_discount)*1e2) AS DECIMAL(38,0))) f
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2),
         |d AS MATERIALIZED (SELECT * FROM fl WHERE sn <> cn),
         |j AS (SELECT a.sn, a.cn, a.f,
-        |    coalesce(b.f, CAST(0 AS DECIMAL(28,6))) fr
+        |    coalesce(b.f, CAST(0 AS DECIMAL(38,0))) fr
         |  FROM d a LEFT JOIN d b ON b.sn = a.cn AND b.cn = a.sn)
         |SELECT CAST(count(*) AS BIGINT) n_pairs,
-        |  round(CAST(sum(f) AS DOUBLE)*10000)/10000.0 AS total_flow,
-        |  round(CAST(sum(least(f, fr)) AS DOUBLE)*10000)/10000.0
+        |  round(CAST(sum(f) AS DOUBLE)/1e2*10000)/10000.0 AS total_flow,
+        |  round(CAST(sum(least(f, fr)) AS DOUBLE)/1e2*10000)/10000.0
         |    AS reciprocal_flow,
         |  round(CAST(sum(least(f, fr)) AS DOUBLE)/CAST(sum(f) AS DOUBLE)
         |    *1000000)/1000000.0 AS reciprocity

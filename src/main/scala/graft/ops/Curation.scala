@@ -170,7 +170,9 @@ object Curation {
       .withColumn("rn", row_number().over(
         Window.orderBy(col("priority").desc, col("doc_id"))))
       .select(col("rn"), col("doc_id"), col("lang"), col("n_chars"),
-        (round(col("priority") * 10000000) / 10000000).as("priority"))
+        // + 0.0 normalizes IEEE −0.0 (a tiny negative priority rounds to
+        // −0.0 in DuckDB; Spark's BigDecimal round cannot produce it)
+        (round(col("priority") * 10000000) / 10000000 + lit(0.0)).as("priority"))
   }
 
   def weightedSample(spark: SparkSession, sfDir: String): DataFrame =

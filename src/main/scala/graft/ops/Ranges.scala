@@ -1025,11 +1025,20 @@ object Ranges {
     * everything after is per-segment aggregation. All integer seconds.
     */
   def intervalCoverage(events: DataFrame, lenSec: Int = 1800): DataFrame = {
+    // Duplicate timestamps collapse to one weighted interval BEFORE the
+    // sweep: identical intervals can never open a segment, and the distinct
+    // start makes the window ORDER tie-free — a ROWS frame over TIED keys
+    // has order-dependent frame contents, which the sf1 gate caught as
+    // NONDETERMINISTIC DuckDB oracle output (two runs of the same query,
+    // different segment counts) once partitions reached ~200k rows. The
+    // weighted pre-aggregate is also the better plan: the O(n) window runs
+    // over distinct starts, not raw events.
     val iv = events.select(col("event_type"),
         unix_timestamp(col("ts")).as("s"))
+      .groupBy(col("event_type"), col("s"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("e", col("s") + lenSec)
-    val ord = Window.partitionBy(col("event_type"))
-      .orderBy(col("s"), col("e"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("s"))
     val seg = iv
       .withColumn("pmax",
         max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
@@ -1038,7 +1047,7 @@ object Ranges {
       .withColumn("seg",
         sum(col("opens")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
     seg.groupBy(col("event_type"), col("seg"))
-      .agg(count(lit(1)).as("n"), min(col("s")).as("ss"), max(col("e")).as("se"))
+      .agg(sum(col("cnt")).as("n"), min(col("s")).as("ss"), max(col("e")).as("se"))
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_intervals"),
         count(lit(1)).as("n_merged"),

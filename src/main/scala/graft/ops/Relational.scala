@@ -782,11 +782,15 @@ object Relational {
 
   /** q35: multi-level rollup (region → nation → grand total) in one pass —
     * GROUPING SETS expand map-side, so the fact table is still scanned and
-    * shuffled once.
+    * shuffled once. Revenue is a per-row-snapped DECIMAL sum (q13's sf1
+    * lesson: double sums are partition-order-dependent and cross round(.,4)
+    * boundaries at millions of rows).
     */
   def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_suppkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .select(col("l_suppkey"),
+        (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e10))
+          / lit(1e10)).cast("decimal(38,10)").as("rev"))
     val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
     val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val r = Tables.region(spark, sfDir).select(col("r_regionkey"), col("r_name"))
@@ -794,7 +798,8 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum(col("rev")), 4).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
   }
 
   /** q37: wide activity pivot — one row per user, one count column per event
@@ -2650,8 +2655,18 @@ object Relational {
     */
   def flowReciprocity(lineitem: DataFrame, orders: DataFrame,
                       customer: DataFrame, supplier: DataFrame): DataFrame = {
-    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .cast("decimal(18,6)")
+    // cent-unit integer snap (round(x·1e2) is an engine-identical double,
+    // exact as an integer) — a direct CAST(double AS DECIMAL) can differ
+    // by 1 unit in the last place between engines (q180's sf1 lesson), and
+    // at sf1 even a micro-unit (1e6) snap flapped: DuckDB's aggregate tail
+    // over >2^53-magnitude decimals returned nondeterministic doubles
+    // across identical runs. At cents, the corpus-wide flow total stays
+    // ~1e13 — below 2^53 — so EVERY internal representation (hugeint,
+    // int64, double) is exact and the pipeline is deterministic by
+    // construction. Flows rounded to cents is also the honest business
+    // spec for currency.
+    val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * lit(1e2)).cast("decimal(38,0)")
     val flows = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
       .join(supplier.select(col("s_suppkey"), col("s_nationkey").as("sn")),
@@ -2666,13 +2681,13 @@ object Relational {
     val back = flows.select(col("cn").as("sn"), col("sn").as("cn"),
       col("f").as("fr"))
     flows.join(back, Seq("sn", "cn"), "left")
-      .withColumn("fr0", coalesce(col("fr"), lit(0).cast("decimal(28,6)")))
+      .withColumn("fr0", coalesce(col("fr"), lit(0).cast("decimal(38,0)")))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("f")).as("tot"), sum(least(col("f"), col("fr0"))).as("rec"))
       .select(col("n_pairs"),
-        (round(col("tot").cast("double") * 10000) / 10000.0)
+        (round(col("tot").cast("double") / lit(1e2) * 10000) / 10000.0)
           .as("total_flow"),
-        (round(col("rec").cast("double") * 10000) / 10000.0)
+        (round(col("rec").cast("double") / lit(1e2) * 10000) / 10000.0)
           .as("reciprocal_flow"),
         (round(col("rec").cast("double") / col("tot").cast("double")
           * 1000000) / 1000000.0).as("reciprocity"))
