@@ -2323,14 +2323,14 @@ object SparkEntry {
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
         |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
         |       FROM d WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
         |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
         |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
         |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
         |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
         |                 md5(string_agg(m, '|' ORDER BY salt)) sig
         |          FROM mh GROUP BY 1,2),
-        |bsz0 AS (SELECT doc_id, band, sig,
+        |bsz0 AS MATERIALIZED (SELECT doc_id, band, sig,
         |                count(*) OVER (PARTITION BY band, sig) bc FROM bands),
         |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
         |          FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
@@ -2340,7 +2340,7 @@ object SparkEntry {
         |           SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
         |           FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
         |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
-        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |edges AS MATERIALIZED (SELECT doc_a u, doc_b v FROM allp
         |          UNION SELECT doc_b, doc_a FROM allp),
         |reach(node, comp) AS (
         |  SELECT u, u FROM edges
@@ -7729,14 +7729,14 @@ object SparkEntry {
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
         |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
         |       FROM d WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
         |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
         |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
         |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
         |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
         |                 md5(string_agg(m, '|' ORDER BY salt)) sig
         |          FROM mh GROUP BY 1,2),
-        |bsz0 AS (SELECT doc_id, band, sig,
+        |bsz0 AS MATERIALIZED (SELECT doc_id, band, sig,
         |                count(*) OVER (PARTITION BY band, sig) bc FROM bands),
         |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
         |          FROM bsz0 a JOIN bsz0 b ON a.band = b.band AND a.sig = b.sig
@@ -7746,7 +7746,7 @@ object SparkEntry {
         |           SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) mn
         |           FROM bsz0 WHERE bc > 64) WHERE doc_id <> mn),
         |allp AS (SELECT * FROM pairs UNION SELECT * FROM star),
-        |edges AS (SELECT doc_a u, doc_b v FROM allp
+        |edges AS MATERIALIZED (SELECT doc_a u, doc_b v FROM allp
         |          UNION SELECT doc_b, doc_a FROM allp),
         |reach(node, comp) AS (
         |  SELECT u, u FROM edges
