@@ -789,7 +789,11 @@ object SparkEntry {
     "q389_capped_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardCapped(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q390_capped_containment" -> ((s, d) =>
-      Dedup.containmentPairsCapped(s, d).orderBy(col("doc_a"), col("doc_b")))
+      Dedup.containmentPairsCapped(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q391_ivfpq_recall" -> ((s, d) =>
+      Similarity.ivfPqRecall(s, d).orderBy(col("probe_id"))),
+    "q392_kcenter_coreset" -> ((s, d) =>
+      Similarity.kcenterCoreset(s, d).orderBy(col("k")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9467,7 +9471,9 @@ object SparkEntry {
         |  round(CAST(ex.n_shared AS DOUBLE) / sz.n_sh * 10000) / 10000 AS containment
         |FROM ex JOIN sz ON sz.doc_id = ex.doc_a
         |WHERE CAST(ex.n_shared AS DOUBLE) / sz.n_sh >= 0.8
-        |ORDER BY ex.doc_a, ex.doc_b""".stripMargin
+        |ORDER BY ex.doc_a, ex.doc_b""".stripMargin,
+    "q391_ivfpq_recall" -> ivfPqOracle(iters = 2, m = 4, k = 8),
+    "q392_kcenter_coreset" -> kcenterOracle(t = 6)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -9565,7 +9571,11 @@ object SparkEntry {
     * subspace-keyed Lloyd rounds ending at `asg<iters>` (vec_id, s, c, d2)
     * and the final codebook `c<iters>`.
     */
-  private def pqTrainSql(iters: Int, m: Int, k: Int): String = {
+  /** The Lloyd rounds of the PQ trainer as CTE text, agnostic to what the
+    * `xx`/`vvs` dim CTEs hold (raw interleaved dims for q377/q382,
+    * cell residuals for q391) — emits c0..c$iters and asg0..asg$iters.
+    */
+  private def pqRoundsSql(iters: Int, k: Int): String = {
     def assignBlock(r: Int): String =
       s"""cc$r AS MATERIALIZED (SELECT s, c,
          |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
@@ -9589,6 +9599,13 @@ object SparkEntry {
          |  FROM asg$r a JOIN xx ON a.vec_id = xx.vec_id AND a.s = xx.s
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
+    s"""c0 AS MATERIALIZED (SELECT s, vec_id c, i, x cd FROM xx
+       |  WHERE vec_id < $k),
+       |$rounds,
+       |${assignBlock(iters)}""".stripMargin
+  }
+
+  private def pqTrainSql(iters: Int, m: Int, k: Int): String =
     s"""xx AS MATERIALIZED (SELECT vec_id, i, CAST((i - 1) % $m AS INT) s,
        |    CAST(embedding[i] AS DOUBLE) x
        |  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
@@ -9596,11 +9613,107 @@ object SparkEntry {
        |vvs AS MATERIALIZED (SELECT vec_id, s,
        |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) vv
        |  FROM xx GROUP BY 1, 2),
-       |c0 AS MATERIALIZED (SELECT s, vec_id c, i, x cd FROM xx
-       |  WHERE vec_id < $k),
-       |$rounds,
-       |${assignBlock(iters)}""".stripMargin
-  }
+       |${pqRoundsSql(iters, k)}""".stripMargin
+
+  /** q391 oracle: coarse per-cell centroids, residual dims (raw − cell
+    * centroid) as `xx`, the q377 training rounds verbatim over those
+    * residuals, the q26 shortlist on raw dims (keeping ⟨p, c_cell⟩), the
+    * cell-independent probe LUT, reconstructed-norm scalars, ADC restricted
+    * to probed cells, and recall against the exact top-k — replaying
+    * [[graft.ops.Similarity.ivfPqRecall]] state for state.
+    */
+  private def ivfPqOracle(iters: Int, m: Int, k: Int,
+                          nProbes: Int = 10, topK: Int = 5,
+                          nprobe: Int = 2): String =
+    s"""WITH rw AS MATERIALIZED (SELECT vec_id, label, i,
+       |    CAST((i - 1) % $m AS INT) s, CAST(embedding[i] AS DOUBLE) x
+       |  FROM (SELECT vec_id, label,
+       |          unnest(generate_series(1, len(embedding))) i, embedding
+       |        FROM embeddings)),
+       |cent AS MATERIALIZED (SELECT label, i,
+       |    CAST(sum(CAST(x AS DECIMAL(30,20))) AS DOUBLE)/count(*) ccd
+       |  FROM rw GROUP BY 1, 2),
+       |xx AS MATERIALIZED (SELECT rw.vec_id, rw.i, rw.s, rw.x - cent.ccd x
+       |  FROM rw JOIN cent ON rw.label = cent.label AND rw.i = cent.i),
+       |vvs AS MATERIALIZED (SELECT vec_id, s,
+       |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) vv
+       |  FROM xx GROUP BY 1, 2),
+       |${pqRoundsSql(iters, k)},
+       |nall AS MATERIALIZED (SELECT vec_id,
+       |    sqrt(CAST(sum(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) nrm
+       |  FROM rw GROUP BY 1),
+       |pns AS (SELECT vec_id probe_id, nrm pn FROM nall
+       |  WHERE vec_id < $nProbes),
+       |cnr AS (SELECT label,
+       |    sqrt(CAST(sum(CAST(ccd*ccd AS DECIMAL(18,16))) AS DOUBLE)) cnrm
+       |  FROM cent GROUP BY 1),
+       |pdp AS (SELECT p.vec_id probe_id, cent.label,
+       |    CAST(sum(CAST(p.x*cent.ccd AS DECIMAL(18,16))) AS DOUBLE) pcdot
+       |  FROM rw p JOIN cent ON p.i = cent.i WHERE p.vec_id < $nProbes
+       |  GROUP BY 1, 2),
+       |shl AS MATERIALIZED (SELECT probe_id, label, pcdot FROM (
+       |    SELECT pdp.probe_id, pdp.label, pdp.pcdot,
+       |      row_number() OVER (PARTITION BY pdp.probe_id
+       |        ORDER BY pcdot/(pns.pn*cnr.cnrm) DESC, pdp.label) crk
+       |    FROM pdp JOIN pns ON pdp.probe_id = pns.probe_id
+       |      JOIN cnr ON pdp.label = cnr.label) WHERE crk <= $nprobe),
+       |lut AS MATERIALIZED (SELECT p.vec_id probe_id, c.s, c.c,
+       |    CAST(sum(CAST(p.x*c.cd AS DECIMAL(28,16))) AS DOUBLE) part
+       |  FROM rw p JOIN c$iters c ON p.i = c.i WHERE p.vec_id < $nProbes
+       |  GROUP BY 1, 2, 3),
+       |cn2 AS (SELECT label,
+       |    CAST(sum(CAST(ccd*ccd AS DECIMAL(28,16))) AS DOUBLE) cn2
+       |  FROM cent GROUP BY 1),
+       |ccw AS MATERIALIZED (SELECT cent.label, c.s, c.c,
+       |    CAST(sum(CAST(cent.ccd*c.cd AS DECIMAL(28,16))) AS DOUBLE) ccw
+       |  FROM cent JOIN c$iters c ON cent.i = c.i GROUP BY 1, 2, 3),
+       |ccf AS (SELECT s, c,
+       |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
+       |  FROM c$iters GROUP BY 1, 2),
+       |vl AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+       |rsum AS (SELECT a.vec_id, vl.label,
+       |    CAST(sum(CAST(round((2.0*ccw.ccw + ccf.cc)*1e12)/1e12
+       |      AS DECIMAL(28,12))) AS DOUBLE) rsum
+       |  FROM asg$iters a JOIN vl ON a.vec_id = vl.vec_id
+       |    JOIN ccw ON vl.label = ccw.label AND a.s = ccw.s AND a.c = ccw.c
+       |    JOIN ccf ON a.s = ccf.s AND a.c = ccf.c
+       |  GROUP BY 1, 2),
+       |rnm AS MATERIALIZED (SELECT rsum.vec_id,
+       |    sqrt(cn2.cn2 + rsum.rsum) rnrm
+       |  FROM rsum JOIN cn2 ON rsum.label = cn2.label),
+       |adc AS MATERIALIZED (SELECT shl.probe_id, a.vec_id, shl.pcdot,
+       |    CAST(sum(CAST(l.part AS DECIMAL(28,16))) AS DOUBLE) radot
+       |  FROM asg$iters a JOIN vl ON a.vec_id = vl.vec_id
+       |    JOIN shl ON vl.label = shl.label
+       |    JOIN lut l ON l.probe_id = shl.probe_id AND l.s = a.s
+       |      AND l.c = a.c
+       |  WHERE a.vec_id <> shl.probe_id
+       |  GROUP BY 1, 2, 3),
+       |approx AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+       |    SELECT adc.probe_id, adc.vec_id neighbor_id,
+       |      row_number() OVER (PARTITION BY adc.probe_id
+       |        ORDER BY round((adc.radot + adc.pcdot)/(pns.pn*rnm.rnrm)*1e12)/1e12
+       |          DESC, adc.vec_id) rnk
+       |    FROM adc JOIN rnm ON adc.vec_id = rnm.vec_id
+       |      JOIN pns ON adc.probe_id = pns.probe_id) WHERE rnk <= $topK),
+       |d1 AS MATERIALIZED (SELECT p.vec_id probe_id, cnd.vec_id neighbor_id,
+       |    CAST(sum(CAST(p.x*cnd.x AS DECIMAL(18,16))) AS DOUBLE) dot
+       |  FROM rw p JOIN rw cnd ON p.i = cnd.i AND p.vec_id < $nProbes
+       |    AND p.vec_id <> cnd.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+       |    FROM d1 JOIN nall np ON probe_id = np.vec_id
+       |      JOIN nall nc ON neighbor_id = nc.vec_id) WHERE rnk <= $topK),
+       |hits AS (SELECT t.probe_id, count(*) n_hits FROM truth t JOIN approx a
+       |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY 1),
+       |tot AS (SELECT probe_id, count(*) n_true FROM truth GROUP BY 1)
+       |SELECT tot.probe_id, coalesce(n_hits, 0) n_hits, n_true,
+       |  round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 recall
+       |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin
 
   /** q382 oracle: the distortion census over the shared PQ training state —
     * the q259-WSS snap discipline on the per-subspace d².
@@ -9725,6 +9838,69 @@ object SparkEntry {
        |SELECT tot.probe_id, coalesce(n_hits, 0) n_hits, n_true,
        |  round(CAST(coalesce(n_hits, 0) AS DOUBLE)/n_true*10000)/10000 recall
        |FROM tot LEFT JOIN hits ON tot.probe_id = hits.probe_id ORDER BY 1""".stripMargin
+  }
+
+  /** q392 oracle: the Gonzalez traversal unrolled — per round: argmax of the
+    * running min-dist² (ties on vec_id), one dot-product scan against the
+    * single new center, least() fold into the running column, coverage
+    * aggregate — replaying [[graft.ops.Similarity.kcenterCoreset]] state
+    * for state with the same exact-decimal d² and 1e-10 mean snaps.
+    */
+  private def kcenterOracle(t: Int): String = {
+    val rounds = (1 until t).map { r =>
+      s"""sel$r AS MATERIALIZED (SELECT vec_id cid, d2 radius FROM (
+         |    SELECT vec_id, d2, row_number() OVER (ORDER BY d2 DESC, vec_id) rn
+         |    FROM md${r - 1}) WHERE rn = 1),
+         |dt$r AS (SELECT a.vec_id,
+         |    CAST(sum(CAST(a.x*c.x AS DECIMAL(28,16))) AS DOUBLE) dot
+         |  FROM xx a JOIN sel$r s ON 1=1
+         |    JOIN xx c ON c.vec_id = s.cid AND a.i = c.i
+         |  GROUP BY 1),
+         |md$r AS MATERIALIZED (SELECT m.vec_id,
+         |    least(m.d2, av.vv - 2.0*dt.dot + cv.cvv) d2
+         |  FROM md${r - 1} m JOIN dt$r dt ON m.vec_id = dt.vec_id
+         |    JOIN vv av ON m.vec_id = av.vec_id
+         |    CROSS JOIN (SELECT vv.vv cvv FROM vv JOIN sel$r
+         |      ON vv.vec_id = sel$r.cid) cv),
+         |cov$r AS (SELECT max(d2) cmax,
+         |    CAST(sum(CAST(round(d2*1e10)/1e10 AS DECIMAL(38,10))) AS DOUBLE)
+         |      /count(*) cmean
+         |  FROM md$r),
+         |row$r AS (SELECT $r k, s.cid center_id, s.radius radius, c.cmax,
+         |    c.cmean
+         |  FROM sel$r s CROSS JOIN cov$r c)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 until t).map(r => s"SELECT * FROM row$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ix AS (SELECT vec_id,
+       |    unnest(generate_series(1, len(embedding))) i, embedding
+       |  FROM embeddings),
+       |xx AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) x
+       |  FROM ix),
+       |vv AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) vv
+       |  FROM xx GROUP BY 1),
+       |c0 AS (SELECT min(vec_id) cid FROM xx),
+       |dt0 AS (SELECT a.vec_id,
+       |    CAST(sum(CAST(a.x*c.x AS DECIMAL(28,16))) AS DOUBLE) dot
+       |  FROM xx a JOIN c0 s ON 1=1 JOIN xx c ON c.vec_id = s.cid
+       |    AND a.i = c.i
+       |  GROUP BY 1),
+       |md0 AS MATERIALIZED (SELECT m.vec_id, av.vv - 2.0*m.dot + cv.cvv d2
+       |  FROM dt0 m JOIN vv av ON m.vec_id = av.vec_id
+       |    CROSS JOIN (SELECT vv.vv cvv FROM vv JOIN c0
+       |      ON vv.vec_id = c0.cid) cv),
+       |cov0 AS (SELECT max(d2) cmax,
+       |    CAST(sum(CAST(round(d2*1e10)/1e10 AS DECIMAL(38,10))) AS DOUBLE)
+       |      /count(*) cmean FROM md0),
+       |row0 AS (SELECT 0 k, c0.cid center_id, CAST(NULL AS DOUBLE) radius,
+       |    cmax, cmean FROM c0 CROSS JOIN cov0),
+       |$rounds,
+       |allr AS (SELECT * FROM row0 UNION ALL $unions)
+       |SELECT k, center_id, round(radius*1e6)/1e6 + 0.0 AS radius,
+       |  round(cmax*1e6)/1e6 + 0.0 AS cov_max,
+       |  round(cmean*1e6)/1e6 + 0.0 AS cov_mean
+       |FROM allr ORDER BY 1""".stripMargin
   }
 
   /** q270 oracle: the q227 Newton rounds verbatim, then the reliability

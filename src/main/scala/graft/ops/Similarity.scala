@@ -508,6 +508,19 @@ object Similarity {
     val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
       .withColumn("s", pmod(col("i"), lit(m)))
       .localCheckpoint()
+    val (cent, codes) = pqTrain(dims, kCodes, iters)
+    (dims, cent, codes)
+  }
+
+  /** The subspace-agnostic Lloyd trainer: takes any (vec_id, s, i, xd) dim
+    * table — raw interleaved sub-vectors for [[pqState]], residuals against
+    * the coarse IVF centroids for [[ivfPqRecall]] — and returns (codebook
+    * (s, c, i, cd), codes (vec_id, s, c, d2)) under the q259 determinism
+    * contract (exact-decimal distances, 1e-12 centroid snaps, seed = first
+    * kCodes vec_ids, ties on codeword id).
+    */
+  private[ops] def pqTrain(dims: DataFrame, kCodes: Int,
+                           iters: Int): (DataFrame, DataFrame) = {
     val vvs = dims.groupBy(col("vec_id"), col("s"))
       .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
         .cast("double").as("vv"))
@@ -530,7 +543,8 @@ object Similarity {
         .select(col("vec_id"), col("s"), col("c"), col("d2"))
     }
 
-    val seedIds = x.select(col("vec_id")).orderBy(col("vec_id")).limit(kCodes)
+    val seedIds = dims.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(kCodes)
     var cent = dims.join(broadcast(seedIds), "vec_id")
       .select(col("s"), col("vec_id").as("c"), col("i"), col("xd").as("cd"))
       .localCheckpoint()
@@ -542,7 +556,7 @@ object Similarity {
           / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
         .localCheckpoint()
     }
-    (dims, cent, assign(cent).localCheckpoint())
+    (cent, assign(cent).localCheckpoint())
   }
 
   def pqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
@@ -639,6 +653,200 @@ object Similarity {
 
   def pqDistortion(spark: SparkSession, sfDir: String): DataFrame =
     pqDistortion(Tables.embeddings(spark, sfDir))
+
+  /** Shared recall@k tail: per-probe |approx ∩ truth| / |truth| with an
+    * outer join so probes with zero hits still report 0.0.
+    */
+  private def recallOf(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") * 10000) / 10000)
+          .as("recall"))
+  }
+
+  /** q391: IVF-PQ recall — the combined coarse-partition + residual-codebook
+    * layout (the FAISS IVFPQ design) that a 100 TB vector corpus actually
+    * ships: the IVF cell (label) prunes the SCAN to nprobe/nlist of the
+    * data, and PQ codes over the CELL RESIDUALS compress what is scanned
+    * ~32×, so a probe reads only code bytes inside only the probed cells.
+    * q26 audits the pruning alone and q377 the compression alone; this
+    * audits both stacked, against the exact ground truth.
+    *
+    * Decomposition: approx_dot(p, v) = ⟨p, c_cell(v)⟩ + Σ_s LUT_p[s,
+    * code_s(v)] where LUT_p[s, c] = ⟨p_s, codeword⟩ — the probe-side LUT is
+    * independent of the cell, so it is built ONCE per probe (m·kCodes
+    * doubles, broadcast) and per-candidate work is m code lookups.
+    * Reconstructed norm: ‖c + r̂‖² = ‖c‖² + Σ_s (2·⟨c_s, cw⟩ + ‖cw‖²) — all
+    * cell/codeword-level scalars, precomputed once and broadcast.
+    *
+    * Scale: residual training shuffles key on (subspace, codeword) — O(m·k)
+    * groups, never data-sized state; the search side is an equi-join of the
+    * code table against the broadcast (probe, cell) shortlist, so with the
+    * code table bucketed by cell the scan never touches unprobed cells or
+    * raw floats. Beyond-reference training-data-pipeline operator (the
+    * reference SDK has no vector search); public IVFADC design per
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search".
+    */
+  def ivfPqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
+                  nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+    val centDims = centroids(emb)
+      .select(col("label"), posexplode(col("cv")).as(Seq("i", "ccd")))
+      .localCheckpoint()
+    val dims = all.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("i", "xd")))
+    val rdims = dims.join(centDims, Seq("label", "i"))
+      .select(col("vec_id"), pmod(col("i"), lit(m)).as("s"), col("i"),
+        (col("xd") - col("ccd")).as("xd"))
+      .localCheckpoint()
+    val (cent, codes) = pqTrain(rdims, kCodes, iters)
+
+    // probe → nprobe nearest cells by raw-vector cosine (q26's shortlist),
+    // keeping ⟨p, c_cell⟩ — the cell-level half of the ADC score.
+    val probes = all.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val cents = centroids(emb).withColumn("cn", normCol("cv"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val shortlist = probes.crossJoin(broadcast(cents))
+      .withColumn("pcdot", dotExpr("pv", "cv"))
+      .withColumn("ccos", col("pcdot") / (col("pn") * col("cn")))
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= nprobe)
+      .select(col("probe_id"), col("pn"), col("label"), col("pcdot"))
+
+    // probe-side residual-codebook LUT — cell-independent, m·kCodes rows
+    val lut = dims.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("i"), col("xd").as("pd"))
+      .join(cent, Seq("i"))
+      .groupBy(col("probe_id"), col("s"), col("c"))
+      .agg(sum((col("pd") * col("cd")).cast("decimal(28,16)"))
+        .cast("double").as("part"))
+
+    // reconstructed-norm scalars: ‖c‖² per cell, ⟨c_s, cw⟩ and ‖cw‖² per
+    // (cell, subspace, codeword) — tiny broadcast tables.
+    val cn2 = centDims.groupBy(col("label"))
+      .agg(sum((col("ccd") * col("ccd")).cast("decimal(28,16)"))
+        .cast("double").as("cn2"))
+    val ccw = centDims.join(cent, Seq("i"))
+      .groupBy(col("label"), col("s"), col("c"))
+      .agg(sum((col("ccd") * col("cd")).cast("decimal(28,16)"))
+        .cast("double").as("ccw"))
+    val ccF = cent.groupBy(col("s"), col("c"))
+      .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
+        .cast("double").as("cc"))
+    val vecLabel = all.select(col("vec_id"), col("label"))
+    val rnrm = codes.join(vecLabel, "vec_id")
+      .join(broadcast(ccw), Seq("label", "s", "c"))
+      .join(broadcast(ccF), Seq("s", "c"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((round((lit(2.0) * col("ccw") + col("cc")) * lit(1e12)) / lit(1e12))
+        .cast("decimal(28,12)")).cast("double").as("rsum"))
+      .join(broadcast(cn2), "label")
+      .select(col("vec_id"), sqrt(col("cn2") + col("rsum")).as("rnrm"))
+
+    // ADC restricted to probed cells: the equi-join on cell IS the IVF
+    // pruning — unprobed cells never leave the scan.
+    val wA = Window.partitionBy(col("probe_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val approx = codes.join(vecLabel, "vec_id")
+      .join(broadcast(shortlist), Seq("label"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(lut), Seq("probe_id", "s", "c"))
+      .groupBy(col("probe_id"), col("vec_id"), col("pn"), col("pcdot"))
+      .agg(sum(col("part").cast("decimal(28,16)")).cast("double").as("radot"))
+      .join(rnrm, "vec_id")
+      .withColumn("acos",
+        round((col("radot") + col("pcdot")) / (col("pn") * col("rnrm")) * lit(1e12)) / lit(1e12))
+      .withColumn("rnk", row_number().over(wA))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+
+    val truth = cosineTopK(emb, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallOf(truth, approx)
+  }
+
+  def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqRecall(Tables.embeddings(spark, sfDir))
+
+  /** q392: greedy k-center coreset (Gonzalez farthest-point traversal) —
+    * the diversity-sampling backbone of data-pruning / active-learning
+    * curation: pick the vector farthest from everything selected so far,
+    * t times, and report how coverage (max / mean squared distance to the
+    * nearest center) tightens per pick. q165's MMR is query-RELATIVE
+    * diversity; this is the corpus-LEVEL coreset that bounds every
+    * vector's distance to its representative.
+    *
+    * Execution is the textbook incremental form: keep one (vec_id,
+    * min-dist²) column, and each round scans it ONCE against the single
+    * newest center (broadcast 1-row) — O(t·n·d) total, never t centers ×
+    * n re-scans, no driver-side collect (the argmax is a 1-row DataFrame
+    * crossed back in). At 100 TB: t bounded scans of a table that never
+    * shuffles (min-dist is keyed by vec_id throughout), each round's
+    * center a broadcast scalar — the same shape a trillion-row corpus
+    * wants. Determinism: d² = ‖v‖² − 2⟨v,c⟩ + ‖c‖² from exact-decimal
+    * sums; ties on vec_id; per-term 1e-10 snap keeps the coverage mean
+    * partition-order-free.
+    */
+  def kcenterCoreset(emb: DataFrame, t: Int = 6): DataFrame = {
+    val dims = asDoubles(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+      .localCheckpoint()
+    val vv = dims.groupBy(col("vec_id"))
+      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
+        .cast("double").as("vv"))
+      .localCheckpoint()
+
+    // d²(·, center) for every vector — `center` is a 1-row (cid) frame
+    def d2To(center: DataFrame): DataFrame = {
+      val cd = dims.join(broadcast(center), dims("vec_id") === center("cid"))
+        .select(col("i"), col("xd").as("cd"))
+      val cvv = vv.join(broadcast(center), vv("vec_id") === center("cid"))
+        .select(col("vv").as("cvv"))
+      dims.join(broadcast(cd), "i")
+        .groupBy(col("vec_id"))
+        .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
+          .cast("double").as("dot"))
+        .join(vv, "vec_id")
+        .crossJoin(broadcast(cvv))
+        .select(col("vec_id"),
+          (col("vv") - lit(2.0) * col("dot") + col("cvv")).as("nd2"))
+    }
+
+    def covOf(md: DataFrame): DataFrame = md.agg(
+      max(col("d2")).as("cmax"),
+      (sum((round(col("d2") * lit(1e10)) / lit(1e10)).cast("decimal(38,10)"))
+        .cast("double") / count(lit(1))).as("cmean"))
+
+    val c0 = dims.agg(min(col("vec_id")).as("cid"))
+    var md = d2To(c0).withColumnRenamed("nd2", "d2").localCheckpoint()
+    var out = c0.withColumn("k", lit(0))
+      .withColumn("radius", lit(null).cast("double"))
+      .crossJoin(covOf(md))
+    for (r <- 1 until t) {
+      val sel = md.orderBy(col("d2").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("d2").as("radius"))
+        .localCheckpoint()
+      md = md.join(d2To(sel.select(col("cid"))), "vec_id")
+        .select(col("vec_id"), least(col("d2"), col("nd2")).as("d2"))
+        .localCheckpoint()
+      out = out.unionByName(
+        sel.withColumn("k", lit(r)).crossJoin(covOf(md)))
+    }
+    out.select(col("k"), col("cid").as("center_id"),
+      (round(col("radius") * lit(1e6)) / lit(1e6) + lit(0.0)).as("radius"),
+      (round(col("cmax") * lit(1e6)) / lit(1e6) + lit(0.0)).as("cov_max"),
+      (round(col("cmean") * lit(1e6)) / lit(1e6) + lit(0.0)).as("cov_mean"))
+  }
+
+  def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame =
+    kcenterCoreset(Tables.embeddings(spark, sfDir))
 
   /** q380: nDCG@10 of the int8-quantized ranking (q65's codec) against the
     * exact-cosine ranking — the position-weighted audit recall@k cannot

@@ -34,6 +34,53 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  // 8-dim twin of the fixture for the subspace-split operators (m=4 wants
+  // dim ≥ m): cluster 0 hugs e1, cluster 1 hugs e2 — orthogonal cells.
+  private def emb8 = {
+    def v(a: Float, b: Float) = Array(a, b, 0f, 0f, 0f, 0f, 0f, 0f)
+    Seq(
+      (0L, v(1f, 0f), 0), (1L, v(0.99f, 0.01f), 0), (2L, v(0.98f, 0.02f), 0),
+      (10L, v(0f, 1f), 1), (11L, v(0.01f, 0.99f), 1), (12L, v(0.02f, 0.98f), 1)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("ivfPqRecall: probing every cell recovers the exact top-k through ADC") {
+    val rows = Similarity.ivfPqRecall(emb8, m = 4, kCodes = 8, iters = 2,
+        nProbes = 1, k = 2, nprobe = 2)
+      .select("probe_id", "n_hits", "n_true", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    // orthogonal cells: quantization error ≪ cluster separation, so the
+    // ADC-ranked set matches the exact set even with a coarse codebook
+    assert(rows.toSeq === Seq((0L, 2L, 2L, 1.0)))
+  }
+
+  test("ivfPqRecall: nprobe=1 only reaches the probe's own cell") {
+    val rows = Similarity.ivfPqRecall(emb8, m = 4, kCodes = 8, iters = 2,
+        nProbes = 1, k = 4, nprobe = 1)
+      .select("probe_id", "n_hits", "n_true", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    // true top-4 spans both cells (only 2 same-cell neighbors exist), but
+    // the scan never leaves cell 0 → exactly the 2 same-cell hits survive
+    assert(rows.toSeq === Seq((0L, 2L, 4L, 0.5)))
+  }
+
+  test("kcenterCoreset: farthest-point traversal alternates clusters, coverage tightens") {
+    val rows = Similarity.kcenterCoreset(emb8, t = 3)
+      .orderBy($"k")
+      .select("k", "center_id", "radius", "cov_max")
+      .as[(Int, Long, Option[Double], Double)].collect()
+    // pick 0 = min id (cell 0); pick 1 = the orthogonal cluster (d² = 2);
+    // pick 2 = the worst-covered remainder, tie on id → vec 2
+    assert(rows.map(r => (r._1, r._2)).toSeq === Seq((0, 0L), (1, 10L), (2, 2L)))
+    assert(rows(0)._3.isEmpty)
+    assert(math.abs(rows(1)._3.get - 2.0) < 1e-9)
+    assert(math.abs(rows(2)._3.get - 0.0008) < 1e-9)
+    // after the cross-cluster pick every vector is ≤ .0008 from a center
+    assert(rows(1)._4 <= 0.0008 + 1e-9)
+    // coverage max is non-increasing in k
+    assert(rows(0)._4 >= rows(1)._4 && rows(1)._4 >= rows(2)._4)
+  }
+
   test("srpLsh: identical vectors collide in every band; orthogonal pairs are cut") {
     import org.apache.spark.sql.functions._
     // 8-dim: two identical vectors (all bands collide, cosine 1) plus an
