@@ -793,7 +793,11 @@ object SparkEntry {
     "q391_ivfpq_recall" -> ((s, d) =>
       Similarity.ivfPqRecall(s, d).orderBy(col("probe_id"))),
     "q392_kcenter_coreset" -> ((s, d) =>
-      Similarity.kcenterCoreset(s, d).orderBy(col("k")))
+      Similarity.kcenterCoreset(s, d).orderBy(col("k"))),
+    "q393_balanced_pq" -> ((s, d) =>
+      Similarity.balancedPq(s, d).orderBy(col("alloc"), col("subspace"))),
+    "q394_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(s, d).orderBy(col("rnd")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9473,7 +9477,9 @@ object SparkEntry {
         |WHERE CAST(ex.n_shared AS DOUBLE) / sz.n_sh >= 0.8
         |ORDER BY ex.doc_a, ex.doc_b""".stripMargin,
     "q391_ivfpq_recall" -> ivfPqOracle(iters = 2, m = 4, k = 8),
-    "q392_kcenter_coreset" -> kcenterOracle(t = 6)
+    "q392_kcenter_coreset" -> kcenterOracle(t = 6),
+    "q393_balanced_pq" -> balancedPqOracle(iters = 2, m = 4, k = 8),
+    "q394_bpe_merges" -> bpeOracle(rounds = 3)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -9575,31 +9581,32 @@ object SparkEntry {
     * `xx`/`vvs` dim CTEs hold (raw interleaved dims for q377/q382,
     * cell residuals for q391) — emits c0..c$iters and asg0..asg$iters.
     */
-  private def pqRoundsSql(iters: Int, k: Int): String = {
+  private def pqRoundsSql(iters: Int, k: Int, sfx: String = ""): String = {
+    val (xx, vvs) = (s"xx$sfx", s"vvs$sfx")
     def assignBlock(r: Int): String =
-      s"""cc$r AS MATERIALIZED (SELECT s, c,
+      s"""cc$sfx$r AS MATERIALIZED (SELECT s, c,
          |    CAST(sum(CAST(cd*cd AS DECIMAL(28,16))) AS DOUBLE) cc
-         |  FROM c$r GROUP BY 1, 2),
-         |dt$r AS MATERIALIZED (SELECT xx.vec_id, c$r.s, c$r.c,
-         |    CAST(sum(CAST(xx.x*c$r.cd AS DECIMAL(28,16))) AS DOUBLE) dot
-         |  FROM xx JOIN c$r ON xx.i = c$r.i GROUP BY 1, 2, 3),
-         |asg$r AS MATERIALIZED (SELECT vec_id, s, c, d2 FROM (
+         |  FROM c$sfx$r GROUP BY 1, 2),
+         |dt$sfx$r AS MATERIALIZED (SELECT $xx.vec_id, c$sfx$r.s, c$sfx$r.c,
+         |    CAST(sum(CAST($xx.x*c$sfx$r.cd AS DECIMAL(28,16))) AS DOUBLE) dot
+         |  FROM $xx JOIN c$sfx$r ON $xx.i = c$sfx$r.i GROUP BY 1, 2, 3),
+         |asg$sfx$r AS MATERIALIZED (SELECT vec_id, s, c, d2 FROM (
          |    SELECT dt.vec_id, dt.s, dt.c,
          |      vv.vv - 2.0*dt.dot + cc.cc d2,
          |      row_number() OVER (PARTITION BY dt.vec_id, dt.s
          |        ORDER BY vv.vv - 2.0*dt.dot + cc.cc, dt.c) rn
-         |    FROM dt$r dt JOIN vvs vv ON dt.vec_id = vv.vec_id AND dt.s = vv.s
-         |      JOIN cc$r cc ON dt.s = cc.s AND dt.c = cc.c)
+         |    FROM dt$sfx$r dt JOIN $vvs vv ON dt.vec_id = vv.vec_id AND dt.s = vv.s
+         |      JOIN cc$sfx$r cc ON dt.s = cc.s AND dt.c = cc.c)
          |  WHERE rn = 1)""".stripMargin
     val rounds = (0 until iters).map { r =>
       s"""${assignBlock(r)},
-         |c${r + 1} AS MATERIALIZED (SELECT a.s, a.c, xx.i,
-         |    round(CAST(sum(CAST(xx.x AS DECIMAL(28,12))) AS DOUBLE)
+         |c$sfx${r + 1} AS MATERIALIZED (SELECT a.s, a.c, $xx.i,
+         |    round(CAST(sum(CAST($xx.x AS DECIMAL(28,12))) AS DOUBLE)
          |      /count(*)*1e12)/1e12 cd
-         |  FROM asg$r a JOIN xx ON a.vec_id = xx.vec_id AND a.s = xx.s
+         |  FROM asg$sfx$r a JOIN $xx ON a.vec_id = $xx.vec_id AND a.s = $xx.s
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS MATERIALIZED (SELECT s, vec_id c, i, x cd FROM xx
+    s"""c${sfx}0 AS MATERIALIZED (SELECT s, vec_id c, i, x cd FROM $xx
        |  WHERE vec_id < $k),
        |$rounds,
        |${assignBlock(iters)}""".stripMargin
@@ -9614,6 +9621,116 @@ object SparkEntry {
        |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) vv
        |  FROM xx GROUP BY 1, 2),
        |${pqRoundsSql(iters, k)}""".stripMargin
+
+  /** q393 oracle: the q377 interleave training verbatim (pqTrainSql), plus
+    * per-dim two-pass variance, the snake-draft allocation as a window over
+    * dims, a second training over the permuted subspaces (pqRoundsSql
+    * suffix "b"), and the per-(allocation, subspace) variance/SSE census —
+    * replaying [[graft.ops.Similarity.balancedPq]].
+    */
+  private def balancedPqOracle(iters: Int, m: Int, k: Int): String =
+    s"""WITH ${pqTrainSql(iters, m, k)},
+       |mu AS MATERIALIZED (SELECT i,
+       |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/count(*) mu
+       |  FROM xx GROUP BY 1),
+       |dvar AS MATERIALIZED (SELECT xx.i,
+       |    CAST(sum(CAST((x - mu)*(x - mu) AS DECIMAL(28,16))) AS DOUBLE)
+       |      /count(*) dvar
+       |  FROM xx JOIN mu ON xx.i = mu.i GROUP BY 1),
+       |alc AS MATERIALIZED (SELECT i,
+       |    CAST(CASE WHEN cyc < $m THEN cyc ELSE ${2 * m - 1} - cyc END
+       |      AS INT) s, dvar
+       |  FROM (SELECT i, dvar,
+       |      CAST((row_number() OVER (ORDER BY dvar DESC, i) - 1)
+       |        % ${2 * m} AS INT) cyc
+       |    FROM dvar)),
+       |xxb AS MATERIALIZED (SELECT xx.vec_id, xx.i, alc.s, xx.x
+       |  FROM xx JOIN alc ON xx.i = alc.i),
+       |vvsb AS MATERIALIZED (SELECT vec_id, s,
+       |    CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) vv
+       |  FROM xxb GROUP BY 1, 2),
+       |${pqRoundsSql(iters, k, "b")},
+       |sseb AS (SELECT s, CAST(sum(CAST(round(d2*1e12)/1e12
+       |    AS DECIMAL(28,12))) AS DOUBLE) sse
+       |  FROM asgb$iters GROUP BY 1),
+       |ssei AS (SELECT s, CAST(sum(CAST(round(d2*1e12)/1e12
+       |    AS DECIMAL(28,12))) AS DOUBLE) sse
+       |  FROM asg$iters GROUP BY 1),
+       |vb AS (SELECT s, count(*) n_dims,
+       |    CAST(sum(CAST(round(dvar*1e12)/1e12 AS DECIMAL(28,12)))
+       |      AS DOUBLE) var_sum
+       |  FROM alc GROUP BY 1),
+       |vi AS (SELECT CAST((i - 1) % $m AS INT) s, count(*) n_dims,
+       |    CAST(sum(CAST(round(dvar*1e12)/1e12 AS DECIMAL(28,12)))
+       |      AS DOUBLE) var_sum
+       |  FROM dvar GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT 'balanced' alloc, vb.s subspace, vb.n_dims,
+       |    round(var_sum*1e6)/1e6 var_sum, round(sse*1e6)/1e6 sse
+       |  FROM vb JOIN sseb ON vb.s = sseb.s
+       |  UNION ALL
+       |  SELECT 'interleave' alloc, vi.s subspace, vi.n_dims,
+       |    round(var_sum*1e6)/1e6 var_sum, round(sse*1e6)/1e6 sse
+       |  FROM vi JOIN ssei ON vi.s = ssei.s)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q394 oracle: the Sennrich rounds unrolled — per round: freq-weighted
+    * adjacent-pair counts via lead(), argmax on (count desc, pair), merge by
+    * start/consumed marks (two nested windows), fertility aggregate —
+    * replaying [[graft.ops.TextAnalysis.bpeMerges]] state for state. All
+    * counts are integers, so parity needs no decimal discipline beyond the
+    * final tokens-per-word divide.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""pc$r AS (SELECT sym, nxt, CAST(sum(freq) AS BIGINT) cnt FROM (
+         |    SELECT sym, freq,
+         |      lead(sym) OVER (PARTITION BY word ORDER BY pos) nxt
+         |    FROM st${r - 1})
+         |  WHERE nxt IS NOT NULL AND sym <> nxt GROUP BY 1, 2),
+         |bs$r AS MATERIALIZED (SELECT sym l, nxt r, cnt FROM (
+         |    SELECT sym, nxt, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, sym, nxt) rn
+         |    FROM pc$r) WHERE rn = 1),
+         |st$r AS MATERIALIZED (SELECT word, freq, pos,
+         |    CASE WHEN mstart THEN l || r ELSE sym END sym
+         |  FROM (SELECT word, freq, pos, sym, l, r, mstart,
+         |      coalesce(lag(mstart) OVER (PARTITION BY word ORDER BY pos),
+         |        false) consumed
+         |    FROM (SELECT s.word, s.freq, s.pos, s.sym, b.l, b.r,
+         |        coalesce(s.sym = b.l AND lead(s.sym) OVER (PARTITION BY
+         |          s.word ORDER BY s.pos) = b.r, false) mstart
+         |      FROM st${r - 1} s CROSS JOIN bs$r b))
+         |  WHERE NOT consumed),
+         |f$r AS (SELECT CAST(sum(freq*len) AS DOUBLE)
+         |      /CAST(sum(freq) AS DOUBLE) tpw
+         |  FROM (SELECT word, freq, count(*) len FROM st$r GROUP BY 1, 2)),
+         |row$r AS (SELECT $r rnd, b.l lsym, b.r rsym, b.l || b.r merged,
+         |    b.cnt pair_count, f.tpw
+         |  FROM bs$r b CROSS JOIN f$r f)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r => s"SELECT * FROM row$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT word, count(*) freq FROM (
+       |    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+       |      '\\s+', ' ', 'g'), ' ')) word
+       |    FROM documents) WHERE length(word) > 0 GROUP BY 1),
+       |st0 AS MATERIALIZED (SELECT word, freq, p pos,
+       |    substr(word, CAST(p AS INT), 1) sym
+       |  FROM (SELECT word, freq,
+       |      unnest(generate_series(1, length(word))) p FROM w)),
+       |f0 AS (SELECT CAST(sum(freq*len) AS DOUBLE)
+       |      /CAST(sum(freq) AS DOUBLE) tpw
+       |  FROM (SELECT word, freq, count(*) len FROM st0 GROUP BY 1, 2)),
+       |row0 AS (SELECT 0 rnd, CAST(NULL AS VARCHAR) lsym,
+       |    CAST(NULL AS VARCHAR) rsym, CAST(NULL AS VARCHAR) merged,
+       |    CAST(NULL AS BIGINT) pair_count, tpw FROM f0),
+       |$rs,
+       |allr AS (SELECT * FROM row0 UNION ALL $unions)
+       |SELECT rnd, lsym, rsym, merged, pair_count,
+       |  round(tpw*1e6)/1e6 AS tokens_per_word
+       |FROM allr ORDER BY 1""".stripMargin
+  }
 
   /** q391 oracle: coarse per-cell centroids, residual dims (raw − cell
     * centroid) as `xx`, the q377 training rounds verbatim over those

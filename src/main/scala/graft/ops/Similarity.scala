@@ -848,6 +848,76 @@ object Similarity {
   def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame =
     kcenterCoreset(Tables.embeddings(spark, sfDir))
 
+  /** q393: variance-balanced PQ allocation vs the naive interleave — the
+    * cheap, public slice of OPQ (Ge et al.): instead of learning a rotation,
+    * PERMUTE dimensions so each subspace carries a comparable share of the
+    * corpus variance. Allocation is a snake draft over dims ranked by
+    * per-dim variance (desc, ties on dim index): position p → cycle
+    * p mod 2m, subspace = cycle < m ? cycle : 2m−1−cycle — pure modular
+    * arithmetic, so the DuckDB oracle re-derives the identical permutation
+    * with a window function and no sequential loop. Both allocations train
+    * the same fixed-round Lloyd codebook ([[pqTrain]]); output is the
+    * per-(allocation, subspace) dim count, allocated variance, and trained
+    * SSE — the evidence for whether the permutation actually buys
+    * distortion at this corpus.
+    *
+    * Variance is two-pass (decimal-mean, then exact-decimal sum of centered
+    * squares) — never the Σx²/n − μ² cancellation that q180 showed drifts
+    * across engines. Scale: the stats are per-dim aggregates (d rows), the
+    * draft is a d-row window, training is the q377 shuffle shape keyed by
+    * (subspace, codeword) — nothing here grows with corpus size except the
+    * two bounded scans.
+    */
+  def balancedPq(emb: DataFrame, m: Int = 4, kCodes: Int = 8,
+                 iters: Int = 2): DataFrame = {
+    val dims0 = asDoubles(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+      .localCheckpoint()
+    val mu = dims0.groupBy(col("i"))
+      .agg((sum(col("xd").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("mu"))
+    val dvar = dims0.join(broadcast(mu), "i")
+      .select(col("i"), (col("xd") - col("mu")).as("cd0"))
+      .groupBy(col("i"))
+      .agg((sum((col("cd0") * col("cd0")).cast("decimal(28,16)"))
+        .cast("double") / count(lit(1))).as("dvar"))
+      .localCheckpoint()
+    val wv = Window.orderBy(col("dvar").desc, col("i"))
+    val alloc = dvar
+      .withColumn("cyc", pmod(row_number().over(wv) - 1, lit(2 * m)))
+      .withColumn("s", when(col("cyc") < m, col("cyc"))
+        .otherwise(lit(2 * m - 1) - col("cyc")))
+      .select(col("i"), col("s"), col("dvar"))
+      .localCheckpoint()
+    val ivar = dvar.withColumn("s", pmod(col("i"), lit(m)))
+
+    val bdims = dims0.join(broadcast(alloc.select(col("i"), col("s"))), "i")
+      .select(col("vec_id"), col("s"), col("i"), col("xd")).localCheckpoint()
+    val idims = dims0.withColumn("s", pmod(col("i"), lit(m)))
+      .select(col("vec_id"), col("s"), col("i"), col("xd")).localCheckpoint()
+    val (_, bcodes) = pqTrain(bdims, kCodes, iters)
+    val (_, icodes) = pqTrain(idims, kCodes, iters)
+
+    def sseOf(codes: DataFrame): DataFrame = codes.groupBy(col("s"))
+      .agg(sum((round(col("d2") * lit(1e12)) / lit(1e12))
+        .cast("decimal(28,12)")).cast("double").as("sse"))
+    def varSum(a: DataFrame): DataFrame = a.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum((round(col("dvar") * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("var_sum"))
+
+    varSum(alloc).join(sseOf(bcodes), "s").withColumn("alloc", lit("balanced"))
+      .unionByName(
+        varSum(ivar).join(sseOf(icodes), "s")
+          .withColumn("alloc", lit("interleave")))
+      .select(col("alloc"), col("s").as("subspace"), col("n_dims"),
+        (round(col("var_sum") * lit(1e6)) / lit(1e6)).as("var_sum"),
+        (round(col("sse") * lit(1e6)) / lit(1e6)).as("sse"))
+  }
+
+  def balancedPq(spark: SparkSession, sfDir: String): DataFrame =
+    balancedPq(Tables.embeddings(spark, sfDir))
+
   /** q380: nDCG@10 of the int8-quantized ranking (q65's codec) against the
     * exact-cosine ranking — the position-weighted audit recall@k cannot
     * give: losing the #1 neighbor and losing the #10 are the same recall

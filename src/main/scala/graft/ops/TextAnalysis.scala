@@ -1433,4 +1433,80 @@ object TextAnalysis {
 
   def chunkTtr(spark: SparkSession, sfDir: String): DataFrame =
     chunkTtr(Tables.documents(spark, sfDir))
+
+  /** q394: BPE merge training (Sennrich et al. 2016) — the tokenizer-
+    * TRAINING step of a data pipeline (q191/q222 audit an assumed
+    * tokenizer; this builds one). Trains on the word-frequency table, never
+    * the corpus: the segmented state is (distinct word, freq, pos, symbol),
+    * so every round's pair count is one shuffle over a vocabulary-sized
+    * table with frequencies doing the weighting — the classical trick that
+    * makes BPE training corpus-size-independent after ONE corpus scan.
+    *
+    * Per round: count adjacent symbol pairs (freq-weighted, lead() over
+    * word positions), take the argmax (count desc, then pair lexicographic
+    * — integer counts, so cross-engine determinism is free), and merge
+    * every occurrence relationally: a merge START is a position whose
+    * (sym, next) equals the winner; its follower is CONSUMED. Self-pairs
+    * (a,a) are excluded from candidacy — with left ≠ right two starts can
+    * never be adjacent, so leftmost-non-overlap greedy merging degenerates
+    * to independent per-position marks (no sequential scan, no cascading)
+    * and the whole round is two window functions. Output: one row per
+    * round — the merge rule, its count, and tokens-per-word after the
+    * merge (the fertility curve the merge table is buying down), plus the
+    * round-0 character baseline.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val vocab = docs
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var st = vocab
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("freq"), col("pos"),
+        expr("substr(word, pos, 1)").as("sym"))
+      .localCheckpoint()
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+
+    def fertOf(s: DataFrame): DataFrame =
+      s.groupBy(col("word"), col("freq")).agg(count(lit(1)).as("len"))
+        .agg((sum(col("freq") * col("len")).cast("double")
+          / sum(col("freq")).cast("double")).as("tpw"))
+
+    var out = fertOf(st).select(lit(0).as("rnd"),
+      lit(null).cast("string").as("lsym"), lit(null).cast("string").as("rsym"),
+      lit(null).cast("string").as("merged"),
+      lit(null).cast("bigint").as("pair_count"), col("tpw"))
+    for (r <- 1 to rounds) {
+      val best = st.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        .where(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
+        .select(col("sym").as("l"), col("nxt").as("r"), col("cnt"))
+        .localCheckpoint()
+      st = st.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        .crossJoin(broadcast(best))
+        .withColumn("start",
+          coalesce(col("sym") === col("l") && col("nxt") === col("r"),
+            lit(false)))
+        .withColumn("consumed",
+          coalesce(lag(col("start"), 1).over(wOrd), lit(false)))
+        .where(!col("consumed"))
+        .select(col("word"), col("freq"), col("pos"),
+          when(col("start"), concat(col("l"), col("r")))
+            .otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+      out = out.unionByName(
+        best.crossJoin(fertOf(st)).select(lit(r).as("rnd"),
+          col("l").as("lsym"), col("r").as("rsym"),
+          concat(col("l"), col("r")).as("merged"),
+          col("cnt").as("pair_count"), col("tpw")))
+    }
+    out.select(col("rnd"), col("lsym"), col("rsym"), col("merged"),
+      col("pair_count"),
+      (round(col("tpw") * lit(1e6)) / lit(1e6)).as("tokens_per_word"))
+  }
+
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, sfDir))
 }

@@ -81,6 +81,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(0)._4 >= rows(1)._4 && rows(1)._4 >= rows(2)._4)
   }
 
+  test("balancedPq: snake draft splits co-located hot dims the interleave stacks") {
+    // variance lives ONLY in dims 0 and 4 — naive interleave (i % 4) puts
+    // BOTH into subspace 0; the draft sends the top-2 to different subspaces
+    val vecs = (0 until 6).map { v =>
+      val a = Array.fill(8)(0f); a(0) = v.toFloat; a(4) = (v * 2).toFloat
+      (v.toLong, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.balancedPq(vecs, m = 4, kCodes = 4, iters = 1)
+      .select("alloc", "subspace", "n_dims", "var_sum")
+      .as[(String, Int, Long, Double)].collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_._3 === 2L)) // 8 dims over 4 subspaces, 2 each
+    val bal = rows.filter(_._1 == "balanced").map(_._4)
+    val itl = rows.filter(_._1 == "interleave").map(_._4)
+    assert(math.abs(bal.sum - itl.sum) < 5e-6) // same total (1e-6 rounding)
+    assert(bal.max < itl.max)                  // draft spreads the hot dims
+    assert(itl.count(_ > 1e-9) === 1 && bal.count(_ > 1e-9) === 2)
+  }
+
   test("srpLsh: identical vectors collide in every band; orthogonal pairs are cut") {
     import org.apache.spark.sql.functions._
     // 8-dim: two identical vectors (all bands collide, cosine 1) plus an

@@ -16,6 +16,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("de") === "other")
   }
 
+  test("bpeMerges learns (a,b) then (ab,c) on the classic corpus; fertility drops") {
+    // word freqs: ab×3, abc×2, bcd×1 → pair counts (a,b)=5, (b,c)=3, (c,d)=1
+    val docs = Seq((0L, "ab ab ab abc abc bcd", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.bpeMerges(docs, rounds = 3).orderBy($"rnd")
+      .select("rnd", "merged", "pair_count", "tokens_per_word")
+      .as[(Int, Option[String], Option[Long], Double)].collect()
+    assert(rows.map(_._2).toSeq === Seq(None, Some("ab"), Some("abc"), Some("bc")))
+    assert(rows.map(_._3).toSeq === Seq(None, Some(5L), Some(2L), Some(1L)))
+    // 15 chars / 6 words → 2.5; then 10/6, 8/6, 7/6 as merges land
+    val tpw = rows.map(_._4)
+    assert(tpw(0) === 2.5)
+    assert(math.abs(tpw(1) - 10.0 / 6) < 2e-6)
+    assert(math.abs(tpw(2) - 8.0 / 6) < 2e-6)
+    assert(math.abs(tpw(3) - 7.0 / 6) < 2e-6)
+  }
+
   test("qualityScore computes exact token-derived features") {
     val docs = Seq((0L, "the cat sat", "en", "s0")).toDF("doc_id", "text", "lang", "source")
     val r = TextAnalysis.qualityScore(docs)
