@@ -797,7 +797,12 @@ object SparkEntry {
     "q393_balanced_pq" -> ((s, d) =>
       Similarity.balancedPq(s, d).orderBy(col("alloc"), col("subspace"))),
     "q394_bpe_merges" -> ((s, d) =>
-      TextAnalysis.bpeMerges(s, d).orderBy(col("rnd")))
+      TextAnalysis.bpeMerges(s, d).orderBy(col("rnd"))),
+    "q395_dedup_aware_mixture" -> ((s, d) =>
+      Curation.dedupAwareMixture(s, d).orderBy(col("source"))),
+    "q396_ktruss" -> ((s, d) =>
+      Graph.ktruss(s, d).orderBy(col("rnd"))),
+    "q397_abtt" -> ((s, d) => Similarity.abtt(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9479,7 +9484,34 @@ object SparkEntry {
     "q391_ivfpq_recall" -> ivfPqOracle(iters = 2, m = 4, k = 8),
     "q392_kcenter_coreset" -> kcenterOracle(t = 6),
     "q393_balanced_pq" -> balancedPqOracle(iters = 2, m = 4, k = 8),
-    "q394_bpe_merges" -> bpeOracle(rounds = 3)
+    "q394_bpe_merges" -> bpeOracle(rounds = 3),
+    "q395_dedup_aware_mixture" ->
+      """WITH hs AS (SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) h,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+        |      AS BIGINT) n_tok
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) keeper FROM hs GROUP BY 1),
+        |a AS (SELECT source,
+        |    CAST(sum(n_tok) AS BIGINT) tokens_total,
+        |    CAST(sum(CASE WHEN doc_id = keeper THEN n_tok ELSE 0 END)
+        |      AS BIGINT) tokens_kept
+        |  FROM hs JOIN k ON hs.h = k.h GROUP BY 1),
+        |n AS (SELECT 1.0/count(*) shr FROM a),
+        |b AS (SELECT min(tokens_total * 4.0 / n.shr) b_naive,
+        |    min(tokens_kept * 4.0 / n.shr) b_dedup
+        |  FROM a, n)
+        |SELECT source, tokens_total, tokens_kept,
+        |  round(n.shr * 10000)/10000 AS target_share,
+        |  CAST(round(n.shr * b_naive) AS BIGINT) AS planned_naive,
+        |  CAST(round(n.shr * b_dedup) AS BIGINT) AS planned_dedup,
+        |  round(n.shr * b_dedup / tokens_kept * 10000)/10000 AS epochs_eff,
+        |  CAST(round(n.shr * b_naive
+        |    * (1.0 - CAST(tokens_kept AS DOUBLE)
+        |       / CAST(tokens_total AS DOUBLE))) AS BIGINT) AS dup_reread
+        |FROM a, n, b ORDER BY 1""".stripMargin,
+    "q396_ktruss" -> ktrussOracle(k = 4, rounds = 3),
+    "q397_abtt" -> abttOracle(iters = 6)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -9490,7 +9522,10 @@ object SparkEntry {
     * Spark plan, so every round's v state is bit-identical across
     * engines.
     */
-  private def pcaOracle(iters: Int): String = {
+  /** The q200 power-iteration CTE prefix (centered dims `xx`, loading
+    * `v$iters`) — shared by the PCA oracle and the q397 ABTT oracle.
+    */
+  private def pcaRoundsSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""d$k AS MATERIALIZED (SELECT vec_id,
          |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) d
@@ -9502,7 +9537,7 @@ object SparkEntry {
          |v$k AS MATERIALIZED (SELECT i, round(w/m*1e12)/1e12 vi
          |  FROM w$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH xx0 AS MATERIALIZED (SELECT vec_id, i,
+    s"""xx0 AS MATERIALIZED (SELECT vec_id, i,
        |    CAST(embedding[i] AS DOUBLE) x
        |  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
        |          embedding FROM embeddings)),
@@ -9514,9 +9549,75 @@ object SparkEntry {
        |  FROM xx0 JOIN mu ON xx0.i = mu.i),
        |v0 AS (SELECT i, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
        |         ELSE CAST(0.0 AS DOUBLE) END vi FROM mu),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pcaOracle(iters: Int): String =
+    s"""WITH ${pcaRoundsSql(iters)}
        |SELECT CAST(i AS INT) dim, vi AS loading
        |FROM v$iters ORDER BY 1""".stripMargin
+
+  /** q397 oracle: the q200 rounds, the scale-invariant projection removal,
+    * per-dim energy tables with snapped sums, the PR/top-share arithmetic,
+    * and the before/after top-k overlap — replaying
+    * [[graft.ops.Similarity.abtt]].
+    */
+  private def abttOracle(iters: Int, nProbes: Int = 10,
+                         topK: Int = 5): String = {
+    def prBlock(src: String, sfx: String): String =
+      s"""e$sfx AS (SELECT i, CAST(sum(CAST(round(x*x*1e10)/1e10
+         |    AS DECIMAL(38,10))) AS DOUBLE) e
+         |  FROM $src GROUP BY 1),
+         |pr$sfx AS (SELECT
+         |    round(s1*s1/s2*1e6)/1e6 pr_$sfx,
+         |    round(mx/s1*1e6)/1e6 top_share_$sfx
+         |  FROM (SELECT
+         |      CAST(sum(CAST(round(e*1e6)/1e6 AS DECIMAL(38,6)))
+         |        AS DOUBLE) s1,
+         |      CAST(sum(CAST(round(e*e*1e6)/1e6 AS DECIMAL(38,6)))
+         |        AS DOUBLE) s2,
+         |      max(e) mx
+         |    FROM e$sfx))""".stripMargin
+    def topkBlock(src: String, sfx: String): String =
+      s"""n$sfx AS MATERIALIZED (SELECT vec_id,
+         |    sqrt(CAST(sum(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE)) nrm
+         |  FROM $src GROUP BY 1),
+         |d$sfx AS MATERIALIZED (SELECT p.vec_id probe_id,
+         |    c.vec_id neighbor_id,
+         |    CAST(sum(CAST(p.x*c.x AS DECIMAL(18,16))) AS DOUBLE) dot
+         |  FROM $src p JOIN $src c ON p.i = c.i AND p.vec_id < $nProbes
+         |    AND p.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |tk$sfx AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY dot/(np.nrm*nc.nrm) DESC, neighbor_id) rnk
+         |    FROM d$sfx JOIN n$sfx np ON probe_id = np.vec_id
+         |      JOIN n$sfx nc ON neighbor_id = nc.vec_id)
+         |  WHERE rnk <= $topK)""".stripMargin
+    s"""WITH ${pcaRoundsSql(iters)},
+       |uu AS (SELECT CAST(sum(CAST(vi*vi AS DECIMAL(28,16))) AS DOUBLE) uu
+       |  FROM v$iters),
+       |av AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) a
+       |  FROM xx JOIN v$iters ON xx.i = v$iters.i GROUP BY 1),
+       |xp AS MATERIALIZED (SELECT xx.vec_id, xx.i,
+       |    xx.x - av.a/uu.uu*vv.vi x
+       |  FROM xx JOIN av ON xx.vec_id = av.vec_id
+       |    CROSS JOIN uu JOIN v$iters vv ON xx.i = vv.i),
+       |${prBlock("xx", "before")},
+       |${prBlock("xp", "after")},
+       |${topkBlock("xx", "b")},
+       |${topkBlock("xp", "a")},
+       |ch AS (SELECT CAST(count(*) AS BIGINT) n_common FROM tkb
+       |  JOIN tka ON tkb.probe_id = tka.probe_id
+       |    AND tkb.neighbor_id = tka.neighbor_id),
+       |np AS (SELECT CAST(count(DISTINCT probe_id) AS BIGINT) n_probes
+       |  FROM tkb)
+       |SELECT pr_before, pr_after, top_share_before, top_share_after,
+       |  round(CAST(n_common AS DOUBLE)/n_probes*1e6)/1e6 AS mean_overlap,
+       |  n_probes
+       |FROM prbefore, prafter, ch, np""".stripMargin
   }
 
   /** q259 oracle: unrolled fixed-round Lloyd k-means — per round one
@@ -9673,6 +9774,41 @@ object SparkEntry {
        |    round(var_sum*1e6)/1e6 var_sum, round(sse*1e6)/1e6 sse
        |  FROM vi JOIN ssei ON vi.s = ssei.s)
        |ORDER BY 1, 2""".stripMargin
+
+  /** q396 oracle: the truss peels unrolled — per round the q143 triangle
+    * join on the survivor edge set, a 3-way edge fan-out + support count,
+    * the threshold filter, and integer census arithmetic — replaying
+    * [[graft.ops.Graph.ktrussPeel]] round for round.
+    */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""tr$r AS MATERIALIZED (SELECT p1.u a, p1.v b, p2.v c
+         |  FROM e${r - 1} p1 JOIN e${r - 1} p2 ON p2.u = p1.v
+         |    JOIN e${r - 1} p3 ON p3.u = p1.u AND p3.v = p2.v),
+         |sp$r AS (SELECT u, v, CAST(count(*) AS BIGINT) sup FROM (
+         |    SELECT a u, b v FROM tr$r UNION ALL SELECT b, c FROM tr$r
+         |    UNION ALL SELECT a, c FROM tr$r) GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  LEFT JOIN sp$r s ON e.u = s.u AND e.v = s.v
+         |  WHERE coalesce(s.sup, 0) >= ${k - 2}),
+         |c$r AS (SELECT CAST(count(*) AS BIGINT) n FROM e$r),
+         |t$r AS (SELECT CAST(count(*) AS BIGINT) n FROM tr$r),
+         |row$r AS (SELECT $r rnd, t$r.n n_tri, c${r - 1}.n - c$r.n n_dropped,
+         |    c$r.n n_edges
+         |  FROM t$r, c$r, c${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r => s"SELECT * FROM row$r")
+      .mkString(" UNION ALL ")
+    s"""WITH pr AS (SELECT a.l_partkey u, b.l_partkey v
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+       |e0 AS MATERIALIZED (SELECT CAST(u AS BIGINT) u, CAST(v AS BIGINT) v
+       |  FROM pr),
+       |c0 AS (SELECT CAST(count(*) AS BIGINT) n FROM e0),
+       |$rs
+       |SELECT rnd, n_tri, n_dropped, n_edges FROM ($unions) ORDER BY 1""".stripMargin
+  }
 
   /** q394 oracle: the Sennrich rounds unrolled — per round: freq-weighted
     * adjacent-pair counts via lead(), argmax on (count desc, pair), merge by

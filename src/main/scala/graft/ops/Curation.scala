@@ -225,6 +225,56 @@ object Curation {
   def mixturePlan(spark: SparkSession, sfDir: String): DataFrame =
     mixturePlan(Tables.documents(spark, sfDir))
 
+  /** q395: dedup-aware mixture plan — q75's budget arithmetic priced on
+    * UNIQUE tokens. A recipe that budgets against raw per-source token
+    * counts silently spends part of every epoch re-reading exact
+    * duplicates (and a cross-source dup double-spends across strata); the
+    * honest plan budgets against keeper tokens (q254's corpus-global
+    * min-doc_id-per-hash accounting). Per source (uniform target shares,
+    * derived in-engine from the stratum count — no hardcoded source list):
+    * both planned allocations, effective epochs over unique data, and the
+    * duplicate re-read volume the naive plan pays. planned_naive −
+    * dup_reread ≠ planned_dedup in general — that gap is exactly why the
+    * plan must be re-solved after dedup, not patched.
+    *
+    * Scale: the corpus is touched once (hash + token count ride one scan);
+    * everything after the two q254-shaped shuffles happens on the
+    * stratum table with unpartitioned windows over a handful of rows.
+    */
+  def dedupAwareMixture(docs: DataFrame, maxEpochs: Double = 4.0): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(Dedup.normText(col("text"))).as("h"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("bigint").as("n_tok"))
+    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val bySrc = hashed.join(keepers, "h")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("doc_id") === col("keeper"), col("n_tok"))
+          .otherwise(0L)).as("tokens_kept"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bySrc
+      .withColumn("share", lit(1.0) / count(lit(1)).over(wAll))
+      .withColumn("b_naive",
+        min(col("tokens_total") * lit(maxEpochs) / col("share")).over(wAll))
+      .withColumn("b_dedup",
+        min(col("tokens_kept") * lit(maxEpochs) / col("share")).over(wAll))
+      .select(col("source"), col("tokens_total"), col("tokens_kept"),
+        (round(col("share") * 10000) / 10000).as("target_share"),
+        round(col("share") * col("b_naive")).cast("long").as("planned_naive"),
+        round(col("share") * col("b_dedup")).cast("long").as("planned_dedup"),
+        (round(col("share") * col("b_dedup") / col("tokens_kept") * 10000)
+          / 10000).as("epochs_eff"),
+        round(col("share") * col("b_naive")
+          * (lit(1.0) - col("tokens_kept").cast("double")
+             / col("tokens_total").cast("double")))
+          .cast("long").as("dup_reread"))
+  }
+
+  def dedupAwareMixture(spark: SparkSession, sfDir: String): DataFrame =
+    dedupAwareMixture(Tables.documents(spark, sfDir))
+
   /** q77: curation funnel — per source, how many documents survive each
     * successive cleaning gate (length → repetition → punctuation), plus the
     * end-to-end retention rate. This is the report a corpus owner reads to

@@ -477,6 +477,57 @@ object Graph {
   def copurchaseTriangles(spark: SparkSession, sfDir: String): DataFrame =
     triangleCount(copurchaseEdges(spark, sfDir))
 
+  /** q396: k-truss peel census — the EDGE-cohesion member of the density
+    * family (q146's k-core peels on vertex degree; the truss peels on
+    * per-edge triangle support, the strictly stronger condition: every
+    * surviving edge must close ≥ k−2 triangles WITHIN the survivor set).
+    * Fixed peel rounds (the q259/q157 determinism convention — a fixed
+    * round count with integer state is exactly replayable in the unrolled
+    * oracle; n_dropped = 0 marks convergence): each round enumerates
+    * triangles once on the canonical u<v edge set (one ordered 3-way
+    * self-join, every triangle found exactly once), fans each triangle to
+    * its 3 edges, aggregates support, and keeps edges at the threshold.
+    * Output per round: pre-peel triangle count, edges dropped, edges
+    * remaining — all integers, cross-engine parity for free.
+    *
+    * Scale: triangle enumeration is the q143 join (bounded by per-order
+    * fan-out on this graph); rounds after the first run on the shrinking
+    * survivor set. State between rounds is just the edge list,
+    * checkpointed so lineage stays flat.
+    */
+  def ktrussPeel(edges: DataFrame, k: Int = 4, rounds: Int = 3): DataFrame = {
+    var e = edges.localCheckpoint()
+    var prevN = e.agg(count(lit(1)).as("n_prev"))
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val tri = e.as("p1")
+        .join(e.as("p2"), col("p2.u") === col("p1.v"))
+        .join(e.as("p3"),
+          col("p3.u") === col("p1.u") && col("p3.v") === col("p2.v"))
+        .select(col("p1.u").as("a"), col("p1.v").as("b"), col("p2.v").as("c"))
+        .localCheckpoint()
+      val sup = tri.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      e = e.join(sup, Seq("u", "v"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val row = tri.agg(count(lit(1)).as("n_tri"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(prevN)
+        .select(lit(r).as("rnd"), col("n_tri"),
+          (col("n_prev") - col("n_edges")).as("n_dropped"), col("n_edges"))
+      out = if (out == null) row else out.unionByName(row)
+      prevN = e.agg(count(lit(1)).as("n_prev"))
+    }
+    out
+  }
+
+  def ktruss(spark: SparkSession, sfDir: String): DataFrame =
+    ktrussPeel(copurchaseEdges(spark, sfDir))
+
   /** Canonical (u < v) part co-purchase edges with support ≥ 2 distinct
     * orders — the shared input of q143/q144. Per-order self-join fan-out
     * is bounded by items-per-order². */

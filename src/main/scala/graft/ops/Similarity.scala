@@ -1337,7 +1337,11 @@ object Similarity {
     * unrolled CTEs. Fixed `iters` rounds, no driver-side vector: v stays
     * a 64-row DataFrame, localCheckpoint'd per round.
     */
-  def pcaPower(emb: DataFrame, iters: Int = 6): DataFrame = {
+  /** The power-iteration state behind [[pcaPower]] / [[abtt]]: centered
+    * dims and the max-normalized top-PC loading vector.
+    */
+  private[ops] def pcaState(emb: DataFrame,
+                            iters: Int): (DataFrame, DataFrame) = {
     val xx0 = asDoubles(emb)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
     val mu = xx0.groupBy(col("i")).agg(
@@ -1363,11 +1367,98 @@ object Similarity {
           (round(col("w") / col("m") * lit(1e12)) / lit(1e12)).as("vi"))
         .localCheckpoint()
     }
-    v.select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
+    (xc, v)
   }
+
+  def pcaPower(emb: DataFrame, iters: Int = 6): DataFrame =
+    pcaState(emb, iters)._2
+      .select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
 
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
     pcaPower(Tables.embeddings(spark, sfDir))
+
+  /** q397: all-but-the-top embedding post-processing audit (Mu &
+    * Viswanath 2018) — remove the top principal component (the classic
+    * anisotropy fix: a dominant common direction makes every cosine look
+    * alike and drowns the signal) and measure what it bought: the energy
+    * participation ratio (Σe)²/Σe² before/after (THE isotropy gauge — PR
+    * → d when energy spreads evenly), the hottest dimension's energy
+    * share, and how much the top-k cosine rankings actually churned
+    * (mean overlap@k over the probe set). Projection is against q200's
+    * power-iteration loading: x′ = x − (⟨x,u⟩/⟨u,u⟩)·u — scale-invariant,
+    * so the max-normalized loading needs no unit-norm pass (and no sqrt).
+    *
+    * Scale: one corpus pass for the projection (u is a broadcast d-vector),
+    * per-dim energy tables are d rows, and the ranking-churn stage is the
+    * q25 broadcast-probe scan twice — nothing quadratic, nothing driver-
+    * side.
+    */
+  def abtt(emb: DataFrame, iters: Int = 6, nProbes: Int = 10,
+           k: Int = 5): DataFrame = {
+    val (xc, v) = pcaState(emb, iters)
+    val uu = v.agg(sum((col("vi") * col("vi")).cast("decimal(28,16)"))
+      .cast("double").as("uu"))
+    val av = xc.join(broadcast(v), "i").groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
+        .cast("double").as("a"))
+    val xp = xc.join(av, "vec_id").crossJoin(broadcast(uu))
+      .join(broadcast(v), "i")
+      .select(col("vec_id"), col("i"),
+        (col("x") - col("a") / col("uu") * col("vi")).as("x"))
+      .localCheckpoint()
+
+    def prOf(d: DataFrame, sfx: String): DataFrame =
+      d.groupBy(col("i"))
+        .agg(sum((round(col("x") * col("x") * lit(1e10)) / lit(1e10))
+          .cast("decimal(38,10)")).cast("double").as("e"))
+        .agg(sum((round(col("e") * lit(1e6)) / lit(1e6))
+          .cast("decimal(38,6)")).cast("double").as("s1"),
+          sum((round(col("e") * col("e") * lit(1e6)) / lit(1e6))
+            .cast("decimal(38,6)")).cast("double").as("s2"),
+          max(col("e")).as("mx"))
+        .select(
+          (round(col("s1") * col("s1") / col("s2") * lit(1e6)) / lit(1e6))
+            .as(s"pr_$sfx"),
+          (round(col("mx") / col("s1") * lit(1e6)) / lit(1e6))
+            .as(s"top_share_$sfx"))
+
+    def topkOf(d: DataFrame): DataFrame = {
+      val arr = d.groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, x))), s -> s.x)")
+          .as("v"))
+        .withColumn("nrm", sqrt(DecimalDot(col("v"), col("v"))))
+      val probes = arr.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      arr.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        .crossJoin(broadcast(probes))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cos", DecimalDot(col("pv"), col("cv"))
+          / (col("pn") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("probe_id"), col("neighbor_id"))
+    }
+
+    val before = topkOf(xc)
+    val after = topkOf(xp)
+    val churn = before.join(after, Seq("probe_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+      .crossJoin(before.select(col("probe_id")).distinct()
+        .agg(count(lit(1)).as("n_probes")))
+      .select(col("n_probes"),
+        (round(col("n_common").cast("double") / col("n_probes") * lit(1e6))
+          / lit(1e6)).as("mean_overlap"))
+    prOf(xc, "before").crossJoin(prOf(xp, "after")).crossJoin(churn)
+      .select(col("pr_before"), col("pr_after"), col("top_share_before"),
+        col("top_share_after"), col("mean_overlap"), col("n_probes"))
+  }
+
+  def abtt(spark: SparkSession, sfDir: String): DataFrame =
+    abtt(Tables.embeddings(spark, sfDir))
 
   /** q223: metadata-filtered exact top-k — vector search restricted by a
     * relational predicate (here: candidate documents with lang = 'en'),

@@ -6,6 +6,32 @@ import graft.ops.Curation
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupAwareMixture: cross-source dup deflates the dup's stratum, not the keeper's") {
+    // a: "x y z" twice (within-source dup); b: "p q" plus a cross-source
+    // copy of a's text whose keeper lives in a → b keeps only 2 of 5 tokens
+    val docs = Seq(
+      (0L, "x y z", "en", "a", 0L), (1L, "x y z", "en", "a", 0L),
+      (2L, "p q", "en", "b", 0L), (3L, "x y z", "en", "b", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Curation.dedupAwareMixture(docs, maxEpochs = 4.0)
+      .select("source", "tokens_total", "tokens_kept", "planned_naive",
+        "planned_dedup", "epochs_eff", "dup_reread")
+      .as[(String, Long, Long, Long, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m("a")._2 === 6L && m("a")._3 === 3L)
+    assert(m("b")._2 === 5L && m("b")._3 === 2L)
+    // naive budget min(6·4/.5, 5·4/.5)=40 → 20/source; dedup budget
+    // min(3·4/.5, 2·4/.5)=16 → 8/source
+    assert(m("a")._4 === 20L && m("b")._4 === 20L)
+    assert(m("a")._5 === 8L && m("b")._5 === 8L)
+    assert(math.abs(m("a")._6 - 8.0 / 3) < 1e-4)
+    assert(m("b")._6 === 4.0)
+    // naive plan re-reads: a 20·(1−3/6)=10, b 20·(1−2/5)=12 — and
+    // planned_naive − dup_reread ≠ planned_dedup: re-solve, don't patch
+    assert(m("a")._7 === 10L && m("b")._7 === 12L)
+    assert(m("a")._4 - m("a")._7 !== m("a")._5)
+  }
+
   test("mixturePlan: budget pinned by the scarcest stratum, epochs capped") {
     // en has 100 tokens available, de only 10; with a 50/50 target and a
     // 2-epoch cap the de side pins the budget at 10*2/0.5 = 40 tokens.

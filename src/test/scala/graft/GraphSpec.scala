@@ -9,6 +9,19 @@ class GraphSpec extends SparkSpec {
     Graph.connectedComponents(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
 
+  test("ktrussPeel: K4 survives a 4-truss, the pendant triangle peels off") {
+    // K4 on 1-4 (every edge closes 2 triangles) + triangle (4,5,6) whose
+    // edges close only 1 each → dropped in round 1; round 2 converges
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val rows = Graph.ktrussPeel(e, k = 4, rounds = 3).orderBy($"rnd")
+      .select("rnd", "n_tri", "n_dropped", "n_edges")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows(0) === ((1, 5L, 3L, 6L)))
+    assert(rows(1) === ((2, 4L, 0L, 6L)))
+    assert(rows(2) === ((3, 4L, 0L, 6L)))
+  }
+
   test("path graph needs multiple propagation rounds and still converges") {
     // 1-2-3-4-5-6-7-8: diameter 7, min label must travel the whole path
     val cc = components((1L to 7L).map(i => (i, i + 1)))

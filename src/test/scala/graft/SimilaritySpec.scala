@@ -100,6 +100,26 @@ class SimilaritySpec extends SparkSpec {
     assert(itl.count(_ > 1e-9) === 1 && bal.count(_ > 1e-9) === 2)
   }
 
+  test("abtt: removing the dominant variance direction raises isotropy") {
+    // dim 0 carries ±10 (variance 100, the "common direction" PC1 locks
+    // onto); dims 1-7 carry small distinct signals
+    val vecs = (0L until 12L).map { j =>
+      val a = Array.fill(8)(0f)
+      a(0) = if (j % 2 == 0) 10f else -10f
+      a(1 + (j % 7).toInt) = 1f + (j % 3)
+      (j, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.abtt(vecs, iters = 6, nProbes = 10, k = 3)
+      .select("pr_before", "pr_after", "top_share_before", "top_share_after",
+        "mean_overlap", "n_probes")
+      .as[(Double, Double, Double, Double, Double, Long)].head()
+    assert(r._2 > r._1, s"PR should rise: ${r._1} -> ${r._2}")
+    assert(r._4 < r._3, s"top share should drop: ${r._3} -> ${r._4}")
+    assert(r._3 > 0.9) // dim 0 dominates the raw energy almost entirely
+    assert(r._5 >= 0.0 && r._5 <= 3.0)
+    assert(r._6 === 10L)
+  }
+
   test("srpLsh: identical vectors collide in every band; orthogonal pairs are cut") {
     import org.apache.spark.sql.functions._
     // 8-dim: two identical vectors (all bands collide, cosine 1) plus an
