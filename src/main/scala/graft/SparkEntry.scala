@@ -802,7 +802,18 @@ object SparkEntry {
       Curation.dedupAwareMixture(s, d).orderBy(col("source"))),
     "q396_ktruss" -> ((s, d) =>
       Graph.ktruss(s, d).orderBy(col("rnd"))),
-    "q397_abtt" -> ((s, d) => Similarity.abtt(s, d))
+    "q397_abtt" -> ((s, d) => Similarity.abtt(s, d)),
+    "q398_theta_forecast" -> ((s, d) =>
+      TimeSeries.thetaForecast(s, d).orderBy(col("event_type"))),
+    "q399_wand_prune" -> ((s, d) =>
+      Retrieval.wandPrune(s, d).orderBy(col("probe_id"))),
+    "q400_dup_spectrum" -> ((s, d) =>
+      Dedup.dupSpectrum(s, d).orderBy(col("multiplicity"))),
+    "q401_shard_balance" -> ((s, d) =>
+      Curation.shardBalance(s, d).orderBy(col("shard"))),
+    "q402_confident_errors" -> ((s, d) =>
+      TextAnalysis.confidentErrors(s, d)
+        .orderBy(col("actual"), col("suggested")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9511,7 +9522,192 @@ object SparkEntry {
         |       / CAST(tokens_total AS DOUBLE))) AS BIGINT) AS dup_reread
         |FROM a, n, b ORDER BY 1""".stripMargin,
     "q396_ktruss" -> ktrussOracle(k = 4, rounds = 3),
-    "q397_abtt" -> abttOracle(iters = 6)
+    "q397_abtt" -> abttOracle(iters = 6),
+    "q398_theta_forecast" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, m,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) rn
+        |  FROM daily),
+        |tt AS (SELECT event_type, max(rn) t FROM idx GROUP BY 1),
+        |reg AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(rn) AS BIGINT) st, CAST(sum(rn*rn) AS BIGINT) stt,
+        |    CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE) sm,
+        |    CAST(sum(CAST(rn*m AS DECIMAL(38,12))) AS DOUBLE) stm
+        |  FROM idx GROUP BY 1),
+        |ab0 AS (SELECT event_type, n, st, sm,
+        |    CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*CAST(st AS DOUBLE)/n sxx,
+        |    stm - CAST(st AS DOUBLE)*sm/n sxy
+        |  FROM reg),
+        |ab1 AS (SELECT event_type, n, st, sm,
+        |    CASE WHEN sxx = 0 THEN 0.0 ELSE sxy/sxx END b
+        |  FROM ab0),
+        |ab AS (SELECT event_type, n, b,
+        |    sm/n - b*CAST(st AS DOUBLE)/n a
+        |  FROM ab1),
+        |zq AS (SELECT idx.event_type, rn,
+        |    round((2.0*m - (a + b*rn))*1e12)/1e12 z
+        |  FROM idx JOIN ab ON idx.event_type = ab.event_type),
+        |r AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) t, z l, CAST(0.0 AS DOUBLE) sae
+        |  FROM zq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    round((0.5*z.z + 0.5*r.l)*1e12)/1e12,
+        |    r.sae + round(abs(z.z - r.l)*1e12)/1e12
+        |  FROM r JOIN zq z ON z.event_type = r.event_type AND z.rn = r.t + 1)
+        |SELECT r.event_type, r.t AS n_days,
+        |  round(b*1e6)/1e6 + 0.0 AS slope,
+        |  round(r.l*1e6)/1e6 AS ses_level,
+        |  round(0.5*((a + b*CAST(r.t + 7 AS DOUBLE)) + r.l)*1e6)/1e6
+        |    AS forecast_7d,
+        |  round(r.sae/CAST(r.t - 1 AS DOUBLE)*1e6)/1e6 AS mae
+        |FROM r JOIN tt ON r.event_type = tt.event_type AND r.t = tt.t
+        |  JOIN ab ON r.event_type = ab.event_type
+        |WHERE tt.t >= 2 ORDER BY 1""".stripMargin,
+    "q399_wand_prune" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf FROM tx GROUP BY 1,2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |probes AS (SELECT doc_id probe_id, tok FROM tf WHERE doc_id < 5),
+        |trm AS MATERIALIZED (SELECT t.doc_id, t.tok,
+        |    CAST(
+        |      ln((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      AS DECIMAL(18,10)) term
+        |  FROM tf t JOIN dfreq USING (tok) JOIN dl ON t.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        |ub AS (SELECT tok, max(term) ub FROM trm GROUP BY 1),
+        |pd AS MATERIALIZED (SELECT p.probe_id, t.doc_id,
+        |    sum(t.term) s, sum(ub.ub) ubsum
+        |  FROM trm t JOIN probes p USING (tok) JOIN ub USING (tok)
+        |  WHERE t.doc_id <> p.probe_id GROUP BY 1, 2),
+        |th AS (SELECT probe_id, s theta FROM (SELECT probe_id, s,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, doc_id) rnk
+        |  FROM pd) WHERE rnk = 5)
+        |SELECT pd.probe_id, CAST(count(*) AS BIGINT) n_candidates,
+        |  CAST(sum(CASE WHEN ubsum < theta THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_prunable,
+        |  round(CAST(theta AS DOUBLE)*10000)/10000 AS theta,
+        |  round(CAST(sum(CASE WHEN ubsum < theta THEN 1 ELSE 0 END)
+        |    AS DOUBLE)/count(*)*1e6)/1e6 AS prune_rate
+        |FROM pd JOIN th ON pd.probe_id = th.probe_id
+        |GROUP BY pd.probe_id, theta ORDER BY 1""".stripMargin,
+    "q400_dup_spectrum" ->
+      """WITH hs AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) h,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+        |      AS BIGINT) n_tok
+        |  FROM documents),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) m,
+        |    CAST(sum(n_tok) AS BIGINT) g_tok,
+        |    min_by(n_tok, doc_id) k_tok
+        |  FROM hs GROUP BY 1)
+        |SELECT m AS multiplicity, CAST(count(*) AS BIGINT) n_groups,
+        |  m * CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(g_tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(g_tok - k_tok) AS BIGINT) AS tokens_excess
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q401_shard_balance" ->
+      """WITH b AS (SELECT source,
+        |    md5('shard:'||CAST(doc_id AS VARCHAR)) h FROM documents),
+        |sh AS (SELECT source, CAST(CAST(
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |    (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |    (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |    (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |    (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |    (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)
+        |    % 8 AS INT) shard
+        |  FROM b),
+        |cnt AS (SELECT shard, source, CAST(count(*) AS BIGINT) n
+        |  FROM sh GROUP BY 1, 2),
+        |shn AS (SELECT shard, CAST(count(*) AS BIGINT) n_docs
+        |  FROM sh GROUP BY 1),
+        |gl AS (SELECT source, CAST(count(*) AS BIGINT) ng FROM sh GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) nt FROM sh),
+        |grid AS (SELECT shn.shard, shn.n_docs,
+        |    CAST(coalesce(cnt.n, 0) AS DOUBLE)/shn.n_docs p,
+        |    CAST(gl.ng AS DOUBLE)/tot.nt q
+        |  FROM shn CROSS JOIN gl
+        |    LEFT JOIN cnt ON shn.shard = cnt.shard AND gl.source = cnt.source
+        |    CROSS JOIN tot)
+        |SELECT shard, n_docs,
+        |  round(0.5*CAST(sum(CAST(round(abs(p - q)*1e12)/1e12
+        |    AS DECIMAL(28,12))) AS DOUBLE)*1e6)/1e6 AS tvd,
+        |  round(max(p)*1e6)/1e6 AS max_source_share
+        |FROM grid GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q402_confident_errors" ->
+      """WITH d0 AS (SELECT doc_id, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, unnest(string_split(t, ' ')) tok
+        |       FROM d0),
+        |tf AS (SELECT doc_id, source, tok FROM tk WHERE length(tok) > 0),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) cnt
+        |       FROM tf GROUP BY 1, 2),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) ns
+        |       FROM tf GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(ns) AS BIGINT) n_src
+        |         FROM st GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) v FROM st),
+        |pri AS (SELECT source, CAST(count(*) AS BIGINT) docs_src
+        |        FROM documents GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+        |grid AS (SELECT tks.tok, stot.source,
+        |    ln(CAST(coalesce(st.ns, 0) + 1 AS DOUBLE)
+        |      /CAST(stot.n_src + vv.v AS DOUBLE)) ll
+        |  FROM (SELECT DISTINCT tok FROM st) tks
+        |  CROSS JOIN stot
+        |  LEFT JOIN st ON st.source = stot.source AND st.tok = tks.tok
+        |  CROSS JOIN vv),
+        |sc AS (SELECT dt.doc_id, grid.source,
+        |    CAST(sum(CAST(CAST(cnt AS DOUBLE)*ll AS DECIMAL(28,12)))
+        |      AS DOUBLE) s
+        |  FROM dt JOIN grid ON dt.tok = grid.tok GROUP BY 1, 2),
+        |pv AS (SELECT pri.source,
+        |    ln(CAST(docs_src AS DOUBLE)/CAST(n_docs AS DOUBLE)) lp
+        |  FROM pri CROSS JOIN nd),
+        |fin AS MATERIALIZED (SELECT sc.doc_id, sc.source, pv.lp + sc.s score
+        |        FROM sc JOIN pv ON sc.source = pv.source),
+        |mxq AS (SELECT doc_id, max(score) mx FROM fin GROUP BY 1),
+        |lse AS (SELECT fin.doc_id,
+        |    mxq.mx + ln(CAST(sum(CAST(round(exp(score - mx)*1e15)/1e15
+        |      AS DECIMAL(28,15))) AS DOUBLE)) lse
+        |  FROM fin JOIN mxq ON fin.doc_id = mxq.doc_id
+        |  GROUP BY fin.doc_id, mxq.mx),
+        |post AS MATERIALIZED (SELECT fin.doc_id, fin.source,
+        |    round(exp(score - lse)*1e12)/1e12 p
+        |  FROM fin JOIN lse ON fin.doc_id = lse.doc_id),
+        |act AS (SELECT doc_id, source actual FROM documents),
+        |thr AS (SELECT post.source,
+        |    CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)/count(*) t
+        |  FROM post JOIN act ON post.doc_id = act.doc_id
+        |    AND post.source = act.actual
+        |  GROUP BY 1),
+        |sug AS (SELECT doc_id, source suggested, p FROM (
+        |    SELECT post.doc_id, post.source, post.p,
+        |      row_number() OVER (PARTITION BY post.doc_id
+        |        ORDER BY post.p DESC, post.source) rn
+        |    FROM post JOIN thr ON post.source = thr.source
+        |    WHERE post.p >= thr.t) WHERE rn = 1)
+        |SELECT act.actual, sug.suggested, CAST(count(*) AS BIGINT) n_docs,
+        |  round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+        |    /count(*)*1e6)/1e6 AS mean_conf,
+        |  act.actual <> sug.suggested AS is_error
+        |FROM act JOIN sug ON act.doc_id = sug.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -275,6 +275,57 @@ object Curation {
   def dedupAwareMixture(spark: SparkSession, sfDir: String): DataFrame =
     dedupAwareMixture(Tables.documents(spark, sfDir))
 
+  /** q401: shard-balance audit — did the deterministic shuffle actually
+    * break the corpus's source ordering? Training data is written in S
+    * hash shards (the md5→uniform idiom q54/q64 sample with); a reader
+    * consuming shard-by-shard sees each shard's SOURCE MIX as its local
+    * data distribution, so a shard whose mix drifts from the corpus mix
+    * re-introduces the ordering bias the shuffle was supposed to kill.
+    * Per shard: doc count, total-variation distance between the shard's
+    * source distribution and the global one (over the FULL source grid —
+    * absent sources contribute their whole global share), and the hottest
+    * source's local share. TVD ≈ 0 everywhere = a clean shuffle; one hot
+    * shard = a pathological key pattern.
+    *
+    * Scale: one groupBy to (shard × source) — S·|sources| rows — then
+    * grid arithmetic on that tiny table; the corpus is scanned once.
+    */
+  def shardBalance(docs: DataFrame, shards: Int = 8): DataFrame = {
+    val sh = docs.select(col("source"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("u24", expr(
+        """CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("shard", pmod(col("u24"), lit(shards.toLong)).cast("int"))
+      .select(col("shard"), col("source"))
+    val cnt = sh.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val shn = sh.groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+    val gl = sh.groupBy(col("source")).agg(count(lit(1)).as("ng"))
+    val tot = sh.agg(count(lit(1)).as("nt"))
+    shn.crossJoin(broadcast(gl))
+      .join(cnt, Seq("shard", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p", coalesce(col("n"), lit(0L)).cast("double") / col("n_docs"))
+      .withColumn("q", col("ng").cast("double") / col("nt"))
+      .groupBy(col("shard"), col("n_docs"))
+      .agg(
+        sum((round(abs(col("p") - col("q")) * lit(1e12)) / lit(1e12))
+          .cast("decimal(28,12)")).cast("double").as("sad"),
+        max(col("p")).as("mx"))
+      .select(col("shard"), col("n_docs"),
+        (round(lit(0.5) * col("sad") * lit(1e6)) / lit(1e6)).as("tvd"),
+        (round(col("mx") * lit(1e6)) / lit(1e6)).as("max_source_share"))
+  }
+
+  def shardBalance(spark: SparkSession, sfDir: String): DataFrame =
+    shardBalance(Tables.documents(spark, sfDir))
+
   /** q77: curation funnel — per source, how many documents survive each
     * successive cleaning gate (length → repetition → punctuation), plus the
     * end-to-end retention rate. This is the report a corpus owner reads to

@@ -1217,6 +1217,40 @@ object Dedup {
   def dupInflation(spark: SparkSession, sfDir: String): DataFrame =
     dupInflation(Tables.documents(spark, sfDir))
 
+  /** q400: duplication spectrum — the cluster-SIZE histogram of exact-dup
+    * groups (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", report corpora this way): per multiplicity m, how
+    * many groups, how many documents, their total token mass, and the
+    * excess (non-keeper) tokens dedup would remove. q20 lists the dups and
+    * q254 prices them per source; the spectrum is the corpus-level shape —
+    * a heavy m=2 band is boilerplate, a fat tail of large m is template
+    * spam, and the excess column integrates to exactly q254's total.
+    *
+    * Scale: hash groupBy (q20's shuffle), then a group-size aggregate
+    * whose key cardinality is the number of DISTINCT multiplicities —
+    * bounded by the largest cluster, not the corpus.
+    */
+  def dupSpectrum(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      md5(normText(col("text"))).as("h"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("bigint").as("n_tok"))
+    val groups = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("n_tok")).as("g_tok"),
+        expr("min_by(n_tok, doc_id)").as("k_tok"))
+    groups.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("g_tok")).as("tokens_total"),
+        sum(col("g_tok") - col("k_tok")).as("tokens_excess"))
+      .select(col("m").as("multiplicity"), col("n_groups"),
+        (col("m") * col("n_groups")).as("n_docs"),
+        col("tokens_total"), col("tokens_excess"))
+  }
+
+  def dupSpectrum(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpectrum(Tables.documents(spark, sfDir))
+
   /** q269: transitivity census of the LSH near-dup pair graph — how
     * clique-like are q22's candidate pairs? A high closure rate says the
     * pairs form genuine duplicate CLUSTERS (safe to collapse to one

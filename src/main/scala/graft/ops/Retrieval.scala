@@ -171,4 +171,76 @@ object Retrieval {
 
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
     rrfFusion(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+
+  /** q399: WAND / MaxScore pruning-headroom audit (Broder et al. 2003) —
+    * how much of the BM25 scoring work a top-k engine could legally skip.
+    * Each term carries a corpus-global upper bound UB(t) = max per-doc
+    * term score; with θ = the k-th best true score of a query, any
+    * candidate whose Σ UB over its matching terms is below θ can be
+    * discarded WITHOUT full scoring (the true score is ≤ the UB sum by
+    * construction — the audit's safety invariant, spec-pinned: no top-k
+    * member is ever prunable). Per probe: candidate count, prunable
+    * count, θ, and the prune rate — the number that says whether a
+    * document-at-a-time index on this corpus is mostly scoring or mostly
+    * skipping.
+    *
+    * Scale: UB is one groupBy over the SAME term-score table q82 scores
+    * from (d·t rows, exchange reuse); the candidate pass is the q82
+    * inverted-index join with one extra broadcast-sized UB lookup; θ is
+    * the existing per-probe window. Per-term scores and UB sums stay
+    * DECIMAL(18,10) end to end, so the < θ comparison is exact in both
+    * engines.
+    */
+  def wandPrune(docs: DataFrame, nProbes: Int = 5, k: Int = 5,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val probes = tf.where(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("tok"))
+
+    // per-(doc, token) BM25 term score — q82's formula verbatim; probe-
+    // independent, so it is computed ONCE and both the scoring join and
+    // the UB table read it
+    val term = tf.join(dfreq, "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term",
+        (log((col("n_docs") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+             + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .cast("decimal(18,10)"))
+      .select(col("doc_id"), col("tok"), col("term"))
+    val ub = term.groupBy(col("tok")).agg(max(col("term")).as("ub"))
+
+    val perDoc = term.join(probes, "tok").join(ub, "tok")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("term")).as("s"), sum(col("ub")).as("ubsum"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    val theta = perDoc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === k)
+      .select(col("probe_id"), col("s").as("theta"))
+    perDoc.join(theta, "probe_id")
+      .groupBy(col("probe_id"), col("theta"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("ubsum") < col("theta"), 1L).otherwise(0L))
+          .as("n_prunable"))
+      .select(col("probe_id"), col("n_candidates"), col("n_prunable"),
+        (round(col("theta").cast("double") * 10000) / 10000).as("theta"),
+        (round(col("n_prunable").cast("double") / col("n_candidates")
+          * lit(1e6)) / lit(1e6)).as("prune_rate"))
+  }
+
+  def wandPrune(spark: SparkSession, sfDir: String): DataFrame =
+    wandPrune(Tables.documents(spark, sfDir))
 }

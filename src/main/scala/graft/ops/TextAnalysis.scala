@@ -915,7 +915,10 @@ object TextAnalysis {
     * by |sources| — linear in corpus size with a bounded constant, the
     * canonical NB shape.
     */
-  def naiveBayesSource(docs: DataFrame): DataFrame = {
+  /** The per-(doc, class) NB log-score table behind [[naiveBayesSource]]
+    * and [[confidentErrors]].
+    */
+  private[ops] def nbScores(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("source"),
         explode(split(Dedup.normText(col("text")), " ")).as("tok"))
@@ -949,6 +952,11 @@ object TextAnalysis {
             / col("n_docs").cast("double")).as("prior"))),
         Seq("source"))
       .withColumn("score", col("prior") + col("s"))
+    scores.select(col("doc_id"), col("source"), col("score"))
+  }
+
+  def naiveBayesSource(docs: DataFrame): DataFrame = {
+    val scores = nbScores(docs)
     val wBest = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("source"))
     val pred = scores
@@ -960,6 +968,58 @@ object TextAnalysis {
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** q402: confident-learning label-noise census (Northcutt et al.,
+    * "Confident Learning") on the q221 classifier — the data-quality op
+    * that says WHICH labels look wrong, not just how often the classifier
+    * disagrees (q221's confusion matrix counts raw disagreement; CL only
+    * counts a doc for class j when its posterior clears class j's
+    * SELF-CONFIDENCE threshold t_j = mean posterior of docs actually
+    * labeled j, which is what makes the off-diagonal mass an estimate of
+    * label ERROR rather than classifier noise). Posteriors come from a
+    * max-shifted log-sum-exp over the NB log scores; a doc above several
+    * thresholds goes to its argmax class, ties on class name. Output: the
+    * confident joint (actual × suggested) with counts, mean suggestion
+    * confidence, and the error flag.
+    *
+    * Scale: everything after the q221 score table is per-doc arithmetic
+    * plus class-sized aggregates; thresholds are a |classes|-row broadcast.
+    */
+  def confidentErrors(docs: DataFrame): DataFrame = {
+    val scores = nbScores(docs).localCheckpoint()
+    val mx = scores.groupBy(col("doc_id")).agg(max(col("score")).as("mx"))
+    val lse = scores.join(mx, "doc_id")
+      .groupBy(col("doc_id"), col("mx"))
+      .agg(sum((round(exp(col("score") - col("mx")) * lit(1e15)) / lit(1e15))
+        .cast("decimal(28,15)")).cast("double").as("se"))
+      .select(col("doc_id"), (col("mx") + log(col("se"))).as("lse"))
+    val post = scores.join(lse, "doc_id")
+      .select(col("doc_id"), col("source"),
+        (round(exp(col("score") - col("lse")) * lit(1e12)) / lit(1e12)).as("p"))
+      .localCheckpoint()
+    val actual = docs.select(col("doc_id"), col("source").as("actual"))
+    val thr = post.join(actual, "doc_id")
+      .where(col("source") === col("actual"))
+      .groupBy(col("source"))
+      .agg((sum(col("p").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("t"))
+    val wS = Window.partitionBy(col("doc_id"))
+      .orderBy(col("p").desc, col("source"))
+    val suggested = post.join(broadcast(thr), "source")
+      .where(col("p") >= col("t"))
+      .withColumn("rn", row_number().over(wS))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("source").as("suggested"), col("p"))
+    actual.join(suggested, "doc_id")
+      .groupBy(col("actual"), col("suggested"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(sum(col("p").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)) * lit(1e6)) / lit(1e6)).as("mean_conf"))
+      .withColumn("is_error", col("actual") =!= col("suggested"))
+  }
+
+  def confidentErrors(spark: SparkSession, sfDir: String): DataFrame =
+    confidentErrors(Tables.documents(spark, sfDir))
 
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
     naiveBayesSource(Tables.documents(spark, sfDir))

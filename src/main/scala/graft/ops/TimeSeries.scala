@@ -1679,6 +1679,70 @@ object TimeSeries {
   def holtLinear(spark: SparkSession, sfDir: String): DataFrame =
     holtLinear(Tables.events(spark, sfDir))
 
+  /** q398: the Theta method (Assimakopoulos & Nikolopoulos — the M3
+    * winner), additive θ=2 form: fit the least-squares trend over the
+    * daily means, double the deviations around it (the θ=2 line
+    * z_t = 2·m_t − trend(t)), smooth z with SES (α=.5, the q251 fold
+    * discipline), and forecast the AVERAGE of the two theta lines —
+    * the trend extrapolated h days out and the flat SES level. Known
+    * equivalence: SES-with-drift-b̂/2, which is why this simple recipe
+    * beat the M3 field; it fills the gap between q127's pure trend and
+    * q251's Holt (whose trend is smoothed, not fitted). MAE is the
+    * theta-line SES one-step diagnostic, same convention as q251.
+    *
+    * Scale: the regression is one aggregate of integer rank sums +
+    * decimal value sums per series; the fold runs over the collected
+    * per-series daily array (bounded by the calendar, not the corpus —
+    * the q251 contract).
+    */
+  def thetaForecast(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val idx = dailyMeans(events)
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val reg = idx.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("rn")).as("st"),
+        sum(col("rn") * col("rn")).as("stt"),
+        sum(col("m").cast("decimal(38,12)")).cast("double").as("sm"),
+        sum((col("rn").cast("double") * col("m")).cast("decimal(38,12)"))
+          .cast("double").as("stm"))
+      .withColumn("sxx", col("stt").cast("double")
+        - col("st").cast("double") * col("st").cast("double") / col("n"))
+      .withColumn("sxy", col("stm")
+        - col("st").cast("double") * col("sm") / col("n"))
+      .withColumn("b",
+        when(col("sxx") === 0, lit(0.0)).otherwise(col("sxy") / col("sxx")))
+      .withColumn("a", col("sm") / col("n")
+        - col("b") * col("st").cast("double") / col("n"))
+      .select(col("event_type"), col("n"), col("a"), col("b"))
+    idx.join(reg, "event_type")
+      .withColumn("z", round((lit(2.0) * col("m")
+        - (col("a") + col("b") * col("rn").cast("double"))) * lit(1e12))
+        / lit(1e12))
+      .groupBy(col("event_type"), col("n"), col("a"), col("b"))
+      .agg(expr("transform(array_sort(collect_list(struct(rn, z))), s -> s.z)")
+        .as("zs"))
+      .where(size(col("zs")) >= 2)
+      .withColumn("st2", expr(
+        """aggregate(
+          |  slice(zs, 2, size(zs) - 1),
+          |  named_struct('l', element_at(zs, 1), 'sae', CAST(0.0 AS DOUBLE)),
+          |  (acc, z) -> named_struct(
+          |    'l', round((0.5*z + 0.5*acc.l)*1e12)/1e12,
+          |    'sae', acc.sae + round(abs(z - acc.l)*1e12)/1e12))
+          |""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        (r6c(col("b")) + lit(0.0)).as("slope"),
+        r6c(col("st2.l")).as("ses_level"),
+        r6c(lit(0.5) * ((col("a")
+          + col("b") * (col("n") + lit(7L)).cast("double"))
+          + col("st2.l"))).as("forecast_7d"),
+        r6c(col("st2.sae") / (col("n") - lit(1L)).cast("double")).as("mae"))
+  }
+
+  def thetaForecast(spark: SparkSession, sfDir: String): DataFrame =
+    thetaForecast(Tables.events(spark, sfDir))
+
   /** q328: hierarchical forecast reconciliation audit — the 7-day Holt
     * forecast made BOTTOM-UP (sum of per-series q251 forecasts) vs
     * TOP-DOWN (the same fold on the aggregated total series). Smoothers

@@ -397,6 +397,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("mae") == 0.0)
   }
 
+  test("thetaForecast: constant series is a fixed point; linear trend damps") {
+    // constant 5: trend 0, theta line ≡ 5, SES stays 5, zero MAE
+    val flat = ops.TimeSeries.thetaForecast(
+      typedEvents((0L to 9L).map(d => ("a", d, 5.0)))).collect().head
+    assert(flat.getAs[Long]("n_days") == 10)
+    assert(flat.getAs[Double]("slope") == 0.0)
+    assert(flat.getAs[Double]("ses_level") == 5.0)
+    assert(flat.getAs[Double]("forecast_7d") == 5.0)
+    assert(flat.getAs[Double]("mae") == 0.0)
+
+    // x_t = t (rank units): exact fit → z ≡ series, SES lags the ramp, so
+    // the theta combination forecasts BELOW the pure trend (the known
+    // theta damping vs q127/q251's straight extrapolation)
+    val ramp = ops.TimeSeries.thetaForecast(
+      typedEvents((0L to 9L).map(d => ("a", d, d.toDouble)))).collect().head
+    assert(math.abs(ramp.getAs[Double]("slope") - 1.0) < 1e-9)
+    val l = ramp.getAs[Double]("ses_level")
+    val f = ramp.getAs[Double]("forecast_7d")
+    assert(l < 9.0)            // SES lags the last point of the ramp
+    assert(f < 16.0 && f > l)  // damped below trend(T+7), above the level
+  }
+
   test("holtLinear level settles between the two means of a step series") {
     // constant 10 for 10 days then constant 50: the smoothed level must
     // land strictly between, approaching 50

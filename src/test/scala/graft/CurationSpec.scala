@@ -32,6 +32,19 @@ class CurationSpec extends SparkSpec {
     assert(m("a")._4 - m("a")._7 !== m("a")._5)
   }
 
+  test("shardBalance: a single-source corpus has zero TVD in every shard") {
+    val docs = (0L until 64L).map(j => (j, s"doc $j text", "en", "only", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Curation.shardBalance(docs, shards = 8)
+      .select("shard", "n_docs", "tvd", "max_source_share")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._2).sum === 64L)   // every doc lands in some shard
+    assert(rows.forall(_._3 === 0.0))    // shard mix ≡ global mix
+    assert(rows.forall(_._4 === 1.0))
+    // md5 sharding actually spreads: no shard holds the majority
+    assert(rows.map(_._2).max < 32L)
+  }
+
   test("mixturePlan: budget pinned by the scarcest stratum, epochs capped") {
     // en has 100 tokens available, de only 10; with a 50/50 target and a
     // 2-epoch cap the de side pins the budget at 10*2/0.5 = 40 tokens.

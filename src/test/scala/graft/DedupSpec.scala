@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dupSpectrum: multiplicity histogram with exact token accounting") {
+    val docs = Seq(
+      (0L, "a b c", "en", "s", 0L), (1L, "a b c", "en", "s", 0L),
+      (2L, "a b c", "en", "s", 0L),                       // m=3, 3 tok each
+      (3L, "x y", "en", "s", 0L),                         // m=1, 2 tok
+      (4L, "p q r s", "en", "s", 0L), (5L, "p q r s", "en", "s", 0L) // m=2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.dupSpectrum(docs).orderBy($"multiplicity")
+      .select("multiplicity", "n_groups", "n_docs", "tokens_total",
+        "tokens_excess")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.toSeq === Seq(
+      (1L, 1L, 1L, 2L, 0L),
+      (2L, 1L, 2L, 8L, 4L),
+      (3L, 1L, 3L, 9L, 6L)))
+    // the excess column integrates to q254's total dup tokens
+    assert(rows.map(_._5).sum === 10L)
+  }
+
   private def docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog", "s0"),
     (1L, "the quick brown fox jumps over the lazy dog", "s0"), // exact dup of 0

@@ -33,6 +33,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(tpw(3) - 7.0 / 6) < 2e-6)
   }
 
+  test("confidentErrors flags the planted label error, keeps clean docs diagonal") {
+    // two sources with disjoint vocabularies, one doc labeled srcA but
+    // written in srcB's vocabulary
+    val docs = ((0L to 4L).map(j => (j, "aaa aab aac", "en", "srcA")) ++
+      (5L to 9L).map(j => (j, "bbb bba bbc", "en", "srcB")) :+
+      (10L, "bbb bba bbc", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.confidentErrors(docs)
+      .select("actual", "suggested", "n_docs", "is_error")
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // the planted error is confidently reassigned to srcB
+    assert(rows(("srcA", "srcB")) === ((1L, true)))
+    // clean docs stay on the diagonal
+    assert(rows(("srcA", "srcA"))._1 === 5L)
+    assert(rows(("srcB", "srcB"))._1 === 5L)
+    assert(!rows(("srcA", "srcA"))._2 && !rows(("srcB", "srcB"))._2)
+  }
+
   test("qualityScore computes exact token-derived features") {
     val docs = Seq((0L, "the cat sat", "en", "s0")).toDF("doc_id", "text", "lang", "source")
     val r = TextAnalysis.qualityScore(docs)
