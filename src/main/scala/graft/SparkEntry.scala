@@ -813,7 +813,11 @@ object SparkEntry {
       Curation.shardBalance(s, d).orderBy(col("shard"))),
     "q402_confident_errors" -> ((s, d) =>
       TextAnalysis.confidentErrors(s, d)
-        .orderBy(col("actual"), col("suggested")))
+        .orderBy(col("actual"), col("suggested"))),
+    "q403_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
+    "q404_kmv_sketch" -> ((s, d) =>
+      Sketches.kmvSketch(s, d).orderBy(col("rank"))),
+    "q405_order_runs" -> ((s, d) => Curation.orderRuns(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9707,7 +9711,98 @@ object SparkEntry {
         |    /count(*)*1e6)/1e6 AS mean_conf,
         |  act.actual <> sug.suggested AS is_error
         |FROM act JOIN sug ON act.doc_id = sug.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q403_split_leakage" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pr AS (SELECT doc_a, doc_b FROM inter
+        |       JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |       WHERE CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared) >= 0.5),
+        |bs AS (SELECT doc_id,
+        |    md5('split:'||CAST(doc_id AS VARCHAR)) h,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+        |      AS BIGINT) n_tok
+        |  FROM documents),
+        |spl AS (SELECT doc_id, n_tok, CASE WHEN CAST(
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |    (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |    (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |    (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |    (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |    (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)
+        |    < 13421772 THEN 'train' ELSE 'eval' END side
+        |  FROM bs),
+        |cat AS (SELECT pr.doc_a, pr.doc_b, sa.side sa, sb.side sb
+        |  FROM pr JOIN spl sa ON pr.doc_a = sa.doc_id
+        |    JOIN spl sb ON pr.doc_b = sb.doc_id),
+        |cnts AS (SELECT CAST(count(*) AS BIGINT) n_pairs,
+        |    CAST(sum(CASE WHEN sa = 'train' AND sb = 'train' THEN 1 ELSE 0
+        |      END) AS BIGINT) n_within_train,
+        |    CAST(sum(CASE WHEN sa = 'eval' AND sb = 'eval' THEN 1 ELSE 0
+        |      END) AS BIGINT) n_within_eval,
+        |    CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) n_cross
+        |  FROM cat),
+        |cont AS (SELECT CAST(count(*) AS BIGINT) n_contam_eval_docs,
+        |    CAST(sum(n_tok) AS BIGINT) contam_tokens
+        |  FROM (SELECT DISTINCT CASE WHEN sa = 'eval' THEN doc_a ELSE doc_b
+        |      END doc_id
+        |    FROM cat WHERE sa <> sb) c JOIN spl ON c.doc_id = spl.doc_id),
+        |et AS (SELECT CAST(count(*) AS BIGINT) n_eval_docs FROM spl
+        |  WHERE side = 'eval')
+        |SELECT n_pairs, n_within_train, n_within_eval, n_cross,
+        |  CASE WHEN n_pairs = 0 THEN 0.0
+        |    ELSE round(CAST(n_cross AS DOUBLE)/n_pairs*1e6)/1e6 END leak_rate,
+        |  n_eval_docs, n_contam_eval_docs,
+        |  coalesce(contam_tokens, 0) contam_tokens
+        |FROM cnts, cont, et""".stripMargin,
+    "q404_kmv_sketch" ->
+      s"""WITH d AS (SELECT doc_id, string_split(
+         |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w FROM documents),
+         |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+         |       FROM d WHERE len(w) >= 3),
+         |sh0 AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+         |shd AS (SELECT DISTINCT sh FROM sh0),
+         |hx AS (SELECT md5('kmv:'||sh) h FROM shd),
+         |hv AS (SELECT ${graft.ops.Sketches.hexValSql("h", 12)} hv FROM hx),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) exact_distinct FROM shd),
+         |tk AS (SELECT hv, CAST(row_number() OVER (ORDER BY hv) AS INT) rank
+         |  FROM (SELECT hv FROM hv ORDER BY hv LIMIT 16)),
+         |kth AS (SELECT hv kth_min FROM tk WHERE rank = 16)
+         |SELECT rank, tk.hv,
+         |  CAST(round(15.0*281474976710656.0/kth_min) AS BIGINT) est_distinct,
+         |  exact_distinct
+         |FROM tk, kth, ex ORDER BY 1""".stripMargin,
+    "q405_order_runs" ->
+      """WITH s AS (SELECT doc_id, source FROM documents),
+        |ch AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> source
+        |      THEN 1 ELSE 0 END) AS BIGINT) chg
+        |  FROM (SELECT source, lag(source) OVER (ORDER BY doc_id) prev
+        |        FROM s)),
+        |cnts AS (SELECT source, CAST(count(*) AS BIGINT) ni FROM s
+        |  GROUP BY 1),
+        |ss AS (SELECT sum(CAST(ni AS DECIMAL(38,0))*ni) s2,
+        |    sum(CAST(ni AS DECIMAL(38,0))*ni*ni) s3 FROM cnts),
+        |fin AS (SELECT n, CAST(1 AS BIGINT) + chg n_runs,
+        |    CAST(n AS DOUBLE) nd, CAST(s2 AS DOUBLE) s2d,
+        |    CAST(s3 AS DOUBLE) s3d
+        |  FROM ch, ss),
+        |ex AS (SELECT n, n_runs, nd, s2d, s3d, nd*(nd + 1.0) nn1 FROM fin),
+        |ev AS (SELECT n, n_runs, nd, (nn1 - s2d)/nd e_runs,
+        |    (s2d*(s2d + nn1) - 2.0*nd*s3d - nd*nd*nd)
+        |      /(nd*nd*(nd - 1.0)) vr
+        |  FROM ex)
+        |SELECT n, n_runs, round(e_runs*1e6)/1e6 AS expected_runs,
+        |  CASE WHEN vr <= 0 THEN NULL
+        |    ELSE round((CAST(n_runs AS DOUBLE) - e_runs)/sqrt(vr)*1e6)/1e6
+        |      + 0.0 END AS z
+        |FROM ev""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

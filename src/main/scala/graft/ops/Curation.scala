@@ -326,6 +326,65 @@ object Curation {
   def shardBalance(spark: SparkSession, sfDir: String): DataFrame =
     shardBalance(Tables.documents(spark, sfDir))
 
+  /** q405: storage-order runs audit — q401 asks whether a RESHUFFLE is
+    * balanced; this asks whether the corpus AS STORED needs one: the
+    * multicategory Wald–Wolfowitz runs test on the source sequence in
+    * doc_id order. A source-clumped file (R far below E[R]) feeds a
+    * sequential reader long single-source stretches — the ordering bias
+    * that shows up as loss spikes; R ≈ E[R] says the storage order is
+    * already exchangeable. E[R] = (n(n+1) − Σn_i²)/n and the classical
+    * variance use exact decimal Σn_i², Σn_i³ (cubes cast to decimal
+    * BEFORE multiplying — the 64-bit-overflow lesson from the tie
+    * corrections applies verbatim at corpus scale).
+    *
+    * Scale: adjacent comparison is NOT a global single-partition window —
+    * rows compare within doc_id-blocks (partitioned window) and block
+    * boundaries compare on a blocks-sized summary table (the seqPacking
+    * two-level trick), so the only global state is |blocks| rows.
+    */
+  def orderRuns(docs: DataFrame, block: Long = 64L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      expr(s"doc_id div $block").as("blk"))
+    val wB = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+    val within = base
+      .withColumn("prev", lag(col("source"), 1).over(wB))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("source"), 1L)
+          .otherwise(0L)).as("chg_w"))
+    val wBlk = Window.orderBy(col("blk"))
+    val bound = base.groupBy(col("blk"))
+      .agg(expr("min_by(source, doc_id)").as("first_src"),
+        expr("max_by(source, doc_id)").as("last_src"))
+      .withColumn("prev_last", lag(col("last_src"), 1).over(wBlk))
+      .agg(sum(when(col("prev_last").isNotNull
+          && col("prev_last") =!= col("first_src"), 1L)
+        .otherwise(0L)).as("chg_b"))
+    val ss = base.groupBy(col("source")).agg(count(lit(1)).as("ni"))
+      .agg(sum(col("ni").cast("decimal(38,0)") * col("ni")).as("s2"),
+        sum(col("ni").cast("decimal(38,0)") * col("ni") * col("ni"))
+          .as("s3"))
+    within.crossJoin(bound).crossJoin(ss)
+      .withColumn("n_runs", lit(1L) + col("chg_w") + col("chg_b"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("s2d", col("s2").cast("double"))
+      .withColumn("s3d", col("s3").cast("double"))
+      .withColumn("nn1", col("nd") * (col("nd") + lit(1.0)))
+      .withColumn("e_runs", (col("nn1") - col("s2d")) / col("nd"))
+      .withColumn("vr",
+        (col("s2d") * (col("s2d") + col("nn1"))
+          - lit(2.0) * col("nd") * col("s3d")
+          - col("nd") * col("nd") * col("nd"))
+          / (col("nd") * col("nd") * (col("nd") - lit(1.0))))
+      .select(col("n"), col("n_runs"),
+        (round(col("e_runs") * lit(1e6)) / lit(1e6)).as("expected_runs"),
+        when(col("vr") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("n_runs").cast("double") - col("e_runs"))
+            / sqrt(col("vr")) * lit(1e6)) / lit(1e6) + lit(0.0)).as("z"))
+  }
+
+  def orderRuns(spark: SparkSession, sfDir: String): DataFrame =
+    orderRuns(Tables.documents(spark, sfDir))
+
   /** q77: curation funnel — per source, how many documents survive each
     * successive cleaning gate (length → repetition → punctuation), plus the
     * end-to-end retention rate. This is the report a corpus owner reads to

@@ -1251,6 +1251,76 @@ object Dedup {
   def dupSpectrum(spark: SparkSession, sfDir: String): DataFrame =
     dupSpectrum(Tables.documents(spark, sfDir))
 
+  /** q403: split-leakage audit — the number q83 exists to drive to zero,
+    * measured for the split people actually ship: hash-assign every doc
+    * to train/eval (md5 u24 < 0.8·2²⁴, the q54/q64 idiom), then categorize
+    * every near-dup pair (q21's exact Jaccard ≥ .5 pairs) by which sides
+    * its endpoints landed on. A CROSS pair is an eval doc whose
+    * near-duplicate sits in train — contamination a random split ships
+    * with probability ≈ 2·p·(1−p) per dup pair. Output: pair counts by
+    * category, the leak rate, and the contaminated share of the eval set
+    * in docs AND tokens (what actually inflates the eval score).
+    *
+    * Scale: the pair build is the shipped prefix-filtered path (one
+    * corpus-shaped job); sides and token counts ride one scan; everything
+    * downstream is pair-table-sized.
+    */
+  def splitLeakage(docs: DataFrame, trainFrac: Double = 0.8,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val cut = math.floor(trainFrac * 16777216.0).toLong
+    val sides = docs.select(col("doc_id"),
+        md5(concat(lit("split:"), col("doc_id").cast("string"))).as("h"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .cast("bigint").as("n_tok"))
+      .withColumn("u24", expr(
+        """CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .withColumn("side",
+        when(col("u24") < cut, lit("train")).otherwise(lit("eval")))
+      .select(col("doc_id"), col("side"), col("n_tok"))
+      .localCheckpoint()
+    val cat = ngramJaccard(docs, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sides.select(col("doc_id").as("doc_a"), col("side").as("sa")),
+        "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("side").as("sb")),
+        "doc_b")
+      .localCheckpoint()
+    val counts = cat.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("sa") === "train" && col("sb") === "train", 1L)
+        .otherwise(0L)).as("n_within_train"),
+      sum(when(col("sa") === "eval" && col("sb") === "eval", 1L)
+        .otherwise(0L)).as("n_within_eval"),
+      sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+    val contam = cat.where(col("sa") =!= col("sb"))
+      .select(when(col("sa") === "eval", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+      .join(sides, "doc_id")
+      .agg(count(lit(1)).as("n_contam_eval_docs"),
+        sum(col("n_tok")).as("contam_tokens"))
+    val evalTot = sides.where(col("side") === "eval")
+      .agg(count(lit(1)).as("n_eval_docs"))
+    counts.crossJoin(contam).crossJoin(evalTot)
+      .select(col("n_pairs"), col("n_within_train"), col("n_within_eval"),
+        col("n_cross"),
+        when(col("n_pairs") === 0, lit(0.0))
+          .otherwise(round(col("n_cross").cast("double") / col("n_pairs")
+            * lit(1e6)) / lit(1e6)).as("leak_rate"),
+        col("n_eval_docs"),
+        col("n_contam_eval_docs"),
+        coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"))
+  }
+
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, sfDir))
+
   /** q269: transitivity census of the LSH near-dup pair graph — how
     * clique-like are q22's candidate pairs? A high closure rate says the
     * pairs form genuine duplicate CLUSTERS (safe to collapse to one

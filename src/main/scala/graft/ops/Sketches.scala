@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -127,6 +128,52 @@ object Sketches {
           / col("exact_fps") <= HllTolerance).as("sketch_ok"))
     perOut.union(totOut)
   }
+
+  /** The md5-hex → integer idiom as SQL text: value of the first `digits`
+    * hex chars of column `c` — works verbatim in Spark SQL and DuckDB, so
+    * Spark plan and oracle share one generator.
+    */
+  private[graft] def hexValSql(c: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val w = math.pow(16, digits - i).toLong
+      // CAST each weight: int·int overflows 32 bits under ANSI at 16^7
+      s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString("CAST(", " +\n", " AS BIGINT)")
+
+  /** q404: KMV (k-minimum-values) corpus fingerprint — the DATASET-level
+    * dedup primitive (Bar-Yossef et al.; Beyer et al.'s unbiased
+    * estimator): hash every distinct shingle into [0, 2⁴⁸), keep the k
+    * smallest — that k-vector IS the corpus fingerprint (two corpora's
+    * sketches estimate their Jaccard by resemblance of minima, the
+    * snapshot-vs-snapshot "did the dataset change" check), and the k-th
+    * minimum estimates the distinct-shingle count as (k−1)/m̂. q38's HLL
+    * counts; KMV counts AND fingerprints AND composes across corpora by
+    * a k-way merge of tiny sketches. Output: the k sketch rows with the
+    * estimate and the exact count beside it (the audit of its own error).
+    *
+    * Scale: distinct-shingle shuffle (the q21 exchange), then a global
+    * top-k ascending — TakeOrdered, k values to the driver-side plan, no
+    * full sort materialized.
+    */
+  def kmvSketch(docs: DataFrame, k: Int = 16): DataFrame = {
+    val sh = Dedup.shingles(docs).select(col("sh")).distinct()
+    val hashed = sh.select(md5(concat(lit("kmv:"), col("sh"))).as("h"))
+      .select(expr(hexValSql("h", 12)).as("hv"))
+    val exact = sh.agg(count(lit(1)).as("exact_distinct"))
+    val wAsc = Window.orderBy(col("hv"))
+    val topk = hashed.orderBy(col("hv")).limit(k)
+      .withColumn("rank", row_number().over(wAsc))
+    val kth = topk.where(col("rank") === k)
+      .select(col("hv").as("kth_min"))
+    topk.crossJoin(broadcast(kth)).crossJoin(broadcast(exact))
+      .select(col("rank"), col("hv"),
+        round(lit((k - 1).toDouble) * lit(281474976710656.0)
+          / col("kth_min")).cast("long").as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  def kmvSketch(spark: SparkSession, sfDir: String): DataFrame =
+    kmvSketch(graft.Tables.documents(spark, sfDir))
 
   def sketchRollup(spark: SparkSession, sfDir: String): DataFrame =
     sketchRollup(Tables.documents(spark, sfDir))

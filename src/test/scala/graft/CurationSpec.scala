@@ -32,6 +32,23 @@ class CurationSpec extends SparkSpec {
     assert(m("a")._4 - m("a")._7 !== m("a")._5)
   }
 
+  test("orderRuns: clumped storage scores far below expectation, alternating above") {
+    def corpus(srcOf: Long => String) =
+      (0L until 20L).map(j => (j, s"text $j", "en", srcOf(j)))
+        .toDF("doc_id", "text", "lang", "source")
+    // A¹⁰B¹⁰ → 2 runs; E[R] = (20·21 − 2·100)/20 = 11
+    val clump = Curation.orderRuns(corpus(j => if (j < 10) "A" else "B"))
+      .select("n", "n_runs", "expected_runs", "z")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(clump._1 === 20L && clump._2 === 2L)
+    assert(math.abs(clump._3 - 11.0) < 1e-9)
+    assert(clump._4.get < -3.0)
+    // ABAB… → 20 runs, z positive
+    val alt = Curation.orderRuns(corpus(j => if (j % 2 == 0) "A" else "B"))
+      .select("n_runs", "z").as[(Long, Option[Double])].head()
+    assert(alt._1 === 20L && alt._2.get > 3.0)
+  }
+
   test("shardBalance: a single-source corpus has zero TVD in every shard") {
     val docs = (0L until 64L).map(j => (j, s"doc $j text", "en", "only", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

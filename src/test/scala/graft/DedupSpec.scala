@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("splitLeakage: planted near-dup clique leaks exactly train×eval pairs") {
+    // 20 identical docs → all C(20,2)=190 pairs are near-dups; the md5
+    // split fixes t train / e eval docs, so cross = t·e and every eval
+    // member is contaminated (each pairs with every train member)
+    val docs = (0L until 20L).map(j => (j, "one two three four five", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.splitLeakage(docs)
+      .select("n_pairs", "n_within_train", "n_within_eval", "n_cross",
+        "n_eval_docs", "n_contam_eval_docs", "contam_tokens")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r._1 === 190L)
+    assert(r._2 + r._3 + r._4 === 190L)
+    val e = r._5 // every doc is in the clique, so eval side size = e
+    val t = 20L - e
+    assert(r._3 === e * (e - 1) / 2)
+    assert(r._2 === t * (t - 1) / 2)
+    assert(r._4 === t * e)
+    assert(r._6 === (if (t > 0) e else 0L)) // all eval docs contaminated
+    assert(r._7 === r._6 * 5L)              // 5 tokens per doc
+  }
+
   test("dupSpectrum: multiplicity histogram with exact token accounting") {
     val docs = Seq(
       (0L, "a b c", "en", "s", 0L), (1L, "a b c", "en", "s", 0L),

@@ -14,6 +14,23 @@ class SketchIndexSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("kmvSketch: ordered 16-value fingerprint, estimate in the k=16 error band") {
+    val rows = graft.ops.Sketches
+      .kmvSketch(Tables.documents(spark, sfDir), k = 16)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 16)
+    assert(rows.map(_._1).toSeq === (1 to 16))
+    // minima are sorted and live in [0, 2^48)
+    val hs = rows.map(_._2)
+    assert(hs.zip(hs.tail).forall { case (a, b) => a < b })
+    assert(hs.head >= 0L && hs.last < (1L << 48))
+    // unbiased KMV estimator: SE ≈ 1/√(k−2) ≈ 27%; 3× is a safe fence
+    val (est, exact) = (rows.head._3, rows.head._4)
+    assert(est > exact / 3 && est < exact * 3, s"est $est vs exact $exact")
+    assert(rows.forall(r => r._3 == est && r._4 == exact))
+  }
+
   private def estMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
     df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
