@@ -817,7 +817,8 @@ object SparkEntry {
     "q403_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
     "q404_kmv_sketch" -> ((s, d) =>
       Sketches.kmvSketch(s, d).orderBy(col("rank"))),
-    "q405_order_runs" -> ((s, d) => Curation.orderRuns(s, d))
+    "q405_order_runs" -> ((s, d) => Curation.orderRuns(s, d)),
+    "q406_sketch_resemblance" -> ((s, d) => Sketches.sketchResemblance(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9802,7 +9803,42 @@ object SparkEntry {
         |  CASE WHEN vr <= 0 THEN NULL
         |    ELSE round((CAST(n_runs AS DOUBLE) - e_runs)/sqrt(vr)*1e6)/1e6
         |      + 0.0 END AS z
-        |FROM ev""".stripMargin
+        |FROM ev""".stripMargin,
+    "q406_sketch_resemblance" ->
+      s"""WITH d AS (SELECT doc_id, string_split(
+         |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w FROM documents),
+         |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+         |       FROM d WHERE len(w) >= 3),
+         |sh0 AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+         |sided AS (SELECT DISTINCT
+         |    CAST(substr(dd.source, 4, 10) AS INT) % 2 = 0 even, sh0.sh
+         |  FROM sh0 JOIN documents dd ON sh0.doc_id = dd.doc_id),
+         |ext AS (SELECT
+         |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) n_inter,
+         |    CAST(count(*) AS BIGINT) n_union,
+         |    CAST(sum(in_a) AS BIGINT) n_a, CAST(sum(in_b) AS BIGINT) n_b
+         |  FROM (SELECT sh,
+         |      max(CASE WHEN even THEN 1 ELSE 0 END) in_a,
+         |      max(CASE WHEN NOT even THEN 1 ELSE 0 END) in_b
+         |    FROM sided GROUP BY 1)),
+         |hv AS (SELECT even, ${graft.ops.Sketches.hexValSql("h", 12)} hv
+         |  FROM (SELECT even, md5('kmv:'||sh) h FROM sided)),
+         |sk AS (SELECT even, hv FROM (SELECT even, hv,
+         |    row_number() OVER (PARTITION BY even ORDER BY hv) rk FROM hv)
+         |  WHERE rk <= 16),
+         |un AS (SELECT hv,
+         |    max(CASE WHEN even THEN 1 ELSE 0 END) in_a,
+         |    max(CASE WHEN NOT even THEN 1 ELSE 0 END) in_b
+         |  FROM sk GROUP BY 1 ORDER BY hv LIMIT 16),
+         |est AS (SELECT CAST(count(*) AS BIGINT) n_kmin,
+         |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) n_both
+         |  FROM un)
+         |SELECT 16 k, n_a, n_b,
+         |  round(CAST(n_both AS DOUBLE)/n_kmin*1e6)/1e6 AS est_jaccard,
+         |  round(CAST(n_inter AS DOUBLE)/n_union*1e6)/1e6 AS exact_jaccard
+         |FROM est, ext""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -175,6 +175,64 @@ object Sketches {
   def kmvSketch(spark: SparkSession, sfDir: String): DataFrame =
     kmvSketch(graft.Tables.documents(spark, sfDir))
 
+  /** q406: KMV resemblance — what the q404 fingerprint is FOR: estimate
+    * the Jaccard between two corpora from their k-value sketches alone
+    * (Broder's min-wise resemblance on the KMV union: take the k smallest
+    * of the two sketches' union; the fraction of those present in BOTH
+    * sketches estimates J), audited against the exact shingle Jaccard of
+    * the same two halves. This is the snapshot-diff / cross-dataset-
+    * contamination primitive: two 100 TB corpora compare through two
+    * k-row sketches, and the exact side here exists only to grade the
+    * estimator. Halves are the even/odd source index — a deterministic
+    * split both engines re-derive.
+    *
+    * Scale: per-side distinct-shingle shuffles (the q21 exchange) + two
+    * TakeOrdered-k; the resemblance math runs on ≤ 2k rows.
+    */
+  def sketchResemblance(docs: DataFrame, k: Int = 16): DataFrame = {
+    val sided = Dedup.shingles(docs)
+      .join(docs.select(col("doc_id"),
+        (expr("CAST(substr(source, 4, 10) AS INT) % 2") === 0)
+          .as("even")), "doc_id")
+      .select(col("even"), col("sh")).distinct()
+      .localCheckpoint()
+    val exact = sided.groupBy(col("sh"))
+      .agg(max(when(col("even"), 1L).otherwise(0L)).as("in_a"),
+        max(when(!col("even"), 1L).otherwise(0L)).as("in_b"))
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("n_inter"),
+        count(lit(1)).as("n_union"),
+        sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"))
+    val hv = sided.select(col("even"),
+      md5(concat(lit("kmv:"), col("sh"))).as("h"))
+      .select(col("even"), expr(hexValSql("h", 12)).as("hv"))
+    val wSide = Window.partitionBy(col("even")).orderBy(col("hv"))
+    val sk = hv.withColumn("rk", row_number().over(wSide))
+      .where(col("rk") <= k)
+      .select(col("even"), col("hv"))
+      .localCheckpoint()
+    // k smallest of the sketch union; count those present in both sketches
+    val wU = Window.orderBy(col("hv"))
+    val union = sk.groupBy(col("hv"))
+      .agg(max(when(col("even"), 1L).otherwise(0L)).as("in_a"),
+        max(when(!col("even"), 1L).otherwise(0L)).as("in_b"))
+      .orderBy(col("hv")).limit(k)
+      .withColumn("rk", row_number().over(wU))
+    val est = union.agg(
+      count(lit(1)).as("n_kmin"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+        .otherwise(0L)).as("n_both"))
+    est.crossJoin(exact)
+      .select(lit(k).as("k"), col("n_a"), col("n_b"),
+        (round(col("n_both").cast("double") / col("n_kmin") * lit(1e6))
+          / lit(1e6)).as("est_jaccard"),
+        (round(col("n_inter").cast("double") / col("n_union") * lit(1e6))
+          / lit(1e6)).as("exact_jaccard"))
+  }
+
+  def sketchResemblance(spark: SparkSession, sfDir: String): DataFrame =
+    sketchResemblance(graft.Tables.documents(spark, sfDir))
+
   def sketchRollup(spark: SparkSession, sfDir: String): DataFrame =
     sketchRollup(Tables.documents(spark, sfDir))
 }

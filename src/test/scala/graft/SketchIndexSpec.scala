@@ -34,6 +34,32 @@ class SketchIndexSpec extends SparkSpec {
   private def estMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
     df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  test("sketchResemblance: complete sketches (k ≥ |union|) recover exact Jaccard") {
+    import spark.implicits._
+    // src0 (even side) and src1 (odd side) share exactly the shingles
+    // {"a b c","b c d"}: inter 2, union 6 → J = 1/3; with k=16 > 6 the
+    // KMV union holds EVERY hash, so the estimate is exact
+    val docs = Seq(
+      (0L, "a b c d e f", "en", "src0", 0L),
+      (1L, "a b c d x y", "en", "src1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ops.Sketches.sketchResemblance(docs, k = 16)
+      .select("n_a", "n_b", "est_jaccard", "exact_jaccard")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 === 4L && r._2 === 4L)
+    assert(r._3 === r._4)
+    assert(math.abs(r._4 - 1.0 / 3) < 1e-5)
+
+    // disjoint vocabularies → both estimates are 0
+    val disjoint = Seq(
+      (0L, "a b c d", "en", "src0", 0L),
+      (1L, "p q r s", "en", "src1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val z = graft.ops.Sketches.sketchResemblance(disjoint, k = 16)
+      .select("est_jaccard", "exact_jaccard").as[(Double, Double)].head()
+    assert(z === ((0.0, 0.0)))
+  }
+
   test("build+append ≡ full rebuild, and matches a direct corpus sketch") {
     val docs = Tables.documents(spark, sfDir)
     val part1 = docs.where(col("doc_id") % 3 =!= 0)
