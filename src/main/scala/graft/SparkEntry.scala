@@ -818,7 +818,10 @@ object SparkEntry {
     "q404_kmv_sketch" -> ((s, d) =>
       Sketches.kmvSketch(s, d).orderBy(col("rank"))),
     "q405_order_runs" -> ((s, d) => Curation.orderRuns(s, d)),
-    "q406_sketch_resemblance" -> ((s, d) => Sketches.sketchResemblance(s, d))
+    "q406_sketch_resemblance" -> ((s, d) => Sketches.sketchResemblance(s, d)),
+    "q407_sax_discords" -> ((s, d) =>
+      Sax.saxDiscords(s, d).orderBy(col("event_type"), col("rnk"))),
+    "q408_lm_gap" -> ((s, d) => TextAnalysis.lmGap(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9838,7 +9841,85 @@ object SparkEntry {
          |SELECT 16 k, n_a, n_b,
          |  round(CAST(n_both AS DOUBLE)/n_kmin*1e6)/1e6 AS est_jaccard,
          |  round(CAST(n_inter AS DOUBLE)/n_union*1e6)/1e6 AS exact_jaccard
-         |FROM est, ext""".stripMargin
+         |FROM est, ext""".stripMargin,
+    "q407_sax_discords" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/3600) AS BIGINT) h,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) nh,
+        |    CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(m*m AS DECIMAL(28,12))) AS DOUBLE) s2
+        |  FROM hourly GROUP BY 1),
+        |ms AS (SELECT event_type, s1/CAST(nh AS DOUBLE) mu,
+        |    sqrt((s2 - CAST(nh AS DOUBLE)*(s1/CAST(nh AS DOUBLE))
+        |      *(s1/CAST(nh AS DOUBLE)))/CAST(nh - 1 AS DOUBLE)) sd
+        |  FROM mom),
+        |sym AS (SELECT hourly.event_type, h,
+        |    CASE WHEN (m - mu)/sd < -0.6744897501960817 THEN 0
+        |         WHEN (m - mu)/sd < 0 THEN 1
+        |         WHEN (m - mu)/sd < 0.6744897501960817 THEN 2
+        |         ELSE 3 END s
+        |  FROM hourly JOIN ms ON hourly.event_type = ms.event_type),
+        |wd AS (SELECT event_type, h,
+        |    s*16 + (lead(s, 1) OVER w)*4 + (lead(s, 2) OVER w) word,
+        |    lead(s, 2) OVER w ok
+        |  FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |cnt AS (SELECT event_type, word, CAST(count(*) AS BIGINT) n,
+        |    min(h) first_h
+        |  FROM wd WHERE ok IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT event_type, word, n, first_h,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n, word) AS INT) rnk
+        |  FROM cnt)
+        |SELECT event_type, rnk, CAST(word AS INT) word, n, first_h
+        |FROM rk WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
+    "q408_lm_gap" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    md5('split:'||CAST(doc_id AS VARCHAR)) h, text FROM documents),
+         |sided AS (SELECT doc_id, text,
+         |    CASE WHEN ${graft.ops.Sketches.hexValSql("h", 6)} < 13421772
+         |      THEN 'train' ELSE 'eval' END side
+         |  FROM b),
+         |tk AS (SELECT doc_id, side, unnest(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) tok
+         |  FROM sided),
+         |tf AS (SELECT doc_id, side, tok FROM tk WHERE length(tok) > 0),
+         |dt AS (SELECT doc_id, side, tok, CAST(count(*) AS BIGINT) cnt
+         |  FROM tf GROUP BY 1, 2, 3),
+         |tc AS (SELECT tok, CAST(count(*) AS BIGINT) ct FROM tf
+         |  WHERE side = 'train' GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) v FROM tf),
+         |ntr AS (SELECT CAST(count(*) AS BIGINT) ntr FROM tf
+         |  WHERE side = 'train'),
+         |pd AS (SELECT dt.doc_id, dt.side,
+         |    round(CAST(sum(CAST(CAST(cnt AS DOUBLE)
+         |        *ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+         |          /CAST(ntr.ntr + vv.v AS DOUBLE)) AS DECIMAL(28,12)))
+         |      AS DOUBLE)*-1.0/CAST(sum(cnt) AS DOUBLE)*1e12)/1e12 nll
+         |  FROM dt LEFT JOIN tc ON dt.tok = tc.tok
+         |  CROSS JOIN vv CROSS JOIN ntr
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT
+         |    CAST(sum(CASE WHEN side = 'train' THEN 1 ELSE 0 END)
+         |      AS BIGINT) n_train_docs,
+         |    CAST(sum(CASE WHEN side = 'eval' THEN 1 ELSE 0 END)
+         |      AS BIGINT) n_eval_docs,
+         |    CAST(sum(CAST(CASE WHEN side = 'train' THEN nll ELSE 0.0 END
+         |      AS DECIMAL(28,12))) AS DOUBLE)
+         |      /CAST(sum(CASE WHEN side = 'train' THEN 1 ELSE 0 END)
+         |        AS DOUBLE) tn,
+         |    CAST(sum(CAST(CASE WHEN side = 'eval' THEN nll ELSE 0.0 END
+         |      AS DECIMAL(28,12))) AS DOUBLE)
+         |      /CAST(sum(CASE WHEN side = 'eval' THEN 1 ELSE 0 END)
+         |        AS DOUBLE) en
+         |  FROM pd)
+         |SELECT n_train_docs, n_eval_docs,
+         |  round(tn*1e6)/1e6 AS train_nll,
+         |  round(en*1e6)/1e6 AS eval_nll,
+         |  round((en - tn)*1e6)/1e6 + 0.0 AS gap
+         |FROM agg""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1021,6 +1021,76 @@ object TextAnalysis {
   def confidentErrors(spark: SparkSession, sfDir: String): DataFrame =
     confidentErrors(Tables.documents(spark, sfDir))
 
+  /** q408: unigram-LM generalization gap — train an add-one-smoothed
+    * unigram LM on the hash-split train half (q403's split convention)
+    * and compare mean per-token NLL on train vs eval documents. A gap
+    * near zero says the split halves are exchangeable (what a random
+    * split promises); a fat gap says eval is distributionally shifted —
+    * the cheap proxy for "will my held-out perplexity mean anything"
+    * that runs before any model does. Vocabulary is the FULL corpus
+    * token set, so eval-only tokens score as ordinary add-one mass
+    * rather than a special OOV branch both engines would have to agree
+    * on.
+    *
+    * Scale: one token scan; the LM is a vocabulary-sized side table;
+    * per-doc NLL terms snap to decimal so document and corpus means are
+    * partition-order-free.
+    */
+  def lmGap(docs: DataFrame, trainFrac: Double = 0.8): DataFrame = {
+    val cut = math.floor(trainFrac * 16777216.0).toLong
+    val toks = docs.select(col("doc_id"),
+        md5(concat(lit("split:"), col("doc_id").cast("string"))).as("h"),
+        col("text"))
+      .withColumn("u24", expr(Sketches.hexValSql("h", 6)))
+      .withColumn("side",
+        when(col("u24") < cut, lit("train")).otherwise(lit("eval")))
+      .select(col("doc_id"), col("side"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .localCheckpoint()
+    val dt = toks.groupBy(col("doc_id"), col("side"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tc = toks.where(col("side") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val vocab = toks.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val ntr = toks.where(col("side") === "train")
+      .agg(count(lit(1)).as("ntr"))
+    val perDoc = dt.join(tc, Seq("tok"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(ntr))
+      .withColumn("lp", log((col("ct") + 1).cast("double")
+        / (col("ntr") + col("v")).cast("double")))
+      .withColumn("term",
+        (col("cnt").cast("double") * col("lp")).cast("decimal(28,12)"))
+      .groupBy(col("doc_id"), col("side"))
+      .agg((sum(col("term")).cast("double") * lit(-1.0)
+        / sum(col("cnt")).cast("double")).as("nll0"))
+      .select(col("side"),
+        (round(col("nll0") * lit(1e12)) / lit(1e12)).as("nll"))
+    perDoc.agg(
+        sum(when(col("side") === "train", 1L).otherwise(0L))
+          .as("n_train_docs"),
+        sum(when(col("side") === "eval", 1L).otherwise(0L))
+          .as("n_eval_docs"),
+        (sum(when(col("side") === "train", col("nll")).otherwise(lit(0.0))
+          .cast("decimal(28,12)")).cast("double")
+          / sum(when(col("side") === "train", 1L).otherwise(0L))
+            .cast("double")).as("tn"),
+        (sum(when(col("side") === "eval", col("nll")).otherwise(lit(0.0))
+          .cast("decimal(28,12)")).cast("double")
+          / sum(when(col("side") === "eval", 1L).otherwise(0L))
+            .cast("double")).as("en"))
+      .select(col("n_train_docs"), col("n_eval_docs"),
+        (round(col("tn") * lit(1e6)) / lit(1e6)).as("train_nll"),
+        (round(col("en") * lit(1e6)) / lit(1e6)).as("eval_nll"),
+        (round((col("en") - col("tn")) * lit(1e6)) / lit(1e6) + lit(0.0))
+          .as("gap"))
+  }
+
+  def lmGap(spark: SparkSession, sfDir: String): DataFrame =
+    lmGap(Tables.documents(spark, sfDir))
+
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
     naiveBayesSource(Tables.documents(spark, sfDir))
 

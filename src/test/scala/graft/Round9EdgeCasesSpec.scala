@@ -57,6 +57,35 @@ class Round9EdgeCasesSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 5L, 0L)))
   }
 
+  test("saxDiscords ranks ascending by count and never beats the motif top") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val d = graft.ops.Sax.saxDiscords(events)
+      .select("event_type", "rnk", "n", "first_h")
+      .as[(String, Int, Long, Long)].collect()
+    assert(d.nonEmpty)
+    // ascending in rank within each series
+    d.groupBy(_._1).values.foreach { rows =>
+      val byRnk = rows.sortBy(_._2).map(_._3)
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a <= b })
+    }
+    val m = graft.ops.Sax.saxMotifs(events)
+      .select("event_type", "rnk", "n").as[(String, Int, Long)].collect()
+    // the rarest word is never more frequent than the most common one
+    val top = m.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    d.filter(_._2 == 1).foreach { r => assert(r._3 <= top(r._1)) }
+  }
+
+  test("lmGap is exactly zero when both halves hold identical documents") {
+    val docs = (0L until 20L).map(j => (j, "alpha beta gamma delta", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.ops.TextAnalysis.lmGap(docs)
+      .select("n_train_docs", "n_eval_docs", "train_nll", "eval_nll", "gap")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r._1 + r._2 === 20L && r._1 > 0 && r._2 > 0)
+    assert(r._3 === r._4 && r._5 === 0.0)
+    assert(r._3 > 0.0) // NLL of a smoothed LM is strictly positive
+  }
+
   test("confidentErrors on a single source is one diagonal row") {
     val docs = (0L to 3L).map(j => (j, s"text body $j", "en", "only"))
       .toDF("doc_id", "text", "lang", "source")
