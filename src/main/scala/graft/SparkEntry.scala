@@ -821,7 +821,23 @@ object SparkEntry {
     "q406_sketch_resemblance" -> ((s, d) => Sketches.sketchResemblance(s, d)),
     "q407_sax_discords" -> ((s, d) =>
       Sax.saxDiscords(s, d).orderBy(col("event_type"), col("rnk"))),
-    "q408_lm_gap" -> ((s, d) => TextAnalysis.lmGap(s, d))
+    "q408_lm_gap" -> ((s, d) => TextAnalysis.lmGap(s, d)),
+    "q409_mcnemar" -> ((s, d) =>
+      StatTests.mcnemar(s, d).orderBy(col("event_type"))),
+    "q410_cochran_q" -> ((s, d) =>
+      StatTests.cochranQ(s, d).orderBy(col("event_type"))),
+    "q411_permutation_entropy" -> ((s, d) =>
+      TimeSeries.permutationEntropy(s, d).orderBy(col("event_type"))),
+    "q412_rm3_expansion" -> ((s, d) =>
+      Retrieval.rm3Expansion(s, d).orderBy(col("probe_id"), col("rnk"))),
+    "q413_kn_bigram" -> ((s, d) =>
+      TextAnalysis.knBigram(s, d).orderBy(col("source"))),
+    "q414_jl_distortion" -> ((s, d) =>
+      Similarity.jlDistortion(s, d).orderBy(col("dprime"))),
+    "q415_hampel" -> ((s, d) =>
+      TimeSeries.hampelCensus(s, d).orderBy(col("user_id"))),
+    "q416_forecast_ensemble" -> ((s, d) =>
+      TimeSeries.forecastEnsemble(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9919,7 +9935,341 @@ object SparkEntry {
          |  round(tn*1e6)/1e6 AS train_nll,
          |  round(en*1e6)/1e6 AS eval_nll,
          |  round((en - tn)*1e6)/1e6 + 0.0 AS gap
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+    "q409_mcnemar" ->
+      """WITH mom AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2
+        |  FROM events GROUP BY 1),
+        |ms AS (SELECT event_type, s1/n m,
+        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom),
+        |q AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25)*1000000)/1000000.0 q1,
+        |    round(quantile_cont(value, 0.75)*1000000)/1000000.0 q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1 - 1.5*(q3 - q1) lo,
+        |    q3 + 1.5*(q3 - q1) hi FROM q),
+        |fl AS (SELECT e.event_type,
+        |    abs(e.value - ms.m) > 3.0*ms.sd fa,
+        |    (e.value < f.lo OR e.value > f.hi) fb
+        |  FROM events e JOIN ms ON e.event_type = ms.event_type
+        |    JOIN f ON e.event_type = f.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END)
+        |      AS BIGINT) n10,
+        |    CAST(sum(CASE WHEN fb AND NOT fa THEN 1 ELSE 0 END)
+        |      AS BIGINT) n01
+        |  FROM fl GROUP BY 1)
+        |SELECT event_type, n, n10, n01,
+        |  round((CASE WHEN n10 + n01 = 0 THEN NULL
+        |    ELSE CAST((abs(n10 - n01) - 1)*(abs(n10 - n01) - 1) AS DOUBLE)
+        |      /CAST(n10 + n01 AS DOUBLE) END)*10000)/10000.0 AS chi2
+        |FROM a ORDER BY 1""".stripMargin,
+    "q410_cochran_q" ->
+      """WITH mom AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2
+        |  FROM events GROUP BY 1),
+        |ms AS (SELECT event_type, s1/n m,
+        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom),
+        |q AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25)*1000000)/1000000.0 q1,
+        |    round(quantile_cont(value, 0.75)*1000000)/1000000.0 q3,
+        |    round(quantile_cont(value, 0.005)*1000000)/1000000.0 p005,
+        |    round(quantile_cont(value, 0.995)*1000000)/1000000.0 p995
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1 - 1.5*(q3 - q1) lo,
+        |    q3 + 1.5*(q3 - q1) hi, p005, p995 FROM q),
+        |fl AS (SELECT e.event_type,
+        |    CASE WHEN abs(e.value - ms.m) > 3.0*ms.sd THEN 1 ELSE 0 END fa,
+        |    CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END fb,
+        |    CASE WHEN e.value < f.p005 OR e.value > f.p995
+        |      THEN 1 ELSE 0 END fc
+        |  FROM events e JOIN ms ON e.event_type = ms.event_type
+        |    JOIN f ON e.event_type = f.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(fa) AS BIGINT) g_sigma,
+        |    CAST(sum(fb) AS BIGINT) g_tukey,
+        |    CAST(sum(fc) AS BIGINT) g_tail,
+        |    CAST(sum((fa + fb + fc)*(fa + fb + fc)) AS BIGINT) sum_l2
+        |  FROM fl GROUP BY 1),
+        |b AS (SELECT *, g_sigma + g_tukey + g_tail t FROM a),
+        |c AS (SELECT *,
+        |    2*(3*(CAST(g_sigma AS HUGEINT)*g_sigma
+        |        + CAST(g_tukey AS HUGEINT)*g_tukey
+        |        + CAST(g_tail AS HUGEINT)*g_tail)
+        |      - CAST(t AS HUGEINT)*t) num,
+        |    3*t - sum_l2 den FROM b)
+        |SELECT event_type, n, g_sigma, g_tukey, g_tail,
+        |  round((CASE WHEN den <= 0 THEN NULL
+        |    ELSE CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END)*10000)
+        |    /10000.0 AS q_stat,
+        |  CAST(2 AS INTEGER) AS df
+        |FROM c ORDER BY 1""".stripMargin,
+    "q411_permutation_entropy" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |tri AS (SELECT event_type, d, m x0,
+        |    lead(m, 1) OVER w x1, lead(m, 2) OVER w x2,
+        |    lead(d, 1) OVER w d1, lead(d, 2) OVER w d2
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |coded AS (SELECT event_type,
+        |    (CASE WHEN x0 < x1 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN x1 < x2 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN x0 < x2 THEN 1 ELSE 0 END) code
+        |  FROM tri WHERE d1 = d + 1 AND d2 = d + 2),
+        |pat AS (SELECT event_type, code, CAST(count(*) AS BIGINT) c
+        |  FROM coded GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) nw,
+        |    CAST(count(*) AS BIGINT) n_patterns FROM pat GROUP BY 1),
+        |h AS (SELECT pat.event_type, max(nw) n_windows,
+        |    max(n_patterns) n_patterns,
+        |    CAST(sum(CAST(-(CAST(c AS DOUBLE)/nw)
+        |      *ln(CAST(c AS DOUBLE)/nw) AS DECIMAL(18,10))) AS DOUBLE) h
+        |  FROM pat JOIN tot ON pat.event_type = tot.event_type GROUP BY 1)
+        |SELECT event_type, n_windows, n_patterns,
+        |  round(h*10000)/10000.0 AS h,
+        |  round(h/ln(6.0)*10000)/10000.0 AS h_norm
+        |FROM h ORDER BY 1""".stripMargin,
+    "q412_rm3_expansion" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf FROM tx GROUP BY 1,2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |probes AS (SELECT doc_id probe_id, tok FROM tf WHERE doc_id < 5),
+        |scored AS (SELECT p.probe_id, t.doc_id,
+        |    sum(CAST(
+        |      ln((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      AS DECIMAL(18,10))) s
+        |  FROM tf t JOIN probes p USING (tok)
+        |  JOIN dfreq USING (tok) JOIN dl ON t.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  WHERE t.doc_id <> p.probe_id
+        |  GROUP BY 1,2),
+        |topk AS (SELECT probe_id, doc_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY s DESC, doc_id) drnk
+        |  FROM scored QUALIFY drnk <= 5),
+        |pool AS (SELECT k.probe_id, t.tok,
+        |    sum(CAST(CAST(t.tf AS DOUBLE)/CAST(dl.dl AS DOUBLE)
+        |      /CAST(k.drnk AS DOUBLE) AS DECIMAL(18,10))) prel
+        |  FROM tf t JOIN topk k ON t.doc_id = k.doc_id
+        |  JOIN dl ON t.doc_id = dl.doc_id
+        |  GROUP BY 1, 2),
+        |novel AS (SELECT * FROM pool WHERE NOT EXISTS (
+        |    SELECT 1 FROM probes p
+        |    WHERE p.probe_id = pool.probe_id AND p.tok = pool.tok)),
+        |sc AS (SELECT probe_id, tok,
+        |    CAST(CAST(prel AS DOUBLE) * ln(n_docs/CAST(df AS DOUBLE))
+        |      AS DECIMAL(18,10)) score
+        |  FROM novel JOIN dfreq USING (tok) CROSS JOIN stats),
+        |rk AS (SELECT probe_id, tok, score,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY score DESC, tok) rnk
+        |  FROM sc)
+        |SELECT probe_id, CAST(rnk AS INTEGER) rnk, tok,
+        |  round(CAST(score AS DOUBLE)*10000)/10000 AS rm3
+        |FROM rk WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
+    "q413_kn_bigram" ->
+      s"""WITH d0 AS (SELECT doc_id, source,
+         |    md5('split:'||CAST(doc_id AS VARCHAR)) h,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+         |      'g'), ' ') w
+         |  FROM documents),
+         |sided AS (SELECT doc_id, source, w,
+         |    CASE WHEN ${graft.ops.Sketches.hexValSql("h", 6)} < 13421772
+         |      THEN 'train' ELSE 'eval' END side
+         |  FROM d0),
+         |bg AS (SELECT source, side, w[g] u, w[g+1] v
+         |  FROM (SELECT source, side, w,
+         |          unnest(generate_series(1, len(w) - 1)) g
+         |        FROM sided WHERE len(w) >= 2)),
+         |cuw AS (SELECT u, v, CAST(count(*) AS BIGINT) cuw FROM bg
+         |  WHERE side = 'train' GROUP BY 1, 2),
+         |ctx AS (SELECT u, CAST(sum(cuw) AS BIGINT) cu,
+         |    CAST(count(*) AS BIGINT) n1u FROM cuw GROUP BY 1),
+         |cont AS (SELECT v, CAST(count(*) AS BIGINT) contw FROM cuw
+         |  GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS BIGINT) b FROM cuw),
+         |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) vv FROM (
+         |    SELECT unnest(w) tok FROM sided) WHERE length(tok) > 0),
+         |ev AS (SELECT source, u, v, CAST(count(*) AS BIGINT) cnt FROM bg
+         |  WHERE side = 'eval' GROUP BY 1, 2, 3),
+         |sc AS (SELECT e.source, e.cnt, ctx.cu,
+         |    CASE WHEN ctx.cu IS NULL
+         |      THEN CAST(coalesce(cont.contw, 0) + 1 AS DOUBLE)
+         |        /CAST(bt.b + vocab.vv AS DOUBLE)
+         |      ELSE greatest(CAST(coalesce(cuw.cuw, 0) AS DOUBLE) - 0.75,
+         |          0.0)/CAST(ctx.cu AS DOUBLE)
+         |        + 0.75*CAST(ctx.n1u AS DOUBLE)/CAST(ctx.cu AS DOUBLE)
+         |          *(CAST(coalesce(cont.contw, 0) + 1 AS DOUBLE)
+         |            /CAST(bt.b + vocab.vv AS DOUBLE)) END p
+         |  FROM ev e LEFT JOIN cuw ON e.u = cuw.u AND e.v = cuw.v
+         |  LEFT JOIN ctx ON e.u = ctx.u
+         |  LEFT JOIN cont ON e.v = cont.v
+         |  CROSS JOIN bt CROSS JOIN vocab),
+         |tm AS (SELECT source, cnt, cu,
+         |    CAST(CAST(cnt AS DOUBLE)*ln(p) AS DECIMAL(28,12)) term
+         |  FROM sc)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) n_bigrams,
+         |  round(CAST(sum(CASE WHEN cu IS NULL THEN cnt ELSE 0 END)
+         |      AS DOUBLE)
+         |    /CAST(sum(cnt) AS DOUBLE)*1e6)/1e6 AS backoff_rate,
+         |  round(CAST(sum(term) AS DOUBLE)*-1.0
+         |    /CAST(sum(cnt) AS DOUBLE)*1e6)/1e6 AS cross_entropy
+         |FROM tm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q414_jl_distortion" ->
+      """WITH sg AS (SELECT j, d,
+        |    CASE WHEN (instr('0123456789abcdef',
+        |        substr(md5('jl:'||CAST(j AS VARCHAR)||':'
+        |          ||CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END s
+        |  FROM (SELECT unnest(generate_series(0, 31)) j),
+        |       (SELECT unnest(generate_series(0, 63)) d)),
+        |xx AS MATERIALIZED (SELECT vec_id, i - 1 d,
+        |    CAST(embedding[i] AS DOUBLE) x
+        |  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+        |          embedding FROM embeddings)),
+        |proj AS MATERIALIZED (SELECT vec_id, j,
+        |    CAST(sum(CAST(s*x AS DECIMAL(18,16))) AS DOUBLE) y
+        |  FROM xx JOIN sg ON xx.d = sg.d GROUP BY 1, 2),
+        |n2 AS MATERIALIZED (SELECT vec_id,
+        |    CAST(sum(CAST(x*x AS DECIMAL(18,16))) AS DOUBLE) n2
+        |  FROM xx GROUP BY 1),
+        |lags AS (SELECT unnest([1, 17, 257]) lag),
+        |pr0 AS (SELECT a.vec_id vec_a, a.vec_id + l.lag vec_b
+        |  FROM n2 a CROSS JOIN lags l),
+        |dotab AS (SELECT p.vec_a, p.vec_b,
+        |    CAST(sum(CAST(xa.x*xb.x AS DECIMAL(18,16))) AS DOUBLE) dot
+        |  FROM pr0 p JOIN xx xa ON xa.vec_id = p.vec_a
+        |    JOIN xx xb ON xb.vec_id = p.vec_b AND xb.d = xa.d
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT d.vec_a, d.vec_b,
+        |    na.n2 + nb.n2 - 2.0*d.dot dist2
+        |  FROM dotab d JOIN n2 na ON d.vec_a = na.vec_id
+        |    JOIN n2 nb ON d.vec_b = nb.vec_id
+        |  WHERE na.n2 + nb.n2 - 2.0*d.dot > 0),
+        |pd AS (SELECT p.vec_a, p.vec_b, p.dist2,
+        |    sum(CASE WHEN ya.j < 8
+        |      THEN CAST((ya.y - yb.y)*(ya.y - yb.y) AS DECIMAL(28,12))
+        |      ELSE CAST(0 AS DECIMAL(28,12)) END) s8,
+        |    sum(CASE WHEN ya.j < 16
+        |      THEN CAST((ya.y - yb.y)*(ya.y - yb.y) AS DECIMAL(28,12))
+        |      ELSE CAST(0 AS DECIMAL(28,12)) END) s16,
+        |    sum(CAST((ya.y - yb.y)*(ya.y - yb.y) AS DECIMAL(28,12))) s32
+        |  FROM pairs p JOIN proj ya ON ya.vec_id = p.vec_a
+        |    JOIN proj yb ON yb.vec_id = p.vec_b AND yb.j = ya.j
+        |  GROUP BY 1, 2, 3),
+        |un AS (SELECT dist2, 8 dprime, s8 sd FROM pd
+        |  UNION ALL SELECT dist2, 16, s16 FROM pd
+        |  UNION ALL SELECT dist2, 32, s32 FROM pd),
+        |rt AS (SELECT dprime,
+        |    CAST(sd AS DOUBLE)/(dprime*dist2) ratio FROM un)
+        |SELECT dprime, CAST(count(*) AS BIGINT) n_pairs,
+        |  round(CAST(sum(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE)
+        |    /count(*)*1e6)/1e6 AS mean_ratio,
+        |  round(sqrt(CAST(sum(CAST((ratio - 1.0)*(ratio - 1.0)
+        |    AS DECIMAL(28,12))) AS DOUBLE)/count(*))*1e6)/1e6 AS rms_err,
+        |  round(max(abs(ratio - 1.0))*1e6)/1e6 AS max_abs_err
+        |FROM rt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q415_hampel" ->
+      """WITH w AS (SELECT user_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) win
+        |  FROM events),
+        |m AS (SELECT user_id, value, win,
+        |    list_aggregate(win, 'median') med FROM w),
+        |d AS (SELECT user_id, abs(value - med) dev,
+        |    3.0*1.4826*list_aggregate(
+        |      list_transform(win, x -> abs(x - med)), 'median') fence
+        |  FROM m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CASE WHEN dev > fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_flagged,
+        |  round(CAST(sum(CASE WHEN dev > fence THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    /CAST(count(*) AS DOUBLE)*1000000)/1000000.0 AS flag_rate,
+        |  round(max(CASE WHEN fence > 0 THEN dev/fence END)*10000)
+        |    /10000.0 AS worst_ratio
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q416_forecast_ensemble" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (SELECT event_type, d, m,
+        |    row_number() OVER w rn,
+        |    count(*) OVER (PARTITION BY event_type) t,
+        |    lag(m, 1) OVER w x1,
+        |    lag(m, 7) OVER w x7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |rn2 AS (SELECT *, t - 7 cut FROM rn WHERE t >= 15),
+        |ts AS (SELECT event_type, CAST(count(*) AS BIGINT) n_train,
+        |    CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE)/count(*)
+        |      mean_tr,
+        |    max(CASE WHEN rn = cut THEN m END) last_tr
+        |  FROM rn2 WHERE rn <= cut GROUP BY 1),
+        |ins AS (SELECT r.event_type,
+        |    CAST(sum(CASE WHEN x1 IS NOT NULL
+        |        THEN CAST(abs(m - x1) AS DECIMAL(28,12)) END) AS DOUBLE)
+        |      /CAST(sum(CASE WHEN x1 IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) mae_naive,
+        |    CAST(sum(CASE WHEN x7 IS NOT NULL
+        |        THEN CAST(abs(m - x7) AS DECIMAL(28,12)) END) AS DOUBLE)
+        |      /CAST(sum(CASE WHEN x7 IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) mae_snaive,
+        |    CAST(sum(CAST(abs(m - ts.mean_tr) AS DECIMAL(28,12)))
+        |        AS DOUBLE)
+        |      /CAST(count(*) AS DOUBLE) mae_mean
+        |  FROM rn2 r JOIN ts ON r.event_type = ts.event_type
+        |  WHERE rn <= cut GROUP BY 1),
+        |wt AS (SELECT *, 1.0/greatest(mae_naive, 1e-12) in_,
+        |    1.0/greatest(mae_snaive, 1e-12) is_,
+        |    1.0/greatest(mae_mean, 1e-12) im_ FROM ins),
+        |wt2 AS (SELECT *, in_ + is_ + im_ isum FROM wt),
+        |wt3 AS (SELECT event_type, mae_naive, mae_snaive, mae_mean,
+        |    in_/isum w_naive, is_/isum w_snaive, im_/isum w_mean
+        |  FROM wt2),
+        |oos AS (SELECT r.event_type,
+        |    CAST(sum(CAST(abs(m - (w_naive*last_tr + w_snaive*x7
+        |        + w_mean*mean_tr)) AS DECIMAL(28,12))) AS DOUBLE)
+        |      /CAST(count(*) AS DOUBLE) oos_blend,
+        |    CAST(sum(CAST(abs(m - last_tr) AS DECIMAL(28,12))) AS DOUBLE)
+        |      /CAST(count(*) AS DOUBLE) oos_naive,
+        |    CAST(sum(CAST(abs(m - x7) AS DECIMAL(28,12))) AS DOUBLE)
+        |      /CAST(count(*) AS DOUBLE) oos_snaive,
+        |    CAST(sum(CAST(abs(m - mean_tr) AS DECIMAL(28,12))) AS DOUBLE)
+        |      /CAST(count(*) AS DOUBLE) oos_mean
+        |  FROM rn2 r JOIN ts ON r.event_type = ts.event_type
+        |    JOIN wt3 ON r.event_type = wt3.event_type
+        |  WHERE rn > cut GROUP BY 1),
+        |fin AS (SELECT i.event_type, i.mae_naive, i.mae_snaive,
+        |    i.mae_mean, w3.w_naive, w3.w_snaive, w3.w_mean, o.oos_blend,
+        |    least(o.oos_naive, o.oos_snaive, o.oos_mean) oos_best
+        |  FROM ins i JOIN wt3 w3 ON i.event_type = w3.event_type
+        |    JOIN oos o ON i.event_type = o.event_type)
+        |SELECT event_type,
+        |  round(mae_naive*1000000)/1000000.0 AS mae_naive,
+        |  round(mae_snaive*1000000)/1000000.0 AS mae_snaive,
+        |  round(mae_mean*1000000)/1000000.0 AS mae_mean,
+        |  round(w_naive*1000000)/1000000.0 AS w_naive,
+        |  round(w_snaive*1000000)/1000000.0 AS w_snaive,
+        |  round(w_mean*1000000)/1000000.0 AS w_mean,
+        |  round(oos_blend*1000000)/1000000.0 AS oos_blend_mae,
+        |  round(oos_best*1000000)/1000000.0 AS oos_best_single_mae,
+        |  oos_blend < oos_best AS blend_wins
+        |FROM fin ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -243,4 +243,64 @@ object Retrieval {
 
   def wandPrune(spark: SparkSession, sfDir: String): DataFrame =
     wandPrune(Tables.documents(spark, sfDir))
+
+  /** q412: RM3 pseudo-relevance-feedback expansion — the classic
+    * second-pass retrieval move: take q82's BM25 top-k per probe, pool the
+    * terms those documents contain, and score each candidate expansion
+    * term by Σ_{d∈topk} (tf_{t,d}/dl_d)·(1/rank_d) · ln(N/df_t) — a
+    * rank-reciprocal relevance model (the softmax of true RM3 replaced by
+    * 1/rank so both engines compute exact rationals instead of exp) times
+    * a flat idf that suppresses stopwords the feedback docs share with
+    * everything else. The probe's own terms are anti-joined out, leaving
+    * the terms a query-expansion pass would ADD.
+    *
+    * Scale posture: the relevance pool is nProbes·k documents — the
+    * postings join against it is a broadcast, so nothing here scales with
+    * the corpus except the df/dl side tables q82 already built (reused
+    * from the same postings shuffle). Per-term contributions snap to
+    * DECIMAL(18,10) before the sum (magnitudes ≤ k, so the snap is far
+    * above ulp — the q180 lesson), making rank order independent of
+    * aggregation order.
+    */
+  def rm3Expansion(docs: DataFrame, nProbes: Int = 5, k: Int = 5,
+                   kExp: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val nDocs = dl.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val topk = bm25TopK(docs, nProbes, k)
+      .select(col("probe_id"), col("doc_id"), col("rnk").as("drnk"))
+    val probeToks = tf.where(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("tok"))
+
+    val pooled = tf
+      .join(broadcast(topk), "doc_id")
+      .join(dl, "doc_id")
+      .withColumn("w",
+        (col("tf").cast("double") / col("dl").cast("double")
+          / col("drnk").cast("double")).cast("decimal(18,10)"))
+      .groupBy(col("probe_id"), col("tok"))
+      .agg(sum(col("w")).as("prel"))
+      .join(probeToks, Seq("probe_id", "tok"), "left_anti")
+      .join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("prel").cast("double")
+          * log(col("n_docs") / col("df").cast("double")))
+          .cast("decimal(18,10)"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("tok"))
+    pooled
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= kExp)
+      .select(col("probe_id"), col("rnk"), col("tok"),
+        (round(col("score").cast("double") * 10000) / 10000).as("rm3"))
+  }
+
+  def rm3Expansion(spark: SparkSession, sfDir: String): DataFrame =
+    rm3Expansion(Tables.documents(spark, sfDir))
 }

@@ -1999,4 +1999,83 @@ object Similarity {
 
   def participationRatio(spark: SparkSession, sfDir: String): DataFrame =
     participationRatio(Tables.embeddings(spark, sfDir))
+
+  /** q414: Johnson–Lindenstrauss distortion census — measure what the SRP
+    * family (q74/q192) and PQ family (q377/q382) ASSUME: that a random
+    * sign projection to d′ ≪ d dimensions preserves pairwise distances.
+    * Each vector is projected once through a deterministic ±1 matrix
+    * (Achlioptas 2003 — sign entries satisfy the JL lemma with the same
+    * constants as Gaussians; signs from the md5 idiom so the oracle
+    * reproduces the exact matrix), and for a hash-free deterministic pair
+    * sample (lags 1/17/257 in vec_id space — three strides so the sample
+    * isn't one neighborhood) the census reports E[ratio] and RMS/max
+    * deviation of ‖y_a−y_b‖²/(d′·‖x_a−x_b‖²) at d′ = 8/16/32 — the table
+    * that tells an engineer which projection width their recall budget
+    * tolerates before they spend a cluster-day re-embedding.
+    *
+    * Scale: projections are one broadcast-matrix pass (n·d′ work, like
+    * SRP signatures); the pair sample is 3n equi-joins on shifted ids —
+    * never a pair blowup; census terms snap to decimal pre-sum.
+    */
+  def jlDistortion(emb: DataFrame, dim: Int = 64, dProj: Int = 32,
+                   lags: Seq[Int] = Seq(1, 17, 257)): DataFrame = {
+    val spark = emb.sparkSession
+    val signs = spark.range(dProj).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(dim).select(col("id").cast("int").as("d")))
+      .withColumn("h", md5(concat(lit("jl:"), col("j").cast("string"),
+        lit(":"), col("d").cast("string"))))
+      .withColumn("s",
+        when(expr("(instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 2")
+          === 0, lit(1.0)).otherwise(lit(-1.0)))
+      .groupBy(col("j"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, s))), t -> t.s)")
+        .as("sw"))
+    val x = asDoubles(emb).select(col("vec_id"), col("v"))
+    val proj = x.crossJoin(broadcast(signs))
+      .select(col("vec_id"), col("j"), dotExpr("v", "sw").as("y"))
+    val withN = x.withColumn("n2", dotExpr("v", "v"))
+    val pairs = withN
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("n2").as("n2a"),
+        explode(array(lags.map(l => lit(l.toLong)): _*)).as("lag"))
+      .withColumn("vec_b", col("vec_a") + col("lag"))
+      .join(withN.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("n2").as("n2b")), "vec_b")
+      .withColumn("dist2",
+        col("n2a") + col("n2b") - lit(2.0) * dotExpr("va", "vb"))
+      .where(col("dist2") > 0)
+      .select(col("vec_a"), col("vec_b"), col("dist2"))
+    val zero = lit(0).cast("decimal(28,12)")
+    val perPair = pairs
+      .join(proj.select(col("vec_id").as("vec_a"), col("j"),
+        col("y").as("ya")), "vec_a")
+      .join(proj.select(col("vec_id").as("vec_b"), col("j"),
+        col("y").as("yb")), Seq("vec_b", "j"))
+      .withColumn("dy2",
+        ((col("ya") - col("yb")) * (col("ya") - col("yb")))
+          .cast("decimal(28,12)"))
+      .groupBy(col("vec_a"), col("vec_b"), col("dist2"))
+      .agg(sum(when(col("j") < 8, col("dy2")).otherwise(zero)).as("s8"),
+        sum(when(col("j") < 16, col("dy2")).otherwise(zero)).as("s16"),
+        sum(col("dy2")).as("s32"))
+    perPair
+      .select(col("dist2"), expr(
+        "stack(3, 8, s8, 16, s16, 32, s32) as (dprime, sd)"))
+      .withColumn("ratio",
+        col("sd").cast("double") / (col("dprime") * col("dist2")))
+      .groupBy(col("dprime"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ratio").cast("decimal(28,12)")).cast("double").as("sr"),
+        sum(((col("ratio") - 1.0) * (col("ratio") - 1.0))
+          .cast("decimal(28,12)")).cast("double").as("se2"),
+        max(abs(col("ratio") - 1.0)).as("mx"))
+      .select(col("dprime"), col("n_pairs"),
+        (round(col("sr") / col("n_pairs") * 1000000) / 1000000.0)
+          .as("mean_ratio"),
+        (round(sqrt(col("se2") / col("n_pairs")) * 1000000) / 1000000.0)
+          .as("rms_err"),
+        (round(col("mx") * 1000000) / 1000000.0).as("max_abs_err"))
+  }
+
+  def jlDistortion(spark: SparkSession, sfDir: String): DataFrame =
+    jlDistortion(Tables.embeddings(spark, sfDir))
 }

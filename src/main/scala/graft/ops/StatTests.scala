@@ -1258,4 +1258,115 @@ object StatTests {
 
   def quade(spark: SparkSession, sfDir: String): DataFrame =
     quade(Tables.events(spark, sfDir))
+
+  /** Shared detector panel for the paired-detector tests (q409/q410): the
+    * 3σ z-rule and Tukey-fence rule of q283 plus an empirical-tail rule
+    * (outside [p0.5%, p99.5%]). Each threshold comes from ONE grouped pass
+    * (moments) or the shared exact-quantile kernel, is snapped to 6
+    * decimals exactly like q261/q283 so both engines draw identical
+    * boundaries, and rides back over the scan as a broadcast — the flags
+    * themselves never shuffle row-level data.
+    */
+  private def detectorFlags(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val mom = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
+      .withColumn("m", col("s1").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("s2").cast("double") - col("n") * col("m") * col("m"))
+          / (col("n") - 1)))
+      .select(col("event_type"), col("m"), col("sd"))
+    val qs = Percentiles.exactQuantiles(ev, "event_type", "value",
+        Seq("q1" -> 0.25, "q3" -> 0.75, "p005" -> 0.005, "p995" -> 0.995))
+      .groupBy(col("event_type"))
+      .agg(
+        (round(max(when(col("qname") === "q1", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q1"),
+        (round(max(when(col("qname") === "q3", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("q3"),
+        (round(max(when(col("qname") === "p005", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("p005"),
+        (round(max(when(col("qname") === "p995", col("qv"))) * lit(1000000))
+          / lit(1000000.0)).as("p995"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select(col("event_type"), col("lo"), col("hi"),
+        col("p005"), col("p995"))
+    ev.join(broadcast(mom), "event_type")
+      .join(broadcast(qs), "event_type")
+      .withColumn("fa", abs(col("value") - col("m")) > lit(3.0) * col("sd"))
+      .withColumn("fb", col("value") < col("lo") || col("value") > col("hi"))
+      .withColumn("fc",
+        col("value") < col("p005") || col("value") > col("p995"))
+      .select(col("event_type"), col("fa"), col("fb"), col("fc"))
+  }
+
+  /** q409: McNemar's test per series — q283 reports how OFTEN the z-rule
+    * and Tukey-rule detectors agree; McNemar asks whether their
+    * disagreement is one-sided (does one detector systematically flag
+    * points the other misses?), the paired test that justifies replacing
+    * one production detector with another. Discordant counts n10 (z-only)
+    * and n01 (fence-only) come from the same single conditional aggregate;
+    * χ² uses Edwards' continuity correction (|n10−n01|−1)²/(n10+n01), NULL
+    * when the detectors never disagree (no evidence either way). Integer
+    * arithmetic until the one final divide, so partition order is moot.
+    */
+  def mcnemar(events: DataFrame): DataFrame = {
+    detectorFlags(events)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("n01"))
+      .withColumn("d", abs(col("n10") - col("n01")) - lit(1L))
+      .select(col("event_type"), col("n"), col("n10"), col("n01"),
+        (round(when(col("n10") + col("n01") === 0, lit(null))
+          .otherwise((col("d") * col("d")).cast("double")
+            / (col("n10") + col("n01")).cast("double")) * 10000)
+          / 10000.0).as("chi2"))
+  }
+
+  def mcnemar(spark: SparkSession, sfDir: String): DataFrame =
+    mcnemar(Tables.events(spark, sfDir))
+
+  /** q410: Cochran's Q per series — the k-detector generalization of q409:
+    * do the 3σ, Tukey-fence, and empirical-tail rules flag at the SAME
+    * rate, or is one of the ensemble systematically trigger-happy? Uses
+    * the algebraically expanded form Q = (k−1)(k·ΣGⱼ² − T²)/(k·T − ΣLᵢ²)
+    * (column totals Gⱼ, row sums Lᵢ, grand total T) so the whole statistic
+    * is exact integer arithmetic from one conditional aggregate until the
+    * final divide; the squares go through decimal(38,0) first so a
+    * 100 TB-scale Gⱼ (≫2³²) cannot overflow the multiply (the q378 lesson).
+    * Denominator 0 (all rows flagged by all or no detectors) → NULL.
+    */
+  def cochranQ(events: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    detectorFlags(events)
+      .withColumn("l",
+        when(col("fa"), 1L).otherwise(0L) + when(col("fb"), 1L).otherwise(0L)
+          + when(col("fc"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("fa"), 1L).otherwise(0L)).as("g_sigma"),
+        sum(when(col("fb"), 1L).otherwise(0L)).as("g_tukey"),
+        sum(when(col("fc"), 1L).otherwise(0L)).as("g_tail"),
+        sum(col("l") * col("l")).as("sum_l2"))
+      .withColumn("t", col("g_sigma") + col("g_tukey") + col("g_tail"))
+      .withColumn("num",
+        lit(2) * (lit(3) * (d38(col("g_sigma")) * col("g_sigma")
+            + d38(col("g_tukey")) * col("g_tukey")
+            + d38(col("g_tail")) * col("g_tail"))
+          - d38(col("t")) * col("t")))
+      .withColumn("den", lit(3) * col("t") - col("sum_l2"))
+      .select(col("event_type"), col("n"),
+        col("g_sigma"), col("g_tukey"), col("g_tail"),
+        (round(when(col("den") <= 0, lit(null))
+          .otherwise(col("num").cast("double")
+            / col("den").cast("double")) * 10000) / 10000.0).as("q_stat"),
+        lit(2).cast("int").as("df"))
+  }
+
+  def cochranQ(spark: SparkSession, sfDir: String): DataFrame =
+    cochranQ(Tables.events(spark, sfDir))
 }

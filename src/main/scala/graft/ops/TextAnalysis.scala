@@ -1091,6 +1091,93 @@ object TextAnalysis {
   def lmGap(spark: SparkSession, sfDir: String): DataFrame =
     lmGap(Tables.documents(spark, sfDir))
 
+  /** q413: interpolated Kneser–Ney bigram cross-entropy per source — the
+    * standard n-gram LM construction (Kneser & Ney 1995; Chen & Goodman
+    * 1999) that q81/q408's unigram models approximate from below: train on
+    * the q403/q408 hash-split train half with absolute discount D = 0.75,
+    * back off not to raw unigram frequency but to the CONTINUATION
+    * distribution P_cont(w) ∝ #distinct left-contexts of w (the "San
+    * Francisco" fix: "francisco" is frequent but follows only "san", so
+    * its continuation mass is tiny), and score the eval half per source.
+    * Sources whose eval cross-entropy towers over the corpus's are
+    * distributionally novel — the per-source refinement of q408's global
+    * gap, and the actual quality signal a data-mixing pass consumes.
+    *
+    * P(w|u) = (max(c(u,w)−D, 0) + D·N1+(u,·)·P_cont(w)) / c(u) for seen
+    * contexts, P_cont(w) otherwise, with P_cont(w) = (N1+(·,w)+1) /
+    * (B + V) add-one-smoothed over B bigram types so eval-only tokens
+    * carry ordinary smoothing mass instead of a special OOV branch.
+    *
+    * Scale: bigram extraction is per-row array arithmetic (transform over
+    * the word array — no window shuffle); the model is three
+    * vocabulary-sized side tables joined by token key; eval terms snap to
+    * decimal(28,12) so the per-source mean is partition-order-free.
+    */
+  def knBigram(docs: DataFrame, trainFrac: Double = 0.8,
+               discount: Double = 0.75): DataFrame = {
+    val cut = math.floor(trainFrac * 16777216.0).toLong
+    val sided = docs.select(col("doc_id"), col("source"),
+        md5(concat(lit("split:"), col("doc_id").cast("string"))).as("h"),
+        split(Dedup.normText(col("text")), " ").as("w"))
+      .withColumn("u24", expr(Sketches.hexValSql("h", 6)))
+      .withColumn("side",
+        when(col("u24") < cut, lit("train")).otherwise(lit("eval")))
+      .select(col("doc_id"), col("source"), col("side"), col("w"))
+      .localCheckpoint()
+    val bigrams = sided.where(size(col("w")) >= 2)
+      .select(col("source"), col("side"),
+        explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] as u, w[i+1] as v))"))
+          .as("bg"))
+      .select(col("source"), col("side"),
+        col("bg.u").as("u"), col("bg.v").as("v"))
+    val train = bigrams.where(col("side") === "train")
+    val cuw = train.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cuw"))
+    val ctx = cuw.groupBy(col("u"))
+      .agg(sum(col("cuw")).as("cu"), count(lit(1)).as("n1u"))
+    val cont = cuw.groupBy(col("v")).agg(count(lit(1)).as("contw"))
+    val btypes = cuw.agg(count(lit(1)).as("b"))
+    val vocab = sided.select(explode(col("w")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("tok")).distinct().agg(count(lit(1)).as("vv"))
+
+    val evalBg = bigrams.where(col("side") === "eval")
+      .groupBy(col("source"), col("u"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = evalBg
+      .join(cuw, Seq("u", "v"), "left")
+      .join(ctx, Seq("u"), "left")
+      .join(cont, Seq("v"), "left")
+      .crossJoin(broadcast(btypes)).crossJoin(broadcast(vocab))
+      .withColumn("pcont",
+        (coalesce(col("contw"), lit(0L)) + 1).cast("double")
+          / (col("b") + col("vv")).cast("double"))
+      .withColumn("p",
+        when(col("cu").isNull, col("pcont"))
+          .otherwise(
+            greatest(coalesce(col("cuw"), lit(0L)).cast("double")
+              - lit(discount), lit(0.0)) / col("cu").cast("double")
+            + lit(discount) * col("n1u").cast("double")
+              / col("cu").cast("double") * col("pcont")))
+      .withColumn("term",
+        (col("cnt").cast("double") * log(col("p"))).cast("decimal(28,12)"))
+    scored.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("cu").isNull, col("cnt")).otherwise(0L))
+          .as("n_backoff"),
+        (sum(col("term")).cast("double") * lit(-1.0)
+          / sum(col("cnt")).cast("double")).as("ce0"))
+      .select(col("source"), col("n_bigrams"),
+        (round(col("n_backoff").cast("double")
+          / col("n_bigrams").cast("double") * lit(1e6)) / lit(1e6))
+          .as("backoff_rate"),
+        (round(col("ce0") * lit(1e6)) / lit(1e6)).as("cross_entropy"))
+  }
+
+  def knBigram(spark: SparkSession, sfDir: String): DataFrame =
+    knBigram(Tables.documents(spark, sfDir))
+
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
     naiveBayesSource(Tables.documents(spark, sfDir))
 

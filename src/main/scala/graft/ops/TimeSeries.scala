@@ -2791,4 +2791,191 @@ object TimeSeries {
 
   def acfHalfLife(spark: SparkSession, sfDir: String): DataFrame =
     acfHalfLife(Tables.events(spark, sfDir))
+
+  /** q411: permutation entropy (Bandt–Pompe, order m=3) per series — the
+    * model-free complexity measure that separates "noisy but structured"
+    * from "effectively random" sensor streams, complementing q245's symbol
+    * entropy rate (which needs a value discretization; order patterns need
+    * none) and q181's runs test (which sees only up/down, not the full
+    * triple ordering). Each gap-free triple of consecutive daily means is
+    * encoded by its comparison pattern — code = 4·[x₀<x₁] + 2·[x₁<x₂] +
+    * [x₀<x₂], ties → 0, so the code is pure exact-double comparison with
+    * no trig, ranks, or float accumulation — and H = −Σ p·ln p over the
+    * ≤7 realizable codes, normalized by ln 6 (the 6 strict orderings).
+    *
+    * Scale posture: the only row-level work is the daily aggregate (one
+    * map-side-combining shuffle of the scan); the windows, codes, and
+    * entropy all run on the days-per-series table, bounded by time span —
+    * corpus-size-independent after the reduce, like q201/q202.
+    */
+  def permutationEntropy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val coded = dailyMeans(events)
+      .withColumn("d1", lead(col("d"), 1).over(w))
+      .withColumn("d2", lead(col("d"), 2).over(w))
+      .withColumn("x1", lead(col("m"), 1).over(w))
+      .withColumn("x2", lead(col("m"), 2).over(w))
+      .where(col("d1") === col("d") + 1 && col("d2") === col("d") + 2)
+      .withColumn("code",
+        when(col("m") < col("x1"), 4L).otherwise(0L)
+          + when(col("x1") < col("x2"), 2L).otherwise(0L)
+          + when(col("m") < col("x2"), 1L).otherwise(0L))
+    val pat = coded.groupBy(col("event_type"), col("code"))
+      .agg(count(lit(1)).as("c"))
+    val tot = pat.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("nw"), count(lit(1)).as("n_patterns"))
+    pat.join(tot, "event_type")
+      .withColumn("p", col("c").cast("double") / col("nw"))
+      .withColumn("term", (-col("p") * log(col("p"))).cast("decimal(18,10)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nw")).as("n_windows"),
+        max(col("n_patterns")).as("n_patterns"),
+        sum(col("term")).cast("double").as("h"))
+      .select(col("event_type"), col("n_windows"), col("n_patterns"),
+        (round(col("h") * 10000) / 10000.0).as("h"),
+        (round(col("h") / lit(math.log(6.0)) * 10000) / 10000.0)
+          .as("h_norm"))
+  }
+
+  def permutationEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    permutationEntropy(Tables.events(spark, sfDir))
+
+  /** q415: Hampel-filter census per user series — the standard sensor
+    * despiking rule (rolling median ± 3·1.4826·rolling-MAD over a centered
+    * 11-point window) that q289's rolling median is usually deployed
+    * inside: the MAD-scaled fence adapts to local noise level where q41's
+    * global z-score drowns in regime changes and q261's global fences
+    * can't see a spike inside a high-baseline regime. Reported as a per-series
+    * census (points, flags, flag rate, worst deviation-to-fence ratio) —
+    * the "how dirty is each device's stream" table a cleaning pass is
+    * driven by.
+    *
+    * Window median and window MAD are per-row ARRAY arithmetic on the
+    * collected 11-point frame (the q289 idiom — exact, no approximate
+    * percentile), so the whole operator is one bounded-frame window pass:
+    * partition-parallel by series, no shuffle beyond the window sort,
+    * cost independent of total series count. MAD = 0 windows (≥6 equal
+    * values) make the fence zero — any nonzero deviation flags, the
+    * documented Hampel degenerate-case convention.
+    */
+  def hampelCensus(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-5, 5)
+    val medOf = (arr: String) =>
+      expr(s"""CASE WHEN size($arr) % 2 = 1
+        |  THEN element_at(array_sort($arr), CAST(size($arr) div 2 + 1 AS INT))
+        |  ELSE (element_at(array_sort($arr), CAST(size($arr) div 2 AS INT))
+        |      + element_at(array_sort($arr), CAST(size($arr) div 2 + 1 AS INT))) / 2.0
+        |END""".stripMargin)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("win", collect_list(col("value")).over(w))
+      .withColumn("med", medOf("win"))
+      .withColumn("dwin", expr("transform(win, x -> abs(x - med))"))
+      .withColumn("mad", medOf("dwin"))
+      .withColumn("dev", abs(col("value") - col("med")))
+      .withColumn("fence", lit(3.0) * lit(1.4826) * col("mad"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > col("fence"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(when(col("fence") > 0, col("dev") / col("fence"))).as("worst"))
+      .select(col("user_id"), col("n"), col("n_flagged"),
+        (round(col("n_flagged").cast("double") / col("n").cast("double")
+          * 1000000) / 1000000.0).as("flag_rate"),
+        (round(col("worst") * 10000) / 10000.0).as("worst_ratio"))
+  }
+
+  def hampelCensus(spark: SparkSession, sfDir: String): DataFrame =
+    hampelCensus(Tables.events(spark, sfDir))
+
+  /** q416: inverse-MAE forecast ensemble per series — the forecast-
+    * combination step (Bates & Granger 1969: a weighted blend of simple
+    * forecasters is hard to beat) over three baselines the suite already
+    * fields individually: naive (last train value), seasonal-naive (value
+    * 7 days back, q333's strongest baseline), and the train mean. Weights
+    * ∝ 1/MAE of each model's IN-SAMPLE one-step errors; the blend is then
+    * scored on a 7-day holdout against the best single model — the "does
+    * combining help" table that decides whether a fleet deploys one
+    * forecaster or an ensemble.
+    *
+    * Everything runs on the per-series daily table (time-span bounded);
+    * error terms snap to decimal(28,12) pre-sum, weights are one IEEE
+    * expression from the three MAEs (degenerate zero-MAE guarded with a
+    * 1e-12 floor, same both engines), holdout length 7 keeps the
+    * seasonal-naive source entirely inside the train span.
+    */
+  def forecastEnsemble(events: DataFrame, holdout: Int = 7): DataFrame = {
+    val daily = dailyMeans(events)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val rn = daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .where(col("t") >= holdout + 8)
+      .withColumn("cut", col("t") - holdout)
+      .withColumn("x1", lag(col("m"), 1).over(wOrd))
+      .withColumn("x7", lag(col("m"), 7).over(wOrd))
+    val trainStats = rn.where(col("rn") <= col("cut"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"),
+        (sum(col("m").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("mean_tr"),
+        max(when(col("rn") === col("cut"), col("m"))).as("last_tr"))
+    val inSample = rn.where(col("rn") <= col("cut"))
+      .join(broadcast(trainStats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(when(col("x1").isNotNull,
+          abs(col("m") - col("x1")).cast("decimal(28,12)"))).cast("double")
+          / sum(when(col("x1").isNotNull, 1L).otherwise(0L)).cast("double"))
+          .as("mae_naive"),
+        (sum(when(col("x7").isNotNull,
+          abs(col("m") - col("x7")).cast("decimal(28,12)"))).cast("double")
+          / sum(when(col("x7").isNotNull, 1L).otherwise(0L)).cast("double"))
+          .as("mae_snaive"),
+        (sum(abs(col("m") - col("mean_tr")).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("mae_mean"))
+      .withColumn("in_", lit(1.0) / greatest(col("mae_naive"), lit(1e-12)))
+      .withColumn("is_", lit(1.0) / greatest(col("mae_snaive"), lit(1e-12)))
+      .withColumn("im_", lit(1.0) / greatest(col("mae_mean"), lit(1e-12)))
+      .withColumn("isum", col("in_") + col("is_") + col("im_"))
+      .withColumn("w_naive", col("in_") / col("isum"))
+      .withColumn("w_snaive", col("is_") / col("isum"))
+      .withColumn("w_mean", col("im_") / col("isum"))
+    val oos = rn.where(col("rn") > col("cut"))
+      .join(broadcast(trainStats), "event_type")
+      .join(broadcast(inSample.select(col("event_type"), col("w_naive"),
+        col("w_snaive"), col("w_mean"))), "event_type")
+      .withColumn("blend",
+        col("w_naive") * col("last_tr") + col("w_snaive") * col("x7")
+          + col("w_mean") * col("mean_tr"))
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(abs(col("m") - col("blend")).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("oos_blend"),
+        (sum(abs(col("m") - col("last_tr")).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("oos_naive"),
+        (sum(abs(col("m") - col("x7")).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("oos_snaive"),
+        (sum(abs(col("m") - col("mean_tr")).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("oos_mean"))
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      round(c * 1000000) / 1000000.0
+    inSample.join(oos, "event_type")
+      .withColumn("oos_best", least(col("oos_naive"), col("oos_snaive"),
+        col("oos_mean")))
+      .select(col("event_type"),
+        r6(col("mae_naive")).as("mae_naive"),
+        r6(col("mae_snaive")).as("mae_snaive"),
+        r6(col("mae_mean")).as("mae_mean"),
+        r6(col("w_naive")).as("w_naive"),
+        r6(col("w_snaive")).as("w_snaive"),
+        r6(col("w_mean")).as("w_mean"),
+        r6(col("oos_blend")).as("oos_blend_mae"),
+        r6(col("oos_best")).as("oos_best_single_mae"),
+        (col("oos_blend") < col("oos_best")).as("blend_wins"))
+  }
+
+  def forecastEnsemble(spark: SparkSession, sfDir: String): DataFrame =
+    forecastEnsemble(Tables.events(spark, sfDir))
 }

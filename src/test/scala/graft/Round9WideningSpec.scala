@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, Similarity, StatTests, TextAnalysis, TimeSeries}
+
+/** Degenerate-input conventions for the q409–q416 widening wave — the
+  * corners the DuckDB oracle can't exercise at the test SFs: detectors that
+  * never disagree, gap-riddled series, probes whose vocabulary swallows the
+  * corpus, constant windows.
+  */
+class Round9WideningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("mcnemar emits NULL chi2 when the detectors never disagree") {
+    // constant series: neither detector ever fires -> n10 = n01 = 0
+    val ev = (1L to 40L).map(i =>
+      (i, ts(i * 60), i % 3, "a", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = StatTests.mcnemar(ev)
+      .select("n10", "n01", "chi2").as[(Long, Long, Option[Double])].head()
+    assert(r._1 === 0L && r._2 === 0L && r._3.isEmpty)
+  }
+
+  test("cochranQ emits NULL q_stat when no detector ever fires") {
+    val ev = (1L to 40L).map(i =>
+      (i, ts(i * 60), i % 3, "a", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = StatTests.cochranQ(ev)
+      .select("g_sigma", "g_tukey", "g_tail", "q_stat")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(r._1 === 0L && r._2 === 0L && r._3 === 0L && r._4.isEmpty)
+  }
+
+  test("permutationEntropy: monotone series is one pattern with H = 0") {
+    // strictly increasing daily means, no gaps -> every triple codes 4+2+1
+    val ev = (0L until 12L).map(i =>
+      (i, ts(i * 86400 + 10), 1L, "a", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeSeries.permutationEntropy(ev)
+      .select("n_windows", "n_patterns", "h", "h_norm")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 === 10L && r._2 === 1L && r._3 === 0.0 && r._4 === 0.0)
+  }
+
+  test("permutationEntropy skips gapped triples") {
+    // days 0,1,2 then 10,11,12: exactly two gap-free triples
+    val days = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+    val ev = days.zipWithIndex.map { case (d, i) =>
+      (i.toLong, ts(d * 86400 + 10), 1L, "a", (i * i).toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeSeries.permutationEntropy(ev)
+      .select("n_windows").as[Long].head()
+    assert(r === 2L)
+  }
+
+  test("rm3Expansion never returns the probe's own terms") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s0"),
+      (10L, "alpha beta delta epsilon", "en", "s0"),
+      (11L, "delta epsilon zeta", "en", "s0"),
+      (12L, "beta gamma delta", "en", "s0"),
+      (13L, "iota kappa lambda", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Retrieval.rm3Expansion(docs, nProbes = 1, k = 2, kExp = 3)
+    val own = Set("alpha", "beta", "gamma")
+    assert(out.select("tok").as[String].collect().forall(t => !own(t)))
+  }
+
+  test("knBigram scores unseen contexts through the continuation backoff") {
+    // doc_ids chosen so the md5 split puts some docs on each side is not
+    // guaranteed for tiny sets; instead assert the operator contract on a
+    // corpus where every eval bigram context is novel: backoff_rate = 1
+    // would need a split we control, so assert the cheaper invariant —
+    // output rows only for sources with eval bigrams, entropy positive.
+    val docs = (0L until 60L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}", "en",
+        s"s${i % 3}")).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.knBigram(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      val br = r.getAs[Double]("backoff_rate")
+      assert(ce > 0.0 && br >= 0.0 && br <= 1.0)
+    }
+  }
+
+  test("jlDistortion mean ratio concentrates near 1 on random-ish vectors") {
+    val emb = (0L until 300L).map { i =>
+      val arr = Array.tabulate(64) { d =>
+        (((i * 131 + d * 17) % 97).toFloat - 48f) / 48f
+      }
+      (i, arr, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.jlDistortion(emb)
+      .select("dprime", "mean_ratio").as[(Int, Double)].collect().toMap
+    assert(rows.keySet === Set(8, 16, 32))
+    // E[ratio] = 1; with hundreds of pairs the mean should be within 20%
+    rows.values.foreach(v => assert(math.abs(v - 1.0) < 0.2, s"mean $v"))
+  }
+
+  test("hampelCensus flags a lone spike and nothing else") {
+    val vals = Seq.tabulate(21)(i => if (i == 10) 100.0 else 5.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i * 60), 1L, "a", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeSeries.hampelCensus(ev)
+      .select("n", "n_flagged").as[(Long, Long)].head()
+    assert(r._1 === 21L && r._2 === 1L)
+  }
+
+  test("hampelCensus MAD=0 convention: constant window flags any deviation") {
+    val vals = Seq.fill(15)(5.0).updated(7, 5.001)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i * 60), 1L, "a", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeSeries.hampelCensus(ev)
+      .select("n_flagged").as[Long].head()
+    assert(r === 1L)
+  }
+
+  test("forecastEnsemble drops series shorter than holdout + 8 days") {
+    val shortSeries = (0L until 10L).map(i =>
+      (i, ts(i * 86400 + 10), 1L, "short", i.toDouble, "{}"))
+    val longSeries = (0L until 30L).map(i =>
+      (100 + i, ts(i * 86400 + 20), 1L, "long", (i % 7).toDouble, "{}"))
+    val ev = (shortSeries ++ longSeries)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val types = TimeSeries.forecastEnsemble(ev)
+      .select("event_type").as[String].collect().toSet
+    assert(types === Set("long"))
+  }
+
+  test("forecastEnsemble: weights sum to 1 and favor the better model") {
+    // pure period-7 series: seasonal-naive is in-sample perfect up to the
+    // 1e-12 floor, so its weight dominates
+    val ev = (0L until 35L).map(i =>
+      (i, ts(i * 86400 + 20), 1L, "a", (i % 7).toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeSeries.forecastEnsemble(ev)
+      .select("w_naive", "w_snaive", "w_mean", "oos_blend_mae")
+      .as[(Double, Double, Double, Double)].head()
+    assert(math.abs(r._1 + r._2 + r._3 - 1.0) < 1e-6)
+    assert(r._2 > 0.99, s"w_snaive ${r._2}")
+    assert(r._4 < 1e-6)
+  }
+}
