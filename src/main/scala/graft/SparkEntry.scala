@@ -837,7 +837,15 @@ object SparkEntry {
     "q415_hampel" -> ((s, d) =>
       TimeSeries.hampelCensus(s, d).orderBy(col("user_id"))),
     "q416_forecast_ensemble" -> ((s, d) =>
-      TimeSeries.forecastEnsemble(s, d).orderBy(col("event_type")))
+      TimeSeries.forecastEnsemble(s, d).orderBy(col("event_type"))),
+    "q417_ppmi_cooc" -> ((s, d) =>
+      TextAnalysis.ppmiCooc(s, d).orderBy(col("rnk"))),
+    "q418_funnel_steps" -> ((s, d) =>
+      Ranges.funnelSteps(s, d).orderBy(col("dow"))),
+    "q419_zip_fit" -> ((s, d) =>
+      Relational.zipFit(s, d).orderBy(col("event_type"))),
+    "q420_arch_lm" -> ((s, d) =>
+      TimeSeries.archLm(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10269,7 +10277,120 @@ object SparkEntry {
         |  round(oos_blend*1000000)/1000000.0 AS oos_blend_mae,
         |  round(oos_best*1000000)/1000000.0 AS oos_best_single_mae,
         |  oos_blend < oos_best AS blend_wins
-        |FROM fin ORDER BY 1""".stripMargin
+        |FROM fin ORDER BY 1""".stripMargin,
+    "q417_ppmi_cooc" ->
+      """WITH d AS (SELECT string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+        |  FROM documents),
+        |p1 AS (SELECT w[g] w1, w[g+1] w2
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) g
+        |        FROM d WHERE len(w) >= 2)),
+        |p2 AS (SELECT w[g] w1, w[g+2] w2
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) g
+        |        FROM d WHERE len(w) >= 3)),
+        |pr AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM pr
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) c2 FROM c12 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c12) AS BIGINT) n FROM c12),
+        |sc AS (SELECT c12.w1, c12.w2, c12.c12,
+        |    greatest(ln(CAST(n AS DOUBLE)*CAST(c12 AS DOUBLE)
+        |      /(CAST(c1 AS DOUBLE)*CAST(c2 AS DOUBLE))), 0.0) ppmi
+        |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+        |  WHERE c12 >= 5),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY ppmi DESC, w1, w2)
+        |    rnk FROM sc)
+        |SELECT CAST(rnk AS INT) rnk, w1, w2, c12,
+        |  round(ppmi*1000000)/1000000.0 AS ppmi
+        |FROM rk WHERE rnk <= 20 ORDER BY 1""".stripMargin,
+    "q418_funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e FROM events),
+        |v AS (SELECT user_id, event_id, e,
+        |    CAST((floor(e/86400) + 4) % 7 AS INT) dow
+        |  FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id c_user, e ce FROM ev
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id p_user, e pe FROM ev
+        |  WHERE event_type = 'purchase'),
+        |s2 AS (SELECT v.user_id, v.event_id, v.e, v.dow, min(c.ce) cmin
+        |  FROM v LEFT JOIN c ON v.user_id = c.c_user
+        |    AND c.ce >= v.e AND c.ce <= v.e + 3600
+        |  GROUP BY 1, 2, 3, 4),
+        |s3 AS (SELECT s2.user_id, s2.event_id, s2.dow, s2.cmin,
+        |    max(CASE WHEN p.p_user IS NOT NULL THEN 1 ELSE 0 END) reached3
+        |  FROM s2 LEFT JOIN p ON s2.user_id = p.p_user
+        |    AND s2.cmin IS NOT NULL
+        |    AND p.pe >= s2.cmin AND p.pe <= s2.e + 3600
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT dow, CAST(count(*) AS BIGINT) n_views,
+        |  CAST(sum(CASE WHEN cmin IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_level2,
+        |  CAST(sum(reached3) AS BIGINT) n_level3,
+        |  round(CAST(sum(CASE WHEN cmin IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    /CAST(count(*) AS DOUBLE)*1000000)/1000000.0 AS rate2,
+        |  round(CAST(sum(reached3) AS DOUBLE)
+        |    /CAST(count(*) AS DOUBLE)*1000000)/1000000.0 AS rate3
+        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q419_zip_fit" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d FROM events),
+        |span AS (SELECT max(d) - min(d) + 1 n_days FROM ev),
+        |nz AS (SELECT event_type, user_id, d, CAST(count(*) AS BIGINT) k
+        |  FROM ev GROUP BY 1, 2, 3),
+        |ag AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) n_users,
+        |    CAST(count(*) AS BIGINT) nnz, CAST(sum(k) AS BIGINT) s1,
+        |    CAST(sum(k*k) AS BIGINT) s2
+        |  FROM nz GROUP BY 1),
+        |f AS (SELECT *, n_users*n_days n_cells FROM ag CROSS JOIN span),
+        |g AS (SELECT *, CAST(s1 AS DOUBLE)/n_cells m FROM f),
+        |h AS (SELECT *,
+        |    (CAST(s2 AS DOUBLE) - n_cells*m*m)/(n_cells - 1) v FROM g),
+        |i AS (SELECT *, m + v/m - 1.0 lam FROM h)
+        |SELECT event_type, n_users, n_days, n_cells, nnz,
+        |  round(CAST(n_cells - nnz AS DOUBLE)/CAST(n_cells AS DOUBLE)
+        |    *1000000)/1000000.0 AS p0,
+        |  round(m*1000000)/1000000.0 AS mean,
+        |  round(v*1000000)/1000000.0 AS variance,
+        |  round(CASE WHEN m > 0 AND lam > 0 THEN lam END*1000000)
+        |    /1000000.0 AS lambda_hat,
+        |  round(CASE WHEN m > 0 AND lam > 0 THEN 1.0 - m/lam END
+        |    *1000000)/1000000.0 AS pi_hat
+        |FROM i ORDER BY 1""".stripMargin,
+    "q420_arch_lm" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) d,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      /count(*)*1e12)/1e12 m
+        |  FROM events GROUP BY 1, 2),
+        |l1 AS (SELECT event_type, d, m, lag(d, 1) OVER w dp,
+        |    lag(m, 1) OVER w mp
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |sq AS (SELECT event_type, d ds, (m - mp)*(m - mp) s
+        |  FROM l1 WHERE dp = d - 1),
+        |l2 AS (SELECT event_type, ds, s, lag(ds, 1) OVER w2 dsp,
+        |    lag(s, 1) OVER w2 sp
+        |  FROM sq WINDOW w2 AS (PARTITION BY event_type ORDER BY ds)),
+        |pr AS (SELECT event_type, s, sp FROM l2 WHERE dsp = ds - 1),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(sp AS DECIMAL(38,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(s*sp AS DECIMAL(38,10))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(s*s AS DECIMAL(38,10))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(sp*sp AS DECIMAL(38,10))) AS DOUBLE) syy
+        |  FROM pr GROUP BY 1),
+        |k AS (SELECT *, CAST(n AS DOUBLE) nn,
+        |    sxx - sx*sx/CAST(n AS DOUBLE) vx,
+        |    syy - sy*sy/CAST(n AS DOUBLE) vy,
+        |    sxy - sx*sy/CAST(n AS DOUBLE) cxy FROM ag),
+        |r AS (SELECT *, CASE WHEN vx > 0 AND vy > 0
+        |    THEN cxy/sqrt(vx*vy) END r FROM k)
+        |SELECT event_type, n AS n_pairs, round(r*1e12)/1e12 AS r,
+        |  round(nn*r*r*10000)/10000.0 AS arch_lm, CAST(1 AS INT) AS df
+        |FROM r ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -1236,4 +1236,61 @@ object Ranges {
 
   def detectorAgreement(spark: SparkSession, sfDir: String): DataFrame =
     detectorAgreement(Tables.events(spark, sfDir))
+
+  /** q418: strict ordered three-step funnel by weekday — the windowFunnel
+    * semantics BI engines ship natively: a user reaches level 3 off a
+    * given view iff ∃ view → click → purchase with nondecreasing
+    * timestamps all inside [view, view + W] (the window anchors at the
+    * FIRST step, unlike q48's per-pair window). Greedy earliest-next-step
+    * is exact for a first-step-anchored window, so the chain check is two
+    * min-aggregated range joins, not a 3-way interval join. Levels roll
+    * up by the view's weekday — the "which acquisition day converts"
+    * table.
+    *
+    * Scale: both joins are user-keyed equi-joins with the time predicate
+    * evaluated inside each user's partition (q48's shape); per-view
+    * chains reduce before the weekday rollup, so output is 7 rows no
+    * matter the corpus.
+    */
+  def funnelSteps(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_timestamp(col("ts")).as("e"))
+    // engine-neutral weekday: integer arithmetic on the epoch day (the
+    // q375 idiom), never a calendar function two engines could disagree on
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("e"),
+        pmod(floor(col("e") / 86400L) + 4, lit(7)).cast("int").as("dow"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("e").as("ce"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("e").as("pe"))
+    val step2 = views
+      .join(clicks, col("user_id") === col("c_user")
+        && col("ce") >= col("e") && col("ce") <= col("e") + windowSec,
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"), col("e"), col("dow"))
+      .agg(min(col("ce")).as("cmin"))
+    val step3 = step2
+      .join(purchases, col("user_id") === col("p_user")
+        && col("cmin").isNotNull
+        && col("pe") >= col("cmin") && col("pe") <= col("e") + windowSec,
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"), col("dow"), col("cmin"))
+      .agg(max(when(col("p_user").isNotNull, 1L).otherwise(0L))
+        .as("reached3"))
+    step3.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("cmin").isNotNull, 1L).otherwise(0L)).as("n_level2"),
+        sum(col("reached3")).as("n_level3"))
+      .select(col("dow"), col("n_views"), col("n_level2"), col("n_level3"),
+        (round(col("n_level2").cast("double")
+          / col("n_views").cast("double") * 1000000) / 1000000.0)
+          .as("rate2"),
+        (round(col("n_level3").cast("double")
+          / col("n_views").cast("double") * 1000000) / 1000000.0)
+          .as("rate3"))
+  }
+
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame =
+    funnelSteps(Tables.events(spark, sfDir))
 }

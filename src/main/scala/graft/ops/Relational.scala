@@ -3052,4 +3052,55 @@ object Relational {
 
   def discountMonotonicity(spark: SparkSession, sfDir: String): DataFrame =
     discountMonotonicity(Tables.lineitem(spark, sfDir))
+
+  /** q419: zero-inflated-Poisson fit of daily per-user activity — the
+    * companion count model to q332's NBD: user-day event counts are
+    * mostly zero not because a Poisson rate is low but because a user is
+    * INACTIVE that day (a structural-zero class), and the ZIP
+    * method-of-moments split (Lambert 1992) separates the two:
+    * λ̂ = μ + σ²/μ − 1 (the rate among active days) and
+    * π̂ = 1 − μ/λ̂ (the structural-zero share). The fleet-health readout
+    * ("are errors getting rarer, or are devices going quiet?") that a
+    * bare mean conflates.
+    *
+    * Scale posture is the operator's point: the user×day cell grid is
+    * NEVER materialized — nonzero cells come from one grouped pass, the
+    * zero mass enters as n_users·span − nnz computed from two scalars,
+    * so cost is O(observed events), not O(users·days) (which at 1e9
+    * users × 365 days would be 3.6e11 mostly-zero rows).
+    */
+  def zipFit(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("user_id"),
+      expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"))
+    val span = ev.agg(((max(col("d")) - min(col("d"))) + 1).as("n_days"))
+    val nz = ev.groupBy(col("event_type"), col("user_id"), col("d"))
+      .agg(count(lit(1)).as("k"))
+    nz.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("nnz"),
+        sum(col("k")).as("s1"),
+        sum(col("k") * col("k")).as("s2"))
+      .crossJoin(broadcast(span))
+      .withColumn("n_cells", col("n_users") * col("n_days"))
+      .withColumn("m", col("s1").cast("double") / col("n_cells"))
+      .withColumn("v",
+        (col("s2").cast("double") - col("n_cells") * col("m") * col("m"))
+          / (col("n_cells") - 1))
+      .withColumn("lam", col("m") + col("v") / col("m") - lit(1.0))
+      .select(col("event_type"), col("n_users"), col("n_days"),
+        col("n_cells"), col("nnz"),
+        (round((col("n_cells") - col("nnz")).cast("double")
+          / col("n_cells").cast("double") * 1000000) / 1000000.0)
+          .as("p0"),
+        (round(col("m") * 1000000) / 1000000.0).as("mean"),
+        (round(col("v") * 1000000) / 1000000.0).as("variance"),
+        (round(when(col("m") > 0 && col("lam") > 0, col("lam"))
+          * 1000000) / 1000000.0).as("lambda_hat"),
+        (round(when(col("m") > 0 && col("lam") > 0,
+          lit(1.0) - col("m") / col("lam")) * 1000000) / 1000000.0)
+          .as("pi_hat"))
+  }
+
+  def zipFit(spark: SparkSession, sfDir: String): DataFrame =
+    zipFit(Tables.events(spark, sfDir))
 }

@@ -1178,6 +1178,57 @@ object TextAnalysis {
   def knBigram(spark: SparkSession, sfDir: String): DataFrame =
     knBigram(Tables.documents(spark, sfDir))
 
+  /** q417: skip-gram PPMI co-occurrence — the word-association table GloVe/
+    * word2vec-style training actually consumes (Church & Hanks 1990;
+    * Levy & Goldberg 2014 showed SGNS factorizes exactly this matrix):
+    * ordered token pairs within a ±2 window, positive pointwise mutual
+    * information ln(N·c₁₂/(c₁·c₂)) clamped at 0, top pairs by PPMI among
+    * pairs seen ≥ minCount times. q60's PMI sees only ADJACENT bigrams;
+    * the skip-gram window is what distinguishes collocation ("new york")
+    * from topical association ("doctor … hospital").
+    *
+    * Scale: pair extraction is per-row array arithmetic (transform over
+    * the word array at offsets 1 and 2 — no self-join, no window
+    * shuffle); marginals reuse the pair aggregate; the rank runs on the
+    * ≥minCount survivors only.
+    */
+  def ppmiCooc(docs: DataFrame, minCount: Int = 5, topK: Int = 20)
+      : DataFrame = {
+    val pairs = docs
+      .select(split(Dedup.normText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(concat(
+        expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))"),
+        expr("""CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(0, size(w) - 3), i -> struct(w[i] as w1, w[i+2] as w2))
+          |  ELSE array() END""".stripMargin))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = c12.agg(sum(col("c12")).as("n"))
+    val scoredAll = c12.where(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("ppmi", greatest(
+        log(col("n").cast("double") * col("c12").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double"))),
+        lit(0.0)))
+    // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    // top-k, never a single-partition global sort of every survivor; the
+    // row_number window then runs over ≤ topK rows.
+    val w = Window.orderBy(col("ppmi").desc, col("w1"), col("w2"))
+    scoredAll
+      .orderBy(col("ppmi").desc, col("w1"), col("w2")).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("w1"), col("w2"), col("c12"),
+        (round(col("ppmi") * 1000000) / 1000000.0).as("ppmi"))
+  }
+
+  def ppmiCooc(spark: SparkSession, sfDir: String): DataFrame =
+    ppmiCooc(Tables.documents(spark, sfDir))
+
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
     naiveBayesSource(Tables.documents(spark, sfDir))
 

@@ -2978,4 +2978,56 @@ object TimeSeries {
 
   def forecastEnsemble(spark: SparkSession, sfDir: String): DataFrame =
     forecastEnsemble(Tables.events(spark, sfDir))
+
+  /** q420: Engle's ARCH-LM test per series — volatility clustering, the
+    * one time-series pathology the battery doesn't yet screen: q239's
+    * Ljung–Box sees autocorrelation in LEVELS, but a series can be
+    * level-white while its squared changes are strongly autocorrelated
+    * (calm days follow calm days, wild days follow wild days — the GARCH
+    * signature that breaks every i.i.d.-residual assumption downstream
+    * detectors like q41/q139 lean on). For the one-lag regression the LM
+    * statistic n·R² reduces to n·corr(e²_t, e²_{t−1})², exact from one
+    * pass of decimal-snapped power sums over gap-free day triples.
+    */
+  def archLm(events: DataFrame): DataFrame = {
+    val s12 = (c: org.apache.spark.sql.Column) =>
+      round(c * lit(1e12)) / lit(1e12)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val sq = dailyMeans(events)
+      .withColumn("dp", lag(col("d"), 1).over(w))
+      .withColumn("mp", lag(col("m"), 1).over(w))
+      .where(col("dp") === col("d") - 1)
+      .withColumn("e", col("m") - col("mp"))
+      .withColumn("s", col("e") * col("e"))
+      .withColumn("ds", col("d"))
+    val pairs = sq
+      .withColumn("dsp", lag(col("ds"), 1).over(w))
+      .withColumn("sp", lag(col("s"), 1).over(w))
+      .where(col("dsp") === col("ds") - 1)
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s").cast("decimal(38,12)")).cast("double").as("sx"),
+        sum(col("sp").cast("decimal(38,12)")).cast("double").as("sy"),
+        sum((col("s") * col("sp")).cast("decimal(38,10)"))
+          .cast("double").as("sxy"),
+        sum((col("s") * col("s")).cast("decimal(38,10)"))
+          .cast("double").as("sxx"),
+        sum((col("sp") * col("sp")).cast("decimal(38,10)"))
+          .cast("double").as("syy"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("nn"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("nn"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("nn"))
+      .withColumn("r",
+        when(col("vx") > 0 && col("vy") > 0,
+          col("cxy") / sqrt(col("vx") * col("vy"))))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        s12(col("r")).as("r"),
+        (round(col("nn") * col("r") * col("r") * 10000) / 10000.0)
+          .as("arch_lm"),
+        lit(1).cast("int").as("df"))
+  }
+
+  def archLm(spark: SparkSession, sfDir: String): DataFrame =
+    archLm(Tables.events(spark, sfDir))
 }

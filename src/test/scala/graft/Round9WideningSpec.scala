@@ -134,6 +134,65 @@ class Round9WideningSpec extends SparkSpec {
     assert(types === Set("long"))
   }
 
+  test("ppmiCooc clamps negative PMI at zero and enforces minCount") {
+    // "a b" co-occurs often (high marginals -> PMI <= 0 for the
+    // ubiquitous pair), "x y" is rare but exclusive (PMI > 0)
+    val docs = ((0L until 20L).map(i => (i, "a b a b a b", "en", "s0"))
+      ++ (20L until 26L).map(i => (i, "x y", "en", "s0")))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.TextAnalysis.ppmiCooc(docs)
+      .select("w1", "w2", "c12", "ppmi")
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.forall(_._3 >= 5L))
+    assert(rows.forall(_._4 >= 0.0))
+    val xy = rows.find(r => r._1 == "x" && r._2 == "y")
+    assert(xy.nonEmpty && xy.get._4 > 0.0)
+  }
+
+  test("funnelSteps: purchase before the click does not reach level 3") {
+    val ev = Seq(
+      // user 1: view -> click -> purchase inside the window: level 3
+      (1L, ts(1000), 1L, "view", 0.0, "{}"),
+      (2L, ts(1100), 1L, "click", 0.0, "{}"),
+      (3L, ts(1200), 1L, "purchase", 0.0, "{}"),
+      // user 2: purchase BEFORE the click: strict order stops at level 2
+      (4L, ts(1000), 2L, "view", 0.0, "{}"),
+      (5L, ts(1300), 2L, "click", 0.0, "{}"),
+      (6L, ts(1100), 2L, "purchase", 0.0, "{}"),
+      // user 3: click outside the window: level 1
+      (7L, ts(1000), 3L, "view", 0.0, "{}"),
+      (8L, ts(9000), 3L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.ops.Ranges.funnelSteps(ev)
+      .select("n_views", "n_level2", "n_level3")
+      .as[(Long, Long, Long)].head()
+    assert(r === ((3L, 2L, 1L)))
+  }
+
+  test("zipFit: underdispersed counts yield NULL lambda/pi") {
+    // every (user, day) cell has exactly one event -> variance < mean ->
+    // lam = m + v/m - 1 <= 0 -> the MoM split is undefined
+    val ev = (0L until 30L).map(i =>
+      (i, ts((i % 10) * 86400 + 50), i / 10, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.ops.Relational.zipFit(ev)
+      .select("nnz", "lambda_hat", "pi_hat")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(r._1 === 30L && r._2.isEmpty && r._3.isEmpty)
+  }
+
+  test("archLm is NULL on a variance-free (linear) series") {
+    // linear daily means: every return equals the slope, s is constant,
+    // vx = vy = 0 -> r and arch_lm are NULL
+    val ev = (0L until 20L).map(i =>
+      (i, ts(i * 86400 + 100), 1L, "a", 2.0 * i, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeSeries.archLm(ev)
+      .select("n_pairs", "r", "arch_lm")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(r._1 === 18L && r._2.isEmpty && r._3.isEmpty)
+  }
+
   test("forecastEnsemble: weights sum to 1 and favor the better model") {
     // pure period-7 series: seasonal-naive is in-sample perfect up to the
     // 1e-12 floor, so its weight dominates
