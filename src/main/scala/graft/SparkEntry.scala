@@ -845,7 +845,12 @@ object SparkEntry {
     "q419_zip_fit" -> ((s, d) =>
       Relational.zipFit(s, d).orderBy(col("event_type"))),
     "q420_arch_lm" -> ((s, d) =>
-      TimeSeries.archLm(s, d).orderBy(col("event_type")))
+      TimeSeries.archLm(s, d).orderBy(col("event_type"))),
+    "q421_bbit_minhash" -> ((s, d) =>
+      Dedup.bbitMinhash(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q422_two_hop" -> ((s, d) =>
+      Graph.copurchaseTwoHop(s, d).orderBy(col("bucket"))),
+    "q423_item_knn" -> ((s, d) => Recommend.itemKnnEval(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10390,7 +10395,137 @@ object SparkEntry {
         |    THEN cxy/sqrt(vx*vy) END r FROM k)
         |SELECT event_type, n AS n_pairs, round(r*1e12)/1e12 AS r,
         |  round(nn*r*r*10000)/10000.0 AS arch_lm, CAST(1 AS INT) AS df
-        |FROM r ORDER BY 1""".stripMargin
+        |FROM r ORDER BY 1""".stripMargin,
+    "q421_bbit_minhash" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz AS (SELECT doc_id, band, sig FROM (
+        |          SELECT doc_id, band, sig,
+        |            count(*) OVER (PARTITION BY band, sig) bc
+        |          FROM bands) WHERE bc <= 64),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bsz a JOIN bsz b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id),
+        |est AS (SELECT p.doc_a, p.doc_b,
+        |          CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+        |            AS DOUBLE)/12.0 est_full,
+        |          CAST(sum(CASE WHEN substr(a.m, 32, 1) = substr(b.m, 32, 1)
+        |            THEN 1 ELSE 0 END) AS DOUBLE)/12.0 p_hat
+        |        FROM pairs p JOIN mh a ON a.doc_id = p.doc_a
+        |                     JOIN mh b ON b.doc_id = p.doc_b
+        |                       AND b.salt = a.salt
+        |        GROUP BY 1,2),
+        |eb AS (SELECT *, greatest((p_hat*16.0 - 1.0)/15.0, 0.0) est_bbit
+        |       FROM est),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) n_shared
+        |          FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
+        |                       JOIN sh sb ON sb.doc_id = p.doc_b
+        |                         AND sb.sh = sa.sh
+        |          GROUP BY 1,2),
+        |jx AS (SELECT e.doc_a, e.doc_b, e.est_full, e.est_bbit,
+        |         CAST(n_shared AS DOUBLE)/(na.n + nb.n - n_shared) jac
+        |       FROM eb e JOIN inter i ON e.doc_a = i.doc_a
+        |         AND e.doc_b = i.doc_b
+        |       JOIN sizes na ON e.doc_a = na.doc_id
+        |       JOIN sizes nb ON e.doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(est_full*10000)/10000 AS est_full,
+        |  round(est_bbit*10000)/10000 AS est_bbit,
+        |  round(jac*10000)/10000 AS jaccard,
+        |  round(abs(est_full - jac)*10000)/10000 AS err_full,
+        |  round(abs(est_bbit - jac)*10000)/10000 AS err_bbit
+        |FROM jx ORDER BY 1,2""".stripMargin,
+    "q422_two_hop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pe AS (SELECT a.l_partkey u, b.l_partkey v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) deg FROM adj
+        |  GROUP BY 1),
+        |mids AS (SELECT u mid FROM deg WHERE deg <= 64),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) n_suppressed_mids
+        |  FROM deg WHERE deg > 64),
+        |two AS (SELECT DISTINCT h1.u, h2.v w
+        |  FROM adj h1 JOIN mids m ON h1.v = m.mid
+        |  JOIN adj h2 ON h2.u = h1.v
+        |  WHERE h2.v <> h1.u),
+        |twox AS (SELECT t.u, t.w FROM two t WHERE NOT EXISTS (
+        |    SELECT 1 FROM adj a WHERE a.u = t.u AND a.v = t.w)),
+        |n2 AS (SELECT u, CAST(count(*) AS BIGINT) n2 FROM twox
+        |  GROUP BY 1),
+        |alln AS (SELECT deg.u, coalesce(n2.n2, 0) n2 FROM deg
+        |  LEFT JOIN n2 ON deg.u = n2.u)
+        |SELECT (n2 // 10)*10 AS bucket, CAST(count(*) AS BIGINT) n_nodes,
+        |  min(n2) min_n2, max(n2) max_n2, n_suppressed_mids
+        |FROM alln CROSS JOIN ns GROUP BY 1, 5 ORDER BY 1""".stripMargin,
+    "q423_item_knn" ->
+      """WITH oi AS (SELECT o_custkey cust, o_orderkey okey,
+        |    o_orderdate odate FROM orders),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cust
+        |    ORDER BY odate DESC, okey DESC) ornk FROM oi),
+        |li AS (SELECT DISTINCT l_orderkey okey, l_partkey part
+        |  FROM lineitem),
+        |test AS (SELECT cust, part FROM rk JOIN li USING (okey)
+        |  WHERE ornk = 1),
+        |hist AS (SELECT DISTINCT cust, part FROM rk JOIN li USING (okey)
+        |  WHERE ornk >= 2),
+        |users AS (SELECT DISTINCT cust FROM hist),
+        |baskets AS (SELECT DISTINCT okey, part FROM rk
+        |  JOIN li USING (okey) WHERE ornk >= 2),
+        |ci AS (SELECT part, CAST(count(*) AS BIGINT) c FROM baskets
+        |  GROUP BY 1),
+        |prs AS (SELECT x.part i, y.part j, CAST(count(*) AS BIGINT) cij
+        |  FROM baskets x JOIN baskets y ON x.okey = y.okey
+        |    AND x.part < y.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT i, j, cij FROM prs
+        |  UNION ALL SELECT j, i, cij FROM prs),
+        |sim AS (SELECT s.i, s.j,
+        |    CAST(s.cij AS DOUBLE)/sqrt(CAST(a.c*b.c AS DOUBLE)) cos
+        |  FROM sym s JOIN ci a ON s.i = a.part JOIN ci b ON s.j = b.part),
+        |nbrs AS (SELECT i, j, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY i
+        |      ORDER BY cos DESC, j) nr FROM sim) WHERE nr <= 20),
+        |cand AS (SELECT h.cust, n.j,
+        |    sum(CAST(n.cos AS DECIMAL(18,10))) score
+        |  FROM hist h JOIN nbrs n ON h.part = n.i
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h2
+        |    WHERE h2.cust = h.cust AND h2.part = n.j)
+        |  GROUP BY 1, 2),
+        |rec AS (SELECT cust, j, rr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cust
+        |      ORDER BY score DESC, j) rr FROM cand) WHERE rr <= 10),
+        |hits AS (SELECT r.cust, min(rr) first_hit,
+        |    max(CASE WHEN rr <= 5 THEN 1 ELSE 0 END) hit5
+        |  FROM rec r JOIN test t ON r.cust = t.cust AND r.j = t.part
+        |  GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) n_users,
+        |    CAST(sum(CASE WHEN hit5 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_hit5,
+        |    CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) n_hit10,
+        |    CAST(sum(coalesce(CAST(1.0/first_hit AS DECIMAL(18,10)),
+        |      CAST(0 AS DECIMAL(18,10)))) AS DOUBLE) srr
+        |  FROM users u LEFT JOIN hits ON u.cust = hits.cust)
+        |SELECT n_users, n_hit5, n_hit10,
+        |  round(CAST(n_hit5 AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000)
+        |    /1000000.0 AS hit_rate_5,
+        |  round(CAST(n_hit10 AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000)
+        |    /1000000.0 AS hit_rate_10,
+        |  round(srr/CAST(n_users AS DOUBLE)*1000000)/1000000.0 AS mrr_10
+        |FROM ag""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -565,6 +565,64 @@ object Dedup {
   def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame =
     minhashEstimate(Tables.documents(spark, sfDir))
 
+  /** q421: b-bit minhash accuracy (Li & König 2010) — the STORAGE-side
+    * refinement of q59: keep only the lowest b=4 bits (one hex digit) of
+    * each minhash, 1/8th the bytes of the full 32-hex signature, and
+    * correct the inflated collision rate analytically: a random non-match
+    * collides with probability c = 2⁻ᵇ, so Ĵ = (p̂ − c)/(1 − c). At a fixed
+    * memory budget this buys 8× more salts — the audit quantifies what the
+    * compression costs at EQUAL salt count k, next to the full-width
+    * estimate and the exact Jaccard on the same LSH candidate pairs.
+    * Everything reuses q22's signature/candidate machinery; the compressed
+    * comparison is a substring equality on the last hex digit.
+    */
+  def bbitMinhash(docs: DataFrame, k: Int = 12): DataFrame = {
+    val pairs = minhashLsh(docs, k).select(col("doc_a"), col("doc_b"))
+    val sig = minhashSignatures(docs, k)
+    val sigA = sig.toDF("doc_a" +: (0 until k).map(i => s"a_m$i"): _*)
+    val sigB = sig.toDF("doc_b" +: (0 until k).map(i => s"b_m$i"): _*)
+    val agreeFull = (0 until k)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agreeBbit = (0 until k)
+      .map(i => when(substring(col(s"a_m$i"), 32, 1)
+        === substring(col(s"b_m$i"), 32, 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("est_full", agreeFull.cast("double") / lit(k.toDouble))
+      .withColumn("p_hat", agreeBbit.cast("double") / lit(k.toDouble))
+      .withColumn("est_bbit",
+        greatest((col("p_hat") * lit(16.0) - lit(1.0)) / lit(15.0),
+          lit(0.0)))
+      .select(col("doc_a"), col("doc_b"), col("est_full"), col("p_hat"),
+        col("est_bbit"))
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("exact",
+        col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")))
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("est_full") * 10000) / 10000).as("est_full"),
+        (round(col("est_bbit") * 10000) / 10000).as("est_bbit"),
+        (round(col("exact") * 10000) / 10000).as("jaccard"),
+        (round(abs(col("est_full") - col("exact")) * 10000) / 10000)
+          .as("err_full"),
+        (round(abs(col("est_bbit") - col("exact")) * 10000) / 10000)
+          .as("err_bbit"))
+  }
+
+  def bbitMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    bbitMinhash(Tables.documents(spark, sfDir))
+
   /** q61: cross-source contamination census — for every pair of sources,
     * how many distinct content fingerprints they SHARE. This is the
     * train/test-leakage check a training-data pipeline runs before

@@ -1197,4 +1197,47 @@ object Graph {
         count(lit(1)).as("n_reached_from_far"))))
       .crossJoin(broadcast(verts.agg(count(lit(1)).as("n_verts"))))
   }
+
+  /** q422: two-hop reach census — the graph-expansion profile (how many
+    * distinct friends-of-friends each vertex reaches, excluding itself and
+    * its direct neighbours), bucketed into a distribution. This is the
+    * quantity that decides whether 2-hop features (GNN sampling, PPR
+    * push, triangle-heavy heuristics) are affordable on a given graph: a
+    * fat bucket tail means neighborhood explosion.
+    *
+    * Scale posture: the 2-hop self-join is capped at the MIDDLE vertex —
+    * a degree-m hub as midpoint contributes m² pairs, so mids with degree
+    * > capDeg are suppressed from path expansion (their count is carried
+    * as an output column, the q74/q22 bucket-cap discipline) and every
+    * surviving join key fans out ≤ capDeg². Distinct-before-count keeps
+    * the census exact on the paths that remain.
+    */
+  def twoHopCensus(edges: DataFrame, capDeg: Int = 64): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .distinct()
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val mids = deg.where(col("deg") <= capDeg).select(col("u").as("mid"))
+    val nSupp = deg.where(col("deg") > capDeg)
+      .agg(count(lit(1)).as("n_suppressed_mids"))
+    val two = adj.select(col("u"), col("v").as("mid"))
+      .join(mids, "mid")
+      .join(adj.select(col("u").as("mid"), col("v").as("w")), "mid")
+      .where(col("w") =!= col("u"))
+      .select(col("u"), col("w")).distinct()
+      .join(adj.select(col("u"), col("v").as("w")), Seq("u", "w"),
+        "left_anti")
+    val n2 = two.groupBy(col("u")).agg(count(lit(1)).as("n2"))
+    deg.select(col("u"))
+      .join(n2, Seq("u"), "left").na.fill(0L, Seq("n2"))
+      .withColumn("bucket", expr("(n2 div 10) * 10"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))
+      .crossJoin(broadcast(nSupp))
+  }
+
+  def copurchaseTwoHop(spark: SparkSession, sfDir: String): DataFrame =
+    twoHopCensus(copurchaseEdges(spark, sfDir))
 }

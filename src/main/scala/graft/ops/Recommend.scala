@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Recommender-system evaluation — the leave-last-basket-out protocol a
+  * training-data pipeline runs to judge whether its co-occurrence data
+  * carries any predictive signal before anyone trains a model on it.
+  */
+object Recommend {
+
+  /** q423: item-kNN hit-rate — the classic collaborative-filtering
+    * baseline (Deshpande & Karypis 2004) evaluated leave-last-order-out:
+    * every customer's LAST order is held out, item-item cosine similarity
+    * c_ij/√(c_i·c_j) is fit on the remaining baskets ONLY (no holdout
+    * leakage into the model), each customer's history items vote for
+    * their top-`nNbr` neighbours, and the top-`topK` recommendations are
+    * scored against the held-out basket: HitRate@5/@10 and MRR@10. The
+    * one-row scoreboard that says whether co-purchase structure in this
+    * corpus is signal or noise.
+    *
+    * Scale posture: the basket self-join fans out per ORDER (baskets are
+    * small; never a global item×item product), the neighbour lists are
+    * top-nNbr per item (bounded state, window-partitioned by item), and
+    * candidate generation is history×neighbour equi-joins — linear in
+    * |history|·nNbr. Vote sums snap to DECIMAL(18,10) so rankings are
+    * partition-order-free; every ranking tie breaks on the item key.
+    */
+  def itemKnnEval(orders: DataFrame, lineitem: DataFrame,
+                  nNbr: Int = 20, topK: Int = 10): DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      round(c * 1000000) / 1000000.0
+    val oi = orders.select(col("o_custkey").as("cust"),
+      col("o_orderkey").as("okey"), col("o_orderdate").as("odate"))
+    val wOrd = Window.partitionBy(col("cust"))
+      .orderBy(col("odate").desc, col("okey").desc)
+    val ranked = oi.withColumn("ornk", row_number().over(wOrd))
+    val li = lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("part")).distinct()
+    val test = ranked.where(col("ornk") === 1).join(li, "okey")
+      .select(col("cust"), col("part"))
+    val histOrders = ranked.where(col("ornk") >= 2)
+    val hist = histOrders.join(li, "okey")
+      .select(col("cust"), col("part")).distinct()
+    val users = hist.select(col("cust")).distinct()
+
+    val baskets = histOrders.join(li, "okey")
+      .select(col("okey"), col("part")).distinct()
+    val ci = baskets.groupBy(col("part")).agg(count(lit(1)).as("c"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"), col("x.okey") === col("y.okey")
+        && col("x.part") < col("y.part"))
+      .groupBy(col("x.part").as("i"), col("y.part").as("j"))
+      .agg(count(lit(1)).as("cij"))
+      .where(col("cij") >= 2)
+    val sym = pairs.select(col("i"), col("j"), col("cij"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cij")))
+    val sim = sym
+      .join(ci.toDF("i", "ci"), "i").join(ci.toDF("j", "cj"), "j")
+      .withColumn("cos", col("cij").cast("double")
+        / sqrt((col("ci") * col("cj")).cast("double")))
+    val wN = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    val nbrs = sim.withColumn("nr", row_number().over(wN))
+      .where(col("nr") <= nNbr).select(col("i"), col("j"), col("cos"))
+
+    val cand = hist.toDF("cust", "i").join(nbrs, "i")
+      .join(hist.toDF("cust", "j"), Seq("cust", "j"), "left_anti")
+      .withColumn("t", col("cos").cast("decimal(18,10)"))
+      .groupBy(col("cust"), col("j")).agg(sum(col("t")).as("score"))
+    val wS = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("j"))
+    val rec = cand.withColumn("rr", row_number().over(wS))
+      .where(col("rr") <= topK)
+    val hits = rec.join(test.toDF("cust", "j"), Seq("cust", "j"))
+      .groupBy(col("cust"))
+      .agg(min(col("rr")).as("first_hit"),
+        max(when(col("rr") <= 5, 1L).otherwise(0L)).as("hit5"))
+    users.join(hits, Seq("cust"), "left")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("hit5") === 1L, 1L).otherwise(0L)).as("n_hit5"),
+        sum(when(col("first_hit").isNotNull, 1L).otherwise(0L))
+          .as("n_hit10"),
+        sum(coalesce((lit(1.0) / col("first_hit")).cast("decimal(18,10)"),
+          lit(0).cast("decimal(18,10)"))).as("srr"))
+      .select(col("n_users"), col("n_hit5"), col("n_hit10"),
+        r6(col("n_hit5").cast("double") / col("n_users").cast("double"))
+          .as("hit_rate_5"),
+        r6(col("n_hit10").cast("double") / col("n_users").cast("double"))
+          .as("hit_rate_10"),
+        r6(col("srr").cast("double") / col("n_users").cast("double"))
+          .as("mrr_10"))
+  }
+
+  def itemKnnEval(spark: SparkSession, sfDir: String): DataFrame =
+    itemKnnEval(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+}

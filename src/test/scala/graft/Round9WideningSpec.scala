@@ -193,6 +193,65 @@ class Round9WideningSpec extends SparkSpec {
     assert(r._1 === 18L && r._2.isEmpty && r._3.isEmpty)
   }
 
+  test("bbitMinhash: identical docs estimate 1.0 under both widths") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((0L, txt, "en", "s0"), (1L, txt, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.ops.Dedup.bbitMinhash(docs)
+      .select("est_full", "est_bbit", "jaccard")
+      .as[(Double, Double, Double)].head()
+    assert(r === ((1.0, 1.0, 1.0)))
+  }
+
+  test("twoHopCensus: triangle has no 2-hop reach, path does") {
+    // triangle 1-2-3: every 2-hop candidate is already a direct
+    // neighbour; path 10-11-12: endpoints reach each other at hop 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L)).toDF("u", "v")
+    val rows = graft.ops.Graph.twoHopCensus(edges)
+      .select("bucket", "n_nodes").as[(Long, Long)].collect().toMap
+    // bucket 0 spans n2 in [0, 9]: 3 triangle nodes (n2=0), node 11
+    // (n2=0) and endpoints 10/12 (n2=1) — all six vertices
+    assert(rows === Map(0L -> 6L))
+    val detail = graft.ops.Graph.twoHopCensus(edges)
+      .select("max_n2").as[Long].head()
+    assert(detail === 1L)
+  }
+
+  test("twoHopCensus suppresses over-cap mid vertices and reports them") {
+    // star hub 0 with 70 leaves: hub degree 70 > cap 64, so no leaf
+    // reaches another THROUGH the hub; the hub itself is suppressed only
+    // as a midpoint (its own 2-hop reach through degree-1 leaves is 0)
+    val edges = (1L to 70L).map(l => (0L, l)).toDF("u", "v")
+    val out = graft.ops.Graph.twoHopCensus(edges)
+    val supp = out.select("n_suppressed_mids").as[Long].head()
+    assert(supp === 1L)
+    val n2max = out.agg(max($"max_n2")).as[Long].head()
+    assert(n2max === 0L)
+  }
+
+  test("itemKnnEval recommends the co-purchased item at rank 1") {
+    import java.sql.Timestamp
+    def d(day: Int) = new Timestamp(day * 86400000L)
+    val orders = Seq(
+      (1L, 11L, d(1)), (1L, 12L, d(2)),   // cust 1: history {10}, test {20}
+      (2L, 21L, d(1)), (2L, 22L, d(2)),   // cust 2: history {10,20}
+      (3L, 31L, d(1)), (3L, 32L, d(2))    // cust 3: history {10,20}
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      (11L, 10L), (12L, 20L),
+      (21L, 10L), (21L, 20L), (22L, 99L),
+      (31L, 10L), (31L, 20L), (32L, 99L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = graft.ops.Recommend.itemKnnEval(orders, lineitem)
+      .select("n_users", "n_hit5", "n_hit10", "mrr_10")
+      .as[(Long, Long, Long, Double)].head()
+    // custs 2/3 already own both items -> no candidates; cust 1's history
+    // {10} votes for 20 (cij=2 in history baskets 21,31) -> hit at rank 1
+    assert(r._1 === 3L && r._2 === 1L && r._3 === 1L)
+    assert(math.abs(r._4 - 0.333333) < 1e-6)
+  }
+
   test("forecastEnsemble: weights sum to 1 and favor the better model") {
     // pure period-7 series: seasonal-naive is in-sample perfect up to the
     // 1e-12 floor, so its weight dominates
