@@ -850,7 +850,13 @@ object SparkEntry {
       Dedup.bbitMinhash(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q422_two_hop" -> ((s, d) =>
       Graph.copurchaseTwoHop(s, d).orderBy(col("bucket"))),
-    "q423_item_knn" -> ((s, d) => Recommend.itemKnnEval(s, d))
+    "q423_item_knn" -> ((s, d) => Recommend.itemKnnEval(s, d)),
+    "q424_phash_pairs" -> ((s, d) =>
+      Multimodal.phashPairs(s, d).orderBy(col("n_shared_bands"))),
+    "q425_count_min" -> ((s, d) =>
+      Sketches.countMin(s, d).orderBy(col("rnk"))),
+    "q426_price_index" -> ((s, d) =>
+      Relational.priceIndex(s, d).orderBy(col("y")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10525,7 +10531,97 @@ object SparkEntry {
         |  round(CAST(n_hit10 AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000)
         |    /1000000.0 AS hit_rate_10,
         |  round(srr/CAST(n_users AS DOUBLE)*1000000)/1000000.0 AS mrr_10
-        |FROM ag""".stripMargin
+        |FROM ag""".stripMargin,
+    "q424_phash_pairs" ->
+      """WITH a0 AS (SELECT doc_id asset_id, md5(text) digest
+        |  FROM documents),
+        |hh AS (SELECT asset_id, digest,
+        |    (instr('0123456789abcdef', substr(digest, 1, 1)) - 1)*268435456
+        |    + (instr('0123456789abcdef', substr(digest, 2, 1)) - 1)*16777216
+        |    + (instr('0123456789abcdef', substr(digest, 3, 1)) - 1)*1048576
+        |    + (instr('0123456789abcdef', substr(digest, 4, 1)) - 1)*65536
+        |    + (instr('0123456789abcdef', substr(digest, 5, 1)) - 1)*4096
+        |    + (instr('0123456789abcdef', substr(digest, 6, 1)) - 1)*256
+        |    + (instr('0123456789abcdef', substr(digest, 7, 1)) - 1)*16
+        |    + (instr('0123456789abcdef', substr(digest, 8, 1)) - 1) h1,
+        |    (instr('0123456789abcdef', substr(digest, 9, 1)) - 1)*268435456
+        |    + (instr('0123456789abcdef', substr(digest, 10, 1)) - 1)*16777216
+        |    + (instr('0123456789abcdef', substr(digest, 11, 1)) - 1)*1048576
+        |    + (instr('0123456789abcdef', substr(digest, 12, 1)) - 1)*65536
+        |    + (instr('0123456789abcdef', substr(digest, 13, 1)) - 1)*4096
+        |    + (instr('0123456789abcdef', substr(digest, 14, 1)) - 1)*256
+        |    + (instr('0123456789abcdef', substr(digest, 15, 1)) - 1)*16
+        |    + (instr('0123456789abcdef', substr(digest, 16, 1)) - 1) h2
+        |  FROM a0),
+        |bands0 AS (SELECT asset_id, h1, h2, b.b band,
+        |    substr(digest, b.b*4 + 1, 4) bkey
+        |  FROM hh, (SELECT unnest(generate_series(0, 3)) b) b),
+        |bands AS (SELECT * FROM (SELECT *,
+        |    count(*) OVER (PARTITION BY band, bkey) bc FROM bands0)
+        |  WHERE bc <= 64),
+        |p AS (SELECT a.asset_id asset_a, b.asset_id asset_b,
+        |    a.h1 a1, a.h2 a2, b.h1 b1, b.h2 b2,
+        |    CAST(count(*) AS BIGINT) n_shared_bands
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.asset_id < b.asset_id
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |hm AS (SELECT n_shared_bands,
+        |    bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) hamming
+        |  FROM p)
+        |SELECT n_shared_bands, CAST(count(*) AS BIGINT) n_candidates,
+        |  CAST(sum(CASE WHEN hamming <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_within_radius,
+        |  CAST(min(hamming) AS INT) min_hamming,
+        |  CAST(max(hamming) AS INT) max_hamming
+        |FROM hm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q425_count_min" ->
+      s"""WITH tk AS (SELECT unnest(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) tok
+         |  FROM documents),
+         |tc AS (SELECT tok, CAST(count(*) AS BIGINT) exact FROM tk
+         |  WHERE length(tok) > 0 GROUP BY 1),
+         |bk AS (SELECT tok, exact, d.d,
+         |    md5('cm'||CAST(d.d AS VARCHAR)||':'||tok) h
+         |  FROM tc, (SELECT unnest(generate_series(0, 3)) d) d),
+         |bx AS (SELECT tok, exact, d,
+         |    ${graft.ops.Sketches.hexValSql("h", 6)} % 256 b FROM bk),
+         |cm AS (SELECT d, b, CAST(sum(exact) AS BIGINT) cell FROM bx
+         |  GROUP BY 1, 2),
+         |top AS (SELECT tok, exact FROM tc ORDER BY exact DESC, tok
+         |  LIMIT 50),
+         |est AS (SELECT bx.tok, CAST(min(cell) AS BIGINT) est
+         |  FROM bx JOIN top ON bx.tok = top.tok
+         |  JOIN cm ON bx.d = cm.d AND bx.b = cm.b
+         |  GROUP BY 1),
+         |rk AS (SELECT t.tok, t.exact, e.est,
+         |    row_number() OVER (ORDER BY t.exact DESC, t.tok) rnk
+         |  FROM top t JOIN est e ON t.tok = e.tok)
+         |SELECT CAST(rnk AS INT) rnk, tok, exact, est,
+         |  est >= exact AS no_undercount,
+         |  round(CAST(est - exact AS DOUBLE)/CAST(exact AS DOUBLE)
+         |    *1000000)/1000000.0 AS rel_overcount
+         |FROM rk ORDER BY 1""".stripMargin,
+    "q426_price_index" ->
+      """WITH py AS (SELECT l_partkey part, year(l_shipdate) y,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) qd,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      /CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) p
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (SELECT part, p p0, qd q0 FROM py WHERE y = 1995),
+        |j AS (SELECT py.y, py.p, py.qd, base.p0, base.q0
+        |  FROM py JOIN base ON py.part = base.part),
+        |ag AS (SELECT y, CAST(count(*) AS BIGINT) n_parts,
+        |    CAST(sum(CAST(p*q0 AS DECIMAL(28,10))) AS DOUBLE) lnum,
+        |    CAST(sum(CAST(p0*q0 AS DECIMAL(28,10))) AS DOUBLE) lden,
+        |    CAST(sum(CAST(p*qd AS DECIMAL(28,10))) AS DOUBLE) pnum,
+        |    CAST(sum(CAST(p0*qd AS DECIMAL(28,10))) AS DOUBLE) pden
+        |  FROM j GROUP BY 1),
+        |ix AS (SELECT *, lnum/lden laspeyres, pnum/pden paasche FROM ag)
+        |SELECT y, n_parts,
+        |  round(laspeyres*1000000)/1000000.0 AS laspeyres,
+        |  round(paasche*1000000)/1000000.0 AS paasche,
+        |  round(sqrt(laspeyres*paasche)*1000000)/1000000.0 AS fisher
+        |FROM ix ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -154,4 +154,63 @@ object Multimodal {
       .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("offset_ms"), col("duration_ms"))
   }
+
+  /** q424: banded-Hamming perceptual-hash near-dup pairs — the multimodal
+    * near-dup operator a media pipeline runs AFTER q195's exact digest
+    * dedup: a 64-bit dHash/pHash survives re-encodes and resizes that
+    * change the payload bytes, and two hashes within a small Hamming
+    * radius flag the same underlying image. The LSH trick is the pigeonhole
+    * split: 4 bands of 16 bits — any pair within Hamming ≤ 6 of each other
+    * agrees EXACTLY on at least one band when the ≤6 flipped bits can't
+    * cover all 4 bands... (r < bands guarantees it for r ≤ 3; for r ≤ 6
+    * the band join is a high-recall candidate filter, verified exactly).
+    * Bucket caps bound hub fan-out exactly as q22/q74.
+    *
+    * The hash here is the stub decode's digest bits (locality-free, so
+    * only true byte-duplicates land at distance 0 in the testdata) — a
+    * production deployment swaps ONE expression (digest bits → real dHash
+    * from decoded pixels) and the banding, capping, pair join, and verify
+    * stages run unchanged; that plumbing is what this query gates.
+    */
+  def phashPairs(docs: DataFrame, maxBucket: Int = 64,
+                 maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withH = assetMeta(docs)
+      .select(col("asset_id"), col("digest"))
+      .withColumn("h1", hexField("digest", 1, 8))
+      .withColumn("h2", hexField("digest", 9, 8))
+    val bands = withH.select(col("asset_id"), col("h1"), col("h2"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          substring(col("digest"), b * 4 + 1, 4).as("key"))): _*)).as("bk"))
+      .select(col("asset_id"), col("h1"), col("h2"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bc",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .where(col("bc") <= maxBucket)
+    val a = bands.select(col("asset_id").as("asset_a"), col("band"),
+      col("key"), col("h1").as("a1"), col("h2").as("a2"))
+    val b = bands.select(col("asset_id").as("asset_b"), col("band"),
+      col("key"), col("h1").as("b1"), col("h2").as("b2"))
+    a.join(b, Seq("band", "key"))
+      .where(col("asset_a") < col("asset_b"))
+      .groupBy(col("asset_a"), col("asset_b"),
+        col("a1"), col("a2"), col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .withColumn("hamming",
+        expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)"))
+      // census by shared-band count rather than the raw pair list: on a
+      // corpus with no byte-duplicates the within-radius list is empty,
+      // but the candidate distribution (how many pairs the bands surface,
+      // how close they get) is the operator's tuning table either way
+      .groupBy(col("n_shared_bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L))
+          .as("n_within_radius"),
+        min(col("hamming")).cast("int").as("min_hamming"),
+        max(col("hamming")).cast("int").as("max_hamming"))
+      .orderBy(col("n_shared_bands"))
+  }
+
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    phashPairs(Tables.documents(spark, sfDir))
 }

@@ -3103,4 +3103,53 @@ object Relational {
 
   def zipFit(spark: SparkSession, sfDir: String): DataFrame =
     zipFit(Tables.events(spark, sfDir))
+
+  /** q426: Laspeyres/Paasche/Fisher price indices by ship year — the
+    * index-number construction every pricing dashboard eventually needs
+    * (Laspeyres weights by BASE-year quantities and overstates inflation,
+    * Paasche weights by current quantities and understates it, Fisher is
+    * their geometric mean — Diewert's "ideal" index). Per-part unit
+    * prices are exact decimal revenue/quantity ratios per part-year; only
+    * parts traded in BOTH the base year and the comparison year enter a
+    * year's index (the standard matched-model rule).
+    *
+    * One grouped pass to part-year cells, a broadcast-joined base-year
+    * slice, numerator/denominator products snapped to decimal(28,10)
+    * pre-sum — index values are partition-order-free.
+    */
+  def priceIndex(lineitem: DataFrame, baseYear: Int = 1995): DataFrame = {
+    val py = lineitem
+      .select(col("l_partkey").as("part"),
+        year(col("l_shipdate")).as("y"),
+        col("l_quantity"), col("l_extendedprice"))
+      .groupBy(col("part"), col("y"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("q"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("r"))
+      .withColumn("p", col("r").cast("double") / col("q").cast("double"))
+      .withColumn("qd", col("q").cast("double"))
+      .select(col("part"), col("y"), col("p"), col("qd"))
+    val base = py.where(col("y") === baseYear)
+      .select(col("part"), col("p").as("p0"), col("qd").as("q0"))
+    py.join(base, "part")
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum((col("p") * col("q0")).cast("decimal(28,10)"))
+          .cast("double").as("lnum"),
+        sum((col("p0") * col("q0")).cast("decimal(28,10)"))
+          .cast("double").as("lden"),
+        sum((col("p") * col("qd")).cast("decimal(28,10)"))
+          .cast("double").as("pnum"),
+        sum((col("p0") * col("qd")).cast("decimal(28,10)"))
+          .cast("double").as("pden"))
+      .withColumn("laspeyres", col("lnum") / col("lden"))
+      .withColumn("paasche", col("pnum") / col("pden"))
+      .select(col("y"), col("n_parts"),
+        (round(col("laspeyres") * 1000000) / 1000000.0).as("laspeyres"),
+        (round(col("paasche") * 1000000) / 1000000.0).as("paasche"),
+        (round(sqrt(col("laspeyres") * col("paasche")) * 1000000)
+          / 1000000.0).as("fisher"))
+  }
+
+  def priceIndex(spark: SparkSession, sfDir: String): DataFrame =
+    priceIndex(Tables.lineitem(spark, sfDir))
 }

@@ -235,4 +235,51 @@ object Sketches {
 
   def sketchRollup(spark: SparkSession, sfDir: String): DataFrame =
     sketchRollup(Tables.documents(spark, sfDir))
+
+  /** q425: Count-Min sketch audit — the frequency sketch (Cormode &
+    * Muthukrishnan 2005) beside the suite's HLL (distinct), KMV
+    * (resemblance) and KLL-style quantile sketches: depth×width counters,
+    * each token counted into one bucket per row via an independent md5
+    * hash, point estimate = min over rows. The sketch NEVER undercounts
+    * (every bucket holds the token's true count plus collisions), so the
+    * audit pins the one-sided invariant `est ≥ exact` as an ok-flag per
+    * token and reports the relative overcount on the exact top-`topK`
+    * tokens — the table that sizes width/depth for a production stream.
+    *
+    * Scale: the sketch build is one grouped pass over (depth × distinct
+    * tokens) rows — the counters table is depth·width rows no matter the
+    * corpus, and the audit side is a broadcast of topK tokens.
+    */
+  def countMin(docs: DataFrame, depth: Int = 4, width: Int = 256,
+               topK: Int = 50): DataFrame = {
+    val tc = docs
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val buckets = tc.select(col("tok"), col("exact"),
+        explode(array((0 until depth).map { dd =>
+          struct(lit(dd).as("d"),
+            md5(concat(lit(s"cm$dd:"), col("tok"))).as("h"))
+        }: _*)).as("db"))
+      .select(col("tok"), col("exact"), col("db.d").as("d"),
+        (expr(hexValSql("db.h", 6)) % width).as("b"))
+    val cm = buckets.groupBy(col("d"), col("b"))
+      .agg(sum(col("exact")).as("cell"))
+    val top = tc.orderBy(col("exact").desc, col("tok")).limit(topK)
+    val est = buckets
+      .join(broadcast(top.select(col("tok"))), "tok")
+      .join(cm, Seq("d", "b"))
+      .groupBy(col("tok")).agg(min(col("cell")).as("est"))
+    val w = Window.orderBy(col("exact").desc, col("tok"))
+    top.join(est, "tok")
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("tok"), col("exact"), col("est"),
+        (col("est") >= col("exact")).as("no_undercount"),
+        (round((col("est") - col("exact")).cast("double")
+          / col("exact").cast("double") * 1000000) / 1000000.0)
+          .as("rel_overcount"))
+  }
+
+  def countMin(spark: SparkSession, sfDir: String): DataFrame =
+    countMin(Tables.documents(spark, sfDir))
 }

@@ -252,6 +252,51 @@ class Round9WideningSpec extends SparkSpec {
     assert(math.abs(r._4 - 0.333333) < 1e-6)
   }
 
+  test("phashPairs: byte-identical assets collide on all 4 bands at distance 0") {
+    val txt = "same exact payload bytes"
+    val docs = Seq((0L, txt, "en", "s0"), (1L, txt, "en", "s0"),
+      (2L, "completely different content here", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.Multimodal.phashPairs(docs)
+      .select("n_shared_bands", "n_candidates", "n_within_radius",
+        "min_hamming")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.toSeq === Seq((4L, 1L, 1L, 0)))
+  }
+
+  test("countMin never undercounts and is exact without collisions") {
+    // 3 distinct tokens into 4x256 counters: collisions are possible only
+    // if two of the three tokens share a bucket in EVERY depth row —
+    // the no_undercount flag must hold regardless
+    val docs = Seq((0L, "aa bb aa cc aa bb", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.Sketches.countMin(docs)
+      .select("tok", "exact", "est", "no_undercount")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_._4))
+    assert(rows.forall(r => r._3 >= r._2))
+  }
+
+  test("priceIndex: a uniform price doubling indexes to exactly 2") {
+    import java.sql.Timestamp
+    def d(y: Int) = Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // part 1: price 10 -> 20, quantity unchanged; part 2: 5 -> 10
+    val li = Seq(
+      (1L, 1L, 1L, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", d(1995)),
+      (2L, 2L, 1L, 1, 4.0, 20.0, 0.0, 0.0, "N", "O", d(1995)),
+      (3L, 1L, 1L, 1, 2.0, 40.0, 0.0, 0.0, "N", "O", d(1996)),
+      (4L, 2L, 1L, 1, 4.0, 40.0, 0.0, 0.0, "N", "O", d(1996))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val rows = graft.ops.Relational.priceIndex(li)
+      .select("y", "laspeyres", "paasche", "fisher")
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.head === ((1995, 1.0, 1.0, 1.0)))
+    assert(rows(1) === ((1996, 2.0, 2.0, 2.0)))
+  }
+
   test("forecastEnsemble: weights sum to 1 and favor the better model") {
     // pure period-7 series: seasonal-naive is in-sample perfect up to the
     // 1e-12 floor, so its weight dominates
