@@ -856,7 +856,13 @@ object SparkEntry {
     "q425_count_min" -> ((s, d) =>
       Sketches.countMin(s, d).orderBy(col("rnk"))),
     "q426_price_index" -> ((s, d) =>
-      Relational.priceIndex(s, d).orderBy(col("y")))
+      Relational.priceIndex(s, d).orderBy(col("y"))),
+    "q427_k_anonymity" -> ((s, d) =>
+      Curation.kAnonymity(s, d).orderBy(col("bucket"))),
+    "q428_keyness" -> ((s, d) =>
+      TextAnalysis.keyness(s, d).orderBy(col("rnk"))),
+    "q429_simpsons_reversal" -> ((s, d) =>
+      Relational.simpsonsReversal(s, d).orderBy(col("nation")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10621,7 +10627,88 @@ object SparkEntry {
         |  round(laspeyres*1000000)/1000000.0 AS laspeyres,
         |  round(paasche*1000000)/1000000.0 AS paasche,
         |  round(sqrt(laspeyres*paasche)*1000000)/1000000.0 AS fisher
-        |FROM ix ORDER BY 1""".stripMargin
+        |FROM ix ORDER BY 1""".stripMargin,
+    "q427_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal/1000.0) AS BIGINT) bal_band,
+        |    CAST(count(*) AS BIGINT) k,
+        |    CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) l_div
+        |  FROM customer GROUP BY 1, 2, 3),
+        |km AS (SELECT min(k) k_min FROM cls),
+        |b AS (SELECT CASE WHEN k = 1 THEN 1 WHEN k <= 4 THEN 2
+        |    WHEN k <= 9 THEN 5 WHEN k <= 24 THEN 10 ELSE 25 END bucket,
+        |    k, l_div FROM cls)
+        |SELECT CAST(bucket AS BIGINT) bucket,
+        |  CAST(count(*) AS BIGINT) n_classes,
+        |  CAST(sum(k) AS BIGINT) n_rows,
+        |  CAST(sum(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_low_diversity,
+        |  km.k_min
+        |FROM b CROSS JOIN km GROUP BY 1, 5 ORDER BY 1""".stripMargin,
+    "q428_keyness" ->
+      """WITH tk AS (SELECT source = 'src0' f, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) tok
+        |  FROM documents),
+        |tc AS (SELECT tok,
+        |    CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) a,
+        |    CAST(sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) b
+        |  FROM tk WHERE length(tok) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) n1,
+        |    CAST(sum(b) AS BIGINT) n2 FROM tc),
+        |sc AS (SELECT tok, a, b,
+        |    CAST(n1 AS DOUBLE)*CAST(a + b AS DOUBLE)
+        |      /CAST(n1 + n2 AS DOUBLE) e1,
+        |    CAST(n2 AS DOUBLE)*CAST(a + b AS DOUBLE)
+        |      /CAST(n1 + n2 AS DOUBLE) e2,
+        |    CAST(a AS DOUBLE)*CAST(n2 AS DOUBLE)
+        |      > CAST(b AS DOUBLE)*CAST(n1 AS DOUBLE) overused
+        |  FROM tc CROSS JOIN tot WHERE a + b >= 5),
+        |g AS (SELECT tok, a, b, overused,
+        |    2.0*((CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+        |        *ln(CAST(a AS DOUBLE)/e1) ELSE 0.0 END)
+        |      + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+        |        *ln(CAST(b AS DOUBLE)/e2) ELSE 0.0 END)) g2
+        |  FROM sc),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY g2 DESC, tok) rnk
+        |  FROM g)
+        |SELECT CAST(rnk AS INT) rnk, tok, a, b,
+        |  round(g2*10000)/10000.0 AS g2, overused
+        |FROM rk WHERE rnk <= 20 ORDER BY 1""".stripMargin,
+    "q429_simpsons_reversal" ->
+      """WITH cells AS (SELECT n_name nation, p_brand,
+        |    CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(28,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(l_discount*l_quantity AS DECIMAL(28,10)))
+        |      AS DOUBLE) sxy,
+        |    CAST(sum(CAST(l_discount*l_discount AS DECIMAL(28,10)))
+        |      AS DOUBLE) sxx
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |ag AS (SELECT nation, CAST(sum(n) AS BIGINT) n_items,
+        |    CAST(count(*) AS BIGINT) n_brands,
+        |    CAST(sum(CAST(sx AS DECIMAL(38,12))) AS DOUBLE) tx,
+        |    CAST(sum(CAST(sy AS DECIMAL(38,12))) AS DOUBLE) ty,
+        |    CAST(sum(CAST(sxy AS DECIMAL(38,10))) AS DOUBLE) txy,
+        |    CAST(sum(CAST(sxx AS DECIMAL(38,10))) AS DOUBLE) txx,
+        |    CAST(sum(CAST(sxy - sx*sy/n AS DECIMAL(38,10))) AS DOUBLE)
+        |      wxy,
+        |    CAST(sum(CAST(sxx - sx*sx/n AS DECIMAL(38,10))) AS DOUBLE)
+        |      wxx
+        |  FROM cells GROUP BY 1),
+        |sl AS (SELECT *,
+        |    CASE WHEN txx - tx*tx/n_items > 0
+        |      THEN (txy - tx*ty/n_items)/(txx - tx*tx/n_items) END
+        |      slope_pooled,
+        |    CASE WHEN wxx > 0 THEN wxy/wxx END slope_within
+        |  FROM ag)
+        |SELECT nation, n_items, n_brands,
+        |  round(slope_pooled*1000000)/1000000.0 AS slope_pooled,
+        |  round(slope_within*1000000)/1000000.0 AS slope_within,
+        |  slope_pooled*slope_within < 0 AS reversed
+        |FROM sl ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

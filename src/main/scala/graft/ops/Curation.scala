@@ -747,4 +747,46 @@ object Curation {
 
   def samplerUniformity(spark: SparkSession, sfDir: String): DataFrame =
     samplerUniformity(Tables.documents(spark, sfDir))
+
+  /** q427: k-anonymity / l-diversity census — the privacy-governance
+    * audit (Sweeney 2002; Machanavajjhala 2007) that q88's PII scrub does
+    * not cover: even with direct identifiers gone, a quasi-identifier
+    * combination (here nation × market segment × balance band) can single
+    * a record out. Equivalence classes of the QID tuple are bucketed by
+    * size (a k=1 class IS a re-identification), and each class's
+    * l-diversity is checked on a sensitive attribute (the debt flag) —
+    * a class where everyone shares the sensitive value leaks it even at
+    * comfortable k. The census — classes, rows, low-diversity classes per
+    * size bucket, plus the corpus-wide minimum k — is the table a release
+    * decision reads.
+    *
+    * One grouped pass to classes, one to the census; the broadcast k_min
+    * scalar rides every row. Nothing scales beyond the class count.
+    */
+  def kAnonymity(customer: DataFrame): DataFrame = {
+    val classes = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        (col("c_acctbal") < 0).as("sensitive"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("sensitive")).as("l_div"))
+    val kmin = classes.agg(min(col("k")).as("k_min"))
+    classes
+      .withColumn("bucket",
+        when(col("k") === 1, lit(1L))
+          .when(col("k") <= 4, lit(2L))
+          .when(col("k") <= 9, lit(5L))
+          .when(col("k") <= 24, lit(10L))
+          .otherwise(lit(25L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_rows"),
+        sum(when(col("l_div") < 2, 1L).otherwise(0L))
+          .as("n_low_diversity"))
+      .crossJoin(broadcast(kmin))
+  }
+
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    kAnonymity(Tables.customer(spark, sfDir))
 }

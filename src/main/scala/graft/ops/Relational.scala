@@ -3152,4 +3152,66 @@ object Relational {
 
   def priceIndex(spark: SparkSession, sfDir: String): DataFrame =
     priceIndex(Tables.lineitem(spark, sfDir))
+
+  /** q429: Simpson's-paradox reversal audit — per nation, the OLS slope of
+    * quantity on discount computed two ways: pooled over all the nation's
+    * line items, and within-brand (summed per-brand covariances over
+    * summed per-brand variances — the stratified estimate). A sign flip
+    * between the two is the aggregation reversal that turns a dashboard
+    * conclusion upside down (the discount "works" overall because premium
+    * brands discount more, not because discounts move quantity). The
+    * audit every metric rollup should run before a pooled slope ships.
+    *
+    * Both slopes come from ONE pass of per-(nation, brand) power sums
+    * (decimal-snapped); the pooled slope re-aggregates the same sums via
+    * the total-covariance decomposition, so no second scan exists.
+    */
+  def simpsonsReversal(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("l_discount").as("x"), col("l_quantity").as("y"))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val prt = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"))
+    val cells = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name").as("nation"), col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,10)"))
+          .cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,10)"))
+          .cast("double").as("sxx"))
+    cells.groupBy(col("nation"))
+      .agg(sum(col("n")).as("n_items"),
+        count(lit(1)).as("n_brands"),
+        // pooled: total sums re-aggregated from the same cells
+        sum(col("sx").cast("decimal(38,12)")).cast("double").as("tx"),
+        sum(col("sy").cast("decimal(38,12)")).cast("double").as("ty"),
+        sum(col("sxy").cast("decimal(38,10)")).cast("double").as("txy"),
+        sum(col("sxx").cast("decimal(38,10)")).cast("double").as("txx"),
+        // within-brand: per-cell centered moments, summed
+        sum((col("sxy") - col("sx") * col("sy") / col("n"))
+          .cast("decimal(38,10)")).cast("double").as("wxy"),
+        sum((col("sxx") - col("sx") * col("sx") / col("n"))
+          .cast("decimal(38,10)")).cast("double").as("wxx"))
+      .withColumn("slope_pooled",
+        when(col("txx") - col("tx") * col("tx") / col("n_items") > 0,
+          (col("txy") - col("tx") * col("ty") / col("n_items"))
+            / (col("txx") - col("tx") * col("tx") / col("n_items"))))
+      .withColumn("slope_within",
+        when(col("wxx") > 0, col("wxy") / col("wxx")))
+      .select(col("nation"), col("n_items"), col("n_brands"),
+        (round(col("slope_pooled") * 1000000) / 1000000.0)
+          .as("slope_pooled"),
+        (round(col("slope_within") * 1000000) / 1000000.0)
+          .as("slope_within"),
+        (col("slope_pooled") * col("slope_within") < 0).as("reversed"))
+  }
 }

@@ -1229,6 +1229,57 @@ object TextAnalysis {
   def ppmiCooc(spark: SparkSession, sfDir: String): DataFrame =
     ppmiCooc(Tables.documents(spark, sfDir))
 
+  /** q428: log-likelihood keyness (Dunning 1993 G²) of one source against
+    * the rest of the corpus — the corpus-linguistics "what words make this
+    * source ITSELF" table, and the right tool where q58's TF-IDF (document
+    * granularity) and q60's PMI (word-pair association) are not: G²
+    * compares a token's rate in a focus corpus vs a reference corpus with
+    * proper expected counts, so it surfaces both over- AND under-used
+    * vocabulary with a principled significance ordering.
+    *
+    * G² = 2·(a·ln(a/E₁) + b·ln(b/E₂)), E₁ = N₁(a+b)/(N₁+N₂) — a fixed
+    * two-term expression per token (0·ln0 terms dropped exactly), exact
+    * integer counts in, one top-k out. One token scan, two broadcast
+    * scalars, distributed TakeOrdered for the final ranking.
+    */
+  def keyness(docs: DataFrame, focus: String = "src0", minCount: Int = 5,
+              topK: Int = 20): DataFrame = {
+    val toks = docs
+      .select((col("source") === focus).as("f"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val tc = toks.groupBy(col("tok"))
+      .agg(sum(when(col("f"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("f"), 1L).otherwise(0L)).as("b"))
+    val tot = tc.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    val scored = tc.where(col("a") + col("b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("e1", col("n1").cast("double")
+        * (col("a") + col("b")).cast("double")
+        / (col("n1") + col("n2")).cast("double"))
+      .withColumn("e2", col("n2").cast("double")
+        * (col("a") + col("b")).cast("double")
+        / (col("n1") + col("n2")).cast("double"))
+      .withColumn("g2", lit(2.0) * (
+        when(col("a") > 0,
+          col("a").cast("double") * log(col("a").cast("double") / col("e1")))
+          .otherwise(lit(0.0))
+        + when(col("b") > 0,
+          col("b").cast("double") * log(col("b").cast("double") / col("e2")))
+          .otherwise(lit(0.0))))
+      .withColumn("overused",
+        col("a").cast("double") * col("n2").cast("double")
+          > col("b").cast("double") * col("n1").cast("double"))
+    val w = Window.orderBy(col("g2").desc, col("tok"))
+    scored.orderBy(col("g2").desc, col("tok")).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("tok"), col("a"), col("b"),
+        (round(col("g2") * 10000) / 10000.0).as("g2"), col("overused"))
+  }
+
+  def keyness(spark: SparkSession, sfDir: String): DataFrame =
+    keyness(Tables.documents(spark, sfDir))
+
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
     naiveBayesSource(Tables.documents(spark, sfDir))
 

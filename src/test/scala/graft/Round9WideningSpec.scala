@@ -297,6 +297,68 @@ class Round9WideningSpec extends SparkSpec {
     assert(rows(1) === ((1996, 2.0, 2.0, 2.0)))
   }
 
+  test("kAnonymity: a singleton class reports k_min = 1 and bucket 1") {
+    val cust = Seq(
+      (1L, "a", 0L, 500.0, "SEG1"),   // band 0, SEG1: class of 3
+      (2L, "b", 0L, 600.0, "SEG1"),
+      (3L, "c", 0L, 700.0, "SEG1"),
+      (4L, "d", 0L, 1500.0, "SEG1")   // band 1: singleton
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val rows = graft.ops.Curation.kAnonymity(cust)
+      .select("bucket", "n_classes", "n_rows", "n_low_diversity", "k_min")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // all four customers share the nonneg debt flag -> every class is
+    // low-diversity
+    assert(rows.toSeq === Seq((1L, 1L, 1L, 1L, 1L), (2L, 1L, 3L, 1L, 1L)))
+  }
+
+  test("keyness: a focus-exclusive token ranks with overused = true") {
+    val docs = ((0L until 10L).map(i =>
+      (i, "zebra zebra common words here", "en", "src0"))
+      ++ (10L until 30L).map(i =>
+        (i, "common words here again and again", "en", "src1")))
+      .toDF("doc_id", "text", "lang", "source")
+    val top = graft.ops.TextAnalysis.keyness(docs)
+      .select("tok", "overused").as[(String, Boolean)].collect()
+    val z = top.find(_._1 == "zebra")
+    assert(z.exists(_._2), s"zebra should be overused in src0: ${top.toSeq}")
+    val ag = top.find(_._1 == "again")
+    assert(ag.exists(!_._2), "again should be underused in src0")
+  }
+
+  test("simpsonsReversal: within-brand slope flips against the pooled one") {
+    import java.sql.Timestamp
+    def d = Timestamp.valueOf("1995-06-01 00:00:00")
+    // two brands: within each, MORE discount -> LESS quantity (slope < 0);
+    // but brand B discounts more AND sells more, so pooled slope > 0
+    val li = (Seq(
+      (1L, 1L, 1L, 1, 10.0, 1.0, 0.00, 0.0, "N", "O", d),
+      (2L, 1L, 1L, 1, 8.0, 1.0, 0.02, 0.0, "N", "O", d),
+      (3L, 1L, 1L, 1, 6.0, 1.0, 0.04, 0.0, "N", "O", d),
+      (4L, 2L, 1L, 1, 30.0, 1.0, 0.06, 0.0, "N", "O", d),
+      (5L, 2L, 1L, 1, 28.0, 1.0, 0.08, 0.0, "N", "O", d),
+      (6L, 2L, 1L, 1, 26.0, 1.0, 0.10, 0.0, "N", "O", d)
+    )).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    // write tiny dims + lineitem to a temp dir and run the sfDir entry
+    val dir = java.nio.file.Files.createTempDirectory("simpson").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "s1", 0L, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey",
+      "s_acctbal").write.parquet(s"$dir/supplier.parquet")
+    Seq((0L, "NATION_X", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "p1", "BRAND_A", "t", 1, 1.0),
+      (2L, "p2", "BRAND_B", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice").write.parquet(s"$dir/part.parquet")
+    val r = graft.ops.Relational.simpsonsReversal(spark, dir)
+      .select("slope_pooled", "slope_within", "reversed")
+      .as[(Double, Double, Boolean)].head()
+    assert(r._1 > 0 && r._2 < 0 && r._3, s"expected reversal, got $r")
+  }
+
   test("forecastEnsemble: weights sum to 1 and favor the better model") {
     // pure period-7 series: seasonal-naive is in-sample perfect up to the
     // 1e-12 floor, so its weight dominates
