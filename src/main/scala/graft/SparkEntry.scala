@@ -862,7 +862,11 @@ object SparkEntry {
     "q428_keyness" -> ((s, d) =>
       TextAnalysis.keyness(s, d).orderBy(col("rnk"))),
     "q429_simpsons_reversal" -> ((s, d) =>
-      Relational.simpsonsReversal(s, d).orderBy(col("nation")))
+      Relational.simpsonsReversal(s, d).orderBy(col("nation"))),
+    "q430_pca_deflation" -> ((s, d) =>
+      Similarity.pcaDeflation(s, d).orderBy(col("dim"))),
+    "q431_scaling_law" -> ((s, d) =>
+      TextAnalysis.scalingLaw(s, d).orderBy(col("frac")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10708,7 +10712,54 @@ object SparkEntry {
         |  round(slope_pooled*1000000)/1000000.0 AS slope_pooled,
         |  round(slope_within*1000000)/1000000.0 AS slope_within,
         |  slope_pooled*slope_within < 0 AS reversed
-        |FROM sl ORDER BY 1""".stripMargin
+        |FROM sl ORDER BY 1""".stripMargin,
+    "q430_pca_deflation" -> pcaDeflationOracle(6),
+    "q431_scaling_law" ->
+      s"""WITH t0 AS (SELECT md5('split:'||CAST(doc_id AS VARCHAR)) h,
+         |    text FROM documents),
+         |t1 AS (SELECT ${graft.ops.Sketches.hexValSql("h", 6)} u24, text
+         |  FROM t0),
+         |tk AS (SELECT u24, unnest(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) tok
+         |  FROM t1),
+         |tf AS (SELECT u24, tok FROM tk WHERE length(tok) > 0),
+         |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) v FROM tf),
+         |fr AS (SELECT CAST(frac AS DOUBLE) frac, cut FROM (VALUES
+         |    (0.1, 1677721), (0.2, 3355443), (0.4, 6710886),
+         |    (0.8, 13421772)) t(frac, cut)),
+         |tr AS (SELECT fr.frac, tok, CAST(count(*) AS BIGINT) ct
+         |  FROM tf JOIN fr ON tf.u24 < fr.cut GROUP BY 1, 2),
+         |ntr AS (SELECT frac, CAST(sum(ct) AS BIGINT) ntr FROM tr
+         |  GROUP BY 1),
+         |ev AS (SELECT tok, CAST(count(*) AS BIGINT) cnt FROM tf
+         |  WHERE u24 >= 13421772 GROUP BY 1),
+         |sc AS (SELECT f.frac, e.tok, e.cnt, coalesce(tr.ct, 0) ct
+         |  FROM ev e CROSS JOIN (SELECT DISTINCT frac FROM fr) f
+         |  LEFT JOIN tr ON tr.frac = f.frac AND tr.tok = e.tok),
+         |pf AS (SELECT sc.frac, max(ntr.ntr) n_train_tokens,
+         |    CAST(sum(CAST(CAST(cnt AS DOUBLE)
+         |        *ln(CAST(ct + 1 AS DOUBLE)
+         |          /CAST(ntr.ntr + vocab.v AS DOUBLE))
+         |      AS DECIMAL(28,12))) AS DOUBLE)*-1.0
+         |      /CAST(sum(cnt) AS DOUBLE) nll
+         |  FROM sc JOIN ntr ON sc.frac = ntr.frac CROSS JOIN vocab
+         |  GROUP BY 1),
+         |pts AS (SELECT frac, n_train_tokens, nll,
+         |    ln(CAST(n_train_tokens AS DOUBLE)) lx, ln(nll) ly FROM pf),
+         |sl AS (SELECT
+         |    (CAST(count(*) AS DOUBLE)
+         |       *CAST(sum(CAST(lx*ly AS DECIMAL(28,12))) AS DOUBLE)
+         |     - CAST(sum(CAST(lx AS DECIMAL(28,12))) AS DOUBLE)
+         |       *CAST(sum(CAST(ly AS DECIMAL(28,12))) AS DOUBLE))
+         |    /(CAST(count(*) AS DOUBLE)
+         |       *CAST(sum(CAST(lx*lx AS DECIMAL(28,12))) AS DOUBLE)
+         |     - CAST(sum(CAST(lx AS DECIMAL(28,12))) AS DOUBLE)
+         |       *CAST(sum(CAST(lx AS DECIMAL(28,12))) AS DOUBLE)) slope
+         |  FROM pts)
+         |SELECT frac, n_train_tokens,
+         |  round(nll*1e6)/1e6 AS eval_nll,
+         |  round(slope*1e6)/1e6 AS loglog_slope
+         |FROM pf CROSS JOIN sl ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -10753,6 +10804,57 @@ object SparkEntry {
     s"""WITH ${pcaRoundsSql(iters)}
        |SELECT CAST(i AS INT) dim, vi AS loading
        |FROM v$iters ORDER BY 1""".stripMargin
+
+  /** q430 oracle: the q200 rounds, the q397 deflation, a second unrolled
+    * power loop on the residual, and the explained-energy split — replaying
+    * [[graft.ops.Similarity.pcaDeflation]].
+    */
+  private def pcaDeflationOracle(iters: Int): String = {
+    val rounds2 = (1 to iters).map { k =>
+      s"""d2$k AS MATERIALIZED (SELECT vec_id,
+         |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) d
+         |  FROM xp JOIN v2${k - 1} ON xp.i = v2${k - 1}.i GROUP BY 1),
+         |w2$k AS MATERIALIZED (SELECT i,
+         |    CAST(sum(CAST(x*d AS DECIMAL(28,12))) AS DOUBLE) w
+         |  FROM xp JOIN d2$k ON xp.vec_id = d2$k.vec_id GROUP BY 1),
+         |m2$k AS (SELECT max(abs(w)) m FROM w2$k),
+         |v2$k AS MATERIALIZED (SELECT i,
+         |    CASE WHEN m > 0 THEN round(w/m*1e12)/1e12
+         |      ELSE 0.0 END vi
+         |  FROM w2$k, m2$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pcaRoundsSql(iters)},
+       |uu AS (SELECT CAST(sum(CAST(vi*vi AS DECIMAL(28,16))) AS DOUBLE) uu
+       |  FROM v$iters),
+       |av AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) a
+       |  FROM xx JOIN v$iters ON xx.i = v$iters.i GROUP BY 1),
+       |xp AS MATERIALIZED (SELECT xx.vec_id, xx.i,
+       |    xx.x - av.a/uu.uu*vv.vi x
+       |  FROM xx JOIN av ON xx.vec_id = av.vec_id
+       |    CROSS JOIN uu JOIN v$iters vv ON xx.i = vv.i),
+       |v20 AS (SELECT i, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END vi FROM mu),
+       |$rounds2,
+       |et AS (SELECT CAST(sum(CAST(round(x*x*1e10)/1e10
+       |    AS DECIMAL(38,10))) AS DOUBLE) t FROM xx),
+       |er AS (SELECT CAST(sum(CAST(round(x*x*1e10)/1e10
+       |    AS DECIMAL(38,10))) AS DOUBLE) r FROM xp),
+       |uu2 AS (SELECT CAST(sum(CAST(vi*vi AS DECIMAL(28,16))) AS DOUBLE)
+       |    uu2 FROM v2$iters),
+       |a2 AS (SELECT vec_id,
+       |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) a
+       |  FROM xp JOIN v2$iters ON xp.i = v2$iters.i GROUP BY 1),
+       |e2 AS (SELECT CAST(sum(CAST(CASE WHEN uu2 > 0 THEN a*a/uu2
+       |    ELSE 0.0 END AS DECIMAL(38,10)))
+       |    AS DOUBLE) e2 FROM a2 CROSS JOIN uu2)
+       |SELECT CAST(a.i AS INT) dim, a.vi AS loading1, b.vi AS loading2,
+       |  round((t - r)/t*1e6)/1e6 AS ev1_share,
+       |  round(e2/t*1e6)/1e6 AS ev2_share
+       |FROM v$iters a JOIN v2$iters b ON a.i = b.i
+       |CROSS JOIN et CROSS JOIN er CROSS JOIN e2
+       |ORDER BY 1""".stripMargin
+  }
 
   /** q397 oracle: the q200 rounds, the scale-invariant projection removal,
     * per-dim energy tables with snapped sums, the PR/top-share arithmetic,

@@ -2078,4 +2078,79 @@ object Similarity {
 
   def jlDistortion(spark: SparkSession, sfDir: String): DataFrame =
     jlDistortion(Tables.embeddings(spark, sfDir))
+
+  /** q430: second principal component by deflation — extend q200's
+    * power-iteration PC1 one step down the spectrum: project PC1 out of
+    * the centered matrix (q397's scale-invariant removal x′ = x −
+    * (⟨x,u⟩/⟨u,u⟩)u), run the identical power loop on the residual, and
+    * report both loading vectors plus the explained-energy split
+    * (PC1 share = energy removed by deflation; PC2 share = ⟨x′,u₂⟩²
+    * energy over the original total). The two-component scree is the
+    * minimal answer to "is this embedding space effectively
+    * one-dimensional?" — the failure mode q397 measures is invisible if
+    * PC2 carries almost nothing.
+    *
+    * Same scale posture as q200: each round is two keyed aggregations
+    * with broadcast loading vectors; deflation is one corpus pass; all
+    * sums decimal-snapped so both engines walk bit-identical rounds.
+    */
+  def pcaDeflation(emb: DataFrame, iters: Int = 6): DataFrame = {
+    val (xc, v1) = pcaState(emb, iters)
+    val uu1 = v1.agg(sum((col("vi") * col("vi")).cast("decimal(28,16)"))
+      .cast("double").as("uu"))
+    val a1 = xc.join(broadcast(v1), "i").groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
+        .cast("double").as("a"))
+    val xp = xc.join(a1, "vec_id").crossJoin(broadcast(uu1))
+      .join(broadcast(v1), "i")
+      .select(col("vec_id"), col("i"),
+        (col("x") - col("a") / col("uu") * col("vi")).as("x"))
+      .localCheckpoint()
+    var v2 = v1.select(col("i"),
+      when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("vi"))
+    for (_ <- 1 to iters) {
+      val dots = xp.join(broadcast(v2), "i").groupBy(col("vec_id"))
+        .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
+          .cast("double").as("d"))
+      val w = xp.join(dots, "vec_id").groupBy(col("i"))
+        .agg(sum((col("x") * col("d")).cast("decimal(28,12)"))
+          .cast("double").as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      // m = 0 iff the residual is exactly orthogonal to the start vector
+      // (axis-aligned degenerate data) — freeze at the zero vector instead
+      // of dividing by zero; loading2/ev2 then report a clean all-zero PC2
+      v2 = w.crossJoin(broadcast(m))
+        .select(col("i"),
+          when(col("m") > 0,
+            round(col("w") / col("m") * lit(1e12)) / lit(1e12))
+            .otherwise(lit(0.0)).as("vi"))
+        .localCheckpoint()
+    }
+    val snapE = (d: DataFrame, name: String) =>
+      d.agg(sum((round(col("x") * col("x") * lit(1e10)) / lit(1e10))
+        .cast("decimal(38,10)")).cast("double").as(name))
+    val et = snapE(xc, "t")
+    val er = snapE(xp, "r")
+    val uu2 = v2.agg(sum((col("vi") * col("vi")).cast("decimal(28,16)"))
+      .cast("double").as("uu2"))
+    val a2 = xp.join(broadcast(v2), "i").groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
+        .cast("double").as("a"))
+    val e2 = a2.crossJoin(broadcast(uu2))
+      .agg(sum(when(col("uu2") > 0, col("a") * col("a") / col("uu2"))
+        .otherwise(lit(0.0)).cast("decimal(38,10)"))
+        .cast("double").as("e2"))
+    v1.toDF("i", "l1").join(v2.toDF("i", "l2"), "i")
+      .crossJoin(broadcast(et)).crossJoin(broadcast(er))
+      .crossJoin(broadcast(e2))
+      .select((col("i") + 1).cast("int").as("dim"),
+        col("l1").as("loading1"), col("l2").as("loading2"),
+        (round((col("t") - col("r")) / col("t") * lit(1e6)) / lit(1e6))
+          .as("ev1_share"),
+        (round(col("e2") / col("t") * lit(1e6)) / lit(1e6))
+          .as("ev2_share"))
+  }
+
+  def pcaDeflation(spark: SparkSession, sfDir: String): DataFrame =
+    pcaDeflation(Tables.embeddings(spark, sfDir))
 }

@@ -1280,6 +1280,80 @@ object TextAnalysis {
   def keyness(spark: SparkSession, sfDir: String): DataFrame =
     keyness(Tables.documents(spark, sfDir))
 
+  /** q431: data-scaling-law fit — train the q408 add-one unigram LM on
+    * NESTED hash-split subsets (10/20/40/80% of documents; nested because
+    * the hash threshold grows, so each subset contains the previous — the
+    * way a real scaling study reuses its shards) and score each on the
+    * SAME fixed eval split (the top-20% hash tail, disjoint from every
+    * train subset). The log-log OLS slope of eval NLL against train token
+    * count is the scaling exponent — the number that says whether the
+    * next 10× of this corpus is worth collecting (Kaplan et al. 2020 ask
+    * exactly this of their LM losses; the unigram version is the cheap
+    * screen that runs before any GPU does).
+    *
+    * One token scan feeds everything: per-(fraction, token) train counts
+    * come from exploding each token row to the fractions whose threshold
+    * admits it (≤4× fan-out on a vocabulary-keyed aggregate, never on raw
+    * text), the eval side reduces once, and the slope is closed-form from
+    * 4 points. NLL terms snap to decimal(28,12) pre-sum.
+    */
+  def scalingLaw(docs: DataFrame,
+                 fracs: Seq[Double] = Seq(0.1, 0.2, 0.4, 0.8)): DataFrame = {
+    val evalCut = math.floor(fracs.max * 16777216.0).toLong
+    val toks = docs.select(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))).as("h"),
+        col("text"))
+      .withColumn("u24", expr(Sketches.hexValSql("h", 6)))
+      .select(col("u24"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .localCheckpoint()
+    val vocab = toks.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val fstructs = array(fracs.map(f => struct(lit(f).as("f"),
+      lit(math.floor(f * 16777216.0).toLong).as("cut"))): _*)
+    val train = toks
+      .withColumn("fs", fstructs)
+      .select(col("tok"), explode(expr("filter(fs, s -> u24 < s.cut)"))
+        .as("s"))
+      .select(col("tok"), col("s.f").as("frac"))
+      .groupBy(col("frac"), col("tok")).agg(count(lit(1)).as("ct"))
+    val ntr = train.groupBy(col("frac")).agg(sum(col("ct")).as("ntr"))
+    val ev = toks.where(col("u24") >= evalCut)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val perFrac = ev
+      .crossJoin(broadcast(ntr.select(col("frac"))))
+      .join(train, Seq("frac", "tok"), "left")
+      .na.fill(0L, Seq("ct"))
+      .join(broadcast(ntr), "frac").crossJoin(broadcast(vocab))
+      .withColumn("term",
+        (col("cnt").cast("double") * log((col("ct") + 1).cast("double")
+          / (col("ntr") + col("v")).cast("double"))).cast("decimal(28,12)"))
+      .groupBy(col("frac"))
+      .agg(max(col("ntr")).as("n_train_tokens"),
+        (sum(col("term")).cast("double") * lit(-1.0)
+          / sum(col("cnt")).cast("double")).as("nll"))
+    val slope = perFrac
+      .withColumn("lx", log(col("n_train_tokens").cast("double")))
+      .withColumn("ly", log(col("nll")))
+      .agg(count(lit(1)).cast("double").as("nn"),
+        sum(col("lx").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("ly").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("lx") * col("ly")).cast("decimal(28,12)"))
+          .cast("double").as("sxy"),
+        sum((col("lx") * col("lx")).cast("decimal(28,12)"))
+          .cast("double").as("sxx"))
+      .select(((col("nn") * col("sxy") - col("sx") * col("sy"))
+        / (col("nn") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+    perFrac.crossJoin(broadcast(slope))
+      .select(col("frac"), col("n_train_tokens"),
+        (round(col("nll") * lit(1e6)) / lit(1e6)).as("eval_nll"),
+        (round(col("slope") * lit(1e6)) / lit(1e6)).as("loglog_slope"))
+  }
+
+  def scalingLaw(spark: SparkSession, sfDir: String): DataFrame =
+    scalingLaw(Tables.documents(spark, sfDir))
+
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
     naiveBayesSource(Tables.documents(spark, sfDir))
 

@@ -359,6 +359,67 @@ class Round9WideningSpec extends SparkSpec {
     assert(r._1 > 0 && r._2 < 0 && r._3, s"expected reversal, got $r")
   }
 
+  test("pcaDeflation: orthogonal two-cluster data splits the energy") {
+    // PC1 = (e0+e2)/√2 at amplitude 4, PC2 = (e0−e2)/√2 at amplitude 1 —
+    // both overlap the e0 power-iteration start, shares ~ 16:1
+    val emb = (0L until 60L).map { i =>
+      val arr = Array.fill(64)(0f)
+      if (i % 2 == 0) { val s = if (i % 4 == 0) 4f else -4f
+        arr(0) = s; arr(2) = s }
+      else { val s = if (i % 4 == 1) 1f else -1f
+        arr(0) = s; arr(2) = -s }
+      (i, arr, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.pcaDeflation(emb)
+      .select("dim", "loading1", "loading2", "ev1_share", "ev2_share")
+      .as[(Int, Double, Double, Double, Double)].collect()
+    val byDim = r.map(x => x._1 -> x).toMap
+    // PC1 loads dims 1 and 3 equally with the SAME sign; PC2 with
+    // opposite signs (max-normalized, so the peaks sit at ±1)
+    // power iteration converges geometrically (λ2/λ1 = 1/16 per round),
+    // so after 6 rounds the off-peak residue is ~1e-7, not exactly 0
+    assert(math.abs(byDim(1)._2) === 1.0
+      && math.abs(byDim(1)._2 - byDim(3)._2) < 1e-5,
+      s"PC1 should load dims 1,3 equally: $r")
+    assert(math.abs(byDim(1)._3) > 0.99999
+      && math.abs(byDim(1)._3 + byDim(3)._3) < 1e-5,
+      s"PC2 should load dims 1,3 with opposite signs")
+    val (ev1, ev2) = (r.head._4, r.head._5)
+    assert(ev1 > 0.9 && ev2 > 0.05 && ev2 < 0.1,
+      s"energy split ev1=$ev1 ev2=$ev2")
+  }
+
+  test("pcaDeflation degenerate: axis-aligned residual yields a zero PC2") {
+    // all energy exactly along e0: after deflation nothing overlaps the
+    // e0 start vector, the guarded loop freezes at the zero vector
+    val emb = (0L until 40L).map { i =>
+      val arr = Array.fill(64)(0f)
+      arr(0) = if (i % 2 == 0) 3f else -3f
+      (i, arr, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.pcaDeflation(emb)
+      .select("loading2", "ev2_share").as[(Double, Double)].collect()
+    assert(r.forall(_._1 === 0.0))
+    assert(r.head._2 === 0.0)
+  }
+
+  test("scalingLaw: nested subsets give non-increasing eval NLL trend") {
+    val docs = (0L until 400L).map(i =>
+      (i, s"tok${i % 50} tok${(i * 7) % 50} tok${(i * 13) % 50} common", "en",
+        "s0")).toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.TextAnalysis.scalingLaw(docs)
+      .select("frac", "n_train_tokens", "eval_nll", "loglog_slope")
+      .as[(Double, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length === 4)
+    // nested: train token counts strictly increase with the fraction
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) < p(1)))
+    // one slope constant across rows
+    assert(rows.map(_._4).distinct.length === 1)
+    // more data should not make the add-one unigram model WORSE by much:
+    // the largest subset must beat the smallest
+    assert(rows.last._3 < rows.head._3)
+  }
+
   test("forecastEnsemble: weights sum to 1 and favor the better model") {
     // pure period-7 series: seasonal-naive is in-sample perfect up to the
     // 1e-12 floor, so its weight dominates
