@@ -866,7 +866,9 @@ object SparkEntry {
     "q430_pca_deflation" -> ((s, d) =>
       Similarity.pcaDeflation(s, d).orderBy(col("dim"))),
     "q431_scaling_law" -> ((s, d) =>
-      TextAnalysis.scalingLaw(s, d).orderBy(col("frac")))
+      TextAnalysis.scalingLaw(s, d).orderBy(col("frac"))),
+    "q432_knn_label_agreement" -> ((s, d) =>
+      Similarity.knnLabelAgreement(s, d).orderBy(col("label")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10759,7 +10761,75 @@ object SparkEntry {
          |SELECT frac, n_train_tokens,
          |  round(nll*1e6)/1e6 AS eval_nll,
          |  round(slope*1e6)/1e6 AS loglog_slope
-         |FROM pf CROSS JOIN sl ORDER BY 1""".stripMargin
+         |FROM pf CROSS JOIN sl ORDER BY 1""".stripMargin,
+    "q432_knn_label_agreement" ->
+      """WITH nn AS (SELECT count(*) n FROM embeddings),
+        |geo AS (SELECT coalesce(min(b), 24) bits
+        |  FROM (SELECT unnest(generate_series(8, 24)) b) bb, nn
+        |  WHERE (CAST(8 AS BIGINT) << b) >= n),
+        |pl AS (SELECT p.j, q.d,
+        |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
+        |  FROM (SELECT unnest(generate_series(0, 95)) j) p,
+        |       (SELECT unnest(generate_series(0, 63)) d) q, geo
+        |  WHERE p.j < 4*geo.bits),
+        |w AS (SELECT j, d,
+        |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |       (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |       (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |       (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |       (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)/16777216.0 - 0.5 w
+        |  FROM pl),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+        |xx AS (SELECT vec_id, i - 1 d, CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
+        |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
+        |sigs AS (SELECT vec_id, CAST(floor(j/bits) AS INT) band,
+        |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % bits))
+        |                         ELSE 0 END) AS BIGINT) sig
+        |         FROM dots, geo GROUP BY 1,2),
+        |sigc AS (SELECT vec_id, band, sig,
+        |           count(*) OVER (PARTITION BY band, sig) bc FROM sigs),
+        |capped AS (SELECT vec_id, band, sig FROM sigc WHERE bc <= 1024),
+        |cand AS (SELECT a.vec_id vec_a, b.vec_id vec_b
+        |         FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+        |           AND a.vec_id < b.vec_id
+        |         GROUP BY 1,2 HAVING count(*) >= 1),
+        |n AS (SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |      FROM xx GROUP BY 1),
+        |dp AS (SELECT c.vec_a, c.vec_b,
+        |         CAST(sum(CAST(xa.v*xb.v AS DECIMAL(18,16))) AS DOUBLE) dot
+        |       FROM cand c JOIN xx xa ON xa.vec_id = c.vec_a
+        |       JOIN xx xb ON xb.vec_id = c.vec_b AND xa.d = xb.d
+        |       GROUP BY 1,2),
+        |prs AS (SELECT vec_a, vec_b, round(dot/(na.nrm*nb.nrm), 6) cosine
+        |  FROM dp JOIN n na ON vec_a = na.vec_id
+        |    JOIN n nb ON vec_b = nb.vec_id
+        |  WHERE dot/(na.nrm*nb.nrm) >= 0.4),
+        |sym AS (SELECT vec_a v, vec_b o, cosine FROM prs
+        |  UNION ALL SELECT vec_b, vec_a, cosine FROM prs),
+        |top AS (SELECT v, o FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY v ORDER BY cosine DESC, o) rn
+        |  FROM sym) WHERE rn <= 5),
+        |votes AS (SELECT t.v, e2.label nl, CAST(count(*) AS BIGINT) c
+        |  FROM top t JOIN embeddings e2 ON t.o = e2.vec_id GROUP BY 1, 2),
+        |pred AS (SELECT v, nl pred FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, nl) r
+        |  FROM votes) WHERE r = 1)
+        |SELECT e3.label, CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_scored,
+        |  CAST(sum(CASE WHEN p.pred = e3.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_correct,
+        |  round(CASE WHEN sum(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0
+        |      END) > 0
+        |    THEN CAST(sum(CASE WHEN p.pred = e3.label THEN 1 ELSE 0 END)
+        |        AS DOUBLE)
+        |      /CAST(sum(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) END*1000000)/1000000.0 AS acc
+        |FROM embeddings e3 LEFT JOIN pred p ON e3.vec_id = p.v
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

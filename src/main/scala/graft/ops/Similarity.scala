@@ -2153,4 +2153,52 @@ object Similarity {
 
   def pcaDeflation(spark: SparkSession, sfDir: String): DataFrame =
     pcaDeflation(Tables.embeddings(spark, sfDir))
+
+  /** q432: LSH-kNN label agreement — the geometric label-noise screen:
+    * classify every vector by majority vote of its top-k cosine neighbors
+    * AMONG THE LSH CANDIDATES (q74's auto-geometry pairs — the sublinear
+    * path, so this runs at corpus scale where the brute-force kNN of
+    * q43/q303 cannot), and report per label how often geometry agrees
+    * with the stored label. Low agreement for one label = that class is
+    * geometrically incoherent (mislabeled, or the embedding doesn't
+    * separate it) — the complement of q402's probabilistic confident-
+    * learning census, answered from the index side.
+    *
+    * Vectors whose LSH buckets surface no ≥0.4-cosine neighbor stay
+    * unscored (reported in n vs n_scored) — exactly the behavior of a
+    * production candidate-limited classifier. Ties break on (count desc,
+    * label asc); neighbor ranking ties on the 6-dp cosine break on
+    * neighbor id, both engines identically.
+    */
+  def knnLabelAgreement(emb: DataFrame, k: Int = 5): DataFrame = {
+    val pairs = srpLshAuto(emb)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    val sym = pairs
+      .union(pairs.select(col("vec_b").as("vec_a"),
+        col("vec_a").as("vec_b"), col("cosine")))
+      .toDF("v", "o", "cosine")
+    val wN = Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("o"))
+    val top = sym.withColumn("rn", row_number().over(wN))
+      .where(col("rn") <= k).select(col("v"), col("o"))
+    val votes = top
+      .join(emb.select(col("vec_id").as("o"), col("label").as("nl")), "o")
+      .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
+    val wV = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nl"))
+    val pred = votes.withColumn("r", row_number().over(wV))
+      .where(col("r") === 1).select(col("v"), col("nl").as("pred"))
+    emb.select(col("vec_id").as("v"), col("label"))
+      .join(pred, Seq("v"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_scored"), col("n_correct"),
+        (round(when(col("n_scored") > 0,
+          col("n_correct").cast("double") / col("n_scored").cast("double"))
+          * 1000000) / 1000000.0).as("acc"))
+  }
+
+  def knnLabelAgreement(spark: SparkSession, sfDir: String): DataFrame =
+    knnLabelAgreement(Tables.embeddings(spark, sfDir))
 }
