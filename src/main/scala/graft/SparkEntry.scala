@@ -868,7 +868,11 @@ object SparkEntry {
     "q431_scaling_law" -> ((s, d) =>
       TextAnalysis.scalingLaw(s, d).orderBy(col("frac"))),
     "q432_knn_label_agreement" -> ((s, d) =>
-      Similarity.knnLabelAgreement(s, d).orderBy(col("label")))
+      Similarity.knnLabelAgreement(s, d).orderBy(col("label"))),
+    "q433_pca_outliers" -> ((s, d) =>
+      Similarity.pcaOutliers(s, d).orderBy(col("rnk"))),
+    "q434_bm25_sweep" -> ((s, d) =>
+      Retrieval.bm25Sweep(s, d).orderBy(col("k1"), col("b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10829,7 +10833,50 @@ object SparkEntry {
         |      /CAST(sum(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0 END)
         |        AS DOUBLE) END*1000000)/1000000.0 AS acc
         |FROM embeddings e3 LEFT JOIN pred p ON e3.vec_id = p.v
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q433_pca_outliers" -> pcaOutliersOracle(6),
+    "q434_bm25_sweep" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf FROM tx GROUP BY 1,2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |probes AS (SELECT doc_id probe_id, tok FROM tf WHERE doc_id < 5),
+        |cfg AS (SELECT CAST(k1 AS DOUBLE) k1, CAST(b AS DOUBLE) b
+        |  FROM (VALUES (1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0))
+        |    t(k1, b)),
+        |scored AS (SELECT cfg.k1, cfg.b, p.probe_id, t.doc_id,
+        |    sum(CAST(
+        |      ln((n_docs - CAST(df AS DOUBLE) + 0.5)
+        |          /(CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE)*(cfg.k1 + 1.0))
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + cfg.k1*(1.0 - cfg.b + cfg.b*CAST(dl AS DOUBLE)/avgdl))
+        |      AS DECIMAL(18,10))) s
+        |  FROM tf t JOIN probes p USING (tok)
+        |  JOIN dfreq USING (tok) JOIN dl ON t.doc_id = dl.doc_id
+        |  CROSS JOIN stats CROSS JOIN cfg
+        |  WHERE t.doc_id <> p.probe_id
+        |  GROUP BY 1, 2, 3, 4),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY k1, b,
+        |    probe_id ORDER BY s DESC, doc_id) rnk FROM scored),
+        |top AS (SELECT * FROM ranked WHERE rnk <= 5),
+        |base AS (SELECT probe_id, doc_id, rnk brnk FROM top
+        |  WHERE k1 = 1.2 AND b = 0.75)
+        |SELECT t.k1, t.b, CAST(count(*) AS BIGINT) n_results,
+        |  CAST(sum(CASE WHEN b2.brnk IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_overlap,
+        |  CAST(sum(CASE WHEN b2.brnk = t.rnk THEN 1 ELSE 0 END)
+        |    AS BIGINT) n_exact_rank,
+        |  round(CAST(sum(CASE WHEN b2.brnk IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    /CAST(count(*) AS DOUBLE)*1000000)/1000000.0 AS overlap_rate
+        |FROM top t LEFT JOIN base b2 ON t.probe_id = b2.probe_id
+        |  AND t.doc_id = b2.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -10875,11 +10922,10 @@ object SparkEntry {
        |SELECT CAST(i AS INT) dim, vi AS loading
        |FROM v$iters ORDER BY 1""".stripMargin
 
-  /** q430 oracle: the q200 rounds, the q397 deflation, a second unrolled
-    * power loop on the residual, and the explained-energy split — replaying
-    * [[graft.ops.Similarity.pcaDeflation]].
+  /** The q430/q433 shared WITH-body: the q200 rounds, the q397 deflation,
+    * and a second unrolled power loop on the residual.
     */
-  private def pcaDeflationOracle(iters: Int): String = {
+  private def pcaTwoSql(iters: Int): String = {
     val rounds2 = (1 to iters).map { k =>
       s"""d2$k AS MATERIALIZED (SELECT vec_id,
          |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) d
@@ -10893,7 +10939,7 @@ object SparkEntry {
          |      ELSE 0.0 END vi
          |  FROM w2$k, m2$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${pcaRoundsSql(iters)},
+    s"""${pcaRoundsSql(iters)},
        |uu AS (SELECT CAST(sum(CAST(vi*vi AS DECIMAL(28,16))) AS DOUBLE) uu
        |  FROM v$iters),
        |av AS MATERIALIZED (SELECT vec_id,
@@ -10905,7 +10951,14 @@ object SparkEntry {
        |    CROSS JOIN uu JOIN v$iters vv ON xx.i = vv.i),
        |v20 AS (SELECT i, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
        |    ELSE CAST(0.0 AS DOUBLE) END vi FROM mu),
-       |$rounds2,
+       |$rounds2""".stripMargin
+  }
+
+  /** q430 oracle: the shared two-PC rounds plus the explained-energy
+    * split — replaying [[graft.ops.Similarity.pcaDeflation]].
+    */
+  private def pcaDeflationOracle(iters: Int): String = {
+    s"""WITH ${pcaTwoSql(iters)},
        |et AS (SELECT CAST(sum(CAST(round(x*x*1e10)/1e10
        |    AS DECIMAL(38,10))) AS DOUBLE) t FROM xx),
        |er AS (SELECT CAST(sum(CAST(round(x*x*1e10)/1e10
@@ -10925,6 +10978,31 @@ object SparkEntry {
        |CROSS JOIN et CROSS JOIN er CROSS JOIN e2
        |ORDER BY 1""".stripMargin
   }
+
+  /** q433 oracle: the shared two-PC rounds plus standardized projection
+    * scores — replaying [[graft.ops.Similarity.pcaOutliers]].
+    */
+  private def pcaOutliersOracle(iters: Int, topK: Int = 10): String =
+    s"""WITH ${pcaTwoSql(iters)},
+       |a2 AS (SELECT vec_id,
+       |    CAST(sum(CAST(x*vi AS DECIMAL(28,16))) AS DOUBLE) a2
+       |  FROM xp JOIN v2$iters ON xp.i = v2$iters.i GROUP BY 1),
+       |s1 AS (SELECT CAST(sum(CAST(a*a AS DECIMAL(38,10))) AS DOUBLE)
+       |    /count(*) s1sq FROM av),
+       |s2 AS (SELECT CAST(sum(CAST(a2*a2 AS DECIMAL(38,10))) AS DOUBLE)
+       |    /count(*) s2sq FROM a2),
+       |sc AS (SELECT av.vec_id,
+       |    (CASE WHEN s1sq > 0 THEN a*a/s1sq ELSE 0.0 END)
+       |    + (CASE WHEN s2sq > 0 THEN a2.a2*a2.a2/s2sq ELSE 0.0 END)
+       |      score
+       |  FROM av JOIN a2 ON av.vec_id = a2.vec_id
+       |  CROSS JOIN s1 CROSS JOIN s2),
+       |rk AS (SELECT sc.vec_id, e.label, score,
+       |    row_number() OVER (ORDER BY score DESC, sc.vec_id) rnk
+       |  FROM sc JOIN embeddings e ON sc.vec_id = e.vec_id)
+       |SELECT CAST(rnk AS INT) rnk, vec_id, label,
+       |  round(score*10000)/10000.0 AS score
+       |FROM rk WHERE rnk <= $topK ORDER BY 1""".stripMargin
 
   /** q397 oracle: the q200 rounds, the scale-invariant projection removal,
     * per-dim energy tables with snapped sums, the PR/top-share arithmetic,

@@ -303,4 +303,75 @@ object Retrieval {
 
   def rm3Expansion(spark: SparkSession, sfDir: String): DataFrame =
     rm3Expansion(Tables.documents(spark, sfDir))
+
+  /** q434: BM25 parameter sweep from ONE candidate build — the q300
+    * sweep-from-one-pair-build discipline applied to retrieval tuning:
+    * the postings⋈probes⋈stats candidate set is materialized once and
+    * four (k1, b) configurations fan out over it as an exploded broadcast
+    * grid, so tuning costs one extra aggregate per config instead of one
+    * corpus scan per config. Each config's top-k is compared against the
+    * default (1.2, 0.75) ranking: overlap@k and exact-rank matches — the
+    * table that says whether this corpus's ranking is even SENSITIVE to
+    * the knobs before anyone sweeps finer.
+    */
+  def bm25Sweep(docs: DataFrame, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val configs = Seq((1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val probes = tf.where(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("tok"))
+    val cand = tf
+      .join(probes, "tok")
+      .where(col("doc_id") =!= col("probe_id"))
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .localCheckpoint()
+    val cfgArr = array(configs.map { case (k1, b) =>
+      struct(lit(k1).as("k1"), lit(b).as("b"))
+    }: _*)
+    val ranked = cand
+      .withColumn("cfg", explode(cfgArr))
+      .select(col("probe_id"), col("doc_id"),
+        col("cfg.k1").as("k1"), col("cfg.b").as("b"),
+        (log((col("n_docs") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * (col("tf").cast("double") * (col("cfg.k1") + lit(1.0)))
+          / (col("tf").cast("double")
+             + col("cfg.k1") * (lit(1.0) - col("cfg.b")
+               + col("cfg.b") * col("dl").cast("double") / col("avgdl"))))
+          .cast("decimal(18,10)").as("term"))
+      .groupBy(col("k1"), col("b"), col("probe_id"), col("doc_id"))
+      .agg(sum(col("term")).as("s"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("k1"), col("b"), col("probe_id"))
+          .orderBy(col("s").desc, col("doc_id"))))
+      .where(col("rnk") <= k)
+    val base = ranked
+      .where(col("k1") === 1.2 && col("b") === 0.75)
+      .select(col("probe_id"), col("doc_id"), col("rnk").as("brnk"))
+    ranked
+      .join(base, Seq("probe_id", "doc_id"), "left")
+      .groupBy(col("k1"), col("b"))
+      .agg(count(lit(1)).as("n_results"),
+        sum(when(col("brnk").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("brnk") === col("rnk"), 1L).otherwise(0L))
+          .as("n_exact_rank"))
+      .select(col("k1"), col("b"), col("n_results"), col("n_overlap"),
+        col("n_exact_rank"),
+        (round(col("n_overlap").cast("double")
+          / col("n_results").cast("double") * 1000000) / 1000000.0)
+          .as("overlap_rate"))
+  }
+
+  def bm25Sweep(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Sweep(Tables.documents(spark, sfDir))
 }

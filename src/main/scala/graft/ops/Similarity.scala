@@ -2094,7 +2094,12 @@ object Similarity {
     * with broadcast loading vectors; deflation is one corpus pass; all
     * sums decimal-snapped so both engines walk bit-identical rounds.
     */
-  def pcaDeflation(emb: DataFrame, iters: Int = 6): DataFrame = {
+  /** The two-component power-iteration state behind [[pcaDeflation]] /
+    * [[pcaOutliers]]: centered dims, PC1 loading, PC1 projections per
+    * vector, deflated dims, PC2 loading.
+    */
+  private def pcaTwoState(emb: DataFrame, iters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (xc, v1) = pcaState(emb, iters)
     val uu1 = v1.agg(sum((col("vi") * col("vi")).cast("decimal(28,16)"))
       .cast("double").as("uu"))
@@ -2126,6 +2131,11 @@ object Similarity {
             .otherwise(lit(0.0)).as("vi"))
         .localCheckpoint()
     }
+    (xc, v1, a1, xp, v2)
+  }
+
+  def pcaDeflation(emb: DataFrame, iters: Int = 6): DataFrame = {
+    val (xc, v1, _, xp, v2) = pcaTwoState(emb, iters)
     val snapE = (d: DataFrame, name: String) =>
       d.agg(sum((round(col("x") * col("x") * lit(1e10)) / lit(1e10))
         .cast("decimal(38,10)")).cast("double").as(name))
@@ -2201,4 +2211,44 @@ object Similarity {
 
   def knnLabelAgreement(spark: SparkSession, sfDir: String): DataFrame =
     knnLabelAgreement(Tables.embeddings(spark, sfDir))
+
+  /** q433: two-component PCA outlier scores — the Mahalanobis-style
+    * multivariate screen over the q430 subspace: every vector's (PC1,
+    * PC2) projections standardized by their component variances and
+    * summed, score = a₁²/s₁² + a₂²/s₂² (the χ²(2) statistic under
+    * Gaussianity), top outliers reported. This catches what q122's
+    * per-norm screen can't: a vector whose norm is ordinary but which
+    * sits far off the data's principal plane in a SPECIFIC direction.
+    *
+    * One corpus pass per projection (both already computed by the
+    * deflation state), variances from exact-snapped sums, distributed
+    * TakeOrdered for the final top-k — no per-pair work anywhere.
+    */
+  def pcaOutliers(emb: DataFrame, iters: Int = 6, topK: Int = 10)
+      : DataFrame = {
+    val (_, _, a1, xp, v2) = pcaTwoState(emb, iters)
+    val a2 = xp.join(broadcast(v2), "i").groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
+        .cast("double").as("a2"))
+    val s1 = a1.agg((sum((col("a") * col("a")).cast("decimal(38,10)"))
+      .cast("double") / count(lit(1))).as("s1sq"))
+    val s2 = a2.agg((sum((col("a2") * col("a2")).cast("decimal(38,10)"))
+      .cast("double") / count(lit(1))).as("s2sq"))
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    a1.join(a2, "vec_id")
+      .crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .withColumn("score",
+        when(col("s1sq") > 0, col("a") * col("a") / col("s1sq"))
+          .otherwise(lit(0.0))
+        + when(col("s2sq") > 0, col("a2") * col("a2") / col("s2sq"))
+          .otherwise(lit(0.0)))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .orderBy(col("score").desc, col("vec_id")).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("vec_id"), col("label"),
+        (round(col("score") * 10000) / 10000.0).as("score"))
+  }
+
+  def pcaOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    pcaOutliers(Tables.embeddings(spark, sfDir))
 }
