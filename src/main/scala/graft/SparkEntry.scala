@@ -872,7 +872,12 @@ object SparkEntry {
     "q433_pca_outliers" -> ((s, d) =>
       Similarity.pcaOutliers(s, d).orderBy(col("rnk"))),
     "q434_bm25_sweep" -> ((s, d) =>
-      Retrieval.bm25Sweep(s, d).orderBy(col("k1"), col("b")))
+      Retrieval.bm25Sweep(s, d).orderBy(col("k1"), col("b"))),
+    "q435_pearson_residuals" -> ((s, d) =>
+      StatTests.pearsonResiduals(s, d)
+        .orderBy(col("nation"), col("priority"))),
+    "q436_dedup_overlap" -> ((s, d) =>
+      Dedup.dedupDetectorOverlap(s, d).orderBy(col("detector")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10876,7 +10881,116 @@ object SparkEntry {
         |    /CAST(count(*) AS DOUBLE)*1000000)/1000000.0 AS overlap_rate
         |FROM top t LEFT JOIN base b2 ON t.probe_id = b2.probe_id
         |  AND t.doc_id = b2.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q435_pearson_residuals" ->
+      """WITH cells AS (SELECT n_name nation, o_orderpriority priority,
+        |    CAST(count(*) AS BIGINT) o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT nation, CAST(sum(o) AS BIGINT) rt FROM cells
+        |  GROUP BY 1),
+        |c AS (SELECT priority, CAST(sum(o) AS BIGINT) ct FROM cells
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) n FROM cells),
+        |x AS (SELECT cells.nation, cells.priority, o,
+        |    CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE) e,
+        |    rt, ct, n
+        |  FROM cells JOIN r ON cells.nation = r.nation
+        |  JOIN c ON cells.priority = c.priority CROSS JOIN t),
+        |y AS (SELECT nation, priority, o, e,
+        |    (CAST(o AS DOUBLE) - e)
+        |      /sqrt(e*(1.0 - CAST(rt AS DOUBLE)/CAST(n AS DOUBLE))
+        |        *(1.0 - CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))) resid
+        |  FROM x)
+        |SELECT nation, priority, o, round(e*10000)/10000.0 AS e,
+        |  round(resid*10000)/10000.0 AS std_resid,
+        |  abs(resid) > 2.0 AS significant
+        |FROM y ORDER BY 1, 2""".stripMargin,
+    "q436_dedup_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        |  FROM documents),
+        |dw AS (SELECT doc_id, string_split(t, ' ') w FROM d),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |  FROM dw WHERE len(w) >= 3),
+        |shi AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh
+        |  FROM ix),
+        |salted AS (SELECT doc_id, s.g salt,
+        |    md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |  FROM shi, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mhx AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |mbands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |    md5(string_agg(m, '|' ORDER BY salt)) sig
+        |  FROM mhx GROUP BY 1, 2),
+        |mbsz AS (SELECT doc_id, band, sig FROM (SELECT doc_id, band, sig,
+        |    count(*) OVER (PARTITION BY band, sig) bc FROM mbands)
+        |  WHERE bc <= 64),
+        |mhp AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM mbsz a JOIN mbsz b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id),
+        |tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) w FROM d),
+        |tok AS (SELECT doc_id, md5(w) hv FROM tok0),
+        |bx AS (SELECT doc_id, hv, unnest(generate_series(0, 59)) j
+        |  FROM tok),
+        |v AS (SELECT doc_id, j,
+        |    CAST(floor((instr('0123456789abcdef',
+        |      substr(hv, CAST(j//4 AS INT) + 1, 1)) - 1)
+        |      / power(2, j % 4)) AS BIGINT) % 2 AS bit
+        |  FROM bx),
+        |s AS (SELECT doc_id, j, sum(bit*2 - 1) sv FROM v GROUP BY 1,2),
+        |sig2 AS (SELECT doc_id, CAST(sum(CASE WHEN sv > 0
+        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash
+        |  FROM s GROUP BY 1),
+        |sbands AS (SELECT doc_id, simhash, bs.b,
+        |    (simhash >> (bs.b*15)) & 32767 bv
+        |  FROM sig2, (SELECT unnest(generate_series(0, 3)) b) bs),
+        |scand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+        |    a.simhash sa, b.simhash sb
+        |  FROM sbands a JOIN sbands b ON a.b = b.b AND a.bv = b.bv
+        |    AND a.doc_id < b.doc_id),
+        |shp AS (SELECT doc_a, doc_b FROM scand
+        |  WHERE bit_count(xor(sa, sb)) <= 3),
+        |ap AS (SELECT doc_a, doc_b FROM mhp
+        |  UNION SELECT doc_a, doc_b FROM shp),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM shi
+        |  GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT)
+        |    n_shared
+        |  FROM ap p JOIN shi sa ON sa.doc_id = p.doc_a
+        |    JOIN shi sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT ap.doc_a, ap.doc_b,
+        |    coalesce(i.n_shared, 0) n_shared,
+        |    coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(i.n_shared, 0)
+        |      den
+        |  FROM ap LEFT JOIN inter i ON ap.doc_a = i.doc_a
+        |    AND ap.doc_b = i.doc_b
+        |  LEFT JOIN sizes na ON ap.doc_a = na.doc_id
+        |  LEFT JOIN sizes nb ON ap.doc_b = nb.doc_id),
+        |jj AS (SELECT doc_a, doc_b, CASE WHEN den > 0
+        |    THEN CAST(n_shared AS DOUBLE)/CAST(den AS DOUBLE) END j
+        |  FROM jac),
+        |tagged AS (SELECT jj.doc_a, jj.doc_b, jj.j,
+        |    CASE WHEN m.doc_a IS NOT NULL AND s2.doc_a IS NOT NULL
+        |        THEN 'both'
+        |      WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+        |      ELSE 'simhash_only' END detector
+        |  FROM jj LEFT JOIN mhp m ON jj.doc_a = m.doc_a
+        |    AND jj.doc_b = m.doc_b
+        |  LEFT JOIN shp s2 ON jj.doc_a = s2.doc_a
+        |    AND jj.doc_b = s2.doc_b)
+        |SELECT detector, CAST(count(*) AS BIGINT) n_pairs,
+        |  CAST(sum(CASE WHEN j IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_undefined,
+        |  round(CASE WHEN sum(CASE WHEN j IS NOT NULL THEN 1 ELSE 0 END)
+        |      > 0
+        |    THEN CAST(sum(CAST(coalesce(j, 0.0) AS DECIMAL(28,12)))
+        |        AS DOUBLE)
+        |      /CAST(sum(CASE WHEN j IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) END*1000000)/1000000.0 AS mean_jaccard,
+        |  round(min(j)*10000)/10000.0 AS min_jaccard
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

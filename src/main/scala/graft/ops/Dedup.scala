@@ -623,6 +623,65 @@ object Dedup {
   def bbitMinhash(spark: SparkSession, sfDir: String): DataFrame =
     bbitMinhash(Tables.documents(spark, sfDir))
 
+  /** q436: dedup-detector overlap census — q22's MinHash-LSH (shingle-set
+    * resemblance) and q23/q39's SimHash (weighted-token cosine) hunt the
+    * same near-duplicates through different geometry, and a production
+    * pipeline running both needs to know whether they corroborate or
+    * complement: pairs found by both, by each alone, with each bucket's
+    * exact-Jaccard profile. A fat minhash_only bucket at high Jaccard
+    * means SimHash's hamming radius is tuned too tight; a fat simhash_only
+    * bucket means near-dups that share vocabulary but few exact shingles
+    * (the paraphrase regime). The q283 detector-agreement question, asked
+    * of the dedup family.
+    *
+    * Both candidate generators are the capped production paths; exact
+    * Jaccard is verified only on the UNION of their findings (never
+    * all-pairs); undefined-Jaccard corners (shingle-less short docs that
+    * SimHash can still pair) are counted, not divided by zero.
+    */
+  def dedupDetectorOverlap(docs: DataFrame): DataFrame = {
+    val mh = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+    val sh = simhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    val allPairs = mh.union(sh).distinct()
+    val shg = shingles(docs)
+    val sizes = shg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = allPairs
+      .join(shg.toDF("doc_a", "sh"), "doc_a")
+      .join(shg.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = allPairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"), "left")
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"), "left")
+      .withColumn("den", coalesce(col("na"), lit(0L))
+        + coalesce(col("nb"), lit(0L)) - col("n_shared"))
+      .withColumn("j", when(col("den") > 0,
+        col("n_shared").cast("double") / col("den").cast("double")))
+    jac
+      .join(mh.withColumn("in_mh", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .join(sh.withColumn("in_sh", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("detector",
+        when(col("in_mh").isNotNull && col("in_sh").isNotNull, "both")
+          .when(col("in_mh").isNotNull, "minhash_only")
+          .otherwise("simhash_only"))
+      .groupBy(col("detector"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("j").isNull, 1L).otherwise(0L)).as("n_undefined"),
+        sum(when(col("j").isNotNull, 1L).otherwise(0L)).as("n_def"),
+        sum(coalesce(col("j"), lit(0.0)).cast("decimal(28,12)"))
+          .cast("double").as("sj"),
+        min(col("j")).as("mnj"))
+      .select(col("detector"), col("n_pairs"), col("n_undefined"),
+        (round(when(col("n_def") > 0, col("sj") / col("n_def").cast("double"))
+          * 1000000) / 1000000.0).as("mean_jaccard"),
+        (round(col("mnj") * 10000) / 10000.0).as("min_jaccard"))
+  }
+
+  def dedupDetectorOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    dedupDetectorOverlap(Tables.documents(spark, sfDir))
+
   /** q61: cross-source contamination census — for every pair of sources,
     * how many distinct content fingerprints they SHARE. This is the
     * train/test-leakage check a training-data pipeline runs before

@@ -1369,4 +1369,48 @@ object StatTests {
 
   def cochranQ(spark: SparkSession, sfDir: String): DataFrame =
     cochranQ(Tables.events(spark, sfDir))
+
+  /** q435: adjusted standardized Pearson residuals of the customer-nation ×
+    * order-priority contingency table — q207's chi-square says WHETHER the
+    * two factors are associated; the per-cell residual (O−E)/√(E(1−r/N)
+    * (1−c/N)) (Agresti's adjusted form, asymptotically N(0,1)) says
+    * WHERE: which nation over-files which priority. The drill-down every
+    * significant chi-square demands, and the mosaic-plot data without the
+    * plot.
+    *
+    * One grouped pass to cells, margins re-aggregated from the cells
+    * (never a second scan), all counts exact integers into one IEEE
+    * expression per cell.
+    */
+  def pearsonResiduals(orders: DataFrame, customer: DataFrame,
+                       nation: DataFrame): DataFrame = {
+    val cells = orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("nation")).agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy(col("priority")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells.join(rows, "nation").join(broadcast(cols), "priority")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+        / col("n").cast("double"))
+      .withColumn("resid",
+        (col("o").cast("double") - col("e"))
+          / sqrt(col("e")
+            * (lit(1.0) - col("rt").cast("double") / col("n").cast("double"))
+            * (lit(1.0) - col("ct").cast("double") / col("n").cast("double"))))
+      .select(col("nation"), col("priority"), col("o"),
+        (round(col("e") * 10000) / 10000.0).as("e"),
+        (round(col("resid") * 10000) / 10000.0).as("std_resid"),
+        (abs(col("resid")) > 2.0).as("significant"))
+  }
+
+  def pearsonResiduals(spark: SparkSession, sfDir: String): DataFrame =
+    pearsonResiduals(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir))
 }
