@@ -877,7 +877,11 @@ object SparkEntry {
       StatTests.pearsonResiduals(s, d)
         .orderBy(col("nation"), col("priority"))),
     "q436_dedup_overlap" -> ((s, d) =>
-      Dedup.dedupDetectorOverlap(s, d).orderBy(col("detector")))
+      Dedup.dedupDetectorOverlap(s, d).orderBy(col("detector"))),
+    "q437_langid_prf" -> ((s, d) =>
+      TextAnalysis.langIdPrf(s, d).orderBy(col("cls"))),
+    "q438_minhash_k_sweep" -> ((s, d) =>
+      Dedup.minhashKSweep(s, d).orderBy(col("k")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10990,7 +10994,92 @@ object SparkEntry {
         |      /CAST(sum(CASE WHEN j IS NOT NULL THEN 1 ELSE 0 END)
         |        AS DOUBLE) END*1000000)/1000000.0 AS mean_jaccard,
         |  round(min(j)*10000)/10000.0 AS min_jaccard
-        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q437_langid_prf" ->
+      """WITH sc AS (SELECT lang,
+        |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |      'g'), ' ')) n_tok,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) n_stop
+        |  FROM documents),
+        |p AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END gold,
+        |    CASE WHEN n_stop*1000 >= n_tok*80 THEN 'en' ELSE 'other' END
+        |      pred
+        |  FROM sc),
+        |conf AS (SELECT gold, pred, CAST(count(*) AS BIGINT) n FROM p
+        |  GROUP BY 1, 2),
+        |x AS (SELECT c.cls,
+        |    CAST(sum(CASE WHEN gold = c.cls AND pred = c.cls THEN n
+        |      ELSE 0 END) AS BIGINT) tp,
+        |    CAST(sum(CASE WHEN gold <> c.cls AND pred = c.cls THEN n
+        |      ELSE 0 END) AS BIGINT) fp,
+        |    CAST(sum(CASE WHEN gold = c.cls AND pred <> c.cls THEN n
+        |      ELSE 0 END) AS BIGINT) fn
+        |  FROM conf CROSS JOIN (SELECT unnest(['en','other']) cls) c
+        |  GROUP BY 1),
+        |y AS (SELECT *, CASE WHEN tp + fp > 0
+        |      THEN CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE) END p,
+        |    CASE WHEN tp + fn > 0
+        |      THEN CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE) END r
+        |  FROM x)
+        |SELECT cls, tp, fp, fn,
+        |  round(p*1000000)/1000000.0 AS "precision",
+        |  round(r*1000000)/1000000.0 AS recall,
+        |  round(CASE WHEN p + r > 0 THEN 2.0*p*r/(p + r) END*1000000)
+        |    /1000000.0 AS f1
+        |FROM y ORDER BY 1""".stripMargin,
+    "q438_minhash_k_sweep" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
+        |       FROM d WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
+        |salted AS (SELECT doc_id, s.g salt, md5(CAST(s.g AS VARCHAR)||':'||sh) hv
+        |           FROM sh, (SELECT unnest(generate_series(0, 11)) g) s),
+        |mh AS (SELECT doc_id, salt, min(hv) m FROM salted GROUP BY 1,2),
+        |bands AS (SELECT doc_id, CAST(floor(salt/4) AS INT) band,
+        |                 md5(string_agg(m, '|' ORDER BY salt)) sig
+        |          FROM mh GROUP BY 1,2),
+        |bsz AS (SELECT doc_id, band, sig FROM (
+        |          SELECT doc_id, band, sig,
+        |            count(*) OVER (PARTITION BY band, sig) bc
+        |          FROM bands) WHERE bc <= 64),
+        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |          FROM bsz a JOIN bsz b ON a.band = b.band AND a.sig = b.sig
+        |            AND a.doc_id < b.doc_id),
+        |est AS (SELECT p.doc_a, p.doc_b,
+        |          CAST(sum(CASE WHEN a.m = b.m AND a.salt < 4 THEN 1
+        |            ELSE 0 END) AS DOUBLE)/4.0 est4,
+        |          CAST(sum(CASE WHEN a.m = b.m AND a.salt < 8 THEN 1
+        |            ELSE 0 END) AS DOUBLE)/8.0 est8,
+        |          CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+        |            AS DOUBLE)/12.0 est12
+        |        FROM pairs p JOIN mh a ON a.doc_id = p.doc_a
+        |                     JOIN mh b ON b.doc_id = p.doc_b
+        |                       AND b.salt = a.salt
+        |        GROUP BY 1,2),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) n_shared
+        |          FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
+        |                       JOIN sh sb ON sb.doc_id = p.doc_b
+        |                         AND sb.sh = sa.sh
+        |          GROUP BY 1,2),
+        |j AS (SELECT e.doc_a, e.doc_b, est4, est8, est12,
+        |        CAST(n_shared AS DOUBLE)/(na.n + nb.n - n_shared) exact
+        |      FROM est e JOIN inter i ON e.doc_a = i.doc_a
+        |        AND e.doc_b = i.doc_b
+        |      JOIN sizes na ON e.doc_a = na.doc_id
+        |      JOIN sizes nb ON e.doc_b = nb.doc_id),
+        |un AS (SELECT 4 k, est4 est, exact FROM j
+        |  UNION ALL SELECT 8, est8, exact FROM j
+        |  UNION ALL SELECT 12, est12, exact FROM j)
+        |SELECT k, CAST(count(*) AS BIGINT) n_pairs,
+        |  round(CAST(sum(CAST(abs(est - exact) AS DECIMAL(28,12)))
+        |      AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 AS mean_abs_err,
+        |  round(max(abs(est - exact))*10000)/10000.0 AS max_abs_err
+        |FROM un GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -682,6 +682,58 @@ object Dedup {
   def dedupDetectorOverlap(spark: SparkSession, sfDir: String): DataFrame =
     dedupDetectorOverlap(Tables.documents(spark, sfDir))
 
+  /** q438: minhash k-sweep — estimator accuracy at k = 4/8/12 salts from
+    * ONE 12-salt signature build (nested prefixes, the q300/q434 sweep
+    * discipline): per candidate pair, the prefix-k agreement estimates
+    * stack against the exact Jaccard, censused as mean/max absolute error
+    * per k. The storage-accuracy curve that, together with q421's b-bit
+    * axis, fully prices a minhash deployment (widen the hash or add
+    * salts?) without re-hashing the corpus per configuration.
+    */
+  def minhashKSweep(docs: DataFrame, k: Int = 12,
+                    prefixes: Seq[Int] = Seq(4, 8, 12)): DataFrame = {
+    val pairs = minhashLsh(docs, k).select(col("doc_a"), col("doc_b"))
+    val sig = minhashSignatures(docs, k)
+    val sigA = sig.toDF("doc_a" +: (0 until k).map(i => s"a_m$i"): _*)
+    val sigB = sig.toDF("doc_b" +: (0 until k).map(i => s"b_m$i"): _*)
+    def agreePrefix(p: Int) = (0 until p)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _).cast("double") / lit(p.toDouble)
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val perPair = pairs
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a") +: col("doc_b") +:
+        prefixes.map(p => agreePrefix(p).as(s"est$p")): _*)
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("exact", col("n_shared").cast("double")
+        / (col("na") + col("nb") - col("n_shared")))
+    perPair
+      .select(col("exact"), expr(
+        s"stack(${prefixes.length}, " +
+          prefixes.map(p => s"$p, est$p").mkString(", ") +
+          ") as (k, est)"))
+      .withColumn("ae", abs(col("est") - col("exact")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ae").cast("decimal(28,12)")).cast("double").as("sae"),
+        max(col("ae")).as("mx"))
+      .select(col("k"), col("n_pairs"),
+        (round(col("sae") / col("n_pairs") * 1000000) / 1000000.0)
+          .as("mean_abs_err"),
+        (round(col("mx") * 10000) / 10000.0).as("max_abs_err"))
+  }
+
+  def minhashKSweep(spark: SparkSession, sfDir: String): DataFrame =
+    minhashKSweep(Tables.documents(spark, sfDir))
+
   /** q61: cross-source contamination census — for every pair of sources,
     * how many distinct content fingerprints they SHARE. This is the
     * train/test-leakage check a training-data pipeline runs before

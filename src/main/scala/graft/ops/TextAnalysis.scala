@@ -1354,6 +1354,51 @@ object TextAnalysis {
   def scalingLaw(spark: SparkSession, sfDir: String): DataFrame =
     scalingLaw(Tables.documents(spark, sfDir))
 
+  /** q437: per-class precision/recall/F1 of the q27 language-ID heuristic —
+    * q27 reports the confusion census; this is the classifier scorecard a
+    * model card actually prints, per binary class (en vs other, the
+    * detector's output space): tp/fp/fn from one conditional aggregate
+    * over the confusion cells, PRF as guarded exact ratios. The
+    * completion of the suite's classifier-evaluation story next to
+    * q198's range-detection F1 and q270's calibration bins.
+    */
+  def langIdPrf(docs: DataFrame): DataFrame = {
+    val conf = docs
+      .select(col("lang"), split(Dedup.normText(col("text")), " ").as("w"))
+      .select(col("lang"), size(col("w")).as("n_tok"),
+        size(expr(s"filter(w, t -> array_contains(array(${enStop.map("'" + _ + "'").mkString(",")}), t))"))
+          .as("n_stop"))
+      .withColumn("pred",
+        when(col("n_stop") * 1000 >= col("n_tok") * 80, "en")
+          .otherwise("other"))
+      .withColumn("gold",
+        when(col("lang") === "en", "en").otherwise("other"))
+      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+    conf
+      .withColumn("cls", explode(array(lit("en"), lit("other"))))
+      .groupBy(col("cls"))
+      .agg(
+        sum(when(col("gold") === col("cls") && col("pred") === col("cls"),
+          col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("gold") =!= col("cls") && col("pred") === col("cls"),
+          col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("gold") === col("cls") && col("pred") =!= col("cls"),
+          col("n")).otherwise(0L)).as("fn"))
+      .withColumn("p", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("r", when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        (round(col("p") * 1000000) / 1000000.0).as("precision"),
+        (round(col("r") * 1000000) / 1000000.0).as("recall"),
+        (round(when(col("p") + col("r") > 0,
+          lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+          * 1000000) / 1000000.0).as("f1"))
+  }
+
+  def langIdPrf(spark: SparkSession, sfDir: String): DataFrame =
+    langIdPrf(Tables.documents(spark, sfDir))
+
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
     naiveBayesSource(Tables.documents(spark, sfDir))
 

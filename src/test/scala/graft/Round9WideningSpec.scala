@@ -420,6 +420,35 @@ class Round9WideningSpec extends SparkSpec {
     assert(rows.last._3 < rows.head._3)
   }
 
+  test("langIdPrf: a never-predicted class reports NULL precision and F1") {
+    // no stopwords anywhere -> everything predicts 'other'; class 'en'
+    // has tp+fp = 0 (undefined precision), recall 0, undefined F1
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s0"),
+      (1L, "delta epsilon zeta", "xx", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.TextAnalysis.langIdPrf(docs)
+      .select("cls", "tp", "fp", "fn", "precision", "recall", "f1")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().map(r => r._1 -> r).toMap
+    val en = rows("en")
+    assert(en._2 === 0L && en._3 === 0L && en._4 === 1L)
+    assert(en._5.isEmpty && en._6.contains(0.0) && en._7.isEmpty)
+    val other = rows("other")
+    assert(other._5.contains(0.5) && other._6.contains(1.0))
+  }
+
+  test("minhashKSweep: identical docs are exact at every prefix k") {
+    val txt = "one two three four five six seven eight"
+    val docs = Seq((0L, txt, "en", "s0"), (1L, txt, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.Dedup.minhashKSweep(docs)
+      .select("k", "n_pairs", "mean_abs_err", "max_abs_err")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(4, 8, 12))
+    assert(rows.forall(r => r._2 === 1L && r._3 === 0.0 && r._4 === 0.0))
+  }
+
   test("forecastEnsemble: weights sum to 1 and favor the better model") {
     // pure period-7 series: seasonal-naive is in-sample perfect up to the
     // 1e-12 floor, so its weight dominates
