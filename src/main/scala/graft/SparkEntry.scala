@@ -881,7 +881,8 @@ object SparkEntry {
     "q437_langid_prf" -> ((s, d) =>
       TextAnalysis.langIdPrf(s, d).orderBy(col("cls"))),
     "q438_minhash_k_sweep" -> ((s, d) =>
-      Dedup.minhashKSweep(s, d).orderBy(col("k")))
+      Dedup.minhashKSweep(s, d).orderBy(col("k"))),
+    "q439_rec_coverage" -> ((s, d) => Recommend.recCoverage(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11079,7 +11080,60 @@ object SparkEntry {
         |      AS DOUBLE)
         |    /count(*)*1000000)/1000000.0 AS mean_abs_err,
         |  round(max(abs(est - exact))*10000)/10000.0 AS max_abs_err
-        |FROM un GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM un GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q439_rec_coverage" ->
+      """WITH oi AS (SELECT o_custkey cust, o_orderkey okey,
+        |    o_orderdate odate FROM orders),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cust
+        |    ORDER BY odate DESC, okey DESC) ornk FROM oi),
+        |li AS (SELECT DISTINCT l_orderkey okey, l_partkey part
+        |  FROM lineitem),
+        |hist AS (SELECT DISTINCT cust, part FROM rk JOIN li USING (okey)
+        |  WHERE ornk >= 2),
+        |baskets AS (SELECT DISTINCT okey, part FROM rk
+        |  JOIN li USING (okey) WHERE ornk >= 2),
+        |ci AS (SELECT part, CAST(count(*) AS BIGINT) c FROM baskets
+        |  GROUP BY 1),
+        |prs AS (SELECT x.part i, y.part j, CAST(count(*) AS BIGINT) cij
+        |  FROM baskets x JOIN baskets y ON x.okey = y.okey
+        |    AND x.part < y.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT i, j, cij FROM prs
+        |  UNION ALL SELECT j, i, cij FROM prs),
+        |sim AS (SELECT s.i, s.j,
+        |    CAST(s.cij AS DOUBLE)/sqrt(CAST(a.c*b.c AS DOUBLE)) cos
+        |  FROM sym s JOIN ci a ON s.i = a.part JOIN ci b ON s.j = b.part),
+        |nbrs AS (SELECT i, j, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY i
+        |      ORDER BY cos DESC, j) nr FROM sim) WHERE nr <= 20),
+        |cand AS (SELECT h.cust, n.j,
+        |    sum(CAST(n.cos AS DECIMAL(18,10))) score
+        |  FROM hist h JOIN nbrs n ON h.part = n.i
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h2
+        |    WHERE h2.cust = h.cust AND h2.part = n.j)
+        |  GROUP BY 1, 2),
+        |rec AS (SELECT cust, j, rr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cust
+        |      ORDER BY score DESC, j) rr FROM cand) WHERE rr <= 10),
+        |cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |    n_catalog FROM lineitem),
+        |expo AS (SELECT j, CAST(count(*) AS BIGINT) c FROM rec
+        |  GROUP BY 1),
+        |rnk AS (SELECT c, CAST(row_number() OVER (ORDER BY c, j)
+        |    AS INT) i FROM expo),
+        |g AS (SELECT CAST(count(*) AS BIGINT) n_items,
+        |    CAST(sum(c) AS BIGINT) tot, CAST(sum(c*i) AS BIGINT) s1
+        |  FROM rnk),
+        |uu AS (SELECT CAST(count(DISTINCT cust) AS BIGINT)
+        |    n_users_with_recs FROM rec)
+        |SELECT n_users_with_recs, n_items AS n_items_recommended,
+        |  n_catalog,
+        |  round(CAST(n_items AS DOUBLE)/CAST(n_catalog AS DOUBLE)
+        |    *1000000)/1000000.0 AS coverage,
+        |  round((2.0*CAST(s1 AS DOUBLE)/(n_items*CAST(tot AS DOUBLE))
+        |    - CAST(n_items + 1 AS DOUBLE)/n_items)*1000000)/1000000.0
+        |    AS exposure_gini
+        |FROM g CROSS JOIN cat CROSS JOIN uu""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

@@ -28,10 +28,14 @@ object Recommend {
     * |history|·nNbr. Vote sums snap to DECIMAL(18,10) so rankings are
     * partition-order-free; every ranking tie breaks on the item key.
     */
-  def itemKnnEval(orders: DataFrame, lineitem: DataFrame,
-                  nNbr: Int = 20, topK: Int = 10): DataFrame = {
-    val r6 = (c: org.apache.spark.sql.Column) =>
-      round(c * 1000000) / 1000000.0
+  /** The shared leave-last-order-out pipeline: (eligible users, held-out
+    * items, top-`topK` recommendations per user) — consumed by
+    * [[itemKnnEval]] (accuracy) and [[recCoverage]] (catalog coverage /
+    * exposure concentration).
+    */
+  private def recPipeline(orders: DataFrame, lineitem: DataFrame,
+                          nNbr: Int, topK: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val oi = orders.select(col("o_custkey").as("cust"),
       col("o_orderkey").as("okey"), col("o_orderdate").as("odate"))
     val wOrd = Window.partitionBy(col("cust"))
@@ -73,6 +77,14 @@ object Recommend {
       .orderBy(col("score").desc, col("j"))
     val rec = cand.withColumn("rr", row_number().over(wS))
       .where(col("rr") <= topK)
+    (users, test, rec)
+  }
+
+  def itemKnnEval(orders: DataFrame, lineitem: DataFrame,
+                  nNbr: Int = 20, topK: Int = 10): DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      round(c * 1000000) / 1000000.0
+    val (users, test, rec) = recPipeline(orders, lineitem, nNbr, topK)
     val hits = rec.join(test.toDF("cust", "j"), Seq("cust", "j"))
       .groupBy(col("cust"))
       .agg(min(col("rr")).as("first_hit"),
@@ -95,4 +107,43 @@ object Recommend {
 
   def itemKnnEval(spark: SparkSession, sfDir: String): DataFrame =
     itemKnnEval(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+
+  /** q439: recommendation coverage and exposure concentration — the
+    * beyond-accuracy scorecard (Ge et al. 2010) on the SAME q423 top-k
+    * lists: what fraction of the catalog is ever recommended, and how
+    * concentrated exposure is across the items that are (Gini over
+    * per-item recommendation counts, the q121 exact-rank construction).
+    * An accurate recommender with coverage ≈ 0 and Gini ≈ 1 is a
+    * popularity loop — the business failure HitRate alone never shows.
+    *
+    * Exposure counts reduce the rec lists to one row per recommended
+    * item; the Gini rank runs through the distributed prefix engine
+    * (never a single-partition global window).
+    */
+  def recCoverage(orders: DataFrame, lineitem: DataFrame,
+                  nNbr: Int = 20, topK: Int = 10): DataFrame = {
+    val (_, _, rec) = recPipeline(orders, lineitem, nNbr, topK)
+    val catalog = lineitem.select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("n_catalog"))
+    val exposure = rec.groupBy(col("j")).agg(count(lit(1)).as("c"))
+    val g = Prefix.over(exposure, Seq(col("c"), col("j")),
+        Seq(Prefix.rowNumber("i")))
+      .agg(count(lit(1)).as("n_items"), sum(col("c")).as("tot"),
+        sum(col("c") * col("i")).as("s1"))
+    val uu = rec.select(col("cust")).distinct()
+      .agg(count(lit(1)).as("n_users_with_recs"))
+    g.crossJoin(broadcast(catalog)).crossJoin(broadcast(uu))
+      .select(col("n_users_with_recs"),
+        col("n_items").as("n_items_recommended"), col("n_catalog"),
+        (round(col("n_items").cast("double")
+          / col("n_catalog").cast("double") * 1000000) / 1000000.0)
+          .as("coverage"),
+        (round((lit(2.0) * col("s1").cast("double")
+          / (col("n_items") * col("tot").cast("double"))
+          - (col("n_items") + lit(1)).cast("double") / col("n_items"))
+          * 1000000) / 1000000.0).as("exposure_gini"))
+  }
+
+  def recCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    recCoverage(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
 }

@@ -449,6 +449,30 @@ class Round9WideningSpec extends SparkSpec {
     assert(rows.forall(r => r._2 === 1L && r._3 === 0.0 && r._4 === 0.0))
   }
 
+  test("recCoverage: single recommended item has Gini 0 and tiny coverage") {
+    import java.sql.Timestamp
+    def d(day: Int) = new Timestamp(day * 86400000L)
+    // same fixture as the itemKnnEval test: only item 20 is ever
+    // recommended (to cust 1) -> 1 item of a 3-part catalog, Gini 0
+    val orders = Seq(
+      (1L, 11L, d(1)), (1L, 12L, d(2)),
+      (2L, 21L, d(1)), (2L, 22L, d(2)),
+      (3L, 31L, d(1)), (3L, 32L, d(2))
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      (11L, 10L), (12L, 20L),
+      (21L, 10L), (21L, 20L), (22L, 99L),
+      (31L, 10L), (31L, 20L), (32L, 99L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = graft.ops.Recommend.recCoverage(orders, lineitem)
+      .select("n_users_with_recs", "n_items_recommended", "n_catalog",
+        "coverage", "exposure_gini")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._1 === 1L && r._2 === 1L && r._3 === 3L)
+    assert(math.abs(r._4 - 1.0 / 3.0) < 1e-6)
+    assert(r._5 === 0.0)
+  }
+
   test("forecastEnsemble: weights sum to 1 and favor the better model") {
     // pure period-7 series: seasonal-naive is in-sample perfect up to the
     // 1e-12 floor, so its weight dominates
