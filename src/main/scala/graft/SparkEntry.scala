@@ -882,7 +882,9 @@ object SparkEntry {
       TextAnalysis.langIdPrf(s, d).orderBy(col("cls"))),
     "q438_minhash_k_sweep" -> ((s, d) =>
       Dedup.minhashKSweep(s, d).orderBy(col("k"))),
-    "q439_rec_coverage" -> ((s, d) => Recommend.recCoverage(s, d))
+    "q439_rec_coverage" -> ((s, d) => Recommend.recCoverage(s, d)),
+    "q440_graph_ann" -> ((s, d) =>
+      Similarity.graphAnnRecall(s, d).orderBy(col("probe_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10007,7 +10009,8 @@ object SparkEntry {
         |  FROM fl GROUP BY 1)
         |SELECT event_type, n, n10, n01,
         |  round((CASE WHEN n10 + n01 = 0 THEN NULL
-        |    ELSE CAST((abs(n10 - n01) - 1)*(abs(n10 - n01) - 1) AS DOUBLE)
+        |    ELSE CAST(CAST(abs(n10 - n01) - 1 AS HUGEINT)
+        |        *CAST(abs(n10 - n01) - 1 AS HUGEINT) AS DOUBLE)
         |      /CAST(n10 + n01 AS DOUBLE) END)*10000)/10000.0 AS chi2
         |FROM a ORDER BY 1""".stripMargin,
     "q410_cochran_q" ->
@@ -10559,28 +10562,33 @@ object SparkEntry {
         |  round(srr/CAST(n_users AS DOUBLE)*1000000)/1000000.0 AS mrr_10
         |FROM ag""".stripMargin,
     "q424_phash_pairs" ->
-      """WITH a0 AS (SELECT doc_id asset_id, md5(text) digest
-        |  FROM documents),
-        |hh AS (SELECT asset_id, digest,
-        |    (instr('0123456789abcdef', substr(digest, 1, 1)) - 1)*268435456
-        |    + (instr('0123456789abcdef', substr(digest, 2, 1)) - 1)*16777216
-        |    + (instr('0123456789abcdef', substr(digest, 3, 1)) - 1)*1048576
-        |    + (instr('0123456789abcdef', substr(digest, 4, 1)) - 1)*65536
-        |    + (instr('0123456789abcdef', substr(digest, 5, 1)) - 1)*4096
-        |    + (instr('0123456789abcdef', substr(digest, 6, 1)) - 1)*256
-        |    + (instr('0123456789abcdef', substr(digest, 7, 1)) - 1)*16
-        |    + (instr('0123456789abcdef', substr(digest, 8, 1)) - 1) h1,
-        |    (instr('0123456789abcdef', substr(digest, 9, 1)) - 1)*268435456
-        |    + (instr('0123456789abcdef', substr(digest, 10, 1)) - 1)*16777216
-        |    + (instr('0123456789abcdef', substr(digest, 11, 1)) - 1)*1048576
-        |    + (instr('0123456789abcdef', substr(digest, 12, 1)) - 1)*65536
-        |    + (instr('0123456789abcdef', substr(digest, 13, 1)) - 1)*4096
-        |    + (instr('0123456789abcdef', substr(digest, 14, 1)) - 1)*256
-        |    + (instr('0123456789abcdef', substr(digest, 15, 1)) - 1)*16
-        |    + (instr('0123456789abcdef', substr(digest, 16, 1)) - 1) h2
-        |  FROM a0),
+      """WITH pay AS (SELECT doc_id asset_id, text,
+        |    CAST(length(text) AS BIGINT) ll
+        |  FROM documents WHERE length(text) >= 72),
+        |cells AS (SELECT asset_id,
+        |    list_transform(range(72), k -> list_sum(list_transform(
+        |      range((k*ll)//72, ((k+1)*ll)//72),
+        |      i -> CAST(ord(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT)))) s,
+        |    list_transform(range(72), k ->
+        |      ((k+1)*ll)//72 - (k*ll)//72) n
+        |  FROM pay),
+        |hh AS (SELECT asset_id,
+        |    list_sum(list_transform(range(32), b -> CASE WHEN
+        |      s[CAST((b//8)*9 + (b%8) + 1 AS INT)]
+        |        * n[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+        |      > s[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+        |        * n[CAST((b//8)*9 + (b%8) + 1 AS INT)]
+        |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)) h1,
+        |    list_sum(list_transform(range(32), b -> CASE WHEN
+        |      s[CAST(((b+32)//8)*9 + ((b+32)%8) + 1 AS INT)]
+        |        * n[CAST(((b+32)//8)*9 + ((b+32)%8) + 2 AS INT)]
+        |      > s[CAST(((b+32)//8)*9 + ((b+32)%8) + 2 AS INT)]
+        |        * n[CAST(((b+32)//8)*9 + ((b+32)%8) + 1 AS INT)]
+        |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)) h2
+        |  FROM cells),
         |bands0 AS (SELECT asset_id, h1, h2, b.b band,
-        |    substr(digest, b.b*4 + 1, 4) bkey
+        |    CASE b.b WHEN 0 THEN h1 % 65536 WHEN 1 THEN h1 // 65536
+        |      WHEN 2 THEN h2 % 65536 ELSE h2 // 65536 END bkey
         |  FROM hh, (SELECT unnest(generate_series(0, 3)) b) b),
         |bands AS (SELECT * FROM (SELECT *,
         |    count(*) OVER (PARTITION BY band, bkey) bc FROM bands0)
@@ -11133,7 +11141,8 @@ object SparkEntry {
         |  round((2.0*CAST(s1 AS DOUBLE)/(n_items*CAST(tot AS DOUBLE))
         |    - CAST(n_items + 1 AS DOUBLE)/n_items)*1000000)/1000000.0
         |    AS exposure_gini
-        |FROM g CROSS JOIN cat CROSS JOIN uu""".stripMargin
+        |FROM g CROSS JOIN cat CROSS JOIN uu""".stripMargin,
+    "q440_graph_ann" -> graphAnnOracle(3)
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -12297,5 +12306,107 @@ object SparkEntry {
        |$rounds
        |SELECT id, round(rank*100000000)/100 AS rank_ppm
        |FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** q440 oracle: the q432 SRP-candidate prefix (auto-geometry signatures,
+    * capped buckets, exact-cosine verify) feeding the degree-bounded
+    * neighbor graph, hub entry points, and `rounds` unrolled beam-search
+    * expansions, audited against brute-force truth.
+    */
+  private def graphAnnOracle(rounds: Int): String = {
+    val beamRounds = (1 to rounds).map { r =>
+      s"""f$r AS (SELECT probe_id, cand v FROM (SELECT probe_id, cand,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, cand) rn FROM v${r - 1}) WHERE rn <= 8),
+         |s$r AS (SELECT DISTINCT f.probe_id, a.o cand
+         |  FROM f$r f JOIN adj a ON f.v = a.v),
+         |v$r AS MATERIALIZED (SELECT probe_id, cand, max(cos) cos FROM (
+         |    SELECT * FROM v${r - 1} UNION ALL
+         |    SELECT s.probe_id, s.cand, p2.cos FROM s$r s
+         |      JOIN pc p2 ON p2.probe_id = s.probe_id AND p2.cand = s.cand)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) n FROM embeddings),
+       |geo AS (SELECT coalesce(min(b), 24) bits
+       |  FROM (SELECT unnest(generate_series(8, 24)) b) bb, nn
+       |  WHERE (CAST(8 AS BIGINT) << b) >= n),
+       |pl AS (SELECT p.j, q.d,
+       |    md5('srp:'||CAST(p.j AS VARCHAR)||':'||CAST(q.d AS VARCHAR)) h
+       |  FROM (SELECT unnest(generate_series(0, 95)) j) p,
+       |       (SELECT unnest(generate_series(0, 63)) d) q, geo
+       |  WHERE p.j < 4*geo.bits),
+       |w AS (SELECT j, d,
+       |  CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+       |       (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+       |       (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+       |       (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+       |       (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+       |       (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)/16777216.0 - 0.5 w
+       |  FROM pl),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i, embedding FROM e),
+       |xx AS MATERIALIZED (SELECT vec_id, i - 1 d,
+       |    CAST(embedding[i] AS DOUBLE) v FROM ix),
+       |dots AS (SELECT x.vec_id, w.j, sum(CAST(x.v*w.w AS DECIMAL(18,16))) s
+       |         FROM xx x JOIN w ON x.d = w.d GROUP BY 1,2),
+       |sigs AS (SELECT vec_id, CAST(floor(j/bits) AS INT) band,
+       |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % bits))
+       |                         ELSE 0 END) AS BIGINT) sig
+       |         FROM dots, geo GROUP BY 1,2),
+       |sigc AS (SELECT vec_id, band, sig,
+       |           count(*) OVER (PARTITION BY band, sig) bc FROM sigs),
+       |capped AS (SELECT vec_id, band, sig FROM sigc WHERE bc <= 1024),
+       |cand AS (SELECT a.vec_id vec_a, b.vec_id vec_b
+       |         FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+       |           AND a.vec_id < b.vec_id
+       |         GROUP BY 1,2 HAVING count(*) >= 1),
+       |n AS MATERIALIZED (SELECT vec_id,
+       |      sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+       |      FROM xx GROUP BY 1),
+       |dp AS (SELECT c.vec_a, c.vec_b,
+       |         CAST(sum(CAST(xa.v*xb.v AS DECIMAL(18,16))) AS DOUBLE) dot
+       |       FROM cand c JOIN xx xa ON xa.vec_id = c.vec_a
+       |       JOIN xx xb ON xb.vec_id = c.vec_b AND xa.d = xb.d
+       |       GROUP BY 1,2),
+       |prs AS (SELECT vec_a, vec_b, round(dot/(na.nrm*nb.nrm), 6) cosine
+       |  FROM dp JOIN n na ON vec_a = na.vec_id
+       |    JOIN n nb ON vec_b = nb.vec_id
+       |  WHERE dot/(na.nrm*nb.nrm) >= -1.0),
+       |sym AS (SELECT vec_a v, vec_b o, cosine FROM prs
+       |  UNION ALL SELECT vec_b, vec_a, cosine FROM prs),
+       |adj AS MATERIALIZED (SELECT v, o FROM (SELECT v, o,
+       |    row_number() OVER (PARTITION BY v ORDER BY cosine DESC, o) rn
+       |  FROM sym) WHERE rn <= 8),
+       |ent AS (SELECT v cand FROM (SELECT v, CAST(count(*) AS BIGINT) deg
+       |    FROM adj GROUP BY 1) ORDER BY deg DESC, v LIMIT 4),
+       |pc AS MATERIALIZED (SELECT a.vec_id probe_id, b.vec_id cand,
+       |    round(CAST(sum(CAST(a.v*b.v AS DECIMAL(18,16))) AS DOUBLE)
+       |      /(na.nrm*nb.nrm), 6) cos
+       |  FROM xx a JOIN xx b ON a.d = b.d
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |  WHERE a.vec_id < 10
+       |  GROUP BY 1, 2, na.nrm, nb.nrm),
+       |truth AS (SELECT probe_id, cand FROM (SELECT probe_id, cand,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, cand) rn
+       |  FROM pc WHERE cand <> probe_id) WHERE rn <= 5),
+       |v0 AS (SELECT probe_id, cand, cos FROM pc JOIN ent USING (cand)),
+       |$beamRounds,
+       |bt AS (SELECT probe_id, cand FROM (SELECT probe_id, cand,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, cand) rn
+       |  FROM v$rounds WHERE cand <> probe_id) WHERE rn <= 5),
+       |nv AS (SELECT probe_id, CAST(count(*) AS BIGINT) n_visited
+       |  FROM v$rounds GROUP BY 1),
+       |hits AS (SELECT b.probe_id,
+       |    CAST(sum(CASE WHEN t.cand IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) n_hit
+       |  FROM bt b LEFT JOIN truth t ON b.probe_id = t.probe_id
+       |    AND b.cand = t.cand
+       |  GROUP BY 1)
+       |SELECT h.probe_id, nv.n_visited, h.n_hit,
+       |  round(CAST(h.n_hit AS DOUBLE)/5*1000000)/1000000.0 AS recall
+       |FROM hits h JOIN nv USING (probe_id) ORDER BY 1""".stripMargin
   }
 }

@@ -155,33 +155,66 @@ object Multimodal {
         col("offset_ms"), col("duration_ms"))
   }
 
-  /** q424: banded-Hamming perceptual-hash near-dup pairs — the multimodal
-    * near-dup operator a media pipeline runs AFTER q195's exact digest
-    * dedup: a 64-bit dHash/pHash survives re-encodes and resizes that
-    * change the payload bytes, and two hashes within a small Hamming
-    * radius flag the same underlying image. The LSH trick is the pigeonhole
-    * split: 4 bands of 16 bits — any pair within Hamming ≤ 6 of each other
-    * agrees EXACTLY on at least one band when the ≤6 flipped bits can't
-    * cover all 4 bands... (r < bands guarantees it for r ≤ 3; for r ≤ 6
-    * the band join is a high-recall candidate filter, verified exactly).
-    * Bucket caps bound hub fan-out exactly as q22/q74.
-    *
-    * The hash here is the stub decode's digest bits (locality-free, so
-    * only true byte-duplicates land at distance 0 in the testdata) — a
-    * production deployment swaps ONE expression (digest bits → real dHash
-    * from decoded pixels) and the banding, capping, pair join, and verify
-    * stages run unchanged; that plumbing is what this query gates.
+  /** One 32-bit dHash half: bits `off`..`off+31` of the 64-bit difference
+    * hash, from the 72-cell luma grid arrays `s` (block byte sums) and `n`
+    * (block sizes). Bit b of the full hash compares horizontally adjacent
+    * grid cells on the 8-row × 9-col grid — pixel(r,c) > pixel(r,c+1) with
+    * r = b/8, c = b%8 — via exact cross-multiplication (sum_a·n_b >
+    * sum_b·n_a), so no float division ever enters the hash.
     */
-  def phashPairs(docs: DataFrame, maxBucket: Int = 64,
-                 maxHamming: Int = 6): DataFrame = {
+  private def dHashHalf(off: Int): Column = {
+    def cell(arr: String, plus: Int) =
+      s"element_at($arr, cast(((b+$off) div 8)*9 + ((b+$off) % 8) + $plus as int))"
+    expr(s"""aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+      IF(${cell("s", 1)} * ${cell("n", 2)} > ${cell("s", 2)} * ${cell("n", 1)},
+         shiftleft(1L, b), 0L))""")
+  }
+
+  /** Real 64-bit difference hash (dHash) per asset, as two 32-bit halves
+    * (h1 = bits 0..31, h2 = bits 32..63 — halves avoid 64-bit sign wrap in
+    * both engines). The decode seam here maps the deterministic synthetic
+    * payload bytes to a luma image: the payload's UTF-8 bytes ARE the
+    * row-major grayscale pixels, block-averaged down to the canonical
+    * dHash 9-wide × 8-tall grid (72 cells, cell k spanning bytes
+    * ⌊k·L/72⌋..⌊(k+1)·L/72⌋). That is the textbook dHash pipeline —
+    * downsample, compare horizontal neighbours, 64 bits — and it is
+    * locality-sensitive for real: a few edited bytes perturb a few blocks
+    * and flip a few bits, unlike the md5-digest bits this replaced. A
+    * production deployment swaps ONLY the bytes→pixels step (real JPEG
+    * decode + resize in [[graft.ops.AssetDecoder]]'s batched seam); the
+    * block-average, bit extraction, banding and pair join are unchanged.
+    * Assets shorter than 72 payload bytes are skipped (no full grid).
+    *
+    * All arithmetic is integer (byte sums, cross-multiplied comparisons,
+    * bit shifts), so DuckDB mirrors it exactly with list_transform/ord.
+    */
+  def dHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("asset_id"), col("text"))
+      .where(length(col("text")) >= 72)
+      .withColumn("ll", length(col("text")).cast("long"))
+      .withColumn("s", expr(
+        """transform(sequence(0, 71), k -> aggregate(
+          sequence(cast((k*ll) div 72 as int) + 1,
+                   cast(((k+1)*ll) div 72 as int)),
+          0L, (acc, i) -> acc + ascii(substring(text, i, 1))))"""))
+      .withColumn("n", expr(
+        "transform(sequence(0, 71), k -> ((k+1)*ll) div 72 - (k*ll) div 72)"))
+      .select(col("asset_id"), dHashHalf(0).as("h1"), dHashHalf(32).as("h2"))
+
+  /** Candidate near-dup pairs from the banded-Hamming join over [[dHash]]
+    * hashes — the pair-level table [[phashPairs]] censuses. Exposed so the
+    * planted-near-duplicate spec can assert a specific pair surfaces.
+    */
+  def phashCandidatePairs(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withH = assetMeta(docs)
-      .select(col("asset_id"), col("digest"))
-      .withColumn("h1", hexField("digest", 1, 8))
-      .withColumn("h2", hexField("digest", 9, 8))
+    val withH = dHash(docs)
     val bands = withH.select(col("asset_id"), col("h1"), col("h2"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          substring(col("digest"), b * 4 + 1, 4).as("key"))): _*)).as("bk"))
+        explode(array(
+          struct(lit(0).as("band"), (col("h1") % 65536).as("key")),
+          struct(lit(1).as("band"), expr("h1 div 65536").as("key")),
+          struct(lit(2).as("band"), (col("h2") % 65536).as("key")),
+          struct(lit(3).as("band"), expr("h2 div 65536").as("key"))
+        )).as("bk"))
       .select(col("asset_id"), col("h1"), col("h2"),
         col("bk.band").as("band"), col("bk.key").as("key"))
       .withColumn("bc",
@@ -198,10 +231,29 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared_bands"))
       .withColumn("hamming",
         expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)"))
-      // census by shared-band count rather than the raw pair list: on a
-      // corpus with no byte-duplicates the within-radius list is empty,
-      // but the candidate distribution (how many pairs the bands surface,
-      // how close they get) is the operator's tuning table either way
+  }
+
+  /** q424: banded-Hamming perceptual-hash near-dup pairs — the multimodal
+    * near-dup operator a media pipeline runs AFTER q195's exact digest
+    * dedup: a 64-bit dHash survives re-encodes and resizes that change the
+    * payload bytes, and two hashes within a small Hamming radius flag the
+    * same underlying image. The hash is a REAL difference hash computed
+    * from the payload bytes (see [[dHash]]) — near-identical payloads land
+    * at small Hamming distance. The LSH trick is the pigeonhole split: 4
+    * bands of 16 bits — any pair within Hamming ≤ 3 agrees EXACTLY on at
+    * least one band (r < bands); for r ≤ 6 the band join is a high-recall
+    * candidate filter, verified exactly on the 64 true bits. Bucket caps
+    * bound hub fan-out exactly as q22/q74 — with a locality-sensitive
+    * hash, near-constant image families now genuinely pile into shared
+    * band buckets, which is precisely the skew the cap exists for.
+    */
+  def phashPairs(docs: DataFrame, maxBucket: Int = 64,
+                 maxHamming: Int = 6): DataFrame = {
+    phashCandidatePairs(docs, maxBucket)
+      // census by shared-band count rather than the raw pair list: the
+      // candidate distribution (how many pairs the bands surface, how
+      // close they get, how many verify within radius) is the operator's
+      // tuning table
       .groupBy(col("n_shared_bands"))
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L))

@@ -1311,7 +1311,10 @@ object StatTests {
     * and n01 (fence-only) come from the same single conditional aggregate;
     * χ² uses Edwards' continuity correction (|n10−n01|−1)²/(n10+n01), NULL
     * when the detectors never disagree (no evidence either way). Integer
-    * arithmetic until the one final divide, so partition order is moot.
+    * arithmetic until the one final divide, so partition order is moot;
+    * the discordant-difference square goes through decimal(38,0) (HUGEINT
+    * on the oracle side) so a 100 TB-scale |n10−n01| ≫ 3e9 cannot wrap
+    * the BIGINT multiply — the same q378 lesson cochranQ applies.
     */
   def mcnemar(events: DataFrame): DataFrame = {
     detectorFlags(events)
@@ -1319,7 +1322,8 @@ object StatTests {
       .agg(count(lit(1)).as("n"),
         sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("n10"),
         sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("n01"))
-      .withColumn("d", abs(col("n10") - col("n01")) - lit(1L))
+      .withColumn("d",
+        (abs(col("n10") - col("n01")) - lit(1L)).cast("decimal(38,0)"))
       .select(col("event_type"), col("n"), col("n10"), col("n01"),
         (round(when(col("n10") + col("n01") === 0, lit(null))
           .otherwise((col("d") * col("d")).cast("double")

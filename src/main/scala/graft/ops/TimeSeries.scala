@@ -2892,8 +2892,12 @@ object TimeSeries {
   /** q416: inverse-MAE forecast ensemble per series — the forecast-
     * combination step (Bates & Granger 1969: a weighted blend of simple
     * forecasters is hard to beat) over three baselines the suite already
-    * fields individually: naive (last train value), seasonal-naive (value
-    * 7 days back, q333's strongest baseline), and the train mean. Weights
+    * fields individually: naive (last train value), seasonal-naive (7
+    * OBSERVATIONS back on the observed-day table — on a gap-free daily
+    * series that is "7 days back", q333's strongest baseline, but on a
+    * gapped series the lag counts observed rows, not calendar days; this
+    * operator deliberately does not gate on day-contiguity the way
+    * archLm/permutationEntropy do), and the train mean. Weights
     * ∝ 1/MAE of each model's IN-SAMPLE one-step errors; the blend is then
     * scored on a 7-day holdout against the best single model — the "does
     * combining help" table that decides whether a fleet deploys one

@@ -6,8 +6,14 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   TimeMode, TimerValues, TTLConfig, ValueState}
 
-/** Per-key census snapshot — q415's batch output columns. */
-case class HampelSnapshot(user_id: String, n: Long, n_flagged: Long,
+/** Per-key census snapshot — q415's batch census columns, keyed by the
+  * stream's grouping key. The stream groups by whatever column the caller
+  * maps into `SensorReading.event_type`; for exact parity with batch q415
+  * (which partitions `events` by user_id) feed the batch series key —
+  * user_id — into that field, as HampelStreamSpec does. The field is named
+  * `series_key`, not user_id, because the stream itself is key-agnostic.
+  */
+case class HampelSnapshot(series_key: String, n: Long, n_flagged: Long,
                           flag_rate: Double, worst_ratio: Option[Double])
 
 /** O(window) per-key state: the ring of readings still needed as window

@@ -49,7 +49,7 @@ class HampelStreamSpec extends SparkSpec {
       try {
         slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
         spark.table(name).as[HampelSnapshot].collect()
-          .zipWithIndex.groupBy(_._1.user_id)
+          .zipWithIndex.groupBy(_._1.series_key)
           .map { case (k, arr) => k -> arr.maxBy(_._2)._1 }
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -43,6 +43,52 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(3L)._4 === 128L && byId(3L)._5 === 512L && byId(3L)._7)
   }
 
+  test("dHash is a real difference hash: identical payloads collide, " +
+       "a one-byte edit stays within a small Hamming radius") {
+    val base = ("the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill nearby") // 100 chars
+    assert(base.length >= 72)
+    val edited = base.updated(37, 'X').updated(38, 'Y') // two-byte edit
+    val far = base.reverse.map(c => if (c.isLetter) ('z' - c + 'a').toChar else c)
+    val docs = Seq(
+      (1L, base, "en", "s0"), (2L, base, "en", "s0"),
+      (3L, edited, "en", "s0"), (4L, far, "en", "s0"),
+      (5L, "short", "en", "s0") // < 72 bytes: skipped, no partial grid
+    ).toDF("doc_id", "text", "lang", "source")
+    val h = Multimodal.dHash(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!h.contains(5L))
+    assert(h(1L) === h(2L)) // byte-identical payloads -> identical hash
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // locality: a 2-byte edit perturbs at most a couple of grid cells
+    assert(ham(h(1L), h(3L)) > 0 && ham(h(1L), h(3L)) <= 6,
+      s"edit distance ${ham(h(1L), h(3L))}")
+    // and halves stay within 32 bits (no sign wrap either engine)
+    assert(h.values.forall { case (a, b) =>
+      a >= 0 && a < (1L << 32) && b >= 0 && b < (1L << 32) })
+  }
+
+  test("phash banding surfaces a planted near-duplicate image pair") {
+    val base = ("synthetic luma payload for the banded hamming candidate " +
+      "join across all four sixteen bit bands here") // > 72 chars
+    val nearDup = base.updated(10, 'Q') // one-byte re-encode artifact
+    // decoys: unrelated payloads that should NOT pair within radius
+    val decoys = (10L to 29L).map { i =>
+      (i, s"completely different document number $i " * 3, "en", "s0")
+    }
+    val docs = (Seq((1L, base, "en", "s0"), (2L, nearDup, "en", "s0"))
+      ++ decoys).toDF("doc_id", "text", "lang", "source")
+    val pairs = Multimodal.phashCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Number]("hamming").longValue).toMap
+    assert(pairs.contains((1L, 2L)), s"planted pair missing: ${pairs.keys}")
+    assert(pairs((1L, 2L)) <= 6, s"planted pair hamming ${pairs((1L, 2L))}")
+    // census view counts it inside the radius
+    val census = Multimodal.phashPairs(docs).collect()
+    assert(census.map(_.getAs[Long]("n_within_radius")).sum >= 1L)
+  }
+
   test("frameSamplePlan emits one row per sampled frame for videos only") {
     val meta = Seq(
       (1L, "video", Some(3500L)), // frames at 0,1000,2000,3000
