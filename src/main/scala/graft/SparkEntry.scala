@@ -884,7 +884,9 @@ object SparkEntry {
       Dedup.minhashKSweep(s, d).orderBy(col("k"))),
     "q439_rec_coverage" -> ((s, d) => Recommend.recCoverage(s, d)),
     "q440_graph_ann" -> ((s, d) =>
-      Similarity.graphAnnRecall(s, d).orderBy(col("probe_id")))
+      Similarity.graphAnnRecall(s, d).orderBy(col("probe_id"))),
+    "q441_beam_sweep" -> ((s, d) =>
+      Similarity.graphAnnBeamSweep(s, d).orderBy(col("beam")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3109,7 +3111,7 @@ object SparkEntry {
         |        CAST(max(nb) AS BIGINT) n_eval,
         |        max(abs(CAST(cuma AS DOUBLE) / na
         |          - CAST(cumb AS DOUBLE) / nb)) ks_raw
-        |      FROM cum GROUP BY 1),
+        |      FROM cum WHERE na > 0 AND nb > 0 GROUP BY 1),
         |t AS (SELECT *, 1.3581 * sqrt((CAST(n_train AS DOUBLE) + n_eval)
         |        / (CAST(n_train AS DOUBLE) * n_eval)) thr_raw FROM k)
         |SELECT event_type, n_train, n_eval,
@@ -6508,7 +6510,8 @@ object SparkEntry {
         |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2
         |  FROM events GROUP BY 1),
         |ms AS (SELECT event_type, s1/n m,
-        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom),
+        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom
+        |  WHERE n >= 2),
         |q AS (SELECT event_type,
         |    round(quantile_cont(value, 0.25)*1000000)/1000000.0 q1,
         |    round(quantile_cont(value, 0.75)*1000000)/1000000.0 q3
@@ -7078,7 +7081,7 @@ object SparkEntry {
         |    CAST(round((CAST(cuma AS DOUBLE)/na - CAST(cumb AS DOUBLE)/nb)
         |      *(CAST(cuma AS DOUBLE)/na - CAST(cumb AS DOUBLE)/nb)
         |      *CAST(ca + cb AS DOUBLE)*1e12)/1e12 AS DECIMAL(38,12)) gap2
-        |  FROM cum),
+        |  FROM cum WHERE na > 0 AND nb > 0),
         |ag AS (SELECT event_type, CAST(max(na) AS BIGINT) n_train,
         |    CAST(max(nb) AS BIGINT) n_eval,
         |    CAST(sum(gap2) AS DOUBLE) sg
@@ -7428,7 +7431,7 @@ object SparkEntry {
         |      + (tsb - cumsb) - value*CAST(nb - cumb AS DOUBLE))*1e12)
         |      /1e12 yy,
         |    na, nb
-        |  FROM cum),
+        |  FROM cum WHERE na > 0 AND nb > 0),
         |ag AS (SELECT event_type, CAST(max(na) AS BIGINT) n_train,
         |    CAST(max(nb) AS BIGINT) n_eval,
         |    CAST(sum(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) sxy,
@@ -9989,7 +9992,8 @@ object SparkEntry {
         |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2
         |  FROM events GROUP BY 1),
         |ms AS (SELECT event_type, s1/n m,
-        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom),
+        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom
+        |  WHERE n >= 2),
         |q AS (SELECT event_type,
         |    round(quantile_cont(value, 0.25)*1000000)/1000000.0 q1,
         |    round(quantile_cont(value, 0.75)*1000000)/1000000.0 q3
@@ -10019,7 +10023,8 @@ object SparkEntry {
         |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) s2
         |  FROM events GROUP BY 1),
         |ms AS (SELECT event_type, s1/n m,
-        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom),
+        |    sqrt((s2 - n*(s1/n)*(s1/n))/(n - 1)) sd FROM mom
+        |  WHERE n >= 2),
         |q AS (SELECT event_type,
         |    round(quantile_cont(value, 0.25)*1000000)/1000000.0 q1,
         |    round(quantile_cont(value, 0.75)*1000000)/1000000.0 q3,
@@ -11142,7 +11147,8 @@ object SparkEntry {
         |    - CAST(n_items + 1 AS DOUBLE)/n_items)*1000000)/1000000.0
         |    AS exposure_gini
         |FROM g CROSS JOIN cat CROSS JOIN uu""".stripMargin,
-    "q440_graph_ann" -> graphAnnOracle(3)
+    "q440_graph_ann" -> graphAnnOracle(3),
+    "q441_beam_sweep" -> graphAnnSweepOracle(3, Seq(4, 8, 16))
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,
@@ -12313,20 +12319,83 @@ object SparkEntry {
     * neighbor graph, hub entry points, and `rounds` unrolled beam-search
     * expansions, audited against brute-force truth.
     */
-  private def graphAnnOracle(rounds: Int): String = {
-    val beamRounds = (1 to rounds).map { r =>
-      s"""f$r AS (SELECT probe_id, cand v FROM (SELECT probe_id, cand,
+  /** `rounds` beam-expansion CTEs at the given beam width: f/s/v chains
+    * named with `sfx`, round 1 reading the shared entry state `v0`.
+    */
+  private def graphAnnBeamSql(beam: Int, rounds: Int, sfx: String): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v$sfx${r - 1}"
+      s"""f$sfx$r AS (SELECT probe_id, cand v FROM (SELECT probe_id, cand,
          |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cos DESC, cand) rn FROM v${r - 1}) WHERE rn <= 8),
-         |s$r AS (SELECT DISTINCT f.probe_id, a.o cand
-         |  FROM f$r f JOIN adj a ON f.v = a.v),
-         |v$r AS MATERIALIZED (SELECT probe_id, cand, max(cos) cos FROM (
-         |    SELECT * FROM v${r - 1} UNION ALL
-         |    SELECT s.probe_id, s.cand, p2.cos FROM s$r s
+         |      ORDER BY cos DESC, cand) rn FROM $prev) WHERE rn <= $beam),
+         |s$sfx$r AS (SELECT DISTINCT f.probe_id, a.o cand
+         |  FROM f$sfx$r f JOIN adj a ON f.v = a.v),
+         |v$sfx$r AS MATERIALIZED (SELECT probe_id, cand, max(cos) cos FROM (
+         |    SELECT * FROM $prev UNION ALL
+         |    SELECT s.probe_id, s.cand, p2.cos FROM s$sfx$r s
          |      JOIN pc p2 ON p2.probe_id = s.probe_id AND p2.cand = s.cand)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nn AS (SELECT count(*) n FROM embeddings),
+
+  private def graphAnnOracle(rounds: Int): String = {
+    val beamRounds = graphAnnBeamSql(8, rounds, "")
+    s"""WITH ${graphAnnPrefixSql},
+       |$beamRounds,
+       |bt AS (SELECT probe_id, cand FROM (SELECT probe_id, cand,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, cand) rn
+       |  FROM v$rounds WHERE cand <> probe_id) WHERE rn <= 5),
+       |nv AS (SELECT probe_id, CAST(count(*) AS BIGINT) n_visited
+       |  FROM v$rounds GROUP BY 1),
+       |hits AS (SELECT b.probe_id,
+       |    CAST(sum(CASE WHEN t.cand IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) n_hit
+       |  FROM bt b LEFT JOIN truth t ON b.probe_id = t.probe_id
+       |    AND b.cand = t.cand
+       |  GROUP BY 1)
+       |SELECT h.probe_id, nv.n_visited, h.n_hit,
+       |  round(CAST(h.n_hit AS DOUBLE)/5*1000000)/1000000.0 AS recall
+       |FROM hits h JOIN nv USING (probe_id) ORDER BY 1""".stripMargin
+  }
+
+  /** q441 oracle: the same shared prefix, one beam-CTE chain per width,
+    * each aggregated to its sweep row.
+    */
+  private def graphAnnSweepOracle(rounds: Int, beams: Seq[Int]): String = {
+    val chains = beams.map(b => graphAnnBeamSql(b, rounds, s"b$b"))
+      .mkString(",\n")
+    val perWidth = beams.map { b =>
+      s"""SELECT $b beam, CAST(count(*) AS BIGINT) n_probes,
+         |  round(CAST(sum(n_hit) AS DOUBLE)/(count(*)*5)*1000000)
+         |    /1000000.0 mean_recall,
+         |  round(sum(n_visited)/CAST(count(*) AS DOUBLE)*10000)/10000.0
+         |    mean_visited
+         |FROM (SELECT h.probe_id, h.n_hit, nv.n_visited FROM
+         |  (SELECT bb.probe_id,
+         |      CAST(sum(CASE WHEN t.cand IS NOT NULL THEN 1 ELSE 0 END)
+         |        AS BIGINT) n_hit
+         |    FROM (SELECT probe_id, cand FROM (SELECT probe_id, cand,
+         |        row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, cand) rn
+         |      FROM vb$b$rounds WHERE cand <> probe_id) WHERE rn <= 5) bb
+         |    LEFT JOIN truth t ON bb.probe_id = t.probe_id
+         |      AND bb.cand = t.cand
+         |    GROUP BY 1) h
+         |  JOIN (SELECT probe_id, CAST(count(*) AS BIGINT) n_visited
+         |    FROM vb$b$rounds GROUP BY 1) nv USING (probe_id))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${graphAnnPrefixSql},
+       |$chains
+       |$perWidth
+       |ORDER BY beam""".stripMargin
+  }
+
+  /** The shared graph-ANN oracle prefix: SRP auto-geometry candidates,
+    * exact-cosine verify, degree-8 adjacency, hub entries, the probe-
+    * corpus cosine table, the exact truth, and the entry state v0.
+    */
+  private def graphAnnPrefixSql: String =
+    s"""nn AS (SELECT count(*) n FROM embeddings),
        |geo AS (SELECT coalesce(min(b), 24) bits
        |  FROM (SELECT unnest(generate_series(8, 24)) b) bb, nn
        |  WHERE (CAST(8 AS BIGINT) << b) >= n),
@@ -12391,22 +12460,6 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY probe_id
        |      ORDER BY cos DESC, cand) rn
        |  FROM pc WHERE cand <> probe_id) WHERE rn <= 5),
-       |v0 AS (SELECT probe_id, cand, cos FROM pc JOIN ent USING (cand)),
-       |$beamRounds,
-       |bt AS (SELECT probe_id, cand FROM (SELECT probe_id, cand,
-       |    row_number() OVER (PARTITION BY probe_id
-       |      ORDER BY cos DESC, cand) rn
-       |  FROM v$rounds WHERE cand <> probe_id) WHERE rn <= 5),
-       |nv AS (SELECT probe_id, CAST(count(*) AS BIGINT) n_visited
-       |  FROM v$rounds GROUP BY 1),
-       |hits AS (SELECT b.probe_id,
-       |    CAST(sum(CASE WHEN t.cand IS NOT NULL THEN 1 ELSE 0 END)
-       |      AS BIGINT) n_hit
-       |  FROM bt b LEFT JOIN truth t ON b.probe_id = t.probe_id
-       |    AND b.cand = t.cand
-       |  GROUP BY 1)
-       |SELECT h.probe_id, nv.n_visited, h.n_hit,
-       |  round(CAST(h.n_hit AS DOUBLE)/5*1000000)/1000000.0 AS recall
-       |FROM hits h JOIN nv USING (probe_id) ORDER BY 1""".stripMargin
-  }
+       |v0 AS (SELECT probe_id, cand, cos FROM pc JOIN ent USING (cand))"""
+      .stripMargin
 }

@@ -164,6 +164,11 @@ object Drift {
       .withColumn("cumb", sum(col("cb")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("na", sum(col("ca")).over(whole))
       .withColumn("nb", sum(col("cb")).over(whole))
+      // a series with an EMPTY phase has no two-sample test: a sensor
+      // first seen after the split (or retired before it) is excluded
+      // rather than crashing the job on 0-denominator CDFs — the
+      // round-10 fuzz finding (FuzzParitySpec layout-invariance run)
+      .where(col("na") > 0 && col("nb") > 0)
       .withColumn("d", abs(col("cuma").cast("double") / col("na")
         - col("cumb").cast("double") / col("nb")))
       .groupBy(col("event_type"))
@@ -217,6 +222,8 @@ object Drift {
       .withColumn("cumb", sum(col("cb")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("na", sum(col("ca")).over(whole))
       .withColumn("nb", sum(col("cb")).over(whole))
+      // empty-phase series excluded — same contract as ksFromCounts
+      .where(col("na") > 0 && col("nb") > 0)
       .withColumn("gap2", (round(
         (col("cuma").cast("double") / col("na")
           - col("cumb").cast("double") / col("nb"))
@@ -294,6 +301,8 @@ object Drift {
         .cast("decimal(38,12)")).over(whole).cast("double"))
       .withColumn("tsb", sum(s12(col("cb") * col("value"))
         .cast("decimal(38,12)")).over(whole).cast("double"))
+      // empty-phase series excluded — same contract as ksFromCounts
+      .where(col("na") > 0 && col("nb") > 0)
     base
       .withColumn("xy", contrib("ca", "cumb", "cumsb", "nb", "tsb"))
       .withColumn("xx", contrib("ca", "cuma", "cumsa", "na", "tsa"))

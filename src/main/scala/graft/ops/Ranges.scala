@@ -1201,6 +1201,10 @@ object Ranges {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("s1"),
         sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
+      // single-reading series have no sample sd: excluded from the panel
+      // rather than crashing the (n−1) divide (round-10 fuzz finding;
+      // same contract as StatTests.detectorFlags)
+      .where(col("n") >= 2)
       .withColumn("m", col("s1").cast("double") / col("n"))
       .withColumn("sd", sqrt(
         (col("s2").cast("double") - col("n") * col("m") * col("m"))

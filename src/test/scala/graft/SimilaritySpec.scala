@@ -280,4 +280,32 @@ class SimilaritySpec extends SparkSpec {
     assert(m(1).getAs[Double]("mean_silhouette") > 0.8)
     assert(m(0).getAs[Long]("n_misplaced") == 1)
   }
+
+  test("graph-ANN beam search recovers a planted tight cluster's neighbors") {
+    // two antipodal tight clusters, 64-d: every SRP sign bit agrees within
+    // a cluster, so the LSH graph is near-complete inside each and the
+    // beam walk from hub entries must recover the exact within-cluster
+    // top-5 for probes 0..9 (all in cluster A)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(scale: Float) =
+      base.map(x => x + (rnd.nextGaussian() * scale).toFloat)
+    val a = (0L until 20L).map(i => (i, jitter(0.02f), 0))
+    val b = (20L until 40L).map(i =>
+      (i, jitter(0.02f).map(x => -x), 1))
+    val emb = (a ++ b).toDF("vec_id", "embedding", "label")
+    val out = Similarity.graphAnnRecall(emb).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    assert(out.keySet === (0L until 10L).toSet)
+    val mean = out.values.sum / out.size
+    assert(mean >= 0.6, s"mean recall $mean over $out")
+    // sweep: one row per beam width, full probe coverage, and at the
+    // planted geometry the widest beam must do at least as well
+    val sw = Similarity.graphAnnBeamSweep(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Double]("mean_recall")))
+      .toMap
+    assert(sw.keySet === Set(4, 8, 16))
+    assert(sw.values.forall(_._1 == 10L))
+    assert(sw(16)._2 >= sw(4)._2 - 1e-9)
+  }
 }
