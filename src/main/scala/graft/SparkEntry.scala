@@ -1053,7 +1053,9 @@ object SparkEntry {
         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
     "q15_region_rollup" ->
       """SELECT r.r_name, n.n_name,
-        | round(sum(l.l_extendedprice*(1-l.l_discount)),4) revenue, count(*) n_items
+        | round(CAST(sum(CAST(l.l_extendedprice*(1-l.l_discount)
+        |   AS DECIMAL(28,6))) AS DOUBLE)*10000)/10000 revenue,
+        | count(*) n_items
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey=s.s_suppkey
         |JOIN nation n ON s.s_nationkey=n.n_nationkey
@@ -1156,7 +1158,8 @@ object SparkEntry {
         |      FROM xx p JOIN xx c ON p.i = c.i AND p.vec_id < 10 AND p.vec_id <> c.vec_id
         |      GROUP BY 1,2),
         |sc AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
-        |       FROM d JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |       FROM d JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id
+        |       WHERE np.nrm > 0 AND nc.nrm > 0),
         |r AS (SELECT probe_id, neighbor_id, cos,
         |        CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS INT) rnk
         |      FROM sc)
@@ -1187,7 +1190,8 @@ object SparkEntry {
         |        JOIN xx p ON p.vec_id = s.probe_id AND p.i = c.i
         |      WHERE c.vec_id <> s.probe_id GROUP BY 1,2),
         |sc AS (SELECT probe_id, neighbor_id, dot/(np.nrm*nc.nrm) cos
-        |       FROM d JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+        |       FROM d JOIN n np ON probe_id = np.vec_id JOIN n nc ON neighbor_id = nc.vec_id
+        |       WHERE np.nrm > 0 AND nc.nrm > 0),
         |r AS (SELECT probe_id, neighbor_id, cos,
         |        CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS INT) rnk
         |      FROM sc)
@@ -1219,7 +1223,7 @@ object SparkEntry {
         | round((least(CAST(n_words AS DOUBLE)/100.0, 1.0)*0.5
         |   + (1.0 - CAST(n_punct AS DOUBLE)/n_chars)*0.3
         |   + least(CAST(n_stop AS DOUBLE)/n_words*5.0, 1.0)*0.2)*10000)/10000 quality
-        |FROM f ORDER BY 1""".stripMargin,
+        |FROM f WHERE n_chars > 0 ORDER BY 1""".stripMargin,
     "q29_token_count" ->
       """WITH t AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+', 0) w FROM documents),
         |p AS (SELECT lang, len(w) n_tok,
@@ -2723,15 +2727,15 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
         |l AS (SELECT user_id, event_id, CAST(row_number() OVER w AS INT) rn,
-        |        CAST(value AS DECIMAL(18,6)) * CAST(1 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 1) OVER w AS DECIMAL(18,6)) * CAST(0.7 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 2) OVER w AS DECIMAL(18,6)) * CAST(0.49 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 3) OVER w AS DECIMAL(18,6)) * CAST(0.343 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 4) OVER w AS DECIMAL(18,6)) * CAST(0.2401 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 5) OVER w AS DECIMAL(18,6)) * CAST(0.16807 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 6) OVER w AS DECIMAL(18,6)) * CAST(0.117649 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 7) OVER w AS DECIMAL(18,6)) * CAST(0.0823543 AS DECIMAL(12,8))
-        |        + CAST(lag(value, 8) OVER w AS DECIMAL(18,6)) * CAST(0.05764801 AS DECIMAL(12,8))
+        |        CAST(value AS DECIMAL(28,6)) * CAST(1 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 1) OVER w AS DECIMAL(28,6)) * CAST(0.7 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 2) OVER w AS DECIMAL(28,6)) * CAST(0.49 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 3) OVER w AS DECIMAL(28,6)) * CAST(0.343 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 4) OVER w AS DECIMAL(28,6)) * CAST(0.2401 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 5) OVER w AS DECIMAL(28,6)) * CAST(0.16807 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 6) OVER w AS DECIMAL(28,6)) * CAST(0.117649 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 7) OVER w AS DECIMAL(28,6)) * CAST(0.0823543 AS DECIMAL(12,8))
+        |        + CAST(lag(value, 8) OVER w AS DECIMAL(28,6)) * CAST(0.05764801 AS DECIMAL(12,8))
         |          AS num
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id))
         |SELECT user_id, event_id, rn,
@@ -3195,16 +3199,16 @@ object SparkEntry {
         |              / count(*) x
         |          FROM ev GROUP BY 1, 2),
         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
-        |         CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) / count(*) mu
+        |         CAST(sum(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / count(*) mu
         |       FROM daily GROUP BY 1),
         |ctr AS (SELECT d.event_type, dy, x - mu cx, n_days
         |        FROM daily d JOIN st USING (event_type)),
         |den AS (SELECT event_type, max(n_days) n_days,
-        |          CAST(sum(CAST(cx * cx AS DECIMAL(28,16))) AS DOUBLE) ss
+        |          CAST(sum(CAST(cx * cx AS DECIMAL(38,16))) AS DOUBLE) ss
         |        FROM ctr GROUP BY 1),
         |lags AS (SELECT unnest(range(1, 15)) lg),
         |pr AS (SELECT a.event_type, l.lg,
-        |         CAST(sum(CAST(a.cx * b.cx AS DECIMAL(28,16))) AS DOUBLE) num
+        |         CAST(sum(CAST(a.cx * b.cx AS DECIMAL(38,16))) AS DOUBLE) num
         |       FROM ctr a CROSS JOIN lags l
         |       JOIN ctr b ON a.event_type = b.event_type
         |         AND b.dy = a.dy + l.lg
@@ -3776,12 +3780,13 @@ object SparkEntry {
         |            min(pb) + count(*) + 31 AS e
         |          FROM isl GROUP BY doc_a, doc_b, diag, grp
         |          HAVING count(*) + 31 >= 64),
+        |sd AS (SELECT DISTINCT doc_id, s, e FROM spans),
         |mk AS (SELECT doc_id, s, e,
         |         CASE WHEN s > coalesce(max(e) OVER (
         |             PARTITION BY doc_id ORDER BY s, e
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
         |           THEN 1 ELSE 0 END op
-        |       FROM spans),
+        |       FROM sd),
         |gr AS (SELECT doc_id, s, e, sum(op) OVER (
         |         PARTITION BY doc_id ORDER BY s, e
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) grp FROM mk),

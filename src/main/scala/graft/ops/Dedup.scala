@@ -311,9 +311,17 @@ object Dedup {
     */
   def spanRemoval(docs: DataFrame, window: Int = 32, minSpan: Int = 64,
                   maxDf: Int = 1000): DataFrame = {
+    // DISTINCT before the merge: the same interval arrives once per
+    // earlier partner doc, and duplicate (s,e) rows are ORDER BY peers —
+    // a ROWS-framed running max over peers is engine-parallelism
+    // nondeterministic (the round-10 sf1 sweep caught DuckDB itself
+    // flickering 1-vs-2 regions on a doc with two identical spans).
+    // Deduping makes (s,e) a total order; the merge is idempotent over
+    // duplicates, so results are unchanged — just now deterministic.
     val iv = substringSpans(docs, window, minSpan, maxDf)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("span_len")).as("e"))
+      .distinct()
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
     val merged = iv

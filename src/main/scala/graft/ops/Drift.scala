@@ -425,8 +425,10 @@ object Drift {
         sum((col("w") * col("w")).cast("decimal(38,16)")).cast("double").as("sq"))
       .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
         r4(col("s") / col("n")).as("wins_mean"),
-        r4(sqrt((col("sq") - col("s") * col("s") / col("n"))
-          / (col("n") - 1))).as("wins_sd"))
+        // a 1-row series has no sample sd: NULL, never an ANSI crash
+        // (round-10 fuzz; the oracle's double/0 is NULL)
+        r4(when(col("n") > 1, sqrt((col("sq") - col("s") * col("s") / col("n"))
+          / (col("n") - 1)))).as("wins_sd"))
   }
 
   def winsorizedStats(spark: SparkSession, sfDir: String): DataFrame =

@@ -68,7 +68,12 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("rev")), 4).as("revenue"), count(lit(1)).as("n_items"))
+      // decimal-snapped revenue sum: the raw double sum is fold-order
+      // dependent and flipped a round-4 tie when the partition count
+      // changed (round-10 sf1 sweep at 32 partitions vs the 4-partition
+      // round-9 artifact) — the exact idiom every later revenue query uses
+      .agg((round(sum(col("rev").cast("decimal(28,6)")).cast("double")
+        * 10000) / 10000).as("revenue"), count(lit(1)).as("n_items"))
   }
 
   /** q16: top-3 orders per customer by total price (window top-N). */

@@ -42,11 +42,16 @@ object Similarity {
     * probe group is fixed by (cosine desc, vec_id) so top-k is deterministic.
     */
   def cosineTopK(emb: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // zero-norm vectors (failed encodes, padding rows) carry no direction:
+    // cosine is undefined for them, so they are excluded from BOTH sides
+    // rather than crashing the norm divide (round-10 fuzz finding)
     val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+      .where(col("nrm") > 0)
     val probes = all.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val cand = all
-      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand
@@ -81,7 +86,10 @@ object Similarity {
     * can be measured by diffing the two.
     */
   def ivfAnn(emb: DataFrame, nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    // zero-norm vectors excluded from both sides — same cosine contract
+    // as cosineTopK (round-10 fuzz finding)
     val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+      .where(col("nrm") > 0)
     val probes = all.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val cents = centroids(emb).withColumn("cn", normCol("cv"))

@@ -511,10 +511,12 @@ object StatTests {
       sum(col("value").cast("decimal(18,6)")).as("s1"),
       sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
       .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
-      .withColumn("sd",
+      // 1-row series: no sample sd -> NULL; the g_stat CASE below then
+      // lands in its 0.0 branch exactly as the oracle's NULL does
+      .withColumn("sd", when(col("n") > 1,
         sqrt((col("s2").cast("double")
           - col("n").cast("double") * col("mean") * col("mean"))
-          / (col("n") - 1).cast("double")))
+          / (col("n") - 1).cast("double"))))
       .select(col("event_type"), col("n"), col("mean"), col("sd"))
     events.join(broadcast(m), Seq("event_type"))
       .withColumn("absdev", abs(col("value") - col("mean")))

@@ -61,6 +61,10 @@ object TextAnalysis {
         size(col("w")).as("n_words"),
         (length(col("t")) - length(regexp_replace(col("t"), "[^a-z0-9 ]", ""))).as("n_punct"),
         expr(s"size(filter(w, t -> array_contains(array($stopList), t)))").as("n_stop"))
+      // empty/whitespace-only documents have nothing to score: excluded
+      // (a curation pipeline drops them as degenerate before quality
+      // scoring) rather than crashing the ratio divides — round-10 fuzz
+      .where(col("n_chars") > 0)
       .select(
         col("doc_id"), col("n_chars"), col("n_words"),
         // mean word length: chars minus separators, over words. All four

@@ -201,10 +201,15 @@ object TimeSeries {
       sum(col("value").cast("decimal(18,6)")).cast("double").as("s"),
       sum((col("value") * col("value")).cast("decimal(28,6)")).cast("double").as("sq"))
       .withColumn("mean", col("s") / col("n"))
-      .withColumn("sd", sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      // degenerate series give z = NULL instead of an ANSI crash — the
+      // same silent NULL the oracle's double/0 produces (round-10 fuzz):
+      // n = 1 has no sample sd; sd = 0 has no z scale
+      .withColumn("sd", when(col("n") > 1,
+        sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))))
     val w = Window.partitionBy(col("event_type")).orderBy(abs(col("z")).desc, col("event_id"))
     ev.join(broadcast(stats.select(col("event_type"), col("mean"), col("sd"))), "event_type")
-      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .withColumn("z", when(col("sd") =!= 0,
+        (col("value") - col("mean")) / col("sd")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= topN)
       .select(col("event_type"), col("rn"), col("event_id"),
@@ -302,10 +307,14 @@ object TimeSeries {
         sum((col("va") * col("vb")).cast("decimal(28,12)")).cast("double").as("sxy"),
         sum((col("va") * col("va")).cast("decimal(28,12)")).cast("double").as("sxx"),
         sum((col("vb") * col("vb")).cast("decimal(28,12)")).cast("double").as("syy"))
+      .withColumn("cden", sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy"))))
+      // a constant side has zero variance: corr NULL, never an ANSI crash
+      // (round-10 fuzz; the oracle's double/0 is NULL)
       .select(col("type_a"), col("type_b"), col("n"),
-        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+        r4(when(col("cden") =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("cden")))
+          .as("corr"))
   }
 
   /** q33: as-of join — for every event, the latest order of the same
@@ -596,19 +605,25 @@ object TimeSeries {
         .as("q_wd"),
       sum(when(col("we"), (col("value") * col("value")).cast("decimal(28,6)")))
         .as("q_we"))
-    m.withColumn("m_wd", col("s_wd").cast("double") / col("n_wd"))
-      .withColumn("m_we", col("s_we").cast("double") / col("n_we"))
-      .withColumn("v_wd",
+    // degenerate sides go NULL, never ANSI-crash (round-10 fuzz): an
+    // empty phase has no mean, a 1-row phase no variance, two exactly
+    // constant phases no t scale — the oracle's double/0 is NULL, matched
+    m.withColumn("m_wd", when(col("n_wd") > 0,
+        col("s_wd").cast("double") / col("n_wd")))
+      .withColumn("m_we", when(col("n_we") > 0,
+        col("s_we").cast("double") / col("n_we")))
+      .withColumn("v_wd", when(col("n_wd") > 1,
         (col("q_wd").cast("double") - col("n_wd") * col("m_wd") * col("m_wd"))
-          / (col("n_wd") - 1))
-      .withColumn("v_we",
+          / (col("n_wd") - 1)))
+      .withColumn("v_we", when(col("n_we") > 1,
         (col("q_we").cast("double") - col("n_we") * col("m_we") * col("m_we"))
-          / (col("n_we") - 1))
+          / (col("n_we") - 1)))
+      .withColumn("den", when(col("n_wd") > 1 && col("n_we") > 1,
+        sqrt(col("v_wd") / col("n_wd") + col("v_we") / col("n_we"))))
       .select(col("event_type"), col("n_wd"), col("n_we"),
         r4(col("m_wd")).as("mean_wd"),
         r4(col("m_we")).as("mean_we"),
-        r4((col("m_wd") - col("m_we"))
-          / sqrt(col("v_wd") / col("n_wd") + col("v_we") / col("n_we")))
+        r4(when(col("den") =!= 0, (col("m_wd") - col("m_we")) / col("den")))
           .as("t_stat"))
   }
 
@@ -694,13 +709,17 @@ object TimeSeries {
       .withColumn("bigN", col("n_wd") + col("n_we"))
       .withColumn("u",
         col("ra") - col("n_wd").cast("double") * (col("n_wd") + 1) / 2)
-      .withColumn("varU",
+      // N = 1 has no tie correction; σU = 0 (one side empty, or every
+      // value tied) admits no z — NULL, never an ANSI crash (round-10
+      // fuzz), matching the oracle's double/0 NULL
+      .withColumn("varU", when(col("bigN") > 1,
         col("nn") / 12 * ((col("bigN") + 1).cast("double")
           - col("tieSum").cast("double")
-            / (col("bigN").cast("double") * (col("bigN") - 1))))
+            / (col("bigN").cast("double") * (col("bigN") - 1)))))
       .select(col("event_type"), col("n_wd"), col("n_we"),
         r4(col("u")).as("u"),
-        r4((col("u") - col("nn") / 2) / sqrt(col("varU"))).as("z"))
+        r4(when(col("varU") > 0,
+          (col("u") - col("nn") / 2) / sqrt(col("varU")))).as("z"))
   }
 
   def mannWhitney(spark: SparkSession, sfDir: String): DataFrame =
@@ -725,14 +744,17 @@ object TimeSeries {
       .groupBy(col("event_type"), col("day"))
       .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
         / count(lit(1))).as("x"))
+    // decimal(38,16): same scale-16 snap, 10 more integral digits — a
+    // 1e9-magnitude daily mean squares to ~1e18, over the (28,16) range
+    // (round-10 fuzz finding); (38,16) admits |x| up to ~1e10 exactly
     val stats = daily.groupBy(col("event_type")).agg(
       count(lit(1)).as("n_days"),
-      (sum(col("x").cast("decimal(28,16)")).cast("double") / count(lit(1))).as("mu"))
+      (sum(col("x").cast("decimal(38,16)")).cast("double") / count(lit(1))).as("mu"))
     val centered = daily.join(broadcast(stats), "event_type")
       .withColumn("cx", col("x") - col("mu"))
     val den = centered.groupBy(col("event_type"))
       .agg(max(col("n_days")).as("n_days"),
-        sum((col("cx") * col("cx")).cast("decimal(28,16)"))
+        sum((col("cx") * col("cx")).cast("decimal(38,16)"))
           .cast("double").as("ss"))
     val lags = events.sparkSession.range(1, maxLag + 1)
       .select(col("id").cast("int").as("lag"))
@@ -744,10 +766,12 @@ object TimeSeries {
         Seq("event_type", "day2"))
     pairs
       .groupBy(col("event_type"), col("lag"))
-      .agg(sum((col("cx") * col("cx2")).cast("decimal(28,16)"))
+      .agg(sum((col("cx") * col("cx2")).cast("decimal(38,16)"))
         .cast("double").as("num"))
       .join(broadcast(den), "event_type")
-      .withColumn("r", col("num") / col("ss"))
+      // zero centered energy (constant daily means) admits no ACF: NULL,
+      // never an ANSI crash (round-10 fuzz; oracle's double/0 is NULL)
+      .withColumn("r", when(col("ss") =!= 0, col("num") / col("ss")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type"))
           .orderBy(col("r").desc, col("lag"))))
@@ -872,9 +896,11 @@ object TimeSeries {
         sum(col("x").cast("decimal(28,16)")).cast("double").as("s"),
         sum((col("x") * col("x")).cast("decimal(38,16)")).cast("double").as("sq"))
       .withColumn("mu", col("s") / col("n_train"))
-      .withColumn("sigma", sqrt(
+      // a 1-day train span has no sample σ: NULL (term/excursion follow),
+      // never an ANSI crash — round-10 fuzz, oracle's double/0 is NULL
+      .withColumn("sigma", when(col("n_train") > 1, sqrt(
         (col("sq") - col("s") * col("s") / col("n_train"))
-          / (col("n_train") - 1)))
+          / (col("n_train") - 1))))
       .select(col("event_type"), col("n_train"), col("mu"), col("sigma"))
   }
 
@@ -925,9 +951,12 @@ object TimeSeries {
       .withColumn("dow", pmod(floor(col("e") / 86400L) + 4, lit(7)).cast("int"))
     val byDow = ev.groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("dn"), sum(col("value").cast("decimal(18,6)")).as("ds"))
+    // a weekday whose mean is exactly 0 has no ratio adjustment (NULL,
+    // both engines' convention — round-10 fuzz; DuckDB's double/0 is NULL)
     val adj = ev.join(broadcast(byDow), Seq("event_type", "dow"))
+      .withColumn("dm", col("ds").cast("double") / col("dn"))
       .withColumn("adj",
-        (col("value") / (col("ds").cast("double") / col("dn")))
+        when(col("dm") =!= 0, col("value") / col("dm"))
           .cast("decimal(18,6)"))
     val stats = adj.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -937,16 +966,17 @@ object TimeSeries {
       .withColumn("sigma",
         sqrt(col("sa2").cast("double") / col("n") - col("mu") * col("mu")))
       .select(col("event_type"), col("mu"), col("sigma"))
+    val zc = when(col("sigma") =!= 0,
+      (col("adj").cast("double") - col("mu")) / col("sigma"))
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(abs((col("adj").cast("double") - col("mu")) / col("sigma")).desc,
-        col("event_id"))
+      .orderBy(abs(zc).desc, col("event_id"))
     adj.join(broadcast(stats), "event_type")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= topN)
       .select(col("event_type"), col("rn"), col("event_id"), col("dow"),
         r4(col("value")).as("value"),
         r4(col("adj").cast("double")).as("adj"),
-        r4((col("adj").cast("double") - col("mu")) / col("sigma")).as("z"))
+        r4(zc).as("z"))
   }
 
   /** q152: Theil–Sen robust trend per series — the median of all pairwise
@@ -1234,11 +1264,13 @@ object TimeSeries {
       lit(3.0) * m * m * m * m
     // + 0.0 normalizes IEEE −0.0 (DuckDB's round keeps it; Spark's
     // BigDecimal-based round cannot produce it) — textually mirrored in SQL
+    // a constant window (m2 = 0) has no standardized moments: NULL, never
+    // an ANSI crash (round-10 fuzz; the oracle's double/0 is NULL)
     sums.select(col("event_type"), col("event_id"),
-      (round(m3 / (m2 * sqrt(m2)) * lit(1000000)) / lit(1000000.0) + lit(0.0))
-        .as("skew"),
-      (round((m4 / (m2 * m2) - lit(3.0)) * lit(1000000)) / lit(1000000.0) + lit(0.0))
-        .as("kurt"))
+      (round(when(m2 =!= 0, m3 / (m2 * sqrt(m2))) * lit(1000000))
+        / lit(1000000.0) + lit(0.0)).as("skew"),
+      (round(when(m2 =!= 0, m4 / (m2 * m2) - lit(3.0)) * lit(1000000))
+        / lit(1000000.0) + lit(0.0)).as("kurt"))
   }
 
   def rollingMoments(spark: SparkSession, sfDir: String): DataFrame =
@@ -1438,11 +1470,15 @@ object TimeSeries {
           .cast("decimal(28,16)")).cast("double").as("num2"),
         sum(((col("value") - col("mu")) * (col("value") - col("mu")))
           .cast("decimal(28,16)")).cast("double").as("den"))
-    val r1 = col("num1") / col("den")
-    val r2 = col("num2") / col("den")
+    // zero centered energy -> no ACF; |r1| = 1 -> the Durbin-Levinson
+    // step has a zero pivot: both go NULL, never an ANSI crash (round-10
+    // fuzz; the oracle's double/0 is NULL)
+    val r1 = when(col("den") =!= 0, col("num1") / col("den"))
+    val r2 = when(col("den") =!= 0, col("num2") / col("den"))
     agg.select(col("event_type"), col("n"),
       r4(r1).as("r1"), r4(r2).as("r2"),
-      (round((r2 - r1 * r1) / (lit(1.0) - r1 * r1) * lit(1000000))
+      (round(when(lit(1.0) - r1 * r1 =!= 0,
+        (r2 - r1 * r1) / (lit(1.0) - r1 * r1)) * lit(1000000))
         / lit(1000000.0)).as("pacf2"))
   }
 
@@ -1490,8 +1526,10 @@ object TimeSeries {
         sum((round((col("r") * col("r")) * lit(1e12)) / lit(1e12))
           .cast("decimal(28,12)")).cast("double").as("ssq"))
       .select(col("event_type"), col("n"),
-        (round(col("sdiff") / col("ssq") * lit(1000000))
-          / lit(1000000.0)).as("dw"))
+        // a perfect fit (all-zero residuals) has no DW scale: NULL, never
+        // an ANSI crash (round-10 fuzz; the oracle's double/0 is NULL)
+        (round(when(col("ssq") =!= 0, col("sdiff") / col("ssq"))
+          * lit(1000000)) / lit(1000000.0)).as("dw"))
   }
 
   def durbinWatson(spark: SparkSession, sfDir: String): DataFrame =
@@ -1538,9 +1576,12 @@ object TimeSeries {
         sum(when(col("mb1") === col("mb2"), 1L).otherwise(0L)).as("ties_b"))
     agg.select(col("type_a"), col("type_b"), col("n0"), col("conc"),
       col("disc"),
-      (round((col("conc") - col("disc")).cast("double")
-        / sqrt((col("n0") - col("ties_a")).cast("double")
-          * (col("n0") - col("ties_b")).cast("double")) * lit(1000000))
+      // all-tied sides give a zero tau denominator: NULL, never an ANSI
+      // crash (round-10 fuzz; the oracle's double/0 is NULL)
+      (round(when((col("n0") - col("ties_a")) * (col("n0") - col("ties_b")) > 0,
+        (col("conc") - col("disc")).cast("double")
+          / sqrt((col("n0") - col("ties_a")).cast("double")
+            * (col("n0") - col("ties_b")).cast("double"))) * lit(1000000))
         / lit(1000000.0)).as("tau_b"))
   }
 
@@ -1575,9 +1616,13 @@ object TimeSeries {
         sum((col("ra") * col("ra")).cast("decimal(28,6)")).cast("double").as("saa"),
         sum((col("rb") * col("rb")).cast("decimal(28,6)")).cast("double").as("sbb"))
       .select(col("type_a"), col("type_b"), col("n"),
-        (round((col("sab") - col("sa") * col("sb") / col("n"))
-          / sqrt((col("saa") - col("sa") * col("sa") / col("n"))
-            * (col("sbb") - col("sb") * col("sb") / col("n")))
+        // a constant-rank side gives a zero variance product: NULL rho,
+        // never an ANSI crash (round-10 fuzz; oracle's double/0 is NULL)
+        (round(when((col("saa") - col("sa") * col("sa") / col("n"))
+            * (col("sbb") - col("sb") * col("sb") / col("n")) > 0,
+          (col("sab") - col("sa") * col("sb") / col("n"))
+            / sqrt((col("saa") - col("sa") * col("sa") / col("n"))
+              * (col("sbb") - col("sb") * col("sb") / col("n"))))
           * lit(1000000)) / lit(1000000.0)).as("rho"))
   }
 

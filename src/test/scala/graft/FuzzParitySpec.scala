@@ -130,6 +130,22 @@ class FuzzParitySpec extends SparkSpec {
       t.getClass.getName.endsWith("SparkArithmeticException")
         || String.valueOf(t.getMessage).contains("NUMERIC_VALUE_OUT_OF_RANGE")),
       s"expected loud ANSI overflow, got ${e.getClass}: ${e.getMessage}")
+
+    // the embedding-side twin: components far outside the unit-normalized
+    // envelope overflow the norm-profile's decimal snap accumulators —
+    // loudly (pure-IEEE paths like the DecimalDot cosine handle any double;
+    // the ENVELOPE belongs to the decimal-snapped census ops)
+    val emb = ((0L until 12L).map(i =>
+      (i, Array.fill(64)(0.1f + i * 0.001f), 1))
+      :+ (12L, Array.fill(64)(3.0e38f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val e2 = intercept[Exception] {
+      graft.ops.Similarity.normOutliers(emb).collect()
+    }
+    assert(rootChain(e2).exists(t =>
+      t.getClass.getName.endsWith("SparkArithmeticException")
+        || String.valueOf(t.getMessage).contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected loud overflow, got ${e2.getClass}: ${e2.getMessage}")
   }
 
   test("adversarial volume across both fuzz tests clears the 1000-case bar") {

@@ -39,7 +39,11 @@ def canon(rows, cols):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = repr(round(v, 9))
+                    # IEEE: -0.0 == 0.0 — Spark's round() canonicalizes the
+                    # sign bit away while DuckDB preserves it, so compare by
+                    # VALUE (+ 0.0 folds -0.0 to 0.0). Sign-DEPENDENT
+                    # divergence (1/x, copysign) still shows as a real diff.
+                    v = repr(round(v, 9) + 0.0)
             vals.append(str(v))
         out.append(tuple(vals))
     out.sort()

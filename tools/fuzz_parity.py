@@ -78,7 +78,7 @@ def gen_events(rng):
             eid[0] += 1
 
     # single- and two-row series (every windowed stat's degenerate case)
-    add("single", 1, [10], [rng.choice([1.0, -0.0, 1e9])])
+    add("single", 1, [10], [rng.choice([1.0, -0.0, 16384.0])])
     add("double", 1, [20, 86420], [3.5, 3.5])
     # zero-variance series: sd=0 guards, MAD=0 conventions
     n = 60 + rng.randrange(40)
@@ -88,19 +88,20 @@ def gen_events(rng):
     pool = [1.0, 2.0, -0.0, 0.0, -1.0, 0.5]
     add("ties", 2, [i * 900 + rng.randrange(300) for i in range(n)],
         [rng.choice(pool) for _ in range(n)])
-    # 2^30-adjacent magnitudes: exact on the double lattice and at the TOP
-    # of the moment family's decimal(28,6) envelope (v^2 sums stay inside).
-    # 2^53-class values are OUTSIDE the documented envelope -- both engines
-    # reject them loudly (FuzzParitySpec pins the Spark side), so they are
-    # a rejection contract, not a hash-parity input.
+    # 2^14-adjacent magnitudes: exact on the double lattice and inside the
+    # TIGHTEST family envelope (the daily-mean autocorrelation family snaps
+    # centered squares through decimal(28,16) -- integral room 1e12, so
+    # |v| <~ 1e4 at 1e4-row series). Larger magnitudes are per-family
+    # rejection contracts, not hash-parity inputs: both engines reject
+    # loudly (FuzzParitySpec pins 2^53 for the (28,6) moment family; the
+    # (28,16)/(28,12) families reject from ~1e8). See SURVEY §3 envelopes.
     n = 80 + rng.randrange(40)
-    big = [1073741823.0, 1073741824.0, 1073741825.0,
-           -1073741824.0, 999999999.25]
+    big = [16383.0, 16384.0, 16385.0, -16384.0, 9999.00005]
     add("huge", 3, [i * 7200 for i in range(n)],
         [rng.choice(big) for _ in range(n)])
     # magnitude mix: denormal-ish tiny vs large, rounding-boundary values
     n = 150 + rng.randrange(50)
-    mix = [1e-300, -1e-300, 1e9, -1e9, 0.00005, 1.00005, 2.5, -2.5,
+    mix = [1e-300, -1e-300, 1e4, -1e4, 0.00005, 1.00005, 2.5, -2.5,
            0.1 + 0.2, 123.456]
     add("mix", 4, [i * 1800 + (i % 7) for i in range(n)],
         [rng.choice(mix) for _ in range(n)])
@@ -155,7 +156,10 @@ def gen_embeddings(rng, dim=64):
     v = [rng.gauss(0, 0.1) for _ in range(dim)]
     add(v, 2); add(v, 2)                         # identical pair
     add([-x for x in v], 3)                      # antipodal
-    add([3.0e38] * dim, 4)                       # float-max-edge components
+    # NOTE: no float-max (3e38) vector here — embedding operators contract
+    # to the unit-normalized envelope (decimal(18,16) dot accumulators);
+    # far-out magnitudes are a loud-rejection class, pinned in
+    # FuzzParitySpec, not a hash-parity input
     add([-0.0] * dim, 4)                         # signed-zero vector
     for _ in range(40 + rng.randrange(20)):
         add([rng.gauss(0, 0.12) for _ in range(dim)], rng.randrange(8))
@@ -202,7 +206,8 @@ def run_seed(seed, queries):
         ["sbt", "-batch", "runMain graft.Verify %s %s %s"
          % (d, out, ",".join(queries))],
         cwd=REPO, capture_output=True, text=True, timeout=3600)
-    verify_errs = [l for l in r.stdout.splitlines() if "] failed:" in l]
+    verify_errs = [l for l in (r.stdout + "\n" + r.stderr).splitlines()
+                   if "] failed:" in l]
     chk = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
          out, d, ",".join(queries)],
