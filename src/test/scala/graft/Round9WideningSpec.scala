@@ -253,9 +253,13 @@ class Round9WideningSpec extends SparkSpec {
   }
 
   test("phashPairs: byte-identical assets collide on all 4 bands at distance 0") {
-    val txt = "same exact payload bytes"
+    // payloads must clear the 72-byte dHash grid floor (round-10 real hash)
+    val txt = "same exact payload bytes repeated across the full difference " +
+      "hash grid width"
+    assert(txt.length >= 72)
     val docs = Seq((0L, txt, "en", "s0"), (1L, txt, "en", "s0"),
-      (2L, "completely different content here", "en", "s0"))
+      (2L, "completely different content here keeping well over the " +
+        "seventy two character grid floor", "en", "s0"))
       .toDF("doc_id", "text", "lang", "source")
     val rows = graft.ops.Multimodal.phashPairs(docs)
       .select("n_shared_bands", "n_candidates", "n_within_radius",
