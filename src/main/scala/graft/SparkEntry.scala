@@ -2844,7 +2844,9 @@ object SparkEntry {
         |        FROM ev JOIN bd ON ev.event_type = bd.event_type
         |          AND ev.dow = bd.dow),
         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
-        |         sum(adj) sa, sum(adj * adj) sa2 FROM adj GROUP BY 1),
+        |         sum(adj) sa,
+        |         sum(CAST(adj AS DECIMAL(28,6)) * adj) sa2
+        |       FROM adj GROUP BY 1),
         |st2 AS (SELECT event_type, CAST(sa AS DOUBLE) / n mu,
         |          sqrt(CAST(sa2 AS DOUBLE) / n
         |            - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n)) sigma
