@@ -12447,7 +12447,7 @@ object SparkEntry {
        |prs AS (SELECT vec_a, vec_b, round(dot/(na.nrm*nb.nrm), 6) cosine
        |  FROM dp JOIN n na ON vec_a = na.vec_id
        |    JOIN n nb ON vec_b = nb.vec_id
-       |  WHERE dot/(na.nrm*nb.nrm) >= -1.0),
+       |  WHERE na.nrm > 0 AND nb.nrm > 0),
        |sym AS (SELECT vec_a v, vec_b o, cosine FROM prs
        |  UNION ALL SELECT vec_b, vec_a, cosine FROM prs),
        |adj AS MATERIALIZED (SELECT v, o FROM (SELECT v, o,
@@ -12461,7 +12461,7 @@ object SparkEntry {
        |  FROM xx a JOIN xx b ON a.d = b.d
        |  JOIN n na ON na.vec_id = a.vec_id
        |  JOIN n nb ON nb.vec_id = b.vec_id
-       |  WHERE a.vec_id < 10
+       |  WHERE a.vec_id < 10 AND na.nrm > 0 AND nb.nrm > 0
        |  GROUP BY 1, 2, na.nrm, nb.nrm),
        |truth AS (SELECT probe_id, cand FROM (SELECT probe_id, cand,
        |    row_number() OVER (PARTITION BY probe_id

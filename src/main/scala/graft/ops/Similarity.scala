@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.DecimalDot
 
@@ -22,6 +23,19 @@ import graft.functions.DecimalDot
   * and identical to the DuckDB oracle's decimal sums.
   */
 object Similarity {
+
+  /** Checkpoint CORPUS-SIZED iterative-training state to disk, never heap.
+    * The sf100 rehearsal (BASELINE_sf100.md) pinned the failure mode: PQ
+    * training pins several corpus×d exploded tables as MEMORY_AND_DISK
+    * checkpoint blocks, and at the ≤31 GiB compressed-oops executor
+    * ceiling those blocks starve the very broadcast builds the joins
+    * need ("Not enough memory to build and broadcast" at 8 GiB heap).
+    * Heap is the scarce resource at scale; disk is not — so anything
+    * O(corpus) pins DISK_ONLY and only O(k)/O(d) state (codebooks,
+    * per-dim stats) keeps the default memory level.
+    */
+  private def diskCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
   /** embedding floats → doubles once, up front. */
   private[ops] def asDoubles(emb: DataFrame): DataFrame =
@@ -314,6 +328,11 @@ object Similarity {
     srpCandidatesAuto(emb, dim, nBands, minBands, targetOccupancy)
       .join(all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
       .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      // zero-norm guard: 0/0 is NaN in Spark and NaN >= anything is TRUE
+      // (Spark ranks NaN above all doubles) while the DuckDB oracle's
+      // double/0 is NULL and filtered by the >= minCos predicate — drop
+      // degenerate pairs explicitly so both engines keep the same set
+      .where(col("na") > 0 && col("nb") > 0)
       .withColumn("cos", dotExpr("va", "vb") / (col("na") * col("nb")))
       .where(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
@@ -513,9 +532,9 @@ object Similarity {
   private[ops] def pqState(emb: DataFrame, m: Int, kCodes: Int,
                            iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val x = asDoubles(emb).select(col("vec_id"), col("v"))
-    val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
-      .withColumn("s", pmod(col("i"), lit(m)))
-      .localCheckpoint()
+    val dims = diskCheckpoint(
+      x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+        .withColumn("s", pmod(col("i"), lit(m))))
     val (cent, codes) = pqTrain(dims, kCodes, iters)
     (dims, cent, codes)
   }
@@ -529,10 +548,10 @@ object Similarity {
     */
   private[ops] def pqTrain(dims: DataFrame, kCodes: Int,
                            iters: Int): (DataFrame, DataFrame) = {
-    val vvs = dims.groupBy(col("vec_id"), col("s"))
-      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
-        .cast("double").as("vv"))
-      .localCheckpoint()
+    val vvs = diskCheckpoint(
+      dims.groupBy(col("vec_id"), col("s"))
+        .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
+          .cast("double").as("vv")))
 
     def assign(cent: DataFrame): DataFrame = {
       val cc = cent.groupBy(col("s"), col("c"))
@@ -564,7 +583,7 @@ object Similarity {
           / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
         .localCheckpoint()
     }
-    (cent, assign(cent).localCheckpoint())
+    (cent, diskCheckpoint(assign(cent)))
   }
 
   def pqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
@@ -708,10 +727,9 @@ object Similarity {
       .localCheckpoint()
     val dims = all.select(col("vec_id"), col("label"),
       posexplode(col("v")).as(Seq("i", "xd")))
-    val rdims = dims.join(centDims, Seq("label", "i"))
+    val rdims = diskCheckpoint(dims.join(centDims, Seq("label", "i"))
       .select(col("vec_id"), pmod(col("i"), lit(m)).as("s"), col("i"),
-        (col("xd") - col("ccd")).as("xd"))
-      .localCheckpoint()
+        (col("xd") - col("ccd")).as("xd")))
     val (cent, codes) = pqTrain(rdims, kCodes, iters)
 
     // probe → nprobe nearest cells by raw-vector cosine (q26's shortlist),
@@ -803,9 +821,8 @@ object Similarity {
     * partition-order-free.
     */
   def kcenterCoreset(emb: DataFrame, t: Int = 6): DataFrame = {
-    val dims = asDoubles(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
-      .localCheckpoint()
+    val dims = diskCheckpoint(asDoubles(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd"))))
     val vv = dims.groupBy(col("vec_id"))
       .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
         .cast("double").as("vv"))
@@ -878,9 +895,8 @@ object Similarity {
     */
   def balancedPq(emb: DataFrame, m: Int = 4, kCodes: Int = 8,
                  iters: Int = 2): DataFrame = {
-    val dims0 = asDoubles(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
-      .localCheckpoint()
+    val dims0 = diskCheckpoint(asDoubles(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd"))))
     val mu = dims0.groupBy(col("i"))
       .agg((sum(col("xd").cast("decimal(28,12)")).cast("double")
         / count(lit(1))).as("mu"))
@@ -899,10 +915,13 @@ object Similarity {
       .localCheckpoint()
     val ivar = dvar.withColumn("s", pmod(col("i"), lit(m)))
 
+    // cheap single-join / pure-projection views of the disk-checkpointed
+    // dims0 — re-deriving them per consumer costs one disk read of dims0,
+    // pinning them would triple the corpus-sized checkpoint footprint
     val bdims = dims0.join(broadcast(alloc.select(col("i"), col("s"))), "i")
-      .select(col("vec_id"), col("s"), col("i"), col("xd")).localCheckpoint()
+      .select(col("vec_id"), col("s"), col("i"), col("xd"))
     val idims = dims0.withColumn("s", pmod(col("i"), lit(m)))
-      .select(col("vec_id"), col("s"), col("i"), col("xd")).localCheckpoint()
+      .select(col("vec_id"), col("s"), col("i"), col("xd"))
     val (_, bcodes) = pqTrain(bdims, kCodes, iters)
     val (_, icodes) = pqTrain(idims, kCodes, iters)
 
@@ -2125,6 +2144,17 @@ object Similarity {
   @volatile private var twoStateMemo
       : Option[(SparkSession, String, Int, PcaTwoState)] = None
 
+  /** Drop the memoized PCA state (and its pinned localCheckpoint blocks
+    * become GC-eligible). Call when the data under a previously-trained
+    * sfDir changes within a session, or from long-lived sessions that
+    * want the executor storage back — the memo itself assumes the
+    * parquet under sfDir is IMMUTABLE for the session's lifetime, the
+    * same contract as every persisted index in this library (IVF,
+    * coreset, PQ codebooks): a mutated-in-place dataset serves stale
+    * projections until this is called.
+    */
+  def pcaTwoStateClear(): Unit = synchronized { twoStateMemo = None }
+
   private def pcaTwoStateShared(spark: SparkSession, sfDir: String,
                                 iters: Int): PcaTwoState = synchronized {
     twoStateMemo match {
@@ -2342,7 +2372,12 @@ object Similarity {
   private def graphAnnState(emb: DataFrame, nProbes: Int, k: Int,
                             degree: Int, nEntries: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // zero-norm guard: a 0-vector's cosine is 0/0 — NaN in Spark (ranks
+    // FIRST under ORDER BY cos DESC) but NULL in the DuckDB oracle
+    // (filtered / sorts last), so truth, adjacency and beam rankings
+    // would diverge cross-engine; both engines drop nrm = 0 vectors
     val all = asDoubles(emb).withColumn("nrm", normCol("v"))
+      .where(col("nrm") > 0)
     val probes = all.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pn"))

@@ -206,11 +206,15 @@ object Sketches {
     val hv = sided.select(col("even"),
       md5(concat(lit("kmv:"), col("sh"))).as("h"))
       .select(col("even"), expr(hexValSql("h", 12)).as("hv"))
-    val wSide = Window.partitionBy(col("even")).orderBy(col("hv"))
-    val sk = hv.withColumn("rk", row_number().over(wSide))
-      .where(col("rk") <= k)
+    // per-side top-k as two TakeOrdered branches (the kmvSketch idiom):
+    // a partitionBy(even) row_number window is a 2-partition sort where
+    // ONE task orders every distinct shingle hash of a whole corpus half
+    // — at 100 TB that single task is the job. orderBy.limit(k) plans as
+    // TakeOrderedAndProject: per-partition heaps of k, k rows merged at
+    // the driver-side plan, nothing global ever sorted.
+    val sk = hv.where(col("even")).orderBy(col("hv")).limit(k)
+      .unionAll(hv.where(!col("even")).orderBy(col("hv")).limit(k))
       .select(col("even"), col("hv"))
-      .localCheckpoint()
     // k smallest of the sketch union; count those present in both sketches
     val wU = Window.orderBy(col("hv"))
     val union = sk.groupBy(col("hv"))

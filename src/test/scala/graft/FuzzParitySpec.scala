@@ -24,6 +24,16 @@ import org.scalacheck.rng.Seed
 class FuzzParitySpec extends SparkSpec {
   import spark.implicits._
 
+  // the shared fuzz volume knobs — every generator test below draws from
+  // these, and the volume-accounting test recomputes its bar from them,
+  // so shrinking either one moves the assertion with it
+  private val FuzzSeeds: Range.Inclusive = 1 to 4
+  private val CountRowsPerSeed = 150
+  private val EventRowsPerSeed = 262 // 260 generated + 2 planted constants
+  // actual rows produced by the generator tests this run (volume test
+  // cross-checks it against the constants when those tests have run)
+  private var generatedCases = 0
+
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
@@ -76,9 +86,10 @@ class FuzzParitySpec extends SparkSpec {
       cb <- Gen.oneOf(0L, 1L, 3L, 999999937L)
     } yield (et, v, ca, cb)
     var cases = 0
-    for (seed <- 1L to 4L) {
-      val raw = sample(Gen.listOfN(150, cntGen), seed)
+    for (seed <- FuzzSeeds.map(_.toLong)) {
+      val raw = sample(Gen.listOfN(CountRowsPerSeed, cntGen), seed)
       cases += raw.size
+      generatedCases += raw.size
       val rows = raw
         .groupBy(r => (r._1, r._2))  // counts tables key on (series, value)
         .map { case ((et, v), g) =>
@@ -93,8 +104,8 @@ class FuzzParitySpec extends SparkSpec {
 
   test("rank and moment statistics are layout-invariant on adversarial " +
        "event series (incl. zero-variance and 1-row series)") {
-    for (seed <- 1L to 4L) {
-      val df = eventsDf(seed, 260)
+    for (seed <- FuzzSeeds.map(_.toLong)) {
+      val df = eventsDf(seed, EventRowsPerSeed - 2)
         // plant a constant series beside the generated ones
         .union(Seq((9000L,
           new java.sql.Timestamp(1704067200000L), 9L, "const", 7.25,
@@ -103,6 +114,7 @@ class FuzzParitySpec extends SparkSpec {
             new java.sql.Timestamp(1704067261000L), 9L, "const", 7.25,
             """{"k": 1}"""))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      generatedCases += df.count().toInt
       orderInvariant("mcnemar", StatTests.mcnemar, df, seed)
       orderInvariant("kendallTau", TimeSeries.kendallTau, df, seed)
       orderInvariant("ksDrift", Drift.ksDrift, df, seed)
@@ -149,9 +161,16 @@ class FuzzParitySpec extends SparkSpec {
   }
 
   test("adversarial volume across both fuzz tests clears the 1000-case bar") {
-    // 4 seeds x 150 count rows + 4 seeds x 262 event rows = 1648 generated
-    // adversarial cases per suite run (the python differential adds ~5800
-    // more per sweep); this test documents the accounting
-    assert(4 * 150 + 4 * 262 >= 1000)
+    // the bar is recomputed from the SAME constants the generator tests
+    // draw from, so shrinking seeds or row counts moves this assertion
+    // with them (the python differential adds ~5800 more per sweep)
+    val expected = FuzzSeeds.size * (CountRowsPerSeed + EventRowsPerSeed)
+    assert(expected >= 1000,
+      s"fuzz volume constants only cover $expected cases — below the bar")
+    // and when the generator tests ran in this suite invocation, the rows
+    // they ACTUALLY produced must match the constant-derived accounting
+    if (generatedCases > 0)
+      assert(generatedCases === expected,
+        s"generators produced $generatedCases rows, constants claim $expected")
   }
 }

@@ -360,6 +360,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q406 sketch builds are per-side TakeOrdered, never a 2-partition sort") {
+    // the per-side k-minimum sketch must plan as TakeOrderedAndProject
+    // branches (per-partition heaps of k) — a row_number window partitioned
+    // by the 2-valued side flag puts ALL distinct shingle hashes of a
+    // corpus half into one task's sort at 100 TB
+    val plan = plans("q406_sketch_resemblance")
+    assert("""\(\d+\) TakeOrderedAndProject""".r.findAllIn(plan).size >= 2,
+      "q406 lost its per-side TakeOrderedAndProject branches")
+    assert(!plan.contains("hashpartitioning(even"),
+      "q406 re-grew a window/sort partitioned on the 2-valued side flag")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.

@@ -13,7 +13,7 @@ hash-compares each against its DuckDB oracle via check_oracle.py.
 
 Usage:
     python3 tools/fuzz_parity.py [--seeds 1,2,3,4,5] [--queries q1,q2]
-Writes FUZZ_r10.json {seed: {query: PASS|FAIL...}, n_cases: N} and exits
+Writes FUZZ_r11.json {seed: {query: PASS|FAIL...}, n_cases: N} and exits
 non-zero on any FAIL. Each seed is one dataset; "cases" = adversarial
 rows generated (the spec target is >= 1000 across seeds).
 """
@@ -58,6 +58,51 @@ HOT_QUERIES = [
     # embeddings: zero vectors, axis-aligned, antipodal, huge components
     "q25_cosine_topk", "q122_norm_outliers", "q200_pca_power",
     "q231_vector_profile", "q430_pca_deflation", "q433_pca_outliers",
+    "q440_graph_ann", "q441_beam_sweep",
+    # relational TPC-H shapes (round-11 widening: NULL keys, empty join
+    # sides, all-returned orders, tie clusters from overlay_tpch)
+    "q13_pricing_summary", "q14_top_revenue", "q15_region_rollup",
+    "q16_window_topn", "q17_semi_anti", "q18_decorrelated_agg",
+    "q33_asof_join", "q34_percentiles", "q35_revenue_rollup",
+    "q37_event_pivot", "q45_window_suite", "q46_ship_priority",
+    "q48_funnel", "q49_mad", "q63_cohort_retention", "q66_market_share",
+    "q67_transitions", "q69_ship_delay_sla", "q70_degree_census",
+    "q84_attribution", "q94_scd2_intervals", "q99_basket_lift",
+    "q100_session_paths", "q104_sole_late_supplier", "q105_point_in_time",
+    "q107_promo_share", "q108_cohort_ltv", "q109_returns_impact",
+    "q112_idle_customers", "q114_order_backlog", "q117_supplier_hhi",
+    "q119_abc_classes", "q120_priority_mix", "q121_revenue_gini",
+    "q132_local_supplier_volume", "q133_cross_nation_trade",
+    "q134_disjunctive_revenue", "q147_revenue_scan", "q148_profit_by_nation",
+    "q149_top_supplier", "q150_small_qty_revenue", "q151_big_orders",
+    "q159_cust_opportunity", "q167_min_price_supplier", "q175_priority_wait",
+    "q176_late_ship_mix", "q177_custdist", "q178_supplier_breadth",
+    "q179_dominant_supplier", "q190_important_parts", "q204_cube_revenue",
+    "q217_range_frame_revenue", "q218_mom_growth", "q220_grouping_sets",
+    "q236_column_profile", "q237_fk_orphans", "q238_pareto_frontier",
+    "q244_lorenz_deciles", "q264_rfm_segments", "q274_against_tide",
+    "q276_price_volume_mix", "q280_rollup_consistency",
+    "q291_delivery_percentiles", "q305_nation_gini", "q309_spend_migration",
+    "q325_abc_xyz", "q329_brand_cagr", "q339_priority_inversion",
+    "q342_top_heavy", "q345_wilson_returns", "q347_icc_ship_delay",
+    "q349_purchase_entropy", "q350_clumpiness", "q352_priority_markov",
+    "q353_price_endings", "q362_fulfillment_spread", "q373_first_value_ltv",
+    "q376_discount_monotonicity", "q426_price_index",
+    "q429_simpsons_reversal", "q435_pearson_residuals",
+    # graph family (self-pairs, degenerate orders, NULL-key edges)
+    "q142_supplier_pagerank", "q143_copurchase_triangles",
+    "q144_assortativity", "q145_adamic_adar", "q146_copurchase_kcore",
+    "q157_communities", "q160_hits_authority", "q161_jaccard_neighbors",
+    "q170_clustering_coeff", "q172_weighted_communities",
+    "q173_degree_power_law", "q189_rich_club", "q199_local_bridges",
+    "q219_modularity", "q255_landmark_bfs", "q256_edge_formation",
+    "q286_profile_neighbors", "q298_radius_profile", "q299_absorbing_time",
+    "q354_flow_reciprocity", "q358_participation_ratio",
+    "q360_diameter_sweep", "q396_ktruss", "q422_two_hop",
+    # recsys family (empty baskets, cold items, tie scores)
+    "q166_supplier_affinity", "q268_negative_samples",
+    "q285_basket_confidence", "q308_cold_start", "q423_item_knn",
+    "q439_rec_coverage",
 ]
 
 VOCAB = ("the spark batch window merge join filter sort table scan row "
@@ -166,6 +211,109 @@ def gen_embeddings(rng, dim=64):
     return rows
 
 
+def overlay_tpch(rng, con, d):
+    """Append adversarial rows to the copied TPC-H tables (round-11
+    widening): NULL join keys, empty-join-side members (orders with no
+    lineitems, customers with no orders, nations with no suppliers,
+    never-ordered parts), all-returned orders, zero-quantity /
+    full-discount lines, duplicated lines, and tie clusters (identical
+    totalprice / shipdate / acctbal) — the classes the relational, graph
+    and recsys families never see at any SF of the uniform generator.
+    Key ranges start far above the base tables' maxima; names keep the
+    base formats (ANSI CAST parsers must keep parsing). Returns the
+    number of appended rows."""
+    n = 0
+
+    def append(table, cols, rows, cast=None):
+        nonlocal n
+        path = os.path.join(d, table + ".parquet")
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT * FROM "
+                    "read_parquet('%s')" % path)
+        placeholders = ",".join(["?"] * len(cols.split(",")))
+        con.executemany(
+            "INSERT INTO t(%s) VALUES (%s)" % (cols, placeholders), rows)
+        con.execute("COPY t TO '%s' (FORMAT PARQUET)" % path)
+        n += len(rows)
+
+    day = 86400
+    base_date = "1998-03-%02d"
+    # --- orders: empty orders, NULL custkey, totalprice/date tie cluster
+    o0 = 100000
+    orders = [
+        (o0 + 0, 7, "O", 5000.25, "1998-03-01", "1-URGENT"),     # no lines
+        (o0 + 1, 8, "F", 5000.25, "1998-03-01", "1-URGENT"),     # no lines
+        (o0 + 2, None, "F", 5000.25, "1998-03-01", "2-HIGH"),    # NULL cust
+        (o0 + 3, 9, "F", 7777.77, "1998-03-02", "2-HIGH"),       # returned
+        (o0 + 4, 9, "F", 7777.77, "1998-03-02", "2-HIGH"),       # tie twin
+        (o0 + 5, 10, "O", 0.0, "1998-03-03", "5-LOW"),           # zero price
+        (o0 + 6, 11, "F", 123.45, "1998-03-04", "3-MEDIUM"),     # dup lines
+    ]
+    for i in range(rng.randrange(3, 7)):                         # tie pile
+        orders.append((o0 + 10 + i, 12 + (i % 3), "F", 999.99,
+                       base_date % (5 + i % 3), "4-NOT SPECIFIED"))
+    append("orders",
+           "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,"
+           "o_orderpriority",
+           [(a, b, c, p, dt + " 00:00:00", pr)
+            for a, b, c, p, dt, pr in orders])
+
+    # --- lineitem: NULL part/supp keys, all-returned order, zero qty,
+    # full discount, duplicate lines, same part twice, shipdate ties
+    li = []
+    def line(ok, pk, sk, ln, qty, price, disc, tax, rf, ls, sd):
+        li.append((ok, pk, sk, ln, qty, price, disc, tax, rf, ls,
+                   sd + " 00:00:00"))
+    # all-returned order (every line R)
+    for j in range(3):
+        line(o0 + 3, 50 + j, j % 10, j + 1, 10.0 + j, 1000.0 + j,
+             0.05, 0.02, "R", "F", "1998-03-02")
+    # NULL join keys on a real order
+    line(o0 + 2, None, 3, 1, 5.0, 500.0, 0.0, 0.0, "N", "F", "1998-03-01")
+    line(o0 + 2, 60, None, 2, 5.0, 500.0, 0.0, 0.0, "N", "F", "1998-03-01")
+    # zero-quantity + full-discount (revenue exactly 0)
+    line(o0 + 5, 61, 4, 1, 0.0, 800.0, 1.0, 0.0, "N", "O", "1998-03-03")
+    # duplicate lines (identical but linenumber), same part twice
+    line(o0 + 6, 62, 5, 1, 7.0, 123.45, 0.1, 0.01, "A", "F", "1998-03-04")
+    line(o0 + 6, 62, 5, 2, 7.0, 123.45, 0.1, 0.01, "A", "F", "1998-03-04")
+    # shipdate tie cluster across the tie-pile orders
+    for i in range(rng.randrange(4, 9)):
+        line(o0 + 10 + (i % 3), 70 + i, i % 10, 1 + i // 3, 20.0,
+             2000.0, 0.05, 0.03, rng.choice(["N", "A", "R"]), "F",
+             "1998-03-06")
+    append("lineitem",
+           "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,"
+           "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,"
+           "l_shipdate", li)
+
+    # --- customer: no-orders customer, NULL nationkey, acctbal ties/zeros
+    c0 = 100000
+    append("customer", "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment",
+           [(c0 + 0, "Customer#%09d" % (c0 + 0), 3, 555.55, "FURNITURE"),
+            (c0 + 1, "Customer#%09d" % (c0 + 1), None, 555.55, "BUILDING"),
+            (c0 + 2, "Customer#%09d" % (c0 + 2), 4, 0.0, "AUTOMOBILE"),
+            (c0 + 3, "Customer#%09d" % (c0 + 3), 4, -0.0, "AUTOMOBILE")])
+
+    # --- supplier: NULL nationkey (referenced by no adversarial lines)
+    s0 = 100000
+    append("supplier", "s_suppkey,s_name,s_nationkey,s_acctbal",
+           [(s0, "Supplier#%09d" % s0, None, 100.0),
+            (s0 + 1, "Supplier#%09d" % (s0 + 1), 24, 100.0)])
+
+    # --- nation: empty-member nation + NULL regionkey nation
+    append("nation", "n_nationkey,n_name,n_regionkey",
+           [(98, "NATION_98", 4), (99, "NATION_99", None)])
+
+    # --- region: region with no nations
+    append("region", "r_regionkey,r_name", [(9, "NOWHERE")])
+
+    # --- part: never-ordered part, size 0, retailprice tie
+    p0 = 100000
+    append("part", "p_partkey,p_name,p_brand,p_type,p_size,p_retailprice",
+           [(p0, "ghost widget", "Brand#13", "ECONOMY", 0, 900.0),
+            (p0 + 1, "ghost gadget", "Brand#13", "ECONOMY", 1, 900.0)])
+    return n
+
+
 def write_dataset(seed):
     rng = random.Random(seed)
     d = os.path.join(WORK, "seed%d" % seed)
@@ -194,8 +342,9 @@ def write_dataset(seed):
     con.executemany("INSERT INTO ee VALUES (?,?,?)", emb)
     con.execute("COPY (SELECT * FROM ee ORDER BY vec_id) TO "
                 "'%s/embeddings.parquet' (FORMAT PARQUET)" % d)
+    n_tpch = overlay_tpch(rng, con, d)
     con.close()
-    return d, len(ev) + len(docs) + len(emb)
+    return d, len(ev) + len(docs) + len(emb) + n_tpch
 
 
 def run_seed(seed, queries):
@@ -229,7 +378,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", default="1,2,3,4,5")
     ap.add_argument("--queries", default=",".join(HOT_QUERIES))
-    ap.add_argument("--out", default=os.path.join(REPO, "FUZZ_r10.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "FUZZ_r11.json"))
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
     queries = args.queries.split(",")
