@@ -3572,7 +3572,7 @@ object SparkEntry {
         |SELECT xa AS part_a, yb AS part_b, common_neighbors,
         |  round(sc*1000000)/1000000 AS score
         |FROM ne ORDER BY score DESC, part_a, part_b LIMIT 20""".stripMargin,
-    "q146_copurchase_kcore" -> kcoreOracle(16),
+    "q146_copurchase_kcore" -> kcoreOracle(32),
     "q147_revenue_scan" ->
       """SELECT CAST(count(*) AS BIGINT) n_items,
         |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
@@ -5424,7 +5424,7 @@ object SparkEntry {
         |    min(CAST(l_extendedprice/l_quantity AS DECIMAL(18,6)))
         |      unit_price,
         |    max(l_quantity) max_qty
-        |  FROM lineitem GROUP BY 1),
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1),
         |s AS (SELECT l_partkey, unit_price, max_qty,
         |        max(max_qty) OVER (ORDER BY unit_price, max_qty DESC,
         |          l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
@@ -5557,7 +5557,7 @@ object SparkEntry {
       """WITH pp AS (SELECT l_returnflag,
         |    CAST(l_extendedprice/l_quantity AS DECIMAL(18,6)) price,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) rev
-        |  FROM lineitem GROUP BY 1, 2),
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
         |w AS (SELECT l_returnflag, price, rev,
         |        sum(rev) OVER (PARTITION BY l_returnflag ORDER BY price
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
@@ -12272,7 +12272,7 @@ object SparkEntry {
     * [[graft.ops.Graph.coreness]] iterates to the fixpoint; since applying
     * H at the fixpoint is the identity, any unroll depth ≥ the convergence
     * round count produces the identical table (observed convergence: 10
-    * rounds at sf0.01, 5 at sf0.1 — 16 leaves margin).
+    * rounds at sf0.01, 5 at sf0.1; adversarial fuzz graphs needed >16, so 32 leaves margin).
     */
   private def kcoreOracle(iters: Int): String = {
     val rounds = (1 to iters).map { k =>

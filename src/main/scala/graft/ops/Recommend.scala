@@ -123,7 +123,10 @@ object Recommend {
   def recCoverage(orders: DataFrame, lineitem: DataFrame,
                   nNbr: Int = 20, topK: Int = 10): DataFrame = {
     val (_, _, rec) = recPipeline(orders, lineitem, nNbr, topK)
-    val catalog = lineitem.select(col("l_partkey")).distinct()
+    // SQL count(DISTINCT) semantics: NULL is not a catalog item — a
+    // count(lit(1)) over distinct() would tally the NULL group too
+    val catalog = lineitem.select(col("l_partkey"))
+      .where(col("l_partkey").isNotNull).distinct()
       .agg(count(lit(1)).as("n_catalog"))
     val exposure = rec.groupBy(col("j")).agg(count(lit(1)).as("c"))
     val g = Prefix.over(exposure, Seq(col("c"), col("j")),

@@ -1870,8 +1870,11 @@ object Relational {
       .withColumn("ma3_n", count(lit(1)).over(ma))
       .select(col("nation"), col("ym"),
         r4(col("rev").cast("double")).as("revenue"),
-        (round((col("rev").cast("double") - col("prev").cast("double"))
-          / col("prev").cast("double") * lit(1000000))
+        // zero-revenue previous month ⇒ growth undefined: NULL on both
+        // engines (Spark ANSI would throw on the 0/0; DuckDB yields NULL)
+        when(col("prev").cast("double") === 0.0, lit(null)).otherwise(
+          round((col("rev").cast("double") - col("prev").cast("double"))
+            / col("prev").cast("double") * lit(1000000))
           / lit(1000000.0)).as("mom_pct"),
         r4(col("ma3_s").cast("double") / col("ma3_n").cast("double"))
           .as("ma3"))
@@ -1887,7 +1890,10 @@ object Relational {
     * aggregate, not the fact table.
     */
   def weightedMedianPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    // zero-quantity lines have no defined unit price (0-division): both
+    // engines exclude them from the price census
     val pp = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") > 0)
       .select(col("l_returnflag"),
         (col("l_extendedprice") / col("l_quantity"))
           .cast("decimal(18,6)").as("price"),
@@ -2015,7 +2021,9 @@ object Relational {
     * the per-part AGGREGATE, so no single task ever holds the part table.
     */
   def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    // zero-quantity lines define no unit price — excluded on both engines
     val pp = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") > 0)
       .groupBy(col("l_partkey"))
       .agg(min((col("l_extendedprice") / col("l_quantity"))
         .cast("decimal(18,6)")).as("unit_price"),
