@@ -376,16 +376,40 @@ object Drift {
     val split = ev.agg(
       floor(min(col("e")) + (max(col("e")) - min(col("e"))) * 0.75)
         .cast("long").as("split_e"))
-    val phased = ev.crossJoin(broadcast(split))
-    def quantilesOf(df: DataFrame, suffix: String): DataFrame =
-      Percentiles.exactQuantiles(df, "event_type", "value",
+    val cnts = ev.where(col("value").isNotNull)
+      .crossJoin(broadcast(split))
+      .withColumn("tr", (col("e") < col("split_e")).cast("long"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+    quantileDriftFromCounts(cnts)
+  }
+
+  /** The counts→quantile-delta stage alone, over (event_type, value, ca,
+    * cb) phase-count rows — the drift family's fifth factored stage
+    * (PSI/KS/CvM/energy each have one), so a streaming monitor can feed
+    * it live per-value counts against a frozen split
+    * (QuantileDriftStreamSpec proves batch ≡ stream across slicings).
+    * Each phase's quantiles run the count-and-locate engine on its own
+    * count column; a series with an EMPTY phase has no delta and is
+    * excluded — the ksFromCounts contract.
+    */
+  def quantileDriftFromCounts(cntsIn: DataFrame): DataFrame = {
+    // two phase consumers + self-joins inside the count-and-locate engine:
+    // materialize the distinct-value-sized aggregate once (the
+    // psiFromCounts idiom — it also de-conflicts attribute ids when the
+    // input is a re-read memory-sink table on the streaming path)
+    val cnts = cntsIn.localCheckpoint()
+    def quantilesOf(cc: org.apache.spark.sql.Column, suffix: String): DataFrame =
+      Percentiles.exactQuantilesFromCounts(
+        cnts.select(col("event_type"), col("value"), cc.as("cnt")),
+        "event_type", "value", "cnt",
         Seq(s"p50_$suffix" -> 0.5, s"p90_$suffix" -> 0.9))
         .groupBy(col("event_type"))
         .agg(
           min(when(col("qname") === s"p50_$suffix", col("qv"))).as(s"p50_$suffix"),
           min(when(col("qname") === s"p90_$suffix", col("qv"))).as(s"p90_$suffix"))
-    val tr = quantilesOf(phased.where(col("e") < col("split_e")), "tr")
-    val evq = quantilesOf(phased.where(col("e") >= col("split_e")), "ev")
+    val tr = quantilesOf(col("ca"), "tr")
+    val evq = quantilesOf(col("cb"), "ev")
     tr.join(evq, "event_type")
       .select(col("event_type"),
         r4(col("p50_tr")).as("p50_train"), r4(col("p90_tr")).as("p90_train"),

@@ -34,15 +34,32 @@ object Percentiles {
     * quantile names into columns with a conditional aggregate.
     */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                     qs: Seq[(String, Double)], nBuckets: Int = 4096): DataFrame = {
-    val g = col(groupCol)
-    val v = col(valueCol)
-
+                     qs: Seq[(String, Double)], nBuckets: Int = 4096): DataFrame =
     // 1. distinct-value compression: (group, value) -> multiplicity.
     // NULLs are excluded up front: Catalyst `percentile` and DuckDB
     // `quantile_cont` both ignore NULL values, and counting them into n
     // would shift every rank.
-    val cnts = df.where(v.isNotNull).groupBy(g, v).agg(count(lit(1)).as("cnt"))
+    exactQuantilesFromCounts(
+      df.where(col(valueCol).isNotNull)
+        .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("cnt")),
+      groupCol, valueCol, "cnt", qs, nBuckets)
+
+  /** [[exactQuantiles]] when the caller already holds the distinct
+    * (group, value) multiplicity table — the streaming-monitor entry
+    * point: a complete-mode counts aggregate feeds this stage directly,
+    * and batch ≡ stream holds because the quantile is a pure function of
+    * the counts (QuantileDriftStreamSpec). Rows with NULL values or
+    * non-positive counts are ignored (they are phase-absent values in a
+    * two-phase counts table, not observations).
+    */
+  def exactQuantilesFromCounts(cnts0: DataFrame, groupCol: String,
+                               valueCol: String, cntCol: String,
+                               qs: Seq[(String, Double)],
+                               nBuckets: Int = 4096): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val cnts = cnts0.where(v.isNotNull && col(cntCol) > 0)
+      .select(g, v, col(cntCol).cast("bigint").as("cnt"))
     // per-group totals + value envelope (one row per group)
     val stats = cnts.groupBy(g).agg(
       sum(col("cnt")).as("n"), min(v).as("mn"), max(v).as("mx"))
