@@ -886,7 +886,19 @@ object SparkEntry {
     "q440_graph_ann" -> ((s, d) =>
       Similarity.graphAnnRecall(s, d).orderBy(col("probe_id"))),
     "q441_beam_sweep" -> ((s, d) =>
-      Similarity.graphAnnBeamSweep(s, d).orderBy(col("beam")))
+      Similarity.graphAnnBeamSweep(s, d).orderBy(col("beam"))),
+    "q442_conformal_interval" -> ((s, d) =>
+      graft.ops.Regression.conformalInterval(s, d).orderBy(col("flag"))),
+    "q443_cuped" -> ((s, d) =>
+      graft.ops.StatTests.cuped(s, d).orderBy(col("event_type"))),
+    "q444_binary_embed_recall" -> ((s, d) =>
+      Similarity.binaryEmbedRecall(s, d).orderBy(col("probe_id"))),
+    "q445_stratified_ate" -> ((s, d) =>
+      graft.ops.StatTests.stratifiedAte(s, d).orderBy(col("brand"))),
+    "q446_band_join" -> ((s, d) =>
+      graft.ops.Ranges.bandJoin(s, d).orderBy(col("event_type"))),
+    "q447_woe_iv" -> ((s, d) =>
+      graft.ops.Regression.woeIv(s, d).orderBy(col("brand")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11155,7 +11167,200 @@ object SparkEntry {
         |    AS exposure_gini
         |FROM g CROSS JOIN cat CROSS JOIN uu""".stripMargin,
     "q440_graph_ann" -> graphAnnOracle(3),
-    "q441_beam_sweep" -> graphAnnSweepOracle(3, Seq(4, 8, 16))
+    "q441_beam_sweep" -> graphAnnSweepOracle(3, Seq(4, 8, 16)),
+    "q442_conformal_interval" ->
+      """WITH li AS (SELECT l_returnflag flag, l_orderkey % 3 fold,
+        |    CAST(l_quantity AS DOUBLE) x, CAST(l_extendedprice AS DOUBLE) y
+        |  FROM lineitem),
+        |fit0 AS (SELECT flag, CAST(count(*) AS BIGINT) n_train,
+        |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(28,6))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) sxy
+        |  FROM li WHERE fold = 0 GROUP BY 1),
+        |fit AS (SELECT flag, n_train,
+        |    round((CAST(n_train AS DOUBLE)*sxy - sx*sy)
+        |      /(CAST(n_train AS DOUBLE)*sxx - sx*sx)*1000000000)
+        |      /1000000000 slope,
+        |    round((sy*sxx - sx*sxy)
+        |      /(CAST(n_train AS DOUBLE)*sxx - sx*sx)*1000000000)
+        |      /1000000000 intercept
+        |  FROM fit0 WHERE CAST(n_train AS DOUBLE)*sxx - sx*sx <> 0),
+        |cal AS (SELECT li.flag,
+        |    round(abs(y - (intercept + slope*x))*1000000)/1000000 ar
+        |  FROM li JOIN fit ON li.flag = fit.flag WHERE fold = 1),
+        |cc AS (SELECT flag, ar, CAST(count(*) AS BIGINT) c
+        |  FROM cal GROUP BY 1, 2),
+        |cw AS (SELECT flag, ar, c,
+        |    sum(c) OVER (PARTITION BY flag ORDER BY ar
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+        |    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) n_calib
+        |  FROM cc),
+        |qh AS (SELECT flag, n_calib, ar qhat FROM cw
+        |  WHERE cum >= least(CAST(ceil((n_calib + 1)*0.9) AS BIGINT), n_calib)
+        |    AND cum - c < least(CAST(ceil((n_calib + 1)*0.9) AS BIGINT),
+        |      n_calib)),
+        |ev AS (SELECT li.flag, fit.n_train, qh.n_calib, fit.slope,
+        |    fit.intercept, qh.qhat,
+        |    round(abs(y - (intercept + slope*x))*1000000)/1000000 ar
+        |  FROM li JOIN fit ON li.flag = fit.flag JOIN qh ON li.flag = qh.flag
+        |  WHERE fold = 2)
+        |SELECT flag, n_train, n_calib, CAST(count(*) AS BIGINT) n_eval,
+        |  slope, intercept, qhat,
+        |  round(CAST(sum(CASE WHEN ar <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /count(*)*1000000)/1000000.0 coverage
+        |FROM ev GROUP BY 1, 2, 3, 5, 6, 7 ORDER BY flag""".stripMargin,
+    "q443_cuped" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |sp AS (SELECT CAST(floor(min(e) + (max(e) - min(e))*0.75) AS BIGINT)
+        |    split_e FROM ev),
+        |um AS (SELECT event_type, user_id,
+        |    sum(CASE WHEN e < split_e THEN CAST(value AS DECIMAL(18,6))
+        |      END) sx,
+        |    CAST(sum(CASE WHEN e < split_e THEN 1 ELSE 0 END) AS BIGINT) nx,
+        |    sum(CASE WHEN e >= split_e THEN CAST(value AS DECIMAL(18,6))
+        |      END) sy,
+        |    CAST(sum(CASE WHEN e >= split_e THEN 1 ELSE 0 END) AS BIGINT) ny
+        |  FROM ev CROSS JOIN sp GROUP BY 1, 2),
+        |xy AS (SELECT event_type,
+        |    round(CAST(sx AS DOUBLE)/nx*1000000)/1000000 x,
+        |    round(CAST(sy AS DOUBLE)/ny*1000000)/1000000 y
+        |  FROM um WHERE nx > 0 AND ny > 0),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) n_users,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(y*y AS DECIMAL(28,12))) AS DOUBLE) syy
+        |  FROM xy GROUP BY 1),
+        |v AS (SELECT event_type, n_users,
+        |    (sxx - sx*sx/CAST(n_users AS DOUBLE))
+        |      /(CAST(n_users AS DOUBLE) - 1) varx,
+        |    (syy - sy*sy/CAST(n_users AS DOUBLE))
+        |      /(CAST(n_users AS DOUBLE) - 1) vary,
+        |    (sxy - sx*sy/CAST(n_users AS DOUBLE))
+        |      /(CAST(n_users AS DOUBLE) - 1) covxy
+        |  FROM m WHERE n_users >= 2)
+        |SELECT event_type, n_users,
+        |  round(covxy/varx*1000000)/1000000.0 theta,
+        |  round(vary*1000000)/1000000.0 var_y,
+        |  round((vary - covxy*covxy/varx)*1000000)/1000000.0 var_cuped,
+        |  round(covxy*covxy/varx/vary*1000000)/1000000.0 var_reduction
+        |FROM v WHERE varx > 0 AND vary > 0 ORDER BY event_type""".stripMargin,
+    "q444_binary_embed_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) i,
+        |    embedding FROM e),
+        |xx AS MATERIALIZED (SELECT vec_id, i - 1 d,
+        |    CAST(embedding[i] AS DOUBLE) v FROM ix),
+        |n AS MATERIALIZED (SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(v*v AS DECIMAL(18,16))) AS DOUBLE)) nrm
+        |  FROM xx GROUP BY 1),
+        |sig AS MATERIALIZED (SELECT xx.vec_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << d)
+        |      ELSE 0 END) AS BIGINT) sig
+        |  FROM xx JOIN n ON xx.vec_id = n.vec_id
+        |  WHERE d < 63 AND n.nrm > 0 GROUP BY 1),
+        |pc AS (SELECT a.vec_id probe_id, b.vec_id neighbor_id,
+        |    CAST(sum(CAST(a.v*b.v AS DECIMAL(18,16))) AS DOUBLE)
+        |      /(na.nrm*nb.nrm) cos
+        |  FROM xx a JOIN xx b ON a.d = b.d
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |    AND na.nrm > 0 AND nb.nrm > 0
+        |  GROUP BY 1, 2, na.nrm, nb.nrm),
+        |truth AS (SELECT probe_id, neighbor_id FROM (SELECT probe_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, neighbor_id) rnk FROM pc) WHERE rnk <= 5),
+        |ap AS (SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+        |    bit_count(xor(c.sig, p.sig)) hd
+        |  FROM sig p JOIN sig c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10),
+        |approx AS (SELECT probe_id, neighbor_id FROM (SELECT probe_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY hd, neighbor_id) rnk FROM ap) WHERE rnk <= 5),
+        |hits AS (SELECT t.probe_id, CAST(count(*) AS BIGINT) n_hits
+        |  FROM truth t JOIN approx a
+        |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.probe_id, coalesce(h.n_hits, 0) n_hits,
+        |  CAST(count(*) AS BIGINT) n_true,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)/count(*)*10000)
+        |    /10000 recall
+        |FROM truth t LEFT JOIN hits h ON t.probe_id = h.probe_id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q445_stratified_ate" ->
+      """WITH li AS (SELECT p_brand brand, l_discount > 0.05 treated,
+        |    CAST(l_quantity AS DECIMAL(18,6)) y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |arms AS (SELECT brand, treated, CAST(count(*) AS BIGINT) n,
+        |    sum(y) sy FROM li GROUP BY 1, 2),
+        |piv AS (SELECT brand,
+        |    max(CASE WHEN treated THEN n END) n_t,
+        |    max(CASE WHEN treated THEN sy END) sy_t,
+        |    max(CASE WHEN NOT treated THEN n END) n_c,
+        |    max(CASE WHEN NOT treated THEN sy END) sy_c
+        |  FROM arms GROUP BY 1),
+        |d AS (SELECT brand, n_t, n_c,
+        |    round(CAST(sy_t AS DOUBLE)/n_t*1000000)/1000000 mean_t,
+        |    round(CAST(sy_c AS DOUBLE)/n_c*1000000)/1000000 mean_c
+        |  FROM piv WHERE n_t IS NOT NULL AND n_c IS NOT NULL),
+        |dd AS (SELECT brand, n_t, n_c, mean_t, mean_c,
+        |    round((mean_t - mean_c)*1000000)/1000000 diff FROM d)
+        |SELECT brand, n_t, n_c, mean_t, mean_c, diff FROM dd
+        |UNION ALL
+        |SELECT 'ALL_STRATIFIED', CAST(sum(n_t) AS BIGINT),
+        |  CAST(sum(n_c) AS BIGINT),
+        |  round(CAST(sum(CAST(mean_t*CAST(n_t + n_c AS DOUBLE)
+        |    AS DECIMAL(28,8))) AS DOUBLE)
+        |    /CAST(sum(n_t + n_c) AS DOUBLE)*1000000)/1000000,
+        |  round(CAST(sum(CAST(mean_c*CAST(n_t + n_c AS DOUBLE)
+        |    AS DECIMAL(28,8))) AS DOUBLE)
+        |    /CAST(sum(n_t + n_c) AS DOUBLE)*1000000)/1000000,
+        |  round(CAST(sum(CAST(diff*CAST(n_t + n_c AS DOUBLE)
+        |    AS DECIMAL(28,8))) AS DOUBLE)
+        |    /CAST(sum(n_t + n_c) AS DOUBLE)*1000000)/1000000
+        |FROM dd ORDER BY brand""".stripMargin,
+    "q446_band_join" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e
+        |  FROM events),
+        |rf AS (SELECT min(event_type) ref_type FROM ev),
+        |a AS (SELECT e ea FROM ev CROSS JOIN rf WHERE event_type = ref_type),
+        |b AS (SELECT event_type, e eb FROM ev CROSS JOIN rf
+        |  WHERE event_type <> ref_type)
+        |SELECT b.event_type, CAST(count(*) AS BIGINT) n_pairs,
+        |  CAST(count(DISTINCT ea) AS BIGINT) n_ref_matched,
+        |  round(CAST(sum(CAST(abs(eb - ea) AS DECIMAL(28,6))) AS DOUBLE)
+        |    /count(*)*10000)/10000 mean_abs_dt
+        |FROM a JOIN b ON abs(eb - ea) <= 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q447_woe_iv" ->
+      """WITH li AS (SELECT p_brand brand, l_returnflag = 'R' bad
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |arms AS (SELECT brand, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) n_bad
+        |  FROM li GROUP BY 1),
+        |a2 AS (SELECT brand, n, n_bad, n - n_bad n_good FROM arms),
+        |tot AS (SELECT CAST(sum(n_good) AS BIGINT) gt,
+        |    CAST(sum(n_bad) AS BIGINT) bt,
+        |    CAST(count(*) AS BIGINT) nb FROM a2),
+        |sc AS (SELECT brand, n, n_bad,
+        |    (CAST(n_good AS DOUBLE) + 0.5)/(CAST(gt AS DOUBLE) + 0.5*nb)
+        |      gshare,
+        |    (CAST(n_bad AS DOUBLE) + 0.5)/(CAST(bt AS DOUBLE) + 0.5*nb)
+        |      bshare
+        |  FROM a2 CROSS JOIN tot),
+        |w AS (SELECT brand, n, n_bad, ln(gshare/bshare) woe,
+        |    (gshare - bshare)*ln(gshare/bshare) iv_term FROM sc),
+        |iv AS (SELECT round(CAST(sum(CAST(iv_term AS DECIMAL(28,12)))
+        |    AS DOUBLE)*1000000)/1000000.0 iv_total FROM w)
+        |SELECT brand, n, n_bad,
+        |  round(woe*1000000)/1000000.0 + 0.0 woe,
+        |  round(iv_term*100000000)/100000000.0 + 0.0 iv_term,
+        |  iv_total
+        |FROM w CROSS JOIN iv ORDER BY brand""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

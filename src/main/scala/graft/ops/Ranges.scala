@@ -1297,4 +1297,44 @@ object Ranges {
 
   def funnelSteps(spark: SparkSession, sfDir: String): DataFrame =
     funnelSteps(Tables.events(spark, sfDir))
+
+  /** q446: tolerance band join — every event of the reference series
+    * (the lexicographically first event_type: a deterministic anchor
+    * both engines re-derive from the data) matched to every OTHER
+    * series' events within ±`bandS` seconds, censused per series. The
+    * suite's join ladder so far is equi (q15), asof backward/forward
+    * (q33/q169), interval overlap (q106), point-in-time (q105); the
+    * band join is the remaining shape — "what fired around this alert".
+    *
+    * The Spark-first form is the point: the non-reference side
+    * replicates to its 3 adjacent band buckets (floor(e/band) ± 1), the
+    * join is a plain EQUI join on the bucket id, and the exact
+    * |Δt| ≤ band predicate filters residually — never an inequality /
+    * nested-loop join, so at 100 TB it shuffles on a dense integer key
+    * with map-side-combinable downstream aggregation and AQE-splittable
+    * skew. n_ref_matched counts distinct matched reference timestamps.
+    */
+  def bandJoin(events: DataFrame, bandS: Int = 300): DataFrame = {
+    val ev = events.select(col("event_type"), epochS(col("ts")).as("e"))
+    val ref = ev.agg(min(col("event_type")).as("ref_type"))
+    val a = ev.join(broadcast(ref), col("event_type") === col("ref_type"))
+      .select(col("e").as("ea"), floor(col("e") / bandS).as("bkt"))
+    val b = ev.crossJoin(broadcast(ref))
+      .where(col("event_type") =!= col("ref_type"))
+      .select(col("event_type"), col("e").as("eb"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("db"))
+      .select(col("event_type"), col("eb"),
+        (floor(col("eb") / bandS) + col("db")).as("bkt"))
+    a.join(b, "bkt")
+      .where(abs(col("eb") - col("ea")) <= bandS)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("ea")).as("n_ref_matched"),
+        (round(sum(abs(col("eb") - col("ea")).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)) * 10000) / 10000)
+          .as("mean_abs_dt"))
+  }
+
+  def bandJoin(spark: SparkSession, sfDir: String): DataFrame =
+    bandJoin(Tables.events(spark, sfDir))
 }

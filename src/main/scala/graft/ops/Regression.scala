@@ -491,4 +491,122 @@ object Regression {
 
   def bassDiffusion(spark: SparkSession, sfDir: String): DataFrame =
     bassDiffusion(Tables.orders(spark, sfDir))
+
+  /** q442: split-conformal prediction intervals (Vovk et al.; Lei et al.,
+    * "Distribution-Free Predictive Inference for Regression") over a
+    * per-flag linear price model. The orderkey residue mod 3 splits
+    * lineitem deterministically: fold 0 fits price ~ quantity per return
+    * flag by exact-decimal normal equations; fold 1 calibrates — qhat is
+    * the ceil((n+1)·(1−α))-th order statistic of the snapped |residual|s,
+    * the distribution-free 90% radius; fold 2 audits the guarantee
+    * (empirical coverage of ŷ ± qhat, ≥ 1−α in expectation). The
+    * uncertainty layer every point model in the suite lacks: no
+    * distributional assumption, only exchangeability.
+    *
+    * Scale: three disjoint scans, each collapsing map-side to per-flag
+    * decimal moments; the calibration order statistic runs on per-flag
+    * DISTINCT snapped-residual counts (the ksFromCounts cost class — a
+    * sort within each flag's distinct residuals) and locates ONE rank —
+    * never a per-row sort; coverage is a conditional aggregate.
+    * Coefficients snap to 1e-9 before residuals so both engines walk the
+    * same float path; a flag with a degenerate train fold (constant x) is
+    * excluded, not a 0-division crash.
+    */
+  def conformalInterval(lineitem: DataFrame, alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r9 = (c: org.apache.spark.sql.Column) =>
+      round(c * 1000000000L) / 1000000000L
+    val li = lineitem.select(col("l_returnflag").as("flag"),
+      pmod(col("l_orderkey"), lit(3)).as("fold"),
+      col("l_quantity").cast("double").as("x"),
+      col("l_extendedprice").cast("double").as("y"))
+    val fit = li.where(col("fold") === 0)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,6)")).cast("double").as("sxy"))
+      .withColumn("nn", col("n_train").cast("double"))
+      .withColumn("det", col("nn") * col("sxx") - col("sx") * col("sx"))
+      .where(col("det") =!= 0.0)
+      .select(col("flag"), col("n_train"),
+        r9((col("nn") * col("sxy") - col("sx") * col("sy")) / col("det"))
+          .as("slope"),
+        r9((col("sy") * col("sxx") - col("sx") * col("sxy")) / col("det"))
+          .as("intercept"))
+    def resid(fold: Int): DataFrame = li.where(col("fold") === fold)
+      .join(broadcast(fit), "flag")
+      .select(col("flag"), col("n_train"), col("slope"), col("intercept"),
+        (round(abs(col("y") - (col("intercept") + col("slope") * col("x")))
+          * 1000000) / 1000000).as("ar"))
+    val calCnt = resid(1).groupBy(col("flag"), col("n_train"), col("slope"),
+        col("intercept"), col("ar"))
+      .agg(count(lit(1)).as("c"))
+    val wF = Window.partitionBy(col("flag")).orderBy(col("ar"))
+    val qhat = calCnt
+      .withColumn("cum", sum(col("c")).over(
+        wF.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_calib",
+        sum(col("c")).over(Window.partitionBy(col("flag"))))
+      .withColumn("r", least(ceil((col("n_calib") + 1) * lit(1.0 - alpha))
+        .cast("long"), col("n_calib")))
+      .where(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
+      .select(col("flag"), col("n_train"), col("slope"), col("intercept"),
+        col("n_calib"), col("ar").as("qhat"))
+    resid(2).drop("n_train", "slope", "intercept")
+      .join(broadcast(qhat), "flag")
+      .groupBy(col("flag"), col("n_train"), col("n_calib"), col("slope"),
+        col("intercept"), col("qhat"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("ar") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("flag"), col("n_train"), col("n_calib"), col("n_eval"),
+        col("slope"), col("intercept"), col("qhat"),
+        (round(col("n_covered").cast("double") / col("n_eval") * 1000000)
+          / 1000000.0).as("coverage"))
+  }
+
+  def conformalInterval(spark: SparkSession, sfDir: String): DataFrame =
+    conformalInterval(Tables.lineitem(spark, sfDir))
+
+  /** q447: weight-of-evidence encoding + information value of brand vs
+    * the returned-line outcome — the credit-scoring feature statistic
+    * (Siddiqi, "Credit Risk Scorecards") beside q297's CV target
+    * encoding: WOE_b = ln(good-share_b / bad-share_b) with Laplace 0.5
+    * smoothing (every brand keeps a finite WOE even with an empty arm),
+    * IV = Σ (gshare − bshare)·WOE — the standard keep/drop gauge for a
+    * categorical feature. One grouped pass to brand arms + one broadcast
+    * totals row; ln is the one transcendental with cross-engine bit
+    * parity (SURVEY §3).
+    */
+  def woeIv(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.join(broadcast(part.select(col("p_partkey"),
+        col("p_brand"))), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_returnflag") === "R").as("bad"))
+    val arms = li.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad"))
+    val tot = arms.agg(sum(col("n_good")).as("gt"),
+      sum(col("n_bad")).as("bt"), count(lit(1)).as("nb"))
+    val sc = arms.crossJoin(broadcast(tot))
+      .withColumn("gshare", (col("n_good").cast("double") + 0.5)
+        / (col("gt").cast("double") + lit(0.5) * col("nb").cast("double")))
+      .withColumn("bshare", (col("n_bad").cast("double") + 0.5)
+        / (col("bt").cast("double") + lit(0.5) * col("nb").cast("double")))
+      .withColumn("woe", log(col("gshare") / col("bshare")))
+      .withColumn("iv_term", (col("gshare") - col("bshare")) * col("woe"))
+    val iv = sc.agg((round(sum(col("iv_term").cast("decimal(28,12)"))
+      .cast("double") * 1000000) / 1000000.0).as("iv_total"))
+    sc.crossJoin(broadcast(iv))
+      .select(col("brand"), col("n"), col("n_bad"),
+        (round(col("woe") * 1000000) / 1000000.0 + lit(0.0)).as("woe"),
+        (round(col("iv_term") * 100000000) / 100000000.0 + lit(0.0))
+          .as("iv_term"),
+        col("iv_total"))
+  }
+
+  def woeIv(spark: SparkSession, sfDir: String): DataFrame =
+    woeIv(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
 }

@@ -2489,6 +2489,68 @@ object Similarity {
     }.reduce(_.unionAll(_))
   }
 
+  /** q444: 1-bit (sign) embedding quantization recall — the fourth rung
+    * of the suite's compression-accuracy ladder (int8 q65, PQ q377, JL
+    * q414): each vector compresses to its 64 sign bits packed in ONE
+    * BIGINT, candidate ranking is Hamming distance (bit_count of XOR,
+    * ties on candidate id), audited as recall@k against the exact-cosine
+    * truth. This is the binary-embedding deployment a 100 TB corpus
+    * ships first — 8 bytes per vector, distance one XOR+popcount inside
+    * whole-stage codegen, and the entire "index" fits where 1% of the
+    * floats would. 63 sign bits, not 64: DuckDB's checked left-shift
+    * cannot form a BIGINT's sign bit (1 << 63 overflows loudly) while
+    * Spark wraps silently — dropping one dimension keeps the two
+    * engines on the identical signature and costs the audit nothing.
+    * Zero-norm vectors are dropped from both sides (the q440 guard:
+    * their cosine is undefined).
+    */
+  def binaryEmbedRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val e = asDoubles(emb).select(col("vec_id"), col("v"))
+    val all = e.withColumn("nrm", normCol("v")).where(col("nrm") > 0)
+    val sigs = all.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("i", "xd")))
+      .where(col("i") < 63)
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("xd") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("sig"))
+    val probes = all.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val wT = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val truth = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      .crossJoin(broadcast(probes))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", dotExpr("pv", "cv") / (col("pn") * col("cn")))
+      .withColumn("rnk", row_number().over(wT))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val psig = sigs.join(broadcast(probes.select(col("probe_id"))),
+        sigs("vec_id") === col("probe_id"))
+      .select(col("probe_id"), col("sig").as("psig"))
+    val wH = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hd"), col("neighbor_id"))
+    val approx = sigs.select(col("vec_id").as("neighbor_id"), col("sig"))
+      .crossJoin(broadcast(psig))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("hd", expr("bit_count(sig ^ psig)"))
+      .withColumn("rnk", row_number().over(wH))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_true") * 10000) / 10000).as("recall"))
+  }
+
+  def binaryEmbedRecall(spark: SparkSession, sfDir: String): DataFrame =
+    binaryEmbedRecall(Tables.embeddings(spark, sfDir))
+
   def graphAnnBeamSweep(spark: SparkSession, sfDir: String): DataFrame =
     graphAnnBeamSweep(Tables.embeddings(spark, sfDir))
 

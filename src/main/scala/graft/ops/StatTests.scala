@@ -1423,4 +1423,119 @@ object StatTests {
   def pearsonResiduals(spark: SparkSession, sfDir: String): DataFrame =
     pearsonResiduals(Tables.orders(spark, sfDir),
       Tables.customer(spark, sfDir), Tables.nation(spark, sfDir))
+
+  /** q443: CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013) — the experimentation-platform primitive beside q307's
+    * diff-in-diff: each user's PRE-period mean (before the frozen q87
+    * 75% split) is the control covariate, θ = cov(x,y)/var(x) over
+    * users, and the adjusted metric y − θ(x − x̄) keeps the mean but
+    * sheds the covariate-explained variance. Output per series: θ and
+    * the achieved variance-reduction ratio cov²/(var_x·var_y) = ρ² —
+    * the factor by which an A/B test's required sample size shrinks.
+    *
+    * Scale: one grouped pass to per-(series, user) phase means, one to
+    * per-series moments — both map-side combinable, nothing beyond
+    * |series|×|users| ever shuffles; per-user means snap to 1e-6 so the
+    * second-pass products are bit-identical cross-engine. Users lacking
+    * either phase are excluded (no covariate / no metric); series need
+    * n ≥ 2 users and positive variances, the q180 guard discipline.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("user_id"),
+      epochS(col("ts")).as("e"), col("value"))
+    val split = ev.agg(floor(min(col("e"))
+      + (max(col("e")) - min(col("e"))) * 0.75).cast("long").as("split_e"))
+    val um = ev.crossJoin(broadcast(split))
+      .withColumn("pre", col("e") < col("split_e"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        sum(when(col("pre"), col("value").cast("decimal(18,6)"))).as("sx"),
+        sum(when(col("pre"), 1L).otherwise(0L)).as("nx"),
+        sum(when(!col("pre"), col("value").cast("decimal(18,6)"))).as("sy"),
+        sum(when(!col("pre"), 1L).otherwise(0L)).as("ny"))
+      .where(col("nx") > 0 && col("ny") > 0)
+      .select(col("event_type"),
+        (round(col("sx").cast("double") / col("nx") * 1000000) / 1000000)
+          .as("x"),
+        (round(col("sy").cast("double") / col("ny") * 1000000) / 1000000)
+          .as("y"))
+    um.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(28,12)")).cast("double").as("syy"))
+      .where(col("n_users") >= 2)
+      .withColumn("nn", col("n_users").cast("double"))
+      .withColumn("varx", (col("sxx") - col("sx") * col("sx") / col("nn"))
+        / (col("nn") - 1))
+      .withColumn("vary", (col("syy") - col("sy") * col("sy") / col("nn"))
+        / (col("nn") - 1))
+      .withColumn("covxy", (col("sxy") - col("sx") * col("sy") / col("nn"))
+        / (col("nn") - 1))
+      .where(col("varx") > 0 && col("vary") > 0)
+      .select(col("event_type"), col("n_users"),
+        (round(col("covxy") / col("varx") * 1000000) / 1000000.0).as("theta"),
+        (round(col("vary") * 1000000) / 1000000.0).as("var_y"),
+        (round((col("vary") - col("covxy") * col("covxy") / col("varx"))
+          * 1000000) / 1000000.0).as("var_cuped"),
+        (round(col("covxy") * col("covxy") / col("varx") / col("vary")
+          * 1000000) / 1000000.0).as("var_reduction"))
+  }
+
+  def cuped(spark: SparkSession, sfDir: String): DataFrame =
+    cuped(Tables.events(spark, sfDir))
+
+  /** q445: stratified treatment-effect estimate — the observational-
+    * causal rung beside q307's diff-in-diff: "treatment" is a deep
+    * discount (l_discount > 0.05), outcome is line quantity, and
+    * stratifying by brand blocks the brand-level confounding a raw mean
+    * difference absorbs (cheap brands discount more AND ship more). Per
+    * stratum the arm-mean difference; the ALL_STRATIFIED row is the
+    * stratum-size-weighted average (Cochran 1968) — with the per-brand
+    * rows kept so Simpson-style sign flips (q429's phenomenon) stay
+    * visible next to the adjusted estimate.
+    *
+    * Scale: one broadcast dim join + one grouped pass to (brand, arm)
+    * decimal moments; everything after runs on |brands|×2 rows. Brands
+    * missing an arm are excluded from both grains.
+    */
+  def stratifiedAte(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.join(broadcast(part.select(col("p_partkey"),
+        col("p_brand"))), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_discount") > 0.05).as("treated"),
+        col("l_quantity").cast("decimal(18,6)").as("y"))
+    val arms = li.groupBy(col("brand"), col("treated"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val piv = arms.groupBy(col("brand"))
+      .agg(max(when(col("treated"), col("n"))).as("n_t"),
+        max(when(col("treated"), col("sy"))).as("sy_t"),
+        max(when(!col("treated"), col("n"))).as("n_c"),
+        max(when(!col("treated"), col("sy"))).as("sy_c"))
+      .where(col("n_t").isNotNull && col("n_c").isNotNull)
+      .select(col("brand"), col("n_t"), col("n_c"),
+        (round(col("sy_t").cast("double") / col("n_t") * 1000000) / 1000000)
+          .as("mean_t"),
+        (round(col("sy_c").cast("double") / col("n_c") * 1000000) / 1000000)
+          .as("mean_c"))
+      .withColumn("diff", round((col("mean_t") - col("mean_c")) * 1000000)
+        / 1000000)
+    def wavg(c: org.apache.spark.sql.Column) =
+      round(sum((c * (col("n_t") + col("n_c")).cast("double"))
+          .cast("decimal(28,8)")).cast("double")
+        / sum(col("n_t") + col("n_c")).cast("double") * 1000000) / 1000000
+    val overall = piv.agg(
+        sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        wavg(col("mean_t")).as("mean_t"), wavg(col("mean_c")).as("mean_c"),
+        wavg(col("diff")).as("diff"))
+      .select(lit("ALL_STRATIFIED").as("brand"), col("n_t"), col("n_c"),
+        col("mean_t"), col("mean_c"), col("diff"))
+    piv.select(col("brand"), col("n_t"), col("n_c"), col("mean_t"),
+      col("mean_c"), col("diff")).unionByName(overall)
+  }
+
+  def stratifiedAte(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedAte(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
 }

@@ -103,6 +103,9 @@ HOT_QUERIES = [
     "q166_supplier_affinity", "q268_negative_samples",
     "q285_basket_confidence", "q308_cold_start", "q423_item_knn",
     "q439_rec_coverage",
+    # round-11 widening (conformal folds, CUPED phases, sign bits, bands)
+    "q442_conformal_interval", "q443_cuped", "q444_binary_embed_recall",
+    "q445_stratified_ate", "q446_band_join", "q447_woe_iv",
 ]
 
 VOCAB = ("the spark batch window merge join filter sort table scan row "
