@@ -2538,10 +2538,13 @@ object Similarity {
       .withColumn("rnk", row_number().over(wH))
       .where(col("rnk") <= k)
       .select(col("probe_id"), col("neighbor_id"))
-    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+    // truth/approx are nProbes·k rows BY CONSTRUCTION — broadcast them so
+    // the audit tail never sort-merges two 50-row tables
+    val hits = truth.join(broadcast(approx), Seq("probe_id", "neighbor_id"),
+        "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
     truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("probe_id"), "left_outer")
+      .join(broadcast(hits), Seq("probe_id"), "left_outer")
       .select(col("probe_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
         (round(coalesce(col("n_hits"), lit(0L)).cast("double")

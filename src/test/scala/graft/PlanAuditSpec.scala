@@ -372,6 +372,43 @@ class PlanAuditSpec extends SparkSpec {
       "q406 re-grew a window/sort partitioned on the 2-valued side flag")
   }
 
+  test("round-9/10 ANN newcomers: rank-limit pushdown survives, no lost broadcast") {
+    // the graph-ANN and recsys audits are window-top-k machines — losing
+    // WindowGroupLimit means every probe's full candidate list sorts at scale
+    for (name <- Seq("q440_graph_ann", "q441_beam_sweep", "q423_item_knn",
+                     "q439_rec_coverage", "q391_ivfpq_recall"))
+      assert(plans(name).contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit rank-limit pushdown")
+    // the PQ comparison's codebook/alloc joins must stay broadcast
+    assert(plans("q393_balanced_pq").contains("BroadcastHashJoin"),
+      "q393 lost its broadcast codebook/alloc joins")
+  }
+
+  test("round-11 newcomers: broadcast contracts and join shapes") {
+    // q442: the per-flag fit and qhat tables are |flags| rows — broadcast,
+    // never a sort-merge back to the fact table
+    assert(!plans("q442_conformal_interval").contains("SortMergeJoin"),
+      "q442's fit/qhat joins fell back to sort-merge")
+    // q444: sign signatures rank through WindowGroupLimit; the audit-tail
+    // truth/approx joins (nProbes·k rows) broadcast
+    assert(plans("q444_binary_embed_recall").contains("WindowGroupLimit"),
+      "q444 lost the hamming/truth top-k pushdown")
+    assert(!plans("q444_binary_embed_recall").contains("SortMergeJoin"),
+      "q444's 50-row audit-tail joins fell back to sort-merge")
+    // q446: the band join is an EQUI join on the bucket id — an
+    // inequality-only join would plan a nested loop over the DATA sides
+    // (the 1-row ref_type broadcast is the only BNLJ allowed)
+    val p446 = plans("q446_band_join")
+    assert(p446.contains("explode([-1,0,1])"),
+      "q446 lost the 3-bucket replication (the equi-join key source)")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p446).size <= 2,
+      "q446 grew a nested-loop join beyond the 1-row ref broadcasts")
+    // q445/q447: the part dimension broadcasts
+    for (name <- Seq("q445_stratified_ate", "q447_woe_iv"))
+      assert(plans(name).contains("BroadcastHashJoin"),
+        s"$name lost its broadcast part-dimension join")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // The AQE wrapper hides codegen spans until execution; the static plan
     // (AQE off) shows them. Scoped conf flip, restored in finally.
