@@ -55,10 +55,12 @@ object SparkEntry {
       Relational.decorrelatedAgg(s, d).orderBy(col("o_custkey"))),
     "q20_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(s, d).orderBy(col("source"))),
-    // ships the prefix-filtered (AllPairs) path — the 100 TB-safe variant;
-    // DedupSpec asserts it equals the direct inverted-index join
+    // the exact-audit config: prefix-filtered (AllPairs) pair join inside
+    // ONE data-derived md5 stratum (~5k docs at any scale; K=1 at driver
+    // SFs so the full exact join still gates there). DedupSpec asserts the
+    // underlying prefix path equals the direct inverted-index join.
     "q21_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPrefix(s, d).orderBy(col("doc_a"), col("doc_b"))),
+      Dedup.ngramJaccardStratumAudit(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q22_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "q23_simhash" -> ((s, d) =>
@@ -898,7 +900,12 @@ object SparkEntry {
     "q446_band_join" -> ((s, d) =>
       graft.ops.Ranges.bandJoin(s, d).orderBy(col("event_type"))),
     "q447_woe_iv" -> ((s, d) =>
-      graft.ops.Regression.woeIv(s, d).orderBy(col("brand")))
+      graft.ops.Regression.woeIv(s, d).orderBy(col("brand"))),
+    "q448_sequential_boundary" -> ((s, d) =>
+      graft.ops.StatTests.sequentialBoundary(s, d)
+        .orderBy(col("event_type"), col("look"))),
+    "q449_power_mde" -> ((s, d) =>
+      graft.ops.StatTests.powerMde(s, d).orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1101,8 +1108,21 @@ object SparkEntry {
         | CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) n_dups
         |FROM hs JOIN k USING (hv) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split(
-        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM documents),
+      """WITH k AS (SELECT greatest(CAST(1 AS BIGINT),
+        |     CAST(floor(count(*)/5000.0) AS BIGINT)) k_strata FROM documents),
+        |sd0 AS (SELECT doc_id, text,
+        |     md5('jstrat:'||CAST(doc_id AS VARCHAR)) h FROM documents),
+        |sd AS (SELECT doc_id, text FROM sd0 CROSS JOIN k
+        |  WHERE CAST(
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1)*1048576 +
+        |    (instr('0123456789abcdef', substr(h, 2, 1)) - 1)*65536 +
+        |    (instr('0123456789abcdef', substr(h, 3, 1)) - 1)*4096 +
+        |    (instr('0123456789abcdef', substr(h, 4, 1)) - 1)*256 +
+        |    (instr('0123456789abcdef', substr(h, 5, 1)) - 1)*16 +
+        |    (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)
+        |    % k_strata = 0),
+        |d AS (SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w FROM sd),
         |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
         |       FROM d WHERE len(w) >= 3),
         |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh FROM ix),
@@ -1110,8 +1130,10 @@ object SparkEntry {
         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
         |SELECT doc_a, doc_b, n_shared,
-        | round(CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared), 6) jaccard
+        | round(CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared), 6) jaccard,
+        | k_strata
         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |CROSS JOIN k
         |WHERE CAST(n_shared AS DOUBLE)/(sa.n_sh + sb.n_sh - n_shared) >= 0.5
         |ORDER BY 1,2""".stripMargin,
     "q22_minhash_lsh" ->
@@ -7030,13 +7052,17 @@ object SparkEntry {
         |SELECT state, round(t*1000000)/1000000.0 AS exp_steps
         |FROM t8 ORDER BY 1""".stripMargin,
     "q300_jaccard_sweep" ->
+      // the sweep's base build is the CAPPED q389 configuration (df <= 5)
       """WITH d AS (SELECT doc_id, string_split(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
         |  FROM documents),
         |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) g
         |  FROM d WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh
+        |sh0 AS (SELECT DISTINCT doc_id, w[g]||' '||w[g+1]||' '||w[g+2] sh
         |  FROM ix),
+        |f AS (SELECT sh, count(*) df FROM sh0 GROUP BY 1),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN f USING (sh)
+        |  WHERE df <= 5),
         |sz AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -11218,10 +11244,12 @@ object SparkEntry {
         |um AS (SELECT event_type, user_id,
         |    sum(CASE WHEN e < split_e THEN CAST(value AS DECIMAL(18,6))
         |      END) sx,
-        |    CAST(sum(CASE WHEN e < split_e THEN 1 ELSE 0 END) AS BIGINT) nx,
+        |    CAST(sum(CASE WHEN e < split_e AND value IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) nx,
         |    sum(CASE WHEN e >= split_e THEN CAST(value AS DECIMAL(18,6))
         |      END) sy,
-        |    CAST(sum(CASE WHEN e >= split_e THEN 1 ELSE 0 END) AS BIGINT) ny
+        |    CAST(sum(CASE WHEN e >= split_e AND value IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) ny
         |  FROM ev CROSS JOIN sp GROUP BY 1, 2),
         |xy AS (SELECT event_type,
         |    round(CAST(sx AS DOUBLE)/nx*1000000)/1000000 x,
@@ -11324,7 +11352,9 @@ object SparkEntry {
         |    /CAST(sum(n_t + n_c) AS DOUBLE)*1000000)/1000000
         |FROM dd ORDER BY brand""".stripMargin,
     "q446_band_join" ->
-      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e
+      // band width interpolated from Ranges.BandJoinBandS — ONE constant
+      // shared by the operator default and the oracle
+      s"""WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) e
         |  FROM events),
         |rf AS (SELECT min(event_type) ref_type FROM ev),
         |a AS (SELECT e ea FROM ev CROSS JOIN rf WHERE event_type = ref_type),
@@ -11334,7 +11364,7 @@ object SparkEntry {
         |  CAST(count(DISTINCT ea) AS BIGINT) n_ref_matched,
         |  round(CAST(sum(CAST(abs(eb - ea) AS DECIMAL(28,6))) AS DOUBLE)
         |    /count(*)*10000)/10000 mean_abs_dt
-        |FROM a JOIN b ON abs(eb - ea) <= 300
+        |FROM a JOIN b ON abs(eb - ea) <= ${graft.ops.Ranges.BandJoinBandS}
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q447_woe_iv" ->
       """WITH li AS (SELECT p_brand brand, l_returnflag = 'R' bad
@@ -11360,7 +11390,113 @@ object SparkEntry {
         |  round(woe*1000000)/1000000.0 + 0.0 woe,
         |  round(iv_term*100000000)/100000000.0 + 0.0 iv_term,
         |  iv_total
-        |FROM w CROSS JOIN iv ORDER BY brand""".stripMargin
+        |FROM w CROSS JOIN iv ORDER BY brand""".stripMargin,
+    "q448_sequential_boundary" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e, value
+        |  FROM events WHERE value IS NOT NULL),
+        |sp AS (SELECT event_type, min(e) e0, max(e) - min(e) + 1 w
+        |  FROM ev GROUP BY 1),
+        |lk AS (SELECT ev.event_type, (e - e0) * 5 // w + 1 look,
+        |    user_id % 2 = 0 t, value
+        |  FROM ev JOIN sp ON ev.event_type = sp.event_type),
+        |cell AS (SELECT event_type, look,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) dn_t,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) dn_c,
+        |    sum(CASE WHEN t THEN CAST(value AS DECIMAL(18,6)) END) ds_t,
+        |    sum(CASE WHEN NOT t THEN CAST(value AS DECIMAL(18,6)) END) ds_c,
+        |    sum(CASE WHEN t THEN CAST(value*value AS DECIMAL(28,6)) END) dq_t,
+        |    sum(CASE WHEN NOT t THEN CAST(value*value AS DECIMAL(28,6)) END)
+        |      dq_c
+        |  FROM lk GROUP BY 1, 2),
+        |grid AS (SELECT event_type, CAST(g AS BIGINT) look
+        |  FROM sp, generate_series(1, 5) t(g)),
+        |cum AS (SELECT g.event_type, g.look,
+        |    CAST(sum(coalesce(dn_t, 0)) OVER wn AS BIGINT) n_t,
+        |    CAST(sum(coalesce(dn_c, 0)) OVER wn AS BIGINT) n_c,
+        |    sum(coalesce(ds_t, CAST(0 AS DECIMAL(18,6)))) OVER wn s_t,
+        |    sum(coalesce(ds_c, CAST(0 AS DECIMAL(18,6)))) OVER wn s_c,
+        |    sum(coalesce(dq_t, CAST(0 AS DECIMAL(28,6)))) OVER wn q_t,
+        |    sum(coalesce(dq_c, CAST(0 AS DECIMAL(28,6)))) OVER wn q_c
+        |  FROM grid g LEFT JOIN cell c
+        |    ON g.event_type = c.event_type AND g.look = c.look
+        |  WINDOW wn AS (PARTITION BY g.event_type ORDER BY g.look
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT event_type, look, n_t, n_c,
+        |    CASE WHEN n_t > 0 THEN CAST(s_t AS DOUBLE)/n_t END m_t,
+        |    CASE WHEN n_c > 0 THEN CAST(s_c AS DOUBLE)/n_c END m_c,
+        |    q_t, q_c FROM cum),
+        |v AS (SELECT event_type, look, n_t, n_c, m_t, m_c,
+        |    CASE WHEN n_t > 1
+        |      THEN (CAST(q_t AS DOUBLE) - n_t*m_t*m_t)/(n_t - 1) END v_t,
+        |    CASE WHEN n_c > 1
+        |      THEN (CAST(q_c AS DOUBLE) - n_c*m_c*m_c)/(n_c - 1) END v_c
+        |  FROM m),
+        |zt AS (SELECT event_type, look, n_t, n_c, m_t, m_c,
+        |    CASE WHEN den > 0
+        |      THEN round((m_t - m_c)/den*1000000)/1000000.0 END z
+        |  FROM (SELECT *, CASE WHEN n_t > 1 AND n_c > 1
+        |      AND (v_t > 0 OR v_c > 0)
+        |      THEN sqrt(v_t/n_t + v_c/n_c) END den FROM v)),
+        |b AS (SELECT *,
+        |    round(2.04*sqrt(5.0/look)*1000000)/1000000.0 boundary,
+        |    coalesce(abs(z) > round(2.04*sqrt(5.0/look)*1000000)/1000000.0,
+        |      false) crossed
+        |  FROM zt)
+        |SELECT event_type, look, n_t, n_c,
+        |  round(m_t*1000000)/1000000.0 mean_t,
+        |  round(m_c*1000000)/1000000.0 mean_c,
+        |  z, boundary, crossed,
+        |  min(CASE WHEN crossed THEN look END)
+        |    OVER (PARTITION BY event_type) first_cross
+        |FROM b ORDER BY event_type, look""".stripMargin,
+    "q449_power_mde" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+        |sp AS (SELECT CAST(floor(min(e) + (max(e) - min(e))*0.75) AS BIGINT)
+        |    split_e FROM ev),
+        |um AS (SELECT event_type, user_id,
+        |    sum(CASE WHEN e < split_e THEN CAST(value AS DECIMAL(18,6))
+        |      END) sx,
+        |    CAST(sum(CASE WHEN e < split_e AND value IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) nx,
+        |    sum(CASE WHEN e >= split_e THEN CAST(value AS DECIMAL(18,6))
+        |      END) sy,
+        |    CAST(sum(CASE WHEN e >= split_e AND value IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) ny
+        |  FROM ev CROSS JOIN sp GROUP BY 1, 2),
+        |xy AS (SELECT event_type,
+        |    round(CAST(sx AS DOUBLE)/nx*1000000)/1000000 x,
+        |    round(CAST(sy AS DOUBLE)/ny*1000000)/1000000 y
+        |  FROM um WHERE nx > 0 AND ny > 0),
+        |mm AS (SELECT event_type, CAST(count(*) AS BIGINT) n_users,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(y*y AS DECIMAL(28,12))) AS DOUBLE) syy
+        |  FROM xy GROUP BY 1),
+        |v AS (SELECT event_type, n_users,
+        |    (sxx - sx*sx/CAST(n_users AS DOUBLE))
+        |      /(CAST(n_users AS DOUBLE) - 1) varx,
+        |    (syy - sy*sy/CAST(n_users AS DOUBLE))
+        |      /(CAST(n_users AS DOUBLE) - 1) vary,
+        |    (sxy - sx*sy/CAST(n_users AS DOUBLE))
+        |      /(CAST(n_users AS DOUBLE) - 1) covxy
+        |  FROM mm WHERE n_users >= 2),
+        |base AS (SELECT event_type, n_users,
+        |    round(vary*1000000)/1000000.0 var_y,
+        |    round((vary - covxy*covxy/varx)*1000000)/1000000.0 var_cuped
+        |  FROM v WHERE varx > 0 AND vary > 0),
+        |arm AS (SELECT *, CAST(n_users AS DOUBLE)/2.0 n_arm FROM base)
+        |SELECT event_type, n_users, var_y, var_cuped,
+        |  round((1.959964 + 0.841621)*sqrt(2.0*var_y/n_arm)*1000000)
+        |    /1000000.0 mde_raw,
+        |  round((1.959964 + 0.841621)*sqrt(2.0*var_cuped/n_arm)*1000000)
+        |    /1000000.0 mde_cuped,
+        |  round(var_cuped/var_y*1000000)/1000000.0 n_ratio,
+        |  round(sqrt(var_cuped/var_y)*1000000)/1000000.0 mde_shrink
+        |FROM arm ORDER BY event_type""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q200): one (row-dot,

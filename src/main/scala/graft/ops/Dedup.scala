@@ -134,6 +134,57 @@ object Dedup {
     finishJaccard(inter, sizes, minJaccard)
   }
 
+  /** q21: stratum-gated exact Jaccard audit — [[ngramJaccardPrefix]]
+    * restricted to ONE deterministic md5 stratum of the corpus, sized so
+    * the exact audit stays constant work at every scale.
+    *
+    * The uncapped exact pair join was the named sf100 wall-clock blocker
+    * (549 s at sf10, BASELINE_sf100.md): pair work grows quadratically
+    * with the corpus no matter how good the prefix filter is. The shipped
+    * dedup configs are the capped q389/q390; q21's role is the EXACT
+    * ground-truth audit — and an audit doesn't need every pair, it needs
+    * an unbiased, reproducible, exactly-verified subset. So: K =
+    * max(1, floor(n_docs / `stratumTarget`)) strata (derived FROM the
+    * data, identically in both engines — no SF-specific constant), each
+    * document assigned by the u24 of md5("jstrat:" + doc_id) mod K (the
+    * q54 deterministic-sampling idiom), and the audit runs the full
+    * lossless prefix-filtered Jaccard WITHIN stratum 0 — ~`stratumTarget`
+    * documents at any corpus size, so the exact pair join that was O(n²)
+    * is now O(1) in corpus scale while remaining bit-exact on what it
+    * covers. Pair coverage is 1/K² of the corpus (uniform over pairs, so
+    * dup-rate estimates scale by K²); `k_strata` rides along on every row
+    * à la q73's dropped-bucket accounting so a consumer can't mistake the
+    * stratum for the corpus. At the driver SFs (≤5000 docs) K = 1 and the
+    * audit is the historical full exact join; at sf1 (50k docs) K = 10 —
+    * the gate exercises the stratified path — and at sf100 the audit
+    * still touches ~5000 documents.
+    */
+  def ngramJaccardStratumAudit(docs: DataFrame, minJaccard: Double = 0.5,
+                               stratumTarget: Int = 5000): DataFrame = {
+    val k = docs.agg(greatest(lit(1L),
+      floor(count(lit(1)) / lit(stratumTarget.toDouble)).cast("long"))
+      .as("k_strata"))
+    val strat = docs.crossJoin(broadcast(k))
+      .withColumn("h", md5(concat(lit("jstrat:"), col("doc_id").cast("string"))))
+      .withColumn("u24",
+        expr("""CAST(
+          (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+          (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+          (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+          (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+          (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+          (instr('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)"""))
+      .where(col("u24") % col("k_strata") === 0L)
+      .drop("h", "u24", "k_strata")
+    ngramJaccardPrefix(strat, minJaccard)
+      .crossJoin(broadcast(k))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"),
+        col("k_strata"))
+  }
+
+  def ngramJaccardStratumAudit(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardStratumAudit(Tables.documents(spark, sfDir))
+
   /** q389: DF-capped prefix-filtered Jaccard — the configuration actually
     * shipped at web scale, oracle-pinned with a cap that BITES at the test
     * SF (maxDf = 5 drops 29 shingles at sf0.01) so the capped code path is
@@ -376,15 +427,25 @@ object Dedup {
 
   /** q300: dedup threshold sensitivity sweep — pair counts and mean
     * similarity at every candidate Jaccard cutoff 0.3..0.9, from ONE
-    * prefix-filtered pair build at the loosest threshold (the sweep is a
-    * broadcast fan-out over the bounded pair table, never a re-join). The
-    * tuning table behind "where do we set the dedup knife": the knee of
+    * pair build at the loosest threshold (the sweep is a broadcast
+    * fan-out over the bounded pair table, never a re-join). The tuning
+    * table behind "where do we set the dedup knife": the knee of
     * n_pairs(t) separates the near-dup mass from the template tail, and a
     * mean_jaccard far above t says the cutoff is lazy. Zero-pair
     * thresholds still report (left join from the threshold grid).
+    *
+    * The base build is the CAPPED q389 configuration (maxDf = 5), not the
+    * uncapped prefix join: the sweep tunes the knife for the SHIPPED
+    * dedup path, so it should sweep the shipped path's own similarity —
+    * and the uncapped build at t = 0.3 was the other named sf100
+    * wall-clock blocker (878 s at sf10; the 0.3 prefix keeps ~70% of each
+    * document's shingles, so web-scale stop-shingles re-enter the join
+    * exactly as [[ngramJaccardPrefix]]'s doc warns). Under the cap the
+    * pair build is bounded by df ≤ 5 · capped-shingle count at every
+    * scale.
     */
   def jaccardThresholdSweep(docs: DataFrame): DataFrame = {
-    val pairs = ngramJaccardPrefix(docs, 0.3)
+    val pairs = ngramJaccardCapped(docs, 0.3, maxDf = 5)
       .select(col("jaccard")).localCheckpoint()
     val grid = docs.sparkSession.range(3, 10)
       .select((col("id").cast("double") / 10.0).as("threshold"))

@@ -397,8 +397,13 @@ object Drift {
     // two phase consumers + self-joins inside the count-and-locate engine:
     // materialize the distinct-value-sized aggregate once (the
     // psiFromCounts idiom — it also de-conflicts attribute ids when the
-    // input is a re-read memory-sink table on the streaming path)
-    val cnts = cntsIn.localCheckpoint()
+    // input is a re-read memory-sink table on the streaming path).
+    // DISK_ONLY, not the default MEMORY_AND_DISK: for continuous-valued
+    // series the distinct-(series,value) table is near corpus-sized, and
+    // heap-pinned checkpoint blocks starve broadcast builds (the
+    // Similarity.diskCheckpoint policy — heap is the scarce resource).
+    val cnts = cntsIn.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def quantilesOf(cc: org.apache.spark.sql.Column, suffix: String): DataFrame =
       Percentiles.exactQuantilesFromCounts(
         cnts.select(col("event_type"), col("value"), cc.as("cnt")),

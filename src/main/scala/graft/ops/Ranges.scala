@@ -1314,7 +1314,13 @@ object Ranges {
     * with map-side-combinable downstream aggregation and AQE-splittable
     * skew. n_ref_matched counts distinct matched reference timestamps.
     */
-  def bandJoin(events: DataFrame, bandS: Int = 300): DataFrame = {
+  /** The q446 band half-width, shared with the oracle SQL (which is
+    * generated from this constant) so a non-default invocation can't
+    * silently diverge from what correctness gates.
+    */
+  val BandJoinBandS: Int = 300
+
+  def bandJoin(events: DataFrame, bandS: Int = BandJoinBandS): DataFrame = {
     val ev = events.select(col("event_type"), epochS(col("ts")).as("e"))
     val ref = ev.agg(min(col("event_type")).as("ref_type"))
     val a = ev.join(broadcast(ref), col("event_type") === col("ref_type"))

@@ -516,8 +516,10 @@ object Regression {
     import org.apache.spark.sql.expressions.Window
     val r9 = (c: org.apache.spark.sql.Column) =>
       round(c * 1000000000L) / 1000000000L
+    // % (dividend-sign remainder), NOT pmod: the oracle's l_orderkey % 3
+    // has DuckDB %-semantics, and the two diverge on negative keys
     val li = lineitem.select(col("l_returnflag").as("flag"),
-      pmod(col("l_orderkey"), lit(3)).as("fold"),
+      (col("l_orderkey") % 3).cast("int").as("fold"),
       col("l_quantity").cast("double").as("x"),
       col("l_extendedprice").cast("double").as("y"))
     val fit = li.where(col("fold") === 0)

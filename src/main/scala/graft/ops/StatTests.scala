@@ -1448,11 +1448,16 @@ object StatTests {
     val um = ev.crossJoin(broadcast(split))
       .withColumn("pre", col("e") < col("split_e"))
       .groupBy(col("event_type"), col("user_id"))
+      // counts gate on value NOT NULL exactly like the sums do — a NULL
+      // reading must not inflate a phase denominator (and a user whose
+      // phase is ALL-NULL has no phase mean at all)
       .agg(
         sum(when(col("pre"), col("value").cast("decimal(18,6)"))).as("sx"),
-        sum(when(col("pre"), 1L).otherwise(0L)).as("nx"),
+        sum(when(col("pre") && col("value").isNotNull, 1L).otherwise(0L))
+          .as("nx"),
         sum(when(!col("pre"), col("value").cast("decimal(18,6)"))).as("sy"),
-        sum(when(!col("pre"), 1L).otherwise(0L)).as("ny"))
+        sum(when(!col("pre") && col("value").isNotNull, 1L).otherwise(0L))
+          .as("ny"))
       .where(col("nx") > 0 && col("ny") > 0)
       .select(col("event_type"),
         (round(col("sx").cast("double") / col("nx") * 1000000) / 1000000)
@@ -1538,4 +1543,141 @@ object StatTests {
 
   def stratifiedAte(spark: SparkSession, sfDir: String): DataFrame =
     stratifiedAte(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
+
+  /** q448: group-sequential A/B monitoring boundary audit — O'Brien &
+    * Fleming (1979) via the z-scale boundary z_k = C·√(K/k) (equivalently
+    * C/√t_k at information fraction t_k = k/K), the design every
+    * experimentation platform runs so peeking at interim results doesn't
+    * inflate false positives. C = 2.04 is the tabulated OBF critical
+    * value for K = 5 looks at two-sided α = 0.05 (a design constant, like
+    * q345's Wilson z) — kept a literal so both engines share it exactly;
+    * the normal-CDF alpha-spending form is deliberately avoided (Φ is the
+    * transcendental class SURVEY §3 bans from the parity surface; √ is
+    * IEEE-exact).
+    *
+    * Per series: deterministic arms (user_id % 2 — the q443/q83 no-RNG
+    * assignment), five equal calendar looks over the series' time span,
+    * and at each CUMULATIVE look the Welch z of the arm-mean difference
+    * against the shrinking boundary; `crossed` marks looks where |z|
+    * exceeds it, `first_cross` the earliest such look — "when could this
+    * experiment have stopped". Degenerate looks (an arm with < 2 values
+    * or zero variance) keep their row with a NULL z (the q125 guard
+    * discipline); NULL readings count toward neither n nor moments (the
+    * q443 advice-fix discipline).
+    *
+    * Scale: ONE scan to (series, look, arm) decimal moments — map-side
+    * combinable; the cumulative prefix runs on the ≤ 5·|series|·2
+    * aggregate rows inside a per-series window, and everything after is
+    * per-row algebra on 5·|series| rows. The boundary-crossing audit of a
+    * 100 TB event log costs exactly one aggregation pass.
+    */
+  def sequentialBoundary(events: DataFrame, looks: Int = 5,
+                         c: Double = 2.04): DataFrame = {
+    val ev = events
+      .select(col("event_type"), col("user_id"), epochS(col("ts")).as("e"),
+        col("value"))
+      .where(col("value").isNotNull)
+    val span = ev.groupBy(col("event_type"))
+      .agg(min(col("e")).as("e0"), (max(col("e")) - min(col("e")) + 1)
+        .as("w"))
+    // look index by pure BIGINT arithmetic: Spark `div` ≡ DuckDB `//`
+    // (integral division, exact) — float division + floor can round a
+    // just-below-integer quotient up across engines
+    val looked = ev.join(broadcast(span), "event_type")
+      .withColumn("look",
+        expr(s"(e - e0) * $looks div w") + 1)
+      .withColumn("t", (col("user_id") % 2 === 0))
+    val cell = looked.groupBy(col("event_type"), col("look"))
+      .agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("dn_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("dn_c"),
+        sum(when(col("t"), col("value").cast("decimal(18,6)"))).as("ds_t"),
+        sum(when(!col("t"), col("value").cast("decimal(18,6)"))).as("ds_c"),
+        sum(when(col("t"), (col("value") * col("value"))
+          .cast("decimal(28,6)"))).as("dq_t"),
+        sum(when(!col("t"), (col("value") * col("value"))
+          .cast("decimal(28,6)"))).as("dq_c"))
+    // every series reports all `looks` rows, including empty looks — the
+    // grid join keeps the look axis dense so cumulative stats carry over
+    val grid = span.select(col("event_type"))
+      .crossJoin(broadcast(events.sparkSession.range(1, looks + 1)
+        .select(col("id").as("look"))))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.join(cell, Seq("event_type", "look"), "left")
+      .withColumn("n_t", sum(coalesce(col("dn_t"), lit(0L))).over(wCum))
+      .withColumn("n_c", sum(coalesce(col("dn_c"), lit(0L))).over(wCum))
+      .withColumn("s_t", sum(coalesce(col("ds_t"),
+        lit(0).cast("decimal(18,6)"))).over(wCum))
+      .withColumn("s_c", sum(coalesce(col("ds_c"),
+        lit(0).cast("decimal(18,6)"))).over(wCum))
+      .withColumn("q_t", sum(coalesce(col("dq_t"),
+        lit(0).cast("decimal(28,6)"))).over(wCum))
+      .withColumn("q_c", sum(coalesce(col("dq_c"),
+        lit(0).cast("decimal(28,6)"))).over(wCum))
+    val z = cum
+      .withColumn("m_t", when(col("n_t") > 0,
+        col("s_t").cast("double") / col("n_t")))
+      .withColumn("m_c", when(col("n_c") > 0,
+        col("s_c").cast("double") / col("n_c")))
+      .withColumn("v_t", when(col("n_t") > 1,
+        (col("q_t").cast("double") - col("n_t") * col("m_t") * col("m_t"))
+          / (col("n_t") - 1)))
+      .withColumn("v_c", when(col("n_c") > 1,
+        (col("q_c").cast("double") - col("n_c") * col("m_c") * col("m_c"))
+          / (col("n_c") - 1)))
+      .withColumn("den", when(col("n_t") > 1 && col("n_c") > 1
+          && (col("v_t") > 0 || col("v_c") > 0),
+        sqrt(col("v_t") / col("n_t") + col("v_c") / col("n_c"))))
+      .withColumn("z", when(col("den") > 0, round((col("m_t") - col("m_c"))
+        / col("den") * 1000000) / 1000000.0))
+      .withColumn("boundary", round(lit(c)
+        * sqrt(lit(looks.toDouble) / col("look")) * 1000000) / 1000000.0)
+      .withColumn("crossed",
+        coalesce(abs(col("z")) > col("boundary"), lit(false)))
+    val wS = Window.partitionBy(col("event_type"))
+    z.withColumn("first_cross",
+        min(when(col("crossed"), col("look"))).over(wS))
+      .select(col("event_type"), col("look"), col("n_t"), col("n_c"),
+        (round(col("m_t") * 1000000) / 1000000.0).as("mean_t"),
+        (round(col("m_c") * 1000000) / 1000000.0).as("mean_c"),
+        col("z"), col("boundary"), col("crossed"), col("first_cross"))
+  }
+
+  def sequentialBoundary(spark: SparkSession, sfDir: String): DataFrame =
+    sequentialBoundary(Tables.events(spark, sfDir))
+
+  /** q449: power / minimum-detectable-effect calculator off q443's CUPED
+    * variance reduction — the "what can this experiment actually see"
+    * table (Deng et al. 2013 §5; standard two-sample power algebra): with
+    * per-arm size n = n_users/2, MDE = (z_{α/2} + z_β)·√(2σ²/n) at
+    * α = 0.05, power 0.8 — z constants are the tabulated literals
+    * 1.959964 + 0.841621 (the q345 discipline; no Φ⁻¹ on the parity
+    * surface). Reported for the RAW metric variance and the CUPED-
+    * adjusted variance, plus `n_ratio` = var_cuped/var_y — the factor by
+    * which the covariate shrinks the required sample size at fixed MDE —
+    * and `mde_shrink` = √(n_ratio), the detectable-effect shrink at fixed
+    * n. Runs entirely on [[cuped]]'s |series|-row output: the corpus
+    * passes are q443's two grouped scans, nothing new shuffles.
+    */
+  def powerMde(events: DataFrame): DataFrame = {
+    val zsum = 1.959964 + 0.841621
+    cuped(events)
+      .withColumn("n_arm", (col("n_users").cast("double") / 2.0))
+      .withColumn("mde_raw", when(col("n_arm") > 0,
+        round(lit(zsum) * sqrt(lit(2.0) * col("var_y") / col("n_arm"))
+          * 1000000) / 1000000.0))
+      .withColumn("mde_cuped", when(col("n_arm") > 0,
+        round(lit(zsum) * sqrt(lit(2.0) * col("var_cuped") / col("n_arm"))
+          * 1000000) / 1000000.0))
+      .select(col("event_type"), col("n_users"), col("var_y"),
+        col("var_cuped"), col("mde_raw"), col("mde_cuped"),
+        (round(col("var_cuped") / col("var_y") * 1000000) / 1000000.0)
+          .as("n_ratio"),
+        (round(sqrt(col("var_cuped") / col("var_y")) * 1000000)
+          / 1000000.0).as("mde_shrink"))
+  }
+
+  def powerMde(spark: SparkSession, sfDir: String): DataFrame =
+    powerMde(Tables.events(spark, sfDir))
 }
