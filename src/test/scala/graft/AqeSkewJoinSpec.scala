@@ -48,6 +48,58 @@ class AqeSkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("q446's dense-integer band-bucket key is AQE-splittable — a hot band triggers the runtime skew split") {
+    import graft.ops.Ranges
+    // q446's design claim (SURVEY/Scaladoc): because the band join is an
+    // EQUI join on floor(e/band), a hot band is an ordinary oversized
+    // shuffle partition that OptimizeSkewedJoin can split — unlike an
+    // inequality/nested-loop formulation, which AQE cannot touch. Fixture:
+    // 2000 distinct padded non-ref series (high-entropy payload so lz4
+    // can't crush the MapStatus sizes) piling 20k events into ONE 300 s
+    // band, vs a sparse tail; the ref series ("a_ref" = lexicographic min)
+    // has events inside the hot band so the join also produces matches.
+    val pad = "y" * 96
+    val t0 = 1700000100L // NOT a band boundary multiple — generic placement
+    val refRows = (0 until 5).map(i => ("a_ref", t0 + i * 60L)) ++
+      (1 to 5).map(i => ("a_ref", t0 + 100000L * i))
+    val hotRows = (0 until 2000).flatMap(k => (0 until 10).map(j =>
+      (s"hot_${k}_$pad", t0 + (k * 10 + j) % 300L)))
+    val tailRows = (0 until 50).flatMap(k => (0 until 20).map(j =>
+      (s"tail_$k", t0 + 200000L + k * 7919L + j * 331L)))
+    val events = (refRows ++ hotRows ++ tailRows)
+      .toDF("event_type", "es")
+      .select($"event_type", $"es".cast("timestamp").as("ts"))
+
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.shuffle.partitions" -> spark.conf.getOption("spark.sql.shuffle.partitions"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      // shuffle join only (the 1-row ref lookup keeps its explicit
+      // broadcast hint); 16 partitions so the 3 replicated hot-band ids
+      // land in a few partitions while the median partition stays tiny;
+      // test-sized skew thresholds — production keeps the defaults
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+
+      val res = Ranges.bandJoin(events)
+      val n = res.collect().length
+      assert(n > 0, "hot band must produce matched series rows")
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"expected AQE to skew-split the hot band bucket in:\n$plan")
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("dedup joins are structurally outside AQE skew-split's reach; the DF cap removes the hot pair mass") {
     import graft.ops.Dedup
     // 600 documents, each otherwise-unique, all sharing ONE boilerplate

@@ -11,8 +11,40 @@ import sys
 
 bench_path, label = sys.argv[1], sys.argv[2]
 bench = json.load(open(bench_path))
-qs = bench["queries"]
+qs = {k: v for k, v in bench["queries"].items() if v >= 0}
 total = sum(qs.values())
+
+
+def common_ratio(path):
+    """Total-over-common-queries ratio of this run vs a prior BASELINE.json
+    (None if the prior artifact is missing/unreadable)."""
+    try:
+        prior = json.load(open(path))["queries"]
+    except Exception:
+        return None
+    common = sorted(set(prior) & set(qs))
+    if not common:
+        return None
+    a = sum(qs[q] for q in common)
+    b = sum(prior[q] for q in common)
+    return (len(common), a, b, a / b)
+
+
+# the within-2x gate must never degenerate to 1.0-by-construction after a
+# refresh: pin the honest cross-round ratios into the preamble, computed
+# against the PRE-refresh BASELINE.json and the frozen round-5 table
+prev = common_ratio("BASELINE.json")
+r05 = common_ratio("BASELINE_r05.json")
+lines = []
+for tag, r in (("vs PREVIOUS BASELINE.json (pre-refresh)", prev),
+               ("vs round-5 table (BASELINE_r05.json)", r05)):
+    if r:
+        n, a, b, ratio = r
+        lines.append(f"- {tag}: {a:.1f} s vs {b:.1f} s over {n} common "
+                     f"queries = **{ratio:.3f}x**")
+ratio_block = ("**Cross-round honesty ratios** (computed at refresh time, "
+               "before this table replaced the old one):\n" +
+               "\n".join(lines) + "\n\n") if lines else ""
 
 preamble = f"""# BASELINE — {label} bench (the number later rounds must stay within 2x of)
 
@@ -21,20 +53,25 @@ all {len(qs)} queries. Prior tables are preserved as BASELINE_r05.md /
 the git history of this file, so cross-round comparisons never diff a
 round against itself.
 
-**Methodology** (this is what makes the number comparable): 2 untimed
-warmup passes over the full query list (JIT + whole-stage-codegen
-compilation + page cache), then 3 timed passes in name order, recording
-the per-query MINIMUM of the three. Single measurements on this shared
-box swing 2-3x from GC/scheduler jitter; min-of-3 after warmup is the
-reproducible signal. Compare future runs against this table only under
-the same protocol (`SPARK_GRAFT_BENCH_WARMUP=2 SPARK_GRAFT_BENCH_RUNS=3`,
-the Bench defaults). Per-query run spread is recorded alongside in
+**Methodology** (this is what makes the number comparable): 1 untimed
+warmup pass over the full query list (JIT + whole-stage-codegen
+compilation + page cache; residual JIT lands in timed pass 1 and is
+discarded by the min), then up to 3 timed passes in name order under the
+Bench wall-clock budget, recording the per-query MINIMUM. Single
+measurements on this shared box swing 2-3x from GC/scheduler jitter;
+min-of-passes after warmup is the reproducible signal. Compare future
+runs against this table only under the same protocol
+(`SPARK_GRAFT_BENCH_WARMUP=1 SPARK_GRAFT_BENCH_RUNS=3`, the Bench
+defaults; the emitted JSON records how many passes the budget actually
+allowed). Per-query run spread is recorded alongside in
 BENCH_spread.json (min/median/stdev of the timed passes). Residual noise
 band: +-30% per query, less in aggregate. No other process may run
 sbt/Spark concurrently with the bench — CPU contention skews sub-second
 queries 3-4x.
 
 **Total: {total:.1f} s for {len(qs)} queries.**
+
+{ratio_block}
 
 Deliberate algorithm trades (slower locally, mandatory at 100 TB), all
 oracle-identical to their direct counterparts: q21/q47 prefix-filtered
