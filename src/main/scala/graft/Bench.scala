@@ -67,15 +67,24 @@ object Bench {
     // only TIMED-pass failures divert the artifact: a warmup hiccup with
     // clean timed passes is noise, but timed failures mean the timings are
     // not a measurement of the full surface
-    def onePass(timed: Boolean): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable =>
-          if (timed) errors(name) = errors.getOrElse(name, 0) + 1
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    // Each pass recomputes EVERY shared build (PQ/PCA trainings, LSH pair
+    // tables, CC labels, postings, rec pipeline) from the parquet inputs:
+    // the registry is dropped up front, so within a pass the first consumer
+    // pays the build in its own timed slot and later consumers reuse it
+    // (cross-query CSE), but nothing is ever served from a previous pass —
+    // per-pass totals stay an honest compute-from-parquet measurement.
+    def onePass(timed: Boolean): Map[String, Double] = {
+      graft.ops.SharedState.clear()
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable =>
+            if (timed) errors(name) = errors.getOrElse(name, 0) + 1
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    }
     var lastPassSec = 0.0
     var warmupsDone = 0
     (1 to warmups).foreach { i =>

@@ -55,6 +55,16 @@ object Dedup {
         )).as("sh"))
       .distinct()
 
+  /** One distinct 3-gram shingle table per (session, sfDir) — the root
+    * scan+tokenize+explode of the whole dedup family; every sfDir-level
+    * consumer branches off the same pinned table instead of re-tokenizing
+    * the corpus (guide §2.4).
+    */
+  private[ops] def shinglesFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "shingles:3") {
+      shingles(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
+
   /** q20: exact dedup — md5 of normalized text, keep-first (min doc_id) per
     * hash, then a per-source census of kept vs removed rows. The keeper is a
     * distributed argmin (groupBy + min), not a window over a global sort.
@@ -110,8 +120,11 @@ object Dedup {
     * intersection count. Lossless: DedupSpec asserts equality with
     * [[ngramJaccard]], and the DuckDB oracle computes the full join.
     */
-  def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs)
+  def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    ngramJaccardPrefixFromSh(shingles(docs), minJaccard)
+
+  private def ngramJaccardPrefixFromSh(sh: DataFrame,
+                                       minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -182,8 +195,23 @@ object Dedup {
         col("k_strata"))
   }
 
-  def ngramJaccardStratumAudit(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardStratumAudit(Tables.documents(spark, sfDir))
+  def ngramJaccardStratumAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val kRow = docs.agg(greatest(lit(1L),
+      floor(count(lit(1)) / lit(5000.0)).cast("long")).as("k_strata"))
+    // K = 1 ⇔ the md5 stratum filter keeps every document, so the audit
+    // IS the full prefix-filtered pair join — serve it from the shared
+    // q47/q192 truth table instead of building the identical join again
+    // (values are identical by construction: u24 % 1 = 0 for all rows).
+    // The one-row aggregate deciding the branch is the same count both
+    // engines already derive K from.
+    if (kRow.head().getLong(0) == 1L)
+      jacPrefixFor(spark, sfDir)
+        .crossJoin(broadcast(kRow))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"),
+          col("k_strata"))
+    else ngramJaccardStratumAudit(docs)
+  }
 
   /** q389: DF-capped prefix-filtered Jaccard — the configuration actually
     * shipped at web scale, oracle-pinned with a cap that BITES at the test
@@ -204,8 +232,11 @@ object Dedup {
     * ordering already computed for the cap doubles as the prefix order.
     */
   def ngramJaccardCapped(docs: DataFrame, minJaccard: Double = 0.5,
-                         maxDf: Int = 5): DataFrame = {
-    val sh0 = shingles(docs)
+                         maxDf: Int = 5): DataFrame =
+    ngramJaccardCappedFromSh(shingles(docs), minJaccard, maxDf)
+
+  private def ngramJaccardCappedFromSh(sh0: DataFrame, minJaccard: Double,
+                                       maxDf: Int): DataFrame = {
     val freq = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val shd = sh0.join(freq, "sh") // capped shingles, df kept for the order
@@ -231,7 +262,7 @@ object Dedup {
   }
 
   def ngramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardCapped(Tables.documents(spark, sfDir))
+    ngramJaccardCappedFromSh(shinglesFor(spark, sfDir), 0.5, 5)
 
   /** q390: [[containmentPairs]] with a candidate cap that bites at the test
     * SF — same exact-verify semantics (hot shingles still count toward the
@@ -240,8 +271,7 @@ object Dedup {
     * identical cap pins that contract where it actually engages.
     */
   def containmentPairsCapped(spark: SparkSession, sfDir: String): DataFrame =
-    containmentPairs(Tables.documents(spark, sfDir), minContainment = 0.8,
-      maxDf = 5)
+    containmentPairsFromSh(shinglesFor(spark, sfDir), 0.8, 5)
 
   /** q50: chunk-overlap census via the native rolling_hash expression — two
     * documents sharing any `window`-char run of text share that window's
@@ -400,8 +430,12 @@ object Dedup {
     * is O(len²) per pair, so it NEVER runs on the cross product; the cheap
     * set-based join picks the pairs, the expensive string metric confirms).
     */
-  def editDistancePairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccardPrefix(docs, minJaccard).select(col("doc_a"), col("doc_b"))
+  def editDistancePairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    editDistancePairsFrom(docs, ngramJaccardPrefix(docs, minJaccard))
+
+  private def editDistancePairsFrom(docs: DataFrame,
+                                    truth: DataFrame): DataFrame = {
+    val pairs = truth.select(col("doc_a"), col("doc_b"))
     val texts = docs.select(col("doc_id"), normText(col("text")).as("t"))
     pairs
       .join(texts.toDF("doc_a", "ta"), "doc_a")
@@ -412,7 +446,8 @@ object Dedup {
   }
 
   def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame =
-    editDistancePairs(Tables.documents(spark, sfDir))
+    editDistancePairsFrom(Tables.documents(spark, sfDir),
+      jacPrefixFor(spark, sfDir))
 
   private def finishJaccard(inter: DataFrame, sizes: DataFrame, minJaccard: Double): DataFrame =
     inter
@@ -444,10 +479,14 @@ object Dedup {
     * pair build is bounded by df ≤ 5 · capped-shingle count at every
     * scale.
     */
-  def jaccardThresholdSweep(docs: DataFrame): DataFrame = {
-    val pairs = ngramJaccardCapped(docs, 0.3, maxDf = 5)
-      .select(col("jaccard")).localCheckpoint()
-    val grid = docs.sparkSession.range(3, 10)
+  def jaccardThresholdSweep(docs: DataFrame): DataFrame =
+    jaccardThresholdSweepFrom(docs.sparkSession,
+      ngramJaccardCapped(docs, 0.3, maxDf = 5))
+
+  private def jaccardThresholdSweepFrom(spark: SparkSession,
+                                        capped: DataFrame): DataFrame = {
+    val pairs = capped.select(col("jaccard")).localCheckpoint()
+    val grid = spark.range(3, 10)
       .select((col("id").cast("double") / 10.0).as("threshold"))
     val counts = pairs.crossJoin(broadcast(grid))
       .where(col("jaccard") >= col("threshold"))
@@ -463,7 +502,8 @@ object Dedup {
   }
 
   def jaccardThresholdSweep(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardThresholdSweep(Tables.documents(spark, sfDir))
+    jaccardThresholdSweepFrom(spark,
+      ngramJaccardCappedFromSh(shinglesFor(spark, sfDir), 0.3, 5))
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccard(Tables.documents(spark, sfDir))
@@ -486,19 +526,38 @@ object Dedup {
     * k×-exploded (doc, salt) row stream.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame =
-    shingles(docs)
-      .groupBy(col("doc_id"))
+    minhashSignaturesFromSh(shingles(docs), k)
+
+  private def minhashSignaturesFromSh(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0"), lit(":"), col("sh")))).as("m0"),
         (1 until k).map(i =>
           min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"m$i")): _*)
 
+  /** One default-geometry signature table per (session, sfDir): the
+    * 12 salted min-aggregates over the shared shingle table are the root
+    * of the MinHash family (pair join, CC edges, and the q59/q421/q438
+    * estimator audits read the same m0..m11 columns) — hash the corpus
+    * once per pass, not once per consumer (guide §2.4).
+    */
+  private[ops] def minhashSignaturesFor(spark: SparkSession,
+                                        sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "minhashSig:12") {
+      minhashSignaturesFromSh(shinglesFor(spark, sfDir), 12)
+        .localCheckpoint()
+    }
+
   /** (doc_id, band, sig): one row per document per LSH band; the band
     * signature is the md5 of its rowsPerBand minhashes in salt order.
     */
-  def bandSignatures(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame = {
+  def bandSignatures(docs: DataFrame, k: Int = 12, bands: Int = 3): DataFrame =
+    bandSignaturesFromSig(minhashSignatures(docs, k), k, bands)
+
+  private def bandSignaturesFromSig(sig: DataFrame, k: Int,
+                                    bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    minhashSignatures(docs, k).select(
+    sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(
@@ -514,7 +573,10 @@ object Dedup {
     * exchange is computed once and reused by both sides of the self-join.
     */
   private def sizedBandSignatures(docs: DataFrame, k: Int, bands: Int): DataFrame =
-    bandSignatures(docs, k, bands)
+    sizedFromSig(minhashSignatures(docs, k), k, bands)
+
+  private def sizedFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame =
+    bandSignaturesFromSig(sig, k, bands)
       .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
 
   /** Candidate pairs from band buckets of size ≤ `maxBucket` ONLY. An
@@ -529,8 +591,12 @@ object Dedup {
     * (see [[chunkOverlap]]).
     */
   def minhashLsh(docs: DataFrame, k: Int = 12, bands: Int = 3,
-                 maxBucket: Int = 64): DataFrame = {
-    val sized = sizedBandSignatures(docs, k, bands).where(col("bc") <= maxBucket)
+                 maxBucket: Int = 64): DataFrame =
+    minhashLshFromSized(sizedBandSignatures(docs, k, bands), maxBucket)
+
+  private def minhashLshFromSized(sized0: DataFrame,
+                                  maxBucket: Int): DataFrame = {
+    val sized = sized0.where(col("bc") <= maxBucket)
     val a = sized.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sized.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -548,9 +614,12 @@ object Dedup {
     * survive 100 TB instead of detonating the band join.
     */
   def lshEdges(docs: DataFrame, k: Int = 12, bands: Int = 3,
-               maxBucket: Int = 64): DataFrame = {
-    val sized = sizedBandSignatures(docs, k, bands)
-    val pairs = minhashLsh(docs, k, bands, maxBucket)
+               maxBucket: Int = 64): DataFrame =
+    lshEdgesFromSized(sizedBandSignatures(docs, k, bands), maxBucket)
+
+  private def lshEdgesFromSized(sized: DataFrame,
+                                maxBucket: Int): DataFrame = {
+    val pairs = minhashLshFromSized(sized, maxBucket)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val star = sized
       .where(col("bc") > maxBucket)
@@ -569,8 +638,12 @@ object Dedup {
     * q62's key-skew census plays for a prospective shuffle key.
     */
   def lshBucketCensus(docs: DataFrame, k: Int = 12, bands: Int = 3,
-                      maxBucket: Int = 64): DataFrame = {
-    val buckets = bandSignatures(docs, k, bands)
+                      maxBucket: Int = 64): DataFrame =
+    lshBucketCensusFromBands(bandSignatures(docs, k, bands), maxBucket)
+
+  private def lshBucketCensusFromBands(bandSig: DataFrame,
+                                       maxBucket: Int): DataFrame = {
+    val buckets = bandSig
       .groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("c"))
       // integral DIV: `/` on longs would go through double and lose exactness
@@ -588,7 +661,8 @@ object Dedup {
   }
 
   def lshBucketCensus(spark: SparkSession, sfDir: String): DataFrame =
-    lshBucketCensus(Tables.documents(spark, sfDir))
+    lshBucketCensusFromBands(
+      bandSignaturesFromSig(minhashSignaturesFor(spark, sfDir), 12, 3), 64)
 
   /** q59: sketch-accuracy metric for the MinHash index — for every LSH
     * candidate pair, the signature-agreement estimate of Jaccard (fraction
@@ -600,15 +674,18 @@ object Dedup {
     * leaves the inverted index, the estimate side is one k-column compare
     * per pair.
     */
-  def minhashEstimate(docs: DataFrame, k: Int = 12): DataFrame = {
-    val pairs = minhashLsh(docs, k).select(col("doc_a"), col("doc_b"))
-    val sig = minhashSignatures(docs, k)
+  def minhashEstimate(docs: DataFrame, k: Int = 12): DataFrame =
+    minhashEstimateFrom(shingles(docs), minhashLsh(docs, k),
+      minhashSignatures(docs, k), k)
+
+  private def minhashEstimateFrom(sh: DataFrame, pairs0: DataFrame,
+                                  sig: DataFrame, k: Int): DataFrame = {
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val sigA = sig.toDF("doc_a" +: (0 until k).map(i => s"a_m$i"): _*)
     val sigB = sig.toDF("doc_b" +: (0 until k).map(i => s"b_m$i"): _*)
     val agree = (0 until k)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val sh = shingles(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -632,7 +709,8 @@ object Dedup {
   }
 
   def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame =
-    minhashEstimate(Tables.documents(spark, sfDir))
+    minhashEstimateFrom(shinglesFor(spark, sfDir),
+      minhashPairsFor(spark, sfDir), minhashSignaturesFor(spark, sfDir), 12)
 
   /** q421: b-bit minhash accuracy (Li & König 2010) — the STORAGE-side
     * refinement of q59: keep only the lowest b=4 bits (one hex digit) of
@@ -645,9 +723,13 @@ object Dedup {
     * Everything reuses q22's signature/candidate machinery; the compressed
     * comparison is a substring equality on the last hex digit.
     */
-  def bbitMinhash(docs: DataFrame, k: Int = 12): DataFrame = {
-    val pairs = minhashLsh(docs, k).select(col("doc_a"), col("doc_b"))
-    val sig = minhashSignatures(docs, k)
+  def bbitMinhash(docs: DataFrame, k: Int = 12): DataFrame =
+    bbitMinhashFrom(shingles(docs), minhashLsh(docs, k),
+      minhashSignatures(docs, k), k)
+
+  private def bbitMinhashFrom(sh: DataFrame, pairs0: DataFrame,
+                              sig: DataFrame, k: Int): DataFrame = {
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val sigA = sig.toDF("doc_a" +: (0 until k).map(i => s"a_m$i"): _*)
     val sigB = sig.toDF("doc_b" +: (0 until k).map(i => s"b_m$i"): _*)
     val agreeFull = (0 until k)
@@ -657,7 +739,6 @@ object Dedup {
       .map(i => when(substring(col(s"a_m$i"), 32, 1)
         === substring(col(s"b_m$i"), 32, 1), 1L).otherwise(0L))
       .reduce(_ + _)
-    val sh = shingles(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -690,7 +771,8 @@ object Dedup {
   }
 
   def bbitMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    bbitMinhash(Tables.documents(spark, sfDir))
+    bbitMinhashFrom(shinglesFor(spark, sfDir),
+      minhashPairsFor(spark, sfDir), minhashSignaturesFor(spark, sfDir), 12)
 
   /** q436: dedup-detector overlap census — q22's MinHash-LSH (shingle-set
     * resemblance) and q23/q39's SimHash (weighted-token cosine) hunt the
@@ -708,11 +790,15 @@ object Dedup {
     * all-pairs); undefined-Jaccard corners (shingle-less short docs that
     * SimHash can still pair) are counted, not divided by zero.
     */
-  def dedupDetectorOverlap(docs: DataFrame): DataFrame = {
-    val mh = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
-    val sh = simhashPairs(docs).select(col("doc_a"), col("doc_b"))
+  def dedupDetectorOverlap(docs: DataFrame): DataFrame =
+    dedupDetectorOverlapFrom(shingles(docs), minhashLsh(docs),
+      simhashPairs(docs))
+
+  private def dedupDetectorOverlapFrom(shg: DataFrame, mh0: DataFrame,
+                                       sh0: DataFrame): DataFrame = {
+    val mh = mh0.select(col("doc_a"), col("doc_b"))
+    val sh = sh0.select(col("doc_a"), col("doc_b"))
     val allPairs = mh.union(sh).distinct()
-    val shg = shingles(docs)
     val sizes = shg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = allPairs
       .join(shg.toDF("doc_a", "sh"), "doc_a")
@@ -749,7 +835,8 @@ object Dedup {
   }
 
   def dedupDetectorOverlap(spark: SparkSession, sfDir: String): DataFrame =
-    dedupDetectorOverlap(Tables.documents(spark, sfDir))
+    dedupDetectorOverlapFrom(shinglesFor(spark, sfDir),
+      minhashPairsFor(spark, sfDir), simhashPairsFor(spark, sfDir))
 
   /** q438: minhash k-sweep — estimator accuracy at k = 4/8/12 salts from
     * ONE 12-salt signature build (nested prefixes, the q300/q434 sweep
@@ -760,15 +847,19 @@ object Dedup {
     * salts?) without re-hashing the corpus per configuration.
     */
   def minhashKSweep(docs: DataFrame, k: Int = 12,
-                    prefixes: Seq[Int] = Seq(4, 8, 12)): DataFrame = {
-    val pairs = minhashLsh(docs, k).select(col("doc_a"), col("doc_b"))
-    val sig = minhashSignatures(docs, k)
+                    prefixes: Seq[Int] = Seq(4, 8, 12)): DataFrame =
+    minhashKSweepFrom(shingles(docs), minhashLsh(docs, k),
+      minhashSignatures(docs, k), k, prefixes)
+
+  private def minhashKSweepFrom(sh: DataFrame, pairs0: DataFrame,
+                                sig: DataFrame, k: Int,
+                                prefixes: Seq[Int]): DataFrame = {
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val sigA = sig.toDF("doc_a" +: (0 until k).map(i => s"a_m$i"): _*)
     val sigB = sig.toDF("doc_b" +: (0 until k).map(i => s"b_m$i"): _*)
     def agreePrefix(p: Int) = (0 until p)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
       .reduce(_ + _).cast("double") / lit(p.toDouble)
-    val sh = shingles(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -801,7 +892,9 @@ object Dedup {
   }
 
   def minhashKSweep(spark: SparkSession, sfDir: String): DataFrame =
-    minhashKSweep(Tables.documents(spark, sfDir))
+    minhashKSweepFrom(shinglesFor(spark, sfDir),
+      minhashPairsFor(spark, sfDir), minhashSignaturesFor(spark, sfDir),
+      12, Seq(4, 8, 12))
 
   /** q61: cross-source contamination census — for every pair of sources,
     * how many distinct content fingerprints they SHARE. This is the
@@ -880,7 +973,7 @@ object Dedup {
     decontamFlags(Tables.documents(spark, sfDir))
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    minhashLsh(Tables.documents(spark, sfDir))
+    minhashPairsFor(spark, sfDir)
 
   /** q23: 60-bit SimHash per document. Every token votes its md5's bits
     * (+1/-1, frequency-weighted); a bit of the final signature is 1 iff its
@@ -956,7 +1049,15 @@ object Dedup {
   }
 
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, sfDir))
+    simhashPairsFor(spark, sfDir)
+
+  /** One banded-Hamming SimHash pair table per (session, sfDir) — q39's
+    * declared output, re-read by q436's detector-overlap census.
+    */
+  private def simhashPairsFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "simhashPairs:3:4:15") {
+      simhashPairs(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
 
   /** q24: embedding-cosine near-dup pairs, blocked by the cluster label so
     * the pair join is an equi-join on label (IVF-style blocking), never a
@@ -992,8 +1093,48 @@ object Dedup {
     * rounds) over the band-collision edges; cluster sizes come from one
     * more groupBy, broadcast back onto members.
     */
-  def dupClusters(docs: DataFrame): DataFrame = {
-    val cc = Graph.componentsAuto(lshEdges(docs))
+  /** One LSH→CC cluster build per (session, sfDir) at the default
+    * geometry: q52/q364 (dupClusters), q93/q330 (clusterKeepBest), q83
+    * (leakageSafeSplit) and q186 (softDedupWeights) all consume the
+    * IDENTICAL componentsAuto(lshEdges(docs)) label table — per pass that
+    * was six shingle→minhash→band→CC pipelines where one suffices
+    * (guide §2.4). componentsAuto already returns a checkpointed frame.
+    */
+  private def ccFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "lshCc:12:3:64") {
+      Graph.componentsAuto(lshEdgesFromSized(
+        sizedFromSig(minhashSignaturesFor(spark, sfDir), 12, 3), 64))
+    }
+
+  /** One default-geometry MinHash-LSH candidate pair table per (session,
+    * sfDir) — q22, q163 (sourceDupMatrix), q192 (lshScurveAudit) and q269
+    * (dupTransitivity) consume the identical pair join; the band-bucket
+    * shuffle runs once per pass. The pair table is tiny (bounded by the
+    * bucket cap), so pinning it is a few KB.
+    */
+  private def minhashPairsFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "minhashPairs:12:3:64") {
+      minhashLshFromSized(
+        sizedFromSig(minhashSignaturesFor(spark, sfDir), 12, 3), 64)
+        .localCheckpoint()
+    }
+
+  /** One lossless prefix-filtered exact-Jaccard pair table (minJaccard
+    * 0.5) per (session, sfDir) — the ground-truth side shared by q47
+    * (edit-distance verify) and q192 (s-curve audit). Like the LSH pair
+    * table it is output-bounded (25 rows at sf0.1); the prefix join is
+    * the cost, so it runs once per pass.
+    */
+  private def jacPrefixFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "jacPrefix:0.5") {
+      ngramJaccardPrefixFromSh(shinglesFor(spark, sfDir), 0.5)
+        .localCheckpoint()
+    }
+
+  def dupClusters(docs: DataFrame): DataFrame =
+    dupClustersFrom(Graph.componentsAuto(lshEdges(docs)))
+
+  private def dupClustersFrom(cc: DataFrame): DataFrame = {
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "comp")
       .select(
@@ -1004,7 +1145,7 @@ object Dedup {
   }
 
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    dupClusters(Tables.documents(spark, sfDir))
+    dupClustersFrom(ccFor(spark, sfDir))
 
   /** q364: near-duplicate cluster source purity — the (cluster_size,
     * n_sources) census of q52's LSH clusters with each cell's share of
@@ -1020,8 +1161,12 @@ object Dedup {
     * aggregate, and a bounded (size, sources) census with broadcast
     * size totals.
     */
-  def clusterPurity(docs: DataFrame): DataFrame = {
-    val per = dupClusters(docs)
+  def clusterPurity(docs: DataFrame): DataFrame =
+    clusterPurityFrom(docs, dupClusters(docs))
+
+  private def clusterPurityFrom(docs: DataFrame,
+                                clusters: DataFrame): DataFrame = {
+    val per = clusters
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("cluster_id"), col("cluster_size"))
       .agg(countDistinct(col("source")).as("n_sources"))
@@ -1036,7 +1181,8 @@ object Dedup {
   }
 
   def clusterPurity(spark: SparkSession, sfDir: String): DataFrame =
-    clusterPurity(Tables.documents(spark, sfDir))
+    clusterPurityFrom(Tables.documents(spark, sfDir),
+      dupClustersFrom(ccFor(spark, sfDir)))
 
   /** q93: cluster-aware canonicalization — the keep/drop VERDICT a dedup
     * pipeline actually executes. Every document joins its near-dup cluster
@@ -1054,9 +1200,12 @@ object Dedup {
     * choice. The doc side carries only (doc_id, n_chars), so the join
     * input is two slim columns regardless of text width.
     */
-  def clusterKeepBest(docs: DataFrame): DataFrame = {
-    val cc = Graph.componentsAuto(lshEdges(docs))
-      .withColumnRenamed("id", "doc_id")
+  def clusterKeepBest(docs: DataFrame): DataFrame =
+    clusterKeepBestFrom(docs,
+      Graph.componentsAuto(lshEdges(docs)).withColumnRenamed("id", "doc_id"))
+
+  private def clusterKeepBestFrom(docs: DataFrame,
+                                  cc: DataFrame): DataFrame = {
     val member = docs.select(col("doc_id"), col("n_chars"))
       .join(cc, Seq("doc_id"), "left_outer")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
@@ -1080,7 +1229,8 @@ object Dedup {
   }
 
   def clusterKeepBest(spark: SparkSession, sfDir: String): DataFrame =
-    clusterKeepBest(Tables.documents(spark, sfDir))
+    clusterKeepBestFrom(Tables.documents(spark, sfDir),
+      ccFor(spark, sfDir).withColumnRenamed("id", "doc_id"))
 
   /** q330: dedup survivor-bias census — after q93's keep-best-per-cluster
     * policy, which SOURCES survive? A source whose docs lose ties
@@ -1090,8 +1240,12 @@ object Dedup {
     * mixture planning must re-weight by. Composes clusterKeepBest with
     * one source join + a 20-row rollup.
     */
-  def survivorBias(docs: DataFrame): DataFrame = {
-    val kept = clusterKeepBest(docs).select(col("doc_id"), col("is_kept"))
+  def survivorBias(docs: DataFrame): DataFrame =
+    survivorBiasFrom(docs, clusterKeepBest(docs))
+
+  private def survivorBiasFrom(docs: DataFrame,
+                               keepBest: DataFrame): DataFrame = {
+    val kept = keepBest.select(col("doc_id"), col("is_kept"))
     val ag = docs.select(col("doc_id"), col("source"))
       .join(kept, "doc_id")
       .groupBy(col("source"))
@@ -1108,7 +1262,8 @@ object Dedup {
   }
 
   def survivorBias(spark: SparkSession, sfDir: String): DataFrame =
-    survivorBias(Tables.documents(spark, sfDir))
+    survivorBiasFrom(Tables.documents(spark, sfDir),
+      clusterKeepBest(spark, sfDir))
 
   /** q96: asymmetric containment pairs — ordered (doc_a, doc_b) where at
     * least `minContainment` of A's shingles also appear in B. Containment
@@ -1130,7 +1285,12 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.8,
                        maxDf: Int = 1000): DataFrame =
-    finishContainment(docs, containmentCandidatesPrefix(docs, minContainment, maxDf),
+    containmentPairsFromSh(shingles(docs), minContainment, maxDf)
+
+  private def containmentPairsFromSh(sh: DataFrame, minContainment: Double,
+                                     maxDf: Int): DataFrame =
+    finishContainmentFromSh(sh,
+      containmentCandidatesPrefixFromSh(sh, minContainment, maxDf),
       minContainment)
 
   /** Candidate generation via the ASYMMETRIC prefix filter (the containment
@@ -1148,8 +1308,11 @@ object Dedup {
     * the prefix below the lossless bound.
     */
   private def containmentCandidatesPrefix(docs: DataFrame, minContainment: Double,
-                                          maxDf: Int): DataFrame = {
-    val sh = shingles(docs)
+                                          maxDf: Int): DataFrame =
+    containmentCandidatesPrefixFromSh(shingles(docs), minContainment, maxDf)
+
+  private def containmentCandidatesPrefixFromSh(
+      sh: DataFrame, minContainment: Double, maxDf: Int): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh
       .join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -1189,8 +1352,11 @@ object Dedup {
     * compared).
     */
   def finishContainment(docs: DataFrame, cand: DataFrame,
-                        minContainment: Double): DataFrame = {
-    val sh = shingles(docs)
+                        minContainment: Double): DataFrame =
+    finishContainmentFromSh(shingles(docs), cand, minContainment)
+
+  private def finishContainmentFromSh(sh: DataFrame, cand: DataFrame,
+                                      minContainment: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val exact = cand
       .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -1206,7 +1372,7 @@ object Dedup {
   }
 
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
-    containmentPairs(Tables.documents(spark, sfDir))
+    containmentPairsFromSh(shinglesFor(spark, sfDir), 0.8, 1000)
 
   /** q83: leakage-safe train/val/test split — split assignment hashes the
     * near-dup CLUSTER representative, not the document, so every member of
@@ -1221,9 +1387,14 @@ object Dedup {
     * reviewer checks against corpus totals.
     */
   def leakageSafeSplit(docs: DataFrame,
-                       trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
-    val cc = Graph.componentsAuto(lshEdges(docs))
-      .withColumnRenamed("id", "doc_id")
+                       trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame =
+    leakageSafeSplitFrom(docs,
+      Graph.componentsAuto(lshEdges(docs)).withColumnRenamed("id", "doc_id"),
+      trainPct, valPct)
+
+  private def leakageSafeSplitFrom(docs: DataFrame, cc: DataFrame,
+                                   trainPct: Double,
+                                   valPct: Double): DataFrame = {
     val assigned = docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("comp"), col("doc_id")))
@@ -1248,7 +1419,8 @@ object Dedup {
   }
 
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
-    leakageSafeSplit(Tables.documents(spark, sfDir))
+    leakageSafeSplitFrom(Tables.documents(spark, sfDir),
+      ccFor(spark, sfDir).withColumnRenamed("id", "doc_id"), 0.8, 0.1)
 
   /** q163: cross-source duplication matrix — the q22 MinHash-LSH candidate
     * pairs rolled up by (source, source): which corpus sources copy from
@@ -1262,10 +1434,14 @@ object Dedup {
     * join — the matrix itself is |sources|² rows, trivially small at any
     * corpus scale.
     */
-  def sourceDupMatrix(docs: DataFrame): DataFrame = {
+  def sourceDupMatrix(docs: DataFrame): DataFrame =
+    sourceDupMatrixFrom(docs, minhashLsh(docs))
+
+  private def sourceDupMatrixFrom(docs: DataFrame,
+                                  lshPairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     val nBySrc = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairs = minhashLsh(docs)
+    val pairs = lshPairs
       .join(src.toDF("doc_a", "sa"), "doc_a")
       .join(src.toDF("doc_b", "sb"), "doc_b")
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -1284,7 +1460,8 @@ object Dedup {
   }
 
   def sourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame =
-    sourceDupMatrix(Tables.documents(spark, sfDir))
+    sourceDupMatrixFrom(Tables.documents(spark, sfDir),
+      minhashPairsFor(spark, sfDir))
 
   /** q186: soft-dedup weights — instead of q93's hard keep/drop verdict,
     * every document gets weight 1/|its near-dup cluster| (singletons weigh
@@ -1298,9 +1475,12 @@ object Dedup {
     * the Σw rollup is partition-order-free. Same LSH → CC machinery as
     * q52/q93 — one extra groupBy over the member table.
     */
-  def softDedupWeights(docs: DataFrame): DataFrame = {
-    val cc = Graph.componentsAuto(lshEdges(docs))
-      .withColumnRenamed("id", "doc_id")
+  def softDedupWeights(docs: DataFrame): DataFrame =
+    softDedupWeightsFrom(docs,
+      Graph.componentsAuto(lshEdges(docs)).withColumnRenamed("id", "doc_id"))
+
+  private def softDedupWeightsFrom(docs: DataFrame,
+                                   cc: DataFrame): DataFrame = {
     val member = docs.select(col("doc_id"), col("source"))
       .join(cc, Seq("doc_id"), "left_outer")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
@@ -1319,7 +1499,8 @@ object Dedup {
   }
 
   def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame =
-    softDedupWeights(Tables.documents(spark, sfDir))
+    softDedupWeightsFrom(Tables.documents(spark, sfDir),
+      ccFor(spark, sfDir).withColumnRenamed("id", "doc_id"))
 
   /** q192: LSH s-curve audit — observed detection rate vs the theoretical
     * collision curve, per exact-Jaccard decile. For k=12 MinHashes in
@@ -1334,9 +1515,12 @@ object Dedup {
     * per-pair theory terms snap to 12-dp decimal so the mean is
     * order-free.
     */
-  def lshScurveAudit(docs: DataFrame): DataFrame = {
-    val truth = ngramJaccardPrefix(docs)
-    val detected = minhashLsh(docs)
+  def lshScurveAudit(docs: DataFrame): DataFrame =
+    lshScurveAuditFrom(ngramJaccardPrefix(docs), minhashLsh(docs))
+
+  private def lshScurveAuditFrom(truth: DataFrame,
+                                 lshPairs: DataFrame): DataFrame = {
+    val detected = lshPairs
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     val j = col("jaccard")
     val s4 = j * j * j * j
@@ -1356,7 +1540,8 @@ object Dedup {
   }
 
   def lshScurveAudit(spark: SparkSession, sfDir: String): DataFrame =
-    lshScurveAudit(Tables.documents(spark, sfDir))
+    lshScurveAuditFrom(jacPrefixFor(spark, sfDir),
+      minhashPairsFor(spark, sfDir))
 
   /** q229: paragraph-granularity exact dedup census — the sub-document
     * complement of q20 (whole-doc md5) and q156 (window-hash spans): split
@@ -1504,7 +1689,11 @@ object Dedup {
     * downstream is pair-table-sized.
     */
   def splitLeakage(docs: DataFrame, trainFrac: Double = 0.8,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5): DataFrame =
+    splitLeakageFrom(docs, ngramJaccard(docs, minJaccard), trainFrac)
+
+  private def splitLeakageFrom(docs: DataFrame, jacPairs: DataFrame,
+                               trainFrac: Double): DataFrame = {
     val cut = math.floor(trainFrac * 16777216.0).toLong
     val sides = docs.select(col("doc_id"),
         md5(concat(lit("split:"), col("doc_id").cast("string"))).as("h"),
@@ -1522,7 +1711,7 @@ object Dedup {
         when(col("u24") < cut, lit("train")).otherwise(lit("eval")))
       .select(col("doc_id"), col("side"), col("n_tok"))
       .localCheckpoint()
-    val cat = ngramJaccard(docs, minJaccard)
+    val cat = jacPairs
       .select(col("doc_a"), col("doc_b"))
       .join(sides.select(col("doc_id").as("doc_a"), col("side").as("sa")),
         "doc_a")
@@ -1556,8 +1745,12 @@ object Dedup {
         coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"))
   }
 
+  // the pair set is served from the shared prefix-filtered truth table:
+  // DedupSpec pins ngramJaccardPrefix ≡ ngramJaccard (lossless prefix
+  // filter), so the leakage census reads identical pairs either way
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
-    splitLeakage(Tables.documents(spark, sfDir))
+    splitLeakageFrom(Tables.documents(spark, sfDir),
+      jacPrefixFor(spark, sfDir), 0.8)
 
   /** q269: transitivity census of the LSH near-dup pair graph — how
     * clique-like are q22's candidate pairs? A high closure rate says the
@@ -1568,8 +1761,11 @@ object Dedup {
     * the corpus can take. Wedge fan-out is bounded by the pair graph's
     * degree (already band-capped by q22's maxBucket), not by corpus size.
     */
-  def dupTransitivity(docs: DataFrame): DataFrame = {
-    val pairs = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+  def dupTransitivity(docs: DataFrame): DataFrame =
+    dupTransitivityFrom(minhashLsh(docs))
+
+  private def dupTransitivityFrom(lshPairs: DataFrame): DataFrame = {
+    val pairs = lshPairs.select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val adj = pairs.select(col("doc_a").as("m"), col("doc_b").as("x"))
       .unionAll(pairs.select(col("doc_b").as("m"), col("doc_a").as("x")))
@@ -1589,7 +1785,7 @@ object Dedup {
   }
 
   def dupTransitivity(spark: SparkSession, sfDir: String): DataFrame =
-    dupTransitivity(Tables.documents(spark, sfDir))
+    dupTransitivityFrom(minhashPairsFor(spark, sfDir))
 
   /** q278: source-level similarity via MERGED MinHash sketches, audited
     * against the exact Jaccard — the sketch-mergeability property that

@@ -342,11 +342,8 @@ object Graph {
     */
   def supplierAffinity(spark: SparkSession, sfDir: String,
                        nSeeds: Int = 5, topK: Int = 25): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-    val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
-      .select(col("o_custkey").cast("bigint").as("src"),
-        (-col("l_suppkey").cast("bigint")).as("dst"))
+    val edges = custSuppPairsFor(spark, sfDir)
+      .select(col("src"), (-col("dst")).as("dst"))
     val seeds = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").cast("bigint").as("id"))
       .agg(count(lit(1)).as("n"))
@@ -457,11 +454,8 @@ object Graph {
     * data. Ranks are reported in ppm.
     */
   def supplierPageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-    val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
-      .select(col("o_custkey").cast("bigint").as("src"),
-        (-col("l_suppkey").cast("bigint")).as("dst"))
+    val edges = custSuppPairsFor(spark, sfDir)
+      .select(col("src"), (-col("dst")).as("dst"))
     pageRankFixed(edges, damping = 0.85, iters = 10)
       .select(col("id"),
         (round(col("rank") * lit(1e8)) / lit(100.0)).as("rank_ppm"))
@@ -531,22 +525,52 @@ object Graph {
   /** Canonical (u < v) part co-purchase edges with support ≥ 2 distinct
     * orders — the shared input of q143/q144. Per-order self-join fan-out
     * is bounded by items-per-order². */
-  private def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    // distinct BEFORE the self-join: a part repeated across an order's
-    // line items would otherwise fan the pair join out multiplicatively
-    // and force a countDistinct de-dup inside the aggregate; on distinct
-    // (order, part) rows every pair appears once per order, so plain
-    // count() IS the support and the aggregate stays map-side-combinable
-    val li = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_partkey").distinct()
-    li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("supp"))
-      .where(col("supp") >= 2)
-      .select(col("u").cast("bigint"), col("v").cast("bigint"))
-  }
+  private def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    copurchaseEdgesWeighted(spark, sfDir).select(col("u"), col("v"))
+
+  /** ONE co-purchase edge build per (session, sfDir): seventeen graph
+    * queries (q143/q144/q145/q146/q157/q161/q170/q172/q173/q189/q199/
+    * q219/q255/q360/q396/q422) consume this canonical supp≥2 edge table
+    * (q172 with the weight, the rest the bare pair) — the per-order
+    * self-join + support aggregate runs once per pass instead of once per
+    * query (guide §2.4); the surviving edge list is small and pinned.
+    */
+  private def copurchaseEdgesWeighted(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "copurchaseEdges") {
+      // distinct BEFORE the self-join: a part repeated across an order's
+      // line items would otherwise fan the pair join out multiplicatively
+      // and force a countDistinct de-dup inside the aggregate; on distinct
+      // (order, part) rows every pair appears once per order, so plain
+      // count() IS the support and the aggregate stays map-side-combinable
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey").distinct()
+      li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("supp"))
+        .where(col("supp") >= 2)
+        .select(col("u").cast("bigint"), col("v").cast("bigint"),
+          col("supp").cast("bigint"))
+        .localCheckpoint()
+    }
+
+  /** One distinct (customer, supplier) purchase-pair table per (session,
+    * sfDir): the orders⋈lineitem join + distinct behind q142 (PageRank),
+    * q160 (HITS) and q166 (personalized PageRank) runs once per pass.
+    * Keys are BIGINT at the source, so the shared cast changes no schema.
+    */
+  private def custSuppPairsFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "custSuppPairs") {
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("bigint").as("src"),
+          col("l_suppkey").cast("bigint").as("dst"))
+        .distinct().localCheckpoint()
+    }
 
   /** Distributed k-core decomposition (coreness per vertex) by h-index
     * propagation: start from degrees and repeatedly replace each vertex's
@@ -613,7 +637,7 @@ object Graph {
     */
   def adamicAdar(spark: SparkSession, sfDir: String, topK: Int = 20,
                  apexDegCap: Int = 1000): DataFrame = {
-    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val e = copurchaseEdges(spark, sfDir)
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val adj = sym.join(deg.where(col("deg") <= apexDegCap)
@@ -662,7 +686,7 @@ object Graph {
     * exact integers.
     */
   def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val e = copurchaseEdges(spark, sfDir)
     val tri = triangleCount(e)
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
@@ -796,21 +820,10 @@ object Graph {
     * form around strong affinity cores instead of raw adjacency counts.
     */
   def copurchaseCommunitiesWeighted(spark: SparkSession,
-                                    sfDir: String): DataFrame = {
-    // same distinct-before-self-join rationale as copurchaseEdges
-    val li = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_partkey").distinct()
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("supp"))
-      .where(col("supp") >= 2)
-      .select(col("u").cast("bigint"), col("v").cast("bigint"),
-        col("supp").cast("bigint"))
-    labelPropagationWeighted(edges, rounds = 4)
+                                    sfDir: String): DataFrame =
+    labelPropagationWeighted(copurchaseEdgesWeighted(spark, sfDir),
+      rounds = 4)
       .select(col("id").as("part"), col("label").as("community"))
-  }
 
   /** q189: rich-club coefficient curve of the co-purchase graph — for each
     * degree threshold t in a power-of-2 grid, the density φ(t) of the
@@ -1009,11 +1022,7 @@ object Graph {
     * ROUNDED score so float near-ties cannot reorder across engines.
     */
   def supplierHits(spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
-    val edges = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-      .distinct()
+    val edges = custSuppPairsFor(spark, sfDir)
     hits(edges, rounds = 4)
       .where(col("side") === "authority")
       .select(col("id").as("s_suppkey"),
@@ -1074,7 +1083,7 @@ object Graph {
     * graph-level Q on every row.
     */
   def communityModularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val e = copurchaseEdges(spark, sfDir)
     modularity(e, labelPropagation(e, rounds = 4))
   }
 
@@ -1115,7 +1124,7 @@ object Graph {
     * degree table; unreachable-within-3 is reported as dist = -1.
     */
   def landmarkBfs(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val e = copurchaseEdges(spark, sfDir)
     val verts = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
     val deg = verts.join(
@@ -1178,7 +1187,7 @@ object Graph {
     */
   def diameterSweep(spark: SparkSession, sfDir: String,
                     maxHops: Int = 3): DataFrame = {
-    val e = copurchaseEdges(spark, sfDir).localCheckpoint()
+    val e = copurchaseEdges(spark, sfDir)
     val verts = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
     val deg = e.select(col("u").as("id"))

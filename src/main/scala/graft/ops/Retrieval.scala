@@ -27,13 +27,32 @@ object Retrieval {
     * q81), and the final top-k is a per-probe window over already-reduced
     * (probe, doc) scores.
     */
+  /** The inverted-index postings table (doc_id, tok, tf) every retrieval
+    * operator scores from. */
+  private def postings(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+    .groupBy(col("doc_id"), col("tok"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** One postings build per (session, sfDir): q82/q137/q359/q399/q412/q434
+    * all tokenize the identical corpus into the identical (doc, tok, tf)
+    * table before diverging — build it once per pass; the derived df/dl/
+    * stats tables are one aggregate each over the materialized postings
+    * (guide §2.4: the repeated explode+groupBy was five redundant
+    * shuffles per pass).
+    */
+  private def postingsFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "postings") {
+      postings(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
+
   def bm25TopK(docs: DataFrame, nProbes: Int = 5, k: Int = 5,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFrom(postings(docs), nProbes, k, k1, b)
+
+  private def bm25TopKFrom(tf: DataFrame, nProbes: Int, k: Int,
+                           k1: Double, b: Double): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // exact integer sums -> one double divide: order-free
     val stats = dl.agg(
@@ -68,7 +87,8 @@ object Retrieval {
   }
 
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
-    bm25TopK(Tables.documents(spark, sfDir))
+    bm25TopKFrom(postingsFor(spark, sfDir), nProbes = 5, k = 5,
+      k1 = 1.2, b = 0.75)
 
   /** q359: query-likelihood (Dirichlet μ-smoothed) ranking vs BM25 — the
     * second classic lexical ranker, scored through the rank-equivalent
@@ -86,12 +106,11 @@ object Retrieval {
     * nProbes·k-row tables.
     */
   def qlBm25Agreement(docs: DataFrame, nProbes: Int = 5, k: Int = 5,
-                      mu: Double = 300.0): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+                      mu: Double = 300.0): DataFrame =
+    qlBm25AgreementFrom(postings(docs), nProbes, k, mu)
+
+  private def qlBm25AgreementFrom(tf: DataFrame, nProbes: Int, k: Int,
+                                  mu: Double): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val ctot = dl.agg(sum(col("dl")).cast("double").as("ctot"))
     val ctf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
@@ -117,7 +136,7 @@ object Retrieval {
     val topQl = ql.withColumn("rql", row_number().over(w))
       .where(col("rql") <= k)
       .select(col("probe_id"), col("doc_id"), col("rql"))
-    val topBm = bm25TopK(docs, nProbes, k)
+    val topBm = bm25TopKFrom(tf, nProbes, k, k1 = 1.2, b = 0.75)
       .select(col("probe_id"), col("doc_id"), col("rnk").as("rbm"))
     topBm.join(topQl, Seq("probe_id", "doc_id"), "full_outer")
       .groupBy(col("probe_id"))
@@ -132,7 +151,8 @@ object Retrieval {
   }
 
   def qlBm25Agreement(spark: SparkSession, sfDir: String): DataFrame =
-    qlBm25Agreement(Tables.documents(spark, sfDir))
+    qlBm25AgreementFrom(postingsFor(spark, sfDir), nProbes = 5, k = 5,
+      mu = 300.0)
 
   /** q137: reciprocal-rank fusion of the lexical (BM25, q82) and semantic
     * (cosine, q25) rankers — THE standard hybrid-retrieval combiner
@@ -149,8 +169,12 @@ object Retrieval {
     * fused ordering is engine-independent.
     */
   def rrfFusion(docs: DataFrame, emb: DataFrame, nProbes: Int = 5,
-                kIn: Int = 10, kOut: Int = 5, c: Int = 60): DataFrame = {
-    val lex = bm25TopK(docs, nProbes, kIn)
+                kIn: Int = 10, kOut: Int = 5, c: Int = 60): DataFrame =
+    rrfFusionFrom(bm25TopK(docs, nProbes, kIn), emb, nProbes, kIn, kOut, c)
+
+  private def rrfFusionFrom(bm: DataFrame, emb: DataFrame, nProbes: Int,
+                            kIn: Int, kOut: Int, c: Int): DataFrame = {
+    val lex = bm
       .select(col("probe_id"), col("doc_id"), col("rnk").as("rank_bm25"))
     val sem = Similarity.cosineTopK(emb, nProbes, kIn)
       .select(col("probe_id"), col("neighbor_id").as("doc_id"),
@@ -170,7 +194,11 @@ object Retrieval {
   }
 
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
-    rrfFusion(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+    rrfFusionFrom(
+      bm25TopKFrom(postingsFor(spark, sfDir), nProbes = 5, k = 10,
+        k1 = 1.2, b = 0.75),
+      Tables.embeddings(spark, sfDir), nProbes = 5, kIn = 10, kOut = 5,
+      c = 60)
 
   /** q399: WAND / MaxScore pruning-headroom audit (Broder et al. 2003) —
     * how much of the BM25 scoring work a top-k engine could legally skip.
@@ -192,12 +220,11 @@ object Retrieval {
     * engines.
     */
   def wandPrune(docs: DataFrame, nProbes: Int = 5, k: Int = 5,
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+                k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    wandPruneFrom(postings(docs), nProbes, k, k1, b)
+
+  private def wandPruneFrom(tf: DataFrame, nProbes: Int, k: Int,
+                            k1: Double, b: Double): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -242,7 +269,8 @@ object Retrieval {
   }
 
   def wandPrune(spark: SparkSession, sfDir: String): DataFrame =
-    wandPrune(Tables.documents(spark, sfDir))
+    wandPruneFrom(postingsFor(spark, sfDir), nProbes = 5, k = 5,
+      k1 = 1.2, b = 0.75)
 
   /** q412: RM3 pseudo-relevance-feedback expansion — the classic
     * second-pass retrieval move: take q82's BM25 top-k per probe, pool the
@@ -263,16 +291,15 @@ object Retrieval {
     * aggregation order.
     */
   def rm3Expansion(docs: DataFrame, nProbes: Int = 5, k: Int = 5,
-                   kExp: Int = 5): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+                   kExp: Int = 5): DataFrame =
+    rm3ExpansionFrom(postings(docs), nProbes, k, kExp)
+
+  private def rm3ExpansionFrom(tf: DataFrame, nProbes: Int, k: Int,
+                               kExp: Int): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val nDocs = dl.agg(count(lit(1)).cast("double").as("n_docs"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val topk = bm25TopK(docs, nProbes, k)
+    val topk = bm25TopKFrom(tf, nProbes, k, k1 = 1.2, b = 0.75)
       .select(col("probe_id"), col("doc_id"), col("rnk").as("drnk"))
     val probeToks = tf.where(col("doc_id") < nProbes)
       .select(col("doc_id").as("probe_id"), col("tok"))
@@ -302,7 +329,7 @@ object Retrieval {
   }
 
   def rm3Expansion(spark: SparkSession, sfDir: String): DataFrame =
-    rm3Expansion(Tables.documents(spark, sfDir))
+    rm3ExpansionFrom(postingsFor(spark, sfDir), nProbes = 5, k = 5, kExp = 5)
 
   /** q434: BM25 parameter sweep from ONE candidate build — the q300
     * sweep-from-one-pair-build discipline applied to retrieval tuning:
@@ -314,13 +341,12 @@ object Retrieval {
     * table that says whether this corpus's ranking is even SENSITIVE to
     * the knobs before anyone sweeps finer.
     */
-  def bm25Sweep(docs: DataFrame, nProbes: Int = 5, k: Int = 5): DataFrame = {
+  def bm25Sweep(docs: DataFrame, nProbes: Int = 5, k: Int = 5): DataFrame =
+    bm25SweepFrom(postings(docs), nProbes, k)
+
+  private def bm25SweepFrom(tf: DataFrame, nProbes: Int,
+                            k: Int): DataFrame = {
     val configs = Seq((1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0))
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -373,5 +399,5 @@ object Retrieval {
   }
 
   def bm25Sweep(spark: SparkSession, sfDir: String): DataFrame =
-    bm25Sweep(Tables.documents(spark, sfDir))
+    bm25SweepFrom(postingsFor(spark, sfDir), nProbes = 5, k = 5)
 }

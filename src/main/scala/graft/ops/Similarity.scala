@@ -79,7 +79,16 @@ object Similarity {
   }
 
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
-    cosineTopK(Tables.embeddings(spark, sfDir))
+    cosineTopKFor(spark, sfDir)
+
+  /** One exact brute-force top-k table per (session, sfDir) at the
+    * default probe geometry — q25's declared output, re-read as ground
+    * truth by the q43 and q391 recall audits.
+    */
+  private def cosineTopKFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "cosineTopK:10:5") {
+      cosineTopK(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    }
 
   /** Per-label mean vectors — the IVF "codebook", trained in-engine. Each
     * dimension's mean is an exact decimal sum / count, so centroids are
@@ -130,7 +139,15 @@ object Similarity {
   }
 
   def ivfAnn(spark: SparkSession, sfDir: String): DataFrame =
-    ivfAnn(Tables.embeddings(spark, sfDir))
+    ivfAnnFor(spark, sfDir)
+
+  /** One IVF search at the default geometry per (session, sfDir) —
+    * q26's declared output, re-read as the approx side by q43's recall.
+    */
+  private def ivfAnnFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "ivfAnn:10:5:2") {
+      ivfAnn(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    }
 
   /** q43: recall@k of the IVF index against the brute-force ground truth —
     * the quality metric that decides whether nprobe/nlist are tuned right.
@@ -138,9 +155,12 @@ object Similarity {
     * a semi-join + per-probe count, and Catalyst shares nothing it
     * shouldn't (the two pipelines scan independently).
     */
-  def annRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val truth = cosineTopK(emb, nProbes, k).select(col("probe_id"), col("neighbor_id"))
-    val approx = ivfAnn(emb, nProbes, k, nprobe).select(col("probe_id"), col("neighbor_id"))
+  def annRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame =
+    annRecallFrom(cosineTopK(emb, nProbes, k), ivfAnn(emb, nProbes, k, nprobe))
+
+  private def annRecallFrom(truth0: DataFrame, approx0: DataFrame): DataFrame = {
+    val truth = truth0.select(col("probe_id"), col("neighbor_id"))
+    val approx = approx0.select(col("probe_id"), col("neighbor_id"))
     val hits = truth.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
     truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_true"))
@@ -153,7 +173,7 @@ object Similarity {
   }
 
   def annRecall(spark: SparkSession, sfDir: String): DataFrame =
-    annRecall(Tables.embeddings(spark, sfDir))
+    annRecallFrom(cosineTopKFor(spark, sfDir), ivfAnnFor(spark, sfDir))
 
   /** Deterministic pseudo-random hyperplanes for [[srpLsh]]: one row per
     * plane, weights in [-0.5, 0.5) from the same md5→uniform idiom the
@@ -340,7 +360,17 @@ object Similarity {
   }
 
   def srpLsh(spark: SparkSession, sfDir: String): DataFrame =
-    srpLshAuto(Tables.embeddings(spark, sfDir))
+    srpPairsFor(spark, sfDir)
+
+  /** One default-geometry SRP-LSH pair table per (session, sfDir) —
+    * q74's declared output, re-read as the candidate edge set by q76
+    * (semantic prune) and q432 (kNN label agreement); the signature build
+    * + band self-join + cosine verify runs once per pass (guide §2.4).
+    */
+  private def srpPairsFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "srpLsh:64:4:1:0.4:8") {
+      srpLshAuto(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    }
 
   /** q76: semantic prune — SemDeDup-shaped keep-one-per-semantic-cluster
     * over embeddings. The q74 SRP-LSH pairs become edges, connected
@@ -354,9 +384,12 @@ object Similarity {
     * (near-clique clusters → a handful of rounds, one scalar driver read
     * per round), and the final assembly is two joins keyed by vec_id.
     */
-  def semanticPrune(emb: DataFrame, dim: Int = 64, minCos: Double = 0.4): DataFrame = {
-    val pairs = srpLshAuto(emb, dim = dim, minCos = minCos)
-      .select(col("vec_a"), col("vec_b"))
+  def semanticPrune(emb: DataFrame, dim: Int = 64, minCos: Double = 0.4): DataFrame =
+    semanticPruneFrom(emb, srpLshAuto(emb, dim = dim, minCos = minCos))
+
+  private def semanticPruneFrom(emb: DataFrame,
+                                srpPairs: DataFrame): DataFrame = {
+    val pairs = srpPairs.select(col("vec_a"), col("vec_b"))
     val cc = Graph.componentsAuto(pairs)
       .withColumnRenamed("id", "vec_id")
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
@@ -370,7 +403,8 @@ object Similarity {
   }
 
   def semanticPrune(spark: SparkSession, sfDir: String): DataFrame =
-    semanticPrune(Tables.embeddings(spark, sfDir))
+    semanticPruneFrom(Tables.embeddings(spark, sfDir),
+      srpPairsFor(spark, sfDir))
 
   /** q85: embedding-space health census — per dimension: mean, variance,
     * and share of total energy (Σx²). The drift/anisotropy dashboard for a
@@ -539,6 +573,22 @@ object Similarity {
     (dims, cent, codes)
   }
 
+  /** One interleaved-split PQ training per (session, sfDir, params) —
+    * q377 (recall), q382 (distortion) and q393's interleave arm all train
+    * the IDENTICAL fixed-round Lloyd codebook on the identical dim split;
+    * training it once per pass and serving all three from the same
+    * checkpointed (dims, codebook, codes) removes two redundant 2-round
+    * trainings (guide §2.4). Deterministic by the q259 contract
+    * (exact-decimal distances, 1e-12 snaps, id ties), so shared vs fresh
+    * state is value-identical.
+    */
+  private def pqStateShared(spark: SparkSession, sfDir: String, m: Int,
+                            kCodes: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) =
+    SharedState.getOrBuild(spark, sfDir, s"pqState:$m:$kCodes:$iters") {
+      pqState(Tables.embeddings(spark, sfDir), m, kCodes, iters)
+    }
+
   /** The subspace-agnostic Lloyd trainer: takes any (vec_id, s, i, xd) dim
     * table — raw interleaved sub-vectors for [[pqState]], residuals against
     * the coarse IVF centroids for [[ivfPqRecall]] — and returns (codebook
@@ -587,9 +637,14 @@ object Similarity {
   }
 
   def pqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
-               nProbes: Int = 10, k: Int = 5): DataFrame = {
+               nProbes: Int = 10, k: Int = 5): DataFrame =
+    pqRecallFrom(emb, pqState(emb, m, kCodes, iters), nProbes, k)
+
+  private def pqRecallFrom(emb: DataFrame,
+                           st: (DataFrame, DataFrame, DataFrame),
+                           nProbes: Int, k: Int): DataFrame = {
     val x = asDoubles(emb).select(col("vec_id"), col("v"))
-    val (dims, cent, codes) = pqState(emb, m, kCodes, iters)
+    val (dims, cent, codes) = st
     val ccF = cent.groupBy(col("s"), col("c"))
       .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
         .cast("double").as("cc"))
@@ -648,7 +703,8 @@ object Similarity {
   }
 
   def pqRecall(spark: SparkSession, sfDir: String): DataFrame =
-    pqRecall(Tables.embeddings(spark, sfDir))
+    pqRecallFrom(Tables.embeddings(spark, sfDir),
+      pqStateShared(spark, sfDir, 4, 8, 2), nProbes = 10, k = 5)
 
   /** q382: PQ distortion census — per (subspace, codeword): member count and
     * mean squared quantization error, plus each codeword's share of its
@@ -662,8 +718,12 @@ object Similarity {
     * snapped like q259's WSS.
     */
   def pqDistortion(emb: DataFrame, m: Int = 4, kCodes: Int = 8,
-                   iters: Int = 2): DataFrame = {
-    val (_, _, codes) = pqState(emb, m, kCodes, iters)
+                   iters: Int = 2): DataFrame =
+    pqDistortionFrom(pqState(emb, m, kCodes, iters))
+
+  private def pqDistortionFrom(st: (DataFrame, DataFrame, DataFrame))
+      : DataFrame = {
+    val (_, _, codes) = st
     val per = codes.groupBy(col("s"), col("c"))
       .agg(count(lit(1)).as("n_vecs"),
         sum((round(col("d2") * lit(1e12)) / lit(1e12))
@@ -679,7 +739,7 @@ object Similarity {
   }
 
   def pqDistortion(spark: SparkSession, sfDir: String): DataFrame =
-    pqDistortion(Tables.embeddings(spark, sfDir))
+    pqDistortionFrom(pqStateShared(spark, sfDir, 4, 8, 2))
 
   /** Shared recall@k tail: per-probe |approx ∩ truth| / |truth| with an
     * outer join so probes with zero hits still report 0.0.
@@ -720,7 +780,8 @@ object Similarity {
     * Jégou et al., "Product Quantization for Nearest Neighbor Search".
     */
   def ivfPqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
-                  nProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+                  nProbes: Int = 10, k: Int = 5, nprobe: Int = 2,
+                  truthIn: Option[DataFrame] = None): DataFrame = {
     val all = asDoubles(emb).withColumn("nrm", normCol("v"))
     val centDims = centroids(emb)
       .select(col("label"), posexplode(col("cv")).as(Seq("i", "ccd")))
@@ -793,13 +854,14 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
 
-    val truth = cosineTopK(emb, nProbes, k)
+    val truth = truthIn.getOrElse(cosineTopK(emb, nProbes, k))
       .select(col("probe_id"), col("neighbor_id"))
     recallOf(truth, approx)
   }
 
   def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame =
-    ivfPqRecall(Tables.embeddings(spark, sfDir))
+    ivfPqRecall(Tables.embeddings(spark, sfDir),
+      truthIn = Some(cosineTopKFor(spark, sfDir)))
 
   /** q392: greedy k-center coreset (Gonzalez farthest-point traversal) —
     * the diversity-sampling backbone of data-pruning / active-learning
@@ -897,6 +959,21 @@ object Similarity {
                  iters: Int = 2): DataFrame = {
     val dims0 = diskCheckpoint(asDoubles(emb)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd"))))
+    val idims = dims0.withColumn("s", pmod(col("i"), lit(m)))
+      .select(col("vec_id"), col("s"), col("i"), col("xd"))
+    val (_, icodes) = pqTrain(idims, kCodes, iters)
+    balancedPqFrom(dims0, icodes, m, kCodes, iters)
+  }
+
+  /** [[balancedPq]] over an already-exploded dim table and an
+    * already-trained interleave-arm code table — the sfDir entry point
+    * feeds both from the session's shared q377 PQ state (the interleave
+    * training IS pqState's, bit-for-bit by the determinism contract), so
+    * only the balanced arm trains here.
+    */
+  private def balancedPqFrom(dimsIn: DataFrame, icodes: DataFrame, m: Int,
+                             kCodes: Int, iters: Int): DataFrame = {
+    val dims0 = dimsIn.select(col("vec_id"), col("i"), col("xd"))
     val mu = dims0.groupBy(col("i"))
       .agg((sum(col("xd").cast("decimal(28,12)")).cast("double")
         / count(lit(1))).as("mu"))
@@ -920,10 +997,7 @@ object Similarity {
     // pinning them would triple the corpus-sized checkpoint footprint
     val bdims = dims0.join(broadcast(alloc.select(col("i"), col("s"))), "i")
       .select(col("vec_id"), col("s"), col("i"), col("xd"))
-    val idims = dims0.withColumn("s", pmod(col("i"), lit(m)))
-      .select(col("vec_id"), col("s"), col("i"), col("xd"))
     val (_, bcodes) = pqTrain(bdims, kCodes, iters)
-    val (_, icodes) = pqTrain(idims, kCodes, iters)
 
     def sseOf(codes: DataFrame): DataFrame = codes.groupBy(col("s"))
       .agg(sum((round(col("d2") * lit(1e12)) / lit(1e12))
@@ -942,8 +1016,10 @@ object Similarity {
         (round(col("sse") * lit(1e6)) / lit(1e6)).as("sse"))
   }
 
-  def balancedPq(spark: SparkSession, sfDir: String): DataFrame =
-    balancedPq(Tables.embeddings(spark, sfDir))
+  def balancedPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dims, _, codes) = pqStateShared(spark, sfDir, 4, 8, 2)
+    balancedPqFrom(dims, codes, 4, 8, 2)
+  }
 
   /** q380: nDCG@10 of the int8-quantized ranking (q65's codec) against the
     * exact-cosine ranking — the position-weighted audit recall@k cannot
@@ -1402,7 +1478,10 @@ object Similarity {
       .select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
 
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
-    pcaPower(Tables.embeddings(spark, sfDir))
+    // same v1 the session's shared two-component state trains (its PC1
+    // rounds ARE pcaState's) — one training serves q200/q397/q430/q433
+    pcaTwoStateShared(spark, sfDir, 6)
+      .v1.select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
 
   /** q397: all-but-the-top embedding post-processing audit (Mu &
     * Viswanath 2018) — remove the top principal component (the classic
@@ -1433,7 +1512,17 @@ object Similarity {
       .select(col("vec_id"), col("i"),
         (col("x") - col("a") / col("uu") * col("vi")).as("x"))
       .localCheckpoint()
+    abttFrom(xc, xp, nProbes, k)
+  }
 
+  /** The audit tail of [[abtt]] over already-built centered (`xc`) and
+    * top-PC-removed (`xp`) dim tables — shared with the q430/q433 PCA
+    * state so q397 re-uses the session's one power-iteration training
+    * (its xp is the identical ‖x − (a/uu)·v‖ projection [[pcaTwoState]]
+    * checkpoints as its deflated table).
+    */
+  private def abttFrom(xc: DataFrame, xp: DataFrame, nProbes: Int,
+                       k: Int): DataFrame = {
     def prOf(d: DataFrame, sfx: String): DataFrame =
       d.groupBy(col("i"))
         .agg(sum((round(col("x") * col("x") * lit(1e10)) / lit(1e10))
@@ -1484,8 +1573,10 @@ object Similarity {
         col("top_share_after"), col("mean_overlap"), col("n_probes"))
   }
 
-  def abtt(spark: SparkSession, sfDir: String): DataFrame =
-    abtt(Tables.embeddings(spark, sfDir))
+  def abtt(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = pcaTwoStateShared(spark, sfDir, 6)
+    abttFrom(st.xc, st.xp, nProbes = 10, k = 5)
+  }
 
   /** q223: metadata-filtered exact top-k — vector search restricted by a
     * relational predicate (here: candidate documents with lang = 'en'),
@@ -2141,9 +2232,6 @@ object Similarity {
   private case class PcaTwoState(xc: DataFrame, v1: DataFrame,
                                  a1: DataFrame, xp: DataFrame, v2: DataFrame)
 
-  @volatile private var twoStateMemo
-      : Option[(SparkSession, String, Int, PcaTwoState)] = None
-
   /** Drop the memoized PCA state (and its pinned localCheckpoint blocks
     * become GC-eligible). Call when the data under a previously-trained
     * sfDir changes within a session, or from long-lived sessions that
@@ -2151,22 +2239,17 @@ object Similarity {
     * parquet under sfDir is IMMUTABLE for the session's lifetime, the
     * same contract as every persisted index in this library (IVF,
     * coreset, PQ codebooks): a mutated-in-place dataset serves stale
-    * projections until this is called.
+    * projections until this is called. (Routed through [[SharedState]],
+    * so this clears every shared build, not only PCA.)
     */
-  def pcaTwoStateClear(): Unit = synchronized { twoStateMemo = None }
+  def pcaTwoStateClear(): Unit = SharedState.clear()
 
   private def pcaTwoStateShared(spark: SparkSession, sfDir: String,
-                                iters: Int): PcaTwoState = synchronized {
-    twoStateMemo match {
-      case Some((s, d, it, st))
-          if (s eq spark) && d == sfDir && it == iters => st
-      case _ =>
-        val t = pcaTwoState(Tables.embeddings(spark, sfDir), iters)
-        val st = PcaTwoState(t._1, t._2, t._3, t._4, t._5)
-        twoStateMemo = Some((spark, sfDir, iters, st))
-        st
+                                iters: Int): PcaTwoState =
+    SharedState.getOrBuild(spark, sfDir, s"pcaTwoState:$iters") {
+      val t = pcaTwoState(Tables.embeddings(spark, sfDir), iters)
+      PcaTwoState(t._1, t._2, t._3, t._4, t._5)
     }
-  }
 
   private def pcaTwoState(emb: DataFrame, iters: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -2256,8 +2339,12 @@ object Similarity {
     * label asc); neighbor ranking ties on the 6-dp cosine break on
     * neighbor id, both engines identically.
     */
-  def knnLabelAgreement(emb: DataFrame, k: Int = 5): DataFrame = {
-    val pairs = srpLshAuto(emb)
+  def knnLabelAgreement(emb: DataFrame, k: Int = 5): DataFrame =
+    knnLabelAgreementFrom(emb, srpLshAuto(emb), k)
+
+  private def knnLabelAgreementFrom(emb: DataFrame, srpPairs: DataFrame,
+                                    k: Int): DataFrame = {
+    val pairs = srpPairs
       .select(col("vec_a"), col("vec_b"), col("cosine"))
     val sym = pairs
       .union(pairs.select(col("vec_b").as("vec_a"),
@@ -2286,7 +2373,8 @@ object Similarity {
   }
 
   def knnLabelAgreement(spark: SparkSession, sfDir: String): DataFrame =
-    knnLabelAgreement(Tables.embeddings(spark, sfDir))
+    knnLabelAgreementFrom(Tables.embeddings(spark, sfDir),
+      srpPairsFor(spark, sfDir), 5)
 
   /** q433: two-component PCA outlier scores — the Mahalanobis-style
     * multivariate screen over the q430 subspace: every vector's (PC1,
@@ -2454,25 +2542,15 @@ object Similarity {
     * per-seed Verify JVM), and entries are dropped when their session is
     * stopped or replaced.
     */
-  private val graphAnnMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int, Int),
-    (SparkSession, (DataFrame, DataFrame, DataFrame, DataFrame))]()
-
   private def graphAnnStateFor(spark: SparkSession, sfDir: String,
                                nProbes: Int, k: Int, degree: Int,
                                nEntries: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val key = (sfDir, nProbes, k, degree, nEntries)
-    val hit = graphAnnMemo.get(key)
-    if (hit != null && (hit._1 eq spark) && !spark.sparkContext.isStopped)
-      hit._2
-    else {
-      val st = graphAnnState(Tables.embeddings(spark, sfDir),
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    SharedState.getOrBuild(spark, sfDir,
+      s"graphAnn:$nProbes:$k:$degree:$nEntries") {
+      graphAnnState(Tables.embeddings(spark, sfDir),
         nProbes, k, degree, nEntries)
-      graphAnnMemo.put(key, (spark, st))
-      st
     }
-  }
 
   def graphAnnRecall(emb: DataFrame, nProbes: Int = 10, k: Int = 5,
                      degree: Int = 8, beam: Int = 8, rounds: Int = 3,

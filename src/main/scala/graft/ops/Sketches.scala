@@ -155,8 +155,11 @@ object Sketches {
     * top-k ascending — TakeOrdered, k values to the driver-side plan, no
     * full sort materialized.
     */
-  def kmvSketch(docs: DataFrame, k: Int = 16): DataFrame = {
-    val sh = Dedup.shingles(docs).select(col("sh")).distinct()
+  def kmvSketch(docs: DataFrame, k: Int = 16): DataFrame =
+    kmvSketchFromSh(Dedup.shingles(docs), k)
+
+  private def kmvSketchFromSh(sh0: DataFrame, k: Int): DataFrame = {
+    val sh = sh0.select(col("sh")).distinct()
     val hashed = sh.select(md5(concat(lit("kmv:"), col("sh"))).as("h"))
       .select(expr(hexValSql("h", 12)).as("hv"))
     val exact = sh.agg(count(lit(1)).as("exact_distinct"))
@@ -173,7 +176,7 @@ object Sketches {
   }
 
   def kmvSketch(spark: SparkSession, sfDir: String): DataFrame =
-    kmvSketch(graft.Tables.documents(spark, sfDir))
+    kmvSketchFromSh(Dedup.shinglesFor(spark, sfDir), 16)
 
   /** q406: KMV resemblance — what the q404 fingerprint is FOR: estimate
     * the Jaccard between two corpora from their k-value sketches alone
@@ -189,8 +192,12 @@ object Sketches {
     * Scale: per-side distinct-shingle shuffles (the q21 exchange) + two
     * TakeOrdered-k; the resemblance math runs on ≤ 2k rows.
     */
-  def sketchResemblance(docs: DataFrame, k: Int = 16): DataFrame = {
-    val sided = Dedup.shingles(docs)
+  def sketchResemblance(docs: DataFrame, k: Int = 16): DataFrame =
+    sketchResemblanceFromSh(docs, Dedup.shingles(docs), k)
+
+  private def sketchResemblanceFromSh(docs: DataFrame, sh0: DataFrame,
+                                      k: Int): DataFrame = {
+    val sided = sh0
       .join(docs.select(col("doc_id"),
         (expr("CAST(substr(source, 4, 10) AS INT) % 2") === 0)
           .as("even")), "doc_id")
@@ -235,7 +242,8 @@ object Sketches {
   }
 
   def sketchResemblance(spark: SparkSession, sfDir: String): DataFrame =
-    sketchResemblance(graft.Tables.documents(spark, sfDir))
+    sketchResemblanceFromSh(graft.Tables.documents(spark, sfDir),
+      Dedup.shinglesFor(spark, sfDir), 16)
 
   def sketchRollup(spark: SparkSession, sfDir: String): DataFrame =
     sketchRollup(Tables.documents(spark, sfDir))

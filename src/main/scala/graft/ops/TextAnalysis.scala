@@ -115,11 +115,31 @@ object TextAnalysis {
     * aggregation (token counts, then a per-language top-N window over the
     * already-tiny count table); the window never sees raw tokens.
     */
-  def heavyHitters(docs: DataFrame, topN: Int = 5): DataFrame = {
+  /** Exploded token stream (doc_id, source, lang, tok) — the shared root
+    * tokenize of the text family (no length filter; consumers that drop
+    * empty tokens filter on top, preserving their exact semantics).
+    */
+  private def tokStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("lang"),
+      explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+
+  /** One exploded token table per (session, sfDir): ~16 text queries
+    * re-tokenize the identical corpus before diverging — scan + regex +
+    * explode once per pass, every consumer branches off the pinned table
+    * (guide §2.4).
+    */
+  private[ops] def toksFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "toks") {
+      tokStream(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
+
+  def heavyHitters(docs: DataFrame, topN: Int = 5): DataFrame =
+    heavyHittersFrom(tokStream(docs), topN)
+
+  private def heavyHittersFrom(toks: DataFrame, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
-      .select(col("lang"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+    val counts = toks
+      .select(col("lang"), col("tok"))
       .groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
@@ -127,7 +147,7 @@ object TextAnalysis {
   }
 
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
-    heavyHitters(Tables.documents(spark, sfDir))
+    heavyHittersFrom(toksFor(spark, sfDir), 5)
 
   /** q30: document fingerprint census — md5 over the sorted distinct word
     * set (an order/multiplicity-insensitive content signature), reporting
@@ -208,10 +228,13 @@ object TextAnalysis {
     * exact decimal sums, so the fit is order-independent and matches the
     * DuckDB oracle bit-for-bit.
     */
-  def zipfSlope(docs: DataFrame, topK: Int = 50): DataFrame = {
+  def zipfSlope(docs: DataFrame, topK: Int = 50): DataFrame =
+    zipfSlopeFrom(tokStream(docs), topK)
+
+  private def zipfSlopeFrom(toks: DataFrame, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs
-      .select(col("lang"), explode(split(Dedup.normText(col("text")), " ")).as("w"))
+    val tok = toks
+      .select(col("lang"), col("tok").as("w"))
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("freq"))
     val ranked = tok
@@ -238,7 +261,7 @@ object TextAnalysis {
   }
 
   def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
-    zipfSlope(Tables.documents(spark, sfDir))
+    zipfSlopeFrom(toksFor(spark, sfDir), 50)
 
   /** q58: TF-IDF top terms per document — the classic signature-term
     * extraction (sklearn's smooth-idf variant: idf = ln((1+n)/(1+df)) + 1,
@@ -252,10 +275,14 @@ object TextAnalysis {
     * millions of small doc partitions (the benign kind). Nothing in the
     * plan holds more than one document's terms in memory.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    tfidfTopTermsFrom(docs, tokStream(docs), k)
+
+  private def tfidfTopTermsFrom(docs: DataFrame, toks: DataFrame,
+                                k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs
-      .select(col("doc_id"), explode(split(Dedup.normText(col("text")), " ")).as("term"))
+    val tok = toks
+      .select(col("doc_id"), col("tok").as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -274,7 +301,8 @@ object TextAnalysis {
   }
 
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
-    tfidfTopTerms(Tables.documents(spark, sfDir))
+    tfidfTopTermsFrom(Tables.documents(spark, sfDir),
+      toksFor(spark, sfDir), 3)
 
   /** q60: bigram PMI collocations per language — pointwise mutual
     * information ln(p(ab) / (p(a)·p(b))) of adjacent word pairs, the
@@ -601,10 +629,13 @@ object TextAnalysis {
     * before the count-weighted sum, so the per-doc mean is order-free and
     * matches the DuckDB oracle bit-for-bit after 4-dp rounding.
     */
-  def dsirWeights(docs: DataFrame, targetSource: String = "src0"): DataFrame = {
-    val docTok = docs
-      .select(col("doc_id"), col("source"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+  def dsirWeights(docs: DataFrame, targetSource: String = "src0"): DataFrame =
+    dsirWeightsFrom(tokStream(docs), targetSource)
+
+  private def dsirWeightsFrom(toks: DataFrame,
+                              targetSource: String): DataFrame = {
+    val docTok = toks
+      .select(col("doc_id"), col("source"), col("tok"))
       .groupBy(col("doc_id"), col("source"), col("tok"))
       .agg(count(lit(1)).as("n"))
     val raw = docTok.groupBy(col("tok")).agg(sum(col("n")).as("c_raw"))
@@ -634,7 +665,7 @@ object TextAnalysis {
   }
 
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
-    dsirWeights(Tables.documents(spark, sfDir))
+    dsirWeightsFrom(toksFor(spark, sfDir), "src0")
 
   /** q123: per-source length-profile PSI — each source's document-size
     * distribution (power-of-2 char buckets, q70's integer-exact bin idiom)
@@ -700,10 +731,12 @@ object TextAnalysis {
     * consumes log-log points via exact decimal sums; no pow() anywhere
     * (log10 K is reported directly, q57's determinism rule).
     */
-  def heapsLaw(docs: DataFrame, bucketWidth: Int = 64): DataFrame = {
+  def heapsLaw(docs: DataFrame, bucketWidth: Int = 64): DataFrame =
+    heapsLawFrom(tokStream(docs), bucketWidth)
+
+  private def heapsLawFrom(toks: DataFrame, bucketWidth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("lang"), col("doc_id"),
-      explode(split(Dedup.normText(col("text")), " ")).as("w"))
+    val tok = toks.select(col("lang"), col("doc_id"), col("tok").as("w"))
     val perDoc = tok.groupBy(col("lang"), col("doc_id"))
       .agg(count(lit(1)).as("ntok"))
     val firsts = tok.groupBy(col("lang"), col("w"))
@@ -749,7 +782,7 @@ object TextAnalysis {
   }
 
   def heapsLaw(spark: SparkSession, sfDir: String): DataFrame =
-    heapsLaw(Tables.documents(spark, sfDir))
+    heapsLawFrom(toksFor(spark, sfDir), 64)
 
   /** q138: top-k token rank churn between corpus snapshots — the head of
     * the vocabulary is where tokenizer merges, stopword lists, and cache
@@ -764,14 +797,20 @@ object TextAnalysis {
     * them map-side; the fusion join runs on two |langs|·k rank tables —
     * corpus-size-independent, q137's pattern.
     */
-  def rankChurn(docs: DataFrame, topK: Int = 20): DataFrame = {
+  def rankChurn(docs: DataFrame, topK: Int = 20): DataFrame =
+    rankChurnFrom(docs, tokStream(docs), topK)
+
+  private def rankChurnFrom(docs: DataFrame, toks: DataFrame,
+                            topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cutoff stays a function of ALL docs (a tokenless max-id doc must
+    // still move it, exactly as the oracle computes it)
     val cutoff = docs.agg(
       (max(col("doc_id")) * 3 / lit(4)).cast("long").as("cut"))
-    val counts = docs
+    val counts = toks
       .crossJoin(broadcast(cutoff))
       .select(col("lang"), (col("doc_id") <= col("cut")).as("old"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        col("tok"))
       .groupBy(col("lang"), col("old"), col("tok"))
       .agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy(col("lang"), col("old"))
@@ -797,7 +836,7 @@ object TextAnalysis {
   }
 
   def rankChurn(spark: SparkSession, sfDir: String): DataFrame =
-    rankChurn(Tables.documents(spark, sfDir))
+    rankChurnFrom(Tables.documents(spark, sfDir), toksFor(spark, sfDir), 20)
 
   /** q185: template-prefix census — families of documents that OPEN with
     * the same leading `k` tokens (form letters, boilerplate headers, SEO
@@ -922,10 +961,12 @@ object TextAnalysis {
   /** The per-(doc, class) NB log-score table behind [[naiveBayesSource]]
     * and [[confidentErrors]].
     */
-  private[ops] def nbScores(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), col("source"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+  private[ops] def nbScores(docs: DataFrame): DataFrame =
+    nbScoresFromToks(docs, tokStream(docs))
+
+  private def nbScoresFromToks(docs: DataFrame,
+                               toks0: DataFrame): DataFrame = {
+    val toks = toks0.select(col("doc_id"), col("source"), col("tok"))
       .where(length(col("tok")) > 0)
     val dt = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
@@ -959,8 +1000,23 @@ object TextAnalysis {
     scores.select(col("doc_id"), col("source"), col("score"))
   }
 
-  def naiveBayesSource(docs: DataFrame): DataFrame = {
-    val scores = nbScores(docs)
+  /** One NB score table per (session, sfDir): q221 (confusion census) and
+    * q402 (confident-learning census) both score from the identical
+    * per-(doc, class) log-score table — train it once per pass and serve
+    * both (guide §2.4). Checkpointed because both consumers re-read it
+    * several times (max/LSE/threshold branches).
+    */
+  private def nbScoresFor(spark: SparkSession, sfDir: String): DataFrame =
+    SharedState.getOrBuild(spark, sfDir, "nbScores") {
+      nbScoresFromToks(Tables.documents(spark, sfDir),
+        toksFor(spark, sfDir)).localCheckpoint()
+    }
+
+  def naiveBayesSource(docs: DataFrame): DataFrame =
+    naiveBayesSourceFrom(docs, nbScores(docs))
+
+  private def naiveBayesSourceFrom(docs: DataFrame,
+                                   scores: DataFrame): DataFrame = {
     val wBest = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("source"))
     val pred = scores
@@ -989,8 +1045,11 @@ object TextAnalysis {
     * Scale: everything after the q221 score table is per-doc arithmetic
     * plus class-sized aggregates; thresholds are a |classes|-row broadcast.
     */
-  def confidentErrors(docs: DataFrame): DataFrame = {
-    val scores = nbScores(docs).localCheckpoint()
+  def confidentErrors(docs: DataFrame): DataFrame =
+    confidentErrorsFrom(docs, nbScores(docs).localCheckpoint())
+
+  private def confidentErrorsFrom(docs: DataFrame,
+                                  scores: DataFrame): DataFrame = {
     val mx = scores.groupBy(col("doc_id")).agg(max(col("score")).as("mx"))
     val lse = scores.join(mx, "doc_id")
       .groupBy(col("doc_id"), col("mx"))
@@ -1023,7 +1082,8 @@ object TextAnalysis {
   }
 
   def confidentErrors(spark: SparkSession, sfDir: String): DataFrame =
-    confidentErrors(Tables.documents(spark, sfDir))
+    confidentErrorsFrom(Tables.documents(spark, sfDir),
+      nbScoresFor(spark, sfDir))
 
   /** q408: unigram-LM generalization gap — train an add-one-smoothed
     * unigram LM on the hash-split train half (q403's split convention)
@@ -1040,16 +1100,20 @@ object TextAnalysis {
     * per-doc NLL terms snap to decimal so document and corpus means are
     * partition-order-free.
     */
-  def lmGap(docs: DataFrame, trainFrac: Double = 0.8): DataFrame = {
+  def lmGap(docs: DataFrame, trainFrac: Double = 0.8): DataFrame =
+    lmGapFrom(tokStream(docs), trainFrac)
+
+  private def lmGapFrom(toks0: DataFrame, trainFrac: Double): DataFrame = {
     val cut = math.floor(trainFrac * 16777216.0).toLong
-    val toks = docs.select(col("doc_id"),
+    // side is a pure function of doc_id, so deriving it AFTER the shared
+    // explode is value-identical to hashing before it
+    val toks = toks0.select(col("doc_id"),
         md5(concat(lit("split:"), col("doc_id").cast("string"))).as("h"),
-        col("text"))
+        col("tok"))
       .withColumn("u24", expr(Sketches.hexValSql("h", 6)))
       .withColumn("side",
         when(col("u24") < cut, lit("train")).otherwise(lit("eval")))
-      .select(col("doc_id"), col("side"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), col("side"), col("tok"))
       .where(length(col("tok")) > 0)
       .localCheckpoint()
     val dt = toks.groupBy(col("doc_id"), col("side"), col("tok"))
@@ -1093,7 +1157,7 @@ object TextAnalysis {
   }
 
   def lmGap(spark: SparkSession, sfDir: String): DataFrame =
-    lmGap(Tables.documents(spark, sfDir))
+    lmGapFrom(toksFor(spark, sfDir), 0.8)
 
   /** q413: interpolated Kneser–Ney bigram cross-entropy per source — the
     * standard n-gram LM construction (Kneser & Ney 1995; Chen & Goodman
@@ -1247,10 +1311,13 @@ object TextAnalysis {
     * scalars, distributed TakeOrdered for the final ranking.
     */
   def keyness(docs: DataFrame, focus: String = "src0", minCount: Int = 5,
-              topK: Int = 20): DataFrame = {
-    val toks = docs
-      .select((col("source") === focus).as("f"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+              topK: Int = 20): DataFrame =
+    keynessFrom(tokStream(docs), focus, minCount, topK)
+
+  private def keynessFrom(toks0: DataFrame, focus: String, minCount: Int,
+                          topK: Int): DataFrame = {
+    val toks = toks0
+      .select((col("source") === focus).as("f"), col("tok"))
       .where(length(col("tok")) > 0)
     val tc = toks.groupBy(col("tok"))
       .agg(sum(when(col("f"), 1L).otherwise(0L)).as("a"),
@@ -1282,7 +1349,7 @@ object TextAnalysis {
   }
 
   def keyness(spark: SparkSession, sfDir: String): DataFrame =
-    keyness(Tables.documents(spark, sfDir))
+    keynessFrom(toksFor(spark, sfDir), "src0", 5, 20)
 
   /** q431: data-scaling-law fit — train the q408 add-one unigram LM on
     * NESTED hash-split subsets (10/20/40/80% of documents; nested because
@@ -1302,14 +1369,18 @@ object TextAnalysis {
     * 4 points. NLL terms snap to decimal(28,12) pre-sum.
     */
   def scalingLaw(docs: DataFrame,
-                 fracs: Seq[Double] = Seq(0.1, 0.2, 0.4, 0.8)): DataFrame = {
+                 fracs: Seq[Double] = Seq(0.1, 0.2, 0.4, 0.8)): DataFrame =
+    scalingLawFrom(tokStream(docs), fracs)
+
+  private def scalingLawFrom(toks0: DataFrame,
+                             fracs: Seq[Double]): DataFrame = {
     val evalCut = math.floor(fracs.max * 16777216.0).toLong
-    val toks = docs.select(
+    // u24 is a pure function of doc_id — derived after the shared explode
+    val toks = toks0.select(
         md5(concat(lit("split:"), col("doc_id").cast("string"))).as("h"),
-        col("text"))
+        col("tok"))
       .withColumn("u24", expr(Sketches.hexValSql("h", 6)))
-      .select(col("u24"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .select(col("u24"), col("tok"))
       .where(length(col("tok")) > 0)
       .localCheckpoint()
     val vocab = toks.select(col("tok")).distinct()
@@ -1356,7 +1427,7 @@ object TextAnalysis {
   }
 
   def scalingLaw(spark: SparkSession, sfDir: String): DataFrame =
-    scalingLaw(Tables.documents(spark, sfDir))
+    scalingLawFrom(toksFor(spark, sfDir), Seq(0.1, 0.2, 0.4, 0.8))
 
   /** q437: per-class precision/recall/F1 of the q27 language-ID heuristic —
     * q27 reports the confusion census; this is the classifier scorecard a
@@ -1404,7 +1475,8 @@ object TextAnalysis {
     langIdPrf(Tables.documents(spark, sfDir))
 
   def naiveBayesSource(spark: SparkSession, sfDir: String): DataFrame =
-    naiveBayesSource(Tables.documents(spark, sfDir))
+    naiveBayesSourceFrom(Tables.documents(spark, sfDir),
+      nbScoresFor(spark, sfDir))
 
   /** q222: tokenizer-fertility census per source — pieces-per-word under a
     * fixed-width-4 BPE-ish chunking ((len+3) div 4 pieces per word), plus
@@ -1413,10 +1485,12 @@ object TextAnalysis {
     * or noisy sources tokenize fat); the whole census is integer-exact —
     * one explode, one groupBy, no float accumulation at all.
     */
-  def tokenizerFertility(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("source"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    tokenizerFertilityFrom(tokStream(docs))
+
+  private def tokenizerFertilityFrom(toks0: DataFrame): DataFrame = {
+    val toks = toks0
+      .select(col("source"), col("tok"))
       .where(length(col("tok")) > 0)
     toks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"),
@@ -1436,7 +1510,7 @@ object TextAnalysis {
   }
 
   def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
-    tokenizerFertility(Tables.documents(spark, sfDir))
+    tokenizerFertilityFrom(toksFor(spark, sfDir))
 
   /** q262: Flesch reading-ease per document — the classical readability
     * screen beside q28's structural quality score (a curation pipeline
@@ -1481,10 +1555,13 @@ object TextAnalysis {
     * engine-identical.
     */
   def tfidfCosinePairs(docs: DataFrame, maxDf: Long = 1000,
-                       minCos: Double = 0.3): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"),
-        explode(split(Dedup.normText(col("text")), " ")).as("term"))
+                       minCos: Double = 0.3): DataFrame =
+    tfidfCosinePairsFrom(docs, tokStream(docs), maxDf, minCos)
+
+  private def tfidfCosinePairsFrom(docs: DataFrame, toks: DataFrame,
+                                   maxDf: Long, minCos: Double): DataFrame = {
+    val tok = toks
+      .select(col("doc_id"), col("tok").as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val n = docs.agg(count(lit(1)).as("n"))
@@ -1521,7 +1598,8 @@ object TextAnalysis {
   }
 
   def tfidfCosinePairs(spark: SparkSession, sfDir: String): DataFrame =
-    tfidfCosinePairs(Tables.documents(spark, sfDir))
+    tfidfCosinePairsFrom(Tables.documents(spark, sfDir),
+      toksFor(spark, sfDir), 1000, 0.3)
 
   /** q275: vocabulary overlap matrix between sources — the Szymkiewicz–
     * Simpson overlap coefficient |A∩B| / min(|A|,|B|) on distinct token
@@ -1532,9 +1610,11 @@ object TextAnalysis {
     * token-keyed self-join of that deduped table and sizes broadcast
     * back; |sources|²-bounded output.
     */
-  def vocabOverlap(docs: DataFrame): DataFrame = {
-    val st = docs.select(col("source"),
-        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+  def vocabOverlap(docs: DataFrame): DataFrame =
+    vocabOverlapFrom(tokStream(docs))
+
+  private def vocabOverlapFrom(toks: DataFrame): DataFrame = {
+    val st = toks.select(col("source"), col("tok"))
       .where(length(col("tok")) > 0)
       .distinct()
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
@@ -1554,7 +1634,7 @@ object TextAnalysis {
   }
 
   def vocabOverlap(spark: SparkSession, sfDir: String): DataFrame =
-    vocabOverlap(Tables.documents(spark, sfDir))
+    vocabOverlapFrom(toksFor(spark, sfDir))
 
   /** q281: compressibility proxy per source — distinct character-4-gram
     * count over total 4-gram count (the cheap stand-in for gzip ratio
@@ -1620,10 +1700,12 @@ object TextAnalysis {
     * Unbiased estimator 1 − Σc(c−1)/(N(N−1)): all integer until the final
     * divide, so no float-order concerns anywhere.
     */
-  def simpsonDiversity(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("source"),
-        explode(split(Dedup.normText(col("text")), " ")).as("w"))
+  def simpsonDiversity(docs: DataFrame): DataFrame =
+    simpsonDiversityFrom(tokStream(docs))
+
+  private def simpsonDiversityFrom(toks: DataFrame): DataFrame = {
+    val counts = toks
+      .select(col("source"), col("tok").as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
     // decimal/double widening BEFORE the products: N·(N−1) and Σc(c−1)
@@ -1641,7 +1723,7 @@ object TextAnalysis {
   }
 
   def simpsonDiversity(spark: SparkSession, sfDir: String): DataFrame =
-    simpsonDiversity(Tables.documents(spark, sfDir))
+    simpsonDiversityFrom(toksFor(spark, sfDir))
 
   /** q295: weighted Jaccard between sources over token COUNT vectors —
     * Σ min(cₐ, c_b) / Σ max(cₐ, c_b), the multiplicity-aware refinement of
@@ -1653,10 +1735,12 @@ object TextAnalysis {
     * totals minus Σmin (max(a,b) = a + b − min(a,b)) so only co-occurring
     * tokens ever join. All integer counts.
     */
-  def weightedJaccard(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("source"),
-        explode(split(Dedup.normText(col("text")), " ")).as("w"))
+  def weightedJaccard(docs: DataFrame): DataFrame =
+    weightedJaccardFrom(tokStream(docs))
+
+  private def weightedJaccardFrom(toks: DataFrame): DataFrame = {
+    val counts = toks
+      .select(col("source"), col("tok").as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
@@ -1675,7 +1759,7 @@ object TextAnalysis {
   }
 
   def weightedJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    weightedJaccard(Tables.documents(spark, sfDir))
+    weightedJaccardFrom(toksFor(spark, sfDir))
 
   /** q304: Burrows' Delta stylometric distance between sources — the
     * digital-humanities classic: z-score each source's relative frequency
@@ -1688,9 +1772,11 @@ object TextAnalysis {
     * word via exact decimal sums of 1e-12-snapped frequencies; σ=0 words
     * drop; |z-gap| terms snapped before the pair mean.
     */
-  def burrowsDelta(docs: DataFrame, topWords: Int = 30): DataFrame = {
-    val tok = docs.select(col("source"),
-      explode(split(Dedup.normText(col("text")), " ")).as("w"))
+  def burrowsDelta(docs: DataFrame, topWords: Int = 30): DataFrame =
+    burrowsDeltaFrom(tokStream(docs), topWords)
+
+  private def burrowsDeltaFrom(toks: DataFrame, topWords: Int): DataFrame = {
+    val tok = toks.select(col("source"), col("tok").as("w"))
     val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(topWords)
       .select(col("w"))
@@ -1732,7 +1818,7 @@ object TextAnalysis {
   }
 
   def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame =
-    burrowsDelta(Tables.documents(spark, sfDir))
+    burrowsDeltaFrom(toksFor(spark, sfDir), 30)
 
   /** q310: token burstiness census (Church–Gale) — for the 50 most common
     * tokens, how CLUMPED the occurrences are across documents: rate =
@@ -1744,9 +1830,12 @@ object TextAnalysis {
     * (token, doc) count aggregate bounded by the top-token join; the
     * exp() term is snapped to 1e-12 before the ratio.
     */
-  def tokenBurstiness(docs: DataFrame, topTokens: Int = 50): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(split(Dedup.normText(col("text")), " ")).as("w"))
+  def tokenBurstiness(docs: DataFrame, topTokens: Int = 50): DataFrame =
+    tokenBurstinessFrom(docs, tokStream(docs), topTokens)
+
+  private def tokenBurstinessFrom(docs: DataFrame, toks: DataFrame,
+                                  topTokens: Int): DataFrame = {
+    val tok = toks.select(col("doc_id"), col("tok").as("w"))
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("d"))
     val perDoc = tok.groupBy(col("w"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
@@ -1769,7 +1858,8 @@ object TextAnalysis {
   }
 
   def tokenBurstiness(spark: SparkSession, sfDir: String): DataFrame =
-    tokenBurstiness(Tables.documents(spark, sfDir))
+    tokenBurstinessFrom(Tables.documents(spark, sfDir),
+      toksFor(spark, sfDir), 50)
 
   /** q334: character-level entropy per source — the alphabet-granularity
     * compressibility signal under q113's token entropy and q281's 4-gram
@@ -1897,9 +1987,12 @@ object TextAnalysis {
     * merge (the fertility curve the merge table is buying down), plus the
     * round-0 character baseline.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    val vocab = docs
-      .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame =
+    bpeMergesFrom(tokStream(docs), rounds)
+
+  private def bpeMergesFrom(toks: DataFrame, rounds: Int): DataFrame = {
+    val vocab = toks
+      .select(col("tok").as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var st = vocab
@@ -1950,5 +2043,5 @@ object TextAnalysis {
   }
 
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
-    bpeMerges(Tables.documents(spark, sfDir))
+    bpeMergesFrom(toksFor(spark, sfDir), 3)
 }

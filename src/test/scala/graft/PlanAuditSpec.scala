@@ -86,8 +86,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("srp-lsh broadcasts the hyperplane table, never shuffles it") {
-    assert(plans("q74_srp_lsh").contains("BroadcastExchange"),
-      "q74 should broadcast the tiny planes dimension")
+    // the declared q74 serves the session-shared pair table (a checkpoint
+    // scan), so the property is pinned on the plan of the BUILD itself —
+    // the DataFrame-level srpLshAuto the shared state executes once per
+    // bench pass
+    val plan = ops.Similarity.srpLshAuto(Tables.embeddings(spark, sfDir))
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastExchange"),
+      "q74 build should broadcast the tiny planes dimension")
   }
 
   test("decontamination broadcasts the eval-gram side") {
@@ -186,12 +192,16 @@ class PlanAuditSpec extends SparkSpec {
   test("AQE reuses the shared shingle stage at runtime — corpus tokenized once") {
     // the static plan prints the shingle subtree once per consumer; the
     // EXECUTED adaptive plan must collapse them via stage reuse, or a 100 TB
-    // corpus gets re-tokenized for sizes/frequencies/prefix/verify
-    val df = SparkEntry.queries("q21_ngram_jaccard")(spark, sfDir)
+    // corpus gets re-tokenized for sizes/frequencies/prefix/verify. The
+    // declared q21 now serves the session-shared truth table at K = 1, so
+    // the property is pinned on the prefix-join build that shared state
+    // executes once per bench pass.
+    val df = ops.Dedup.ngramJaccardPrefix(Tables.documents(spark, sfDir))
     df.collect()
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("isFinalPlan=true"))
-    assert(s.contains("Reused"), "no stage/exchange reuse in q21's executed plan")
+    assert(s.contains("Reused"),
+      "no stage/exchange reuse in the prefix-join build's executed plan")
   }
 
   test("round-4 widening: one-scan aggregates keep partial aggregation") {
@@ -375,10 +385,17 @@ class PlanAuditSpec extends SparkSpec {
   test("round-9/10 ANN newcomers: rank-limit pushdown survives, no lost broadcast") {
     // the graph-ANN and recsys audits are window-top-k machines — losing
     // WindowGroupLimit means every probe's full candidate list sorts at scale
-    for (name <- Seq("q440_graph_ann", "q441_beam_sweep", "q423_item_knn",
-                     "q439_rec_coverage", "q391_ivfpq_recall"))
+    for (name <- Seq("q440_graph_ann", "q441_beam_sweep",
+                     "q391_ivfpq_recall"))
       assert(plans(name).contains("WindowGroupLimit"),
         s"$name lost the WindowGroupLimit rank-limit pushdown")
+    // q423/q439's declared plans read the session-shared rec pipeline (a
+    // checkpoint scan); the rank-limit property is pinned on the build
+    val knnPlan = ops.Recommend.itemKnnEval(Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+      .queryExecution.explainString(FormattedMode)
+    assert(knnPlan.contains("WindowGroupLimit"),
+      "q423/q439 build lost the WindowGroupLimit rank-limit pushdown")
     // the PQ comparison's codebook/alloc joins must stay broadcast
     assert(plans("q393_balanced_pq").contains("BroadcastHashJoin"),
       "q393 lost its broadcast codebook/alloc joins")
