@@ -137,6 +137,18 @@ object Diagnostics {
     // per-slot byte then costs one shift+mask in codegen, not a substr+conv)
     val drawn = events
       .select(col("event_type"), col("event_id"), col("value"))
+      // the events table is a single-row-group parquet file, so without an
+      // explicit spread the ×⌈B/16⌉×16 explode + md5 chain below — the
+      // query's entire cost — runs in ONE task (measured: wall ≈ summed
+      // task time, zero parallelism). Hash-repartition on the stable event
+      // key right after the read (guide §2.5). The partition count is
+      // pinned to the session's shuffle-partition setting EXPLICITLY:
+      // AQE's coalescer sizes partitions by the 2 MB shuffle-write
+      // estimate and cannot see the 200× explode behind it, so a bare
+      // repartition(col) collapses right back to one task.
+      .transform(d => d.repartition(
+        d.sparkSession.sessionState.conf.numShufflePartitions,
+        col("event_id")))
       // snap value to 6 dp as a long ONCE per event — the replica sum is
       // then a pure long multiply-add (w ≤ 5, so no overflow concern)
       .withColumn("v6", expr("CAST(round(value * 1000000) AS BIGINT)"))

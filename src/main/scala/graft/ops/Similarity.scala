@@ -37,6 +37,20 @@ object Similarity {
   private def diskCheckpoint(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
+  /** Hash-spread an exploded dim table across the session's full shuffle
+    * width BEFORE pinning it. The test corpora are single-row-group
+    * parquet files, so the scan — and every broadcast-joined map stage
+    * downstream — is otherwise ONE task (guide §2.5: an unsplittable
+    * input repartitions right after the read). The count is pinned
+    * EXPLICITLY (conf-driven, so it scales with the session): AQE's
+    * coalescer sizes partitions from the kB-scale shuffle-write estimate
+    * and cannot see the decimal-heavy training maps behind it, so a bare
+    * repartition(col) collapses straight back to one task.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("vec_id"))
+
   /** embedding floats → doubles once, up front. */
   private[ops] def asDoubles(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"),
@@ -566,9 +580,16 @@ object Similarity {
   private[ops] def pqState(emb: DataFrame, m: Int, kCodes: Int,
                            iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val x = asDoubles(emb).select(col("vec_id"), col("v"))
+    // the test corpora are single-row-group parquet files, so the scan —
+    // and every broadcast-joined map stage downstream of it — is ONE task
+    // unless the exploded dim table is spread first (guide §2.5: an
+    // unsplittable input repartitions right after the read); partition
+    // count follows spark.sql.shuffle.partitions, so it scales with the
+    // session, not a local constant
     val dims = diskCheckpoint(
       x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
-        .withColumn("s", pmod(col("i"), lit(m))))
+        .withColumn("s", pmod(col("i"), lit(m)))
+        .transform(spread))
     val (cent, codes) = pqTrain(dims, kCodes, iters)
     (dims, cent, codes)
   }
@@ -790,7 +811,9 @@ object Similarity {
       posexplode(col("v")).as(Seq("i", "xd")))
     val rdims = diskCheckpoint(dims.join(centDims, Seq("label", "i"))
       .select(col("vec_id"), pmod(col("i"), lit(m)).as("s"), col("i"),
-        (col("xd") - col("ccd")).as("xd")))
+        (col("xd") - col("ccd")).as("xd"))
+      // spread the unsplittable-scan explode before training (see pqState)
+      .transform(spread))
     val (cent, codes) = pqTrain(rdims, kCodes, iters)
 
     // probe → nprobe nearest cells by raw-vector cosine (q26's shortlist),
@@ -883,8 +906,10 @@ object Similarity {
     * partition-order-free.
     */
   def kcenterCoreset(emb: DataFrame, t: Int = 6): DataFrame = {
+    // spread the unsplittable-scan explode before the rounds (see pqState)
     val dims = diskCheckpoint(asDoubles(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd"))))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+      .transform(spread))
     val vv = dims.groupBy(col("vec_id"))
       .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
         .cast("double").as("vv"))
@@ -957,8 +982,10 @@ object Similarity {
     */
   def balancedPq(emb: DataFrame, m: Int = 4, kCodes: Int = 8,
                  iters: Int = 2): DataFrame = {
+    // spread the unsplittable-scan explode before training (see pqState)
     val dims0 = diskCheckpoint(asDoubles(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd"))))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+      .transform(spread))
     val idims = dims0.withColumn("s", pmod(col("i"), lit(m)))
       .select(col("vec_id"), col("s"), col("i"), col("xd"))
     val (_, icodes) = pqTrain(idims, kCodes, iters)
@@ -1452,6 +1479,9 @@ object Similarity {
         / count(lit(1))) * lit(1e12)) / lit(1e12)).as("mu"))
     val xc = xx0.join(broadcast(mu), "i")
       .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("x"))
+      // spread the unsplittable-scan explode before the power rounds
+      // (see pqState) — every round maps over xc twice
+      .transform(spread)
       .localCheckpoint()
     var v = mu.select(col("i"),
       when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("vi"))
@@ -1465,6 +1495,10 @@ object Similarity {
         .agg(sum((col("x") * col("d")).cast("decimal(28,12)"))
           .cast("double").as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
+      // per-round eager materialization is deliberate: a lazy chain
+      // re-executes each round's w-subtree inside every later round's
+      // broadcast build (measured 2.3× slower end-to-end), so the d-row
+      // checkpoint per round is the cheaper shape
       v = w.crossJoin(broadcast(m))
         .select(col("i"),
           (round(col("w") / col("m") * lit(1e12)) / lit(1e12)).as("vi"))
@@ -1903,7 +1937,9 @@ object Similarity {
     * replays deterministically.
     */
   private[ops] def lloydState(x: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    // spread the unsplittable-scan explode before the rounds (see pqState)
     val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+      .transform(spread)
       .localCheckpoint()
     val vv = dims.groupBy(col("vec_id"))
       .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))

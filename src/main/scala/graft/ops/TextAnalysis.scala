@@ -130,7 +130,16 @@ object TextAnalysis {
     */
   private[ops] def toksFor(spark: SparkSession, sfDir: String): DataFrame =
     SharedState.getOrBuild(spark, sfDir, "toks") {
-      tokStream(Tables.documents(spark, sfDir)).localCheckpoint()
+      // spread before pinning: the docs scan is one unsplittable task, and
+      // without this every consumer's map-side partial aggregate runs
+      // single-task over the whole token stream (guide §2.5); the count is
+      // pinned explicitly (conf-driven) or AQE's size-estimate coalescer
+      // collapses the kB-scale shuffle right back to one task
+      tokStream(Tables.documents(spark, sfDir))
+        .transform(d => d.repartition(
+          d.sparkSession.sessionState.conf.numShufflePartitions,
+          col("doc_id")))
+        .localCheckpoint()
     }
 
   def heavyHitters(docs: DataFrame, topN: Int = 5): DataFrame =
