@@ -62,6 +62,50 @@ object DecimalDot {
     try dotLong(a, b)
     catch { case _: ArithmeticException => dotBig(a, b) }
 
+  private val TEN16 = 10000000000000000L // 10^16 < 2^54
+
+  /** round_half_up(|p|·10¹⁶) as a non-negative long — the exact integer
+    * equivalent of `new BigDecimal(p).setScale(16, HALF_UP)` on the
+    * magnitude, ~1000× cheaper: `new BigDecimal(double)` expands the
+    * double's full binary decimal representation (hundreds of digits) per
+    * term, which profiling showed dominated every dot-product stage. Here
+    * the double is decomposed exactly as m·2⁻ᵏ (m < 2⁵³), so the target is
+    * round_half_up(m·10¹⁶ / 2ᵏ): a 128-bit product (m·10¹⁶ < 2¹⁰⁷), a
+    * shift, and a half-bit test — bit-identical by construction since the
+    * binary remainder ≥ ½ exactly when bit k−1 of the product is set.
+    * Throws ArithmeticException when the result exceeds Long (callers fall
+    * back to the exact BigInteger path, same as longValueExact did) and
+    * NumberFormatException on NaN/Inf (the BigDecimal constructor's
+    * behavior).
+    */
+  private def scaled16Abs(p: Double): Long = {
+    val bits = java.lang.Double.doubleToRawLongBits(p)
+    val be = ((bits >>> 52) & 0x7ffL).toInt
+    if (be == 0x7ff) throw new NumberFormatException("Infinite or NaN")
+    val frac = bits & 0xfffffffffffffL
+    val m = if (be == 0) frac else frac | (1L << 52)
+    if (m == 0L) return 0L
+    val e = if (be == 0) -1074 else be - 1075
+    if (e >= 0) throw new ArithmeticException("scaled16 overflow") // |p| ≥ 2^52
+    val k = -e
+    if (k >= 128) return 0L // |p|·10^16 < 2^107·2^-128 < ½
+    val lo = m * TEN16
+    val hi = Math.multiplyHigh(m, TEN16)
+    // remainder ≥ ½·2^k  ⇔  bit (k−1) of the 128-bit product is set
+    val up =
+      if (k <= 64) (lo >>> (k - 1)) & 1L
+      else (hi >>> (k - 65)) & 1L
+    val q =
+      if (k < 64) {
+        if ((hi >>> k) != 0L) throw new ArithmeticException("scaled16 overflow")
+        val v = (hi << (64 - k)) | (lo >>> k)
+        if (v < 0L) throw new ArithmeticException("scaled16 overflow")
+        v
+      } else if (k == 64) hi
+      else hi >>> (k - 64)
+    Math.addExact(q, up) // overflow at q = Long.MAX falls back like the rest
+  }
+
   /** Fast path: one long accumulator, overflow-checked. addExact is a JIT
     * intrinsic (a jo branch), so the check is free on in-range data.
     */
@@ -72,11 +116,8 @@ object DecimalDot {
     while (i < n) {
       val p = a.getDouble(i) * b.getDouble(i)
       if (p != 0.0) {
-        acc = Math.addExact(
-          acc,
-          new java.math.BigDecimal(p)
-            .setScale(16, java.math.RoundingMode.HALF_UP)
-            .unscaledValue().longValueExact())
+        val u = scaled16Abs(p)
+        acc = Math.addExact(acc, if (p < 0) -u else u)
       }
       i += 1
     }

@@ -263,16 +263,30 @@ object Graph {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .distinct().repartition(col("u")).localCheckpoint()
     val verts = e.select(col("u").as("id"))
-      .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
-    val n = verts.count()
+      .union(e.select(col("v").as("id"))).distinct()
     val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val degs = verts.join(outDeg, Seq("id"), "left")
       .repartition(col("id")).localCheckpoint()
-    var ranks = verts.withColumn("rank", lit(1.0 / n))
-      .repartition(col("id")).localCheckpoint()
-    for (_ <- 1 to iters)
-      ranks = pageRankStep(ranks, e, degs, n, damping).drop("prev")
-    ranks
+    val n = degs.count()
+    // the rank state CARRIES deg (guide §2.4: one fewer per-round join and
+    // two fewer setup materializations — verts and the initial rank table
+    // are views of the one degs checkpoint); arithmetic is unchanged
+    var ranks = degs.select(col("id"), col("deg"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
+      val inflow = ranks.where(col("deg").isNotNull)
+        .join(e.withColumnRenamed("u", "id"), "id")
+        .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
+        .groupBy("id").agg(sum("w").as("inflow"))
+      ranks = degs.join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("deg"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("dang") / lit(n)
+            + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("rank"))
   }
 
   /** Fixed-round PERSONALIZED PageRank (random walk with restart): the
@@ -306,29 +320,28 @@ object Graph {
       .join(sd.withColumn("seed", lit(true)), Seq("id"), "left")
       .withColumn("seed", coalesce(col("seed"), lit(false)))
       .repartition(col("id")).localCheckpoint()
-    var ranks = degs
-      .select(col("id"),
-        when(col("seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
-      .repartition(col("id")).localCheckpoint()
+    // rank state carries (deg, seed) — same fusion as [[pageRankFixed]]:
+    // no per-round state⋈degs join, no separate initial-rank checkpoint
+    var ranks = degs.select(col("id"), col("deg"), col("seed"),
+      when(col("seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(degs.select("id", "deg", "seed"), "id")
-      val dangling = withDeg.where(col("deg").isNull)
+      val dangling = ranks.where(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
-      val inflow = withDeg.where(col("deg").isNotNull)
+      val inflow = ranks.where(col("deg").isNotNull)
         .join(e.withColumnRenamed("u", "id"), "id")
         .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
         .groupBy("id").agg(sum("w").as("inflow"))
-      ranks = degs.select(col("id"), col("seed"))
+      ranks = degs.select(col("id"), col("deg"), col("seed"))
         .join(inflow, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("deg"), col("seed"),
           (when(col("seed"),
             lit((1.0 - damping) / nS) + lit(damping) * col("dang") / lit(nS))
             .otherwise(lit(0.0))
             + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** q166: suppliers closest to the top customers — personalized PageRank

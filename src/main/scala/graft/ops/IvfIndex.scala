@@ -41,24 +41,22 @@ object IvfIndex {
     * broadcast; the data side shuffles once on vec_id for the argmin.
     */
   def assignTo(cent: DataFrame, emb: DataFrame): DataFrame = {
+    // array-native twin of the trainer's assignment (Similarity.lloydState):
+    // map-only decimal_dot fold over the broadcast codebook, argmin via
+    // struct sort with the (d², c) tie-break — the same expression tree, so
+    // build-time and append-time assignments stay bit-identical
     val x = Similarity.asDoubles(emb).select(col("vec_id"), col("v"))
-    val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
-    val vv = dims.groupBy(col("vec_id"))
-      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
-        .cast("double").as("vv"))
-    val cc = cent.groupBy(col("c"))
-      .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
-        .cast("double").as("cc"))
-    val dot = dims.join(broadcast(cent), "i")
-      .groupBy(col("vec_id"), col("c"))
-      .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
-        .cast("double").as("dot"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))
-    dot.join(vv, "vec_id").join(broadcast(cc), "c")
-      .withColumn("d2", col("vv") - lit(2.0) * col("dot") + col("cc"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("c"), col("d2"))
+      .withColumn("vv", graft.functions.DecimalDot(col("v"), col("v")))
+    val cbook = cent.groupBy(col("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cd))), p -> p.cd)")
+        .as("cds"))
+      .withColumn("cc", graft.functions.DecimalDot(col("cds"), col("cds")))
+      .groupBy()
+      .agg(expr("array_sort(collect_list(struct(c, cds, cc)))").as("cws"))
+    x.crossJoin(broadcast(cbook))
+      .withColumn("best", expr(
+        "array_sort(transform(cws, w -> struct((vv - 2.0D * decimal_dot(v, w.cds)) + w.cc AS d2, w.c AS c)))[0]"))
+      .select(col("vec_id"), col("best.c").as("c"), col("best.d2").as("d2"))
   }
 
   /** Train the codebook on the initial corpus and persist codebook + lists. */

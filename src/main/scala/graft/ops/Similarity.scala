@@ -619,27 +619,43 @@ object Similarity {
     */
   private[ops] def pqTrain(dims: DataFrame, kCodes: Int,
                            iters: Int): (DataFrame, DataFrame) = {
-    val vvs = diskCheckpoint(
+    // Array-native Lloyd (guide §1.2 step 1, §2.4): ONE exchange rebuilds
+    // the per-(vector, subspace) sub-vectors as i-aligned arrays; each
+    // round's ASSIGNMENT is then a map-only fold over the broadcast
+    // codebook (decimal_dot per codeword, argmin via struct sort) instead
+    // of the former join→groupBy→window chain, and the only per-round
+    // shuffle left is the update's (s, c, i) decimal means. Arithmetic is
+    // term-identical to the exploded form: per-term decimal products
+    // summed exactly (DecimalDot ≡ sum(CAST(x*y AS DECIMAL(28,16)))
+    // for in-range values, with an exact big-integer fallback), the same
+    // decimal(28,12) update means, the same ((vv − 2·dot) + cc) double
+    // evaluation order, ties on codeword id — oracle-gated bit parity.
+    val sub = diskCheckpoint(
       dims.groupBy(col("vec_id"), col("s"))
-        .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
-          .cast("double").as("vv")))
+        .agg(expr("array_sort(collect_list(struct(i, xd)))").as("ixd"))
+        .select(col("vec_id"), col("s"),
+          expr("transform(ixd, p -> p.i)").as("idxs"),
+          expr("transform(ixd, p -> p.xd)").as("xs"))
+        .withColumn("vv", DecimalDot(col("xs"), col("xs"))))
 
-    def assign(cent: DataFrame): DataFrame = {
-      val cc = cent.groupBy(col("s"), col("c"))
-        .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
-          .cast("double").as("cc"))
-      val dot = dims.join(cent, Seq("s", "i"))
-        .groupBy(col("vec_id"), col("s"), col("c"))
-        .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
-          .cast("double").as("dot"))
-      val w = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d2"), col("c"))
-      dot.join(vvs, Seq("vec_id", "s")).join(cc, Seq("s", "c"))
-        .withColumn("d2", col("vv") - lit(2.0) * col("dot") + col("cc"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("s"), col("c"), col("d2"))
-    }
+    // (s, cws: [(c, cds, cc)…]) — the whole codebook as one broadcast row
+    // per subspace, codewords sorted by id so the argmin tie-break is the
+    // struct sort's
+    def cbookOf(cent: DataFrame): DataFrame =
+      cent.groupBy(col("s"), col("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, cd))), p -> p.cd)")
+          .as("cds"))
+        .withColumn("cc", DecimalDot(col("cds"), col("cds")))
+        .groupBy(col("s"))
+        .agg(expr("array_sort(collect_list(struct(c, cds, cc)))").as("cws"))
+
+    // map-only: per (vector, subspace) the best (d2, c) over the broadcast
+    // codewords — d2 ordering first, codeword id tie-break, exactly the
+    // former ROW_NUMBER() OVER (ORDER BY d2, c) discipline
+    def assign(cbook: DataFrame): DataFrame =
+      sub.join(broadcast(cbook), "s")
+        .withColumn("best", expr(
+          "array_sort(transform(cws, w -> struct((vv - 2.0D * decimal_dot(xs, w.cds)) + w.cc AS d2, w.c AS c)))[0]"))
 
     val seedIds = dims.select(col("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(kCodes)
@@ -647,14 +663,18 @@ object Similarity {
       .select(col("s"), col("vec_id").as("c"), col("i"), col("xd").as("cd"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val asg = assign(cent)
-      cent = asg.join(dims, Seq("vec_id", "s"))
+      cent = assign(cbookOf(cent))
+        .select(col("s"), col("best.c").as("c"),
+          posexplode(arrays_zip(col("idxs"), col("xs"))).as(Seq("p", "z")))
+        .select(col("s"), col("c"), col("z.idxs").as("i"), col("z.xs").as("xd"))
         .groupBy(col("s"), col("c"), col("i"))
         .agg((round((sum(col("xd").cast("decimal(28,12)")).cast("double")
           / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
         .localCheckpoint()
     }
-    (cent, diskCheckpoint(assign(cent)))
+    (cent, diskCheckpoint(assign(cbookOf(cent))
+      .select(col("vec_id"), col("s"), col("best.c").as("c"),
+        col("best.d2").as("d2"))))
   }
 
   def pqRecall(emb: DataFrame, m: Int = 4, kCodes: Int = 8, iters: Int = 2,
@@ -906,50 +926,49 @@ object Similarity {
     * partition-order-free.
     */
   def kcenterCoreset(emb: DataFrame, t: Int = 6): DataFrame = {
-    // spread the unsplittable-scan explode before the rounds (see pqState)
-    val dims = diskCheckpoint(asDoubles(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
-      .transform(spread))
-    val vv = dims.groupBy(col("vec_id"))
-      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
-        .cast("double").as("vv"))
-      .localCheckpoint()
+    // Array-native Gonzalez traversal (the [[pqTrain]] restructure applied
+    // to farthest-point selection): the min-dist² state row CARRIES its
+    // vector, so each round is one map over the state against the single
+    // broadcast newest center (decimal_dot) — no explode, no join-groupBy
+    // chain. Same decimal-dot d², same ((vv − 2·dot) + cvv) evaluation
+    // order, same vec_id tie-breaks — bit-identical rounds (oracle-gated).
+    val base = asDoubles(emb)
+      .select(col("vec_id"), col("v"))
+      .transform(spread)
+      .withColumn("vv", DecimalDot(col("v"), col("v")))
 
-    // d²(·, center) for every vector — `center` is a 1-row (cid) frame
-    def d2To(center: DataFrame): DataFrame = {
-      val cd = dims.join(broadcast(center), dims("vec_id") === center("cid"))
-        .select(col("i"), col("xd").as("cd"))
-      val cvv = vv.join(broadcast(center), vv("vec_id") === center("cid"))
-        .select(col("vv").as("cvv"))
-      dims.join(broadcast(cd), "i")
-        .groupBy(col("vec_id"))
-        .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
-          .cast("double").as("dot"))
-        .join(vv, "vec_id")
-        .crossJoin(broadcast(cvv))
-        .select(col("vec_id"),
-          (col("vv") - lit(2.0) * col("dot") + col("cvv")).as("nd2"))
-    }
+    // map-only: d² of every state row to the 1-row broadcast center
+    def withD2(md: DataFrame, center: DataFrame): DataFrame =
+      md.crossJoin(broadcast(center.select(col("cv"), col("cvv"))))
+        .withColumn("nd2",
+          col("vv") - lit(2.0) * DecimalDot(col("v"), col("cv")) + col("cvv"))
 
     def covOf(md: DataFrame): DataFrame = md.agg(
       max(col("d2")).as("cmax"),
       (sum((round(col("d2") * lit(1e10)) / lit(1e10)).cast("decimal(38,10)"))
         .cast("double") / count(lit(1))).as("cmean"))
 
-    val c0 = dims.agg(min(col("vec_id")).as("cid"))
-    var md = d2To(c0).withColumnRenamed("nd2", "d2").localCheckpoint()
-    var out = c0.withColumn("k", lit(0))
+    val c0 = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cvv"))
+      .localCheckpoint()
+    var md = withD2(base, c0)
+      .select(col("vec_id"), col("v"), col("vv"), col("nd2").as("d2"))
+      .localCheckpoint()
+    var out = c0.select(col("cid")).withColumn("k", lit(0))
       .withColumn("radius", lit(null).cast("double"))
       .crossJoin(covOf(md))
     for (r <- 1 until t) {
       val sel = md.orderBy(col("d2").desc, col("vec_id")).limit(1)
-        .select(col("vec_id").as("cid"), col("d2").as("radius"))
+        .select(col("vec_id").as("cid"), col("d2").as("radius"),
+          col("v").as("cv"), col("vv").as("cvv"))
         .localCheckpoint()
-      md = md.join(d2To(sel.select(col("cid"))), "vec_id")
-        .select(col("vec_id"), least(col("d2"), col("nd2")).as("d2"))
+      md = withD2(md, sel)
+        .select(col("vec_id"), col("v"), col("vv"),
+          least(col("d2"), col("nd2")).as("d2"))
         .localCheckpoint()
       out = out.unionByName(
-        sel.withColumn("k", lit(r)).crossJoin(covOf(md)))
+        sel.select(col("cid"), col("radius")).withColumn("k", lit(r))
+          .crossJoin(covOf(md)))
     }
     out.select(col("k"), col("cid").as("center_id"),
       (round(col("radius") * lit(1e6)) / lit(1e6) + lit(0.0)).as("radius"),
@@ -1468,54 +1487,73 @@ object Similarity {
     * a 64-row DataFrame, localCheckpoint'd per round.
     */
   /** The power-iteration state behind [[pcaPower]] / [[abtt]]: centered
-    * dims and the max-normalized top-PC loading vector.
+    * vectors (ARRAY form — one row per vector) and the max-normalized
+    * top-PC loading vector as a single-row array.
+    *
+    * Array-native restructure (guide §1.2 step 1): per round, the
+    * per-vector dot against the broadcast loading is a map-only
+    * decimal_dot (formerly a join + groupBy over exploded dims), so the
+    * only per-round shuffle is the per-dimension w aggregation, and the
+    * normalization folds into the same single-row collect. Arithmetic is
+    * term-identical (same decimal casts, same round/divide order), so the
+    * loadings are bit-identical to the exploded form (oracle-gated).
     */
   private[ops] def pcaState(emb: DataFrame,
                             iters: Int): (DataFrame, DataFrame) = {
-    val xx0 = asDoubles(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val x0 = asDoubles(emb).select(col("vec_id"), col("v"))
+    val xx0 = x0.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
     val mu = xx0.groupBy(col("i")).agg(
       (round((sum(col("x").cast("decimal(28,12)")).cast("double")
         / count(lit(1))) * lit(1e12)) / lit(1e12)).as("mu"))
-    val xc = xx0.join(broadcast(mu), "i")
-      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("x"))
-      // spread the unsplittable-scan explode before the power rounds
-      // (see pqState) — every round maps over xc twice
-      .transform(spread)
+    val muArr = mu
+      .agg(expr("transform(array_sort(collect_list(struct(i, mu))), p -> p.mu)")
+        .as("marr"))
       .localCheckpoint()
-    var v = mu.select(col("i"),
-      when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("vi"))
+    val xc = x0.crossJoin(broadcast(muArr))
+      // spread the unsplittable scan before the power rounds (see pqState)
+      .transform(spread)
+      .select(col("vec_id"),
+        expr("zip_with(v, marr, (x, m) -> x - m)").as("xv"))
+      .localCheckpoint()
+    var v = muArr.select(
+      expr("transform(marr, (m, ix) -> IF(ix = 0, 1.0D, 0.0D))").as("varr"))
     for (_ <- 1 to iters) {
-      val dots = xc.join(broadcast(v), "i")
-        .groupBy(col("vec_id"))
-        .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
-          .cast("double").as("d"))
-      val w = xc.join(dots, "vec_id")
+      // per-round eager materialization is deliberate: lazy chaining was
+      // re-measured on THIS single-use array shape too (nested 1-row
+      // broadcast plans, 12 levels) and was ~25% slower — the deep plan's
+      // analysis/broadcast scheduling costs more than the 1-row
+      // checkpoint per round
+      v = xc.crossJoin(broadcast(v))
+        .withColumn("d", DecimalDot(col("xv"), col("varr")))
+        .select(col("d"), posexplode(col("xv")).as(Seq("i", "x")))
         .groupBy(col("i"))
         .agg(sum((col("x") * col("d")).cast("decimal(28,12)"))
           .cast("double").as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      // per-round eager materialization is deliberate: a lazy chain
-      // re-executes each round's w-subtree inside every later round's
-      // broadcast build (measured 2.3× slower end-to-end), so the d-row
-      // checkpoint per round is the cheaper shape
-      v = w.crossJoin(broadcast(m))
-        .select(col("i"),
-          (round(col("w") / col("m") * lit(1e12)) / lit(1e12)).as("vi"))
+        .agg(expr("array_sort(collect_list(struct(i, w)))").as("lst"))
+        .select(col("lst"),
+          expr("array_max(transform(lst, p -> abs(p.w)))").as("m"))
+        .select(expr(
+          "transform(lst, p -> round(p.w / m * 1e12) / 1e12)").as("varr"))
         .localCheckpoint()
     }
     (xc, v)
   }
 
+  /** (i, vi) row view of a 1-row loading array — the boundary shape the
+    * declared outputs and the unrolled-CTE oracles consume.
+    */
+  private def loadingRows(v: DataFrame): DataFrame =
+    v.select(posexplode(col("varr")).as(Seq("i", "vi")))
+
   def pcaPower(emb: DataFrame, iters: Int = 6): DataFrame =
-    pcaState(emb, iters)._2
+    loadingRows(pcaState(emb, iters)._2)
       .select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
 
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
     // same v1 the session's shared two-component state trains (its PC1
     // rounds ARE pcaState's) — one training serves q200/q397/q430/q433
-    pcaTwoStateShared(spark, sfDir, 6)
-      .v1.select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
+    loadingRows(pcaTwoStateShared(spark, sfDir, 6).v1)
+      .select((col("i") + 1).cast("int").as("dim"), col("vi").as("loading"))
 
   /** q397: all-but-the-top embedding post-processing audit (Mu &
     * Viswanath 2018) — remove the top principal component (the classic
@@ -1536,15 +1574,12 @@ object Similarity {
   def abtt(emb: DataFrame, iters: Int = 6, nProbes: Int = 10,
            k: Int = 5): DataFrame = {
     val (xc, v) = pcaState(emb, iters)
-    val uu = v.agg(sum((col("vi") * col("vi")).cast("decimal(28,16)"))
-      .cast("double").as("uu"))
-    val av = xc.join(broadcast(v), "i").groupBy(col("vec_id"))
-      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
-        .cast("double").as("a"))
-    val xp = xc.join(av, "vec_id").crossJoin(broadcast(uu))
-      .join(broadcast(v), "i")
-      .select(col("vec_id"), col("i"),
-        (col("x") - col("a") / col("uu") * col("vi")).as("x"))
+    // uu = Σ vi² (exact decimal) — rides on the 1-row loading
+    val vuu = v.withColumn("uu", DecimalDot(col("varr"), col("varr")))
+    val xp = xc.crossJoin(broadcast(vuu))
+      .withColumn("a", DecimalDot(col("xv"), col("varr")))
+      .select(col("vec_id"),
+        expr("zip_with(xv, varr, (x, vi) -> x - a / uu * vi)").as("xv"))
       .localCheckpoint()
     abttFrom(xc, xp, nProbes, k)
   }
@@ -1558,7 +1593,8 @@ object Similarity {
   private def abttFrom(xc: DataFrame, xp: DataFrame, nProbes: Int,
                        k: Int): DataFrame = {
     def prOf(d: DataFrame, sfx: String): DataFrame =
-      d.groupBy(col("i"))
+      d.select(posexplode(col("xv")).as(Seq("i", "x")))
+        .groupBy(col("i"))
         .agg(sum((round(col("x") * col("x") * lit(1e10)) / lit(1e10))
           .cast("decimal(38,10)")).cast("double").as("e"))
         .agg(sum((round(col("e") * lit(1e6)) / lit(1e6))
@@ -1573,9 +1609,7 @@ object Similarity {
             .as(s"top_share_$sfx"))
 
     def topkOf(d: DataFrame): DataFrame = {
-      val arr = d.groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, x))), s -> s.x)")
-          .as("v"))
+      val arr = d.select(col("vec_id"), col("xv").as("v"))
         .withColumn("nrm", sqrt(DecimalDot(col("v"), col("v"))))
       val probes = arr.where(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -1937,47 +1971,48 @@ object Similarity {
     * replays deterministically.
     */
   private[ops] def lloydState(x: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    // spread the unsplittable-scan explode before the rounds (see pqState)
-    val dims = x.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xd")))
+    // Array-native Lloyd (same restructure as [[pqTrain]], m = 1 subspace
+    // over the whole vector): vectors stay arrays end-to-end, assignment
+    // is a map-only decimal_dot fold over the broadcast codebook, and the
+    // only per-round shuffle is the update's (c, i) decimal means.
+    // Term-identical arithmetic — DecimalDot per-term products, the same
+    // decimal(28,12) update means, ((vv − 2·dot) + cc) evaluation order,
+    // cluster-id tie-breaks — so centroids/assignments are bit-identical
+    // to the exploded form (oracle-gated).
+    val sub = x.select(col("vec_id"), col("v"))
       .transform(spread)
-      .localCheckpoint()
-    val vv = dims.groupBy(col("vec_id"))
-      .agg(sum((col("xd") * col("xd")).cast("decimal(28,16)"))
-        .cast("double").as("vv"))
+      .withColumn("vv", DecimalDot(col("v"), col("v")))
       .localCheckpoint()
 
-    def assign(cent: DataFrame): DataFrame = {
-      val cc = cent.groupBy(col("c"))
-        .agg(sum((col("cd") * col("cd")).cast("decimal(28,16)"))
-          .cast("double").as("cc"))
-      val dot = dims.join(cent, "i")
-        .groupBy(col("vec_id"), col("c"))
-        .agg(sum((col("xd") * col("cd")).cast("decimal(28,16)"))
-          .cast("double").as("dot"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2"), col("c"))
-      dot.join(vv, "vec_id").join(cc, "c")
-        .withColumn("d2", col("vv") - lit(2.0) * col("dot") + col("cc"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("c"), col("d2"))
-    }
+    def cbookOf(cent: DataFrame): DataFrame =
+      cent.groupBy(col("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, cd))), p -> p.cd)")
+          .as("cds"))
+        .withColumn("cc", DecimalDot(col("cds"), col("cds")))
+        .groupBy()
+        .agg(expr("array_sort(collect_list(struct(c, cds, cc)))").as("cws"))
+
+    def assign(cbook: DataFrame): DataFrame =
+      sub.crossJoin(broadcast(cbook))
+        .withColumn("best", expr(
+          "array_sort(transform(cws, w -> struct((vv - 2.0D * decimal_dot(v, w.cds)) + w.cc AS d2, w.c AS c)))[0]"))
 
     // first k vector ids via TakeOrderedAndProject (distributed top-k),
     // broadcast back — works for any id layout, not just 0-based dense
     val seedIds = x.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
-    var cent = dims.join(broadcast(seedIds), "vec_id")
-      .select(col("vec_id").as("c"), col("i"), col("xd").as("cd"))
+    var cent = x.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("c"), posexplode(col("v")).as(Seq("i", "cd")))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val asg = assign(cent)
-      cent = asg.join(dims, "vec_id")
+      cent = assign(cbookOf(cent))
+        .select(col("best.c").as("c"), posexplode(col("v")).as(Seq("i", "xd")))
         .groupBy(col("c"), col("i"))
         .agg((round((sum(col("xd").cast("decimal(28,12)")).cast("double")
           / count(lit(1))) * lit(1e12)) / lit(1e12)).as("cd"))
         .localCheckpoint()
     }
-    (cent, assign(cent))
+    (cent, assign(cbookOf(cent))
+      .select(col("vec_id"), col("best.c").as("c"), col("best.d2").as("d2")))
   }
 
   def kmeansFixed(spark: SparkSession, sfDir: String): DataFrame =
@@ -2290,35 +2325,35 @@ object Similarity {
   private def pcaTwoState(emb: DataFrame, iters: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (xc, v1) = pcaState(emb, iters)
-    val uu1 = v1.agg(sum((col("vi") * col("vi")).cast("decimal(28,16)"))
-      .cast("double").as("uu"))
-    val a1 = xc.join(broadcast(v1), "i").groupBy(col("vec_id"))
-      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
-        .cast("double").as("a"))
-      .localCheckpoint() // n-row; both consumers and xp read it
-    val xp = xc.join(a1, "vec_id").crossJoin(broadcast(uu1))
-      .join(broadcast(v1), "i")
-      .select(col("vec_id"), col("i"),
-        (col("x") - col("a") / col("uu") * col("vi")).as("x"))
+    // a (per-vector PC1 projection) and the deflated vector ride on ONE
+    // checkpointed table — a1 and xp are projections of it, so the n-row
+    // state materializes once instead of twice
+    val vuu1 = v1.withColumn("uu", DecimalDot(col("varr"), col("varr")))
+    val axp = xc.crossJoin(broadcast(vuu1))
+      .withColumn("a", DecimalDot(col("xv"), col("varr")))
+      .select(col("vec_id"), col("a"),
+        expr("zip_with(xv, varr, (x, vi) -> x - a / uu * vi)").as("xv"))
       .localCheckpoint()
-    var v2 = v1.select(col("i"),
-      when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("vi"))
+    val a1 = axp.select(col("vec_id"), col("a"))
+    val xp = axp.select(col("vec_id"), col("xv"))
+    var v2 = v1.select(
+      expr("transform(varr, (v, ix) -> IF(ix = 0, 1.0D, 0.0D))").as("varr"))
     for (_ <- 1 to iters) {
-      val dots = xp.join(broadcast(v2), "i").groupBy(col("vec_id"))
-        .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
-          .cast("double").as("d"))
-      val w = xp.join(dots, "vec_id").groupBy(col("i"))
-        .agg(sum((col("x") * col("d")).cast("decimal(28,12)"))
-          .cast("double").as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
       // m = 0 iff the residual is exactly orthogonal to the start vector
       // (axis-aligned degenerate data) — freeze at the zero vector instead
       // of dividing by zero; loading2/ev2 then report a clean all-zero PC2
-      v2 = w.crossJoin(broadcast(m))
-        .select(col("i"),
-          when(col("m") > 0,
-            round(col("w") / col("m") * lit(1e12)) / lit(1e12))
-            .otherwise(lit(0.0)).as("vi"))
+      v2 = xp.crossJoin(broadcast(v2))
+        .withColumn("d", DecimalDot(col("xv"), col("varr")))
+        .select(col("d"), posexplode(col("xv")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(sum((col("x") * col("d")).cast("decimal(28,12)"))
+          .cast("double").as("w"))
+        .agg(expr("array_sort(collect_list(struct(i, w)))").as("lst"))
+        .select(col("lst"),
+          expr("array_max(transform(lst, p -> abs(p.w)))").as("m"))
+        .select(expr(
+          "transform(lst, p -> IF(m > 0D, round(p.w / m * 1e12) / 1e12, 0.0D))")
+          .as("varr"))
         .localCheckpoint()
     }
     (xc, v1, a1, xp, v2)
@@ -2332,20 +2367,19 @@ object Similarity {
   private def pcaDeflationFrom(st: PcaTwoState): DataFrame = {
     val PcaTwoState(xc, v1, _, xp, v2) = st
     val snapE = (d: DataFrame, name: String) =>
-      d.agg(sum((round(col("x") * col("x") * lit(1e10)) / lit(1e10))
-        .cast("decimal(38,10)")).cast("double").as(name))
+      d.select(posexplode(col("xv")).as(Seq("i", "x")))
+        .agg(sum((round(col("x") * col("x") * lit(1e10)) / lit(1e10))
+          .cast("decimal(38,10)")).cast("double").as(name))
     val et = snapE(xc, "t")
     val er = snapE(xp, "r")
-    val uu2 = v2.agg(sum((col("vi") * col("vi")).cast("decimal(28,16)"))
-      .cast("double").as("uu2"))
-    val a2 = xp.join(broadcast(v2), "i").groupBy(col("vec_id"))
-      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
-        .cast("double").as("a"))
+    val uu2 = v2.select(DecimalDot(col("varr"), col("varr")).as("uu2"))
+    val a2 = xp.crossJoin(broadcast(v2))
+      .select(col("vec_id"), DecimalDot(col("xv"), col("varr")).as("a"))
     val e2 = a2.crossJoin(broadcast(uu2))
       .agg(sum(when(col("uu2") > 0, col("a") * col("a") / col("uu2"))
         .otherwise(lit(0.0)).cast("decimal(38,10)"))
         .cast("double").as("e2"))
-    v1.toDF("i", "l1").join(v2.toDF("i", "l2"), "i")
+    loadingRows(v1).toDF("i", "l1").join(loadingRows(v2).toDF("i", "l2"), "i")
       .crossJoin(broadcast(et)).crossJoin(broadcast(er))
       .crossJoin(broadcast(e2))
       .select((col("i") + 1).cast("int").as("dim"),
@@ -2433,9 +2467,8 @@ object Similarity {
   private def pcaOutliersFrom(st: PcaTwoState, topK: Int,
                               emb: DataFrame): DataFrame = {
     val PcaTwoState(_, _, a1, xp, v2) = st
-    val a2 = xp.join(broadcast(v2), "i").groupBy(col("vec_id"))
-      .agg(sum((col("x") * col("vi")).cast("decimal(28,16)"))
-        .cast("double").as("a2"))
+    val a2 = xp.crossJoin(broadcast(v2))
+      .select(col("vec_id"), DecimalDot(col("xv"), col("varr")).as("a2"))
     val s1 = a1.agg((sum((col("a") * col("a")).cast("decimal(38,10)"))
       .cast("double") / count(lit(1))).as("s1sq"))
     val s2 = a2.agg((sum((col("a2") * col("a2")).cast("decimal(38,10)"))

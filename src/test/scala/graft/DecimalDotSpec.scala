@@ -32,4 +32,43 @@ class DecimalDotSpec extends SparkSpec {
       .select(DecimalDot($"a", $"b").as("d")).as[Double].head()
     assert(math.abs(d2 - 1620.0) < 1e-9)
   }
+
+  test("integer fast path is bit-identical to the BigDecimal reference") {
+    // reference: the pre-optimization per-term semantics — the double's
+    // EXACT binary value, HALF_UP at scale 16, exact accumulation
+    def refDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = java.math.BigInteger.ZERO
+      a.indices.foreach { i =>
+        val p = a(i) * b(i)
+        if (p != 0.0)
+          acc = acc.add(new java.math.BigDecimal(p)
+            .setScale(16, java.math.RoundingMode.HALF_UP).unscaledValue())
+      }
+      new java.math.BigDecimal(acc, 16).doubleValue()
+    }
+    val rnd = new scala.util.Random(421)
+    val cases = Seq.tabulate(200) { c =>
+      val n = 1 + rnd.nextInt(64)
+      val gen: () => Double = c % 5 match {
+        case 0 => () => rnd.nextDouble() * 2 - 1                 // unit scale
+        case 1 => () => (rnd.nextDouble() * 2 - 1) * 1e-12       // tiny
+        case 2 => () => (rnd.nextDouble() * 2 - 1) * 1e6         // large → fallback
+        case 3 => () => java.lang.Double.longBitsToDouble(rnd.nextLong() & 0x000fffffffffffffL) // denormals
+        case 4 => () => // exact-half ties at scale 16
+          val k = rnd.nextInt(20) - 10
+          (rnd.nextInt(1000) + 0.5) * 1e-16 * math.pow(2, k)
+      }
+      (Array.fill(n)(gen()), Array.fill(n)(gen()))
+    } ++ Seq(
+      (Array(0.0, -0.0, 1e-300), Array(5.0, 5.0, 1e-300)),       // underflow-to-0 terms
+      (Array(0.1, 0.2, 0.3), Array(0.4, 0.5, 0.6)))
+    cases.foreach { case (a, b) =>
+      val native = Seq((a, b)).toDF("a", "b")
+        .select(DecimalDot($"a", $"b").as("d")).as[Double].head()
+      val ref = refDot(a, b)
+      assert(java.lang.Double.doubleToRawLongBits(native)
+        === java.lang.Double.doubleToRawLongBits(ref),
+        s"mismatch: native=$native ref=$ref a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
 }
