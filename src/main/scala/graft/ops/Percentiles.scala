@@ -39,9 +39,16 @@ object Percentiles {
     // NULLs are excluded up front: Catalyst `percentile` and DuckDB
     // `quantile_cont` both ignore NULL values, and counting them into n
     // would shift every rank.
+    // The counts table is materialized ONCE (DISK_ONLY — for continuous
+    // values it is near corpus-sized, and heap-pinned blocks starve
+    // broadcast builds; the Drift/Similarity checkpoint policy): the
+    // engine reads it from three branches (stats, bucketing, the located
+    // slice), which otherwise re-run the whole upstream scan+aggregate
+    // per branch.
     exactQuantilesFromCounts(
       df.where(col(valueCol).isNotNull)
-        .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("cnt")),
+        .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY),
       groupCol, valueCol, "cnt", qs, nBuckets)
 
   /** [[exactQuantiles]] when the caller already holds the distinct
@@ -60,7 +67,10 @@ object Percentiles {
     val v = col(valueCol)
     val cnts = cnts0.where(v.isNotNull && col(cntCol) > 0)
       .select(g, v, col(cntCol).cast("bigint").as("cnt"))
-    // per-group totals + value envelope (one row per group)
+    // per-group totals + value envelope (one row per group); lazy — with
+    // the counts table checkpointed upstream, re-deriving stats per branch
+    // is one cheap aggregate over pinned blocks (an eager checkpoint here
+    // was measured as pure overhead for the counts-fed callers)
     val stats = cnts.groupBy(g).agg(
       sum(col("cnt")).as("n"), min(v).as("mn"), max(v).as("mx"))
 

@@ -46,12 +46,16 @@ object Recommend {
     val test = ranked.where(col("ornk") === 1).join(li, "okey")
       .select(col("cust"), col("part"))
     val histOrders = ranked.where(col("ornk") >= 2)
-    val hist = histOrders.join(li, "okey")
-      .select(col("cust"), col("part")).distinct()
+    // one materialization of the history join: hist, users and baskets are
+    // all projections of it (guide §2.4 — previously two separate
+    // shuffled joins over the same rows)
+    val histLi = histOrders.join(li, "okey")
+      .select(col("cust"), col("okey"), col("part"))
+      .localCheckpoint()
+    val hist = histLi.select(col("cust"), col("part")).distinct()
     val users = hist.select(col("cust")).distinct()
 
-    val baskets = histOrders.join(li, "okey")
-      .select(col("okey"), col("part")).distinct()
+    val baskets = histLi.select(col("okey"), col("part")).distinct()
     val ci = baskets.groupBy(col("part")).agg(count(lit(1)).as("c"))
     val pairs = baskets.as("x")
       .join(baskets.as("y"), col("x.okey") === col("y.okey")
@@ -66,12 +70,17 @@ object Recommend {
       .withColumn("cos", col("cij").cast("double")
         / sqrt((col("ci") * col("cj")).cast("double")))
     val wN = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    // the decimal vote weight is cast ONCE per neighbour edge (item×nNbr
+    // rows) instead of once per (user, history item, neighbour) candidate
+    // row — the cast value is identical per edge, so the decimal sum is
+    // unchanged (guide §1.2 step 2: per-row work off the hot path)
     val nbrs = sim.withColumn("nr", row_number().over(wN))
-      .where(col("nr") <= nNbr).select(col("i"), col("j"), col("cos"))
+      .where(col("nr") <= nNbr)
+      .select(col("i"), col("j"), col("cos"),
+        col("cos").cast("decimal(18,10)").as("t"))
 
     val cand = hist.toDF("cust", "i").join(nbrs, "i")
       .join(hist.toDF("cust", "j"), Seq("cust", "j"), "left_anti")
-      .withColumn("t", col("cos").cast("decimal(18,10)"))
       .groupBy(col("cust"), col("j")).agg(sum(col("t")).as("score"))
     val wS = Window.partitionBy(col("cust"))
       .orderBy(col("score").desc, col("j"))

@@ -34,7 +34,10 @@ object Regression {
     */
   def logisticNewton(events: DataFrame, iters: Int = 4): DataFrame = {
     val xy = logisticXy(events)
-    val beta = fitLogistic(xy, iters)
+    logisticNewtonFrom(xy, fitLogistic(xy, iters))
+  }
+
+  private def logisticNewtonFrom(xy: DataFrame, beta: DataFrame): DataFrame =
     xy.crossJoin(broadcast(beta))
       .withColumn("pred",
         when(col("b0") + col("b1") * col("x") > 0, 1.0).otherwise(0.0))
@@ -48,13 +51,28 @@ object Regression {
         (r6(col("b1")) + lit(0.0)).as("beta1"),
         r6(col("n_correct").cast("double") / col("n").cast("double"))
           .as("accuracy"))
-  }
 
   private def logisticXy(events: DataFrame): DataFrame =
     events.select(
       (col("value") / lit(100.0)).as("x"),
       when(col("event_type") === "error", lit(1.0)).otherwise(lit(0.0))
         .as("y"))
+
+  /** One Newton fit per (session, sfDir, iters): q227 (accuracy) and q270
+    * (calibration) walk the identical betas over the identical (x, y)
+    * table — fit once per pass, and pin the projected xy spread across
+    * the session's shuffle width so each round's decimal-heavy scan isn't
+    * one unsplittable-parquet task (guide §2.4, §2.5). The decimal sums
+    * are exact and order-free, so the spread changes no state.
+    */
+  private def fitLogisticFor(spark: SparkSession, sfDir: String,
+                             iters: Int): (DataFrame, DataFrame) =
+    graft.ops.SharedState.getOrBuild(spark, sfDir, s"logitFit:$iters") {
+      val xy = logisticXy(graft.Tables.events(spark, sfDir))
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("x"))
+        .localCheckpoint()
+      (xy, fitLogistic(xy, iters))
+    }
 
   /** The distributed Newton loop shared by q227 and q270 — returns the
     * one-row (b0, b1) table after `iters` steps, every state snapped to
@@ -94,8 +112,10 @@ object Regression {
     beta
   }
 
-  def logisticNewton(spark: SparkSession, sfDir: String): DataFrame =
-    logisticNewton(Tables.events(spark, sfDir))
+  def logisticNewton(spark: SparkSession, sfDir: String): DataFrame = {
+    val (xy, beta) = fitLogisticFor(spark, sfDir, 4)
+    logisticNewtonFrom(xy, beta)
+  }
 
   /** q270: calibration (reliability) bins for the q227 logistic model —
     * predicted P(error|value) in ten equal-width probability bins vs the
@@ -108,7 +128,10 @@ object Regression {
     */
   def calibrationBins(events: DataFrame, iters: Int = 4): DataFrame = {
     val xy = logisticXy(events)
-    val beta = fitLogistic(xy, iters)
+    calibrationBinsFrom(xy, fitLogistic(xy, iters))
+  }
+
+  private def calibrationBinsFrom(xy: DataFrame, beta: DataFrame): DataFrame =
     xy.crossJoin(broadcast(beta))
       .withColumn("p", snap12(lit(1.0)
         / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))))
@@ -126,10 +149,11 @@ object Regression {
         (r6(col("n_pos").cast("double") / col("n").cast("double")
           - col("sp").cast("double") / col("n").cast("double"))
           + lit(0.0)).as("gap"))
-  }
 
-  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame =
-    calibrationBins(Tables.events(spark, sfDir))
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val (xy, beta) = fitLogisticFor(spark, sfDir, 4)
+    calibrationBinsFrom(xy, beta)
+  }
 
   /** q247: two-feature OLS by the normal equations — o_totalprice regressed
     * on an order's line count and total quantity. The closed-form

@@ -13,6 +13,19 @@ import graft.ops.TimeSeries.{exactAvg, r4}
   */
 object Relational {
 
+  /** Hash-spread a projected fact slice across the session's shuffle width
+    * before a decimal-heavy aggregation. The test parquet files are single
+    * row groups, so the scan — and the partial aggregation that runs
+    * INSIDE the scan stage — is otherwise ONE task (guide §2.5:
+    * unsplittable input repartitions right after the read). Width follows
+    * spark.sql.shuffle.partitions, so it scales with the session rather
+    * than a local constant; on a splittable production layout the scan is
+    * already wide and the extra exchange of the projected slice is the
+    * bounded cost documented in OPTIMIZATION_r12.md.
+    */
+  private def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
+
   /** q13: pricing summary (TPC-H Q1 shape) — one shuffle, map-side combine.
     * Every SUM is a per-row-snapped DECIMAL sum (round(x·1e10)/1e10 →
     * decimal(38,10)), not a double sum: double accumulation is
@@ -582,19 +595,21 @@ object Relational {
     * bounded self-join on the day.
     */
   def priorityInversionDays(spark: SparkSession, sfDir: String): DataFrame = {
-    val lat = Tables.lineitem(spark, sfDir)
+    val lat = spread(Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_shipdate"))
       .join(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
       .select(
+        col("l_orderkey"),
         concat(
           floor(unix_timestamp(col("o_orderdate")) / 86400L).cast("string"),
           lit("|"),
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
             .otherwise("lo")).as("grp"),
         datediff(col("l_shipdate"), col("o_orderdate"))
-          .cast("double").as("lat"))
+          .cast("double").as("lat")), col("l_orderkey"))
+      .select(col("grp"), col("lat"))
     val med = Percentiles.exactQuantiles(lat, "grp", "lat", Seq("m" -> 0.5))
       .select(col("grp"), col("qv").as("med"))
       .withColumn("d", split(col("grp"), "\\|").getItem(0).cast("long"))
@@ -659,13 +674,13 @@ object Relational {
     */
   def priceElasticity(spark: SparkSession, sfDir: String): DataFrame = {
     def s12(c: org.apache.spark.sql.Column) = round(c * lit(1e12)) / lit(1e12)
-    val xy = Tables.lineitem(spark, sfDir)
+    val xy = spread(Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .select(col("p_brand"),
+      .select(col("l_orderkey"), col("p_brand"),
         s12(log((col("l_extendedprice") / col("l_quantity"))
           .cast("double"))).as("x"),
-        s12(log(col("l_quantity").cast("double"))).as("y"))
+        s12(log(col("l_quantity").cast("double"))).as("y")), col("l_orderkey"))
     xy.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),

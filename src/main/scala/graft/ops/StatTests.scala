@@ -690,6 +690,9 @@ object StatTests {
       .agg(min(when(col("qname") === "q1", col("qv"))).as("b1"),
         min(when(col("qname") === "q2", col("qv"))).as("b2"),
         min(when(col("qname") === "q3", col("qv"))).as("b3"))
+    // the |types|×4 contingency table is pinned: marginals (rows, cols,
+    // total) and the MI sum all re-read it, and a lazy chain re-runs the
+    // corpus bucketing pass once per consumer
     val cells = ev.join(broadcast(qs), "g")
       .withColumn("bkt",
         when(col("value") <= col("b1"), 0)
@@ -697,6 +700,7 @@ object StatTests {
           .when(col("value") <= col("b3"), 2).otherwise(3))
       .groupBy(col("event_type"), col("bkt"))
       .agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
     val rows = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("ni"))
     val cols_ = cells.groupBy(col("bkt")).agg(sum(col("nij")).as("nj"))
     val tot = cells.agg(sum(col("nij")).as("n"))

@@ -2746,21 +2746,29 @@ object TimeSeries {
       .select(col("event_type"), epochS(col("ts")).as("e"), col("value"))
       .withColumn("dow", pmod(floor(col("e") / 86400L) + 4, lit(7)).cast("int"))
       .withColumn("hr", pmod(floor(col("e") / 3600L), lit(24)).cast("int"))
+    // the ≤168-cells-per-series grid is pinned once, and each sweep's
+    // updated grid is pinned too: every boundedMedian references its input
+    // twice (median + the subtraction join), so a lazy chain re-executes
+    // the corpus-sized first aggregate 2^sweeps times — checkpointing the
+    // tiny grid makes each sweep two bounded window jobs instead
     var resid = ev.groupBy(col("event_type"), col("dow"), col("hr"))
       .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
         / count(lit(1))).as("r"))
+      .localCheckpoint()
     var rowEff: DataFrame = null
     var colEff: DataFrame = null
     for (_ <- 1 to iters) {
       val rm = boundedMedian(resid, Seq("event_type", "dow"), "r", "rm")
       resid = resid.join(rm, Seq("event_type", "dow"))
         .withColumn("r", col("r") - col("rm")).drop("rm")
+        .localCheckpoint()
       rowEff = if (rowEff == null) rm.withColumnRenamed("rm", "re")
         else rowEff.join(rm, Seq("event_type", "dow"))
           .withColumn("re", col("re") + col("rm")).drop("rm")
       val cm = boundedMedian(resid, Seq("event_type", "hr"), "r", "cm")
       resid = resid.join(cm, Seq("event_type", "hr"))
         .withColumn("r", col("r") - col("cm")).drop("cm")
+        .localCheckpoint()
       colEff = if (colEff == null) cm.withColumnRenamed("cm", "ce")
         else colEff.join(cm, Seq("event_type", "hr"))
           .withColumn("ce", col("ce") + col("cm")).drop("cm")
