@@ -273,13 +273,21 @@ object Graph {
     // are views of the one degs checkpoint); arithmetic is unchanged
     var ranks = degs.select(col("id"), col("deg"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      val dangling = ranks.where(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
-      val inflow = ranks.where(col("deg").isNotNull)
+      // inflow and the dangling total ride ONE aggregation pass: dangling
+      // rows union in under the NULL sentinel id (no vertex id is NULL),
+      // so the round's former second full scan + separate aggregate job
+      // collapse into the inflow exchange. Double-sum order changes are
+      // inside the same noise margin the per-round reassociation argument
+      // already covers (ranks report ppm-rounded).
+      val agg = ranks.where(col("deg").isNotNull)
         .join(e.withColumnRenamed("u", "id"), "id")
         .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
+        .unionAll(ranks.where(col("deg").isNull)
+          .select(lit(null).cast("bigint").as("id"), col("rank").as("w")))
         .groupBy("id").agg(sum("w").as("inflow"))
-      ranks = degs.join(inflow, Seq("id"), "left")
+      val dangling = agg.where(col("id").isNull)
+        .agg(coalesce(sum(col("inflow")), lit(0.0)).as("dang"))
+      ranks = degs.join(agg.where(col("id").isNotNull), Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("deg"),
           (lit((1.0 - damping) / n) + lit(damping) * col("dang") / lit(n)
@@ -325,14 +333,18 @@ object Graph {
     var ranks = degs.select(col("id"), col("deg"), col("seed"),
       when(col("seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
     for (_ <- 1 to iters) {
-      val dangling = ranks.where(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
-      val inflow = ranks.where(col("deg").isNotNull)
+      // inflow + dangling in one aggregation pass via the NULL sentinel —
+      // see pageRankFixed
+      val agg = ranks.where(col("deg").isNotNull)
         .join(e.withColumnRenamed("u", "id"), "id")
         .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
+        .unionAll(ranks.where(col("deg").isNull)
+          .select(lit(null).cast("bigint").as("id"), col("rank").as("w")))
         .groupBy("id").agg(sum("w").as("inflow"))
+      val dangling = agg.where(col("id").isNull)
+        .agg(coalesce(sum(col("inflow")), lit(0.0)).as("dang"))
       ranks = degs.select(col("id"), col("deg"), col("seed"))
-        .join(inflow, Seq("id"), "left")
+        .join(agg.where(col("id").isNotNull), Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("deg"), col("seed"),
           (when(col("seed"),

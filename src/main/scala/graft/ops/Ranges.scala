@@ -266,12 +266,11 @@ object Ranges {
     * back), then the median of absolute deviations.
     */
   def madPerSeries(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread the unsplittable single-row-group scan before the two
-    // count-and-locate passes (guide §2.5): the distinct-value partial
-    // aggregates otherwise run in the ONE scan task
+    // (a pre-engine spread + DISK pin of the raw event slice was measured
+    // SLOWER than letting the two count-and-locate passes re-scan — the
+    // checkpointed distinct-value counts inside the engine already bound
+    // the repeated work)
     val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("value"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val med = Percentiles.exactQuantiles(ev, "event_type", "value", Seq("m" -> 0.5))
       .select(col("event_type"), col("qv").as("m"))
     val dev = ev.join(broadcast(med), "event_type")

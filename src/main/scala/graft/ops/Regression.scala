@@ -542,10 +542,19 @@ object Regression {
       round(c * 1000000000L) / 1000000000L
     // % (dividend-sign remainder), NOT pmod: the oracle's l_orderkey % 3
     // has DuckDB %-semantics, and the two diverge on negative keys
+    // hash-spread the projected slice before the three fold passes (fit,
+    // calibration residuals, eval residuals): the single-row-group scan
+    // otherwise runs each pass's decimal-heavy partial aggregate in ONE
+    // task (guide §2.5); no pin — re-scanning the 4-column projection is
+    // cheaper than a checkpoint write (measured on the q49 twin)
     val li = lineitem.select(col("l_returnflag").as("flag"),
       (col("l_orderkey") % 3).cast("int").as("fold"),
       col("l_quantity").cast("double").as("x"),
-      col("l_extendedprice").cast("double").as("y"))
+      col("l_extendedprice").cast("double").as("y"),
+      col("l_orderkey"))
+      .repartition(lineitem.sparkSession.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
+      .drop("l_orderkey")
     val fit = li.where(col("fold") === 0)
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_train"),
