@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST ~2000 chars of the `runMain
+// graft.Bench` stdout for a bare {"metric":...} JSON line. With sbt's
+// default LoggedOutput the forked JVM's stdout is re-emitted through the
+// sbt logger as "[info] {...}" (and stderr as "[error] ..."), which has
+// made the metric line unparseable in EVERY round so far (BENCH_r01..r12
+// all have parsed:null). StdoutOutput lets the forked process inherit
+// sbt's own stdout/stderr, so Bench's JSON lines reach the driver
+// verbatim, with no log-prefix wrapping.
+run / outputStrategy := Some(StdoutOutput)
+// ... and suppress the "[success] Total time: ..." banner sbt prints AFTER
+// the forked JVM exits, so the compact JSON summary is the LAST line of
+// stdout (a strictly last-line parser succeeds too). Success/failure of
+// compile/test stays fully visible via the exit code and [error] lines.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

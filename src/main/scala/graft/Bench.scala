@@ -57,7 +57,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the r11 driver tail was 2000 chars of WindowExec
+    // WARN spam with the metric line scrolled out — benign warnings must
+    // never displace the one line the driver parses.
+    spark.sparkContext.setLogLevel("ERROR")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def elapsed(): Double = (System.nanoTime() - t0wall) / 1e9
@@ -150,9 +153,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",$meta,"n_queries":${results.size},"queries":$spreadJson}""")
     val top = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // stop the session BEFORE printing: no Spark shutdown log line can
+    // land after (and displace) the JSON lines in the driver's tail
+    val wallAtStop = elapsed()
+    spark.stop()
     println(fullLine)
     // compact final line — MUST stay well under the driver's 2000-char tail
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$meta,"n_queries":${results.size},"wall_sec":${fmt(elapsed())},"queries_file":"$out","spread_file":"${out.stripSuffix(".json")}_spread.json","slowest10":$top}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$meta,"n_queries":${results.size},"wall_sec":${fmt(wallAtStop)},"queries_file":"$out","spread_file":"${out.stripSuffix(".json")}_spread.json","slowest10":$top}""")
   }
 }
