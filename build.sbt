@@ -40,5 +40,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Codegen class cache sized to the workload: the default (100 entries)
+  // thrashes across a 447-query suite (~4.5k generated stages/pass), so
+  // every bench pass recompiled every whole-stage/predicate/ordering
+  // class — measured 29% of a 25-query tail sample's wall. Size it to
+  // hold one full pass (~160 MB metaspace at ~20 KB/class); any
+  // long-running session with many distinct plan shapes wants the same.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // experiment seam: SparkConf picks up -Dspark.* system properties, so
+  // ad-hoc config A/Bs don't need code edits (e.g.
+  // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.enabled=false")
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -20,9 +20,18 @@ object Profile {
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskNanos = new AtomicLong
+    // SPARK_GRAFT_PROFILE_JOBS=1: one line per job with its callsite and
+    // task count — attributes the per-query job count to specific actions
+    val verbose = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          val nt = j.stageInfos.map(_.numTasks).sum
+          println(f"  job ${j.jobId}%4d tasks=$nt%4d  $site")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

@@ -259,7 +259,12 @@ object Graph {
   def pageRankFixed(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
     // same key-aligned one-time materialization as [[pageRank]]: the
-    // static sides never re-exchange across the fixed rounds
+    // static sides never re-exchange across the fixed rounds.
+    // (Measured dead end, guide §1: pinning EXPLICIT input-derived widths
+    // on e/degs/inflow — repartition(width, key) everywhere — read 1.2×
+    // WORSE on the q142/q160/q166 trio than letting AQE pick per-exchange
+    // counts; the extra setup materializations and pinned exchanges cost
+    // more than the per-round re-exchanges they remove at this scale.)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .distinct().repartition(col("u")).localCheckpoint()
     val verts = e.select(col("u").as("id"))
@@ -272,22 +277,24 @@ object Graph {
     // two fewer setup materializations — verts and the initial rank table
     // are views of the one degs checkpoint); arithmetic is unchanged
     var ranks = degs.select(col("id"), col("deg"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      // inflow and the dangling total ride ONE aggregation pass: dangling
-      // rows union in under the NULL sentinel id (no vertex id is NULL),
-      // so the round's former second full scan + separate aggregate job
-      // collapse into the inflow exchange. Double-sum order changes are
-      // inside the same noise margin the per-round reassociation argument
-      // already covers (ranks report ppm-rounded).
-      val agg = ranks.where(col("deg").isNotNull)
+      // The dangling total is an aggregate of the PREVIOUS round's state,
+      // which is a materialized checkpoint — so it is read straight off
+      // those blocks (one tiny job) instead of riding a NULL-sentinel
+      // union through the inflow exchange (the r12 shape, whose broadcast
+      // side re-planned the whole join+union+groupBy subtree every
+      // round: ~12 jobs/round profiled). Same row set, same partitioning,
+      // same two-level double sum — the ppm-margin argument in
+      // [[pageRankStep]]'s doc covers the partial-order change, and the
+      // oracle re-gates it at all three SFs.
+      val dangling = ranks.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
+      val inflow = ranks.where(col("deg").isNotNull)
         .join(e.withColumnRenamed("u", "id"), "id")
         .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
-        .unionAll(ranks.where(col("deg").isNull)
-          .select(lit(null).cast("bigint").as("id"), col("rank").as("w")))
         .groupBy("id").agg(sum("w").as("inflow"))
-      val dangling = agg.where(col("id").isNull)
-        .agg(coalesce(sum(col("inflow")), lit(0.0)).as("dang"))
-      ranks = degs.join(agg.where(col("id").isNotNull), Seq("id"), "left")
+      ranks = degs.join(inflow, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("deg"),
           (lit((1.0 - damping) / n) + lit(damping) * col("dang") / lit(n)
@@ -332,19 +339,18 @@ object Graph {
     // no per-round state⋈degs join, no separate initial-rank checkpoint
     var ranks = degs.select(col("id"), col("deg"), col("seed"),
       when(col("seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      // inflow + dangling in one aggregation pass via the NULL sentinel —
+      // dangling read straight off the previous round's checkpoint —
       // see pageRankFixed
-      val agg = ranks.where(col("deg").isNotNull)
+      val dangling = ranks.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
+      val inflow = ranks.where(col("deg").isNotNull)
         .join(e.withColumnRenamed("u", "id"), "id")
         .select(col("v").as("id"), (col("rank") / col("deg")).as("w"))
-        .unionAll(ranks.where(col("deg").isNull)
-          .select(lit(null).cast("bigint").as("id"), col("rank").as("w")))
         .groupBy("id").agg(sum("w").as("inflow"))
-      val dangling = agg.where(col("id").isNull)
-        .agg(coalesce(sum(col("inflow")), lit(0.0)).as("dang"))
       ranks = degs.select(col("id"), col("deg"), col("seed"))
-        .join(agg.where(col("id").isNotNull), Seq("id"), "left")
+        .join(inflow, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("deg"), col("seed"),
           (when(col("seed"),
