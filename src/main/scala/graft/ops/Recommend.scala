@@ -79,9 +79,14 @@ object Recommend {
       .select(col("i"), col("j"), col("cos"),
         col("cos").cast("decimal(18,10)").as("t"))
 
+    // aggregate BEFORE the anti-join: both are keyed (cust, j), so the
+    // groupBy's exchange already co-partitions the anti-join probe side —
+    // the anti-join then filters whole (cust, j) groups (identical result,
+    // since it drops groups wholesale) without re-shuffling the raw
+    // candidate rows a second time (guide §2.4: share one exchange)
     val cand = hist.toDF("cust", "i").join(nbrs, "i")
-      .join(hist.toDF("cust", "j"), Seq("cust", "j"), "left_anti")
       .groupBy(col("cust"), col("j")).agg(sum(col("t")).as("score"))
+      .join(hist.toDF("cust", "j"), Seq("cust", "j"), "left_anti")
     val wS = Window.partitionBy(col("cust"))
       .orderBy(col("score").desc, col("j"))
     val rec = cand.withColumn("rr", row_number().over(wS))
