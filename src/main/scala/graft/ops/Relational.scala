@@ -595,6 +595,12 @@ object Relational {
     * bounded self-join on the day.
     */
   def priorityInversionDays(spark: SparkSession, sfDir: String): DataFrame = {
+    // group key as ONE LONG (day·2 + hi-bit) instead of a "day|class"
+    // string: a bijective re-encoding of the same groups, so every
+    // engine aggregate sees the identical row partition — but the
+    // count-and-locate engine hashes/shuffles an 8-byte key instead of a
+    // ~12-char string through its counts/bucket/slice stages
+    // (guide §2.3: narrower types)
     val lat = spread(Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_shipdate"))
       .join(Tables.orders(spark, sfDir)
@@ -602,18 +608,16 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .select(
         col("l_orderkey"),
-        concat(
-          floor(unix_timestamp(col("o_orderdate")) / 86400L).cast("string"),
-          lit("|"),
-          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
-            .otherwise("lo")).as("grp"),
+        (floor(unix_timestamp(col("o_orderdate")) / 86400L) * 2
+          + when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).cast("long").as("grp"),
         datediff(col("l_shipdate"), col("o_orderdate"))
           .cast("double").as("lat")), col("l_orderkey"))
       .select(col("grp"), col("lat"))
     val med = Percentiles.exactQuantiles(lat, "grp", "lat", Seq("m" -> 0.5))
       .select(col("grp"), col("qv").as("med"))
-      .withColumn("d", split(col("grp"), "\\|").getItem(0).cast("long"))
-      .withColumn("cls", split(col("grp"), "\\|").getItem(1))
+      .withColumn("d", floor(col("grp") / 2).cast("long"))
+      .withColumn("cls", when(col("grp") % 2 === 1, "hi").otherwise("lo"))
     val hi = med.where(col("cls") === "hi").select(col("d"), col("med").as("mhi"))
     val lo = med.where(col("cls") === "lo").select(col("d"), col("med").as("mlo"))
     val joined = hi.join(lo, "d")
