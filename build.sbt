@@ -25,6 +25,9 @@ run / outputStrategy := Some(StdoutOutput)
 // stdout (a strictly last-line parser succeeds too). Success/failure of
 // compile/test stays fully visible via the exit code and [error] lines.
 Global / showSuccess := false
+// (the key IS consumed — by the command engine when printing result
+// banners — but sbt's unused-key lint can't see that)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
